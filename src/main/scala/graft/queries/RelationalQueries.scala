@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Core relational surface: scan → filter → project → join → agg →
+  * sort/limit, the substrate every reference operator rides on
+  * (SURVEY.md §2.2–§2.6, §2.9).
+  *
+  * Scale notes (100 TB): every query here keeps filters/projections
+  * at the parquet scan (pushdown), broadcasts only dimension tables
+  * (region/nation/customer/part are small relative to the fact
+  * tables), and aggregates with map-side partial aggregation. No
+  * driver-side collects.
+  */
+object RelationalQueries extends QueryPack {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1/A2-style running totals: the reference's device/interface
+    // counters (impl.ex:623-674) generalize to hash aggregation with
+    // partial (map-side) combine — TPC-H Q1 shape.
+    "q1_agg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 4).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // Sort + limit surface (SURVEY §2.9): top-k with deterministic
+    // tie-break; revenue join customer⨝orders⨝lineitem (Q3 shape).
+    "q3_topk" -> ((s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // Multi-way join with small-dim broadcast (J1 generalized):
+    // local-supplier revenue per nation (Q5 shape). customer/supplier
+    // join on nationkey enforces locality; region/nation broadcast.
+    "q5_join5" -> ((s, d) => {
+      val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      val n = Tables.nation(s, d)
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("o_orderdate") <  lit("1997-01-01").cast("timestamp"))
+      val l = Tables.lineitem(s, d)
+      val sup = Tables.supplier(s, d)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(sup, l("l_suppkey") === sup("s_suppkey"))
+        .join(c, o("o_custkey") === c("c_custkey") &&
+                 sup("s_nationkey") === c("c_nationkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+    }),
+
+    // Pure scan+filter+scalar-agg (Q6 shape): the fully-pushed-down
+    // path — predicate reaches the parquet reader, no shuffle at all
+    // beyond the final single-partition reduce.
+    "q6_filter_sum" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
+                col("l_discount").between(0.02, 0.04) &&
+                col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"))
+    }),
+
+    // J5 property prune = anti-join (impl.ex:1334-1411): stored rows
+    // not present in the announced set are deleted. Here: customers
+    // with no orders. left_anti avoids materializing the non-matching
+    // side; at scale Spark picks broadcast/SMJ by stats.
+    "j5_prune_antijoin" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // W1 property upsert = last-writer-wins per key
+    // (queries.ex:121-155): latest event value per (user_id,
+    // event_type). One shuffle on the key, rank inside partition.
+    "w1_upsert_lastvalue" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"),
+                round(col("value"), 4).as("last_value"),
+                col("event_id").as("last_event_id"))
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  round(sum(l_extendedprice), 4) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_topk" ->
+      """SELECT l_orderkey, o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY l_orderkey, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "q5_join5" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND s_nationkey = c_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
+    "q6_filter_sum" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.04
+        |  AND l_quantity < 24""".stripMargin,
+    "j5_prune_antijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2001-01-01')""".stripMargin,
+    "w1_upsert_lastvalue" ->
+      """SELECT user_id, event_type, round(value, 4) AS last_value,
+        |  event_id AS last_event_id
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY user_id, event_type
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events) WHERE rn = 1""".stripMargin
+  )
+}
