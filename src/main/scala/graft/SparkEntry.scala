@@ -13,7 +13,9 @@ import graft.queries._
 object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
-    RelationalQueries
+    RelationalQueries,
+    AstarteOpsQueries,
+    AnalyticsQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -12,7 +12,7 @@ object PathMatcher {
   def isValidPath(path: String): Boolean =
     path.nonEmpty && path.startsWith("/") && !path.contains("//")
 
-  private[core] def tokens(s: String): Array[String] = {
+  private[graft] def tokens(s: String): Array[String] = {
     val stripped = s.stripPrefix("/")
     if (stripped.isEmpty) Array.empty else stripped.split("/", -1)
   }

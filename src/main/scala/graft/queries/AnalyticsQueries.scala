@@ -1,0 +1,468 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Large-scale training-data pipeline operators: deduplication
+  * (exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding cosine),
+  * similarity search (brute-force and LSH-bucketed ANN), and text
+  * analysis — over the `documents` and `embeddings` tables.
+  *
+  * Determinism across engines: all hashing is md5 (identical in Spark
+  * and DuckDB); all float accumulation is double (embeddings are cast
+  * up before any arithmetic — DuckDB's list_* functions accumulate in
+  * float32 and are NOT used in oracles); outputs round to 4 decimals.
+  *
+  * Scale notes (100 TB): every pipeline here is shuffle-bounded by
+  * design — shingling/minhashing is map-side (explode + partial agg),
+  * LSH banding turns all-pairs O(n²) similarity into per-bucket
+  * joins, and brute-force scoring is only used as the oracle baseline
+  * for the bucketed variants.
+  */
+object AnalyticsQueries extends QueryPack {
+
+  /** tokens as a Column (whitespace split). */
+  private val toks = split(col("text"), " ")
+
+  /** Flattened (vec_id, idx, val) view of embeddings with double
+    * values — the join-friendly layout for vector arithmetic.
+    */
+  private def flatEmb(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("idx", "fval")))
+      .withColumn("val", col("fval").cast("double"))
+      .drop("fval")
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup: hash-groupBy; keeper = min doc_id per content hash.
+    // At scale: one shuffle on the 128-bit digest, no data movement of
+    // full texts (hash computed at the scan).
+    "dd_exact_dedup" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+    }),
+
+    // MinHash + LSH near-dup candidates: 3-word shingles → 8 minhashes
+    // (md5 keyed by seed) → 2 bands of 4 → bucket join within (lang,
+    // band). O(n²) only within buckets, never globally.
+    "dd_minhash_lsh" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val shingled = docs.select(col("doc_id"), col("lang"),
+          explode(expr(
+            """transform(sequence(1, greatest(size(split(text,' ')) - 2, 0)),
+              |  i -> concat_ws(' ', element_at(split(text,' '), i),
+              |                      element_at(split(text,' '), i+1),
+              |                      element_at(split(text,' '), i+2)))""".stripMargin))
+            .as("shingle"))
+      val minhashes = shingled
+        .select(col("doc_id"), col("lang"), col("shingle"),
+          explode(expr("sequence(0, 7)")).as("seed"))
+        .groupBy(col("doc_id"), col("lang"), col("seed"))
+        .agg(min(md5(concat(col("seed"), lit("|"), col("shingle")))).as("minhash"))
+      val bands = minhashes
+        .withColumn("band", expr("seed div 4"))
+        .groupBy(col("doc_id"), col("lang"), col("band"))
+        .agg(md5(concat(col("lang"), concat_ws(",",
+          transform(sort_array(collect_list(struct(col("seed"), col("minhash")))),
+            x => x.getField("minhash"))))).as("band_key"))
+      val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
+      val b = bands.select(col("doc_id").as("doc_b"), col("band").as("band_b"),
+        col("band_key").as("band_key_b"))
+      a.join(b, col("band") === col("band_b") &&
+               col("band_key") === col("band_key_b") &&
+               col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+    }),
+
+    // SimHash document fingerprint: 16-bit signature from per-token
+    // md5 bits, majority-voted per bit. Fully map-side + one agg.
+    "dd_simhash" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks).as("tok"))
+        .withColumn("tok_hash",
+          conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("int"))
+        .select(col("doc_id"), col("tok_hash"),
+          explode(expr("sequence(0, 15)")).as("bit"))
+        .withColumn("contrib",
+          when(expr("shiftright(tok_hash, bit) % 2") === 1, 1).otherwise(-1))
+        .groupBy(col("doc_id"), col("bit"))
+        .agg(sum(col("contrib")).as("vote"))
+        .withColumn("bit_val",
+          when(col("vote") > 0, expr("shiftleft(1, bit)")).otherwise(0))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("bit_val")).as("simhash"))
+    }),
+
+    // N-gram (word-bigram) Jaccard within blocking buckets
+    // (lang, n_chars bucket): |A∩B| via bigram equi-join, then
+    // |A∪B| = |A|+|B|-|A∩B|. Blocking keeps the pair space linear-ish.
+    "dd_ngram_jaccard" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("bucket", expr("n_chars div 10"))
+      val bigrams = docs.select(col("doc_id"), col("lang"), col("bucket"),
+          explode(array_distinct(expr(
+            """transform(sequence(1, greatest(size(split(text,' ')) - 1, 0)),
+              |  i -> concat_ws(' ', element_at(split(text,' '), i),
+              |                      element_at(split(text,' '), i+1)))""".stripMargin)))
+            .as("bigram"))
+      val sizes = bigrams.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val x = bigrams.select(col("doc_id").as("doc_a"), col("lang"),
+        col("bucket"), col("bigram"))
+      val y = bigrams.select(col("doc_id").as("doc_b"),
+        col("lang").as("lang_b"), col("bucket").as("bucket_b"), col("bigram").as("bigram_b"))
+      val inter = x.join(y,
+          col("lang") === col("lang_b") && col("bucket") === col("bucket_b") &&
+          col("bigram") === col("bigram_b") && col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn("jaccard",
+          round(col("n_inter") / (col("sz_a") + col("sz_b") - col("n_inter")), 4))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    }),
+
+    // Embedding-cosine near-dup: same-label blocking, exact cosine in
+    // double, threshold 0.3 (labels are loose clusters in this data).
+    "dd_embcos_neardup" -> ((s, d) => {
+      val f = flatEmb(s, d)
+      val a = f.select(col("vec_id").as("va"), col("label"),
+        col("idx"), col("val").as("xa"))
+      val b = f.select(col("vec_id").as("vb"), col("label").as("label_b"),
+        col("idx").as("idx_b"), col("val").as("xb"))
+      val dots = a.join(b,
+          col("label") === col("label_b") && col("idx") === col("idx_b") &&
+          col("va") < col("vb"))
+        .groupBy(col("va"), col("vb"))
+        .agg(sum(col("xa") * col("xb")).as("dot"))
+      val norms = f.groupBy(col("vec_id"))
+        .agg(sqrt(sum(col("val") * col("val"))).as("norm"))
+      dots
+        .join(norms.select(col("vec_id").as("va"), col("norm").as("norm_a")), "va")
+        .join(norms.select(col("vec_id").as("vb"), col("norm").as("norm_b")), "vb")
+        .withColumn("cosine", round(col("dot") / (col("norm_a") * col("norm_b")), 4))
+        .filter(col("cosine") >= 0.3)
+        .select(col("va"), col("vb"), col("cosine"))
+    }),
+
+    // Brute-force cosine top-k (the ANN baseline): 20 query vectors
+    // against the full set; rank on rounded cosine + id tie-break so
+    // the cut is engine-stable.
+    "sim_topk_bf" -> ((s, d) => {
+      val f = flatEmb(s, d)
+      val q = f.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("idx"), col("val").as("qval"))
+      val dots = q.join(f.select(col("vec_id").as("nid"), col("idx"),
+          col("val").as("nval")), Seq("idx"))
+        .filter(col("qid") =!= col("nid"))
+        .groupBy(col("qid"), col("nid"))
+        .agg(sum(col("qval") * col("nval")).as("dot"))
+      val norms = f.groupBy(col("vec_id"))
+        .agg(sqrt(sum(col("val") * col("val"))).as("norm"))
+      val scored = dots
+        .join(norms.select(col("vec_id").as("qid"), col("norm").as("qnorm")), "qid")
+        .join(norms.select(col("vec_id").as("nid"), col("norm").as("nnorm")), "nid")
+        .withColumn("cosine", round(col("dot") / (col("qnorm") * col("nnorm")), 4))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cosine").desc, col("nid").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("nid"), col("cosine"), col("rank"))
+    }),
+
+    // LSH-bucketed ANN (the scale path): 8 deterministic md5-derived
+    // hyperplanes → 8-bit bucket per vector. Bucketing is one pass;
+    // at query time only same-bucket vectors are scored.
+    "sim_lsh_bucket" -> ((s, d) => {
+      val planes = s.range(8).toDF("plane")
+        .crossJoin(s.range(64).toDF("dim"))
+        .withColumn("w",
+          conv(substring(md5(concat(col("plane"), lit(","), col("dim"))), 1, 4), 16, 10)
+            .cast("int") % 16 - 8)
+      val f = flatEmb(s, d)
+      f.join(broadcast(planes), f("idx") === planes("dim"))
+        .groupBy(col("vec_id"), col("plane"))
+        .agg(sum(col("val") * col("w")).as("dot"))
+        .withColumn("bit", when(col("dot") > 0, expr("shiftleft(1, cast(plane as int))")).otherwise(0))
+        .groupBy(col("vec_id"))
+        .agg(sum(col("bit")).as("bucket"))
+    }),
+
+    // Language-ID n-gram heuristic: marker-token voting with
+    // deterministic argmax (count desc, lang asc).
+    "tx_langid" -> ((s, d) => {
+      import s.implicits._
+      val markers = Seq(
+        ("en", "the"), ("en", "a"), ("en", "fast"),
+        ("es", "value"), ("es", "data"),
+        ("de", "join"), ("de", "merge"),
+        ("fr", "stream"), ("fr", "batch"),
+        ("zh", "spark"), ("zh", "vector")).toDF("m_lang", "marker")
+      val votes = Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks).as("tok"))
+        .join(broadcast(markers), col("tok") === col("marker"))
+        .groupBy(col("doc_id"), col("m_lang"))
+        .agg(count(lit(1)).as("hits"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("hits").desc, col("m_lang").asc)
+      votes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("m_lang").as("predicted_lang"), col("hits"))
+    }),
+
+    // Quality scoring: length/stopword/token-shape signals folded to
+    // a bounded score and band. Outputs are floor-scaled integers —
+    // the inputs are small rationals that land exactly on decimal
+    // rounding boundaries, where Spark's and DuckDB's half-rounding
+    // disagree; truncation of identical doubles is engine-stable.
+    "tx_quality" -> ((s, d) => {
+      val stop = array(Seq("the", "a", "of", "and", "to", "in").map(lit): _*)
+      Tables.documents(s, d)
+        .withColumn("n_tokens", size(toks))
+        .withColumn("n_stop",
+          size(filter(toks, t => array_contains(stop, t))))
+        .withColumn("stop_ratio_raw", col("n_stop") / col("n_tokens"))
+        .withColumn("avg_len_raw",
+          (col("n_chars") - (col("n_tokens") - 1)) / col("n_tokens"))
+        .withColumn("score_raw",
+          least(col("n_tokens") / 100.0, lit(1.0)) * 0.4 +
+          (lit(1.0) - col("stop_ratio_raw")) * 0.3 +
+          least(col("avg_len_raw") / 8.0, lit(1.0)) * 0.3)
+        .withColumn("band",
+          when(col("score_raw") >= 0.7, "high")
+            .when(col("score_raw") >= 0.5, "medium").otherwise("low"))
+        .select(col("doc_id"), col("n_tokens"),
+          floor(col("stop_ratio_raw") * 10000).cast("long").as("stopword_bp"),
+          floor(col("avg_len_raw") * 100).cast("long").as("avg_token_len_c"),
+          floor(col("score_raw") * 10000).cast("long").as("score_bp"),
+          col("band"))
+    }),
+
+    // Token counting: whitespace tokens vs regex word tokens vs
+    // distinct vocabulary, per source.
+    "tx_token_count" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("source"), col("text"),
+          size(toks).as("ws_tokens"),
+          size(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("word_tokens"))
+        .withColumn("tok", explode(toks))
+        .groupBy(col("source"))
+        .agg(sum(col("ws_tokens")).as("chk_ws"),
+             count(lit(1)).as("total_tokens"),
+             countDistinct(col("tok")).as("distinct_tokens"))
+        .select(col("source"), col("total_tokens"), col("distinct_tokens"))
+    }),
+
+    // Document fingerprint: normalized-content digest + 60-bit prefix
+    // as a compact join key.
+    "tx_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("norm", trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+        .select(col("doc_id"), md5(col("norm")).as("fingerprint"),
+          conv(substring(md5(col("norm")), 1, 15), 16, 10).cast("long").as("fp_int"))
+    }),
+
+    // Multimodal plumbing: opaque binary column + typed metadata.
+    // The decode step is stubbed (no codec libs in this container);
+    // the schema/bytes/digest path is real (see graft.analytics.Multimodal).
+    "mm_binary_meta" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("blob", encode(col("text"), "UTF-8"))
+        .select(col("doc_id"),
+          octet_length(col("blob")).as("byte_len"),
+          md5(col("blob")).as("digest"),
+          substring(base64(col("blob")), 1, 8).as("magic"))
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "dd_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keeper,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "dd_minhash_lsh" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, unnest(string_split(text,' ')) AS tok,
+        |         generate_subscripts(string_split(text,' '),1) AS pos
+        |  FROM documents),
+        |shingles AS (
+        |  SELECT doc_id, lang,
+        |    tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w AS shingle
+        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY lead(tok,2) OVER w IS NOT NULL),
+        |mh AS (
+        |  SELECT doc_id, lang, seed,
+        |    min(md5(seed::VARCHAR || '|' || shingle)) AS minhash
+        |  FROM shingles, (SELECT unnest(generate_series(0,7)) AS seed)
+        |  GROUP BY doc_id, lang, seed),
+        |bands AS (
+        |  SELECT doc_id, lang, seed // 4 AS band,
+        |    md5(lang || string_agg(minhash, ',' ORDER BY seed)) AS band_key
+        |  FROM mh GROUP BY doc_id, lang, seed // 4)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.band_key = b.band_key
+        |  AND a.doc_id < b.doc_id""".stripMargin,
+    "dd_simhash" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(unnest(string_split(text,' '))),1,4))::INT AS tok_hash
+        |  FROM documents),
+        |votes AS (
+        |  SELECT doc_id, bit,
+        |    sum(CASE WHEN (tok_hash >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        |  FROM t, (SELECT unnest(generate_series(0,15)) AS bit)
+        |  GROUP BY doc_id, bit)
+        |SELECT doc_id,
+        |  sum(CASE WHEN vote > 0 THEN 1 << bit ELSE 0 END) AS simhash
+        |FROM votes GROUP BY doc_id""".stripMargin,
+    "dd_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, n_chars // 10 AS bucket,
+        |    unnest(string_split(text,' ')) AS tok,
+        |    generate_subscripts(string_split(text,' '),1) AS pos
+        |  FROM documents),
+        |bigrams AS (
+        |  SELECT DISTINCT doc_id, lang, bucket,
+        |    tok || ' ' || lead(tok,1) OVER w AS bigram
+        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY lead(tok,1) OVER w IS NOT NULL),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM bigrams GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        |  FROM bigrams a JOIN bigrams b
+        |    ON a.lang = b.lang AND a.bucket = b.bucket
+        |    AND a.bigram = b.bigram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  round(n_inter / (sa.sz + sb.sz - n_inter), 4) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE round(n_inter / (sa.sz + sb.sz - n_inter), 4) >= 0.5""".stripMargin,
+    "dd_embcos_neardup" ->
+      """WITH f AS (
+        |  SELECT vec_id, label,
+        |    generate_subscripts(embedding,1) AS idx,
+        |    unnest(embedding)::DOUBLE AS val
+        |  FROM embeddings),
+        |dots AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb, sum(a.val * b.val) AS dot
+        |  FROM f a JOIN f b ON a.label = b.label AND a.idx = b.idx
+        |    AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2),
+        |norms AS (
+        |  SELECT vec_id, sqrt(sum(val * val)) AS norm FROM f GROUP BY 1)
+        |SELECT va, vb, round(dot / (na.norm * nb.norm), 4) AS cosine
+        |FROM dots JOIN norms na ON na.vec_id = va
+        |JOIN norms nb ON nb.vec_id = vb
+        |WHERE round(dot / (na.norm * nb.norm), 4) >= 0.3""".stripMargin,
+    "sim_topk_bf" ->
+      """WITH f AS (
+        |  SELECT vec_id, generate_subscripts(embedding,1) AS idx,
+        |    unnest(embedding)::DOUBLE AS val
+        |  FROM embeddings),
+        |dots AS (
+        |  SELECT q.vec_id AS qid, n.vec_id AS nid, sum(q.val * n.val) AS dot
+        |  FROM f q JOIN f n ON q.idx = n.idx AND q.vec_id <> n.vec_id
+        |  WHERE q.vec_id < 20
+        |  GROUP BY 1, 2),
+        |norms AS (
+        |  SELECT vec_id, sqrt(sum(val * val)) AS norm FROM f GROUP BY 1),
+        |scored AS (
+        |  SELECT qid, nid, round(dot / (nq.norm * nn.norm), 4) AS cosine
+        |  FROM dots JOIN norms nq ON nq.vec_id = qid
+        |  JOIN norms nn ON nn.vec_id = nid)
+        |SELECT qid, nid, cosine, rank FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin,
+    "sim_lsh_bucket" ->
+      """WITH planes AS (
+        |  SELECT p.plane, d.dim,
+        |    ('0x' || substr(md5(p.plane || ',' || d.dim),1,4))::INT % 16 - 8 AS w
+        |  FROM (SELECT unnest(generate_series(0,7)) AS plane) p,
+        |       (SELECT unnest(generate_series(0,63)) AS dim) d),
+        |f AS (
+        |  SELECT vec_id, generate_subscripts(embedding,1) - 1 AS idx,
+        |    unnest(embedding)::DOUBLE AS val
+        |  FROM embeddings),
+        |dots AS (
+        |  SELECT vec_id, plane, sum(val * w) AS dot
+        |  FROM f JOIN planes ON idx = dim
+        |  GROUP BY 1, 2)
+        |SELECT vec_id,
+        |  sum(CASE WHEN dot > 0 THEN 1 << plane::INT ELSE 0 END) AS bucket
+        |FROM dots GROUP BY vec_id""".stripMargin,
+    "tx_langid" ->
+      """WITH markers(m_lang, marker) AS (VALUES
+        |  ('en','the'),('en','a'),('en','fast'),
+        |  ('es','value'),('es','data'),
+        |  ('de','join'),('de','merge'),
+        |  ('fr','stream'),('fr','batch'),
+        |  ('zh','spark'),('zh','vector')),
+        |votes AS (
+        |  SELECT doc_id, m_lang, count(*) AS hits
+        |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+        |        FROM documents) t
+        |  JOIN markers ON tok = marker
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, m_lang AS predicted_lang, hits FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY hits DESC, m_lang ASC) AS rn
+        |  FROM votes)
+        |WHERE rn = 1""".stripMargin,
+    "tx_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id, n_chars,
+        |    len(string_split(text,' ')) AS n_tokens,
+        |    len(list_filter(string_split(text,' '),
+        |        t -> list_contains(['the','a','of','and','to','in'], t))) AS n_stop
+        |  FROM documents),
+        |derived AS (
+        |  SELECT doc_id, n_tokens,
+        |    n_stop / n_tokens AS stop_ratio_raw,
+        |    (n_chars - (n_tokens - 1)) / n_tokens AS avg_len_raw
+        |  FROM base),
+        |scored AS (
+        |  SELECT doc_id, n_tokens, stop_ratio_raw, avg_len_raw,
+        |    least(n_tokens / 100.0, 1.0) * 0.4 +
+        |    (1.0 - stop_ratio_raw) * 0.3 +
+        |    least(avg_len_raw / 8.0, 1.0) * 0.3 AS score_raw
+        |  FROM derived)
+        |SELECT doc_id, n_tokens,
+        |  floor(stop_ratio_raw * 10000)::BIGINT AS stopword_bp,
+        |  floor(avg_len_raw * 100)::BIGINT AS avg_token_len_c,
+        |  floor(score_raw * 10000)::BIGINT AS score_bp,
+        |  CASE WHEN score_raw >= 0.7 THEN 'high'
+        |       WHEN score_raw >= 0.5 THEN 'medium'
+        |       ELSE 'low' END AS band
+        |FROM scored""".stripMargin,
+    "tx_token_count" ->
+      """WITH t AS (
+        |  SELECT source, unnest(string_split(text,' ')) AS tok
+        |  FROM documents)
+        |SELECT source, count(*) AS total_tokens,
+        |  count(DISTINCT tok) AS distinct_tokens
+        |FROM t GROUP BY source""".stripMargin,
+    "tx_fingerprint" ->
+      """WITH n AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT doc_id, md5(norm) AS fingerprint,
+        |  ('0x' || substr(md5(norm),1,15))::BIGINT AS fp_int
+        |FROM n""".stripMargin,
+    "mm_binary_meta" ->
+      """SELECT doc_id, octet_length(text::BLOB) AS byte_len,
+        |  md5(text) AS digest,
+        |  substr(base64(text::BLOB), 1, 8) AS magic
+        |FROM documents""".stripMargin
+  )
+}

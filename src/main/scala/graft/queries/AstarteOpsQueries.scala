@@ -1,0 +1,464 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The reference's operator inventory (SURVEY §2) re-expressed over
+  * the driver testdata. Each query exercises one operator's semantics
+  * with the relational shape it has in the reference pipeline; names
+  * carry the SURVEY §2 IDs.
+  *
+  * `events.ts` is epoch-nanos LONG on the Spark side (see Verify) and
+  * TIMESTAMP in DuckDB — oracles convert via epoch_ms/epoch_us so both
+  * engines compare exact integers, never doubles.
+  */
+object AstarteOpsQueries extends QueryPack {
+
+  /** Inline volatile-trigger table (J6/J2): (trigger_id, event_type
+    * scope, match operator, known value, target).
+    */
+  private def triggerTable(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      ("t1", "purchase", "GREATER_THAN", Some(150.0), "amqp://high-purchase"),
+      ("t2", "error", "ANY", None, "amqp://errors"),
+      ("t3", "click", "LESS_THAN", Some(20.0), "amqp://small-click"),
+      ("t4", "purchase", "GREATER_THAN", Some(150.0), "amqp://audit"),
+      ("t5", "signup", "CONTAINS", None, "amqp://signup")
+    ).toDF("trigger_id", "on_type", "op", "known_value", "target")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S3: message-type router — dispatch on the type header; one
+    // branch per type, here folded to per-type stats. At scale this is
+    // a single pass, no shuffle beyond the final agg.
+    "s3_route_msgtype" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_msgs"),
+             round(sum(col("value")), 4).as("sum_value"))
+    }),
+
+    // S4: invalid-message discard — malformed messages routed to a
+    // dead-letter side with a reason, never dropped silently.
+    "s4_invalid_discard" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      e.filter(col("k").isNull || col("k") > 90 || col("value") < 1.0)
+        .select(col("event_id"),
+          when(col("k").isNull, "missing_key")
+            .when(col("k") > 90, "key_out_of_range")
+            .otherwise("value_too_small").as("reason"))
+    }),
+
+    // F3: introspection parse — "name:major:minor" strings validated
+    // and split into typed columns.
+    "f3_introspection_parse" -> ((s, d) => {
+      val re = "^([a-z][a-z0-9]*):(\\d+):(\\d+)$"
+      Tables.documents(s, d)
+        .withColumn("intro",
+          concat(col("source"), lit(":"), pmod(col("n_chars"), lit(5)),
+                 lit(":"), pmod(col("doc_id"), lit(3))))
+        .filter(col("intro").rlike(re))
+        .select(col("doc_id"),
+          regexp_extract(col("intro"), re, 1).as("iface"),
+          regexp_extract(col("intro"), re, 2).cast("int").as("major"),
+          regexp_extract(col("intro"), re, 3).cast("int").as("minor"))
+    }),
+
+    // F5+F6: path validation + token-wise template resolution with
+    // %{param} wildcards (the automaton's semantics as a join).
+    "f6_path_resolution" -> ((s, d) => {
+      import s.implicits._
+      val paths = Tables.events(s, d)
+        .select(col("event_id"),
+          concat(lit("/"), col("event_type"), lit("/"),
+                 pmod(col("user_id"), lit(7))).as("path"))
+      val templates = Seq("/purchase/%{i}", "/click/%{i}", "/error/3")
+        .toDF("template")
+      val pt = split(col("path"), "/")
+      val tt = split(col("template"), "/")
+      paths.join(broadcast(templates),
+          size(pt) === size(tt) &&
+          (element_at(tt, 2) === element_at(pt, 2) || element_at(tt, 2).startsWith("%{")) &&
+          (element_at(tt, 3) === element_at(pt, 3) || element_at(tt, 3).startsWith("%{")))
+        .select(col("event_id"), col("path"), col("template"))
+    }),
+
+    // F9: DB-friendly coercion — timestamp → epoch millis (exact
+    // integer division on the nanos long, no float path).
+    "f9_coercion" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"), expr("ts div 1000000").as("ts_ms"),
+          col("value").cast("string").as("value_str"))
+    }),
+
+    // F10: device-id codec — base64 of the natural key, and back.
+    "f10_device_codec" -> ((s, d) => {
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          base64(encode(col("c_name"), "UTF-8")).as("encoded"))
+        .withColumn("decoded", decode(unbase64(col("encoded")), "UTF-8"))
+    }),
+
+    // F11: reception-timestamp normalization — decimicroseconds split
+    // into (ms, submillis) exactly as the storage layer keeps them.
+    "f11_ts_split" -> ((s, d) => {
+      // decimicros derived from µs (×10): parquet ns below µs are not
+      // representable on the DuckDB side, so both engines start from µs.
+      Tables.events(s, d)
+        .withColumn("decimicros", expr("(ts div 1000) * 10"))
+        .select(col("event_id"),
+          expr("decimicros div 10000").as("ts_ms"),
+          expr("decimicros % 10000").as("submillis"))
+    }),
+
+    // J1: stream×registry equi-join — registry built per type
+    // (threshold = avg value), broadcast back against the stream;
+    // the reference's interface-metadata cache as a broadcast join.
+    "j1_registry_lookup" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val registry = e.groupBy(col("event_type").as("reg_type"))
+        .agg(avg(col("value")).as("threshold"))
+      e.join(broadcast(registry), e("event_type") === registry("reg_type"))
+        .filter(col("value") > col("threshold"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_above"))
+    }),
+
+    // J2: trigger match — equi-join on the scope key + residual
+    // predicate per operator; congruent triggers (t1, t4) both fire.
+    "j2_trigger_match" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val t = triggerTable(s)
+      e.join(broadcast(t), e("event_type") === t("on_type"))
+        .filter(
+          (col("op") === "ANY") ||
+          (col("op") === "GREATER_THAN" && col("value") > col("known_value")) ||
+          (col("op") === "LESS_THAN" && col("value") < col("known_value")) ||
+          (col("op") === "CONTAINS" && col("props").contains("7")))
+        .select(col("event_id"), col("trigger_id"), col("target"))
+    }),
+
+    // J3: previous-value lookup (as-of) — the lazy fetch before
+    // change-triggers: value_change fires only when prev != new.
+    "j3_prev_value" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .filter(col("prev_value").isNotNull && col("prev_value") =!= col("value"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("prev_value"), 4).as("prev_value"),
+          round(col("value"), 4).as("new_value"))
+    }),
+
+    // J4: introspection diff — full-outer join of old vs new announced
+    // sets, classified ins/del/eq/changed (the Myers diff's effect).
+    "j4_introspection_diff" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val cutoffNs = 1705276800L * 1000000000L // 2024-01-15T00:00Z
+      val old = e.filter(col("ts") < cutoffNs)
+        .groupBy(col("user_id").as("o_user"), col("event_type").as("o_type"))
+        .agg(count(lit(1)).as("o_n"))
+      val neu = e.filter(col("ts") >= cutoffNs)
+        .groupBy(col("user_id").as("n_user"), col("event_type").as("n_type"))
+        .agg(count(lit(1)).as("n_n"))
+      old.join(neu,
+          old("o_user") === neu("n_user") && old("o_type") === neu("n_type"),
+          "full_outer")
+        .select(
+          coalesce(col("o_user"), col("n_user")).as("user_id"),
+          coalesce(col("o_type"), col("n_type")).as("event_type"),
+          when(col("o_user").isNull, "added")
+            .when(col("n_user").isNull, "removed")
+            .when(col("o_n") =!= col("n_n"), "changed")
+            .otherwise("unchanged").as("diff"))
+    }),
+
+    // J6 + congruence merge: persistent ∪ volatile triggers, congruent
+    // predicates merged to one trigger with a sorted target list
+    // (reference impl.ex:1550-1569).
+    "j6_trigger_overlay" -> ((s, d) => {
+      val t = triggerTable(s)
+      t.groupBy(col("on_type"), col("op"), col("known_value"))
+        .agg(concat_ws(",", sort_array(collect_list(col("target")))).as("targets"),
+             count(lit(1)).as("n_merged"))
+        .select(col("on_type"), col("op"),
+          round(col("known_value"), 4).as("known_value"),
+          col("targets"), col("n_merged"))
+    }),
+
+    // A1/A2: device totals & per-interface exchanged stats — counters
+    // over (device) and (device, interface); bytes = payload+topic
+    // lengths, mirroring the reference's accounting.
+    "a2_exchanged_stats" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n_msgs"),
+             sum(length(col("props")) + length(col("event_type"))).as("n_bytes"))
+    }),
+
+    // A5: property-path gather — the consumer-properties digest: per
+    // device, sorted ';'-joined set of owned paths.
+    "a5_collect_paths" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"))
+        .distinct()
+        .groupBy(col("user_id"))
+        .agg(concat_ws(";", sort_array(collect_list(col("event_type")))).as("paths"),
+             count(lit(1)).as("n_paths"))
+    }),
+
+    // W2: property unset — last-writer-wins state where a final
+    // 'error' event deletes the key (MERGE ... WHEN MATCHED DELETE).
+    "w2_unset_delete" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("event_type") =!= "error")
+        .select(col("user_id"), col("event_type"),
+          round(col("value"), 4).as("value"))
+    }),
+
+    // W5+R7: datastream path index with TTL — per path, last activity
+    // + expiry at 2.5× retention; only still-valid paths survive the
+    // read-back (the reference's SELECT TTL() check).
+    "w5_path_ttl" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val retentionMs = 86400L * 1000L // 1 day
+      val ttlMs = retentionMs * 2 + retentionMs / 2
+      val maxTs = e.agg(max(expr("ts div 1000000")).as("m"))
+      e.groupBy(col("user_id"), col("event_type"))
+        .agg(max(expr("ts div 1000000")).as("last_seen_ms"))
+        .withColumn("expiry_ms", col("last_seen_ms") + lit(ttlMs))
+        .crossJoin(broadcast(maxTs))
+        .filter(col("expiry_ms") > col("m"))
+        .select(col("user_id"), col("event_type"),
+          col("last_seen_ms"), col("expiry_ms"))
+    }),
+
+    // W9/A3: introspection maps — per device, deterministic
+    // "iface:count" map rendering (sorted entries).
+    "w9_introspection_maps" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"),
+          concat(col("event_type"), lit(":"), col("n")).as("entry"))
+        .groupBy(col("user_id"))
+        .agg(concat_ws(",", sort_array(collect_list(col("entry")))).as("introspection"))
+    }),
+
+    // R6: kv_store blobAsInt — binary blob reinterpreted as integer
+    // (here: leading 8 hex chars of a digest, exact in both engines).
+    "r6_blob_as_int" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          conv(substring(md5(col("source")), 1, 8), 16, 10).cast("long")
+            .as("blob_int"))
+    }),
+
+    // ST1-as-batch: per-device serialized processing → sessionization
+    // with a 30-minute inactivity gap; per device: session count and
+    // the largest session.
+    "st_sessionize" -> ((s, d) => {
+      val gapNs = 30L * 60 * 1000000000L
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val ws = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNs, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("new_session")).over(ws))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("session_events"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+             max(col("session_events")).as("max_session_events"))
+    }),
+
+    // 2.7 operator surface as row-level Column predicates: the whole
+    // scalar trigger language evaluated per message.
+    "vm_truth_table" -> ((s, d) => {
+      Tables.events(s, d)
+        .filter(col("event_id") < 200)
+        .select(col("event_id"),
+          (col("value") > 100.0).as("gt"),
+          (col("value") <= 100.0).as("lte"),
+          (col("event_type") === "error").as("eq"),
+          (col("event_type") =!= "error").as("neq"),
+          col("event_type").contains("ick").as("str_contains"),
+          array_contains(split(col("event_type"), "a"), "se").as("arr_contains"),
+          lit(true).as("any"))
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "s3_route_msgtype" ->
+      """SELECT event_type, count(*) AS n_msgs,
+        |  round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
+    "s4_invalid_discard" ->
+      """SELECT event_id,
+        |  CASE WHEN json_extract_string(props,'$.k') IS NULL THEN 'missing_key'
+        |       WHEN json_extract_string(props,'$.k')::INT > 90 THEN 'key_out_of_range'
+        |       ELSE 'value_too_small' END AS reason
+        |FROM events
+        |WHERE json_extract_string(props,'$.k') IS NULL
+        |   OR json_extract_string(props,'$.k')::INT > 90 OR value < 1.0""".stripMargin,
+    "f3_introspection_parse" ->
+      """WITH t AS (SELECT doc_id,
+        |    source || ':' || (n_chars % 5) || ':' || (doc_id % 3) AS intro
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_extract(intro, '^([a-z][a-z0-9]*):(\d+):(\d+)$', 1) AS iface,
+        |  regexp_extract(intro, '^([a-z][a-z0-9]*):(\d+):(\d+)$', 2)::INT AS major,
+        |  regexp_extract(intro, '^([a-z][a-z0-9]*):(\d+):(\d+)$', 3)::INT AS minor
+        |FROM t WHERE regexp_matches(intro, '^([a-z][a-z0-9]*):(\d+):(\d+)$')""".stripMargin,
+    "f6_path_resolution" ->
+      """WITH paths AS (
+        |  SELECT event_id, '/' || event_type || '/' || (user_id % 7) AS path
+        |  FROM events),
+        |templates AS (SELECT unnest(['/purchase/%{i}','/click/%{i}','/error/3']) AS template)
+        |SELECT event_id, path, template
+        |FROM paths JOIN templates ON
+        |  len(string_split(path,'/')) = len(string_split(template,'/'))
+        |  AND (string_split(template,'/')[2] = string_split(path,'/')[2]
+        |       OR starts_with(string_split(template,'/')[2], '%{'))
+        |  AND (string_split(template,'/')[3] = string_split(path,'/')[3]
+        |       OR starts_with(string_split(template,'/')[3], '%{'))""".stripMargin,
+    "f9_coercion" ->
+      """SELECT event_id, epoch_ms(ts) AS ts_ms, value::VARCHAR AS value_str
+        |FROM events""".stripMargin,
+    "f10_device_codec" ->
+      """SELECT c_custkey, base64(c_name::BLOB) AS encoded,
+        |  c_name AS decoded
+        |FROM customer""".stripMargin,
+    "f11_ts_split" ->
+      """WITH t AS (SELECT event_id, epoch_us(ts) * 10 AS decimicros FROM events)
+        |SELECT event_id, decimicros // 10000 AS ts_ms,
+        |  decimicros % 10000 AS submillis
+        |FROM t""".stripMargin,
+    "j1_registry_lookup" ->
+      """WITH registry AS (
+        |  SELECT event_type AS reg_type, avg(value) AS threshold
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, count(*) AS n_above
+        |FROM events JOIN registry ON event_type = reg_type
+        |WHERE value > threshold GROUP BY event_type""".stripMargin,
+    "j2_trigger_match" ->
+      """WITH triggers(trigger_id, on_type, op, known_value, target) AS (VALUES
+        |  ('t1','purchase','GREATER_THAN',150.0,'amqp://high-purchase'),
+        |  ('t2','error','ANY',NULL,'amqp://errors'),
+        |  ('t3','click','LESS_THAN',20.0,'amqp://small-click'),
+        |  ('t4','purchase','GREATER_THAN',150.0,'amqp://audit'),
+        |  ('t5','signup','CONTAINS',NULL,'amqp://signup'))
+        |SELECT event_id, trigger_id, target
+        |FROM events JOIN triggers ON event_type = on_type
+        |WHERE op = 'ANY'
+        |   OR (op = 'GREATER_THAN' AND value > known_value)
+        |   OR (op = 'LESS_THAN' AND value < known_value)
+        |   OR (op = 'CONTAINS' AND contains(props, '7'))""".stripMargin,
+    "j3_prev_value" ->
+      """SELECT event_id, user_id, event_type,
+        |  round(prev_value, 4) AS prev_value, round(value, 4) AS new_value
+        |FROM (SELECT *, lag(value) OVER (
+        |    PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev_value
+        |  FROM events)
+        |WHERE prev_value IS NOT NULL AND prev_value <> value""".stripMargin,
+    "j4_introspection_diff" ->
+      """WITH old AS (
+        |  SELECT user_id AS o_user, event_type AS o_type, count(*) AS o_n
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-15' GROUP BY 1, 2),
+        |neu AS (
+        |  SELECT user_id AS n_user, event_type AS n_type, count(*) AS n_n
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-15' GROUP BY 1, 2)
+        |SELECT coalesce(o_user, n_user) AS user_id,
+        |  coalesce(o_type, n_type) AS event_type,
+        |  CASE WHEN o_user IS NULL THEN 'added'
+        |       WHEN n_user IS NULL THEN 'removed'
+        |       WHEN o_n <> n_n THEN 'changed'
+        |       ELSE 'unchanged' END AS diff
+        |FROM old FULL OUTER JOIN neu
+        |  ON o_user = n_user AND o_type = n_type""".stripMargin,
+    "j6_trigger_overlay" ->
+      """WITH triggers(trigger_id, on_type, op, known_value, target) AS (VALUES
+        |  ('t1','purchase','GREATER_THAN',150.0,'amqp://high-purchase'),
+        |  ('t2','error','ANY',NULL,'amqp://errors'),
+        |  ('t3','click','LESS_THAN',20.0,'amqp://small-click'),
+        |  ('t4','purchase','GREATER_THAN',150.0,'amqp://audit'),
+        |  ('t5','signup','CONTAINS',NULL,'amqp://signup'))
+        |SELECT on_type, op, round(known_value::DOUBLE, 4) AS known_value,
+        |  string_agg(target, ',' ORDER BY target) AS targets,
+        |  count(*) AS n_merged
+        |FROM triggers GROUP BY on_type, op, known_value""".stripMargin,
+    "a2_exchanged_stats" ->
+      """SELECT user_id, event_type, count(*) AS n_msgs,
+        |  sum(length(props) + length(event_type)) AS n_bytes
+        |FROM events GROUP BY user_id, event_type""".stripMargin,
+    "a5_collect_paths" ->
+      """WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+        |SELECT user_id,
+        |  string_agg(event_type, ';' ORDER BY event_type) AS paths,
+        |  count(*) AS n_paths
+        |FROM d GROUP BY user_id""".stripMargin,
+    "w2_unset_delete" ->
+      """SELECT user_id, event_type, round(value, 4) AS value
+        |FROM (SELECT *, row_number() OVER (
+        |    PARTITION BY user_id, event_type
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+    "w5_path_ttl" ->
+      """WITH idx AS (
+        |  SELECT user_id, event_type, max(epoch_ms(ts)) AS last_seen_ms
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT max(epoch_ms(ts)) AS m FROM events)
+        |SELECT user_id, event_type, last_seen_ms,
+        |  last_seen_ms + 216000000 AS expiry_ms
+        |FROM idx, m WHERE last_seen_ms + 216000000 > m""".stripMargin,
+    "w9_introspection_maps" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type || ':' || count(*) AS entry
+        |  FROM events GROUP BY user_id, event_type)
+        |SELECT user_id,
+        |  string_agg(entry, ',' ORDER BY entry) AS introspection
+        |FROM c GROUP BY user_id""".stripMargin,
+    "r6_blob_as_int" ->
+      """SELECT doc_id, ('0x' || substr(md5(source), 1, 8))::BIGINT AS blob_int
+        |FROM documents""".stripMargin,
+    "st_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g),
+        |per AS (
+        |  SELECT user_id, session_id, count(*) AS session_events
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  max(session_events) AS max_session_events
+        |FROM per GROUP BY user_id""".stripMargin,
+    "vm_truth_table" ->
+      """SELECT event_id,
+        |  value > 100.0 AS gt,
+        |  value <= 100.0 AS lte,
+        |  event_type = 'error' AS eq,
+        |  event_type <> 'error' AS neq,
+        |  contains(event_type, 'ick') AS str_contains,
+        |  list_contains(string_split(event_type, 'a'), 'se') AS arr_contains,
+        |  true AS any
+        |FROM events WHERE event_id < 200""".stripMargin
+  )
+}

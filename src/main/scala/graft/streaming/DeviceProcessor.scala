@@ -1,0 +1,545 @@
+package graft.streaming
+
+import java.time.Instant
+import scala.collection.immutable.ListMap
+
+import graft.core._
+import graft.events._
+import graft.triggers._
+
+/** One broker message, after header extraction (SURVEY §3.1 step 1).
+  * `offset` is the per-device arrival order (the FIFO the reference's
+  * MessageTracker enforces); `receptionDecimicros` is the broker
+  * timestamp in tenths of microseconds.
+  */
+final case class Envelope(
+    realm: String,
+    deviceId: String,
+    msgType: String, // connection | disconnection | introspection | data | control
+    iface: String,
+    path: String,
+    payload: Array[Byte],
+    receptionDecimicros: Long,
+    ipAddress: String,
+    offset: Long)
+
+/** Flat effect row — the single output type of the state machine so
+  * one Encoder covers writes, events, commands and errors; a sink
+  * routes on `kind`.
+  */
+final case class EffectRow(
+    kind: String,
+    realm: String,
+    deviceId: String,
+    iface: String,
+    major: Int,
+    endpoint: String,
+    path: String,
+    valueTypeCode: Int,
+    valueBson: Array[Byte], // BSON {v: value}; null when n/a
+    prevBson: Array[Byte],  // BSON {v: previous}; null when n/a
+    valueTimestampMs: Long,
+    receptionMs: Long,
+    submillis: Int,
+    eventType: String,
+    target: String,
+    detail: String)
+
+object EffectRow {
+  def blank(kind: String, realm: String, deviceId: String): EffectRow =
+    EffectRow(kind, realm, deviceId, null, -1, null, null, -1, null, null,
+      -1L, -1L, -1, null, null, null)
+}
+
+/** Per-device session state — the Spark state-store mirror of the
+  * reference's 23-field device actor state (SURVEY §2.8 ST1;
+  * reference `data_updater/state.ex:19-45`). Property values are kept
+  * in state (BSON-encoded) so change triggers need no external as-of
+  * lookup on the hot path.
+  */
+final case class DeviceSessionState(
+    connected: Boolean,
+    introspection: Map[String, Int],
+    introspectionMinor: Map[String, Int],
+    oldIntrospection: Map[String, Int], // "name:major" -> minor
+    totalReceivedMsgs: Long,
+    totalReceivedBytes: Long,
+    interfaceMsgs: Map[String, Long],  // "name:major" -> msgs
+    interfaceBytes: Map[String, Long], // "name:major" -> bytes
+    properties: Map[String, Array[Byte]], // "iface/path" -> BSON {v}
+    pendingEmptyCache: Boolean)
+
+object DeviceSessionState {
+  val empty: DeviceSessionState = DeviceSessionState(
+    connected = false, Map.empty, Map.empty, Map.empty, 0L, 0L,
+    Map.empty, Map.empty, Map.empty, pendingEmptyCache = false)
+}
+
+/** The interface/trigger registry visible to the state machine —
+  * broadcast per micro-batch (replacing the reference's 10-minute
+  * TTL caches, SURVEY §2.8 ST2/ST3).
+  */
+final case class Registry(
+    interfaces: Map[String, InterfaceDescriptor],
+    mappings: Map[String, Seq[Mapping]],
+    triggers: Seq[Trigger]) {
+  def descriptor(name: String): Option[InterfaceDescriptor] = interfaces.get(name)
+  def mappingsOf(name: String): Seq[Mapping] = mappings.getOrElse(name, Nil)
+  def triggersFor(et: TriggerEventType): Seq[Trigger] =
+    triggers.filter(_.eventType == et)
+}
+
+/** The device message pipeline as a pure function
+  * `(state, message, registry) → (state', effects)` — the reference's
+  * `Impl` module re-expressed for Spark's keyed-state model
+  * (SURVEY §3.1/§3.2). Pure → unit-testable and usable from both
+  * `flatMapGroupsWithState` and batch folds.
+  */
+object DeviceProcessor {
+
+  def processMessage(
+      state: DeviceSessionState,
+      env: Envelope,
+      registry: Registry): (DeviceSessionState, Seq[EffectRow]) = {
+    val (receptionMs, submillis) =
+      PayloadCodec.splitReceptionTimestamp(env.receptionDecimicros)
+    env.msgType match {
+      case "connection" => handleConnection(state, env, registry, receptionMs)
+      case "disconnection" => handleDisconnection(state, env, registry, receptionMs)
+      case "introspection" => handleIntrospection(state, env, registry, receptionMs)
+      case "data" => handleData(state, env, registry, receptionMs, submillis)
+      case "control" => handleControl(state, env, registry, receptionMs)
+      case other =>
+        (bumpStats(state, env), Seq(error(env, receptionMs, s"unexpected_msg_type:$other")))
+    }
+  }
+
+  // --- lifecycle ----------------------------------------------------------
+
+  private def handleConnection(
+      state: DeviceSessionState, env: Envelope, registry: Registry,
+      receptionMs: Long): (DeviceSessionState, Seq[EffectRow]) = {
+    val update = EffectRow.blank("device_update", env.realm, env.deviceId)
+      .copy(receptionMs = receptionMs,
+        detail = s"""{"connected":true,"last_seen_ip":"${env.ipAddress}"}""")
+    val events = deviceTriggers(TriggerEventType.DeviceConnected, env, registry).map { t =>
+      EffectRow.blank("event", env.realm, env.deviceId).copy(
+        eventType = "device_connected", target = t.targets.mkString(","),
+        receptionMs = receptionMs, detail = env.ipAddress)
+    }
+    (bumpStats(state, env).copy(connected = true), update +: events)
+  }
+
+  private def handleDisconnection(
+      state: DeviceSessionState, env: Envelope, registry: Registry,
+      receptionMs: Long): (DeviceSessionState, Seq[EffectRow]) = {
+    val s = bumpStats(state, env)
+    // Flush session stats on disconnect (reference W8/ST8).
+    val statsJson = s.interfaceMsgs.toSeq.sorted
+      .map { case (k, v) => s""""$k":[$v,${s.interfaceBytes.getOrElse(k, 0L)}]""" }
+      .mkString("{", ",", "}")
+    val update = EffectRow.blank("device_update", env.realm, env.deviceId)
+      .copy(receptionMs = receptionMs,
+        detail = s"""{"connected":false,"total_received_msgs":${s.totalReceivedMsgs},""" +
+          s""""total_received_bytes":${s.totalReceivedBytes},"exchanged":$statsJson}""")
+    val events = deviceTriggers(TriggerEventType.DeviceDisconnected, env, registry).map { t =>
+      EffectRow.blank("event", env.realm, env.deviceId).copy(
+        eventType = "device_disconnected", target = t.targets.mkString(","),
+        receptionMs = receptionMs)
+    }
+    (s.copy(connected = false), update +: events)
+  }
+
+  // --- introspection (SURVEY §3.2) ---------------------------------------
+
+  private def handleIntrospection(
+      state: DeviceSessionState, env: Envelope, registry: Registry,
+      receptionMs: Long): (DeviceSessionState, Seq[EffectRow]) = {
+    val text = new String(env.payload, java.nio.charset.StandardCharsets.UTF_8)
+    PayloadCodec.parseIntrospection(text) match {
+      case None =>
+        askCleanSession(bumpStats(state, env), env, receptionMs, "invalid_introspection")
+      case Some(entries) =>
+        val s0 = bumpStats(state, env)
+        val newMajor = entries.map(e => e.interfaceName -> e.major).toMap
+        val newMinor = entries.map(e => e.interfaceName -> e.minor).toMap
+
+        val incoming = registry
+          .triggersFor(TriggerEventType.IncomingIntrospection).map { t =>
+            EffectRow.blank("event", env.realm, env.deviceId).copy(
+              eventType = "incoming_introspection",
+              target = t.targets.mkString(","),
+              receptionMs = receptionMs, detail = text)
+          }
+
+        // Full-outer diff of old vs new announced interfaces (J4).
+        val names = (state.introspection.keySet ++ newMajor.keySet).toSeq.sorted
+        val diffEffects = names.flatMap { name =>
+          (state.introspection.get(name), newMajor.get(name)) match {
+            case (None, Some(maj)) =>
+              kvRegister(env, name, maj, receptionMs, register = true) ++
+                fireIntrospectionEvent(env, registry, TriggerEventType.InterfaceAdded,
+                  "interface_added", name, maj, newMinor.getOrElse(name, 0), receptionMs)
+            case (Some(oldMaj), None) =>
+              kvRegister(env, name, oldMaj, receptionMs, register = false) ++
+                fireIntrospectionEvent(env, registry, TriggerEventType.InterfaceRemoved,
+                  "interface_removed", name, oldMaj, -1, receptionMs)
+            case (Some(oldMaj), Some(maj)) if oldMaj != maj =>
+              // major upgrade: record previous version in old_introspection
+              fireIntrospectionEvent(env, registry, TriggerEventType.InterfaceAdded,
+                "interface_added", name, maj, newMinor.getOrElse(name, 0), receptionMs)
+            case (Some(_), Some(maj)) =>
+              val oldMin = state.introspectionMinor.getOrElse(name, 0)
+              val newMin = newMinor.getOrElse(name, 0)
+              if (oldMin != newMin)
+                fireIntrospectionEvent(env, registry, TriggerEventType.InterfaceMinorUpdated,
+                  "interface_minor_updated", name, maj, newMin, receptionMs, oldMinor = oldMin)
+              else Nil
+            case (None, None) => Nil
+          }
+        }
+
+        // Old-introspection bookkeeping for removed/upgraded versions (A4/W9).
+        val removedOld = names.flatMap { name =>
+          (state.introspection.get(name), newMajor.get(name)) match {
+            case (Some(oldMaj), None) =>
+              Some(s"$name:$oldMaj" -> state.introspectionMinor.getOrElse(name, 0))
+            case (Some(oldMaj), Some(maj)) if oldMaj != maj =>
+              Some(s"$name:$oldMaj" -> state.introspectionMinor.getOrElse(name, 0))
+            case _ => None
+          }
+        }.toMap
+
+        val introUpdate = EffectRow.blank("device_update", env.realm, env.deviceId)
+          .copy(receptionMs = receptionMs,
+            detail = entries.sortBy(_.interfaceName)
+              .map(e => s""""${e.interfaceName}":[${e.major},${e.minor}]""")
+              .mkString("{\"introspection\":{", ",", "}}"))
+
+        // Drop properties of interfaces no longer announced.
+        val keptProps = state.properties.filter { case (k, _) =>
+          newMajor.keySet.exists(n => k.startsWith(n + "/"))
+        }
+
+        val s1 = s0.copy(
+          introspection = newMajor,
+          introspectionMinor = newMinor,
+          oldIntrospection = s0.oldIntrospection ++ removedOld,
+          properties = keptProps)
+        (s1, incoming ++ diffEffects :+ introUpdate)
+    }
+  }
+
+  private def fireIntrospectionEvent(
+      env: Envelope, registry: Registry, et: TriggerEventType,
+      name: String, iface: String, major: Int, minor: Int,
+      receptionMs: Long, oldMinor: Int = -1): Seq[EffectRow] =
+    registry.triggersFor(et).map { t =>
+      EffectRow.blank("event", env.realm, env.deviceId).copy(
+        eventType = name, iface = iface, major = major,
+        target = t.targets.mkString(","), receptionMs = receptionMs,
+        detail = if (oldMinor >= 0) s"$oldMinor->$minor"
+                 else if (minor >= 0) minor.toString else null)
+    }
+
+  private def kvRegister(
+      env: Envelope, name: String, major: Int, receptionMs: Long,
+      register: Boolean): Seq[EffectRow] =
+    if (major != 0) Nil // reference registers kv groups only for major 0
+    else Seq(EffectRow.blank("kv_store", env.realm, env.deviceId).copy(
+      iface = name, major = major, receptionMs = receptionMs,
+      detail = (if (register) "register:" else "unregister:") +
+        s"devices-by-interface-$name-v$major"))
+
+  // --- data (SURVEY §3.1, the hot path) ----------------------------------
+
+  private def handleData(
+      state: DeviceSessionState, env: Envelope, registry: Registry,
+      receptionMs: Long, submillis: Int): (DeviceSessionState, Seq[EffectRow]) = {
+    val s = bumpStats(state, env, countInterface = true)
+
+    // validate_path → interface lookup → ownership → resolve → decode
+    // → type check, each failing to the clean-session error path (ST6).
+    if (!PathMatcher.isValidPath(env.path))
+      return askCleanSession(s, env, receptionMs, "invalid_path")
+
+    registry.descriptor(env.iface) match {
+      case None => askCleanSession(s, env, receptionMs, "interface_loading_failed")
+      case Some(iface) if iface.ownership == Ownership.Server =>
+        askCleanSession(s, env, receptionMs, "cannot_write_on_server_owned_interface")
+      case Some(iface) =>
+        PathMatcher.resolve(registry.mappingsOf(env.iface), iface.aggregation, env.path) match {
+          case None => askCleanSession(s, env, receptionMs, "mapping_not_found")
+          case Some(mapping) =>
+            PayloadCodec.decodePayload(env.payload) match {
+              case None => askCleanSession(s, env, receptionMs, "undecodable_bson_payload")
+              case Some(decoded) =>
+                val valueTsMs = decoded.timestamp
+                  .filter(_ => mapping.explicitTimestamp)
+                  .map(_.toEpochMilli).getOrElse(receptionMs)
+                if (decoded.value == null)
+                  handleUnset(s, env, registry, iface, mapping, receptionMs, submillis)
+                else if (!TypeChecker.validates(decoded.value, mapping, iface, registry))
+                  askCleanSession(s, env, receptionMs, "unexpected_value_type")
+                else
+                  handleValue(s, env, registry, iface, mapping, decoded.value,
+                    valueTsMs, receptionMs, submillis)
+            }
+        }
+    }
+  }
+
+  private def handleValue(
+      state: DeviceSessionState, env: Envelope, registry: Registry,
+      iface: InterfaceDescriptor, mapping: Mapping, value: Any,
+      valueTsMs: Long, receptionMs: Long, submillis: Int): (DeviceSessionState, Seq[EffectRow]) = {
+    val bson = Bson.encode(Seq("v" -> value))
+    val propKey = env.iface + env.path
+    val prev = state.properties.get(propKey)
+
+    // incoming_data fires at all three scopes (impl.ex:179-199) —
+    // matchesDataEvent covers any-interface / interface / path+value.
+    val incoming = registry.triggersFor(TriggerEventType.IncomingData)
+      .filter(_.matchesDataEvent(env.iface, iface.major, env.path, value))
+      .map(t => dataEvent(env, iface, "incoming_data", t, bson, null, receptionMs))
+
+    val isProperty = iface.interfaceType == InterfaceType.Properties
+    val changed = isProperty && prev.exists(p => !java.util.Arrays.equals(p, bson))
+    val created = isProperty && prev.isEmpty
+
+    // value_change fires BEFORE the write, only when prev != new.
+    val preEvents =
+      (if (changed || created)
+        registry.triggersFor(TriggerEventType.ValueChange)
+          .filter(_.matchesDataEvent(env.iface, iface.major, env.path, value))
+          .map(t => dataEvent(env, iface, "value_change", t, bson, prev.orNull, receptionMs))
+      else Nil) ++
+      (if (created)
+        registry.triggersFor(TriggerEventType.PathCreated)
+          .filter(_.matchesDataEvent(env.iface, iface.major, env.path, value))
+          .map(t => dataEvent(env, iface, "path_created", t, bson, null, receptionMs))
+      else Nil)
+
+    val write =
+      if (isProperty)
+        EffectRow("property_upsert", env.realm, env.deviceId, env.iface,
+          iface.major, mapping.endpoint, env.path, mapping.valueType.code,
+          bson, prev.orNull, valueTsMs, receptionMs, submillis, null, null, null)
+      else {
+        val kind = if (iface.aggregation == Aggregation.Object) "object_append"
+                   else "datastream_append"
+        EffectRow(kind, env.realm, env.deviceId, env.iface,
+          iface.major, mapping.endpoint, env.path, mapping.valueType.code,
+          bson, null, valueTsMs, receptionMs, submillis, null, null, null)
+      }
+
+    // Datastream path-index upsert with TTL (W5): expiry 2.5×retention.
+    val pathIndex =
+      if (!isProperty && mapping.expirySeconds > 0) {
+        val ttlMs = mapping.expirySeconds.toLong * 1000L * 5 / 2
+        Seq(EffectRow.blank("path_index", env.realm, env.deviceId).copy(
+          iface = env.iface, major = iface.major, path = env.path,
+          valueTimestampMs = valueTsMs, receptionMs = receptionMs,
+          detail = s"expiry_ms:${receptionMs + ttlMs}"))
+      } else Nil
+
+    // value_change_applied fires AFTER the write.
+    val postEvents =
+      if (changed || created)
+        registry.triggersFor(TriggerEventType.ValueChangeApplied)
+          .filter(_.matchesDataEvent(env.iface, iface.major, env.path, value))
+          .map(t => dataEvent(env, iface, "value_change_applied", t, bson, prev.orNull, receptionMs))
+      else Nil
+
+    val s1 =
+      if (isProperty) state.copy(properties = state.properties + (propKey -> bson))
+      else state
+    (s1, incoming ++ preEvents ++ Seq(write) ++ pathIndex ++ postEvents)
+  }
+
+  private def handleUnset(
+      state: DeviceSessionState, env: Envelope, registry: Registry,
+      iface: InterfaceDescriptor, mapping: Mapping,
+      receptionMs: Long, submillis: Int): (DeviceSessionState, Seq[EffectRow]) = {
+    if (iface.interfaceType != InterfaceType.Properties)
+      return askCleanSession(state, env, receptionMs, "unset_on_datastream")
+    if (!mapping.allowUnset)
+      return askCleanSession(state, env, receptionMs, "unset_not_allowed")
+    val propKey = env.iface + env.path
+    val removed = registry.triggersFor(TriggerEventType.PathRemoved)
+      .filter(_.matchesDataEvent(env.iface, iface.major, env.path, null))
+      .map(t => dataEvent(env, iface, "path_removed", t, null, null, receptionMs))
+    val del = EffectRow("property_unset", env.realm, env.deviceId, env.iface,
+      iface.major, mapping.endpoint, env.path, mapping.valueType.code,
+      null, state.properties.get(propKey).orNull,
+      -1L, receptionMs, submillis, null, null, null)
+    (state.copy(properties = state.properties - propKey), del +: removed)
+  }
+
+  // --- control ------------------------------------------------------------
+
+  private def handleControl(
+      state: DeviceSessionState, env: Envelope, registry: Registry,
+      receptionMs: Long): (DeviceSessionState, Seq[EffectRow]) = {
+    val s = bumpStats(state, env)
+    env.path match {
+      case "/emptyCache" =>
+        // Resend server-owned properties + consumer-properties digest
+        // over the command side-output (ST7).
+        val serverOwned = registry.interfaces.values
+          .filter(i => i.ownership == Ownership.Server &&
+            i.interfaceType == InterfaceType.Properties &&
+            s.introspection.contains(i.name))
+        val resend = serverOwned.toSeq.sortBy(_.name).flatMap { i =>
+          s.properties.collect {
+            case (k, v) if k.startsWith(i.name + "/") =>
+              EffectRow.blank("command", env.realm, env.deviceId).copy(
+                iface = i.name, path = k.substring(i.name.length),
+                valueBson = v, receptionMs = receptionMs, detail = "publish")
+          }.toSeq.sortBy(_.path)
+        }
+        val pathList = s.properties.keys.toSeq.sorted.mkString(";")
+        val digest = EffectRow.blank("command", env.realm, env.deviceId).copy(
+          path = "/control/consumer/properties",
+          valueBson = PayloadCodec.deflateProperties(pathList),
+          receptionMs = receptionMs, detail = "consumer_properties")
+        val clear = EffectRow.blank("device_update", env.realm, env.deviceId).copy(
+          receptionMs = receptionMs, detail = """{"pending_empty_cache":false}""")
+        (s.copy(pendingEmptyCache = false), resend ++ Seq(digest, clear))
+
+      case "/producer/properties" =>
+        // Property prune (J5): delete stored device-owned property
+        // paths not in the announced set; fire path_removed for each.
+        PayloadCodec.parseDeviceProperties(env.payload, s.introspection.keySet) match {
+          case None => askCleanSession(s, env, receptionMs, "invalid_properties_payload")
+          case Some(announced) =>
+            val announcedKeys = announced.map { case (i, p) => i + p }
+            val deviceOwnedProps = s.properties.keys.filter { k =>
+              registry.interfaces.values.exists(i =>
+                i.ownership == Ownership.Device && k.startsWith(i.name + "/"))
+            }.toSeq.sorted
+            val toDelete = deviceOwnedProps.filterNot(announcedKeys.contains)
+            val effects = toDelete.flatMap { k =>
+              val ifaceName = registry.interfaces.keys
+                .filter(n => k.startsWith(n + "/")).maxByOption(_.length)
+              ifaceName.toSeq.flatMap { n =>
+                val path = k.substring(n.length)
+                val major = registry.interfaces(n).major
+                val del = EffectRow.blank("property_unset", env.realm, env.deviceId)
+                  .copy(iface = n, major = major, path = path,
+                    receptionMs = receptionMs, detail = "prune")
+                val evts = registry.triggersFor(TriggerEventType.PathRemoved)
+                  .filter(_.matchesDataEvent(n, major, path, null))
+                  .map(t => EffectRow.blank("event", env.realm, env.deviceId).copy(
+                    eventType = "path_removed", iface = n, path = path,
+                    target = t.targets.mkString(","), receptionMs = receptionMs))
+                del +: evts
+              }
+            }
+            (s.copy(properties = s.properties.filter(kv => announcedKeys.contains(kv._1) ||
+              !deviceOwnedProps.contains(kv._1))), effects)
+        }
+
+      case other =>
+        askCleanSession(s, env, receptionMs, s"unexpected_control_message:$other")
+    }
+  }
+
+  // --- shared -------------------------------------------------------------
+
+  private def dataEvent(
+      env: Envelope, iface: InterfaceDescriptor, name: String, t: Trigger,
+      bson: Array[Byte], prev: Array[Byte], receptionMs: Long): EffectRow =
+    EffectRow.blank("event", env.realm, env.deviceId).copy(
+      eventType = name, iface = env.iface, major = iface.major,
+      path = env.path, valueBson = bson, prevBson = prev,
+      target = t.targets.mkString(","), receptionMs = receptionMs)
+
+  private def deviceTriggers(
+      et: TriggerEventType, env: Envelope, registry: Registry): Seq[Trigger] =
+    registry.triggersFor(et).filter { t =>
+      t.scope match {
+        case TriggerScope.OnDevice(id) => id == env.deviceId
+        case TriggerScope.AnyDevice => true
+        case _ => false
+      }
+    }
+
+  /** A1: totals bump on every message including errored ones;
+    * per-interface counters only for data messages (A2).
+    */
+  private def bumpStats(
+      state: DeviceSessionState, env: Envelope,
+      countInterface: Boolean = false): DeviceSessionState = {
+    val bytes = (if (env.payload == null) 0 else env.payload.length) +
+      (if (env.iface == null) 0 else env.iface.length) +
+      (if (env.path == null) 0 else env.path.length)
+    val s = state.copy(
+      totalReceivedMsgs = state.totalReceivedMsgs + 1,
+      totalReceivedBytes = state.totalReceivedBytes + bytes)
+    if (!countInterface || env.iface == null) s
+    else {
+      val key = env.iface
+      s.copy(
+        interfaceMsgs = s.interfaceMsgs + (key -> (s.interfaceMsgs.getOrElse(key, 0L) + 1)),
+        interfaceBytes = s.interfaceBytes + (key -> (s.interfaceBytes.getOrElse(key, 0L) + bytes)))
+    }
+  }
+
+  /** ST6 clean-session escalation: flag + forced disconnect command +
+    * error effect; the message itself is discarded.
+    */
+  private def askCleanSession(
+      state: DeviceSessionState, env: Envelope, receptionMs: Long,
+      reason: String): (DeviceSessionState, Seq[EffectRow]) = {
+    val err = error(env, receptionMs, reason)
+    val flag = EffectRow.blank("device_update", env.realm, env.deviceId).copy(
+      receptionMs = receptionMs, detail = """{"pending_empty_cache":true}""")
+    val disconnect = EffectRow.blank("command", env.realm, env.deviceId).copy(
+      receptionMs = receptionMs, detail = "disconnect")
+    (state.copy(pendingEmptyCache = true), Seq(err, flag, disconnect))
+  }
+
+  private def error(env: Envelope, receptionMs: Long, reason: String): EffectRow =
+    EffectRow.blank("error", env.realm, env.deviceId).copy(
+      iface = env.iface, path = env.path,
+      receptionMs = receptionMs, eventType = "device_error", detail = reason)
+}
+
+/** F7 type validation (reference impl.ex:568-621). */
+object TypeChecker {
+  import AstarteValueType._
+
+  def validates(value: Any, mapping: Mapping, iface: InterfaceDescriptor,
+      registry: Registry): Boolean =
+    if (iface.aggregation == Aggregation.Object) value match {
+      case m: collection.Map[_, _] =>
+        val leaves = registry.mappingsOf(iface.name)
+          .map(mm => mm.endpoint.substring(mm.endpoint.lastIndexOf('/') + 1) -> mm)
+          .toMap
+        m.nonEmpty && m.forall {
+          case (k, v) => leaves.get(k.toString) match {
+            case Some(leafMapping) => scalarOk(v, leafMapping.valueType)
+            case None => false // unknown key rejected
+          }
+        }
+      case _ => false
+    }
+    else scalarOk(value, mapping.valueType)
+
+  private def scalarOk(value: Any, t: AstarteValueType): Boolean = (t, value) match {
+    case (_, null) => false
+    case (ADouble, _: Double | _: Int | _: Long) => true
+    case (AInteger, _: Int) => true
+    case (ALongInteger, _: Long | _: Int) => true
+    case (AString, _: String) => true
+    case (ABoolean, _: Boolean) => true
+    case (ABinaryBlob, _: BsonBinary) => true
+    case (ABinaryBlob, _: Array[Byte]) => true
+    case (ADateTime, _: Instant) => true
+    case (arr, xs: Seq[_]) if arr.isArray =>
+      AstarteValueType.elementOf(arr).exists(el => xs.forall(x => scalarOk(x, el)))
+    case (_: AstarteValueType, m: ListMap[_, _]) => false // structs rejected
+    case _ => false
+  }
+}

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import graft.core._
+import graft.core.AstarteValueType._
+import graft.triggers._
+
+/** Runnable end-to-end drive of the device state machine: synthesizes
+  * an Astarte message stream from the `events` testdata table (one
+  * device per user_id, one datastream interface per event_type, BSON
+  * payloads from `value`), runs [[DeviceStateMachine.processBatch]],
+  * and prints the effect summary.
+  *
+  * Usage: runMain graft.streaming.IngestDemo [sfDir]
+  */
+object IngestDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val iface = "com.bench.EventStream"
+    val registry = Registry(
+      interfaces = Map(iface -> InterfaceDescriptor(iface, 1, 0,
+        InterfaceType.Datastream, Ownership.Device, Aggregation.Individual)),
+      mappings = Map(iface -> Seq(
+        Mapping(iface, 1, "/%{type}/value", ADouble))),
+      triggers = Seq(
+        Trigger("t-gt", TriggerEventType.IncomingData,
+          TriggerScope.OnInterface(iface, 1), Some("/purchase/value"),
+          MatchOperator.GreaterThan, 150.0, List("amqp://high-purchase")),
+        Trigger("t-any", TriggerEventType.IncomingData,
+          TriggerScope.AnyInterface, None, MatchOperator.Any, null,
+          List("amqp://firehose"))))
+
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val envelopes = events.map { r =>
+      val userId = r.getAs[Long]("user_id")
+      val eventType = r.getAs[String]("event_type")
+      val value = r.getAs[Double]("value")
+      val tsNanos = r.getAs[Long]("ts")
+      Envelope(
+        realm = "bench",
+        deviceId = s"device-$userId",
+        msgType = "data",
+        iface = iface,
+        path = s"/$eventType/value",
+        payload = Bson.encode(Seq("v" -> value)),
+        receptionDecimicros = tsNanos / 1000 * 10,
+        ipAddress = "10.0.0.1",
+        offset = r.getAs[Long]("event_id"))
+    }
+
+    val effects = DeviceStateMachine.processBatch(envelopes, registry)
+    effects.cache()
+    val byKind = effects.groupByKey(_.kind).count().collect().sortBy(_._1)
+    val nHigh = effects
+      .filter(e => e.kind == "event" && e.target == "amqp://high-purchase")
+      .count()
+    val nAppend = effects.filter(_.kind == "datastream_append").count()
+    println("INGEST_DEMO " + byKind.map { case (k, n) => s"$k=$n" }.mkString(" ") +
+      s" high_purchase_events=$nHigh appends=$nAppend")
+    spark.stop()
+  }
+}

@@ -60,14 +60,8 @@ def main(sf_dir, out_dir):
         name = os.path.basename(qdir)
         t = pq.read_table(qdir)
         spark_cols = list(t.column_names)
-        spark_rows = [
-            tuple(col[i] for col in t.to_pydict().values())
-            for i in range(t.num_rows)
-        ]
-        spark_rows = [
-            tuple(t.to_pydict()[c][i] for c in spark_cols)
-            for i in range(t.num_rows)
-        ]
+        cols_data = [t.column(c).to_pylist() for c in spark_cols]
+        spark_rows = list(zip(*cols_data)) if spark_cols else []
         if name not in oracle:
             n_noracle += 1
             print(f"  [rows-only] {name}: rows={t.num_rows}")
