@@ -46,35 +46,41 @@ object AnalyticsQueries extends QueryPack {
         .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
     }),
 
-    // MinHash + LSH near-dup candidates: 3-word shingles → 8 minhashes
-    // (md5 keyed by seed) → 2 bands of 4 → bucket join within (lang,
-    // band). O(n²) only within buckets, never globally.
+    // MinHash + LSH near-dup candidates: 3-word shingles, hashed ONCE
+    // (60-bit md5 prefix); the 8 minhash permutations are xors with
+    // fixed 60-bit seed keys, folded in a single aggregate — no
+    // per-seed row explosion, one md5 per shingle. 2 bands of 4 →
+    // bucket join within (lang, band): O(n²) only inside buckets.
     "dd_minhash_lsh" -> ((s, d) => {
+      val seedKeys = MinhashSeeds.keys
       val docs = Tables.documents(s, d)
-      val shingled = docs.select(col("doc_id"), col("lang"),
+      val shingled = docs
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("lang"),
           explode(expr(
-            """transform(sequence(1, greatest(size(split(text,' ')) - 2, 0)),
-              |  i -> concat_ws(' ', element_at(split(text,' '), i),
-              |                      element_at(split(text,' '), i+1),
-              |                      element_at(split(text,' '), i+2)))""".stripMargin))
+            """transform(sequence(1, greatest(size(toks) - 2, 0)),
+              |  i -> concat_ws(' ', element_at(toks, i),
+              |                      element_at(toks, i+1),
+              |                      element_at(toks, i+2)))""".stripMargin))
             .as("shingle"))
+        .withColumn("h",
+          conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long"))
+      val mhCols = seedKeys.zipWithIndex.map { case (k, i) =>
+        min(expr(s"h ^ ${k}L")).as(s"mh$i")
+      }
       val minhashes = shingled
-        .select(col("doc_id"), col("lang"), col("shingle"),
-          explode(expr("sequence(0, 7)")).as("seed"))
-        .groupBy(col("doc_id"), col("lang"), col("seed"))
-        .agg(min(md5(concat(col("seed"), lit("|"), col("shingle")))).as("minhash"))
-      val bands = minhashes
-        .withColumn("band", expr("seed div 4"))
-        .groupBy(col("doc_id"), col("lang"), col("band"))
-        .agg(md5(concat(col("lang"), concat_ws(",",
-          transform(sort_array(collect_list(struct(col("seed"), col("minhash")))),
-            x => x.getField("minhash"))))).as("band_key"))
-      val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
-      val b = bands.select(col("doc_id").as("doc_b"), col("band").as("band_b"),
-        col("band_key").as("band_key_b"))
-      a.join(b, col("band") === col("band_b") &&
-               col("band_key") === col("band_key_b") &&
-               col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(mhCols.head, mhCols.tail: _*)
+      val bands = minhashes.select(col("doc_id"), col("lang"),
+          md5(concat(col("lang"), lit("|"),
+            concat_ws(",", col("mh0"), col("mh1"), col("mh2"), col("mh3")))).as("bk0"),
+          md5(concat(col("lang"), lit("|"),
+            concat_ws(",", col("mh4"), col("mh5"), col("mh6"), col("mh7")))).as("bk1"))
+        .select(col("doc_id"),
+          explode(array(col("bk0"), col("bk1"))).as("band_key"))
+      val a = bands.select(col("doc_id").as("doc_a"), col("band_key"))
+      val b = bands.select(col("doc_id").as("doc_b"), col("band_key").as("band_key_b"))
+      a.join(b, col("band_key") === col("band_key_b") && col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b")).distinct()
     }),
 
@@ -103,11 +109,14 @@ object AnalyticsQueries extends QueryPack {
     "dd_ngram_jaccard" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .withColumn("bucket", expr("n_chars div 10"))
-      val bigrams = docs.select(col("doc_id"), col("lang"), col("bucket"),
+      val bigrams = docs
+        .select(col("doc_id"), col("lang"), col("bucket"),
+          split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("lang"), col("bucket"),
           explode(array_distinct(expr(
-            """transform(sequence(1, greatest(size(split(text,' ')) - 1, 0)),
-              |  i -> concat_ws(' ', element_at(split(text,' '), i),
-              |                      element_at(split(text,' '), i+1)))""".stripMargin)))
+            """transform(sequence(1, greatest(size(toks) - 1, 0)),
+              |  i -> concat_ws(' ', element_at(toks, i),
+              |                      element_at(toks, i+1)))""".stripMargin)))
             .as("bigram"))
       val sizes = bigrams.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val x = bigrams.select(col("doc_id").as("doc_a"), col("lang"),
@@ -293,22 +302,30 @@ object AnalyticsQueries extends QueryPack {
         |  FROM documents),
         |shingles AS (
         |  SELECT doc_id, lang,
-        |    tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w AS shingle
+        |    ('0x' || substr(md5(tok || ' ' || lead(tok,1) OVER w
+        |       || ' ' || lead(tok,2) OVER w), 1, 15))::BIGINT AS h
         |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
         |  QUALIFY lead(tok,2) OVER w IS NOT NULL),
         |mh AS (
-        |  SELECT doc_id, lang, seed,
-        |    min(md5(seed::VARCHAR || '|' || shingle)) AS minhash
-        |  FROM shingles, (SELECT unnest(generate_series(0,7)) AS seed)
-        |  GROUP BY doc_id, lang, seed),
+        |  SELECT doc_id, lang,
+        |    min(xor(h, 935853755618645598)) AS mh0,
+        |    min(xor(h, 886263699231969848)) AS mh1,
+        |    min(xor(h, 901255563090117366)) AS mh2,
+        |    min(xor(h, 1066434503623691823)) AS mh3,
+        |    min(xor(h, 758855882668719729)) AS mh4,
+        |    min(xor(h, 1030659900335514164)) AS mh5,
+        |    min(xor(h, 101208472399937786)) AS mh6,
+        |    min(xor(h, 644382284193898855)) AS mh7
+        |  FROM shingles GROUP BY doc_id, lang),
         |bands AS (
-        |  SELECT doc_id, lang, seed // 4 AS band,
-        |    md5(lang || string_agg(minhash, ',' ORDER BY seed)) AS band_key
-        |  FROM mh GROUP BY doc_id, lang, seed // 4)
+        |  SELECT doc_id, unnest([
+        |    md5(lang || '|' || mh0 || ',' || mh1 || ',' || mh2 || ',' || mh3),
+        |    md5(lang || '|' || mh4 || ',' || mh5 || ',' || mh6 || ',' || mh7)
+        |  ]) AS band_key
+        |  FROM mh)
         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |FROM bands a JOIN bands b
-        |  ON a.band = b.band AND a.band_key = b.band_key
-        |  AND a.doc_id < b.doc_id""".stripMargin,
+        |  ON a.band_key = b.band_key AND a.doc_id < b.doc_id""".stripMargin,
     "dd_simhash" ->
       """WITH t AS (
         |  SELECT doc_id,
