@@ -1,0 +1,229 @@
+package graft.storage
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.streaming.EffectRow
+
+/** The typed storage layer: the reference's 8 Cassandra tables
+  * re-expressed as parquet LWW/append tables (SURVEY §1.5, §2.5, §2.6)
+  * plus the `foreachBatch` glue that routes [[EffectRow]]s from the
+  * state machine into them.
+  *
+  * Individual tables keep the reference's sparse typed-column layout
+  * (one column per value type) — that layout is the contract the
+  * reference's tests assert against, and it keeps per-type reads
+  * (R5) a pure column projection.
+  */
+final class AstarteStore(val root: String) {
+
+  val properties = new LwwTable(s"$root/individual_properties",
+    keyCols = Seq("device_id", "iface", "endpoint", "path"),
+    orderCols = Seq("reception_timestamp", "reception_timestamp_submillis"))
+
+  /** Append-only series; no LWW — idempotence comes from the full PK
+    * including reception (ts, submillis).
+    */
+  def datastreamPath = s"$root/individual_datastreams"
+  def objectPath(iface: InterfaceDescriptor) = s"$root/${iface.objectTableName}"
+
+  val devices = new LwwTable(s"$root/devices",
+    keyCols = Seq("device_id"), orderCols = Seq("reception_timestamp"))
+
+  val pathIndex = new LwwTable(s"$root/paths",
+    keyCols = Seq("device_id", "iface", "path"),
+    orderCols = Seq("reception_timestamp"))
+
+  val kvStore = new LwwTable(s"$root/kv_store",
+    keyCols = Seq("kv_group", "kv_key"), orderCols = Seq("reception_timestamp"))
+
+  // --- write path (the foreachBatch glue) --------------------------------
+
+  /** Decode the BSON `{v: _}` envelope into the typed column for the
+    * given Astarte type code. One sparse column per type, null
+    * elsewhere — W1/W3's layout.
+    */
+  private def typedColumns(bsonCol: String, codeCol: String): Seq[(String, org.apache.spark.sql.Column)] = {
+    import BsonValueUdfs._
+    Seq(
+      "double_value" -> when(col(codeCol) === 1, doubleUdf(col(bsonCol))),
+      "integer_value" -> when(col(codeCol) === 3, intUdf(col(bsonCol))),
+      "longinteger_value" -> when(col(codeCol) === 5, longUdf(col(bsonCol))),
+      "string_value" -> when(col(codeCol) === 7, stringUdf(col(bsonCol))),
+      "boolean_value" -> when(col(codeCol) === 9, boolUdf(col(bsonCol))),
+      "binaryblob_value" -> when(col(codeCol) === 11, binaryUdf(col(bsonCol))),
+      "datetime_value" -> when(col(codeCol) === 13, longUdf(col(bsonCol))))
+  }
+
+  private def withTyped(df: DataFrame): DataFrame =
+    typedColumns("valueBson", "valueTypeCode").foldLeft(df) {
+      case (acc, (name, c)) => acc.withColumn(name, c)
+    }
+
+  /** Apply one batch of effects to the store. Each kind is routed to
+    * its table; everything is a blind append (idempotent under the
+    * full PK), so retries after failure are harmless — the Spark
+    * replacement for the reference's ack-after-write protocol.
+    */
+  def applyEffects(effects: Dataset[EffectRow]): Unit = {
+    val df = effects.toDF().cache()
+    try {
+      val props = df.filter(col("kind").isin("property_upsert", "property_unset"))
+      if (!props.isEmpty) {
+        val rows = withTyped(props)
+          .select(col("deviceId").as("device_id"), col("iface"),
+            col("endpoint"), col("path"),
+            col("receptionMs").as("reception_timestamp"),
+            col("submillis").as("reception_timestamp_submillis"),
+            col("double_value"), col("integer_value"), col("longinteger_value"),
+            col("string_value"), col("boolean_value"), col("binaryblob_value"),
+            col("datetime_value"),
+            when(col("kind") === "property_unset", LwwTable.OpDelete)
+              .otherwise(LwwTable.OpUpsert).as(LwwTable.OpCol))
+        rows.write.mode("append").parquet(properties.path)
+      }
+
+      val streams = df.filter(col("kind") === "datastream_append")
+      if (!streams.isEmpty) {
+        withTyped(streams)
+          .select(col("deviceId").as("device_id"), col("iface"),
+            col("endpoint"), col("path"),
+            col("valueTimestampMs").as("value_timestamp"),
+            col("receptionMs").as("reception_timestamp"),
+            col("submillis").as("reception_timestamp_submillis"),
+            col("double_value"), col("integer_value"), col("longinteger_value"),
+            col("string_value"), col("boolean_value"), col("binaryblob_value"),
+            col("datetime_value"))
+          .write.mode("append").parquet(datastreamPath)
+      }
+
+      val objects = df.filter(col("kind") === "object_append")
+      if (!objects.isEmpty) {
+        // One row per message; leaf columns v_<key> decoded from the
+        // object BSON. Only keys present in the payload are non-null
+        // (the reference's NULL-avoidance, queries.ex:199-297).
+        objects
+          .select(col("iface"), col("deviceId").as("device_id"), col("path"),
+            col("valueTimestampMs").as("value_timestamp"),
+            col("receptionMs").as("reception_timestamp"),
+            col("submillis").as("reception_timestamp_submillis"),
+            BsonValueUdfs.objectJsonUdf(col("valueBson")).as("v_json"))
+          .write.mode("append").partitionBy("iface").parquet(s"$root/objects")
+      }
+
+      val updates = df.filter(col("kind") === "device_update")
+      if (!updates.isEmpty) {
+        updates.select(col("deviceId").as("device_id"),
+            col("receptionMs").as("reception_timestamp"),
+            col("detail").as("update_json"))
+          .write.mode("append").parquet(devices.path + ".log")
+      }
+
+      val paths = df.filter(col("kind") === "path_index")
+      if (!paths.isEmpty) {
+        paths.select(col("deviceId").as("device_id"), col("iface"),
+            col("path"), col("valueTimestampMs").as("datetime_value"),
+            col("receptionMs").as("reception_timestamp"),
+            regexp_extract(col("detail"), "expiry_ms:(\\d+)", 1).cast("long")
+              .as("expiry_ms"),
+            lit(LwwTable.OpUpsert).as(LwwTable.OpCol))
+          .write.mode("append").parquet(pathIndex.path)
+      }
+
+      val kv = df.filter(col("kind") === "kv_store")
+      if (!kv.isEmpty) {
+        kv.select(
+            regexp_extract(col("detail"), "^(register|unregister):(.+)$", 2).as("kv_group"),
+            col("deviceId").as("kv_key"),
+            col("receptionMs").as("reception_timestamp"),
+            when(regexp_extract(col("detail"), "^(register|unregister):", 1) === "unregister",
+              LwwTable.OpDelete).otherwise(LwwTable.OpUpsert).as(LwwTable.OpCol))
+          .write.mode("append").parquet(kvStore.path)
+      }
+    } finally df.unpersist()
+  }
+
+  // --- read path (SURVEY §2.6 R1–R8) -------------------------------------
+
+  /** R5: typed projection of current property values per endpoint. */
+  def propertyValues(spark: SparkSession, valueType: AstarteValueType): DataFrame =
+    properties.snapshot(spark)
+      .select(col("device_id"), col("iface"), col("path"),
+        col(valueType.columnName).as("value"))
+      .filter(col("value").isNotNull)
+
+  /** R2: all stored paths under an interface (PK-prefix read). */
+  def pathsFor(spark: SparkSession, iface: String): DataFrame =
+    pathIndex.snapshot(spark)
+      .filter(col("iface") === iface)
+      .select(col("device_id"), col("path"))
+
+  /** R7: TTL remaining per path — expiry is an explicit column, the
+    * Spark design for Cassandra's SELECT TTL() (SURVEY §4).
+    */
+  def pathTtlRemaining(spark: SparkSession, nowMs: Long): DataFrame =
+    pathIndex.snapshot(spark)
+      .select(col("device_id"), col("iface"), col("path"),
+        (col("expiry_ms") - nowMs).as("ttl_remaining_ms"))
+
+  /** Retention sweep: drop expired path-index rows (the periodic
+    * DELETE WHERE job standing in for storage-level TTL).
+    */
+  def sweepExpiredPaths(spark: SparkSession, nowMs: Long): Unit = {
+    if (!pathIndex.exists(spark)) return
+    val expired = pathIndex.snapshot(spark)
+      .filter(col("expiry_ms") <= nowMs)
+      .withColumn(LwwTable.OpCol, lit(LwwTable.OpDelete))
+    expired.write.mode("append").parquet(pathIndex.path)
+  }
+
+  def datastreams(spark: SparkSession): DataFrame =
+    spark.read.parquet(datastreamPath)
+}
+
+/** BSON `{v: _}` extraction UDFs for the write path. Plain Scala UDFs
+  * are acceptable here: applyEffects is the sink stage, not inside a
+  * codegen'd scan pipeline.
+  */
+object BsonValueUdfs {
+  import org.apache.spark.sql.functions.udf
+
+  private def v(b: Array[Byte]): Option[Any] =
+    Option(b).flatMap(Bson.decode).flatMap(_.get("v"))
+
+  val doubleUdf = udf((b: Array[Byte]) => v(b).collect {
+    case d: Double => d
+    case i: Int => i.toDouble
+    case l: Long => l.toDouble
+  })
+  val intUdf = udf((b: Array[Byte]) => v(b).collect { case i: Int => i })
+  val longUdf = udf((b: Array[Byte]) => v(b).collect {
+    case l: Long => l
+    case i: Int => i.toLong
+    case t: java.time.Instant => t.toEpochMilli
+  })
+  val stringUdf = udf((b: Array[Byte]) => v(b).collect { case s: String => s })
+  val boolUdf = udf((b: Array[Byte]) => v(b).collect { case x: Boolean => x })
+  val binaryUdf = udf((b: Array[Byte]) => v(b).collect {
+    case BsonBinary(_, bytes) => bytes
+    case bytes: Array[Byte] => bytes
+  })
+
+  /** Object payload → deterministic JSON of scalar leaves (sorted
+    * keys), the portable column set for the dynamic object tables.
+    */
+  val objectJsonUdf = udf((b: Array[Byte]) => v(b).map {
+    case m: collection.Map[_, _] =>
+      m.toSeq.map { case (k, vv) => (k.toString, vv) }.sortBy(_._1)
+        .map { case (k, vv) =>
+          val j = vv match {
+            case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+            case BsonBinary(_, bytes) => "\"0x" + bytes.map("%02x".format(_)).mkString + "\""
+            case t: java.time.Instant => t.toEpochMilli.toString
+            case other => String.valueOf(other)
+          }
+          "\"" + k + "\":" + j
+        }.mkString("{", ",", "}")
+    case other => String.valueOf(other)
+  })
+}

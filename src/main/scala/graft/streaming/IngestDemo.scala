@@ -66,8 +66,20 @@ object IngestDemo {
       .filter(e => e.kind == "event" && e.target == "amqp://high-purchase")
       .count()
     val nAppend = effects.filter(_.kind == "datastream_append").count()
+
+    // Persist through the storage layer and read back (W3 + R-path).
+    val root = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    val store = new graft.storage.AstarteStore(root)
+    store.applyEffects(effects)
+    val stored = store.datastreams(spark)
+    val nStored = stored.count()
+    val sumStored = stored.agg(
+      org.apache.spark.sql.functions.round(
+        org.apache.spark.sql.functions.sum("double_value"), 2)).head().get(0)
+
     println("INGEST_DEMO " + byKind.map { case (k, n) => s"$k=$n" }.mkString(" ") +
-      s" high_purchase_events=$nHigh appends=$nAppend")
+      s" high_purchase_events=$nHigh appends=$nAppend" +
+      s" stored_rows=$nStored stored_value_sum=$sumStored")
     spark.stop()
   }
 }

@@ -1,0 +1,110 @@
+package graft.storage
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.core.AstarteValueType._
+import graft.streaming._
+import graft.triggers._
+
+/** End-to-end write/read: messages → state machine → applyEffects →
+  * table snapshots, asserting the stored-row contract the reference's
+  * tests check (FIXTURES.md §4 seed values).
+  */
+class AstarteStoreSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val lcd = InterfaceDescriptor("com.test.LCDMonitor", 1, 3,
+    InterfaceType.Properties, Ownership.Device, Aggregation.Individual)
+  private val stream = InterfaceDescriptor("com.test.SimpleStreamTest", 1, 0,
+    InterfaceType.Datastream, Ownership.Device, Aggregation.Individual)
+  private val registry = Registry(
+    Map(lcd.name -> lcd, stream.name -> stream),
+    Map(
+      lcd.name -> Seq(
+        Mapping(lcd.name, 1, "/time/from", ALongInteger, allowUnset = true),
+        Mapping(lcd.name, 1, "/time/to", ALongInteger, allowUnset = true),
+        Mapping(lcd.name, 1, "/lcdCommand", AString, allowUnset = true)),
+      stream.name -> Seq(
+        Mapping(stream.name, 1, "/%{itemIndex}/value", AInteger))),
+    Nil)
+
+  test("golden write/read: upsert, LWW overwrite, unset, datastream order") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-store").toString
+    val store = new AstarteStore(root)
+    val dev = "f0VMRgIBAQAAAAAAAAAAAA"
+    val t0 = 15216455705950000L
+
+    def d(path: String, v: Any, off: Long): Envelope =
+      Envelope("realm", dev, "data", lcd.name, path,
+        Bson.encode(Seq("v" -> v)), t0 + off * 10000, "ip", off)
+
+    val msgs = Seq(
+      d("/time/from", 8L, 1),
+      d("/time/to", 20L, 2),
+      d("/lcdCommand", "SWITCH_ON", 3),
+      d("/time/from", 9L, 4), // LWW overwrite
+      Envelope("realm", dev, "data", lcd.name, "/time/to",
+        Array.emptyByteArray, t0 + 50000, "ip", 5), // unset
+      Envelope("realm", dev, "data", stream.name, "/0/value",
+        Bson.encode(Seq("v" -> 4)), t0 + 60000, "ip", 6),
+      Envelope("realm", dev, "data", stream.name, "/0/value",
+        Bson.encode(Seq("v" -> 5)), t0 + 70000, "ip", 7)
+    ).toDS()
+
+    store.applyEffects(DeviceStateMachine.processBatch(msgs, registry))
+
+    // W1/W2 + R5: properties snapshot is LWW and unset-aware
+    val longs = store.propertyValues(spark, ALongInteger)
+      .collect().map(r => r.getAs[String]("path") -> r.getAs[Long]("value")).toMap
+    assert(longs == Map("/time/from" -> 9L)) // /time/to unset, /time/from overwritten
+    val strings = store.propertyValues(spark, AString)
+      .collect().map(r => r.getAs[String]("path") -> r.getAs[String]("value")).toMap
+    assert(strings == Map("/lcdCommand" -> "SWITCH_ON"))
+
+    // W3: datastream rows appended in order with integer column landing
+    val ds = store.datastreams(spark)
+      .orderBy("value_timestamp").collect()
+    assert(ds.map(_.getAs[Int]("integer_value")).toSeq == Seq(4, 5))
+    assert(ds.forall(_.getAs[String]("iface") == stream.name))
+
+    // compaction preserves the snapshot
+    store.properties.compact(spark)
+    val afterCompact = store.propertyValues(spark, ALongInteger)
+      .collect().map(r => r.getAs[String]("path") -> r.getAs[Long]("value")).toMap
+    assert(afterCompact == Map("/time/from" -> 9L))
+  }
+
+  test("path index TTL: upsert, read-back, sweep") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-store2").toString
+    val store = new AstarteStore(root)
+    val reg2 = Registry(registry.interfaces,
+      Map(stream.name -> Seq(
+        Mapping(stream.name, 1, "/%{i}/value", AInteger, expirySeconds = 10))),
+      Nil)
+    val t0 = 15216455705950000L
+    val msgs = Seq(
+      Envelope("realm", "dev", "data", stream.name, "/3/value",
+        Bson.encode(Seq("v" -> 1)), t0, "ip", 1)).toDS()
+    store.applyEffects(DeviceStateMachine.processBatch(msgs, reg2))
+
+    val nowMs = t0 / 10000
+    val ttl = store.pathTtlRemaining(spark, nowMs).collect()
+    assert(ttl.length == 1)
+    // expiry = reception + 2.5 * 10s
+    assert(ttl.head.getAs[Long]("ttl_remaining_ms") == 25000L)
+
+    // sweep at a time past expiry removes the row
+    store.sweepExpiredPaths(spark, nowMs + 30000)
+    assert(store.pathsFor(spark, stream.name).collect().isEmpty)
+  }
+}
