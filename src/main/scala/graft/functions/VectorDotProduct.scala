@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native dot product over two array<float|double> columns,
+  * accumulating in double — a codegen'd Catalyst expression, so the
+  * similarity-search hot loop stays inside whole-stage codegen with
+  * no per-element boxing (the `functions.aggregate`/`zip_with`
+  * equivalent allocates a lambda frame per element; a Scala UDF
+  * additionally serializes the whole array per row).
+  *
+  * Null elements contribute 0; length mismatch uses the common
+  * prefix. Returns null only if either side is null.
+  */
+case class VectorDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(lt, _), ArrayType(rt, _))
+        if Seq(lt, rt).forall(t => t == FloatType || t == DoubleType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ =>
+      TypeCheckResult.TypeCheckFailure(
+        s"vector_dot expects array<float|double> args, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val la = l.asInstanceOf[ArrayData]
+    val ra = r.asInstanceOf[ArrayData]
+    val n = math.min(la.numElements(), ra.numElements())
+    val lf = elemIsFloat(left); val rf = elemIsFloat(right)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (!la.isNullAt(i) && !ra.isNullAt(i)) {
+        val x = if (lf) la.getFloat(i).toDouble else la.getDouble(i)
+        val y = if (rf) ra.getFloat(i).toDouble else ra.getDouble(i)
+        acc += x * y
+      }
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val getL = if (elemIsFloat(left)) s"(double) $l.getFloat($i)"
+                 else s"$l.getDouble($i)"
+      val getR = if (elemIsFloat(right)) s"(double) $r.getFloat($i)"
+                 else s"$r.getDouble($i)"
+      s"""
+         |final int $n = java.lang.Math.min($l.numElements(), $r.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$l.isNullAt($i) && !$r.isNullAt($i)) {
+         |    $acc += $getL * $getR;
+         |  }
+         |}
+         |${ev.value} = $acc;
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VectorDotProduct =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "vector_dot"
+}
+
+/** Session registration for the engine's native functions; after
+  * `GraftFunctions.register(spark)`, `expr("vector_dot(a, b)")` and
+  * SQL both resolve to the codegen'd expression.
+  */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vector_dot", exprs => VectorDotProduct(exprs.head, exprs(1)), "built-in")
+  }
+}

@@ -138,46 +138,40 @@ object AnalyticsQueries extends QueryPack {
     }),
 
     // Embedding-cosine near-dup: same-label blocking, exact cosine in
-    // double, threshold 0.3 (labels are loose clusters in this data).
+    // double via the codegen'd vector_dot expression (no row
+    // explosion — 64 multiplies per pair inside whole-stage codegen).
+    // Threshold 0.3 (labels are loose clusters in this data).
     "dd_embcos_neardup" -> ((s, d) => {
-      val f = flatEmb(s, d)
-      val a = f.select(col("vec_id").as("va"), col("label"),
-        col("idx"), col("val").as("xa"))
-      val b = f.select(col("vec_id").as("vb"), col("label").as("label_b"),
-        col("idx").as("idx_b"), col("val").as("xb"))
-      val dots = a.join(b,
-          col("label") === col("label_b") && col("idx") === col("idx_b") &&
-          col("va") < col("vb"))
-        .groupBy(col("va"), col("vb"))
-        .agg(sum(col("xa") * col("xb")).as("dot"))
-      val norms = f.groupBy(col("vec_id"))
-        .agg(sqrt(sum(col("val") * col("val"))).as("norm"))
-      dots
-        .join(norms.select(col("vec_id").as("va"), col("norm").as("norm_a")), "va")
-        .join(norms.select(col("vec_id").as("vb"), col("norm").as("norm_b")), "vb")
-        .withColumn("cosine", round(col("dot") / (col("norm_a") * col("norm_b")), 4))
+      graft.functions.GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+        .withColumn("norm", sqrt(expr("vector_dot(embedding, embedding)")))
+      val a = e.select(col("vec_id").as("va"), col("label"),
+        col("embedding").as("ea"), col("norm").as("norm_a"))
+      val b = e.select(col("vec_id").as("vb"), col("label").as("label_b"),
+        col("embedding").as("eb"), col("norm").as("norm_b"))
+      a.join(b, col("label") === col("label_b") && col("va") < col("vb"))
+        .withColumn("cosine",
+          round(expr("vector_dot(ea, eb)") / (col("norm_a") * col("norm_b")), 4))
         .filter(col("cosine") >= 0.3)
         .select(col("va"), col("vb"), col("cosine"))
     }),
 
     // Brute-force cosine top-k (the ANN baseline): 20 query vectors
-    // against the full set; rank on rounded cosine + id tie-break so
-    // the cut is engine-stable.
+    // against the full set via vector_dot; rank on rounded cosine +
+    // id tie-break so the cut is engine-stable.
     "sim_topk_bf" -> ((s, d) => {
-      val f = flatEmb(s, d)
-      val q = f.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("qid"), col("idx"), col("val").as("qval"))
-      val dots = q.join(f.select(col("vec_id").as("nid"), col("idx"),
-          col("val").as("nval")), Seq("idx"))
+      graft.functions.GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+        .withColumn("norm", sqrt(expr("vector_dot(embedding, embedding)")))
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("norm").as("qnorm"))
+      val n = e.select(col("vec_id").as("nid"), col("embedding").as("ne"),
+        col("norm").as("nnorm"))
+      val scored = q.crossJoin(n)
         .filter(col("qid") =!= col("nid"))
-        .groupBy(col("qid"), col("nid"))
-        .agg(sum(col("qval") * col("nval")).as("dot"))
-      val norms = f.groupBy(col("vec_id"))
-        .agg(sqrt(sum(col("val") * col("val"))).as("norm"))
-      val scored = dots
-        .join(norms.select(col("vec_id").as("qid"), col("norm").as("qnorm")), "qid")
-        .join(norms.select(col("vec_id").as("nid"), col("norm").as("nnorm")), "nid")
-        .withColumn("cosine", round(col("dot") / (col("qnorm") * col("nnorm")), 4))
+        .withColumn("cosine",
+          round(expr("vector_dot(qe, ne)") / (col("qnorm") * col("nnorm")), 4))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("cosine").desc, col("nid").asc)
       scored.withColumn("rank", row_number().over(w))
@@ -186,19 +180,24 @@ object AnalyticsQueries extends QueryPack {
     }),
 
     // LSH-bucketed ANN (the scale path): 8 deterministic md5-derived
-    // hyperplanes → 8-bit bucket per vector. Bucketing is one pass;
-    // at query time only same-bucket vectors are scored.
+    // hyperplanes → 8-bit bucket per vector. Plane vectors are
+    // driver-built literals broadcast to vector_dot — bucketing is
+    // one codegen pass over the embeddings.
     "sim_lsh_bucket" -> ((s, d) => {
-      val planes = s.range(8).toDF("plane")
-        .crossJoin(s.range(64).toDF("dim"))
-        .withColumn("w",
-          conv(substring(md5(concat(col("plane"), lit(","), col("dim"))), 1, 4), 16, 10)
-            .cast("int") % 16 - 8)
-      val f = flatEmb(s, d)
-      f.join(broadcast(planes), f("idx") === planes("dim"))
-        .groupBy(col("vec_id"), col("plane"))
-        .agg(sum(col("val") * col("w")).as("dot"))
-        .withColumn("bit", when(col("dot") > 0, expr("shiftleft(1, cast(plane as int))")).otherwise(0))
+      graft.functions.GraftFunctions.register(s)
+      import s.implicits._
+      val planes = (0 until 8).map { p =>
+        (p, (0 until 64).map { dim =>
+          val hex = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"$p,$dim".getBytes("UTF-8"))
+            .take(2).map("%02x".format(_)).mkString
+          (Integer.parseInt(hex, 16) % 16 - 8).toDouble
+        })
+      }.toDF("plane", "w")
+      Tables.embeddings(s, d)
+        .crossJoin(broadcast(planes))
+        .withColumn("dot", expr("vector_dot(embedding, w)"))
+        .withColumn("bit", when(col("dot") > 0, expr("shiftleft(1, plane)")).otherwise(0))
         .groupBy(col("vec_id"))
         .agg(sum(col("bit")).as("bucket"))
     }),

@@ -77,9 +77,17 @@ object IngestDemo {
       org.apache.spark.sql.functions.round(
         org.apache.spark.sql.functions.sum("double_value"), 2)).head().get(0)
 
+    // Publish the event side-output through the sink (S7) and read back.
+    val sink = new graft.events.EventSink(s"$root/events_topic")
+    sink.publish(effects)
+    val published = sink.read(spark)
+      .groupBy("routing_key").count().collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+
     println("INGEST_DEMO " + byKind.map { case (k, n) => s"$k=$n" }.mkString(" ") +
       s" high_purchase_events=$nHigh appends=$nAppend" +
-      s" stored_rows=$nStored stored_value_sum=$sumStored")
+      s" stored_rows=$nStored stored_value_sum=$sumStored" +
+      s" published[$published]")
     spark.stop()
   }
 }
