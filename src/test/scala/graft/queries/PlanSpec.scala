@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkEntry
+
+/** Physical-plan assertions: at 100 TB the plan shape IS the product.
+  * These lock in predicate pushdown to the parquet scan, broadcast
+  * joins for dimensions, and map-side partial aggregation — the
+  * properties that keep the queries scalable regardless of data size.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // static plan-shape assertions: AQE wraps plans in
+    // AdaptiveSparkPlan(isFinalPlan=false) until executed, hiding the
+    // codegen spans; runtime behavior with AQE is unchanged.
+    .config("spark.sql.adaptive.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    val qe: QueryExecution = df.queryExecution
+    qe.executedPlan.toString()
+  }
+
+  test("q6: filters are pushed to the parquet scan") {
+    val p = plan("q6_filter_sum")
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") ||
+           p.contains("IsNotNull(l_shipdate"))
+    // column pruning: the scan must not read l_returnflag etc.
+    assert(p.contains("ReadSchema"))
+    assert(!p.substring(p.indexOf("ReadSchema")).contains("l_returnflag"))
+  }
+
+  test("q5: dimension joins are broadcast, not shuffled") {
+    val p = plan("q5_join5")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("BroadcastExchange"))
+  }
+
+  test("q1: aggregation is partial (map-side combine) before the shuffle") {
+    val p = plan("q1_agg")
+    // two HashAggregate levels: partial_ functions then final
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert(p.contains("partial_sum") || p.contains("partial_count"))
+  }
+
+  test("j5: anti join uses a join, not a subquery re-scan") {
+    val p = plan("j5_prune_antijoin")
+    assert(p.contains("LeftAnti"))
+    // the orders side is pruned to the join key + pushdown-filtered
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)") ||
+           p.contains("GreaterThanOrEqual(o_orderdate"))
+  }
+
+  test("j1: self-derived registry is broadcast back against the stream") {
+    val p = plan("j1_registry_lookup")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("sim queries stay inside whole-stage codegen with top-k pushdown") {
+    val p = plan("sim_topk_bf")
+    // "*(n)" prefixes mark whole-stage-codegen'd operators
+    assert(p.contains("*("))
+    assert(p.contains("vector_dot"))
+    // rank<=5 is pushed down as a partial WindowGroupLimit before the
+    // exchange — only ~5 rows per (qid, partition) shuffle
+    assert(p.contains("WindowGroupLimit"))
+    assert(p.contains("Partial"))
+  }
+
+  test("events scans prune columns (s3 reads only 2 of 6 columns)") {
+    val p = plan("s3_route_msgtype")
+    val rs = p.substring(p.indexOf("ReadSchema"))
+    assert(rs.contains("event_type"))
+    assert(!rs.contains("props"))
+    assert(!rs.contains("user_id"))
+  }
+}
