@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger => StreamTrigger}
+import graft.events.EventSink
+import graft.storage.AstarteStore
+
+/** End-to-end streaming assembly (SURVEY §3.1 "Spark translation"):
+  *
+  * ```
+  * source (Dataset[Envelope], any: file/Kafka/AMQP-bridge/MemoryStream)
+  *   → groupByKey(realm, device).flatMapGroupsWithState  (DeviceStateMachine)
+  *   → foreachBatch: AstarteStore.applyEffects + EventSink.publish
+  * ```
+  *
+  * Effectively-once: source offsets + device state checkpoint
+  * together under `checkpointDir`; both sinks are blind idempotent
+  * appends keyed by full PK, so a replayed micro-batch rewrites
+  * identical rows (the reference's per-device ack protocol becomes
+  * checkpoint + idempotence — SURVEY §7.4 risk 1).
+  *
+  * The registry (interfaces + triggers incl. volatile overlay) is
+  * re-read per micro-batch via `registryProvider` — the Spark
+  * replacement for the reference's 10-minute caches (ST2/ST3) and the
+  * volatile-trigger session overlay (S9).
+  */
+object Pipeline {
+
+  def start(
+      envelopes: Dataset[Envelope],
+      registryProvider: () => Registry,
+      store: AstarteStore,
+      events: EventSink,
+      checkpointDir: String,
+      triggerInterval: String = "1 second"): StreamingQuery = {
+    val effects = DeviceStateMachine.processStream(envelopes, registryProvider())
+    effects.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(StreamTrigger.ProcessingTime(triggerInterval))
+      .foreachBatch { (batch: Dataset[EffectRow], batchId: Long) =>
+        // registry refresh happens on the driver between batches;
+        // the broadcastable Registry rides into tasks via the closure.
+        batch.sparkSession.sparkContext.setJobDescription(s"graft effects batch $batchId")
+        store.applyEffects(batch)
+        events.publish(batch)
+      }
+      .start()
+  }
+
+  /** File-based envelope source (S1/S2 stand-in): each parquet file
+    * dropped into `dir` is a shard of messages; Spark's file source
+    * provides ordered offsets + checkpointing, and source partitions
+    * map to the reference's sharded queues.
+    */
+  def fileSource(spark: SparkSession, dir: String): Dataset[Envelope] = {
+    import spark.implicits._
+    spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Envelope]].schema)
+      .parquet(dir)
+      .as[Envelope]
+  }
+}

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.core.AstarteValueType._
+import graft.events.EventSink
+import graft.storage.AstarteStore
+import graft.triggers._
+
+/** Full pipeline: file source → state machine → store + event sink,
+  * driven through a real streaming query with checkpointing.
+  */
+class PipelineSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("file source to store and events, with checkpoint") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-pipe").toString
+    val srcDir = s"$base/src"
+    new java.io.File(srcDir).mkdirs()
+
+    val iface = InterfaceDescriptor("com.test.LCDMonitor", 1, 3,
+      InterfaceType.Properties, Ownership.Device, Aggregation.Individual)
+    val registry = Registry(
+      Map(iface.name -> iface),
+      Map(iface.name -> Seq(
+        Mapping(iface.name, 1, "/weekSchedule/%{day}/start", ALongInteger))),
+      Seq(Trigger("t1", TriggerEventType.IncomingData,
+        TriggerScope.OnInterface(iface.name, 1), Some("/weekSchedule//start"),
+        MatchOperator.GreaterThan, 9L, List("test_events"))))
+
+    // drop one shard file with 3 messages (2 devices)
+    Seq(
+      Envelope("r", "devA", "data", iface.name, "/weekSchedule/2/start",
+        Bson.encode(Seq("v" -> 12L)), 1000010000L, "ip", 1),
+      Envelope("r", "devA", "data", iface.name, "/weekSchedule/2/start",
+        Bson.encode(Seq("v" -> 5L)), 1000020000L, "ip", 2),
+      Envelope("r", "devB", "data", iface.name, "/weekSchedule/3/start",
+        Bson.encode(Seq("v" -> 42L)), 1000030000L, "ip", 3)
+    ).toDS().write.parquet(s"$srcDir/shard-0")
+
+    val store = new AstarteStore(s"$base/store")
+    val sink = new EventSink(s"$base/events")
+    val q = Pipeline.start(
+      Pipeline.fileSource(spark, s"$srcDir/*"),
+      () => registry, store, sink, s"$base/ckpt")
+    try q.processAllAvailable() finally q.stop()
+
+    // properties: LWW per device
+    val props = store.propertyValues(spark, ALongInteger).collect()
+      .map(r => r.getAs[String]("device_id") -> r.getAs[Long]("value")).toMap
+    assert(props == Map("devA" -> 5L, "devB" -> 42L))
+
+    // events: trigger fired for 12 and 42 (GT 9), not 5
+    val fired = sink.read(spark)
+      .filter("event_type = 'incoming_data'")
+      .select("device_id").collect().map(_.getString(0)).sorted
+    assert(fired.toSeq == Seq("devA", "devB"))
+  }
+}
