@@ -118,14 +118,19 @@ object AnalyticsQueries extends QueryPack {
               |  i -> concat_ws(' ', element_at(toks, i),
               |                      element_at(toks, i+1)))""".stripMargin)))
             .as("bigram"))
-      val sizes = bigrams.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      val x = bigrams.select(col("doc_id").as("doc_a"), col("lang"),
-        col("bucket"), col("bigram"))
-      val y = bigrams.select(col("doc_id").as("doc_b"),
-        col("lang").as("lang_b"), col("bucket").as("bucket_b"), col("bigram").as("bigram_b"))
+      // hash bigrams to 60-bit ints before the self-join: the shuffle
+      // moves 8-byte keys instead of strings, and the join compares
+      // longs (md5 collisions at 60 bits are negligible at any SF).
+      val hashed = bigrams.select(col("doc_id"), col("lang"), col("bucket"),
+        conv(substring(md5(col("bigram")), 1, 15), 16, 10).cast("long").as("bh"))
+      val sizes = hashed.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val x = hashed.select(col("doc_id").as("doc_a"), col("lang"),
+        col("bucket"), col("bh"))
+      val y = hashed.select(col("doc_id").as("doc_b"),
+        col("lang").as("lang_b"), col("bucket").as("bucket_b"), col("bh").as("bh_b"))
       val inter = x.join(y,
           col("lang") === col("lang_b") && col("bucket") === col("bucket_b") &&
-          col("bigram") === col("bigram_b") && col("doc_a") < col("doc_b"))
+          col("bh") === col("bh_b") && col("doc_a") < col("doc_b"))
         .groupBy(col("doc_a"), col("doc_b"))
         .agg(count(lit(1)).as("n_inter"))
       inter

@@ -190,6 +190,21 @@ object AstarteOpsQueries extends QueryPack {
           col("targets"), col("n_merged"))
     }),
 
+    // A1 with skew handling: two-stage salted aggregation. A hot key
+    // (one device producing most traffic) would bottleneck a single
+    // reducer; salting spreads stage 1 across 16 partials, stage 2
+    // merges them. Result is identical to the direct groupBy — the
+    // oracle is the unsalted form.
+    "a1_salted_totals" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("salt", pmod(col("event_id"), lit(16)))
+        .groupBy(col("event_type"), col("salt"))
+        .agg(count(lit(1)).as("pc"), sum(col("value")).as("ps"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("pc")).as("n_msgs"),
+          round(sum(col("ps")), 2).as("sum_value"))
+    }),
+
     // A1/A2: device totals & per-interface exchanged stats — counters
     // over (device) and (device, interface); bytes = payload+topic
     // lengths, mirroring the reference's accounting.
@@ -397,6 +412,10 @@ object AstarteOpsQueries extends QueryPack {
         |  string_agg(target, ',' ORDER BY target) AS targets,
         |  count(*) AS n_merged
         |FROM triggers GROUP BY on_type, op, known_value""".stripMargin,
+    "a1_salted_totals" ->
+      """SELECT event_type, count(*) AS n_msgs,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
     "a2_exchanged_stats" ->
       """SELECT user_id, event_type, count(*) AS n_msgs,
         |  sum(length(props) + length(event_type)) AS n_bytes

@@ -85,6 +85,9 @@ final class AstarteStore(val root: String) {
 
       val streams = df.filter(col("kind") === "datastream_append")
       if (!streams.isEmpty) {
+        // Partition by interface: per-interface reads prune whole
+        // directories; at 100 TB add a date bucket from
+        // value_timestamp as a second partition level.
         withTyped(streams)
           .select(col("deviceId").as("device_id"), col("iface"),
             col("endpoint"), col("path"),
@@ -94,7 +97,7 @@ final class AstarteStore(val root: String) {
             col("double_value"), col("integer_value"), col("longinteger_value"),
             col("string_value"), col("boolean_value"), col("binaryblob_value"),
             col("datetime_value"))
-          .write.mode("append").parquet(datastreamPath)
+          .write.mode("append").partitionBy("iface").parquet(datastreamPath)
       }
 
       val objects = df.filter(col("kind") === "object_append")
