@@ -36,14 +36,21 @@ object DeviceStateMachine {
 
   /** Batch ingest: one fold per device over the whole Dataset.
     * Deterministic given (receptionDecimicros, offset) ordering.
+    *
+    * `initialStates` seeds per-device session state — the reference's
+    * ST8 "load stats from DB on first occurrence" (`impl.ex:50-87`):
+    * pass the stored totals/introspection for known devices; unknown
+    * devices start empty.
     */
   def processBatch(
-      ds: Dataset[Envelope], registry: Registry): Dataset[EffectRow] = {
+      ds: Dataset[Envelope], registry: Registry,
+      initialStates: Map[DeviceKey, DeviceSessionState] = Map.empty): Dataset[EffectRow] = {
     val spark = ds.sparkSession
     import spark.implicits._
     ds.groupByKey(e => (e.realm, e.deviceId))
       .flatMapGroups { (key: DeviceKey, msgs: Iterator[Envelope]) =>
-        sortedFold(key, msgs, DeviceSessionState.empty, registry)._2
+        val init = initialStates.getOrElse(key, DeviceSessionState.empty)
+        sortedFold(key, msgs, init, registry)._2
       }
   }
 
@@ -58,6 +65,28 @@ object DeviceStateMachine {
     ds.groupByKey(e => (e.realm, e.deviceId))
       .flatMapGroupsWithState[DeviceSessionState, EffectRow](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: DeviceKey, msgs: Iterator[Envelope], gs: GroupState[DeviceSessionState]) =>
+          val initial = gs.getOption.getOrElse(DeviceSessionState.empty)
+          val (finalState, out) = sortedFold(key, msgs, initial, registry)
+          gs.update(finalState)
+          out
+      }
+  }
+
+  /** Streaming ingest with bootstrap state (ST8 init-from-store):
+    * first occurrence of a key starts from `initialStates` instead of
+    * empty — the migration path when the state store starts cold but
+    * the device table already has totals.
+    */
+  def processStreamWithInit(
+      ds: Dataset[Envelope], registry: Registry,
+      initialStates: Dataset[(DeviceKey, DeviceSessionState)]): Dataset[EffectRow] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(e => (e.realm, e.deviceId))
+      .flatMapGroupsWithState[DeviceSessionState, EffectRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout,
+        initialStates.groupByKey(_._1).mapValues(_._2)) {
         (key: DeviceKey, msgs: Iterator[Envelope], gs: GroupState[DeviceSessionState]) =>
           val initial = gs.getOption.getOrElse(DeviceSessionState.empty)
           val (finalState, out) = sortedFold(key, msgs, initial, registry)
