@@ -16,7 +16,9 @@ object SparkEntry {
     RelationalQueries,
     AstarteOpsQueries,
     AnalyticsQueries,
-    ReadQueries
+    ReadQueries,
+    WindowedQueries,
+    DedupPipeline
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

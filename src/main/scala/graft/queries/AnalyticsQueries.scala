@@ -257,6 +257,20 @@ object AnalyticsQueries extends QueryPack {
           col("band"))
     }),
 
+    // BPE-style pre-tokenization (RE2-safe class regex — word / number
+    // / punctuation runs), the unit-count a tokenizer-budget pipeline
+    // needs before actual BPE merges.
+    "tx_bpe_pretokenize" -> ((s, d) => {
+      val re = "[a-z]+|[0-9]+|[^a-z0-9 ]+"
+      Tables.documents(s, d)
+        .select(col("source"),
+          size(expr(s"regexp_extract_all(text, '$re', 0)")).as("n_pre"),
+          size(expr("regexp_extract_all(text, '[0-9]+', 0)")).as("n_num"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_pre")).as("pre_tokens"),
+          sum(col("n_num")).as("num_tokens"))
+    }),
+
     // Token counting: whitespace tokens vs regex word tokens vs
     // distinct vocabulary, per source.
     "tx_token_count" -> ((s, d) => {
@@ -466,6 +480,11 @@ object AnalyticsQueries extends QueryPack {
         |       WHEN score_raw >= 0.5 THEN 'medium'
         |       ELSE 'low' END AS band
         |FROM scored""".stripMargin,
+    "tx_bpe_pretokenize" ->
+      """SELECT source,
+        |  sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+'))) AS pre_tokens,
+        |  sum(len(regexp_extract_all(text, '[0-9]+'))) AS num_tokens
+        |FROM documents GROUP BY source""".stripMargin,
     "tx_token_count" ->
       """WITH t AS (
         |  SELECT source, unnest(string_split(text,' ')) AS tok

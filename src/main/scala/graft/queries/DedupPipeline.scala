@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The complete near-dup pipeline: LSH candidates → exact-Jaccard
+  * verification → connected-component clustering → keeper election.
+  * This is the shape a 100 TB dedup actually runs: candidate
+  * generation is LSH-bounded (never all-pairs), verification touches
+  * only candidate pairs, and clustering is iterative min-label
+  * propagation (a fixed, small number of joins — component diameters
+  * in dedup graphs are tiny).
+  */
+object DedupPipeline extends QueryPack {
+
+  /** (doc_id, lang, shingle-hash) distinct rows + per-doc set size. */
+  private def shingleHashes(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("lang"),
+        explode(expr(
+          """transform(sequence(1, greatest(size(toks) - 2, 0)),
+            |  i -> concat_ws(' ', element_at(toks, i),
+            |                      element_at(toks, i+1),
+            |                      element_at(toks, i+2)))""".stripMargin)).as("shingle"))
+      .select(col("doc_id"), col("lang"),
+        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("h"))
+      .distinct()
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_cluster" -> ((s, d) => {
+      // stage 1: LSH candidates (same construction as dd_minhash_lsh)
+      val sh = shingleHashes(s, d).cache()
+      val mhCols = MinhashSeeds.keys.zipWithIndex.map { case (k, i) =>
+        min(expr(s"h ^ ${k}L")).as(s"mh$i")
+      }
+      val minhashes = sh.groupBy(col("doc_id"), col("lang"))
+        .agg(mhCols.head, mhCols.tail: _*)
+      val bands = minhashes.select(col("doc_id"),
+          md5(concat(col("lang"), lit("|"),
+            concat_ws(",", col("mh0"), col("mh1"), col("mh2"), col("mh3")))).as("bk0"),
+          md5(concat(col("lang"), lit("|"),
+            concat_ws(",", col("mh4"), col("mh5"), col("mh6"), col("mh7")))).as("bk1"))
+        .select(col("doc_id"), explode(array(col("bk0"), col("bk1"))).as("band_key"))
+      val cands = bands.as("a").join(bands.as("b"),
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+
+      // stage 2: exact Jaccard on candidate pairs only
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val inter = cands
+        .join(sh.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("h").as("hb")), Seq("doc_b"))
+        .filter(col("h") === col("hb"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      val verified = inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+        .filter(col("n_inter") / (col("sz_a") + col("sz_b") - col("n_inter")) >= 0.2)
+        .select(col("doc_a"), col("doc_b"))
+
+      // stage 3: 3 rounds of min-label propagation over the verified
+      // edges (fixed iteration count — identical in the oracle).
+      val edges = verified
+        .union(verified.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+        .withColumn("cluster", col("doc_id"))
+      for (_ <- 1 to 3) {
+        val neighborMin = edges
+          .join(labels.select(col("doc_id").as("doc_b"), col("cluster").as("nc")), Seq("doc_b"))
+          .groupBy(col("doc_a")).agg(min(col("nc")).as("min_nc"))
+        labels = labels
+          .join(neighborMin.select(col("doc_a").as("doc_id"), col("min_nc")), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("cluster"), coalesce(col("min_nc"), col("cluster"))).as("cluster"))
+      }
+      labels.orderBy(col("doc_id"))
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "dd_cluster" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, unnest(string_split(text,' ')) AS tok,
+        |         generate_subscripts(string_split(text,' '),1) AS pos
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, lang,
+        |    ('0x' || substr(md5(tok || ' ' || lead(tok,1) OVER w
+        |       || ' ' || lead(tok,2) OVER w), 1, 15))::BIGINT AS h
+        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY lead(tok,2) OVER w IS NOT NULL),
+        |mh AS (
+        |  SELECT doc_id, lang,
+        |    min(xor(h, 935853755618645598)) AS mh0,
+        |    min(xor(h, 886263699231969848)) AS mh1,
+        |    min(xor(h, 901255563090117366)) AS mh2,
+        |    min(xor(h, 1066434503623691823)) AS mh3,
+        |    min(xor(h, 758855882668719729)) AS mh4,
+        |    min(xor(h, 1030659900335514164)) AS mh5,
+        |    min(xor(h, 101208472399937786)) AS mh6,
+        |    min(xor(h, 644382284193898855)) AS mh7
+        |  FROM sh GROUP BY doc_id, lang),
+        |bands AS (
+        |  SELECT doc_id, unnest([
+        |    md5(lang || '|' || mh0 || ',' || mh1 || ',' || mh2 || ',' || mh3),
+        |    md5(lang || '|' || mh4 || ',' || mh5 || ',' || mh6 || ',' || mh7)
+        |  ]) AS band_key FROM mh),
+        |cands AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+        |  FROM cands c
+        |  JOIN sh sa ON sa.doc_id = c.doc_a
+        |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
+        |  GROUP BY 1, 2),
+        |verified AS (
+        |  SELECT i.doc_a, i.doc_b FROM inter i
+        |  JOIN sizes za ON za.doc_id = i.doc_a
+        |  JOIN sizes zb ON zb.doc_id = i.doc_b
+        |  WHERE i.n_inter / (za.sz + zb.sz - i.n_inter) >= 0.2),
+        |edges AS (
+        |  SELECT doc_a, doc_b FROM verified
+        |  UNION ALL SELECT doc_b, doc_a FROM verified),
+        |it0 AS (
+        |  SELECT DISTINCT doc_a AS doc_id, doc_a AS cluster FROM edges),
+        |it1 AS (
+        |  SELECT l.doc_id,
+        |    least(l.cluster, coalesce(min(n.cluster), l.cluster)) AS cluster
+        |  FROM it0 l LEFT JOIN edges e ON e.doc_a = l.doc_id
+        |  LEFT JOIN it0 n ON n.doc_id = e.doc_b
+        |  GROUP BY l.doc_id, l.cluster),
+        |it2 AS (
+        |  SELECT l.doc_id,
+        |    least(l.cluster, coalesce(min(n.cluster), l.cluster)) AS cluster
+        |  FROM it1 l LEFT JOIN edges e ON e.doc_a = l.doc_id
+        |  LEFT JOIN it1 n ON n.doc_id = e.doc_b
+        |  GROUP BY l.doc_id, l.cluster),
+        |it3 AS (
+        |  SELECT l.doc_id,
+        |    least(l.cluster, coalesce(min(n.cluster), l.cluster)) AS cluster
+        |  FROM it2 l LEFT JOIN edges e ON e.doc_a = l.doc_id
+        |  LEFT JOIN it2 n ON n.doc_id = e.doc_b
+        |  GROUP BY l.doc_id, l.cluster)
+        |SELECT doc_id, cluster FROM it3 ORDER BY doc_id""".stripMargin
+  )
+}
