@@ -23,10 +23,10 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 } // failures must be visible
       }
-      name -> times.min
+      name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -37,6 +37,9 @@ object Bson {
       else {
         val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
         val doc = readDocument(buf)
+        // top-level document must span the whole payload
+        if (buf.position() != bytes.length)
+          throw new IllegalArgumentException("trailing bytes after document")
         Some(doc)
       }
     } catch { case _: Exception => None }
@@ -44,7 +47,8 @@ object Bson {
   private def readDocument(buf: ByteBuffer): ListMap[String, Any] = {
     val size = buf.getInt()
     val end = buf.position() + size - 4
-    if (size < 5 || end > buf.limit() + 1) throw new IllegalArgumentException("bad doc size")
+    if (size < 5 || end > buf.limit())
+      throw new IllegalArgumentException("bad doc size")
     val out = mutable.LinkedHashMap.empty[String, Any]
     var tpe = buf.get()
     while (tpe != 0) {
@@ -52,6 +56,9 @@ object Bson {
       out(name) = readValue(tpe, buf)
       tpe = buf.get()
     }
+    // declared size must agree with the parsed extent
+    if (buf.position() != end)
+      throw new IllegalArgumentException("document size mismatch")
     ListMap.from(out)
   }
 

@@ -8,9 +8,15 @@ package graft.core
   */
 object PathMatcher {
 
-  /** Reject paths with empty tokens (`//`) — reference F5. */
+  /** Reject paths with empty tokens: interior `//` and trailing `/`
+    * (a trailing empty token would bind a `%{param}` to "") — the
+    * root path `/` itself is valid (object-aggregation target).
+    * Reference F5.
+    */
   def isValidPath(path: String): Boolean =
-    path.nonEmpty && path.startsWith("/") && !path.contains("//")
+    path == "/" ||
+      (path.nonEmpty && path.startsWith("/") && !path.contains("//") &&
+        !path.endsWith("/"))
 
   private[graft] def tokens(s: String): Array[String] = {
     val stripped = s.stripPrefix("/")

@@ -27,8 +27,11 @@ final class AstarteStore(val root: String) {
   def datastreamPath = s"$root/individual_datastreams"
   def objectPath(iface: InterfaceDescriptor) = s"$root/${iface.objectTableName}"
 
-  val devices = new LwwTable(s"$root/devices",
-    keyCols = Seq("device_id"), orderCols = Seq("reception_timestamp"))
+  /** Device updates are partial JSON patches (connect/disconnect/
+    * flags/stats merges), not full-row LWW — they land in an append
+    * log; `deviceUpdates` exposes it ordered for downstream folding.
+    */
+  def devicesLogPath = s"$root/devices.log"
 
   val pathIndex = new LwwTable(s"$root/paths",
     keyCols = Seq("device_id", "iface", "path"),
@@ -40,8 +43,9 @@ final class AstarteStore(val root: String) {
   // --- write path (the foreachBatch glue) --------------------------------
 
   /** Decode the BSON `{v: _}` envelope into the typed column for the
-    * given Astarte type code. One sparse column per type, null
-    * elsewhere — W1/W3's layout.
+    * given Astarte type code. One sparse column per type — scalars
+    * (odd codes) and their array forms (even codes) — null elsewhere;
+    * W1/W3's layout.
     */
   private def typedColumns(bsonCol: String, codeCol: String): Seq[(String, org.apache.spark.sql.Column)] = {
     import BsonValueUdfs._
@@ -52,8 +56,22 @@ final class AstarteStore(val root: String) {
       "string_value" -> when(col(codeCol) === 7, stringUdf(col(bsonCol))),
       "boolean_value" -> when(col(codeCol) === 9, boolUdf(col(bsonCol))),
       "binaryblob_value" -> when(col(codeCol) === 11, binaryUdf(col(bsonCol))),
-      "datetime_value" -> when(col(codeCol) === 13, longUdf(col(bsonCol))))
+      "datetime_value" -> when(col(codeCol) === 13, longUdf(col(bsonCol))),
+      "doublearray_value" -> when(col(codeCol) === 2, doubleArrUdf(col(bsonCol))),
+      "integerarray_value" -> when(col(codeCol) === 4, intArrUdf(col(bsonCol))),
+      "longintegerarray_value" -> when(col(codeCol) === 6, longArrUdf(col(bsonCol))),
+      "stringarray_value" -> when(col(codeCol) === 8, stringArrUdf(col(bsonCol))),
+      "booleanarray_value" -> when(col(codeCol) === 10, boolArrUdf(col(bsonCol))),
+      "binaryblobarray_value" -> when(col(codeCol) === 12, binaryArrUdf(col(bsonCol))),
+      "datetimearray_value" -> when(col(codeCol) === 14, longArrUdf(col(bsonCol))))
   }
+
+  private val typedColumnNames: Seq[String] = Seq(
+    "double_value", "integer_value", "longinteger_value", "string_value",
+    "boolean_value", "binaryblob_value", "datetime_value",
+    "doublearray_value", "integerarray_value", "longintegerarray_value",
+    "stringarray_value", "booleanarray_value", "binaryblobarray_value",
+    "datetimearray_value")
 
   private def withTyped(df: DataFrame): DataFrame =
     typedColumns("valueBson", "valueTypeCode").foldLeft(df) {
@@ -71,15 +89,13 @@ final class AstarteStore(val root: String) {
       val props = df.filter(col("kind").isin("property_upsert", "property_unset"))
       if (!props.isEmpty) {
         val rows = withTyped(props)
-          .select(col("deviceId").as("device_id"), col("iface"),
+          .select(Seq(col("deviceId").as("device_id"), col("iface"),
             col("endpoint"), col("path"),
             col("receptionMs").as("reception_timestamp"),
-            col("submillis").as("reception_timestamp_submillis"),
-            col("double_value"), col("integer_value"), col("longinteger_value"),
-            col("string_value"), col("boolean_value"), col("binaryblob_value"),
-            col("datetime_value"),
+            col("submillis").as("reception_timestamp_submillis")) ++
+            typedColumnNames.map(col) :+
             when(col("kind") === "property_unset", LwwTable.OpDelete)
-              .otherwise(LwwTable.OpUpsert).as(LwwTable.OpCol))
+              .otherwise(LwwTable.OpUpsert).as(LwwTable.OpCol): _*)
         rows.write.mode("append").parquet(properties.path)
       }
 
@@ -89,14 +105,12 @@ final class AstarteStore(val root: String) {
         // directories; at 100 TB add a date bucket from
         // value_timestamp as a second partition level.
         withTyped(streams)
-          .select(col("deviceId").as("device_id"), col("iface"),
+          .select(Seq(col("deviceId").as("device_id"), col("iface"),
             col("endpoint"), col("path"),
             col("valueTimestampMs").as("value_timestamp"),
             col("receptionMs").as("reception_timestamp"),
-            col("submillis").as("reception_timestamp_submillis"),
-            col("double_value"), col("integer_value"), col("longinteger_value"),
-            col("string_value"), col("boolean_value"), col("binaryblob_value"),
-            col("datetime_value"))
+            col("submillis").as("reception_timestamp_submillis")) ++
+            typedColumnNames.map(col): _*)
           .write.mode("append").partitionBy("iface").parquet(datastreamPath)
       }
 
@@ -119,7 +133,7 @@ final class AstarteStore(val root: String) {
         updates.select(col("deviceId").as("device_id"),
             col("receptionMs").as("reception_timestamp"),
             col("detail").as("update_json"))
-          .write.mode("append").parquet(devices.path + ".log")
+          .write.mode("append").parquet(devicesLogPath)
       }
 
       val paths = df.filter(col("kind") === "path_index")
@@ -182,6 +196,13 @@ final class AstarteStore(val root: String) {
 
   def datastreams(spark: SparkSession): DataFrame =
     spark.read.parquet(datastreamPath)
+
+  /** Ordered device-update patch log (connects, disconnects, flags,
+    * stats merges) for downstream folding into the device dimension.
+    */
+  def deviceUpdates(spark: SparkSession): DataFrame =
+    spark.read.parquet(devicesLogPath)
+      .orderBy(col("device_id"), col("reception_timestamp"))
 }
 
 /** BSON `{v: _}` extraction UDFs for the write path. Plain Scala UDFs
@@ -211,6 +232,27 @@ object BsonValueUdfs {
     case BsonBinary(_, bytes) => bytes
     case bytes: Array[Byte] => bytes
   })
+
+  private def arr(b: Array[Byte]): Option[Seq[Any]] =
+    v(b).collect { case xs: Seq[_] => xs }
+
+  val doubleArrUdf = udf((b: Array[Byte]) => arr(b).map(_.collect {
+    case d: Double => d
+    case i: Int => i.toDouble
+    case l: Long => l.toDouble
+  }))
+  val intArrUdf = udf((b: Array[Byte]) => arr(b).map(_.collect { case i: Int => i }))
+  val longArrUdf = udf((b: Array[Byte]) => arr(b).map(_.collect {
+    case l: Long => l
+    case i: Int => i.toLong
+    case t: java.time.Instant => t.toEpochMilli
+  }))
+  val stringArrUdf = udf((b: Array[Byte]) => arr(b).map(_.collect { case s: String => s }))
+  val boolArrUdf = udf((b: Array[Byte]) => arr(b).map(_.collect { case x: Boolean => x }))
+  val binaryArrUdf = udf((b: Array[Byte]) => arr(b).map(_.collect {
+    case BsonBinary(_, bytes) => bytes
+    case bytes: Array[Byte] => bytes
+  }))
 
   /** Object payload → deterministic JSON of scalar leaves (sorted
     * keys), the portable column set for the dynamic object tables.

@@ -39,12 +39,15 @@ final class LwwTable(
 
   /** Latest surviving row per key: rank by the order columns
     * descending, keep rank 1, drop keys whose last op is a delete.
+    * A delete wins a tie on the order columns (a sweep's delete row
+    * carries the same timestamp as the row it tombstones).
     * One shuffle on the key — the same cost profile as a MERGE read.
     */
   def snapshot(spark: SparkSession): DataFrame = {
     if (!exists(spark)) return spark.emptyDataFrame
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(orderCols.map(c => col(c).desc): _*)
+      .orderBy(orderCols.map(c => col(c).desc) :+
+        (col(OpCol) === OpDelete).desc: _*)
     log(spark)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && col(OpCol) =!= OpDelete)

@@ -384,13 +384,18 @@ object DeviceProcessor {
     val s = bumpStats(state, env)
     env.path match {
       case "/emptyCache" =>
-        // Resend server-owned properties + consumer-properties digest
-        // over the command side-output (ST7).
+        // ST7: resend SERVER-owned properties (the ones the device
+        // consumes) + the consumer-properties digest listing exactly
+        // those paths. Server-owned values enter session state via
+        // the initial-state bootstrap (seeded from the properties
+        // table on first key occurrence) — devices cannot write them
+        // (F8), servers write through the store, not this stream.
         val serverOwned = registry.interfaces.values
           .filter(i => i.ownership == Ownership.Server &&
             i.interfaceType == InterfaceType.Properties &&
             s.introspection.contains(i.name))
-        val resend = serverOwned.toSeq.sortBy(_.name).flatMap { i =>
+          .toSeq.sortBy(_.name)
+        val resend = serverOwned.flatMap { i =>
           s.properties.collect {
             case (k, v) if k.startsWith(i.name + "/") =>
               EffectRow.blank("command", env.realm, env.deviceId).copy(
@@ -398,10 +403,11 @@ object DeviceProcessor {
                 valueBson = v, receptionMs = receptionMs, detail = "publish")
           }.toSeq.sortBy(_.path)
         }
-        val pathList = s.properties.keys.toSeq.sorted.mkString(";")
+        val serverPaths = serverOwned.flatMap(i =>
+          s.properties.keys.filter(_.startsWith(i.name + "/"))).sorted
         val digest = EffectRow.blank("command", env.realm, env.deviceId).copy(
           path = "/control/consumer/properties",
-          valueBson = PayloadCodec.deflateProperties(pathList),
+          valueBson = PayloadCodec.deflateProperties(serverPaths.mkString(";")),
           receptionMs = receptionMs, detail = "consumer_properties")
         val clear = EffectRow.blank("device_update", env.realm, env.deviceId).copy(
           receptionMs = receptionMs, detail = """{"pending_empty_cache":false}""")

@@ -18,6 +18,30 @@ object DeviceStateMachine {
 
   type DeviceKey = (String, String) // (realm, deviceId)
 
+  /** Registry access for long-running streams. `current()` is
+    * consulted inside the state function on every group, so updates
+    * (new interfaces, volatile trigger installs) reach in-flight
+    * queries without a restart — the reference's 10-minute cache
+    * refresh (ST2/ST3).
+    *
+    * [[MutableRegistryProvider]] covers single-JVM (local[N])
+    * deployments; on a multi-executor cluster back `current()` with a
+    * periodically re-read file/table + per-executor TTL cache.
+    */
+  trait RegistryProvider extends Serializable {
+    def current(): Registry
+  }
+
+  final case class StaticRegistryProvider(registry: Registry) extends RegistryProvider {
+    override def current(): Registry = registry
+  }
+
+  final class MutableRegistryProvider(initial: Registry) extends RegistryProvider {
+    private val ref = new java.util.concurrent.atomic.AtomicReference(initial)
+    def update(r: Registry): Unit = ref.set(r)
+    override def current(): Registry = ref.get()
+  }
+
   private def sortedFold(
       key: DeviceKey,
       msgs: Iterator[Envelope],
@@ -55,11 +79,12 @@ object DeviceStateMachine {
   }
 
   /** Streaming ingest: state persists in the state store across
-    * micro-batches; registry is re-broadcast per batch (the Spark
-    * replacement for the reference's 10-min metadata caches).
+    * micro-batches; the registry is re-read from the provider on
+    * every group invocation, so registry/trigger updates reach the
+    * running query.
     */
   def processStream(
-      ds: Dataset[Envelope], registry: Registry): Dataset[EffectRow] = {
+      ds: Dataset[Envelope], provider: RegistryProvider): Dataset[EffectRow] = {
     val spark = ds.sparkSession
     import spark.implicits._
     ds.groupByKey(e => (e.realm, e.deviceId))
@@ -67,11 +92,14 @@ object DeviceStateMachine {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: DeviceKey, msgs: Iterator[Envelope], gs: GroupState[DeviceSessionState]) =>
           val initial = gs.getOption.getOrElse(DeviceSessionState.empty)
-          val (finalState, out) = sortedFold(key, msgs, initial, registry)
+          val (finalState, out) = sortedFold(key, msgs, initial, provider.current())
           gs.update(finalState)
           out
       }
   }
+
+  def processStream(ds: Dataset[Envelope], registry: Registry): Dataset[EffectRow] =
+    processStream(ds, StaticRegistryProvider(registry))
 
   /** Streaming ingest with bootstrap state (ST8 init-from-store):
     * first occurrence of a key starts from `initialStates` instead of

@@ -20,26 +20,26 @@ import graft.storage.AstarteStore
   * checkpoint + idempotence — SURVEY §7.4 risk 1).
   *
   * The registry (interfaces + triggers incl. volatile overlay) is
-  * re-read per micro-batch via `registryProvider` — the Spark
-  * replacement for the reference's 10-minute caches (ST2/ST3) and the
-  * volatile-trigger session overlay (S9).
+  * consulted through a [[DeviceStateMachine.RegistryProvider]] on
+  * every state-function invocation — the Spark replacement for the
+  * reference's 10-minute caches (ST2/ST3) and the volatile-trigger
+  * session overlay (S9); use MutableRegistryProvider to push updates
+  * into a running query.
   */
 object Pipeline {
 
   def start(
       envelopes: Dataset[Envelope],
-      registryProvider: () => Registry,
+      registry: DeviceStateMachine.RegistryProvider,
       store: AstarteStore,
       events: EventSink,
       checkpointDir: String,
       triggerInterval: String = "1 second"): StreamingQuery = {
-    val effects = DeviceStateMachine.processStream(envelopes, registryProvider())
+    val effects = DeviceStateMachine.processStream(envelopes, registry)
     effects.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(StreamTrigger.ProcessingTime(triggerInterval))
       .foreachBatch { (batch: Dataset[EffectRow], batchId: Long) =>
-        // registry refresh happens on the driver between batches;
-        // the broadcastable Registry rides into tasks via the closure.
         batch.sparkSession.sparkContext.setJobDescription(s"graft effects batch $batchId")
         store.applyEffects(batch)
         events.publish(batch)

@@ -38,7 +38,9 @@ object VolatileTriggers {
   /** Validate an install against the registry — the synchronous
     * RPC-reply path. Data triggers on object-aggregated interfaces
     * are rejected; path patterns must be resolvable against the
-    * interface's endpoints (the automaton check).
+    * interface's endpoints (the automaton check). Data triggers must
+    * attach to an interface scope (specific or any) — a device scope
+    * would install successfully but never match a data event.
     */
   def validate(trigger: Trigger, registry: Registry): Either[InstallError, Trigger] =
     trigger.scope match {
@@ -58,6 +60,9 @@ object VolatileTriggers {
                 else Left(InvalidMatchPath)
             }
         }
+      case TriggerScope.OnDevice(_) | TriggerScope.AnyDevice
+          if isDataTrigger(trigger.eventType) =>
+        Left(InvalidMatchPath)
       case _ => Right(trigger.copy(volatile = true))
     }
 
@@ -68,17 +73,16 @@ object VolatileTriggers {
     case _ => false
   }
 
-  /** Congruence-aware delete (reference impl.ex:1099-1131): if the
-    * trigger to delete is congruent with others merged into one, only
-    * its targets are removed; the merged trigger survives with the
-    * remaining targets.
+  /** Delete an installed trigger by id. The session keeps triggers
+    * UNmerged (each install keeps its own id → targets association);
+    * congruence merging happens only in [[overlay]]. Deleting one of
+    * several congruent triggers therefore removes exactly its own
+    * targets from the merged view — the reference's congruence-aware
+    * delete (impl.ex:1099-1131) — without guessing which target
+    * belonged to which id.
     */
   def deleteTarget(installed: Seq[Trigger], triggerId: String): Seq[Trigger] =
-    installed.flatMap { t =>
-      if (t.triggerId != triggerId) Some(t)
-      else if (t.targets.size > 1) Some(t.copy(targets = t.targets.tail))
-      else None
-    }
+    installed.filterNot(_.triggerId == triggerId)
 
   /** J6: per-batch overlay of persistent + volatile triggers, merged
     * congruently.

@@ -236,6 +236,26 @@ class DeviceProcessorSpec extends AnyFunSuite {
     assert(upd.detail.contains(s""""com.test.SimpleStreamTest":[1,"""))
   }
 
+  test("emptyCache resends server-owned properties from bootstrapped state") {
+    // server-owned values enter state via the initial-state bootstrap
+    // (the store seeds them; devices cannot write them — F8)
+    val s0 = DeviceSessionState.empty.copy(
+      introspection = Map(serverOwned.name -> 1, lcdMonitor.name -> 1),
+      properties = Map(
+        s"${serverOwned.name}/x" -> Bson.encode(Seq("v" -> "srv-val")),
+        s"${lcdMonitor.name}/time/to" -> Bson.encode(Seq("v" -> 20L))))
+    val (s1, fx) = run(s0, env("control", path = "/emptyCache"))
+    val publishes = fx.filter(e => e.kind == "command" && e.detail == "publish")
+    assert(publishes.map(_.path) == Seq("/x"))
+    assert(Bson.decode(publishes.head.valueBson).get("v") == "srv-val")
+    // digest lists ONLY server-owned paths (the device-consumed set)
+    val digest = fx.find(_.detail == "consumer_properties").get
+    val listed = PayloadCodec.parseDeviceProperties(
+      digest.valueBson, Set(serverOwned.name, lcdMonitor.name)).get
+    assert(listed == Set(serverOwned.name -> "/x"))
+    assert(!s1.pendingEmptyCache)
+  }
+
   test("invalid path → clean session, no write") {
     val (_, fx) = run(DeviceSessionState.empty,
       env("data", lcdMonitor.name, "/time//to", Bson.encode(Seq("v" -> 8L))))

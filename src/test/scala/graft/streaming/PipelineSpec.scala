@@ -50,7 +50,8 @@ class PipelineSpec extends AnyFunSuite {
     val sink = new EventSink(s"$base/events")
     val q = Pipeline.start(
       Pipeline.fileSource(spark, s"$srcDir/*"),
-      () => registry, store, sink, s"$base/ckpt")
+      DeviceStateMachine.StaticRegistryProvider(registry),
+      store, sink, s"$base/ckpt")
     try q.processAllAvailable() finally q.stop()
 
     // properties: LWW per device

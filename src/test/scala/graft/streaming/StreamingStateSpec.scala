@@ -64,6 +64,42 @@ class StreamingStateSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("registry updates reach a running query via MutableRegistryProvider") {
+    import spark.implicits._
+    val lcd = InterfaceDescriptor("m.iface", 1, 0,
+      InterfaceType.Properties, Ownership.Device, Aggregation.Individual)
+    val base = Registry(
+      Map(lcd.name -> lcd),
+      Map(lcd.name -> Seq(Mapping(lcd.name, 1, "/p", ALongInteger))), Nil)
+    val provider = new DeviceStateMachine.MutableRegistryProvider(base)
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Envelope]
+    val effects = DeviceStateMachine.processStream(input.toDS(), provider)
+    val q = effects.writeStream
+      .format("memory").queryName("fx2").outputMode("append").start()
+    try {
+      def msg(off: Long) = Envelope("r", "dev", "data", lcd.name, "/p",
+        Bson.encode(Seq("v" -> off)), 2000000L + off * 10000, "ip", off)
+
+      input.addData(msg(1))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM fx2 WHERE eventType = 'incoming_data'")
+        .head().getLong(0) == 0)
+
+      // install a volatile trigger mid-stream (S9 overlay)
+      provider.update(base.copy(triggers = Seq(
+        Trigger("vol", TriggerEventType.IncomingData,
+          TriggerScope.OnInterface(lcd.name, 1), Some("/p"),
+          MatchOperator.Any, null, List("amqp://volatile"), volatile = true))))
+
+      input.addData(msg(2))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM fx2 WHERE eventType = 'incoming_data'")
+        .head().getLong(0) == 1)
+    } finally q.stop()
+  }
+
   test("out-of-order within a batch is re-sorted by reception order") {
     import spark.implicits._
     val lcd = InterfaceDescriptor("i.face", 1, 0,

@@ -73,14 +73,24 @@ class VolatileTriggersSpec extends AnyFunSuite {
     assert(validate(t, registry).isRight)
   }
 
-  test("congruence-aware delete removes target, keeps merged trigger") {
-    val merged = Trigger("m", TriggerEventType.IncomingData,
-      TriggerScope.AnyInterface, None, MatchOperator.Any, null,
-      List("t1", "t2"))
-    val after = deleteTarget(Seq(merged), "m")
-    assert(after.head.targets == List("t2"))
-    val gone = deleteTarget(after, "m")
-    assert(gone.isEmpty)
+  test("congruence-aware delete: removing one id drops only its targets") {
+    // two congruent installs with distinct ids/targets, kept unmerged
+    val t1 = Trigger("t1", TriggerEventType.IncomingData,
+      TriggerScope.AnyInterface, None, MatchOperator.Any, null, List("z"))
+    val t4 = t1.copy(triggerId = "t4", targets = List("a"))
+    val after = deleteTarget(Seq(t1, t4), "t1")
+    assert(after.map(_.triggerId) == Seq("t4"))
+    // merged view now carries only t4's target — t1's "z" is gone,
+    // t4's "a" survives
+    assert(overlay(Nil, after).head.targets == List("a"))
+    assert(deleteTarget(after, "t4").isEmpty)
+  }
+
+  test("data trigger on device scope is rejected at install") {
+    assert(validate(dataTrigger(TriggerScope.OnDevice("dev-1"), None), registry)
+      == Left(InvalidMatchPath))
+    assert(validate(dataTrigger(TriggerScope.AnyDevice, None), registry)
+      == Left(InvalidMatchPath))
   }
 
   test("overlay merges congruent persistent + volatile triggers") {
