@@ -96,6 +96,45 @@ object RelationalQueries extends QueryPack {
         .select(col("c_custkey"), col("c_name"))
     }),
 
+    // Grouping sets beyond the reference's surface (SURVEY §2.4 notes
+    // it has none): rollup over (status, priority) with the grand
+    // total — one pass, Expand handles the grouping-set fan-out.
+    "q_rollup" -> ((s, d) => {
+      Tables.orders(s, d)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total"))
+    }),
+
+    // Set operations: buyers who also clicked, minus heavy-error
+    // users (>14 errors) — INTERSECT/EXCEPT shapes.
+    "q_setops" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      def users(t: String) =
+        e.filter(col("event_type") === t).select(col("user_id")).distinct()
+      val heavyError = e.filter(col("event_type") === "error")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 14).select(col("user_id"))
+      users("purchase").intersect(users("click")).except(heavyError)
+    }),
+
+    // Pivot: per-user event-type counts as columns (conditional
+    // aggregation — the portable pivot form).
+    "q_pivot" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "click", 1).otherwise(0)).as("n_click"),
+          sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("n_purchase"),
+          sum(when(col("event_type") === "error", 1).otherwise(0)).as("n_error"),
+          sum(when(col("event_type") === "signup", 1).otherwise(0)).as("n_signup"),
+          sum(when(col("event_type") === "view", 1).otherwise(0)).as("n_view"))
+    }),
+
     // W1 property upsert = last-writer-wins per key
     // (queries.ex:121-155): latest event value per (user_id,
     // event_type). One shuffle on the key, rank inside partition.
@@ -157,6 +196,26 @@ object RelationalQueries extends QueryPack {
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= TIMESTAMP '2001-01-01')""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_setops" ->
+      """SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        |INTERSECT
+        |SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'error'
+        |GROUP BY user_id HAVING count(*) > 14""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+        |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+        |FROM events GROUP BY user_id""".stripMargin,
     "w1_upsert_lastvalue" ->
       """SELECT user_id, event_type, round(value, 4) AS last_value,
         |  event_id AS last_event_id
