@@ -52,6 +52,24 @@ object AstarteOpsQueries extends QueryPack {
             .otherwise("value_too_small").as("reason"))
     }),
 
+    // F2: capped zlib inflate as a Spark UDF round-trip over real
+    // document text (wire form: 4-byte BE size + zlib body). No zlib
+    // in DuckDB SQL → rows-only check; the codec itself is
+    // vector-tested in PayloadCodecSpec.
+    "f2_zlib_roundtrip" -> ((s, d) => {
+      import org.apache.spark.sql.functions.udf
+      val deflate = udf((t: String) => graft.core.PayloadCodec.deflateProperties(t))
+      val inflateLen = udf((b: Array[Byte]) =>
+        graft.core.PayloadCodec.safeInflate(b.drop(4)).map(_.length))
+      Tables.documents(s, d)
+        .withColumn("wire", deflate(col("text")))
+        .select(col("doc_id"),
+          octet_length(col("wire")).as("compressed_len"),
+          inflateLen(col("wire")).as("inflated_len"),
+          (inflateLen(col("wire")) === octet_length(encode(col("text"), "UTF-8")))
+            .as("roundtrip_ok"))
+    }),
+
     // F3: introspection parse — "name:major:minor" strings validated
     // and split into typed columns.
     "f3_introspection_parse" -> ((s, d) => {

@@ -64,8 +64,11 @@ object DedupPipeline extends QueryPack {
 
       // stage 3: 3 rounds of min-label propagation over the verified
       // edges (fixed iteration count — identical in the oracle).
+      // Edges and each round's labels are cached: without it every
+      // iteration re-derives the whole LSH lineage from the scan.
       val edges = verified
         .union(verified.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .cache()
       var labels = edges.select(col("doc_a").as("doc_id")).distinct()
         .withColumn("cluster", col("doc_id"))
       for (_ <- 1 to 3) {
@@ -76,6 +79,7 @@ object DedupPipeline extends QueryPack {
           .join(neighborMin.select(col("doc_a").as("doc_id"), col("min_nc")), Seq("doc_id"), "left")
           .select(col("doc_id"),
             least(col("cluster"), coalesce(col("min_nc"), col("cluster"))).as("cluster"))
+          .cache()
       }
       labels.orderBy(col("doc_id"))
     })
