@@ -103,6 +103,47 @@ object AnalyticsQueries extends QueryPack {
         .agg(sum(col("bit_val")).as("simhash"))
     }),
 
+    // SimHash near-dup pairs: 16-bit signatures compared by hamming
+    // distance (popcount of xor) within language blocks — the
+    // constant-time pair check simhash exists for.
+    "dd_simhash_pairs" -> ((s, d) => {
+      val sigs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
+        .withColumn("tok_hash",
+          conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("int"))
+        .select(col("doc_id"), col("lang"), col("tok_hash"),
+          explode(expr("sequence(0, 15)")).as("bit"))
+        .withColumn("contrib",
+          when(expr("shiftright(tok_hash, bit) % 2") === 1, 1).otherwise(-1))
+        .groupBy(col("doc_id"), col("lang"), col("bit"))
+        .agg(sum(col("contrib")).as("vote"))
+        .withColumn("bit_val",
+          when(col("vote") > 0, expr("shiftleft(1, bit)")).otherwise(0))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("bit_val")).as("sig"))
+      val a = sigs.select(col("doc_id").as("doc_a"), col("lang"), col("sig").as("sig_a"))
+      val b = sigs.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+        col("sig").as("sig_b"))
+      a.join(b, col("lang") === col("lang_b") && col("doc_a") < col("doc_b"))
+        .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
+        .filter(col("hamming") <= 2)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+    }),
+
+    // Frame-sample offsets (multimodal): every 3rd frame boundary of
+    // a fixed frame size over the payload length — pure arithmetic,
+    // identical for a real container index.
+    "mm_frame_sample" -> ((s, d) => {
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          octet_length(encode(col("text"), "UTF-8")).as("byte_len"))
+        .select(col("doc_id"),
+          explode(expr("filter(sequence(0, byte_len - 1, 40), x -> (x div 40) % 3 = 0)"))
+            .as("frame_offset"))
+    }),
+
     // N-gram (word-bigram) Jaccard within blocking buckets
     // (lang, n_chars bucket): |A∩B| via bigram equi-join, then
     // |A∪B| = |A|+|B|-|A∩B|. Blocking keeps the pair space linear-ish.
@@ -357,6 +398,35 @@ object AnalyticsQueries extends QueryPack {
         |SELECT doc_id,
         |  sum(CASE WHEN vote > 0 THEN 1 << bit ELSE 0 END) AS simhash
         |FROM votes GROUP BY doc_id""".stripMargin,
+    "dd_simhash_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5(unnest(string_split(text,' '))),1,4))::INT AS tok_hash
+        |  FROM documents),
+        |votes AS (
+        |  SELECT doc_id, lang, bit,
+        |    sum(CASE WHEN (tok_hash >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        |  FROM t, (SELECT unnest(generate_series(0,15)) AS bit)
+        |  GROUP BY doc_id, lang, bit),
+        |sigs AS (
+        |  SELECT doc_id, lang,
+        |    sum(CASE WHEN vote > 0 THEN 1 << bit ELSE 0 END) AS sig
+        |  FROM votes GROUP BY doc_id, lang)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  bit_count(xor(a.sig, b.sig)) AS hamming
+        |FROM sigs a JOIN sigs b
+        |  ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 2""".stripMargin,
+    "mm_frame_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, octet_length(text::BLOB) AS byte_len
+        |  FROM documents WHERE doc_id < 50),
+        |frames AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0, byte_len - 1, 40)) AS frame_offset
+        |  FROM d)
+        |SELECT doc_id, frame_offset FROM frames
+        |WHERE (frame_offset // 40) % 3 = 0""".stripMargin,
     "dd_ngram_jaccard" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, n_chars // 10 AS bucket,
