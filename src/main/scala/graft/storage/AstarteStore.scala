@@ -194,8 +194,17 @@ final class AstarteStore(val root: String) {
     expired.write.mode("append").parquet(pathIndex.path)
   }
 
+  /** Datastream read with replay tolerance: a re-applied micro-batch
+    * blind-appends identical rows, so the read drops duplicates on
+    * the full PK (device, iface, endpoint, path, value ts, reception
+    * ts+submillis) — this is what makes crash/redelivery harmless
+    * without a read-modify-write on the append path. Compaction can
+    * fold the physical duplicates away offline.
+    */
   def datastreams(spark: SparkSession): DataFrame =
     spark.read.parquet(datastreamPath)
+      .dropDuplicates(Seq("device_id", "iface", "endpoint", "path",
+        "value_timestamp", "reception_timestamp", "reception_timestamp_submillis"))
 
   /** Ordered device-update patch log (connects, disconnects, flags,
     * stats merges) for downstream folding into the device dimension.

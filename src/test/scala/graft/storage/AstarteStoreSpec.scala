@@ -83,6 +83,23 @@ class AstarteStoreSpec extends AnyFunSuite {
     assert(afterCompact == Map("/time/from" -> 9L))
   }
 
+  test("replaying a batch of effects is harmless (effectively-once)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-replay").toString
+    val store = new AstarteStore(root)
+    val t0 = 15216455705950000L
+    val msgs = Seq(
+      Envelope("r", "dev", "data", lcd.name, "/time/from",
+        Bson.encode(Seq("v" -> 8L)), t0, "ip", 1),
+      Envelope("r", "dev", "data", stream.name, "/0/value",
+        Bson.encode(Seq("v" -> 4)), t0 + 10000, "ip", 2)).toDS()
+    val fx = DeviceStateMachine.processBatch(msgs, registry)
+    store.applyEffects(fx)
+    store.applyEffects(fx) // crash-redelivery replay of the same batch
+    assert(store.propertyValues(spark, ALongInteger).count() == 1)
+    assert(store.datastreams(spark).count() == 1)
+  }
+
   test("path index TTL: upsert, read-back, sweep") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-store2").toString
