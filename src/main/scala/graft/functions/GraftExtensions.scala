@@ -1,0 +1,21 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Official extension wiring: `--conf spark.sql.extensions=
+  * graft.functions.GraftExtensions` (or
+  * `SparkSession.builder.withExtensions(new GraftExtensions)`)
+  * registers the engine's native expressions in every session built
+  * from that config — no per-session register() call needed.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vector_dot"),
+      new ExpressionInfo(classOf[VectorDotProduct].getName, "vector_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VectorDotProduct(exprs.head, exprs(1))))
+  }
+}

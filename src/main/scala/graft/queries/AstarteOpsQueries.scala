@@ -172,6 +172,27 @@ object AstarteOpsQueries extends QueryPack {
           round(col("value"), 4).as("new_value"))
     }),
 
+    // J3 general form: as-of join via graft.operators.AsOfJoin (one
+    // shuffle, union + carry-forward — no range-join pair blowup).
+    // Right side: per-type thresholds effective from each day start;
+    // each event picks the latest threshold at or before its time.
+    "j3_asof_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          expr("ts div 1000000").as("ts_ms"), col("value"))
+      val thresholds = e
+        .withColumn("day_ms", expr("ts_ms div 86400000") * 86400000L)
+        .groupBy(col("event_type"), col("day_ms"))
+        .agg(avg(col("value")).as("threshold"))
+      val joined = graft.operators.AsOfJoin.join(
+        e, thresholds.withColumnRenamed("day_ms", "rts"),
+        keyCols = Seq("event_type"), leftTime = "ts_ms", rightTime = "rts",
+        rightVals = Seq("threshold"))
+      joined.select(col("event_id"), col("event_type"),
+        round(col("asof_threshold"), 4).as("threshold"),
+        (col("value") > col("asof_threshold")).as("above"))
+    }),
+
     // J4: introspection diff — full-outer join of old vs new announced
     // sets, classified ins/del/eq/changed (the Myers diff's effect).
     "j4_introspection_diff" -> ((s, d) => {
@@ -404,6 +425,19 @@ object AstarteOpsQueries extends QueryPack {
         |    PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev_value
         |  FROM events)
         |WHERE prev_value IS NOT NULL AND prev_value <> value""".stripMargin,
+    "j3_asof_join" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, epoch_ms(ts) AS ts_ms, value
+        |  FROM events),
+        |thresholds AS (
+        |  SELECT event_type, (ts_ms // 86400000) * 86400000 AS rts,
+        |    avg(value) AS threshold
+        |  FROM e GROUP BY 1, 2)
+        |SELECT e.event_id, e.event_type,
+        |  round(t.threshold, 4) AS threshold,
+        |  e.value > t.threshold AS above
+        |FROM e ASOF LEFT JOIN thresholds t
+        |  ON e.event_type = t.event_type AND e.ts_ms >= t.rts""".stripMargin,
     "j4_introspection_diff" ->
       """WITH old AS (
         |  SELECT user_id AS o_user, event_type AS o_type, count(*) AS o_n

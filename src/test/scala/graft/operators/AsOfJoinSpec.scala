@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class AsOfJoinSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("latest right value at or before each left time, per key") {
+    import spark.implicits._
+    val left = Seq(
+      ("k1", 5L, "a"), ("k1", 15L, "b"), ("k1", 25L, "c"),
+      ("k2", 10L, "d"), ("k3", 10L, "e") // k3 has no right rows
+    ).toDF("k", "t", "payload")
+    val right = Seq(
+      ("k1", 10L, 1.0), ("k1", 20L, 2.0), ("k2", 10L, 9.0)
+    ).toDF("k", "rt", "v")
+
+    val out = AsOfJoin.join(left, right,
+      keyCols = Seq("k"), leftTime = "t", rightTime = "rt",
+      rightVals = Seq("v"))
+      .collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[Long]("t"),
+        Option(r.getAs[Any]("asof_v"))))
+      .toSet
+
+    assert(out == Set(
+      ("k1", 5L, None),        // before any right row
+      ("k1", 15L, Some(1.0)),  // latest <= 15 is rt=10
+      ("k1", 25L, Some(2.0)),  // latest <= 25 is rt=20
+      ("k2", 10L, Some(9.0)),  // tie: rt == t counts (<=)
+      ("k3", 10L, None)))      // key with no right side
+  }
+
+  test("multiple carried columns and column preservation") {
+    import spark.implicits._
+    val left = Seq(("k", 10L, 42)).toDF("k", "t", "x")
+    val right = Seq(("k", 5L, 1.5, "cfg")).toDF("k", "rt", "v", "s")
+    val out = AsOfJoin.join(left, right, Seq("k"), "t", "rt", Seq("v", "s"))
+    val row = out.head()
+    assert(out.columns.toSeq == Seq("k", "t", "x", "asof_v", "asof_s"))
+    assert(row.getAs[Int]("x") == 42)
+    assert(row.getAs[Double]("asof_v") == 1.5)
+    assert(row.getAs[String]("asof_s") == "cfg")
+  }
+}
