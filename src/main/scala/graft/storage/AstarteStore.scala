@@ -212,6 +212,35 @@ final class AstarteStore(val root: String) {
   def deviceUpdates(spark: SparkSession): DataFrame =
     spark.read.parquet(devicesLogPath)
       .orderBy(col("device_id"), col("reception_timestamp"))
+
+  /** Dynamic per-interface object table (W4 read side, SURVEY §7.4
+    * risk 2): object rows are stored as deterministic JSON; this
+    * projects them into one typed `v_<leaf>` column per endpoint leaf
+    * using the registry's schema — so a minor-version bump (new leaf)
+    * is pure projection change, no data rewrite, and rows written
+    * before the bump read as NULL for the new column (the reference's
+    * NULL-avoidance: absent keys are absent, not tombstones).
+    */
+  def objectTable(
+      spark: SparkSession,
+      iface: InterfaceDescriptor,
+      mappings: Seq[Mapping]): DataFrame = {
+    val base = spark.read.parquet(s"$root/objects")
+      .filter(col("iface") === iface.name)
+    mappings.foldLeft(base) { (df, m) =>
+      val leaf = m.endpoint.substring(m.endpoint.lastIndexOf('/') + 1)
+      val raw = get_json_object(col("v_json"), s"$$.$leaf")
+      val typed = m.valueType match {
+        case AstarteValueType.ADouble => raw.cast("double")
+        case AstarteValueType.AInteger => raw.cast("int")
+        case AstarteValueType.ALongInteger => raw.cast("long")
+        case AstarteValueType.ABoolean => raw.cast("boolean")
+        case AstarteValueType.ADateTime => raw.cast("long")
+        case _ => raw // strings, blobs (hex), arrays stay as JSON text
+      }
+      df.withColumn(s"v_$leaf", typed)
+    }.drop("v_json")
+  }
 }
 
 /** BSON `{v: _}` extraction UDFs for the write path. Plain Scala UDFs

@@ -77,6 +77,28 @@ object IngestDemo {
       org.apache.spark.sql.functions.round(
         org.apache.spark.sql.functions.sum("double_value"), 2)).head().get(0)
 
+    // Object-aggregated mini-flow: one message per user carrying a
+    // flat object; read back through the registry-projected table.
+    val objIface = InterfaceDescriptor("com.bench.ObjectStream", 1, 0,
+      InterfaceType.Datastream, Ownership.Device, Aggregation.Object)
+    val objMappings = Seq(
+      Mapping(objIface.name, 1, "/etype", AString),
+      Mapping(objIface.name, 1, "/total", ADouble))
+    val objRegistry = Registry(Map(objIface.name -> objIface),
+      Map(objIface.name -> objMappings), Nil)
+    val objMsgs = events.groupBy("user_id", "event_type")
+      .agg(org.apache.spark.sql.functions.sum("value").as("total"))
+      .map { r =>
+        val uid = r.getAs[Long]("user_id")
+        val et = r.getAs[String]("event_type")
+        Envelope("bench", s"device-$uid", "data", objIface.name, "/",
+          Bson.encode(Seq("v" -> scala.collection.immutable.ListMap(
+            "etype" -> et, "total" -> r.getAs[Double]("total")))),
+          1000000000L + uid * 10000, "10.0.0.1", uid)
+      }
+    store.applyEffects(DeviceStateMachine.processBatch(objMsgs, objRegistry))
+    val objRows = store.objectTable(spark, objIface, objMappings).count()
+
     // Publish the event side-output through the sink (S7) and read back.
     val sink = new graft.events.EventSink(s"$root/events_topic")
     sink.publish(effects)
@@ -87,7 +109,7 @@ object IngestDemo {
     println("INGEST_DEMO " + byKind.map { case (k, n) => s"$k=$n" }.mkString(" ") +
       s" high_purchase_events=$nHigh appends=$nAppend" +
       s" stored_rows=$nStored stored_value_sum=$sumStored" +
-      s" published[$published]")
+      s" object_rows=$objRows published[$published]")
     spark.stop()
   }
 }

@@ -83,6 +83,40 @@ class AstarteStoreSpec extends AnyFunSuite {
     assert(afterCompact == Map("/time/from" -> 9L))
   }
 
+  test("object table: registry-projected columns, partial rows stay NULL") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-obj").toString
+    val store = new AstarteStore(root)
+    val obj = InterfaceDescriptor("com.example.TestObject", 1, 5,
+      InterfaceType.Datastream, Ownership.Device, Aggregation.Object)
+    val objMappings = Seq(
+      Mapping(obj.name, 1, "/string", AString),
+      Mapping(obj.name, 1, "/value", ADouble))
+    val reg = Registry(Map(obj.name -> obj), Map(obj.name -> objMappings), Nil)
+    val t0 = 15216455705950000L
+    def objMsg(v: Map[String, Any], off: Long) =
+      Envelope("r", "dev", "data", obj.name, "/",
+        Bson.encode(Seq("v" -> scala.collection.immutable.ListMap(v.toSeq.sortBy(_._1): _*))),
+        t0 + off * 10000, "ip", off)
+    // full row, then a partial row (only /value) — the fixture shape
+    val msgs = Seq(
+      objMsg(Map("string" -> "aaa", "value" -> 1.1), 1),
+      objMsg(Map("value" -> 2.2), 2)).toDS()
+    store.applyEffects(DeviceStateMachine.processBatch(msgs, reg))
+
+    val rows = store.objectTable(spark, obj, objMappings)
+      .orderBy("reception_timestamp").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[String]("v_string") == "aaa")
+    assert(rows(0).getAs[Double]("v_value") == 1.1)
+    assert(rows(1).isNullAt(rows(1).fieldIndex("v_string"))) // absent key → NULL
+    assert(rows(1).getAs[Double]("v_value") == 2.2)
+    // schema evolution: a minor bump adding a leaf is projection-only
+    val evolved = objMappings :+ Mapping(obj.name, 1, "/extra", ALongInteger)
+    val withNew = store.objectTable(spark, obj, evolved).collect()
+    assert(withNew.forall(_.isNullAt(withNew.head.fieldIndex("v_extra"))))
+  }
+
   test("replaying a batch of effects is harmless (effectively-once)") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-replay").toString
