@@ -183,6 +183,22 @@ final class AstarteStore(val root: String) {
       .select(col("device_id"), col("iface"), col("path"),
         (col("expiry_ms") - nowMs).as("ttl_remaining_ms"))
 
+  /** The reference's `is_still_valid?` clock tolerance: a path-index
+    * entry is treated as needing refresh when less than one hour of
+    * TTL remains (reference impl.ex:547-557) — the writer then
+    * re-upserts it instead of trusting a row that may expire between
+    * check and use.
+    */
+  val ClockToleranceMs: Long = 3600L * 1000L
+
+  /** Paths whose remaining TTL is inside the tolerance window: the
+    * set the ingest path must re-upsert on next touch.
+    */
+  def pathsNeedingRefresh(spark: SparkSession, nowMs: Long): DataFrame =
+    pathIndex.snapshot(spark)
+      .filter(col("expiry_ms") - nowMs < ClockToleranceMs)
+      .select(col("device_id"), col("iface"), col("path"), col("expiry_ms"))
+
   /** Retention sweep: drop expired path-index rows (the periodic
     * DELETE WHERE job standing in for storage-level TTL).
     */

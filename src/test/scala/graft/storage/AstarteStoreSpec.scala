@@ -154,6 +154,12 @@ class AstarteStoreSpec extends AnyFunSuite {
     // expiry = reception + 2.5 * 10s
     assert(ttl.head.getAs[Long]("ttl_remaining_ms") == 25000L)
 
+    // clock tolerance: only 25s of TTL remain at nowMs → flagged for
+    // refresh; checked 1h earlier (1h+25s of headroom) → not flagged
+    assert(store.pathsNeedingRefresh(spark, nowMs).count() == 1)
+    val earlier = nowMs - store.ClockToleranceMs
+    assert(store.pathsNeedingRefresh(spark, earlier).collect().isEmpty)
+
     // sweep at a time past expiry removes the row
     store.sweepExpiredPaths(spark, nowMs + 30000)
     assert(store.pathsFor(spark, stream.name).collect().isEmpty)
