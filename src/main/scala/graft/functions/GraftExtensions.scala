@@ -15,7 +15,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorDotProduct].getName, "vector_dot"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        VectorDotProduct(exprs.head, exprs(1))))
+      GraftFunctions.vectorDotBuilder))
   }
 }

@@ -86,8 +86,18 @@ case class VectorDotProduct(left: Expression, right: Expression)
   * SQL both resolve to the codegen'd expression.
   */
 object GraftFunctions {
+
+  /** Shared builder (also used by GraftExtensions) with a proper
+    * arity error instead of an index exception at plan time.
+    */
+  val vectorDotBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => VectorDotProduct(a, b)
+    case exprs => throw new IllegalArgumentException(
+      s"vector_dot requires exactly 2 arguments, got ${exprs.size}")
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vector_dot", exprs => VectorDotProduct(exprs.head, exprs(1)), "built-in")
+      "vector_dot", vectorDotBuilder, "built-in")
   }
 }

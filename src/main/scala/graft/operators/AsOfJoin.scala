@@ -34,36 +34,48 @@ object AsOfJoin {
       rightTime: String,
       rightVals: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    // side ordering: at equal times the right row sorts FIRST so a
-    // same-timestamp right value is visible to the left row (<=, not <)
-    val l = rightVals.foldLeft(
-        left.withColumn("__t", col(leftTime)).withColumn("__side", lit(1))) {
-        (df, c) => df.withColumn(s"__rv_$c", lit(null).cast(right.schema(c).dataType))
-      }
-    val r0 = right.withColumn("__t", col(rightTime)).withColumn("__side", lit(0))
-    val r = leftCols.foldLeft(
-        rightVals.foldLeft(r0)((df, c) => df.withColumn(s"__rv_$c", col(c)))) {
-        (df, c) => if (df.columns.contains(c)) df else
-          df.withColumn(c, lit(null).cast(left.schema(c).dataType))
-      }.select((keyCols ++ leftCols.filterNot(keyCols.contains))
-          .map(c => col(c)) ++
-        Seq(col("__t"), col("__side")) ++ rightVals.map(c => col(s"__rv_$c")): _*)
+    // Right columns outside key/time/values would collide with left
+    // columns through the union (type widening) — drop them up front.
+    val rightKept = right.select(
+      (keyCols ++ Seq(rightTime) ++ rightVals).distinct.map(col): _*)
 
-    val lAligned = l.select((keyCols ++ leftCols.filterNot(keyCols.contains))
-        .map(c => col(c)) ++
-      Seq(col("__t"), col("__side")) ++ rightVals.map(c => col(s"__rv_$c")): _*)
-
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__t"), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
-    val carried = rightVals.foldLeft(lAligned.unionByName(r)) { (df, c) =>
-      df.withColumn(s"__asof_$c", last(col(s"__rv_$c"), ignoreNulls = true).over(w))
+    // The carried payload is a single STRUCT of the right values: a
+    // matched right row whose values are all NULL still yields a
+    // non-null struct, so last(ignoreNulls) carries the matched row's
+    // NULLs instead of skipping back to an older row (true as-of
+    // semantics; DuckDB ASOF agrees).
+    val rvStruct = struct(rightVals.map(col): _*)
+    val rvType = {
+      val f = rightVals.map(c =>
+        org.apache.spark.sql.types.StructField(c, rightKept.schema(c).dataType))
+      org.apache.spark.sql.types.StructType(f)
     }
 
-    carried
+    // side ordering: at equal times the right row sorts FIRST so a
+    // same-timestamp right value is visible to the left row (<=, not <);
+    // ties among right rows break on the value struct (deterministic).
+    val l = left
+      .withColumn("__t", col(leftTime)).withColumn("__side", lit(1))
+      .withColumn("__rv", lit(null).cast(rvType))
+    val r = leftCols.foldLeft(
+        rightKept
+          .withColumn("__t", col(rightTime)).withColumn("__side", lit(0))
+          .withColumn("__rv", rvStruct)) {
+        (df, c) => if (df.columns.contains(c)) df else
+          df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+      }
+
+    val shape = (keyCols ++ leftCols.filterNot(keyCols.contains))
+      .map(c => col(c)) ++ Seq(col("__t"), col("__side"), col("__rv"))
+
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__t"), col("__side"), col("__rv"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    l.select(shape: _*).unionByName(r.select(shape: _*))
+      .withColumn("__asof", last(col("__rv"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1) // keep only left rows
       .select(leftCols.map(col) ++
-        rightVals.map(c => col(s"__asof_$c").as(s"asof_$c")): _*)
+        rightVals.map(c => col("__asof").getField(c).as(s"asof_$c")): _*)
   }
 }

@@ -122,6 +122,7 @@ object AnalyticsQueries extends QueryPack {
           when(col("vote") > 0, expr("shiftleft(1, bit)")).otherwise(0))
         .groupBy(col("doc_id"), col("lang"))
         .agg(sum(col("bit_val")).as("sig"))
+        .cache() // self-joined below: don't recompute the signature lineage per side
       val a = sigs.select(col("doc_id").as("doc_a"), col("lang"), col("sig").as("sig_a"))
       val b = sigs.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
         col("sig").as("sig_b"))
@@ -139,6 +140,7 @@ object AnalyticsQueries extends QueryPack {
         .filter(col("doc_id") < 50)
         .select(col("doc_id"),
           octet_length(encode(col("text"), "UTF-8")).as("byte_len"))
+        .filter(col("byte_len") > 0) // sequence(0,-1) throws on empty payloads
         .select(col("doc_id"),
           explode(expr("filter(sequence(0, byte_len - 1, 40), x -> (x div 40) % 3 = 0)"))
             .as("frame_offset"))
@@ -420,7 +422,7 @@ object AnalyticsQueries extends QueryPack {
     "mm_frame_sample" ->
       """WITH d AS (
         |  SELECT doc_id, octet_length(text::BLOB) AS byte_len
-        |  FROM documents WHERE doc_id < 50),
+        |  FROM documents WHERE doc_id < 50 AND octet_length(text::BLOB) > 0),
         |frames AS (
         |  SELECT doc_id,
         |    unnest(generate_series(0, byte_len - 1, 40)) AS frame_offset

@@ -58,9 +58,11 @@ object AstarteOpsQueries extends QueryPack {
     // vector-tested in PayloadCodecSpec.
     "f2_zlib_roundtrip" -> ((s, d) => {
       import org.apache.spark.sql.functions.udf
-      val deflate = udf((t: String) => graft.core.PayloadCodec.deflateProperties(t))
+      val deflate = udf((t: String) =>
+        Option(t).map(graft.core.PayloadCodec.deflateProperties))
       val inflateLen = udf((b: Array[Byte]) =>
-        graft.core.PayloadCodec.safeInflate(b.drop(4)).map(_.length))
+        Option(b).flatMap(bb =>
+          graft.core.PayloadCodec.safeInflate(bb.drop(4)).map(_.length)))
       Tables.documents(s, d)
         .withColumn("wire", deflate(col("text")))
         .select(col("doc_id"),

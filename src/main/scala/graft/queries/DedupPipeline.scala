@@ -71,6 +71,7 @@ object DedupPipeline extends QueryPack {
         .cache()
       var labels = edges.select(col("doc_a").as("doc_id")).distinct()
         .withColumn("cluster", col("doc_id"))
+      val intermediates = Seq.newBuilder[org.apache.spark.sql.DataFrame]
       for (_ <- 1 to 3) {
         val neighborMin = edges
           .join(labels.select(col("doc_id").as("doc_b"), col("cluster").as("nc")), Seq("doc_b"))
@@ -80,7 +81,15 @@ object DedupPipeline extends QueryPack {
           .select(col("doc_id"),
             least(col("cluster"), coalesce(col("min_nc"), col("cluster"))).as("cluster"))
           .cache()
+        intermediates += labels
       }
+      // materialize the final round, then release the working caches
+      // (the result itself is tiny and recomputes from the final
+      // cached round if its block is evicted)
+      labels.count()
+      sh.unpersist()
+      edges.unpersist()
+      intermediates.result().dropRight(1).foreach(_.unpersist())
       labels.orderBy(col("doc_id"))
     })
   )

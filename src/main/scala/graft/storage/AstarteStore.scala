@@ -211,22 +211,22 @@ final class AstarteStore(val root: String) {
   }
 
   /** Datastream read with replay tolerance: a re-applied micro-batch
-    * blind-appends identical rows, so the read drops duplicates on
-    * the full PK (device, iface, endpoint, path, value ts, reception
-    * ts+submillis) — this is what makes crash/redelivery harmless
-    * without a read-modify-write on the append path. Compaction can
-    * fold the physical duplicates away offline.
+    * blind-appends byte-identical rows, so the read drops exact
+    * duplicate rows (all columns — not just the PK, so two distinct
+    * events that pathologically collide on the timestamp PK are both
+    * kept deterministically rather than one being dropped at random).
+    * This makes crash/redelivery harmless without read-modify-write
+    * on the append path; compaction folds physical dupes offline.
     */
   def datastreams(spark: SparkSession): DataFrame =
-    spark.read.parquet(datastreamPath)
-      .dropDuplicates(Seq("device_id", "iface", "endpoint", "path",
-        "value_timestamp", "reception_timestamp", "reception_timestamp_submillis"))
+    spark.read.parquet(datastreamPath).dropDuplicates()
 
   /** Ordered device-update patch log (connects, disconnects, flags,
     * stats merges) for downstream folding into the device dimension.
     */
   def deviceUpdates(spark: SparkSession): DataFrame =
     spark.read.parquet(devicesLogPath)
+      .dropDuplicates() // replay tolerance, as in datastreams()
       .orderBy(col("device_id"), col("reception_timestamp"))
 
   /** Dynamic per-interface object table (W4 read side, SURVEY §7.4
@@ -243,6 +243,7 @@ final class AstarteStore(val root: String) {
       mappings: Seq[Mapping]): DataFrame = {
     val base = spark.read.parquet(s"$root/objects")
       .filter(col("iface") === iface.name)
+      .dropDuplicates() // replay tolerance, as in datastreams()
     mappings.foldLeft(base) { (df, m) =>
       val leaf = m.endpoint.substring(m.endpoint.lastIndexOf('/') + 1)
       val raw = get_json_object(col("v_json"), s"$$.$leaf")

@@ -37,6 +37,27 @@ class AsOfJoinSpec extends AnyFunSuite {
       ("k3", 10L, None)))      // key with no right side
   }
 
+  test("a matched right row with NULL value carries NULL, not an older value") {
+    import spark.implicits._
+    val left = Seq(("k", 25L)).toDF("k", "t")
+    val right = Seq(("k", 10L, Some(1.0)), ("k", 20L, None)).toDF("k", "rt", "v")
+    val out = AsOfJoin.join(left, right, Seq("k"), "t", "rt", Seq("v")).head()
+    // true as-of: the t=20 row matches; its NULL is the answer
+    assert(out.isNullAt(out.fieldIndex("asof_v")))
+  }
+
+  test("right rows tying on (key, time) resolve deterministically") {
+    import spark.implicits._
+    val left = Seq(("k", 15L)).toDF("k", "t")
+    val right = Seq(("k", 10L, 1.0), ("k", 10L, 2.0)).toDF("k", "rt", "v")
+    val results = (1 to 5).map { _ =>
+      AsOfJoin.join(left, right, Seq("k"), "t", "rt", Seq("v"))
+        .head().getAs[Double]("asof_v")
+    }
+    assert(results.distinct.size == 1)
+    assert(results.head == 2.0) // max value struct wins the tie
+  }
+
   test("multiple carried columns and column preservation") {
     import spark.implicits._
     val left = Seq(("k", 10L, 42)).toDF("k", "t", "x")
