@@ -179,20 +179,24 @@ object AstarteOpsQueries extends QueryPack {
     // Right side: per-type thresholds effective from each day start;
     // each event picks the latest threshold at or before its time.
     "j3_asof_join" -> ((s, d) => {
+      // values have 2-decimal granularity → integer cents keep every
+      // comparison and the emitted threshold exact across engines
+      // (a daily avg lands exactly on rounding boundaries otherwise).
       val e = Tables.events(s, d)
         .select(col("event_id"), col("event_type"),
-          expr("ts div 1000000").as("ts_ms"), col("value"))
+          expr("ts div 1000000").as("ts_ms"),
+          round(col("value") * 100).cast("long").as("cents"))
       val thresholds = e
-        .withColumn("day_ms", expr("ts_ms div 86400000") * 86400000L)
-        .groupBy(col("event_type"), col("day_ms"))
-        .agg(avg(col("value")).as("threshold"))
+        .withColumn("rts", expr("ts_ms div 86400000") * 86400000L)
+        .groupBy(col("event_type"), col("rts"))
+        .agg(sum(col("cents")).as("s_cents"), count(lit(1)).as("n"))
       val joined = graft.operators.AsOfJoin.join(
-        e, thresholds.withColumnRenamed("day_ms", "rts"),
+        e, thresholds,
         keyCols = Seq("event_type"), leftTime = "ts_ms", rightTime = "rts",
-        rightVals = Seq("threshold"))
+        rightVals = Seq("s_cents", "n"))
       joined.select(col("event_id"), col("event_type"),
-        round(col("asof_threshold"), 4).as("threshold"),
-        (col("value") > col("asof_threshold")).as("above"))
+        expr("(asof_s_cents * 100) div asof_n").as("threshold_bp"),
+        (col("cents") * col("asof_n") > col("asof_s_cents")).as("above"))
     }),
 
     // J4: introspection diff — full-outer join of old vs new announced
@@ -429,15 +433,16 @@ object AstarteOpsQueries extends QueryPack {
         |WHERE prev_value IS NOT NULL AND prev_value <> value""".stripMargin,
     "j3_asof_join" ->
       """WITH e AS (
-        |  SELECT event_id, event_type, epoch_ms(ts) AS ts_ms, value
+        |  SELECT event_id, event_type, epoch_ms(ts) AS ts_ms,
+        |    round(value * 100)::BIGINT AS cents
         |  FROM events),
         |thresholds AS (
         |  SELECT event_type, (ts_ms // 86400000) * 86400000 AS rts,
-        |    avg(value) AS threshold
+        |    sum(cents) AS s_cents, count(*) AS n
         |  FROM e GROUP BY 1, 2)
         |SELECT e.event_id, e.event_type,
-        |  round(t.threshold, 4) AS threshold,
-        |  e.value > t.threshold AS above
+        |  ((t.s_cents * 100) // t.n)::BIGINT AS threshold_bp,
+        |  e.cents * t.n > t.s_cents AS above
         |FROM e ASOF LEFT JOIN thresholds t
         |  ON e.event_type = t.event_type AND e.ts_ms >= t.rts""".stripMargin,
     "j4_introspection_diff" ->
