@@ -398,7 +398,7 @@ object AnalyticsQueries extends QueryPack {
         |  FROM t, (SELECT unnest(generate_series(0,15)) AS bit)
         |  GROUP BY doc_id, bit)
         |SELECT doc_id,
-        |  sum(CASE WHEN vote > 0 THEN 1 << bit ELSE 0 END) AS simhash
+        |  sum(CASE WHEN vote > 0 THEN 1 << bit ELSE 0 END)::BIGINT AS simhash
         |FROM votes GROUP BY doc_id""".stripMargin,
     "dd_simhash_pairs" ->
       """WITH t AS (
@@ -506,7 +506,7 @@ object AnalyticsQueries extends QueryPack {
         |  FROM f JOIN planes ON idx = dim
         |  GROUP BY 1, 2)
         |SELECT vec_id,
-        |  sum(CASE WHEN dot > 0 THEN 1 << plane::INT ELSE 0 END) AS bucket
+        |  sum(CASE WHEN dot > 0 THEN 1 << plane::INT ELSE 0 END)::BIGINT AS bucket
         |FROM dots GROUP BY vec_id""".stripMargin,
     "tx_langid" ->
       """WITH markers(m_lang, marker) AS (VALUES
@@ -554,8 +554,8 @@ object AnalyticsQueries extends QueryPack {
         |FROM scored""".stripMargin,
     "tx_bpe_pretokenize" ->
       """SELECT source,
-        |  sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+'))) AS pre_tokens,
-        |  sum(len(regexp_extract_all(text, '[0-9]+'))) AS num_tokens
+        |  sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+')))::BIGINT AS pre_tokens,
+        |  sum(len(regexp_extract_all(text, '[0-9]+')))::BIGINT AS num_tokens
         |FROM documents GROUP BY source""".stripMargin,
     "tx_token_count" ->
       """WITH t AS (

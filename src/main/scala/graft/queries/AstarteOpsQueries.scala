@@ -477,7 +477,7 @@ object AstarteOpsQueries extends QueryPack {
         |FROM events GROUP BY event_type""".stripMargin,
     "a2_exchanged_stats" ->
       """SELECT user_id, event_type, count(*) AS n_msgs,
-        |  sum(length(props) + length(event_type)) AS n_bytes
+        |  sum(length(props) + length(event_type))::BIGINT AS n_bytes
         |FROM events GROUP BY user_id, event_type""".stripMargin,
     "a5_collect_paths" ->
       """WITH d AS (SELECT DISTINCT user_id, event_type FROM events)

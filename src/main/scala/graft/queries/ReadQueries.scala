@@ -130,7 +130,7 @@ object ReadQueries extends QueryPack {
         |FROM events WHERE event_type = 'purchase'""".stripMargin,
     "r3_device_stats" ->
       """SELECT user_id, count(*) AS total_received_msgs,
-        |  sum(length(props)) AS total_received_bytes,
+        |  sum(length(props))::BIGINT AS total_received_bytes,
         |  count(DISTINCT event_type) AS n_interfaces
         |FROM events WHERE user_id = 7 GROUP BY user_id""".stripMargin,
     "r4_introspection_minors" ->

@@ -210,11 +210,11 @@ object RelationalQueries extends QueryPack {
         |GROUP BY user_id HAVING count(*) > 14""".stripMargin,
     "q_pivot" ->
       """SELECT user_id,
-        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
-        |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error,
+        |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup,
+        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view
         |FROM events GROUP BY user_id""".stripMargin,
     "w1_upsert_lastvalue" ->
       """SELECT user_id, event_type, round(value, 4) AS last_value,

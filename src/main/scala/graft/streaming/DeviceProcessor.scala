@@ -185,9 +185,16 @@ object DeviceProcessor {
                 fireIntrospectionEvent(env, registry, TriggerEventType.InterfaceRemoved,
                   "interface_removed", name, oldMaj, -1, receptionMs)
             case (Some(oldMaj), Some(maj)) if oldMaj != maj =>
-              // major upgrade: record previous version in old_introspection
-              fireIntrospectionEvent(env, registry, TriggerEventType.InterfaceAdded,
-                "interface_added", name, maj, newMinor.getOrElse(name, 0), receptionMs)
+              // Major change: the reference's Myers diff over
+              // (name, major) pairs yields del+ins, so both
+              // interface_removed (old major, with kv unregister for
+              // major 0) and interface_added fire (impl.ex:740-800).
+              kvRegister(env, name, oldMaj, receptionMs, register = false) ++
+                fireIntrospectionEvent(env, registry, TriggerEventType.InterfaceRemoved,
+                  "interface_removed", name, oldMaj, -1, receptionMs) ++
+                kvRegister(env, name, maj, receptionMs, register = true) ++
+                fireIntrospectionEvent(env, registry, TriggerEventType.InterfaceAdded,
+                  "interface_added", name, maj, newMinor.getOrElse(name, 0), receptionMs)
             case (Some(_), Some(maj)) =>
               val oldMin = state.introspectionMinor.getOrElse(name, 0)
               val newMin = newMinor.getOrElse(name, 0)
@@ -246,10 +253,19 @@ object DeviceProcessor {
       env: Envelope, name: String, major: Int, receptionMs: Long,
       register: Boolean): Seq[EffectRow] =
     if (major != 0) Nil // reference registers kv groups only for major 0
-    else Seq(EffectRow.blank("kv_store", env.realm, env.deviceId).copy(
-      iface = name, major = major, receptionMs = receptionMs,
-      detail = (if (register) "register:" else "unregister:") +
-        s"devices-by-interface-$name-v$major"))
+    else {
+      def row(group: String) =
+        EffectRow.blank("kv_store", env.realm, env.deviceId).copy(
+          iface = name, major = major, receptionMs = receptionMs,
+          detail = (if (register) "register:" else "unregister:") +
+            s"$group-$name-v$major")
+      // register inserts into both groups (queries.ex:599-637);
+      // unregister deletes only devices-by-interface (queries.ex:638-664).
+      if (register)
+        Seq(row("devices-by-interface"), row("devices-with-data-on-interface"))
+      else
+        Seq(row("devices-by-interface"))
+    }
 
   // --- data (SURVEY §3.1, the hot path) ----------------------------------
 
@@ -430,9 +446,21 @@ object DeviceProcessor {
                 .filter(n => k.startsWith(n + "/")).maxByOption(_.length)
               ifaceName.toSeq.flatMap { n =>
                 val path = k.substring(n.length)
-                val major = registry.interfaces(n).major
+                val desc = registry.interfaces(n)
+                val major = desc.major
+                // Resolve the mapping so the delete row carries the
+                // same (endpoint, valueTypeCode) key as the stored
+                // upsert — the reference deletes by endpoint_id
+                // (queries.ex:395, impl.ex:1373-1390); without it the
+                // tombstone lands in its own LwwTable partition and
+                // the prune never takes effect.
+                val mapping = PathMatcher.resolve(
+                  registry.mappingsOf(n), desc.aggregation, path)
                 val del = EffectRow.blank("property_unset", env.realm, env.deviceId)
-                  .copy(iface = n, major = major, path = path,
+                  .copy(iface = n, major = major,
+                    endpoint = mapping.map(_.endpoint).orNull,
+                    valueTypeCode = mapping.map(_.valueType.code).getOrElse(-1),
+                    path = path, prevBson = s.properties.get(k).orNull,
                     receptionMs = receptionMs, detail = "prune")
                 val evts = registry.triggersFor(TriggerEventType.PathRemoved)
                   .filter(_.matchesDataEvent(n, major, path, null))

@@ -67,12 +67,35 @@ def main(sf_dir, out_dir):
             print(f"  [rows-only] {name}: rows={t.num_rows}")
             continue
         try:
-            res = con.execute(oracle[name])
-            duck_cols = [d[0] for d in res.description]
-            duck_rows = res.fetchall()
+            atbl = con.execute(oracle[name]).arrow()
+            duck_cols = list(atbl.column_names)
+            duck_rows = list(zip(*[atbl.column(c).to_pylist() for c in duck_cols])) if duck_cols else []
         except Exception as e:
             n_fail += 1
             print(f"  [FAIL-sql ] {name}: oracle error: {e}")
+            continue
+        # Type-family audit: the driver's gate materializes DuckDB
+        # HUGEINT/DECIMAL as non-int (r1: 6 queries failed only on
+        # this), so an int64-vs-decimal column is a hard failure even
+        # when the values stringify identically here.
+        def fam(t):
+            t = str(t)
+            if "decimal" in t:
+                return "decimal"
+            if t.startswith(("int", "uint")):
+                return "int"
+            if t in ("float", "double", "halffloat", "float32", "float64"):
+                return "float"
+            return t
+        spark_fams = {f.name: fam(f.type) for f in t.schema}
+        fam_bad = [
+            f"{f.name}(spark={spark_fams.get(f.name)},duck={fam(f.type)})"
+            for f in atbl.schema
+            if f.name in spark_fams and spark_fams[f.name] != fam(f.type)
+        ]
+        if fam_bad:
+            n_fail += 1
+            print(f"  [FAIL-type] {name}: {', '.join(fam_bad)}")
             continue
         ok_rows = len(duck_rows) == len(spark_rows)
         ok_cols = sorted(duck_cols) == sorted(spark_cols)
