@@ -78,7 +78,8 @@ object PayloadCodec {
       val chunk = new Array[Byte](65536)
       while (!inflater.finished()) {
         val n = inflater.inflate(chunk)
-        if (n == 0 && inflater.needsInput()) return None // truncated
+        if (n == 0 && !inflater.finished() && inflater.needsInput())
+          return None // truncated (empty-content streams finish with n == 0)
         out.write(chunk, 0, n)
         if (out.size() > cap) return None // bomb
       }

@@ -300,6 +300,25 @@ object AstarteOpsQueries extends QueryPack {
           col("last_seen_ms"), col("expiry_ms"))
     }),
 
+    // W5 unconditional upsert: the path index covers EVERY datastream
+    // path — retention (here: only 'click' mappings have it) adds an
+    // expiry; no-retention paths carry NULL expiry and never lapse.
+    // Survivors: null-expiry paths + retained paths still inside TTL.
+    "w5_paths_all" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val retentionMs = 86400L * 1000L // 1 day
+      val ttlMs = retentionMs * 2 + retentionMs / 2
+      val maxTs = e.agg(max(expr("ts div 1000000")).as("m"))
+      e.groupBy(col("user_id"), col("event_type"))
+        .agg(max(expr("ts div 1000000")).as("last_seen_ms"))
+        .withColumn("expiry_ms",
+          when(col("event_type") === "click", col("last_seen_ms") + lit(ttlMs)))
+        .crossJoin(broadcast(maxTs))
+        .filter(col("expiry_ms").isNull || col("expiry_ms") > col("m"))
+        .select(col("user_id"), col("event_type"),
+          col("last_seen_ms"), col("expiry_ms"))
+    }),
+
     // W9/A3: introspection maps — per device, deterministic
     // "iface:count" map rendering (sorted entries).
     "w9_introspection_maps" -> ((s, d) => {
@@ -500,6 +519,16 @@ object AstarteOpsQueries extends QueryPack {
         |SELECT user_id, event_type, last_seen_ms,
         |  last_seen_ms + 216000000 AS expiry_ms
         |FROM idx, m WHERE last_seen_ms + 216000000 > m""".stripMargin,
+    "w5_paths_all" ->
+      """WITH idx AS (
+        |  SELECT user_id, event_type, max(epoch_ms(ts)) AS last_seen_ms
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT max(epoch_ms(ts)) AS m FROM events)
+        |SELECT user_id, event_type, last_seen_ms,
+        |  CASE WHEN event_type = 'click'
+        |       THEN last_seen_ms + 216000000 END AS expiry_ms
+        |FROM idx, m
+        |WHERE event_type <> 'click' OR last_seen_ms + 216000000 > m""".stripMargin,
     "w9_introspection_maps" ->
       """WITH c AS (
         |  SELECT user_id, event_type || ':' || count(*) AS entry

@@ -109,7 +109,11 @@ final class AstarteStore(val root: String) {
             col("endpoint"), col("path"),
             col("valueTimestampMs").as("value_timestamp"),
             col("receptionMs").as("reception_timestamp"),
-            col("submillis").as("reception_timestamp_submillis")) ++
+            col("submillis").as("reception_timestamp_submillis"),
+            // W3 retention: nullable expiry, the reference's value-row
+            // `USING TTL` (queries.ex:157-197); swept by sweepRetention.
+            regexp_extract(col("detail"), "expiry_ms:(\\d+)", 1).cast("long")
+              .as("expiry_ms")) ++
             typedColumnNames.map(col): _*)
           .write.mode("append").partitionBy("iface").parquet(datastreamPath)
       }
@@ -124,6 +128,8 @@ final class AstarteStore(val root: String) {
             col("valueTimestampMs").as("value_timestamp"),
             col("receptionMs").as("reception_timestamp"),
             col("submillis").as("reception_timestamp_submillis"),
+            regexp_extract(col("detail"), "expiry_ms:(\\d+)", 1).cast("long")
+              .as("expiry_ms"),
             BsonValueUdfs.objectJsonUdf(col("valueBson")).as("v_json"))
           .write.mode("append").partitionBy("iface").parquet(s"$root/objects")
       }
@@ -132,6 +138,7 @@ final class AstarteStore(val root: String) {
       if (!updates.isEmpty) {
         updates.select(col("deviceId").as("device_id"),
             col("receptionMs").as("reception_timestamp"),
+            col("submillis").as("reception_timestamp_submillis"),
             col("detail").as("update_json"))
           .write.mode("append").parquet(devicesLogPath)
       }
@@ -210,6 +217,46 @@ final class AstarteStore(val root: String) {
     expired.write.mode("append").parquet(pathIndex.path)
   }
 
+  /** General retention sweep (W3+W5): drop expired path-index rows and
+    * physically remove value rows whose `expiry_ms` passed — the
+    * periodic compaction standing in for Cassandra's storage-level
+    * TTL. Rows with null expiry (no retention) are never touched.
+    */
+  def sweepRetention(spark: SparkSession, nowMs: Long): Unit = {
+    sweepExpiredPaths(spark, nowMs)
+    sweepAppendTable(spark, datastreamPath, nowMs)
+    sweepAppendTable(spark, s"$root/objects", nowMs)
+  }
+
+  /** Rewrite an append table keeping only live rows, via tmp dir +
+    * rename. At 100 TB, run this per iface partition directory so a
+    * sweep touches only interfaces that have retention configured —
+    * the partition layout makes that a directory-pruned rewrite.
+    */
+  private def sweepAppendTable(spark: SparkSession, path: String, nowMs: Long): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val hpath = new HPath(path)
+    val fs = hpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hpath)) return
+    val df = spark.read.parquet(path)
+    if (!df.columns.contains("expiry_ms")) return
+    val live = df.filter(col("expiry_ms").isNull || col("expiry_ms") > nowMs)
+    val tmp = new HPath(path + ".sweep.tmp")
+    live.write.mode("overwrite").partitionBy("iface").parquet(tmp.toString)
+    fs.delete(hpath, true)
+    fs.rename(tmp, hpath)
+  }
+
+  /** Datastream read as of `nowMs`: retention-expired rows are
+    * invisible even before a sweep ran (Cassandra TTL read semantics).
+    */
+  def datastreams(spark: SparkSession, nowMs: Long): DataFrame = {
+    val df = datastreams(spark)
+    if (df.columns.contains("expiry_ms"))
+      df.filter(col("expiry_ms").isNull || col("expiry_ms") > nowMs)
+    else df
+  }
+
   /** Datastream read with replay tolerance: a re-applied micro-batch
     * blind-appends byte-identical rows, so the read drops exact
     * duplicate rows (all columns — not just the PK, so two distinct
@@ -227,7 +274,78 @@ final class AstarteStore(val root: String) {
   def deviceUpdates(spark: SparkSession): DataFrame =
     spark.read.parquet(devicesLogPath)
       .dropDuplicates() // replay tolerance, as in datastreams()
-      .orderBy(col("device_id"), col("reception_timestamp"))
+      .orderBy(col("device_id"), col("reception_timestamp"),
+        col("reception_timestamp_submillis"))
+
+  /** The folded `devices` dimension (SURVEY §1.5 #1): one row per
+    * device from the JSON patch log, applied in reception order — the
+    * reference's single-row-per-device table with map counters
+    * (queries.ex:412-510). One shuffle on device_id; the fold per key
+    * is linear and state-bounded, so it holds at any device count.
+    */
+  def devicesSnapshot(spark: SparkSession): Dataset[DeviceRow] = {
+    import spark.implicits._
+    val hpath = new org.apache.hadoop.fs.Path(devicesLogPath)
+    val fs = hpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hpath)) return spark.emptyDataset[DeviceRow]
+    val log = spark.read.parquet(devicesLogPath)
+      .dropDuplicates()
+      .select(col("device_id").as("_1"), col("reception_timestamp").as("_2"),
+        col("reception_timestamp_submillis").as("_3"), col("update_json").as("_4"))
+      .as[(String, Long, Int, String)]
+    log.groupByKey(_._1).mapGroups { (dev, it) =>
+      DeviceRow.fold(dev, it.map(t => (t._2, t._3, t._4)))
+    }
+  }
+
+  /** ST8 bootstrap: per-device session state rebuilt from the store —
+    * the reference loads stats + introspection + properties on a
+    * device's first message (impl.ex:50-87). Feed the result into
+    * [[graft.streaming.DeviceStateMachine.processStreamWithInit]] (or
+    * `processBatch(initialStates = ...)`) so a cold state store resumes
+    * exactly where the last run stopped.
+    */
+  def initialSessionStates(
+      spark: SparkSession,
+      realm: String): Dataset[((String, String), graft.streaming.DeviceSessionState)] = {
+    import spark.implicits._
+    import graft.streaming.DeviceSessionState
+    val realmName = realm
+    val devs = devicesSnapshot(spark)
+    // properties snapshot → per-device "iface/path" -> BSON {v} map,
+    // re-encoded from the typed columns
+    val propRows = properties.snapshot(spark)
+      .select(Seq(col("device_id"), col("iface"), col("path")) ++
+        typedColumnNames.map(col): _*)
+    val propsByDev = propRows
+      .map { r =>
+        val bson = PropertyReencode.toBson(r)
+        (r.getAs[String]("device_id"),
+          r.getAs[String]("iface") + r.getAs[String]("path"), bson)
+      }
+      .groupByKey(_._1)
+      .mapGroups((dev, it) => dev -> it.map(t => t._2 -> t._3).toMap)
+    devs.groupByKey(_.device_id)
+      .cogroup(propsByDev.groupByKey(_._1)) { (dev, ds, ps) =>
+        val row = ds.toSeq.headOption
+        val props = ps.toSeq.headOption.map(_._2).getOrElse(Map.empty[String, Array[Byte]])
+        val st = row match {
+          case Some(r) => DeviceSessionState(
+            connected = r.connected,
+            introspection = r.introspection,
+            introspectionMinor = r.introspection_minor,
+            oldIntrospection = Map.empty,
+            totalReceivedMsgs = r.total_received_msgs,
+            totalReceivedBytes = r.total_received_bytes,
+            interfaceMsgs = r.exchanged_msgs_by_interface,
+            interfaceBytes = r.exchanged_bytes_by_interface,
+            properties = props,
+            pendingEmptyCache = r.pending_empty_cache)
+          case None => DeviceSessionState.empty.copy(properties = props)
+        }
+        Iterator(((realmName, dev), st))
+      }
+  }
 
   /** Dynamic per-interface object table (W4 read side, SURVEY §7.4
     * risk 2): object rows are stored as deterministic JSON; this
@@ -257,6 +375,100 @@ final class AstarteStore(val root: String) {
       }
       df.withColumn(s"v_$leaf", typed)
     }.drop("v_json")
+  }
+}
+
+/** One folded device row (reference `devices` table,
+  * database_test_helper.exs:39-64): connection/disconnection columns,
+  * lifetime totals, introspection maps and per-(interface,major)
+  * exchanged counters. `last_connection`/`last_disconnection` are -1
+  * until the first connect/disconnect lands.
+  */
+final case class DeviceRow(
+    device_id: String,
+    connected: Boolean,
+    last_connection: Long,
+    last_disconnection: Long,
+    last_seen_ip: String,
+    pending_empty_cache: Boolean,
+    total_received_msgs: Long,
+    total_received_bytes: Long,
+    introspection: Map[String, Int],
+    introspection_minor: Map[String, Int],
+    exchanged_msgs_by_interface: Map[String, Long],
+    exchanged_bytes_by_interface: Map[String, Long])
+
+object DeviceRow {
+  private val LongField = """"(total_received_msgs|total_received_bytes)":(\d+)""".r
+  private val IpField = """"last_seen_ip":"([^"]*)"""".r
+  private val PairEntry = """"([^"]+)":\[(\d+),(\d+)\]""".r
+
+  private def pairMap(json: String, key: String): Option[Map[String, (Long, Long)]] = {
+    val marker = "\"" + key + "\":{"
+    val at = json.indexOf(marker)
+    if (at < 0) None
+    else {
+      val body = json.substring(at + marker.length, json.indexOf('}', at))
+      Some(PairEntry.findAllMatchIn(body)
+        .map(m => m.group(1) -> (m.group(2).toLong, m.group(3).toLong)).toMap)
+    }
+  }
+
+  /** Apply the patch log in (reception, submillis) order. Patches are
+    * the deterministic JSON shapes DeviceProcessor emits — connect,
+    * disconnect+stats flush, introspection replace, empty-cache flag.
+    */
+  def fold(deviceId: String, patches: Iterator[(Long, Int, String)]): DeviceRow = {
+    var r = DeviceRow(deviceId, connected = false, -1L, -1L, null,
+      pending_empty_cache = false, 0L, 0L, Map.empty, Map.empty, Map.empty, Map.empty)
+    patches.toSeq.sortBy(p => (p._1, p._2)).foreach { case (tsMs, _, json) =>
+      if (json.contains("\"connected\":true"))
+        r = r.copy(connected = true, last_connection = tsMs,
+          last_seen_ip = IpField.findFirstMatchIn(json).map(_.group(1)).getOrElse(r.last_seen_ip))
+      if (json.contains("\"connected\":false"))
+        r = r.copy(connected = false, last_disconnection = tsMs)
+      LongField.findAllMatchIn(json).foreach { m =>
+        if (m.group(1) == "total_received_msgs") r = r.copy(total_received_msgs = m.group(2).toLong)
+        else r = r.copy(total_received_bytes = m.group(2).toLong)
+      }
+      pairMap(json, "introspection").foreach { m =>
+        r = r.copy(
+          introspection = m.map { case (k, v) => k -> v._1.toInt },
+          introspection_minor = m.map { case (k, v) => k -> v._2.toInt })
+      }
+      pairMap(json, "exchanged").foreach { m =>
+        r = r.copy(
+          exchanged_msgs_by_interface = m.map { case (k, v) => k -> v._1 },
+          exchanged_bytes_by_interface = m.map { case (k, v) => k -> v._2 })
+      }
+      if (json.contains("\"pending_empty_cache\":true")) r = r.copy(pending_empty_cache = true)
+      if (json.contains("\"pending_empty_cache\":false")) r = r.copy(pending_empty_cache = false)
+    }
+    r
+  }
+}
+
+/** Re-encode a sparse typed property row back into the BSON `{v: _}`
+  * session-state form — the inverse of [[BsonValueUdfs]], used by the
+  * ST8 bootstrap.
+  */
+object PropertyReencode {
+  import graft.core.{AstarteValueType, Bson}
+
+  def toBson(r: org.apache.spark.sql.Row): Array[Byte] = {
+    val value: Any = AstarteValueType.all.iterator.map { t =>
+      val i = r.fieldIndex(t.columnName)
+      if (r.isNullAt(i)) null
+      else t match {
+        case AstarteValueType.ADateTime =>
+          java.time.Instant.ofEpochMilli(r.getLong(i))
+        case AstarteValueType.ADateTimeArray =>
+          r.getSeq[Long](i).map(java.time.Instant.ofEpochMilli)
+        case _ if t.isArray => r.getSeq[Any](i)
+        case _ => r.get(i)
+      }
+    }.find(_ != null).orNull
+    Bson.encode(Seq("v" -> value))
   }
 }
 

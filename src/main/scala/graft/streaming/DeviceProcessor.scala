@@ -104,11 +104,11 @@ object DeviceProcessor {
     val (receptionMs, submillis) =
       PayloadCodec.splitReceptionTimestamp(env.receptionDecimicros)
     env.msgType match {
-      case "connection" => handleConnection(state, env, registry, receptionMs)
-      case "disconnection" => handleDisconnection(state, env, registry, receptionMs)
-      case "introspection" => handleIntrospection(state, env, registry, receptionMs)
+      case "connection" => handleConnection(state, env, registry, receptionMs, submillis)
+      case "disconnection" => handleDisconnection(state, env, registry, receptionMs, submillis)
+      case "introspection" => handleIntrospection(state, env, registry, receptionMs, submillis)
       case "data" => handleData(state, env, registry, receptionMs, submillis)
-      case "control" => handleControl(state, env, registry, receptionMs)
+      case "control" => handleControl(state, env, registry, receptionMs, submillis)
       case other =>
         (bumpStats(state, env), Seq(error(env, receptionMs, s"unexpected_msg_type:$other")))
     }
@@ -118,9 +118,9 @@ object DeviceProcessor {
 
   private def handleConnection(
       state: DeviceSessionState, env: Envelope, registry: Registry,
-      receptionMs: Long): (DeviceSessionState, Seq[EffectRow]) = {
+      receptionMs: Long, submillis: Int): (DeviceSessionState, Seq[EffectRow]) = {
     val update = EffectRow.blank("device_update", env.realm, env.deviceId)
-      .copy(receptionMs = receptionMs,
+      .copy(receptionMs = receptionMs, submillis = submillis,
         detail = s"""{"connected":true,"last_seen_ip":"${env.ipAddress}"}""")
     val events = deviceTriggers(TriggerEventType.DeviceConnected, env, registry).map { t =>
       EffectRow.blank("event", env.realm, env.deviceId).copy(
@@ -132,14 +132,14 @@ object DeviceProcessor {
 
   private def handleDisconnection(
       state: DeviceSessionState, env: Envelope, registry: Registry,
-      receptionMs: Long): (DeviceSessionState, Seq[EffectRow]) = {
+      receptionMs: Long, submillis: Int): (DeviceSessionState, Seq[EffectRow]) = {
     val s = bumpStats(state, env)
     // Flush session stats on disconnect (reference W8/ST8).
     val statsJson = s.interfaceMsgs.toSeq.sorted
       .map { case (k, v) => s""""$k":[$v,${s.interfaceBytes.getOrElse(k, 0L)}]""" }
       .mkString("{", ",", "}")
     val update = EffectRow.blank("device_update", env.realm, env.deviceId)
-      .copy(receptionMs = receptionMs,
+      .copy(receptionMs = receptionMs, submillis = submillis,
         detail = s"""{"connected":false,"total_received_msgs":${s.totalReceivedMsgs},""" +
           s""""total_received_bytes":${s.totalReceivedBytes},"exchanged":$statsJson}""")
     val events = deviceTriggers(TriggerEventType.DeviceDisconnected, env, registry).map { t =>
@@ -154,11 +154,11 @@ object DeviceProcessor {
 
   private def handleIntrospection(
       state: DeviceSessionState, env: Envelope, registry: Registry,
-      receptionMs: Long): (DeviceSessionState, Seq[EffectRow]) = {
+      receptionMs: Long, submillis: Int): (DeviceSessionState, Seq[EffectRow]) = {
     val text = new String(env.payload, java.nio.charset.StandardCharsets.UTF_8)
     PayloadCodec.parseIntrospection(text) match {
       case None =>
-        askCleanSession(bumpStats(state, env), env, receptionMs, "invalid_introspection")
+        askCleanSession(bumpStats(state, env), env, receptionMs, "invalid_introspection", submillis)
       case Some(entries) =>
         val s0 = bumpStats(state, env)
         val newMajor = entries.map(e => e.interfaceName -> e.major).toMap
@@ -218,7 +218,7 @@ object DeviceProcessor {
         }.toMap
 
         val introUpdate = EffectRow.blank("device_update", env.realm, env.deviceId)
-          .copy(receptionMs = receptionMs,
+          .copy(receptionMs = receptionMs, submillis = submillis,
             detail = entries.sortBy(_.interfaceName)
               .map(e => s""""${e.interfaceName}":[${e.major},${e.minor}]""")
               .mkString("{\"introspection\":{", ",", "}}"))
@@ -272,23 +272,27 @@ object DeviceProcessor {
   private def handleData(
       state: DeviceSessionState, env: Envelope, registry: Registry,
       receptionMs: Long, submillis: Int): (DeviceSessionState, Seq[EffectRow]) = {
-    val s = bumpStats(state, env, countInterface = true)
+    // Totals bump up front; per-interface counters only on the success
+    // paths (the reference calls update_stats with major=nil on every
+    // error branch, which skips the interface bump — impl.ex:462-523,
+    // 634-638).
+    val s = bumpStats(state, env)
 
     // validate_path → interface lookup → ownership → resolve → decode
     // → type check, each failing to the clean-session error path (ST6).
     if (!PathMatcher.isValidPath(env.path))
-      return askCleanSession(s, env, receptionMs, "invalid_path")
+      return askCleanSession(s, env, receptionMs, "invalid_path", submillis)
 
     registry.descriptor(env.iface) match {
-      case None => askCleanSession(s, env, receptionMs, "interface_loading_failed")
+      case None => askCleanSession(s, env, receptionMs, "interface_loading_failed", submillis)
       case Some(iface) if iface.ownership == Ownership.Server =>
-        askCleanSession(s, env, receptionMs, "cannot_write_on_server_owned_interface")
+        askCleanSession(s, env, receptionMs, "cannot_write_on_server_owned_interface", submillis)
       case Some(iface) =>
         PathMatcher.resolve(registry.mappingsOf(env.iface), iface.aggregation, env.path) match {
-          case None => askCleanSession(s, env, receptionMs, "mapping_not_found")
+          case None => askCleanSession(s, env, receptionMs, "mapping_not_found", submillis)
           case Some(mapping) =>
             PayloadCodec.decodePayload(env.payload) match {
-              case None => askCleanSession(s, env, receptionMs, "undecodable_bson_payload")
+              case None => askCleanSession(s, env, receptionMs, "undecodable_bson_payload", submillis)
               case Some(decoded) =>
                 val valueTsMs = decoded.timestamp
                   .filter(_ => mapping.explicitTimestamp)
@@ -296,7 +300,7 @@ object DeviceProcessor {
                 if (decoded.value == null)
                   handleUnset(s, env, registry, iface, mapping, receptionMs, submillis)
                 else if (!TypeChecker.validates(decoded.value, mapping, iface, registry))
-                  askCleanSession(s, env, receptionMs, "unexpected_value_type")
+                  askCleanSession(s, env, receptionMs, "unexpected_value_type", submillis)
                 else
                   handleValue(s, env, registry, iface, mapping, decoded.value,
                     valueTsMs, receptionMs, submillis)
@@ -344,19 +348,34 @@ object DeviceProcessor {
       else {
         val kind = if (iface.aggregation == Aggregation.Object) "object_append"
                    else "datastream_append"
+        // W3 retention: datastream/object value rows carry their own
+        // expiry when the mapping has retention configured — the
+        // reference's `USING TTL retention` on the value insert
+        // (queries.ex:157-197, impl.ex:438); no retention → no expiry.
+        val retention =
+          if (mapping.expirySeconds > 0)
+            s"expiry_ms:${receptionMs + mapping.expirySeconds.toLong * 1000L}"
+          else null
         EffectRow(kind, env.realm, env.deviceId, env.iface,
           iface.major, mapping.endpoint, env.path, mapping.valueType.code,
-          bson, null, valueTsMs, receptionMs, submillis, null, null, null)
+          bson, null, valueTsMs, receptionMs, submillis, null, null, retention)
       }
 
-    // Datastream path-index upsert with TTL (W5): expiry 2.5×retention.
+    // Datastream path-index upsert (W5): emitted for EVERY individual/
+    // object datastream value (reference impl.ex:386-421) — retention
+    // only adds the expiry, at 2.5× like path_ttl (impl.ex:527-533);
+    // no retention → expiry stays null and the row never expires.
     val pathIndex =
-      if (!isProperty && mapping.expirySeconds > 0) {
-        val ttlMs = mapping.expirySeconds.toLong * 1000L * 5 / 2
+      if (!isProperty) {
+        val detail =
+          if (mapping.expirySeconds > 0) {
+            val ttlMs = mapping.expirySeconds.toLong * 1000L * 5 / 2
+            s"expiry_ms:${receptionMs + ttlMs}"
+          } else null
         Seq(EffectRow.blank("path_index", env.realm, env.deviceId).copy(
           iface = env.iface, major = iface.major, path = env.path,
           valueTimestampMs = valueTsMs, receptionMs = receptionMs,
-          detail = s"expiry_ms:${receptionMs + ttlMs}"))
+          detail = detail))
       } else Nil
 
     // value_change_applied fires AFTER the write.
@@ -370,7 +389,8 @@ object DeviceProcessor {
     val s1 =
       if (isProperty) state.copy(properties = state.properties + (propKey -> bson))
       else state
-    (s1, incoming ++ preEvents ++ Seq(write) ++ pathIndex ++ postEvents)
+    (bumpIfaceStats(s1, env, iface.major),
+      incoming ++ preEvents ++ Seq(write) ++ pathIndex ++ postEvents)
   }
 
   private def handleUnset(
@@ -378,9 +398,9 @@ object DeviceProcessor {
       iface: InterfaceDescriptor, mapping: Mapping,
       receptionMs: Long, submillis: Int): (DeviceSessionState, Seq[EffectRow]) = {
     if (iface.interfaceType != InterfaceType.Properties)
-      return askCleanSession(state, env, receptionMs, "unset_on_datastream")
+      return askCleanSession(state, env, receptionMs, "unset_on_datastream", submillis)
     if (!mapping.allowUnset)
-      return askCleanSession(state, env, receptionMs, "unset_not_allowed")
+      return askCleanSession(state, env, receptionMs, "unset_not_allowed", submillis)
     val propKey = env.iface + env.path
     val removed = registry.triggersFor(TriggerEventType.PathRemoved)
       .filter(_.matchesDataEvent(env.iface, iface.major, env.path, null))
@@ -389,14 +409,15 @@ object DeviceProcessor {
       iface.major, mapping.endpoint, env.path, mapping.valueType.code,
       null, state.properties.get(propKey).orNull,
       -1L, receptionMs, submillis, null, null, null)
-    (state.copy(properties = state.properties - propKey), del +: removed)
+    (bumpIfaceStats(state.copy(properties = state.properties - propKey),
+      env, iface.major), del +: removed)
   }
 
   // --- control ------------------------------------------------------------
 
   private def handleControl(
       state: DeviceSessionState, env: Envelope, registry: Registry,
-      receptionMs: Long): (DeviceSessionState, Seq[EffectRow]) = {
+      receptionMs: Long, submillis: Int): (DeviceSessionState, Seq[EffectRow]) = {
     val s = bumpStats(state, env)
     env.path match {
       case "/emptyCache" =>
@@ -426,14 +447,15 @@ object DeviceProcessor {
           valueBson = PayloadCodec.deflateProperties(serverPaths.mkString(";")),
           receptionMs = receptionMs, detail = "consumer_properties")
         val clear = EffectRow.blank("device_update", env.realm, env.deviceId).copy(
-          receptionMs = receptionMs, detail = """{"pending_empty_cache":false}""")
+          receptionMs = receptionMs, submillis = submillis,
+          detail = """{"pending_empty_cache":false}""")
         (s.copy(pendingEmptyCache = false), resend ++ Seq(digest, clear))
 
       case "/producer/properties" =>
         // Property prune (J5): delete stored device-owned property
         // paths not in the announced set; fire path_removed for each.
         PayloadCodec.parseDeviceProperties(env.payload, s.introspection.keySet) match {
-          case None => askCleanSession(s, env, receptionMs, "invalid_properties_payload")
+          case None => askCleanSession(s, env, receptionMs, "invalid_properties_payload", submillis)
           case Some(announced) =>
             val announcedKeys = announced.map { case (i, p) => i + p }
             val deviceOwnedProps = s.properties.keys.filter { k =>
@@ -454,20 +476,31 @@ object DeviceProcessor {
                 // (queries.ex:395, impl.ex:1373-1390); without it the
                 // tombstone lands in its own LwwTable partition and
                 // the prune never takes effect.
-                val mapping = PathMatcher.resolve(
-                  registry.mappingsOf(n), desc.aggregation, path)
-                val del = EffectRow.blank("property_unset", env.realm, env.deviceId)
-                  .copy(iface = n, major = major,
-                    endpoint = mapping.map(_.endpoint).orNull,
-                    valueTypeCode = mapping.map(_.valueType.code).getOrElse(-1),
-                    path = path, prevBson = s.properties.get(k).orNull,
-                    receptionMs = receptionMs, detail = "prune")
-                val evts = registry.triggersFor(TriggerEventType.PathRemoved)
-                  .filter(_.matchesDataEvent(n, major, path, null))
-                  .map(t => EffectRow.blank("event", env.realm, env.deviceId).copy(
-                    eventType = "path_removed", iface = n, path = path,
-                    target = t.targets.mkString(","), receptionMs = receptionMs))
-                del +: evts
+                PathMatcher.resolve(
+                    registry.mappingsOf(n), desc.aggregation, path) match {
+                  case None =>
+                    // A stored path that no longer resolves would make
+                    // a dead tombstone (endpoint=null misses the stored
+                    // row); the reference hard-fails here — surface it.
+                    Seq(error(env, receptionMs, s"prune_mapping_not_found:$n$path"))
+                  case Some(mapping) =>
+                    // Tombstone carries the envelope's submillis: LWW
+                    // orders on (reception_timestamp, submillis), so a
+                    // -1 here would lose to a same-millisecond upsert.
+                    val del = EffectRow.blank("property_unset", env.realm, env.deviceId)
+                      .copy(iface = n, major = major,
+                        endpoint = mapping.endpoint,
+                        valueTypeCode = mapping.valueType.code,
+                        path = path, prevBson = s.properties.get(k).orNull,
+                        receptionMs = receptionMs, submillis = submillis,
+                        detail = "prune")
+                    val evts = registry.triggersFor(TriggerEventType.PathRemoved)
+                      .filter(_.matchesDataEvent(n, major, path, null))
+                      .map(t => EffectRow.blank("event", env.realm, env.deviceId).copy(
+                        eventType = "path_removed", iface = n, path = path,
+                        target = t.targets.mkString(","), receptionMs = receptionMs))
+                    del +: evts
+                }
               }
             }
             (s.copy(properties = s.properties.filter(kv => announcedKeys.contains(kv._1) ||
@@ -475,7 +508,7 @@ object DeviceProcessor {
         }
 
       case other =>
-        askCleanSession(s, env, receptionMs, s"unexpected_control_message:$other")
+        askCleanSession(s, env, receptionMs, s"unexpected_control_message:$other", submillis)
     }
   }
 
@@ -499,25 +532,34 @@ object DeviceProcessor {
       }
     }
 
-  /** A1: totals bump on every message including errored ones;
-    * per-interface counters only for data messages (A2).
-    */
-  private def bumpStats(
-      state: DeviceSessionState, env: Envelope,
-      countInterface: Boolean = false): DeviceSessionState = {
-    val bytes = (if (env.payload == null) 0 else env.payload.length) +
+  private def messageBytes(env: Envelope): Int =
+    (if (env.payload == null) 0 else env.payload.length) +
       (if (env.iface == null) 0 else env.iface.length) +
       (if (env.path == null) 0 else env.path.length)
-    val s = state.copy(
+
+  /** A1: totals bump on every message including errored ones. */
+  private def bumpStats(
+      state: DeviceSessionState, env: Envelope): DeviceSessionState =
+    state.copy(
       totalReceivedMsgs = state.totalReceivedMsgs + 1,
-      totalReceivedBytes = state.totalReceivedBytes + bytes)
-    if (!countInterface || env.iface == null) s
-    else {
-      val key = env.iface
-      s.copy(
-        interfaceMsgs = s.interfaceMsgs + (key -> (s.interfaceMsgs.getOrElse(key, 0L) + 1)),
-        interfaceBytes = s.interfaceBytes + (key -> (s.interfaceBytes.getOrElse(key, 0L) + bytes)))
-    }
+      totalReceivedBytes = state.totalReceivedBytes + messageBytes(env))
+
+  /** A2: per-interface exchanged counters, keyed "name:major" — the
+    * reference accounts per `{interface, major}` tuple
+    * (impl.ex:640-674), so counters for v0 and v1 of the same
+    * interface stay separate across a major upgrade. Bumped only on
+    * successfully handled data messages: every error branch calls
+    * update_stats with major=nil, which skips the interface bump
+    * (impl.ex:462-523, 634-638).
+    */
+  private def bumpIfaceStats(
+      state: DeviceSessionState, env: Envelope, major: Int): DeviceSessionState = {
+    if (env.iface == null) return state
+    val bytes = messageBytes(env)
+    val key = s"${env.iface}:$major"
+    state.copy(
+      interfaceMsgs = state.interfaceMsgs + (key -> (state.interfaceMsgs.getOrElse(key, 0L) + 1)),
+      interfaceBytes = state.interfaceBytes + (key -> (state.interfaceBytes.getOrElse(key, 0L) + bytes)))
   }
 
   /** ST6 clean-session escalation: flag + forced disconnect command +
@@ -525,10 +567,11 @@ object DeviceProcessor {
     */
   private def askCleanSession(
       state: DeviceSessionState, env: Envelope, receptionMs: Long,
-      reason: String): (DeviceSessionState, Seq[EffectRow]) = {
+      reason: String, submillis: Int = -1): (DeviceSessionState, Seq[EffectRow]) = {
     val err = error(env, receptionMs, reason)
     val flag = EffectRow.blank("device_update", env.realm, env.deviceId).copy(
-      receptionMs = receptionMs, detail = """{"pending_empty_cache":true}""")
+      receptionMs = receptionMs, submillis = submillis,
+      detail = """{"pending_empty_cache":true}""")
     val disconnect = EffectRow.blank("command", env.realm, env.deviceId).copy(
       receptionMs = receptionMs, detail = "disconnect")
     (state.copy(pendingEmptyCache = true), Seq(err, flag, disconnect))

@@ -164,4 +164,57 @@ class AstarteStoreSpec extends AnyFunSuite {
     store.sweepExpiredPaths(spark, nowMs + 30000)
     assert(store.pathsFor(spark, stream.name).collect().isEmpty)
   }
+
+  test("path index covers no-retention mappings (null expiry, never swept)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-store3").toString
+    val store = new AstarteStore(root)
+    val t0 = 15216455705950000L
+    // `stream`'s mapping has NO retention — the path row must still land
+    val msgs = Seq(
+      Envelope("realm", "dev", "data", stream.name, "/7/value",
+        Bson.encode(Seq("v" -> 1)), t0, "ip", 1)).toDS()
+    store.applyEffects(DeviceStateMachine.processBatch(msgs, registry))
+
+    val paths = store.pathsFor(spark, stream.name).collect()
+    assert(paths.map(_.getAs[String]("path")).toSeq == Seq("/7/value"))
+    // null expiry → never flagged for refresh, never swept
+    assert(store.pathsNeedingRefresh(spark, t0 / 10000).isEmpty)
+    store.sweepExpiredPaths(spark, Long.MaxValue - 1)
+    assert(store.pathsFor(spark, stream.name).count() == 1)
+  }
+
+  test("datastream retention: expired value rows swept, no-retention kept") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-store4").toString
+    val store = new AstarteStore(root)
+    val retained = InterfaceDescriptor("com.test.Retained", 1, 0,
+      InterfaceType.Datastream, Ownership.Device, Aggregation.Individual)
+    val reg2 = Registry(
+      Map(stream.name -> stream, retained.name -> retained),
+      Map(
+        stream.name -> Seq(Mapping(stream.name, 1, "/%{i}/value", AInteger)),
+        retained.name -> Seq(
+          Mapping(retained.name, 1, "/v", AInteger, expirySeconds = 10))),
+      Nil)
+    val t0 = 15216455705950000L
+    val nowMs = t0 / 10000
+    val msgs = Seq(
+      Envelope("realm", "dev", "data", retained.name, "/v",
+        Bson.encode(Seq("v" -> 1)), t0, "ip", 1),
+      Envelope("realm", "dev", "data", stream.name, "/0/value",
+        Bson.encode(Seq("v" -> 2)), t0, "ip", 2)).toDS()
+    store.applyEffects(DeviceStateMachine.processBatch(msgs, reg2))
+
+    // before expiry both rows are visible; as-of read hides the
+    // retained row once its 10s pass, even before any sweep
+    assert(store.datastreams(spark, nowMs).count() == 2)
+    assert(store.datastreams(spark, nowMs + 11000).count() == 1)
+
+    // physical sweep past expiry: retained row gone, other intact
+    store.sweepRetention(spark, nowMs + 11000)
+    val left = store.datastreams(spark).collect()
+    assert(left.length == 1)
+    assert(left.head.getAs[String]("iface") == stream.name)
+  }
 }

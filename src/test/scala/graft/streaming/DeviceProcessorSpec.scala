@@ -206,6 +206,12 @@ class DeviceProcessorSpec extends AnyFunSuite {
     val (s1, fx) = run(s0, env("control", path = "/producer/properties", payload = wire))
     val deletes = fx.filter(_.kind == "property_unset")
     assert(deletes.map(_.path) == Seq("/time/from"))
+    // the tombstone carries the resolved storage key + LWW ordering
+    // fields, so it lands on (and outranks) the stored upsert
+    assert(deletes.head.endpoint == "/time/from")
+    assert(deletes.head.valueTypeCode == AstarteValueType.ALongInteger.code)
+    assert(deletes.head.submillis >= 0)
+    assert(Bson.decode(deletes.head.prevBson).get("v") == 8L)
     // seed trigger tr4 on /time/from fires path_removed
     assert(fx.exists(e => e.eventType == "path_removed" && e.path == "/time/from"))
     assert(!s1.properties.contains("com.test.LCDMonitor/time/from"))
@@ -232,8 +238,21 @@ class DeviceProcessorSpec extends AnyFunSuite {
     assert(s2.totalReceivedMsgs == 4)
     val upd = fx.find(_.kind == "device_update").get
     assert(upd.detail.contains(s""""total_received_msgs":4"""))
-    assert(upd.detail.contains(s""""com.test.LCDMonitor":[1,"""))
-    assert(upd.detail.contains(s""""com.test.SimpleStreamTest":[1,"""))
+    // exchanged counters keyed per (interface, major) like the
+    // reference's tuple key (impl.ex:640-674)
+    assert(upd.detail.contains(s""""com.test.LCDMonitor:1":[1,"""))
+    assert(upd.detail.contains(s""""com.test.SimpleStreamTest:1":[1,"""))
+  }
+
+  test("exchanged stats: errored data message bumps totals only") {
+    var s = DeviceSessionState.empty
+    s = run(s, env("data", lcdMonitor.name, "/weekSchedule/10/start",
+      Bson.encode(Seq("v" -> 42L))))._1
+    // undecodable payload: counted in totals, NOT in interface stats
+    // (reference update_stats with major=nil skips the interface bump)
+    s = run(s, env("data", lcdMonitor.name, "/time/to", Array[Byte](9, 9)))._1
+    assert(s.totalReceivedMsgs == 2)
+    assert(s.interfaceMsgs == Map("com.test.LCDMonitor:1" -> 1L))
   }
 
   test("emptyCache resends server-owned properties from bootstrapped state") {
@@ -261,6 +280,71 @@ class DeviceProcessorSpec extends AnyFunSuite {
       env("data", lcdMonitor.name, "/time//to", Bson.encode(Seq("v" -> 8L))))
     assert(fx.head.kind == "error")
     assert(fx.head.detail == "invalid_path")
+  }
+
+  test("path index emitted for every datastream value, expiry only with retention") {
+    val s0 = DeviceSessionState.empty
+    // simpleStream has no retention → path_index row with null expiry
+    val (_, fx) = run(s0, env("data", simpleStream.name, "/0/value",
+      Bson.encode(Seq("v" -> 5))))
+    val idx = fx.filter(_.kind == "path_index")
+    assert(idx.size == 1)
+    assert(idx.head.path == "/0/value" && idx.head.detail == null)
+    // the value row itself carries no expiry either
+    assert(fx.find(_.kind == "datastream_append").get.detail == null)
+    // a retention-configured mapping gets expiry on both rows
+    val retIface = InterfaceDescriptor("com.test.Retained", 1, 0,
+      InterfaceType.Datastream, Ownership.Device, Aggregation.Individual)
+    val reg2 = Registry(
+      Map(retIface.name -> retIface),
+      Map(retIface.name -> Seq(
+        Mapping(retIface.name, 1, "/v", AInteger, expirySeconds = 100))), Nil)
+    val e = env("data", retIface.name, "/v", Bson.encode(Seq("v" -> 1)))
+    val (_, fx2) = DeviceProcessor.processMessage(s0, e, reg2)
+    val receptionMs = e.receptionDecimicros / 10000
+    val idx2 = fx2.find(_.kind == "path_index").get
+    assert(idx2.detail == s"expiry_ms:${receptionMs + 250000}") // 2.5× retention
+    val row2 = fx2.find(_.kind == "datastream_append").get
+    assert(row2.detail == s"expiry_ms:${receptionMs + 100000}") // 1× retention
+  }
+
+  test("introspection major bump: kv unregister+register and del+ins events") {
+    // major-0 interfaces drive the kv registry (queries.ex:599-664)
+    val v0 = InterfaceDescriptor("com.test.Zero", 0, 1,
+      InterfaceType.Datastream, Ownership.Device, Aggregation.Individual)
+    val reg = Registry(Map(v0.name -> v0),
+      Map(v0.name -> Seq(Mapping(v0.name, 0, "/v", AInteger))), Seq(
+        Trigger("ta", TriggerEventType.InterfaceAdded, TriggerScope.AnyInterface,
+          None, MatchOperator.Any, null, List("t")),
+        Trigger("tr", TriggerEventType.InterfaceRemoved, TriggerScope.AnyInterface,
+          None, MatchOperator.Any, null, List("t"))))
+    val (s1, fx1) = DeviceProcessor.processMessage(DeviceSessionState.empty,
+      env("introspection", payload = "com.test.Zero:0:1".getBytes), reg)
+    // register inserts into BOTH kv groups
+    val kv1 = fx1.filter(_.kind == "kv_store")
+    assert(kv1.map(_.detail).sorted == Seq(
+      "register:devices-by-interface-com.test.Zero-v0",
+      "register:devices-with-data-on-interface-com.test.Zero-v0"))
+    // major bump 0→1: removed(old major, kv unregister) + added fire
+    val (_, fx2) = DeviceProcessor.processMessage(s1,
+      env("introspection", payload = "com.test.Zero:1:0".getBytes), reg)
+    assert(fx2.exists(e => e.eventType == "interface_removed" && e.major == 0))
+    assert(fx2.exists(e => e.eventType == "interface_added" && e.major == 1))
+    val kv2 = fx2.filter(_.kind == "kv_store")
+    // unregister deletes only devices-by-interface (major 0 leaving)
+    assert(kv2.map(_.detail) == Seq("unregister:devices-by-interface-com.test.Zero-v0"))
+  }
+
+  test("prune: unresolvable stored path surfaces an error, not a dead tombstone") {
+    val ghost = "com.test.LCDMonitor/no/such/mapping"
+    val s0 = DeviceSessionState.empty.copy(
+      introspection = Map(lcdMonitor.name -> 1),
+      properties = Map(ghost -> Bson.encode(Seq("v" -> 1L))))
+    val wire = PayloadCodec.deflateProperties("")
+    val (_, fx) = run(s0, env("control", path = "/producer/properties", payload = wire))
+    assert(!fx.exists(_.kind == "property_unset"))
+    assert(fx.exists(e => e.kind == "error" &&
+      e.detail == "prune_mapping_not_found:com.test.LCDMonitor/no/such/mapping"))
   }
 
   test("congruent triggers merge targets") {

@@ -8,6 +8,7 @@ parquet tables, and compares (rows, schema-by-name, value hash).
 
 Usage: tools/check_correctness.py <sfDir> <outDir>
 """
+import decimal
 import glob
 import hashlib
 import json
@@ -26,6 +27,9 @@ def norm_cell(v):
         if math.isnan(v):
             return "NaN"
         return f"{v:.6g}"
+    if isinstance(v, decimal.Decimal):
+        # scale-insensitive: '1.50' and '1.5' must hash alike
+        return str(v.normalize())
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
