@@ -319,6 +319,60 @@ object AstarteOpsQueries extends QueryPack {
           col("last_seen_ms"), col("expiry_ms"))
     }),
 
+    // R3+R4 via the STORE (not a raw-event proxy): ingest a
+    // connect → introspection → data* → disconnect flow per device
+    // through the real state machine into an AstarteStore, then read
+    // the folded `devices` dimension back with devicesSnapshot — the
+    // reference's one-row-per-device table (queries.ex:412-510).
+    // Device subset (user_id < 20): the devices table is a point-read
+    // surface; folding is per-device linear so the subset bounds cost
+    // without changing semantics.
+    "r3_device_row" -> ((s, d) => {
+      import s.implicits._
+      import graft.core._, graft.core.AstarteValueType._
+      import graft.streaming._
+      import graft.triggers._
+      val ifaceName = "com.bench.EventStream"
+      val registry = Registry(
+        Map(ifaceName -> InterfaceDescriptor(ifaceName, 1, 0,
+          InterfaceType.Datastream, Ownership.Device, Aggregation.Individual)),
+        Map(ifaceName -> Seq(Mapping(ifaceName, 1, "/%{type}/value", ADouble))),
+        Nil)
+      val events = Tables.events(s, d).filter(col("user_id") < 20)
+      val data = events.map { r =>
+        Envelope("realm", s"device-${r.getAs[Long]("user_id")}", "data",
+          ifaceName, s"/${r.getAs[String]("event_type")}/value",
+          Bson.encode(Seq("v" -> r.getAs[Double]("value"))),
+          r.getAs[Long]("ts") / 1000 * 10, "10.0.0.1", r.getAs[Long]("event_id"))
+      }
+      val lifecycle = events.groupBy(col("user_id"))
+        .agg(min(expr("ts div 1000 * 10")).as("lo"), max(expr("ts div 1000 * 10")).as("hi"))
+        .as[(Long, Long, Long)]
+        .flatMap { case (uid, lo, hi) =>
+          val dev = s"device-$uid"
+          Seq(
+            Envelope("realm", dev, "connection", null, null,
+              Array.emptyByteArray, lo - 10000, "10.0.0.1", -3L),
+            Envelope("realm", dev, "introspection", null, null,
+              s"$ifaceName:1:${uid % 4}".getBytes("UTF-8"), lo - 10000, "10.0.0.1", -2L),
+            Envelope("realm", dev, "disconnection", null, null,
+              Array.emptyByteArray, hi + 10000, "10.0.0.1", Long.MaxValue))
+        }
+      val store = new graft.storage.AstarteStore(
+        java.nio.file.Files.createTempDirectory("graft-r3").toString)
+      store.applyEffects(DeviceStateMachine.processBatch(data.union(lifecycle), registry))
+      val renderMap = (c: String) => expr(
+        s"concat_ws(',', transform(array_sort(map_entries($c)), x -> concat(x.key, '=', x.value)))")
+      store.devicesSnapshot(s).toDF()
+        .select(col("device_id"), col("connected"),
+          col("last_connection"), col("last_disconnection"), col("last_seen_ip"),
+          col("total_received_msgs"), col("total_received_bytes"),
+          concat(renderMap("introspection"), lit("."), renderMap("introspection_minor"))
+            .as("intro_render"),
+          renderMap("exchanged_msgs_by_interface").as("exchanged_msgs"),
+          renderMap("exchanged_bytes_by_interface").as("exchanged_bytes"))
+    }),
+
     // W9/A3: introspection maps — per device, deterministic
     // "iface:count" map rendering (sorted entries).
     "w9_introspection_maps" -> ((s, d) => {
@@ -529,6 +583,24 @@ object AstarteOpsQueries extends QueryPack {
         |       THEN last_seen_ms + 216000000 END AS expiry_ms
         |FROM idx, m
         |WHERE event_type <> 'click' OR last_seen_ms + 216000000 > m""".stripMargin,
+    // Oracle re-derives the devices fold arithmetically: totals count
+    // conn+intro+disc (+3 msgs, +25 intro bytes); each data message is
+    // bson(16) + iface(21) + path(7+len(type)) bytes; exchanged maps
+    // count data messages only, keyed (iface, major).
+    "r3_device_row" ->
+      """SELECT 'device-' || user_id AS device_id,
+        |  false AS connected,
+        |  (min(epoch_us(ts)) // 1000 - 1)::BIGINT AS last_connection,
+        |  (max(epoch_us(ts)) // 1000 + 1)::BIGINT AS last_disconnection,
+        |  '10.0.0.1' AS last_seen_ip,
+        |  (count(*) + 3)::BIGINT AS total_received_msgs,
+        |  (sum(44 + length(event_type)) + 25)::BIGINT AS total_received_bytes,
+        |  'com.bench.EventStream=1.com.bench.EventStream=' || (user_id % 4)
+        |    AS intro_render,
+        |  'com.bench.EventStream:1=' || count(*) AS exchanged_msgs,
+        |  'com.bench.EventStream:1=' || sum(44 + length(event_type))
+        |    AS exchanged_bytes
+        |FROM events WHERE user_id < 20 GROUP BY user_id""".stripMargin,
     "w9_introspection_maps" ->
       """WITH c AS (
         |  SELECT user_id, event_type || ':' || count(*) AS entry

@@ -313,10 +313,17 @@ final class AstarteStore(val root: String) {
     val realmName = realm
     val devs = devicesSnapshot(spark)
     // properties snapshot → per-device "iface/path" -> BSON {v} map,
-    // re-encoded from the typed columns
-    val propRows = properties.snapshot(spark)
-      .select(Seq(col("device_id"), col("iface"), col("path")) ++
-        typedColumnNames.map(col): _*)
+    // re-encoded from the typed columns (empty when no property was
+    // ever written — snapshot() then has no columns to select)
+    val propRows =
+      if (!properties.exists(spark))
+        spark.emptyDataset[(String, String, String)]
+          .toDF("device_id", "iface", "path")
+          .select(Seq(col("device_id"), col("iface"), col("path")) ++
+            typedColumnNames.map(c => lit(null).as(c)): _*)
+      else properties.snapshot(spark)
+        .select(Seq(col("device_id"), col("iface"), col("path")) ++
+          typedColumnNames.map(col): _*)
     val propsByDev = propRows
       .map { r =>
         val bson = PropertyReencode.toBson(r)

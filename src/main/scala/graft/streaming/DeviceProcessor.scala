@@ -135,13 +135,9 @@ object DeviceProcessor {
       receptionMs: Long, submillis: Int): (DeviceSessionState, Seq[EffectRow]) = {
     val s = bumpStats(state, env)
     // Flush session stats on disconnect (reference W8/ST8).
-    val statsJson = s.interfaceMsgs.toSeq.sorted
-      .map { case (k, v) => s""""$k":[$v,${s.interfaceBytes.getOrElse(k, 0L)}]""" }
-      .mkString("{", ",", "}")
     val update = EffectRow.blank("device_update", env.realm, env.deviceId)
       .copy(receptionMs = receptionMs, submillis = submillis,
-        detail = s"""{"connected":false,"total_received_msgs":${s.totalReceivedMsgs},""" +
-          s""""total_received_bytes":${s.totalReceivedBytes},"exchanged":$statsJson}""")
+        detail = s"""{"connected":false,${statsJson(s)}}""")
     val events = deviceTriggers(TriggerEventType.DeviceDisconnected, env, registry).map { t =>
       EffectRow.blank("event", env.realm, env.deviceId).copy(
         eventType = "device_disconnected", target = t.targets.mkString(","),
@@ -531,6 +527,30 @@ object DeviceProcessor {
         case _ => false
       }
     }
+
+  /** Totals + exchanged counters as the device_update JSON fragment
+    * shared by the disconnect flush and the per-micro-batch flush.
+    */
+  private def statsJson(s: DeviceSessionState): String = {
+    val exchanged = s.interfaceMsgs.toSeq.sorted
+      .map { case (k, v) => s""""$k":[$v,${s.interfaceBytes.getOrElse(k, 0L)}]""" }
+      .mkString("{", ",", "}")
+    s""""total_received_msgs":${s.totalReceivedMsgs},""" +
+      s""""total_received_bytes":${s.totalReceivedBytes},"exchanged":$exchanged"""
+  }
+
+  /** ST8 write side: one stats patch per (device, micro-batch), the
+    * amortized Spark form of the reference's per-message DB counter
+    * updates (impl.ex:640-674) — what makes a cold restart bootstrap
+    * from [[graft.storage.AstarteStore.devicesSnapshot]] exact rather
+    * than only as-of the last disconnect.
+    */
+  def statsFlush(
+      state: DeviceSessionState, realm: String, deviceId: String,
+      receptionMs: Long, submillis: Int): EffectRow =
+    EffectRow.blank("device_update", realm, deviceId).copy(
+      receptionMs = receptionMs, submillis = submillis,
+      detail = s"{${statsJson(state)}}")
 
   private def messageBytes(env: Envelope): Int =
     (if (env.payload == null) 0 else env.payload.length) +

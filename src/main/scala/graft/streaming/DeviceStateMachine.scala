@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.core.PayloadCodec
 
 /** Spark drivers for [[DeviceProcessor]]: the per-device keyed state
   * machine (SURVEY §2.8 ST1) as
@@ -55,6 +56,15 @@ object DeviceStateMachine {
       state = s2
       out ++= effects
     }
+    // End-of-slice stats patch (ST8 write side): keeps the stored
+    // devices dimension current between disconnects, so a cold
+    // restart bootstraps exact counters. Same (reception, submillis)
+    // as the slice's last message; content-identical to a disconnect
+    // flush at the same point, so the fold order is immaterial.
+    ordered.lastOption.foreach { last =>
+      val (ms, sub) = PayloadCodec.splitReceptionTimestamp(last.receptionDecimicros)
+      out += DeviceProcessor.statsFlush(state, key._1, key._2, ms, sub)
+    }
     (state, out.result().iterator)
   }
 
@@ -107,7 +117,7 @@ object DeviceStateMachine {
     * the device table already has totals.
     */
   def processStreamWithInit(
-      ds: Dataset[Envelope], registry: Registry,
+      ds: Dataset[Envelope], provider: RegistryProvider,
       initialStates: Dataset[(DeviceKey, DeviceSessionState)]): Dataset[EffectRow] = {
     val spark = ds.sparkSession
     import spark.implicits._
@@ -117,9 +127,14 @@ object DeviceStateMachine {
         initialStates.groupByKey(_._1).mapValues(_._2)) {
         (key: DeviceKey, msgs: Iterator[Envelope], gs: GroupState[DeviceSessionState]) =>
           val initial = gs.getOption.getOrElse(DeviceSessionState.empty)
-          val (finalState, out) = sortedFold(key, msgs, initial, registry)
+          val (finalState, out) = sortedFold(key, msgs, initial, provider.current())
           gs.update(finalState)
           out
       }
   }
+
+  def processStreamWithInit(
+      ds: Dataset[Envelope], registry: Registry,
+      initialStates: Dataset[(DeviceKey, DeviceSessionState)]): Dataset[EffectRow] =
+    processStreamWithInit(ds, StaticRegistryProvider(registry), initialStates)
 }

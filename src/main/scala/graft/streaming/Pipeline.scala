@@ -47,6 +47,36 @@ object Pipeline {
       .start()
   }
 
+  /** ST8 cold-start: like [[start]], but the state store is seeded
+    * from the durable store — folded devices dimension + properties
+    * snapshot via [[AstarteStore.initialSessionStates]] (the
+    * reference loads stats/introspection/properties on a device's
+    * first message, `impl.ex:50-87`). Use after losing or migrating
+    * the checkpoint: the per-micro-batch stats flush keeps the stored
+    * dimension current, so the resumed counters are exact.
+    */
+  def startBootstrapped(
+      spark: SparkSession,
+      realm: String,
+      envelopes: Dataset[Envelope],
+      registry: DeviceStateMachine.RegistryProvider,
+      store: AstarteStore,
+      events: EventSink,
+      checkpointDir: String,
+      triggerInterval: String = "1 second"): StreamingQuery = {
+    val init = store.initialSessionStates(spark, realm)
+    val effects = DeviceStateMachine.processStreamWithInit(envelopes, registry, init)
+    effects.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(StreamTrigger.ProcessingTime(triggerInterval))
+      .foreachBatch { (batch: Dataset[EffectRow], batchId: Long) =>
+        batch.sparkSession.sparkContext.setJobDescription(s"graft effects batch $batchId")
+        store.applyEffects(batch)
+        events.publish(batch)
+      }
+      .start()
+  }
+
   /** File-based envelope source (S1/S2 stand-in): each parquet file
     * dropped into `dir` is a shard of messages; Spark's file source
     * provides ordered offsets + checkpointing, and source partitions

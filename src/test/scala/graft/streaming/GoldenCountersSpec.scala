@@ -48,9 +48,13 @@ class GoldenCountersSpec extends AnyFunSuite {
       (badPayload.length + lcd.name.length + "/time/to".length)
     val upd = fx.filter(e => e.kind == "device_update" &&
       e.detail.contains("total_received_msgs"))
-    assert(upd.length == 1)
-    assert(upd.head.detail.contains(s""""total_received_msgs":45004"""))
-    assert(upd.head.detail.contains(s""""total_received_bytes":$expectedBytes"""))
+    // disconnect flush + the end-of-slice stats patch (ST8 write
+    // side); both carry the same final counters, exactly one carries
+    // the connected:false transition
+    assert(upd.length == 2)
+    assert(upd.forall(_.detail.contains(s""""total_received_msgs":45004""")))
+    assert(upd.forall(_.detail.contains(s""""total_received_bytes":$expectedBytes""")))
+    assert(upd.count(_.detail.contains(""""connected":false""")) == 1)
     // the bad message errored but was counted, and produced the
     // clean-session escalation
     assert(fx.exists(e => e.kind == "error" && e.detail == "undecodable_bson_payload"))

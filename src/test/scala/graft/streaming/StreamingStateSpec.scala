@@ -100,6 +100,59 @@ class StreamingStateSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ST8: mid-flow restart bootstrapped from the store matches uninterrupted run") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.storage.AstarteStore
+    import graft.events.EventSink
+    val ifd = InterfaceDescriptor("b.iface", 1, 0,
+      InterfaceType.Datastream, Ownership.Device, Aggregation.Individual)
+    val registry = Registry(Map(ifd.name -> ifd),
+      Map(ifd.name -> Seq(Mapping(ifd.name, 1, "/v", AInteger))), Nil)
+    val provider = DeviceStateMachine.StaticRegistryProvider(registry)
+
+    def env(msgType: String, off: Long, iface: String = null, path: String = null,
+        payload: Array[Byte] = Array.emptyByteArray) =
+      Envelope("r", "dev", msgType, iface, path, payload,
+        5000000L + off * 10000, "ip", off)
+    def conn(off: Long) = env("connection", off)
+    def intro(off: Long) = env("introspection", off, payload = "b.iface:1:0".getBytes)
+    def data(off: Long) = env("data", off, ifd.name, "/v", Bson.encode(Seq("v" -> off.toInt)))
+    def disc(off: Long) = env("disconnection", off)
+
+    // reference: the uninterrupted run's disconnect flush
+    val fxAll = DeviceStateMachine.processBatch(
+      Seq(conn(1), intro(2), data(3), data(4), disc(5)).toDS(), registry).collect()
+    val expected = fxAll
+      .filter(e => e.kind == "device_update" && e.detail.contains(""""connected":false"""))
+      .head.detail
+
+    val root = java.nio.file.Files.createTempDirectory("graft-st8").toString
+    val store = new AstarteStore(s"$root/store")
+    val sink = new EventSink(s"$root/events")
+    implicit val sqlCtx = spark.sqlContext
+
+    // run 1: dies mid-flow (after conn+intro+first value)
+    val in1 = MemoryStream[Envelope]
+    val q1 = Pipeline.start(in1.toDS(), provider, store, sink, s"$root/ckpt1")
+    try { in1.addData(conn(1), intro(2), data(3)); q1.processAllAvailable() }
+    finally q1.stop()
+
+    // run 2: FRESH checkpoint (state store lost) but bootstrapped from
+    // the durable store — counters must resume where run 1 stopped
+    val in2 = MemoryStream[Envelope]
+    val q2 = Pipeline.startBootstrapped(spark, "r", in2.toDS(), provider,
+      store, sink, s"$root/ckpt2")
+    try { in2.addData(data(4), disc(5)); q2.processAllAvailable() }
+    finally q2.stop()
+
+    val finalFlush = store.deviceUpdates(spark)
+      .filter(col("update_json").contains(""""connected":false"""))
+      .collect().map(_.getAs[String]("update_json"))
+    assert(finalFlush.length == 1)
+    assert(finalFlush.head == expected)
+  }
+
   test("out-of-order within a batch is re-sorted by reception order") {
     import spark.implicits._
     val lcd = InterfaceDescriptor("i.face", 1, 0,
