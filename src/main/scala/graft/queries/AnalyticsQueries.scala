@@ -146,9 +146,15 @@ object AnalyticsQueries extends QueryPack {
             .as("frame_offset"))
     }),
 
-    // N-gram (word-bigram) Jaccard within blocking buckets
-    // (lang, n_chars bucket): |A∩B| via bigram equi-join, then
-    // |A∪B| = |A|+|B|-|A∩B|. Blocking keeps the pair space linear-ish.
+    // N-gram (word-bigram) Jaccard, exact at scale via prefix
+    // filtering (AllPairs/PPJoin): under a global (rarity, hash)
+    // bigram order, any pair with J >= t must share a bigram inside
+    // each doc's prefix of length |d| - ceil(t*|d|) + 1 — the RARE
+    // half at t=0.5. Candidates are generated only on prefix bigrams
+    // (hot bigrams fall outside prefixes, so no dense-block pair
+    // blowup), then verified exactly with array_intersect per
+    // candidate pair. Output identical to the naive blocked self-join;
+    // the candidate join input is bounded by rare-key fan-out.
     "dd_ngram_jaccard" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .withColumn("bucket", expr("n_chars div 10"))
@@ -161,26 +167,39 @@ object AnalyticsQueries extends QueryPack {
               |  i -> concat_ws(' ', element_at(toks, i),
               |                      element_at(toks, i+1)))""".stripMargin)))
             .as("bigram"))
-      // hash bigrams to 60-bit ints before the self-join: the shuffle
-      // moves 8-byte keys instead of strings, and the join compares
-      // longs (md5 collisions at 60 bits are negligible at any SF).
+      // hash bigrams to 60-bit ints: the shuffle moves 8-byte keys and
+      // joins compare longs (collisions negligible at any SF).
       val hashed = bigrams.select(col("doc_id"), col("lang"), col("bucket"),
         conv(substring(md5(col("bigram")), 1, 15), 16, 10).cast("long").as("bh"))
+      // per-block document frequency -> global order (df asc, bh asc);
+      // prefix length for t=0.5: sz - ceil(sz/2) + 1
+      val freq = hashed.groupBy(col("lang"), col("bucket"), col("bh"))
+        .agg(count(lit(1)).as("df"))
       val sizes = hashed.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      val x = hashed.select(col("doc_id").as("doc_a"), col("lang"),
-        col("bucket"), col("bh"))
-      val y = hashed.select(col("doc_id").as("doc_b"),
-        col("lang").as("lang_b"), col("bucket").as("bucket_b"), col("bh").as("bh_b"))
-      val inter = x.join(y,
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("bh"))
+      val prefixes = hashed
+        .join(freq, Seq("lang", "bucket", "bh"))
+        .withColumn("rn", row_number().over(wDoc))
+        .join(sizes, "doc_id")
+        .filter(col("rn") <= col("sz") - expr("(sz + 1) div 2") + 1)
+        .select(col("doc_id"), col("lang"), col("bucket"), col("bh"))
+      val cand = prefixes.select(col("doc_id").as("doc_a"), col("lang"),
+          col("bucket"), col("bh"))
+        .join(prefixes.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+            col("bucket").as("bucket_b"), col("bh").as("bh_b")),
           col("lang") === col("lang_b") && col("bucket") === col("bucket_b") &&
           col("bh") === col("bh_b") && col("doc_a") < col("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("n_inter"))
-      inter
-        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
-        .withColumn("jaccard",
-          round(col("n_inter") / (col("sz_a") + col("sz_b") - col("n_inter")), 4))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      // exact verify per candidate: set intersection of the full
+      // bigram arrays (bounded by doc length, no row explosion)
+      val arrs = hashed.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("bh"))).as("arr"))
+      cand
+        .join(arrs.select(col("doc_id").as("doc_a"), col("arr").as("arr_a")), "doc_a")
+        .join(arrs.select(col("doc_id").as("doc_b"), col("arr").as("arr_b")), "doc_b")
+        .withColumn("n_inter", size(array_intersect(col("arr_a"), col("arr_b"))))
+        .withColumn("jaccard", round(col("n_inter") /
+          (size(col("arr_a")) + size(col("arr_b")) - col("n_inter")), 4))
         .filter(col("jaccard") >= 0.5)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
     }),
