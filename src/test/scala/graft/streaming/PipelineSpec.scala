@@ -62,7 +62,21 @@ class PipelineSpec extends AnyFunSuite {
     // events: trigger fired for 12 and 42 (GT 9), not 5
     val fired = sink.read(spark)
       .filter("event_type = 'incoming_data'")
-      .select("device_id").collect().map(_.getString(0)).sorted
-    assert(fired.toSeq == Seq("devA", "devB"))
+      .select("device_id", "wire", "headers", "routing_key")
+      .collect()
+    assert(fired.map(_.getAs[String]("device_id")).sorted.toSeq == Seq("devA", "devB"))
+
+    // S7 wire parity: each sink row carries decodable SimpleEvent
+    // protobuf bytes + the five x_astarte_* headers
+    fired.foreach { r =>
+      val (_, _, ev) = graft.events.SimpleEventCodec.decode(
+        r.getAs[Array[Byte]]("wire"), r.getAs[String]("routing_key"))
+      val in = ev.asInstanceOf[graft.events.IncomingData]
+      assert(in.deviceId == r.getAs[String]("device_id"))
+      assert(in.interface == iface.name)
+      val hs = r.getAs[Map[String, String]]("headers")
+      assert(hs("x_astarte_event_type") == "incoming_data_event")
+      assert(hs("x_astarte_device_id") == in.deviceId)
+    }
   }
 }
