@@ -1,0 +1,106 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.core.AstarteValueType._
+import graft.events.EventSink
+import graft.storage.AstarteStore
+import graft.triggers._
+
+/** S1 end-to-end over the broker wire schema: records with the exact
+  * Kafka source shape (headers array, binary value, partition/offset)
+  * decode to envelopes via header routing and drive the full
+  * pipeline; invalid records are discarded like the reference's
+  * handle_invalid_msg.
+  */
+class WireSourceSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def rec(
+      msgType: String, realm: String, dev: String, payload: Array[Byte],
+      offset: Long, iface: String = null, path: String = null,
+      ip: String = null, controlPath: String = null,
+      partition: Int = 0): WireRecord = {
+    val hs = Seq(
+      Option(msgType).map(v => WireHeader("x_astarte_msg_type", v.getBytes)),
+      Option(realm).map(v => WireHeader("x_astarte_realm", v.getBytes)),
+      Option(dev).map(v => WireHeader("x_astarte_device_id", v.getBytes)),
+      Option(iface).map(v => WireHeader("x_astarte_interface", v.getBytes)),
+      Option(path).map(v => WireHeader("x_astarte_path", v.getBytes)),
+      Option(ip).map(v => WireHeader("x_astarte_remote_ip", v.getBytes)),
+      Option(controlPath).map(v => WireHeader("x_astarte_control_path", v.getBytes))
+    ).flatten.toArray
+    WireRecord(Option(dev).map(_.getBytes).orNull, payload,
+      "astarte-data", partition, offset,
+      new java.sql.Timestamp(1700000000000L + offset), 0, hs)
+  }
+
+  test("kafka-shaped records decode, route by headers, and drive the pipeline") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-wire").toString
+
+    val iface = InterfaceDescriptor("com.test.SimpleStreamTest", 1, 0,
+      InterfaceType.Datastream, Ownership.Device, Aggregation.Individual)
+    val registry = Registry(
+      Map(iface.name -> iface),
+      Map(iface.name -> Seq(Mapping(iface.name, 1, "/%{i}/value", AInteger))),
+      Seq(Trigger("t1", TriggerEventType.IncomingData,
+        TriggerScope.OnInterface(iface.name, 1), None,
+        MatchOperator.GreaterThan, 10, List("test_events"))))
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[WireRecord]
+    val store = new AstarteStore(s"$base/store")
+    val sink = new EventSink(s"$base/events")
+    val q = Pipeline.start(
+      WireSource.decodeEnvelopes(input.toDF()),
+      DeviceStateMachine.StaticRegistryProvider(registry),
+      store, sink, s"$base/ckpt")
+    try {
+      input.addData(
+        rec("connection", "r", "devA", Array.emptyByteArray, 1, ip = "10.0.0.9"),
+        rec("data", "r", "devA", Bson.encode(Seq("v" -> 42)), 2,
+          iface = iface.name, path = "/3/value", partition = 1),
+        rec("data", "r", "devB", Bson.encode(Seq("v" -> 5)), 3,
+          iface = iface.name, path = "/0/value", partition = 2),
+        // invalid: data without interface header → discarded silently
+        rec("data", "r", "devC", Bson.encode(Seq("v" -> 1)), 4, path = "/0/value"),
+        // invalid: no device id → discarded
+        rec("data", "r", null, Bson.encode(Seq("v" -> 1)), 5,
+          iface = iface.name, path = "/1/value"),
+        rec("disconnection", "r", "devA", Array.emptyByteArray, 6))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // both valid datastream values landed, the discarded ones did not
+    val rows = store.datastreams(spark).collect()
+    assert(rows.map(r => (r.getAs[String]("device_id"), r.getAs[String]("path"))).toSet ==
+      Set("devA" -> "/3/value", "devB" -> "/0/value"))
+    assert(!rows.exists(_.getAs[String]("device_id") == "devC"))
+
+    // header routing: connection landed (ip recorded), trigger fired
+    // only for 42 (GT 10)
+    val updates = store.deviceUpdates(spark).collect().map(_.getAs[String]("update_json"))
+    assert(updates.exists(j => j.contains(""""connected":true""") && j.contains("10.0.0.9")))
+    assert(updates.exists(_.contains(""""connected":false""")))
+    val fired = sink.read(spark).filter("event_type = 'incoming_data'")
+      .select("device_id").collect().map(_.getString(0))
+    assert(fired.toSeq == Seq("devA"))
+  }
+
+  test("decode is pure column expressions (no UDF in the ingest scan)") {
+    import spark.implicits._
+    val df = Seq(rec("data", "r", "d", Array[Byte](1), 1,
+      iface = "i", path = "/p")).toDF()
+    val plan = WireSource.decodeEnvelopes(df).queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("udf"))
+  }
+}
