@@ -28,10 +28,15 @@ object Bench {
         r.getAs[Long]("ts") / 1000 * 10, "10.0.0.1", r.getAs[Long]("event_id"))
     }
     val n = events.count()
-    val t0 = System.nanoTime()
-    DeviceStateMachine.processBatch(envelopes, registry)
-      .filter(_.kind == "datastream_append").count()
-    n / ((System.nanoTime() - t0) / 1e9)
+    // min of 2 like the queries: the first run pays codegen and
+    // parquet-footer first-touch, the min reflects steady state
+    val times = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      DeviceStateMachine.processBatch(envelopes, registry)
+        .filter(_.kind == "datastream_append").count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    n / times.min
   }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -319,6 +319,87 @@ object AstarteOpsQueries extends QueryPack {
           col("last_seen_ms"), col("expiry_ms"))
     }),
 
+    // A4: old-introspection reconstruction — when an interface is
+    // removed or its major bumps, the engine remembers "name:major" ->
+    // minor of the outgoing version (DeviceProcessor.handleIntrospection
+    // removedOld). Relational form: versions present before the cutoff
+    // whose major changed or that disappeared after it.
+    "a4_old_introspection" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val cutoffNs = 1705276800L * 1000000000L // 2024-01-15T00:00Z
+      val old = e.filter(col("ts") < cutoffNs)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(pmod(max(col("event_id")), lit(3)).as("o_major"),
+          count(lit(1)).as("o_minor"))
+      val neu = e.filter(col("ts") >= cutoffNs)
+        .groupBy(col("user_id").as("n_user"), col("event_type").as("n_type"))
+        .agg(pmod(max(col("event_id")), lit(3)).as("n_major"))
+      old.join(neu,
+          col("user_id") === col("n_user") && col("event_type") === col("n_type"),
+          "left")
+        .filter(col("n_major").isNull || col("n_major") =!= col("o_major"))
+        .select(col("user_id"),
+          concat(col("event_type"), lit(":"), col("o_major")).as("entry"),
+          col("o_minor"))
+    }),
+
+    // F4: properties-list parse over the REAL wire form — the Spark
+    // side deflates the ';'-joined list, re-inflates the capped wire
+    // payload and parses entries filtered to the announced
+    // introspection (PayloadCodec.parseDeviceProperties); the oracle
+    // parses the original cleartext (zlib round-trip is identity), so
+    // a hash match proves wire + parse semantics end-to-end.
+    "f4_properties_parse" -> ((s, d) => {
+      import org.apache.spark.sql.functions.udf
+      val announced = Set("ifc0", "ifc1", "ifc2")
+      val parse = udf((text: String) =>
+        graft.core.PayloadCodec.parseDeviceProperties(
+          graft.core.PayloadCodec.deflateProperties(text), announced)
+          .map(_.toSeq.sorted).getOrElse(Seq.empty))
+      Tables.documents(s, d)
+        .withColumn("plist", concat(
+          lit("ifc"), pmod(col("doc_id"), lit(5)), lit("/p"), pmod(col("doc_id"), lit(7)),
+          lit(";"),
+          lit("ifc"), pmod(col("n_chars"), lit(5)), lit("/q"), pmod(col("n_chars"), lit(7))))
+        .select(col("doc_id"), explode(parse(col("plist"))).as("pe"))
+        .select(col("doc_id"), col("pe._1").as("iface"), col("pe._2").as("path"))
+    }),
+
+    // W4 via the STORE: object-aggregation envelopes ingested through
+    // the state machine land as deterministic JSON rows; objectTable
+    // projects them into typed v_<leaf> columns from the registry
+    // schema (the reference's one-column-per-endpoint object table).
+    "w4_object_projection" -> ((s, d) => {
+      import s.implicits._
+      import graft.core._, graft.core.AstarteValueType._
+      import graft.streaming._
+      val obj = InterfaceDescriptor("com.bench.Obj", 1, 0,
+        InterfaceType.Datastream, Ownership.Device, Aggregation.Object)
+      val registry = Registry(
+        Map(obj.name -> obj),
+        Map(obj.name -> Seq(
+          Mapping(obj.name, 1, "/s", AString),
+          Mapping(obj.name, 1, "/d", ADouble))),
+        Nil)
+      val envs = Tables.events(s, d).filter(col("user_id") < 10).map { r =>
+        Envelope("realm", s"device-${r.getAs[Long]("user_id")}", "data",
+          obj.name, "/",
+          Bson.encode(Seq("v" -> scala.collection.immutable.ListMap(
+            "s" -> r.getAs[String]("event_type"),
+            "d" -> r.getAs[Double]("value")))),
+          r.getAs[Long]("ts") / 1000 * 10, "ip", r.getAs[Long]("event_id"))
+      }
+      val store = new graft.storage.AstarteStore(
+        java.nio.file.Files.createTempDirectory("graft-w4").toString)
+      store.applyEffects(DeviceStateMachine.processBatch(envs, registry))
+      store.objectTable(s, obj, registry.mappingsOf(obj.name))
+        .select(col("device_id"),
+          col("reception_timestamp"),
+          col("reception_timestamp_submillis").as("submillis"),
+          col("v_s"), round(col("v_d"), 4).as("v_d"))
+        .withColumn("submillis", col("submillis").cast("long"))
+    }),
+
     // R3+R4 via the STORE (not a raw-event proxy): ingest a
     // connect → introspection → data* → disconnect flow per device
     // through the real state machine into an AstarteStore, then read
@@ -583,6 +664,38 @@ object AstarteOpsQueries extends QueryPack {
         |       THEN last_seen_ms + 216000000 END AS expiry_ms
         |FROM idx, m
         |WHERE event_type <> 'click' OR last_seen_ms + 216000000 > m""".stripMargin,
+    "a4_old_introspection" ->
+      """WITH old AS (
+        |  SELECT user_id, event_type, max(event_id) % 3 AS o_major,
+        |    count(*) AS o_minor
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-15' GROUP BY 1, 2),
+        |neu AS (
+        |  SELECT user_id AS n_user, event_type AS n_type,
+        |    max(event_id) % 3 AS n_major
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-15' GROUP BY 1, 2)
+        |SELECT o.user_id, o.event_type || ':' || o.o_major AS entry, o.o_minor
+        |FROM old o LEFT JOIN neu n
+        |  ON o.user_id = n.n_user AND o.event_type = n.n_type
+        |WHERE n.n_major IS NULL OR n.n_major <> o.o_major""".stripMargin,
+    // zlib round-trip is identity, so the oracle parses the cleartext
+    "f4_properties_parse" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    'ifc' || (doc_id % 5) || '/p' || (doc_id % 7) AS e1,
+        |    'ifc' || (n_chars % 5) || '/q' || (n_chars % 7) AS e2
+        |  FROM documents),
+        |x AS (SELECT doc_id, unnest([e1, e2]) AS entry FROM p)
+        |SELECT doc_id,
+        |  string_split(entry, '/')[1] AS iface,
+        |  '/' || string_split(entry, '/')[2] AS path
+        |FROM x WHERE string_split(entry, '/')[1] IN ('ifc0','ifc1','ifc2')""".stripMargin,
+    "w4_object_projection" ->
+      """SELECT DISTINCT 'device-' || user_id AS device_id,
+        |  (epoch_us(ts) // 1000)::BIGINT AS reception_timestamp,
+        |  ((epoch_us(ts) % 1000) * 10)::BIGINT AS submillis,
+        |  event_type AS v_s,
+        |  round(value, 4) AS v_d
+        |FROM events WHERE user_id < 10""".stripMargin,
     // Oracle re-derives the devices fold arithmetically: totals count
     // conn+intro+disc (+3 msgs, +25 intro bytes); each data message is
     // bson(16) + iface(21) + path(7+len(type)) bytes; exchanged maps

@@ -71,7 +71,6 @@ object DedupPipeline extends QueryPack {
         .cache()
       var labels = edges.select(col("doc_a").as("doc_id")).distinct()
         .withColumn("cluster", col("doc_id"))
-      val intermediates = Seq.newBuilder[org.apache.spark.sql.DataFrame]
       for (_ <- 1 to 3) {
         val neighborMin = edges
           .join(labels.select(col("doc_id").as("doc_b"), col("cluster").as("nc")), Seq("doc_b"))
@@ -80,16 +79,17 @@ object DedupPipeline extends QueryPack {
           .join(neighborMin.select(col("doc_a").as("doc_id"), col("min_nc")), Seq("doc_id"), "left")
           .select(col("doc_id"),
             least(col("cluster"), coalesce(col("min_nc"), col("cluster"))).as("cluster"))
-          .cache()
-        intermediates += labels
+          // truncate lineage each round: without it the plan doubles
+          // per iteration and the optimizer re-walks the whole LSH
+          // DAG — the cost that kills iterative jobs at round counts
+          // beyond a handful
+          .localCheckpoint(false)
       }
       // materialize the final round, then release the working caches
-      // (the result itself is tiny and recomputes from the final
-      // cached round if its block is evicted)
+      // (localCheckpoint(false) is lazy; the final count forces it)
       labels.count()
       sh.unpersist()
       edges.unpersist()
-      intermediates.result().dropRight(1).foreach(_.unpersist())
       labels.orderBy(col("doc_id"))
     })
   )
