@@ -65,10 +65,11 @@ object AstarteOpsQueries extends QueryPack {
           graft.core.PayloadCodec.safeInflate(bb.drop(4)).map(_.length)))
       Tables.documents(s, d)
         .withColumn("wire", deflate(col("text")))
+        .withColumn("inflated_len", inflateLen(col("wire")))
         .select(col("doc_id"),
           octet_length(col("wire")).as("compressed_len"),
-          inflateLen(col("wire")).as("inflated_len"),
-          (inflateLen(col("wire")) === octet_length(encode(col("text"), "UTF-8")))
+          col("inflated_len"),
+          (col("inflated_len") === octet_length(encode(col("text"), "UTF-8")))
             .as("roundtrip_ok"))
     }),
 

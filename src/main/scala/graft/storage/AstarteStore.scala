@@ -403,7 +403,10 @@ final case class DeviceRow(
     introspection: Map[String, Int],
     introspection_minor: Map[String, Int],
     exchanged_msgs_by_interface: Map[String, Long],
-    exchanged_bytes_by_interface: Map[String, Long])
+    exchanged_bytes_by_interface: Map[String, Long],
+    // ST5: bumped by every patch (connect/stats/introspection), not
+    // just connects — the reference's per-message last_seen update
+    last_seen_ms: Long = -1L)
 
 object DeviceRow {
   private val LongField = """"(total_received_msgs|total_received_bytes)":(\d+)""".r
@@ -429,6 +432,7 @@ object DeviceRow {
     var r = DeviceRow(deviceId, connected = false, -1L, -1L, null,
       pending_empty_cache = false, 0L, 0L, Map.empty, Map.empty, Map.empty, Map.empty)
     patches.toSeq.sortBy(p => (p._1, p._2)).foreach { case (tsMs, _, json) =>
+      r = r.copy(last_seen_ms = math.max(r.last_seen_ms, tsMs))
       if (json.contains("\"connected\":true"))
         r = r.copy(connected = true, last_connection = tsMs,
           last_seen_ip = IpField.findFirstMatchIn(json).map(_.group(1)).getOrElse(r.last_seen_ip))

@@ -67,9 +67,15 @@ final case class DeviceSessionState(
     interfaceMsgs: Map[String, Long],  // "name:major" -> msgs
     interfaceBytes: Map[String, Long], // "name:major" -> bytes
     properties: Map[String, Array[Byte]], // "iface/path" -> BSON {v}
-    pendingEmptyCache: Boolean)
+    pendingEmptyCache: Boolean,
+    // ST4 paths cache: recently upserted no-retention datastream
+    // paths, FIFO-bounded like the reference's 32-entry cache
+    // (data_updater/cache.ex:19-81) — a cache hit skips the redundant
+    // path-index upsert, the write-amplification guard at scale.
+    seenPaths: Vector[String] = Vector.empty)
 
 object DeviceSessionState {
+  val PathsCacheSize = 32
   val empty: DeviceSessionState = DeviceSessionState(
     connected = false, Map.empty, Map.empty, Map.empty, 0L, 0L,
     Map.empty, Map.empty, Map.empty, pendingEmptyCache = false)
@@ -357,12 +363,18 @@ object DeviceProcessor {
           bson, null, valueTsMs, receptionMs, submillis, null, null, retention)
       }
 
-    // Datastream path-index upsert (W5): emitted for EVERY individual/
+    // Datastream path-index upsert (W5): covers EVERY individual/
     // object datastream value (reference impl.ex:386-421) — retention
     // only adds the expiry, at 2.5× like path_ttl (impl.ex:527-533);
     // no retention → expiry stays null and the row never expires.
+    // ST4: a no-retention path already in the session paths cache
+    // skips the redundant upsert (the row is immutable once written);
+    // retention paths always re-upsert — their expiry must refresh
+    // (reference cache-hit vs maybe-update split, impl.ex:390-416).
+    val pathKey = env.iface + env.path
+    val cacheable = !isProperty && mapping.expirySeconds <= 0
     val pathIndex =
-      if (!isProperty) {
+      if (!isProperty && !(cacheable && state.seenPaths.contains(pathKey))) {
         val detail =
           if (mapping.expirySeconds > 0) {
             val ttlMs = mapping.expirySeconds.toLong * 1000L * 5 / 2
@@ -384,7 +396,11 @@ object DeviceProcessor {
 
     val s1 =
       if (isProperty) state.copy(properties = state.properties + (propKey -> bson))
-      else state
+      else if (cacheable && !state.seenPaths.contains(pathKey)) {
+        val fifo = state.seenPaths :+ pathKey
+        state.copy(seenPaths =
+          if (fifo.length > DeviceSessionState.PathsCacheSize) fifo.tail else fifo)
+      } else state
     (bumpIfaceStats(s1, env, iface.major),
       incoming ++ preEvents ++ Seq(write) ++ pathIndex ++ postEvents)
   }

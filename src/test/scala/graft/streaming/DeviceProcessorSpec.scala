@@ -335,6 +335,40 @@ class DeviceProcessorSpec extends AnyFunSuite {
     assert(kv2.map(_.detail) == Seq("unregister:devices-by-interface-com.test.Zero-v0"))
   }
 
+  test("ST4 paths cache: repeated no-retention path skips the index upsert") {
+    val b = (v: Int) => Bson.encode(Seq("v" -> v))
+    val (s1, fx1) = run(DeviceSessionState.empty,
+      env("data", simpleStream.name, "/0/value", b(1)))
+    assert(fx1.count(_.kind == "path_index") == 1)
+    // same path again: cache hit, no redundant upsert
+    val (s2, fx2) = run(s1, env("data", simpleStream.name, "/0/value", b(2)))
+    assert(fx2.count(_.kind == "path_index") == 0)
+    // different path: upserted and cached
+    val (s3, fx3) = run(s2, env("data", simpleStream.name, "/1/value", b(3)))
+    assert(fx3.count(_.kind == "path_index") == 1)
+    // FIFO bound at 32: flooding distinct paths evicts the oldest
+    var s = s3
+    for (i <- 2 to 40)
+      s = run(s, env("data", simpleStream.name, s"/$i/value", b(i)))._1
+    assert(s.seenPaths.length == DeviceSessionState.PathsCacheSize)
+    val (_, fxAgain) = run(s, env("data", simpleStream.name, "/0/value", b(9)))
+    assert(fxAgain.count(_.kind == "path_index") == 1) // evicted → re-upserted
+  }
+
+  test("ST4: retention paths always re-upsert to refresh their expiry") {
+    val ret = InterfaceDescriptor("com.test.Ret", 1, 0,
+      InterfaceType.Datastream, Ownership.Device, Aggregation.Individual)
+    val reg = Registry(Map(ret.name -> ret),
+      Map(ret.name -> Seq(Mapping(ret.name, 1, "/v", AInteger, expirySeconds = 60))), Nil)
+    val e1 = env("data", ret.name, "/v", Bson.encode(Seq("v" -> 1)))
+    val (s1, fx1) = DeviceProcessor.processMessage(DeviceSessionState.empty, e1, reg)
+    val e2 = env("data", ret.name, "/v", Bson.encode(Seq("v" -> 2)))
+    val (_, fx2) = DeviceProcessor.processMessage(s1, e2, reg)
+    assert(fx1.count(_.kind == "path_index") == 1)
+    assert(fx2.count(_.kind == "path_index") == 1)
+    assert(s1.seenPaths.isEmpty) // retention paths are never cached
+  }
+
   test("prune: unresolvable stored path surfaces an error, not a dead tombstone") {
     val ghost = "com.test.LCDMonitor/no/such/mapping"
     val s0 = DeviceSessionState.empty.copy(
