@@ -89,4 +89,15 @@ object Pipeline {
       .parquet(dir)
       .as[Envelope]
   }
+
+  /** S2 sharded fan-in: union N shard sources into one envelope
+    * stream. The reference runs one AMQP consumer per queue shard
+    * (`amqp_data_consumer/supervisor.ex:31-49`) and relies on
+    * consistent-hash routing for per-device FIFO; here the union is
+    * safe regardless of which shard a device lands on, because the
+    * state machine re-sorts each device's slice by
+    * (reception, offset) inside the keyed group.
+    */
+  def fanIn(sources: Seq[Dataset[Envelope]]): Dataset[Envelope] =
+    sources.reduceLeft(_ union _)
 }

@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Event-time windowed aggregates over the envelope stream — the
+  * Structured Streaming form of the batch windowed queries
+  * (`queries/WindowedQueries.scala`): watermarked tumbling/hopping
+  * device-activity counters that finalize once event time passes the
+  * window end plus the allowed lateness, so append-mode sinks emit
+  * each window exactly once and late stragglers are dropped instead
+  * of corrupting closed windows.
+  */
+object StreamingWindows {
+
+  /** Per-(window, device) message and byte counters over tumbling
+    * event-time windows. `lateness` bounds state: windows older than
+    * watermark - lateness are evicted from the state store, which is
+    * what keeps unbounded streams at a bounded memory footprint.
+    */
+  def deviceActivity(
+      envelopes: Dataset[Envelope],
+      windowDuration: String = "1 hour",
+      lateness: String = "10 minutes"): DataFrame =
+    envelopes.toDF()
+      .withColumn("event_time",
+        expr("timestamp_micros(receptionDecimicros div 10)"))
+      .withWatermark("event_time", lateness)
+      .groupBy(window(col("event_time"), windowDuration), col("deviceId"))
+      .agg(count(lit(1)).as("n_msgs"),
+        sum(coalesce(octet_length(col("payload")), lit(0))).as("n_bytes"))
+      .select(col("window.start").as("window_start"),
+        col("deviceId").as("device_id"), col("n_msgs"), col("n_bytes"))
+
+  /** Hopping (sliding) variant: each event lands in
+    * window/slide overlapping windows.
+    */
+  def deviceActivityHopping(
+      envelopes: Dataset[Envelope],
+      windowDuration: String,
+      slide: String,
+      lateness: String = "10 minutes"): DataFrame =
+    envelopes.toDF()
+      .withColumn("event_time",
+        expr("timestamp_micros(receptionDecimicros div 10)"))
+      .withWatermark("event_time", lateness)
+      .groupBy(window(col("event_time"), windowDuration, slide), col("deviceId"))
+      .agg(count(lit(1)).as("n_msgs"))
+      .select(col("window.start").as("window_start"),
+        col("deviceId").as("device_id"), col("n_msgs"))
+}

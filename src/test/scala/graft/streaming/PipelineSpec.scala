@@ -79,4 +79,38 @@ class PipelineSpec extends AnyFunSuite {
       assert(hs("x_astarte_device_id") == in.deviceId)
     }
   }
+
+  test("S2 fan-in: two shard sources union into one ordered device stream") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-fanin").toString
+    val iface = InterfaceDescriptor("f.iface", 1, 0,
+      InterfaceType.Properties, Ownership.Device, Aggregation.Individual)
+    val registry = Registry(
+      Map(iface.name -> iface),
+      Map(iface.name -> Seq(Mapping(iface.name, 1, "/p", ALongInteger))), Nil)
+
+    // the same device's messages split across two shards, with the
+    // LATEST write living on shard B — fan-in + per-device re-sort
+    // must still apply them in reception order
+    new java.io.File(s"$base/sA").mkdirs(); new java.io.File(s"$base/sB").mkdirs()
+    Seq(Envelope("r", "dev", "data", iface.name, "/p",
+      Bson.encode(Seq("v" -> 1L)), 2000010000L, "ip", 1)).toDS()
+      .write.parquet(s"$base/sA/f0")
+    Seq(Envelope("r", "dev", "data", iface.name, "/p",
+      Bson.encode(Seq("v" -> 2L)), 2000020000L, "ip", 2)).toDS()
+      .write.parquet(s"$base/sB/f0")
+
+    val store = new AstarteStore(s"$base/store")
+    val q = Pipeline.start(
+      Pipeline.fanIn(Seq(
+        Pipeline.fileSource(spark, s"$base/sA/*"),
+        Pipeline.fileSource(spark, s"$base/sB/*"))),
+      DeviceStateMachine.StaticRegistryProvider(registry),
+      store, new EventSink(s"$base/events"), s"$base/ckpt")
+    try q.processAllAvailable() finally q.stop()
+
+    val props = store.propertyValues(spark, ALongInteger).collect()
+    assert(props.length == 1)
+    assert(props.head.getAs[Long]("value") == 2L) // shard B's later write wins
+  }
 }

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Bson
+
+/** Watermarked event-time windows over the envelope stream: append
+  * mode emits a window exactly once after the watermark passes its
+  * end + lateness, and data later than the watermark bound is
+  * dropped — the semantics that keep streaming state bounded.
+  */
+class StreamingWindowsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def env(dev: String, tsMs: Long, off: Long): Envelope =
+    Envelope("r", dev, "data", "i.face", "/p", Bson.encode(Seq("v" -> off)),
+      tsMs * 10000, "ip", off)
+
+  test("tumbling windows finalize on watermark and drop late data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Envelope]
+    val windowed = StreamingWindows.deviceActivity(
+      input.toDS(), windowDuration = "1 minute", lateness = "30 seconds")
+    val q = windowed.writeStream
+      .format("memory").queryName("wnd").outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-wnd").toString)
+      .start()
+    try {
+      val t0 = 1700000000000L // window [t0, t0+60s)
+      // 3 messages for devA and 1 for devB inside window 1
+      input.addData(env("devA", t0 + 1000, 1), env("devA", t0 + 2000, 2),
+        env("devB", t0 + 3000, 3), env("devA", t0 + 4000, 4))
+      q.processAllAvailable()
+      // nothing emitted yet: watermark has not passed window end
+      assert(spark.sql("SELECT count(*) FROM wnd").head().getLong(0) == 0)
+
+      // advance event time far past window1 end + lateness
+      input.addData(env("devA", t0 + 10 * 60 * 1000, 5))
+      q.processAllAvailable()
+      // a LATE straggler for window 1, behind the watermark: dropped
+      input.addData(env("devA", t0 + 5000, 6))
+      q.processAllAvailable()
+      // one more advance so any (incorrectly accepted) late row would flush
+      input.addData(env("devA", t0 + 30 * 60 * 1000, 7))
+      q.processAllAvailable()
+
+      val rows = spark.sql(
+        "SELECT device_id, n_msgs FROM wnd ORDER BY device_id").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      // window 1 finalized exactly once with the on-time counts only
+      assert(rows.count(_._1 == "devA") >= 1)
+      val w1A = rows.filter(_ == ("devA", 3L))
+      assert(w1A.length == 1) // 3 on-time msgs; the late 4th was dropped
+      assert(rows.contains(("devB", 1L)))
+    } finally q.stop()
+  }
+
+  test("hopping windows assign each event to overlapping windows") {
+    import spark.implicits._
+    // batch-mode sanity over the same plan shape (no watermark wait)
+    val events = Seq(env("d", 1700000000000L + 90 * 1000, 1)).toDS()
+    val rows = StreamingWindows.deviceActivityHopping(
+      events, "2 minutes", "1 minute", "0 seconds")
+      .collect()
+    assert(rows.length == 2) // 2-min window sliding by 1 min → 2 windows
+  }
+}
