@@ -101,9 +101,12 @@ final class AstarteStore(val root: String) {
 
       val streams = df.filter(col("kind") === "datastream_append")
       if (!streams.isEmpty) {
-        // Partition by interface: per-interface reads prune whole
-        // directories; at 100 TB add a date bucket from
-        // value_timestamp as a second partition level.
+        // Two-level partitioning (iface, day): per-interface reads
+        // prune whole directory trees, and time-range scans prune by
+        // UTC day of the value timestamp — at 100 TB both predicates
+        // must resolve at the directory listing, not the row scan.
+        // Retention sweeps also become whole-directory drops once a
+        // day is fully expired.
         withTyped(streams)
           .select(Seq(col("deviceId").as("device_id"), col("iface"),
             col("endpoint"), col("path"),
@@ -113,9 +116,10 @@ final class AstarteStore(val root: String) {
             // W3 retention: nullable expiry, the reference's value-row
             // `USING TTL` (queries.ex:157-197); swept by sweepRetention.
             regexp_extract(col("detail"), "expiry_ms:(\\d+)", 1).cast("long")
-              .as("expiry_ms")) ++
+              .as("expiry_ms"),
+            expr("valueTimestampMs div 86400000").as("day")) ++
             typedColumnNames.map(col): _*)
-          .write.mode("append").partitionBy("iface").parquet(datastreamPath)
+          .write.mode("append").partitionBy("iface", "day").parquet(datastreamPath)
       }
 
       val objects = df.filter(col("kind") === "object_append")
@@ -130,8 +134,9 @@ final class AstarteStore(val root: String) {
             col("submillis").as("reception_timestamp_submillis"),
             regexp_extract(col("detail"), "expiry_ms:(\\d+)", 1).cast("long")
               .as("expiry_ms"),
+            expr("valueTimestampMs div 86400000").as("day"),
             BsonValueUdfs.objectJsonUdf(col("valueBson")).as("v_json"))
-          .write.mode("append").partitionBy("iface").parquet(s"$root/objects")
+          .write.mode("append").partitionBy("iface", "day").parquet(s"$root/objects")
       }
 
       val updates = df.filter(col("kind") === "device_update")
@@ -242,7 +247,7 @@ final class AstarteStore(val root: String) {
     if (!df.columns.contains("expiry_ms")) return
     val live = df.filter(col("expiry_ms").isNull || col("expiry_ms") > nowMs)
     val tmp = new HPath(path + ".sweep.tmp")
-    live.write.mode("overwrite").partitionBy("iface").parquet(tmp.toString)
+    live.write.mode("overwrite").partitionBy("iface", "day").parquet(tmp.toString)
     fs.delete(hpath, true)
     fs.rename(tmp, hpath)
   }
