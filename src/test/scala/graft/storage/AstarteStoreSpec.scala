@@ -165,6 +165,28 @@ class AstarteStoreSpec extends AnyFunSuite {
     assert(store.pathsFor(spark, stream.name).collect().isEmpty)
   }
 
+  test("(iface, day) layout prunes datastream scans at the partition level") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-prune").toString
+    val store = new AstarteStore(root)
+    val dayMs = 86400000L
+    // values on three distinct UTC days
+    val msgs = (0 until 3).map { day =>
+      Envelope("realm", "dev", "data", stream.name, s"/$day/value",
+        Bson.encode(Seq("v" -> day)), (day * dayMs + 1000L) * 10000, "ip", day.toLong)
+    }.toDS()
+    store.applyEffects(DeviceStateMachine.processBatch(msgs, registry))
+
+    val pruned = store.datastreams(spark)
+      .filter(org.apache.spark.sql.functions.col("day") === 1)
+    assert(pruned.count() == 1)
+    // the day predicate must resolve as a partition filter on the
+    // scan (directory pruning), not a post-scan row filter
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("day"))
+    assert(!scan.contains("PushedFilters: [IsNotNull(day)"))
+  }
+
   test("path index covers no-retention mappings (null expiry, never swept)") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-store3").toString
