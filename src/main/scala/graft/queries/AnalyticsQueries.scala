@@ -172,15 +172,16 @@ object AnalyticsQueries extends QueryPack {
       val hashed = bigrams.select(col("doc_id"), col("lang"), col("bucket"),
         conv(substring(md5(col("bigram")), 1, 15), 16, 10).cast("long").as("bh"))
       // per-block document frequency -> global order (df asc, bh asc);
-      // prefix length for t=0.5: sz - ceil(sz/2) + 1
-      val freq = hashed.groupBy(col("lang"), col("bucket"), col("bh"))
-        .agg(count(lit(1)).as("df"))
-      val sizes = hashed.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("bh"))
+      // prefix length for t=0.5: sz - ceil(sz/2) + 1. Both df and the
+      // per-doc (rank, size) come from window functions — two shuffle
+      // exchanges total, no agg-then-join round trips.
+      val wFreq = Window.partitionBy(col("lang"), col("bucket"), col("bh"))
+      val wDocOrder = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("bh"))
+      val wDocAll = wDocOrder.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       val prefixes = hashed
-        .join(freq, Seq("lang", "bucket", "bh"))
-        .withColumn("rn", row_number().over(wDoc))
-        .join(sizes, "doc_id")
+        .withColumn("df", count(lit(1)).over(wFreq))
+        .withColumn("rn", row_number().over(wDocOrder))
+        .withColumn("sz", count(lit(1)).over(wDocAll))
         .filter(col("rn") <= col("sz") - expr("(sz + 1) div 2") + 1)
         .select(col("doc_id"), col("lang"), col("bucket"), col("bh"))
       val cand = prefixes.select(col("doc_id").as("doc_a"), col("lang"),
