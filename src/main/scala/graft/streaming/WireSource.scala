@@ -47,10 +47,14 @@ object WireSource {
     */
   def decodeEnvelopes(records: DataFrame): Dataset[Envelope] = {
     import records.sparkSession.implicits._
-    def h(name: String) =
-      expr(s"CAST(hm['x_astarte_$name'] AS STRING)")
+    // per-header lookup via filter + get, NOT map_from_entries: a
+    // duplicate header key would make map construction throw (default
+    // dedup policy) and one malformed record must never kill the
+    // stream — the reference discards invalid messages. First
+    // occurrence wins; get() is null on no match.
+    def h(name: String) = expr(
+      s"CAST(get(filter(headers, x -> x.key = 'x_astarte_$name'), 0).value AS STRING)")
     records
-      .withColumn("hm", map_from_entries(col("headers")))
       .select(
         h("realm").as("realm"),
         h("device_id").as("deviceId"),

@@ -96,6 +96,16 @@ class WireSourceSpec extends AnyFunSuite {
     assert(fired.toSeq == Seq("devA"))
   }
 
+  test("duplicate header keys do not kill the decode (first wins)") {
+    import spark.implicits._
+    val dup = rec("data", "r", "d1", Bson.encode(Seq("v" -> 7)), 9,
+      iface = "i.face", path = "/p")
+    val poisoned = dup.copy(headers =
+      dup.headers :+ WireHeader("x_astarte_device_id", "SHADOW".getBytes))
+    val out = WireSource.decodeEnvelopes(Seq(poisoned).toDF()).collect()
+    assert(out.length == 1 && out.head.deviceId == "d1")
+  }
+
   test("decode is pure column expressions (no UDF in the ingest scan)") {
     import spark.implicits._
     val df = Seq(rec("data", "r", "d", Array[Byte](1), 1,
