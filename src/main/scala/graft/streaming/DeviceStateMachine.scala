@@ -48,6 +48,11 @@ object DeviceStateMachine {
       msgs: Iterator[Envelope],
       initial: DeviceSessionState,
       registry: Registry): (DeviceSessionState, Iterator[EffectRow]) = {
+    // Buffers ONE device's slice of ONE micro-batch — memory is
+    // bounded by the source's per-trigger cap (maxOffsetsPerTrigger /
+    // maxFilesPerTrigger, the AMQP prefetch analogue), not by stream
+    // length. A pathological hot device is limited to its share of
+    // that cap; size the cap so cap × avg message ≪ executor memory.
     val ordered = msgs.toSeq.sortBy(e => (e.receptionDecimicros, e.offset))
     var state = initial
     val out = Seq.newBuilder[EffectRow]

@@ -78,6 +78,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Partial"))
   }
 
+  test("dedup candidate generation never degrades to a cartesian product") {
+    // prefix-filtered n-gram join + blocked cosine join: equi-join
+    // keys must survive planning (a cartesian fallback here would be
+    // the 100 TB scale-killer the prefix/blocking design exists to
+    // prevent)
+    for (q <- Seq("dd_ngram_jaccard", "dd_embcos_neardup", "dd_simhash_pairs")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q fell back to cartesian")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q fell back to NL join")
+    }
+  }
+
   test("events scans prune columns (s3 reads only 2 of 6 columns)") {
     val p = plan("s3_route_msgtype")
     val rs = p.substring(p.indexOf("ReadSchema"))
