@@ -78,8 +78,12 @@ object PayloadCodec {
       val chunk = new Array[Byte](65536)
       while (!inflater.finished()) {
         val n = inflater.inflate(chunk)
-        if (n == 0 && !inflater.finished() && inflater.needsInput())
-          return None // truncated (empty-content streams finish with n == 0)
+        // n == 0 with the stream unfinished means no progress is
+        // possible: truncated input (needsInput) or a preset-dictionary
+        // header (needsDictionary) — both invalid here; bailing on
+        // either also prevents an infinite loop on FDICT streams.
+        // (A COMPLETE empty-content stream finishes with n == 0.)
+        if (n == 0 && !inflater.finished()) return None
         out.write(chunk, 0, n)
         if (out.size() > cap) return None // bomb
       }

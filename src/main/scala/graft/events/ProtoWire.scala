@@ -67,6 +67,11 @@ object ProtoWire {
         case 0 => vs(field) = vs.getOrElse(field, Vector.empty) :+ varint()
         case 2 =>
           val len = varint().toInt
+          // copyOfRange would silently zero-pad past the end — a
+          // truncated blob must fail, not decode to corrupt values
+          if (len < 0 || i + len > bytes.length)
+            throw new IllegalArgumentException(
+              s"length-delimited field $field overruns buffer ($len bytes at $i)")
           bs(field) = bs.getOrElse(field, Vector.empty) :+
             java.util.Arrays.copyOfRange(bytes, i, i + len)
           i += len

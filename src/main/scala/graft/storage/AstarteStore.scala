@@ -245,7 +245,17 @@ final class AstarteStore(val root: String) {
     if (!fs.exists(hpath)) return
     val df = spark.read.parquet(path)
     if (!df.columns.contains("expiry_ms")) return
+    // nothing expired → skip the rewrite entirely (the common case —
+    // a periodic sweep must not re-copy a table it has nothing to do to)
+    if (df.filter(col("expiry_ms").isNotNull && col("expiry_ms") <= nowMs).isEmpty)
+      return
     val live = df.filter(col("expiry_ms").isNull || col("expiry_ms") > nowMs)
+    if (live.isEmpty) {
+      // everything expired: an empty partitioned write would leave a
+      // schema-less dir that poisons the next read — drop the table
+      fs.delete(hpath, true)
+      return
+    }
     val tmp = new HPath(path + ".sweep.tmp")
     live.write.mode("overwrite").partitionBy("iface", "day").parquet(tmp.toString)
     fs.delete(hpath, true)
@@ -443,9 +453,14 @@ object DeviceRow {
           last_seen_ip = IpField.findFirstMatchIn(json).map(_.group(1)).getOrElse(r.last_seen_ip))
       if (json.contains("\"connected\":false"))
         r = r.copy(connected = false, last_disconnection = tsMs)
+      // totals are MONOTONE lifetime counters: merge with max so a
+      // stats flush stamped earlier (a late message's batch) can
+      // never regress the fold below a higher already-applied count
       LongField.findAllMatchIn(json).foreach { m =>
-        if (m.group(1) == "total_received_msgs") r = r.copy(total_received_msgs = m.group(2).toLong)
-        else r = r.copy(total_received_bytes = m.group(2).toLong)
+        if (m.group(1) == "total_received_msgs")
+          r = r.copy(total_received_msgs = math.max(r.total_received_msgs, m.group(2).toLong))
+        else
+          r = r.copy(total_received_bytes = math.max(r.total_received_bytes, m.group(2).toLong))
       }
       pairMap(json, "introspection").foreach { m =>
         r = r.copy(
@@ -453,9 +468,14 @@ object DeviceRow {
           introspection_minor = m.map { case (k, v) => k -> v._2.toInt })
       }
       pairMap(json, "exchanged").foreach { m =>
+        // same monotone-merge per (interface, major) key
+        def maxMerge(old: Map[String, Long], nw: Map[String, Long]) =
+          old ++ nw.map { case (k, v) => k -> math.max(v, old.getOrElse(k, 0L)) }
         r = r.copy(
-          exchanged_msgs_by_interface = m.map { case (k, v) => k -> v._1 },
-          exchanged_bytes_by_interface = m.map { case (k, v) => k -> v._2 })
+          exchanged_msgs_by_interface = maxMerge(
+            r.exchanged_msgs_by_interface, m.map { case (k, v) => k -> v._1 }),
+          exchanged_bytes_by_interface = maxMerge(
+            r.exchanged_bytes_by_interface, m.map { case (k, v) => k -> v._2 }))
       }
       if (json.contains("\"pending_empty_cache\":true")) r = r.copy(pending_empty_cache = true)
       if (json.contains("\"pending_empty_cache\":false")) r = r.copy(pending_empty_cache = false)

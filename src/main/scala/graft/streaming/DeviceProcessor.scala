@@ -368,9 +368,12 @@ object DeviceProcessor {
     // only adds the expiry, at 2.5× like path_ttl (impl.ex:527-533);
     // no retention → expiry stays null and the row never expires.
     // ST4: a no-retention path already in the session paths cache
-    // skips the redundant upsert (the row is immutable once written);
-    // retention paths always re-upsert — their expiry must refresh
-    // (reference cache-hit vs maybe-update split, impl.ex:390-416).
+    // skips the re-upsert — the stored row's last-activity then stays
+    // at the last pre-cache-hit write, exactly the staleness the
+    // reference's cache accepts by design (its cache hit also skips
+    // the row refresh); retention paths always re-upsert — their
+    // expiry must refresh (cache-hit vs maybe-update split,
+    // impl.ex:390-416).
     val pathKey = env.iface + env.path
     val cacheable = !isProperty && mapping.expirySeconds <= 0
     val pathIndex =

@@ -34,8 +34,19 @@ object Pipeline {
       store: AstarteStore,
       events: EventSink,
       checkpointDir: String,
-      triggerInterval: String = "1 second"): StreamingQuery = {
-    val effects = DeviceStateMachine.processStream(envelopes, registry)
+      triggerInterval: String = "1 second"): StreamingQuery =
+    runEffects(DeviceStateMachine.processStream(envelopes, registry),
+      store, events, checkpointDir, triggerInterval)
+
+  /** Shared sink glue: both entry points write through the same
+    * checkpointed foreachBatch (store + event sink).
+    */
+  private def runEffects(
+      effects: Dataset[EffectRow],
+      store: AstarteStore,
+      events: EventSink,
+      checkpointDir: String,
+      triggerInterval: String): StreamingQuery =
     effects.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(StreamTrigger.ProcessingTime(triggerInterval))
@@ -45,7 +56,6 @@ object Pipeline {
         events.publish(batch)
       }
       .start()
-  }
 
   /** ST8 cold-start: like [[start]], but the state store is seeded
     * from the durable store — folded devices dimension + properties
@@ -65,16 +75,8 @@ object Pipeline {
       checkpointDir: String,
       triggerInterval: String = "1 second"): StreamingQuery = {
     val init = store.initialSessionStates(spark, realm)
-    val effects = DeviceStateMachine.processStreamWithInit(envelopes, registry, init)
-    effects.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(StreamTrigger.ProcessingTime(triggerInterval))
-      .foreachBatch { (batch: Dataset[EffectRow], batchId: Long) =>
-        batch.sparkSession.sparkContext.setJobDescription(s"graft effects batch $batchId")
-        store.applyEffects(batch)
-        events.publish(batch)
-      }
-      .start()
+    runEffects(DeviceStateMachine.processStreamWithInit(envelopes, registry, init),
+      store, events, checkpointDir, triggerInterval)
   }
 
   /** File-based envelope source (S1/S2 stand-in): each parquet file

@@ -55,14 +55,18 @@ object WireSource {
     def h(name: String) = expr(
       s"CAST(get(filter(headers, x -> x.key = 'x_astarte_$name'), 0).value AS STRING)")
     records
+      .withColumn("mt", h("msg_type"))
+      .withColumn("ph", h("path"))
+      .withColumn("cph", h("control_path"))
       .select(
         h("realm").as("realm"),
         h("device_id").as("deviceId"),
-        h("msg_type").as("msgType"),
+        col("mt").as("msgType"),
         h("interface").as("iface"),
-        // data messages address an interface path, control messages a
-        // control path — whichever is present is THE path
-        coalesce(h("path"), h("control_path")).as("path"),
+        // each msg type reads ITS OWN path header — a data record
+        // carrying only a control path (or vice versa) must fail the
+        // required-header guard, not borrow the wrong one
+        when(col("mt") === "control", col("cph")).otherwise(col("ph")).as("path"),
         col("value").as("payload"),
         (unix_micros(col("timestamp")) * 10).as("receptionDecimicros"),
         h("remote_ip").as("ipAddress"),

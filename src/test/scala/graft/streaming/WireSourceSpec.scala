@@ -96,6 +96,18 @@ class WireSourceSpec extends AnyFunSuite {
     assert(fired.toSeq == Seq("devA"))
   }
 
+  test("a data record carrying only a control path is discarded, not misrouted") {
+    import spark.implicits._
+    val bad = rec("data", "r", "dX", Bson.encode(Seq("v" -> 1)), 8,
+      iface = "i.face", controlPath = "/emptyCache") // no x_astarte_path
+    assert(WireSource.decodeEnvelopes(Seq(bad).toDF()).collect().isEmpty)
+    // and a control record reads its control path, not the data path
+    val ctl = rec("control", "r", "dY", Array.emptyByteArray, 9,
+      controlPath = "/emptyCache")
+    val out = WireSource.decodeEnvelopes(Seq(ctl).toDF()).collect()
+    assert(out.length == 1 && out.head.path == "/emptyCache")
+  }
+
   test("duplicate header keys do not kill the decode (first wins)") {
     import spark.implicits._
     val dup = rec("data", "r", "d1", Bson.encode(Seq("v" -> 7)), 9,

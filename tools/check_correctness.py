@@ -28,8 +28,11 @@ def norm_cell(v):
             return "NaN"
         return f"{v:.6g}"
     if isinstance(v, decimal.Decimal):
-        # scale-insensitive: '1.50' and '1.5' must hash alike
-        return str(v.normalize())
+        # scale-insensitive AND notation-insensitive: '1.50' -> '1.5',
+        # and integral values avoid normalize()'s '1E+2' rendering so
+        # Decimal(100.00) hashes like int/float 100
+        n = v.normalize()
+        return format(n, "f") if n == n.to_integral_value() else str(n)
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
