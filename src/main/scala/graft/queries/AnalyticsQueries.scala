@@ -132,6 +132,39 @@ object AnalyticsQueries extends QueryPack {
         .select(col("doc_a"), col("doc_b"), col("hamming"))
     }),
 
+    // Keeper election → the post-dedup corpus: any doc with a smaller
+    // near-dup neighbor (simhash hamming <= 2 in its language block)
+    // is dropped; survivors are the training corpus. One anti-join
+    // over the pair side — the "keep first occurrence" policy every
+    // large-scale dedup ends with.
+    "dd_keeper_corpus" -> ((s, d) => {
+      val sigs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
+        .withColumn("tok_hash",
+          conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("int"))
+        .select(col("doc_id"), col("lang"), col("tok_hash"),
+          explode(expr("sequence(0, 15)")).as("bit"))
+        .withColumn("contrib",
+          when(expr("shiftright(tok_hash, bit) % 2") === 1, 1).otherwise(-1))
+        .groupBy(col("doc_id"), col("lang"), col("bit"))
+        .agg(sum(col("contrib")).as("vote"))
+        .withColumn("bit_val",
+          when(col("vote") > 0, expr("shiftleft(1, bit)")).otherwise(0))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("bit_val")).as("sig"))
+        .cache()
+      val dropped = sigs.select(col("doc_id").as("doc_a"), col("lang"), col("sig").as("sig_a"))
+        .join(sigs.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+            col("sig").as("sig_b")),
+          col("lang") === col("lang_b") && col("doc_a") < col("doc_b"))
+        .filter(expr("bit_count(sig_a ^ sig_b)") <= 2)
+        .select(col("doc_b").as("doc_id")).distinct()
+      Tables.documents(s, d)
+        .join(dropped, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // Frame-sample offsets (multimodal): every 3rd frame boundary of
     // a fixed frame size over the payload length — pure arithmetic,
     // identical for a real container index.
@@ -439,6 +472,27 @@ object AnalyticsQueries extends QueryPack {
         |FROM sigs a JOIN sigs b
         |  ON a.lang = b.lang AND a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sig, b.sig)) <= 2""".stripMargin,
+    "dd_keeper_corpus" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5(unnest(string_split(text,' '))),1,4))::INT AS tok_hash
+        |  FROM documents),
+        |votes AS (
+        |  SELECT doc_id, lang, bit,
+        |    sum(CASE WHEN (tok_hash >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        |  FROM t, (SELECT unnest(generate_series(0,15)) AS bit)
+        |  GROUP BY doc_id, lang, bit),
+        |sigs AS (
+        |  SELECT doc_id, lang,
+        |    sum(CASE WHEN vote > 0 THEN 1 << bit ELSE 0 END) AS sig
+        |  FROM votes GROUP BY doc_id, lang),
+        |dropped AS (
+        |  SELECT DISTINCT b.doc_id
+        |  FROM sigs a JOIN sigs b
+        |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.sig, b.sig)) <= 2)
+        |SELECT d.doc_id, d.lang FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin,
     "mm_frame_sample" ->
       """WITH d AS (
         |  SELECT doc_id, octet_length(text::BLOB) AS byte_len
