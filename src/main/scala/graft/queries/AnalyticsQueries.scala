@@ -353,6 +353,24 @@ object AnalyticsQueries extends QueryPack {
           col("band"))
     }),
 
+    // Repetition filter (the Gopher-style duplicate-n-gram rule):
+    // docs whose bigrams repeat heavily are boilerplate/spam. Outputs
+    // are exact integers — a duplicate ratio of small ints would land
+    // on rounding boundaries; the integer compare n_distinct*2 <
+    // n_bigrams IS the >50%-duplicates verdict without a float.
+    "tx_repetition" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), expr(
+          """transform(sequence(1, greatest(size(tk) - 1, 0)),
+            |  i -> concat_ws(' ', element_at(tk, i),
+            |                      element_at(tk, i+1)))""".stripMargin).as("bigrams"))
+        .select(col("doc_id"),
+          size(col("bigrams")).cast("long").as("n_bigrams"),
+          size(array_distinct(col("bigrams"))).cast("long").as("n_distinct"))
+        .withColumn("repetitive", col("n_distinct") * 2 < col("n_bigrams"))
+    }),
+
     // BPE-style pre-tokenization (RE2-safe class regex — word / number
     // / punctuation runs), the unit-count a tokenizer-budget pipeline
     // needs before actual BPE merges.
@@ -626,6 +644,19 @@ object AnalyticsQueries extends QueryPack {
         |       WHEN score_raw >= 0.5 THEN 'medium'
         |       ELSE 'low' END AS band
         |FROM scored""".stripMargin,
+    "tx_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+        |    generate_subscripts(string_split(text,' '),1) AS pos
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, tok || ' ' || lead(tok) OVER w AS bigram
+        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY lead(tok) OVER w IS NOT NULL)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  count(DISTINCT bigram) AS n_distinct,
+        |  count(DISTINCT bigram) * 2 < count(*) AS repetitive
+        |FROM bg GROUP BY doc_id""".stripMargin,
     "tx_bpe_pretokenize" ->
       """SELECT source,
         |  sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+')))::BIGINT AS pre_tokens,
