@@ -35,6 +35,76 @@ object AnalyticsQueries extends QueryPack {
       .withColumn("val", col("fval").cast("double"))
       .drop("fval")
 
+  /** SimHash signatures per document: 16-bit signature from per-token
+    * md5 bits, majority-voted per bit. Map-side explode + two partial
+    * aggregations — the single shared lineage behind `dd_simhash`,
+    * `dd_simhash_pairs` and `dd_keeper_corpus`.
+    */
+  private def simhashSigs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(toks).as("tok"))
+      .withColumn("tok_hash",
+        conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("int"))
+      .select(col("doc_id"), col("lang"), col("tok_hash"),
+        explode(expr("sequence(0, 15)")).as("bit"))
+      .withColumn("contrib",
+        when(expr("shiftright(tok_hash, bit) % 2") === 1, 1).otherwise(-1))
+      .groupBy(col("doc_id"), col("lang"), col("bit"))
+      .agg(sum(col("contrib")).as("vote"))
+      .withColumn("bit_val",
+        when(col("vote") > 0, expr("shiftleft(1, bit)")).otherwise(0))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("bit_val")).as("sig"))
+
+  /** Near-dup pairs (hamming <= 2) via SIGNATURE-space enumeration —
+    * never doc×doc. The signature space is 2^16, so the distinct
+    * (lang, sig) set is bounded at 65,536 rows per language REGARDLESS
+    * of corpus size, and each sig's hamming<=2 ball has exactly
+    * 1 + 16 + C(16,2) = 137 members. We enumerate the ball from each
+    * present signature (canonicalized to sig_hi >= sig_lo), keep only
+    * neighbors that actually occur (equi-join against the tiny
+    * distinct-sig set — broadcastable at any scale), then expand the
+    * surviving signature pairs back to document pairs with two
+    * equi-joins on (lang, sig). Every join is hash-keyed; the only
+    * quadratic term left is the true output itself (documents sharing
+    * an identical signature — inherent to the answer, not the plan).
+    * A single-language 100 TB corpus costs the same enumeration as a
+    * multilingual one.
+    */
+  private def simhashNearDupPairs(s: SparkSession, d: String): DataFrame = {
+    val sigs = simhashSigs(s, d)
+      .cache() // read 3× below (distinct sigs + both expansion sides)
+    val present = sigs.select(col("lang"), col("sig")).distinct()
+    val ball = present.select(col("lang"), col("sig").as("sig_lo"),
+        explode(expr(
+          """concat(
+            |  array(int(sig)),
+            |  transform(sequence(0, 15), i -> int(sig) ^ shiftleft(1, i)),
+            |  flatten(transform(sequence(0, 14), i ->
+            |    transform(sequence(i + 1, 15), j ->
+            |      int(sig) ^ shiftleft(1, i) ^ shiftleft(1, j))))
+            |)""".stripMargin)).as("sig_hi"))
+      .filter(col("sig_hi") >= col("sig_lo"))
+    val sigPairs = ball.join(
+        present.select(col("lang").as("lang_p"), col("sig").as("sig_p")),
+        col("lang") === col("lang_p") && col("sig_hi") === col("sig_p"))
+      .select(col("lang"), col("sig_lo"), col("sig_hi"))
+    val lo = sigs.select(col("lang").as("lang_1"), col("sig").as("sig_1"),
+      col("doc_id").as("d1"))
+    val hi = sigs.select(col("lang").as("lang_2"), col("sig").as("sig_2"),
+      col("doc_id").as("d2"))
+    sigPairs
+      .join(lo, col("lang") === col("lang_1") && col("sig_lo") === col("sig_1"))
+      .join(hi, col("lang") === col("lang_2") && col("sig_hi") === col("sig_2"))
+      // same-sig groups enumerate each unordered doc pair twice (d1,d2
+      // swapped) — keep d1 < d2; cross-sig pairs appear exactly once
+      // (the sig pair itself is canonical), so no dedup needed there.
+      .filter(col("sig_lo") =!= col("sig_hi") || col("d1") < col("d2"))
+      .select(least(col("d1"), col("d2")).as("doc_a"),
+        greatest(col("d1"), col("d2")).as("doc_b"),
+        expr("bit_count(sig_lo ^ sig_hi)").as("hamming"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup: hash-groupBy; keeper = min doc_id per content hash.
@@ -86,51 +156,12 @@ object AnalyticsQueries extends QueryPack {
 
     // SimHash document fingerprint: 16-bit signature from per-token
     // md5 bits, majority-voted per bit. Fully map-side + one agg.
-    "dd_simhash" -> ((s, d) => {
-      Tables.documents(s, d)
-        .select(col("doc_id"), explode(toks).as("tok"))
-        .withColumn("tok_hash",
-          conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("int"))
-        .select(col("doc_id"), col("tok_hash"),
-          explode(expr("sequence(0, 15)")).as("bit"))
-        .withColumn("contrib",
-          when(expr("shiftright(tok_hash, bit) % 2") === 1, 1).otherwise(-1))
-        .groupBy(col("doc_id"), col("bit"))
-        .agg(sum(col("contrib")).as("vote"))
-        .withColumn("bit_val",
-          when(col("vote") > 0, expr("shiftleft(1, bit)")).otherwise(0))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("bit_val")).as("simhash"))
-    }),
+    "dd_simhash" -> ((s, d) =>
+      simhashSigs(s, d).select(col("doc_id"), col("sig").as("simhash"))),
 
-    // SimHash near-dup pairs: 16-bit signatures compared by hamming
-    // distance (popcount of xor) within language blocks — the
-    // constant-time pair check simhash exists for.
-    "dd_simhash_pairs" -> ((s, d) => {
-      val sigs = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
-        .select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
-        .withColumn("tok_hash",
-          conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("int"))
-        .select(col("doc_id"), col("lang"), col("tok_hash"),
-          explode(expr("sequence(0, 15)")).as("bit"))
-        .withColumn("contrib",
-          when(expr("shiftright(tok_hash, bit) % 2") === 1, 1).otherwise(-1))
-        .groupBy(col("doc_id"), col("lang"), col("bit"))
-        .agg(sum(col("contrib")).as("vote"))
-        .withColumn("bit_val",
-          when(col("vote") > 0, expr("shiftleft(1, bit)")).otherwise(0))
-        .groupBy(col("doc_id"), col("lang"))
-        .agg(sum(col("bit_val")).as("sig"))
-        .cache() // self-joined below: don't recompute the signature lineage per side
-      val a = sigs.select(col("doc_id").as("doc_a"), col("lang"), col("sig").as("sig_a"))
-      val b = sigs.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
-        col("sig").as("sig_b"))
-      a.join(b, col("lang") === col("lang_b") && col("doc_a") < col("doc_b"))
-        .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
-        .filter(col("hamming") <= 2)
-        .select(col("doc_a"), col("doc_b"), col("hamming"))
-    }),
+    // SimHash near-dup pairs: hamming(sig_a, sig_b) <= 2, generated in
+    // SIGNATURE space (see simhashNearDupPairs) — never a doc×doc join.
+    "dd_simhash_pairs" -> ((s, d) => simhashNearDupPairs(s, d)),
 
     // Keeper election → the post-dedup corpus: any doc with a smaller
     // near-dup neighbor (simhash hamming <= 2 in its language block)
@@ -138,27 +169,7 @@ object AnalyticsQueries extends QueryPack {
     // over the pair side — the "keep first occurrence" policy every
     // large-scale dedup ends with.
     "dd_keeper_corpus" -> ((s, d) => {
-      val sigs = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
-        .select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
-        .withColumn("tok_hash",
-          conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("int"))
-        .select(col("doc_id"), col("lang"), col("tok_hash"),
-          explode(expr("sequence(0, 15)")).as("bit"))
-        .withColumn("contrib",
-          when(expr("shiftright(tok_hash, bit) % 2") === 1, 1).otherwise(-1))
-        .groupBy(col("doc_id"), col("lang"), col("bit"))
-        .agg(sum(col("contrib")).as("vote"))
-        .withColumn("bit_val",
-          when(col("vote") > 0, expr("shiftleft(1, bit)")).otherwise(0))
-        .groupBy(col("doc_id"), col("lang"))
-        .agg(sum(col("bit_val")).as("sig"))
-        .cache()
-      val dropped = sigs.select(col("doc_id").as("doc_a"), col("lang"), col("sig").as("sig_a"))
-        .join(sigs.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
-            col("sig").as("sig_b")),
-          col("lang") === col("lang_b") && col("doc_a") < col("doc_b"))
-        .filter(expr("bit_count(sig_a ^ sig_b)") <= 2)
+      val dropped = simhashNearDupPairs(s, d)
         .select(col("doc_b").as("doc_id")).distinct()
       Tables.documents(s, d)
         .join(dropped, Seq("doc_id"), "left_anti")

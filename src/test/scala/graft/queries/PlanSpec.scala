@@ -90,6 +90,25 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash pairs join in signature space, never doc×doc within lang") {
+    // the round-3 scale-killer: a join keyed on lang alone makes a
+    // single-language corpus all-pairs. Every non-anti join in the
+    // pair generation must carry a signature column in its key.
+    for (q <- Seq("dd_simhash_pairs", "dd_keeper_corpus")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q fell back to cartesian")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q fell back to NL join")
+      val joins = p.linesIterator
+        .filter(l => l.contains("HashJoin") || l.contains("SortMergeJoin"))
+        .filterNot(_.contains("LeftAnti")) // keeper exclusion joins on doc_id
+        .toList
+      assert(joins.nonEmpty, s"$q plan has no hash joins:\n$p")
+      joins.foreach { l =>
+        assert(l.contains("sig"), s"$q has a join not keyed on signature: $l")
+      }
+    }
+  }
+
   test("events scans prune columns (s3 reads only 2 of 6 columns)") {
     val p = plan("s3_route_msgtype")
     val rs = p.substring(p.indexOf("ReadSchema"))
