@@ -233,10 +233,23 @@ final class AstarteStore(val root: String) {
     sweepAppendTable(spark, s"$root/objects", nowMs)
   }
 
-  /** Rewrite an append table keeping only live rows, via tmp dir +
-    * rename. At 100 TB, run this per iface partition directory so a
-    * sweep touches only interfaces that have retention configured —
-    * the partition layout makes that a directory-pruned rewrite.
+  /** Partition-pruned retention sweep of an (iface, day)-partitioned
+    * append table. One filtered scan finds the partition keys that
+    * hold anything expired — partition pruning plus parquet min/max
+    * stats on `expiry_ms` skip everything else, and the result is
+    * bounded by partition count, not row count — then ONLY those leaf
+    * directories are rewritten. Every other partition's files are
+    * never read for rewrite and stay byte-identical.
+    *
+    * Per-leaf swap: live rows are written to a tmp tree OUTSIDE the
+    * table root (a tmp dir inside it would confuse partition
+    * discovery), then delete-leaf + rename-tmp. The leaf is absent
+    * only between those two FS metadata ops; a concurrent appender
+    * either lands before the snapshot read (its rows are carried into
+    * the rewrite) or recreates the directory after the swap. True
+    * cross-writer atomicity needs a table format with a commit log
+    * (Delta/Iceberg) — on plain parquet this is the minimal window,
+    * and the store is single-writer by contract (one foreachBatch).
     */
   private def sweepAppendTable(spark: SparkSession, path: String, nowMs: Long): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
@@ -245,21 +258,34 @@ final class AstarteStore(val root: String) {
     if (!fs.exists(hpath)) return
     val df = spark.read.parquet(path)
     if (!df.columns.contains("expiry_ms")) return
-    // nothing expired → skip the rewrite entirely (the common case —
-    // a periodic sweep must not re-copy a table it has nothing to do to)
-    if (df.filter(col("expiry_ms").isNotNull && col("expiry_ms") <= nowMs).isEmpty)
-      return
-    val live = df.filter(col("expiry_ms").isNull || col("expiry_ms") > nowMs)
-    if (live.isEmpty) {
-      // everything expired: an empty partitioned write would leave a
-      // schema-less dir that poisons the next read — drop the table
-      fs.delete(hpath, true)
-      return
+    val hit = df
+      .filter(col("expiry_ms").isNotNull && col("expiry_ms") <= nowMs)
+      .select(col("iface"), col("day")).distinct()
+      .collect().map(r => (r.get(0).toString, r.get(1).toString))
+    if (hit.isEmpty) return // the common case: nothing to do, touch nothing
+    val tmpRoot = new HPath(path + ".sweep.tmp")
+    hit.foreach { case (iface, day) =>
+      val leaf = new HPath(s"$path/iface=$iface/day=$day")
+      val live = spark.read.parquet(leaf.toString)
+        .filter(col("expiry_ms").isNull || col("expiry_ms") > nowMs)
+      if (live.isEmpty) {
+        // fully-expired partition: whole-directory drop, no rewrite
+        fs.delete(leaf, true)
+      } else {
+        val tmp = new HPath(s"$tmpRoot/iface=$iface/day=$day")
+        live.write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(leaf, true)
+        fs.rename(tmp, leaf)
+      }
     }
-    val tmp = new HPath(path + ".sweep.tmp")
-    live.write.mode("overwrite").partitionBy("iface", "day").parquet(tmp.toString)
-    fs.delete(hpath, true)
-    fs.rename(tmp, hpath)
+    fs.delete(tmpRoot, true)
+    // dropped partitions may have emptied their iface dir, or the
+    // whole table: a schema-less directory poisons the next read
+    fs.listStatus(hpath).foreach { st =>
+      if (st.isDirectory && fs.listStatus(st.getPath).isEmpty)
+        fs.delete(st.getPath, false)
+    }
+    if (!fs.listStatus(hpath).exists(_.isDirectory)) fs.delete(hpath, true)
   }
 
   /** Datastream read as of `nowMs`: retention-expired rows are

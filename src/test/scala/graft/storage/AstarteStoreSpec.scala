@@ -239,4 +239,83 @@ class AstarteStoreSpec extends AnyFunSuite {
     assert(left.length == 1)
     assert(left.head.getAs[String]("iface") == stream.name)
   }
+
+  test("sweep is partition-pruned: untouched partitions stay byte-identical") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-store5").toString
+    val store = new AstarteStore(root)
+    val retained = InterfaceDescriptor("com.test.Retained", 1, 0,
+      InterfaceType.Datastream, Ownership.Device, Aggregation.Individual)
+    val reg2 = Registry(
+      Map(stream.name -> stream, retained.name -> retained),
+      Map(
+        stream.name -> Seq(Mapping(stream.name, 1, "/%{i}/value", AInteger)),
+        retained.name -> Seq(
+          Mapping(retained.name, 1, "/v", AInteger, expirySeconds = 10))),
+      Nil)
+    val t0 = 15216455705950000L // decimicros
+    val nowMs = t0 / 10000
+    val dayTicks = 86400000L * 10000L
+    val msgs = Seq(
+      // (retained, dayA): one row expiring at +10s, one at +70s
+      Envelope("realm", "dev", "data", retained.name, "/v",
+        Bson.encode(Seq("v" -> 1)), t0, "ip", 1),
+      Envelope("realm", "dev", "data", retained.name, "/v",
+        Bson.encode(Seq("v" -> 2)), t0 + 60L * 10000000L, "ip", 2),
+      // (retained, dayB): expires a day later
+      Envelope("realm", "dev", "data", retained.name, "/v",
+        Bson.encode(Seq("v" -> 3)), t0 + dayTicks, "ip", 3),
+      // (stream, dayA) + (stream, dayB): no retention, never swept
+      Envelope("realm", "dev", "data", stream.name, "/0/value",
+        Bson.encode(Seq("v" -> 4)), t0, "ip", 4),
+      Envelope("realm", "dev", "data", stream.name, "/0/value",
+        Bson.encode(Seq("v" -> 5)), t0 + dayTicks, "ip", 5)).toDS()
+    store.applyEffects(DeviceStateMachine.processBatch(msgs, reg2))
+
+    def partitionFiles(): Map[String, Seq[(String, Long, String)]] = {
+      import scala.jdk.CollectionConverters._
+      val rootPath = java.nio.file.Paths.get(store.datastreamPath)
+      java.nio.file.Files.walk(rootPath).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map { p =>
+          val rel = rootPath.relativize(p).toString
+          val part = rel.split('/').init.mkString("/")
+          val md5 = java.security.MessageDigest.getInstance("MD5")
+            .digest(java.nio.file.Files.readAllBytes(p))
+            .map("%02x".format(_)).mkString
+          part -> ((rel, java.nio.file.Files.size(p), md5))
+        }.toSeq.groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1)).toMap
+    }
+
+    val before = partitionFiles()
+    val dayA = (nowMs / 86400000L).toString
+    val dayB = ((nowMs + 86400000L) / 86400000L).toString
+    val retA = s"iface=${retained.name}/day=$dayA"
+    assert(before.keySet == Set(
+      retA, s"iface=${retained.name}/day=$dayB",
+      s"iface=${stream.name}/day=$dayA", s"iface=${stream.name}/day=$dayB"))
+
+    // first sweep: only (retained, dayA) has an expired row
+    store.sweepRetention(spark, nowMs + 11000)
+    val after1 = partitionFiles()
+    // the three untouched partitions kept the exact same files
+    for (k <- before.keySet - retA)
+      assert(after1(k) == before(k), s"partition $k was rewritten")
+    // the hit partition was rewritten: same dir, different files, 1 live row
+    assert(after1(retA) != before(retA))
+    assert(spark.read.parquet(s"${store.datastreamPath}/$retA")
+      .count() == 1)
+    assert(store.datastreams(spark).count() == 4)
+
+    // second sweep a day later: both retained partitions fully expire →
+    // whole-directory drops; stream files still byte-identical
+    store.sweepRetention(spark, nowMs + 86400000L + 81000)
+    val after2 = partitionFiles()
+    assert(after2.keySet == Set(
+      s"iface=${stream.name}/day=$dayA", s"iface=${stream.name}/day=$dayB"))
+    for (k <- after2.keySet) assert(after2(k) == before(k), s"partition $k changed")
+    assert(!new java.io.File(
+      s"${store.datastreamPath}/iface=${retained.name}").exists())
+    assert(store.datastreams(spark).count() == 2)
+  }
 }
