@@ -39,6 +39,9 @@ object Bench {
     n / times.min
   }
   def main(args: Array[String]): Unit = {
+    // wall-clock for the whole bench JVM: lets a loaded host be told
+    // apart from a code regression when per-query numbers move
+    val wallT0 = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -69,7 +72,8 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val eps = try math.round(ingestEps(spark, sfDir)) catch { case _: Throwable => -1L }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ingest_events_per_sec":$eps,"sf":"$sfDir"}""")
+    val wall = (System.nanoTime() - wallT0) / 1e9
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ingest_events_per_sec":$eps,"wall_sec":$wall,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -249,23 +249,41 @@ object AnalyticsQueries extends QueryPack {
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
     }),
 
-    // Embedding-cosine near-dup: same-label blocking, exact cosine in
-    // double via the codegen'd vector_dot expression (no row
-    // explosion — 64 multiplies per pair inside whole-stage codegen).
-    // Threshold 0.3 (labels are loose clusters in this data).
+    // Embedding-cosine near-dup: exact same-label all-pairs with the
+    // codegen'd vector_dot, executed as a B×B block decomposition —
+    // each label is split into B sub-blocks (deterministic id salt)
+    // and the B(B+1)/2 unordered block-pair cells become separate
+    // equi-join cells. Output is IDENTICAL to the naive label-blocked
+    // self-join (an LSH candidate filter at threshold 0.3 would drop
+    // true pairs), but a hot label is spread over 36 bounded tasks
+    // whose build sides are |label|/B rows instead of one quadratic
+    // task — the skew-salting shape for exact within-group pairing.
+    // Cost: each row shuffles ~B/2 times; size B so (|label|/B)² rows
+    // fit one task comfortably.
     "dd_embcos_neardup" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
+      import s.implicits._
+      val B = 8
       val e = Tables.embeddings(s, d)
         .withColumn("norm", sqrt(expr("vector_dot(embedding, embedding)")))
-      val a = e.select(col("vec_id").as("va"), col("label"),
-        col("embedding").as("ea"), col("norm").as("norm_a"))
-      val b = e.select(col("vec_id").as("vb"), col("label").as("label_b"),
-        col("embedding").as("eb"), col("norm").as("norm_b"))
-      a.join(b, col("label") === col("label_b") && col("va") < col("vb"))
+        .withColumn("blk", pmod(col("vec_id"), lit(B)))
+      val cells = (for (i <- 0 until B; j <- i until B) yield (i, j))
+        .toDF("ba", "bb")
+      val a = e.select(col("vec_id").as("ia"), col("label"),
+        col("embedding").as("ea"), col("norm").as("norm_a"), col("blk"))
+      val b = e.select(col("vec_id").as("ib"), col("label").as("label_b"),
+        col("embedding").as("eb"), col("norm").as("norm_b"),
+        col("blk").as("blk_b"))
+      a.join(broadcast(cells), col("blk") === col("ba"))
+        // cross-block cells (ba < bb) see each unordered pair exactly
+        // once with fixed sides; same-block cells order by id
+        .join(b, col("label") === col("label_b") && col("blk_b") === col("bb") &&
+          (col("ba") =!= col("bb") || col("ia") < col("ib")))
         .withColumn("cosine",
           round(expr("vector_dot(ea, eb)") / (col("norm_a") * col("norm_b")), 4))
         .filter(col("cosine") >= 0.3)
-        .select(col("va"), col("vb"), col("cosine"))
+        .select(least(col("ia"), col("ib")).as("va"),
+          greatest(col("ia"), col("ib")).as("vb"), col("cosine"))
     }),
 
     // Brute-force cosine top-k (the ANN baseline): 20 query vectors

@@ -71,6 +71,7 @@ object DedupPipeline extends QueryPack {
         .cache()
       var labels = edges.select(col("doc_a").as("doc_id")).distinct()
         .withColumn("cluster", col("doc_id"))
+      val rounds = scala.collection.mutable.Buffer.empty[DataFrame]
       for (_ <- 1 to 3) {
         val neighborMin = edges
           .join(labels.select(col("doc_id").as("doc_b"), col("cluster").as("nc")), Seq("doc_b"))
@@ -84,12 +85,23 @@ object DedupPipeline extends QueryPack {
           // DAG — the cost that kills iterative jobs at round counts
           // beyond a handful
           .localCheckpoint(false)
+        rounds += labels
       }
       // materialize the final round, then release the working caches
       // (localCheckpoint(false) is lazy; the final count forces it)
       labels.count()
       sh.unpersist()
       edges.unpersist()
+      // rounds 1..n-1's checkpoint blocks only feed the next round —
+      // once the final round is materialized they'd pin executor
+      // memory for the rest of the session; only the last round's
+      // blocks back the returned DataFrame
+      rounds.dropRight(1).foreach { df =>
+        df.queryExecution.analyzed match {
+          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+          case _ => ()
+        }
+      }
       labels.orderBy(col("doc_id"))
     })
   )

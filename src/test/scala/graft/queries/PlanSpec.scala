@@ -88,6 +88,15 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct"), s"$q fell back to cartesian")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q fell back to NL join")
     }
+    // the embcos pair join must be keyed on (label, block-cell), not
+    // label alone — the block decomposition that spreads a hot label
+    val pe = plan("dd_embcos_neardup")
+    val pairJoin = pe.linesIterator
+      .filter(l => (l.contains("HashJoin") || l.contains("SortMergeJoin")) &&
+        l.contains("label"))
+      .toList
+    assert(pairJoin.nonEmpty && pairJoin.forall(_.contains("blk")),
+      s"embcos pair join not block-keyed:\n${pairJoin.mkString("\n")}")
   }
 
   test("simhash pairs join in signature space, never doc×doc within lang") {
