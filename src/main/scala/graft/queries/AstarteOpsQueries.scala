@@ -475,6 +475,72 @@ object AstarteOpsQueries extends QueryPack {
           renderMap("exchanged_bytes_by_interface").as("exchanged_bytes"))
     }),
 
+    // R3/A2/A4 via the STORE, multi-interface: two interfaces split
+    // the data stream, and a major bump (com.bench.Aux 1→2) announced
+    // after the data records the retired version in old_introspection
+    // — so per-(iface,major) exchanged maps AND the old-introspection
+    // fold are oracle-checked through the real state machine + devices
+    // fold (reference data_updater_test.exs:1110-1182).
+    "r3_device_multi" -> ((s, d) => {
+      import s.implicits._
+      import graft.core._, graft.core.AstarteValueType._
+      import graft.streaming._
+      val ifaceA = "com.bench.EventStream"
+      val ifaceB = "com.bench.Aux"
+      val registry = Registry(
+        Map(
+          ifaceA -> InterfaceDescriptor(ifaceA, 1, 0,
+            InterfaceType.Datastream, Ownership.Device, Aggregation.Individual),
+          ifaceB -> InterfaceDescriptor(ifaceB, 1, 0,
+            InterfaceType.Datastream, Ownership.Device, Aggregation.Individual)),
+        Map(
+          ifaceA -> Seq(Mapping(ifaceA, 1, "/%{type}/value", ADouble)),
+          ifaceB -> Seq(Mapping(ifaceB, 1, "/%{type}/value", ADouble))),
+        Nil)
+      val store = StoreFixtures.cached("r3multi", d) { root =>
+        val st = new graft.storage.AstarteStore(root)
+        val events = Tables.events(s, d).filter(col("user_id") < 10)
+        val data = events.map { r =>
+          val iface = if (r.getAs[Long]("event_id") % 2 == 0) ifaceA else ifaceB
+          Envelope("realm", s"device-${r.getAs[Long]("user_id")}", "data",
+            iface, s"/${r.getAs[String]("event_type")}/value",
+            Bson.encode(Seq("v" -> r.getAs[Double]("value"))),
+            r.getAs[Long]("ts") / 1000 * 10, "10.0.0.1", r.getAs[Long]("event_id"))
+        }
+        val lifecycle = events.groupBy(col("user_id"))
+          .agg(min(expr("ts div 1000 * 10")).as("lo"), max(expr("ts div 1000 * 10")).as("hi"))
+          .as[(Long, Long, Long)]
+          .flatMap { case (uid, lo, hi) =>
+            val dev = s"device-$uid"
+            Seq(
+              Envelope("realm", dev, "connection", null, null,
+                Array.emptyByteArray, lo - 20000, "10.0.0.1", -5L),
+              Envelope("realm", dev, "introspection", null, null,
+                s"$ifaceB:1:${uid % 3};$ifaceA:1:0".getBytes("UTF-8"),
+                lo - 10000, "10.0.0.1", -4L),
+              // major bump announced after all data: Aux:1 retires
+              Envelope("realm", dev, "introspection", null, null,
+                s"$ifaceB:2:${uid % 3};$ifaceA:1:0".getBytes("UTF-8"),
+                hi + 10000, "10.0.0.1", Long.MaxValue - 1),
+              Envelope("realm", dev, "disconnection", null, null,
+                Array.emptyByteArray, hi + 20000, "10.0.0.1", Long.MaxValue))
+          }
+        st.applyEffects(DeviceStateMachine.processBatch(data.union(lifecycle), registry))
+        st
+      }
+      val renderMap = (c: String) => expr(
+        s"concat_ws(',', transform(array_sort(map_entries($c)), x -> concat(x.key, '=', x.value)))")
+      store.devicesSnapshot(s).toDF()
+        .select(col("device_id"), col("connected"),
+          col("last_connection"), col("last_disconnection"),
+          col("total_received_msgs"), col("total_received_bytes"),
+          concat(renderMap("introspection"), lit("."), renderMap("introspection_minor"))
+            .as("intro_render"),
+          renderMap("old_introspection").as("old_render"),
+          renderMap("exchanged_msgs_by_interface").as("exchanged_msgs"),
+          renderMap("exchanged_bytes_by_interface").as("exchanged_bytes"))
+    }),
+
     // W9/A3: introspection maps — per device, deterministic
     // "iface:count" map rendering (sorted entries).
     "w9_introspection_maps" -> ((s, d) => {
@@ -735,6 +801,46 @@ object AstarteOpsQueries extends QueryPack {
         |  'com.bench.EventStream:1=' || sum(44 + length(event_type))
         |    AS exchanged_bytes
         |FROM events WHERE user_id < 20 GROUP BY user_id""".stripMargin,
+    // Oracle re-derives the two-interface fold: data splits on
+    // event_id parity (even → EventStream at 44+len(type) bytes, odd
+    // → Aux at 36+len); totals add 4 lifecycle messages and 2×43
+    // introspection-payload bytes; old_introspection holds the
+    // retired Aux:1 with its minor (user_id % 3).
+    "r3_device_multi" ->
+      """WITH e AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN event_id % 2 = 0
+        |         THEN 'com.bench.EventStream' ELSE 'com.bench.Aux' END AS iface,
+        |    CASE WHEN event_id % 2 = 0
+        |         THEN 44 + length(event_type)
+        |         ELSE 36 + length(event_type) END AS bytes
+        |  FROM events WHERE user_id < 10),
+        |per_iface AS (
+        |  SELECT user_id, iface, count(*) AS n, sum(bytes) AS b
+        |  FROM e GROUP BY 1, 2),
+        |ex AS (
+        |  SELECT user_id,
+        |    string_agg(iface || ':1=' || n, ',' ORDER BY iface) AS exchanged_msgs,
+        |    string_agg(iface || ':1=' || b, ',' ORDER BY iface) AS exchanged_bytes
+        |  FROM per_iface GROUP BY user_id),
+        |tot AS (
+        |  SELECT user_id,
+        |    (count(*) + 4)::BIGINT AS msgs,
+        |    (sum(bytes) + 86)::BIGINT AS bytes,
+        |    (min(epoch_us(ts)) // 1000 - 2)::BIGINT AS last_conn,
+        |    (max(epoch_us(ts)) // 1000 + 2)::BIGINT AS last_disc
+        |  FROM e GROUP BY user_id)
+        |SELECT 'device-' || t.user_id AS device_id,
+        |  false AS connected,
+        |  t.last_conn AS last_connection,
+        |  t.last_disc AS last_disconnection,
+        |  t.msgs AS total_received_msgs,
+        |  t.bytes AS total_received_bytes,
+        |  'com.bench.Aux=2,com.bench.EventStream=1.com.bench.Aux='
+        |    || (t.user_id % 3) || ',com.bench.EventStream=0' AS intro_render,
+        |  'com.bench.Aux:1=' || (t.user_id % 3) AS old_render,
+        |  x.exchanged_msgs, x.exchanged_bytes
+        |FROM tot t JOIN ex x ON x.user_id = t.user_id""".stripMargin,
     "w9_introspection_maps" ->
       """WITH c AS (
         |  SELECT user_id, event_type || ':' || count(*) AS entry

@@ -382,7 +382,7 @@ final class AstarteStore(val root: String) {
             connected = r.connected,
             introspection = r.introspection,
             introspectionMinor = r.introspection_minor,
-            oldIntrospection = Map.empty,
+            oldIntrospection = r.old_introspection,
             totalReceivedMsgs = r.total_received_msgs,
             totalReceivedBytes = r.total_received_bytes,
             interfaceMsgs = r.exchanged_msgs_by_interface,
@@ -445,6 +445,9 @@ final case class DeviceRow(
     introspection_minor: Map[String, Int],
     exchanged_msgs_by_interface: Map[String, Long],
     exchanged_bytes_by_interface: Map[String, Long],
+    // A4: removed/upgraded interface versions, "name:major" -> minor,
+    // accumulated across introspection patches (never replaced)
+    old_introspection: Map[String, Int] = Map.empty,
     // ST5: bumped by every patch (connect/stats/introspection), not
     // just connects — the reference's per-message last_seen update
     last_seen_ms: Long = -1L)
@@ -492,6 +495,11 @@ object DeviceRow {
         r = r.copy(
           introspection = m.map { case (k, v) => k -> v._1.toInt },
           introspection_minor = m.map { case (k, v) => k -> v._2.toInt })
+      }
+      pairMap(json, "old_introspection").foreach { m =>
+        // accumulates: every past (name, major) stays recorded
+        r = r.copy(old_introspection =
+          r.old_introspection ++ m.map { case (k, v) => k -> v._2.toInt })
       }
       pairMap(json, "exchanged").foreach { m =>
         // same monotone-merge per (interface, major) key

@@ -221,9 +221,22 @@ object DeviceProcessor {
 
         val introUpdate = EffectRow.blank("device_update", env.realm, env.deviceId)
           .copy(receptionMs = receptionMs, submillis = submillis,
-            detail = entries.sortBy(_.interfaceName)
-              .map(e => s""""${e.interfaceName}":[${e.major},${e.minor}]""")
-              .mkString("{\"introspection\":{", ",", "}}"))
+            detail = {
+              val intro = entries.sortBy(_.interfaceName)
+                .map(e => s""""${e.interfaceName}":[${e.major},${e.minor}]""")
+                .mkString("\"introspection\":{", ",", "}")
+              // removed/upgraded versions ride the same patch so the
+              // store's devices fold accumulates old_introspection
+              // (reference devices.old_introspection, queries.ex fold)
+              val old =
+                if (removedOld.isEmpty) ""
+                else removedOld.toSeq.sortBy(_._1)
+                  .map { case (k, minor) =>
+                    s""""$k":[${k.substring(k.lastIndexOf(':') + 1)},$minor]"""
+                  }
+                  .mkString(",\"old_introspection\":{", ",", "}")
+              s"{$intro$old}"
+            })
 
         // Drop properties of interfaces no longer announced.
         val keptProps = state.properties.filter { case (k, _) =>
