@@ -41,6 +41,25 @@ object WireSource {
         .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger.toString)
         .load())
 
+  /** WireRecord-schema file spool as a REAL readStream source: a
+    * broker bridge (AMQP consumer, Kafka Connect sink, …) lands
+    * batches of raw records — key/value/headers untouched — as
+    * parquet files in `dir`; Spark's file source provides offsets +
+    * checkpointing and this decodes through the SAME pure-Column path
+    * as [[kafkaSource]]. `maxFilesPerTrigger` bounds a micro-batch
+    * (the prefetch analogue, like kafkaSource's maxOffsetsPerTrigger).
+    * This is the connector-less deployment shape — swapping in the
+    * Kafka connector jar changes only the `format("kafka")` line.
+    */
+  def fileWireSource(
+      spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 100): Dataset[Envelope] =
+    decodeEnvelopes(
+      spark.readStream
+        .schema(org.apache.spark.sql.Encoders.product[WireRecord].schema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+        .parquet(dir))
+
   /** Header-driven decode of broker records to typed envelopes
     * (batch or streaming). Records failing the reference's required-
     * header checks are discarded, exactly like handle_invalid_msg.

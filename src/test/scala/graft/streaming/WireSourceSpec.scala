@@ -96,6 +96,84 @@ class WireSourceSpec extends AnyFunSuite {
     assert(fired.toSeq == Seq("devA"))
   }
 
+  test("file wire spool: real readStream end-to-end, surviving a shard rebalance") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-wirespool").toString
+
+    val iface = InterfaceDescriptor("com.test.SimpleStreamTest", 1, 0,
+      InterfaceType.Datastream, Ownership.Device, Aggregation.Individual)
+    val registry = Registry(
+      Map(iface.name -> iface),
+      Map(iface.name -> Seq(Mapping(iface.name, 1, "/%{i}/value", AInteger))),
+      Seq(Trigger("t1", TriggerEventType.IncomingData,
+        TriggerScope.OnInterface(iface.name, 1), None,
+        MatchOperator.GreaterThan, 10, List("test_events"))))
+    val store = new AstarteStore(s"$base/store")
+    val sink = new EventSink(s"$base/events")
+    def run(spool: String, ckpt: String): Unit = {
+      // default maxFilesPerTrigger: a spool batch lands in one
+      // micro-batch. The file source orders FILES by modification
+      // time, which for concurrently-written parts is arbitrary — a
+      // broker partition never reorders like that, so don't split one
+      // spool batch across micro-batches in a test that asserts FIFO.
+      val q = Pipeline.startBootstrapped(spark, "r",
+        WireSource.fileWireSource(spark, s"$base/$spool/*"),
+        DeviceStateMachine.StaticRegistryProvider(registry),
+        store, sink, s"$base/$ckpt")
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    // spool 1 through the real file readStream (one file per
+    // micro-batch): devA on source partition 0, devB on partition 1
+    new java.io.File(s"$base/spool1").mkdirs()
+    Seq(
+      rec("connection", "r", "devA", Array.emptyByteArray, 1, ip = "10.0.0.1"),
+      rec("data", "r", "devA", Bson.encode(Seq("v" -> 12)), 2,
+        iface = iface.name, path = "/1/value", partition = 0),
+      rec("data", "r", "devB", Bson.encode(Seq("v" -> 3)), 3,
+        iface = iface.name, path = "/2/value", partition = 1)
+    ).toDS().write.parquet(s"$base/spool1/batch-0")
+    run("spool1", "ckpt1")
+
+    // checkpoint lost + SHARD REBALANCE: the devices swap source
+    // partitions (a consumer-group rebalance moving queue shards) and
+    // the query restarts bootstrapped from the durable store with a
+    // fresh checkpoint — counters must resume, order must hold, and an
+    // invalid record (no interface header) must be discarded
+    new java.io.File(s"$base/spool2").mkdirs()
+    Seq(
+      rec("data", "r", "devA", Bson.encode(Seq("v" -> 20)), 10,
+        iface = iface.name, path = "/1/value", partition = 1),
+      rec("data", "r", "devB", Bson.encode(Seq("v" -> 30)), 11,
+        iface = iface.name, path = "/2/value", partition = 0),
+      rec("data", "r", "devC", Bson.encode(Seq("v" -> 99)), 12, path = "/9/value"),
+      rec("disconnection", "r", "devA", Array.emptyByteArray, 13)
+    ).toDS().write.parquet(s"$base/spool2/batch-0")
+    run("spool2", "ckpt2")
+
+    // every valid value landed exactly once across the rebalance
+    val rows = store.datastreams(spark).collect()
+    assert(rows.map(r => (r.getAs[String]("device_id"),
+        r.getAs[Int]("integer_value"))).toSet ==
+      Set(("devA", 12), ("devA", 20), ("devB", 3), ("devB", 30)))
+
+    // devA's disconnect flush proves state resumed across the restart:
+    // connection + 2 data + disconnection = 4 messages, 2 of them on
+    // the interface — not a from-zero recount of spool 2 alone
+    val flush = store.deviceUpdates(spark)
+      .filter(org.apache.spark.sql.functions.col("update_json")
+        .contains(""""connected":false"""))
+      .collect().map(_.getAs[String]("update_json"))
+    assert(flush.length == 1)
+    assert(flush.head.contains(""""total_received_msgs":4"""))
+    assert(flush.head.contains(s""""${iface.name}:1":[2,"""))
+
+    // trigger (GT 10) fired for 12, 20, 30 — never for 3 or devC
+    val fired = sink.read(spark).filter("event_type = 'incoming_data'")
+      .select("device_id").collect().map(_.getString(0)).sorted.toSeq
+    assert(fired == Seq("devA", "devA", "devB"))
+  }
+
   test("a data record carrying only a control path is discarded, not misrouted") {
     import spark.implicits._
     val bad = rec("data", "r", "dX", Bson.encode(Seq("v" -> 1)), 8,
