@@ -275,7 +275,14 @@ final class AstarteStore(val root: String) {
         val tmp = new HPath(s"$tmpRoot/iface=$iface/day=$day")
         live.write.mode("overwrite").parquet(tmp.toString)
         fs.delete(leaf, true)
-        fs.rename(tmp, leaf)
+        // Hadoop rename signals most failures via its return value;
+        // the leaf is already gone, so an unchecked false here +
+        // the tmpRoot cleanup below would silently destroy the only
+        // copy of the live rows. Throw instead — tmp survives (the
+        // cleanup is skipped) and the sweep can be re-run.
+        if (!fs.rename(tmp, leaf))
+          throw new java.io.IOException(
+            s"retention sweep: rename $tmp -> $leaf failed; live rows preserved in $tmp")
       }
     }
     fs.delete(tmpRoot, true)

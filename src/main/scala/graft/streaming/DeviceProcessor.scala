@@ -208,16 +208,17 @@ object DeviceProcessor {
           }
         }
 
-        // Old-introspection bookkeeping for removed/upgraded versions (A4/W9).
-        val removedOld = names.flatMap { name =>
+        // Old-introspection bookkeeping for removed/upgraded versions
+        // (A4/W9): (name, retired major, its minor) tuples.
+        val removedOld: Seq[(String, Int, Int)] = names.toSeq.flatMap { name =>
           (state.introspection.get(name), newMajor.get(name)) match {
             case (Some(oldMaj), None) =>
-              Some(s"$name:$oldMaj" -> state.introspectionMinor.getOrElse(name, 0))
+              Some((name, oldMaj, state.introspectionMinor.getOrElse(name, 0)))
             case (Some(oldMaj), Some(maj)) if oldMaj != maj =>
-              Some(s"$name:$oldMaj" -> state.introspectionMinor.getOrElse(name, 0))
+              Some((name, oldMaj, state.introspectionMinor.getOrElse(name, 0)))
             case _ => None
           }
-        }.toMap
+        }
 
         val introUpdate = EffectRow.blank("device_update", env.realm, env.deviceId)
           .copy(receptionMs = receptionMs, submillis = submillis,
@@ -230,9 +231,9 @@ object DeviceProcessor {
               // (reference devices.old_introspection, queries.ex fold)
               val old =
                 if (removedOld.isEmpty) ""
-                else removedOld.toSeq.sortBy(_._1)
-                  .map { case (k, minor) =>
-                    s""""$k":[${k.substring(k.lastIndexOf(':') + 1)},$minor]"""
+                else removedOld.sortBy(t => (t._1, t._2))
+                  .map { case (name, major, minor) =>
+                    s""""$name:$major":[$major,$minor]"""
                   }
                   .mkString(",\"old_introspection\":{", ",", "}")
               s"{$intro$old}"
@@ -246,7 +247,8 @@ object DeviceProcessor {
         val s1 = s0.copy(
           introspection = newMajor,
           introspectionMinor = newMinor,
-          oldIntrospection = s0.oldIntrospection ++ removedOld,
+          oldIntrospection = s0.oldIntrospection ++
+            removedOld.map { case (n, mj, mn) => s"$n:$mj" -> mn },
           properties = keptProps)
         (s1, incoming ++ diffEffects :+ introUpdate)
     }

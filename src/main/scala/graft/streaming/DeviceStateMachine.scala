@@ -31,6 +31,12 @@ object DeviceStateMachine {
     */
   trait RegistryProvider extends Serializable {
     def current(): Registry
+    /** Device-scoped view: volatile triggers live in a device's
+      * session in the reference, so providers that carry RPC installs
+      * (RpcControlPlane) overlay them only for that device's groups.
+      * Default: the global registry.
+      */
+    def current(realm: String, deviceId: String): Registry = current()
   }
 
   final case class StaticRegistryProvider(registry: Registry) extends RegistryProvider {
@@ -107,7 +113,8 @@ object DeviceStateMachine {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: DeviceKey, msgs: Iterator[Envelope], gs: GroupState[DeviceSessionState]) =>
           val initial = gs.getOption.getOrElse(DeviceSessionState.empty)
-          val (finalState, out) = sortedFold(key, msgs, initial, provider.current())
+          val (finalState, out) = sortedFold(key, msgs, initial,
+            provider.current(key._1, key._2))
           gs.update(finalState)
           out
       }
@@ -132,7 +139,8 @@ object DeviceStateMachine {
         initialStates.groupByKey(_._1).mapValues(_._2)) {
         (key: DeviceKey, msgs: Iterator[Envelope], gs: GroupState[DeviceSessionState]) =>
           val initial = gs.getOption.getOrElse(DeviceSessionState.empty)
-          val (finalState, out) = sortedFold(key, msgs, initial, provider.current())
+          val (finalState, out) = sortedFold(key, msgs, initial,
+            provider.current(key._1, key._2))
           gs.update(finalState)
           out
       }

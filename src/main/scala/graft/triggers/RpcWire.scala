@@ -32,8 +32,9 @@ import graft.streaming.{DeviceStateMachine, Registry}
   *   3 introspection_trigger{1 type, 2 interface_name, 3 interface_major}
   * TriggerTarget:
   *   1 routing_key (repeated)
-  * KnownValue — oneof value:
-  *   1 int64  2 double_bits (8 bytes, IEEE-754 big-endian)
+  * KnownValue — oneof value (ALL length-delimited, forced presence —
+  * a proto3 zero default must not vanish):
+  *   1 int64_be (8 bytes)  2 double_bits (8 bytes, IEEE-754 BE)
   *   3 string  4 bool (1 byte)  5 bytes
   * Reply:
   *   1 generic_ok_reply{}  3 error (bool)
@@ -88,27 +89,32 @@ object RpcWire {
 
   // --- known value --------------------------------------------------------
 
+  // Every variant is length-delimited with forced presence (message/
+  // fixed blob), NEVER a bare varint or skip-empty bytes field:
+  // proto3 zero-default skipping would make knownValue 0, "", false,
+  // or empty-bytes decode as "no known value" and a trigger like
+  // "fire when value == 0" would never match.
   private def encodeKnown(v: Any): Array[Byte] = sub { w =>
+    def be8(l: Long) = java.nio.ByteBuffer.allocate(8).putLong(l).array()
     v match {
       case null => ()
-      // bool as a 1-byte blob: a varint false would be skipped as the
-      // proto3 zero default and decode as "no known value"
       case b: Boolean => w.bytes(4, Array[Byte](if (b) 1 else 0))
-      case i: Int => w.int64(1, i.toLong)
-      case l: Long => w.int64(1, l)
+      case i: Int => w.message(1, be8(i.toLong))
+      case l: Long => w.message(1, be8(l))
       case d: Double =>
         w.bytes(2, java.nio.ByteBuffer.allocate(8).putDouble(d).array())
       case f: Float =>
         w.bytes(2, java.nio.ByteBuffer.allocate(8).putDouble(f.toDouble).array())
-      case s: String => w.string(3, s)
-      case b: Array[Byte] => w.bytes(5, b)
-      case other => w.string(3, other.toString)
+      case s: String => w.message(3, s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      case b: Array[Byte] => w.message(5, b)
+      case other =>
+        w.message(3, other.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
   }
 
   private def decodeKnown(bytes: Array[Byte]): Any = {
     val f = ProtoWire.read(bytes)
-    if (f.varints.contains(1)) f.long(1)
+    if (f.blobs.contains(1)) java.nio.ByteBuffer.wrap(f.blob(1)).getLong
     else if (f.blobs.contains(2)) java.nio.ByteBuffer.wrap(f.blob(2)).getDouble
     else if (f.blobs.contains(4)) f.blob(4)(0) == 1.toByte
     else if (f.blobs.contains(3)) f.str(3)
@@ -230,62 +236,71 @@ object RpcWire {
 
   // --- server side --------------------------------------------------------
 
-  /** Decode + dispatch one Call against the installed-trigger list.
-    * Pure: returns the new installed list and the encoded Reply.
-    * Install validates synchronously ([[VolatileTriggers.validate]])
-    * and rolls back on error — the reference's "state rollback here"
+  /** Per-(realm, device) installed volatile triggers — the reference
+    * keys volatile triggers in the device's session state, so an
+    * install for device A must never fire for device B.
+    */
+  type Installed = Map[(String, String), Seq[Trigger]]
+
+  /** Decode + dispatch one Call against the per-device installed map.
+    * Pure: returns the new map and the encoded Reply. Install
+    * validates synchronously ([[VolatileTriggers.validate]]) and
+    * rolls back on error — the reference's "state rollback here"
     * branches (`impl.ex:991-1046`); delete is idempotent and always
-    * acks, like `handle_delete_volatile_trigger`.
+    * acks, like `handle_delete_volatile_trigger`. ANY decode failure
+    * (truncated varint, overrunning length, bad enum code) yields an
+    * undecodable_call error reply — a malformed payload must never
+    * crash the RPC consumer.
     */
   def handleRpc(
       payload: Array[Byte],
-      installed: Seq[Trigger],
-      registry: Registry): (Seq[Trigger], Array[Byte]) = {
-    val call =
-      try Right(ProtoWire.read(payload))
-      catch { case e: IllegalArgumentException => Left(e.getMessage) }
-    call match {
-      case Left(msg) => (installed, errorReply("undecodable_call", msg))
-      case Right(f) if f.blobs.contains(1) =>
+      installed: Installed,
+      registry: Registry): (Installed, Array[Byte]) =
+    try {
+      val f = ProtoWire.read(payload)
+      if (f.blobs.contains(1)) {
         val m = ProtoWire.read(f.blob(1))
+        val key = (m.str(1), m.str(2))
         val targets = Option(m.blob(6))
           .map(b => ProtoWire.read(b).blobs.getOrElse(1, Nil)
             .map(new String(_, java.nio.charset.StandardCharsets.UTF_8)).toList)
           .getOrElse(Nil)
-        val decoded =
-          try Right(decodeSimpleTrigger(m.blob(5), m.str(4), targets))
-          catch {
-            case e: RuntimeException =>
-              Left((installed, errorReply("undecodable_call", e.getMessage)))
-          }
-        decoded match {
-          case Left(r) => r
-          case Right(t) =>
-            VolatileTriggers.validate(t, registry) match {
-              case Right(valid) => (installed :+ valid, okReply)
-              case Left(err) => (installed, errorReply(errorName(err)))
-            }
+        val t = decodeSimpleTrigger(m.blob(5), m.str(4), targets)
+        VolatileTriggers.validate(t, registry) match {
+          case Right(valid) =>
+            (installed.updated(key, installed.getOrElse(key, Nil) :+ valid), okReply)
+          case Left(err) => (installed, errorReply(errorName(err)))
         }
-      case Right(f) if f.blobs.contains(2) =>
+      } else if (f.blobs.contains(2)) {
         val m = ProtoWire.read(f.blob(2))
-        (VolatileTriggers.deleteTarget(installed, m.str(3)), okReply)
-      case Right(_) => (installed, errorReply("empty_call"))
+        val key = (m.str(1), m.str(2))
+        (installed.updated(key,
+          VolatileTriggers.deleteTarget(installed.getOrElse(key, Nil), m.str(3))),
+          okReply)
+      } else (installed, errorReply("empty_call"))
+    } catch {
+      // IllegalArgument (overrun), IndexOutOfBounds (truncated
+      // varint), NoSuchElement (unknown enum code), ...
+      case e: RuntimeException =>
+        (installed, errorReply("undecodable_call", e.getMessage))
     }
-  }
 }
 
 /** The running control plane: a [[DeviceStateMachine.RegistryProvider]]
-  * that overlays RPC-installed volatile triggers onto a base registry.
-  * `handleRpc` is the broker-facing entry point — synchronous reply,
-  * installs visible to in-flight queries on the next state-function
-  * invocation (the reference's session-state overlay, S9 + ST3).
+  * that overlays RPC-installed volatile triggers onto a base registry,
+  * scoped per (realm, device) like the reference's session state —
+  * `current(realm, deviceId)` sees only that device's installs, and
+  * the global `current()` view carries none. `handleRpc` is the
+  * broker-facing entry point — synchronous reply, installs visible to
+  * in-flight queries on the next state-function invocation (S9 + ST3).
   */
 final class RpcControlPlane(base: DeviceStateMachine.RegistryProvider)
     extends DeviceStateMachine.RegistryProvider {
 
-  @volatile private var installed: Seq[Trigger] = Nil
+  @volatile private var installed: RpcWire.Installed = Map.empty
 
-  def installedTriggers: Seq[Trigger] = installed
+  def installedTriggers(realm: String, deviceId: String): Seq[Trigger] =
+    installed.getOrElse((realm, deviceId), Nil)
 
   def handleRpc(payload: Array[Byte]): Array[Byte] = synchronized {
     val (next, reply) = RpcWire.handleRpc(payload, installed, base.current())
@@ -293,8 +308,13 @@ final class RpcControlPlane(base: DeviceStateMachine.RegistryProvider)
     reply
   }
 
-  override def current(): Registry = {
+  override def current(): Registry = base.current()
+
+  override def current(realm: String, deviceId: String): Registry = {
     val r = base.current()
-    r.copy(triggers = VolatileTriggers.overlay(r.triggers, installed))
+    installed.getOrElse((realm, deviceId), Nil) match {
+      case Nil => r
+      case ts => r.copy(triggers = VolatileTriggers.overlay(r.triggers, ts))
+    }
   }
 }
