@@ -438,6 +438,60 @@ object AnalyticsQueries extends QueryPack {
           conv(substring(md5(col("norm")), 1, 15), 16, 10).cast("long").as("fp_int"))
     }),
 
+    // Deterministic train/val/test split (80/10/10): bucket on a
+    // content-free stable key hash so the assignment is reproducible
+    // across runs, engines and reshards. Pure map-side — at 100 TB
+    // this is a zero-shuffle projection the writer partitions by.
+    "dd_train_split" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("bucket",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("long") % 10)
+        .select(col("doc_id"),
+          when(col("bucket") < 8, "train")
+            .when(col("bucket") === 8, "validation")
+            .otherwise("test").as("split"))
+    }),
+
+    // PII scrub: email-shaped tokens then long digit runs replaced by
+    // placeholder tags, with a per-doc redaction byte count. All
+    // codegen'd regexp_replace — one map-side pass at any scale.
+    "tx_pii_scrub" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("scrubbed",
+          regexp_replace(
+            regexp_replace(col("text"), "[a-z0-9.]+@[a-z0-9.]+", "<EMAIL>"),
+            "[0-9][0-9][0-9]+", "<NUM>"))
+        .select(col("doc_id"),
+          md5(col("scrubbed")).as("scrub_digest"),
+          (length(col("text")) - length(col("scrubbed"))).cast("long")
+            .as("chars_redacted"))
+    }),
+
+    // Benchmark decontamination: a corpus doc is contaminated when it
+    // shares a word trigram with the benchmark set (doc_id < 5 stands
+    // in for an eval suite). The benchmark shingle set is tiny at any
+    // corpus scale → broadcast; one map-side-joined pass over the
+    // corpus shingles, no corpus×corpus join anywhere.
+    "tx_decontaminate" -> ((s, d) => {
+      def shingles(df: DataFrame) = df
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, greatest(size(tk) - 2, 0)),
+            |  i -> concat_ws(' ', element_at(tk, i),
+            |                      element_at(tk, i+1),
+            |                      element_at(tk, i+2)))""".stripMargin)).as("sh"))
+        .distinct()
+      val docs = Tables.documents(s, d)
+      val bench = shingles(docs.filter(col("doc_id") < 5))
+        .select(col("sh")).distinct()
+      shingles(docs)
+        .join(broadcast(bench), Seq("sh"))
+        .filter(col("doc_id") >= 5)
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("sh")).as("n_shared"))
+    }),
+
     // Multimodal plumbing: opaque binary column + typed metadata.
     // The decode step is stubbed (no codec libs in this container);
     // the schema/bytes/digest path is real (see graft.analytics.Multimodal).
@@ -452,6 +506,39 @@ object AnalyticsQueries extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+    "dd_train_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN b < 8 THEN 'train'
+        |       WHEN b = 8 THEN 'validation'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 10 AS b
+        |      FROM documents)""".stripMargin,
+    "tx_pii_scrub" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(
+        |      regexp_replace(text, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+        |      '[0-9][0-9][0-9]+', '<NUM>', 'g') AS scrubbed
+        |  FROM documents)
+        |SELECT doc_id, md5(scrubbed) AS scrub_digest,
+        |  (length(text) - length(scrubbed))::BIGINT AS chars_redacted
+        |FROM s""".stripMargin,
+    "tx_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+        |         generate_subscripts(string_split(text,' '),1) AS pos
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w AS sh
+        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY lead(tok,2) OVER w IS NOT NULL),
+        |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 5)
+        |SELECT s.doc_id, count(DISTINCT s.sh) AS n_shared
+        |FROM sh s JOIN bench b ON b.sh = s.sh
+        |WHERE s.doc_id >= 5
+        |GROUP BY s.doc_id""".stripMargin,
     "dd_exact_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper,
         |  count(*) AS n_copies
