@@ -99,6 +99,16 @@ class PlanSpec extends AnyFunSuite {
       s"embcos pair join not block-keyed:\n${pairJoin.mkString("\n")}")
   }
 
+  test("decontamination joins the corpus against a BROADCAST benchmark set") {
+    // at 100 TB the benchmark shingle set stays tiny — the join must
+    // be a broadcast hash join on the corpus side, never a shuffle of
+    // the full corpus shingles against an exchanged benchmark
+    val p = plan("tx_decontaminate")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("simhash pairs join in signature space, never doc×doc within lang") {
     // the round-3 scale-killer: a join keyed on lang alone makes a
     // single-language corpus all-pairs. Every non-anti join in the
