@@ -492,6 +492,33 @@ object AnalyticsQueries extends QueryPack {
         .agg(countDistinct(col("sh")).as("n_shared"))
     }),
 
+    // Vocabulary head: top-10 tokens per language by frequency with a
+    // deterministic tie-break — the corpus statistic a tokenizer
+    // training run starts from. Partial agg map-side; rank<=10 pushes
+    // down as a WindowGroupLimit before the exchange.
+    "tx_vocab_topk" -> ((s, d) => {
+      val counts = Tables.documents(s, d)
+        .select(col("lang"), explode(toks).as("tok"))
+        .groupBy(col("lang"), col("tok"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n").desc, col("tok").asc)
+      counts.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("lang"), col("tok"), col("n"), col("rank"))
+    }),
+
+    // Stratified deterministic sample: ~10% per language from the md5
+    // key-hash — reproducible without RNG state, pure map-side, and
+    // the per-language rate holds under reshuffling/resharding. The
+    // sampling primitive every ablation / data-mix pipeline needs.
+    "dd_stratified_sample" -> ((s, d) => {
+      Tables.documents(s, d)
+        .filter(conv(substring(md5(concat(col("lang"), lit("|"),
+          col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long") % 10 === 0)
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // Multimodal plumbing: opaque binary column + typed metadata.
     // The decode step is stubbed (no codec libs in this container);
     // the schema/bytes/digest path is real (see graft.analytics.Multimodal).
@@ -506,6 +533,19 @@ object AnalyticsQueries extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+    "tx_vocab_topk" ->
+      """WITH c AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |n AS (SELECT lang, tok, count(*) AS n FROM c GROUP BY 1, 2),
+        |r AS (SELECT lang, tok, n,
+        |        row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok ASC)
+        |          AS rank
+        |      FROM n)
+        |SELECT lang, tok, n, rank FROM r WHERE rank <= 10""".stripMargin,
+    "dd_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5(lang || '|' || doc_id::VARCHAR), 1, 4))::BIGINT
+        |  % 10 = 0""".stripMargin,
     "dd_train_split" ->
       """SELECT doc_id,
         |  CASE WHEN b < 8 THEN 'train'
