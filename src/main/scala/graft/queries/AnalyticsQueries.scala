@@ -125,14 +125,9 @@ object AnalyticsQueries extends QueryPack {
       val seedKeys = MinhashSeeds.keys
       val docs = Tables.documents(s, d)
       val shingled = docs
-        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tk"))
         .select(col("doc_id"), col("lang"),
-          explode(expr(
-            """transform(sequence(1, greatest(size(toks) - 2, 0)),
-              |  i -> concat_ws(' ', element_at(toks, i),
-              |                      element_at(toks, i+1),
-              |                      element_at(toks, i+2)))""".stripMargin))
-            .as("shingle"))
+          explode(Shingles.wordNgrams(3)).as("shingle"))
         .withColumn("h",
           conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long"))
       val mhCols = seedKeys.zipWithIndex.map { case (k, i) =>
@@ -204,13 +199,9 @@ object AnalyticsQueries extends QueryPack {
         .withColumn("bucket", expr("n_chars div 10"))
       val bigrams = docs
         .select(col("doc_id"), col("lang"), col("bucket"),
-          split(col("text"), " ").as("toks"))
+          split(col("text"), " ").as("tk"))
         .select(col("doc_id"), col("lang"), col("bucket"),
-          explode(array_distinct(expr(
-            """transform(sequence(1, greatest(size(toks) - 1, 0)),
-              |  i -> concat_ws(' ', element_at(toks, i),
-              |                      element_at(toks, i+1)))""".stripMargin)))
-            .as("bigram"))
+          explode(array_distinct(Shingles.wordNgrams(2))).as("bigram"))
       // hash bigrams to 60-bit ints: the shuffle moves 8-byte keys and
       // joins compare longs (collisions negligible at any SF).
       val hashed = bigrams.select(col("doc_id"), col("lang"), col("bucket"),
@@ -390,10 +381,7 @@ object AnalyticsQueries extends QueryPack {
     "tx_repetition" -> ((s, d) => {
       Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("tk"))
-        .select(col("doc_id"), expr(
-          """transform(sequence(1, greatest(size(tk) - 1, 0)),
-            |  i -> concat_ws(' ', element_at(tk, i),
-            |                      element_at(tk, i+1)))""".stripMargin).as("bigrams"))
+        .select(col("doc_id"), Shingles.wordNgrams(2).as("bigrams"))
         .select(col("doc_id"),
           size(col("bigrams")).cast("long").as("n_bigrams"),
           size(array_distinct(col("bigrams"))).cast("long").as("n_distinct"))
@@ -453,19 +441,30 @@ object AnalyticsQueries extends QueryPack {
             .otherwise("test").as("split"))
     }),
 
-    // PII scrub: email-shaped tokens then long digit runs replaced by
-    // placeholder tags, with a per-doc redaction byte count. All
-    // codegen'd regexp_replace — one map-side pass at any scale.
+    // PII scrub: email addresses (case-insensitive, full RFC-common
+    // charset) then long digit runs replaced by placeholder tags,
+    // with per-doc match counts. All codegen'd regexp — one map-side
+    // pass at any scale. The fixture text contains no emails/digits,
+    // so the query APPENDS a deterministic dirty suffix per doc —
+    // otherwise the correctness gate would compare identity
+    // transforms and never exercise the scrubbing.
     "tx_pii_scrub" -> ((s, d) => {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+      val numRe = "[0-9][0-9][0-9]+"
       Tables.documents(s, d)
-        .withColumn("scrubbed",
-          regexp_replace(
-            regexp_replace(col("text"), "[a-z0-9.]+@[a-z0-9.]+", "<EMAIL>"),
-            "[0-9][0-9][0-9]+", "<NUM>"))
+        .withColumn("dirty", concat_ws(" ", col("text"),
+          concat(lit("Contact_"), col("source"), lit("."),
+            col("doc_id").cast("string"), lit("@Example-"),
+            col("source"), lit(".com")),
+          concat(lit("ref"), (col("doc_id") * 12345).cast("string"))))
+        .withColumn("no_mail", regexp_replace(col("dirty"), emailRe, "<EMAIL>"))
+        .withColumn("scrubbed", regexp_replace(col("no_mail"), numRe, "<NUM>"))
         .select(col("doc_id"),
           md5(col("scrubbed")).as("scrub_digest"),
-          (length(col("text")) - length(col("scrubbed"))).cast("long")
-            .as("chars_redacted"))
+          size(expr(s"regexp_extract_all(dirty, '$emailRe', 0)")).cast("long")
+            .as("n_emails"),
+          size(expr(s"regexp_extract_all(no_mail, '$numRe', 0)")).cast("long")
+            .as("n_digit_runs"))
     }),
 
     // Benchmark decontamination: a corpus doc is contaminated when it
@@ -474,14 +473,12 @@ object AnalyticsQueries extends QueryPack {
     // corpus scale → broadcast; one map-side-joined pass over the
     // corpus shingles, no corpus×corpus join anywhere.
     "tx_decontaminate" -> ((s, d) => {
+      // no distinct on the corpus side: that would shuffle every
+      // corpus shingle before the broadcast join, and the final
+      // countDistinct dedups anyway — the corpus stays map-side
       def shingles(df: DataFrame) = df
         .select(col("doc_id"), split(col("text"), " ").as("tk"))
-        .select(col("doc_id"), explode(expr(
-          """transform(sequence(1, greatest(size(tk) - 2, 0)),
-            |  i -> concat_ws(' ', element_at(tk, i),
-            |                      element_at(tk, i+1),
-            |                      element_at(tk, i+2)))""".stripMargin)).as("sh"))
-        .distinct()
+        .select(col("doc_id"), explode(Shingles.wordNgrams(3)).as("sh"))
       val docs = Tables.documents(s, d)
       val bench = shingles(docs.filter(col("doc_id") < 5))
         .select(col("sh")).distinct()
@@ -555,14 +552,24 @@ object AnalyticsQueries extends QueryPack {
         |        ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 10 AS b
         |      FROM documents)""".stripMargin,
     "tx_pii_scrub" ->
-      """WITH s AS (
-        |  SELECT doc_id, text,
-        |    regexp_replace(
-        |      regexp_replace(text, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
-        |      '[0-9][0-9][0-9]+', '<NUM>', 'g') AS scrubbed
-        |  FROM documents)
-        |SELECT doc_id, md5(scrubbed) AS scrub_digest,
-        |  (length(text) - length(scrubbed))::BIGINT AS chars_redacted
+      """WITH dirty AS (
+        |  SELECT doc_id,
+        |    text || ' Contact_' || source || '.' || doc_id
+        |         || '@Example-' || source || '.com'
+        |         || ' ref' || (doc_id * 12345) AS dirty
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, dirty,
+        |    regexp_replace(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+',
+        |      '<EMAIL>', 'g') AS no_mail
+        |  FROM dirty)
+        |SELECT doc_id,
+        |  md5(regexp_replace(no_mail, '[0-9][0-9][0-9]+', '<NUM>', 'g'))
+        |    AS scrub_digest,
+        |  len(regexp_extract_all(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+'))::BIGINT
+        |    AS n_emails,
+        |  len(regexp_extract_all(no_mail, '[0-9][0-9][0-9]+'))::BIGINT
+        |    AS n_digit_runs
         |FROM s""".stripMargin,
     "tx_decontaminate" ->
       """WITH toks AS (

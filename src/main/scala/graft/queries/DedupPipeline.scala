@@ -16,13 +16,9 @@ object DedupPipeline extends QueryPack {
   /** (doc_id, lang, shingle-hash) distinct rows + per-doc set size. */
   private def shingleHashes(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tk"))
       .select(col("doc_id"), col("lang"),
-        explode(expr(
-          """transform(sequence(1, greatest(size(toks) - 2, 0)),
-            |  i -> concat_ws(' ', element_at(toks, i),
-            |                      element_at(toks, i+1),
-            |                      element_at(toks, i+2)))""".stripMargin)).as("shingle"))
+        explode(Shingles.wordNgrams(3)).as("shingle"))
       .select(col("doc_id"), col("lang"),
         conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("h"))
       .distinct()

@@ -4,7 +4,6 @@ import java.nio.file.Files
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
-import graft.core.Bson
 
 /** Streaming exact dedup: duplicates within the watermark delay
   * collapse to the first occurrence, distinct payloads all pass, and
