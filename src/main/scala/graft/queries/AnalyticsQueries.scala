@@ -116,6 +116,45 @@ object AnalyticsQueries extends QueryPack {
         .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
     }),
 
+    // Span-level exact-substring dedup: find every 10-token window
+    // whose text repeats in ANOTHER document, then merge overlapping
+    // hits into maximal token spans per doc (gaps-and-islands). This
+    // is the suffix-array substring-dedup of "Deduplicating Training
+    // Data Makes Language Models Better" re-expressed relationally:
+    // one shuffle groups 128-bit window hashes (cross-doc counts are
+    // a partial agg), one keyed join marks hit positions, one
+    // per-doc window pass merges spans. No doc×doc comparison exists
+    // anywhere, so a 100 TB corpus costs O(tokens) map work plus two
+    // hash shuffles — same asymptotics as exact doc dedup.
+    "dd_span_dedup" -> ((s, d) => {
+      val k = 10
+      val wins = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"),
+          posexplode(Shingles.wordNgrams(k)).as(Seq("p0", "w")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+          md5(col("w")).as("h"))
+      val dup = wins.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") > 1)
+        .select(col("h"))
+      val hits = wins.join(dup, "h").select(col("doc_id"), col("pos"))
+      val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      hits
+        // windows cover [pos, pos+k-1]; a hit starting within k tokens
+        // of the previous hit overlaps-or-abuts it -> same span
+        .withColumn("brk",
+          when(col("pos") - lag(col("pos"), 1).over(byDoc) > k, 1)
+            .otherwise(0))
+        .withColumn("island", sum(col("brk")).over(byDoc))
+        .groupBy(col("doc_id"), col("island"))
+        .agg(min(col("pos")).as("span_start"),
+          (max(col("pos")) + k - 1).as("span_end"),
+          count(lit(1)).as("n_windows"))
+        .select(col("doc_id"), col("span_start"), col("span_end"),
+          col("n_windows"))
+    }),
+
     // MinHash + LSH near-dup candidates: 3-word shingles, hashed ONCE
     // (60-bit md5 prefix); the 8 minhash permutations are xors with
     // fixed 60-bit seed keys, folded in a single aggregate — no
@@ -590,6 +629,29 @@ object AnalyticsQueries extends QueryPack {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper,
         |  count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+    "dd_span_dedup" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |win AS (
+        |  SELECT doc_id, i AS pos, md5(array_to_string(t[i:i+9], ' ')) AS h
+        |  FROM tk, unnest(generate_series(1, len(t) - 9)) AS g(i)
+        |  WHERE len(t) >= 10),
+        |dup AS (
+        |  SELECT h FROM win GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+        |hit AS (SELECT doc_id, pos FROM win JOIN dup USING (h)),
+        |brk AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+        |              > 10 THEN 1 ELSE 0 END AS b
+        |  FROM hit),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM brk)
+        |SELECT doc_id, min(pos)::BIGINT AS span_start,
+        |  (max(pos) + 9)::BIGINT AS span_end,
+        |  count(*)::BIGINT AS n_windows
+        |FROM isl GROUP BY doc_id, island""".stripMargin,
     "dd_minhash_lsh" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, unnest(string_split(text,' ')) AS tok,

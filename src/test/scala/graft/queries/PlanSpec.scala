@@ -99,6 +99,22 @@ class PlanSpec extends AnyFunSuite {
       s"embcos pair join not block-keyed:\n${pairJoin.mkString("\n")}")
   }
 
+  test("span dedup joins hit positions on the window hash, never doc×doc") {
+    // substring dedup scales because duplicated windows are found by
+    // hash aggregation: the only join marks hit positions by window
+    // hash `h`. Any doc-keyed pair join here would be quadratic.
+    val p = plan("dd_span_dedup")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    val joins = p.linesIterator
+      .filter(l => l.contains("HashJoin") || l.contains("SortMergeJoin"))
+      .toList
+    assert(joins.nonEmpty, s"dd_span_dedup plan has no hash joins:\n$p")
+    joins.foreach { l =>
+      assert(l.contains("h#"), s"join not keyed on the window hash: $l")
+    }
+  }
+
   test("decontamination joins the corpus against a BROADCAST benchmark set") {
     // at 100 TB the benchmark shingle set stays tiny — the join must
     // be a broadcast hash join on the corpus side, never a shuffle of
