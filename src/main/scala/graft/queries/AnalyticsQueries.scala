@@ -427,6 +427,45 @@ object AnalyticsQueries extends QueryPack {
         .withColumn("repetitive", col("n_distinct") * 2 < col("n_bigrams"))
     }),
 
+    // Composed corpus gate: the single-pass pass/fail verdict a
+    // training pipeline applies before tokenization, folding the
+    // individual filters (length floor, Gopher repetition rule,
+    // order-insensitive near-dup, quality score) into one prioritized
+    // reject reason per doc. The dup rule hashes the SORTED DISTINCT
+    // token set, so shuffled copies collapse to one bag hash; the
+    // keeper is elected with a window over that hash — one shuffle,
+    // everything else map-side. Thresholds compare integers or
+    // identical doubles (floor-scaled), never rounded rationals.
+    "tx_corpus_gate" -> ((s, d) => {
+      val stop = array(Seq("the", "a", "of", "and", "to", "in").map(lit): _*)
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("tk"))
+        .withColumn("n_tokens", size(col("tk")))
+        .withColumn("bag_hash",
+          md5(concat_ws(" ", array_sort(array_distinct(col("tk"))))))
+        .withColumn("bigrams", Shingles.wordNgrams(2))
+        .withColumn("n_bigrams", size(col("bigrams")))
+        .withColumn("n_dbg", size(array_distinct(col("bigrams"))))
+        .withColumn("n_stop",
+          size(filter(col("tk"), t => array_contains(stop, t))))
+        .withColumn("score_raw",
+          least(col("n_tokens") / 100.0, lit(1.0)) * 0.4 +
+          (lit(1.0) - col("n_stop") / col("n_tokens")) * 0.3 +
+          least((col("n_chars") - (col("n_tokens") - 1)) / col("n_tokens") / 8.0,
+            lit(1.0)) * 0.3)
+        .withColumn("score_bp", floor(col("score_raw") * 10000).cast("long"))
+      base
+        .withColumn("bag_keeper",
+          min(col("doc_id")).over(Window.partitionBy(col("bag_hash"))))
+        .withColumn("verdict",
+          when(col("n_tokens") < 16, "too_short")
+            .when(col("n_dbg") * 2 < col("n_bigrams"), "repetitive")
+            .when(col("doc_id") =!= col("bag_keeper"), "bag_dup")
+            .when(col("score_bp") < 5000, "low_quality")
+            .otherwise("pass"))
+        .select(col("doc_id"), col("verdict"), col("score_bp"))
+    }),
+
     // BPE-style pre-tokenization (RE2-safe class regex — word / number
     // / punctuation runs), the unit-count a tokenizer-budget pipeline
     // needs before actual BPE merges.
@@ -882,6 +921,40 @@ object AnalyticsQueries extends QueryPack {
         |  count(DISTINCT bigram) AS n_distinct,
         |  count(DISTINCT bigram) * 2 < count(*) AS repetitive
         |FROM bg GROUP BY doc_id""".stripMargin,
+    "tx_corpus_gate" ->
+      """WITH base AS (
+        |  SELECT doc_id, n_chars, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |feat AS (
+        |  SELECT doc_id, n_chars, len(tk) AS n_tokens,
+        |    md5(array_to_string(list_sort(list_distinct(tk)), ' ')) AS bag_hash,
+        |    CASE WHEN len(tk) >= 2
+        |      THEN list_transform(generate_series(1, len(tk) - 1),
+        |             i -> tk[i] || ' ' || tk[i + 1])
+        |      ELSE [] END AS bigrams,
+        |    len(list_filter(tk,
+        |      t -> list_contains(['the','a','of','and','to','in'], t))) AS n_stop
+        |  FROM base),
+        |scored AS (
+        |  SELECT doc_id, n_tokens, bag_hash,
+        |    len(bigrams) AS n_bigrams,
+        |    len(list_distinct(bigrams)) AS n_dbg,
+        |    floor((least(n_tokens / 100.0, 1.0) * 0.4 +
+        |           (1.0 - n_stop / n_tokens) * 0.3 +
+        |           least((n_chars - (n_tokens - 1)) / n_tokens / 8.0, 1.0) * 0.3)
+        |          * 10000)::BIGINT AS score_bp
+        |  FROM feat),
+        |keep AS (
+        |  SELECT *, min(doc_id) OVER (PARTITION BY bag_hash) AS bag_keeper
+        |  FROM scored)
+        |SELECT doc_id,
+        |  CASE WHEN n_tokens < 16 THEN 'too_short'
+        |       WHEN n_dbg * 2 < n_bigrams THEN 'repetitive'
+        |       WHEN doc_id != bag_keeper THEN 'bag_dup'
+        |       WHEN score_bp < 5000 THEN 'low_quality'
+        |       ELSE 'pass' END AS verdict,
+        |  score_bp
+        |FROM keep""".stripMargin,
     "tx_bpe_pretokenize" ->
       """SELECT source,
         |  sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+')))::BIGINT AS pre_tokens,
