@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -24,6 +24,23 @@ object AnalyticsQueries extends QueryPack {
 
   /** tokens as a Column (whitespace split). */
   private val toks = split(col("text"), " ")
+
+  /** Stopword marker list shared by tx_quality and tx_corpus_gate. */
+  private val stopwords =
+    array(Seq("the", "a", "of", "and", "to", "in").map(lit): _*)
+
+  /** The quality score (weights 0.4/0.3/0.3 over length, non-stopword
+    * ratio, avg token length) — ONE definition, folded into both
+    * tx_quality and tx_corpus_gate so a threshold tune can't make the
+    * composed gate silently disagree with the standalone filter.
+    * Expression trees (not just values) must be identical between
+    * callers: double arithmetic association is order-sensitive.
+    */
+  private def qualityScoreRaw(nTokens: Column, nStop: Column,
+      nChars: Column): Column =
+    least(nTokens / 100.0, lit(1.0)) * 0.4 +
+    (lit(1.0) - nStop / nTokens) * 0.3 +
+    least((nChars - (nTokens - 1)) / nTokens / 8.0, lit(1.0)) * 0.3
 
   /** Flattened (vec_id, idx, val) view of embeddings with double
     * values — the join-friendly layout for vector arithmetic.
@@ -131,9 +148,12 @@ object AnalyticsQueries extends QueryPack {
       val wins = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("tk"))
         .select(col("doc_id"),
-          posexplode(Shingles.wordNgrams(k)).as(Seq("p0", "w")))
+          posexplode(Shingles.wordNgrams(col("tk"), k)).as(Seq("p0", "w")))
         .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
           md5(col("w")).as("h"))
+        .cache() // read 2× (dup aggregate + hits join): without it the
+                 // tokenize/posexplode/md5 map work — the dominant
+                 // cost — runs twice per execution
       val dup = wins.groupBy(col("h"))
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") > 1)
@@ -166,7 +186,7 @@ object AnalyticsQueries extends QueryPack {
       val shingled = docs
         .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tk"))
         .select(col("doc_id"), col("lang"),
-          explode(Shingles.wordNgrams(3)).as("shingle"))
+          explode(Shingles.wordNgrams(col("tk"), 3)).as("shingle"))
         .withColumn("h",
           conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long"))
       val mhCols = seedKeys.zipWithIndex.map { case (k, i) =>
@@ -240,7 +260,7 @@ object AnalyticsQueries extends QueryPack {
         .select(col("doc_id"), col("lang"), col("bucket"),
           split(col("text"), " ").as("tk"))
         .select(col("doc_id"), col("lang"), col("bucket"),
-          explode(array_distinct(Shingles.wordNgrams(2))).as("bigram"))
+          explode(array_distinct(Shingles.wordNgrams(col("tk"), 2))).as("bigram"))
       // hash bigrams to 60-bit ints: the shuffle moves 8-byte keys and
       // joins compare longs (collisions negligible at any SF).
       val hashed = bigrams.select(col("doc_id"), col("lang"), col("bucket"),
@@ -390,18 +410,15 @@ object AnalyticsQueries extends QueryPack {
     // rounding boundaries, where Spark's and DuckDB's half-rounding
     // disagree; truncation of identical doubles is engine-stable.
     "tx_quality" -> ((s, d) => {
-      val stop = array(Seq("the", "a", "of", "and", "to", "in").map(lit): _*)
       Tables.documents(s, d)
         .withColumn("n_tokens", size(toks))
         .withColumn("n_stop",
-          size(filter(toks, t => array_contains(stop, t))))
+          size(filter(toks, t => array_contains(stopwords, t))))
         .withColumn("stop_ratio_raw", col("n_stop") / col("n_tokens"))
         .withColumn("avg_len_raw",
           (col("n_chars") - (col("n_tokens") - 1)) / col("n_tokens"))
         .withColumn("score_raw",
-          least(col("n_tokens") / 100.0, lit(1.0)) * 0.4 +
-          (lit(1.0) - col("stop_ratio_raw")) * 0.3 +
-          least(col("avg_len_raw") / 8.0, lit(1.0)) * 0.3)
+          qualityScoreRaw(col("n_tokens"), col("n_stop"), col("n_chars")))
         .withColumn("band",
           when(col("score_raw") >= 0.7, "high")
             .when(col("score_raw") >= 0.5, "medium").otherwise("low"))
@@ -420,7 +437,7 @@ object AnalyticsQueries extends QueryPack {
     "tx_repetition" -> ((s, d) => {
       Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("tk"))
-        .select(col("doc_id"), Shingles.wordNgrams(2).as("bigrams"))
+        .select(col("doc_id"), Shingles.wordNgrams(col("tk"), 2).as("bigrams"))
         .select(col("doc_id"),
           size(col("bigrams")).cast("long").as("n_bigrams"),
           size(array_distinct(col("bigrams"))).cast("long").as("n_distinct"))
@@ -437,22 +454,18 @@ object AnalyticsQueries extends QueryPack {
     // everything else map-side. Thresholds compare integers or
     // identical doubles (floor-scaled), never rounded rationals.
     "tx_corpus_gate" -> ((s, d) => {
-      val stop = array(Seq("the", "a", "of", "and", "to", "in").map(lit): _*)
       val base = Tables.documents(s, d)
         .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("tk"))
         .withColumn("n_tokens", size(col("tk")))
         .withColumn("bag_hash",
           md5(concat_ws(" ", array_sort(array_distinct(col("tk"))))))
-        .withColumn("bigrams", Shingles.wordNgrams(2))
+        .withColumn("bigrams", Shingles.wordNgrams(col("tk"), 2))
         .withColumn("n_bigrams", size(col("bigrams")))
         .withColumn("n_dbg", size(array_distinct(col("bigrams"))))
         .withColumn("n_stop",
-          size(filter(col("tk"), t => array_contains(stop, t))))
+          size(filter(col("tk"), t => array_contains(stopwords, t))))
         .withColumn("score_raw",
-          least(col("n_tokens") / 100.0, lit(1.0)) * 0.4 +
-          (lit(1.0) - col("n_stop") / col("n_tokens")) * 0.3 +
-          least((col("n_chars") - (col("n_tokens") - 1)) / col("n_tokens") / 8.0,
-            lit(1.0)) * 0.3)
+          qualityScoreRaw(col("n_tokens"), col("n_stop"), col("n_chars")))
         .withColumn("score_bp", floor(col("score_raw") * 10000).cast("long"))
       base
         .withColumn("bag_keeper",
@@ -530,11 +543,14 @@ object AnalyticsQueries extends QueryPack {
       val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
       val numRe = "[0-9][0-9][0-9]+"
       Tables.documents(s, d)
-        .withColumn("dirty", concat_ws(" ", col("text"),
-          concat(lit("Contact_"), col("source"), lit("."),
-            col("doc_id").cast("string"), lit("@Example-"),
-            col("source"), lit(".com")),
-          concat(lit("ref"), (col("doc_id") * 12345).cast("string"))))
+        // concat, not concat_ws: the oracle's || chain propagates a
+        // NULL text/source to a NULL dirty string, and the engines
+        // must agree on that path even though fixtures have no nulls
+        .withColumn("dirty", concat(col("text"),
+          lit(" Contact_"), col("source"), lit("."),
+          col("doc_id").cast("string"), lit("@Example-"),
+          col("source"), lit(".com ref"),
+          (col("doc_id") * 12345).cast("string")))
         .withColumn("no_mail", regexp_replace(col("dirty"), emailRe, "<EMAIL>"))
         .withColumn("scrubbed", regexp_replace(col("no_mail"), numRe, "<NUM>"))
         .select(col("doc_id"),
@@ -556,7 +572,7 @@ object AnalyticsQueries extends QueryPack {
       // countDistinct dedups anyway — the corpus stays map-side
       def shingles(df: DataFrame) = df
         .select(col("doc_id"), split(col("text"), " ").as("tk"))
-        .select(col("doc_id"), explode(Shingles.wordNgrams(3)).as("sh"))
+        .select(col("doc_id"), explode(Shingles.wordNgrams(col("tk"), 3)).as("sh"))
       val docs = Tables.documents(s, d)
       val bench = shingles(docs.filter(col("doc_id") < 5))
         .select(col("sh")).distinct()
@@ -909,18 +925,19 @@ object AnalyticsQueries extends QueryPack {
         |       ELSE 'low' END AS band
         |FROM scored""".stripMargin,
     "tx_repetition" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
-        |    generate_subscripts(string_split(text,' '),1) AS pos
-        |  FROM documents),
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |bg AS (
-        |  SELECT doc_id, tok || ' ' || lead(tok) OVER w AS bigram
-        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-        |  QUALIFY lead(tok) OVER w IS NOT NULL)
-        |SELECT doc_id, count(*) AS n_bigrams,
-        |  count(DISTINCT bigram) AS n_distinct,
-        |  count(DISTINCT bigram) * 2 < count(*) AS repetitive
-        |FROM bg GROUP BY doc_id""".stripMargin,
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) >= 2
+        |      THEN list_transform(generate_series(1, len(tk) - 1),
+        |             i -> tk[i] || ' ' || tk[i + 1])
+        |      ELSE [] END AS bigrams
+        |  FROM base)
+        |SELECT doc_id, len(bigrams)::BIGINT AS n_bigrams,
+        |  len(list_distinct(bigrams))::BIGINT AS n_distinct,
+        |  len(list_distinct(bigrams)) * 2 < len(bigrams) AS repetitive
+        |FROM bg""".stripMargin,
     "tx_corpus_gate" ->
       """WITH base AS (
         |  SELECT doc_id, n_chars, string_split(text, ' ') AS tk

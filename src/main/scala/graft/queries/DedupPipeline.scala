@@ -18,7 +18,7 @@ object DedupPipeline extends QueryPack {
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tk"))
       .select(col("doc_id"), col("lang"),
-        explode(Shingles.wordNgrams(3)).as("shingle"))
+        explode(Shingles.wordNgrams(col("tk"), 3)).as("shingle"))
       .select(col("doc_id"), col("lang"),
         conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("h"))
       .distinct()

@@ -3,20 +3,20 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Shared text shingling: word n-grams of a token-array column named
-  * `tk`, as an array Column. Docs with fewer than n tokens yield an
-  * EMPTY array — the naive `sequence(1, size(tk) - (n-1))` form
-  * crashes there, because Spark's `sequence(1, 0)` steps DOWN to
-  * `[1, 0]` and `element_at(tk, 0)` / out-of-range indices throw
-  * under ANSI mode (Spark 4 default).
+/** Shared text shingling: word n-grams of a token-array column, as an
+  * array Column. Docs with fewer than n tokens yield an EMPTY array —
+  * the naive `sequence(1, size(tk) - (n-1))` form crashes there,
+  * because Spark's `sequence(1, 0)` steps DOWN to `[1, 0]` and
+  * `element_at(tk, 0)` / out-of-range indices throw under ANSI mode
+  * (Spark 4 default).
   */
 object Shingles {
-  def wordNgrams(n: Int): Column = {
-    val parts = (0 until n).map(j => s"element_at(tk, i + $j)").mkString(", ")
-    when(size(col("tk")) >= n,
-      expr(s"transform(sequence(1, size(tk) - ${n - 1}), i -> concat_ws(' ', $parts))"))
-      .otherwise(expr("array()"))
-  }
+  def wordNgrams(tokens: Column, n: Int): Column =
+    when(size(tokens) >= n,
+      transform(sequence(lit(1), size(tokens) - (n - 1)),
+        i => concat_ws(" ",
+          (0 until n).map(j => element_at(tokens, (i + j).cast("int"))): _*)))
+      .otherwise(expr("cast(array() as array<string>)"))
 }
 
 /** Parquet table loader for the driver-provided TPC-H-ish testdata

@@ -24,7 +24,7 @@ class ShinglesSpec extends AnyFunSuite {
       .toDF("text")
       .select(col("text"), split(col("text"), " ").as("tk"))
 
-    val tri = df.select(col("text"), Shingles.wordNgrams(3).as("g")).collect()
+    val tri = df.select(col("text"), Shingles.wordNgrams(col("tk"), 3).as("g")).collect()
       .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
     assert(tri("") == Nil)      // split("") -> [""], 1 token
     assert(tri("a") == Nil)
@@ -32,7 +32,7 @@ class ShinglesSpec extends AnyFunSuite {
     assert(tri("a b c") == List("a b c"))
     assert(tri("a b c d") == List("a b c", "b c d"))
 
-    val bi = df.select(col("text"), Shingles.wordNgrams(2).as("g")).collect()
+    val bi = df.select(col("text"), Shingles.wordNgrams(col("tk"), 2).as("g")).collect()
       .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
     assert(bi("a") == Nil)
     assert(bi("a b") == List("a b"))

@@ -45,12 +45,25 @@ class StreamingDedupSpec extends AnyFunSuite {
       // distinct content after the dup window — passes
       input.addData(env("a third document", t0 + 20000, 5))
       q.processAllAvailable()
+      // advance the watermark well past t0 + delay (event time drives
+      // the watermark; the extra batch lets it commit), evicting the
+      // first document's dedup state...
+      input.addData(env("watermark pusher", t0 + 600000, 6))
+      q.processAllAvailable()
+      input.addData(env("watermark pusher 2", t0 + 700000, 7))
+      q.processAllAvailable()
+      // ...so the SAME payload re-appearing after eviction is emitted
+      // again — this is the bounded-memory trade: state (and therefore
+      // dup suppression) only spans the watermark delay
+      input.addData(env("the same document", t0 + 710000, 8))
+      q.processAllAvailable()
 
       val out = spark.table("sdedup")
         .select("deviceId", "offset").collect()
         .map(r => (r.getString(0), r.getLong(1))).sortBy(_._2)
-      // offsets 2 and 4 (the duplicates) never surface
-      assert(out.map(_._2).toSeq == Seq(1L, 3L, 5L))
+      // offsets 2 and 4 (the duplicates) never surface; offset 8 (the
+      // post-eviction re-arrival of offset 1's payload) DOES
+      assert(out.map(_._2).toSeq == Seq(1L, 3L, 5L, 6L, 7L, 8L))
     } finally q.stop()
   }
 }
