@@ -444,6 +444,33 @@ object AnalyticsQueries extends QueryPack {
         .withColumn("repetitive", col("n_distinct") * 2 < col("n_bigrams"))
     }),
 
+    // TF-IDF keyword extraction: top-3 tokens per doc by tf·ln(N/df).
+    // Two keyed aggregations (term counts, then doc frequency), one
+    // vocabulary join, one per-doc window — no N-scan of texts beyond
+    // the tokenize. N arrives via a broadcast single-row cross join,
+    // never a driver-side collect. Ranking compares the FLOORED
+    // integer score (then token) so rank order can't hinge on a
+    // last-ulp ln() difference between engines; ln itself is the one
+    // non-IEEE-pinned op here, but a floor(·1e4) collision would need
+    // the product within 1 ulp of an integer boundary.
+    "tx_tfidf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tf = docs.select(col("doc_id"), explode(toks).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfreq, "tok").crossJoin(broadcast(n))
+        .withColumn("score_e4",
+          floor(col("tf") * log(col("n_docs") / col("df")) * 10000)
+            .cast("long"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score_e4").desc, col("tok").asc)
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("tok"), col("tf"), col("df"),
+          col("score_e4"))
+    }),
+
     // Composed corpus gate: the single-pass pass/fail verdict a
     // training pipeline applies before tokenization, folding the
     // individual filters (length floor, Gopher repetition rule,
@@ -938,6 +965,24 @@ object AnalyticsQueries extends QueryPack {
         |  len(list_distinct(bigrams))::BIGINT AS n_distinct,
         |  len(list_distinct(bigrams)) * 2 < len(bigrams) AS repetitive
         |FROM bg""".stripMargin,
+    "tx_tfidf" ->
+      """WITH tfs AS (
+        |  SELECT doc_id, tok, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents) t
+        |  GROUP BY 1, 2),
+        |dfs AS (SELECT tok, count(*) AS df FROM tfs GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, tok, tfs.tf, dfs.df,
+        |    floor(tfs.tf * ln(n_docs / dfs.df) * 10000)::BIGINT AS score_e4
+        |  FROM tfs JOIN dfs USING (tok) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score_e4 DESC, tok ASC) AS rk
+        |  FROM scored)
+        |SELECT doc_id, rk, tok, tf, df, score_e4
+        |FROM ranked WHERE rk <= 3""".stripMargin,
     "tx_corpus_gate" ->
       """WITH base AS (
         |  SELECT doc_id, n_chars, string_split(text, ' ') AS tk

@@ -33,6 +33,23 @@ object WindowedQueries extends QueryPack {
         .groupBy(window(col("tstamp"), "6 hours", "3 hours"))
         .agg(count(lit(1)).as("n"))
         .select(unix_millis(col("window.start")).as("win_start_ms"), col("n"))
+    }),
+
+    // Session windows: per-user activity bursts separated by >= 6h of
+    // silence (session_window merges events whose gap windows overlap;
+    // end = last event + gap). The value sum uses the exact-cents
+    // trick — event values carry 2 decimals, and a summed double would
+    // land on rounding boundaries where the engines disagree.
+    "w_session" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
+        .groupBy(col("user_id"), session_window(col("tstamp"), "6 hours"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100)).cast("long").as("sum_cents"))
+        .select(col("user_id"),
+          unix_millis(col("session_window.start")).as("session_start_ms"),
+          unix_millis(col("session_window.end")).as("session_end_ms"),
+          col("n"), col("sum_cents"))
     })
   )
 
@@ -50,6 +67,31 @@ object WindowedQueries extends QueryPack {
         |SELECT ((ems - k * 10800000) // 21600000) * 21600000
         |         + k * 10800000 AS win_start_ms,
         |  count(*) AS n
-        |FROM hops GROUP BY 1""".stripMargin
+        |FROM hops GROUP BY 1""".stripMargin,
+    // gaps-and-islands replica of session_window: a NEW session starts
+    // when the gap since the previous event is >= the 6h window
+    // (Spark merges only strictly-overlapping gap windows, so an
+    // exactly-6h gap splits); session end = last event + 6h
+    "w_session" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        |  FROM events),
+        |b AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN prev_ts IS NULL
+        |              OR epoch_us(ts) - epoch_us(prev_ts) >= 21600000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM o),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+        |  FROM b)
+        |SELECT user_id,
+        |  epoch_ms(min(ts)) AS session_start_ms,
+        |  epoch_ms(max(ts)) + 21600000 AS session_end_ms,
+        |  count(*) AS n,
+        |  sum(round(value * 100))::BIGINT AS sum_cents
+        |FROM sess GROUP BY user_id, sid""".stripMargin
   )
 }
