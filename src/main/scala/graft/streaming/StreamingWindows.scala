@@ -48,4 +48,26 @@ object StreamingWindows {
       .agg(count(lit(1)).as("n_msgs"))
       .select(col("window.start").as("window_start"),
         col("deviceId").as("device_id"), col("n_msgs"))
+
+  /** Session variant (the streaming twin of the batch `w_session`
+    * query): per-device activity bursts separated by at least `gap`
+    * of event-time silence. A session stays OPEN in the state store
+    * while events keep arriving within the gap; it finalizes — and
+    * append mode emits it exactly once — when the watermark passes
+    * session end, so state is bounded by (active devices × open
+    * sessions), not stream history.
+    */
+  def deviceSessions(
+      envelopes: Dataset[Envelope],
+      gap: String = "30 minutes",
+      lateness: String = "10 minutes"): DataFrame =
+    envelopes.toDF()
+      .withColumn("event_time",
+        expr("timestamp_micros(receptionDecimicros div 10)"))
+      .withWatermark("event_time", lateness)
+      .groupBy(session_window(col("event_time"), gap), col("deviceId"))
+      .agg(count(lit(1)).as("n_msgs"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("deviceId").as("device_id"), col("n_msgs"))
 }

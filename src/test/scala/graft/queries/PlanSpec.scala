@@ -144,6 +144,28 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("tfidf joins the vocabulary by token; N is a broadcast single row") {
+    val p = plan("tx_tfidf")
+    // the only nested-loop allowed is the broadcast of the 1-row
+    // doc-count — a CartesianProduct (unbroadcast) would re-shuffle
+    // the whole term-frequency table against it
+    assert(!p.contains("CartesianProduct"))
+    val joins = p.linesIterator
+      .filter(l => l.contains("HashJoin") || l.contains("SortMergeJoin"))
+      .toList
+    assert(joins.nonEmpty && joins.forall(_.contains("tok")),
+      s"tf-df join not keyed on token:\n${joins.mkString("\n")}")
+    assert(p.contains("Partial")) // term counts combine map-side
+  }
+
+  test("session windows aggregate per user without a pair join") {
+    val p = plan("w_session")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("SessionWindow") || p.contains("session_window"),
+      s"w_session plan lost the session-window operator:\n$p")
+  }
+
   test("events scans prune columns (s3 reads only 2 of 6 columns)") {
     val p = plan("s3_route_msgtype")
     val rs = p.substring(p.indexOf("ReadSchema"))

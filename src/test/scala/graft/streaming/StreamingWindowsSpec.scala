@@ -64,6 +64,47 @@ class StreamingWindowsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session windows merge within the gap, split across it, finalize once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Envelope]
+    val sessions = StreamingWindows.deviceSessions(
+      input.toDS(), gap = "1 minute", lateness = "0 seconds")
+    val q = sessions.writeStream
+      .format("memory").queryName("sess").outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sess").toString)
+      .start()
+    try {
+      val t0 = 1700000000000L
+      // burst 1: three events within the 1-min gap of each other;
+      // then silence > gap; burst 2: one event
+      input.addData(env("devA", t0, 1), env("devA", t0 + 20000, 2),
+        env("devA", t0 + 40000, 3))
+      q.processAllAvailable()
+      input.addData(env("devA", t0 + 5 * 60 * 1000, 4))
+      q.processAllAvailable()
+      // watermark is still at burst 2's event time - lateness, which
+      // is past burst 1's session end -> burst 1 finalized; push the
+      // watermark past burst 2's end too
+      input.addData(env("devA", t0 + 20 * 60 * 1000, 5))
+      q.processAllAvailable()
+      input.addData(env("devA", t0 + 40 * 60 * 1000, 6))
+      q.processAllAvailable()
+
+      val rows = spark.sql(
+        "SELECT session_start, session_end, n_msgs FROM sess ORDER BY session_start")
+        .collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime,
+          r.getLong(2)))
+      // burst 1 is ONE session of 3 msgs spanning [t0, last+gap)
+      assert(rows.head == ((t0, t0 + 40000 + 60000, 3L)))
+      // burst 2 finalized separately (the >gap silence split them)
+      assert(rows.exists(r =>
+        r._1 == t0 + 5 * 60 * 1000 && r._3 == 1L))
+    } finally q.stop()
+  }
+
   test("hopping windows assign each event to overlapping windows") {
     import spark.implicits._
     // batch-mode sanity over the same plan shape (no watermark wait)
