@@ -382,6 +382,30 @@ object AnalyticsQueries extends QueryPack {
         .agg(sum(col("bit")).as("bucket"))
     }),
 
+    // Int8 vector quantization (the serving-layout compressor: 4×
+    // smaller vectors, dot products in integer SIMD). Per vector:
+    // scale = max |x|, q_i = floor(x_i / scale * 127). One map-side
+    // pass, no shuffle at all. Floats are cast to double BEFORE any
+    // arithmetic (both engines then run identical IEEE ops) and the
+    // per-vector digest hashes the comma-joined ints, so the gate
+    // compares the exact quantized payload without array-typed
+    // columns.
+    "sim_quantize" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .withColumn("de", transform(col("embedding"), x => x.cast("double")))
+        .withColumn("scale", array_max(transform(col("de"), x => abs(x))))
+        .withColumn("q", when(col("scale") > 0,
+            transform(col("de"),
+              x => floor(x / col("scale") * 127).cast("long")))
+          .otherwise(transform(col("de"), _ => lit(0L))))
+        .select(col("vec_id"),
+          floor(col("scale") * 1000000).cast("long").as("scale_e6"),
+          aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+          array_min(col("q")).as("q_min"),
+          array_max(col("q")).as("q_max"),
+          md5(concat_ws(",", col("q"))).as("q_digest"))
+    }),
+
     // Language-ID n-gram heuristic: marker-token voting with
     // deterministic argmax (count desc, lang asc).
     "tx_langid" -> ((s, d) => {
@@ -907,6 +931,26 @@ object AnalyticsQueries extends QueryPack {
         |SELECT vec_id,
         |  sum(CASE WHEN dot > 0 THEN 1 << plane::INT ELSE 0 END)::BIGINT AS bucket
         |FROM dots GROUP BY vec_id""".stripMargin,
+    "sim_quantize" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS de FROM embeddings),
+        |scaled AS (
+        |  SELECT vec_id, de,
+        |    list_max(list_transform(de, x -> abs(x))) AS scale
+        |  FROM base),
+        |quant AS (
+        |  SELECT vec_id, scale,
+        |    CASE WHEN scale > 0
+        |      THEN list_transform(de, x -> floor(x / scale * 127)::BIGINT)
+        |      ELSE list_transform(de, x -> 0::BIGINT) END AS q
+        |  FROM scaled)
+        |SELECT vec_id,
+        |  floor(scale * 1000000)::BIGINT AS scale_e6,
+        |  list_sum(q)::BIGINT AS q_sum,
+        |  list_min(q) AS q_min,
+        |  list_max(q) AS q_max,
+        |  md5(array_to_string(q, ',')) AS q_digest
+        |FROM quant""".stripMargin,
     "tx_langid" ->
       """WITH markers(m_lang, marker) AS (VALUES
         |  ('en','the'),('en','a'),('en','fast'),
