@@ -135,6 +135,29 @@ object RelationalQueries extends QueryPack {
           sum(when(col("event_type") === "view", 1).otherwise(0)).as("n_view"))
     }),
 
+    // Exact nearest-rank percentiles per event type (p50/p90/p99 of
+    // the value distribution in cents). Nearest-rank — index
+    // ceil(p*n) of the sorted multiset — instead of interpolation:
+    // the picked value is an exact integer regardless of how either
+    // engine associates the interpolation arithmetic, and the value
+    // at a sorted rank is tie-order-independent. One shuffle (sort
+    // within event_type); at 100 TB the same shape runs per-partition
+    // or swaps in a sketch when approximation is acceptable.
+    "q_percentiles" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+      val wAll = Window.partitionBy(col("event_type"))
+      Tables.events(s, d)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+          max(when(col("rn") === ceil(col("n") * 0.5), col("cents"))).as("p50_cents"),
+          max(when(col("rn") === ceil(col("n") * 0.9), col("cents"))).as("p90_cents"),
+          max(when(col("rn") === ceil(col("n") * 0.99), col("cents"))).as("p99_cents"))
+    }),
+
     // W1 property upsert = last-writer-wins per key
     // (queries.ex:121-155): latest event value per (user_id,
     // event_type). One shuffle on the key, rank inside partition.
@@ -216,6 +239,20 @@ object RelationalQueries extends QueryPack {
         |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup,
         |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view
         |FROM events GROUP BY user_id""".stripMargin,
+    "q_percentiles" ->
+      """WITH c AS (
+        |  SELECT event_type, round(value * 100)::BIGINT AS cents
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, cents,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM c)
+        |SELECT event_type, max(n)::BIGINT AS n,
+        |  max(CASE WHEN rn = ceil(n * 0.5) THEN cents END) AS p50_cents,
+        |  max(CASE WHEN rn = ceil(n * 0.9) THEN cents END) AS p90_cents,
+        |  max(CASE WHEN rn = ceil(n * 0.99) THEN cents END) AS p99_cents
+        |FROM r GROUP BY event_type""".stripMargin,
     "w1_upsert_lastvalue" ->
       """SELECT user_id, event_type, round(value, 4) AS last_value,
         |  event_id AS last_event_id
