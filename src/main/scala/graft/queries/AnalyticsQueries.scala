@@ -403,7 +403,10 @@ object AnalyticsQueries extends QueryPack {
           aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
           array_min(col("q")).as("q_min"),
           array_max(col("q")).as("q_max"),
-          md5(concat_ws(",", col("q"))).as("q_digest"))
+          // guard q NULL (null embedding): concat_ws would fold it to
+          // '' while DuckDB's array_to_string propagates NULL
+          when(col("q").isNotNull, md5(concat_ws(",", col("q"))))
+            .as("q_digest"))
     }),
 
     // Language-ID n-gram heuristic: marker-token voting with

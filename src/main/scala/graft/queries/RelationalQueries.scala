@@ -147,6 +147,9 @@ object RelationalQueries extends QueryPack {
       val w = Window.partitionBy(col("event_type")).orderBy(col("cents"))
       val wAll = Window.partitionBy(col("event_type"))
       Tables.events(s, d)
+        // drop NULL values on BOTH sides: Spark window-sorts NULLS
+        // FIRST, DuckDB NULLS LAST — one null would shift every rank
+        .filter(col("value").isNotNull)
         .select(col("event_type"),
           round(col("value") * 100).cast("long").as("cents"))
         .withColumn("rn", row_number().over(w))
@@ -242,7 +245,7 @@ object RelationalQueries extends QueryPack {
     "q_percentiles" ->
       """WITH c AS (
         |  SELECT event_type, round(value * 100)::BIGINT AS cents
-        |  FROM events),
+        |  FROM events WHERE value IS NOT NULL),
         |r AS (
         |  SELECT event_type, cents,
         |    row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,

@@ -35,8 +35,9 @@ object WindowedQueries extends QueryPack {
         .select(unix_millis(col("window.start")).as("win_start_ms"), col("n"))
     }),
 
-    // Session windows: per-user activity bursts separated by >= 6h of
-    // silence (session_window merges events whose gap windows overlap;
+    // Session windows: per-user activity bursts separated by > 6h of
+    // silence (session_window merges events whose gap windows overlap
+    // OR touch — two events exactly 6h apart share one session;
     // end = last event + gap). The value sum uses the exact-cents
     // trick — event values carry 2 decimals, and a summed double would
     // land on rounding boundaries where the engines disagree.
@@ -69,9 +70,9 @@ object WindowedQueries extends QueryPack {
         |  count(*) AS n
         |FROM hops GROUP BY 1""".stripMargin,
     // gaps-and-islands replica of session_window: a NEW session starts
-    // when the gap since the previous event is >= the 6h window
-    // (Spark merges only strictly-overlapping gap windows, so an
-    // exactly-6h gap splits); session end = last event + 6h
+    // only when the gap since the previous event EXCEEDS the 6h window
+    // (Spark merges touching gap windows, so an exactly-6h gap still
+    // merges — verified on 4.1.2); session end = last event + 6h
     "w_session" ->
       """WITH o AS (
         |  SELECT user_id, ts, value,
@@ -80,7 +81,7 @@ object WindowedQueries extends QueryPack {
         |b AS (
         |  SELECT user_id, ts, value,
         |    CASE WHEN prev_ts IS NULL
-        |              OR epoch_us(ts) - epoch_us(prev_ts) >= 21600000000
+        |              OR epoch_us(ts) - epoch_us(prev_ts) > 21600000000
         |         THEN 1 ELSE 0 END AS brk
         |  FROM o),
         |sess AS (

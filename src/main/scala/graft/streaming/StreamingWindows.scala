@@ -13,6 +13,17 @@ import org.apache.spark.sql.functions._
   */
 object StreamingWindows {
 
+  /** Shared preamble: derive the event-time column from the envelope's
+    * decimicrosecond reception stamp and bound lateness with a
+    * watermark. One definition so a future change to the decimicros→µs
+    * conversion applies to every windowed stream at once.
+    */
+  private def withEventTime(envelopes: Dataset[Envelope], lateness: String): DataFrame =
+    envelopes.toDF()
+      .withColumn("event_time",
+        expr("timestamp_micros(receptionDecimicros div 10)"))
+      .withWatermark("event_time", lateness)
+
   /** Per-(window, device) message and byte counters over tumbling
     * event-time windows. `lateness` bounds state: windows older than
     * watermark - lateness are evicted from the state store, which is
@@ -22,10 +33,7 @@ object StreamingWindows {
       envelopes: Dataset[Envelope],
       windowDuration: String = "1 hour",
       lateness: String = "10 minutes"): DataFrame =
-    envelopes.toDF()
-      .withColumn("event_time",
-        expr("timestamp_micros(receptionDecimicros div 10)"))
-      .withWatermark("event_time", lateness)
+    withEventTime(envelopes, lateness)
       .groupBy(window(col("event_time"), windowDuration), col("deviceId"))
       .agg(count(lit(1)).as("n_msgs"),
         sum(coalesce(octet_length(col("payload")), lit(0))).as("n_bytes"))
@@ -40,18 +48,16 @@ object StreamingWindows {
       windowDuration: String,
       slide: String,
       lateness: String = "10 minutes"): DataFrame =
-    envelopes.toDF()
-      .withColumn("event_time",
-        expr("timestamp_micros(receptionDecimicros div 10)"))
-      .withWatermark("event_time", lateness)
+    withEventTime(envelopes, lateness)
       .groupBy(window(col("event_time"), windowDuration, slide), col("deviceId"))
       .agg(count(lit(1)).as("n_msgs"))
       .select(col("window.start").as("window_start"),
         col("deviceId").as("device_id"), col("n_msgs"))
 
   /** Session variant (the streaming twin of the batch `w_session`
-    * query): per-device activity bursts separated by at least `gap`
-    * of event-time silence. A session stays OPEN in the state store
+    * query): per-device activity bursts separated by more than `gap`
+    * of event-time silence (gap windows that merely touch still
+    * merge). A session stays OPEN in the state store
     * while events keep arriving within the gap; it finalizes — and
     * append mode emits it exactly once — when the watermark passes
     * session end, so state is bounded by (active devices × open
@@ -61,10 +67,7 @@ object StreamingWindows {
       envelopes: Dataset[Envelope],
       gap: String = "30 minutes",
       lateness: String = "10 minutes"): DataFrame =
-    envelopes.toDF()
-      .withColumn("event_time",
-        expr("timestamp_micros(receptionDecimicros div 10)"))
-      .withWatermark("event_time", lateness)
+    withEventTime(envelopes, lateness)
       .groupBy(session_window(col("event_time"), gap), col("deviceId"))
       .agg(count(lit(1)).as("n_msgs"))
       .select(col("session_window.start").as("session_start"),

@@ -155,7 +155,9 @@ class PlanSpec extends AnyFunSuite {
       .toList
     assert(joins.nonEmpty && joins.forall(_.contains("tok")),
       s"tf-df join not keyed on token:\n${joins.mkString("\n")}")
-    assert(p.contains("Partial")) // term counts combine map-side
+    // term counts combine map-side ("Partial" alone is vacuous — the
+    // WindowGroupLimit operator always prints a Partial mode string)
+    assert(p.contains("partial_count"))
   }
 
   test("session windows aggregate per user without a pair join") {
