@@ -122,6 +122,31 @@ object AnalyticsQueries extends QueryPack {
         expr("bit_count(sig_lo ^ sig_hi)").as("hamming"))
   }
 
+  /** Random-hyperplane LSH bucket per vector: 8 deterministic
+    * md5-derived planes → 8-bit bucket. Plane vectors are driver-built
+    * literals broadcast to vector_dot — bucketing is one codegen pass
+    * over the embeddings. Shared by `sim_lsh_bucket` (the bucket dump)
+    * and `sim_lsh_topk` (candidate generation for the exact rerank).
+    */
+  private def lshBuckets(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val planes = (0 until 8).map { p =>
+      (p, (0 until 64).map { dim =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$p,$dim".getBytes("UTF-8"))
+          .take(2).map("%02x".format(_)).mkString
+        (Integer.parseInt(hex, 16) % 16 - 8).toDouble
+      })
+    }.toDF("plane", "w")
+    Tables.embeddings(s, d)
+      .crossJoin(broadcast(planes))
+      .withColumn("dot", expr("vector_dot(embedding, w)"))
+      .withColumn("bit", when(col("dot") > 0, expr("shiftleft(1, plane)")).otherwise(0))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("bit")).as("bucket"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup: hash-groupBy; keeper = min doc_id per content hash.
@@ -131,6 +156,25 @@ object AnalyticsQueries extends QueryPack {
       Tables.documents(s, d)
         .groupBy(md5(col("text")).as("content_hash"))
         .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+    }),
+
+    // Cross-source overlap matrix: for every source pair, how many
+    // DISTINCT 5-token shingles they share — the corpus-curation view
+    // of cross-source contamination/syndication. One shuffle for the
+    // (source, digest) distinct, then a join KEYED ON THE DIGEST whose
+    // fan-out per digest is bounded by n_sources² (a shingle present
+    // in all S sources yields C(S,2) rows), never by corpus size.
+    "dd_source_overlap" -> ((s, d) => {
+      val sh = Tables.documents(s, d)
+        .select(col("source"), split(col("text"), " ").as("tk"))
+        .select(col("source"), explode(Shingles.wordNgrams(col("tk"), 5)).as("g"))
+        .select(col("source"), md5(col("g")).as("dg"))
+        .distinct()
+      val b = sh.select(col("source").as("source_b"), col("dg").as("dg_b"))
+      sh.select(col("source").as("source_a"), col("dg"))
+        .join(b, col("dg") === col("dg_b") && col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_shared"))
     }),
 
     // Span-level exact-substring dedup: find every 10-token window
@@ -363,23 +407,33 @@ object AnalyticsQueries extends QueryPack {
     // hyperplanes → 8-bit bucket per vector. Plane vectors are
     // driver-built literals broadcast to vector_dot — bucketing is
     // one codegen pass over the embeddings.
-    "sim_lsh_bucket" -> ((s, d) => {
+    "sim_lsh_bucket" -> ((s, d) => lshBuckets(s, d)),
+
+    // Two-stage retrieval (the serving pattern): LSH bucket candidate
+    // generation, then EXACT cosine rerank of candidates only. The
+    // pair join is keyed on the bucket — never query×corpus — so the
+    // rerank cost is (queries × bucket occupancy), not (queries × N);
+    // the brute-force twin `sim_topk_bf` is this query's recall
+    // oracle. Rank on rounded cosine + id tie-break (engine-stable).
+    "sim_lsh_topk" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
-      import s.implicits._
-      val planes = (0 until 8).map { p =>
-        (p, (0 until 64).map { dim =>
-          val hex = java.security.MessageDigest.getInstance("MD5")
-            .digest(s"$p,$dim".getBytes("UTF-8"))
-            .take(2).map("%02x".format(_)).mkString
-          (Integer.parseInt(hex, 16) % 16 - 8).toDouble
-        })
-      }.toDF("plane", "w")
-      Tables.embeddings(s, d)
-        .crossJoin(broadcast(planes))
-        .withColumn("dot", expr("vector_dot(embedding, w)"))
-        .withColumn("bit", when(col("dot") > 0, expr("shiftleft(1, plane)")).otherwise(0))
-        .groupBy(col("vec_id"))
-        .agg(sum(col("bit")).as("bucket"))
+      val e = Tables.embeddings(s, d)
+        .withColumn("norm", sqrt(expr("vector_dot(embedding, embedding)")))
+        .join(lshBuckets(s, d), "vec_id")
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("norm").as("qnorm"), col("bucket"))
+      val n = e.select(col("vec_id").as("nid"), col("embedding").as("ne"),
+        col("norm").as("nnorm"), col("bucket").as("nbucket"))
+      val scored = q.join(n,
+          col("bucket") === col("nbucket") && col("qid") =!= col("nid"))
+        .withColumn("cosine",
+          round(expr("vector_dot(qe, ne)") / (col("qnorm") * col("nnorm")), 4))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cosine").desc, col("nid").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("nid"), col("cosine"), col("rank"))
     }),
 
     // Int8 vector quantization (the serving-layout compressor: 4×
@@ -469,6 +523,33 @@ object AnalyticsQueries extends QueryPack {
           size(col("bigrams")).cast("long").as("n_bigrams"),
           size(array_distinct(col("bigrams"))).cast("long").as("n_distinct"))
         .withColumn("repetitive", col("n_distinct") * 2 < col("n_bigrams"))
+    }),
+
+    // Top-n-gram concentration (the other half of the Gopher
+    // repetition rules): the share of tokens covered by the single
+    // most frequent 2-gram / 3-gram, in basis points. Occurrences
+    // may overlap, so the share can exceed 10000 for degenerate docs
+    // — that IS the spam signal. All arithmetic is 64-bit integer
+    // (count · n · 10000 div n_tokens): no float anywhere, so the
+    // engines cannot disagree. Two keyed aggregations per n, joined
+    // back on doc_id; everything before the agg is map-side explode.
+    "tx_ngram_repetition" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .withColumn("n_tokens", size(col("tk")).cast("long"))
+      def topN(n: Int) = base
+        .select(col("doc_id").as(s"id_$n"),
+          explode(Shingles.wordNgrams(col("tk"), n)).as("g"))
+        .groupBy(col(s"id_$n"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col(s"id_$n")).agg(max(col("c")).as(s"top${n}_cnt"))
+      base.select(col("doc_id"), col("n_tokens"))
+        .join(topN(2), col("doc_id") === col("id_2"), "left")
+        .join(topN(3), col("doc_id") === col("id_3"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("top2_cnt"), lit(0L)).as("top2_cnt"),
+          coalesce(col("top3_cnt"), lit(0L)).as("top3_cnt"))
+        .withColumn("top2_bp", expr("top2_cnt * 2 * 10000 div n_tokens"))
+        .withColumn("top3_bp", expr("top3_cnt * 3 * 10000 div n_tokens"))
     }),
 
     // TF-IDF keyword extraction: top-3 tokens per doc by tf·ln(N/df).
@@ -738,6 +819,20 @@ object AnalyticsQueries extends QueryPack {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper,
         |  count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+    "dd_source_overlap" ->
+      """WITH tk AS (
+        |  SELECT source, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT source, md5(g) AS dg FROM (
+        |    SELECT source, unnest(list_transform(
+        |      generate_series(1, len(t) - 4),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+        |           t[i+3] || ' ' || t[i+4])) AS g
+        |    FROM tk WHERE len(t) >= 5))
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  count(*) AS n_shared
+        |FROM sh a JOIN sh b ON a.dg = b.dg AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
     "dd_span_dedup" ->
       """WITH tk AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -934,6 +1029,42 @@ object AnalyticsQueries extends QueryPack {
         |SELECT vec_id,
         |  sum(CASE WHEN dot > 0 THEN 1 << plane::INT ELSE 0 END)::BIGINT AS bucket
         |FROM dots GROUP BY vec_id""".stripMargin,
+    "sim_lsh_topk" ->
+      """WITH planes AS (
+        |  SELECT p.plane, d.dim,
+        |    ('0x' || substr(md5(p.plane || ',' || d.dim),1,4))::INT % 16 - 8 AS w
+        |  FROM (SELECT unnest(generate_series(0,7)) AS plane) p,
+        |       (SELECT unnest(generate_series(0,63)) AS dim) d),
+        |f AS (
+        |  SELECT vec_id, generate_subscripts(embedding,1) - 1 AS idx,
+        |    unnest(embedding)::DOUBLE AS val
+        |  FROM embeddings),
+        |pdots AS (
+        |  SELECT vec_id, plane, sum(val * w) AS dot
+        |  FROM f JOIN planes ON idx = dim
+        |  GROUP BY 1, 2),
+        |buckets AS (
+        |  SELECT vec_id,
+        |    sum(CASE WHEN dot > 0 THEN 1 << plane::INT ELSE 0 END)::BIGINT AS bucket
+        |  FROM pdots GROUP BY vec_id),
+        |norms AS (
+        |  SELECT vec_id, sqrt(sum(val * val)) AS norm FROM f GROUP BY 1),
+        |cand AS (
+        |  SELECT q.vec_id AS qid, n.vec_id AS nid, sum(q.val * n.val) AS dot
+        |  FROM f q JOIN f n ON q.idx = n.idx AND q.vec_id <> n.vec_id
+        |  JOIN buckets bq ON bq.vec_id = q.vec_id
+        |  JOIN buckets bn ON bn.vec_id = n.vec_id AND bq.bucket = bn.bucket
+        |  WHERE q.vec_id < 20
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT qid, nid, round(dot / (nq.norm * nn.norm), 4) AS cosine
+        |  FROM cand JOIN norms nq ON nq.vec_id = qid
+        |  JOIN norms nn ON nn.vec_id = nid)
+        |SELECT qid, nid, cosine, rank FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
+        |  FROM scored)
+        |WHERE rank <= 3""".stripMargin,
     "sim_quantize" ->
       """WITH base AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS de FROM embeddings),
@@ -1012,6 +1143,33 @@ object AnalyticsQueries extends QueryPack {
         |  len(list_distinct(bigrams))::BIGINT AS n_distinct,
         |  len(list_distinct(bigrams)) * 2 < len(bigrams) AS repetitive
         |FROM bg""".stripMargin,
+    "tx_ngram_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |tok AS (SELECT doc_id, len(tk)::BIGINT AS n_tokens FROM base),
+        |g2 AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(tk)-1),
+        |    i -> tk[i] || ' ' || tk[i+1])) AS g
+        |  FROM base WHERE len(tk) >= 2),
+        |t2 AS (
+        |  SELECT doc_id, max(c)::BIGINT AS top2_cnt FROM (
+        |    SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |g3 AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(tk)-2),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+        |  FROM base WHERE len(tk) >= 3),
+        |t3 AS (
+        |  SELECT doc_id, max(c)::BIGINT AS top3_cnt FROM (
+        |    SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT tok.doc_id, n_tokens,
+        |  coalesce(top2_cnt, 0) AS top2_cnt,
+        |  coalesce(top3_cnt, 0) AS top3_cnt,
+        |  coalesce(top2_cnt, 0) * 2 * 10000 // n_tokens AS top2_bp,
+        |  coalesce(top3_cnt, 0) * 3 * 10000 // n_tokens AS top3_bp
+        |FROM tok LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+        |""".stripMargin,
     "tx_tfidf" ->
       """WITH tfs AS (
         |  SELECT doc_id, tok, count(*) AS tf

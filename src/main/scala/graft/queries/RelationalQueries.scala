@@ -161,6 +161,22 @@ object RelationalQueries extends QueryPack {
           max(when(col("rn") === ceil(col("n") * 0.99), col("cents"))).as("p99_cents"))
     }),
 
+    // Fixed-width value histogram per event type ($10 buckets). Pure
+    // 64-bit integer arithmetic end to end: value → exact cents →
+    // integer div — no float boundary can differ between engines
+    // (values are non-negative, so trunc-div == floor-div). One
+    // map-side bucket expr + one partial-agg groupBy; at 100 TB this
+    // is a single shuffle of (type, bucket) partials.
+    "q_histogram" -> ((s, d) => {
+      Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("bucket", expr("cents div 1000"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+    }),
+
     // W1 property upsert = last-writer-wins per key
     // (queries.ex:121-155): latest event value per (user_id,
     // event_type). One shuffle on the key, rank inside partition.
@@ -256,6 +272,13 @@ object RelationalQueries extends QueryPack {
         |  max(CASE WHEN rn = ceil(n * 0.9) THEN cents END) AS p90_cents,
         |  max(CASE WHEN rn = ceil(n * 0.99) THEN cents END) AS p99_cents
         |FROM r GROUP BY event_type""".stripMargin,
+    "q_histogram" ->
+      """SELECT event_type,
+        |  round(value * 100)::BIGINT // 1000 AS bucket,
+        |  count(*) AS n,
+        |  sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
     "w1_upsert_lastvalue" ->
       """SELECT user_id, event_type, round(value, 4) AS last_value,
         |  event_id AS last_event_id

@@ -168,6 +168,31 @@ class PlanSpec extends AnyFunSuite {
       s"w_session plan lost the session-window operator:\n$p")
   }
 
+  test("sim_lsh_topk rerank join is keyed on the bucket, never query×corpus") {
+    val p = plan("sim_lsh_topk")
+    assert(!p.contains("CartesianProduct"))
+    val pairJoins = p.linesIterator
+      .filter(l => (l.contains("HashJoin") || l.contains("SortMergeJoin")) &&
+        l.contains("bucket"))
+      .toList
+    assert(pairJoins.nonEmpty,
+      s"sim_lsh_topk lost its bucket-keyed candidate join:\n$p")
+    // the only nested-loop allowed is the broadcast of the 8 planes
+    assert(!p.contains("BroadcastNestedLoopJoin") ||
+      p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 2)
+  }
+
+  test("dd_source_overlap joins sources on the shingle digest") {
+    val p = plan("dd_source_overlap")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    val joins = p.linesIterator
+      .filter(l => l.contains("HashJoin") || l.contains("SortMergeJoin"))
+      .toList
+    assert(joins.nonEmpty && joins.forall(_.contains("dg")),
+      s"overlap join not keyed on digest:\n${joins.mkString("\n")}")
+  }
+
   test("events scans prune columns (s3 reads only 2 of 6 columns)") {
     val p = plan("s3_route_msgtype")
     val rs = p.substring(p.indexOf("ReadSchema"))

@@ -105,6 +105,23 @@ class StreamingWindowsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("events exactly one gap apart MERGE into one session (boundary lock)") {
+    import spark.implicits._
+    // Locks the boundary rule the batch w_session DuckDB oracle
+    // encodes: session_window merges gap windows that touch, so a
+    // silence of exactly `gap` does NOT split — only > gap does.
+    val t0 = 1700000000000L
+    val gapMs = 60 * 1000L
+    val exact = StreamingWindows.deviceSessions(
+      Seq(env("d", t0, 1), env("d", t0 + gapMs, 2)).toDS(),
+      gap = "1 minute", lateness = "0 seconds").collect()
+    assert(exact.length == 1 && exact.head.getAs[Long]("n_msgs") == 2L)
+    val past = StreamingWindows.deviceSessions(
+      Seq(env("d", t0, 1), env("d", t0 + gapMs + 1, 2)).toDS(),
+      gap = "1 minute", lateness = "0 seconds").collect()
+    assert(past.length == 2) // 1ms beyond the gap splits
+  }
+
   test("hopping windows assign each event to overlapping windows") {
     import spark.implicits._
     // batch-mode sanity over the same plan shape (no watermark wait)
