@@ -525,6 +525,101 @@ object AnalyticsQueries extends QueryPack {
         .withColumn("repetitive", col("n_distinct") * 2 < col("n_bigrams"))
     }),
 
+    // Domain-mixing weights: the per-source up/down-sampling factor
+    // that rebalances the corpus to a UNIFORM token share (the "data
+    // mixing" step before training). weight = target_share /
+    // actual_share = total_tokens / (n_sources · source_tokens), in
+    // basis points via pure integer div. Totals arrive through a
+    // broadcast single-row cross join — no driver collect.
+    "dd_mixture_weights" -> ((s, d) => {
+      val perSrc = Tables.documents(s, d)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("toks"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+      val tot = perSrc.agg(sum(col("n_tokens")).as("total_tokens"),
+        count(lit(1)).as("n_sources"))
+      perSrc.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          expr("total_tokens * 10000 div (n_sources * n_tokens)")
+            .as("weight_bp"))
+    }),
+
+    // Cumulative token share per language: sources ranked by token
+    // count with a running share in basis points — the "how much of
+    // my German data comes from the top k sources" curve. One window
+    // cumsum per language partition; ties broken by source name so
+    // the running sum is deterministic. Integer arithmetic only.
+    "tx_token_share" -> ((s, d) => {
+      val perSrc = Tables.documents(s, d)
+        .select(col("lang"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("toks"))
+        .groupBy(col("lang"), col("source"))
+        .agg(sum(col("toks")).as("n_tokens"))
+      val byLang = Window.partitionBy(col("lang"))
+      val cum = Window.partitionBy(col("lang"))
+        .orderBy(col("n_tokens").desc, col("source").asc)
+      perSrc
+        .withColumn("lang_total", sum(col("n_tokens")).over(byLang))
+        .withColumn("rk", row_number().over(cum))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(cum))
+        .select(col("lang"), col("rk"), col("source"), col("n_tokens"),
+          expr("cum_tokens * 10000 div lang_total").as("cum_share_bp"))
+    }),
+
+    // MinHash estimator quality: for every LSH candidate pair, the
+    // signature-estimated Jaccard (matching minhashes / 8) against
+    // the exact shingle-set Jaccard — the evaluation that tells you
+    // whether 8 permutations suffice before you trust the estimate
+    // at scale. Exact side touches only candidate pairs (the LSH
+    // bound); both outputs are integer basis points.
+    "dd_minhash_est" -> ((s, d) => {
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), col("lang"),
+          explode(Shingles.wordNgrams(col("tk"), 3)).as("shingle"))
+        .select(col("doc_id"), col("lang"),
+          conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("h"))
+        .distinct()
+        .cache()
+      val mhCols = MinhashSeeds.keys.zipWithIndex.map { case (k, i) =>
+        min(expr(s"h ^ ${k}L")).as(s"mh$i")
+      }
+      val minhashes = sh.groupBy(col("doc_id"), col("lang"))
+        .agg(mhCols.head, mhCols.tail: _*)
+      val bands = minhashes.select(col("doc_id"),
+          md5(concat(col("lang"), lit("|"),
+            concat_ws(",", col("mh0"), col("mh1"), col("mh2"), col("mh3")))).as("bk0"),
+          md5(concat(col("lang"), lit("|"),
+            concat_ws(",", col("mh4"), col("mh5"), col("mh6"), col("mh7")))).as("bk1"))
+        .select(col("doc_id"), explode(array(col("bk0"), col("bk1"))).as("band_key"))
+      val cands = bands.as("a").join(bands.as("b"),
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val mhA = minhashes.select(
+        col("doc_id").as("doc_a") +: (0 until 8).map(i => col(s"mh$i").as(s"a$i")): _*)
+      val mhB = minhashes.select(
+        col("doc_id").as("doc_b") +: (0 until 8).map(i => col(s"mh$i").as(s"b$i")): _*)
+      val est = cands.join(mhA, Seq("doc_a")).join(mhB, Seq("doc_b"))
+        .withColumn("n_match",
+          (0 until 8).map(i =>
+            when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L)).reduce(_ + _))
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      est
+        .join(sh.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("h").as("hb")), Seq("doc_b"))
+        .filter(col("h") === col("hb"))
+        .groupBy(col("doc_a"), col("doc_b"), col("n_match"))
+        .agg(count(lit(1)).as("n_inter"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          expr("n_match * 10000 div 8").as("est_bp"),
+          expr("n_inter * 10000 div (sz_a + sz_b - n_inter)").as("exact_bp"))
+    }),
+
     // Top-n-gram concentration (the other half of the Gopher
     // repetition rules): the share of tokens covered by the single
     // most frequent 2-gram / 3-gram, in basis points. Occurrences
@@ -833,6 +928,88 @@ object AnalyticsQueries extends QueryPack {
         |  count(*) AS n_shared
         |FROM sh a JOIN sh b ON a.dg = b.dg AND a.source < b.source
         |GROUP BY 1, 2""".stripMargin,
+    "dd_mixture_weights" ->
+      """WITH per_src AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |tot AS (
+        |  SELECT sum(n_tokens)::BIGINT AS total_tokens,
+        |    count(*) AS n_sources
+        |  FROM per_src)
+        |SELECT source, n_docs, n_tokens,
+        |  total_tokens * 10000 // (n_sources * n_tokens) AS weight_bp
+        |FROM per_src CROSS JOIN tot""".stripMargin,
+    "tx_token_share" ->
+      """WITH per_src AS (
+        |  SELECT lang, source,
+        |    sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT lang, row_number() OVER w AS rk, source, n_tokens,
+        |  (sum(n_tokens) OVER w)::BIGINT * 10000
+        |    // (sum(n_tokens) OVER (PARTITION BY lang))::BIGINT
+        |    AS cum_share_bp
+        |FROM per_src
+        |WINDOW w AS (PARTITION BY lang ORDER BY n_tokens DESC, source ASC)
+        |""".stripMargin,
+    "dd_minhash_est" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, unnest(string_split(text,' ')) AS tok,
+        |         generate_subscripts(string_split(text,' '),1) AS pos
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, lang,
+        |    ('0x' || substr(md5(tok || ' ' || lead(tok,1) OVER w
+        |       || ' ' || lead(tok,2) OVER w), 1, 15))::BIGINT AS h
+        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY lead(tok,2) OVER w IS NOT NULL),
+        |mh AS (
+        |  SELECT doc_id, lang,
+        |    min(xor(h, 935853755618645598)) AS mh0,
+        |    min(xor(h, 886263699231969848)) AS mh1,
+        |    min(xor(h, 901255563090117366)) AS mh2,
+        |    min(xor(h, 1066434503623691823)) AS mh3,
+        |    min(xor(h, 758855882668719729)) AS mh4,
+        |    min(xor(h, 1030659900335514164)) AS mh5,
+        |    min(xor(h, 101208472399937786)) AS mh6,
+        |    min(xor(h, 644382284193898855)) AS mh7
+        |  FROM sh GROUP BY doc_id, lang),
+        |bands AS (
+        |  SELECT doc_id, unnest([
+        |    md5(lang || '|' || mh0 || ',' || mh1 || ',' || mh2 || ',' || mh3),
+        |    md5(lang || '|' || mh4 || ',' || mh5 || ',' || mh6 || ',' || mh7)
+        |  ]) AS band_key FROM mh),
+        |cands AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |est AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |    (CASE WHEN a.mh0 = b.mh0 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN a.mh1 = b.mh1 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN a.mh2 = b.mh2 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN a.mh3 = b.mh3 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN a.mh4 = b.mh4 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN a.mh5 = b.mh5 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN a.mh6 = b.mh6 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN a.mh7 = b.mh7 THEN 1 ELSE 0 END) AS n_match
+        |  FROM cands c
+        |  JOIN mh a ON a.doc_id = c.doc_a
+        |  JOIN mh b ON b.doc_id = c.doc_b),
+        |inter AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+        |  FROM cands c
+        |  JOIN sh sa ON sa.doc_id = c.doc_a
+        |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
+        |  GROUP BY 1, 2)
+        |SELECT e.doc_a, e.doc_b,
+        |  n_match * 10000 // 8 AS est_bp,
+        |  n_inter * 10000 // (za.sz + zb.sz - n_inter) AS exact_bp
+        |FROM est e
+        |JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+        |JOIN sizes za ON za.doc_id = e.doc_a
+        |JOIN sizes zb ON zb.doc_id = e.doc_b""".stripMargin,
     "dd_span_dedup" ->
       """WITH tk AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
