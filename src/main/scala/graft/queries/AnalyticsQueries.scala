@@ -164,11 +164,15 @@ object AnalyticsQueries extends QueryPack {
     // (source, digest) distinct, then a join KEYED ON THE DIGEST whose
     // fan-out per digest is bounded by n_sources² (a shingle present
     // in all S sources yields C(S,2) rows), never by corpus size.
+    // The digest is a 60-bit long (md5 prefix), not the 32-char hex
+    // string: at 100 TB the digest column IS the shuffle, and 8 bytes
+    // vs 32 is a 4× smaller exchange for the same collision regime.
     "dd_source_overlap" -> ((s, d) => {
       val sh = Tables.documents(s, d)
         .select(col("source"), split(col("text"), " ").as("tk"))
         .select(col("source"), explode(Shingles.wordNgrams(col("tk"), 5)).as("g"))
-        .select(col("source"), md5(col("g")).as("dg"))
+        .select(col("source"),
+          conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("dg"))
         .distinct()
       val b = sh.select(col("source").as("source_b"), col("dg").as("dg_b"))
       sh.select(col("source").as("source_a"), col("dg"))
@@ -918,7 +922,8 @@ object AnalyticsQueries extends QueryPack {
       """WITH tk AS (
         |  SELECT source, string_split(text, ' ') AS t FROM documents),
         |sh AS (
-        |  SELECT DISTINCT source, md5(g) AS dg FROM (
+        |  SELECT DISTINCT source,
+        |    ('0x' || substr(md5(g), 1, 15))::BIGINT AS dg FROM (
         |    SELECT source, unnest(list_transform(
         |      generate_series(1, len(t) - 4),
         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||

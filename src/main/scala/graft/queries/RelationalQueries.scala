@@ -177,6 +177,30 @@ object RelationalQueries extends QueryPack {
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
     }),
 
+    // First-occurrence funnel signup → click → purchase: users whose
+    // first click follows their first signup, and first purchase
+    // follows that click. One groupBy(user) with conditional mins,
+    // one global fold — two partial-agg shuffles, no join, no window.
+    // Timestamps compare at µs resolution on BOTH engines (Spark sees
+    // the parquet ns; DuckDB only µs — a sub-µs gap would otherwise
+    // order differently).
+    "q_funnel" -> ((s, d) => {
+      Tables.events(s, d)
+        .filter(col("event_type").isin("signup", "click", "purchase"))
+        .select(col("user_id"), col("event_type"),
+          expr("ts div 1000").as("tus"))
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "signup", col("tus"))).as("t_s"),
+          min(when(col("event_type") === "click", col("tus"))).as("t_c"),
+          min(when(col("event_type") === "purchase", col("tus"))).as("t_p"))
+        .agg(
+          count(when(col("t_s").isNotNull, 1)).as("n_signup"),
+          count(when(col("t_s") < col("t_c"), 1)).as("n_signup_click"),
+          count(when(col("t_s") < col("t_c") && col("t_c") < col("t_p"), 1))
+            .as("n_full_funnel"))
+    }),
+
     // W1 property upsert = last-writer-wins per key
     // (queries.ex:121-155): latest event value per (user_id,
     // event_type). One shuffle on the key, rank inside partition.
@@ -279,6 +303,24 @@ object RelationalQueries extends QueryPack {
         |  sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents
         |FROM events WHERE value IS NOT NULL
         |GROUP BY 1, 2""".stripMargin,
+    "q_funnel" ->
+      """WITH m AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup'
+        |             THEN epoch_us(ts) END) AS t_s,
+        |    min(CASE WHEN event_type = 'click'
+        |             THEN epoch_us(ts) END) AS t_c,
+        |    min(CASE WHEN event_type = 'purchase'
+        |             THEN epoch_us(ts) END) AS t_p
+        |  FROM events
+        |  WHERE event_type IN ('signup', 'click', 'purchase')
+        |  GROUP BY 1)
+        |SELECT
+        |  count(CASE WHEN t_s IS NOT NULL THEN 1 END) AS n_signup,
+        |  count(CASE WHEN t_s < t_c THEN 1 END) AS n_signup_click,
+        |  count(CASE WHEN t_s < t_c AND t_c < t_p THEN 1 END)
+        |    AS n_full_funnel
+        |FROM m""".stripMargin,
     "w1_upsert_lastvalue" ->
       """SELECT user_id, event_type, round(value, 4) AS last_value,
         |  event_id AS last_event_id

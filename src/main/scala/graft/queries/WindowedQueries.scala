@@ -41,6 +41,27 @@ object WindowedQueries extends QueryPack {
     // end = last event + gap). The value sum uses the exact-cents
     // trick — event values carry 2 decimals, and a summed double would
     // land on rounding boundaries where the engines disagree.
+    // Weekly cohort retention: users bucketed by their first active
+    // week; for each (cohort, week offset), how many came back. Two
+    // keyed aggregations ((user, week) distinct, then per-user min)
+    // and one broadcast-size join back — the user dimension after
+    // distinct is tiny relative to events. All-week arithmetic is
+    // integer (epoch-ms div week), truncation identical on both
+    // engines for the positive timestamps parquet can hold here.
+    "w_retention" -> ((s, d) => {
+      val weekMs = 604800000L
+      val wk = Tables.events(s, d)
+        .select(col("user_id"),
+          expr(s"ts div 1000000 div $weekMs").as("wk"))
+        .distinct()
+      val cohort = wk.groupBy(col("user_id"))
+        .agg(min(col("wk")).as("cohort_week"))
+      wk.join(cohort, "user_id")
+        .groupBy(col("cohort_week"),
+          (col("wk") - col("cohort_week")).as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
     "w_session" -> ((s, d) => {
       Tables.events(s, d)
         .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
@@ -69,6 +90,17 @@ object WindowedQueries extends QueryPack {
         |         + k * 10800000 AS win_start_ms,
         |  count(*) AS n
         |FROM hops GROUP BY 1""".stripMargin,
+    "w_retention" ->
+      """WITH wk AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_ms(ts) // 604800000 AS wk
+        |  FROM events),
+        |cohort AS (
+        |  SELECT user_id, min(wk) AS cohort_week FROM wk GROUP BY 1)
+        |SELECT cohort_week, wk - cohort_week AS week_offset,
+        |  count(*) AS n_users
+        |FROM wk JOIN cohort USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
     // gaps-and-islands replica of session_window: a NEW session starts
     // only when the gap since the previous event EXCEEDS the 6h window
     // (Spark merges touching gap windows, so an exactly-6h gap still

@@ -1,0 +1,79 @@
+package graft.events
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the hand-rolled protobuf wire: any value a
+  * Writer can emit, read() must return verbatim — across the full
+  * Long range (10-byte varints, sign bit set), arbitrary unicode
+  * strings, arbitrary byte blobs, and interleaved field numbers.
+  * The unit specs in EventWireSpec/RpcWireSpec pin the message
+  * layouts; these pin the primitive encoding itself.
+  */
+class ProtoWireSpec extends AnyFunSuite {
+
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: int64 field round-trips every Long (incl. negatives)") {
+    check(Prop.forAll(Gen.chooseNum(Long.MinValue, Long.MaxValue)) { v =>
+      val w = new ProtoWire.Writer
+      w.int64(1, v)
+      // proto3 zero-default: absent field reads back as the default 0
+      ProtoWire.read(w.result()).long(1) == v
+    })
+  }
+
+  test("property: string field round-trips arbitrary unicode") {
+    check(Prop.forAll(Gen.listOf(Gen.choose(Char.MinValue, Char.MaxValue))
+        .map(_.mkString).suchThat(s => s == new String(s.getBytes("UTF-8"), "UTF-8"))) { s =>
+      val w = new ProtoWire.Writer
+      w.string(2, s)
+      // empty string is skipped on the wire and reads back as ""
+      ProtoWire.read(w.result()).str(2) == s
+    })
+  }
+
+  test("property: bytes field round-trips arbitrary blobs") {
+    check(Prop.forAll(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+        .map(_.toArray)) { b =>
+      val w = new ProtoWire.Writer
+      w.bytes(3, b)
+      val back = ProtoWire.read(w.result()).blob(3)
+      if (b.isEmpty) back == null // zero-default: not emitted
+      else java.util.Arrays.equals(back, b)
+    })
+  }
+
+  test("property: interleaved fields keep values by field number") {
+    val entry = for {
+      f <- Gen.choose(1, 1000)
+      v <- Gen.chooseNum(1L, Long.MaxValue) // nonzero: always on wire
+    } yield (f, v)
+    check(Prop.forAll(Gen.listOfN(8, entry)) { entries =>
+      val w = new ProtoWire.Writer
+      entries.foreach { case (f, v) => w.int64(f, v) }
+      val fields = ProtoWire.read(w.result())
+      // first write per field number wins on read; repeats arrive in order
+      entries.groupBy(_._1).forall { case (f, vs) =>
+        fields.varints(f) == vs.map(_._2)
+      }
+    })
+  }
+
+  test("property: nested messages round-trip through message framing") {
+    check(Prop.forAll(Gen.chooseNum(Long.MinValue, Long.MaxValue),
+        Gen.alphaNumStr) { (v, s) =>
+      val inner = new ProtoWire.Writer
+      inner.int64(1, v)
+      inner.string(2, s)
+      val outer = new ProtoWire.Writer
+      outer.message(7, inner.result())
+      val back = ProtoWire.read(ProtoWire.read(outer.result()).blob(7))
+      back.long(1) == v && back.str(2) == s
+    })
+  }
+}
