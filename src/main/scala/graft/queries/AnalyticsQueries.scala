@@ -122,6 +122,20 @@ object AnalyticsQueries extends QueryPack {
         expr("bit_count(sig_lo ^ sig_hi)").as("hamming"))
   }
 
+  /** Per-label centroid arrays (idx-ordered, double) with their norms —
+    * the trained "codebook" behind `sim_centroid_outlier` (distance to
+    * OWN label centroid) and `dd_semantic_dedup` (assignment to the
+    * NEAREST centroid). Bounded by labels × dims regardless of corpus
+    * size, so it broadcasts forever.
+    */
+  private def labelCentroids(s: SparkSession, d: String): DataFrame =
+    flatEmb(s, d).groupBy(col("label").as("clabel"), col("idx"))
+      .agg(avg(col("val")).as("cval"))
+      .groupBy(col("clabel"))
+      .agg(transform(sort_array(collect_list(struct(col("idx"), col("cval")))),
+        x => x.getField("cval")).as("carr"))
+      .withColumn("cnorm", sqrt(expr("vector_dot(carr, carr)")))
+
   /** Random-hyperplane LSH bucket per vector: 8 deterministic
     * md5-derived planes → 8-bit bucket. Plane vectors are driver-built
     * literals broadcast to vector_dot — bucketing is one codegen pass
@@ -844,6 +858,162 @@ object AnalyticsQueries extends QueryPack {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // Train/val/test leakage audit: near-dup content (same sorted
+    // DISTINCT token set — shuffled copies collapse to one bag hash,
+    // the tx_corpus_gate dup key) that lands in more than one split of
+    // the deterministic dd_train_split assignment — the eval-integrity
+    // check every pipeline runs after splitting (a val doc whose
+    // shuffled twin is in train invalidates the benchmark). Split
+    // membership is map-side (the same md5-bucket arithmetic as
+    // dd_train_split); one shuffle on the bag hash.
+    "dd_split_leakage" -> ((s, d) => {
+      val assigned = Tables.documents(s, d)
+        .withColumn("bucket",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("long") % 10)
+        .select(col("doc_id"),
+          md5(concat_ws(" ",
+            array_sort(array_distinct(split(col("text"), " ")))))
+            .as("content_hash"),
+          when(col("bucket") < 8, "train")
+            .when(col("bucket") === 8, "validation")
+            .otherwise("test").as("split"))
+      assigned.groupBy(col("content_hash"))
+        .agg(countDistinct(col("split")).as("n_splits"),
+          concat_ws(",", sort_array(collect_set(col("split")))).as("splits"),
+          count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("keeper"))
+        .filter(col("n_splits") > 1)
+    }),
+
+    // Unigram log-prob quality proxy (the "perplexity filter" without
+    // a neural LM): corpus unigram distribution → per-doc mean
+    // negative log-likelihood in micro-nats. The ONLY float op is one
+    // ln per DISTINCT vocab entry, floored to an integer immediately;
+    // per-doc totals are integer sums (tf · nll_e6), so accumulation
+    // order cannot perturb the result in either engine. Two keyed
+    // aggs (term counts, vocab counts) + a broadcast single-row
+    // total; the doc side joins nothing bigger than the vocabulary.
+    "tx_unigram_logprob" -> ((s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val vocab = tf.groupBy(col("tok")).agg(sum(col("tf")).as("cnt"))
+      val tot = vocab.agg(sum(col("cnt")).as("total"))
+      val nll = vocab.crossJoin(broadcast(tot))
+        .select(col("tok"),
+          floor((log(col("total")) - log(col("cnt"))) * 1000000)
+            .cast("long").as("nll_e6"))
+      tf.join(nll, "tok")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("n_tokens"),
+          expr("sum(tf * nll_e6) div sum(tf)").as("avg_nll_e6"))
+    }),
+
+    // Intra-document repeated-window fraction (the within-doc half of
+    // the Gopher duplicate-n-gram rules; the CROSS-doc half is
+    // dd_span_dedup): share of 10-token windows whose exact text
+    // occurs more than once in the SAME document, in basis points.
+    // Pure integer arithmetic; map-side explode + one (doc, hash)
+    // partial agg — no join anywhere, so corpus size only scales the
+    // map work.
+    "tx_dup_window_frac" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"),
+          explode(Shingles.wordNgrams(col("tk"), 10)).as("w"))
+        .groupBy(col("doc_id"), md5(col("w")).as("h"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_windows"),
+          sum(when(col("c") > 1, col("c")).otherwise(0L)).as("n_dup"))
+        .withColumn("dup_bp", expr("n_dup * 10000 div n_windows"))
+    }),
+
+    // Token-length distribution per language: exact nearest-rank
+    // p25/p50/p75/p90 over token counts — the length profile a
+    // curation pass reads before setting min/max-length gates. Same
+    // integer nearest-rank shape as q_percentiles (rank position of
+    // the sorted value; ties don't matter because only the VALUE at
+    // the rank is kept).
+    "tx_length_percentiles" -> ((s, d) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("n_tokens"))
+      val wAll = Window.partitionBy(col("lang"))
+      Tables.documents(s, d)
+        .select(col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .groupBy(col("lang"))
+        .agg(max(col("n")).as("n_docs"),
+          max(when(col("rn") === ceil(col("n") * 0.25), col("n_tokens"))).as("p25"),
+          max(when(col("rn") === ceil(col("n") * 0.5), col("n_tokens"))).as("p50"),
+          max(when(col("rn") === ceil(col("n") * 0.75), col("n_tokens"))).as("p75"),
+          max(when(col("rn") === ceil(col("n") * 0.9), col("n_tokens"))).as("p90"))
+    }),
+
+    // Per-label centroid outliers: each vector's cosine to its OWN
+    // label centroid, 3 farthest per label — the embedding-space
+    // mislabel/contamination probe run before training on a labeled
+    // corpus. Centroids are one keyed agg bounded by labels × dims,
+    // broadcast back; scoring is a single codegen vector_dot pass.
+    "sim_centroid_outlier" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val w = Window.partitionBy(col("label"))
+        .orderBy(col("cosine").asc, col("vec_id").asc)
+      Tables.embeddings(s, d)
+        .withColumn("norm", sqrt(expr("vector_dot(embedding, embedding)")))
+        .join(broadcast(labelCentroids(s, d)), col("label") === col("clabel"))
+        .withColumn("cosine",
+          round(expr("vector_dot(embedding, carr)") / (col("norm") * col("cnorm")), 4))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("label"), col("vec_id"), col("cosine"), col("rank"))
+    }),
+
+    // SemDeDup-style semantic dedup: assign every vector to its
+    // NEAREST centroid by cosine (a k-means-style assignment — NOT its
+    // given label), then near-dup pairs (cosine >= 0.3) only within
+    // the assigned cluster, with the same B×B block decomposition as
+    // dd_embcos_neardup. Cluster assignment bounds every pair block
+    // at any corpus size (pick k so N/k fits a task); the centroid
+    // table is labels × dims — broadcastable forever.
+    "dd_semantic_dedup" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import s.implicits._
+      val cent = labelCentroids(s, d)
+      val e = Tables.embeddings(s, d)
+        .withColumn("norm", sqrt(expr("vector_dot(embedding, embedding)")))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("pcos").desc, col("clabel").asc)
+      val assigned = e.crossJoin(broadcast(cent))
+        .withColumn("pcos",
+          round(expr("vector_dot(embedding, carr)") / (col("norm") * col("cnorm")), 4))
+        .withColumn("prank", row_number().over(wAssign))
+        .filter(col("prank") === 1)
+        .select(col("vec_id"), col("clabel").as("cluster"),
+          col("embedding"), col("norm"))
+      val B = 8
+      val blocked = assigned.withColumn("blk", pmod(col("vec_id"), lit(B)))
+      val cells = (for (i <- 0 until B; j <- i until B) yield (i, j))
+        .toDF("ba", "bb")
+      val a = blocked.select(col("vec_id").as("ia"), col("cluster"),
+        col("embedding").as("ea"), col("norm").as("norm_a"), col("blk"))
+      val b = blocked.select(col("vec_id").as("ib"),
+        col("cluster").as("cluster_b"), col("embedding").as("eb"),
+        col("norm").as("norm_b"), col("blk").as("blk_b"))
+      a.join(broadcast(cells), col("blk") === col("ba"))
+        .join(b, col("cluster") === col("cluster_b") && col("blk_b") === col("bb") &&
+          (col("ba") =!= col("bb") || col("ia") < col("ib")))
+        .withColumn("cosine",
+          round(expr("vector_dot(ea, eb)") / (col("norm_a") * col("norm_b")), 4))
+        .filter(col("cosine") >= 0.3)
+        .select(col("cluster"),
+          least(col("ia"), col("ib")).as("va"),
+          greatest(col("ia"), col("ib")).as("vb"), col("cosine"))
+    }),
+
     // Multimodal plumbing: opaque binary column + typed metadata.
     // The decode step is stubbed (no codec libs in this container);
     // the schema/bytes/digest path is real (see graft.analytics.Multimodal).
@@ -1427,6 +1597,133 @@ object AnalyticsQueries extends QueryPack {
       """SELECT doc_id, octet_length(text::BLOB) AS byte_len,
         |  md5(text) AS digest,
         |  substr(base64(text::BLOB), 1, 8) AS magic
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "dd_split_leakage" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))),
+        |        ' ')) AS content_hash,
+        |    CASE WHEN b < 8 THEN 'train'
+        |         WHEN b = 8 THEN 'validation'
+        |         ELSE 'test' END AS split
+        |  FROM (SELECT doc_id, text,
+        |          ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 10 AS b
+        |        FROM documents))
+        |SELECT content_hash,
+        |  count(DISTINCT split)::BIGINT AS n_splits,
+        |  array_to_string(list_sort(list(DISTINCT split)), ',') AS splits,
+        |  count(*)::BIGINT AS n_docs,
+        |  min(doc_id) AS keeper
+        |FROM s GROUP BY content_hash
+        |HAVING count(DISTINCT split) > 1""".stripMargin,
+    "tx_unigram_logprob" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents) t
+        |  GROUP BY 1, 2),
+        |vocab AS (SELECT tok, sum(tf)::BIGINT AS cnt FROM tf GROUP BY 1),
+        |tot AS (SELECT sum(cnt)::BIGINT AS total FROM vocab),
+        |nll AS (
+        |  SELECT tok, floor((ln(total) - ln(cnt)) * 1000000)::BIGINT AS nll_e6
+        |  FROM vocab CROSS JOIN tot)
+        |SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+        |  (sum(tf * nll_e6) // sum(tf))::BIGINT AS avg_nll_e6
+        |FROM tf JOIN nll USING (tok)
+        |GROUP BY doc_id""".stripMargin,
+    "tx_dup_window_frac" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |win AS (
+        |  SELECT doc_id, md5(array_to_string(t[i:i+9], ' ')) AS h
+        |  FROM tk, unnest(generate_series(1, len(t) - 9)) AS g(i)
+        |  WHERE len(t) >= 10),
+        |c AS (SELECT doc_id, h, count(*) AS c FROM win GROUP BY 1, 2)
+        |SELECT doc_id, sum(c)::BIGINT AS n_windows,
+        |  sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT AS n_dup,
+        |  (sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 10000 // sum(c))::BIGINT
+        |    AS dup_bp
+        |FROM c GROUP BY doc_id""".stripMargin,
+    "tx_length_percentiles" ->
+      """WITH c AS (
+        |  SELECT lang, len(string_split(text, ' '))::BIGINT AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, n_tokens,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_tokens) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM c)
+        |SELECT lang, max(n)::BIGINT AS n_docs,
+        |  max(CASE WHEN rn = ceil(n * 0.25) THEN n_tokens END) AS p25,
+        |  max(CASE WHEN rn = ceil(n * 0.5) THEN n_tokens END) AS p50,
+        |  max(CASE WHEN rn = ceil(n * 0.75) THEN n_tokens END) AS p75,
+        |  max(CASE WHEN rn = ceil(n * 0.9) THEN n_tokens END) AS p90
+        |FROM r GROUP BY lang""".stripMargin,
+    "sim_centroid_outlier" ->
+      """WITH f AS (
+        |  SELECT vec_id, label, generate_subscripts(embedding,1) AS idx,
+        |    unnest(embedding)::DOUBLE AS val
+        |  FROM embeddings),
+        |cent AS (SELECT label, idx, avg(val) AS cval FROM f GROUP BY 1, 2),
+        |cn AS (SELECT label, sqrt(sum(cval * cval)) AS cnorm
+        |       FROM cent GROUP BY 1),
+        |norms AS (SELECT vec_id, sqrt(sum(val * val)) AS norm
+        |          FROM f GROUP BY 1),
+        |dots AS (
+        |  SELECT f.vec_id, f.label, sum(f.val * c.cval) AS dot
+        |  FROM f JOIN cent c ON c.label = f.label AND c.idx = f.idx
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT d.label, d.vec_id,
+        |    round(dot / (n.norm * cn.cnorm), 4) AS cosine
+        |  FROM dots d JOIN norms n ON n.vec_id = d.vec_id
+        |  JOIN cn ON cn.label = d.label)
+        |SELECT label, vec_id, cosine, rank FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY label ORDER BY cosine ASC, vec_id ASC) AS rank
+        |  FROM scored)
+        |WHERE rank <= 3""".stripMargin,
+    "dd_semantic_dedup" ->
+      """WITH f AS (
+        |  SELECT vec_id, generate_subscripts(embedding,1) AS idx,
+        |    unnest(embedding)::DOUBLE AS val
+        |  FROM embeddings),
+        |lab AS (
+        |  SELECT vec_id, label, generate_subscripts(embedding,1) AS idx,
+        |    unnest(embedding)::DOUBLE AS val
+        |  FROM embeddings),
+        |cent AS (SELECT label AS clabel, idx, avg(val) AS cval
+        |         FROM lab GROUP BY 1, 2),
+        |cn AS (SELECT clabel, sqrt(sum(cval * cval)) AS cnorm
+        |       FROM cent GROUP BY 1),
+        |norms AS (SELECT vec_id, sqrt(sum(val * val)) AS norm
+        |          FROM f GROUP BY 1),
+        |pdots AS (
+        |  SELECT f.vec_id, c.clabel, sum(f.val * c.cval) AS dot
+        |  FROM f JOIN cent c ON c.idx = f.idx
+        |  GROUP BY 1, 2),
+        |assign AS (
+        |  SELECT vec_id, clabel AS cluster FROM (
+        |    SELECT p.vec_id, p.clabel,
+        |      row_number() OVER (PARTITION BY p.vec_id
+        |        ORDER BY round(p.dot / (n.norm * cn.cnorm), 4) DESC,
+        |                 p.clabel ASC) AS rn
+        |    FROM pdots p JOIN norms n ON n.vec_id = p.vec_id
+        |    JOIN cn ON cn.clabel = p.clabel)
+        |  WHERE rn = 1),
+        |pairs AS (
+        |  SELECT aa.cluster, a.vec_id AS va, b.vec_id AS vb,
+        |    sum(a.val * b.val) AS dot
+        |  FROM f a
+        |  JOIN assign aa ON aa.vec_id = a.vec_id
+        |  JOIN f b ON b.idx = a.idx AND a.vec_id < b.vec_id
+        |  JOIN assign ab ON ab.vec_id = b.vec_id AND ab.cluster = aa.cluster
+        |  GROUP BY 1, 2, 3)
+        |SELECT cluster, va, vb,
+        |  round(dot / (na.norm * nb.norm), 4) AS cosine
+        |FROM pairs
+        |JOIN norms na ON na.vec_id = va
+        |JOIN norms nb ON nb.vec_id = vb
+        |WHERE round(dot / (na.norm * nb.norm), 4) >= 0.3""".stripMargin
   )
 }

@@ -193,6 +193,41 @@ class PlanSpec extends AnyFunSuite {
       s"overlap join not keyed on digest:\n${joins.mkString("\n")}")
   }
 
+  test("semantic dedup pair join is keyed on (cluster, block-cell)") {
+    // SemDeDup's scale guarantee: pairs only within the ASSIGNED
+    // cluster, block-decomposed. A join keyed on cluster alone (or a
+    // cartesian fallback) would re-create the all-pairs blow-up the
+    // assignment exists to prevent. The broadcast nested loops allowed
+    // are the tiny centroid/cell tables.
+    val p = plan("dd_semantic_dedup")
+    assert(!p.contains("CartesianProduct"))
+    val pairJoin = p.linesIterator
+      .filter(l => (l.contains("HashJoin") || l.contains("SortMergeJoin")) &&
+        l.contains("cluster"))
+      .toList
+    assert(pairJoin.nonEmpty && pairJoin.forall(_.contains("blk")),
+      s"semantic-dedup pair join not block-keyed:\n${pairJoin.mkString("\n")}")
+  }
+
+  test("centroid scoring joins a BROADCAST codebook; logprob joins by token") {
+    // sim_centroid_outlier: the labels×dims centroid table must arrive
+    // as a broadcast — shuffling the corpus against it would serialize
+    // the scoring pass at scale
+    val po = plan("sim_centroid_outlier")
+    assert(po.contains("BroadcastHashJoin"))
+    assert(!po.contains("CartesianProduct"))
+    // tx_unigram_logprob: doc terms join the vocabulary ON THE TOKEN;
+    // the corpus total is a broadcast single row (BroadcastNestedLoop
+    // of 1 row), never an exchanged table
+    val pl = plan("tx_unigram_logprob")
+    assert(!pl.contains("CartesianProduct"))
+    val joins = pl.linesIterator
+      .filter(l => l.contains("HashJoin") || l.contains("SortMergeJoin"))
+      .toList
+    assert(joins.nonEmpty && joins.forall(_.contains("tok")),
+      s"logprob join not keyed on token:\n${joins.mkString("\n")}")
+  }
+
   test("events scans prune columns (s3 reads only 2 of 6 columns)") {
     val p = plan("s3_route_msgtype")
     val rs = p.substring(p.indexOf("ReadSchema"))
