@@ -1014,6 +1014,38 @@ object AnalyticsQueries extends QueryPack {
           greatest(col("ia"), col("ib")).as("vb"), col("cosine"))
     }),
 
+    // Zipf-slope fit per language: least-squares slope of ln(freq) on
+    // ln(rank) over the top-100 vocabulary — the healthy-corpus check
+    // (natural text ≈ −1; spam/generated text drifts). Each ln is
+    // floored to an integer scale per (rank, freq) ENTRY, so the
+    // regression sums are exact integer arithmetic — accumulation
+    // order cannot move the result. The slope is emitted NEGATED
+    // (positive bp) so the single integer division stays positive —
+    // truncating (Spark div) and flooring (DuckDB //) division only
+    // agree on non-negative operands. One vocab agg + a rank window
+    // bounded to 100 rows per language.
+    "tx_zipf_slope" -> ((s, d) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n").desc, col("tok").asc)
+      Tables.documents(s, d)
+        .select(col("lang"), explode(toks).as("tok"))
+        .groupBy(col("lang"), col("tok"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 100)
+        .select(col("lang"),
+          floor(log(col("rank")) * 10000).cast("long").as("x"),
+          floor(log(col("n")) * 10000).cast("long").as("y"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("lang"), col("cnt"),
+          expr("(sx * sy - cnt * sxy) * 10000 div (cnt * sxx - sx * sx)")
+            .as("neg_slope_bp"))
+    }),
+
     // Multimodal plumbing: opaque binary column + typed metadata.
     // The decode step is stubbed (no codec libs in this container);
     // the schema/bytes/digest path is real (see graft.analytics.Multimodal).
@@ -1598,6 +1630,31 @@ object AnalyticsQueries extends QueryPack {
         |  md5(text) AS digest,
         |  substr(base64(text::BLOB), 1, 8) AS magic
         |FROM documents""".stripMargin,
+    "tx_zipf_slope" ->
+      """WITH c AS (
+        |  SELECT lang, tok, count(*) AS n
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents) t
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT lang, n,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok ASC)
+        |      AS rank
+        |  FROM c),
+        |f AS (
+        |  SELECT lang,
+        |    floor(ln(rank) * 10000)::BIGINT AS x,
+        |    floor(ln(n) * 10000)::BIGINT AS y
+        |  FROM r WHERE rank <= 100),
+        |a AS (
+        |  SELECT lang, count(*)::BIGINT AS cnt,
+        |    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+        |    sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx
+        |  FROM f GROUP BY 1)
+        |SELECT lang, cnt,
+        |  ((sx * sy - cnt * sxy) * 10000 // (cnt * sxx - sx * sx))::BIGINT
+        |    AS neg_slope_bp
+        |FROM a""".stripMargin,
     "dd_split_leakage" ->
       """WITH s AS (
         |  SELECT doc_id,

@@ -201,6 +201,38 @@ object RelationalQueries extends QueryPack {
             .as("n_full_funnel"))
     }),
 
+    // Bucketed range join (the scale-safe interval join): count the
+    // follow-on activity inside the 2h window after every error event.
+    // A naive t BETWEEN start AND end join has no equi-key and planners
+    // fall back to a nested-loop — the classic interval-join
+    // scale-killer. Instead each interval explodes to the (at most 2)
+    // fixed-width time buckets it overlaps, probes equi-join on the
+    // bucket, and the exact range predicate filters after the hash
+    // join. Cost: one hash shuffle on the bucket; fan-out per interval
+    // is ceil(len/bucket)+1 = 2 rows, independent of data size.
+    "q_range_join" -> ((s, d) => {
+      val bucketUs = 7200000000L // 2h in µs = the interval length
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          expr("ts div 1000").as("ts_us"))
+      val intervals = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("interval_id"),
+          col("ts_us").as("start_us"),
+          (col("ts_us") + bucketUs).as("end_us"))
+        .select(col("interval_id"), col("start_us"), col("end_us"),
+          explode(sequence(
+            expr(s"start_us div ${bucketUs}L"),
+            expr(s"end_us div ${bucketUs}L"))).as("bucket"))
+      val probes = ev.filter(col("event_type") =!= "error")
+        .withColumn("bucket", expr(s"ts_us div ${bucketUs}L"))
+      probes.join(intervals, Seq("bucket"))
+        .filter(col("ts_us") > col("start_us") && col("ts_us") <= col("end_us"))
+        .groupBy(col("interval_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_purchases"))
+    }),
+
     // W1 property upsert = last-writer-wins per key
     // (queries.ex:121-155): latest event value per (user_id,
     // event_type). One shuffle on the key, rank inside partition.
@@ -303,6 +335,19 @@ object RelationalQueries extends QueryPack {
         |  sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents
         |FROM events WHERE value IS NOT NULL
         |GROUP BY 1, 2""".stripMargin,
+    "q_range_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |iv AS (
+        |  SELECT event_id AS interval_id, ts_us AS start_us,
+        |    ts_us + 7200000000 AS end_us
+        |  FROM ev WHERE event_type = 'error')
+        |SELECT interval_id, count(*) AS n_events,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_purchases
+        |FROM iv JOIN ev ON ev.event_type <> 'error'
+        |  AND ev.ts_us > iv.start_us AND ev.ts_us <= iv.end_us
+        |GROUP BY 1""".stripMargin,
     "q_funnel" ->
       """WITH m AS (
         |  SELECT user_id,

@@ -228,6 +228,20 @@ class PlanSpec extends AnyFunSuite {
       s"logprob join not keyed on token:\n${joins.mkString("\n")}")
   }
 
+  test("range join probes on the time bucket, never a nested-loop interval scan") {
+    // the bucketed-range-join guarantee: the interval predicate rides
+    // on an EQUI-join on the bucket; a BETWEEN-only join would plan as
+    // a nested loop — quadratic at scale
+    val p = plan("q_range_join")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    val joins = p.linesIterator
+      .filter(l => l.contains("HashJoin") || l.contains("SortMergeJoin"))
+      .toList
+    assert(joins.nonEmpty && joins.forall(_.contains("bucket")),
+      s"range join not keyed on the bucket:\n${joins.mkString("\n")}")
+  }
+
   test("events scans prune columns (s3 reads only 2 of 6 columns)") {
     val p = plan("s3_route_msgtype")
     val rs = p.substring(p.indexOf("ReadSchema"))
