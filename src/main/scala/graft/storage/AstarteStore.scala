@@ -295,6 +295,45 @@ final class AstarteStore(val root: String) {
     if (!fs.listStatus(hpath).exists(_.isDirectory)) fs.delete(hpath, true)
   }
 
+  /** Partition-pruned small-file compaction of an (iface, day)
+    * append table. Streaming ingest writes at least one parquet file
+    * per micro-batch per partition; at 100 TB that accretes into a
+    * scan-killing file count (every file is an open/seek/footer-read
+    * at planning time). Leaves with more than `maxFiles` data files
+    * are rewritten into one file via the same tmp-write + delete +
+    * rename swap (and the same rename-failure guard) as the retention
+    * sweep; every other leaf is never read and stays byte-identical.
+    * Listing cost is bounded by partition count, not row count.
+    */
+  def compactAppendTable(spark: SparkSession, path: String,
+      maxFiles: Int = 4): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val hpath = new HPath(path)
+    val fs = hpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hpath)) return
+    val tmpRoot = new HPath(path + ".compact.tmp")
+    for {
+      ifaceDir <- fs.listStatus(hpath) if ifaceDir.isDirectory
+      dayDir <- fs.listStatus(ifaceDir.getPath) if dayDir.isDirectory
+    } {
+      val dataFiles = fs.listStatus(dayDir.getPath)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      if (dataFiles.length > maxFiles) {
+        val leaf = dayDir.getPath
+        val tmp = new HPath(
+          s"$tmpRoot/${ifaceDir.getPath.getName}/${leaf.getName}")
+        spark.read.parquet(leaf.toString)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(leaf, true)
+        if (!fs.rename(tmp, leaf))
+          throw new java.io.IOException(
+            s"compaction: rename $tmp -> $leaf failed; rows preserved in $tmp")
+      }
+    }
+    fs.delete(tmpRoot, true)
+  }
+
   /** Datastream read as of `nowMs`: retention-expired rows are
     * invisible even before a sweep ran (Cassandra TTL read semantics).
     */

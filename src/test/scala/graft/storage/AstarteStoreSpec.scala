@@ -318,4 +318,48 @@ class AstarteStoreSpec extends AnyFunSuite {
       s"${store.datastreamPath}/iface=${retained.name}").exists())
     assert(store.datastreams(spark).count() == 2)
   }
+
+  test("compaction merges many-file partitions, leaves small ones byte-identical") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-store6").toString
+    val store = new AstarteStore(root)
+    val reg2 = Registry(
+      Map(stream.name -> stream),
+      Map(stream.name -> Seq(Mapping(stream.name, 1, "/%{i}/value", AInteger))),
+      Nil)
+    val t0 = 15216455705950000L // decimicros
+    val dayTicks = 86400000L * 10000L
+    // dayA: 6 separate micro-batches -> >= 6 files; dayB: one batch
+    (1 to 6).foreach { i =>
+      store.applyEffects(DeviceStateMachine.processBatch(Seq(
+        Envelope("realm", "dev", "data", stream.name, "/0/value",
+          Bson.encode(Seq("v" -> i)), t0 + i * 10000000L, "ip", i)).toDS(), reg2))
+    }
+    store.applyEffects(DeviceStateMachine.processBatch(Seq(
+      Envelope("realm", "dev", "data", stream.name, "/0/value",
+        Bson.encode(Seq("v" -> 7)), t0 + dayTicks, "ip", 7)).toDS(), reg2))
+
+    def leafFiles(day: String): Seq[(String, Long)] = {
+      val dir = new java.io.File(
+        s"${store.datastreamPath}/iface=${stream.name}/day=$day")
+      dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length)).toSeq.sortBy(_._1)
+    }
+    val dayA = (t0 / 10000 / 86400000L).toString
+    val dayB = ((t0 + dayTicks) / 10000 / 86400000L).toString
+    assert(leafFiles(dayA).size >= 6)
+    val dayBBefore = leafFiles(dayB)
+    val rowsBefore = store.datastreams(spark)
+      .select("integer_value", "reception_timestamp").collect()
+      .map(_.toString).sorted.toSeq
+
+    store.compactAppendTable(spark, store.datastreamPath, maxFiles = 4)
+
+    assert(leafFiles(dayA).size == 1, "hot partition not compacted to one file")
+    assert(leafFiles(dayB) == dayBBefore, "small partition was rewritten")
+    val rowsAfter = store.datastreams(spark)
+      .select("integer_value", "reception_timestamp").collect()
+      .map(_.toString).sorted.toSeq
+    assert(rowsAfter == rowsBefore, "compaction changed table contents")
+  }
 }
