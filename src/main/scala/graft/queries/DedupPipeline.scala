@@ -23,40 +23,50 @@ object DedupPipeline extends QueryPack {
         conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("h"))
       .distinct()
 
+  /** LSH candidates → exact-Jaccard-verified near-dup pairs (the
+    * stage-1/2 lineage shared by `dd_cluster` and `dd_cc_converged`).
+    * Caches the shingle set while building; caller must unpersist the
+    * returned (edges, shingles) pair when done.
+    */
+  private def verifiedPairs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    // stage 1: LSH candidates (same construction as dd_minhash_lsh)
+    val sh = shingleHashes(s, d).cache()
+    val mhCols = MinhashSeeds.keys.zipWithIndex.map { case (k, i) =>
+      min(expr(s"h ^ ${k}L")).as(s"mh$i")
+    }
+    val minhashes = sh.groupBy(col("doc_id"), col("lang"))
+      .agg(mhCols.head, mhCols.tail: _*)
+    val bands = minhashes.select(col("doc_id"),
+        md5(concat(col("lang"), lit("|"),
+          concat_ws(",", col("mh0"), col("mh1"), col("mh2"), col("mh3")))).as("bk0"),
+        md5(concat(col("lang"), lit("|"),
+          concat_ws(",", col("mh4"), col("mh5"), col("mh6"), col("mh7")))).as("bk1"))
+      .select(col("doc_id"), explode(array(col("bk0"), col("bk1"))).as("band_key"))
+    val cands = bands.as("a").join(bands.as("b"),
+        col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    // stage 2: exact Jaccard on candidate pairs only
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("h").as("hb")), Seq("doc_b"))
+      .filter(col("h") === col("hb"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val verified = inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .filter(col("n_inter") / (col("sz_a") + col("sz_b") - col("n_inter")) >= 0.2)
+      .select(col("doc_a"), col("doc_b"))
+    (verified, sh)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_cluster" -> ((s, d) => {
-      // stage 1: LSH candidates (same construction as dd_minhash_lsh)
-      val sh = shingleHashes(s, d).cache()
-      val mhCols = MinhashSeeds.keys.zipWithIndex.map { case (k, i) =>
-        min(expr(s"h ^ ${k}L")).as(s"mh$i")
-      }
-      val minhashes = sh.groupBy(col("doc_id"), col("lang"))
-        .agg(mhCols.head, mhCols.tail: _*)
-      val bands = minhashes.select(col("doc_id"),
-          md5(concat(col("lang"), lit("|"),
-            concat_ws(",", col("mh0"), col("mh1"), col("mh2"), col("mh3")))).as("bk0"),
-          md5(concat(col("lang"), lit("|"),
-            concat_ws(",", col("mh4"), col("mh5"), col("mh6"), col("mh7")))).as("bk1"))
-        .select(col("doc_id"), explode(array(col("bk0"), col("bk1"))).as("band_key"))
-      val cands = bands.as("a").join(bands.as("b"),
-          col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-
-      // stage 2: exact Jaccard on candidate pairs only
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      val inter = cands
-        .join(sh.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
-        .join(sh.select(col("doc_id").as("doc_b"), col("h").as("hb")), Seq("doc_b"))
-        .filter(col("h") === col("hb"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("n_inter"))
-      val verified = inter
-        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
-        .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
-        .filter(col("n_inter") / (col("sz_a") + col("sz_b") - col("n_inter")) >= 0.2)
-        .select(col("doc_a"), col("doc_b"))
+      val (verified, sh) = verifiedPairs(s, d)
 
       // stage 3: 3 rounds of min-label propagation over the verified
       // edges (fixed iteration count — identical in the oracle).
@@ -93,6 +103,67 @@ object DedupPipeline extends QueryPack {
       // memory for the rest of the session; only the last round's
       // blocks back the returned DataFrame
       rounds.dropRight(1).foreach { df =>
+        df.queryExecution.analyzed match {
+          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+          case _ => ()
+        }
+      }
+      labels.orderBy(col("doc_id"))
+    }),
+
+    // Convergence-checked connected components over the verified
+    // near-dup edges: min-label propagation PLUS pointer jumping
+    // (label := label-of-label) each round, looped until NO label
+    // changes. Unlike dd_cluster's fixed 3 rounds — whose output is
+    // defined by the algorithm — this fixpoint is the TRUE component
+    // min-id, independent of iteration count, so a 100 TB graph with
+    // a pathological chain still converges (jumping makes rounds
+    // O(log diameter)); the oracle is an exact recursive-CTE
+    // transitive closure. Per round: two keyed joins, a
+    // localCheckpoint to truncate lineage, one count for the
+    // convergence test.
+    "dd_cc_converged" -> ((s, d) => {
+      val (verified, sh) = verifiedPairs(s, d)
+      val edges = verified
+        .union(verified.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .cache()
+      var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+        .withColumn("cluster", col("doc_id"))
+        .localCheckpoint()
+      var changed = 1L
+      var spent = scala.collection.immutable.List.empty[DataFrame]
+      while (changed > 0) {
+        val neighborMin = edges
+          .join(labels.select(col("doc_id").as("doc_b"), col("cluster").as("nc")),
+            Seq("doc_b"))
+          .groupBy(col("doc_a")).agg(min(col("nc")).as("min_nc"))
+        val updated = labels
+          .join(neighborMin.select(col("doc_a").as("doc_id"), col("min_nc")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("cluster"), coalesce(col("min_nc"), col("cluster")))
+              .as("cluster"))
+        // pointer jump: follow the label's own label — halves the
+        // remaining component diameter every round
+        val next = updated
+          .join(updated.select(col("doc_id").as("cluster"),
+              col("cluster").as("jump")),
+            Seq("cluster"), "left")
+          .select(col("doc_id"),
+            coalesce(col("jump"), col("cluster")).as("cluster"))
+          .localCheckpoint(false)
+        changed = next.as("n")
+          .join(labels.as("p"), col("n.doc_id") === col("p.doc_id"))
+          .filter(col("n.cluster") =!= col("p.cluster"))
+          .count()
+        spent = labels :: spent
+        labels = next
+      }
+      sh.unpersist()
+      edges.unpersist()
+      // release superseded rounds' checkpoint blocks; only the final
+      // round's blocks back the returned DataFrame
+      spent.foreach { df =>
         df.queryExecution.analyzed match {
           case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
           case _ => ()
@@ -169,6 +240,58 @@ object DedupPipeline extends QueryPack {
         |  FROM it2 l LEFT JOIN edges e ON e.doc_a = l.doc_id
         |  LEFT JOIN it2 n ON n.doc_id = e.doc_b
         |  GROUP BY l.doc_id, l.cluster)
-        |SELECT doc_id, cluster FROM it3 ORDER BY doc_id""".stripMargin
+        |SELECT doc_id, cluster FROM it3 ORDER BY doc_id""".stripMargin,
+    "dd_cc_converged" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, lang, unnest(string_split(text,' ')) AS tok,
+        |         generate_subscripts(string_split(text,' '),1) AS pos
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, lang,
+        |    ('0x' || substr(md5(tok || ' ' || lead(tok,1) OVER w
+        |       || ' ' || lead(tok,2) OVER w), 1, 15))::BIGINT AS h
+        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY lead(tok,2) OVER w IS NOT NULL),
+        |mh AS (
+        |  SELECT doc_id, lang,
+        |    min(xor(h, 935853755618645598)) AS mh0,
+        |    min(xor(h, 886263699231969848)) AS mh1,
+        |    min(xor(h, 901255563090117366)) AS mh2,
+        |    min(xor(h, 1066434503623691823)) AS mh3,
+        |    min(xor(h, 758855882668719729)) AS mh4,
+        |    min(xor(h, 1030659900335514164)) AS mh5,
+        |    min(xor(h, 101208472399937786)) AS mh6,
+        |    min(xor(h, 644382284193898855)) AS mh7
+        |  FROM sh GROUP BY doc_id, lang),
+        |bands AS (
+        |  SELECT doc_id, unnest([
+        |    md5(lang || '|' || mh0 || ',' || mh1 || ',' || mh2 || ',' || mh3),
+        |    md5(lang || '|' || mh4 || ',' || mh5 || ',' || mh6 || ',' || mh7)
+        |  ]) AS band_key FROM mh),
+        |cands AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+        |  FROM cands c
+        |  JOIN sh sa ON sa.doc_id = c.doc_a
+        |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
+        |  GROUP BY 1, 2),
+        |verified AS (
+        |  SELECT i.doc_a, i.doc_b FROM inter i
+        |  JOIN sizes za ON za.doc_id = i.doc_a
+        |  JOIN sizes zb ON zb.doc_id = i.doc_b
+        |  WHERE i.n_inter / (za.sz + zb.sz - i.n_inter) >= 0.2),
+        |edges AS (
+        |  SELECT doc_a, doc_b FROM verified
+        |  UNION ALL SELECT doc_b, doc_a FROM verified),
+        |reach(src, dst) AS (
+        |  SELECT doc_a, doc_a FROM edges
+        |  UNION
+        |  SELECT r.src, e.doc_b FROM reach r JOIN edges e ON e.doc_a = r.dst)
+        |SELECT src AS doc_id, min(dst) AS cluster
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
   )
 }
