@@ -78,4 +78,120 @@ object AsOfJoin {
       .select(leftCols.map(col) ++
         rightVals.map(c => col("__asof").getField(c).as(s"asof_$c")): _*)
   }
+
+  /** Forward as-of join: for every left row, the EARLIEST right row
+    * whose time is >= the left row's time, per key. Same union trick,
+    * same single shuffle — only the window order flips to descending
+    * time (the "last preceding" in descending order IS the nearest
+    * following). Right rows tying a left row's time still sort first,
+    * so a same-timestamp right value matches (>=, not >).
+    */
+  def joinForward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightVals: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val rightKept = right.select(
+      (keyCols ++ Seq(rightTime) ++ rightVals).distinct.map(col): _*)
+    val rvStruct = struct(rightVals.map(col): _*)
+    val rvType = {
+      val f = rightVals.map(c =>
+        org.apache.spark.sql.types.StructField(c, rightKept.schema(c).dataType))
+      org.apache.spark.sql.types.StructType(f)
+    }
+    val l = left
+      .withColumn("__t", col(leftTime)).withColumn("__side", lit(1))
+      .withColumn("__rv", lit(null).cast(rvType))
+    val r = leftCols.foldLeft(
+        rightKept
+          .withColumn("__t", col(rightTime)).withColumn("__side", lit(0))
+          .withColumn("__rv", rvStruct)) {
+        (df, c) => if (df.columns.contains(c)) df else
+          df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+      }
+    val shape = (keyCols ++ leftCols.filterNot(keyCols.contains))
+      .map(c => col(c)) ++ Seq(col("__t"), col("__side"), col("__rv"))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__t").desc, col("__side"), col("__rv"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.select(shape: _*).unionByName(r.select(shape: _*))
+      .withColumn("__asof", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        rightVals.map(c => col("__asof").getField(c).as(s"asof_$c")): _*)
+  }
+
+  /** Nearest as-of join: the right row closest in time to each left
+    * row, per key — backward wins ties. Still ONE shuffle + sort: the
+    * ascending union pass computes the backward carry
+    * (`last ignoreNulls` over preceding) and the forward carry
+    * (`first ignoreNulls` over following) in the same window, then
+    * picks per row by time distance. An exact-time right match always
+    * wins as backward with distance 0, so the forward carry being
+    * strictly-after at ties is immaterial. Optional `toleranceMs`
+    * nulls out matches farther than the bound (both directions).
+    *
+    * Output: `asof_<v>` per carried column, `asof_time` (the matched
+    * right time) and `asof_dir` ('backward'/'forward'/NULL).
+    */
+  def joinNearest(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightVals: Seq[String],
+      toleranceMs: Option[Long] = None): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val rightKept = right.select(
+      (keyCols ++ Seq(rightTime) ++ rightVals).distinct.map(col): _*)
+    // carry the right TIME inside the struct: distance needs it
+    val rvStruct = struct(
+      (rightVals.map(col) :+ col(rightTime).cast("long").as("__rt")): _*)
+    val rvType = {
+      val f = rightVals.map(c =>
+        org.apache.spark.sql.types.StructField(c, rightKept.schema(c).dataType)) :+
+        org.apache.spark.sql.types.StructField("__rt",
+          org.apache.spark.sql.types.LongType)
+      org.apache.spark.sql.types.StructType(f)
+    }
+    val l = left
+      .withColumn("__t", col(leftTime)).withColumn("__side", lit(1))
+      .withColumn("__rv", lit(null).cast(rvType))
+    val r = leftCols.foldLeft(
+        rightKept
+          .withColumn("__t", col(rightTime)).withColumn("__side", lit(0))
+          .withColumn("__rv", rvStruct)) {
+        (df, c) => if (df.columns.contains(c)) df else
+          df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+      }
+    val shape = (keyCols ++ leftCols.filterNot(keyCols.contains))
+      .map(c => col(c)) ++ Seq(col("__t"), col("__side"), col("__rv"))
+    val base = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__t"), col("__side"), col("__rv"))
+    val wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val withCarries = l.select(shape: _*).unionByName(r.select(shape: _*))
+      .withColumn("__back", last(col("__rv"), ignoreNulls = true).over(wb))
+      .withColumn("__fwd", first(col("__rv"), ignoreNulls = true).over(wf))
+      .filter(col("__side") === 1)
+    val bd = col("__t").cast("long") - col("__back").getField("__rt")
+    val fd = col("__fwd").getField("__rt") - col("__t").cast("long")
+    val bOk = toleranceMs.fold(col("__back").isNotNull)(t =>
+      col("__back").isNotNull && bd <= t)
+    val fOk = toleranceMs.fold(col("__fwd").isNotNull)(t =>
+      col("__fwd").isNotNull && fd <= t)
+    val pickBack = bOk && (!fOk || bd <= fd)
+    val pickFwd = fOk && !pickBack
+    val chosen = when(pickBack, col("__back"))
+      .when(pickFwd, col("__fwd"))
+    withCarries.select(leftCols.map(col) ++
+      rightVals.map(c => chosen.getField(c).as(s"asof_$c")) ++ Seq(
+        chosen.getField("__rt").as("asof_time"),
+        when(pickBack, "backward").when(pickFwd, "forward")
+          .otherwise(lit(null)).as("asof_dir")): _*)
+  }
 }

@@ -216,6 +216,50 @@ object AstarteOpsQueries extends QueryPack {
         (col("cents") * col("asof_n") > col("asof_s_cents")).as("above"))
     }),
 
+    // Forward as-of: each event attached to the NEXT daily threshold
+    // boundary at-or-after it (the "what rule will apply next"
+    // lookup). Same union-trick single shuffle as the backward join,
+    // window order flipped. Last-day events have no following boundary
+    // → NULL carries (left-join semantics).
+    "j3_asof_forward" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          expr("ts div 1000000").as("ts_ms"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val thresholds = e
+        .withColumn("rts", expr("ts_ms div 86400000") * 86400000L)
+        .groupBy(col("event_type"), col("rts"))
+        .agg(sum(col("cents")).as("s_cents"), count(lit(1)).as("n"))
+      graft.operators.AsOfJoin.joinForward(
+          e, thresholds,
+          keyCols = Seq("event_type"), leftTime = "ts_ms", rightTime = "rts",
+          rightVals = Seq("s_cents", "n"))
+        .select(col("event_id"), col("event_type"),
+          expr("(asof_s_cents * 100) div asof_n").as("threshold_bp"),
+          (col("cents") * col("asof_n") > col("asof_s_cents")).as("above"))
+    }),
+
+    // Nearest as-of: the time-closest boundary either side, backward
+    // winning ties — one shuffle computes both carries in a single
+    // window pass and picks by integer distance. Emits the matched
+    // boundary time and direction so the choice itself is checked.
+    "j3_asof_nearest" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          expr("ts div 1000000").as("ts_ms"))
+      val thresholds = e
+        .withColumn("rts", expr("ts_ms div 86400000") * 86400000L)
+        .groupBy(col("event_type"), col("rts"))
+        .agg(sum(lit(1)).as("n"))
+      graft.operators.AsOfJoin.joinNearest(
+          e, thresholds,
+          keyCols = Seq("event_type"), leftTime = "ts_ms", rightTime = "rts",
+          rightVals = Seq("n"))
+        .select(col("event_id"), col("event_type"),
+          col("asof_n").as("near_n"), col("asof_time").as("near_rts"),
+          col("asof_dir"))
+    }),
+
     // J4: introspection diff — full-outer join of old vs new announced
     // sets, classified ins/del/eq/changed (the Myers diff's effect).
     "j4_introspection_diff" -> ((s, d) => {
@@ -686,6 +730,48 @@ object AstarteOpsQueries extends QueryPack {
         |  e.cents * t.n > t.s_cents AS above
         |FROM e ASOF LEFT JOIN thresholds t
         |  ON e.event_type = t.event_type AND e.ts_ms >= t.rts""".stripMargin,
+    "j3_asof_forward" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, epoch_ms(ts) AS ts_ms,
+        |    round(value * 100)::BIGINT AS cents
+        |  FROM events),
+        |thresholds AS (
+        |  SELECT event_type, (ts_ms // 86400000) * 86400000 AS rts,
+        |    sum(cents) AS s_cents, count(*) AS n
+        |  FROM e GROUP BY 1, 2)
+        |SELECT e.event_id, e.event_type,
+        |  ((t.s_cents * 100) // t.n)::BIGINT AS threshold_bp,
+        |  e.cents * t.n > t.s_cents AS above
+        |FROM e ASOF LEFT JOIN thresholds t
+        |  ON e.event_type = t.event_type AND e.ts_ms <= t.rts""".stripMargin,
+    "j3_asof_nearest" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+        |thresholds AS (
+        |  SELECT event_type, (ts_ms // 86400000) * 86400000 AS rts,
+        |    count(*)::BIGINT AS n
+        |  FROM e GROUP BY 1, 2),
+        |b AS (
+        |  SELECT e.event_id, e.event_type, e.ts_ms,
+        |    t.rts AS b_rts, t.n AS b_n
+        |  FROM e ASOF LEFT JOIN thresholds t
+        |    ON e.event_type = t.event_type AND e.ts_ms >= t.rts),
+        |f AS (
+        |  SELECT e.event_id AS fid, t.rts AS f_rts, t.n AS f_n
+        |  FROM e ASOF LEFT JOIN thresholds t
+        |    ON e.event_type = t.event_type AND e.ts_ms < t.rts)
+        |SELECT event_id, event_type,
+        |  CASE WHEN pick_b THEN b_n
+        |       WHEN f_rts IS NOT NULL THEN f_n END AS near_n,
+        |  CASE WHEN pick_b THEN b_rts
+        |       WHEN f_rts IS NOT NULL THEN f_rts END AS near_rts,
+        |  CASE WHEN pick_b THEN 'backward'
+        |       WHEN f_rts IS NOT NULL THEN 'forward' END AS asof_dir
+        |FROM (
+        |  SELECT *,
+        |    b_rts IS NOT NULL AND
+        |      (f_rts IS NULL OR (ts_ms - b_rts) <= (f_rts - ts_ms)) AS pick_b
+        |  FROM b JOIN f ON fid = b.event_id) j""".stripMargin,
     "j4_introspection_diff" ->
       """WITH old AS (
         |  SELECT user_id AS o_user, event_type AS o_type, count(*) AS o_n

@@ -69,4 +69,63 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(row.getAs[Double]("asof_v") == 1.5)
     assert(row.getAs[String]("asof_s") == "cfg")
   }
+
+  test("forward: earliest right value at or after each left time, per key") {
+    import spark.implicits._
+    val left = Seq(
+      ("k1", 5L), ("k1", 10L), ("k1", 25L), ("k2", 10L), ("k3", 10L)
+    ).toDF("k", "t")
+    val right = Seq(
+      ("k1", 10L, 1.0), ("k1", 20L, 2.0), ("k2", 5L, 9.0)
+    ).toDF("k", "rt", "v")
+    val out = AsOfJoin.joinForward(left, right,
+        Seq("k"), "t", "rt", Seq("v"))
+      .collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[Long]("t"),
+        Option(r.getAs[Any]("asof_v"))))
+      .toSet
+    assert(out == Set(
+      ("k1", 5L, Some(1.0)),   // earliest >= 5 is rt=10
+      ("k1", 10L, Some(1.0)),  // tie: rt == t counts (>=)
+      ("k1", 25L, None),       // nothing after 25
+      ("k2", 10L, None),       // k2's only right row is before
+      ("k3", 10L, None)))      // key with no right side
+  }
+
+  test("nearest: closest right row either side; backward wins ties") {
+    import spark.implicits._
+    val left = Seq(
+      ("k", 12L), // back 10 (d=2) vs fwd 20 (d=8) -> backward
+      ("k", 18L), // back 10 (d=8) vs fwd 20 (d=2) -> forward
+      ("k", 15L), // tie d=5 both sides -> backward
+      ("k", 10L), // exact match -> backward d=0
+      ("k", 99L)  // back 20 (d=79), no fwd -> backward
+    ).toDF("k", "t")
+    val right = Seq(("k", 10L, 1.0), ("k", 20L, 2.0)).toDF("k", "rt", "v")
+    val out = AsOfJoin.joinNearest(left, right,
+        Seq("k"), "t", "rt", Seq("v"))
+      .collect()
+      .map(r => r.getAs[Long]("t") ->
+        ((Option(r.getAs[Any]("asof_v")), r.getAs[String]("asof_dir"))))
+      .toMap
+    assert(out(12L) == ((Some(1.0), "backward")))
+    assert(out(18L) == ((Some(2.0), "forward")))
+    assert(out(15L) == ((Some(1.0), "backward")))
+    assert(out(10L) == ((Some(1.0), "backward")))
+    assert(out(99L) == ((Some(2.0), "backward")))
+  }
+
+  test("nearest with tolerance nulls out matches beyond the bound") {
+    import spark.implicits._
+    val left = Seq(("k", 12L), ("k", 50L)).toDF("k", "t")
+    val right = Seq(("k", 10L, 1.0)).toDF("k", "rt", "v")
+    val out = AsOfJoin.joinNearest(left, right,
+        Seq("k"), "t", "rt", Seq("v"), toleranceMs = Some(5L))
+      .collect()
+      .map(r => r.getAs[Long]("t") ->
+        ((Option(r.getAs[Any]("asof_v")), Option(r.getAs[String]("asof_dir")))))
+      .toMap
+    assert(out(12L) == ((Some(1.0), Some("backward")))) // d=2 <= 5
+    assert(out(50L) == ((None, None)))                  // d=40 > 5
+  }
 }
