@@ -143,6 +143,47 @@ object RelationalQueries extends QueryPack {
     // at a sorted rank is tie-order-independent. One shuffle (sort
     // within event_type); at 100 TB the same shape runs per-partition
     // or swaps in a sketch when approximation is acceptable.
+    // Rolling 24h aggregate per event type: a RANGE-frame window (time
+    // units, not row counts) — value sums in exact integer cents. One
+    // shuffle on the type key; the frame is evaluated in a single
+    // sorted pass per partition, no self-join. At scale the partition
+    // count is the type cardinality — salt the key if a type dominates.
+    "q_rolling_24h" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts_ms"))
+        .rangeBetween(-86400000L, 0L)
+      Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          expr("ts div 1000000").as("ts_ms"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("n_24h", count(lit(1)).over(w))
+        .withColumn("sum_cents_24h", sum(col("cents")).over(w))
+        .select(col("event_id"), col("event_type"),
+          col("n_24h"), col("sum_cents_24h"))
+    }),
+
+    // Cumulative distinct users per (event_type, day): COUNT(DISTINCT)
+    // over a running window is unsupported/expensive everywhere — the
+    // scalable form marks each user's FIRST occurrence (one row_number
+    // per (type, user)), daily-aggregates the first-seen rows, then a
+    // running sum gives exact cumulative uniques. Two keyed shuffles,
+    // no distinct-state explosion — works unchanged at any user count.
+    "q_cumulative_users" -> ((s, d) => {
+      val firstSeen = Window.partitionBy(col("event_type"), col("user_id"))
+        .orderBy(col("ts_ms"), col("event_id"))
+      val running = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("user_id"),
+          expr("ts div 1000000").as("ts_ms"))
+        .withColumn("rn", row_number().over(firstSeen))
+        .filter(col("rn") === 1)
+        .withColumn("day", expr("ts_ms div 86400000"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("new_users"))
+        .withColumn("cum_users", sum(col("new_users")).over(running))
+    }),
+
     "q_percentiles" -> ((s, d) => {
       val w = Window.partitionBy(col("event_type")).orderBy(col("cents"))
       val wAll = Window.partitionBy(col("event_type"))
@@ -335,6 +376,34 @@ object RelationalQueries extends QueryPack {
         |  sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents
         |FROM events WHERE value IS NOT NULL
         |GROUP BY 1, 2""".stripMargin,
+    "q_rolling_24h" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, epoch_ms(ts) AS ts_ms,
+        |    round(value * 100)::BIGINT AS cents
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_id, event_type,
+        |  count(*) OVER w AS n_24h,
+        |  (sum(cents) OVER w)::BIGINT AS sum_cents_24h
+        |FROM e
+        |WINDOW w AS (PARTITION BY event_type ORDER BY ts_ms
+        |  RANGE BETWEEN 86400000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q_cumulative_users" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, user_id, epoch_ms(ts) AS ts_ms
+        |  FROM events),
+        |fs AS (
+        |  SELECT event_type, user_id, ts_ms,
+        |    row_number() OVER (PARTITION BY event_type, user_id
+        |      ORDER BY ts_ms, event_id) AS rn
+        |  FROM e),
+        |daily AS (
+        |  SELECT event_type, ts_ms // 86400000 AS day,
+        |    count(*) AS new_users
+        |  FROM fs WHERE rn = 1 GROUP BY 1, 2)
+        |SELECT event_type, day, new_users,
+        |  sum(new_users) OVER (PARTITION BY event_type ORDER BY day)::BIGINT
+        |    AS cum_users
+        |FROM daily""".stripMargin,
     "q_range_join" ->
       """WITH ev AS (
         |  SELECT event_id, event_type, epoch_us(ts) AS ts_us FROM events),
