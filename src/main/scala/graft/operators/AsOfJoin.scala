@@ -1,23 +1,95 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** As-of join: for every left row, attach the latest right row whose
-  * time is <= the left row's time, per key — the general form of the
-  * reference's previous-value point lookup (SURVEY §2.3 J3) and a
-  * staple operator Spark lacks natively.
+/** As-of join family: for every left row, attach the right row
+  * matched by time per key — latest at-or-before (`join`), earliest
+  * at-or-after (`joinForward`), or time-closest (`joinNearest`). The
+  * general form of the reference's previous-value point lookup
+  * (SURVEY §2.3 J3) and a staple operator Spark lacks natively.
   *
   * Implementation is the scalable union trick, NOT a range join:
   * tag both sides, union, then one window pass per key ordered by
-  * (time, side) carrying the last right value forward
-  * (`last(ignoreNulls)`). Cost = ONE shuffle on the key + a sort —
-  * no key-cardinality blowup, no O(left × right-per-key) pair
+  * (time, side) carrying the right value across
+  * (`last/first(ignoreNulls)`). Cost = ONE shuffle on the key + a
+  * sort — no key-cardinality blowup, no O(left × right-per-key) pair
   * expansion, skew-safe under AQE. A broadcast-range join would
   * explode exactly when it matters (hot keys at 100 TB).
   */
 object AsOfJoin {
+
+  /** The shared union-trick scaffolding: right side pruned to
+    * key/time/values (anything else would collide with left columns
+    * through the union), values packed into ONE struct (a matched
+    * right row whose values are all NULL still yields a non-null
+    * struct, so ignoreNulls carries the matched row's NULLs instead
+    * of skipping to another row — true as-of semantics; DuckDB ASOF
+    * agrees), left-only columns null-filled on the right, both sides
+    * tagged with (__t, __side, __rv). Right rows get __side = 0 so
+    * they sort BEFORE left rows at equal time under ascending side
+    * order — a same-timestamp right value is visible to the left row
+    * in every variant (<= / >=, not strict). `withRt` additionally
+    * packs the right TIME into the struct (as `__rt`) for distance
+    * arithmetic.
+    */
+  private def taggedUnion(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightVals: Seq[String],
+      withRt: Boolean): (DataFrame, Seq[String]) = {
+    val leftCols = left.columns.toSeq
+    val rightKept = right.select(
+      (keyCols ++ Seq(rightTime) ++ rightVals).distinct.map(col): _*)
+    val rvStruct = struct(rightVals.map(col) ++
+      (if (withRt) Seq(col(rightTime).cast("long").as("__rt")) else Nil): _*)
+    val rvType = {
+      val f = rightVals.map(c =>
+        org.apache.spark.sql.types.StructField(c, rightKept.schema(c).dataType)) ++
+        (if (withRt) Seq(org.apache.spark.sql.types.StructField("__rt",
+          org.apache.spark.sql.types.LongType)) else Nil)
+      org.apache.spark.sql.types.StructType(f)
+    }
+    val l = left
+      .withColumn("__t", col(leftTime)).withColumn("__side", lit(1))
+      .withColumn("__rv", lit(null).cast(rvType))
+    val r = leftCols.foldLeft(
+        rightKept
+          .withColumn("__t", col(rightTime)).withColumn("__side", lit(0))
+          .withColumn("__rv", rvStruct)) {
+        (df, c) => if (df.columns.contains(c)) df else
+          df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+      }
+    val shape = (keyCols ++ leftCols.filterNot(keyCols.contains))
+      .map(c => col(c)) ++ Seq(col("__t"), col("__side"), col("__rv"))
+    (l.select(shape: _*).unionByName(r.select(shape: _*)), leftCols)
+  }
+
+  private def carryOneDirection(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightVals: Seq[String],
+      timeOrder: Column): DataFrame = {
+    val (unioned, leftCols) = taggedUnion(
+      left, right, keyCols, leftTime, rightTime, rightVals, withRt = false)
+    // ties among right rows at one time break on the value struct
+    // (deterministic regardless of partitioning)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(timeOrder, col("__side"), col("__rv"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("__asof", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1) // keep only left rows
+      .select(leftCols.map(col) ++
+        rightVals.map(c => col("__asof").getField(c).as(s"asof_$c")): _*)
+  }
 
   /** @param left       probe side
     * @param right      build side (its latest-at-or-before row wins)
@@ -32,59 +104,14 @@ object AsOfJoin {
       keyCols: Seq[String],
       leftTime: String,
       rightTime: String,
-      rightVals: Seq[String]): DataFrame = {
-    val leftCols = left.columns.toSeq
-    // Right columns outside key/time/values would collide with left
-    // columns through the union (type widening) — drop them up front.
-    val rightKept = right.select(
-      (keyCols ++ Seq(rightTime) ++ rightVals).distinct.map(col): _*)
-
-    // The carried payload is a single STRUCT of the right values: a
-    // matched right row whose values are all NULL still yields a
-    // non-null struct, so last(ignoreNulls) carries the matched row's
-    // NULLs instead of skipping back to an older row (true as-of
-    // semantics; DuckDB ASOF agrees).
-    val rvStruct = struct(rightVals.map(col): _*)
-    val rvType = {
-      val f = rightVals.map(c =>
-        org.apache.spark.sql.types.StructField(c, rightKept.schema(c).dataType))
-      org.apache.spark.sql.types.StructType(f)
-    }
-
-    // side ordering: at equal times the right row sorts FIRST so a
-    // same-timestamp right value is visible to the left row (<=, not <);
-    // ties among right rows break on the value struct (deterministic).
-    val l = left
-      .withColumn("__t", col(leftTime)).withColumn("__side", lit(1))
-      .withColumn("__rv", lit(null).cast(rvType))
-    val r = leftCols.foldLeft(
-        rightKept
-          .withColumn("__t", col(rightTime)).withColumn("__side", lit(0))
-          .withColumn("__rv", rvStruct)) {
-        (df, c) => if (df.columns.contains(c)) df else
-          df.withColumn(c, lit(null).cast(left.schema(c).dataType))
-      }
-
-    val shape = (keyCols ++ leftCols.filterNot(keyCols.contains))
-      .map(c => col(c)) ++ Seq(col("__t"), col("__side"), col("__rv"))
-
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__t"), col("__side"), col("__rv"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
-    l.select(shape: _*).unionByName(r.select(shape: _*))
-      .withColumn("__asof", last(col("__rv"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1) // keep only left rows
-      .select(leftCols.map(col) ++
-        rightVals.map(c => col("__asof").getField(c).as(s"asof_$c")): _*)
-  }
+      rightVals: Seq[String]): DataFrame =
+    carryOneDirection(left, right, keyCols, leftTime, rightTime, rightVals,
+      col("__t").asc)
 
   /** Forward as-of join: for every left row, the EARLIEST right row
-    * whose time is >= the left row's time, per key. Same union trick,
-    * same single shuffle — only the window order flips to descending
-    * time (the "last preceding" in descending order IS the nearest
-    * following). Right rows tying a left row's time still sort first,
-    * so a same-timestamp right value matches (>=, not >).
+    * whose time is >= the left row's time, per key. Identical plan —
+    * only the window order flips to descending time (the "last
+    * preceding" in descending order IS the nearest following).
     */
   def joinForward(
       left: DataFrame,
@@ -92,37 +119,9 @@ object AsOfJoin {
       keyCols: Seq[String],
       leftTime: String,
       rightTime: String,
-      rightVals: Seq[String]): DataFrame = {
-    val leftCols = left.columns.toSeq
-    val rightKept = right.select(
-      (keyCols ++ Seq(rightTime) ++ rightVals).distinct.map(col): _*)
-    val rvStruct = struct(rightVals.map(col): _*)
-    val rvType = {
-      val f = rightVals.map(c =>
-        org.apache.spark.sql.types.StructField(c, rightKept.schema(c).dataType))
-      org.apache.spark.sql.types.StructType(f)
-    }
-    val l = left
-      .withColumn("__t", col(leftTime)).withColumn("__side", lit(1))
-      .withColumn("__rv", lit(null).cast(rvType))
-    val r = leftCols.foldLeft(
-        rightKept
-          .withColumn("__t", col(rightTime)).withColumn("__side", lit(0))
-          .withColumn("__rv", rvStruct)) {
-        (df, c) => if (df.columns.contains(c)) df else
-          df.withColumn(c, lit(null).cast(left.schema(c).dataType))
-      }
-    val shape = (keyCols ++ leftCols.filterNot(keyCols.contains))
-      .map(c => col(c)) ++ Seq(col("__t"), col("__side"), col("__rv"))
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__t").desc, col("__side"), col("__rv"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.select(shape: _*).unionByName(r.select(shape: _*))
-      .withColumn("__asof", last(col("__rv"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
-      .select(leftCols.map(col) ++
-        rightVals.map(c => col("__asof").getField(c).as(s"asof_$c")): _*)
-  }
+      rightVals: Seq[String]): DataFrame =
+    carryOneDirection(left, right, keyCols, leftTime, rightTime, rightVals,
+      col("__t").desc)
 
   /** Nearest as-of join: the right row closest in time to each left
     * row, per key — backward wins ties. Still ONE shuffle + sort: the
@@ -145,36 +144,13 @@ object AsOfJoin {
       rightTime: String,
       rightVals: Seq[String],
       toleranceMs: Option[Long] = None): DataFrame = {
-    val leftCols = left.columns.toSeq
-    val rightKept = right.select(
-      (keyCols ++ Seq(rightTime) ++ rightVals).distinct.map(col): _*)
-    // carry the right TIME inside the struct: distance needs it
-    val rvStruct = struct(
-      (rightVals.map(col) :+ col(rightTime).cast("long").as("__rt")): _*)
-    val rvType = {
-      val f = rightVals.map(c =>
-        org.apache.spark.sql.types.StructField(c, rightKept.schema(c).dataType)) :+
-        org.apache.spark.sql.types.StructField("__rt",
-          org.apache.spark.sql.types.LongType)
-      org.apache.spark.sql.types.StructType(f)
-    }
-    val l = left
-      .withColumn("__t", col(leftTime)).withColumn("__side", lit(1))
-      .withColumn("__rv", lit(null).cast(rvType))
-    val r = leftCols.foldLeft(
-        rightKept
-          .withColumn("__t", col(rightTime)).withColumn("__side", lit(0))
-          .withColumn("__rv", rvStruct)) {
-        (df, c) => if (df.columns.contains(c)) df else
-          df.withColumn(c, lit(null).cast(left.schema(c).dataType))
-      }
-    val shape = (keyCols ++ leftCols.filterNot(keyCols.contains))
-      .map(c => col(c)) ++ Seq(col("__t"), col("__side"), col("__rv"))
+    val (unioned, leftCols) = taggedUnion(
+      left, right, keyCols, leftTime, rightTime, rightVals, withRt = true)
     val base = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("__t"), col("__side"), col("__rv"))
     val wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val withCarries = l.select(shape: _*).unionByName(r.select(shape: _*))
+    val withCarries = unioned
       .withColumn("__back", last(col("__rv"), ignoreNulls = true).over(wb))
       .withColumn("__fwd", first(col("__rv"), ignoreNulls = true).over(wf))
       .filter(col("__side") === 1)

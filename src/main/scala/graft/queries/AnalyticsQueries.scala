@@ -136,6 +136,41 @@ object AnalyticsQueries extends QueryPack {
         x => x.getField("cval")).as("carr"))
       .withColumn("cnorm", sqrt(expr("vector_dot(carr, carr)")))
 
+  /** Exact same-group cosine pairs via B×B block decomposition — the
+    * skew-salting shape for exact within-group pairing, shared by
+    * `dd_embcos_neardup` (group = given label) and `dd_semantic_dedup`
+    * (group = assigned cluster). Each group is split into B sub-blocks
+    * (deterministic id salt) and the B(B+1)/2 unordered block-pair
+    * cells become separate equi-join cells: a hot group spreads over
+    * bounded tasks instead of one quadratic task, and the tricky
+    * exactly-once pair enumeration (cross-block cells fix sides,
+    * same-block cells order by id) lives in ONE place. `e` must carry
+    * (vec_id, group, embedding, norm).
+    */
+  private def blockedCosinePairs(s: SparkSession, e: DataFrame,
+      group: String): DataFrame = {
+    import s.implicits._
+    val B = 8
+    val blocked = e.withColumn("blk", pmod(col("vec_id"), lit(B)))
+    val cells = (for (i <- 0 until B; j <- i until B) yield (i, j))
+      .toDF("ba", "bb")
+    val a = blocked.select(col("vec_id").as("ia"), col(group),
+      col("embedding").as("ea"), col("norm").as("norm_a"), col("blk"))
+    val b = blocked.select(col("vec_id").as("ib"),
+      col(group).as(s"${group}_b"), col("embedding").as("eb"),
+      col("norm").as("norm_b"), col("blk").as("blk_b"))
+    a.join(broadcast(cells), col("blk") === col("ba"))
+      // cross-block cells (ba < bb) see each unordered pair exactly
+      // once with fixed sides; same-block cells order by id
+      .join(b, col(group) === col(s"${group}_b") && col("blk_b") === col("bb") &&
+        (col("ba") =!= col("bb") || col("ia") < col("ib")))
+      .withColumn("cosine",
+        round(expr("vector_dot(ea, eb)") / (col("norm_a") * col("norm_b")), 4))
+      .filter(col("cosine") >= 0.3)
+      .select(col(group), least(col("ia"), col("ib")).as("va"),
+        greatest(col("ia"), col("ib")).as("vb"), col("cosine"))
+  }
+
   /** Random-hyperplane LSH bucket per vector: 8 deterministic
     * md5-derived planes → 8-bit bucket. Plane vectors are driver-built
     * literals broadcast to vector_dot — bucketing is one codegen pass
@@ -374,28 +409,10 @@ object AnalyticsQueries extends QueryPack {
     // fit one task comfortably.
     "dd_embcos_neardup" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
-      import s.implicits._
-      val B = 8
       val e = Tables.embeddings(s, d)
         .withColumn("norm", sqrt(expr("vector_dot(embedding, embedding)")))
-        .withColumn("blk", pmod(col("vec_id"), lit(B)))
-      val cells = (for (i <- 0 until B; j <- i until B) yield (i, j))
-        .toDF("ba", "bb")
-      val a = e.select(col("vec_id").as("ia"), col("label"),
-        col("embedding").as("ea"), col("norm").as("norm_a"), col("blk"))
-      val b = e.select(col("vec_id").as("ib"), col("label").as("label_b"),
-        col("embedding").as("eb"), col("norm").as("norm_b"),
-        col("blk").as("blk_b"))
-      a.join(broadcast(cells), col("blk") === col("ba"))
-        // cross-block cells (ba < bb) see each unordered pair exactly
-        // once with fixed sides; same-block cells order by id
-        .join(b, col("label") === col("label_b") && col("blk_b") === col("bb") &&
-          (col("ba") =!= col("bb") || col("ia") < col("ib")))
-        .withColumn("cosine",
-          round(expr("vector_dot(ea, eb)") / (col("norm_a") * col("norm_b")), 4))
-        .filter(col("cosine") >= 0.3)
-        .select(least(col("ia"), col("ib")).as("va"),
-          greatest(col("ia"), col("ib")).as("vb"), col("cosine"))
+      blockedCosinePairs(s, e, "label")
+        .select(col("va"), col("vb"), col("cosine"))
     }),
 
     // Brute-force cosine top-k (the ANN baseline): 20 query vectors
@@ -981,7 +998,6 @@ object AnalyticsQueries extends QueryPack {
     // table is labels × dims — broadcastable forever.
     "dd_semantic_dedup" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
-      import s.implicits._
       val cent = labelCentroids(s, d)
       val e = Tables.embeddings(s, d)
         .withColumn("norm", sqrt(expr("vector_dot(embedding, embedding)")))
@@ -994,24 +1010,7 @@ object AnalyticsQueries extends QueryPack {
         .filter(col("prank") === 1)
         .select(col("vec_id"), col("clabel").as("cluster"),
           col("embedding"), col("norm"))
-      val B = 8
-      val blocked = assigned.withColumn("blk", pmod(col("vec_id"), lit(B)))
-      val cells = (for (i <- 0 until B; j <- i until B) yield (i, j))
-        .toDF("ba", "bb")
-      val a = blocked.select(col("vec_id").as("ia"), col("cluster"),
-        col("embedding").as("ea"), col("norm").as("norm_a"), col("blk"))
-      val b = blocked.select(col("vec_id").as("ib"),
-        col("cluster").as("cluster_b"), col("embedding").as("eb"),
-        col("norm").as("norm_b"), col("blk").as("blk_b"))
-      a.join(broadcast(cells), col("blk") === col("ba"))
-        .join(b, col("cluster") === col("cluster_b") && col("blk_b") === col("bb") &&
-          (col("ba") =!= col("bb") || col("ia") < col("ib")))
-        .withColumn("cosine",
-          round(expr("vector_dot(ea, eb)") / (col("norm_a") * col("norm_b")), 4))
-        .filter(col("cosine") >= 0.3)
-        .select(col("cluster"),
-          least(col("ia"), col("ib")).as("va"),
-          greatest(col("ia"), col("ib")).as("vb"), col("cosine"))
+      blockedCosinePairs(s, assigned, "cluster")
     }),
 
     // Zipf-slope fit per language: least-squares slope of ln(freq) on

@@ -143,6 +143,10 @@ object DedupPipeline extends QueryPack {
           .select(col("doc_id"),
             least(col("cluster"), coalesce(col("min_nc"), col("cluster")))
               .as("cluster"))
+          // the pointer-jump self-join below reads `updated` twice;
+          // without a checkpoint the edges-join + min aggregation
+          // would re-execute for both sides every round
+          .localCheckpoint(false)
         // pointer jump: follow the label's own label — halves the
         // remaining component diameter every round
         val next = updated
@@ -156,7 +160,7 @@ object DedupPipeline extends QueryPack {
           .join(labels.as("p"), col("n.doc_id") === col("p.doc_id"))
           .filter(col("n.cluster") =!= col("p.cluster"))
           .count()
-        spent = labels :: spent
+        spent = updated :: labels :: spent
         labels = next
       }
       sh.unpersist()

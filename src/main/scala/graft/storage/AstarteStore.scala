@@ -251,11 +251,43 @@ final class AstarteStore(val root: String) {
     * (Delta/Iceberg) — on plain parquet this is the minimal window,
     * and the store is single-writer by contract (one foreachBatch).
     */
+  /** Crash recovery for the tmp-swap rewrites (sweep + compaction):
+    * a failure between delete-leaf and rename-tmp leaves a partition's
+    * only copy under the tmp root. Re-running would otherwise never
+    * look there (the leaf is gone, so no scan hits it) and the
+    * end-of-run tmp cleanup would silently destroy the rows. Restore
+    * rule per tmp leaf: target missing → rename back (it IS the data);
+    * target present → the swap never deleted the original, the tmp
+    * copy is a stale rewrite — drop it.
+    */
+  private def restoreTmpLeaves(
+      fs: org.apache.hadoop.fs.FileSystem,
+      tableRoot: org.apache.hadoop.fs.Path,
+      tmpRoot: org.apache.hadoop.fs.Path): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    if (!fs.exists(tmpRoot)) return
+    for {
+      ifaceDir <- fs.listStatus(tmpRoot) if ifaceDir.isDirectory
+      dayDir <- fs.listStatus(ifaceDir.getPath) if dayDir.isDirectory
+    } {
+      val leaf = new HPath(
+        s"$tableRoot/${ifaceDir.getPath.getName}/${dayDir.getPath.getName}")
+      if (!fs.exists(leaf)) {
+        fs.mkdirs(leaf.getParent)
+        if (!fs.rename(dayDir.getPath, leaf))
+          throw new java.io.IOException(
+            s"tmp-leaf restore: rename ${dayDir.getPath} -> $leaf failed")
+      }
+    }
+    fs.delete(tmpRoot, true)
+  }
+
   private def sweepAppendTable(spark: SparkSession, path: String, nowMs: Long): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
     val hpath = new HPath(path)
     val fs = hpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(hpath)) return
+    restoreTmpLeaves(fs, hpath, new HPath(path + ".sweep.tmp"))
     val df = spark.read.parquet(path)
     if (!df.columns.contains("expiry_ms")) return
     val hit = df
@@ -312,6 +344,7 @@ final class AstarteStore(val root: String) {
     val fs = hpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(hpath)) return
     val tmpRoot = new HPath(path + ".compact.tmp")
+    restoreTmpLeaves(fs, hpath, tmpRoot)
     for {
       ifaceDir <- fs.listStatus(hpath) if ifaceDir.isDirectory
       dayDir <- fs.listStatus(ifaceDir.getPath) if dayDir.isDirectory

@@ -362,4 +362,37 @@ class AstarteStoreSpec extends AnyFunSuite {
       .map(_.toString).sorted.toSeq
     assert(rowsAfter == rowsBefore, "compaction changed table contents")
   }
+
+  test("tmp-swap crash recovery: orphaned tmp leaf is restored, not destroyed") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-store7").toString
+    val store = new AstarteStore(root)
+    val reg2 = Registry(
+      Map(stream.name -> stream),
+      Map(stream.name -> Seq(Mapping(stream.name, 1, "/%{i}/value", AInteger))),
+      Nil)
+    val t0 = 15216455705950000L
+    store.applyEffects(DeviceStateMachine.processBatch(Seq(
+      Envelope("realm", "dev", "data", stream.name, "/0/value",
+        Bson.encode(Seq("v" -> 1)), t0, "ip", 1)).toDS(), reg2))
+    val rowsBefore = store.datastreams(spark).count()
+
+    // simulate a crash between delete-leaf and rename-tmp: the leaf's
+    // only copy lives under the tmp root
+    val day = (t0 / 10000 / 86400000L).toString
+    val leaf = java.nio.file.Paths.get(
+      s"${store.datastreamPath}/iface=${stream.name}/day=$day")
+    val tmpLeaf = java.nio.file.Paths.get(
+      s"${store.datastreamPath}.compact.tmp/iface=${stream.name}/day=$day")
+    java.nio.file.Files.createDirectories(tmpLeaf.getParent)
+    java.nio.file.Files.move(leaf, tmpLeaf)
+    assert(!java.nio.file.Files.exists(leaf))
+
+    // the re-run restores the leaf instead of deleting the tmp root
+    store.compactAppendTable(spark, store.datastreamPath)
+    assert(java.nio.file.Files.exists(leaf))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"${store.datastreamPath}.compact.tmp")))
+    assert(store.datastreams(spark).count() == rowsBefore)
+  }
 }
