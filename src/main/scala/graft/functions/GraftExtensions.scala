@@ -16,5 +16,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorDotProduct].getName, "vector_dot"),
       GraftFunctions.vectorDotBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("vector_dot_long"),
+      new ExpressionInfo(classOf[VectorDotLong].getName, "vector_dot_long"),
+      GraftFunctions.vectorDotLongBuilder))
   }
 }

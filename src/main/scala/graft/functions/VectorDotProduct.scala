@@ -81,6 +81,83 @@ case class VectorDotProduct(left: Expression, right: Expression)
   override def prettyName: String = "vector_dot"
 }
 
+/** Exact integer dot product over two array<long|int> columns,
+  * accumulating in long — the determinism-critical twin of
+  * VectorDotProduct. Integer addition is associative, so the result
+  * is independent of accumulation order: a quantized-embedding dot
+  * computed here is bit-identical to ANY other engine's sum over the
+  * same integers (the float variant differs from an unordered SUM in
+  * the last ulp, which `round(x, 4)` can amplify into a flipped rank
+  * at a boundary). Callers bound magnitudes so no overflow occurs
+  * (|q| ≤ 1e6, dims ≤ 64 → |dot| ≤ 6.4e13 « 2^63).
+  *
+  * Null elements contribute 0; length mismatch uses the common
+  * prefix. Returns null only if either side is null.
+  */
+case class VectorDotLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(lt, _), ArrayType(rt, _))
+        if Seq(lt, rt).forall(t => t == LongType || t == IntegerType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ =>
+      TypeCheckResult.TypeCheckFailure(
+        s"vector_dot_long expects array<long|int> args, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  private def elemIsInt(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == IntegerType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val la = l.asInstanceOf[ArrayData]
+    val ra = r.asInstanceOf[ArrayData]
+    val n = math.min(la.numElements(), ra.numElements())
+    val li = elemIsInt(left); val ri = elemIsInt(right)
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (!la.isNullAt(i) && !ra.isNullAt(i)) {
+        val x = if (li) la.getInt(i).toLong else la.getLong(i)
+        val y = if (ri) ra.getInt(i).toLong else ra.getLong(i)
+        acc += x * y
+      }
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val getL = if (elemIsInt(left)) s"(long) $l.getInt($i)"
+                 else s"$l.getLong($i)"
+      val getR = if (elemIsInt(right)) s"(long) $r.getInt($i)"
+                 else s"$r.getLong($i)"
+      s"""
+         |final int $n = java.lang.Math.min($l.numElements(), $r.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$l.isNullAt($i) && !$r.isNullAt($i)) {
+         |    $acc += $getL * $getR;
+         |  }
+         |}
+         |${ev.value} = $acc;
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VectorDotLong =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "vector_dot_long"
+}
+
 /** Session registration for the engine's native functions; after
   * `GraftFunctions.register(spark)`, `expr("vector_dot(a, b)")` and
   * SQL both resolve to the codegen'd expression.
@@ -96,8 +173,16 @@ object GraftFunctions {
       s"vector_dot requires exactly 2 arguments, got ${exprs.size}")
   }
 
+  val vectorDotLongBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => VectorDotLong(a, b)
+    case exprs => throw new IllegalArgumentException(
+      s"vector_dot_long requires exactly 2 arguments, got ${exprs.size}")
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vector_dot", vectorDotBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vector_dot_long", vectorDotLongBuilder, "built-in")
   }
 }

@@ -20,6 +20,22 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** Epoch-milliseconds view of a time column, so `toleranceMs` and
+    * `asof_time` are well-defined for any supported time type: SQL
+    * TIMESTAMP columns convert via `unix_millis` (a plain
+    * `cast("long")` would silently yield SECONDS), DATE via day
+    * arithmetic, and numeric columns are taken as epoch-milliseconds
+    * as-is (the convention of every in-repo caller).
+    */
+  private def millisOf(dt: org.apache.spark.sql.types.DataType, c: Column): Column =
+    dt match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => unix_millis(c)
+      case org.apache.spark.sql.types.DateType =>
+        unix_date(c).cast("long") * 86400000L
+      case _ => c.cast("long")
+    }
+
   /** The shared union-trick scaffolding: right side pruned to
     * key/time/values (anything else would collide with left columns
     * through the union), values packed into ONE struct (a matched
@@ -46,7 +62,10 @@ object AsOfJoin {
     val rightKept = right.select(
       (keyCols ++ Seq(rightTime) ++ rightVals).distinct.map(col): _*)
     val rvStruct = struct(rightVals.map(col) ++
-      (if (withRt) Seq(col(rightTime).cast("long").as("__rt")) else Nil): _*)
+      (if (withRt)
+        Seq(millisOf(rightKept.schema(rightTime).dataType,
+          col(rightTime)).as("__rt"))
+      else Nil): _*)
     val rvType = {
       val f = rightVals.map(c =>
         org.apache.spark.sql.types.StructField(c, rightKept.schema(c).dataType)) ++
@@ -134,7 +153,11 @@ object AsOfJoin {
     * nulls out matches farther than the bound (both directions).
     *
     * Output: `asof_<v>` per carried column, `asof_time` (the matched
-    * right time) and `asof_dir` ('backward'/'forward'/NULL).
+    * right time as epoch-MILLISECONDS, whatever the input time type)
+    * and `asof_dir` ('backward'/'forward'/NULL). `toleranceMs` is
+    * milliseconds for TIMESTAMP/DATE columns and for numeric time
+    * columns holding epoch-ms; a numeric column in other units is
+    * compared in its own units.
     */
   def joinNearest(
       left: DataFrame,
@@ -154,8 +177,9 @@ object AsOfJoin {
       .withColumn("__back", last(col("__rv"), ignoreNulls = true).over(wb))
       .withColumn("__fwd", first(col("__rv"), ignoreNulls = true).over(wf))
       .filter(col("__side") === 1)
-    val bd = col("__t").cast("long") - col("__back").getField("__rt")
-    val fd = col("__fwd").getField("__rt") - col("__t").cast("long")
+    val lMillis = millisOf(left.schema(leftTime).dataType, col("__t"))
+    val bd = lMillis - col("__back").getField("__rt")
+    val fd = col("__fwd").getField("__rt") - lMillis
     val bOk = toleranceMs.fold(col("__back").isNotNull)(t =>
       col("__back").isNotNull && bd <= t)
     val fOk = toleranceMs.fold(col("__fwd").isNotNull)(t =>

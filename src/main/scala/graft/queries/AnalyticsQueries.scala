@@ -10,9 +10,12 @@ import org.apache.spark.sql.expressions.Window
   * analysis — over the `documents` and `embeddings` tables.
   *
   * Determinism across engines: all hashing is md5 (identical in Spark
-  * and DuckDB); all float accumulation is double (embeddings are cast
-  * up before any arithmetic — DuckDB's list_* functions accumulate in
-  * float32 and are NOT used in oracles); outputs round to 4 decimals.
+  * and DuckDB); all embedding arithmetic runs on an exact integer
+  * quantization (`quantEmb`: floor(val × 1e6) per element) via
+  * vector_dot_long, so every accumulated sum is order-independent and
+  * bit-identical across engines — only sqrt/divide/round touch
+  * floats, and those are IEEE-deterministic on identical inputs.
+  * Outputs round to 4 decimals.
   *
   * Scale notes (100 TB): every pipeline here is shuffle-bounded by
   * design — shingling/minhashing is map-side (explode + partial agg),
@@ -42,15 +45,36 @@ object AnalyticsQueries extends QueryPack {
     (lit(1.0) - nStop / nTokens) * 0.3 +
     least((nChars - (nTokens - 1)) / nTokens / 8.0, lit(1.0)) * 0.3
 
-  /** Flattened (vec_id, idx, val) view of embeddings with double
-    * values — the join-friendly layout for vector arithmetic.
+  /** Embeddings with an exact integer shadow of each vector:
+    * `q` = per-element floor(val × 1e6) as long, `qnorm` = sqrt of
+    * the exact integer self-dot. All cosine arithmetic downstream
+    * runs on `q` via vector_dot_long, so every sum is
+    * order-independent and bit-identical across engines; the only
+    * floating ops left (sqrt, one divide, round) are
+    * IEEE-deterministic on identical inputs. Quantization error
+    * (≤1e-6 per element) moves cosines by <1e-5 — irrelevant for
+    * dedup/ANN semantics, decisive for a flake-free gate: the float
+    * path's engine-dependent accumulation order could flip a
+    * round(x,4) boundary or a nearest-centroid rank, silently
+    * changing the whole in-cluster pair set. |q| ≤ 1e6, dims = 64 →
+    * every dot ≤ 6.4e13 « 2^63.
     */
-  private def flatEmb(s: SparkSession, d: String): DataFrame =
+  private[queries] def quantEmb(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables.embeddings(s, d)
+      .withColumn("q", transform(col("embedding"),
+        x => floor(x.cast("double") * lit(1000000.0))))
+      .withColumn("qnorm",
+        sqrt(expr("vector_dot_long(q, q)").cast("double")))
+  }
+
+  /** Flattened (vec_id, label, idx, qv) view of the quantized
+    * embeddings — the join-friendly layout for centroid sums.
+    */
+  private def flatEmbQ(s: SparkSession, d: String): DataFrame =
+    quantEmb(s, d)
       .select(col("vec_id"), col("label"),
-        posexplode(col("embedding")).as(Seq("idx", "fval")))
-      .withColumn("val", col("fval").cast("double"))
-      .drop("fval")
+        posexplode(col("q")).as(Seq("idx", "qv")))
 
   /** SimHash signatures per document: 16-bit signature from per-token
     * md5 bits, majority-voted per bit. Map-side explode + two partial
@@ -128,13 +152,19 @@ object AnalyticsQueries extends QueryPack {
     * NEAREST centroid). Bounded by labels × dims regardless of corpus
     * size, so it broadcasts forever.
     */
-  private def labelCentroids(s: SparkSession, d: String): DataFrame =
-    flatEmb(s, d).groupBy(col("label").as("clabel"), col("idx"))
-      .agg(avg(col("val")).as("cval"))
+  private[queries] def labelCentroids(s: SparkSession, d: String): DataFrame =
+    flatEmbQ(s, d).groupBy(col("label").as("clabel"), col("idx"))
+      .agg(sum(col("qv")).as("sq"), count(lit(1)).as("nq"))
+      // truncating integer division re-quantizes the centroid exactly
+      // AND keeps it bounded by max|q| regardless of group size — an
+      // exact sum-of-squares over raw per-label SUMS would overflow
+      // long at ~5e9 rows/label; the re-quantized centroid never can
+      .withColumn("cq", expr("sq div nq"))
       .groupBy(col("clabel"))
-      .agg(transform(sort_array(collect_list(struct(col("idx"), col("cval")))),
-        x => x.getField("cval")).as("carr"))
-      .withColumn("cnorm", sqrt(expr("vector_dot(carr, carr)")))
+      .agg(transform(sort_array(collect_list(struct(col("idx"), col("cq")))),
+        x => x.getField("cq")).as("carr"))
+      .withColumn("cnorm",
+        sqrt(expr("vector_dot_long(carr, carr)").cast("double")))
 
   /** Exact same-group cosine pairs via B×B block decomposition — the
     * skew-salting shape for exact within-group pairing, shared by
@@ -145,7 +175,7 @@ object AnalyticsQueries extends QueryPack {
     * bounded tasks instead of one quadratic task, and the tricky
     * exactly-once pair enumeration (cross-block cells fix sides,
     * same-block cells order by id) lives in ONE place. `e` must carry
-    * (vec_id, group, embedding, norm).
+    * (vec_id, group, q, qnorm) — the quantEmb layout.
     */
   private def blockedCosinePairs(s: SparkSession, e: DataFrame,
       group: String): DataFrame = {
@@ -155,17 +185,18 @@ object AnalyticsQueries extends QueryPack {
     val cells = (for (i <- 0 until B; j <- i until B) yield (i, j))
       .toDF("ba", "bb")
     val a = blocked.select(col("vec_id").as("ia"), col(group),
-      col("embedding").as("ea"), col("norm").as("norm_a"), col("blk"))
+      col("q").as("qa"), col("qnorm").as("norm_a"), col("blk"))
     val b = blocked.select(col("vec_id").as("ib"),
-      col(group).as(s"${group}_b"), col("embedding").as("eb"),
-      col("norm").as("norm_b"), col("blk").as("blk_b"))
+      col(group).as(s"${group}_b"), col("q").as("qb"),
+      col("qnorm").as("norm_b"), col("blk").as("blk_b"))
     a.join(broadcast(cells), col("blk") === col("ba"))
       // cross-block cells (ba < bb) see each unordered pair exactly
       // once with fixed sides; same-block cells order by id
       .join(b, col(group) === col(s"${group}_b") && col("blk_b") === col("bb") &&
         (col("ba") =!= col("bb") || col("ia") < col("ib")))
       .withColumn("cosine",
-        round(expr("vector_dot(ea, eb)") / (col("norm_a") * col("norm_b")), 4))
+        round(expr("vector_dot_long(qa, qb)").cast("double") /
+          (col("norm_a") * col("norm_b")), 4))
       .filter(col("cosine") >= 0.3)
       .select(col(group), least(col("ia"), col("ib")).as("va"),
         greatest(col("ia"), col("ib")).as("vb"), col("cosine"))
@@ -178,19 +209,21 @@ object AnalyticsQueries extends QueryPack {
     * and `sim_lsh_topk` (candidate generation for the exact rerank).
     */
   private def lshBuckets(s: SparkSession, d: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
     import s.implicits._
     val planes = (0 until 8).map { p =>
       (p, (0 until 64).map { dim =>
         val hex = java.security.MessageDigest.getInstance("MD5")
           .digest(s"$p,$dim".getBytes("UTF-8"))
           .take(2).map("%02x".format(_)).mkString
-        (Integer.parseInt(hex, 16) % 16 - 8).toDouble
+        (Integer.parseInt(hex, 16) % 16 - 8).toLong
       })
     }.toDF("plane", "w")
-    Tables.embeddings(s, d)
+    // integer-weight planes × quantized vectors: the side-of-plane
+    // test is exact integer arithmetic, so bucket assignment can
+    // never flip with accumulation order
+    quantEmb(s, d)
       .crossJoin(broadcast(planes))
-      .withColumn("dot", expr("vector_dot(embedding, w)"))
+      .withColumn("dot", expr("vector_dot_long(q, w)"))
       .withColumn("bit", when(col("dot") > 0, expr("shiftleft(1, plane)")).otherwise(0))
       .groupBy(col("vec_id"))
       .agg(sum(col("bit")).as("bucket"))
@@ -408,10 +441,7 @@ object AnalyticsQueries extends QueryPack {
     // Cost: each row shuffles ~B/2 times; size B so (|label|/B)² rows
     // fit one task comfortably.
     "dd_embcos_neardup" -> ((s, d) => {
-      graft.functions.GraftFunctions.register(s)
-      val e = Tables.embeddings(s, d)
-        .withColumn("norm", sqrt(expr("vector_dot(embedding, embedding)")))
-      blockedCosinePairs(s, e, "label")
+      blockedCosinePairs(s, quantEmb(s, d), "label")
         .select(col("va"), col("vb"), col("cosine"))
     }),
 
@@ -419,18 +449,17 @@ object AnalyticsQueries extends QueryPack {
     // against the full set via vector_dot; rank on rounded cosine +
     // id tie-break so the cut is engine-stable.
     "sim_topk_bf" -> ((s, d) => {
-      graft.functions.GraftFunctions.register(s)
-      val e = Tables.embeddings(s, d)
-        .withColumn("norm", sqrt(expr("vector_dot(embedding, embedding)")))
+      val e = quantEmb(s, d)
       val q = e.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-          col("norm").as("qnorm"))
-      val n = e.select(col("vec_id").as("nid"), col("embedding").as("ne"),
-        col("norm").as("nnorm"))
+        .select(col("vec_id").as("qid"), col("q").as("qe"),
+          col("qnorm"))
+      val n = e.select(col("vec_id").as("nid"), col("q").as("ne"),
+        col("qnorm").as("nnorm"))
       val scored = q.crossJoin(n)
         .filter(col("qid") =!= col("nid"))
         .withColumn("cosine",
-          round(expr("vector_dot(qe, ne)") / (col("qnorm") * col("nnorm")), 4))
+          round(expr("vector_dot_long(qe, ne)").cast("double") /
+            (col("qnorm") * col("nnorm")), 4))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("cosine").desc, col("nid").asc)
       scored.withColumn("rank", row_number().over(w))
@@ -451,19 +480,17 @@ object AnalyticsQueries extends QueryPack {
     // the brute-force twin `sim_topk_bf` is this query's recall
     // oracle. Rank on rounded cosine + id tie-break (engine-stable).
     "sim_lsh_topk" -> ((s, d) => {
-      graft.functions.GraftFunctions.register(s)
-      val e = Tables.embeddings(s, d)
-        .withColumn("norm", sqrt(expr("vector_dot(embedding, embedding)")))
-        .join(lshBuckets(s, d), "vec_id")
+      val e = quantEmb(s, d).join(lshBuckets(s, d), "vec_id")
       val q = e.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-          col("norm").as("qnorm"), col("bucket"))
-      val n = e.select(col("vec_id").as("nid"), col("embedding").as("ne"),
-        col("norm").as("nnorm"), col("bucket").as("nbucket"))
+        .select(col("vec_id").as("qid"), col("q").as("qe"),
+          col("qnorm"), col("bucket"))
+      val n = e.select(col("vec_id").as("nid"), col("q").as("ne"),
+        col("qnorm").as("nnorm"), col("bucket").as("nbucket"))
       val scored = q.join(n,
           col("bucket") === col("nbucket") && col("qid") =!= col("nid"))
         .withColumn("cosine",
-          round(expr("vector_dot(qe, ne)") / (col("qnorm") * col("nnorm")), 4))
+          round(expr("vector_dot_long(qe, ne)").cast("double") /
+            (col("qnorm") * col("nnorm")), 4))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("cosine").desc, col("nid").asc)
       scored.withColumn("rank", row_number().over(w))
@@ -976,14 +1003,13 @@ object AnalyticsQueries extends QueryPack {
     // corpus. Centroids are one keyed agg bounded by labels × dims,
     // broadcast back; scoring is a single codegen vector_dot pass.
     "sim_centroid_outlier" -> ((s, d) => {
-      graft.functions.GraftFunctions.register(s)
       val w = Window.partitionBy(col("label"))
         .orderBy(col("cosine").asc, col("vec_id").asc)
-      Tables.embeddings(s, d)
-        .withColumn("norm", sqrt(expr("vector_dot(embedding, embedding)")))
+      quantEmb(s, d)
         .join(broadcast(labelCentroids(s, d)), col("label") === col("clabel"))
         .withColumn("cosine",
-          round(expr("vector_dot(embedding, carr)") / (col("norm") * col("cnorm")), 4))
+          round(expr("vector_dot_long(q, carr)").cast("double") /
+            (col("qnorm") * col("cnorm")), 4))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select(col("label"), col("vec_id"), col("cosine"), col("rank"))
@@ -997,19 +1023,18 @@ object AnalyticsQueries extends QueryPack {
     // at any corpus size (pick k so N/k fits a task); the centroid
     // table is labels × dims — broadcastable forever.
     "dd_semantic_dedup" -> ((s, d) => {
-      graft.functions.GraftFunctions.register(s)
       val cent = labelCentroids(s, d)
-      val e = Tables.embeddings(s, d)
-        .withColumn("norm", sqrt(expr("vector_dot(embedding, embedding)")))
+      val e = quantEmb(s, d)
       val wAssign = Window.partitionBy(col("vec_id"))
         .orderBy(col("pcos").desc, col("clabel").asc)
       val assigned = e.crossJoin(broadcast(cent))
         .withColumn("pcos",
-          round(expr("vector_dot(embedding, carr)") / (col("norm") * col("cnorm")), 4))
+          round(expr("vector_dot_long(q, carr)").cast("double") /
+            (col("qnorm") * col("cnorm")), 4))
         .withColumn("prank", row_number().over(wAssign))
         .filter(col("prank") === 1)
         .select(col("vec_id"), col("clabel").as("cluster"),
-          col("embedding"), col("norm"))
+          col("q"), col("qnorm"))
       blockedCosinePairs(s, assigned, "cluster")
     }),
 
@@ -1361,15 +1386,16 @@ object AnalyticsQueries extends QueryPack {
       """WITH f AS (
         |  SELECT vec_id, label,
         |    generate_subscripts(embedding,1) AS idx,
-        |    unnest(embedding)::DOUBLE AS val
+        |    floor(unnest(embedding)::DOUBLE * 1000000)::BIGINT AS qv
         |  FROM embeddings),
         |dots AS (
-        |  SELECT a.vec_id AS va, b.vec_id AS vb, sum(a.val * b.val) AS dot
+        |  SELECT a.vec_id AS va, b.vec_id AS vb,
+        |    sum(a.qv * b.qv)::DOUBLE AS dot
         |  FROM f a JOIN f b ON a.label = b.label AND a.idx = b.idx
         |    AND a.vec_id < b.vec_id
         |  GROUP BY 1, 2),
         |norms AS (
-        |  SELECT vec_id, sqrt(sum(val * val)) AS norm FROM f GROUP BY 1)
+        |  SELECT vec_id, sqrt(sum(qv * qv)::DOUBLE) AS norm FROM f GROUP BY 1)
         |SELECT va, vb, round(dot / (na.norm * nb.norm), 4) AS cosine
         |FROM dots JOIN norms na ON na.vec_id = va
         |JOIN norms nb ON nb.vec_id = vb
@@ -1377,15 +1403,16 @@ object AnalyticsQueries extends QueryPack {
     "sim_topk_bf" ->
       """WITH f AS (
         |  SELECT vec_id, generate_subscripts(embedding,1) AS idx,
-        |    unnest(embedding)::DOUBLE AS val
+        |    floor(unnest(embedding)::DOUBLE * 1000000)::BIGINT AS qv
         |  FROM embeddings),
         |dots AS (
-        |  SELECT q.vec_id AS qid, n.vec_id AS nid, sum(q.val * n.val) AS dot
+        |  SELECT q.vec_id AS qid, n.vec_id AS nid,
+        |    sum(q.qv * n.qv)::DOUBLE AS dot
         |  FROM f q JOIN f n ON q.idx = n.idx AND q.vec_id <> n.vec_id
         |  WHERE q.vec_id < 20
         |  GROUP BY 1, 2),
         |norms AS (
-        |  SELECT vec_id, sqrt(sum(val * val)) AS norm FROM f GROUP BY 1),
+        |  SELECT vec_id, sqrt(sum(qv * qv)::DOUBLE) AS norm FROM f GROUP BY 1),
         |scored AS (
         |  SELECT qid, nid, round(dot / (nq.norm * nn.norm), 4) AS cosine
         |  FROM dots JOIN norms nq ON nq.vec_id = qid
@@ -1403,10 +1430,10 @@ object AnalyticsQueries extends QueryPack {
         |       (SELECT unnest(generate_series(0,63)) AS dim) d),
         |f AS (
         |  SELECT vec_id, generate_subscripts(embedding,1) - 1 AS idx,
-        |    unnest(embedding)::DOUBLE AS val
+        |    floor(unnest(embedding)::DOUBLE * 1000000)::BIGINT AS qv
         |  FROM embeddings),
         |dots AS (
-        |  SELECT vec_id, plane, sum(val * w) AS dot
+        |  SELECT vec_id, plane, sum(qv * w) AS dot
         |  FROM f JOIN planes ON idx = dim
         |  GROUP BY 1, 2)
         |SELECT vec_id,
@@ -1420,10 +1447,10 @@ object AnalyticsQueries extends QueryPack {
         |       (SELECT unnest(generate_series(0,63)) AS dim) d),
         |f AS (
         |  SELECT vec_id, generate_subscripts(embedding,1) - 1 AS idx,
-        |    unnest(embedding)::DOUBLE AS val
+        |    floor(unnest(embedding)::DOUBLE * 1000000)::BIGINT AS qv
         |  FROM embeddings),
         |pdots AS (
-        |  SELECT vec_id, plane, sum(val * w) AS dot
+        |  SELECT vec_id, plane, sum(qv * w) AS dot
         |  FROM f JOIN planes ON idx = dim
         |  GROUP BY 1, 2),
         |buckets AS (
@@ -1431,9 +1458,10 @@ object AnalyticsQueries extends QueryPack {
         |    sum(CASE WHEN dot > 0 THEN 1 << plane::INT ELSE 0 END)::BIGINT AS bucket
         |  FROM pdots GROUP BY vec_id),
         |norms AS (
-        |  SELECT vec_id, sqrt(sum(val * val)) AS norm FROM f GROUP BY 1),
+        |  SELECT vec_id, sqrt(sum(qv * qv)::DOUBLE) AS norm FROM f GROUP BY 1),
         |cand AS (
-        |  SELECT q.vec_id AS qid, n.vec_id AS nid, sum(q.val * n.val) AS dot
+        |  SELECT q.vec_id AS qid, n.vec_id AS nid,
+        |    sum(q.qv * n.qv)::DOUBLE AS dot
         |  FROM f q JOIN f n ON q.idx = n.idx AND q.vec_id <> n.vec_id
         |  JOIN buckets bq ON bq.vec_id = q.vec_id
         |  JOIN buckets bn ON bn.vec_id = n.vec_id AND bq.bucket = bn.bucket
@@ -1718,16 +1746,18 @@ object AnalyticsQueries extends QueryPack {
     "sim_centroid_outlier" ->
       """WITH f AS (
         |  SELECT vec_id, label, generate_subscripts(embedding,1) AS idx,
-        |    unnest(embedding)::DOUBLE AS val
+        |    floor(unnest(embedding)::DOUBLE * 1000000)::BIGINT AS qv
         |  FROM embeddings),
-        |cent AS (SELECT label, idx, avg(val) AS cval FROM f GROUP BY 1, 2),
-        |cn AS (SELECT label, sqrt(sum(cval * cval)) AS cnorm
-        |       FROM cent GROUP BY 1),
-        |norms AS (SELECT vec_id, sqrt(sum(val * val)) AS norm
+        |cent AS (SELECT label, idx, sum(qv) AS sq, count(*) AS nq
+        |         FROM f GROUP BY 1, 2),
+        |centq AS (SELECT label, idx, (sq - sq % nq) // nq AS cq FROM cent),
+        |cn AS (SELECT label, sqrt(sum(cq * cq)::DOUBLE) AS cnorm
+        |       FROM centq GROUP BY 1),
+        |norms AS (SELECT vec_id, sqrt(sum(qv * qv)::DOUBLE) AS norm
         |          FROM f GROUP BY 1),
         |dots AS (
-        |  SELECT f.vec_id, f.label, sum(f.val * c.cval) AS dot
-        |  FROM f JOIN cent c ON c.label = f.label AND c.idx = f.idx
+        |  SELECT f.vec_id, f.label, sum(f.qv * c.cq)::DOUBLE AS dot
+        |  FROM f JOIN centq c ON c.label = f.label AND c.idx = f.idx
         |  GROUP BY 1, 2),
         |scored AS (
         |  SELECT d.label, d.vec_id,
@@ -1742,21 +1772,22 @@ object AnalyticsQueries extends QueryPack {
     "dd_semantic_dedup" ->
       """WITH f AS (
         |  SELECT vec_id, generate_subscripts(embedding,1) AS idx,
-        |    unnest(embedding)::DOUBLE AS val
+        |    floor(unnest(embedding)::DOUBLE * 1000000)::BIGINT AS qv
         |  FROM embeddings),
         |lab AS (
         |  SELECT vec_id, label, generate_subscripts(embedding,1) AS idx,
-        |    unnest(embedding)::DOUBLE AS val
+        |    floor(unnest(embedding)::DOUBLE * 1000000)::BIGINT AS qv
         |  FROM embeddings),
-        |cent AS (SELECT label AS clabel, idx, avg(val) AS cval
+        |cent AS (SELECT label AS clabel, idx, sum(qv) AS sq, count(*) AS nq
         |         FROM lab GROUP BY 1, 2),
-        |cn AS (SELECT clabel, sqrt(sum(cval * cval)) AS cnorm
-        |       FROM cent GROUP BY 1),
-        |norms AS (SELECT vec_id, sqrt(sum(val * val)) AS norm
+        |centq AS (SELECT clabel, idx, (sq - sq % nq) // nq AS cq FROM cent),
+        |cn AS (SELECT clabel, sqrt(sum(cq * cq)::DOUBLE) AS cnorm
+        |       FROM centq GROUP BY 1),
+        |norms AS (SELECT vec_id, sqrt(sum(qv * qv)::DOUBLE) AS norm
         |          FROM f GROUP BY 1),
         |pdots AS (
-        |  SELECT f.vec_id, c.clabel, sum(f.val * c.cval) AS dot
-        |  FROM f JOIN cent c ON c.idx = f.idx
+        |  SELECT f.vec_id, c.clabel, sum(f.qv * c.cq)::DOUBLE AS dot
+        |  FROM f JOIN centq c ON c.idx = f.idx
         |  GROUP BY 1, 2),
         |assign AS (
         |  SELECT vec_id, clabel AS cluster FROM (
@@ -1769,7 +1800,7 @@ object AnalyticsQueries extends QueryPack {
         |  WHERE rn = 1),
         |pairs AS (
         |  SELECT aa.cluster, a.vec_id AS va, b.vec_id AS vb,
-        |    sum(a.val * b.val) AS dot
+        |    sum(a.qv * b.qv)::DOUBLE AS dot
         |  FROM f a
         |  JOIN assign aa ON aa.vec_id = a.vec_id
         |  JOIN f b ON b.idx = a.idx AND a.vec_id < b.vec_id

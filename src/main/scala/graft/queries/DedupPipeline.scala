@@ -130,6 +130,10 @@ object DedupPipeline extends QueryPack {
       var labels = edges.select(col("doc_a").as("doc_id")).distinct()
         .withColumn("cluster", col("doc_id"))
         .localCheckpoint()
+      // the checkpointed frame backing `labels` — tracked separately
+      // because `labels` becomes a projection over it after round 1,
+      // and block release matches on the LogicalRDD itself
+      var labelsCk = labels
       var changed = 1L
       var spent = scala.collection.immutable.List.empty[DataFrame]
       while (changed > 0) {
@@ -137,10 +141,14 @@ object DedupPipeline extends QueryPack {
           .join(labels.select(col("doc_id").as("doc_b"), col("cluster").as("nc")),
             Seq("doc_b"))
           .groupBy(col("doc_a")).agg(min(col("nc")).as("min_nc"))
+        // carry the round-start label through the lineage as
+        // `prev_cluster` so the convergence test is a filter-count on
+        // the already-checkpointed round — not a separate
+        // next-vs-labels join (one fewer join + shuffle per round)
         val updated = labels
           .join(neighborMin.select(col("doc_a").as("doc_id"), col("min_nc")),
             Seq("doc_id"), "left")
-          .select(col("doc_id"),
+          .select(col("doc_id"), col("cluster").as("prev_cluster"),
             least(col("cluster"), coalesce(col("min_nc"), col("cluster")))
               .as("cluster"))
           // the pointer-jump self-join below reads `updated` twice;
@@ -153,15 +161,15 @@ object DedupPipeline extends QueryPack {
           .join(updated.select(col("doc_id").as("cluster"),
               col("cluster").as("jump")),
             Seq("cluster"), "left")
-          .select(col("doc_id"),
+          .select(col("doc_id"), col("prev_cluster"),
             coalesce(col("jump"), col("cluster")).as("cluster"))
           .localCheckpoint(false)
-        changed = next.as("n")
-          .join(labels.as("p"), col("n.doc_id") === col("p.doc_id"))
-          .filter(col("n.cluster") =!= col("p.cluster"))
-          .count()
-        spent = updated :: labels :: spent
-        labels = next
+        // this count both materializes `next`'s checkpoint blocks and
+        // answers the fixpoint test in the same single job
+        changed = next.filter(col("cluster") =!= col("prev_cluster")).count()
+        spent = updated :: labelsCk :: spent
+        labelsCk = next
+        labels = next.select(col("doc_id"), col("cluster"))
       }
       sh.unpersist()
       edges.unpersist()

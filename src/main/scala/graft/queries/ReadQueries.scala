@@ -78,36 +78,33 @@ object ReadQueries extends QueryPack {
     // inside probed partitions. At 100 TB this is the layout: cluster
     // once, route queries to nprobe partitions, never scan the rest.
     "sim_ivf" -> ((s, d) => {
-      graft.functions.GraftFunctions.register(s)
-      val flat = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("label"),
-          posexplode(col("embedding")).as(Seq("idx", "fval")))
-        .withColumn("val", col("fval").cast("double"))
-      // centroid arrays (idx-ordered) per label
-      val cent = flat.groupBy(col("label"), col("idx"))
-        .agg(avg(col("val")).as("cval"))
-        .groupBy(col("label"))
-        .agg(transform(sort_array(collect_list(struct(col("idx"), col("cval")))),
-          x => x.getField("cval")).as("carr"))
-        .withColumn("cnorm", sqrt(expr("vector_dot(carr, carr)")))
-      val e = Tables.embeddings(s, d)
-        .withColumn("norm", sqrt(expr("vector_dot(embedding, embedding)")))
+      // quantized centroids ("train") + exact-integer probe/search —
+      // shared lineage with sim_centroid_outlier/dd_semantic_dedup
+      // (AnalyticsQueries.quantEmb/labelCentroids), so the whole ANN
+      // family scores with the same deterministic arithmetic
+      val cent = AnalyticsQueries.labelCentroids(s, d)
+        .withColumnRenamed("clabel", "label")
+      val e = AnalyticsQueries.quantEmb(s, d)
       val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-          col("norm").as("qnorm"))
+        .select(col("vec_id").as("qid"), col("q").as("qe"),
+          col("qnorm"))
       // probe: rank centroids per query
       val probe = q.crossJoin(broadcast(cent))
-        .withColumn("pcos", round(expr("vector_dot(qe, carr)") / (col("qnorm") * col("cnorm")), 4))
+        .withColumn("pcos",
+          round(expr("vector_dot_long(qe, carr)").cast("double") /
+            (col("qnorm") * col("cnorm")), 4))
       val wp = Window.partitionBy(col("qid")).orderBy(col("pcos").desc, col("label").asc)
       val probed = probe.withColumn("prank", row_number().over(wp))
         .filter(col("prank") <= 2)
         .select(col("qid"), col("qe"), col("qnorm"), col("label"))
       // exact search within probed labels only
       val n = e.select(col("vec_id").as("nid"), col("label").as("nlabel"),
-        col("embedding").as("ne"), col("norm").as("nnorm"))
+        col("q").as("ne"), col("qnorm").as("nnorm"))
       val scored = probed.join(n, col("label") === col("nlabel"))
         .filter(col("qid") =!= col("nid"))
-        .withColumn("cosine", round(expr("vector_dot(qe, ne)") / (col("qnorm") * col("nnorm")), 4))
+        .withColumn("cosine",
+          round(expr("vector_dot_long(qe, ne)").cast("double") /
+            (col("qnorm") * col("nnorm")), 4))
       val ws = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid").asc)
       scored.withColumn("rank", row_number().over(ws))
         .filter(col("rank") <= 3)
@@ -152,18 +149,22 @@ object ReadQueries extends QueryPack {
     "sim_ivf" ->
       """WITH f AS (
         |  SELECT vec_id, label, generate_subscripts(embedding,1) AS idx,
-        |    unnest(embedding)::DOUBLE AS val
+        |    floor(unnest(embedding)::DOUBLE * 1000000)::BIGINT AS qv
         |  FROM embeddings),
         |cent AS (
-        |  SELECT label, idx, avg(val) AS cval FROM f GROUP BY 1, 2),
+        |  SELECT label, idx, sum(qv) AS sq, count(*) AS nq
+        |  FROM f GROUP BY 1, 2),
+        |centq AS (
+        |  SELECT label, idx, (sq - sq % nq) // nq AS cq FROM cent),
         |cnorms AS (
-        |  SELECT label, sqrt(sum(cval*cval)) AS cnorm FROM cent GROUP BY 1),
+        |  SELECT label, sqrt(sum(cq*cq)::DOUBLE) AS cnorm
+        |  FROM centq GROUP BY 1),
         |norms AS (
-        |  SELECT vec_id, sqrt(sum(val*val)) AS norm FROM f GROUP BY 1),
+        |  SELECT vec_id, sqrt(sum(qv*qv)::DOUBLE) AS norm FROM f GROUP BY 1),
         |probe AS (
         |  SELECT q.vec_id AS qid, c.label,
-        |    round(sum(q.val * c.cval) / (n.norm * cn.cnorm), 4) AS pcos
-        |  FROM f q JOIN cent c ON q.idx = c.idx
+        |    round(sum(q.qv * c.cq)::DOUBLE / (n.norm * cn.cnorm), 4) AS pcos
+        |  FROM f q JOIN centq c ON q.idx = c.idx
         |  JOIN norms n ON n.vec_id = q.vec_id
         |  JOIN cnorms cn ON cn.label = c.label
         |  WHERE q.vec_id < 10
@@ -174,7 +175,7 @@ object ReadQueries extends QueryPack {
         |      PARTITION BY qid ORDER BY pcos DESC, label ASC) AS prank
         |    FROM probe) WHERE prank <= 2),
         |dots AS (
-        |  SELECT p.qid, n.vec_id AS nid, sum(q.val * n.val) AS dot
+        |  SELECT p.qid, n.vec_id AS nid, sum(q.qv * n.qv)::DOUBLE AS dot
         |  FROM probed p
         |  JOIN f n ON n.label = p.label
         |  JOIN f q ON q.vec_id = p.qid AND q.idx = n.idx
