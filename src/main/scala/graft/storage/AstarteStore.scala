@@ -241,26 +241,41 @@ final class AstarteStore(val root: String) {
     * directories are rewritten. Every other partition's files are
     * never read for rewrite and stay byte-identical.
     *
-    * Per-leaf swap: live rows are written to a tmp tree OUTSIDE the
-    * table root (a tmp dir inside it would confuse partition
-    * discovery), then delete-leaf + rename-tmp. The leaf is absent
-    * only between those two FS metadata ops; a concurrent appender
-    * either lands before the snapshot read (its rows are carried into
-    * the rewrite) or recreates the directory after the swap. True
-    * cross-writer atomicity needs a table format with a commit log
-    * (Delta/Iceberg) — on plain parquet this is the minimal window,
-    * and the store is single-writer by contract (one foreachBatch).
+    * Per-leaf commit protocol (merge-on-read, file-granular): the
+    * rewrite of a leaf's snapshot files F is written to a tmp dir,
+    * its files are RENAMED INTO the leaf under their own unique
+    * names, and only then are the files in F retired one by one.
+    * Three properties fall out:
+    *   - no state ever holds the only copy of a row outside the leaf
+    *     (originals are untouched until their replacement is fully
+    *     in place), so crash recovery is "adopt tmp files, never
+    *     adjudicate" — there is no stale-vs-only-copy judgment whose
+    *     wrong branch loses data;
+    *   - a concurrent appender's files (new names, never in F) are
+    *     never deleted or moved — append + sweep/compact cannot lose
+    *     rows, which a directory-level delete+rename swap could
+    *     (the appended file vanishes with the directory);
+    *   - readers never see a missing partition; between move-in and
+    *     retire they can see live rows twice, and the read path
+    *     already folds byte-identical duplicates (`dropDuplicates`,
+    *     the same replay-tolerance rule the appender relies on) —
+    *     expired rows are likewise invisible at read time
+    *     (`datastreams(spark, nowMs)`), so partial retirement never
+    *     shows through either.
+    * True multi-writer ACID needs a commit-log table format
+    * (Delta/Iceberg); on plain parquet this protocol has no lost-row
+    * window at all and only a benign transient-duplicate window that
+    * the read semantics absorb.
     */
-  /** Crash recovery for the tmp-swap rewrites (sweep + compaction):
-    * a failure between delete-leaf and rename-tmp leaves a partition's
-    * only copy under the tmp root. Re-running would otherwise never
-    * look there (the leaf is gone, so no scan hits it) and the
-    * end-of-run tmp cleanup would silently destroy the rows. Restore
-    * rule per tmp leaf: target missing → rename back (it IS the data);
-    * target present → the swap never deleted the original, the tmp
-    * copy is a stale rewrite — drop it.
+  /** Crash recovery for the leaf rewrites (sweep + compaction): a tmp
+    * root only ever holds replacement files whose originals are still
+    * in the leaf, so recovery ADOPTS every tmp file into its leaf
+    * (harmless duplicates at worst, folded by the read and converged
+    * by the next maintenance run) and drops the tmp root. Also covers
+    * a pre-protocol tmp root whose leaf was already deleted: the
+    * adopted files ARE the data then.
     */
-  private def restoreTmpLeaves(
+  private def adoptTmpLeaves(
       fs: org.apache.hadoop.fs.FileSystem,
       tableRoot: org.apache.hadoop.fs.Path,
       tmpRoot: org.apache.hadoop.fs.Path): Unit = {
@@ -272,22 +287,100 @@ final class AstarteStore(val root: String) {
     } {
       val leaf = new HPath(
         s"$tableRoot/${ifaceDir.getPath.getName}/${dayDir.getPath.getName}")
-      if (!fs.exists(leaf)) {
-        fs.mkdirs(leaf.getParent)
-        if (!fs.rename(dayDir.getPath, leaf))
+      fs.mkdirs(leaf)
+      for (f <- fs.listStatus(dayDir.getPath)
+           if f.isFile && f.getPath.getName.endsWith(".parquet")) {
+        val dst = new HPath(leaf, f.getPath.getName)
+        // same name already in the leaf = this file was adopted by a
+        // previous crashed recovery — the tmp copy is redundant
+        if (!fs.exists(dst) && !fs.rename(f.getPath, dst))
           throw new java.io.IOException(
-            s"tmp-leaf restore: rename ${dayDir.getPath} -> $leaf failed")
+            s"tmp-leaf adopt: rename ${f.getPath} -> $dst failed")
       }
     }
     fs.delete(tmpRoot, true)
   }
 
+  /** The shared leaf rewrite: snapshot the leaf's CURRENT data files,
+    * write `transform(snapshot)` to `tmpLeaf`, move the result files
+    * into the leaf, then retire exactly the snapshot files. Files
+    * appended concurrently (after the listing) are never touched.
+    * The snapshot folds byte-identical replay duplicates, so repeated
+    * crash/re-run cycles converge instead of accreting copies.
+    */
+  private def rewriteLeaf(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      leaf: org.apache.hadoop.fs.Path,
+      tmpLeaf: org.apache.hadoop.fs.Path,
+      transform: DataFrame => DataFrame): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val snapshot = fs.listStatus(leaf)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    if (snapshot.isEmpty) return
+    val out = transform(
+      spark.read.parquet(snapshot.map(_.getPath.toString).toSeq: _*)
+        .dropDuplicates())
+    if (!out.isEmpty) {
+      out.write.mode("overwrite").parquet(tmpLeaf.toString)
+      for (f <- fs.listStatus(tmpLeaf)
+           if f.isFile && f.getPath.getName.endsWith(".parquet")) {
+        val dst = new HPath(leaf, f.getPath.getName)
+        // Hadoop rename signals most failures via its return value;
+        // an unchecked false + the snapshot retirement below would
+        // drop rows whose replacement never arrived. Throw instead —
+        // originals are still in place and the run can be repeated.
+        if (!fs.rename(f.getPath, dst))
+          throw new java.io.IOException(
+            s"leaf rewrite: rename ${f.getPath} -> $dst failed; originals intact")
+      }
+    }
+    // commit point: replacements are all in the leaf; retire the
+    // snapshot files (an empty `out` means every row expired — the
+    // retirement IS the rewrite then)
+    snapshot.foreach(f => fs.delete(f.getPath, false))
+  }
+
+  /** Drop directories a retirement emptied — a schema-less directory
+    * poisons the next read, and an empty table root masquerades as an
+    * empty table with no schema. Non-recursive deletes: if a
+    * concurrent appender repopulated the directory between the check
+    * and the delete, the delete fails and the directory survives.
+    */
+  private def pruneEmptyDirs(
+      fs: org.apache.hadoop.fs.FileSystem,
+      tableRoot: org.apache.hadoop.fs.Path): Unit = {
+    if (!fs.exists(tableRoot)) return
+    for (ifaceDir <- fs.listStatus(tableRoot)
+         if ifaceDir.isDirectory && !isHidden(ifaceDir.getPath.getName)) {
+      for (dayDir <- fs.listStatus(ifaceDir.getPath) if dayDir.isDirectory)
+        if (fs.listStatus(dayDir.getPath).isEmpty)
+          try fs.delete(dayDir.getPath, false) catch { case _: java.io.IOException => () }
+      if (fs.listStatus(ifaceDir.getPath).isEmpty)
+        try fs.delete(ifaceDir.getPath, false) catch { case _: java.io.IOException => () }
+    }
+    if (!fs.listStatus(tableRoot).exists(st =>
+        st.isDirectory && !isHidden(st.getPath.getName)))
+      fs.delete(tableRoot, true)
+  }
+
+  /** Hadoop hidden-path convention: a concurrent Spark append keeps
+    * its in-flight task files under `_temporary` inside the table
+    * root — maintenance must never iterate into or prune those.
+    */
+  private def isHidden(name: String): Boolean =
+    name.startsWith("_") || name.startsWith(".")
+
   private def sweepAppendTable(spark: SparkSession, path: String, nowMs: Long): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
     val hpath = new HPath(path)
     val fs = hpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // adopt BOTH maintenance tmp roots before anything else — and
+    // before the missing-table early return: a sweep that emptied the
+    // table root while a compaction crash parked files under its tmp
+    // root is exactly the state that must recover here
+    adoptTmpLeaves(fs, hpath, new HPath(path + ".sweep.tmp"))
+    adoptTmpLeaves(fs, hpath, new HPath(path + ".compact.tmp"))
     if (!fs.exists(hpath)) return
-    restoreTmpLeaves(fs, hpath, new HPath(path + ".sweep.tmp"))
     val df = spark.read.parquet(path)
     if (!df.columns.contains("expiry_ms")) return
     val hit = df
@@ -297,34 +390,13 @@ final class AstarteStore(val root: String) {
     if (hit.isEmpty) return // the common case: nothing to do, touch nothing
     val tmpRoot = new HPath(path + ".sweep.tmp")
     hit.foreach { case (iface, day) =>
-      val leaf = new HPath(s"$path/iface=$iface/day=$day")
-      val live = spark.read.parquet(leaf.toString)
-        .filter(col("expiry_ms").isNull || col("expiry_ms") > nowMs)
-      if (live.isEmpty) {
-        // fully-expired partition: whole-directory drop, no rewrite
-        fs.delete(leaf, true)
-      } else {
-        val tmp = new HPath(s"$tmpRoot/iface=$iface/day=$day")
-        live.write.mode("overwrite").parquet(tmp.toString)
-        fs.delete(leaf, true)
-        // Hadoop rename signals most failures via its return value;
-        // the leaf is already gone, so an unchecked false here +
-        // the tmpRoot cleanup below would silently destroy the only
-        // copy of the live rows. Throw instead — tmp survives (the
-        // cleanup is skipped) and the sweep can be re-run.
-        if (!fs.rename(tmp, leaf))
-          throw new java.io.IOException(
-            s"retention sweep: rename $tmp -> $leaf failed; live rows preserved in $tmp")
-      }
+      rewriteLeaf(spark, fs,
+        new HPath(s"$path/iface=$iface/day=$day"),
+        new HPath(s"$tmpRoot/iface=$iface/day=$day"),
+        _.filter(col("expiry_ms").isNull || col("expiry_ms") > nowMs))
     }
     fs.delete(tmpRoot, true)
-    // dropped partitions may have emptied their iface dir, or the
-    // whole table: a schema-less directory poisons the next read
-    fs.listStatus(hpath).foreach { st =>
-      if (st.isDirectory && fs.listStatus(st.getPath).isEmpty)
-        fs.delete(st.getPath, false)
-    }
-    if (!fs.listStatus(hpath).exists(_.isDirectory)) fs.delete(hpath, true)
+    pruneEmptyDirs(fs, hpath)
   }
 
   /** Partition-pruned small-file compaction of an (iface, day)
@@ -332,9 +404,9 @@ final class AstarteStore(val root: String) {
     * per micro-batch per partition; at 100 TB that accretes into a
     * scan-killing file count (every file is an open/seek/footer-read
     * at planning time). Leaves with more than `maxFiles` data files
-    * are rewritten into one file via the same tmp-write + delete +
-    * rename swap (and the same rename-failure guard) as the retention
-    * sweep; every other leaf is never read and stays byte-identical.
+    * are rewritten into one file via the same file-granular in-leaf
+    * commit as the retention sweep (see the protocol note there);
+    * every other leaf is never read and stays byte-identical.
     * Listing cost is bounded by partition count, not row count.
     */
   def compactAppendTable(spark: SparkSession, path: String,
@@ -342,27 +414,22 @@ final class AstarteStore(val root: String) {
     import org.apache.hadoop.fs.{Path => HPath}
     val hpath = new HPath(path)
     val fs = hpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(hpath)) return
+    adoptTmpLeaves(fs, hpath, new HPath(path + ".sweep.tmp"))
     val tmpRoot = new HPath(path + ".compact.tmp")
-    restoreTmpLeaves(fs, hpath, tmpRoot)
+    adoptTmpLeaves(fs, hpath, tmpRoot)
+    if (!fs.exists(hpath)) return
     for {
-      ifaceDir <- fs.listStatus(hpath) if ifaceDir.isDirectory
-      dayDir <- fs.listStatus(ifaceDir.getPath) if dayDir.isDirectory
+      ifaceDir <- fs.listStatus(hpath)
+        if ifaceDir.isDirectory && !isHidden(ifaceDir.getPath.getName)
+      dayDir <- fs.listStatus(ifaceDir.getPath)
+        if dayDir.isDirectory && !isHidden(dayDir.getPath.getName)
     } {
       val dataFiles = fs.listStatus(dayDir.getPath)
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      if (dataFiles.length > maxFiles) {
-        val leaf = dayDir.getPath
-        val tmp = new HPath(
-          s"$tmpRoot/${ifaceDir.getPath.getName}/${leaf.getName}")
-        spark.read.parquet(leaf.toString)
-          .coalesce(1)
-          .write.mode("overwrite").parquet(tmp.toString)
-        fs.delete(leaf, true)
-        if (!fs.rename(tmp, leaf))
-          throw new java.io.IOException(
-            s"compaction: rename $tmp -> $leaf failed; rows preserved in $tmp")
-      }
+      if (dataFiles.length > maxFiles)
+        rewriteLeaf(spark, fs, dayDir.getPath,
+          new HPath(s"$tmpRoot/${ifaceDir.getPath.getName}/${dayDir.getPath.getName}"),
+          _.coalesce(1))
     }
     fs.delete(tmpRoot, true)
   }

@@ -395,4 +395,58 @@ class AstarteStoreSpec extends AnyFunSuite {
       java.nio.file.Paths.get(s"${store.datastreamPath}.compact.tmp")))
     assert(store.datastreams(spark).count() == rowsBefore)
   }
+
+  test("concurrent append + sweep/compact: no appended row is ever lost") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-store8").toString
+    val store = new AstarteStore(root)
+    val retained = InterfaceDescriptor("com.test.Retained", 1, 0,
+      InterfaceType.Datastream, Ownership.Device, Aggregation.Individual)
+    val reg2 = Registry(
+      Map(retained.name -> retained),
+      Map(retained.name -> Seq(
+        Mapping(retained.name, 1, "/v", AInteger, expirySeconds = 10))),
+      Nil)
+    val t0 = 15216455705950000L // decimicros
+    val nowMs = t0 / 10000
+    // seed an expired row so every sweep round has rewrite work in
+    // the SAME (iface, day) leaf the appender is landing new files in
+    store.applyEffects(DeviceStateMachine.processBatch(Seq(
+      Envelope("realm", "dev", "data", retained.name, "/v",
+        Bson.encode(Seq("v" -> 1)), t0, "ip", 1)).toDS(), reg2))
+
+    // appender thread: 12 single-row batches, offsets +20s..+31s so
+    // their expiry (+10s each) is beyond the sweep's `now` (= +11s)
+    // and the day partition stays the same
+    val appended = (0 until 12).map(i => 100 + i)
+    val appenderError = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val appender = new Thread(() => {
+      try appended.zipWithIndex.foreach { case (v, i) =>
+        store.applyEffects(DeviceStateMachine.processBatch(Seq(
+          Envelope("realm", "dev", "data", retained.name, "/v",
+            Bson.encode(Seq("v" -> v)), t0 + (20 + i) * 10000000L, "ip",
+            10 + i)).toDS(), reg2))
+      } catch { case t: Throwable => appenderError.set(t) }
+    })
+    appender.start()
+    // maintenance loop racing the appender: each round rewrites the
+    // hot leaf (sweep always finds the expired seed's partition dirty
+    // until the seed file is retired; compaction keeps merging the
+    // appender's file spray)
+    (1 to 6).foreach { _ =>
+      store.sweepRetention(spark, nowMs + 11000)
+      store.compactAppendTable(spark, store.datastreamPath, maxFiles = 2)
+    }
+    appender.join()
+    assert(appenderError.get() == null,
+      s"appender thread failed: ${appenderError.get()}")
+    // one final quiesced round so every appended file has seen at
+    // least one sweep (the seed must be gone, appended rows intact)
+    store.sweepRetention(spark, nowMs + 11000)
+    store.compactAppendTable(spark, store.datastreamPath, maxFiles = 2)
+
+    val vals = store.datastreams(spark)
+      .select("integer_value").collect().map(_.getInt(0)).sorted.toSeq
+    assert(vals == appended, s"rows lost or duplicated: $vals")
+  }
 }
