@@ -229,6 +229,55 @@ object AnalyticsQueries extends QueryPack {
       .agg(sum(col("bit")).as("bucket"))
   }
 
+  /** Brute-force cosine top-k for queries `vec_id < maxQid` — the
+    * exact ground truth the ANN paths are audited against
+    * (`sim_topk_bf`, and `sim_recall`'s truth set). Deliberately a
+    * crossJoin: this is the oracle baseline, never a serving path.
+    */
+  private[queries] def bfTopK(s: SparkSession, d: String,
+      maxQid: Int, k: Int): DataFrame = {
+    val e = quantEmb(s, d)
+    val q = e.filter(col("vec_id") < maxQid)
+      .select(col("vec_id").as("qid"), col("q").as("qe"),
+        col("qnorm"))
+    val n = e.select(col("vec_id").as("nid"), col("q").as("ne"),
+      col("qnorm").as("nnorm"))
+    val scored = q.crossJoin(n)
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cosine",
+        round(expr("vector_dot_long(qe, ne)").cast("double") /
+          (col("qnorm") * col("nnorm")), 4))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("cosine"), col("rank"))
+  }
+
+  /** LSH-bucketed two-stage retrieval top-k: bucket candidate
+    * generation, then exact cosine rerank of candidates only — the
+    * pair join is keyed on the bucket, never query×corpus.
+    */
+  private[queries] def lshTopK(s: SparkSession, d: String,
+      maxQid: Int, k: Int): DataFrame = {
+    val e = quantEmb(s, d).join(lshBuckets(s, d), "vec_id")
+    val q = e.filter(col("vec_id") < maxQid)
+      .select(col("vec_id").as("qid"), col("q").as("qe"),
+        col("qnorm"), col("bucket"))
+    val n = e.select(col("vec_id").as("nid"), col("q").as("ne"),
+      col("qnorm").as("nnorm"), col("bucket").as("nbucket"))
+    val scored = q.join(n,
+        col("bucket") === col("nbucket") && col("qid") =!= col("nid"))
+      .withColumn("cosine",
+        round(expr("vector_dot_long(qe, ne)").cast("double") /
+          (col("qnorm") * col("nnorm")), 4))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("cosine"), col("rank"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup: hash-groupBy; keeper = min doc_id per content hash.
@@ -448,24 +497,7 @@ object AnalyticsQueries extends QueryPack {
     // Brute-force cosine top-k (the ANN baseline): 20 query vectors
     // against the full set via vector_dot; rank on rounded cosine +
     // id tie-break so the cut is engine-stable.
-    "sim_topk_bf" -> ((s, d) => {
-      val e = quantEmb(s, d)
-      val q = e.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("qid"), col("q").as("qe"),
-          col("qnorm"))
-      val n = e.select(col("vec_id").as("nid"), col("q").as("ne"),
-        col("qnorm").as("nnorm"))
-      val scored = q.crossJoin(n)
-        .filter(col("qid") =!= col("nid"))
-        .withColumn("cosine",
-          round(expr("vector_dot_long(qe, ne)").cast("double") /
-            (col("qnorm") * col("nnorm")), 4))
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("cosine").desc, col("nid").asc)
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("qid"), col("nid"), col("cosine"), col("rank"))
-    }),
+    "sim_topk_bf" -> ((s, d) => bfTopK(s, d, maxQid = 20, k = 5)),
 
     // LSH-bucketed ANN (the scale path): 8 deterministic md5-derived
     // hyperplanes → 8-bit bucket per vector. Plane vectors are
@@ -479,24 +511,7 @@ object AnalyticsQueries extends QueryPack {
     // rerank cost is (queries × bucket occupancy), not (queries × N);
     // the brute-force twin `sim_topk_bf` is this query's recall
     // oracle. Rank on rounded cosine + id tie-break (engine-stable).
-    "sim_lsh_topk" -> ((s, d) => {
-      val e = quantEmb(s, d).join(lshBuckets(s, d), "vec_id")
-      val q = e.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("qid"), col("q").as("qe"),
-          col("qnorm"), col("bucket"))
-      val n = e.select(col("vec_id").as("nid"), col("q").as("ne"),
-        col("qnorm").as("nnorm"), col("bucket").as("nbucket"))
-      val scored = q.join(n,
-          col("bucket") === col("nbucket") && col("qid") =!= col("nid"))
-        .withColumn("cosine",
-          round(expr("vector_dot_long(qe, ne)").cast("double") /
-            (col("qnorm") * col("nnorm")), 4))
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("cosine").desc, col("nid").asc)
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select(col("qid"), col("nid"), col("cosine"), col("rank"))
-    }),
+    "sim_lsh_topk" -> ((s, d) => lshTopK(s, d, maxQid = 20, k = 3)),
 
     // Int8 vector quantization (the serving-layout compressor: 4×
     // smaller vectors, dot products in integer SIMD). Per vector:

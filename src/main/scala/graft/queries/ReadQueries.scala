@@ -77,40 +77,72 @@ object ReadQueries extends QueryPack {
     // step), probe = top-2 centroids per query, exact search only
     // inside probed partitions. At 100 TB this is the layout: cluster
     // once, route queries to nprobe partitions, never scan the rest.
-    "sim_ivf" -> ((s, d) => {
-      // quantized centroids ("train") + exact-integer probe/search —
-      // shared lineage with sim_centroid_outlier/dd_semantic_dedup
-      // (AnalyticsQueries.quantEmb/labelCentroids), so the whole ANN
-      // family scores with the same deterministic arithmetic
-      val cent = AnalyticsQueries.labelCentroids(s, d)
-        .withColumnRenamed("clabel", "label")
-      val e = AnalyticsQueries.quantEmb(s, d)
-      val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("q").as("qe"),
-          col("qnorm"))
-      // probe: rank centroids per query
-      val probe = q.crossJoin(broadcast(cent))
-        .withColumn("pcos",
-          round(expr("vector_dot_long(qe, carr)").cast("double") /
-            (col("qnorm") * col("cnorm")), 4))
-      val wp = Window.partitionBy(col("qid")).orderBy(col("pcos").desc, col("label").asc)
-      val probed = probe.withColumn("prank", row_number().over(wp))
-        .filter(col("prank") <= 2)
-        .select(col("qid"), col("qe"), col("qnorm"), col("label"))
-      // exact search within probed labels only
-      val n = e.select(col("vec_id").as("nid"), col("label").as("nlabel"),
-        col("q").as("ne"), col("qnorm").as("nnorm"))
-      val scored = probed.join(n, col("label") === col("nlabel"))
-        .filter(col("qid") =!= col("nid"))
-        .withColumn("cosine",
-          round(expr("vector_dot_long(qe, ne)").cast("double") /
-            (col("qnorm") * col("nnorm")), 4))
-      val ws = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid").asc)
-      scored.withColumn("rank", row_number().over(ws))
-        .filter(col("rank") <= 3)
-        .select(col("qid"), col("nid"), col("cosine"), col("rank"))
+    "sim_ivf" -> ((s, d) => ivfTopK(s, d, maxQid = 10, k = 3, nprobe = 2)),
+
+    // ANN recall audit: recall@3 of the two serving paths (LSH
+    // bucket+rerank, IVF probe) against the brute-force exact top-3 —
+    // the query that makes `sim_topk_bf` load-bearing (it IS the
+    // ground truth) and keeps the serving paths honest as data
+    // changes. Integer hits and basis-point recall: no float compare.
+    "sim_recall" -> ((s, d) => {
+      import s.implicits._
+      val truth = AnalyticsQueries.bfTopK(s, d, maxQid = 10, k = 3)
+        .select(col("qid"), col("nid"))
+      val ann = AnalyticsQueries.lshTopK(s, d, maxQid = 10, k = 3)
+        .select(lit("lsh").as("method"), col("qid"), col("nid"))
+        .unionByName(ivfTopK(s, d, maxQid = 10, k = 3, nprobe = 2)
+          .select(lit("ivf").as("method"), col("qid"), col("nid")))
+      val hits = ann.join(truth, Seq("qid", "nid"))
+        .groupBy(col("method"), col("qid"))
+        .agg(count(lit(1)).as("hits"))
+      // every (method, probe) row survives even at 0 hits — a sparse
+      // bucket must read as recall 0, not as a missing row
+      val base = truth.select(col("qid")).distinct()
+        .crossJoin(Seq("lsh", "ivf").toDF("method"))
+      base.join(hits, Seq("method", "qid"), "left")
+        .select(col("method"), col("qid"),
+          coalesce(col("hits"), lit(0L)).as("hits"))
+        .withColumn("recall_bp", expr("hits * 10000 div 3"))
     })
   )
+
+  /** IVF-style ANN top-k: quantized per-label centroids (the "train"
+    * step, shared with sim_centroid_outlier/dd_semantic_dedup via
+    * AnalyticsQueries.labelCentroids), probe = top-`nprobe` centroids
+    * per query, exact integer-dot search only inside probed
+    * partitions. At 100 TB this is the layout: cluster once, route
+    * queries to nprobe partitions, never scan the rest.
+    */
+  private[queries] def ivfTopK(s: SparkSession, d: String,
+      maxQid: Int, k: Int, nprobe: Int): DataFrame = {
+    val cent = AnalyticsQueries.labelCentroids(s, d)
+      .withColumnRenamed("clabel", "label")
+    val e = AnalyticsQueries.quantEmb(s, d)
+    val q = e.filter(col("vec_id") < maxQid)
+      .select(col("vec_id").as("qid"), col("q").as("qe"),
+        col("qnorm"))
+    // probe: rank centroids per query
+    val probe = q.crossJoin(broadcast(cent))
+      .withColumn("pcos",
+        round(expr("vector_dot_long(qe, carr)").cast("double") /
+          (col("qnorm") * col("cnorm")), 4))
+    val wp = Window.partitionBy(col("qid")).orderBy(col("pcos").desc, col("label").asc)
+    val probed = probe.withColumn("prank", row_number().over(wp))
+      .filter(col("prank") <= nprobe)
+      .select(col("qid"), col("qe"), col("qnorm"), col("label"))
+    // exact search within probed labels only
+    val n = e.select(col("vec_id").as("nid"), col("label").as("nlabel"),
+      col("q").as("ne"), col("qnorm").as("nnorm"))
+    val scored = probed.join(n, col("label") === col("nlabel"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cosine",
+        round(expr("vector_dot_long(qe, ne)").cast("double") /
+          (col("qnorm") * col("nnorm")), 4))
+    val ws = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(ws))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("cosine"), col("rank"))
+  }
 
   override def oracle: Map[String, String] = Map(
     "r1_triggers_by_object" ->
@@ -189,6 +221,100 @@ object ReadQueries extends QueryPack {
         |SELECT qid, nid, cosine, rank FROM (
         |  SELECT *, row_number() OVER (
         |    PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
-        |  FROM scored) WHERE rank <= 3""".stripMargin
+        |  FROM scored) WHERE rank <= 3""".stripMargin,
+    "sim_recall" ->
+      """WITH f AS (
+        |  SELECT vec_id, label, generate_subscripts(embedding,1) AS idx,
+        |    floor(unnest(embedding)::DOUBLE * 1000000)::BIGINT AS qv
+        |  FROM embeddings),
+        |norms AS (
+        |  SELECT vec_id, sqrt(sum(qv*qv)::DOUBLE) AS norm FROM f GROUP BY 1),
+        |bfdots AS (
+        |  SELECT q.vec_id AS qid, n.vec_id AS nid,
+        |    sum(q.qv * n.qv)::DOUBLE AS dot
+        |  FROM f q JOIN f n ON q.idx = n.idx AND q.vec_id <> n.vec_id
+        |  WHERE q.vec_id < 10
+        |  GROUP BY 1, 2),
+        |truth AS (
+        |  SELECT qid, nid FROM (
+        |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+        |      ORDER BY round(dot / (nq.norm * nn.norm), 4) DESC, nid ASC) AS rank
+        |    FROM bfdots JOIN norms nq ON nq.vec_id = qid
+        |    JOIN norms nn ON nn.vec_id = nid) WHERE rank <= 3),
+        |planes AS (
+        |  SELECT p.plane, d.dim,
+        |    ('0x' || substr(md5(p.plane || ',' || d.dim),1,4))::INT % 16 - 8 AS w
+        |  FROM (SELECT unnest(generate_series(0,7)) AS plane) p,
+        |       (SELECT unnest(generate_series(0,63)) AS dim) d),
+        |pdots AS (
+        |  SELECT vec_id, plane, sum(qv * w) AS dot
+        |  FROM f JOIN planes ON f.idx = dim + 1
+        |  GROUP BY 1, 2),
+        |buckets AS (
+        |  SELECT vec_id,
+        |    sum(CASE WHEN dot > 0 THEN 1 << plane::INT ELSE 0 END)::BIGINT AS bucket
+        |  FROM pdots GROUP BY vec_id),
+        |lshcand AS (
+        |  SELECT q.vec_id AS qid, n.vec_id AS nid,
+        |    sum(q.qv * n.qv)::DOUBLE AS dot
+        |  FROM f q JOIN f n ON q.idx = n.idx AND q.vec_id <> n.vec_id
+        |  JOIN buckets bq ON bq.vec_id = q.vec_id
+        |  JOIN buckets bn ON bn.vec_id = n.vec_id AND bq.bucket = bn.bucket
+        |  WHERE q.vec_id < 10
+        |  GROUP BY 1, 2),
+        |lshtop AS (
+        |  SELECT qid, nid FROM (
+        |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+        |      ORDER BY round(dot / (nq.norm * nn.norm), 4) DESC, nid ASC) AS rank
+        |    FROM lshcand JOIN norms nq ON nq.vec_id = qid
+        |    JOIN norms nn ON nn.vec_id = nid) WHERE rank <= 3),
+        |cent AS (
+        |  SELECT label, idx, sum(qv) AS sq, count(*) AS nq
+        |  FROM f GROUP BY 1, 2),
+        |centq AS (
+        |  SELECT label, idx, (sq - sq % nq) // nq AS cq FROM cent),
+        |cnorms AS (
+        |  SELECT label, sqrt(sum(cq*cq)::DOUBLE) AS cnorm
+        |  FROM centq GROUP BY 1),
+        |probe AS (
+        |  SELECT q.vec_id AS qid, c.label,
+        |    round(sum(q.qv * c.cq)::DOUBLE / (n.norm * cn.cnorm), 4) AS pcos
+        |  FROM f q JOIN centq c ON q.idx = c.idx
+        |  JOIN norms n ON n.vec_id = q.vec_id
+        |  JOIN cnorms cn ON cn.label = c.label
+        |  WHERE q.vec_id < 10
+        |  GROUP BY q.vec_id, c.label, n.norm, cn.cnorm),
+        |probed AS (
+        |  SELECT qid, label FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY qid ORDER BY pcos DESC, label ASC) AS prank
+        |    FROM probe) WHERE prank <= 2),
+        |ivfdots AS (
+        |  SELECT p.qid, n.vec_id AS nid, sum(q.qv * n.qv)::DOUBLE AS dot
+        |  FROM probed p
+        |  JOIN f n ON n.label = p.label
+        |  JOIN f q ON q.vec_id = p.qid AND q.idx = n.idx
+        |  WHERE n.vec_id <> p.qid
+        |  GROUP BY 1, 2),
+        |ivftop AS (
+        |  SELECT qid, nid FROM (
+        |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+        |      ORDER BY round(dot / (nq.norm * nn.norm), 4) DESC, nid ASC) AS rank
+        |    FROM ivfdots JOIN norms nq ON nq.vec_id = qid
+        |    JOIN norms nn ON nn.vec_id = nid) WHERE rank <= 3),
+        |ann AS (
+        |  SELECT 'lsh' AS method, qid, nid FROM lshtop
+        |  UNION ALL
+        |  SELECT 'ivf' AS method, qid, nid FROM ivftop),
+        |hits AS (
+        |  SELECT a.method, a.qid, count(*) AS hits
+        |  FROM ann a JOIN truth t ON t.qid = a.qid AND t.nid = a.nid
+        |  GROUP BY 1, 2),
+        |base AS (SELECT DISTINCT qid FROM truth),
+        |methods AS (SELECT unnest(['lsh','ivf']) AS method)
+        |SELECT m.method, b.qid, coalesce(h.hits, 0)::BIGINT AS hits,
+        |  (coalesce(h.hits, 0) * 10000 // 3)::BIGINT AS recall_bp
+        |FROM base b CROSS JOIN methods m
+        |LEFT JOIN hits h ON h.method = m.method AND h.qid = b.qid""".stripMargin
   )
 }

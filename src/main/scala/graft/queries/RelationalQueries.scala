@@ -144,21 +144,38 @@ object RelationalQueries extends QueryPack {
     // within event_type); at 100 TB the same shape runs per-partition
     // or swaps in a sketch when approximation is acceptable.
     // Rolling 24h aggregate per event type: a RANGE-frame window (time
-    // units, not row counts) — value sums in exact integer cents. One
-    // shuffle on the type key; the frame is evaluated in a single
-    // sorted pass per partition, no self-join. At scale the partition
-    // count is the type cardinality — salt the key if a type dominates.
+    // units, not row counts) — value sums in exact integer cents.
+    // Time-CHUNKED two-stage evaluation, not one partition per type:
+    // each row is routed to its own 24h chunk (as an emitting row) AND
+    // to the next chunk (as a frame contributor only), the window
+    // partitions on (type, chunk), and a row's [-24h, 0] frame is then
+    // fully contained in its partition — own-chunk rows cover [chunk
+    // start, t], the previous chunk's contributor copies cover [t-24h,
+    // chunk start). Exactly-once by construction: contributor copies
+    // sit strictly before the chunk boundary, own rows at-or-after it.
+    // Cost: 2× shuffle volume, but parallelism = types × chunks
+    // instead of being capped by type cardinality — a single dominant
+    // type no longer serializes the whole pass on one task (the skew
+    // shape a per-type window cannot escape at 100 TB).
     "q_rolling_24h" -> ((s, d) => {
-      val w = Window.partitionBy(col("event_type"))
-        .orderBy(col("ts_ms"))
-        .rangeBetween(-86400000L, 0L)
-      Tables.events(s, d)
+      val W = 86400000L
+      val base = Tables.events(s, d)
         .filter(col("value").isNotNull)
         .select(col("event_id"), col("event_type"),
           expr("ts div 1000000").as("ts_ms"),
           round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("chunk", expr(s"ts_ms div $W"))
+      val parts = base.withColumn("own", lit(true))
+        .unionByName(base
+          .withColumn("chunk", col("chunk") + 1)
+          .withColumn("own", lit(false)))
+      val w = Window.partitionBy(col("event_type"), col("chunk"))
+        .orderBy(col("ts_ms"))
+        .rangeBetween(-W, 0L)
+      parts
         .withColumn("n_24h", count(lit(1)).over(w))
         .withColumn("sum_cents_24h", sum(col("cents")).over(w))
+        .filter(col("own"))
         .select(col("event_id"), col("event_type"),
           col("n_24h"), col("sum_cents_24h"))
     }),

@@ -228,6 +228,17 @@ class PlanSpec extends AnyFunSuite {
       s"logprob join not keyed on token:\n${joins.mkString("\n")}")
   }
 
+  test("rolling 24h window partitions on the time chunk, not the bare type") {
+    // the skew guarantee: the RANGE-frame window must partition on
+    // (event_type, chunk) so a dominant event type spreads over
+    // time-chunk tasks instead of serializing on one; a bare
+    // per-type partitioning caps parallelism at type cardinality
+    val p = plan("q_rolling_24h")
+    val windows = p.linesIterator.filter(_.contains("Window")).toList
+    assert(windows.exists(l => l.contains("chunk")),
+      s"rolling window not chunk-partitioned:\n${windows.mkString("\n")}")
+  }
+
   test("range join probes on the time bucket, never a nested-loop interval scan") {
     // the bucketed-range-join guarantee: the interval predicate rides
     // on an EQUI-join on the bucket; a BETWEEN-only join would plan as
