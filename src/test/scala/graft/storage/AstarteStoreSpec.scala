@@ -396,6 +396,78 @@ class AstarteStoreSpec extends AnyFunSuite {
     assert(store.datastreams(spark).count() == rowsBefore)
   }
 
+  test("minor bump under live traffic: object table grows the column, old rows read NULL") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-evolve").toString
+    val store = new AstarteStore(root)
+    val objV5 = InterfaceDescriptor("com.example.TestObject", 1, 5,
+      InterfaceType.Datastream, Ownership.Device, Aggregation.Object)
+    val mapsV5 = Seq(
+      Mapping(objV5.name, 1, "/string", AString),
+      Mapping(objV5.name, 1, "/value", ADouble))
+    val objV6 = objV5.copy(minor = 6)
+    val mapsV6 = mapsV5 :+ Mapping(objV6.name, 1, "/extra", ALongInteger)
+    val minTrig = Trigger("tmin", TriggerEventType.InterfaceMinorUpdated,
+      TriggerScope.AnyInterface, None, MatchOperator.Any, null,
+      List("test_events"))
+    val regV5 = Registry(Map(objV5.name -> objV5),
+      Map(objV5.name -> mapsV5), Seq(minTrig))
+    val regV6 = Registry(Map(objV6.name -> objV6),
+      Map(objV6.name -> mapsV6), Seq(minTrig))
+    val provider = new DeviceStateMachine.MutableRegistryProvider(regV5)
+
+    implicit val sqlCtx = spark.sqlContext
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Envelope]
+    val effects = DeviceStateMachine.processStream(input.toDS(), provider)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[EffectRow]
+    val q = effects.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[EffectRow], _: Long) =>
+        store.applyEffects(batch)
+        seen.synchronized { seen ++= batch.collect() }
+        ()
+      }.start()
+    try {
+      val t0 = 15216455705950000L
+      def objMsg(v: Map[String, Any], off: Long) =
+        Envelope("r", "dev", "data", objV5.name, "/",
+          Bson.encode(Seq("v" -> scala.collection.immutable.ListMap(
+            v.toSeq.sortBy(_._1): _*))),
+          t0 + off * 10000, "ip", off)
+      // micro-batch 1 under v1.5: announce + one full object row
+      input.addData(
+        Envelope("r", "dev", "introspection", null, null,
+          s"${objV5.name}:1:5".getBytes, t0, "ip", 1),
+        objMsg(Map("string" -> "aaa", "value" -> 1.1), 2))
+      q.processAllAvailable()
+      // live upgrade: the provider now serves v1.6 with /extra; the
+      // RUNNING query re-reads it on the next micro-batch
+      provider.update(regV6)
+      input.addData(
+        Envelope("r", "dev", "introspection", null, null,
+          s"${objV6.name}:1:6".getBytes, t0 + 100000, "ip", 3),
+        objMsg(Map("extra" -> 7L, "string" -> "bbb", "value" -> 2.2), 4))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // the bump was observed across micro-batch state and announced
+    val bump = seen.filter(_.eventType == "interface_minor_updated")
+    assert(bump.map(_.detail).toSeq == Seq("5->6"))
+    // reading with the v1.6 registry: the new column exists, the
+    // pre-bump row reads NULL for it, the post-bump row populates it
+    // — pure projection change, no data rewrite
+    val rows = store.objectTable(spark, objV6, mapsV6)
+      .orderBy("reception_timestamp").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[String]("v_string") == "aaa")
+    assert(rows(0).isNullAt(rows(0).fieldIndex("v_extra")))
+    assert(rows(1).getAs[String]("v_string") == "bbb")
+    assert(rows(1).getAs[Long]("v_extra") == 7L)
+    // and the folded device row carries the new minor
+    val dev = store.devicesSnapshot(spark).collect().head
+    assert(dev.introspection_minor == Map(objV5.name -> 6))
+  }
+
   test("concurrent append + sweep/compact: no appended row is ever lost") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-store8").toString

@@ -164,6 +164,44 @@ class DeviceProcessorSpec extends AnyFunSuite {
     assert(fx2.exists(_.kind == "error"))
   }
 
+  test("minor bump: interface_minor_updated fires and the new leaf is registry-gated") {
+    import scala.collection.immutable.ListMap
+    val objV6 = testObject.copy(minor = 6)
+    val mapsV6 = registry.mappings(testObject.name) :+
+      Mapping(testObject.name, 1, "/extra", ALongInteger)
+    val regV6 = Registry(
+      registry.interfaces + (testObject.name -> objV6),
+      registry.mappings + (testObject.name -> mapsV6),
+      registry.triggers :+ Trigger("tmin", TriggerEventType.InterfaceMinorUpdated,
+        TriggerScope.AnyInterface, None, MatchOperator.Any, null,
+        List("test_events")))
+    val s0 = DeviceSessionState.empty.copy(
+      introspection = Map(testObject.name -> 1),
+      introspectionMinor = Map(testObject.name -> 5))
+    // a payload carrying the new leaf is rejected while the registry
+    // still serves v1.5 — the schema gate is registry-driven
+    val payload = Bson.encode(Seq("v" -> ListMap(
+      "extra" -> 7L, "string" -> "bbb", "value" -> 2.2)))
+    val (_, rej) = DeviceProcessor.processMessage(s0,
+      env("data", testObject.name, "/", payload), registry)
+    assert(rej.exists(e => e.kind == "error" && e.detail == "unexpected_value_type"))
+    // announcing v1.6 under the upgraded registry fires the minor
+    // bump event with old->new in the detail (reference
+    // data_updater_test.exs interface upgrade scenario)
+    val (s1, fx) = DeviceProcessor.processMessage(s0,
+      env("introspection", payload = s"${testObject.name}:1:6".getBytes), regV6)
+    val bump = fx.filter(_.eventType == "interface_minor_updated")
+    assert(bump.map(_.detail) == Seq("5->6"))
+    assert(bump.head.iface == testObject.name && bump.head.major == 1)
+    assert(!fx.exists(_.eventType == "interface_added"))
+    assert(s1.introspectionMinor(testObject.name) == 6)
+    // the same payload now routes as an object append
+    val (_, ok) = DeviceProcessor.processMessage(s1,
+      env("data", testObject.name, "/", payload), regV6)
+    assert(ok.exists(_.kind == "object_append"))
+    assert(!ok.exists(_.kind == "error"))
+  }
+
   test("server-owned interface rejects device writes (clean session)") {
     val (s, fx) = run(DeviceSessionState.empty,
       env("data", serverOwned.name, "/x", Bson.encode(Seq("v" -> "hi"))))
