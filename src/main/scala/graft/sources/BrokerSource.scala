@@ -1,0 +1,214 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `format("graft-broker")` — a DataSource V2 micro-batch streaming
+  * source whose partition readers are REAL network broker clients
+  * ([[BrokerClient]] over TCP), one per queue shard: the Spark shape
+  * of the reference's sharded AMQP consumers
+  * (`amqp_data_consumer/supervisor.ex:31-49` — one consumer per queue
+  * shard, FIFO within a shard).
+  *
+  * Scale/semantics design, mirroring the Kafka connector:
+  *   - offsets are a per-shard cursor map, serialized into the query
+  *     checkpoint — exactly-once replay after restart comes from the
+  *     (start, end] offset ranges being deterministic, not from the
+  *     broker remembering consumers;
+  *   - shard discovery happens at every `latestOffset`, so a shard
+  *     added mid-stream (a rebalance/scale-out) is picked up on the
+  *     next micro-batch with its cursor starting at 0;
+  *   - `maxRecordsPerTrigger` bounds a micro-batch through Spark's
+  *     admission control (`SupportsAdmissionControl`), split evenly
+  *     across shards — the AMQP prefetch_count analogue, keeping the
+  *     per-device in-memory sort slice bounded downstream;
+  *   - one input partition per shard: Spark schedules one reader task
+  *     per shard, preserving shard FIFO within a micro-batch, and
+  *     per-device total order is restored downstream by the state
+  *     machine's (reception, offset) sort.
+  *
+  * Rows come out in the Kafka source schema
+  * ([[graft.streaming.WireRecord]]), so
+  * [[graft.streaming.WireSource.decodeEnvelopes]] consumes this
+  * source and the Kafka source interchangeably.
+  */
+class BrokerSourceProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-broker"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    BrokerSourceProvider.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    val host = Option(properties.get("host")).getOrElse("localhost")
+    val port = Option(properties.get("port")).map(_.toInt).getOrElse(
+      throw new IllegalArgumentException("graft-broker: option 'port' is required"))
+    val maxPerTrigger = Option(properties.get("maxrecordspertrigger")).map(_.toLong)
+    new BrokerTable(host, port, maxPerTrigger)
+  }
+}
+
+object BrokerSourceProvider {
+  /** The Kafka record shape — byte-compatible with WireSource's
+    * expectations (key, value, topic, partition, offset, timestamp,
+    * timestampType, headers).
+    */
+  val schema: StructType =
+    org.apache.spark.sql.Encoders.product[graft.streaming.WireRecord].schema
+}
+
+private[sources] class BrokerTable(
+    host: String, port: Int, maxPerTrigger: Option[Long]) extends Table with SupportsRead {
+  override def name(): String = s"graft-broker://$host:$port"
+  override def schema(): StructType = BrokerSourceProvider.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = BrokerSourceProvider.schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new BrokerMicroBatchStream(host, port, maxPerTrigger)
+      }
+    }
+}
+
+/** Per-shard end-offset cursor map. JSON form: `{"0":12,"1":40}` —
+  * shard id → first offset NOT consumed (exclusive end).
+  */
+private[sources] final case class BrokerOffset(ends: Map[Int, Long]) extends Offset {
+  override def json(): String =
+    ends.toSeq.sortBy(_._1)
+      .map { case (s, o) => s""""$s":$o""" }
+      .mkString("{", ",", "}")
+}
+
+private[sources] object BrokerOffset {
+  private val entry = """"(\d+)"\s*:\s*(\d+)""".r
+  def parse(json: String): BrokerOffset =
+    BrokerOffset(entry.findAllMatchIn(json)
+      .map(m => m.group(1).toInt -> m.group(2).toLong).toMap)
+}
+
+private[sources] class BrokerMicroBatchStream(
+    host: String, port: Int, maxPerTrigger: Option[Long])
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  // driver-side control connection (offset discovery only — data
+  // moves over the per-partition executor connections)
+  private lazy val control = new BrokerClient(host, port)
+
+  override def initialOffset(): Offset = BrokerOffset(Map.empty)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this method")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[BrokerOffset].ends
+    val ends = control.endOffsets()
+    val capped = limit match {
+      case r: ReadMaxRows =>
+        // split the cap evenly across shards — each shard advances at
+        // most perShard cursors this micro-batch (prefetch bounding)
+        val perShard = math.max(1L, r.maxRows() / math.max(1, ends.length))
+        ends.zipWithIndex.map { case (end, s) =>
+          s -> math.min(end, from.getOrElse(s, 0L) + perShard)
+        }
+      case _ =>
+        ends.zipWithIndex.map { case (end, s) => s -> end }
+    }
+    BrokerOffset(capped.toMap)
+  }
+
+  override def deserializeOffset(json: String): Offset = BrokerOffset.parse(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[BrokerOffset].ends
+    val until = end.asInstanceOf[BrokerOffset].ends
+    until.toSeq.sortBy(_._1).flatMap { case (shard, hi) =>
+      val lo = from.getOrElse(shard, 0L)
+      if (hi > lo) Some(BrokerInputPartition(host, port, shard, lo, hi): InputPartition)
+      else None
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BrokerReaderFactory
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit =
+    try control.close() catch { case _: Throwable => () }
+}
+
+private[sources] final case class BrokerInputPartition(
+    host: String, port: Int, shard: Int, from: Long, until: Long)
+    extends InputPartition
+
+private[sources] class BrokerReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[BrokerInputPartition]
+    new BrokerPartitionReader(p)
+  }
+}
+
+/** One shard's (from, until] slice, fetched over a dedicated client
+  * connection in bounded chunks — the executor never holds more than
+  * a chunk of raw records beyond the row it is emitting.
+  */
+private[sources] class BrokerPartitionReader(p: BrokerInputPartition)
+    extends PartitionReader[InternalRow] {
+
+  private val ChunkSize = 4096
+  private val client = new BrokerClient(p.host, p.port)
+  private var cursor = p.from
+  private var buffer: Iterator[BrokerRecord] = Iterator.empty
+  private var current: BrokerRecord = _
+
+  override def next(): Boolean = {
+    if (!buffer.hasNext && cursor < p.until) {
+      val want = math.min(ChunkSize.toLong, p.until - cursor).toInt
+      val recs = client.fetch(p.shard, cursor, want)
+      if (recs.isEmpty)
+        throw new java.io.IOException(
+          s"broker shard ${p.shard}: offsets [$cursor, ${p.until}) vanished " +
+            "(planned range no longer fetchable)")
+      cursor = recs.last.offset + 1
+      buffer = recs.iterator
+    }
+    if (buffer.hasNext) { current = buffer.next(); true } else false
+  }
+
+  override def get(): InternalRow = {
+    val headers = new GenericArrayData(current.headers.map { case (k, v) =>
+      new GenericInternalRow(Array[Any](UTF8String.fromString(k), v))
+    }.toArray[Any])
+    new GenericInternalRow(Array[Any](
+      current.key,
+      current.value,
+      UTF8String.fromString("graft-broker"),
+      p.shard,
+      current.offset,
+      current.tsMs * 1000L, // TimestampType = epoch micros
+      0,
+      headers))
+  }
+
+  override def close(): Unit =
+    try client.close() catch { case _: Throwable => () }
+}

@@ -1,0 +1,208 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
+import java.net.{ServerSocket, Socket}
+
+/** One record as it lives in a broker shard queue: assigned offset,
+  * broker-side publish timestamp, opaque key/value, and routing
+  * headers — the wire shape of the reference's AMQP deliveries
+  * (`amqp_data_consumer.ex:109-165`: payload + `x_astarte_*` headers
+  * per message, FIFO within a queue shard).
+  */
+final case class BrokerRecord(
+    offset: Long,
+    tsMs: Long,
+    key: Array[Byte],
+    value: Array[Byte],
+    headers: Seq[(String, Array[Byte])])
+
+/** A minimal in-JVM TCP message broker with sharded FIFO queues — the
+  * stand-in for the reference's AMQP broker in an environment that
+  * ships no broker client jar. It exists so the CLIENT path is real:
+  * [[BrokerClient]] (and the `graft-broker` Spark source built on it,
+  * [[BrokerSourceProvider]]) speaks an actual length-framed binary
+  * protocol over an actual socket, with offset-based fetch,
+  * per-shard end offsets, and a live shard-add (the consumer-group
+  * rebalance hook). Swapping in a managed broker changes the server
+  * side only.
+  *
+  * Protocol (DataInput/Output framing, one request-response per
+  * round-trip, thread per connection):
+  *   0 SHARDS      ()                         → int count
+  *   1 END_OFFSETS ()                         → int n, n × long
+  *   2 FETCH       (int shard, long from,
+  *                  int max)                  → int n, n × record
+  *   3 PUBLISH     (int shard, key, value,
+  *                  int nHeaders × header)    → long offset
+  *   4 ADD_SHARD   ()                         → int newCount
+  * record = long offset, long tsMs, key, value, int nHeaders × header
+  * key/value = int len + bytes (len -1 = null); header = UTF key + bytes value
+  */
+final class MessageBroker(requestedPort: Int = 0) extends AutoCloseable {
+
+  private val server = new ServerSocket(requestedPort)
+  /** The bound port (ephemeral when requestedPort = 0). */
+  val port: Int = server.getLocalPort
+
+  private val shards =
+    scala.collection.mutable.ArrayBuffer(newShard())
+  private def newShard() =
+    scala.collection.mutable.ArrayBuffer.empty[BrokerRecord]
+  @volatile private var running = true
+
+  // --- queue operations (also the server-side API for tests) -------------
+
+  def shardCount: Int = synchronized(shards.length)
+
+  def addShard(): Int = synchronized { shards += newShard(); shards.length }
+
+  def endOffsets: Seq[Long] = synchronized(shards.map(_.length.toLong).toSeq)
+
+  def publish(shard: Int, key: Array[Byte], value: Array[Byte],
+      headers: Seq[(String, Array[Byte])]): Long = synchronized {
+    val q = shards(shard)
+    val off = q.length.toLong
+    q += BrokerRecord(off, System.currentTimeMillis(), key, value, headers)
+    off
+  }
+
+  def fetch(shard: Int, from: Long, max: Int): Seq[BrokerRecord] = synchronized {
+    if (shard < 0 || shard >= shards.length || from >= shards(shard).length) Nil
+    else {
+      val q = shards(shard)
+      val lo = math.max(0L, from).toInt
+      val hi = math.min(q.length.toLong, from + math.max(0, max)).toInt
+      q.slice(lo, hi).toList
+    }
+  }
+
+  // --- the socket server --------------------------------------------------
+
+  private val acceptor = new Thread(() => {
+    while (running) {
+      try {
+        val sock = server.accept()
+        val t = new Thread(() => serve(sock))
+        t.setDaemon(true)
+        t.start()
+      } catch { case _: Throwable => () /* closed */ }
+    }
+  }, s"graft-broker-$port")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  private def serve(sock: Socket): Unit = {
+    val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+    try {
+      while (running) {
+        in.readByte() match {
+          case 0 =>
+            out.writeInt(shardCount)
+          case 1 =>
+            val ends = endOffsets
+            out.writeInt(ends.length)
+            ends.foreach(out.writeLong)
+          case 2 =>
+            val (shard, from, max) = (in.readInt(), in.readLong(), in.readInt())
+            val recs = fetch(shard, from, max)
+            out.writeInt(recs.length)
+            recs.foreach { r =>
+              out.writeLong(r.offset); out.writeLong(r.tsMs)
+              BrokerWire.writeBytes(out, r.key); BrokerWire.writeBytes(out, r.value)
+              out.writeInt(r.headers.length)
+              r.headers.foreach { case (k, v) =>
+                out.writeUTF(k); BrokerWire.writeBytes(out, v)
+              }
+            }
+          case 3 =>
+            val shard = in.readInt()
+            val key = BrokerWire.readBytes(in)
+            val value = BrokerWire.readBytes(in)
+            val n = in.readInt()
+            val hs = (1 to n).map(_ => in.readUTF() -> BrokerWire.readBytes(in))
+            out.writeLong(publish(shard, key, value, hs))
+          case 4 =>
+            out.writeInt(addShard())
+          case other =>
+            throw new java.io.IOException(s"unknown broker command $other")
+        }
+        out.flush()
+      }
+    } catch { case _: Throwable => () /* client went away */ }
+    finally sock.close()
+  }
+
+  override def close(): Unit = {
+    running = false
+    server.close()
+  }
+}
+
+private[sources] object BrokerWire {
+  def writeBytes(out: DataOutputStream, b: Array[Byte]): Unit =
+    if (b == null) out.writeInt(-1)
+    else { out.writeInt(b.length); out.write(b) }
+
+  def readBytes(in: DataInputStream): Array[Byte] = {
+    val n = in.readInt()
+    if (n < 0) null
+    else {
+      val b = new Array[Byte](n)
+      in.readFully(b)
+      b
+    }
+  }
+}
+
+/** The broker CLIENT — the code path the reference's AMQP consumer
+  * occupies (`amqp_data_consumer.ex`): a socket to the broker, offset
+  * cursors, batched fetch. One instance per user; calls are
+  * synchronized on the connection (one in-flight request per socket,
+  * like an AMQP channel). Used driver-side for offset discovery and
+  * executor-side by each input partition reader.
+  */
+final class BrokerClient(host: String, port: Int) extends AutoCloseable {
+  private val sock = new Socket(host, port)
+  private val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+  private val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+
+  def shardCount(): Int = synchronized {
+    out.writeByte(0); out.flush(); in.readInt()
+  }
+
+  def endOffsets(): Seq[Long] = synchronized {
+    out.writeByte(1); out.flush()
+    val n = in.readInt()
+    (1 to n).map(_ => in.readLong())
+  }
+
+  def fetch(shard: Int, from: Long, max: Int): Seq[BrokerRecord] = synchronized {
+    out.writeByte(2); out.writeInt(shard); out.writeLong(from); out.writeInt(max)
+    out.flush()
+    val n = in.readInt()
+    (1 to n).map { _ =>
+      val off = in.readLong(); val ts = in.readLong()
+      val key = BrokerWire.readBytes(in); val value = BrokerWire.readBytes(in)
+      val nh = in.readInt()
+      val hs = (1 to nh).map(_ => in.readUTF() -> BrokerWire.readBytes(in))
+      BrokerRecord(off, ts, key, value, hs)
+    }
+  }
+
+  def publish(shard: Int, key: Array[Byte], value: Array[Byte],
+      headers: Seq[(String, Array[Byte])]): Long = synchronized {
+    out.writeByte(3); out.writeInt(shard)
+    BrokerWire.writeBytes(out, key); BrokerWire.writeBytes(out, value)
+    out.writeInt(headers.length)
+    headers.foreach { case (k, v) => out.writeUTF(k); BrokerWire.writeBytes(out, v) }
+    out.flush()
+    in.readLong()
+  }
+
+  def addShard(): Int = synchronized {
+    out.writeByte(4); out.flush(); in.readInt()
+  }
+
+  override def close(): Unit = sock.close()
+}

@@ -41,6 +41,26 @@ object WireSource {
         .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger.toString)
         .load())
 
+  /** The in-repo broker client path (S1 with a REAL network client):
+    * `format("graft-broker")` connects [[graft.sources.BrokerClient]]
+    * partition readers to a [[graft.sources.MessageBroker]] over TCP —
+    * sharded FIFO queues, per-shard offset cursors in the checkpoint,
+    * live shard discovery — and decodes through the SAME pure-Column
+    * path as [[kafkaSource]]. This is the executable stand-in for the
+    * AMQP front door while no broker client jar ships; the managed-
+    * broker deployment swaps only the `format(...)` line.
+    */
+  def brokerSource(
+      spark: SparkSession, host: String, port: Int,
+      maxRecordsPerTrigger: Long = 100000L): Dataset[Envelope] =
+    decodeEnvelopes(
+      spark.readStream
+        .format("graft-broker")
+        .option("host", host)
+        .option("port", port.toString)
+        .option("maxRecordsPerTrigger", maxRecordsPerTrigger.toString)
+        .load())
+
   /** WireRecord-schema file spool as a REAL readStream source: a
     * broker bridge (AMQP consumer, Kafka Connect sink, …) lands
     * batches of raw records — key/value/headers untouched — as
