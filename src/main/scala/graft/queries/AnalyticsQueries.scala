@@ -57,13 +57,17 @@ object AnalyticsQueries extends QueryPack {
     * path's engine-dependent accumulation order could flip a
     * round(x,4) boundary or a nearest-centroid rank, silently
     * changing the whole in-cluster pair set. |q| ≤ 1e6, dims = 64 →
-    * every dot ≤ 6.4e13 « 2^63.
+    * every dot ≤ 6.4e13 « 2^63 (vector_dot_long accumulates in long).
+    * Elements are INT, not long: |q| « 2^31 for any |val| < 2000, and
+    * an int array shuffles in the same 4 bytes/element the raw float
+    * did — a long array would double the vector bytes on every
+    * pair-join shuffle for no extra exactness.
     */
   private[queries] def quantEmb(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     Tables.embeddings(s, d)
       .withColumn("q", transform(col("embedding"),
-        x => floor(x.cast("double") * lit(1000000.0))))
+        x => floor(x.cast("double") * lit(1000000.0)).cast("int")))
       .withColumn("qnorm",
         sqrt(expr("vector_dot_long(q, q)").cast("double")))
   }
@@ -159,7 +163,7 @@ object AnalyticsQueries extends QueryPack {
       // AND keeps it bounded by max|q| regardless of group size — an
       // exact sum-of-squares over raw per-label SUMS would overflow
       // long at ~5e9 rows/label; the re-quantized centroid never can
-      .withColumn("cq", expr("sq div nq"))
+      .withColumn("cq", expr("cast(sq div nq as int)"))
       .groupBy(col("clabel"))
       .agg(transform(sort_array(collect_list(struct(col("idx"), col("cq")))),
         x => x.getField("cq")).as("carr"))
