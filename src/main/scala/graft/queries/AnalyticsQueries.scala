@@ -282,6 +282,30 @@ object AnalyticsQueries extends QueryPack {
       .select(col("qid"), col("nid"), col("cosine"), col("rank"))
   }
 
+  /** Marker-token language-ID votes → per-doc argmax prediction —
+    * shared by `tx_langid` (the predictions) and `tx_lang_confusion`
+    * (the audit against the labeled language).
+    */
+  private def langidPredictions(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val markers = Seq(
+      ("en", "the"), ("en", "a"), ("en", "fast"),
+      ("es", "value"), ("es", "data"),
+      ("de", "join"), ("de", "merge"),
+      ("fr", "stream"), ("fr", "batch"),
+      ("zh", "spark"), ("zh", "vector")).toDF("m_lang", "marker")
+    val votes = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .join(broadcast(markers), col("tok") === col("marker"))
+      .groupBy(col("doc_id"), col("m_lang"))
+      .agg(count(lit(1)).as("hits"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("hits").desc, col("m_lang").asc)
+    votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("m_lang").as("predicted_lang"), col("hits"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup: hash-groupBy; keeper = min doc_id per content hash.
@@ -546,24 +570,20 @@ object AnalyticsQueries extends QueryPack {
 
     // Language-ID n-gram heuristic: marker-token voting with
     // deterministic argmax (count desc, lang asc).
-    "tx_langid" -> ((s, d) => {
-      import s.implicits._
-      val markers = Seq(
-        ("en", "the"), ("en", "a"), ("en", "fast"),
-        ("es", "value"), ("es", "data"),
-        ("de", "join"), ("de", "merge"),
-        ("fr", "stream"), ("fr", "batch"),
-        ("zh", "spark"), ("zh", "vector")).toDF("m_lang", "marker")
-      val votes = Tables.documents(s, d)
-        .select(col("doc_id"), explode(toks).as("tok"))
-        .join(broadcast(markers), col("tok") === col("marker"))
-        .groupBy(col("doc_id"), col("m_lang"))
-        .agg(count(lit(1)).as("hits"))
-      val w = Window.partitionBy(col("doc_id"))
-        .orderBy(col("hits").desc, col("m_lang").asc)
-      votes.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("doc_id"), col("m_lang").as("predicted_lang"), col("hits"))
+    "tx_langid" -> ((s, d) => langidPredictions(s, d)),
+
+    // Language-ID audit: confusion matrix of the heuristic's
+    // prediction against the labeled language — the query that makes
+    // tx_langid load-bearing (its precision is measured, not assumed);
+    // docs hitting no marker read as 'unknown' instead of vanishing.
+    // Broadcast marker join + two keyed aggs; output is bounded by
+    // langs², never corpus size.
+    "tx_lang_confusion" -> ((s, d) => {
+      Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        .join(langidPredictions(s, d), Seq("doc_id"), "left")
+        .groupBy(col("lang"),
+          coalesce(col("predicted_lang"), lit("unknown")).as("predicted"))
+        .agg(count(lit(1)).as("n_docs"))
     }),
 
     // Quality scoring: length/stopword/token-shape signals folded to
@@ -1533,6 +1553,29 @@ object AnalyticsQueries extends QueryPack {
         |    PARTITION BY doc_id ORDER BY hits DESC, m_lang ASC) AS rn
         |  FROM votes)
         |WHERE rn = 1""".stripMargin,
+    "tx_lang_confusion" ->
+      """WITH markers(m_lang, marker) AS (VALUES
+        |  ('en','the'),('en','a'),('en','fast'),
+        |  ('es','value'),('es','data'),
+        |  ('de','join'),('de','merge'),
+        |  ('fr','stream'),('fr','batch'),
+        |  ('zh','spark'),('zh','vector')),
+        |votes AS (
+        |  SELECT doc_id, m_lang, count(*) AS hits
+        |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+        |        FROM documents) t
+        |  JOIN markers ON tok = marker
+        |  GROUP BY 1, 2),
+        |pred AS (
+        |  SELECT doc_id, m_lang AS predicted_lang FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY hits DESC, m_lang ASC) AS rn
+        |    FROM votes)
+        |  WHERE rn = 1)
+        |SELECT d.lang, coalesce(p.predicted_lang, 'unknown') AS predicted,
+        |  count(*) AS n_docs
+        |FROM documents d LEFT JOIN pred p ON p.doc_id = d.doc_id
+        |GROUP BY 1, 2""".stripMargin,
     "tx_quality" ->
       """WITH base AS (
         |  SELECT doc_id, n_chars,

@@ -122,6 +122,32 @@ object RelationalQueries extends QueryPack {
       users("purchase").intersect(users("click")).except(heavyError)
     }),
 
+    // Skew profile: per-key row share and heaviest sub-key — the
+    // diagnostic run BEFORE picking salt factors / AQE skew
+    // thresholds on a new corpus (is one event_type dominant? does
+    // one user own a partition?). All-integer basis points, two
+    // map-side-combined aggs + a rank window; output bounded by key
+    // cardinality, never row count.
+    "q_skew_profile" -> ((s, d) => {
+      val perUser = Tables.events(s, d)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n_user"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("n_user").desc, col("user_id").asc)
+      val wAll = Window.partitionBy()
+      perUser
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("event_type"))
+        .agg(sum(col("n_user")).as("n_rows"),
+          max(when(col("rn") === 1, col("user_id"))).as("top_user"),
+          max(when(col("rn") === 1, col("n_user"))).as("top_user_rows"))
+        .withColumn("total", sum(col("n_rows")).over(wAll))
+        .select(col("event_type"), col("n_rows"),
+          expr("n_rows * 10000 div total").as("share_bp"),
+          col("top_user"),
+          expr("top_user_rows * 10000 div n_rows").as("top_user_bp"))
+    }),
+
     // Pivot: per-user event-type counts as columns (conditional
     // aggregation — the portable pivot form).
     "q_pivot" -> ((s, d) => {
@@ -364,6 +390,24 @@ object RelationalQueries extends QueryPack {
         |EXCEPT
         |SELECT user_id FROM events WHERE event_type = 'error'
         |GROUP BY user_id HAVING count(*) > 14""".stripMargin,
+    "q_skew_profile" ->
+      """WITH pu AS (
+        |  SELECT event_type, user_id, count(*) AS n_user
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY n_user DESC, user_id ASC) AS rn
+        |  FROM pu),
+        |t AS (
+        |  SELECT event_type, sum(n_user)::BIGINT AS n_rows,
+        |    max(CASE WHEN rn = 1 THEN user_id END) AS top_user,
+        |    max(CASE WHEN rn = 1 THEN n_user END)::BIGINT AS top_user_rows
+        |  FROM r GROUP BY 1)
+        |SELECT event_type, n_rows,
+        |  (n_rows * 10000 // sum(n_rows) OVER ())::BIGINT AS share_bp,
+        |  top_user,
+        |  (top_user_rows * 10000 // n_rows)::BIGINT AS top_user_bp
+        |FROM t""".stripMargin,
     "q_pivot" ->
       """SELECT user_id,
         |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,

@@ -83,7 +83,21 @@ final class AstarteStore(val root: String) {
     * full PK), so retries after failure are harmless — the Spark
     * replacement for the reference's ack-after-write protocol.
     */
-  def applyEffects(effects: Dataset[EffectRow]): Unit = {
+  /** Serializes in-JVM writers (the ingest foreachBatch) against the
+    * maintenance jobs (sweep/compaction). The file-granular rewrite
+    * protocol already guarantees no DATA FILE is ever lost under
+    * concurrency; the one residual local-FS race is directory-shaped:
+    * pruning a momentarily-empty partition dir while Spark's append
+    * committer is renaming files into it fails the append job. On the
+    * 100 TB deployment target (object storage) directories don't
+    * exist and the prune is a no-op concept; locally, one lock per
+    * store instance removes the window entirely. Cross-JVM
+    * maintenance (a separate vacuum job) should run quiesced or
+    * against an object store.
+    */
+  private val writerLock = new Object
+
+  def applyEffects(effects: Dataset[EffectRow]): Unit = writerLock.synchronized {
     val df = effects.toDF().cache()
     try {
       val props = df.filter(col("kind").isin("property_upsert", "property_unset"))
@@ -370,7 +384,8 @@ final class AstarteStore(val root: String) {
   private def isHidden(name: String): Boolean =
     name.startsWith("_") || name.startsWith(".")
 
-  private def sweepAppendTable(spark: SparkSession, path: String, nowMs: Long): Unit = {
+  private def sweepAppendTable(spark: SparkSession, path: String,
+      nowMs: Long): Unit = writerLock.synchronized {
     import org.apache.hadoop.fs.{Path => HPath}
     val hpath = new HPath(path)
     val fs = hpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -410,7 +425,7 @@ final class AstarteStore(val root: String) {
     * Listing cost is bounded by partition count, not row count.
     */
   def compactAppendTable(spark: SparkSession, path: String,
-      maxFiles: Int = 4): Unit = {
+      maxFiles: Int = 4): Unit = writerLock.synchronized {
     import org.apache.hadoop.fs.{Path => HPath}
     val hpath = new HPath(path)
     val fs = hpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
