@@ -228,13 +228,17 @@ final class AstarteStore(val root: String) {
   /** Retention sweep: drop expired path-index rows (the periodic
     * DELETE WHERE job standing in for storage-level TTL).
     */
-  def sweepExpiredPaths(spark: SparkSession, nowMs: Long): Unit = {
-    if (!pathIndex.exists(spark)) return
-    val expired = pathIndex.snapshot(spark)
-      .filter(col("expiry_ms") <= nowMs)
-      .withColumn(LwwTable.OpCol, lit(LwwTable.OpDelete))
-    expired.write.mode("append").parquet(pathIndex.path)
-  }
+  def sweepExpiredPaths(spark: SparkSession, nowMs: Long): Unit =
+    writerLock.synchronized {
+      if (!pathIndex.exists(spark)) return
+      val expired = pathIndex.snapshot(spark)
+        .filter(col("expiry_ms") <= nowMs)
+        .withColumn(LwwTable.OpCol, lit(LwwTable.OpDelete))
+      // two concurrent append jobs on ONE path share the committer's
+      // `_temporary/0` tree — the lock keeps this tombstone append
+      // from interleaving with applyEffects' path-index writes
+      expired.write.mode("append").parquet(pathIndex.path)
+    }
 
   /** General retention sweep (W3+W5): drop expired path-index rows and
     * physically remove value rows whose `expiry_ms` passed — the
