@@ -118,4 +118,42 @@ class BrokerSourceSpec extends AnyFunSuite {
       broker.close()
     }
   }
+
+  test("event-time windows + watermark work over the DSv2 broker source") {
+    // the integration risk of a custom MicroBatchStream: watermark
+    // tracking and event-time aggregation must ride the source's
+    // timestamp column like they do on the built-in sources
+    val broker = new MessageBroker()
+    val pub = new BrokerClient("127.0.0.1", broker.port)
+    try {
+      (1 to 3).foreach(_ => pub.publish(0, "k".getBytes, "v".getBytes, Nil))
+      val counts = spark.readStream
+        .format("graft-broker")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .load()
+        .withWatermark("timestamp", "1 second")
+        .groupBy(org.apache.spark.sql.functions.window(
+          org.apache.spark.sql.functions.col("timestamp"), "10 seconds"))
+        .count()
+      val q = counts.writeStream
+        .format("memory").queryName("broker_win").outputMode("update").start()
+      try {
+        q.processAllAvailable()
+        val total = spark.sql("SELECT sum(count) FROM broker_win")
+          .head().getLong(0)
+        assert(total == 3, s"windowed count over broker source: $total")
+        // a second publish batch lands in the running aggregation
+        (1 to 2).foreach(_ => pub.publish(0, "k".getBytes, "v".getBytes, Nil))
+        q.processAllAvailable()
+        val total2 = spark.sql(
+          """SELECT sum(count) FROM (
+            |  SELECT max(count) AS count FROM broker_win GROUP BY window
+            |)""".stripMargin).head().getLong(0)
+        assert(total2 == 5, s"updated windowed count: $total2")
+      } finally q.stop()
+    } finally {
+      pub.close()
+      broker.close()
+    }
+  }
 }
