@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
@@ -51,10 +51,13 @@ class BrokerSourceProvider extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table = {
-    val host = Option(properties.get("host")).getOrElse("localhost")
-    val port = Option(properties.get("port")).map(_.toInt).getOrElse(
+    // getTable receives the CASE-SENSITIVE option map — normalize, or
+    // a camelCase maxRecordsPerTrigger silently reads as "no cap"
+    val opts = new CaseInsensitiveStringMap(properties)
+    val host = Option(opts.get("host")).getOrElse("localhost")
+    val port = Option(opts.get("port")).map(_.toInt).getOrElse(
       throw new IllegalArgumentException("graft-broker: option 'port' is required"))
-    val maxPerTrigger = Option(properties.get("maxrecordspertrigger")).map(_.toLong)
+    val maxPerTrigger = Option(opts.get("maxRecordsPerTrigger")).map(_.toLong)
     new BrokerTable(host, port, maxPerTrigger)
   }
 }
@@ -73,7 +76,8 @@ private[sources] class BrokerTable(
   override def name(): String = s"graft-broker://$host:$port"
   override def schema(): StructType = BrokerSourceProvider.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(
+      TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
@@ -81,6 +85,21 @@ private[sources] class BrokerTable(
         override def readSchema(): StructType = BrokerSourceProvider.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new BrokerMicroBatchStream(host, port, maxPerTrigger)
+        // batch read = the backfill shape: a one-shot snapshot of
+        // every shard from offset 0 to the end observed at plan time
+        // (records published later are the stream's business)
+        override def toBatch: Batch = new Batch {
+          override def planInputPartitions(): Array[InputPartition] = {
+            val client = new BrokerClient(host, port)
+            try client.endOffsets().zipWithIndex.collect {
+              case (end, shard) if end > 0 =>
+                BrokerInputPartition(host, port, shard, 0L, end): InputPartition
+            }.toArray
+            finally client.close()
+          }
+          override def createReaderFactory(): PartitionReaderFactory =
+            new BrokerReaderFactory
+        }
       }
     }
 }

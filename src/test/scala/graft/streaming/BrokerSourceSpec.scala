@@ -119,6 +119,49 @@ class BrokerSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("admission control: maxRecordsPerTrigger splits the backlog across micro-batches") {
+    val broker = new MessageBroker()
+    val pub = new BrokerClient("127.0.0.1", broker.port)
+    try {
+      (1 to 10).foreach(i =>
+        pub.publish(0, null, Array(i.toByte), Seq("n" -> Array(i.toByte))))
+      val q = spark.readStream
+        .format("graft-broker")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .option("maxRecordsPerTrigger", "4")
+        .load()
+        .writeStream.format("memory").queryName("broker_ac").start()
+      try {
+        q.processAllAvailable()
+        // nothing dropped by the cap...
+        assert(spark.sql("SELECT count(*) FROM broker_ac").head().getLong(0) == 10)
+        assert(spark.sql("SELECT count(DISTINCT offset) FROM broker_ac")
+          .head().getLong(0) == 10)
+        // ...and the backlog really was drained in capped micro-batches
+        val batchSizes = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+        assert(batchSizes.length >= 3 && batchSizes.max <= 4,
+          s"expected >=3 batches of <=4 rows, got ${batchSizes.mkString(",")}")
+      } finally q.stop()
+    } finally { pub.close(); broker.close() }
+  }
+
+  test("batch read: one-shot backfill snapshot of all shards") {
+    val broker = new MessageBroker()
+    val pub = new BrokerClient("127.0.0.1", broker.port)
+    try {
+      pub.addShard()
+      (1 to 3).foreach(i => pub.publish(0, null, Array(i.toByte), Nil))
+      (1 to 2).foreach(i => pub.publish(1, null, Array(i.toByte), Nil))
+      val snap = spark.read
+        .format("graft-broker")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .load()
+      assert(snap.count() == 5)
+      assert(snap.groupBy("partition").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap == Map(0 -> 3L, 1 -> 2L))
+    } finally { pub.close(); broker.close() }
+  }
+
   test("event-time windows + watermark work over the DSv2 broker source") {
     // the integration risk of a custom MicroBatchStream: watermark
     // tracking and event-time aggregation must ride the source's
