@@ -143,11 +143,22 @@ private[sources] class BrokerMicroBatchStream(
     val ends = control.endOffsets()
     val capped = limit match {
       case r: ReadMaxRows =>
-        // split the cap evenly across shards — each shard advances at
-        // most perShard cursors this micro-batch (prefetch bounding)
-        val perShard = math.max(1L, r.maxRows() / math.max(1, ends.length))
-        ends.zipWithIndex.map { case (end, s) =>
-          s -> math.min(end, from.getOrElse(s, 0L) + perShard)
+        // split the cap across shards PROPORTIONAL to each shard's
+        // backlog (an even split would strand allocation on idle
+        // shards while a hot shard starves); every backlogged shard
+        // advances at least one record, so the total can overshoot
+        // the cap by at most the shard count — the same approximate
+        // bounding the Kafka source accepts
+        val remaining = ends.zipWithIndex.map { case (end, s) =>
+          (s, from.getOrElse(s, 0L), math.max(0L, end - from.getOrElse(s, 0L)))
+        }
+        val total = remaining.map(_._3).sum
+        if (total <= r.maxRows())
+          ends.zipWithIndex.map { case (end, s) => s -> end }
+        else remaining.map { case (s, lo, rem) =>
+          val share = math.max(if (rem > 0) 1L else 0L,
+            r.maxRows() * rem / total)
+          s -> (lo + math.min(rem, share))
         }
       case _ =>
         ends.zipWithIndex.map { case (end, s) => s -> end }

@@ -145,6 +145,35 @@ class BrokerSourceSpec extends AnyFunSuite {
     } finally { pub.close(); broker.close() }
   }
 
+  test("admission control is backlog-proportional, not even-split") {
+    // 9 records on shard 0, 1 on shard 1, cap 5: an even split would
+    // strand allocation on the near-idle shard (2+1 consumed); the
+    // proportional split drains ~cap records per batch regardless of
+    // which shard holds the backlog
+    val broker = new MessageBroker()
+    val pub = new BrokerClient("127.0.0.1", broker.port)
+    try {
+      pub.addShard()
+      (1 to 9).foreach(i => pub.publish(0, null, Array(i.toByte), Nil))
+      pub.publish(1, null, Array(0.toByte), Nil)
+      val q = spark.readStream
+        .format("graft-broker")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .option("maxRecordsPerTrigger", "5")
+        .load()
+        .writeStream.format("memory").queryName("broker_prop").start()
+      try {
+        q.processAllAvailable()
+        assert(spark.sql("SELECT count(*) FROM broker_prop").head().getLong(0) == 10)
+        val batchSizes = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+        // 10 rows under a proportional cap of 5 (+ the ≥1 floor) must
+        // drain in 2 batches; an even split would need 3+
+        assert(batchSizes.length == 2,
+          s"expected 2 proportional batches, got ${batchSizes.mkString(",")}")
+      } finally q.stop()
+    } finally { pub.close(); broker.close() }
+  }
+
   test("batch read: one-shot backfill snapshot of all shards") {
     val broker = new MessageBroker()
     val pub = new BrokerClient("127.0.0.1", broker.port)
