@@ -177,7 +177,11 @@ object AsOfJoin {
       .withColumn("__back", last(col("__rv"), ignoreNulls = true).over(wb))
       .withColumn("__fwd", first(col("__rv"), ignoreNulls = true).over(wf))
       .filter(col("__side") === 1)
-    val lMillis = millisOf(left.schema(leftTime).dataType, col("__t"))
+    // dispatch on the UNIONED frame's __t type, not the left input's:
+    // unionByName coerces the time column (e.g. DATE left + TIMESTAMP
+    // right → TIMESTAMP), and converting the coerced column with the
+    // pre-union type's rule would day-truncate or fail the analysis
+    val lMillis = millisOf(unioned.schema("__t").dataType, col("__t"))
     val bd = lMillis - col("__back").getField("__rt")
     val fd = col("__fwd").getField("__rt") - lMillis
     val bOk = toleranceMs.fold(col("__back").isNotNull)(t =>

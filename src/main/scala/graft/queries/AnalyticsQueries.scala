@@ -233,6 +233,25 @@ object AnalyticsQueries extends QueryPack {
       .agg(sum(col("bit")).as("bucket"))
   }
 
+  /** The shared retrieval tail: exact cosine from the quantized
+    * vectors (`qe`/`ne` + `qnorm`/`nnorm` on `scored`), rank per
+    * query (cosine desc, nid asc — the engine-stable tie-break), cut
+    * at k. ONE definition for the brute-force truth, the LSH and the
+    * IVF paths, so a tie-break or rounding change can never make the
+    * serving paths diverge from their recall oracle.
+    */
+  private[queries] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("nid").asc)
+    scored
+      .withColumn("cosine",
+        round(expr("vector_dot_long(qe, ne)").cast("double") /
+          (col("qnorm") * col("nnorm")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("cosine"), col("rank"))
+  }
+
   /** Brute-force cosine top-k for queries `vec_id < maxQid` — the
     * exact ground truth the ANN paths are audited against
     * (`sim_topk_bf`, and `sim_recall`'s truth set). Deliberately a
@@ -246,16 +265,7 @@ object AnalyticsQueries extends QueryPack {
         col("qnorm"))
     val n = e.select(col("vec_id").as("nid"), col("q").as("ne"),
       col("qnorm").as("nnorm"))
-    val scored = q.crossJoin(n)
-      .filter(col("qid") =!= col("nid"))
-      .withColumn("cosine",
-        round(expr("vector_dot_long(qe, ne)").cast("double") /
-          (col("qnorm") * col("nnorm")), 4))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cosine").desc, col("nid").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("nid"), col("cosine"), col("rank"))
+    rankTopK(q.crossJoin(n).filter(col("qid") =!= col("nid")), k)
   }
 
   /** LSH-bucketed two-stage retrieval top-k: bucket candidate
@@ -270,16 +280,8 @@ object AnalyticsQueries extends QueryPack {
         col("qnorm"), col("bucket"))
     val n = e.select(col("vec_id").as("nid"), col("q").as("ne"),
       col("qnorm").as("nnorm"), col("bucket").as("nbucket"))
-    val scored = q.join(n,
-        col("bucket") === col("nbucket") && col("qid") =!= col("nid"))
-      .withColumn("cosine",
-        round(expr("vector_dot_long(qe, ne)").cast("double") /
-          (col("qnorm") * col("nnorm")), 4))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cosine").desc, col("nid").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("nid"), col("cosine"), col("rank"))
+    rankTopK(q.join(n,
+      col("bucket") === col("nbucket") && col("qid") =!= col("nid")), k)
   }
 
   /** Marker-token language-ID votes → per-doc argmax prediction —

@@ -130,18 +130,13 @@ object ReadQueries extends QueryPack {
     val probed = probe.withColumn("prank", row_number().over(wp))
       .filter(col("prank") <= nprobe)
       .select(col("qid"), col("qe"), col("qnorm"), col("label"))
-    // exact search within probed labels only
+    // exact search within probed labels only; scoring/ranking tail
+    // shared with bfTopK/lshTopK so the recall oracle can't diverge
     val n = e.select(col("vec_id").as("nid"), col("label").as("nlabel"),
       col("q").as("ne"), col("qnorm").as("nnorm"))
-    val scored = probed.join(n, col("label") === col("nlabel"))
-      .filter(col("qid") =!= col("nid"))
-      .withColumn("cosine",
-        round(expr("vector_dot_long(qe, ne)").cast("double") /
-          (col("qnorm") * col("nnorm")), 4))
-    val ws = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid").asc)
-    scored.withColumn("rank", row_number().over(ws))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("nid"), col("cosine"), col("rank"))
+    AnalyticsQueries.rankTopK(
+      probed.join(n, col("label") === col("nlabel"))
+        .filter(col("qid") =!= col("nid")), k)
   }
 
   override def oracle: Map[String, String] = Map(

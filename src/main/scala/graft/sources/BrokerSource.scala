@@ -126,8 +126,14 @@ private[sources] class BrokerMicroBatchStream(
     extends MicroBatchStream with SupportsAdmissionControl {
 
   // driver-side control connection (offset discovery only — data
-  // moves over the per-partition executor connections)
-  private lazy val control = new BrokerClient(host, port)
+  // moves over the per-partition executor connections); tracked so
+  // stop() never DIALS the broker just to hang up
+  @volatile private var controlOpt: Option[BrokerClient] = None
+  private def control: BrokerClient = controlOpt.getOrElse {
+    val c = new BrokerClient(host, port)
+    controlOpt = Some(c)
+    c
+  }
 
   override def initialOffset(): Offset = BrokerOffset(Map.empty)
 
@@ -156,8 +162,11 @@ private[sources] class BrokerMicroBatchStream(
         if (total <= r.maxRows())
           ends.zipWithIndex.map { case (end, s) => s -> end }
         else remaining.map { case (s, lo, rem) =>
+          // double arithmetic: maxRows * rem in long overflows once
+          // cap × backlog crosses 2^63 and the wrap would silently
+          // collapse a hot shard's advance to the 1-record floor
           val share = math.max(if (rem > 0) 1L else 0L,
-            r.maxRows() * rem / total)
+            (r.maxRows().toDouble * rem / total).toLong)
           s -> (lo + math.min(rem, share))
         }
       case _ =>
@@ -183,7 +192,7 @@ private[sources] class BrokerMicroBatchStream(
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit =
-    try control.close() catch { case _: Throwable => () }
+    controlOpt.foreach(c => try c.close() catch { case _: Throwable => () })
 }
 
 private[sources] final case class BrokerInputPartition(

@@ -84,20 +84,25 @@ final class AstarteStore(val root: String) {
     * replacement for the reference's ack-after-write protocol.
     */
   /** Serializes in-JVM writers (the ingest foreachBatch) against the
-    * maintenance jobs (sweep/compaction). The file-granular rewrite
-    * protocol already guarantees no DATA FILE is ever lost under
-    * concurrency; the one residual local-FS race is directory-shaped:
-    * pruning a momentarily-empty partition dir while Spark's append
-    * committer is renaming files into it fails the append job. On the
-    * 100 TB deployment target (object storage) directories don't
-    * exist and the prune is a no-op concept; locally, one lock per
-    * store instance removes the window entirely. Cross-JVM
-    * maintenance (a separate vacuum job) should run quiesced or
-    * against an object store.
+    * maintenance jobs (sweep/compaction) PER TABLE PATH. The
+    * file-granular rewrite protocol already guarantees no DATA FILE
+    * is ever lost under concurrency; the residual local-FS races are
+    * (a) directory-shaped — pruning a momentarily-empty partition dir
+    * while Spark's append committer is renaming files into it fails
+    * the append job — and (b) committer-shaped — two concurrent
+    * append jobs on ONE path share `_temporary/0`. Both are
+    * per-table, so the lock is per-table: compacting objects never
+    * stalls a properties append. On the 100 TB deployment target
+    * (object storage) directories don't exist and the prune is a
+    * no-op concept; cross-JVM maintenance (a separate vacuum job)
+    * should run quiesced or against an object store.
     */
-  private val writerLock = new Object
+  private val tableLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(path: String): Object =
+    tableLocks.computeIfAbsent(path, _ => new Object)
 
-  def applyEffects(effects: Dataset[EffectRow]): Unit = writerLock.synchronized {
+  def applyEffects(effects: Dataset[EffectRow]): Unit = {
     val df = effects.toDF().cache()
     try {
       val props = df.filter(col("kind").isin("property_upsert", "property_unset"))
@@ -110,7 +115,9 @@ final class AstarteStore(val root: String) {
             typedColumnNames.map(col) :+
             when(col("kind") === "property_unset", LwwTable.OpDelete)
               .otherwise(LwwTable.OpUpsert).as(LwwTable.OpCol): _*)
-        rows.write.mode("append").parquet(properties.path)
+        lockFor(properties.path).synchronized {
+          rows.write.mode("append").parquet(properties.path)
+        }
       }
 
       val streams = df.filter(col("kind") === "datastream_append")
@@ -121,7 +128,7 @@ final class AstarteStore(val root: String) {
         // must resolve at the directory listing, not the row scan.
         // Retention sweeps also become whole-directory drops once a
         // day is fully expired.
-        withTyped(streams)
+        val streamRows = withTyped(streams)
           .select(Seq(col("deviceId").as("device_id"), col("iface"),
             col("endpoint"), col("path"),
             col("valueTimestampMs").as("value_timestamp"),
@@ -133,7 +140,10 @@ final class AstarteStore(val root: String) {
               .as("expiry_ms"),
             expr("valueTimestampMs div 86400000").as("day")) ++
             typedColumnNames.map(col): _*)
-          .write.mode("append").partitionBy("iface", "day").parquet(datastreamPath)
+        lockFor(datastreamPath).synchronized {
+          streamRows.write.mode("append")
+            .partitionBy("iface", "day").parquet(datastreamPath)
+        }
       }
 
       val objects = df.filter(col("kind") === "object_append")
@@ -141,7 +151,7 @@ final class AstarteStore(val root: String) {
         // One row per message; leaf columns v_<key> decoded from the
         // object BSON. Only keys present in the payload are non-null
         // (the reference's NULL-avoidance, queries.ex:199-297).
-        objects
+        val objectRows = objects
           .select(col("iface"), col("deviceId").as("device_id"), col("path"),
             col("valueTimestampMs").as("value_timestamp"),
             col("receptionMs").as("reception_timestamp"),
@@ -150,38 +160,47 @@ final class AstarteStore(val root: String) {
               .as("expiry_ms"),
             expr("valueTimestampMs div 86400000").as("day"),
             BsonValueUdfs.objectJsonUdf(col("valueBson")).as("v_json"))
-          .write.mode("append").partitionBy("iface", "day").parquet(s"$root/objects")
+        lockFor(s"$root/objects").synchronized {
+          objectRows.write.mode("append")
+            .partitionBy("iface", "day").parquet(s"$root/objects")
+        }
       }
 
       val updates = df.filter(col("kind") === "device_update")
       if (!updates.isEmpty) {
-        updates.select(col("deviceId").as("device_id"),
+        val updateRows = updates.select(col("deviceId").as("device_id"),
             col("receptionMs").as("reception_timestamp"),
             col("submillis").as("reception_timestamp_submillis"),
             col("detail").as("update_json"))
-          .write.mode("append").parquet(devicesLogPath)
+        lockFor(devicesLogPath).synchronized {
+          updateRows.write.mode("append").parquet(devicesLogPath)
+        }
       }
 
       val paths = df.filter(col("kind") === "path_index")
       if (!paths.isEmpty) {
-        paths.select(col("deviceId").as("device_id"), col("iface"),
+        val pathRows = paths.select(col("deviceId").as("device_id"), col("iface"),
             col("path"), col("valueTimestampMs").as("datetime_value"),
             col("receptionMs").as("reception_timestamp"),
             regexp_extract(col("detail"), "expiry_ms:(\\d+)", 1).cast("long")
               .as("expiry_ms"),
             lit(LwwTable.OpUpsert).as(LwwTable.OpCol))
-          .write.mode("append").parquet(pathIndex.path)
+        lockFor(pathIndex.path).synchronized {
+          pathRows.write.mode("append").parquet(pathIndex.path)
+        }
       }
 
       val kv = df.filter(col("kind") === "kv_store")
       if (!kv.isEmpty) {
-        kv.select(
+        val kvRows = kv.select(
             regexp_extract(col("detail"), "^(register|unregister):(.+)$", 2).as("kv_group"),
             col("deviceId").as("kv_key"),
             col("receptionMs").as("reception_timestamp"),
             when(regexp_extract(col("detail"), "^(register|unregister):", 1) === "unregister",
               LwwTable.OpDelete).otherwise(LwwTable.OpUpsert).as(LwwTable.OpCol))
-          .write.mode("append").parquet(kvStore.path)
+        lockFor(kvStore.path).synchronized {
+          kvRows.write.mode("append").parquet(kvStore.path)
+        }
       }
     } finally df.unpersist()
   }
@@ -229,7 +248,7 @@ final class AstarteStore(val root: String) {
     * DELETE WHERE job standing in for storage-level TTL).
     */
   def sweepExpiredPaths(spark: SparkSession, nowMs: Long): Unit =
-    writerLock.synchronized {
+    lockFor(pathIndex.path).synchronized {
       if (!pathIndex.exists(spark)) return
       val expired = pathIndex.snapshot(spark)
         .filter(col("expiry_ms") <= nowMs)
@@ -279,7 +298,13 @@ final class AstarteStore(val root: String) {
     *     the same replay-tolerance rule the appender relies on) —
     *     expired rows are likewise invisible at read time
     *     (`datastreams(spark, nowMs)`), so partial retirement never
-    *     shows through either.
+    *     shows a wrong ANSWER. One visibility caveat remains: a read
+    *     job that planned its file list just before a retirement can
+    *     fail with FileNotFoundException when its tasks open the
+    *     retired files — a visible, retryable failure (re-planning
+    *     sees the replacements). That is deliberately NOT papered
+    *     over with ignoreMissingFiles, which would silently drop the
+    *     retired files' rows from that read instead.
     * True multi-writer ACID needs a commit-log table format
     * (Delta/Iceberg); on plain parquet this protocol has no lost-row
     * window at all and only a benign transient-duplicate window that
@@ -338,8 +363,11 @@ final class AstarteStore(val root: String) {
     val out = transform(
       spark.read.parquet(snapshot.map(_.getPath.toString).toSeq: _*)
         .dropDuplicates())
-    if (!out.isEmpty) {
-      out.write.mode("overwrite").parquet(tmpLeaf.toString)
+    // write first, probe the (small) OUTPUT for emptiness — an
+    // isEmpty on `out` would run a second full scan over the exact
+    // leaves chosen for being large
+    out.write.mode("overwrite").parquet(tmpLeaf.toString)
+    if (!spark.read.parquet(tmpLeaf.toString).isEmpty) {
       for (f <- fs.listStatus(tmpLeaf)
            if f.isFile && f.getPath.getName.endsWith(".parquet")) {
         val dst = new HPath(leaf, f.getPath.getName)
@@ -389,7 +417,7 @@ final class AstarteStore(val root: String) {
     name.startsWith("_") || name.startsWith(".")
 
   private def sweepAppendTable(spark: SparkSession, path: String,
-      nowMs: Long): Unit = writerLock.synchronized {
+      nowMs: Long): Unit = lockFor(path).synchronized {
     import org.apache.hadoop.fs.{Path => HPath}
     val hpath = new HPath(path)
     val fs = hpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -429,7 +457,7 @@ final class AstarteStore(val root: String) {
     * Listing cost is bounded by partition count, not row count.
     */
   def compactAppendTable(spark: SparkSession, path: String,
-      maxFiles: Int = 4): Unit = writerLock.synchronized {
+      maxFiles: Int = 4): Unit = lockFor(path).synchronized {
     import org.apache.hadoop.fs.{Path => HPath}
     val hpath = new HPath(path)
     val fs = hpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
