@@ -115,6 +115,32 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out(99L) == ((Some(2.0), "backward")))
   }
 
+  test("nearest handles TIMESTAMP time columns in real milliseconds") {
+    import spark.implicits._
+    // ts columns: a plain cast-to-long would yield SECONDS, silently
+    // reinterpreting toleranceMs — and unionByName coerces mixed time
+    // types, so the conversion must dispatch on the UNIONED type
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val left = Seq(("k", ts(10000L)), ("k", ts(70000L)))
+      .toDF("k", "t")
+    val right = Seq(("k", ts(9500L), 1.0), ("k", ts(12000L), 2.0))
+      .toDF("k", "rt", "v")
+    val out = AsOfJoin.joinNearest(left, right,
+      keyCols = Seq("k"), leftTime = "t", rightTime = "rt",
+      rightVals = Seq("v"), toleranceMs = Some(3000L))
+      .collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("t").getTime,
+        Option(r.getAs[Any]("asof_v")),
+        Option(r.getAs[Any]("asof_time")))).toSet
+    assert(out == Set(
+      // 10000 → backward 9500 at distance 500ms beats forward 12000;
+      // asof_time comes back as epoch-MILLIS
+      (10000L, Some(1.0), Some(9500L)),
+      // 70000 → nearest is 12000, 58s away: outside the 3s tolerance
+      // (in SECONDS-misinterpretation it would have matched)
+      (70000L, None, None)))
+  }
+
   test("nearest with tolerance nulls out matches beyond the bound") {
     import spark.implicits._
     val left = Seq(("k", 12L), ("k", 50L)).toDF("k", "t")
