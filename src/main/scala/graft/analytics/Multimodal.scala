@@ -7,13 +7,18 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, plus batched decode / feature-extract
   * plumbing.
   *
-  * The actual media decoding is STUBBED — no codec libraries exist in
-  * this environment — behind [[MediaCodec]]; [[DeterministicStubCodec]]
-  * produces stable fake features from the bytes so the pipeline is
-  * testable end-to-end. The Spark-side plumbing is real: schema,
-  * size-aware partitioning, per-partition batched invocation (the
-  * Scala analogue of `mapInPandas` batch shape), and the
-  * metadata-only fast paths.
+  * Decoding is REAL for the container formats that are pure byte
+  * arithmetic — PCM WAV ([[PcmWavCodec]]: channels, sample rate,
+  * duration, mean-square energy) and uncompressed 24-bit BMP
+  * ([[BmpCodec]]: dimensions, average luma) — dispatched by magic
+  * bytes in [[FormatAwareCodec]]. Formats whose decode genuinely
+  * needs codec libraries absent from this environment (JPEG, MP4, …)
+  * fall back to [[DeterministicStubCodec]], which produces stable
+  * fake features so the pipeline stays testable end-to-end. The
+  * Spark-side plumbing is real throughout: schema, size-aware
+  * partitioning, per-partition batched invocation (the Scala
+  * analogue of `mapInPandas` batch shape), and the metadata-only
+  * fast paths.
   */
 object Multimodal {
 
@@ -28,10 +33,14 @@ object Multimodal {
       mediaType: String,
       byteLen: Long,
       digest: String,
-      width: Int,       // stub-decoded
-      height: Int,      // stub-decoded
-      durationMs: Long, // stub-decoded (audio/video)
-      batchSize: Int)   // observability: size of the decode batch
+      width: Int,       // image dimensions (0 for audio)
+      height: Int,
+      durationMs: Long, // audio/video duration (0 for images)
+      batchSize: Int,   // observability: size of the decode batch
+      sampleRate: Int = 0,       // WAV: samples/s
+      channels: Int = 0,         // WAV: channel count
+      energyMilli: Long = -1L,   // WAV: mean-square energy ×1000 (normalized)
+      avgLumaMilli: Long = -1L)  // BMP: average Rec.601 luma ×1000 (0..255000)
 
   /** Pluggable decoder, invoked once per BATCH of rows — the shape a
     * vectorized decode (GPU / native lib) needs. Implementations must
@@ -41,14 +50,17 @@ object Multimodal {
     def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeatures]
   }
 
-  /** Deterministic fake decode: "dimensions" from the content digest,
+  /** Deterministic fake decode for lib-dependent formats only (see
+    * [[FormatAwareCodec]]): "dimensions" from the content digest,
     * "duration" from the byte length. Replace with a real codec
     * (??? = libjpeg/ffmpeg binding) without touching the plumbing.
     */
   final class DeterministicStubCodec extends MediaCodec {
     override def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeatures] = {
-      // real implementation would decode the whole batch vectorized:
-      // ??? (no image/audio libs in this container)
+      // a real lib-backed implementation would decode the whole batch
+      // vectorized: ??? (no jpeg/mp4 codec libs in this container;
+      // WAV/BMP never reach this — FormatAwareCodec routes them to
+      // the real parsers)
       batch.map { r =>
         val md = java.security.MessageDigest.getInstance("MD5")
           .digest(r.content)
@@ -63,6 +75,136 @@ object Multimodal {
           durationMs = if (r.mediaType == "image") 0L else r.content.length.toLong * 10,
           batchSize = batch.size)
       }
+    }
+  }
+
+  private def metaOf(r: MediaRow): (String, Long) = {
+    val md = java.security.MessageDigest.getInstance("MD5").digest(r.content)
+    (md.map("%02x".format(_)).mkString, r.content.length.toLong)
+  }
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+  /** REAL audio decode for RIFF/WAVE PCM — container walk + 16-bit
+    * sample math, no codec library involved. Emits channel count,
+    * sample rate, exact duration, and the normalized mean-square
+    * energy ×1000 (an all-integer loudness proxy — the audio-quality
+    * gate a curation pipeline thresholds on).
+    */
+  final class PcmWavCodec extends MediaCodec {
+    override def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeatures] =
+      batch.map { r =>
+        val (digest, len) = metaOf(r)
+        val b = r.content
+        var channels = 0; var rate = 0; var bits = 0
+        var nSamples = 0L; var energyMilli = -1L
+        var off = 12 // after RIFF<size>WAVE
+        while (off + 8 <= b.length) {
+          val id = new String(b, off, 4, "US-ASCII")
+          val size = le32(b, off + 4)
+          val data = off + 8
+          if (id == "fmt " && data + 16 <= b.length) {
+            channels = le16(b, data + 2)
+            rate = le32(b, data + 4)
+            bits = le16(b, data + 14)
+          } else if (id == "data" && channels > 0 && bits == 16) {
+            val end = math.min(b.length, data + size)
+            val frameBytes = channels * 2
+            nSamples = (end - data).toLong / frameBytes
+            var i = data
+            var sumSq = 0L
+            while (i + 1 < end) {
+              val s = (le16(b, i) << 16) >> 16 // sign-extend
+              sumSq += s.toLong * s
+              i += 2
+            }
+            val totalVals = (end - data).toLong / 2
+            if (totalVals > 0)
+              // mean square over normalized [-1,1) amplitude, ×1000
+              energyMilli = sumSq * 1000L / totalVals / (32768L * 32768L)
+          }
+          off = data + size + (size & 1) // chunks are 2-byte aligned
+        }
+        MediaFeatures(r.mediaId, r.mediaType, len, digest,
+          width = 0, height = 0,
+          durationMs = if (rate > 0) nSamples * 1000L / rate else 0L,
+          batchSize = batch.size,
+          sampleRate = rate, channels = channels, energyMilli = energyMilli)
+      }
+  }
+
+  /** REAL image decode for uncompressed 24-bit BMP — header parse +
+    * per-pixel integer luma, no codec library involved. Emits true
+    * dimensions and the average Rec.601 luma ×1000 (the
+    * brightness/degenerate-image gate).
+    */
+  final class BmpCodec extends MediaCodec {
+    override def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeatures] =
+      batch.map { r =>
+        val (digest, len) = metaOf(r)
+        val b = r.content
+        var width = 0; var height = 0; var luma = -1L
+        if (b.length >= 54) {
+          val dataOffset = le32(b, 10)
+          width = le32(b, 18)
+          val rawH = le32(b, 22)
+          height = math.abs(rawH) // negative = top-down row order
+          val bitCount = le16(b, 28)
+          if (bitCount == 24 && width > 0 && height > 0) {
+            val rowBytes = ((width * 3 + 3) / 4) * 4 // rows pad to 4
+            var sum = 0L; var n = 0L
+            var y = 0
+            while (y < height) {
+              var x = 0
+              val row = dataOffset + y * rowBytes
+              while (x < width && row + x * 3 + 2 < b.length) {
+                val bl = b(row + x * 3) & 0xff
+                val g = b(row + x * 3 + 1) & 0xff
+                val rd = b(row + x * 3 + 2) & 0xff
+                sum += 299L * rd + 587L * g + 114L * bl // Rec.601 ×1000
+                n += 1
+                x += 1
+              }
+              y += 1
+            }
+            if (n > 0) luma = sum / n
+          }
+        }
+        MediaFeatures(r.mediaId, r.mediaType, len, digest,
+          width = width, height = height, durationMs = 0L,
+          batchSize = batch.size, avgLumaMilli = luma)
+      }
+  }
+
+  /** Magic-byte dispatch: RIFF/WAVE → real PCM decode, BM → real BMP
+    * decode, anything else → the deterministic stub (JPEG/MP4/…
+    * decoding needs codec libraries this environment doesn't ship).
+    */
+  final class FormatAwareCodec(
+      fallback: MediaCodec = new DeterministicStubCodec) extends MediaCodec {
+    private val wav = new PcmWavCodec
+    private val bmp = new BmpCodec
+    private def isWav(b: Array[Byte]): Boolean =
+      b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+    private def isBmp(b: Array[Byte]): Boolean =
+      b.length >= 2 && b(0) == 'B' && b(1) == 'M'
+    override def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeatures] = {
+      // decode per format but return in INPUT order with the full
+      // batch size (the vectorized-codec shape groups by format
+      // internally; callers see one coherent batch)
+      val out = batch.map { r =>
+        val f =
+          if (isWav(r.content)) wav.decodeBatch(Seq(r)).head
+          else if (isBmp(r.content)) bmp.decodeBatch(Seq(r)).head
+          else fallback.decodeBatch(Seq(r)).head
+        f.copy(batchSize = batch.size)
+      }
+      out
     }
   }
 

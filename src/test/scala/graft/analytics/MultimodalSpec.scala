@@ -37,6 +37,70 @@ class MultimodalSpec extends AnyFunSuite {
     assert(fx.filter(_.mediaType == "video").forall(f => f.durationMs == f.byteLen * 10))
   }
 
+  // --- real-format byte builders (no codec libs: pure arithmetic) ---
+
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  /** Canonical 44-byte-header mono 16-bit PCM WAV. */
+  private def wavBytes(rate: Int, samples: Seq[Int]): Array[Byte] = {
+    val data = samples.flatMap(le16).toArray
+    "RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(rate) ++
+      le32(rate * 2) ++ le16(2) ++ le16(16) ++
+      "data".getBytes ++ le32(data.length) ++ data
+  }
+
+  /** Uncompressed 24-bit BMP; pixels in (r,g,b), row 0 = bottom. */
+  private def bmpBytes(width: Int, height: Int,
+      pixels: Seq[(Int, Int, Int)]): Array[Byte] = {
+    val rowBytes = ((width * 3 + 3) / 4) * 4
+    val data = new Array[Byte](rowBytes * height)
+    pixels.zipWithIndex.foreach { case ((r, g, b), i) =>
+      val (x, y) = (i % width, i / width)
+      val o = y * rowBytes + x * 3
+      data(o) = b.toByte; data(o + 1) = g.toByte; data(o + 2) = r.toByte
+    }
+    "BM".getBytes ++ le32(54 + data.length) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(width) ++ le32(height) ++ le16(1) ++ le16(24) ++
+      le32(0) ++ le32(data.length) ++ le32(2835) ++ le32(2835) ++
+      le32(0) ++ le32(0) ++ data
+  }
+
+  test("real decode: PCM WAV and 24-bit BMP parse without codec libs") {
+    import spark.implicits._
+    // 8000 samples at 8 kHz alternating ±16384: exactly 1 s long,
+    // mean-square energy (16384/32768)² = 0.25 → 250 milli
+    val wav = wavBytes(8000,
+      (0 until 8000).map(i => if (i % 2 == 0) 16384 else -16384))
+    // 2×2 BMP, two white + two black pixels → average luma 127500
+    val bmp = bmpBytes(2, 2,
+      Seq((255, 255, 255), (0, 0, 0), (0, 0, 0), (255, 255, 255)))
+    val jpegish = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 1, 2, 3)
+
+    val media = Seq(
+      MediaRow(1L, "audio", wav),
+      MediaRow(2L, "image", bmp),
+      MediaRow(3L, "image", jpegish)).toDS()
+    val fx = extractFeatures(media, new FormatAwareCodec, batchSize = 8)
+      .collect().sortBy(_.mediaId)
+
+    val audio = fx(0)
+    assert(audio.sampleRate == 8000 && audio.channels == 1)
+    assert(audio.durationMs == 1000L)
+    assert(audio.energyMilli == 250L)
+    val image = fx(1)
+    assert(image.width == 2 && image.height == 2)
+    assert(image.avgLumaMilli == 127500L)
+    // a lib-dependent format falls back to the deterministic stub
+    val other = fx(2)
+    assert(other.avgLumaMilli == -1L && other.energyMilli == -1L)
+    assert(other.byteLen == jpegish.length)
+  }
+
   test("binaryMeta computes length and digest without decoding") {
     import spark.implicits._
     val df = Seq(("a", "hello"), ("b", "wörld")).toDF("id", "text")
