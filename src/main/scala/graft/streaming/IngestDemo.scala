@@ -106,10 +106,40 @@ object IngestDemo {
       .groupBy("routing_key").count().collect()
       .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
 
+    // The streaming front door (S1): a real TCP broker, published to
+    // over the socket, consumed by the `graft-broker` DSv2 source into
+    // the SAME pipeline (state machine → store → events), exactly as
+    // a deployment would run it.
+    val broker = new graft.sources.MessageBroker()
+    val pub = new graft.sources.BrokerClient("127.0.0.1", broker.port)
+    val streamRoot = java.nio.file.Files.createTempDirectory("graft-ingest-stream").toString
+    val streamStore = new graft.storage.AstarteStore(s"$streamRoot/store")
+    val streamSink = new graft.events.EventSink(s"$streamRoot/events")
+    val q = Pipeline.start(
+      WireSource.brokerSource(spark, "127.0.0.1", broker.port),
+      DeviceStateMachine.StaticRegistryProvider(registry),
+      streamStore, streamSink, s"$streamRoot/ckpt")
+    try {
+      pub.addShard() // two queue shards, like a sharded AMQP setup
+      (1 to 100).foreach { i =>
+        pub.publish(i % 2, s"device-$i".getBytes,
+          Bson.encode(Seq("v" -> (i * 2.5))),
+          Seq(
+            "x_astarte_msg_type" -> "data".getBytes,
+            "x_astarte_realm" -> "bench".getBytes,
+            "x_astarte_device_id" -> s"device-${i % 10}".getBytes,
+            "x_astarte_interface" -> iface.getBytes,
+            "x_astarte_path" -> "/purchase/value".getBytes))
+      }
+      q.processAllAvailable()
+    } finally { q.stop(); pub.close(); broker.close() }
+    val streamed = streamStore.datastreams(spark).count()
+
     println("INGEST_DEMO " + byKind.map { case (k, n) => s"$k=$n" }.mkString(" ") +
       s" high_purchase_events=$nHigh appends=$nAppend" +
       s" stored_rows=$nStored stored_value_sum=$sumStored" +
-      s" object_rows=$objRows published[$published]")
+      s" object_rows=$objRows published[$published]" +
+      s" broker_streamed_rows=$streamed")
     spark.stop()
   }
 }
