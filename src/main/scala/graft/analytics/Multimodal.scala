@@ -102,32 +102,43 @@ object Multimodal {
         val b = r.content
         var channels = 0; var rate = 0; var bits = 0
         var nSamples = 0L; var energyMilli = -1L
-        var off = 12 // after RIFF<size>WAVE
-        while (off + 8 <= b.length) {
-          val id = new String(b, off, 4, "US-ASCII")
-          val size = le32(b, off + 4)
-          val data = off + 8
-          if (id == "fmt " && data + 16 <= b.length) {
-            channels = le16(b, data + 2)
-            rate = le32(b, data + 4)
-            bits = le16(b, data + 14)
-          } else if (id == "data" && channels > 0 && bits == 16) {
-            val end = math.min(b.length, data + size)
-            val frameBytes = channels * 2
-            nSamples = (end - data).toLong / frameBytes
-            var i = data
-            var sumSq = 0L
-            while (i + 1 < end) {
-              val s = (le16(b, i) << 16) >> 16 // sign-extend
-              sumSq += s.toLong * s
-              i += 2
+        var off = 12L // after RIFF<size>WAVE
+        var malformed = false
+        while (!malformed && off + 8 <= b.length) {
+          val o = off.toInt
+          val id = new String(b, o, 4, "US-ASCII")
+          val size = le32(b, o + 4)
+          val data = o + 8
+          if (size < 0) {
+            // a corrupt signed chunk size must not walk backwards or
+            // stall the scan — bail with whatever was parsed so far
+            malformed = true
+          } else {
+            if (id == "fmt " && data + 16 <= b.length) {
+              channels = le16(b, data + 2)
+              rate = le32(b, data + 4)
+              bits = le16(b, data + 14)
+            } else if (id == "data" && channels > 0 && bits == 16) {
+              val end = math.min(b.length.toLong, data.toLong + size).toInt
+              val frameBytes = channels * 2
+              nSamples = (end - data).toLong / frameBytes
+              var i = data
+              var sumSq = 0L
+              while (i + 1 < end) {
+                val s = (le16(b, i) << 16) >> 16 // sign-extend
+                sumSq += s.toLong * s
+                i += 2
+              }
+              val totalVals = (end - data).toLong / 2
+              if (totalVals > 0)
+                // mean square over normalized [-1,1) amplitude, ×1000;
+                // BigInt so sumSq*1000 can't overflow on long clips
+                energyMilli =
+                  (BigInt(sumSq) * 1000 / totalVals / (32768L * 32768L)).toLong
             }
-            val totalVals = (end - data).toLong / 2
-            if (totalVals > 0)
-              // mean square over normalized [-1,1) amplitude, ×1000
-              energyMilli = sumSq * 1000L / totalVals / (32768L * 32768L)
+            val next = data.toLong + size + (size & 1) // chunks 2-byte aligned
+            if (next <= off) malformed = true else off = next
           }
-          off = data + size + (size & 1) // chunks are 2-byte aligned
         }
         MediaFeatures(r.mediaId, r.mediaType, len, digest,
           width = 0, height = 0,
@@ -154,22 +165,28 @@ object Multimodal {
           val rawH = le32(b, 22)
           height = math.abs(rawH) // negative = top-down row order
           val bitCount = le16(b, 28)
-          if (bitCount == 24 && width > 0 && height > 0) {
-            val rowBytes = ((width * 3 + 3) / 4) * 4 // rows pad to 4
+          // offsets in Long and dataOffset bounds-checked: a crafted
+          // header (negative offset, huge dims) must degrade to "no
+          // pixels read", not index out of bounds or overflow Int
+          if (bitCount == 24 && width > 0 && height > 0 &&
+              dataOffset >= 0 && dataOffset < b.length) {
+            val rowBytes = ((width.toLong * 3 + 3) / 4) * 4 // rows pad to 4
             var sum = 0L; var n = 0L
             var y = 0
-            while (y < height) {
+            var row = dataOffset.toLong
+            while (y < height && row + 2 < b.length) {
               var x = 0
-              val row = dataOffset + y * rowBytes
-              while (x < width && row + x * 3 + 2 < b.length) {
-                val bl = b(row + x * 3) & 0xff
-                val g = b(row + x * 3 + 1) & 0xff
-                val rd = b(row + x * 3 + 2) & 0xff
+              while (x < width && row + x.toLong * 3 + 2 < b.length) {
+                val p = (row + x.toLong * 3).toInt
+                val bl = b(p) & 0xff
+                val g = b(p + 1) & 0xff
+                val rd = b(p + 2) & 0xff
                 sum += 299L * rd + 587L * g + 114L * bl // Rec.601 ×1000
                 n += 1
                 x += 1
               }
               y += 1
+              row = dataOffset.toLong + y * rowBytes
             }
             if (n > 0) luma = sum / n
           }
@@ -198,10 +215,16 @@ object Multimodal {
       // batch size (the vectorized-codec shape groups by format
       // internally; callers see one coherent batch)
       val out = batch.map { r =>
-        val f =
+        // one malformed container must cost one stub row, not four
+        // task retries and an aborted query
+        val f = try {
           if (isWav(r.content)) wav.decodeBatch(Seq(r)).head
           else if (isBmp(r.content)) bmp.decodeBatch(Seq(r)).head
           else fallback.decodeBatch(Seq(r)).head
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            fallback.decodeBatch(Seq(r)).head
+        }
         f.copy(batchSize = batch.size)
       }
       out

@@ -127,12 +127,20 @@ private[sources] class BrokerMicroBatchStream(
 
   // driver-side control connection (offset discovery only — data
   // moves over the per-partition executor connections); tracked so
-  // stop() never DIALS the broker just to hang up
-  @volatile private var controlOpt: Option[BrokerClient] = None
-  private def control: BrokerClient = controlOpt.getOrElse {
-    val c = new BrokerClient(host, port)
-    controlOpt = Some(c)
-    c
+  // stop() never DIALS the broker just to hang up. Init and teardown
+  // share one lock: an unsynchronized check-then-act here lets a
+  // latestOffset racing stop() at query teardown open a second
+  // client after close ran and leak its socket
+  private var controlOpt: Option[BrokerClient] = None
+  private var stopped = false
+  private def control: BrokerClient = synchronized {
+    if (stopped)
+      throw new IllegalStateException("broker stream already stopped")
+    controlOpt.getOrElse {
+      val c = new BrokerClient(host, port)
+      controlOpt = Some(c)
+      c
+    }
   }
 
   override def initialOffset(): Offset = BrokerOffset(Map.empty)
@@ -191,8 +199,11 @@ private[sources] class BrokerMicroBatchStream(
     new BrokerReaderFactory
 
   override def commit(end: Offset): Unit = ()
-  override def stop(): Unit =
+  override def stop(): Unit = synchronized {
+    stopped = true
     controlOpt.foreach(c => try c.close() catch { case _: Throwable => () })
+    controlOpt = None
+  }
 }
 
 private[sources] final case class BrokerInputPartition(

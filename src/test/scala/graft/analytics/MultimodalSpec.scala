@@ -101,6 +101,54 @@ class MultimodalSpec extends AnyFunSuite {
     assert(other.byteLen == jpegish.length)
   }
 
+  test("malformed containers degrade to stub features, never hang or abort") {
+    import spark.implicits._
+    // WAV with a negative data-chunk size: the chunk walk must bail,
+    // not spin the task forever
+    val evilWav = {
+      val good = wavBytes(8000, Seq(100, -100, 100, -100))
+      // find the "data" chunk and corrupt its size to -8
+      val idx = good.indexOfSlice("data".getBytes)
+      good.patch(idx + 4, le32(-8), 4)
+    }
+    // BMP with a negative pixel-data offset and absurd dims: must not
+    // throw ArrayIndexOutOfBounds
+    val evilBmp = {
+      val good = bmpBytes(2, 2, Seq((1, 2, 3), (4, 5, 6), (7, 8, 9), (10, 11, 12)))
+      good.patch(10, le32(-100), 4) // dataOffset = -100
+        .patch(18, le32(Int.MaxValue), 4) // width overflow bait
+    }
+    val media = Seq(
+      MediaRow(1L, "audio", evilWav),
+      MediaRow(2L, "image", evilBmp)).toDS()
+    val fx = extractFeatures(media, new FormatAwareCodec, batchSize = 8)
+      .collect().sortBy(_.mediaId)
+    // both rows come back (no exception, no hang); the WAV keeps its
+    // fmt-derived metadata but reads no frames, the BMP reads no pixels
+    assert(fx.length == 2)
+    assert(fx(0).sampleRate == 8000 && fx(0).durationMs == 0L)
+    assert(fx(1).avgLumaMilli == -1L)
+  }
+
+  test("long-clip WAV energy does not overflow the accumulator scaling") {
+    // 150 s of full-scale 44.1 kHz mono: sumSq ≈ 7.1e15, the old
+    // sumSq*1000 pre-scaling would wrap past Long.MaxValue
+    val n = 44100 * 150
+    val samples = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) { // -32768 full-scale: le16 = 0x00 0x80
+      samples(i * 2) = 0x00; samples(i * 2 + 1) = 0x80.toByte; i += 1
+    }
+    val wav = "RIFF".getBytes ++ le32(36 + samples.length) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(44100) ++
+      le32(44100 * 2) ++ le16(2) ++ le16(16) ++
+      "data".getBytes ++ le32(samples.length) ++ samples
+    val fx = new PcmWavCodec()
+      .decodeBatch(Seq(MediaRow(1L, "audio", wav))).head
+    assert(fx.energyMilli == 1000L) // (-32768/32768)² = 1.0 exactly
+    assert(fx.durationMs == 150000L)
+  }
+
   test("binaryMeta computes length and digest without decoding") {
     import spark.implicits._
     val df = Seq(("a", "hello"), ("b", "wörld")).toDF("id", "text")
