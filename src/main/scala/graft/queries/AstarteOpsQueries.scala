@@ -452,7 +452,7 @@ object AstarteOpsQueries extends QueryPack {
               "d" -> r.getAs[Double]("value")))),
             r.getAs[Long]("ts") / 1000 * 10, "ip", r.getAs[Long]("event_id"))
         }
-        st.applyEffects(DeviceStateMachine.processBatch(envs, registry))
+        st.applyEffects(DeviceStateMachine.processBatch(envs, registry), registry)
         st
       }
       store.objectTable(s, obj, registry.mappingsOf(obj.name))

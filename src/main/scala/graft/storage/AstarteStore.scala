@@ -3,7 +3,7 @@ package graft.storage
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core._
-import graft.streaming.EffectRow
+import graft.streaming.{EffectRow, Registry}
 
 /** The typed storage layer: the reference's 8 Cassandra tables
   * re-expressed as parquet LWW/append tables (SURVEY §1.5, §2.5, §2.6)
@@ -16,6 +16,7 @@ import graft.streaming.EffectRow
   * (R5) a pure column projection.
   */
 final class AstarteStore(val root: String) {
+  import AstarteStore.{adoptTmpLeaves, rewriteLeaf}
 
   val properties = new LwwTable(s"$root/individual_properties",
     keyCols = Seq("device_id", "iface", "endpoint", "path"),
@@ -97,12 +98,17 @@ final class AstarteStore(val root: String) {
     * no-op concept; cross-JVM maintenance (a separate vacuum job)
     * should run quiesced or against an object store.
     */
-  private val tableLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private def lockFor(path: String): Object =
-    tableLocks.computeIfAbsent(path, _ => new Object)
+  private def lockFor(path: String): Object = AstarteStore.lockFor(path)
 
-  def applyEffects(effects: Dataset[EffectRow]): Unit = {
+  /** Registry-less convenience for effect batches that carry no
+    * object aggregates (individual properties/datastreams only).
+    * Object appends need the registry's leaf schema — those callers
+    * must use the two-arg form.
+    */
+  def applyEffects(effects: Dataset[EffectRow]): Unit =
+    applyEffects(effects, Registry(Map.empty, Map.empty, Nil))
+
+  def applyEffects(effects: Dataset[EffectRow], registry: Registry): Unit = {
     val df = effects.toDF().cache()
     try {
       val props = df.filter(col("kind").isin("property_upsert", "property_unset"))
@@ -148,21 +154,39 @@ final class AstarteStore(val root: String) {
 
       val objects = df.filter(col("kind") === "object_append")
       if (!objects.isEmpty) {
-        // One row per message; leaf columns v_<key> decoded from the
-        // object BSON. Only keys present in the payload are non-null
-        // (the reference's NULL-avoidance, queries.ex:199-297).
-        val objectRows = objects
-          .select(col("iface"), col("deviceId").as("device_id"), col("path"),
-            col("valueTimestampMs").as("value_timestamp"),
-            col("receptionMs").as("reception_timestamp"),
-            col("submillis").as("reception_timestamp_submillis"),
-            regexp_extract(col("detail"), "expiry_ms:(\\d+)", 1).cast("long")
-              .as("expiry_ms"),
-            expr("valueTimestampMs div 86400000").as("day"),
-            BsonValueUdfs.objectJsonUdf(col("valueBson")).as("v_json"))
-        lockFor(s"$root/objects").synchronized {
-          objectRows.write.mode("append")
-            .partitionBy("iface", "day").parquet(s"$root/objects")
+        // One table per (interface, major) — the reference's dynamic
+        // `<iface>_v<major>` tables — with one TYPED column per
+        // endpoint leaf decoded from the object BSON at append time
+        // (queries.ex:199-297). Typed columns keep scans columnar:
+        // a two-leaf projection at 100 TB reads two parquet column
+        // chunks, not a JSON blob re-parsed per row. Only keys
+        // present in the payload are non-null (NULL-avoidance).
+        // The interface list in a batch is registry-bounded metadata,
+        // so the driver-side distinct/collect is control-plane sized.
+        val ifaceNames =
+          objects.select("iface").distinct().collect().map(_.getString(0))
+        ifaceNames.foreach { name =>
+          val desc = registry.descriptor(name).getOrElse(
+            throw new IllegalStateException(
+              s"object append for interface '$name' but no registry entry — " +
+                "pass the registry to applyEffects so leaf columns can be typed"))
+          val leafCols = registry.mappingsOf(name).map { m =>
+            val leaf = AstarteStore.leafNameOf(m.endpoint)
+            BsonValueUdfs.objectLeafUdf(m.valueType)(
+              col("valueBson"), lit(leaf)).as(s"v_$leaf")
+          }
+          val rows = objects.filter(col("iface") === name)
+            .select(Seq(col("deviceId").as("device_id"), col("path"),
+              col("valueTimestampMs").as("value_timestamp"),
+              col("receptionMs").as("reception_timestamp"),
+              col("submillis").as("reception_timestamp_submillis"),
+              regexp_extract(col("detail"), "expiry_ms:(\\d+)", 1).cast("long")
+                .as("expiry_ms"),
+              expr("valueTimestampMs div 86400000").as("day")) ++ leafCols: _*)
+          val path = objectPath(desc)
+          lockFor(path).synchronized {
+            rows.write.mode("append").partitionBy("day").parquet(path)
+          }
         }
       }
 
@@ -267,7 +291,27 @@ final class AstarteStore(val root: String) {
   def sweepRetention(spark: SparkSession, nowMs: Long): Unit = {
     sweepExpiredPaths(spark, nowMs)
     sweepAppendTable(spark, datastreamPath, nowMs)
-    sweepAppendTable(spark, s"$root/objects", nowMs)
+    objectTablePaths(spark).foreach(p => sweepAppendTable(spark, p, nowMs))
+  }
+
+  /** Object tables are dynamic — one `<iface>_v<major>` directory per
+    * object-aggregated interface, named at write time — so maintenance
+    * discovers them by layout: root-level directories outside the
+    * fixed table set whose children are `day=` partitions.
+    */
+  def objectTablePaths(spark: SparkSession): Seq[String] = {
+    val hroot = new org.apache.hadoop.fs.Path(root)
+    val fs = hroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hroot)) return Nil
+    val fixed = Set("individual_properties", "individual_datastreams",
+      "devices.log", "paths", "kv_store")
+    fs.listStatus(hroot).toSeq
+      .filter(e => e.isDirectory && !isHidden(e.getPath.getName))
+      .filterNot(e => fixed(e.getPath.getName) ||
+        e.getPath.getName.endsWith(".tmp"))
+      .filter(e => fs.listStatus(e.getPath).exists(c =>
+        c.isDirectory && c.getPath.getName.startsWith("day=")))
+      .map(_.getPath.toString)
   }
 
   /** Partition-pruned retention sweep of an (iface, day)-partitioned
@@ -310,82 +354,6 @@ final class AstarteStore(val root: String) {
     * window at all and only a benign transient-duplicate window that
     * the read semantics absorb.
     */
-  /** Crash recovery for the leaf rewrites (sweep + compaction): a tmp
-    * root only ever holds replacement files whose originals are still
-    * in the leaf, so recovery ADOPTS every tmp file into its leaf
-    * (harmless duplicates at worst, folded by the read and converged
-    * by the next maintenance run) and drops the tmp root. Also covers
-    * a pre-protocol tmp root whose leaf was already deleted: the
-    * adopted files ARE the data then.
-    */
-  private def adoptTmpLeaves(
-      fs: org.apache.hadoop.fs.FileSystem,
-      tableRoot: org.apache.hadoop.fs.Path,
-      tmpRoot: org.apache.hadoop.fs.Path): Unit = {
-    import org.apache.hadoop.fs.{Path => HPath}
-    if (!fs.exists(tmpRoot)) return
-    for {
-      ifaceDir <- fs.listStatus(tmpRoot) if ifaceDir.isDirectory
-      dayDir <- fs.listStatus(ifaceDir.getPath) if dayDir.isDirectory
-    } {
-      val leaf = new HPath(
-        s"$tableRoot/${ifaceDir.getPath.getName}/${dayDir.getPath.getName}")
-      fs.mkdirs(leaf)
-      for (f <- fs.listStatus(dayDir.getPath)
-           if f.isFile && f.getPath.getName.endsWith(".parquet")) {
-        val dst = new HPath(leaf, f.getPath.getName)
-        // same name already in the leaf = this file was adopted by a
-        // previous crashed recovery — the tmp copy is redundant
-        if (!fs.exists(dst) && !fs.rename(f.getPath, dst))
-          throw new java.io.IOException(
-            s"tmp-leaf adopt: rename ${f.getPath} -> $dst failed")
-      }
-    }
-    fs.delete(tmpRoot, true)
-  }
-
-  /** The shared leaf rewrite: snapshot the leaf's CURRENT data files,
-    * write `transform(snapshot)` to `tmpLeaf`, move the result files
-    * into the leaf, then retire exactly the snapshot files. Files
-    * appended concurrently (after the listing) are never touched.
-    * The snapshot folds byte-identical replay duplicates, so repeated
-    * crash/re-run cycles converge instead of accreting copies.
-    */
-  private def rewriteLeaf(spark: SparkSession,
-      fs: org.apache.hadoop.fs.FileSystem,
-      leaf: org.apache.hadoop.fs.Path,
-      tmpLeaf: org.apache.hadoop.fs.Path,
-      transform: DataFrame => DataFrame): Unit = {
-    import org.apache.hadoop.fs.{Path => HPath}
-    val snapshot = fs.listStatus(leaf)
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-    if (snapshot.isEmpty) return
-    val out = transform(
-      spark.read.parquet(snapshot.map(_.getPath.toString).toSeq: _*)
-        .dropDuplicates())
-    // write first, probe the (small) OUTPUT for emptiness — an
-    // isEmpty on `out` would run a second full scan over the exact
-    // leaves chosen for being large
-    out.write.mode("overwrite").parquet(tmpLeaf.toString)
-    if (!spark.read.parquet(tmpLeaf.toString).isEmpty) {
-      for (f <- fs.listStatus(tmpLeaf)
-           if f.isFile && f.getPath.getName.endsWith(".parquet")) {
-        val dst = new HPath(leaf, f.getPath.getName)
-        // Hadoop rename signals most failures via its return value;
-        // an unchecked false + the snapshot retirement below would
-        // drop rows whose replacement never arrived. Throw instead —
-        // originals are still in place and the run can be repeated.
-        if (!fs.rename(f.getPath, dst))
-          throw new java.io.IOException(
-            s"leaf rewrite: rename ${f.getPath} -> $dst failed; originals intact")
-      }
-    }
-    // commit point: replacements are all in the leaf; retire the
-    // snapshot files (an empty `out` means every row expired — the
-    // retirement IS the rewrite then)
-    snapshot.foreach(f => fs.delete(f.getPath, false))
-  }
-
   /** Drop directories a retirement emptied — a schema-less directory
     * poisons the next read, and an empty table root masquerades as an
     * empty table with no schema. Non-recursive deletes: if a
@@ -396,16 +364,19 @@ final class AstarteStore(val root: String) {
       fs: org.apache.hadoop.fs.FileSystem,
       tableRoot: org.apache.hadoop.fs.Path): Unit = {
     if (!fs.exists(tableRoot)) return
-    for (ifaceDir <- fs.listStatus(tableRoot)
-         if ifaceDir.isDirectory && !isHidden(ifaceDir.getPath.getName)) {
-      for (dayDir <- fs.listStatus(ifaceDir.getPath) if dayDir.isDirectory)
-        if (fs.listStatus(dayDir.getPath).isEmpty)
-          try fs.delete(dayDir.getPath, false) catch { case _: java.io.IOException => () }
-      if (fs.listStatus(ifaceDir.getPath).isEmpty)
-        try fs.delete(ifaceDir.getPath, false) catch { case _: java.io.IOException => () }
-    }
-    if (!fs.listStatus(tableRoot).exists(st =>
-        st.isDirectory && !isHidden(st.getPath.getName)))
+    // bottom-up: empty leaves first, then parents they emptied —
+    // works for any partition depth
+    def prune(dir: org.apache.hadoop.fs.Path): Unit =
+      for (e <- fs.listStatus(dir)
+           if e.isDirectory && !isHidden(e.getPath.getName)) {
+        prune(e.getPath)
+        if (fs.listStatus(e.getPath).isEmpty)
+          try fs.delete(e.getPath, false) catch { case _: java.io.IOException => () }
+      }
+    prune(tableRoot)
+    val leftover = fs.listStatus(tableRoot)
+    if (!leftover.exists(st => st.isDirectory && !isHidden(st.getPath.getName)) &&
+        !leftover.exists(st => st.isFile && st.getPath.getName.endsWith(".parquet")))
       fs.delete(tableRoot, true)
   }
 
@@ -430,16 +401,22 @@ final class AstarteStore(val root: String) {
     if (!fs.exists(hpath)) return
     val df = spark.read.parquet(path)
     if (!df.columns.contains("expiry_ms")) return
+    // partition layout differs per table: datastreams are (iface, day),
+    // per-interface object tables are (day) — derive it from the schema
+    val partCols = Seq("iface", "day").filter(df.columns.contains)
+    if (partCols.isEmpty) return
     val hit = df
       .filter(col("expiry_ms").isNotNull && col("expiry_ms") <= nowMs)
-      .select(col("iface"), col("day")).distinct()
-      .collect().map(r => (r.get(0).toString, r.get(1).toString))
+      .select(partCols.map(col): _*).distinct()
+      .collect()
+      .map(r => partCols.indices
+        .map(i => s"${partCols(i)}=${r.get(i)}").mkString("/"))
     if (hit.isEmpty) return // the common case: nothing to do, touch nothing
     val tmpRoot = new HPath(path + ".sweep.tmp")
-    hit.foreach { case (iface, day) =>
+    hit.foreach { rel =>
       rewriteLeaf(spark, fs,
-        new HPath(s"$path/iface=$iface/day=$day"),
-        new HPath(s"$tmpRoot/iface=$iface/day=$day"),
+        new HPath(s"$path/$rel"),
+        new HPath(s"$tmpRoot/$rel"),
         _.filter(col("expiry_ms").isNull || col("expiry_ms") > nowMs))
     }
     fs.delete(tmpRoot, true)
@@ -465,18 +442,25 @@ final class AstarteStore(val root: String) {
     val tmpRoot = new HPath(path + ".compact.tmp")
     adoptTmpLeaves(fs, hpath, tmpRoot)
     if (!fs.exists(hpath)) return
-    for {
-      ifaceDir <- fs.listStatus(hpath)
-        if ifaceDir.isDirectory && !isHidden(ifaceDir.getPath.getName)
-      dayDir <- fs.listStatus(ifaceDir.getPath)
-        if dayDir.isDirectory && !isHidden(dayDir.getPath.getName)
-    } {
-      val dataFiles = fs.listStatus(dayDir.getPath)
+    // leaf dirs at any partition depth: a dir holding parquet files
+    // directly (the root itself is never a leaf — these tables are
+    // always partitioned)
+    def leafDirs(dir: HPath, rel: String): Seq[(HPath, String)] =
+      fs.listStatus(dir).toSeq
+        .filter(e => e.isDirectory && !isHidden(e.getPath.getName))
+        .flatMap { e =>
+          val childRel =
+            if (rel.isEmpty) e.getPath.getName else s"$rel/${e.getPath.getName}"
+          val hasParquet = fs.listStatus(e.getPath).exists(f =>
+            f.isFile && f.getPath.getName.endsWith(".parquet"))
+          (if (hasParquet) Seq((e.getPath, childRel)) else Nil) ++
+            leafDirs(e.getPath, childRel)
+        }
+    for ((leaf, rel) <- leafDirs(hpath, "")) {
+      val dataFiles = fs.listStatus(leaf)
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       if (dataFiles.length > maxFiles)
-        rewriteLeaf(spark, fs, dayDir.getPath,
-          new HPath(s"$tmpRoot/${ifaceDir.getPath.getName}/${dayDir.getPath.getName}"),
-          _.coalesce(1))
+        rewriteLeaf(spark, fs, leaf, new HPath(s"$tmpRoot/$rel"), _.coalesce(1))
     }
     fs.delete(tmpRoot, true)
   }
@@ -589,33 +573,149 @@ final class AstarteStore(val root: String) {
   }
 
   /** Dynamic per-interface object table (W4 read side, SURVEY §7.4
-    * risk 2): object rows are stored as deterministic JSON; this
-    * projects them into one typed `v_<leaf>` column per endpoint leaf
-    * using the registry's schema — so a minor-version bump (new leaf)
-    * is pure projection change, no data rewrite, and rows written
-    * before the bump read as NULL for the new column (the reference's
-    * NULL-avoidance: absent keys are absent, not tombstones).
+    * risk 2): rows carry one typed `v_<leaf>` parquet column per
+    * endpoint leaf, written at append time from the registry schema.
+    * The read supplies the CURRENT registry's expected schema
+    * explicitly, so a minor-version bump (new leaf) is a pure
+    * projection change: files written before the bump simply read
+    * NULL for the new column (the reference's NULL-avoidance: absent
+    * keys are absent, not tombstones), and no data is rewritten.
+    * Datetime leaves are epoch-millis longs, matching the write path.
     */
   def objectTable(
       spark: SparkSession,
       iface: InterfaceDescriptor,
       mappings: Seq[Mapping]): DataFrame = {
-    val base = spark.read.parquet(s"$root/objects")
-      .filter(col("iface") === iface.name)
+    import org.apache.spark.sql.types._
+    val schema = StructType(
+      Seq(StructField("device_id", StringType),
+        StructField("path", StringType),
+        StructField("value_timestamp", LongType),
+        StructField("reception_timestamp", LongType),
+        StructField("reception_timestamp_submillis", IntegerType),
+        StructField("expiry_ms", LongType),
+        StructField("day", LongType)) ++
+      mappings.map(m => StructField(
+        s"v_${AstarteStore.leafNameOf(m.endpoint)}",
+        AstarteStore.objectLeafType(m.valueType))))
+    spark.read.schema(schema).parquet(objectPath(iface))
       .dropDuplicates() // replay tolerance, as in datastreams()
-    mappings.foldLeft(base) { (df, m) =>
-      val leaf = m.endpoint.substring(m.endpoint.lastIndexOf('/') + 1)
-      val raw = get_json_object(col("v_json"), s"$$.$leaf")
-      val typed = m.valueType match {
-        case AstarteValueType.ADouble => raw.cast("double")
-        case AstarteValueType.AInteger => raw.cast("int")
-        case AstarteValueType.ALongInteger => raw.cast("long")
-        case AstarteValueType.ABoolean => raw.cast("boolean")
-        case AstarteValueType.ADateTime => raw.cast("long")
-        case _ => raw // strings, blobs (hex), arrays stay as JSON text
+  }
+}
+
+object AstarteStore {
+  /** JVM-global writer locks keyed by table path (see the instance
+    * scaladoc at the lock's use sites): keying globally rather than
+    * per-store covers two store instances opened on the same root,
+    * and lets [[LwwTable]] maintenance share the lock with the
+    * store's appends.
+    */
+  private val tableLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[storage] def lockFor(path: String): Object =
+    tableLocks.computeIfAbsent(path, _ => new Object)
+
+  /** Crash recovery for the leaf rewrites (sweep + compaction): a tmp
+    * root only ever holds replacement files whose originals are still
+    * in the leaf, so recovery ADOPTS every tmp file into its leaf
+    * (harmless duplicates at worst, folded by the read and converged
+    * by the next maintenance run) and drops the tmp root. Also covers
+    * a pre-protocol tmp root whose leaf was already deleted: the
+    * adopted files ARE the data then.
+    */
+  private[storage] def adoptTmpLeaves(
+      fs: org.apache.hadoop.fs.FileSystem,
+      tableRoot: org.apache.hadoop.fs.Path,
+      tmpRoot: org.apache.hadoop.fs.Path): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    if (!fs.exists(tmpRoot)) return
+    // mirror the tmp tree back under the table root at ANY partition
+    // depth — (iface, day) for datastreams, (day) for object tables
+    def walk(dir: HPath, rel: String): Unit =
+      for (e <- fs.listStatus(dir)) {
+        val childRel =
+          if (rel.isEmpty) e.getPath.getName else s"$rel/${e.getPath.getName}"
+        if (e.isDirectory) walk(e.getPath, childRel)
+        else if (e.isFile && e.getPath.getName.endsWith(".parquet")) {
+          val leaf =
+            if (rel.isEmpty) tableRoot else new HPath(s"$tableRoot/$rel")
+          fs.mkdirs(leaf)
+          val dst = new HPath(leaf, e.getPath.getName)
+          // same name already in the leaf = this file was adopted by a
+          // previous crashed recovery — the tmp copy is redundant
+          if (!fs.exists(dst) && !fs.rename(e.getPath, dst))
+            throw new java.io.IOException(
+              s"tmp-leaf adopt: rename ${e.getPath} -> $dst failed")
+        }
       }
-      df.withColumn(s"v_$leaf", typed)
-    }.drop("v_json")
+    walk(tmpRoot, "")
+    fs.delete(tmpRoot, true)
+  }
+
+  /** The shared leaf rewrite: snapshot the leaf's CURRENT data files,
+    * write `transform(snapshot)` to `tmpLeaf`, move the result files
+    * into the leaf, then retire exactly the snapshot files. Files
+    * appended concurrently (after the listing) are never touched.
+    * The snapshot folds byte-identical replay duplicates, so repeated
+    * crash/re-run cycles converge instead of accreting copies.
+    */
+  private[storage] def rewriteLeaf(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      leaf: org.apache.hadoop.fs.Path,
+      tmpLeaf: org.apache.hadoop.fs.Path,
+      transform: DataFrame => DataFrame): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val snapshot = fs.listStatus(leaf)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    if (snapshot.isEmpty) return
+    // mergeSchema: after a minor bump one leaf can mix pre-bump files
+    // (no v_<new>) with post-bump files — a single-footer schema pick
+    // would silently drop the new column from the rewrite
+    val out = transform(
+      spark.read.option("mergeSchema", "true")
+        .parquet(snapshot.map(_.getPath.toString).toSeq: _*)
+        .dropDuplicates())
+    // write first, probe the (small) OUTPUT for emptiness — an
+    // isEmpty on `out` would run a second full scan over the exact
+    // leaves chosen for being large
+    out.write.mode("overwrite").parquet(tmpLeaf.toString)
+    if (!spark.read.parquet(tmpLeaf.toString).isEmpty) {
+      for (f <- fs.listStatus(tmpLeaf)
+           if f.isFile && f.getPath.getName.endsWith(".parquet")) {
+        val dst = new HPath(leaf, f.getPath.getName)
+        // Hadoop rename signals most failures via its return value;
+        // an unchecked false + the snapshot retirement below would
+        // drop rows whose replacement never arrived. Throw instead —
+        // originals are still in place and the run can be repeated.
+        if (!fs.rename(f.getPath, dst))
+          throw new java.io.IOException(
+            s"leaf rewrite: rename ${f.getPath} -> $dst failed; originals intact")
+      }
+    }
+    // commit point: replacements are all in the leaf; retire the
+    // snapshot files (an empty `out` means every row expired — the
+    // retirement IS the rewrite then)
+    snapshot.foreach(f => fs.delete(f.getPath, false))
+  }
+
+
+  /** Last path segment of an endpoint: the leaf key inside the object
+    * payload and the `v_<leaf>` column suffix.
+    */
+  def leafNameOf(endpoint: String): String =
+    endpoint.substring(endpoint.lastIndexOf('/') + 1)
+
+  /** Parquet type of a `v_<leaf>` column. Datetimes land as
+    * epoch-millis longs (the same convention as the datastream
+    * `datetime_value` column); everything else is its natural type.
+    */
+  def objectLeafType(t: AstarteValueType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    t match {
+      case AstarteValueType.ADateTime => LongType
+      case AstarteValueType.ADateTimeArray => ArrayType(LongType)
+      case other => other.sparkType
+    }
   }
 }
 
@@ -784,21 +884,71 @@ object BsonValueUdfs {
     case bytes: Array[Byte] => bytes
   }))
 
-  /** Object payload → deterministic JSON of scalar leaves (sorted
-    * keys), the portable column set for the dynamic object tables.
+  /** One leaf of an object payload: `{v: {leaf: value, ...}}`. */
+  private def leafV(b: Array[Byte], leaf: String): Option[Any] =
+    v(b).collect { case m: collection.Map[_, _] =>
+      m.collectFirst { case (k, value) if String.valueOf(k) == leaf => value }
+    }.flatten
+
+  private def leafArr(b: Array[Byte], leaf: String): Option[Seq[Any]] =
+    leafV(b, leaf).collect { case xs: Seq[_] => xs }
+
+  /** Typed extraction of one object-payload leaf, per declared mapping
+    * type — the write-side decode for the dynamic `<iface>_v<major>`
+    * object tables (one typed parquet column per leaf). Coercions
+    * mirror the scalar UDFs above; datetimes land as epoch millis.
     */
-  val objectJsonUdf = udf((b: Array[Byte]) => v(b).map {
-    case m: collection.Map[_, _] =>
-      m.toSeq.map { case (k, vv) => (k.toString, vv) }.sortBy(_._1)
-        .map { case (k, vv) =>
-          val j = vv match {
-            case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-            case BsonBinary(_, bytes) => "\"0x" + bytes.map("%02x".format(_)).mkString + "\""
-            case t: java.time.Instant => t.toEpochMilli.toString
-            case other => String.valueOf(other)
-          }
-          "\"" + k + "\":" + j
-        }.mkString("{", ",", "}")
-    case other => String.valueOf(other)
-  })
+  def objectLeafUdf(t: AstarteValueType): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    import AstarteValueType._
+    t match {
+      case ADouble => udf((b: Array[Byte], leaf: String) => leafV(b, leaf).collect {
+        case d: Double => d
+        case i: Int => i.toDouble
+        case l: Long => l.toDouble
+      })
+      case AInteger => udf((b: Array[Byte], leaf: String) =>
+        leafV(b, leaf).collect { case i: Int => i })
+      case ALongInteger => udf((b: Array[Byte], leaf: String) => leafV(b, leaf).collect {
+        case l: Long => l
+        case i: Int => i.toLong
+      })
+      case AString => udf((b: Array[Byte], leaf: String) =>
+        leafV(b, leaf).collect { case s: String => s })
+      case ABoolean => udf((b: Array[Byte], leaf: String) =>
+        leafV(b, leaf).collect { case x: Boolean => x })
+      case ABinaryBlob => udf((b: Array[Byte], leaf: String) => leafV(b, leaf).collect {
+        case BsonBinary(_, bytes) => bytes
+        case bytes: Array[Byte] => bytes
+      })
+      case ADateTime => udf((b: Array[Byte], leaf: String) => leafV(b, leaf).collect {
+        case inst: java.time.Instant => inst.toEpochMilli
+        case l: Long => l
+        case i: Int => i.toLong
+      })
+      case ADoubleArray => udf((b: Array[Byte], leaf: String) => leafArr(b, leaf).map(_.collect {
+        case d: Double => d
+        case i: Int => i.toDouble
+        case l: Long => l.toDouble
+      }))
+      case AIntegerArray => udf((b: Array[Byte], leaf: String) =>
+        leafArr(b, leaf).map(_.collect { case i: Int => i }))
+      case ALongIntegerArray => udf((b: Array[Byte], leaf: String) => leafArr(b, leaf).map(_.collect {
+        case l: Long => l
+        case i: Int => i.toLong
+      }))
+      case AStringArray => udf((b: Array[Byte], leaf: String) =>
+        leafArr(b, leaf).map(_.collect { case s: String => s }))
+      case ABooleanArray => udf((b: Array[Byte], leaf: String) =>
+        leafArr(b, leaf).map(_.collect { case x: Boolean => x }))
+      case ABinaryBlobArray => udf((b: Array[Byte], leaf: String) => leafArr(b, leaf).map(_.collect {
+        case BsonBinary(_, bytes) => bytes
+        case bytes: Array[Byte] => bytes
+      }))
+      case ADateTimeArray => udf((b: Array[Byte], leaf: String) => leafArr(b, leaf).map(_.collect {
+        case inst: java.time.Instant => inst.toEpochMilli
+        case l: Long => l
+        case i: Int => i.toLong
+      }))
+    }
+  }
 }

@@ -23,11 +23,15 @@ final class LwwTable(
   import LwwTable._
 
   /** Blind-append rows with an operation marker. `df` must carry the
-    * key and order columns.
+    * key and order columns. Locked against compaction (and any other
+    * in-JVM writer on this path) — two concurrent append jobs on one
+    * path share the committer's `_temporary/0` tree.
     */
   def append(df: DataFrame, op: String = OpUpsert): Unit =
-    df.withColumn(OpCol, lit(op))
-      .write.mode("append").parquet(path)
+    AstarteStore.lockFor(path).synchronized {
+      df.withColumn(OpCol, lit(op))
+        .write.mode("append").parquet(path)
+    }
 
   def exists(spark: SparkSession): Boolean =
     new org.apache.hadoop.fs.Path(path)
@@ -45,28 +49,46 @@ final class LwwTable(
     */
   def snapshot(spark: SparkSession): DataFrame = {
     if (!exists(spark)) return spark.emptyDataFrame
+    fold(log(spark))
+  }
+
+  private def fold(df: DataFrame): DataFrame = {
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(orderCols.map(c => col(c).desc) :+
         (col(OpCol) === OpDelete).desc: _*)
-    log(spark)
-      .withColumn("__rn", row_number().over(w))
+    df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && col(OpCol) =!= OpDelete)
       .drop("__rn", OpCol)
   }
 
   /** Fold the log down to its snapshot (run periodically, off the
     * ingest path). Equivalent to Delta OPTIMIZE + VACUUM.
+    *
+    * Runs under the table's writer lock and the same file-granular
+    * adopt-and-retire commit as the store's sweep/compaction
+    * ([[AstarteStore.rewriteLeaf]]): only the files listed at entry
+    * are folded and retired, so a concurrent append's file — a new
+    * name, never in the listing — survives untouched, where the old
+    * whole-directory delete+rename dropped it with the directory.
+    * Crash mid-compact leaves originals in place plus adoptable tmp
+    * files; the next run converges.
     */
-  def compact(spark: SparkSession): Unit = {
-    if (!exists(spark)) return
-    val snap = snapshot(spark).withColumn(OpCol, lit(OpUpsert))
-    val tmp = path + ".compact"
-    snap.write.mode("overwrite").parquet(tmp)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
-  }
+  def compact(spark: SparkSession): Unit =
+    AstarteStore.lockFor(path).synchronized {
+      val hpath = new org.apache.hadoop.fs.Path(path)
+      val fs = hpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmp = new org.apache.hadoop.fs.Path(path + ".compact.tmp")
+      AstarteStore.adoptTmpLeaves(fs, hpath, tmp)
+      if (!fs.exists(hpath)) return
+      AstarteStore.rewriteLeaf(spark, fs, hpath, tmp,
+        df => fold(df).withColumn(OpCol, lit(OpUpsert)).coalesce(1))
+      fs.delete(tmp, true)
+      // every key deleted → all files retired; drop the now-empty dir
+      // so it can't masquerade as a schema-less table
+      if (fs.exists(hpath) && !fs.listStatus(hpath).exists(f =>
+          f.isFile && f.getPath.getName.endsWith(".parquet")))
+        fs.delete(hpath, true)
+    }
 }
 
 object LwwTable {

@@ -96,7 +96,8 @@ object IngestDemo {
             "etype" -> et, "total" -> r.getAs[Double]("total")))),
           1000000000L + uid * 10000, "10.0.0.1", uid)
       }
-    store.applyEffects(DeviceStateMachine.processBatch(objMsgs, objRegistry))
+    store.applyEffects(DeviceStateMachine.processBatch(objMsgs, objRegistry),
+      objRegistry)
     val objRows = store.objectTable(spark, objIface, objMappings).count()
 
     // Publish the event side-output through the sink (S7) and read back.

@@ -36,13 +36,16 @@ object Pipeline {
       checkpointDir: String,
       triggerInterval: String = "1 second"): StreamingQuery =
     runEffects(DeviceStateMachine.processStream(envelopes, registry),
-      store, events, checkpointDir, triggerInterval)
+      registry, store, events, checkpointDir, triggerInterval)
 
   /** Shared sink glue: both entry points write through the same
-    * checkpointed foreachBatch (store + event sink).
+    * checkpointed foreachBatch (store + event sink). The registry is
+    * re-read per micro-batch so object-table leaf schemas follow live
+    * minor bumps, same as the state machine's ST2 refresh.
     */
   private def runEffects(
       effects: Dataset[EffectRow],
+      registry: DeviceStateMachine.RegistryProvider,
       store: AstarteStore,
       events: EventSink,
       checkpointDir: String,
@@ -52,7 +55,7 @@ object Pipeline {
       .trigger(StreamTrigger.ProcessingTime(triggerInterval))
       .foreachBatch { (batch: Dataset[EffectRow], batchId: Long) =>
         batch.sparkSession.sparkContext.setJobDescription(s"graft effects batch $batchId")
-        store.applyEffects(batch)
+        store.applyEffects(batch, registry.current())
         events.publish(batch)
       }
       .start()
@@ -76,7 +79,7 @@ object Pipeline {
       triggerInterval: String = "1 second"): StreamingQuery = {
     val init = store.initialSessionStates(spark, realm)
     runEffects(DeviceStateMachine.processStreamWithInit(envelopes, registry, init),
-      store, events, checkpointDir, triggerInterval)
+      registry, store, events, checkpointDir, triggerInterval)
   }
 
   /** File-based envelope source (S1/S2 stand-in): each parquet file

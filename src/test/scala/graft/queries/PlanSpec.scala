@@ -21,6 +21,9 @@ class PlanSpec extends AnyFunSuite {
     // AdaptiveSparkPlan(isFinalPlan=false) until executed, hiding the
     // codegen spans; runtime behavior with AQE is unchanged.
     .config("spark.sql.adaptive.enabled", "false")
+    // plan STRINGS are the assertion surface — don't let long scan
+    // metadata (e.g. the object tables' per-leaf schemas) elide to "..."
+    .config("spark.sql.maxMetadataStringLength", "2000")
     .getOrCreate()
 
   private val dir = "/root/testdata/sf0.001"
@@ -259,5 +262,17 @@ class PlanSpec extends AnyFunSuite {
     assert(rs.contains("event_type"))
     assert(!rs.contains("props"))
     assert(!rs.contains("user_id"))
+  }
+
+  test("object table reads typed leaf columns — no JSON re-parse in the plan") {
+    val p = plan("w4_object_projection")
+    // the storage layout is one typed parquet column per leaf: the
+    // read must be a column select, never a per-row JSON extraction
+    assert(!p.contains("get_json_object"))
+    val rs = p.substring(p.indexOf("ReadSchema"))
+    // leaves are read as their OWN typed columns (columnar, vectorized,
+    // min/max-indexed) — not re-derived from a monolithic blob column
+    assert(rs.contains("v_s:string") && rs.contains("v_d:double"))
+    assert(!rs.contains("v_json"))
   }
 }

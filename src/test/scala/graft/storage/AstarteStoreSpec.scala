@@ -102,7 +102,7 @@ class AstarteStoreSpec extends AnyFunSuite {
     val msgs = Seq(
       objMsg(Map("string" -> "aaa", "value" -> 1.1), 1),
       objMsg(Map("value" -> 2.2), 2)).toDS()
-    store.applyEffects(DeviceStateMachine.processBatch(msgs, reg))
+    store.applyEffects(DeviceStateMachine.processBatch(msgs, reg), reg)
 
     val rows = store.objectTable(spark, obj, objMappings)
       .orderBy("reception_timestamp").collect()
@@ -423,7 +423,9 @@ class AstarteStoreSpec extends AnyFunSuite {
     val seen = scala.collection.mutable.ArrayBuffer.empty[EffectRow]
     val q = effects.writeStream.outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[EffectRow], _: Long) =>
-        store.applyEffects(batch)
+        // per-batch registry read, as Pipeline does — the post-bump
+        // batch must land with the v1.6 leaf schema
+        store.applyEffects(batch, provider.current())
         seen.synchronized { seen ++= batch.collect() }
         ()
       }.start()
@@ -466,6 +468,107 @@ class AstarteStoreSpec extends AnyFunSuite {
     // and the folded device row carries the new minor
     val dev = store.devicesSnapshot(spark).collect().head
     assert(dev.introspection_minor == Map(objV5.name -> 6))
+  }
+
+  test("LwwTable: concurrent append + compact loses no row (adopt-and-retire)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-lww").toString
+    val table = new LwwTable(s"$root/props",
+      keyCols = Seq("k"), orderCols = Seq("ts"))
+    // seed so the first compact has work
+    table.append(Seq(("seed", 0L)).toDF("k", "ts"))
+
+    val appended = (0 until 12).map(i => s"key-$i")
+    val appenderError = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val appender = new Thread(() => {
+      try appended.zipWithIndex.foreach { case (k, i) =>
+        table.append(Seq((k, 100L + i)).toDF("k", "ts"))
+      } catch { case t: Throwable => appenderError.set(t) }
+    })
+    appender.start()
+    // compaction loop racing the appender: the old whole-directory
+    // delete+rename would vanish any file landed between the listing
+    // and the swap
+    (1 to 6).foreach(_ => table.compact(spark))
+    appender.join()
+    assert(appenderError.get() == null,
+      s"appender thread failed: ${appenderError.get()}")
+    table.compact(spark)
+
+    val keys = table.snapshot(spark).select("k")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(keys == ("seed" +: appended).sorted, s"rows lost: $keys")
+    // converged: the final compact folded the log to few files
+    val files = new java.io.File(s"$root/props")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files <= 2, s"compaction did not converge: $files files")
+  }
+
+  test("LwwTable compact: crash-orphaned tmp dir is adopted, deletes stay deleted") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-lww2").toString
+    val table = new LwwTable(s"$root/props",
+      keyCols = Seq("k"), orderCols = Seq("ts"))
+    table.append(Seq(("a", 1L), ("b", 1L)).toDF("k", "ts"))
+    table.append(Seq(("b", 2L)).toDF("k", "ts"), op = LwwTable.OpDelete)
+
+    // simulate a crash after the tmp write but before move-in: park a
+    // pre-folded copy under the tmp root, originals still in place
+    val tmp = java.nio.file.Paths.get(s"$root/props.compact.tmp")
+    table.snapshot(spark)
+      .withColumn(LwwTable.OpCol, org.apache.spark.sql.functions.lit(LwwTable.OpUpsert))
+      .write.parquet(tmp.toString)
+    table.compact(spark)
+    assert(!java.nio.file.Files.exists(tmp))
+    val keys = table.snapshot(spark).select("k")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(keys == Seq("a")) // b stays deleted, a survived the recovery
+  }
+
+  test("object table retention + compaction work on the day-partitioned layout") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-objsweep").toString
+    val store = new AstarteStore(root)
+    val obj = InterfaceDescriptor("com.test.RetainedObject", 1, 0,
+      InterfaceType.Datastream, Ownership.Device, Aggregation.Object)
+    val maps = Seq(
+      Mapping(obj.name, 1, "/a", ADouble, expirySeconds = 10),
+      Mapping(obj.name, 1, "/b", AString, expirySeconds = 10))
+    val reg = Registry(Map(obj.name -> obj), Map(obj.name -> maps), Nil)
+    val t0 = 15216455705950000L // decimicros
+    val nowMs = t0 / 10000
+    def objMsg(a: Double, b: String, offTicks: Long, off: Long) =
+      Envelope("r", "dev", "data", obj.name, "/",
+        Bson.encode(Seq("v" -> scala.collection.immutable.ListMap(
+          "a" -> a, "b" -> b))), t0 + offTicks, "ip", off)
+    // two separate batches in one day (file spray for compaction) +
+    // one a day later; the first expires at +10s, the rest at +60s/+1d
+    store.applyEffects(DeviceStateMachine.processBatch(Seq(
+      objMsg(1.0, "x", 0, 1)).toDS(), reg), reg)
+    store.applyEffects(DeviceStateMachine.processBatch(Seq(
+      objMsg(2.0, "y", 50L * 10000000L, 2)).toDS(), reg), reg)
+    store.applyEffects(DeviceStateMachine.processBatch(Seq(
+      objMsg(3.0, "z", 86400000L * 10000L, 3)).toDS(), reg), reg)
+
+    assert(store.objectTablePaths(spark)
+      .map(_.stripPrefix("file:")) == Seq(s"$root/${obj.objectTableName}"))
+    assert(store.objectTable(spark, obj, maps).count() == 3)
+
+    // sweep at +11s: only the first row expired; typed columns survive
+    store.sweepRetention(spark, nowMs + 11000)
+    val rows = store.objectTable(spark, obj, maps)
+      .orderBy("reception_timestamp").collect()
+    assert(rows.map(_.getAs[Double]("v_a")).toSeq == Seq(2.0, 3.0))
+    assert(rows.map(_.getAs[String]("v_b")).toSeq == Seq("y", "z"))
+
+    // compaction on the (day)-partitioned layout converges file counts
+    store.compactAppendTable(spark, s"$root/${obj.objectTableName}", maxFiles = 0)
+    val dayDirs = new java.io.File(s"$root/${obj.objectTableName}")
+      .listFiles().filter(f => f.isDirectory && f.getName.startsWith("day="))
+    assert(dayDirs.nonEmpty)
+    for (d <- dayDirs)
+      assert(d.listFiles().count(_.getName.endsWith(".parquet")) == 1)
+    assert(store.objectTable(spark, obj, maps).count() == 2)
   }
 
   test("concurrent append + sweep/compact: no appended row is ever lost") {
