@@ -198,7 +198,17 @@ private[sources] class BrokerMicroBatchStream(
   override def createReaderFactory(): PartitionReaderFactory =
     new BrokerReaderFactory
 
-  override def commit(end: Offset): Unit = ()
+  /** Spark calls commit once a micro-batch is durably checkpointed —
+    * the reference's ack-after-write (`message_tracker/server.ex:45-88`):
+    * acked offsets are truncated broker-side, bounding its memory to
+    * the unacked backlog. A restart from the checkpoint resumes AT the
+    * ack floor; only a rewind below it (lost checkpoint) can then hit
+    * the reader's vanished-range error — loudly, never silently.
+    */
+  override def commit(end: Offset): Unit =
+    end.asInstanceOf[BrokerOffset].ends.toSeq.sorted.foreach {
+      case (shard, upTo) => control.ack(shard, upTo)
+    }
   override def stop(): Unit = synchronized {
     stopped = true
     controlOpt.foreach(c => try c.close() catch { case _: Throwable => () })

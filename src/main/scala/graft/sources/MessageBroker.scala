@@ -35,6 +35,7 @@ final case class BrokerRecord(
   *   3 PUBLISH     (int shard, key, value,
   *                  int nHeaders × header)    → long offset
   *   4 ADD_SHARD   ()                         → int newCount
+  *   5 ACK         (int shard, long upTo)     → long newBase
   * record = long offset, long tsMs, key, value, int nHeaders × header
   * key/value = int len + bytes (len -1 = null); header = UTF key + bytes value
   */
@@ -44,35 +45,68 @@ final class MessageBroker(requestedPort: Int = 0) extends AutoCloseable {
   /** The bound port (ephemeral when requestedPort = 0). */
   val port: Int = server.getLocalPort
 
-  private val shards =
-    scala.collection.mutable.ArrayBuffer(newShard())
-  private def newShard() =
-    scala.collection.mutable.ArrayBuffer.empty[BrokerRecord]
+  /** One FIFO queue. Offsets are absolute and monotonic; `base` is the
+    * first still-retained offset — records below it were acknowledged
+    * and truncated (the reference's ack-after-write FIFO,
+    * `message_tracker/server.ex:45-88`), which is what bounds broker
+    * memory to the unacked backlog instead of the stream's lifetime.
+    */
+  private final class Shard {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[BrokerRecord]
+    var base: Long = 0L
+    def end: Long = base + buf.length
+  }
+
+  private val shards = scala.collection.mutable.ArrayBuffer(new Shard)
   @volatile private var running = true
 
   // --- queue operations (also the server-side API for tests) -------------
 
   def shardCount: Int = synchronized(shards.length)
 
-  def addShard(): Int = synchronized { shards += newShard(); shards.length }
+  def addShard(): Int = synchronized { shards += new Shard; shards.length }
 
-  def endOffsets: Seq[Long] = synchronized(shards.map(_.length.toLong).toSeq)
+  def endOffsets: Seq[Long] = synchronized(shards.map(_.end).toSeq)
+
+  /** First retained offset per shard (the ack/truncation floor). */
+  def baseOffsets: Seq[Long] = synchronized(shards.map(_.base).toSeq)
 
   def publish(shard: Int, key: Array[Byte], value: Array[Byte],
       headers: Seq[(String, Array[Byte])]): Long = synchronized {
     val q = shards(shard)
-    val off = q.length.toLong
-    q += BrokerRecord(off, System.currentTimeMillis(), key, value, headers)
+    val off = q.end
+    q.buf += BrokerRecord(off, System.currentTimeMillis(), key, value, headers)
     off
   }
 
+  /** Acknowledge offsets below `upTo` (exclusive) as durably consumed
+    * and truncate them. Acks never move the floor backwards and never
+    * past the end; returns the new floor.
+    */
+  def ack(shard: Int, upTo: Long): Long = synchronized {
+    val q = shards(shard)
+    val newBase = math.min(math.max(q.base, upTo), q.end)
+    if (newBase > q.base) {
+      q.buf.remove(0, (newBase - q.base).toInt)
+      q.base = newBase
+    }
+    q.base
+  }
+
+  /** Records in [from, from+max). A `from` below the truncation floor
+    * returns EMPTY — the range is gone; serving from the floor instead
+    * would let a rewound consumer silently skip the missing records.
+    */
   def fetch(shard: Int, from: Long, max: Int): Seq[BrokerRecord] = synchronized {
-    if (shard < 0 || shard >= shards.length || from >= shards(shard).length) Nil
+    if (shard < 0 || shard >= shards.length) Nil
     else {
       val q = shards(shard)
-      val lo = math.max(0L, from).toInt
-      val hi = math.min(q.length.toLong, from + math.max(0, max)).toInt
-      q.slice(lo, hi).toList
+      if (from < q.base || from >= q.end) Nil
+      else {
+        val lo = (from - q.base).toInt
+        val hi = (math.min(q.end, from + math.max(0, max)) - q.base).toInt
+        q.buf.slice(lo, hi).toList
+      }
     }
   }
 
@@ -124,6 +158,9 @@ final class MessageBroker(requestedPort: Int = 0) extends AutoCloseable {
             out.writeLong(publish(shard, key, value, hs))
           case 4 =>
             out.writeInt(addShard())
+          case 5 =>
+            val (shard, upTo) = (in.readInt(), in.readLong())
+            out.writeLong(ack(shard, upTo))
           case other =>
             throw new java.io.IOException(s"unknown broker command $other")
         }
@@ -202,6 +239,11 @@ final class BrokerClient(host: String, port: Int) extends AutoCloseable {
 
   def addShard(): Int = synchronized {
     out.writeByte(4); out.flush(); in.readInt()
+  }
+
+  def ack(shard: Int, upTo: Long): Long = synchronized {
+    out.writeByte(5); out.writeInt(shard); out.writeLong(upTo)
+    out.flush(); in.readLong()
   }
 
   override def close(): Unit = sock.close()

@@ -191,6 +191,79 @@ class BrokerSourceSpec extends AnyFunSuite {
     } finally { pub.close(); broker.close() }
   }
 
+  test("ack-after-write truncation bounds broker memory; checkpoint restart resumes at the floor") {
+    val base = Files.createTempDirectory("graft-broker-ack").toString
+    val broker = new MessageBroker()
+    val pub = new BrokerClient("127.0.0.1", broker.port)
+    try {
+      (1 to 8).foreach(i => pub.publish(0, null, Array(i.toByte), Nil))
+      // file sink: checkpoint-recoverable, so the restart below is the
+      // real resume path (the memory sink can't recover a checkpoint)
+      def startQuery() = spark.readStream
+        .format("graft-broker")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt").start()
+      val q = startQuery()
+      try {
+        q.processAllAvailable()
+        // the engine acks a batch's source offsets when it constructs
+        // the NEXT batch — publish once more to force that
+        pub.publish(0, null, Array(9.toByte), Nil)
+        q.processAllAvailable()
+      } finally q.stop()
+      // the committed first batch was acked and truncated server-side:
+      // broker memory holds only the unacked tail, not stream history
+      assert(broker.baseOffsets.head >= 8L)
+      assert(broker.endOffsets == Seq(9L))
+      // fetching below the floor returns empty, not silently-later data
+      assert(pub.fetch(0, 0L, 4).isEmpty)
+
+      // restart FROM THE CHECKPOINT resumes at/above the floor and
+      // consumes exactly the new records — truncation is invisible to
+      // the well-behaved consumer (no error, no duplicates, no holes)
+      (10 to 13).foreach(i => pub.publish(0, null, Array(i.toByte), Nil))
+      val q2 = startQuery()
+      try q2.processAllAvailable() finally q2.stop()
+      val out = spark.read.parquet(s"$base/out")
+      assert(out.count() == 13)
+      assert(out.select("offset").distinct().count() == 13)
+    } finally { pub.close(); broker.close() }
+  }
+
+  test("replay below the truncation floor fails loudly, never returns silence") {
+    val base = Files.createTempDirectory("graft-broker-floor").toString
+    val broker = new MessageBroker()
+    val pub = new BrokerClient("127.0.0.1", broker.port)
+    try {
+      (1 to 5).foreach(i => pub.publish(0, null, Array(i.toByte), Nil))
+      // a prior consumer acked everything; its checkpoint is then lost
+      assert(pub.ack(0, 5L) == 5L)
+      pub.publish(0, null, Array(6.toByte), Nil)
+      // a FRESH checkpoint starts from offset 0 — below the floor; the
+      // planned range [0, 6) is partly gone and the reader must error,
+      // not deliver a stream with a silent 5-record hole
+      val q = spark.readStream
+        .format("graft-broker")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .load()
+        .writeStream.format("memory").queryName("broker_floor")
+        .option("checkpointLocation", s"$base/ckpt-fresh").start()
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      q.stop()
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(ex).exists(_.getMessage != null) &&
+        causes(ex).exists(c => c.getMessage != null &&
+          c.getMessage.contains("vanished")),
+        s"expected the vanished-range error, got: $ex")
+    } finally { pub.close(); broker.close() }
+  }
+
   test("event-time windows + watermark work over the DSv2 broker source") {
     // the integration risk of a custom MicroBatchStream: watermark
     // tracking and event-time aggregation must ride the source's
