@@ -1,0 +1,27 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Standalone driver for the ingest-throughput number (the same
+  * measurement Bench embeds) — lets throughput be profiled without
+  * paying the full 100-query suite.
+  */
+object IngestBenchOnly {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val reps = args.headOption.map(_.toInt).getOrElse(3)
+    (1 to reps).foreach { i =>
+      val eps = Bench.ingestEpsPublic(spark, sfDir)
+      println(s"""{"run":$i,"ingest_events_per_sec":${math.round(eps)}}""")
+    }
+    spark.stop()
+  }
+}

@@ -23,6 +23,14 @@ final case class Envelope(
     ipAddress: String,
     offset: Long)
 
+object Envelope {
+  /** Declaration-order column names — the ordinal contract of the
+    * ingest fold's direct InternalRow access.
+    */
+  val fieldNames: Array[String] = Array("realm", "deviceId", "msgType",
+    "iface", "path", "payload", "receptionDecimicros", "ipAddress", "offset")
+}
+
 /** Flat effect row — the single output type of the state machine so
   * one Encoder covers writes, events, commands and errors; a sink
   * routes on `kind`.
@@ -117,6 +125,70 @@ object DeviceProcessor {
       case "control" => handleControl(state, env, registry, receptionMs, submillis)
       case other =>
         (bumpStats(state, env), Seq(error(env, receptionMs, s"unexpected_msg_type:$other")))
+    }
+  }
+
+  /** Fold-side context for the columnar prefix: the trigger-index
+    * decoder for the prematch mask and the fingerprint of the fold's
+    * registry (0 = "always recompute"). Built once per partition
+    * (batch) or per group (stream), never per message.
+    */
+  final case class PreContext(
+      regFp: Int,
+      trigIdx: Map[TriggerEventType, Seq[(Trigger, Int)]])
+
+  object PreContext {
+    def of(registry: Registry): PreContext = PreContext(
+      graft.functions.RegistryMeta.fingerprintOf(registry),
+      graft.functions.RegistryMeta.triggerIndex(registry))
+  }
+
+  /** [[processMessage]] with the columnar-precomputed stateless prefix
+    * ([[graft.functions.IngestPrecompute]]): identical results by
+    * construction — the fast path reuses the same value-landing body
+    * and falls back to the full row-at-a-time path whenever the
+    * precompute can't be trusted (non-data message, registry changed
+    * since plan time, unmaskable registry).
+    */
+  def processMessagePre(
+      state: DeviceSessionState,
+      env: Envelope,
+      pre: graft.functions.IngestPre,
+      registry: Registry,
+      ctx: PreContext): (DeviceSessionState, Seq[EffectRow]) = {
+    import graft.functions.IngestPre
+    if (pre == null || env.msgType != "data" ||
+        pre.err == IngestPre.ErrRecompute || pre.regFp != ctx.regFp)
+      processMessage(state, env, registry)
+    else {
+      val (receptionMs, submillis) =
+        PayloadCodec.splitReceptionTimestamp(env.receptionDecimicros)
+      handleDataPre(state, env, registry, pre, ctx, receptionMs, submillis)
+    }
+  }
+
+  private def handleDataPre(
+      state: DeviceSessionState, env: Envelope, registry: Registry,
+      pre: graft.functions.IngestPre, ctx: PreContext,
+      receptionMs: Long, submillis: Int): (DeviceSessionState, Seq[EffectRow]) = {
+    import graft.functions.IngestPre
+    val s = bumpStats(state, env)
+    if (pre.err != IngestPre.ErrOk)
+      return askCleanSession(s, env, receptionMs, IngestPre.errName(pre.err), submillis)
+    val iface = registry.interfaces(env.iface)
+    val mapping = registry.mappingsOf(env.iface)(pre.mappingIdx)
+    def trigOk(et: TriggerEventType): Seq[Trigger] =
+      ctx.trigIdx.getOrElse(et, Nil).collect {
+        case (t, i) if ((pre.trigMask >>> i) & 1L) == 1L => t
+      }
+    if (pre.isUnset)
+      handleUnset(s, env, registry, iface, mapping, receptionMs, submillis,
+        Some(trigOk))
+    else {
+      val valueTsMs =
+        if (pre.valueTsMs == Long.MinValue) receptionMs else pre.valueTsMs
+      handleValueWith(s, env, registry, iface, mapping, pre.canonical,
+        trigOk, valueTsMs, receptionMs, submillis)
     }
   }
 
@@ -329,15 +401,32 @@ object DeviceProcessor {
   private def handleValue(
       state: DeviceSessionState, env: Envelope, registry: Registry,
       iface: InterfaceDescriptor, mapping: Mapping, value: Any,
+      valueTsMs: Long, receptionMs: Long, submillis: Int): (DeviceSessionState, Seq[EffectRow]) =
+    handleValueWith(state, env, registry, iface, mapping,
+      Bson.encode(Seq("v" -> value)),
+      et => registry.triggersFor(et)
+        .filter(_.matchesDataEvent(env.iface, iface.major, env.path, value)),
+      valueTsMs, receptionMs, submillis)
+
+  /** The shared value-landing body: `bson` is the canonical `{v: _}`
+    * encoding and `trigOk(et)` yields the triggers of that event type
+    * whose (scope, path, value) predicate matches this event — either
+    * evaluated row-at-a-time ([[handleValue]]) or decoded from the
+    * columnar prematch mask ([[handleDataPre]]). Both callers MUST
+    * agree byte-for-byte (the precompute uses the same encoder and the
+    * same matchesDataEvent).
+    */
+  private def handleValueWith(
+      state: DeviceSessionState, env: Envelope, registry: Registry,
+      iface: InterfaceDescriptor, mapping: Mapping, bson: Array[Byte],
+      trigOk: TriggerEventType => Seq[Trigger],
       valueTsMs: Long, receptionMs: Long, submillis: Int): (DeviceSessionState, Seq[EffectRow]) = {
-    val bson = Bson.encode(Seq("v" -> value))
     val propKey = env.iface + env.path
     val prev = state.properties.get(propKey)
 
     // incoming_data fires at all three scopes (impl.ex:179-199) —
     // matchesDataEvent covers any-interface / interface / path+value.
-    val incoming = registry.triggersFor(TriggerEventType.IncomingData)
-      .filter(_.matchesDataEvent(env.iface, iface.major, env.path, value))
+    val incoming = trigOk(TriggerEventType.IncomingData)
       .map(t => dataEvent(env, iface, "incoming_data", t, bson, null, receptionMs))
 
     val isProperty = iface.interfaceType == InterfaceType.Properties
@@ -347,13 +436,11 @@ object DeviceProcessor {
     // value_change fires BEFORE the write, only when prev != new.
     val preEvents =
       (if (changed || created)
-        registry.triggersFor(TriggerEventType.ValueChange)
-          .filter(_.matchesDataEvent(env.iface, iface.major, env.path, value))
+        trigOk(TriggerEventType.ValueChange)
           .map(t => dataEvent(env, iface, "value_change", t, bson, prev.orNull, receptionMs))
       else Nil) ++
       (if (created)
-        registry.triggersFor(TriggerEventType.PathCreated)
-          .filter(_.matchesDataEvent(env.iface, iface.major, env.path, value))
+        trigOk(TriggerEventType.PathCreated)
           .map(t => dataEvent(env, iface, "path_created", t, bson, null, receptionMs))
       else Nil)
 
@@ -407,8 +494,7 @@ object DeviceProcessor {
     // value_change_applied fires AFTER the write.
     val postEvents =
       if (changed || created)
-        registry.triggersFor(TriggerEventType.ValueChangeApplied)
-          .filter(_.matchesDataEvent(env.iface, iface.major, env.path, value))
+        trigOk(TriggerEventType.ValueChangeApplied)
           .map(t => dataEvent(env, iface, "value_change_applied", t, bson, prev.orNull, receptionMs))
       else Nil
 
@@ -426,14 +512,17 @@ object DeviceProcessor {
   private def handleUnset(
       state: DeviceSessionState, env: Envelope, registry: Registry,
       iface: InterfaceDescriptor, mapping: Mapping,
-      receptionMs: Long, submillis: Int): (DeviceSessionState, Seq[EffectRow]) = {
+      receptionMs: Long, submillis: Int,
+      trigOkOpt: Option[TriggerEventType => Seq[Trigger]] = None): (DeviceSessionState, Seq[EffectRow]) = {
     if (iface.interfaceType != InterfaceType.Properties)
       return askCleanSession(state, env, receptionMs, "unset_on_datastream", submillis)
     if (!mapping.allowUnset)
       return askCleanSession(state, env, receptionMs, "unset_not_allowed", submillis)
     val propKey = env.iface + env.path
-    val removed = registry.triggersFor(TriggerEventType.PathRemoved)
-      .filter(_.matchesDataEvent(env.iface, iface.major, env.path, null))
+    val trigOk = trigOkOpt.getOrElse((et: TriggerEventType) =>
+      registry.triggersFor(et)
+        .filter(_.matchesDataEvent(env.iface, iface.major, env.path, null)))
+    val removed = trigOk(TriggerEventType.PathRemoved)
       .map(t => dataEvent(env, iface, "path_removed", t, null, null, receptionMs))
     val del = EffectRow("property_unset", env.realm, env.deviceId, env.iface,
       iface.major, mapping.endpoint, env.path, mapping.valueType.code,
