@@ -47,11 +47,12 @@ object PayloadCodec {
               m.toSeq.map { case (k, vv) => k.toString -> vv }.toMap[String, Any]
           }
           Some(DecodedPayload(unwrapBinaries(v), ts, meta))
-        case None if doc.nonEmpty =>
-          // Legacy object-aggregation payload: the document IS the value.
-          Some(DecodedPayload(unwrapBinaries(doc), None, None))
         case None =>
-          Some(DecodedPayload(null, None, None))
+          // Legacy object-aggregation payload: the document IS the
+          // value — INCLUDING `{}` (the reference stores an all-NULL
+          // object row for it, simple-flow payload4); unset is only
+          // the empty payload / empty-binary forms above.
+          Some(DecodedPayload(unwrapBinaries(doc), None, None))
       }
     }
   }

@@ -879,7 +879,7 @@ object AstarteOpsQueries extends QueryPack {
         |  (min(epoch_us(ts)) // 1000 - 1)::BIGINT AS last_connection,
         |  (max(epoch_us(ts)) // 1000 + 1)::BIGINT AS last_disconnection,
         |  '10.0.0.1' AS last_seen_ip,
-        |  (count(*) + 3)::BIGINT AS total_received_msgs,
+        |  (count(*) + 1)::BIGINT AS total_received_msgs,
         |  (sum(44 + length(event_type)) + 25)::BIGINT AS total_received_bytes,
         |  'com.bench.EventStream=1.com.bench.EventStream=' || (user_id % 4)
         |    AS intro_render,
@@ -889,7 +889,7 @@ object AstarteOpsQueries extends QueryPack {
         |FROM events WHERE user_id < 20 GROUP BY user_id""".stripMargin,
     // Oracle re-derives the two-interface fold: data splits on
     // event_id parity (even → EventStream at 44+len(type) bytes, odd
-    // → Aux at 36+len); totals add 4 lifecycle messages and 2×43
+    // → Aux at 36+len); totals add the 2 introspection messages and 2×43
     // introspection-payload bytes; old_introspection holds the
     // retired Aux:1 with its minor (user_id % 3).
     "r3_device_multi" ->
@@ -911,7 +911,7 @@ object AstarteOpsQueries extends QueryPack {
         |  FROM per_iface GROUP BY user_id),
         |tot AS (
         |  SELECT user_id,
-        |    (count(*) + 4)::BIGINT AS msgs,
+        |    (count(*) + 2)::BIGINT AS msgs,
         |    (sum(bytes) + 86)::BIGINT AS bytes,
         |    (min(epoch_us(ts)) // 1000 - 2)::BIGINT AS last_conn,
         |    (max(epoch_us(ts)) // 1000 + 2)::BIGINT AS last_disc

@@ -205,13 +205,17 @@ object DeviceProcessor {
         eventType = "device_connected", target = t.targets.mkString(","),
         receptionMs = receptionMs, detail = env.ipAddress)
     }
-    (bumpStats(state, env).copy(connected = true), update +: events)
+    // lifecycle messages don't count toward received totals — the
+    // reference's handle_connection has no stats bump (impl.ex:89-133)
+    (state.copy(connected = true), update +: events)
   }
 
   private def handleDisconnection(
       state: DeviceSessionState, env: Envelope, registry: Registry,
       receptionMs: Long, submillis: Int): (DeviceSessionState, Seq[EffectRow]) = {
-    val s = bumpStats(state, env)
+    // no bump: the reference's handle_disconnection only flushes the
+    // accumulated counters (impl.ex:134-168)
+    val s = state
     // Flush session stats on disconnect (reference W8/ST8).
     val update = EffectRow.blank("device_update", env.realm, env.deviceId)
       .copy(receptionMs = receptionMs, submillis = submillis,
@@ -537,7 +541,10 @@ object DeviceProcessor {
   private def handleControl(
       state: DeviceSessionState, env: Envelope, registry: Registry,
       receptionMs: Long, submillis: Int): (DeviceSessionState, Seq[EffectRow]) = {
-    val s = bumpStats(state, env)
+    // /emptyCache is the one control path the reference does NOT count
+    // (impl.ex:921-936); /producer/properties and unknown paths bump
+    // payload+path bytes (impl.ex:915-917, 943)
+    val s = if (env.path == "/emptyCache") state else bumpStats(state, env)
     env.path match {
       case "/emptyCache" =>
         // ST7: resend SERVER-owned properties (the ones the device
@@ -680,7 +687,11 @@ object DeviceProcessor {
       (if (env.iface == null) 0 else env.iface.length) +
       (if (env.path == null) 0 else env.path.length)
 
-  /** A1: totals bump on every message including errored ones. */
+  /** A1: totals bump on every COUNTED message including errored ones —
+    * data, introspection, and non-emptyCache control; connection and
+    * disconnection are lifecycle-only in the reference (no update_stats
+    * in impl.ex:89-168), matching the simple-flow golden 45013.
+    */
   private def bumpStats(
       state: DeviceSessionState, env: Envelope): DeviceSessionState =
     state.copy(
@@ -737,7 +748,9 @@ object TypeChecker {
         val leaves = registry.mappingsOf(iface.name)
           .map(mm => mm.endpoint.substring(mm.endpoint.lastIndexOf('/') + 1) -> mm)
           .toMap
-        m.nonEmpty && m.forall {
+        // an EMPTY object is valid (the reference lands an all-NULL
+        // row for `{}` and counts it, simple-flow payload4)
+        m.forall {
           case (k, v) => leaves.get(k.toString) match {
             case Some(leafMapping) => scalarOk(v, leafMapping.valueType)
             case None => false // unknown key rejected

@@ -74,10 +74,11 @@ class DeviceProcessorSpec extends AnyFunSuite {
   private def run(state: DeviceSessionState, e: Envelope) =
     DeviceProcessor.processMessage(state, e, registry)
 
-  test("connection: device_update + device_connected event, stats bumped") {
+  test("connection: device_update + device_connected event, no stats bump") {
     val (s, fx) = run(DeviceSessionState.empty, env("connection"))
     assert(s.connected)
-    assert(s.totalReceivedMsgs == 1)
+    // lifecycle messages don't count (reference impl.ex:89-133)
+    assert(s.totalReceivedMsgs == 0)
     assert(fx.map(_.kind) == Seq("device_update", "event"))
     assert(fx(1).eventType == "device_connected")
     assert(fx(1).target == "test_events")
@@ -273,9 +274,9 @@ class DeviceProcessorSpec extends AnyFunSuite {
     s = run(s, e2)._1
     val (s2, fx) = run(s, env("disconnection"))
     assert(!s2.connected)
-    assert(s2.totalReceivedMsgs == 4)
+    assert(s2.totalReceivedMsgs == 2) // lifecycle messages don't count
     val upd = fx.find(_.kind == "device_update").get
-    assert(upd.detail.contains(s""""total_received_msgs":4"""))
+    assert(upd.detail.contains(s""""total_received_msgs":2"""))
     // exchanged counters keyed per (interface, major) like the
     // reference's tuple key (impl.ex:640-674)
     assert(upd.detail.contains(s""""com.test.LCDMonitor:1":[1,"""))

@@ -52,7 +52,9 @@ class GoldenCountersSpec extends AnyFunSuite {
     // side); both carry the same final counters, exactly one carries
     // the connected:false transition
     assert(upd.length == 2)
-    assert(upd.forall(_.detail.contains(s""""total_received_msgs":45004""")))
+    // 45002: connection and disconnection are lifecycle-only (the
+    // reference bumps stats in neither handler, impl.ex:89-168)
+    assert(upd.forall(_.detail.contains(s""""total_received_msgs":45002""")))
     assert(upd.forall(_.detail.contains(s""""total_received_bytes":$expectedBytes""")))
     assert(upd.count(_.detail.contains(""""connected":false""")) == 1)
     // the bad message errored but was counted, and produced the

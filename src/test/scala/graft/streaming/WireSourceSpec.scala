@@ -158,14 +158,14 @@ class WireSourceSpec extends AnyFunSuite {
       Set(("devA", 12), ("devA", 20), ("devB", 3), ("devB", 30)))
 
     // devA's disconnect flush proves state resumed across the restart:
-    // connection + 2 data + disconnection = 4 messages, 2 of them on
-    // the interface — not a from-zero recount of spool 2 alone
+    // 2 counted (data) messages, both on the interface — lifecycle
+    // msgs don't bump totals — not a from-zero recount of spool 2
     val flush = store.deviceUpdates(spark)
       .filter(org.apache.spark.sql.functions.col("update_json")
         .contains(""""connected":false"""))
       .collect().map(_.getAs[String]("update_json"))
     assert(flush.length == 1)
-    assert(flush.head.contains(""""total_received_msgs":4"""))
+    assert(flush.head.contains(""""total_received_msgs":2"""))
     assert(flush.head.contains(s""""${iface.name}:1":[2,"""))
 
     // trigger (GT 10) fired for 12, 20, 30 — never for 3 or devC
