@@ -197,19 +197,134 @@ object Multimodal {
       }
   }
 
+  /** REAL image decode for PNG — chunk walk, IDAT inflate via the
+    * JDK's zlib (no codec library), per-row unfilter (None/Sub/Up/
+    * Average/Paeth), average Rec.601 luma ×1000. Supports the common
+    * non-interlaced 8-bit color types: greyscale (0), RGB (2),
+    * greyscale+alpha (4), RGBA (6); anything else (palette, 16-bit,
+    * interlaced) degrades to dimensions-only. Malformed chunks bail
+    * to whatever was parsed — one bad record never hangs or aborts.
+    */
+  final class PngCodec extends MediaCodec {
+    private def be32(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+        ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+
+    override def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeatures] =
+      batch.map { r =>
+        val (digest, len) = metaOf(r)
+        val b = r.content
+        var width = 0; var height = 0; var luma = -1L
+        var bitDepth = 0; var colorType = -1
+        val idat = new java.io.ByteArrayOutputStream()
+        var off = 8L // past the 8-byte signature
+        var malformed = false
+        while (!malformed && off + 8 <= b.length) {
+          val o = off.toInt
+          val size = be32(b, o)
+          val ctype = new String(b, o + 4, 4, "US-ASCII")
+          val data = o + 8
+          if (size < 0 || data.toLong + size + 4 > b.length) malformed = true
+          else {
+            ctype match {
+              case "IHDR" if size >= 13 =>
+                width = be32(b, data); height = be32(b, data + 4)
+                bitDepth = b(data + 8) & 0xff; colorType = b(data + 9) & 0xff
+                // interlaced (b[data+12] != 0) → skip pixel decode
+                if (b(data + 12) != 0) colorType = -1
+              case "IDAT" => idat.write(b, data, size)
+              case _ => ()
+            }
+            off = data.toLong + size + 4 // skip CRC
+          }
+        }
+        val channels = colorType match {
+          case 0 => 1 // grey
+          case 2 => 3 // rgb
+          case 4 => 2 // grey+alpha
+          case 6 => 4 // rgba
+          case _ => 0
+        }
+        if (channels > 0 && bitDepth == 8 && width > 0 && height > 0 &&
+            width.toLong * height <= 64L * 1024 * 1024) {
+          graft.core.PayloadCodec.safeInflate(idat.toByteArray).foreach { raw =>
+            val bpp = channels
+            val stride = width * bpp
+            if (raw.length >= (stride + 1) * height) {
+              // unfilter in place over a rolling previous row
+              val prev = new Array[Byte](stride)
+              val cur = new Array[Byte](stride)
+              var sum = 0L
+              var y = 0
+              while (y < height) {
+                val rowOff = y * (stride + 1)
+                val filter = raw(rowOff) & 0xff
+                var x = 0
+                while (x < stride) {
+                  val rawV = raw(rowOff + 1 + x) & 0xff
+                  val a = if (x >= bpp) cur(x - bpp) & 0xff else 0
+                  val up = prev(x) & 0xff
+                  val c = if (x >= bpp) prev(x - bpp) & 0xff else 0
+                  val v = filter match {
+                    case 0 => rawV
+                    case 1 => (rawV + a) & 0xff
+                    case 2 => (rawV + up) & 0xff
+                    case 3 => (rawV + (a + up) / 2) & 0xff
+                    case 4 =>
+                      val p = a + up - c
+                      val pa = math.abs(p - a); val pb = math.abs(p - up)
+                      val pc = math.abs(p - c)
+                      val paeth = if (pa <= pb && pa <= pc) a
+                                  else if (pb <= pc) up else c
+                      (rawV + paeth) & 0xff
+                    case _ => rawV
+                  }
+                  cur(x) = v.toByte
+                  x += 1
+                }
+                // Rec.601 luma ×1000 per pixel
+                var px = 0
+                while (px < width) {
+                  val base = px * bpp
+                  sum += (colorType match {
+                    case 0 | 4 => 1000L * (cur(base) & 0xff)
+                    case _ => // 2 | 6: RGB order
+                      299L * (cur(base) & 0xff) + 587L * (cur(base + 1) & 0xff) +
+                        114L * (cur(base + 2) & 0xff)
+                  })
+                  px += 1
+                }
+                System.arraycopy(cur, 0, prev, 0, stride)
+                y += 1
+              }
+              luma = sum / (width.toLong * height)
+            }
+          }
+        }
+        MediaFeatures(r.mediaId, r.mediaType, len, digest,
+          width = width, height = height, durationMs = 0L,
+          batchSize = batch.size, avgLumaMilli = luma)
+      }
+  }
+
   /** Magic-byte dispatch: RIFF/WAVE → real PCM decode, BM → real BMP
-    * decode, anything else → the deterministic stub (JPEG/MP4/…
-    * decoding needs codec libraries this environment doesn't ship).
+    * decode, PNG signature → real PNG decode, anything else → the
+    * deterministic stub (JPEG/MP4/… decoding needs codec libraries
+    * this environment doesn't ship).
     */
   final class FormatAwareCodec(
       fallback: MediaCodec = new DeterministicStubCodec) extends MediaCodec {
     private val wav = new PcmWavCodec
     private val bmp = new BmpCodec
+    private val png = new PngCodec
     private def isWav(b: Array[Byte]): Boolean =
       b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
         b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
     private def isBmp(b: Array[Byte]): Boolean =
       b.length >= 2 && b(0) == 'B' && b(1) == 'M'
+    private def isPng(b: Array[Byte]): Boolean =
+      b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
+        b(3) == 'G' && b(4) == 0x0d && b(5) == 0x0a && b(6) == 0x1a && b(7) == 0x0a
     override def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeatures] = {
       // decode per format but return in INPUT order with the full
       // batch size (the vectorized-codec shape groups by format
@@ -220,6 +335,7 @@ object Multimodal {
         val f = try {
           if (isWav(r.content)) wav.decodeBatch(Seq(r)).head
           else if (isBmp(r.content)) bmp.decodeBatch(Seq(r)).head
+          else if (isPng(r.content)) png.decodeBatch(Seq(r)).head
           else fallback.decodeBatch(Seq(r)).head
         } catch {
           case scala.util.control.NonFatal(_) =>

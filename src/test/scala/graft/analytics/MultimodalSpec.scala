@@ -101,6 +101,76 @@ class MultimodalSpec extends AnyFunSuite {
     assert(other.byteLen == jpegish.length)
   }
 
+  /** Hand-built PNG: real signature, IHDR, zlib IDAT, IEND — pure
+    * JDK (Deflater + CRC32), no image library.
+    */
+  private def pngBytes(width: Int, height: Int, colorType: Int,
+      scanlines: Array[Array[Byte]]): Array[Byte] = {
+    def be32(v: Int): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(ctype: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(ctype.getBytes("US-ASCII")); crc.update(data)
+      be32(data.length) ++ ctype.getBytes("US-ASCII") ++ data ++
+        be32(crc.getValue.toInt)
+    }
+    val ihdr = be32(width) ++ be32(height) ++
+      Array[Byte](8, colorType.toByte, 0, 0, 0)
+    val raw = scanlines.flatten.toArray
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  test("real PNG decode: inflate + unfilter (None/Sub/Up/Paeth) + exact luma") {
+    // 2×2 RGB: white, black / black, white — filters None then Up
+    val rgb = pngBytes(2, 2, colorType = 2, Array(
+      Array[Byte](0, // filter None
+        255.toByte, 255.toByte, 255.toByte, 0, 0, 0),
+      Array[Byte](2, // filter Up: raw = cur - up (mod 256)
+        (0 - 255).toByte, (0 - 255).toByte, (0 - 255).toByte,
+        (255 - 0).toByte, (255 - 0).toByte, (255 - 0).toByte)))
+    val fx = new PngCodec().decodeBatch(Seq(MediaRow(1L, "image", rgb))).head
+    assert(fx.width == 2 && fx.height == 2)
+    assert(fx.avgLumaMilli == 127500L) // two white + two black pixels
+
+    // 3×1 greyscale with Sub filter: 10, +20→30, +30→60
+    val grey = pngBytes(3, 1, colorType = 0, Array(
+      Array[Byte](1, 10, 20, 30)))
+    val g = new PngCodec().decodeBatch(Seq(MediaRow(2L, "image", grey))).head
+    assert(g.width == 3 && g.height == 1)
+    assert(g.avgLumaMilli == (10L + 30L + 60L) * 1000 / 3)
+
+    // 2×2 greyscale exercising Paeth (filter 4) on the second row
+    val paeth = pngBytes(2, 2, colorType = 0, Array(
+      Array[Byte](0, 100.toByte, 200.toByte),
+      // Paeth predictors: x=0 → up(100); x=1 → a=110,up=200,c=100 →
+      // p=210, pa=100,pb=10,pc=110 → up(200)
+      Array[Byte](4, 10, 50)))
+    val p = new PngCodec().decodeBatch(Seq(MediaRow(3L, "image", paeth))).head
+    assert(p.avgLumaMilli == (100L + 200L + 110L + 250L) * 1000 / 4)
+
+    // dispatch: FormatAwareCodec routes by the PNG signature
+    val spark2 = spark
+    import spark2.implicits._
+    val viaDispatch = extractFeatures(
+      Seq(MediaRow(9L, "image", rgb)).toDS(), new FormatAwareCodec)
+      .collect().head
+    assert(viaDispatch.avgLumaMilli == 127500L)
+
+    // truncated IDAT degrades to dimensions-only, no exception
+    val cut = rgb.take(rgb.length - 20)
+    val t = new PngCodec().decodeBatch(Seq(MediaRow(4L, "image", cut))).head
+    assert(t.width == 2 && t.avgLumaMilli == -1L)
+  }
+
   test("malformed containers degrade to stub features, never hang or abort") {
     import spark.implicits._
     // WAV with a negative data-chunk size: the chunk walk must bail,
