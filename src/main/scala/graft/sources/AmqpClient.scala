@@ -1,0 +1,116 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
+import java.net.Socket
+
+/** AMQP 0-9-1 client for [[MessageBroker]]'s AMQP dialect — the
+  * protocol-faithful twin of [[BrokerClient]], negotiating the real
+  * connection.start/tune/open handshake and speaking framed
+  * basic.publish / basic.consume / basic.deliver / basic.ack
+  * (the reference front door's protocol, `amqp_data_consumer.ex`).
+  * Queue names are shard indices; delivery tags are queue offsets,
+  * so `ack` advances the same truncation floor the custom protocol's
+  * ACK does. One in-flight request per connection, like an AMQP
+  * channel.
+  */
+final class AmqpClient(host: String, port: Int) extends AutoCloseable {
+  import AmqpWire._
+
+  private val sock = new Socket(host, port)
+  private val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+  private val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+  private var channelOpen = false
+
+  // --- connection negotiation (the real 0-9-1 handshake) ------------------
+  out.write(ProtocolHeader); out.flush()
+  locally {
+    val start = readFrame(in)
+    val r = new Reader(start.payload)
+    require((r.u16(), r.u16()) == ConnStart, "expected connection.start")
+    require(r.u8() == 0 && r.u8() == 9, "not AMQP 0-9")
+    sendMethod(0, ConnStartOk) { w =>
+      w.table(Seq("product" -> "graft-client".getBytes("UTF-8")))
+      w.shortstr("PLAIN")
+      w.longstr(Array[Byte](0) ++ "guest".getBytes ++ Array[Byte](0) ++ "guest".getBytes)
+      w.shortstr("en_US")
+    }
+    val tune = readFrame(in)
+    require((new Reader(tune.payload)).u16() == 10, "expected connection.tune")
+    sendMethod(0, ConnTuneOk)(w => w.u16(0).u32(131072).u16(0))
+    sendMethod(0, ConnOpen)(w => w.shortstr("/").shortstr("").u8(0))
+    val openOk = readFrame(in)
+    val ro = new Reader(openOk.payload)
+    require((ro.u16(), ro.u16()) == ConnOpenOk, "expected connection.open-ok")
+  }
+
+  private def sendMethod(channel: Int, cm: (Int, Int))(args: Writer => Unit): Unit =
+    writeFrame(out, Frame(FrameMethod, channel, method(cm._1, cm._2)(args)))
+
+  private def ensureChannel(): Unit = synchronized {
+    if (!channelOpen) {
+      sendMethod(1, ChannelOpen)(_.shortstr(""))
+      val ok = readFrame(in)
+      val r = new Reader(ok.payload)
+      require((r.u16(), r.u16()) == ChannelOpenOk, "expected channel.open-ok")
+      channelOpen = true
+    }
+  }
+
+  /** basic.publish to a shard queue: method + content header (with
+    * the routing headers as an AMQP field table) + body frame.
+    */
+  def publish(shard: Int, value: Array[Byte],
+      headers: Seq[(String, Array[Byte])]): Unit = synchronized {
+    ensureChannel()
+    sendMethod(1, BasicPublish)(w =>
+      w.u16(0).shortstr("").shortstr(shard.toString).u8(0))
+    writeFrame(out, Frame(FrameHeader, 1,
+      contentHeader(value.length.toLong, headers)))
+    writeFrame(out, Frame(FrameBody, 1, value))
+  }
+
+  /** One delivered message: offset (the delivery tag), payload,
+    * routing headers.
+    */
+  final case class Delivery(offset: Long, value: Array[Byte],
+      headers: Seq[(String, Array[Byte])])
+
+  /** basic.consume on a shard queue, reading exactly `max` deliveries
+    * (deliver + content header + body triplets) after consume-ok.
+    */
+  def consume(shard: Int, max: Int): Seq[Delivery] = synchronized {
+    ensureChannel()
+    sendMethod(1, BasicConsume)(w =>
+      w.u16(0).shortstr(shard.toString).shortstr(s"ctag-$shard").u8(0))
+    val ok = readFrame(in)
+    val r = new Reader(ok.payload)
+    require((r.u16(), r.u16()) == BasicConsumeOk, "expected basic.consume-ok")
+    (1 to max).map { _ =>
+      val del = readFrame(in)
+      val dr = new Reader(del.payload)
+      require((dr.u16(), dr.u16()) == BasicDeliver, "expected basic.deliver")
+      dr.shortstr() // consumer tag
+      val deliveryTag = dr.u64()
+      val header = readFrame(in)
+      require(header.frameType == FrameHeader, "expected content header")
+      val (bodySize, headers) = parseContentHeader(header.payload)
+      val body = new java.io.ByteArrayOutputStream()
+      while (body.size() < bodySize) {
+        val bf = readFrame(in)
+        require(bf.frameType == FrameBody, "expected content body")
+        body.write(bf.payload)
+      }
+      Delivery(deliveryTag, body.toByteArray, headers)
+    }
+  }
+
+  /** basic.ack with multiple=true: acknowledges everything up to and
+    * including `deliveryTag`, advancing the broker's truncation floor.
+    */
+  def ack(deliveryTag: Long): Unit = synchronized {
+    ensureChannel()
+    sendMethod(1, BasicAck)(w => w.u64(deliveryTag).u8(1))
+  }
+
+  override def close(): Unit = sock.close()
+}

@@ -130,7 +130,20 @@ final class MessageBroker(requestedPort: Int = 0) extends AutoCloseable {
     val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
     try {
       while (running) {
-        in.readByte() match {
+        val first = in.readByte()
+        if (first == 'A') {
+          // AMQP protocol header "AMQP\0\0\x09\x01": this connection
+          // speaks real AMQP 0-9-1 framing; the custom fast-path
+          // commands are 0..5, so the dialects can't collide
+          val rest = new Array[Byte](7)
+          in.readFully(rest)
+          if (!java.util.Arrays.equals(
+              Array[Byte]('A') ++ rest, AmqpWire.ProtocolHeader))
+            throw new java.io.IOException("bad AMQP protocol header")
+          serveAmqp(in, out)
+          return
+        }
+        first match {
           case 0 =>
             out.writeInt(shardCount)
           case 1 =>
@@ -168,6 +181,94 @@ final class MessageBroker(requestedPort: Int = 0) extends AutoCloseable {
       }
     } catch { case _: Throwable => () /* client went away */ }
     finally sock.close()
+  }
+
+  /** One AMQP 0-9-1 connection: negotiate start/tune/open, then serve
+    * channel.open, basic.publish (with content header + body frames),
+    * basic.consume (delivering the shard's retained backlog) and
+    * basic.ack (advancing the shard's truncation floor). Delivery tags
+    * are the queue offsets, so ack semantics line up exactly with the
+    * custom protocol's ACK command.
+    */
+  private def serveAmqp(in: DataInputStream, out: DataOutputStream): Unit = {
+    import AmqpWire._
+    def sendMethod(channel: Int, cm: (Int, Int))(args: Writer => Unit): Unit =
+      writeFrame(out, Frame(FrameMethod, channel,
+        method(cm._1, cm._2)(args)))
+
+    // connection negotiation
+    sendMethod(0, ConnStart) { w =>
+      w.u8(0).u8(9)
+      w.table(Seq("product" -> "graft-broker".getBytes("UTF-8")))
+      w.longstr("PLAIN".getBytes); w.longstr("en_US".getBytes)
+    }
+    var f = readFrame(in) // start-ok (args ignored: no auth in-JVM)
+    sendMethod(0, ConnTune)(w => w.u16(0).u32(131072).u16(0))
+    f = readFrame(in) // tune-ok
+    f = readFrame(in) // connection.open
+    sendMethod(0, ConnOpenOk)(_.shortstr(""))
+
+    // per-channel state: the shard a consumer subscribed on
+    val consumerShard = scala.collection.mutable.Map.empty[Int, Int]
+
+    while (running) {
+      val frame = readFrame(in)
+      if (frame.frameType == FrameMethod) {
+        val r = new Reader(frame.payload)
+        (r.u16(), r.u16()) match {
+          case ChannelOpen =>
+            r.shortstr() // reserved
+            sendMethod(frame.channel, ChannelOpenOk)(_.longstr(Array.emptyByteArray))
+
+          case BasicPublish =>
+            r.u16() // reserved
+            r.shortstr() // exchange (default)
+            val routingKey = r.shortstr() // shard index
+            val header = readFrame(in)
+            require(header.frameType == FrameHeader, "expected content header")
+            val (bodySize, headers) = parseContentHeader(header.payload)
+            val body = new java.io.ByteArrayOutputStream()
+            while (body.size() < bodySize) {
+              val bf = readFrame(in)
+              require(bf.frameType == FrameBody, "expected content body")
+              body.write(bf.payload)
+            }
+            val shard = routingKey.toIntOption.getOrElse(0)
+            publish(shard, null, body.toByteArray, headers)
+
+          case BasicConsume =>
+            r.u16() // reserved
+            val queue = r.shortstr()
+            val tag = r.shortstr()
+            val shard = queue.toIntOption.getOrElse(0)
+            consumerShard(frame.channel) = shard
+            sendMethod(frame.channel, BasicConsumeOk)(_.shortstr(tag))
+            // deliver the retained backlog (ack floor → end), one
+            // deliver + header + body per record; delivery-tag = offset
+            val (lo, hi) = synchronized {
+              val q = shards(shard); (q.base, q.end)
+            }
+            fetch(shard, lo, (hi - lo).toInt).foreach { rec =>
+              sendMethod(frame.channel, BasicDeliver) { w =>
+                w.shortstr(tag).u64(rec.offset).u8(0)
+                w.shortstr("").shortstr(queue)
+              }
+              writeFrame(out, Frame(FrameHeader, frame.channel,
+                contentHeader(rec.value.length.toLong, rec.headers)))
+              writeFrame(out, Frame(FrameBody, frame.channel, rec.value))
+            }
+
+          case BasicAck =>
+            val deliveryTag = r.u64()
+            r.u8() // multiple flag: offsets are cumulative either way
+            ack(consumerShard.getOrElse(frame.channel, 0), deliveryTag + 1)
+
+          case other =>
+            throw new java.io.IOException(s"unsupported AMQP method $other")
+        }
+      }
+      // heartbeats and stray frames are ignored
+    }
   }
 
   override def close(): Unit = {

@@ -1,0 +1,106 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Real AMQP 0-9-1 framing against the broker: the full
+  * connection.start → start-ok → tune → tune-ok → open → open-ok
+  * negotiation, channel.open, framed basic.publish with a header
+  * field-table, basic.consume/deliver, and basic.ack advancing the
+  * same truncation floor the custom protocol uses — closing the
+  * protocol-fidelity gap with the reference's AMQP front door
+  * (`amqp_data_consumer.ex:109-165`) zero-egress.
+  */
+class AmqpSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("AMQP handshake + publish + consume + ack round-trip, interoperating with the custom dialect") {
+    val broker = new MessageBroker()
+    val amqp = new AmqpClient("127.0.0.1", broker.port)
+    val custom = new BrokerClient("127.0.0.1", broker.port)
+    try {
+      // publish over REAL AMQP framing, headers as a field table
+      (1 to 5).foreach { i =>
+        amqp.publish(0, Array(i.toByte),
+          Seq("x_astarte_msg_type" -> "data".getBytes,
+            "n" -> Array(i.toByte)))
+      }
+      // both dialects see the same queue: the custom client reads the
+      // AMQP-published records byte-for-byte (publish is async — no
+      // response frame — so wait for the broker thread to land them)
+      val pubDeadline = System.currentTimeMillis() + 5000
+      while (broker.endOffsets.head < 5L &&
+          System.currentTimeMillis() < pubDeadline) Thread.sleep(10)
+      val viaCustom = custom.fetch(0, 0L, 10)
+      assert(viaCustom.map(_.value.head.toInt) == Seq(1, 2, 3, 4, 5))
+      assert(viaCustom.head.headers.map(_._1) == Seq("x_astarte_msg_type", "n"))
+      assert(new String(viaCustom.head.headers.head._2) == "data")
+
+      // consume over AMQP: consume-ok then framed deliveries
+      val deliveries = amqp.consume(0, 5)
+      assert(deliveries.map(_.offset) == Seq(0L, 1L, 2L, 3L, 4L))
+      assert(deliveries.map(_.value.head.toInt) == Seq(1, 2, 3, 4, 5))
+      assert(deliveries.forall(d =>
+        d.headers.exists(h => h._1 == "x_astarte_msg_type" &&
+          new String(h._2) == "data")))
+
+      // ack through delivery-tag 2 → the shared floor truncates 0..2
+      amqp.ack(2L)
+      // the ack is async (publish-style); poll the floor briefly
+      val deadline = System.currentTimeMillis() + 5000
+      while (broker.baseOffsets.head < 3L &&
+          System.currentTimeMillis() < deadline) Thread.sleep(10)
+      assert(broker.baseOffsets == Seq(3L))
+      assert(custom.fetch(0, 0L, 10).isEmpty) // below the floor: gone
+      assert(custom.fetch(0, 3L, 10).map(_.value.head.toInt) == Seq(4, 5))
+    } finally {
+      amqp.close(); custom.close(); broker.close()
+    }
+  }
+
+  test("AMQP-published lifecycle flows through the DSv2 source end-to-end") {
+    import org.apache.spark.sql.functions.col
+    val broker = new MessageBroker()
+    val amqp = new AmqpClient("127.0.0.1", broker.port)
+    try {
+      (1 to 3).foreach(i => amqp.publish(0, Array(i.toByte),
+        Seq("k" -> Array(i.toByte))))
+      val pubDeadline = System.currentTimeMillis() + 5000
+      while (broker.endOffsets.head < 3L &&
+          System.currentTimeMillis() < pubDeadline) Thread.sleep(10)
+      // the graft-broker source (custom fast path) drains records the
+      // AMQP front door ingested — one queue, two dialects
+      val q = spark.readStream
+        .format("graft-broker")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .load()
+        .writeStream.format("memory").queryName("amqp_bridge").start()
+      try {
+        q.processAllAvailable()
+        val rows = spark.sql(
+          "SELECT offset, value FROM amqp_bridge ORDER BY offset").collect()
+        assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+        assert(rows.map(_.getAs[Array[Byte]](1).head.toInt).toSeq == Seq(1, 2, 3))
+      } finally q.stop()
+    } finally { amqp.close(); broker.close() }
+  }
+
+  test("field-table and frame codec round-trip arbitrary header bytes") {
+    val headers = Seq(
+      "empty" -> Array.emptyByteArray,
+      "utf8" -> "wörld-です".getBytes("UTF-8"),
+      "bin" -> Array[Byte](0, -1, 127, -128, 61))
+    val enc = AmqpWire.contentHeader(42L, headers)
+    val (size, decoded) = AmqpWire.parseContentHeader(enc)
+    assert(size == 42L)
+    assert(decoded.map(_._1) == headers.map(_._1))
+    assert(decoded.zip(headers).forall { case ((_, a), (_, b)) =>
+      java.util.Arrays.equals(a, b)
+    })
+  }
+}
