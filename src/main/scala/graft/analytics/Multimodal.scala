@@ -307,6 +307,69 @@ object Multimodal {
       }
   }
 
+  /** PNG ENCODER for 8-bit greyscale — signature, IHDR, filtered
+    * scanlines deflated into one IDAT, IEND, all checksummed. The
+    * deterministic-media generator for tests and oracle-checked
+    * queries: `filterOf(y)` picks the row filter (0..4), so a single
+    * image can exercise every unfilter path of [[PngCodec]].
+    */
+  object PngBuilder {
+    private def be32(v: Int): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    private def chunk(ctype: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(ctype.getBytes("US-ASCII")); crc.update(data)
+      be32(data.length) ++ ctype.getBytes("US-ASCII") ++ data ++
+        be32(crc.getValue.toInt)
+    }
+
+    /** `pixels` row-major, length = width×height. */
+    def grey8(width: Int, height: Int, pixels: Array[Byte],
+        filterOf: Int => Int): Array[Byte] = {
+      require(pixels.length == width * height, "pixel count mismatch")
+      val raw = new Array[Byte]((width + 1) * height)
+      var y = 0
+      while (y < height) {
+        val f = filterOf(y) % 5
+        raw(y * (width + 1)) = f.toByte
+        var x = 0
+        while (x < width) {
+          val cur = pixels(y * width + x) & 0xff
+          val a = if (x > 0) pixels(y * width + x - 1) & 0xff else 0
+          val up = if (y > 0) pixels((y - 1) * width + x) & 0xff else 0
+          val c = if (x > 0 && y > 0) pixels((y - 1) * width + x - 1) & 0xff else 0
+          val filtered = f match {
+            case 0 => cur
+            case 1 => (cur - a) & 0xff
+            case 2 => (cur - up) & 0xff
+            case 3 => (cur - (a + up) / 2) & 0xff
+            case 4 =>
+              val p = a + up - c
+              val pa = math.abs(p - a); val pb = math.abs(p - up)
+              val pc = math.abs(p - c)
+              val paeth = if (pa <= pb && pa <= pc) a
+                          else if (pb <= pc) up else c
+              (cur - paeth) & 0xff
+          }
+          raw(y * (width + 1) + 1 + x) = filtered.toByte
+          x += 1
+        }
+        y += 1
+      }
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(raw); deflater.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+      deflater.end()
+      val ihdr = be32(width) ++ be32(height) ++ Array[Byte](8, 0, 0, 0, 0)
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+        chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++
+        chunk("IEND", Array.emptyByteArray)
+    }
+  }
+
   /** Magic-byte dispatch: RIFF/WAVE → real PCM decode, BM → real BMP
     * decode, PNG signature → real PNG decode, anything else → the
     * deterministic stub (JPEG/MP4/… decoding needs codec libraries

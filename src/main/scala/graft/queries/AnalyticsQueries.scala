@@ -1121,6 +1121,33 @@ object AnalyticsQueries extends QueryPack {
           octet_length(col("blob")).as("byte_len"),
           md5(col("blob")).as("digest"),
           substring(base64(col("blob")), 1, 8).as("magic"))
+    }),
+
+    // Real PNG decode, ORACLE-CHECKED: per document build a
+    // deterministic greyscale PNG — pixel(i) = (doc_id*31 + i) % 256,
+    // row filters cycling through ALL five PNG filter types — then
+    // decode it through the REAL codec (deflate→inflate, filter→
+    // unfilter, luma). The oracle computes the same average luma
+    // arithmetically from the pixel formula, so a hash match proves
+    // the full byte-level encode/compress/decompress/unfilter round
+    // trip (absolute spec-conformance of each filter is pinned
+    // separately by MultimodalSpec's hand-built vectors).
+    "mm_png_luma" -> ((s, d) => {
+      import s.implicits._
+      import graft.analytics.Multimodal
+      val media = Tables.documents(s, d)
+        .select(col("doc_id")).filter(col("doc_id") < 200)
+        .as[Long].map { id =>
+          val w = 4 + (id % 5).toInt
+          val h = 3 + (id % 4).toInt
+          val pixels = Array.tabulate(w * h)(i => ((id * 31 + i) % 256).toByte)
+          Multimodal.MediaRow(id, "image",
+            Multimodal.PngBuilder.grey8(w, h, pixels, y => ((id + y) % 5).toInt))
+        }
+      Multimodal.extractFeatures(media, new Multimodal.FormatAwareCodec)
+        .toDF()
+        .select(col("mediaId").as("doc_id"), col("width"), col("height"),
+          col("avgLumaMilli").as("luma_milli"))
     })
   )
 
@@ -1721,6 +1748,17 @@ object AnalyticsQueries extends QueryPack {
         |  md5(text) AS digest,
         |  substr(base64(text::BLOB), 1, 8) AS magic
         |FROM documents""".stripMargin,
+    // arithmetic twin of the PNG round trip: same pixel formula,
+    // no codec involved
+    "mm_png_luma" ->
+      """WITH s AS (SELECT unnest(range(48)) AS i),
+        |px AS (
+        |  SELECT d.doc_id, (4 + d.doc_id % 5) AS w, (3 + d.doc_id % 4) AS h, s.i
+        |  FROM documents d, s
+        |  WHERE d.doc_id < 200 AND s.i < (4 + d.doc_id % 5) * (3 + d.doc_id % 4))
+        |SELECT doc_id, w::INT AS width, h::INT AS height,
+        |  (sum((doc_id*31 + i) % 256) * 1000 // (w * h))::BIGINT AS luma_milli
+        |FROM px GROUP BY doc_id, w, h""".stripMargin,
     "tx_zipf_slope" ->
       """WITH c AS (
         |  SELECT lang, tok, count(*) AS n
