@@ -93,7 +93,13 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val eps = try math.round(ingestEps(spark, sfDir)) catch { case _: Throwable => -1L }
     val wall = (System.nanoTime() - wallT0) / 1e9
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ingest_events_per_sec":$eps,"wall_sec":$wall,"sf":"$sfDir"}""")
+    // host-load snapshot: wall_sec alone can't tell a loaded box from
+    // a code regression — record 1/5/15-min loadavg next to the times
+    val loadavg = try {
+      scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split(" ").take(3).mkString(",")
+    } catch { case _: Throwable => "" }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ingest_events_per_sec":$eps,"wall_sec":$wall,"loadavg":"$loadavg","sf":"$sfDir"}""")
     spark.stop()
   }
 }

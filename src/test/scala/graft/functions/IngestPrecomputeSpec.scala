@@ -162,6 +162,36 @@ class IngestPrecomputeSpec extends AnyFunSuite {
       s"precompute project not codegen'd: $projLine")
   }
 
+  test("unmaskable registry (>64 triggers) falls back to the full path, same results") {
+    import spark.implicits._
+    // 64 filler triggers that never match + the real ones: the
+    // prematch bitmask can't represent them, so every data row gets
+    // ErrRecompute and the fold must take the row-at-a-time path
+    val filler = (1 to 64).map(i =>
+      Trigger(s"f$i", TriggerEventType.IncomingData,
+        TriggerScope.OnInterface("com.filler.None", 1), None,
+        MatchOperator.Any, null, List(s"t$i")))
+    val wide = registry.copy(triggers = registry.triggers ++ filler)
+    val fast = DeviceStateMachine.processBatch(mixedBatch.toDS(), wide).collect()
+    val ref = mixedBatch.groupBy(e => (e.realm, e.deviceId)).toSeq.flatMap {
+      case (key, es) =>
+        val ordered = es.sortBy(e => (e.receptionDecimicros, e.offset))
+        var state = DeviceSessionState.empty
+        val out = Seq.newBuilder[EffectRow]
+        ordered.foreach { e =>
+          val (s2, fx) = DeviceProcessor.processMessage(state, e, wide)
+          state = s2; out ++= fx
+        }
+        val (ms, sub) = graft.core.PayloadCodec.splitReceptionTimestamp(
+          ordered.last.receptionDecimicros)
+        out += DeviceProcessor.statsFlush(state, key._1, key._2, ms, sub)
+        out.result()
+    }
+    assert(canon(fast.toSeq) == canon(ref))
+    // sanity: the fallback really is the fallback (mask capacity)
+    assert(wide.triggers.size > 64)
+  }
+
   test("expression interpreted eval matches codegen (struct contract)") {
     // exercise eval() directly — the non-codegen fallback used by
     // e.g. ConstantFolding must agree with the codegen'd path
