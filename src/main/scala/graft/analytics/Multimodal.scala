@@ -7,14 +7,18 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, plus batched decode / feature-extract
   * plumbing.
   *
-  * Decoding is REAL for the container formats that are pure byte
-  * arithmetic — PCM WAV ([[PcmWavCodec]]: channels, sample rate,
-  * duration, mean-square energy) and uncompressed 24-bit BMP
-  * ([[BmpCodec]]: dimensions, average luma) — dispatched by magic
-  * bytes in [[FormatAwareCodec]]. Formats whose decode genuinely
-  * needs codec libraries absent from this environment (JPEG, MP4, …)
-  * fall back to [[DeterministicStubCodec]], which produces stable
-  * fake features so the pipeline stays testable end-to-end. The
+  * Decoding is REAL for everything that is pure byte arithmetic —
+  * PCM WAV ([[PcmWavCodec]]: channels, sample rate, duration,
+  * mean-square energy), uncompressed 24-bit BMP ([[BmpCodec]]:
+  * dimensions, average luma), PNG ([[PngCodec]]: full inflate +
+  * unfilter + luma), ISO-BMFF/MP4 ([[Mp4Codec]]: true duration and
+  * track dimensions from the box tree) and JPEG ([[JpegCodec]]: true
+  * dimensions from the SOF marker) — dispatched by magic bytes in
+  * [[FormatAwareCodec]]. Only the steps that genuinely need codec
+  * libraries absent from this environment (JPEG entropy decode, MP4
+  * frame decode) stay opaque; unrecognized formats fall back to
+  * [[DeterministicStubCodec]], which produces stable fake features
+  * so the pipeline stays testable end-to-end. The
   * Spark-side plumbing is real throughout: schema, size-aware
   * partitioning, per-partition batched invocation (the Scala
   * analogue of `mapInPandas` batch shape), and the metadata-only
@@ -307,6 +311,191 @@ object Multimodal {
       }
   }
 
+  /** REAL container parse for ISO BMFF (MP4/MOV) — box walk, no codec
+    * library. `moov/mvhd` yields the true presentation duration
+    * (ticks/timescale, version 0 and 1 layouts), `moov/trak/tkhd` the
+    * true track dimensions (16.16 fixed point; the video track is the
+    * one with nonzero width). Sample data (`mdat`) stays opaque —
+    * decoding frames needs codec libraries this environment doesn't
+    * ship — so `avgLumaMilli` remains -1. Malformed boxes (size < 8,
+    * truncated largesize, overflow) bail to whatever was parsed.
+    */
+  final class Mp4Codec extends MediaCodec {
+    private def be32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    private def be64(b: Array[Byte], o: Int): Long =
+      (be32(b, o) << 32) | be32(b, o + 4)
+
+    private final class Parsed {
+      var timescale = 0L; var durationTicks = -1L
+      var width = 0; var height = 0
+    }
+
+    /** Walk the boxes in b[from, until); recurse into containers. */
+    private def walk(b: Array[Byte], from: Long, until: Long, p: Parsed): Unit = {
+      var off = from
+      var sane = true
+      while (sane && off + 8 <= until) {
+        val o = off.toInt
+        var size = be32(b, o)
+        val ctype = new String(b, o + 4, 4, "US-ASCII")
+        var header = 8L
+        if (size == 1 && off + 16 <= until) { size = be64(b, o + 8); header = 16 }
+        else if (size == 0) size = until - off // box runs to end of enclosure
+        val end = off + size
+        if (size < header || end > until) sane = false
+        else {
+          ctype match {
+            case "moov" | "trak" =>
+              walk(b, off + header, end, p)
+            case "mvhd" if end - off - header >= 4 =>
+              val d = (off + header).toInt
+              val version = b(d) & 0xff
+              if (version == 1 && end - off - header >= 32) {
+                p.timescale = be32(b, d + 20)
+                p.durationTicks = be64(b, d + 24)
+              } else if (version == 0 && end - off - header >= 20) {
+                p.timescale = be32(b, d + 12)
+                p.durationTicks = be32(b, d + 16)
+              }
+            case "tkhd" if end - off - header >= 4 =>
+              val d = (off + header).toInt
+              val version = b(d) & 0xff
+              val dimOff = if (version == 1) 88 else 76
+              if (end - off - header >= dimOff + 8) {
+                val w = (be32(b, d + dimOff) >> 16).toInt     // 16.16 fixed
+                val h = (be32(b, d + dimOff + 4) >> 16).toInt
+                // several traks (audio has 0×0) — keep the video one
+                if (w > 0 && h > 0) { p.width = w; p.height = h }
+              }
+            case _ => ()
+          }
+          off = end
+        }
+      }
+    }
+
+    override def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeatures] =
+      batch.map { r =>
+        val (digest, len) = metaOf(r)
+        val p = new Parsed
+        walk(r.content, 0L, r.content.length.toLong, p)
+        val durMs =
+          if (p.timescale > 0 && p.durationTicks >= 0)
+            p.durationTicks * 1000L / p.timescale
+          else 0L
+        MediaFeatures(r.mediaId, r.mediaType, len, digest,
+          width = p.width, height = p.height, durationMs = durMs,
+          batchSize = batch.size)
+      }
+  }
+
+  /** REAL header parse for JPEG — marker-segment walk, no codec
+    * library. Any SOF marker (baseline C0, progressive C2, and the
+    * rest of the C0..CF family minus DHT/JPG/DAC) yields the true
+    * frame dimensions. Entropy-coded pixel data stays opaque (a DCT
+    * decode needs libjpeg), so `avgLumaMilli` remains -1. The walk
+    * stops at SOS — dimensions always precede it — and a malformed
+    * length bails with whatever was parsed.
+    */
+  final class JpegCodec extends MediaCodec {
+    private def isSof(m: Int): Boolean =
+      m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+
+    override def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeatures] =
+      batch.map { r =>
+        val (digest, len) = metaOf(r)
+        val b = r.content
+        var width = 0; var height = 0
+        var off = 2 // past SOI
+        var done = false
+        while (!done && off + 4 <= b.length) {
+          if ((b(off) & 0xff) != 0xff) done = true // lost sync
+          else {
+            val marker = b(off + 1) & 0xff
+            if (marker == 0xff) off += 1 // fill byte
+            else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) {
+              off += 2 // standalone marker, no length
+            } else if (marker == 0xd9 || marker == 0xda) {
+              done = true // EOI / start of entropy-coded data
+            } else {
+              val segLen = ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+              if (segLen < 2 || off + 2 + segLen > b.length) done = true
+              else {
+                if (isSof(marker) && segLen >= 7) {
+                  height = ((b(off + 5) & 0xff) << 8) | (b(off + 6) & 0xff)
+                  width = ((b(off + 7) & 0xff) << 8) | (b(off + 8) & 0xff)
+                  done = true
+                }
+                off += 2 + segLen
+              }
+            }
+          }
+        }
+        MediaFeatures(r.mediaId, r.mediaType, len, digest,
+          width = width, height = height, durationMs = 0L,
+          batchSize = batch.size)
+      }
+  }
+
+  /** ISO BMFF ENCODER for the metadata skeleton — ftyp + moov(mvhd +
+    * trak(tkhd)), version 0 or 1 layouts. The deterministic-media
+    * generator for tests and oracle-checked queries: every field the
+    * [[Mp4Codec]] walk reads is placed by explicit offset arithmetic,
+    * so a decode match proves the walk against an independently
+    * constructed container.
+    */
+  object Mp4Builder {
+    private def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    private def be64(v: Long): Array[Byte] = be32(v >> 32) ++ be32(v)
+    private def box(ctype: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ ctype.getBytes("US-ASCII") ++ payload
+
+    def minimal(timescale: Long, durationTicks: Long, width: Int,
+        height: Int, version1: Boolean = false): Array[Byte] = {
+      val ftyp = box("ftyp",
+        "isom".getBytes("US-ASCII") ++ be32(0) ++ "isom".getBytes("US-ASCII"))
+      val mvhd =
+        if (version1)
+          box("mvhd", Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++
+            be32(timescale) ++ be64(durationTicks) ++ new Array[Byte](80))
+        else
+          box("mvhd", Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+            be32(timescale) ++ be32(durationTicks) ++ new Array[Byte](80))
+      val tkhd =
+        if (version1)
+          box("tkhd", Array[Byte](1, 0, 0, 7) ++ new Array[Byte](84) ++
+            be32(width.toLong << 16) ++ be32(height.toLong << 16))
+        else
+          box("tkhd", Array[Byte](0, 0, 0, 7) ++ new Array[Byte](72) ++
+            be32(width.toLong << 16) ++ be32(height.toLong << 16))
+      ftyp ++ box("moov", mvhd ++ box("trak", tkhd))
+    }
+  }
+
+  /** JPEG ENCODER for the marker skeleton — SOI + APP0/JFIF + SOF +
+    * EOI, no entropy data. Exercises [[JpegCodec]]'s segment walk
+    * (including the fill-byte and segment-length paths) against an
+    * independently constructed marker stream.
+    */
+  object JpegBuilder {
+    def headerOnly(width: Int, height: Int,
+        progressive: Boolean = false): Array[Byte] = {
+      val app0 = Array[Byte](0xff.toByte, 0xe0.toByte, 0, 16,
+        'J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0)
+      val sofMarker = if (progressive) 0xc2 else 0xc0
+      val sof = Array[Byte](0xff.toByte, sofMarker.toByte, 0, 11, 8,
+        ((height >> 8) & 0xff).toByte, (height & 0xff).toByte,
+        ((width >> 8) & 0xff).toByte, (width & 0xff).toByte,
+        1, 0x11, 0)
+      Array[Byte](0xff.toByte, 0xd8.toByte) ++ app0 ++ sof ++
+        Array[Byte](0xff.toByte, 0xd9.toByte)
+    }
+  }
+
   /** PNG ENCODER for 8-bit greyscale — signature, IHDR, filtered
     * scanlines deflated into one IDAT, IEND, all checksummed. The
     * deterministic-media generator for tests and oracle-checked
@@ -371,15 +560,18 @@ object Multimodal {
   }
 
   /** Magic-byte dispatch: RIFF/WAVE → real PCM decode, BM → real BMP
-    * decode, PNG signature → real PNG decode, anything else → the
-    * deterministic stub (JPEG/MP4/… decoding needs codec libraries
-    * this environment doesn't ship).
+    * decode, PNG signature → real PNG decode, ISO-BMFF `ftyp` → real
+    * MP4 box parse (true duration + dimensions, frames opaque), JPEG
+    * SOI → real marker parse (true dimensions, pixels opaque),
+    * anything else → the deterministic stub.
     */
   final class FormatAwareCodec(
       fallback: MediaCodec = new DeterministicStubCodec) extends MediaCodec {
     private val wav = new PcmWavCodec
     private val bmp = new BmpCodec
     private val png = new PngCodec
+    private val mp4 = new Mp4Codec
+    private val jpeg = new JpegCodec
     private def isWav(b: Array[Byte]): Boolean =
       b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
         b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
@@ -388,6 +580,11 @@ object Multimodal {
     private def isPng(b: Array[Byte]): Boolean =
       b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
         b(3) == 'G' && b(4) == 0x0d && b(5) == 0x0a && b(6) == 0x1a && b(7) == 0x0a
+    private def isMp4(b: Array[Byte]): Boolean =
+      b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
+    private def isJpeg(b: Array[Byte]): Boolean =
+      b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
+        (b(2) & 0xff) == 0xff
     override def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeatures] = {
       // decode per format but return in INPUT order with the full
       // batch size (the vectorized-codec shape groups by format
@@ -399,6 +596,8 @@ object Multimodal {
           if (isWav(r.content)) wav.decodeBatch(Seq(r)).head
           else if (isBmp(r.content)) bmp.decodeBatch(Seq(r)).head
           else if (isPng(r.content)) png.decodeBatch(Seq(r)).head
+          else if (isMp4(r.content)) mp4.decodeBatch(Seq(r)).head
+          else if (isJpeg(r.content)) jpeg.decodeBatch(Seq(r)).head
           else fallback.decodeBatch(Seq(r)).head
         } catch {
           case scala.util.control.NonFatal(_) =>

@@ -1148,6 +1148,37 @@ object AnalyticsQueries extends QueryPack {
         .toDF()
         .select(col("mediaId").as("doc_id"), col("width"), col("height"),
           col("avgLumaMilli").as("luma_milli"))
+    }),
+
+    // Real MP4/JPEG container parse, ORACLE-CHECKED: per document
+    // build a deterministic container — even ids an ISO-BMFF box tree
+    // (v1 layout every third id), odd ids a JPEG marker stream — then
+    // recover duration and dimensions through the REAL box/marker
+    // walks. The oracle recomputes the same fields arithmetically, so
+    // a hash match proves the byte-level build→parse round trip for
+    // both layouts (hand-built offset vectors are pinned separately
+    // in MultimodalSpec).
+    "mm_container_meta" -> ((s, d) => {
+      import s.implicits._
+      import graft.analytics.Multimodal
+      val media = Tables.documents(s, d)
+        .select(col("doc_id")).filter(col("doc_id") < 200)
+        .as[Long].map { id =>
+          val w = 160 + (id % 17).toInt
+          val h = 90 + (id % 11).toInt
+          if (id % 2 == 0)
+            Multimodal.MediaRow(id, "mp4",
+              Multimodal.Mp4Builder.minimal(600, 600L * (id + 1), w, h,
+                version1 = id % 3 == 0))
+          else
+            Multimodal.MediaRow(id, "jpeg",
+              Multimodal.JpegBuilder.headerOnly(w, h,
+                progressive = id % 5 == 0))
+        }
+      Multimodal.extractFeatures(media, new Multimodal.FormatAwareCodec)
+        .toDF()
+        .select(col("mediaId").as("doc_id"), col("mediaType").as("fmt"),
+          col("width"), col("height"), col("durationMs").as("duration_ms"))
     })
   )
 
@@ -1759,6 +1790,15 @@ object AnalyticsQueries extends QueryPack {
         |SELECT doc_id, w::INT AS width, h::INT AS height,
         |  (sum((doc_id*31 + i) % 256) * 1000 // (w * h))::BIGINT AS luma_milli
         |FROM px GROUP BY doc_id, w, h""".stripMargin,
+    // arithmetic twin of the MP4/JPEG build→parse round trip
+    "mm_container_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'jpeg' END AS fmt,
+        |  (160 + doc_id % 17)::INT AS width,
+        |  (90 + doc_id % 11)::INT AS height,
+        |  (CASE WHEN doc_id % 2 = 0 THEN (doc_id + 1) * 1000 ELSE 0 END)::BIGINT
+        |    AS duration_ms
+        |FROM documents WHERE doc_id < 200""".stripMargin,
     "tx_zipf_slope" ->
       """WITH c AS (
         |  SELECT lang, tok, count(*) AS n

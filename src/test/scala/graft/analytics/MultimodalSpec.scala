@@ -219,6 +219,47 @@ class MultimodalSpec extends AnyFunSuite {
     assert(fx.durationMs == 150000L)
   }
 
+  test("real MP4 box parse: mvhd duration + tkhd dims, v0 and v1 layouts") {
+    // version-0 container: 90 s at timescale 600, 1920×1080 track
+    val v0 = Mp4Builder.minimal(600, 54000, 1920, 1080)
+    // version-1 container: 64-bit duration field, 2½ h at 90 kHz
+    val v1 = Mp4Builder.minimal(90000, 810000000L, 3840, 2160, version1 = true)
+    val fx = new FormatAwareCodec().decodeBatch(Seq(
+      MediaRow(1L, "video", v0), MediaRow(2L, "video", v1)))
+    assert(fx(0).width == 1920 && fx(0).height == 1080)
+    assert(fx(0).durationMs == 90000L)
+    assert(fx(1).width == 3840 && fx(1).height == 2160)
+    assert(fx(1).durationMs == 9000000L)
+    // malformed: a zero-size inner box must not spin the walk, and a
+    // size-1 box with a truncated largesize must bail cleanly
+    val evil = v0.clone()
+    val moovIdx = evil.indexOfSlice("moov".getBytes) - 4
+    evil(moovIdx) = 0; evil(moovIdx + 1) = 0
+    evil(moovIdx + 2) = 0; evil(moovIdx + 3) = 0 // moov size = 0 (to EOF)
+    val fxEvil = new Mp4Codec().decodeBatch(Seq(MediaRow(3L, "video", evil)))
+    assert(fxEvil.head.durationMs == 90000L) // still parsed: 0 = to-end
+    val truncated = v0.take(6) // size says 16+, bytes end at 6
+    val fxTrunc = new Mp4Codec()
+      .decodeBatch(Seq(MediaRow(4L, "video", truncated)))
+    assert(fxTrunc.head.width == 0 && fxTrunc.head.durationMs == 0L)
+  }
+
+  test("real JPEG marker parse: SOF dims, baseline and progressive") {
+    val base = JpegBuilder.headerOnly(640, 480)
+    val prog = JpegBuilder.headerOnly(1024, 768, progressive = true)
+    val fx = new FormatAwareCodec().decodeBatch(Seq(
+      MediaRow(1L, "image", base), MediaRow(2L, "image", prog)))
+    assert(fx(0).width == 640 && fx(0).height == 480)
+    assert(fx(1).width == 1024 && fx(1).height == 768)
+    assert(fx.forall(_.avgLumaMilli == -1L)) // pixels stay opaque
+    // a segment length pointing past the buffer must bail, not throw
+    val evil = base.clone()
+    val sofIdx = evil.indexOfSlice(Array(0xff.toByte, 0xc0.toByte))
+    evil(sofIdx + 2) = 0x7f // SOF length = 32523 > remaining bytes
+    val fxEvil = new JpegCodec().decodeBatch(Seq(MediaRow(3L, "image", evil)))
+    assert(fxEvil.head.width == 0 && fxEvil.head.height == 0)
+  }
+
   test("binaryMeta computes length and digest without decoding") {
     import spark.implicits._
     val df = Seq(("a", "hello"), ("b", "wörld")).toDF("id", "text")

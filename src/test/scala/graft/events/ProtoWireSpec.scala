@@ -28,8 +28,13 @@ class ProtoWireSpec extends AnyFunSuite {
   }
 
   test("property: string field round-trips arbitrary unicode") {
+    // UTF-8-normalize by construction rather than suchThat-discarding:
+    // lone surrogates are ~3% of random chars, so at scalacheck's
+    // larger list sizes most candidates contain one and the discard
+    // ratio intermittently exhausts the property. Valid surrogate
+    // pairs still occur and still round-trip.
     check(Prop.forAll(Gen.listOf(Gen.choose(Char.MinValue, Char.MaxValue))
-        .map(_.mkString).suchThat(s => s == new String(s.getBytes("UTF-8"), "UTF-8"))) { s =>
+        .map(cs => new String(cs.mkString.getBytes("UTF-8"), "UTF-8"))) { s =>
       val w = new ProtoWire.Writer
       w.string(2, s)
       // empty string is skipped on the wire and reads back as ""
