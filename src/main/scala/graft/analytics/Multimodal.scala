@@ -439,6 +439,122 @@ object Multimodal {
       }
   }
 
+  /** REAL frame-sample index for ISO BMFF — the sample tables under
+    * `moov/trak/mdia/minf/stbl` are pure box arithmetic: `stss` lists
+    * the sync (key) samples, `stsc` maps chunks to samples-per-chunk,
+    * `stco`/`co64` the chunk byte offsets, `stsz` the sample sizes.
+    * Combining them yields the true byte offset of every keyframe —
+    * the container-seek a frame-sampling pipeline does before handing
+    * the (still opaque) sample bytes to a decoder. No stss box means
+    * every sample is a sync sample, per the spec.
+    */
+  object Mp4Index {
+    private def be32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    private def be64(b: Array[Byte], o: Int): Long =
+      (be32(b, o) << 32) | be32(b, o + 4)
+
+    private final class Tables {
+      var stss: Array[Int] = null // sync sample numbers (1-based); null = all
+      var stsc: Array[(Long, Long)] = Array.empty // (firstChunk, samplesPerChunk)
+      var chunkOffsets: Array[Long] = Array.empty
+      var uniformSize = 0L
+      var sizes: Array[Long] = null
+      var sampleCount = 0
+    }
+
+    /** Entry count guarded by the bytes actually present: a crafted
+      * count can't force a huge allocation or an OOB read.
+      */
+    private def entryCount(b: Array[Byte], data: Int, end: Long,
+        entryBytes: Int): Int = {
+      val declared = be32(b, data + 4)
+      val fits = (end - data - 8) / entryBytes
+      math.min(declared, fits).toInt.max(0)
+    }
+
+    private def walk(b: Array[Byte], from: Long, until: Long, t: Tables): Unit = {
+      var off = from
+      var sane = true
+      while (sane && off + 8 <= until) {
+        val o = off.toInt
+        var size = be32(b, o)
+        val ctype = new String(b, o + 4, 4, "US-ASCII")
+        var header = 8L
+        if (size == 1 && off + 16 <= until) { size = be64(b, o + 8); header = 16 }
+        else if (size == 0) size = until - off
+        val end = off + size
+        if (size < header || end > until) sane = false
+        else {
+          val data = (off + header).toInt
+          ctype match {
+            case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
+              walk(b, off + header, end, t)
+            case "stss" if end - data >= 8 =>
+              val n = entryCount(b, data, end, 4)
+              t.stss = Array.tabulate(n)(i => be32(b, data + 8 + i * 4).toInt)
+            case "stsc" if end - data >= 8 =>
+              val n = entryCount(b, data, end, 12)
+              t.stsc = Array.tabulate(n)(i =>
+                (be32(b, data + 8 + i * 12), be32(b, data + 12 + i * 12)))
+            case "stco" if end - data >= 8 =>
+              val n = entryCount(b, data, end, 4)
+              t.chunkOffsets = Array.tabulate(n)(i => be32(b, data + 8 + i * 4))
+            case "co64" if end - data >= 8 =>
+              val n = entryCount(b, data, end, 8)
+              t.chunkOffsets = Array.tabulate(n)(i => be64(b, data + 8 + i * 8))
+            case "stsz" if end - data >= 12 =>
+              t.uniformSize = be32(b, data + 4)
+              t.sampleCount = math.min(be32(b, data + 8),
+                if (t.uniformSize == 0) (end - data - 12) / 4 else Long.MaxValue)
+                .toInt.max(0)
+              if (t.uniformSize == 0)
+                t.sizes = Array.tabulate(t.sampleCount)(i =>
+                  be32(b, data + 12 + i * 4))
+            case _ => ()
+          }
+          off = end
+        }
+      }
+    }
+
+    /** (sampleNumber, byteOffset) of every sync sample, in sample
+      * order. Empty when the container carries no usable index.
+      */
+    def syncSampleOffsets(b: Array[Byte]): Seq[(Int, Long)] = {
+      val t = new Tables
+      try walk(b, 0L, b.length.toLong, t)
+      catch { case scala.util.control.NonFatal(_) => return Nil }
+      if (t.chunkOffsets.isEmpty || t.stsc.isEmpty || t.sampleCount <= 0)
+        return Nil
+      val syncSet: Int => Boolean =
+        if (t.stss == null) _ => true else t.stss.toSet
+      val out = Seq.newBuilder[(Int, Long)]
+      var sample = 1
+      var ci = 0
+      while (ci < t.chunkOffsets.length && sample <= t.sampleCount) {
+        val chunkNo = ci + 1
+        // stsc entries cover chunk runs: the governing entry is the
+        // last one whose first_chunk <= this chunk
+        var spc = 0L
+        var e = 0
+        while (e < t.stsc.length && t.stsc(e)._1 <= chunkNo) {
+          spc = t.stsc(e)._2; e += 1
+        }
+        var off = t.chunkOffsets(ci)
+        var k = 0L
+        while (k < spc && sample <= t.sampleCount) {
+          if (syncSet(sample)) out += ((sample, off))
+          off += (if (t.sizes != null) t.sizes(sample - 1) else t.uniformSize)
+          sample += 1; k += 1
+        }
+        ci += 1
+      }
+      out.result()
+    }
+  }
+
   /** ISO BMFF ENCODER for the metadata skeleton — ftyp + moov(mvhd +
     * trak(tkhd)), version 0 or 1 layouts. The deterministic-media
     * generator for tests and oracle-checked queries: every field the
@@ -473,6 +589,39 @@ object Multimodal {
           box("tkhd", Array[Byte](0, 0, 0, 7) ++ new Array[Byte](72) ++
             be32(width.toLong << 16) ++ be32(height.toLong << 16))
       ftyp ++ box("moov", mvhd ++ box("trak", tkhd))
+    }
+
+    /** Container with a full sample index under trak/mdia/minf/stbl:
+      * stss (sync samples), stsc (one run: every chunk holds
+      * `samplesPerChunk`), stsz (uniform when `uniformSize` > 0, else
+      * the explicit `sampleSizes` table) and stco (chunk offsets).
+      * Every field [[Mp4Index]] reads is placed by independent offset
+      * arithmetic.
+      */
+    def withSampleIndex(timescale: Long, durationTicks: Long,
+        width: Int, height: Int, sampleCount: Int, uniformSize: Long,
+        sampleSizes: Seq[Long], samplesPerChunk: Int,
+        chunkOffsets: Seq[Long], syncSamples: Seq[Int]): Array[Byte] = {
+      val full0 = Array[Byte](0, 0, 0, 0)
+      val stss = box("stss", full0 ++ be32(syncSamples.length.toLong) ++
+        syncSamples.flatMap(s => be32(s.toLong)).toArray)
+      val stsc = box("stsc", full0 ++ be32(1L) ++
+        be32(1L) ++ be32(samplesPerChunk.toLong) ++ be32(1L))
+      val stsz = box("stsz", full0 ++ be32(uniformSize) ++
+        be32(sampleCount.toLong) ++
+        (if (uniformSize > 0) Array.emptyByteArray
+         else sampleSizes.flatMap(be32).toArray))
+      val stco = box("stco", full0 ++ be32(chunkOffsets.length.toLong) ++
+        chunkOffsets.flatMap(be32).toArray)
+      val stbl = box("stbl", stss ++ stsc ++ stsz ++ stco)
+      val tkhd = box("tkhd", Array[Byte](0, 0, 0, 7) ++ new Array[Byte](72) ++
+        be32(width.toLong << 16) ++ be32(height.toLong << 16))
+      val mvhd = box("mvhd", Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+        be32(timescale) ++ be32(durationTicks) ++ new Array[Byte](80))
+      val trak = box("trak", tkhd ++ box("mdia", box("minf", stbl)))
+      val ftyp = box("ftyp",
+        "isom".getBytes("US-ASCII") ++ be32(0) ++ "isom".getBytes("US-ASCII"))
+      ftyp ++ box("moov", mvhd ++ trak)
     }
   }
 

@@ -1179,6 +1179,35 @@ object AnalyticsQueries extends QueryPack {
         .toDF()
         .select(col("mediaId").as("doc_id"), col("mediaType").as("fmt"),
           col("width"), col("height"), col("durationMs").as("duration_ms"))
+    }),
+
+    // Real MP4 keyframe index, ORACLE-CHECKED: per document build a
+    // container whose stss/stsc/stsz/stco sample tables follow an
+    // arithmetic formula, then recover each sync sample's true byte
+    // offset through the REAL box-tree walk (Mp4Index) — the
+    // container-seek a video frame-sampling pipeline performs. The
+    // oracle recomputes the offsets from the same formulas, so a hash
+    // match proves chunk/size/sync accounting end to end.
+    "mm_mp4_keyframes" -> ((s, d) => {
+      import s.implicits._
+      import graft.analytics.Multimodal
+      Tables.documents(s, d)
+        .select(col("doc_id")).filter(col("doc_id") < 120)
+        .as[Long].flatMap { id =>
+          val n = 6 + (id % 5).toInt
+          val size = 100L + (id % 7) * 10
+          val chunks = (n + 1) / 2
+          val container = Multimodal.Mp4Builder.withSampleIndex(
+            600, 600L * n, 320, 240,
+            sampleCount = n, uniformSize = size, sampleSizes = Nil,
+            samplesPerChunk = 2,
+            chunkOffsets = (0 until chunks).map(i => 1000L + i * 4096L),
+            syncSamples = (1 to n by 3))
+          Multimodal.Mp4Index.syncSampleOffsets(container).map {
+            case (sn, off) => (id, sn, off)
+          }
+        }
+        .toDF("doc_id", "sample_no", "byte_offset")
     })
   )
 
@@ -1790,6 +1819,17 @@ object AnalyticsQueries extends QueryPack {
         |SELECT doc_id, w::INT AS width, h::INT AS height,
         |  (sum((doc_id*31 + i) % 256) * 1000 // (w * h))::BIGINT AS luma_milli
         |FROM px GROUP BY doc_id, w, h""".stripMargin,
+    // arithmetic twin of the MP4 keyframe index: every 3rd sample is
+    // a sync; chunks of 2 uniform-size samples at 4096-spaced offsets
+    "mm_mp4_keyframes" ->
+      """WITH s AS (SELECT unnest(range(1, 11)) AS sn)
+        |SELECT d.doc_id, sn::INT AS sample_no,
+        |  (1000 + ((sn - 1) // 2) * 4096
+        |    + ((sn - 1) % 2) * (100 + (d.doc_id % 7) * 10))::BIGINT
+        |    AS byte_offset
+        |FROM documents d, s
+        |WHERE d.doc_id < 120 AND sn <= 6 + d.doc_id % 5
+        |  AND (sn - 1) % 3 = 0""".stripMargin,
     // arithmetic twin of the MP4/JPEG build→parse round trip
     "mm_container_meta" ->
       """SELECT doc_id,

@@ -244,6 +244,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(fxTrunc.head.width == 0 && fxTrunc.head.durationMs == 0L)
   }
 
+  test("real MP4 sample index: stss×stsc×stsz×stco → keyframe offsets") {
+    // 7 samples of varying size, 3 per chunk, syncs at 1/4/7:
+    //   chunk 1 @1000: s1(10) s2(20) s3(30) → s1@1000
+    //   chunk 2 @5000: s4(40) s5(50) s6(60) → s4@5000
+    //   chunk 3 @9000: s7(70)              → s7@9000
+    val varying = Mp4Builder.withSampleIndex(600, 4200, 320, 240,
+      sampleCount = 7, uniformSize = 0,
+      sampleSizes = Seq(10, 20, 30, 40, 50, 60, 70),
+      samplesPerChunk = 3, chunkOffsets = Seq(1000, 5000, 9000),
+      syncSamples = Seq(1, 4, 7))
+    assert(Mp4Index.syncSampleOffsets(varying) ==
+      Seq((1, 1000L), (4, 5000L), (7, 9000L)))
+    // syncs mid-chunk: offsets accumulate preceding sample sizes
+    val midChunk = Mp4Builder.withSampleIndex(600, 4200, 320, 240,
+      sampleCount = 7, uniformSize = 0,
+      sampleSizes = Seq(10, 20, 30, 40, 50, 60, 70),
+      samplesPerChunk = 3, chunkOffsets = Seq(1000, 5000, 9000),
+      syncSamples = Seq(2, 3, 5))
+    assert(Mp4Index.syncSampleOffsets(midChunk) ==
+      Seq((2, 1010L), (3, 1030L), (5, 5040L)))
+    // uniform stsz (sample_size field set, no per-sample table)
+    val uniform = Mp4Builder.withSampleIndex(600, 4200, 320, 240,
+      sampleCount = 5, uniformSize = 100, sampleSizes = Nil,
+      samplesPerChunk = 2, chunkOffsets = Seq(2000, 4000, 6000),
+      syncSamples = Seq(1, 3, 4))
+    assert(Mp4Index.syncSampleOffsets(uniform) ==
+      Seq((1, 2000L), (3, 4000L), (4, 4100L)))
+    // the metadata-only container has no stbl → empty, not a throw;
+    // same for a truncated index
+    assert(Mp4Index.syncSampleOffsets(
+      Mp4Builder.minimal(600, 54000, 1920, 1080)).isEmpty)
+    assert(Mp4Index.syncSampleOffsets(varying.take(60)).isEmpty)
+  }
+
   test("real JPEG marker parse: SOF dims, baseline and progressive") {
     val base = JpegBuilder.headerOnly(640, 480)
     val prog = JpegBuilder.headerOnly(1024, 768, progressive = true)
