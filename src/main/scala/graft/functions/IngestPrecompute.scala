@@ -42,7 +42,7 @@ final case class IngestPre(
     valueTsMs: Long,
     canonical: Array[Byte], // BSON {v: value}, byte-identical to the fold's encode
     trigMask: Long,         // bit i = registry.triggers(i) matches this data event
-    regFp: Int)
+    regFp: Long)
 
 object IngestPre {
   val ErrNotData = -1
@@ -67,18 +67,53 @@ object IngestPre {
     StructField("valueTsMs", LongType, nullable = false),
     StructField("canonical", BinaryType, nullable = true),
     StructField("trigMask", LongType, nullable = false),
-    StructField("regFp", IntegerType, nullable = false)))
+    StructField("regFp", LongType, nullable = false)))
 }
 
 /** Registry-derived lookup structures shared by the expression and the
-  * fold. Fingerprints are structural (case-class hashCode, forced
-  * nonzero) so a serialized copy on an executor fingerprints equal to
-  * the driver's original.
+  * fold. Fingerprints are a 64-bit MD5 digest of a CANONICAL
+  * rendering (maps sorted by key, sequences in order, byte arrays in
+  * hex) — structural, stable across JVMs/serialization, and with a
+  * 2^-64 accidental-collision bound: a 32-bit hashCode colliding
+  * between an old and a new registry would let a stale precompute
+  * row index the wrong mapping list with no error raised.
   */
 object RegistryMeta {
-  def fingerprintOf(r: Registry): Int = {
-    val h = r.hashCode()
-    if (h == 0) 1 else h
+  // single-entry identity memo: providers hand out the same Registry
+  // instance until it is updated, so per-group PreContext builds in
+  // streaming don't re-digest an unchanged registry
+  @volatile private var lastFp: (Registry, Long) = null
+
+  def fingerprintOf(r: Registry): Long = {
+    val c = lastFp
+    if (c != null && (c._1 eq r)) return c._2
+    def v(x: Any): String = x match {
+      case null => "∅"
+      case a: Array[Byte] => a.map("%02x".format(_)).mkString
+      case a: Array[_] => a.map(v).mkString("[", ",", "]")
+      case s: Seq[_] => s.map(v).mkString("[", ",", "]")
+      case other => other.toString
+    }
+    val sb = new StringBuilder
+    r.interfaces.toSeq.sortBy(_._1).foreach { case (k, d) =>
+      sb.append(k).append('=').append(d).append(';')
+    }
+    r.mappings.toSeq.sortBy(_._1).foreach { case (k, ms) =>
+      sb.append(k).append('=').append(ms.mkString(",")).append(';')
+    }
+    r.triggers.foreach { t =>
+      sb.append(t.triggerId).append('|').append(t.eventType).append('|')
+        .append(t.scope).append('|').append(t.pathPattern).append('|')
+        .append(t.valueOp).append('|').append(v(t.knownValue)).append('|')
+        .append(t.targets.mkString(",")).append('|').append(t.volatile)
+        .append(';')
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(sb.toString.getBytes("UTF-8"))
+    val h0 = java.nio.ByteBuffer.wrap(md).getLong
+    val h = if (h0 == 0L) 1L else h0
+    lastFp = (r, h)
+    h
   }
 
   /** Triggers with their registry index, grouped by event type — the
@@ -131,13 +166,17 @@ object BsonEncodeV {
 }
 
 /** `ingest_precompute(msgType, iface, path, payload)` —
-  * codegen'd Catalyst expression computing [[IngestPre]]. The embedded
-  * registry snapshot is plan-time state (control-plane sized, shipped
-  * to executors like any literal); fingerprint-guarded against going
-  * stale (see [[IngestPre]]).
+  * codegen'd Catalyst expression computing [[IngestPre]]. The
+  * registry is pulled through `registrySource` ON EVERY ROW (an `eq`
+  * check makes the steady state one pointer compare): a streaming
+  * query built over a mutable provider picks a registry update up on
+  * the rows that follow it, so the columnar fast path RETURNS after
+  * an ST2/ST3 update instead of fingerprint-failing for the rest of
+  * the query's lifetime. Rows computed against the old registry are
+  * still caught by the fold's fingerprint check, exactly as before.
   */
 case class IngestPrecompute(
-    registry: Registry,
+    registrySource: () => Registry,
     msgType: Expression,
     iface: Expression,
     path: Expression,
@@ -150,14 +189,29 @@ case class IngestPrecompute(
   override def nullable: Boolean = false
   override def prettyName: String = "ingest_precompute"
 
-  @transient private lazy val fp = RegistryMeta.fingerprintOf(registry)
-  @transient private lazy val maskable = registry.triggers.size <= 64
-  @transient private lazy val triggerArr = registry.triggers.toArray
+  /** Registry-derived evaluation state, rebuilt only when the source
+    * hands out a NEW registry instance. The volatile single-slot
+    * cache is race-safe (worst case: two threads rebuild the same
+    * immutable Meta once).
+    */
+  private final class Meta(val registry: Registry) {
+    val fp: Long = RegistryMeta.fingerprintOf(registry)
+    val maskable: Boolean = registry.triggers.size <= 64
+    val triggerArr = registry.triggers.toArray
+  }
+  @transient @volatile private var cachedMeta: Meta = null
+  private def meta(): Meta = {
+    val r = registrySource()
+    val c = cachedMeta
+    if (c != null && (c.registry eq r)) c
+    else { val m = new Meta(r); cachedMeta = m; m }
+  }
+
   @transient private lazy val dataUtf8 = UTF8String.fromString("data")
 
-  private def row(err: Int, mappingIdx: Int = -1, isUnset: Boolean = false,
-      valueTsMs: Long = -1L, canonical: Array[Byte] = null,
-      trigMask: Long = 0L): InternalRow =
+  private def row(fp: Long, err: Int, mappingIdx: Int = -1,
+      isUnset: Boolean = false, valueTsMs: Long = -1L,
+      canonical: Array[Byte] = null, trigMask: Long = 0L): InternalRow =
     new GenericInternalRow(Array[Any](
       err, mappingIdx, isUnset, valueTsMs, canonical, trigMask, fp))
 
@@ -168,38 +222,41 @@ case class IngestPrecompute(
   def compute(mt: UTF8String, ifc: UTF8String, p: UTF8String,
       pl: Array[Byte]): InternalRow = {
     import IngestPre._
-    if (mt == null || !mt.equals(dataUtf8)) return row(ErrNotData)
-    if (!maskable) return row(ErrRecompute)
+    val m = meta()
+    val registry = m.registry
+    val fp = m.fp
+    if (mt == null || !mt.equals(dataUtf8)) return row(fp, ErrNotData)
+    if (!m.maskable) return row(fp, ErrRecompute)
     val pathS = if (p == null) null else p.toString
-    if (pathS == null || !PathMatcher.isValidPath(pathS)) return row(1)
+    if (pathS == null || !PathMatcher.isValidPath(pathS)) return row(fp, 1)
     val ifaceS = if (ifc == null) null else ifc.toString
     registry.descriptor(ifaceS) match {
-      case None => row(2)
-      case Some(desc) if desc.ownership == Ownership.Server => row(3)
+      case None => row(fp, 2)
+      case Some(desc) if desc.ownership == Ownership.Server => row(fp, 3)
       case Some(desc) =>
         val mappings = registry.mappingsOf(ifaceS)
         val idx = mappings.indexWhere(m => desc.aggregation match {
           case Aggregation.Individual => PathMatcher.matches(m.endpoint, pathS)
           case Aggregation.Object => PathMatcher.matchesParentLevel(m.endpoint, pathS)
         })
-        if (idx < 0) return row(4)
+        if (idx < 0) return row(fp, 4)
         val mapping = mappings(idx)
         PayloadCodec.decodePayload(pl) match {
-          case None => row(5)
+          case None => row(fp, 5)
           case Some(decoded) =>
             val value = decoded.value
             if (value != null &&
                 !graft.streaming.TypeChecker.validates(value, mapping, desc, registry))
-              return row(6)
+              return row(fp, 6)
             var mask = 0L
             var i = 0
-            while (i < triggerArr.length) {
-              if (triggerArr(i).matchesDataEvent(ifaceS, desc.major, pathS, value))
+            while (i < m.triggerArr.length) {
+              if (m.triggerArr(i).matchesDataEvent(ifaceS, desc.major, pathS, value))
                 mask |= 1L << i
               i += 1
             }
             if (value == null)
-              row(ErrOk, idx, isUnset = true, trigMask = mask)
+              row(fp, ErrOk, idx, isUnset = true, trigMask = mask)
             else {
               // receptionMs isn't known here (it's trivial arithmetic
               // the fold does); explicit-timestamp values carry their
@@ -207,7 +264,7 @@ case class IngestPrecompute(
               val ts = decoded.timestamp
                 .filter(_ => mapping.explicitTimestamp)
                 .map(_.toEpochMilli).getOrElse(Long.MinValue)
-              row(ErrOk, idx, valueTsMs = ts,
+              row(fp, ErrOk, idx, valueTsMs = ts,
                 canonical = Bson.encode(Seq("v" -> value)), trigMask = mask)
             }
         }
@@ -246,4 +303,11 @@ case class IngestPrecompute(
       newChildren: IndexedSeq[Expression]): IngestPrecompute =
     copy(msgType = newChildren(0), iface = newChildren(1),
       path = newChildren(2), payload = newChildren(3))
+}
+
+object IngestPrecompute {
+  /** Fixed-registry construction (batch mode, tests). */
+  def apply(registry: Registry, msgType: Expression, iface: Expression,
+      path: Expression, payload: Expression): IngestPrecompute =
+    IngestPrecompute(() => registry, msgType, iface, path, payload)
 }

@@ -75,33 +75,47 @@ final class AmqpClient(host: String, port: Int) extends AutoCloseable {
   final case class Delivery(offset: Long, value: Array[Byte],
       headers: Seq[(String, Array[Byte])])
 
-  /** basic.consume on a shard queue, reading exactly `max` deliveries
-    * (deliver + content header + body triplets) after consume-ok.
+  /** Poll up to `max` messages off a shard queue with basic.get —
+    * the spec's synchronous pull (get-ok + content per message,
+    * get-empty when drained). Strictly request/response, so the
+    * connection can never hold undrained frames: basic.consume's
+    * async push either leaves surplus deliveries buffered (backlog >
+    * max, desynchronizing every later method call) or blocks forever
+    * waiting for deliveries that never come (backlog < max).
     */
   def consume(shard: Int, max: Int): Seq[Delivery] = synchronized {
     ensureChannel()
-    sendMethod(1, BasicConsume)(w =>
-      w.u16(0).shortstr(shard.toString).shortstr(s"ctag-$shard").u8(0))
-    val ok = readFrame(in)
-    val r = new Reader(ok.payload)
-    require((r.u16(), r.u16()) == BasicConsumeOk, "expected basic.consume-ok")
-    (1 to max).map { _ =>
-      val del = readFrame(in)
-      val dr = new Reader(del.payload)
-      require((dr.u16(), dr.u16()) == BasicDeliver, "expected basic.deliver")
-      dr.shortstr() // consumer tag
-      val deliveryTag = dr.u64()
-      val header = readFrame(in)
-      require(header.frameType == FrameHeader, "expected content header")
-      val (bodySize, headers) = parseContentHeader(header.payload)
-      val body = new java.io.ByteArrayOutputStream()
-      while (body.size() < bodySize) {
-        val bf = readFrame(in)
-        require(bf.frameType == FrameBody, "expected content body")
-        body.write(bf.payload)
+    val out0 = Seq.newBuilder[Delivery]
+    var n = 0
+    var drained = false
+    while (n < max && !drained) {
+      sendMethod(1, BasicGet)(w =>
+        w.u16(0).shortstr(shard.toString).u8(0))
+      val resp = readFrame(in)
+      val r = new Reader(resp.payload)
+      (r.u16(), r.u16()) match {
+        case BasicGetEmpty =>
+          drained = true
+        case BasicGetOk =>
+          val deliveryTag = r.u64()
+          r.u8() // redelivered
+          r.shortstr(); r.shortstr() // exchange, routing key
+          val header = readFrame(in)
+          require(header.frameType == FrameHeader, "expected content header")
+          val (bodySize, headers) = parseContentHeader(header.payload)
+          val body = new java.io.ByteArrayOutputStream()
+          while (body.size() < bodySize) {
+            val bf = readFrame(in)
+            require(bf.frameType == FrameBody, "expected content body")
+            body.write(bf.payload)
+          }
+          out0 += Delivery(deliveryTag, body.toByteArray, headers)
+          n += 1
+        case other =>
+          throw new java.io.IOException(s"expected get-ok/get-empty, got $other")
       }
-      Delivery(deliveryTag, body.toByteArray, headers)
     }
+    out0.result()
   }
 
   /** basic.ack with multiple=true: acknowledges everything up to and

@@ -33,6 +33,8 @@ object AmqpWire {
   val BasicConsume = (60, 20); val BasicConsumeOk = (60, 21)
   val BasicPublish = (60, 40)
   val BasicDeliver = (60, 60)
+  val BasicGet = (60, 70); val BasicGetOk = (60, 71)
+  val BasicGetEmpty = (60, 72)
   val BasicAck = (60, 80)
 
   final case class Frame(frameType: Int, channel: Int, payload: Array[Byte])

@@ -86,16 +86,27 @@ private[sources] class BrokerTable(
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new BrokerMicroBatchStream(host, port, maxPerTrigger)
         // batch read = the backfill shape: a one-shot snapshot of
-        // every shard from offset 0 to the end observed at plan time
-        // (records published later are the stream's business)
+        // every shard from its TRUNCATION FLOOR to the end observed
+        // at plan time. Planning from 0 would reach below the floor
+        // on any broker whose stream has committed (ack-truncated)
+        // a batch, and fail the vanished-range guard.
         override def toBatch: Batch = new Batch {
           override def planInputPartitions(): Array[InputPartition] = {
             val client = new BrokerClient(host, port)
-            try client.endOffsets().zipWithIndex.collect {
-              case (end, shard) if end > 0 =>
-                BrokerInputPartition(host, port, shard, 0L, end): InputPartition
-            }.toArray
-            finally client.close()
+            try {
+              val ends = client.endOffsets()
+              // bases AFTER ends: the floor only rises, so the fresher
+              // snapshot narrows the window a concurrent ack could
+              // truncate out from under the read (which would still
+              // fail loudly on the reader's vanished-range guard)
+              val bases = client.baseOffsets()
+              ends.zipWithIndex.collect {
+                case (end, shard)
+                    if end > bases.lift(shard).getOrElse(0L) =>
+                  BrokerInputPartition(host, port, shard,
+                    bases.lift(shard).getOrElse(0L), end): InputPartition
+              }.toArray
+            } finally client.close()
           }
           override def createReaderFactory(): PartitionReaderFactory =
             new BrokerReaderFactory

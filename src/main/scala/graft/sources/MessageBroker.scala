@@ -174,6 +174,10 @@ final class MessageBroker(requestedPort: Int = 0) extends AutoCloseable {
           case 5 =>
             val (shard, upTo) = (in.readInt(), in.readLong())
             out.writeLong(ack(shard, upTo))
+          case 6 =>
+            val bases = baseOffsets
+            out.writeInt(bases.length)
+            bases.foreach(out.writeLong)
           case other =>
             throw new java.io.IOException(s"unknown broker command $other")
         }
@@ -210,6 +214,16 @@ final class MessageBroker(requestedPort: Int = 0) extends AutoCloseable {
 
     // per-channel state: the shard a consumer subscribed on
     val consumerShard = scala.collection.mutable.Map.empty[Int, Int]
+    // per-connection basic.get cursors: next offset to hand out per
+    // shard; a fresh connection restarts at the ack floor (unacked
+    // messages redeliver, the AMQP contract)
+    val getCursor = scala.collection.mutable.Map.empty[Int, Long]
+    // queue names/routing keys are shard indices; anything else is a
+    // protocol error, not a silent default to shard 0
+    def shardOf(name: String, what: String): Int =
+      name.toIntOption.filter(s => s >= 0 && s < shardCount).getOrElse(
+        throw new java.io.IOException(
+          s"$what '$name' is not a shard index [0, $shardCount)"))
 
     while (running) {
       val frame = readFrame(in)
@@ -233,14 +247,14 @@ final class MessageBroker(requestedPort: Int = 0) extends AutoCloseable {
               require(bf.frameType == FrameBody, "expected content body")
               body.write(bf.payload)
             }
-            val shard = routingKey.toIntOption.getOrElse(0)
+            val shard = shardOf(routingKey, "routing key")
             publish(shard, null, body.toByteArray, headers)
 
           case BasicConsume =>
             r.u16() // reserved
             val queue = r.shortstr()
             val tag = r.shortstr()
-            val shard = queue.toIntOption.getOrElse(0)
+            val shard = shardOf(queue, "queue")
             consumerShard(frame.channel) = shard
             sendMethod(frame.channel, BasicConsumeOk)(_.shortstr(tag))
             // deliver the retained backlog (ack floor → end), one
@@ -256,6 +270,36 @@ final class MessageBroker(requestedPort: Int = 0) extends AutoCloseable {
               writeFrame(out, Frame(FrameHeader, frame.channel,
                 contentHeader(rec.value.length.toLong, rec.headers)))
               writeFrame(out, Frame(FrameBody, frame.channel, rec.value))
+            }
+
+          case BasicGet =>
+            // the synchronous poll of the 0-9-1 spec: one message per
+            // get-ok (+ header + body), get-empty when drained — the
+            // bounded request/response shape a snapshot reader needs
+            // (basic.consume pushes the whole backlog asynchronously)
+            r.u16() // reserved
+            val queue = r.shortstr()
+            r.u8() // no-ack flag: acks always explicit here
+            val shard = shardOf(queue, "queue")
+            val (lo, hi) = synchronized {
+              val q = shards(shard); (q.base, q.end)
+            }
+            val cursor = math.max(getCursor.getOrElse(shard, lo), lo)
+            val rec = fetch(shard, cursor, 1).headOption
+            rec match {
+              case None =>
+                sendMethod(frame.channel, BasicGetEmpty)(_.shortstr(""))
+              case Some(record) =>
+                getCursor(shard) = record.offset + 1
+                consumerShard(frame.channel) = shard
+                sendMethod(frame.channel, BasicGetOk) { w =>
+                  w.u64(record.offset).u8(0)
+                  w.shortstr("").shortstr(queue)
+                  w.u32(math.max(hi - record.offset - 1, 0L).toInt)
+                }
+                writeFrame(out, Frame(FrameHeader, frame.channel,
+                  contentHeader(record.value.length.toLong, record.headers)))
+                writeFrame(out, Frame(FrameBody, frame.channel, record.value))
             }
 
           case BasicAck =>
@@ -311,6 +355,13 @@ final class BrokerClient(host: String, port: Int) extends AutoCloseable {
 
   def endOffsets(): Seq[Long] = synchronized {
     out.writeByte(1); out.flush()
+    val n = in.readInt()
+    (1 to n).map(_ => in.readLong())
+  }
+
+  /** Per-shard truncation floor (first retained offset). */
+  def baseOffsets(): Seq[Long] = synchronized {
+    out.writeByte(6); out.flush()
     val n = in.readInt()
     (1 to n).map(_ => in.readLong())
   }

@@ -163,19 +163,33 @@ final class AstarteStore(val root: String) {
         // present in the payload are non-null (NULL-avoidance).
         // The interface list in a batch is registry-bounded metadata,
         // so the driver-side distinct/collect is control-plane sized.
-        val ifaceNames =
-          objects.select("iface").distinct().collect().map(_.getString(0))
-        ifaceNames.foreach { name =>
+        // Rows are grouped by the MAJOR THEY WERE FOLDED UNDER
+        // (EffectRow.major), not the sink-time registry's major: the
+        // fold and this sink read the registry independently, so a
+        // live major bump between them must not misfile v1-validated
+        // rows into the v2 table. Leaf columns come from the mapping
+        // set of the row's major (Mapping.major keys the version).
+        val ifaceMajors =
+          objects.select("iface", "major").distinct().collect()
+            .map(r => (r.getString(0), r.getInt(1)))
+        ifaceMajors.foreach { case (name, rowMajor) =>
           val desc = registry.descriptor(name).getOrElse(
             throw new IllegalStateException(
               s"object append for interface '$name' but no registry entry — " +
                 "pass the registry to applyEffects so leaf columns can be typed"))
-          val leafCols = registry.mappingsOf(name).map { m =>
+          val majorMappings =
+            registry.mappingsOf(name).filter(_.major == rowMajor)
+          if (majorMappings.isEmpty)
+            throw new IllegalStateException(
+              s"object append for '$name' v$rowMajor but the registry holds " +
+                s"no mappings for that major — refusing to guess leaf types")
+          val leafCols = majorMappings.map { m =>
             val leaf = AstarteStore.leafNameOf(m.endpoint)
             BsonValueUdfs.objectLeafUdf(m.valueType)(
               col("valueBson"), lit(leaf)).as(s"v_$leaf")
           }
-          val rows = objects.filter(col("iface") === name)
+          val rows = objects
+            .filter(col("iface") === name && col("major") === rowMajor)
             .select(Seq(col("deviceId").as("device_id"), col("path"),
               col("valueTimestampMs").as("value_timestamp"),
               col("receptionMs").as("reception_timestamp"),
@@ -183,7 +197,7 @@ final class AstarteStore(val root: String) {
               regexp_extract(col("detail"), "expiry_ms:(\\d+)", 1).cast("long")
                 .as("expiry_ms"),
               expr("valueTimestampMs div 86400000").as("day")) ++ leafCols: _*)
-          val path = objectPath(desc)
+          val path = objectPath(desc.copy(major = rowMajor))
           lockFor(path).synchronized {
             rows.write.mode("append").partitionBy("day").parquet(path)
           }
@@ -598,8 +612,17 @@ final class AstarteStore(val root: String) {
       mappings.map(m => StructField(
         s"v_${AstarteStore.leafNameOf(m.endpoint)}",
         AstarteStore.objectLeafType(m.valueType))))
-    spark.read.schema(schema).parquet(objectPath(iface))
-      .dropDuplicates() // replay tolerance, as in datastreams()
+    // a registered interface that has not received data yet has no
+    // directory: that is an empty table, not a PATH_NOT_FOUND crash
+    // (the old shared objects/ dir returned empty for the same case)
+    val path = new org.apache.hadoop.fs.Path(objectPath(iface))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      spark.read.schema(schema).parquet(objectPath(iface))
+        .dropDuplicates() // replay tolerance, as in datastreams()
   }
 }
 

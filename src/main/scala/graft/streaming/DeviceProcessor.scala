@@ -134,7 +134,7 @@ object DeviceProcessor {
     * (batch) or per group (stream), never per message.
     */
   final case class PreContext(
-      regFp: Int,
+      regFp: Long,
       trigIdx: Map[TriggerEventType, Seq[(Trigger, Int)]])
 
   object PreContext {

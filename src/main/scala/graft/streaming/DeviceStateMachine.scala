@@ -73,17 +73,22 @@ object DeviceStateMachine {
     * before any shuffle.
     */
   private[graft] def precomputed(
-      ds: Dataset[Envelope], registry: Registry): Dataset[(Envelope, IngestPre)] = {
+      ds: Dataset[Envelope],
+      source: () => Registry): Dataset[(Envelope, IngestPre)] = {
     val spark = ds.sparkSession
     import spark.implicits._
     val df = ds.toDF()
     def e(name: String) =
       org.apache.spark.sql.graft.ColumnBridge.expression(df(name))
     val pre: Column = org.apache.spark.sql.graft.ColumnBridge.column(
-      IngestPrecompute(registry, e("msgType"), e("iface"), e("path"), e("payload")))
+      IngestPrecompute(source, e("msgType"), e("iface"), e("path"), e("payload")))
     df.select(struct(df.columns.map(df(_)): _*).as("_1"), pre.as("_2"))
       .as[(Envelope, IngestPre)]
   }
+
+  private[graft] def precomputed(
+      ds: Dataset[Envelope], registry: Registry): Dataset[(Envelope, IngestPre)] =
+    precomputed(ds, () => registry)
 
   private def sortedFoldPre(
       key: DeviceKey,
@@ -183,7 +188,7 @@ object DeviceStateMachine {
         if (e.isNullAt(5)) null else e.getBinary(5),
         e.getLong(6), str(7), e.getLong(8)),
         IngestPre(p.getInt(0), p.getInt(1), p.getBoolean(2), p.getLong(3),
-          if (p.isNullAt(4)) null else p.getBinary(4), p.getLong(5), p.getInt(6)))
+          if (p.isNullAt(4)) null else p.getBinary(4), p.getLong(5), p.getLong(6)))
     }
 
     private var lookahead: (Envelope, IngestPre) =
@@ -229,15 +234,17 @@ object DeviceStateMachine {
 
   /** Streaming ingest: state persists in the state store across
     * micro-batches; the registry is re-read from the provider on
-    * every group invocation, so registry/trigger updates reach the
-    * running query (precomputed rows from before the update fail the
-    * fingerprint check and take the full path for that batch).
+    * every group invocation AND by the precompute expression itself
+    * (it holds the provider, not a snapshot), so registry/trigger
+    * updates reach the running query and the columnar fast path
+    * resumes with the new registry — only rows precomputed before an
+    * update fail the fingerprint check and take the full path.
     */
   def processStream(
       ds: Dataset[Envelope], provider: RegistryProvider): Dataset[EffectRow] = {
     val spark = ds.sparkSession
     import spark.implicits._
-    precomputed(ds, provider.current())
+    precomputed(ds, () => provider.current())
       .groupByKey(t => (t._1.realm, t._1.deviceId))
       .flatMapGroupsWithState[DeviceSessionState, EffectRow](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
@@ -264,7 +271,7 @@ object DeviceStateMachine {
       initialStates: Dataset[(DeviceKey, DeviceSessionState)]): Dataset[EffectRow] = {
     val spark = ds.sparkSession
     import spark.implicits._
-    precomputed(ds, provider.current())
+    precomputed(ds, () => provider.current())
       .groupByKey(t => (t._1.realm, t._1.deviceId))
       .flatMapGroupsWithState[DeviceSessionState, EffectRow](
         OutputMode.Append, GroupStateTimeout.NoTimeout,

@@ -212,6 +212,40 @@ class IngestPrecomputeSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(row.getBinary(4), Bson.encode(Seq("v" -> 42.5))))
     // t-any (bit 0) and t-gt (bit 1) match; 42.5 > 10
     assert((row.getLong(5) & 3L) == 3L)
-    assert(row.getInt(6) == RegistryMeta.fingerprintOf(registry))
+    assert(row.getLong(6) == RegistryMeta.fingerprintOf(registry))
+  }
+
+  test("live registry swap: the expression follows its source, fp flips") {
+    // the streaming shape — the expression holds the PROVIDER, so an
+    // ST2/ST3 update returns the fast path instead of permanently
+    // fingerprint-failing every subsequent row
+    val holder = new java.util.concurrent.atomic.AtomicReference(registry)
+    def lit(s: String) =
+      org.apache.spark.sql.catalyst.expressions.Literal.create(s,
+        org.apache.spark.sql.types.StringType)
+    val e = IngestPrecompute(() => holder.get(), lit("data"),
+      lit(stream.name), lit("/7/value"),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Bson.encode(Seq("v" -> 42.5)), org.apache.spark.sql.types.BinaryType))
+    val before = e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    assert(before.getLong(6) == RegistryMeta.fingerprintOf(registry))
+    val updated = registry.copy(triggers = registry.triggers.take(1))
+    holder.set(updated)
+    val after = e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    assert(after.getInt(0) == IngestPre.ErrOk) // still the fast path
+    assert(after.getLong(6) == RegistryMeta.fingerprintOf(updated))
+    assert(after.getLong(6) != before.getLong(6))
+    // mask now sized to the shrunk trigger list: only bit 0 possible
+    assert((after.getLong(5) & ~1L) == 0L)
+  }
+
+  test("fingerprints are canonical: equal registries digest equal, any field change flips it") {
+    val twin = registry.copy() // structurally equal, different instance
+    assert(RegistryMeta.fingerprintOf(registry) ==
+      RegistryMeta.fingerprintOf(twin))
+    val bumped = registry.copy(triggers = registry.triggers.reverse)
+    if (registry.triggers.size > 1)
+      assert(RegistryMeta.fingerprintOf(registry) !=
+        RegistryMeta.fingerprintOf(bumped))
   }
 }

@@ -117,6 +117,35 @@ class AstarteStoreSpec extends AnyFunSuite {
     assert(withNew.forall(_.isNullAt(withNew.head.fieldIndex("v_extra"))))
   }
 
+  test("object rows land in the table of THEIR major across a live bump") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-obj-major").toString
+    val store = new AstarteStore(root)
+    val v1 = InterfaceDescriptor("com.example.TestObject", 1, 5,
+      InterfaceType.Datastream, Ownership.Device, Aggregation.Object)
+    val v2 = v1.copy(major = 2)
+    val m1 = Seq(Mapping(v1.name, 1, "/value", ADouble))
+    val m2 = Seq(Mapping(v1.name, 2, "/value", ADouble),
+      Mapping(v1.name, 2, "/extra", AString))
+    val regV1 = Registry(Map(v1.name -> v1), Map(v1.name -> m1), Nil)
+    // sink-time registry: major bumped to 2, but it still KNOWS the
+    // v1 mapping set (both majors in the mapping list)
+    val regV2 = Registry(Map(v2.name -> v2), Map(v2.name -> (m1 ++ m2)), Nil)
+    val t0 = 15216455705950000L
+    val msgs = Seq(Envelope("r", "dev", "data", v1.name, "/",
+      Bson.encode(Seq("v" -> Map("value" -> 1.5))), t0, "ip", 1)).toDS()
+    // fold under v1, sink under v2 — the live-bump race
+    val fx = DeviceStateMachine.processBatch(msgs, regV1)
+    store.applyEffects(fx, regV2)
+    // the row was validated under v1, so it must be in the v1 table
+    val v1rows = store.objectTable(spark, v1, m1).collect()
+    assert(v1rows.length == 1)
+    assert(v1rows(0).getAs[Double]("v_value") == 1.5)
+    // and the v2 table is EMPTY (registered, no data yet) — readable
+    // as an empty frame, not a PATH_NOT_FOUND crash
+    assert(store.objectTable(spark, v2, m2).count() == 0)
+  }
+
   test("replaying a batch of effects is harmless (effectively-once)") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-replay").toString

@@ -188,6 +188,18 @@ class BrokerSourceSpec extends AnyFunSuite {
       assert(snap.count() == 5)
       assert(snap.groupBy("partition").count().collect()
         .map(r => r.getInt(0) -> r.getLong(1)).toMap == Map(0 -> 3L, 1 -> 2L))
+
+      // after an ack truncates shard 0 below offset 2, a fresh batch
+      // read must plan from the truncation floor, not offset 0 —
+      // planning from 0 would trip the vanished-range guard
+      pub.ack(0, 2L)
+      val afterAck = spark.read
+        .format("graft-broker")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .load()
+      assert(afterAck.count() == 3)
+      assert(afterAck.groupBy("partition").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap == Map(0 -> 1L, 1 -> 2L))
     } finally { pub.close(); broker.close() }
   }
 
