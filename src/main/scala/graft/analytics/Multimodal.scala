@@ -93,6 +93,26 @@ object Multimodal {
     (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
       ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
 
+  /** Shared big-endian byte helpers for the PNG and ISO-BMFF codecs
+    * and builders (one place for reads and their write twins).
+    */
+  private[analytics] object BE {
+    /** Unsigned 32-bit read, widened to Long (box sizes, offsets). */
+    def read32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    /** Signed 32-bit read (PNG chunk sizes: negative = malformed). */
+    def read32i(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+        ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+    def read64(b: Array[Byte], o: Int): Long =
+      (read32(b, o) << 32) | read32(b, o + 4)
+    def write32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def write64(v: Long): Array[Byte] = write32(v >> 32) ++ write32(v)
+  }
+
   /** REAL audio decode for RIFF/WAVE PCM — container walk + 16-bit
     * sample math, no codec library involved. Emits channel count,
     * sample rate, exact duration, and the normalized mean-square
@@ -210,9 +230,7 @@ object Multimodal {
     * to whatever was parsed — one bad record never hangs or aborts.
     */
   final class PngCodec extends MediaCodec {
-    private def be32(b: Array[Byte], o: Int): Int =
-      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
-        ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+    import BE.{read32i => be32}
 
     override def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeatures] =
       batch.map { r =>
@@ -321,11 +339,7 @@ object Multimodal {
     * truncated largesize, overflow) bail to whatever was parsed.
     */
   final class Mp4Codec extends MediaCodec {
-    private def be32(b: Array[Byte], o: Int): Long =
-      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
-        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
-    private def be64(b: Array[Byte], o: Int): Long =
-      (be32(b, o) << 32) | be32(b, o + 4)
+    import BE.{read32 => be32, read64 => be64}
 
     private final class Parsed {
       var timescale = 0L; var durationTicks = -1L
@@ -449,11 +463,7 @@ object Multimodal {
     * every sample is a sync sample, per the spec.
     */
   object Mp4Index {
-    private def be32(b: Array[Byte], o: Int): Long =
-      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
-        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
-    private def be64(b: Array[Byte], o: Int): Long =
-      (be32(b, o) << 32) | be32(b, o + 4)
+    import BE.{read32 => be32, read64 => be64}
 
     private final class Tables {
       var stss: Array[Int] = null // sync sample numbers (1-based); null = all
@@ -563,10 +573,7 @@ object Multimodal {
     * constructed container.
     */
   object Mp4Builder {
-    private def be32(v: Long): Array[Byte] = Array(
-      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
-      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
-    private def be64(v: Long): Array[Byte] = be32(v >> 32) ++ be32(v)
+    import BE.{write32 => be32, write64 => be64}
     private def box(ctype: String, payload: Array[Byte]): Array[Byte] =
       be32(payload.length + 8L) ++ ctype.getBytes("US-ASCII") ++ payload
 
@@ -652,9 +659,7 @@ object Multimodal {
     * image can exercise every unfilter path of [[PngCodec]].
     */
   object PngBuilder {
-    private def be32(v: Int): Array[Byte] = Array(
-      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
-      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    import BE.{write32 => be32}
     private def chunk(ctype: String, data: Array[Byte]): Array[Byte] = {
       val crc = new java.util.zip.CRC32()
       crc.update(ctype.getBytes("US-ASCII")); crc.update(data)
