@@ -118,6 +118,40 @@ final class AmqpClient(host: String, port: Int) extends AutoCloseable {
     out0.result()
   }
 
+  /** Push-model consume: basic.consume → consume-ok → the broker
+    * pushes the retained backlog as deliver + header + body triplets.
+    * Reads exactly `expect` deliveries, so the CALLER must know the
+    * backlog size — which is why production polling uses [[consume]];
+    * this exists to keep the broker's spec-mandated push dialect
+    * exercised (a foreign AMQP client will basic.consume, not get).
+    */
+  private[sources] def consumePush(shard: Int, expect: Int): Seq[Delivery] =
+    synchronized {
+      ensureChannel()
+      sendMethod(1, BasicConsume)(w =>
+        w.u16(0).shortstr(shard.toString).shortstr(s"ctag-$shard").u8(0))
+      val ok = readFrame(in)
+      val r = new Reader(ok.payload)
+      require((r.u16(), r.u16()) == BasicConsumeOk, "expected basic.consume-ok")
+      (1 to expect).map { _ =>
+        val del = readFrame(in)
+        val dr = new Reader(del.payload)
+        require((dr.u16(), dr.u16()) == BasicDeliver, "expected basic.deliver")
+        dr.shortstr() // consumer tag
+        val deliveryTag = dr.u64()
+        val header = readFrame(in)
+        require(header.frameType == FrameHeader, "expected content header")
+        val (bodySize, headers) = parseContentHeader(header.payload)
+        val body = new java.io.ByteArrayOutputStream()
+        while (body.size() < bodySize) {
+          val bf = readFrame(in)
+          require(bf.frameType == FrameBody, "expected content body")
+          body.write(bf.payload)
+        }
+        Delivery(deliveryTag, body.toByteArray, headers)
+      }
+    }
+
   /** basic.ack with multiple=true: acknowledges everything up to and
     * including `deliveryTag`, advancing the broker's truncation floor.
     */

@@ -63,6 +63,37 @@ class AmqpSpec extends AnyFunSuite {
     }
   }
 
+  test("push dialect: basic.consume delivers the whole retained backlog") {
+    val broker = new MessageBroker()
+    val amqp = new AmqpClient("127.0.0.1", broker.port)
+    try {
+      (1 to 4).foreach(i => amqp.publish(0, Array(i.toByte), Nil))
+      val pubDeadline = System.currentTimeMillis() + 5000
+      while (broker.endOffsets.head < 4L &&
+          System.currentTimeMillis() < pubDeadline) Thread.sleep(10)
+      // a foreign AMQP client consumes by push, not get: the broker
+      // must deliver the full backlog after consume-ok (a DEDICATED
+      // connection — a pushed backlog interleaves with nothing else)
+      val pushClient = new AmqpClient("127.0.0.1", broker.port)
+      try {
+        val pushed = pushClient.consumePush(0, 4)
+        assert(pushed.map(_.offset) == Seq(0L, 1L, 2L, 3L))
+        assert(pushed.map(_.value.head.toInt) == Seq(1, 2, 3, 4))
+      } finally pushClient.close()
+      // the polling dialect still sees the same queue afterwards
+      assert(amqp.consume(0, 10).map(_.offset) == Seq(0L, 1L, 2L, 3L))
+      // and a bad queue name is a protocol error, not shard 0: the
+      // connection dies instead of silently returning misrouted data
+      val evil = new AmqpClient("127.0.0.1", broker.port)
+      try {
+        intercept[Exception] {
+          evil.publish(99, Array(1.toByte), Nil) // shard 99 doesn't exist
+          evil.consume(0, 1) // force a response read to observe the close
+        }
+      } finally evil.close()
+    } finally { amqp.close(); broker.close() }
+  }
+
   test("AMQP-published lifecycle flows through the DSv2 source end-to-end") {
     import org.apache.spark.sql.functions.col
     val broker = new MessageBroker()
