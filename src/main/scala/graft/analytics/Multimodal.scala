@@ -12,10 +12,11 @@ import org.apache.spark.sql.functions._
   * mean-square energy), uncompressed 24-bit BMP ([[BmpCodec]]:
   * dimensions, average luma), PNG ([[PngCodec]]: full inflate +
   * unfilter + luma), ISO-BMFF/MP4 ([[Mp4Codec]]: true duration and
-  * track dimensions from the box tree) and JPEG ([[JpegCodec]]: true
-  * dimensions from the SOF marker) — dispatched by magic bytes in
+  * track dimensions from the box tree) and baseline JPEG
+  * ([[JpegCodec]]: full entropy decode — Huffman, dequantize, IDCT —
+  * to dimensions and average luma) — dispatched by magic bytes in
   * [[FormatAwareCodec]]. Only the steps that genuinely need codec
-  * libraries absent from this environment (JPEG entropy decode, MP4
+  * libraries absent from this environment (progressive-JPEG and MP4
   * frame decode) stay opaque; unrecognized formats fall back to
   * [[DeterministicStubCodec]], which produces stable fake features
   * so the pipeline stays testable end-to-end. The
@@ -62,9 +63,9 @@ object Multimodal {
   final class DeterministicStubCodec extends MediaCodec {
     override def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeatures] = {
       // a real lib-backed implementation would decode the whole batch
-      // vectorized: ??? (no jpeg/mp4 codec libs in this container;
-      // WAV/BMP never reach this — FormatAwareCodec routes them to
-      // the real parsers)
+      // vectorized: ??? (no video codec libs in this container;
+      // WAV/BMP/PNG/JPEG never reach this — FormatAwareCodec routes
+      // them to the real parsers)
       batch.map { r =>
         val md = java.security.MessageDigest.getInstance("MD5")
           .digest(r.content)
@@ -405,52 +406,417 @@ object Multimodal {
       }
   }
 
-  /** REAL header parse for JPEG — marker-segment walk, no codec
-    * library. Any SOF marker (baseline C0, progressive C2, and the
-    * rest of the C0..CF family minus DHT/JPG/DAC) yields the true
-    * frame dimensions. Entropy-coded pixel data stays opaque (a DCT
-    * decode needs libjpeg), so `avgLumaMilli` remains -1. The walk
-    * stops at SOS — dimensions always precede it — and a malformed
-    * length bails with whatever was parsed.
+  /** Zig-zag scan order (ITU-T T.81 figure 5): index in scan order →
+    * natural row-major index. Shared by [[JpegCodec]] (de-zigzag on
+    * decode) and [[JpegBuilder]] (zigzag on encode) — but correctness
+    * of the PAIR is pinned against hand-written vectors and a naive
+    * reference IDCT in MultimodalSpec, so a transposed table can't
+    * hide behind its own inverse.
+    */
+  private[analytics] val JpegZigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** REAL JPEG decode for baseline streams — no codec library. The
+    * marker walk collects quantization (DQT) and Huffman (DHT)
+    * tables, frame geometry (SOF), the restart interval (DRI) and
+    * the scan header (SOS); for baseline DCT frames (SOF0) the
+    * entropy-coded data is then fully decoded: canonical Huffman
+    * (mincode/maxcode/valptr per T.81 F.2.2.3), DC prediction with
+    * restart-marker resets, dequantization, de-zigzag, and a
+    * separable double-precision IDCT. `avgLumaMilli` is the average
+    * of the decoded luma plane over the VISIBLE area (edge-block
+    * padding excluded) ×1000 — in JFIF the Y component IS Rec.601
+    * luma, so no color conversion is needed (chroma blocks are still
+    * entropy-decoded to keep bitstream position, their IDCT is
+    * skipped). Progressive (SOF2) and the other non-baseline frames
+    * keep the dims-only behavior with luma -1; any malformed entropy
+    * stream degrades to dims-only rather than failing the row.
     */
   final class JpegCodec extends MediaCodec {
-    private def isSof(m: Int): Boolean =
-      m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+    import JpegCodec._
 
     override def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeatures] =
       batch.map { r =>
         val (digest, len) = metaOf(r)
-        val b = r.content
-        var width = 0; var height = 0
-        var off = 2 // past SOI
-        var done = false
-        while (!done && off + 4 <= b.length) {
-          if ((b(off) & 0xff) != 0xff) done = true // lost sync
-          else {
-            val marker = b(off + 1) & 0xff
-            if (marker == 0xff) off += 1 // fill byte
-            else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) {
-              off += 2 // standalone marker, no length
-            } else if (marker == 0xd9 || marker == 0xda) {
-              done = true // EOI / start of entropy-coded data
-            } else {
-              val segLen = ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
-              if (segLen < 2 || off + 2 + segLen > b.length) done = true
-              else {
-                if (isSof(marker) && segLen >= 7) {
-                  height = ((b(off + 5) & 0xff) << 8) | (b(off + 6) & 0xff)
-                  width = ((b(off + 7) & 0xff) << 8) | (b(off + 8) & 0xff)
-                  done = true
-                }
-                off += 2 + segLen
+        val st = new ParseState
+        walkMarkers(r.content, st)
+        val luma =
+          if (st.canDecode)
+            try decodeScan(r.content, st)
+            catch { case scala.util.control.NonFatal(_) => -1L }
+          else -1L
+        MediaFeatures(r.mediaId, r.mediaType, len, digest,
+          width = st.width, height = st.height, durationMs = 0L,
+          batchSize = batch.size, avgLumaMilli = luma)
+      }
+  }
+
+  private[analytics] object JpegCodec {
+    private final class Component {
+      var id = 0; var h = 1; var v = 1; var tq = 0
+      var dcTbl = 0; var acTbl = 0 // from SOS
+      var inScan = false
+    }
+
+    private final class ParseState {
+      var width = 0; var height = 0
+      var baseline = false
+      var comps: Array[Component] = Array.empty
+      val quant = new Array[Array[Int]](4) // zigzag order, per DQT id
+      val huffDc = new Array[Huff](4)
+      val huffAc = new Array[Huff](4)
+      var restartInterval = 0
+      var scanComps: Array[Component] = Array.empty
+      var entropyStart = -1
+      def canDecode: Boolean =
+        baseline && entropyStart > 0 && width > 0 && height > 0 &&
+          width.toLong * height <= 64L * 1024 * 1024 &&
+          scanComps.nonEmpty && scanComps.forall { c =>
+            c.h >= 1 && c.h <= 4 && c.v >= 1 && c.v <= 4 &&
+              quant(c.tq) != null && huffDc(c.dcTbl) != null &&
+              huffAc(c.acTbl) != null
+          }
+    }
+
+    /** Canonical Huffman decode tables (T.81 annex C / F.2.2.3). */
+    private final class Huff(counts: Array[Int], val symbols: Array[Int]) {
+      val minCode = new Array[Int](17)
+      val maxCode = Array.fill(17)(-1)
+      val valPtr = new Array[Int](17)
+      locally {
+        var code = 0; var k = 0; var l = 1
+        while (l <= 16) {
+          if (counts(l) > 0) {
+            valPtr(l) = k
+            minCode(l) = code
+            code += counts(l); k += counts(l)
+            maxCode(l) = code - 1
+          }
+          code <<= 1
+          l += 1
+        }
+      }
+      def decode(br: BitReader): Int = {
+        var code = 0; var l = 1
+        while (l <= 16) {
+          code = (code << 1) | br.bit()
+          if (maxCode(l) >= 0 && code <= maxCode(l) && code >= minCode(l))
+            return symbols(valPtr(l) + code - minCode(l))
+          l += 1
+        }
+        throw new IllegalArgumentException("invalid huffman code")
+      }
+    }
+
+    /** MSB-first bit reader over entropy-coded data: 0xFF00 byte
+      * stuffing is unstuffed, any other marker mid-stream is a
+      * protocol error EXCEPT the expected restart markers, which
+      * [[restart]] consumes after byte-aligning.
+      */
+    private final class BitReader(b: Array[Byte], var pos: Int) {
+      private var acc = 0; private var n = 0
+      def bit(): Int = {
+        if (n == 0) {
+          if (pos >= b.length)
+            throw new IllegalArgumentException("entropy data truncated")
+          var byte = b(pos) & 0xff; pos += 1
+          if (byte == 0xff) {
+            if (pos >= b.length || b(pos) != 0)
+              throw new IllegalArgumentException("marker inside scan")
+            pos += 1 // stuffed zero: datum really is 0xFF
+            byte = 0xff
+          }
+          acc = byte; n = 8
+        }
+        n -= 1
+        (acc >> n) & 1
+      }
+      def receive(s: Int): Int = {
+        var v = 0; var i = 0
+        while (i < s) { v = (v << 1) | bit(); i += 1 }
+        v
+      }
+      /** Byte-align and consume the next restart marker, which must
+        * be RST(expected mod 8).
+        */
+      def restart(expected: Int): Unit = {
+        n = 0
+        if (pos + 2 > b.length || (b(pos) & 0xff) != 0xff ||
+            (b(pos + 1) & 0xff) != 0xd0 + (expected & 7))
+          throw new IllegalArgumentException("expected restart marker")
+        pos += 2
+      }
+    }
+
+    /** DC/AC magnitude decode (T.81 F.2.2.1 EXTEND). */
+    private def extend(v: Int, s: Int): Int =
+      if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+    private def isSof(m: Int): Boolean =
+      m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+
+    private def walkMarkers(b: Array[Byte], st: ParseState): Unit = {
+      var off = 2 // past SOI
+      var done = false
+      while (!done && off + 4 <= b.length) {
+        if ((b(off) & 0xff) != 0xff) done = true // lost sync
+        else {
+          val marker = b(off + 1) & 0xff
+          if (marker == 0xff) off += 1 // fill byte
+          else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) {
+            off += 2 // standalone marker, no length
+          } else if (marker == 0xd9) {
+            done = true // EOI
+          } else {
+            val segLen = ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+            if (segLen < 2 || off + 2 + segLen > b.length) done = true
+            else {
+              val data = off + 4; val end = off + 2 + segLen
+              marker match {
+                case m if isSof(m) && segLen >= 7 =>
+                  st.baseline = m == 0xc0
+                  st.height = ((b(off + 5) & 0xff) << 8) | (b(off + 6) & 0xff)
+                  st.width = ((b(off + 7) & 0xff) << 8) | (b(off + 8) & 0xff)
+                  val nc = if (segLen >= 8) b(off + 9) & 0xff else 0
+                  if (nc >= 1 && nc <= 4 && data + 6 + nc * 3 <= end) {
+                    st.comps = Array.fill(nc)(new Component)
+                    var i = 0
+                    while (i < nc) {
+                      val o = off + 10 + i * 3
+                      st.comps(i).id = b(o) & 0xff
+                      st.comps(i).h = (b(o + 1) & 0xff) >> 4
+                      st.comps(i).v = b(o + 1) & 0x0f
+                      st.comps(i).tq = b(o + 2) & 0x03
+                      i += 1
+                    }
+                  } else st.baseline = false
+                case 0xdb => // DQT: one or more tables per segment
+                  var o = data
+                  while (o + 1 + 64 <= end) {
+                    val pq = (b(o) & 0xff) >> 4; val tq = b(o) & 0x03
+                    val step = if (pq == 0) 1 else 2
+                    if (o + 1 + 64 * step <= end) {
+                      st.quant(tq) = Array.tabulate(64) { k =>
+                        if (pq == 0) b(o + 1 + k) & 0xff
+                        else ((b(o + 1 + 2 * k) & 0xff) << 8) |
+                          (b(o + 2 + 2 * k) & 0xff)
+                      }
+                    }
+                    o += 1 + 64 * step
+                  }
+                case 0xc4 => // DHT: one or more tables per segment
+                  var o = data
+                  while (o + 17 <= end) {
+                    val cls = (b(o) & 0xff) >> 4; val tid = b(o) & 0x03
+                    val counts = new Array[Int](17)
+                    var total = 0; var l = 1
+                    while (l <= 16) {
+                      counts(l) = b(o + l) & 0xff; total += counts(l); l += 1
+                    }
+                    if (o + 17 + total <= end && total <= 256) {
+                      val syms = Array.tabulate(total)(i => b(o + 17 + i) & 0xff)
+                      val h = new Huff(counts, syms)
+                      if (cls == 0) st.huffDc(tid) = h else st.huffAc(tid) = h
+                    }
+                    o += 17 + total
+                  }
+                case 0xdd if segLen >= 4 => // DRI
+                  st.restartInterval = ((b(data) & 0xff) << 8) | (b(data + 1) & 0xff)
+                case 0xda => // SOS: scan header, then entropy data
+                  val ns = b(data) & 0xff
+                  if (ns >= 1 && ns <= 4 && data + 1 + ns * 2 + 3 <= end) {
+                    val sel = Array.tabulate(ns) { i =>
+                      val cid = b(data + 1 + i * 2) & 0xff
+                      val tb = b(data + 2 + i * 2) & 0xff
+                      st.comps.find(_.id == cid).map { c =>
+                        c.dcTbl = tb >> 4; c.acTbl = tb & 0x0f
+                        c.inScan = true; c
+                      }
+                    }
+                    if (sel.forall(_.isDefined)) {
+                      st.scanComps = sel.map(_.get)
+                      st.entropyStart = end
+                    }
+                  }
+                  done = true // first scan only; trailing scans unsupported
+                case _ => ()
               }
+              off = end
             }
           }
         }
-        MediaFeatures(r.mediaId, r.mediaType, len, digest,
-          width = width, height = height, durationMs = 0L,
-          batchSize = batch.size)
       }
+    }
+
+    // IDCT basis: COS(x)(u) = cos((2x+1)·u·π/16), C(0)=1/√2
+    private val IdctCos: Array[Array[Double]] = Array.tabulate(8, 8)((x, u) =>
+      math.cos((2 * x + 1) * u * math.Pi / 16.0))
+    private val InvSqrt2 = 1.0 / math.sqrt(2.0)
+
+    /** Separable IDCT of one dequantized block, summing the decoded
+      * pixels that fall inside the component's visible area.
+      */
+    private def idctSumVisible(coef: Array[Int], bx: Int, by: Int,
+        cw: Int, ch: Int): Long = {
+      val visW = math.min(8, cw - bx * 8)
+      val visH = math.min(8, ch - by * 8)
+      if (visW <= 0 || visH <= 0) return 0L
+      // rows: g(u, y) = Σ_v C(v)·F(u,v)·cos((2y+1)vπ/16)
+      val g = new Array[Double](64)
+      var u = 0
+      while (u < 8) {
+        var y = 0
+        while (y < 8) {
+          var s = 0.0; var v = 0
+          while (v < 8) {
+            val f = coef(v * 8 + u)
+            if (f != 0)
+              s += (if (v == 0) InvSqrt2 else 1.0) * f * IdctCos(y)(v)
+            v += 1
+          }
+          g(u * 8 + y) = s
+          y += 1
+        }
+        u += 1
+      }
+      var sum = 0L
+      var yy = 0
+      while (yy < visH) {
+        var xx = 0
+        while (xx < visW) {
+          var s = 0.0; var uu = 0
+          while (uu < 8) {
+            s += (if (uu == 0) InvSqrt2 else 1.0) * g(uu * 8 + yy) * IdctCos(xx)(uu)
+            uu += 1
+          }
+          val px = math.max(0, math.min(255, math.round(s / 4.0).toInt + 128))
+          sum += px
+          xx += 1
+        }
+        yy += 1
+      }
+      sum
+    }
+
+    /** Decode one data unit into natural-order dequantized
+      * coefficients; returns the new DC predictor.
+      */
+    private def decodeBlock(br: BitReader, dcH: Huff, acH: Huff,
+        pred: Int, qt: Array[Int], coef: Array[Int]): Int = {
+      java.util.Arrays.fill(coef, 0)
+      val s = dcH.decode(br)
+      if (s > 15) throw new IllegalArgumentException("bad DC category")
+      val dc = pred + extend(br.receive(s), s)
+      coef(0) = dc * qt(0)
+      var k = 1
+      while (k < 64) {
+        val rs = acH.decode(br)
+        val run = rs >> 4; val sz = rs & 0x0f
+        if (sz == 0) {
+          if (run == 15) k += 16 // ZRL: sixteen zeros
+          else k = 64 // EOB
+        } else {
+          k += run
+          if (k > 63) throw new IllegalArgumentException("AC index overflow")
+          coef(JpegZigzag(k)) = extend(br.receive(sz), sz) * qt(k)
+          k += 1
+        }
+      }
+      dc
+    }
+
+    /** Full entropy decode of the (single) scan; returns the visible
+      * luma-plane average ×1000. The luma component is the FIRST
+      * frame component (JFIF: Y precedes Cb/Cr).
+      */
+    private def decodeScan(b: Array[Byte], st: ParseState): Long = {
+      val hMax = st.comps.map(_.h).max
+      val vMax = st.comps.map(_.v).max
+      val lumaC = st.comps(0)
+      val br = new BitReader(b, st.entropyStart)
+      val coef = new Array[Int](64)
+      val preds = new Array[Int](st.scanComps.length)
+      var lumaSum = 0L
+      var mcuIdx = 0; var rstIdx = 0
+
+      def maybeRestart(): Unit =
+        if (st.restartInterval > 0 && mcuIdx > 0 &&
+            mcuIdx % st.restartInterval == 0) {
+          br.restart(rstIdx)
+          rstIdx = (rstIdx + 1) & 7
+          java.util.Arrays.fill(preds, 0)
+        }
+
+      def compDims(c: Component): (Int, Int) =
+        (ceilDiv(st.width * c.h, hMax), ceilDiv(st.height * c.v, vMax))
+
+      if (st.scanComps.length == 1) {
+        // non-interleaved: one data unit per MCU, raster over the
+        // component's own block grid (T.81 A.2.2)
+        val c = st.scanComps(0)
+        val (cw, ch) = compDims(c)
+        val bxs = ceilDiv(cw, 8); val bys = ceilDiv(ch, 8)
+        val qt = st.quant(c.tq)
+        var by = 0
+        while (by < bys) {
+          var bx = 0
+          while (bx < bxs) {
+            maybeRestart()
+            preds(0) = decodeBlock(br, st.huffDc(c.dcTbl), st.huffAc(c.acTbl),
+              preds(0), qt, coef)
+            if (c eq lumaC) lumaSum += idctSumVisible(coef, bx, by, cw, ch)
+            mcuIdx += 1
+            bx += 1
+          }
+          by += 1
+        }
+        if (c eq lumaC) lumaSum * 1000L / (cw.toLong * ch) else -1L
+      } else {
+        // interleaved: per MCU each component contributes v×h blocks
+        val mcusX = ceilDiv(st.width, 8 * hMax)
+        val mcusY = ceilDiv(st.height, 8 * vMax)
+        val (lw, lh) = compDims(lumaC)
+        var my = 0
+        while (my < mcusY) {
+          var mx = 0
+          while (mx < mcusX) {
+            maybeRestart()
+            var ci = 0
+            while (ci < st.scanComps.length) {
+              val c = st.scanComps(ci)
+              val qt = st.quant(c.tq)
+              var i = 0
+              while (i < c.v) {
+                var j = 0
+                while (j < c.h) {
+                  preds(ci) = decodeBlock(br, st.huffDc(c.dcTbl),
+                    st.huffAc(c.acTbl), preds(ci), qt, coef)
+                  if (c eq lumaC)
+                    lumaSum += idctSumVisible(coef,
+                      mx * c.h + j, my * c.v + i, lw, lh)
+                  j += 1
+                }
+                i += 1
+              }
+              ci += 1
+            }
+            mcuIdx += 1
+            mx += 1
+          }
+          my += 1
+        }
+        if (lumaC.inScan) lumaSum * 1000L / (lw.toLong * lh) else -1L
+      }
+    }
+
+    private def ceilDiv(a: Int, d: Int): Int = (a + d - 1) / d
   }
 
   /** REAL frame-sample index for ISO BMFF — the sample tables under
@@ -632,10 +998,16 @@ object Multimodal {
     }
   }
 
-  /** JPEG ENCODER for the marker skeleton — SOI + APP0/JFIF + SOF +
-    * EOI, no entropy data. Exercises [[JpegCodec]]'s segment walk
-    * (including the fill-byte and segment-length paths) against an
-    * independently constructed marker stream.
+  /** JPEG ENCODER — both the marker skeleton ([[headerOnly]]) and
+    * REAL baseline entropy-coded streams ([[baselineGrey]],
+    * [[baseline420]]) built from caller-supplied QUANTIZED
+    * coefficient blocks: zigzag, DC differencing with restart
+    * resets, run-length AC symbols (ZRL/EOB), canonical Huffman
+    * tables generated from the symbols actually used and declared
+    * via DHT, 0xFF00 byte stuffing. The deterministic-media
+    * generator for [[JpegCodec]] tests and oracle-checked queries;
+    * every field the decoder reads is placed by independent
+    * arithmetic here.
     */
   object JpegBuilder {
     def headerOnly(width: Int, height: Int,
@@ -649,6 +1021,192 @@ object Multimodal {
         1, 0x11, 0)
       Array[Byte](0xff.toByte, 0xd8.toByte) ++ app0 ++ sof ++
         Array[Byte](0xff.toByte, 0xd9.toByte)
+    }
+
+    /** Baseline grayscale: one component, one non-interleaved scan,
+      * blocks in raster order over the ceil(w/8)×ceil(h/8) grid.
+      * `block(bx, by)` returns 64 QUANTIZED coefficients in natural
+      * row-major order; `quant` likewise natural order (values
+      * 1..255). `restartInterval` > 0 inserts RSTn every that many
+      * blocks and resets DC prediction.
+      */
+    def baselineGrey(width: Int, height: Int, quant: Array[Int],
+        block: (Int, Int) => Array[Int],
+        restartInterval: Int = 0): Array[Byte] = {
+      val bxs = (width + 7) / 8; val bys = (height + 7) / 8
+      val blocks = for (by <- 0 until bys; bx <- 0 until bxs)
+        yield (0, block(bx, by))
+      encode(width, height,
+        comps = Seq(CompSpec(id = 1, h = 1, v = 1, tq = 0, tdc = 0, tac = 0)),
+        quants = Seq(quant), scanBlocks = blocks, restartInterval)
+    }
+
+    /** Baseline 4:2:0 YCbCr: Y sampled 2×2 (quant/huffman table 0),
+      * Cb and Cr 1×1 (table 1), one interleaved scan. Y blocks are
+      * addressed on the FULL-resolution block grid (including MCU
+      * padding blocks when ceil(w/8) or ceil(h/8) is odd); chroma
+      * blocks on the half-resolution grid — exactly the geometry the
+      * decoder must reconstruct.
+      */
+    def baseline420(width: Int, height: Int,
+        quantY: Array[Int], yBlock: (Int, Int) => Array[Int],
+        quantC: Array[Int], cbBlock: (Int, Int) => Array[Int],
+        crBlock: (Int, Int) => Array[Int]): Array[Byte] = {
+      val mcusX = (width + 15) / 16; val mcusY = (height + 15) / 16
+      val blocks = for {
+        my <- 0 until mcusY; mx <- 0 until mcusX
+        (ci, blk) <- (for (i <- 0 until 2; j <- 0 until 2)
+            yield (0, yBlock(mx * 2 + j, my * 2 + i))) ++
+          Seq((1, cbBlock(mx, my)), (2, crBlock(mx, my)))
+      } yield (ci, blk)
+      encode(width, height,
+        comps = Seq(
+          CompSpec(id = 1, h = 2, v = 2, tq = 0, tdc = 0, tac = 0),
+          CompSpec(id = 2, h = 1, v = 1, tq = 1, tdc = 1, tac = 1),
+          CompSpec(id = 3, h = 1, v = 1, tq = 1, tdc = 1, tac = 1)),
+        quants = Seq(quantY, quantC), scanBlocks = blocks,
+        restartInterval = 0)
+    }
+
+    private final case class CompSpec(
+        id: Int, h: Int, v: Int, tq: Int, tdc: Int, tac: Int)
+
+    /** MSB-first bit writer with JPEG byte stuffing (0xFF → 0xFF00)
+      * and 1-padding on flush (T.81 F.1.2.3).
+      */
+    private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+      private var acc = 0; private var n = 0
+      def put(v: Int, bits: Int): Unit = {
+        var i = bits - 1
+        while (i >= 0) { putBit((v >> i) & 1); i -= 1 }
+      }
+      private def putBit(b: Int): Unit = {
+        acc = (acc << 1) | b; n += 1
+        if (n == 8) {
+          out.write(acc)
+          if (acc == 0xff) out.write(0)
+          acc = 0; n = 0
+        }
+      }
+      def flushOnes(): Unit = while (n != 0) putBit(1)
+    }
+
+    private def category(v: Int): Int =
+      32 - Integer.numberOfLeadingZeros(math.abs(v))
+
+    private def extraBits(v: Int, s: Int): Int =
+      if (v >= 0) v else v + (1 << s) - 1
+
+    /** MCUs are `scanBlocks` grouped by component-sequence; a "unit"
+      * here is one (scan-component-index, coefficients) pair in scan
+      * order. Two passes over the same unit stream: first collects
+      * the Huffman symbol alphabets, second writes bits — so the DHT
+      * tables declared are exactly the codes used.
+      */
+    private def encode(width: Int, height: Int, comps: Seq[CompSpec],
+        quants: Seq[Array[Int]], scanBlocks: Seq[(Int, Array[Int])],
+        restartInterval: Int): Array[Byte] = {
+      val unitsPerMcu = comps.map(c => c.h * c.v).sum
+      // pass 1: symbol alphabets per (class, table id)
+      val dcSyms = Array.fill(2)(scala.collection.mutable.SortedSet.empty[Int])
+      val acSyms = Array.fill(2)(scala.collection.mutable.SortedSet.empty[Int])
+      def walk(onDc: (Int, Int, Int) => Unit, onAc: (Int, Int, Int, Int) => Unit,
+          onRestart: Int => Unit): Unit = {
+        val preds = new Array[Int](comps.length)
+        var unit = 0; var mcu = 0; var rst = 0
+        scanBlocks.foreach { case (ci, blk) =>
+          if (unit == 0 && restartInterval > 0 && mcu > 0 &&
+              mcu % restartInterval == 0) {
+            onRestart(rst); rst = (rst + 1) & 7
+            java.util.Arrays.fill(preds, 0)
+          }
+          val c = comps(ci)
+          val diff = blk(0) - preds(ci); preds(ci) = blk(0)
+          val s = category(diff)
+          onDc(c.tdc, s, if (s == 0) 0 else extraBits(diff, s))
+          var k = 1; var run = 0
+          while (k < 64) {
+            val v = blk(JpegZigzag(k))
+            if (v == 0) run += 1
+            else {
+              while (run >= 16) { onAc(c.tac, 0xf0, 0, 0); run -= 16 }
+              val sz = category(v)
+              onAc(c.tac, (run << 4) | sz, extraBits(v, sz), sz)
+              run = 0
+            }
+            k += 1
+          }
+          if (run > 0) onAc(c.tac, 0x00, 0, 0) // EOB
+          unit += 1
+          if (unit == unitsPerMcu) { unit = 0; mcu += 1 }
+        }
+      }
+      walk((t, s, _) => dcSyms(t) += s,
+        (t, sym, _, _) => acSyms(t) += sym, _ => ())
+
+      // canonical uniform-length codes: n symbols at length
+      // ceil(log2(n+1)) — Kraft-satisfying and the all-ones code
+      // stays unused, as T.81 requires
+      def table(syms: Iterable[Int]): (Map[Int, (Int, Int)], Array[Byte]) = {
+        val sorted = syms.toArray.sorted
+        val n = math.max(1, sorted.length)
+        val len = 32 - Integer.numberOfLeadingZeros(n) // ceil(log2(n+1))
+        val codes = sorted.zipWithIndex.map { case (s, i) => s -> (i, len) }.toMap
+        val counts = new Array[Byte](16)
+        counts(len - 1) = sorted.length.toByte
+        (codes, counts ++ sorted.map(_.toByte))
+      }
+      val tablesUsed = comps.map(_.tdc).distinct.sorted
+      val dcTables = tablesUsed.map(t => t -> table(dcSyms(t))).toMap
+      val acTables = tablesUsed.map(t => t -> table(acSyms(t))).toMap
+
+      val out = new java.io.ByteArrayOutputStream()
+      def seg(marker: Int, payload: Array[Byte]): Unit = {
+        out.write(0xff); out.write(marker)
+        val l = payload.length + 2
+        out.write((l >> 8) & 0xff); out.write(l & 0xff)
+        out.write(payload, 0, payload.length)
+      }
+      out.write(0xff); out.write(0xd8) // SOI
+      quants.zipWithIndex.foreach { case (q, id) =>
+        seg(0xdb, Array(id.toByte) ++
+          Array.tabulate(64)(k => q(JpegZigzag(k)).toByte))
+      }
+      tablesUsed.foreach { t =>
+        seg(0xc4, Array((0x00 | t).toByte) ++ dcTables(t)._2)
+        seg(0xc4, Array((0x10 | t).toByte) ++ acTables(t)._2)
+      }
+      seg(0xc0, Array[Byte](8,
+        ((height >> 8) & 0xff).toByte, (height & 0xff).toByte,
+        ((width >> 8) & 0xff).toByte, (width & 0xff).toByte,
+        comps.length.toByte) ++
+        comps.flatMap(c => Seq(c.id.toByte,
+          ((c.h << 4) | c.v).toByte, c.tq.toByte)))
+      if (restartInterval > 0)
+        seg(0xdd, Array(((restartInterval >> 8) & 0xff).toByte,
+          (restartInterval & 0xff).toByte))
+      seg(0xda, Array(comps.length.toByte) ++
+        comps.flatMap(c => Seq(c.id.toByte,
+          ((c.tdc << 4) | c.tac).toByte)) ++ Array[Byte](0, 63, 0))
+
+      // pass 2: entropy-coded data
+      val bw = new BitWriter(out)
+      def emit(codes: Map[Int, (Int, Int)], sym: Int, extra: Int,
+          ebits: Int): Unit = {
+        val (code, len) = codes(sym)
+        bw.put(code, len)
+        if (ebits > 0) bw.put(extra, ebits)
+      }
+      walk(
+        (t, s, e) => emit(dcTables(t)._1, s, e, s),
+        (t, sym, e, sz) => emit(acTables(t)._1, sym, e, sz),
+        rst => {
+          bw.flushOnes()
+          out.write(0xff); out.write(0xd0 + rst)
+        })
+      bw.flushOnes()
+      out.write(0xff); out.write(0xd9) // EOI
+      out.toByteArray
     }
   }
 
@@ -716,8 +1274,9 @@ object Multimodal {
   /** Magic-byte dispatch: RIFF/WAVE → real PCM decode, BM → real BMP
     * decode, PNG signature → real PNG decode, ISO-BMFF `ftyp` → real
     * MP4 box parse (true duration + dimensions, frames opaque), JPEG
-    * SOI → real marker parse (true dimensions, pixels opaque),
-    * anything else → the deterministic stub.
+    * SOI → real marker parse + full baseline entropy decode (true
+    * dimensions and luma; progressive stays dims-only), anything
+    * else → the deterministic stub.
     */
   final class FormatAwareCodec(
       fallback: MediaCodec = new DeterministicStubCodec) extends MediaCodec {

@@ -1150,6 +1150,59 @@ object AnalyticsQueries extends QueryPack {
           col("avgLumaMilli").as("luma_milli"))
     }),
 
+    // Real baseline JPEG decode, ORACLE-CHECKED: per document encode
+    // a JPEG whose blocks hold one quantized DC each — dc(bx,by) =
+    // (doc_id*7 + bx*13 + by*29) % 32 - 16, DC quant step 8 — so the
+    // IDCT of every block is EXACTLY the solid value dc+128. Odd ids
+    // are grayscale with restart markers every 3 blocks; even ids
+    // 4:2:0 color whose chroma carries DC+AC bits the decoder must
+    // consume without disturbing Y. The oracle recomputes the
+    // visible-area-weighted average arithmetically: a hash match
+    // proves Huffman coding, DC prediction + restart resets,
+    // dequantization and the IDCT round-trip byte-exactly (AC
+    // coefficients and the reference-IDCT cross-check are pinned in
+    // MultimodalSpec).
+    "mm_jpeg_luma" -> ((s, d) => {
+      import s.implicits._
+      import graft.analytics.Multimodal
+      val media = Tables.documents(s, d)
+        .select(col("doc_id")).filter(col("doc_id") < 200)
+        .as[Long].map { id =>
+          val w = 9 + (id % 12).toInt // 9..20 → 2-3 visible block cols
+          val h = 9 + (id % 7).toInt  // 9..15 → 2 visible block rows
+          def dc(bx: Int, by: Int): Int =
+            ((id * 7 + bx * 13 + by * 29) % 32).toInt - 16
+          def yb(bx: Int, by: Int): Array[Int] = {
+            val a = new Array[Int](64); a(0) = dc(bx, by); a
+          }
+          val quantY = Array.fill(64)(8)
+          val bytes =
+            if (id % 2 == 1)
+              Multimodal.JpegBuilder.baselineGrey(w, h, quantY, yb,
+                restartInterval = 3)
+            else {
+              val quantC = Array.fill(64)(16)
+              def cbb(bx: Int, by: Int) = {
+                val a = new Array[Int](64)
+                a(0) = ((id + bx) % 7).toInt - 3; a(1) = ((id + by) % 5).toInt - 2
+                a
+              }
+              def crb(bx: Int, by: Int) = {
+                val a = new Array[Int](64)
+                a(0) = ((id * 3 + by) % 7).toInt - 3; a(9) = (bx % 3) - 1
+                a
+              }
+              Multimodal.JpegBuilder.baseline420(w, h, quantY, yb,
+                quantC, cbb, crb)
+            }
+          Multimodal.MediaRow(id, "image", bytes)
+        }
+      Multimodal.extractFeatures(media, new Multimodal.FormatAwareCodec)
+        .toDF()
+        .select(col("mediaId").as("doc_id"), col("width"), col("height"),
+          col("avgLumaMilli").as("luma_milli"))
+    }),
+
     // Real MP4/JPEG container parse, ORACLE-CHECKED: per document
     // build a deterministic container — even ids an ISO-BMFF box tree
     // (v1 layout every third id), odd ids a JPEG marker stream — then
@@ -1819,6 +1872,23 @@ object AnalyticsQueries extends QueryPack {
         |SELECT doc_id, w::INT AS width, h::INT AS height,
         |  (sum((doc_id*31 + i) % 256) * 1000 // (w * h))::BIGINT AS luma_milli
         |FROM px GROUP BY doc_id, w, h""".stripMargin,
+    // arithmetic twin of the JPEG round trip: every visible block is
+    // the solid value dc(bx,by)+128, weighted by its cropped area
+    "mm_jpeg_luma" ->
+      """WITH bxs AS (SELECT unnest(range(3)) AS bx),
+        |bys AS (SELECT unnest(range(2)) AS by),
+        |blk AS (
+        |  SELECT d.doc_id, (9 + d.doc_id % 12) AS w, (9 + d.doc_id % 7) AS h,
+        |         bxs.bx, bys.by
+        |  FROM documents d, bxs, bys
+        |  WHERE d.doc_id < 200
+        |    AND bxs.bx * 8 < (9 + d.doc_id % 12)
+        |    AND bys.by * 8 < (9 + d.doc_id % 7))
+        |SELECT doc_id, w::INT AS width, h::INT AS height,
+        |  (sum(((doc_id*7 + bx*13 + by*29) % 32 - 16 + 128)
+        |       * least(8, w - bx*8) * least(8, h - by*8))
+        |     * 1000 // (w * h))::BIGINT AS luma_milli
+        |FROM blk GROUP BY doc_id, w, h""".stripMargin,
     // arithmetic twin of the MP4 keyframe index: every 3rd sample is
     // a sync; chunks of 2 uniform-size samples at 4096-spaced offsets
     "mm_mp4_keyframes" ->

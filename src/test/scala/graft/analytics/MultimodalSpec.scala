@@ -294,6 +294,113 @@ class MultimodalSpec extends AnyFunSuite {
     assert(fxEvil.head.width == 0 && fxEvil.head.height == 0)
   }
 
+  /** Independent reference: the textbook O(n⁴) IDCT straight from
+    * the T.81 formula, no separability — pixels and luma must agree
+    * exactly with the decoder's separable implementation.
+    */
+  private def refIdctLuma(quantized: Array[Int], quant: Array[Int]): Long = {
+    def c(u: Int) = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+    var sum = 0L
+    for (y <- 0 until 8; x <- 0 until 8) {
+      var s = 0.0
+      for (v <- 0 until 8; u <- 0 until 8)
+        s += c(u) * c(v) * quantized(v * 8 + u) * quant(v * 8 + u) *
+          math.cos((2 * x + 1) * u * math.Pi / 16.0) *
+          math.cos((2 * y + 1) * v * math.Pi / 16.0)
+      sum += math.max(0, math.min(255, math.round(s / 4.0).toInt + 128))
+    }
+    sum * 1000L / 64
+  }
+
+  test("real JPEG baseline decode: DC-only blocks, edge crop, restart resets") {
+    // 12×10 grayscale = 2×2 blocks; right column crops to 4 px,
+    // bottom row to 2 px. DC quant step 8 makes each DC-only block a
+    // solid value dc+128 EXACTLY (F00 = dc·8, IDCT = F00/8 + 128).
+    val dcs = Map((0, 0) -> 8, (1, 0) -> -8, (0, 1) -> 16, (1, 1) -> 0)
+    val quant = Array.fill(64)(8)
+    def block(bx: Int, by: Int) = {
+      val a = new Array[Int](64); a(0) = dcs((bx, by)); a
+    }
+    // restartInterval=1: an RST before every block after the first.
+    // The expected luma only comes out if the decoder RESETS the DC
+    // predictor at each restart (8, then -8 absolute — not 8-8=0).
+    val bytes = JpegBuilder.baselineGrey(12, 10, quant, block,
+      restartInterval = 1)
+    val fx = new JpegCodec().decodeBatch(Seq(MediaRow(1L, "image", bytes))).head
+    assert(fx.width == 12 && fx.height == 10)
+    val expected = (136L * 64 + 120L * 32 + 144L * 16 + 128L * 8) * 1000 / 120
+    assert(fx.avgLumaMilli == expected)
+  }
+
+  test("real JPEG baseline decode: AC coefficients match the reference IDCT") {
+    // one 8×8 block with DC + scattered ACs (including a zigzag-63
+    // coefficient, which forces ZRL runs through the encoder and the
+    // run-length path through the decoder)
+    val quant = Array.tabulate(64)(i => 2 + (i % 5))
+    val quantized = new Array[Int](64)
+    quantized(0) = 5    // DC
+    quantized(1) = 4    // (u=1, v=0)
+    quantized(8) = -3   // (u=0, v=1)
+    quantized(20) = 7   // mid-frequency
+    quantized(63) = 2   // highest zigzag index → long zero runs
+    val bytes = JpegBuilder.baselineGrey(8, 8, quant, (_, _) => quantized)
+    val fx = new JpegCodec().decodeBatch(Seq(MediaRow(1L, "image", bytes))).head
+    assert(fx.width == 8 && fx.height == 8)
+    assert(fx.avgLumaMilli == refIdctLuma(quantized, quant))
+  }
+
+  test("real JPEG baseline decode: 4:2:0 interleaved scan, chroma consumed") {
+    import spark.implicits._
+    // 18×10: two 16×16 MCUs horizontally. Y grid is 4×2 blocks (the
+    // 4th column is pure MCU padding), visible grid 3×2 with the
+    // third column 2 px wide and the second row 2 px tall.
+    val quantY = Array.fill(64)(8)
+    val quantC = Array.fill(64)(16)
+    def yb(bx: Int, by: Int) = {
+      val a = new Array[Int](64); a(0) = 4 * bx - 8 * by + 8; a
+    }
+    // chroma carries nonzero DC AND AC: their bits MUST be consumed
+    // (a decoder that skipped chroma would desync and garble Y)
+    def cb(bx: Int, by: Int) = {
+      val a = new Array[Int](64); a(0) = 5 + bx; a(1) = 3 - by; a
+    }
+    def cr(bx: Int, by: Int) = {
+      val a = new Array[Int](64); a(0) = -5 + by; a(9) = 2 + bx; a
+    }
+    val bytes = JpegBuilder.baseline420(18, 10, quantY, yb, quantC, cb, cr)
+    // through the full dispatch path, not just the codec
+    val fx = extractFeatures(
+      Seq(MediaRow(7L, "image", bytes)).toDS(), new FormatAwareCodec)
+      .collect().head
+    assert(fx.width == 18 && fx.height == 10)
+    var expectedSum = 0L
+    for (by <- 0 until 2; bx <- 0 until 3) {
+      val visW = math.min(8, 18 - bx * 8); val visH = math.min(8, 10 - by * 8)
+      expectedSum += (4L * bx - 8 * by + 8 + 128) * visW * visH
+    }
+    assert(fx.avgLumaMilli == expectedSum * 1000 / (18 * 10))
+  }
+
+  test("real JPEG baseline decode: truncated entropy keeps dims, drops luma") {
+    val quant = Array.fill(64)(8)
+    def block(bx: Int, by: Int) = {
+      val a = new Array[Int](64); a(0) = bx + by; a
+    }
+    val good = JpegBuilder.baselineGrey(24, 16, quant, block)
+    // sanity: the intact stream decodes (DC-only grid averages 129.5)
+    val ok = new JpegCodec().decodeBatch(Seq(MediaRow(0L, "image", good))).head
+    assert(ok.avgLumaMilli == 129500L)
+    val sosIdx = good.indexOfSlice(Array(0xff.toByte, 0xda.toByte))
+    assert(sosIdx > 0)
+    // entropy data starts 10 bytes after the SOS marker (4 header +
+    // 6 payload); keep exactly ONE entropy byte so the scan cannot
+    // complete (six DC-only blocks need ~3)
+    val cut = good.take(sosIdx + 11)
+    val fx = new JpegCodec().decodeBatch(Seq(MediaRow(1L, "image", cut))).head
+    assert(fx.width == 24 && fx.height == 16)
+    assert(fx.avgLumaMilli == -1L)
+  }
+
   test("binaryMeta computes length and digest without decoding") {
     import spark.implicits._
     val df = Seq(("a", "hello"), ("b", "wörld")).toDF("id", "text")
