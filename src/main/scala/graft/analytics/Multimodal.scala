@@ -224,11 +224,13 @@ object Multimodal {
 
   /** REAL image decode for PNG — chunk walk, IDAT inflate via the
     * JDK's zlib (no codec library), per-row unfilter (None/Sub/Up/
-    * Average/Paeth), average Rec.601 luma ×1000. Supports the common
+    * Average/Paeth), average Rec.601 luma ×1000. Supports ALL
     * non-interlaced 8-bit color types: greyscale (0), RGB (2),
-    * greyscale+alpha (4), RGBA (6); anything else (palette, 16-bit,
-    * interlaced) degrades to dimensions-only. Malformed chunks bail
-    * to whatever was parsed — one bad record never hangs or aborts.
+    * palette (3, indices resolved through PLTE), greyscale+alpha
+    * (4), RGBA (6); 16-bit and interlaced degrade to
+    * dimensions-only. Malformed chunks (including a palette index
+    * past PLTE) bail to whatever was parsed — one bad record never
+    * hangs or aborts.
     */
   final class PngCodec extends MediaCodec {
     import BE.{read32i => be32}
@@ -239,6 +241,7 @@ object Multimodal {
         val b = r.content
         var width = 0; var height = 0; var luma = -1L
         var bitDepth = 0; var colorType = -1
+        var plte: Array[Byte] = null
         val idat = new java.io.ByteArrayOutputStream()
         var off = 8L // past the 8-byte signature
         var malformed = false
@@ -256,6 +259,8 @@ object Multimodal {
                 // interlaced (b[data+12] != 0) → skip pixel decode
                 if (b(data + 12) != 0) colorType = -1
               case "IDAT" => idat.write(b, data, size)
+              case "PLTE" if size % 3 == 0 && size <= 768 =>
+                plte = java.util.Arrays.copyOfRange(b, data, data + size)
               case _ => ()
             }
             off = data.toLong + size + 4 // skip CRC
@@ -264,6 +269,7 @@ object Multimodal {
         val channels = colorType match {
           case 0 => 1 // grey
           case 2 => 3 // rgb
+          case 3 => if (plte != null) 1 else 0 // palette index
           case 4 => 2 // grey+alpha
           case 6 => 4 // rgba
           case _ => 0
@@ -278,6 +284,7 @@ object Multimodal {
               val prev = new Array[Byte](stride)
               val cur = new Array[Byte](stride)
               var sum = 0L
+              var badIndex = false
               var y = 0
               while (y < height) {
                 val rowOff = y * (stride + 1)
@@ -311,6 +318,11 @@ object Multimodal {
                   val base = px * bpp
                   sum += (colorType match {
                     case 0 | 4 => 1000L * (cur(base) & 0xff)
+                    case 3 => // palette: resolve the index through PLTE
+                      val e = (cur(base) & 0xff) * 3
+                      if (e + 2 >= plte.length) { badIndex = true; 0L }
+                      else 299L * (plte(e) & 0xff) + 587L * (plte(e + 1) & 0xff) +
+                        114L * (plte(e + 2) & 0xff)
                     case _ => // 2 | 6: RGB order
                       299L * (cur(base) & 0xff) + 587L * (cur(base + 1) & 0xff) +
                         114L * (cur(base + 2) & 0xff)
@@ -320,7 +332,7 @@ object Multimodal {
                 System.arraycopy(cur, 0, prev, 0, stride)
                 y += 1
               }
-              luma = sum / (width.toLong * height)
+              if (!badIndex) luma = sum / (width.toLong * height)
             }
           }
         }
@@ -480,6 +492,7 @@ object Multimodal {
           width.toLong * height <= 64L * 1024 * 1024 &&
           scanComps.nonEmpty && scanComps.forall { c =>
             c.h >= 1 && c.h <= 4 && c.v >= 1 && c.v <= 4 &&
+              c.dcTbl <= 3 && c.acTbl <= 3 && // SOS nibbles reach 15
               quant(c.tq) != null && huffDc(c.dcTbl) != null &&
               huffAc(c.acTbl) != null
           }

@@ -171,6 +171,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(t.width == 2 && t.avgLumaMilli == -1L)
   }
 
+  test("real PNG decode: palette (colorType 3) resolves indices through PLTE") {
+    def be32(v: Int): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(ctype: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(ctype.getBytes("US-ASCII")); crc.update(data)
+      be32(data.length) ++ ctype.getBytes("US-ASCII") ++ data ++
+        be32(crc.getValue.toInt)
+    }
+    def deflate(raw: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    // palette: 0 → white, 1 → black, 2 → pure red
+    val plte = Array[Byte](255.toByte, 255.toByte, 255.toByte,
+      0, 0, 0, 255.toByte, 0, 0)
+    // 2×2 indices: white black / black red, filter None per row
+    val scan = Array[Byte](0, 0, 1, 0, 1, 2)
+    def png(palette: Array[Byte]) =
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+        chunk("IHDR", be32(2) ++ be32(2) ++ Array[Byte](8, 3, 0, 0, 0)) ++
+        chunk("PLTE", palette) ++
+        chunk("IDAT", deflate(scan)) ++
+        chunk("IEND", Array.emptyByteArray)
+    val fx = new PngCodec().decodeBatch(Seq(MediaRow(1L, "image", png(plte)))).head
+    assert(fx.width == 2 && fx.height == 2)
+    // 255000 + 0 + 0 + (299·255) per Rec.601 red, over 4 pixels
+    assert(fx.avgLumaMilli == (255000L + 0L + 0L + 299L * 255) / 4)
+    // an index past the palette ends drops luma, keeps dims
+    val short = new PngCodec().decodeBatch(
+      Seq(MediaRow(2L, "image", png(plte.take(3))))).head
+    assert(short.width == 2 && short.avgLumaMilli == -1L)
+  }
+
   test("malformed containers degrade to stub features, never hang or abort") {
     import spark.implicits._
     // WAV with a negative data-chunk size: the chunk walk must bail,
@@ -399,6 +438,32 @@ class MultimodalSpec extends AnyFunSuite {
     val fx = new JpegCodec().decodeBatch(Seq(MediaRow(1L, "image", cut))).head
     assert(fx.width == 24 && fx.height == 16)
     assert(fx.avgLumaMilli == -1L)
+  }
+
+  test("JPEG decoder survives fuzzed and bit-flipped streams") {
+    val rnd = new scala.util.Random(0x1be60L) // deterministic
+    val codec = new JpegCodec()
+    // pure garbage behind a valid SOI: must return (dims 0 or junk,
+    // luma -1), never throw, never hang
+    (0 until 200).foreach { i =>
+      val garbage = new Array[Byte](3 + rnd.nextInt(400))
+      rnd.nextBytes(garbage)
+      garbage(0) = 0xff.toByte; garbage(1) = 0xd8.toByte; garbage(2) = 0xff.toByte
+      val fx = codec.decodeBatch(Seq(MediaRow(i.toLong, "image", garbage))).head
+      assert(fx.byteLen == garbage.length)
+    }
+    // single-byte corruptions of a VALID stream: every position,
+    // every row must come back (FormatAwareCodec-style per-record
+    // safety is a separate net; the codec itself must already hold)
+    val quant = Array.fill(64)(8)
+    val good = JpegBuilder.baselineGrey(12, 10, quant, (bx, by) => {
+      val a = new Array[Int](64); a(0) = bx - by; a(5) = 3; a
+    }, restartInterval = 2)
+    (2 until good.length).foreach { pos =>
+      val mut = good.clone()
+      mut(pos) = (mut(pos) ^ 0x55).toByte
+      codec.decodeBatch(Seq(MediaRow(pos.toLong, "image", mut)))
+    }
   }
 
   test("binaryMeta computes length and digest without decoding") {
