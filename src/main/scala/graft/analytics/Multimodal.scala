@@ -276,7 +276,13 @@ object Multimodal {
         }
         if (channels > 0 && bitDepth == 8 && width > 0 && height > 0 &&
             width.toLong * height <= 64L * 1024 * 1024) {
-          graft.core.PayloadCodec.safeInflate(idat.toByteArray).foreach { raw =>
+          // a valid non-interlaced 8-bit PNG inflates to exactly
+          // (stride+1)×height bytes; cap the inflater there — the
+          // generic 10MB zlib-bomb default would reject legitimate
+          // large images (2048×2048 RGB is already ~12.6MB raw).
+          // Pixel guard above keeps this ≤ ~320MB, within Int range.
+          val rawCap = ((width.toLong * channels + 1) * height).toInt
+          graft.core.PayloadCodec.safeInflate(idat.toByteArray, rawCap).foreach { raw =>
             val bpp = channels
             val stride = width * bpp
             if (raw.length >= (stride + 1) * height) {
@@ -342,25 +348,28 @@ object Multimodal {
       }
   }
 
-  /** REAL container parse for ISO BMFF (MP4/MOV) — box walk, no codec
-    * library. `moov/mvhd` yields the true presentation duration
-    * (ticks/timescale, version 0 and 1 layouts), `moov/trak/tkhd` the
-    * true track dimensions (16.16 fixed point; the video track is the
-    * one with nonzero width). Sample data (`mdat`) stays opaque —
-    * decoding frames needs codec libraries this environment doesn't
-    * ship — so `avgLumaMilli` remains -1. Malformed boxes (size < 8,
-    * truncated largesize, overflow) bail to whatever was parsed.
+  /** The ONE ISO-BMFF box walk, shared by [[Mp4Codec]] and
+    * [[Mp4Index]] so size/largesize/size-0/sanity handling (and its
+    * hardening) lives in a single place. Recursion is bounded: real
+    * files nest ~5 deep (`moov/trak/mdia/minf/stbl`), so a crafted
+    * container with thousands of nested boxes hits `MaxDepth` and is
+    * treated as exhausted rather than overflowing the stack —
+    * StackOverflowError is a VirtualMachineError that would sail past
+    * the per-record NonFatal fallbacks.
     */
-  final class Mp4Codec extends MediaCodec {
+  private[analytics] object BmffWalk {
     import BE.{read32 => be32, read64 => be64}
+    private val MaxDepth = 16
 
-    private final class Parsed {
-      var timescale = 0L; var durationTicks = -1L
-      var width = 0; var height = 0
-    }
-
-    /** Walk the boxes in b[from, until); recurse into containers. */
-    private def walk(b: Array[Byte], from: Long, until: Long, p: Parsed): Unit = {
+    /** Walk boxes in b[from, until); recurse into `containers`, fire
+      * `onLeaf(ctype, dataStart, end)` for everything else. Malformed
+      * boxes (size < header, truncated largesize, overflow) bail to
+      * whatever was parsed.
+      */
+    def walk(b: Array[Byte], from: Long, until: Long,
+        containers: Set[String], depth: Int = 0)(
+        onLeaf: (String, Long, Long) => Unit): Unit = {
+      if (depth >= MaxDepth) return
       var off = from
       var sane = true
       while (sane && off + 8 <= until) {
@@ -373,24 +382,50 @@ object Multimodal {
         val end = off + size
         if (size < header || end > until) sane = false
         else {
+          if (containers(ctype)) walk(b, off + header, end, containers, depth + 1)(onLeaf)
+          else onLeaf(ctype, off + header, end)
+          off = end
+        }
+      }
+    }
+  }
+
+  /** REAL container parse for ISO BMFF (MP4/MOV) — box walk, no codec
+    * library. `moov/mvhd` yields the true presentation duration
+    * (ticks/timescale, version 0 and 1 layouts), `moov/trak/tkhd` the
+    * true track dimensions (16.16 fixed point; the video track is the
+    * one with nonzero width). Sample data (`mdat`) stays opaque —
+    * decoding frames needs codec libraries this environment doesn't
+    * ship — so `avgLumaMilli` remains -1.
+    */
+  final class Mp4Codec extends MediaCodec {
+    import BE.{read32 => be32, read64 => be64}
+
+    private final class Parsed {
+      var timescale = 0L; var durationTicks = -1L
+      var width = 0; var height = 0
+    }
+
+    private def walk(b: Array[Byte], p: Parsed): Unit =
+      BmffWalk.walk(b, 0L, b.length.toLong, Set("moov", "trak")) {
+        (ctype, dataStart, end) =>
+          val avail = end - dataStart
           ctype match {
-            case "moov" | "trak" =>
-              walk(b, off + header, end, p)
-            case "mvhd" if end - off - header >= 4 =>
-              val d = (off + header).toInt
+            case "mvhd" if avail >= 4 =>
+              val d = dataStart.toInt
               val version = b(d) & 0xff
-              if (version == 1 && end - off - header >= 32) {
+              if (version == 1 && avail >= 32) {
                 p.timescale = be32(b, d + 20)
                 p.durationTicks = be64(b, d + 24)
-              } else if (version == 0 && end - off - header >= 20) {
+              } else if (version == 0 && avail >= 20) {
                 p.timescale = be32(b, d + 12)
                 p.durationTicks = be32(b, d + 16)
               }
-            case "tkhd" if end - off - header >= 4 =>
-              val d = (off + header).toInt
+            case "tkhd" if avail >= 4 =>
+              val d = dataStart.toInt
               val version = b(d) & 0xff
               val dimOff = if (version == 1) 88 else 76
-              if (end - off - header >= dimOff + 8) {
+              if (avail >= dimOff + 8) {
                 val w = (be32(b, d + dimOff) >> 16).toInt     // 16.16 fixed
                 val h = (be32(b, d + dimOff + 4) >> 16).toInt
                 // several traks (audio has 0×0) — keep the video one
@@ -398,16 +433,13 @@ object Multimodal {
               }
             case _ => ()
           }
-          off = end
-        }
       }
-    }
 
     override def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeatures] =
       batch.map { r =>
         val (digest, len) = metaOf(r)
         val p = new Parsed
-        walk(r.content, 0L, r.content.length.toLong, p)
+        walk(r.content, p)
         val durMs =
           if (p.timescale > 0 && p.durationTicks >= 0)
             p.durationTicks * 1000L / p.timescale
@@ -863,23 +895,20 @@ object Multimodal {
       math.min(declared, fits).toInt.max(0)
     }
 
-    private def walk(b: Array[Byte], from: Long, until: Long, t: Tables): Unit = {
-      var off = from
-      var sane = true
-      while (sane && off + 8 <= until) {
-        val o = off.toInt
-        var size = be32(b, o)
-        val ctype = new String(b, o + 4, 4, "US-ASCII")
-        var header = 8L
-        if (size == 1 && off + 16 <= until) { size = be64(b, o + 8); header = 16 }
-        else if (size == 0) size = until - off
-        val end = off + size
-        if (size < header || end > until) sane = false
-        else {
-          val data = (off + header).toInt
+    /** Uniform-stsz sample counts consume no table bytes, so the
+      * byte-backed `entryCount` guard can't apply; this cap bounds the
+      * work a declared count can force instead. 1M samples ≈ 11 hours
+      * of 24 fps video — far past any real index, and 2^31 iterations
+      * short of the loop a crafted count could otherwise spin.
+      */
+    private val MaxUniformSamples = 1 << 20
+
+    private def walk(b: Array[Byte], t: Tables): Unit =
+      BmffWalk.walk(b, 0L, b.length.toLong,
+          Set("moov", "trak", "mdia", "minf", "stbl")) {
+        (ctype, dataStart, end) =>
+          val data = dataStart.toInt
           ctype match {
-            case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
-              walk(b, off + header, end, t)
             case "stss" if end - data >= 8 =>
               val n = entryCount(b, data, end, 4)
               t.stss = Array.tabulate(n)(i => be32(b, data + 8 + i * 4).toInt)
@@ -896,24 +925,22 @@ object Multimodal {
             case "stsz" if end - data >= 12 =>
               t.uniformSize = be32(b, data + 4)
               t.sampleCount = math.min(be32(b, data + 8),
-                if (t.uniformSize == 0) (end - data - 12) / 4 else Long.MaxValue)
+                if (t.uniformSize == 0) (end - data - 12) / 4
+                else MaxUniformSamples.toLong)
                 .toInt.max(0)
               if (t.uniformSize == 0)
                 t.sizes = Array.tabulate(t.sampleCount)(i =>
                   be32(b, data + 12 + i * 4))
             case _ => ()
           }
-          off = end
-        }
       }
-    }
 
     /** (sampleNumber, byteOffset) of every sync sample, in sample
       * order. Empty when the container carries no usable index.
       */
     def syncSampleOffsets(b: Array[Byte]): Seq[(Int, Long)] = {
       val t = new Tables
-      try walk(b, 0L, b.length.toLong, t)
+      try walk(b, t)
       catch { case scala.util.control.NonFatal(_) => return Nil }
       if (t.chunkOffsets.isEmpty || t.stsc.isEmpty || t.sampleCount <= 0)
         return Nil
@@ -1054,6 +1081,21 @@ object Multimodal {
         quants = Seq(quant), scanBlocks = blocks, restartInterval)
     }
 
+    /** Like [[baselineGrey]] but with the DC and AC Huffman selections
+      * split across table ids (tdc = 0, tac = 1) — a wiring T.81
+      * permits per component. Pins the encoder's DHT emission deriving
+      * the AC table set from `tac`, not from `tdc`.
+      */
+    def baselineGreySplitTables(width: Int, height: Int, quant: Array[Int],
+        block: (Int, Int) => Array[Int]): Array[Byte] = {
+      val bxs = (width + 7) / 8; val bys = (height + 7) / 8
+      val blocks = for (by <- 0 until bys; bx <- 0 until bxs)
+        yield (0, block(bx, by))
+      encode(width, height,
+        comps = Seq(CompSpec(id = 1, h = 1, v = 1, tq = 0, tdc = 0, tac = 1)),
+        quants = Seq(quant), scanBlocks = blocks, restartInterval = 0)
+    }
+
     /** Baseline 4:2:0 YCbCr: Y sampled 2×2 (quant/huffman table 0),
       * Cb and Cr 1×1 (table 1), one interleaved scan. Y blocks are
       * addressed on the FULL-resolution block grid (including MCU
@@ -1169,9 +1211,12 @@ object Multimodal {
         counts(len - 1) = sorted.length.toByte
         (codes, counts ++ sorted.map(_.toByte))
       }
-      val tablesUsed = comps.map(_.tdc).distinct.sorted
-      val dcTables = tablesUsed.map(t => t -> table(dcSyms(t))).toMap
-      val acTables = tablesUsed.map(t => t -> table(acSyms(t))).toMap
+      // DC and AC table ids are independent selections (a component
+      // may pair tdc=0 with tac=1) — derive each set from its own field
+      val dcUsed = comps.map(_.tdc).distinct.sorted
+      val acUsed = comps.map(_.tac).distinct.sorted
+      val dcTables = dcUsed.map(t => t -> table(dcSyms(t))).toMap
+      val acTables = acUsed.map(t => t -> table(acSyms(t))).toMap
 
       val out = new java.io.ByteArrayOutputStream()
       def seg(marker: Int, payload: Array[Byte]): Unit = {
@@ -1185,10 +1230,8 @@ object Multimodal {
         seg(0xdb, Array(id.toByte) ++
           Array.tabulate(64)(k => q(JpegZigzag(k)).toByte))
       }
-      tablesUsed.foreach { t =>
-        seg(0xc4, Array((0x00 | t).toByte) ++ dcTables(t)._2)
-        seg(0xc4, Array((0x10 | t).toByte) ++ acTables(t)._2)
-      }
+      dcUsed.foreach(t => seg(0xc4, Array((0x00 | t).toByte) ++ dcTables(t)._2))
+      acUsed.foreach(t => seg(0xc4, Array((0x10 | t).toByte) ++ acTables(t)._2))
       seg(0xc0, Array[Byte](8,
         ((height >> 8) & 0xff).toByte, (height & 0xff).toByte,
         ((width >> 8) & 0xff).toByte, (width & 0xff).toByte,

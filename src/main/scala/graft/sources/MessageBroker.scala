@@ -305,7 +305,14 @@ final class MessageBroker(requestedPort: Int = 0) extends AutoCloseable {
           case BasicAck =>
             val deliveryTag = r.u64()
             r.u8() // multiple flag: offsets are cumulative either way
-            ack(consumerShard.getOrElse(frame.channel, 0), deliveryTag + 1)
+            // an ack on a channel with no prior consume/get has no
+            // shard to attribute the tag to — defaulting would
+            // silently truncate shard 0's unread records; per 0-9-1
+            // an unknown delivery-tag is a precondition failure
+            val shard = consumerShard.getOrElse(frame.channel,
+              throw new java.io.IOException(
+                s"basic.ack on channel ${frame.channel} with no prior consume/get"))
+            ack(shard, deliveryTag + 1)
 
           case other =>
             throw new java.io.IOException(s"unsupported AMQP method $other")

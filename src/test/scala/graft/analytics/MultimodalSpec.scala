@@ -239,6 +239,67 @@ class MultimodalSpec extends AnyFunSuite {
     assert(fx(1).avgLumaMilli == -1L)
   }
 
+  test("deeply nested MP4 boxes hit the depth bound, not a stack overflow") {
+    // thousands of nested 'trak' containers, each an 8-byte header
+    // whose size runs to the end of the blob: unbounded recursion
+    // would be one stack frame per box — a VirtualMachineError no
+    // NonFatal fallback catches
+    val total = 200 * 1024
+    val b = new Array[Byte](total)
+    def be32(off: Int, v: Int): Unit = {
+      b(off) = ((v >> 24) & 0xff).toByte; b(off + 1) = ((v >> 16) & 0xff).toByte
+      b(off + 2) = ((v >> 8) & 0xff).toByte; b(off + 3) = (v & 0xff).toByte
+    }
+    // leading ftyp so FormatAwareCodec dispatch also routes here
+    be32(0, 16); System.arraycopy("ftyp".getBytes, 0, b, 4, 4)
+    var off = 16
+    while (off + 8 <= total) {
+      be32(off, total - off)
+      System.arraycopy("trak".getBytes, 0, b, off + 4, 4)
+      off += 8
+    }
+    val fx = new Mp4Codec().decodeBatch(Seq(MediaRow(1L, "video", b))).head
+    assert(fx.width == 0 && fx.durationMs == 0L) // parsed nothing, threw nothing
+    assert(Mp4Index.syncSampleOffsets(b) == Nil)
+  }
+
+  test("crafted uniform-stsz sample count is capped, not looped 2^31 times") {
+    // a ~200-byte skeleton declaring Int.MaxValue one-byte samples:
+    // the uniform arm consumes no stsz table bytes, so only the hard
+    // cap bounds the index walk
+    val bomb = Mp4Builder.withSampleIndex(600, 600L, 320, 240,
+      sampleCount = Int.MaxValue, uniformSize = 1, sampleSizes = Nil,
+      samplesPerChunk = Int.MaxValue, chunkOffsets = Seq(1000L),
+      syncSamples = 1 to 4)
+    val start = System.nanoTime()
+    val out = Mp4Index.syncSampleOffsets(bomb)
+    assert(System.nanoTime() - start < 5_000_000_000L, "walk did not terminate promptly")
+    assert(out == Seq((1, 1000L), (2, 1001L), (3, 1002L), (4, 1003L)))
+  }
+
+  test("PNG larger than the generic zlib cap still decodes (exact-size cap)") {
+    // 2048×2048 RGB: raw scanline data (3·2048+1)·2048 ≈ 12.6MB —
+    // past safeInflate's 10MB default, within the pixel guard
+    val row = Array[Byte](0) ++ Array.fill(2048 * 3)(100.toByte)
+    val big = pngBytes(2048, 2048, colorType = 2, Array.fill(2048)(row))
+    val fx = new PngCodec().decodeBatch(Seq(MediaRow(1L, "image", big))).head
+    assert(fx.width == 2048 && fx.height == 2048)
+    assert(fx.avgLumaMilli == 100000L) // uniform grey(100) in RGB
+  }
+
+  test("JPEG encode emits the AC Huffman table selected by tac, not tdc") {
+    val quant = Array.fill(64)(1)
+    val block = (bx: Int, by: Int) => {
+      val c = new Array[Int](64); c(0) = 40 + bx * 8 + by; c(9) = 3; c
+    }
+    val plain = new JpegCodec().decodeBatch(Seq(MediaRow(1L, "image",
+      JpegBuilder.baselineGrey(16, 16, quant, block)))).head
+    val split = new JpegCodec().decodeBatch(Seq(MediaRow(2L, "image",
+      JpegBuilder.baselineGreySplitTables(16, 16, quant, block)))).head
+    assert(split.width == 16 && split.height == 16)
+    assert(split.avgLumaMilli == plain.avgLumaMilli && plain.avgLumaMilli > 0)
+  }
+
   test("long-clip WAV energy does not overflow the accumulator scaling") {
     // 150 s of full-scale 44.1 kHz mono: sumSq ≈ 7.1e15, the old
     // sumSq*1000 pre-scaling would wrap past Long.MaxValue

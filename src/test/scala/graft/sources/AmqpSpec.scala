@@ -94,6 +94,30 @@ class AmqpSpec extends AnyFunSuite {
     } finally { amqp.close(); broker.close() }
   }
 
+  test("basic.ack with no prior consume/get is a protocol error, not shard 0") {
+    val broker = new MessageBroker()
+    val amqp = new AmqpClient("127.0.0.1", broker.port)
+    try {
+      (1 to 3).foreach(i => amqp.publish(0, Array(i.toByte), Nil))
+      val pubDeadline = System.currentTimeMillis() + 5000
+      while (broker.endOffsets.head < 3L &&
+          System.currentTimeMillis() < pubDeadline) Thread.sleep(10)
+      // an ack on a fresh connection has no consumer shard to bind
+      // the delivery tag to — the broker must NOT guess shard 0 and
+      // truncate records nobody read
+      val stray = new AmqpClient("127.0.0.1", broker.port)
+      try {
+        intercept[Exception] {
+          stray.ack(2L) // async: force a response read to observe the close
+          stray.consume(0, 1)
+        }
+      } finally stray.close()
+      Thread.sleep(100) // give a (wrong) truncation time to land
+      assert(broker.baseOffsets.head == 0L, "stray ack truncated shard 0")
+      assert(amqp.consume(0, 10).map(_.offset) == Seq(0L, 1L, 2L))
+    } finally { amqp.close(); broker.close() }
+  }
+
   test("AMQP-published lifecycle flows through the DSv2 source end-to-end") {
     import org.apache.spark.sql.functions.col
     val broker = new MessageBroker()
