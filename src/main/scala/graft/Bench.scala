@@ -23,7 +23,10 @@ object Bench {
       Seq(Trigger("t-gt", TriggerEventType.IncomingData,
         TriggerScope.OnInterface(ifaceName, 1), Some("/purchase/value"),
         MatchOperator.GreaterThan, 150.0, List("amqp://high-purchase"))))
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    // Through Tables.events so ts arrives under the canonical
+    // epoch-nanos-long contract regardless of the parquet's physical
+    // timestamp encoding (see Tables.normalizeTs).
+    val events = graft.queries.Tables.events(spark, sfDir)
     // Columnar envelope construction: the whole input adapter — device
     // id, path, BSON payload — is codegen'd column work that fuses
     // with the ingest precompute into one whole-stage span over the

@@ -18,8 +18,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-      // reader rejects; read as long nanos (lossless, order-preserving).
+      // Older testdata generations carried TIMESTAMP(NANOS), which
+      // Spark's vectorized reader rejects without this; current data is
+      // timestamp[us]. Either way Tables.events normalizes ts to the
+      // canonical epoch-nanos long.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

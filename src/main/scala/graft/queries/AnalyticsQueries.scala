@@ -321,10 +321,15 @@ object AnalyticsQueries extends QueryPack {
 
     // Cross-source overlap matrix: for every source pair, how many
     // DISTINCT 5-token shingles they share — the corpus-curation view
-    // of cross-source contamination/syndication. One shuffle for the
-    // (source, digest) distinct, then a join KEYED ON THE DIGEST whose
-    // fan-out per digest is bounded by n_sources² (a shingle present
-    // in all S sources yields C(S,2) rows), never by corpus size.
+    // of cross-source contamination/syndication. JOIN-FREE: ONE
+    // shuffle groups digests (collect_set(source) partial-aggregates
+    // map-side, bounded by n_sources per digest), then the C(S,2)
+    // pairs are exploded from each per-digest source set and counted.
+    // The earlier self-join formulation computed the dominant
+    // tokenize/explode/md5 map work TWICE (once per join branch) and
+    // paid a second shuffle for the join; this shape pays the map work
+    // once and its only wide exchange is the digest groupBy. Per-digest
+    // fan-out is C(S,2), never corpus-sized, so it survives 100 TB.
     // The digest is a 60-bit long (md5 prefix), not the 32-char hex
     // string: at 100 TB the digest column IS the shuffle, and 8 bytes
     // vs 32 is a 4× smaller exchange for the same collision regime.
@@ -334,11 +339,14 @@ object AnalyticsQueries extends QueryPack {
         .select(col("source"), explode(Shingles.wordNgrams(col("tk"), 5)).as("g"))
         .select(col("source"),
           conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("dg"))
-        .distinct()
-      val b = sh.select(col("source").as("source_b"), col("dg").as("dg_b"))
-      sh.select(col("source").as("source_a"), col("dg"))
-        .join(b, col("dg") === col("dg_b") && col("source_a") < col("source_b"))
-        .groupBy(col("source_a"), col("source_b"))
+      val perDigest = sh.groupBy(col("dg"))
+        .agg(array_sort(collect_set(col("source"))).as("ss"))
+      perDigest
+        .select(explode(flatten(transform(col("ss"), (a, i) =>
+          transform(slice(col("ss"), i + lit(2), size(col("ss"))),
+            b => struct(a.as("source_a"), b.as("source_b")))))).as("p"))
+        .groupBy(col("p.source_a").as("source_a"),
+          col("p.source_b").as("source_b"))
         .agg(count(lit(1)).as("n_shared"))
     }),
 

@@ -30,12 +30,14 @@ object AmqpWire {
   val ConnTune = (10, 30); val ConnTuneOk = (10, 31)
   val ConnOpen = (10, 40); val ConnOpenOk = (10, 41)
   val ChannelOpen = (20, 10); val ChannelOpenOk = (20, 11)
+  val BasicQos = (60, 10); val BasicQosOk = (60, 11)
   val BasicConsume = (60, 20); val BasicConsumeOk = (60, 21)
   val BasicPublish = (60, 40)
   val BasicDeliver = (60, 60)
   val BasicGet = (60, 70); val BasicGetOk = (60, 71)
   val BasicGetEmpty = (60, 72)
   val BasicAck = (60, 80)
+  val BasicNack = (60, 120)
 
   final case class Frame(frameType: Int, channel: Int, payload: Array[Byte])
 

@@ -214,6 +214,48 @@ final class MessageBroker(requestedPort: Int = 0) extends AutoCloseable {
 
     // per-channel state: the shard a consumer subscribed on
     val consumerShard = scala.collection.mutable.Map.empty[Int, Int]
+    // per-channel push-consumer state: the delivery cursor (next offset
+    // to push) and the redelivery watermark (offsets below it were
+    // pushed before — a nack-requeued record carries redelivered=1,
+    // per the 0-9-1 contract)
+    final class PushState(val tag: String, val queue: String, val shard: Int) {
+      var cursor: Long = 0L
+      var redeliverBelow: Long = -1L
+    }
+    val pushState = scala.collection.mutable.Map.empty[Int, PushState]
+    // per-channel negotiated basic.qos prefetch-count; 0/absent =
+    // unlimited (the spec's "no specific limit"). This is the
+    // reference's capacity-envelope knob (`config.ex:76-78`, applied
+    // at `amqp_data_consumer.ex:153` as prefetch 300).
+    val prefetch = scala.collection.mutable.Map.empty[Int, Int]
+
+    // Deliver as much of the shard's retained backlog as the prefetch
+    // window allows. Unacked-count = cursor - ackFloor (delivery tags
+    // are offsets and acks truncate), so the window closes itself as
+    // deliveries outpace acks and reopens on every ack — back-pressure
+    // for a slow consumer, exactly what prefetch exists for.
+    def pump(channel: Int): Unit = pushState.get(channel).foreach { st =>
+      val pf = prefetch.getOrElse(channel, 0)
+      var go = true
+      while (go) {
+        val (base, end) = synchronized { val q = shards(st.shard); (q.base, q.end) }
+        if (st.cursor < base) st.cursor = base
+        if (st.cursor >= end || (pf > 0 && st.cursor - base >= pf)) go = false
+        else fetch(st.shard, st.cursor, 1).headOption match {
+          case None => go = false
+          case Some(rec) =>
+            sendMethod(channel, BasicDeliver) { w =>
+              w.shortstr(st.tag).u64(rec.offset)
+                .u8(if (rec.offset < st.redeliverBelow) 1 else 0)
+              w.shortstr("").shortstr(st.queue)
+            }
+            writeFrame(out, Frame(FrameHeader, channel,
+              contentHeader(rec.value.length.toLong, rec.headers)))
+            writeFrame(out, Frame(FrameBody, channel, rec.value))
+            st.cursor = rec.offset + 1
+        }
+      }
+    }
     // per-connection basic.get cursors: next offset to hand out per
     // shard; a fresh connection restarts at the ack floor (unacked
     // messages redeliver, the AMQP contract)
@@ -250,27 +292,28 @@ final class MessageBroker(requestedPort: Int = 0) extends AutoCloseable {
             val shard = shardOf(routingKey, "routing key")
             publish(shard, null, body.toByteArray, headers)
 
+          case BasicQos =>
+            r.u32() // prefetch-size (octets): not enforced, like RabbitMQ
+            val count = r.u16()
+            r.u8() // global flag: one consumer per channel here
+            prefetch(frame.channel) = count
+            sendMethod(frame.channel, BasicQosOk)(_ => ())
+            pump(frame.channel) // a raised window may unblock deliveries
+
           case BasicConsume =>
             r.u16() // reserved
             val queue = r.shortstr()
             val tag = r.shortstr()
             val shard = shardOf(queue, "queue")
             consumerShard(frame.channel) = shard
+            val st = new PushState(tag, queue, shard)
+            st.cursor = synchronized(shards(shard).base)
+            pushState(frame.channel) = st
             sendMethod(frame.channel, BasicConsumeOk)(_.shortstr(tag))
             // deliver the retained backlog (ack floor → end), one
-            // deliver + header + body per record; delivery-tag = offset
-            val (lo, hi) = synchronized {
-              val q = shards(shard); (q.base, q.end)
-            }
-            fetch(shard, lo, (hi - lo).toInt).foreach { rec =>
-              sendMethod(frame.channel, BasicDeliver) { w =>
-                w.shortstr(tag).u64(rec.offset).u8(0)
-                w.shortstr("").shortstr(queue)
-              }
-              writeFrame(out, Frame(FrameHeader, frame.channel,
-                contentHeader(rec.value.length.toLong, rec.headers)))
-              writeFrame(out, Frame(FrameBody, frame.channel, rec.value))
-            }
+            // deliver + header + body per record, delivery-tag =
+            // offset — paced by the channel's prefetch window
+            pump(frame.channel)
 
           case BasicGet =>
             // the synchronous poll of the 0-9-1 spec: one message per
@@ -313,6 +356,31 @@ final class MessageBroker(requestedPort: Int = 0) extends AutoCloseable {
               throw new java.io.IOException(
                 s"basic.ack on channel ${frame.channel} with no prior consume/get"))
             ack(shard, deliveryTag + 1)
+            pump(frame.channel) // the freed window admits more deliveries
+
+          case BasicNack =>
+            // the reference nack-requeues when a tracker crashes mid-
+            // message (`message_tracker/server.ex:144-148`): the floor
+            // does NOT advance and the backlog redelivers from it
+            r.u64() // delivery-tag (cumulative floor rewind either way)
+            val bits = r.u8() // bit0 multiple, bit1 requeue
+            val shard = consumerShard.getOrElse(frame.channel,
+              throw new java.io.IOException(
+                s"basic.nack on channel ${frame.channel} with no prior consume/get"))
+            if ((bits & 2) != 0) {
+              // requeue: rewind this channel's cursors to the ack
+              // floor; already-pushed records go out again flagged
+              // redelivered=1
+              pushState.get(frame.channel).foreach { st =>
+                st.redeliverBelow = math.max(st.redeliverBelow, st.cursor)
+                st.cursor = synchronized(shards(st.shard).base)
+              }
+              getCursor.remove(shard)
+              pump(frame.channel)
+            }
+            // requeue=false would dead-letter in a full broker; with no
+            // DLX the records simply stay below the unmoved floor for
+            // the next consumer — either way the floor never advances
 
           case other =>
             throw new java.io.IOException(s"unsupported AMQP method $other")

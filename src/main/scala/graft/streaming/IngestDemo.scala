@@ -41,7 +41,7 @@ object IngestDemo {
           TriggerScope.AnyInterface, None, MatchOperator.Any, null,
           List("amqp://firehose"))))
 
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val events = graft.queries.Tables.events(spark, sfDir)
     val envelopes = events.map { r =>
       val userId = r.getAs[Long]("user_id")
       val eventType = r.getAs[String]("event_type")
