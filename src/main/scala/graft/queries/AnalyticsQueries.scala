@@ -330,15 +330,25 @@ object AnalyticsQueries extends QueryPack {
     // paid a second shuffle for the join; this shape pays the map work
     // once and its only wide exchange is the digest groupBy. Per-digest
     // fan-out is C(S,2), never corpus-sized, so it survives 100 TB.
-    // The digest is a 60-bit long (md5 prefix), not the 32-char hex
-    // string: at 100 TB the digest column IS the shuffle, and 8 bytes
-    // vs 32 is a 4× smaller exchange for the same collision regime.
+    // The digest is xxhash64 (codegen'd native long hash), not an md5
+    // hex string: at 100 TB the digest column IS the shuffle, 8 bytes
+    // vs 32 is a 4× smaller exchange, and no per-shingle hex
+    // allocation on the hot map path. The oracle joins on the raw
+    // shingle STRING, so its counts are exact; the only approximation
+    // anywhere is Spark-side 64-bit collisions (~n²/2⁶⁵, immaterial).
     "dd_source_overlap" -> ((s, d) => {
+      // hash the 5-token tuple directly (xxhash64 is variadic) — the
+      // shingle string never materializes; injective vs the joined
+      // string because split-on-space tokens can't contain the
+      // separator
+      val digests = when(size(col("tk")) >= 5,
+        transform(sequence(lit(1), size(col("tk")) - 4),
+          i => xxhash64((0 until 5).map(j =>
+            element_at(col("tk"), (i + j).cast("int"))): _*)))
+        .otherwise(expr("cast(array() as array<bigint>)"))
       val sh = Tables.documents(s, d)
         .select(col("source"), split(col("text"), " ").as("tk"))
-        .select(col("source"), explode(Shingles.wordNgrams(col("tk"), 5)).as("g"))
-        .select(col("source"),
-          conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("dg"))
+        .select(col("source"), explode(digests).as("dg"))
       val perDigest = sh.groupBy(col("dg"))
         .agg(array_sort(collect_set(col("source"))).as("ss"))
       perDigest
@@ -1337,8 +1347,7 @@ object AnalyticsQueries extends QueryPack {
       """WITH tk AS (
         |  SELECT source, string_split(text, ' ') AS t FROM documents),
         |sh AS (
-        |  SELECT DISTINCT source,
-        |    ('0x' || substr(md5(g), 1, 15))::BIGINT AS dg FROM (
+        |  SELECT DISTINCT source, g FROM (
         |    SELECT source, unnest(list_transform(
         |      generate_series(1, len(t) - 4),
         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
@@ -1346,7 +1355,7 @@ object AnalyticsQueries extends QueryPack {
         |    FROM tk WHERE len(t) >= 5))
         |SELECT a.source AS source_a, b.source AS source_b,
         |  count(*) AS n_shared
-        |FROM sh a JOIN sh b ON a.dg = b.dg AND a.source < b.source
+        |FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
         |GROUP BY 1, 2""".stripMargin,
     "dd_mixture_weights" ->
       """WITH per_src AS (

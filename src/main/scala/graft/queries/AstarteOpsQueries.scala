@@ -69,24 +69,23 @@ object AstarteOpsQueries extends QueryPack {
     }),
 
     // F2: capped zlib inflate as a Spark UDF round-trip over real
-    // document text (wire form: 4-byte BE size + zlib body). No zlib
-    // in DuckDB SQL → rows-only check; the codec itself is
+    // document text (wire form: 4-byte BE size + zlib body). DuckDB
+    // has no zlib, but it doesn't need one: the oracle recomputes the
+    // INFLATED bytes' length and md5 from the stored plaintext, so a
+    // corrupted deflate/inflate cycle hash-mismatches — a full
+    // three-way check, not rows-only. The codec itself is also
     // vector-tested in PayloadCodecSpec.
     "f2_zlib_roundtrip" -> ((s, d) => {
       import org.apache.spark.sql.functions.udf
       val deflate = udf((t: String) =>
         Option(t).map(graft.core.PayloadCodec.deflateProperties))
-      val inflateLen = udf((b: Array[Byte]) =>
-        Option(b).flatMap(bb =>
-          graft.core.PayloadCodec.safeInflate(bb.drop(4)).map(_.length)))
+      val inflate = udf((b: Array[Byte]) =>
+        Option(b).flatMap(bb => graft.core.PayloadCodec.safeInflate(bb.drop(4))))
       Tables.documents(s, d)
-        .withColumn("wire", deflate(col("text")))
-        .withColumn("inflated_len", inflateLen(col("wire")))
+        .withColumn("back", inflate(deflate(col("text"))))
         .select(col("doc_id"),
-          octet_length(col("wire")).as("compressed_len"),
-          col("inflated_len"),
-          (col("inflated_len") === octet_length(encode(col("text"), "UTF-8")))
-            .as("roundtrip_ok"))
+          octet_length(col("back")).as("inflated_len"),
+          md5(col("back")).as("inflated_md5"))
     }),
 
     // F3: introspection parse — "name:major:minor" strings validated
@@ -656,6 +655,12 @@ object AstarteOpsQueries extends QueryPack {
         |FROM events
         |WHERE json_extract_string(props,'$.k') IS NULL
         |   OR json_extract_string(props,'$.k')::INT > 90 OR value < 1.0""".stripMargin,
+    // the oracle recomputes what a CORRECT deflate→inflate cycle must
+    // reproduce (byte length + md5 of the UTF-8 text) straight from
+    // the stored plaintext — no zlib needed in DuckDB
+    "f2_zlib_roundtrip" ->
+      """SELECT doc_id, strlen(text) AS inflated_len,
+        |  md5(text) AS inflated_md5 FROM documents""".stripMargin,
     "f3_introspection_parse" ->
       """WITH t AS (SELECT doc_id,
         |    source || ':' || (n_chars % 5) || ':' || (doc_id % 3) AS intro

@@ -70,10 +70,37 @@ final class AmqpClient(host: String, port: Int) extends AutoCloseable {
   }
 
   /** One delivered message: offset (the delivery tag), payload,
-    * routing headers.
+    * routing headers, and whether the broker flagged it redelivered
+    * (a nack-requeued record comes back with redelivered=1).
     */
   final case class Delivery(offset: Long, value: Array[Byte],
-      headers: Seq[(String, Array[Byte])])
+      headers: Seq[(String, Array[Byte])], redelivered: Boolean = false)
+
+  /** basic.qos: negotiate the per-channel prefetch window (0 = no
+    * limit). Synchronous (qos-ok reply) — which doubles as a PAUSE
+    * PROBE mid-consume: if the broker were still pushing past the
+    * window, the next frame would be a deliver, not qos-ok, and this
+    * throws.
+    */
+  def qos(prefetchCount: Int): Unit = synchronized {
+    ensureChannel()
+    sendMethod(1, BasicQos)(w => w.u32(0).u16(prefetchCount).u8(0))
+    val ok = readFrame(in)
+    val r = new Reader(ok.payload)
+    require((r.u16(), r.u16()) == BasicQosOk,
+      "expected basic.qos-ok (a deliver here means the prefetch window leaked)")
+  }
+
+  /** basic.nack (async, like ack): `requeue=true` rewinds delivery to
+    * the ack floor without advancing it — the reference's
+    * crash-requeue path.
+    */
+  def nack(deliveryTag: Long, multiple: Boolean, requeue: Boolean): Unit =
+    synchronized {
+      ensureChannel()
+      sendMethod(1, BasicNack)(w => w.u64(deliveryTag)
+        .u8((if (multiple) 1 else 0) | (if (requeue) 2 else 0)))
+    }
 
   /** Poll up to `max` messages off a shard queue with basic.get —
     * the spec's synchronous pull (get-ok + content per message,
@@ -127,30 +154,42 @@ final class AmqpClient(host: String, port: Int) extends AutoCloseable {
     */
   private[sources] def consumePush(shard: Int, expect: Int): Seq[Delivery] =
     synchronized {
-      ensureChannel()
-      sendMethod(1, BasicConsume)(w =>
-        w.u16(0).shortstr(shard.toString).shortstr(s"ctag-$shard").u8(0))
-      val ok = readFrame(in)
-      val r = new Reader(ok.payload)
-      require((r.u16(), r.u16()) == BasicConsumeOk, "expected basic.consume-ok")
-      (1 to expect).map { _ =>
-        val del = readFrame(in)
-        val dr = new Reader(del.payload)
-        require((dr.u16(), dr.u16()) == BasicDeliver, "expected basic.deliver")
-        dr.shortstr() // consumer tag
-        val deliveryTag = dr.u64()
-        val header = readFrame(in)
-        require(header.frameType == FrameHeader, "expected content header")
-        val (bodySize, headers) = parseContentHeader(header.payload)
-        val body = new java.io.ByteArrayOutputStream()
-        while (body.size() < bodySize) {
-          val bf = readFrame(in)
-          require(bf.frameType == FrameBody, "expected content body")
-          body.write(bf.payload)
-        }
-        Delivery(deliveryTag, body.toByteArray, headers)
-      }
+      consumeStart(shard)
+      (1 to expect).map(_ => readDelivery())
     }
+
+  /** Send basic.consume and read the consume-ok; pushed deliveries are
+    * then read one at a time with [[readDelivery]] (so a test can
+    * interleave acks/nacks/qos probes with the push stream).
+    */
+  private[sources] def consumeStart(shard: Int): Unit = synchronized {
+    ensureChannel()
+    sendMethod(1, BasicConsume)(w =>
+      w.u16(0).shortstr(shard.toString).shortstr(s"ctag-$shard").u8(0))
+    val ok = readFrame(in)
+    val r = new Reader(ok.payload)
+    require((r.u16(), r.u16()) == BasicConsumeOk, "expected basic.consume-ok")
+  }
+
+  /** Read one pushed deliver + header + body triplet. */
+  private[sources] def readDelivery(): Delivery = synchronized {
+    val del = readFrame(in)
+    val dr = new Reader(del.payload)
+    require((dr.u16(), dr.u16()) == BasicDeliver, "expected basic.deliver")
+    dr.shortstr() // consumer tag
+    val deliveryTag = dr.u64()
+    val redelivered = dr.u8() != 0
+    val header = readFrame(in)
+    require(header.frameType == FrameHeader, "expected content header")
+    val (bodySize, headers) = parseContentHeader(header.payload)
+    val body = new java.io.ByteArrayOutputStream()
+    while (body.size() < bodySize) {
+      val bf = readFrame(in)
+      require(bf.frameType == FrameBody, "expected content body")
+      body.write(bf.payload)
+    }
+    Delivery(deliveryTag, body.toByteArray, headers, redelivered)
+  }
 
   /** basic.ack with multiple=true: acknowledges everything up to and
     * including `deliveryTag`, advancing the broker's truncation floor.

@@ -185,15 +185,18 @@ class PlanSpec extends AnyFunSuite {
       p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 2)
   }
 
-  test("dd_source_overlap joins sources on the shingle digest") {
+  test("dd_source_overlap is join-free: one digest groupBy, no second scan") {
+    // The pre-aggregated shape: collect_set(source) per digest, pairs
+    // exploded from the per-digest set. A join (or a second documents
+    // scan) here would mean the dominant tokenize/md5 map work runs
+    // twice and a second wide exchange appeared — the formulation this
+    // replaced.
     val p = plan("dd_source_overlap")
     assert(!p.contains("CartesianProduct"))
-    assert(!p.contains("BroadcastNestedLoopJoin"))
-    val joins = p.linesIterator
-      .filter(l => l.contains("HashJoin") || l.contains("SortMergeJoin"))
-      .toList
-    assert(joins.nonEmpty && joins.forall(_.contains("dg")),
-      s"overlap join not keyed on digest:\n${joins.mkString("\n")}")
+    assert(!p.contains("Join"), s"overlap regressed to a join:\n$p")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1,
+      "overlap must scan documents exactly once")
+    assert(p.contains("collect_set"))
   }
 
   test("semantic dedup pair join is keyed on (cluster, block-cell)") {

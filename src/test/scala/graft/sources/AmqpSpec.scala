@@ -94,6 +94,72 @@ class AmqpSpec extends AnyFunSuite {
     } finally { amqp.close(); broker.close() }
   }
 
+  test("basic.qos prefetch caps unacked deliveries; acks reopen the window") {
+    val broker = new MessageBroker()
+    val pub = new AmqpClient("127.0.0.1", broker.port)
+    try {
+      (0 until 900).foreach(i => pub.publish(0, Array((i % 127).toByte), Nil))
+      val pubDeadline = System.currentTimeMillis() + 10000
+      while (broker.endOffsets.head < 900L &&
+          System.currentTimeMillis() < pubDeadline) Thread.sleep(10)
+      assert(broker.endOffsets.head == 900L)
+      // the reference's capacity envelope: prefetch 300
+      // (`config.ex:76-78`, `amqp_data_consumer.ex:153`) — a consumer
+      // that never sees more than 300 unacked while the backlog drains
+      val consumer = new AmqpClient("127.0.0.1", broker.port)
+      try {
+        consumer.qos(300)
+        consumer.consumeStart(0)
+        var next = 0L
+        (1 to 3).foreach { _ =>
+          val batch = (1 to 300).map(_ => consumer.readDelivery())
+          assert(batch.map(_.offset) == (next until next + 300))
+          // pause probe: after 300 deliveries the next frame MUST be
+          // a qos-ok, not a 301st deliver — the window held
+          consumer.qos(300)
+          next += 300
+          consumer.ack(next - 1) // cumulative ack reopens the window
+        }
+        val ackDeadline = System.currentTimeMillis() + 5000
+        while (broker.baseOffsets.head < 900L &&
+            System.currentTimeMillis() < ackDeadline) Thread.sleep(10)
+        assert(broker.baseOffsets == Seq(900L)) // backlog fully drained
+      } finally consumer.close()
+    } finally { pub.close(); broker.close() }
+  }
+
+  test("basic.nack with requeue redelivers from the floor without advancing it") {
+    val broker = new MessageBroker()
+    val amqp = new AmqpClient("127.0.0.1", broker.port)
+    try {
+      (1 to 5).foreach(i => amqp.publish(0, Array(i.toByte), Nil))
+      val pubDeadline = System.currentTimeMillis() + 5000
+      while (broker.endOffsets.head < 5L &&
+          System.currentTimeMillis() < pubDeadline) Thread.sleep(10)
+      val consumer = new AmqpClient("127.0.0.1", broker.port)
+      try {
+        consumer.consumeStart(0)
+        val first = (1 to 5).map(_ => consumer.readDelivery())
+        assert(first.map(_.offset) == (0L until 5L))
+        assert(first.forall(!_.redelivered))
+        // the consumer "crashes" mid-processing: requeue everything —
+        // the reference's tracker crash-requeue
+        // (`message_tracker/server.ex:144-148`)
+        consumer.nack(4L, multiple = true, requeue = true)
+        val again = (1 to 5).map(_ => consumer.readDelivery())
+        assert(again.map(_.offset) == (0L until 5L))
+        assert(again.forall(_.redelivered), "requeued records must carry redelivered=1")
+        assert(broker.baseOffsets == Seq(0L), "nack must not advance the floor")
+        // a real ack then advances it
+        consumer.ack(4L)
+        val ackDeadline = System.currentTimeMillis() + 5000
+        while (broker.baseOffsets.head < 5L &&
+            System.currentTimeMillis() < ackDeadline) Thread.sleep(10)
+        assert(broker.baseOffsets == Seq(5L))
+      } finally consumer.close()
+    } finally { amqp.close(); broker.close() }
+  }
+
   test("basic.ack with no prior consume/get is a protocol error, not shard 0") {
     val broker = new MessageBroker()
     val amqp = new AmqpClient("127.0.0.1", broker.port)
