@@ -91,8 +91,11 @@ object Bench {
       }
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // millisecond precision: sub-ms digits are noise and the shorter
+    // line survives log-tail truncation in downstream artifact capture
+    val qs = results.map { case (k, v) =>
+      s"\"" + k + "\":" + (if (v < 0) v else math.round(v * 1000) / 1000.0)
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val eps = try math.round(ingestEps(spark, sfDir)) catch { case _: Throwable => -1L }
     val wall = (System.nanoTime() - wallT0) / 1e9
@@ -102,7 +105,12 @@ object Bench {
       scala.io.Source.fromFile("/proc/loadavg").mkString.trim
         .split(" ").take(3).mkString(",")
     } catch { case _: Throwable => "" }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ingest_events_per_sec":$eps,"wall_sec":$wall,"loadavg":"$loadavg","sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ingest_events_per_sec":$eps,"wall_sec":$wall,"loadavg":"$loadavg","sf":"$sfDir"}"""
+    println(json)
+    // durable copy with every entry, immune to stdout-tail truncation
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/BENCH_LATEST.json"), json + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

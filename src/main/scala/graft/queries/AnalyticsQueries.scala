@@ -488,10 +488,15 @@ object AnalyticsQueries extends QueryPack {
           split(col("text"), " ").as("tk"))
         .select(col("doc_id"), col("lang"), col("bucket"),
           explode(array_distinct(Shingles.wordNgrams(col("tk"), 2))).as("bigram"))
-      // hash bigrams to 60-bit ints: the shuffle moves 8-byte keys and
-      // joins compare longs (collisions negligible at any SF).
+      // hash bigrams to longs: the shuffle moves 8-byte keys and joins
+      // compare longs (xxhash64 — codegen'd, no hex-string detour;
+      // collisions negligible at any SF). Cached because THREE
+      // consumers read it (both prefix branches of the candidate
+      // self-join + the verify arrays) and the tokenize/explode/hash
+      // map work dominates — same rationale as dd_span_dedup's cache.
       val hashed = bigrams.select(col("doc_id"), col("lang"), col("bucket"),
-        conv(substring(md5(col("bigram")), 1, 15), 16, 10).cast("long").as("bh"))
+        xxhash64(col("bigram")).as("bh"))
+        .cache()
       // per-block document frequency -> global order (df asc, bh asc);
       // prefix length for t=0.5: sz - ceil(sz/2) + 1. Both df and the
       // per-doc (rank, size) come from window functions — two shuffle

@@ -199,5 +199,32 @@ final class AmqpClient(host: String, port: Int) extends AutoCloseable {
     sendMethod(1, BasicAck)(w => w.u64(deliveryTag).u8(1))
   }
 
-  override def close(): Unit = sock.close()
+  /** One heartbeat round-trip: send a heartbeat frame, require the
+    * broker's echo — the spec's liveness probe for an idle connection.
+    */
+  def heartbeat(): Unit = synchronized {
+    writeFrame(out, Frame(FrameHeartbeat, 0, Array.emptyByteArray))
+    val f = readFrame(in)
+    require(f.frameType == FrameHeartbeat, "expected heartbeat echo")
+  }
+
+  /** The graceful shutdown handshake: connection.close (reply-code
+    * 200, no offending method) → connection.close-ok → socket down.
+    * A broker that never confirms means messages may still be in
+    * flight — which is why [[close]] prefers this over just dropping
+    * the socket.
+    */
+  def closeGracefully(): Unit = synchronized {
+    sendMethod(0, ConnClose)(w =>
+      w.u16(200).shortstr("goodbye").u16(0).u16(0))
+    val ok = readFrame(in)
+    val r = new Reader(ok.payload)
+    require((r.u16(), r.u16()) == ConnCloseOk, "expected connection.close-ok")
+    sock.close()
+  }
+
+  override def close(): Unit =
+    if (!sock.isClosed)
+      try closeGracefully()
+      catch { case _: Throwable => sock.close() } // peer already gone
 }

@@ -29,7 +29,9 @@ object AmqpWire {
   val ConnStart = (10, 10); val ConnStartOk = (10, 11)
   val ConnTune = (10, 30); val ConnTuneOk = (10, 31)
   val ConnOpen = (10, 40); val ConnOpenOk = (10, 41)
+  val ConnClose = (10, 50); val ConnCloseOk = (10, 51)
   val ChannelOpen = (20, 10); val ChannelOpenOk = (20, 11)
+  val ChannelClose = (20, 40); val ChannelCloseOk = (20, 41)
   val BasicQos = (60, 10); val BasicQosOk = (60, 11)
   val BasicConsume = (60, 20); val BasicConsumeOk = (60, 21)
   val BasicPublish = (60, 40)

@@ -382,11 +382,33 @@ final class MessageBroker(requestedPort: Int = 0) extends AutoCloseable {
             // DLX the records simply stay below the unmoved floor for
             // the next consumer — either way the floor never advances
 
+          case ChannelClose =>
+            // drop the channel's consumer/prefetch state and confirm;
+            // the connection (and other channels) stay up
+            consumerShard.remove(frame.channel)
+            pushState.remove(frame.channel)
+            prefetch.remove(frame.channel)
+            sendMethod(frame.channel, ChannelCloseOk)(_ => ())
+
+          case ConnClose =>
+            // the graceful shutdown handshake of the 0-9-1 spec: the
+            // peer announces close (reply-code + text + offending
+            // class/method), we confirm with close-ok and drop the
+            // socket — so a clean disconnect is distinguishable from a
+            // died peer (which is only ever detected by read failure)
+            sendMethod(0, ConnCloseOk)(_ => ())
+            return
+
           case other =>
             throw new java.io.IOException(s"unsupported AMQP method $other")
         }
+      } else if (frame.frameType == FrameHeartbeat) {
+        // heartbeat echo: the spec's liveness signal — a peer sending
+        // heartbeats on an idle connection gets proof the broker is
+        // still there without a timer thread on either side
+        writeFrame(out, Frame(FrameHeartbeat, 0, Array.emptyByteArray))
       }
-      // heartbeats and stray frames are ignored
+      // other stray frames are ignored
     }
   }
 

@@ -211,6 +211,26 @@ class AmqpSpec extends AnyFunSuite {
     } finally { amqp.close(); broker.close() }
   }
 
+  test("connection.close handshake and heartbeat echo") {
+    val broker = new MessageBroker()
+    val amqp = new AmqpClient("127.0.0.1", broker.port)
+    try {
+      (1 to 3).foreach(i => amqp.publish(0, Array(i.toByte), Nil))
+      val pubDeadline = System.currentTimeMillis() + 5000
+      while (broker.endOffsets.head < 3L &&
+          System.currentTimeMillis() < pubDeadline) Thread.sleep(10)
+      // liveness probe: heartbeat frame comes back as a heartbeat
+      amqp.heartbeat()
+      // graceful close: close → close-ok handshake completes (would
+      // throw on a missing/wrong confirmation)
+      amqp.closeGracefully()
+      // the broker survives the departed client with its queue intact
+      val again = new AmqpClient("127.0.0.1", broker.port)
+      try assert(again.consume(0, 10).map(_.offset) == Seq(0L, 1L, 2L))
+      finally again.close()
+    } finally broker.close()
+  }
+
   test("field-table and frame codec round-trip arbitrary header bytes") {
     val headers = Seq(
       "empty" -> Array.emptyByteArray,
