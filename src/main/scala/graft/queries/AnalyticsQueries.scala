@@ -377,9 +377,12 @@ object AnalyticsQueries extends QueryPack {
         .select(col("doc_id"),
           posexplode(Shingles.wordNgrams(col("tk"), k)).as(Seq("p0", "w")))
         .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
-          md5(col("w")).as("h"))
+          // equality-only digest (never surfaces, the oracle hashes
+          // its own windows): xxhash64 longs make the dup-group
+          // shuffle key 8 bytes instead of a 32-char md5 string
+          xxhash64(col("w")).as("h"))
         .cache() // read 2× (dup aggregate + hits join): without it the
-                 // tokenize/posexplode/md5 map work — the dominant
+                 // tokenize/posexplode/hash map work — the dominant
                  // cost — runs twice per execution
       val dup = wins.groupBy(col("h"))
         .agg(countDistinct(col("doc_id")).as("nd"))

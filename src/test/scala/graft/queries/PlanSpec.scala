@@ -44,6 +44,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.substring(p.indexOf("ReadSchema")).contains("l_returnflag"))
   }
 
+  test("ts normalization does not block pushdown of other event filters") {
+    // Tables.events adds a projection rewriting ts; a filter on a
+    // DIFFERENT column (user_id) must still reach the parquet scan —
+    // at 100 TB the normalization must cost a map-side expression,
+    // never a lost scan-level filter
+    val p = graft.queries.Tables.events(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("user_id") < 10)
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("LessThan(user_id,10)"),
+      s"user_id filter not pushed through the ts projection:\n${p.take(2000)}")
+  }
+
   test("q5: dimension joins are broadcast, not shuffled") {
     val p = plan("q5_join5")
     assert(p.contains("BroadcastHashJoin"))
