@@ -432,6 +432,10 @@ object AnalyticsQueries extends QueryPack {
             concat_ws(",", col("mh4"), col("mh5"), col("mh6"), col("mh7")))).as("bk1"))
         .select(col("doc_id"),
           explode(array(col("bk0"), col("bk1"))).as("band_key"))
+        // 2 rows per doc; cached because BOTH sides of the band
+        // self-join read it — uncached, the dominant shingle+signature
+        // lineage executes twice
+        .cache()
       val a = bands.select(col("doc_id").as("doc_a"), col("band_key"))
       val b = bands.select(col("doc_id").as("doc_b"), col("band_key").as("band_key_b"))
       a.join(b, col("band_key") === col("band_key_b") && col("doc_a") < col("doc_b"))
@@ -714,8 +718,13 @@ object AnalyticsQueries extends QueryPack {
       val mhCols = MinhashSeeds.keys.zipWithIndex.map { case (k, i) =>
         min(expr(s"h ^ ${k}L")).as(s"mh$i")
       }
+      // one row per doc (8 longs): cached because THREE consumers read
+      // it (the band build + both sides of the estimator join) and
+      // each would otherwise re-run the signature aggregation over the
+      // full shingle set
       val minhashes = sh.groupBy(col("doc_id"), col("lang"))
         .agg(mhCols.head, mhCols.tail: _*)
+        .cache()
       val bands = minhashes.select(col("doc_id"),
           md5(concat(col("lang"), lit("|"),
             concat_ws(",", col("mh0"), col("mh1"), col("mh2"), col("mh3")))).as("bk0"),

@@ -25,10 +25,10 @@ object DedupPipeline extends QueryPack {
 
   /** LSH candidates → exact-Jaccard-verified near-dup pairs (the
     * stage-1/2 lineage shared by `dd_cluster` and `dd_cc_converged`).
-    * Caches the shingle set while building; caller must unpersist the
-    * returned (edges, shingles) pair when done.
+    * Caches the shingle set and the band table while building; caller
+    * must unpersist the returned (edges, shingles, bands) when done.
     */
-  private def verifiedPairs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private def verifiedPairs(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
     // stage 1: LSH candidates (same construction as dd_minhash_lsh)
     val sh = shingleHashes(s, d).cache()
     val mhCols = MinhashSeeds.keys.zipWithIndex.map { case (k, i) =>
@@ -42,6 +42,10 @@ object DedupPipeline extends QueryPack {
         md5(concat(col("lang"), lit("|"),
           concat_ws(",", col("mh4"), col("mh5"), col("mh6"), col("mh7")))).as("bk1"))
       .select(col("doc_id"), explode(array(col("bk0"), col("bk1"))).as("band_key"))
+      // 2 rows per doc; both sides of the band self-join read it —
+      // uncached, the signature aggregation over the (cached) shingle
+      // set runs twice
+      .cache()
     val cands = bands.as("a").join(bands.as("b"),
         col("a.band_key") === col("b.band_key") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -61,12 +65,12 @@ object DedupPipeline extends QueryPack {
       .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
       .filter(col("n_inter") / (col("sz_a") + col("sz_b") - col("n_inter")) >= 0.2)
       .select(col("doc_a"), col("doc_b"))
-    (verified, sh)
+    (verified, sh, bands)
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_cluster" -> ((s, d) => {
-      val (verified, sh) = verifiedPairs(s, d)
+      val (verified, sh, bands) = verifiedPairs(s, d)
 
       // stage 3: 3 rounds of min-label propagation over the verified
       // edges (fixed iteration count — identical in the oracle).
@@ -97,6 +101,7 @@ object DedupPipeline extends QueryPack {
       // (localCheckpoint(false) is lazy; the final count forces it)
       labels.count()
       sh.unpersist()
+      bands.unpersist()
       edges.unpersist()
       // rounds 1..n-1's checkpoint blocks only feed the next round —
       // once the final round is materialized they'd pin executor
@@ -123,7 +128,7 @@ object DedupPipeline extends QueryPack {
     // localCheckpoint to truncate lineage, one count for the
     // convergence test.
     "dd_cc_converged" -> ((s, d) => {
-      val (verified, sh) = verifiedPairs(s, d)
+      val (verified, sh, bands) = verifiedPairs(s, d)
       val edges = verified
         .union(verified.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
         .cache()
@@ -172,6 +177,7 @@ object DedupPipeline extends QueryPack {
         labels = next.select(col("doc_id"), col("cluster"))
       }
       sh.unpersist()
+      bands.unpersist()
       edges.unpersist()
       // release superseded rounds' checkpoint blocks; only the final
       // round's blocks back the returned DataFrame
