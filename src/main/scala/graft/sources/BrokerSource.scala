@@ -58,7 +58,13 @@ class BrokerSourceProvider extends TableProvider with DataSourceRegister {
     val port = Option(opts.get("port")).map(_.toInt).getOrElse(
       throw new IllegalArgumentException("graft-broker: option 'port' is required"))
     val maxPerTrigger = Option(opts.get("maxRecordsPerTrigger")).map(_.toLong)
-    new BrokerTable(host, port, maxPerTrigger)
+    // reconnect-with-backoff knobs — the reference's connection
+    // manager redials its broker on a flat 10 s backoff
+    // (`connection_manager.ex` @connection_backoff 10000); default
+    // here is 1 s × up to 10 attempts, tunable per query
+    val backoffMs = Option(opts.get("reconnectBackoffMs")).map(_.toLong).getOrElse(1000L)
+    val maxReconnects = Option(opts.get("maxReconnects")).map(_.toInt).getOrElse(10)
+    new BrokerTable(host, port, maxPerTrigger, backoffMs, maxReconnects)
   }
 }
 
@@ -72,7 +78,8 @@ object BrokerSourceProvider {
 }
 
 private[sources] class BrokerTable(
-    host: String, port: Int, maxPerTrigger: Option[Long]) extends Table with SupportsRead {
+    host: String, port: Int, maxPerTrigger: Option[Long],
+    backoffMs: Long = 1000L, maxReconnects: Int = 10) extends Table with SupportsRead {
   override def name(): String = s"graft-broker://$host:$port"
   override def schema(): StructType = BrokerSourceProvider.schema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -84,7 +91,7 @@ private[sources] class BrokerTable(
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = BrokerSourceProvider.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new BrokerMicroBatchStream(host, port, maxPerTrigger)
+          new BrokerMicroBatchStream(host, port, maxPerTrigger, backoffMs, maxReconnects)
         // batch read = the backfill shape: a one-shot snapshot of
         // every shard from its TRUNCATION FLOOR to the end observed
         // at plan time. Planning from 0 would reach below the floor
@@ -104,7 +111,8 @@ private[sources] class BrokerTable(
                 case (end, shard)
                     if end > bases.lift(shard).getOrElse(0L) =>
                   BrokerInputPartition(host, port, shard,
-                    bases.lift(shard).getOrElse(0L), end): InputPartition
+                    bases.lift(shard).getOrElse(0L), end,
+                    backoffMs, maxReconnects): InputPartition
               }.toArray
             } finally client.close()
           }
@@ -133,7 +141,8 @@ private[sources] object BrokerOffset {
 }
 
 private[sources] class BrokerMicroBatchStream(
-    host: String, port: Int, maxPerTrigger: Option[Long])
+    host: String, port: Int, maxPerTrigger: Option[Long],
+    backoffMs: Long = 1000L, maxReconnects: Int = 10)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   // driver-side control connection (offset discovery only — data
@@ -154,6 +163,32 @@ private[sources] class BrokerMicroBatchStream(
     }
   }
 
+  /** Run a control-plane call, redialing the broker with backoff when
+    * the connection drops — the reference's connection-manager
+    * behavior (flat backoff, bounded attempts). A stop() racing the
+    * backoff surfaces as the control accessor's IllegalStateException,
+    * never a redial after teardown.
+    */
+  private def withControl[A](f: BrokerClient => A): A = {
+    var attempt = 0
+    while (true) {
+      // the redial (inside `control`) must sit in the SAME try as the
+      // call: a broker still down mid-backoff throws ConnectException
+      // from the socket constructor, and that attempt counts too
+      try return f(control)
+      catch { case e: java.io.IOException =>
+        attempt += 1
+        synchronized {
+          controlOpt.foreach(x => try x.close() catch { case _: Throwable => () })
+          controlOpt = None
+        }
+        if (attempt > maxReconnects) throw e
+        Thread.sleep(backoffMs)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   override def initialOffset(): Offset = BrokerOffset(Map.empty)
 
   override def getDefaultReadLimit: ReadLimit =
@@ -165,7 +200,7 @@ private[sources] class BrokerMicroBatchStream(
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[BrokerOffset].ends
-    val ends = control.endOffsets()
+    val ends = withControl(_.endOffsets())
     val capped = limit match {
       case r: ReadMaxRows =>
         // split the cap across shards PROPORTIONAL to each shard's
@@ -218,7 +253,7 @@ private[sources] class BrokerMicroBatchStream(
     */
   override def commit(end: Offset): Unit =
     end.asInstanceOf[BrokerOffset].ends.toSeq.sorted.foreach {
-      case (shard, upTo) => control.ack(shard, upTo)
+      case (shard, upTo) => withControl(_.ack(shard, upTo))
     }
   override def stop(): Unit = synchronized {
     stopped = true
@@ -228,7 +263,8 @@ private[sources] class BrokerMicroBatchStream(
 }
 
 private[sources] final case class BrokerInputPartition(
-    host: String, port: Int, shard: Int, from: Long, until: Long)
+    host: String, port: Int, shard: Int, from: Long, until: Long,
+    backoffMs: Long = 1000L, maxReconnects: Int = 10)
     extends InputPartition
 
 private[sources] class BrokerReaderFactory extends PartitionReaderFactory {
@@ -246,15 +282,42 @@ private[sources] class BrokerPartitionReader(p: BrokerInputPartition)
     extends PartitionReader[InternalRow] {
 
   private val ChunkSize = 4096
-  private val client = new BrokerClient(p.host, p.port)
+  private var client = new BrokerClient(p.host, p.port)
   private var cursor = p.from
   private var buffer: Iterator[BrokerRecord] = Iterator.empty
   private var current: BrokerRecord = _
 
+  // A dropped data connection redials with backoff before failing the
+  // task: the planned (from, until] range is deterministic, so a
+  // refetch after reconnect returns identical records — cheaper than
+  // burning a Spark task retry on a broker blip.
+  private def fetchWithReconnect(from: Long, want: Int): Seq[BrokerRecord] = {
+    var attempt = 0
+    var needRedial = false
+    while (true) {
+      try {
+        // redial inside the try: a broker still down mid-backoff
+        // throws from the socket constructor and counts as an attempt
+        if (needRedial) {
+          client = new BrokerClient(p.host, p.port)
+          needRedial = false
+        }
+        return client.fetch(p.shard, from, want)
+      } catch { case e: java.io.IOException =>
+        attempt += 1
+        if (attempt > p.maxReconnects) throw e
+        try client.close() catch { case _: Throwable => () }
+        needRedial = true
+        Thread.sleep(p.backoffMs)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   override def next(): Boolean = {
     if (!buffer.hasNext && cursor < p.until) {
       val want = math.min(ChunkSize.toLong, p.until - cursor).toInt
-      val recs = client.fetch(p.shard, cursor, want)
+      val recs = fetchWithReconnect(cursor, want)
       if (recs.isEmpty)
         throw new java.io.IOException(
           s"broker shard ${p.shard}: offsets [$cursor, ${p.until}) vanished " +
