@@ -79,6 +79,55 @@ object ReadQueries extends QueryPack {
     // once, route queries to nprobe partitions, never scan the rest.
     "sim_ivf" -> ((s, d) => ivfTopK(s, d, maxQid = 10, k = 3, nprobe = 2)),
 
+    // Product quantization — the third ANN scale path next to LSH
+    // bucketing and IVF probing. Each 64-dim vector compresses to
+    // M=4 one-byte codes (argmin centroid per 16-dim subvector,
+    // deterministic codebook = the subvectors of vec_id < 16), and a
+    // query ranks candidates by ADC: sum over subspaces of its OWN
+    // precomputed distance to the candidate's centroid. At 100 TB the
+    // shapes are: codebook broadcast (tiny), assignment = one
+    // broadcast join + map-side min_by partial agg (linear in N), ADC
+    // = codes × broadcast query-distance table (N × M × n_queries,
+    // linear in N) — the database never ships raw vectors anywhere
+    // after encoding, which is PQ's entire point. All distances are
+    // exact integer arithmetic on the 1e-6 quantization, so the
+    // DuckDB oracle hash-matches bit for bit.
+    "sim_pq" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val M = 4; val SUB = 16
+      val sub = AnalyticsQueries.quantEmb(s, d)
+        .select(col("vec_id"), posexplode(expr(
+          s"transform(sequence(0, ${M - 1}), m -> slice(q, m * $SUB + 1, $SUB))"))
+          .as(Seq("m", "sq")))
+      val cb = sub.filter(col("vec_id") < 16)
+        .select(col("vec_id").cast("int").as("c"), col("m").as("cm"),
+          col("sq").as("cv"))
+      val dist2 = expr(
+        "vector_dot_long(sq, sq) - 2 * vector_dot_long(sq, cv) + vector_dot_long(cv, cv)")
+      // encode: nearest centroid (ties to the smallest id) per (vec,
+      // subspace) — struct min gives lexicographic (d2, c) argmin with
+      // map-side partial aggregation, no window shuffle
+      val codes = sub.join(broadcast(cb), col("m") === col("cm"))
+        .select(col("vec_id"), col("m"), col("c"), dist2.as("d2"))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("d2"), col("c"))).as("best"))
+        .select(col("vec_id").as("nid"), col("m"), col("best.c").as("code"))
+      // the query side precomputes its distance to every centroid of
+      // every subspace: n_queries × M × 16 rows, broadcastable forever
+      val qdist = sub.filter(col("vec_id") < 10)
+        .join(broadcast(cb), col("m") === col("cm"))
+        .select(col("vec_id").as("qid"), col("m").as("qm"),
+          col("c").as("qc"), dist2.as("qd2"))
+      val adc = codes.join(broadcast(qdist),
+          col("m") === col("qm") && col("code") === col("qc"))
+        .filter(col("nid") =!= col("qid"))
+        .groupBy(col("qid"), col("nid"))
+        .agg(sum(col("qd2")).as("adc"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("nid").asc)
+      adc.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+        .select(col("qid"), col("nid"), col("adc"), col("rnk"))
+    }),
+
     // ANN recall audit: recall@3 of the two serving paths (LSH
     // bucket+rerank, IVF probe) against the brute-force exact top-3 —
     // the query that makes `sim_topk_bf` load-bearing (it IS the
@@ -217,6 +266,36 @@ object ReadQueries extends QueryPack {
         |  SELECT *, row_number() OVER (
         |    PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
         |  FROM scored) WHERE rank <= 3""".stripMargin,
+    "sim_pq" ->
+      """WITH f AS (
+        |  SELECT vec_id, generate_subscripts(embedding,1) - 1 AS idx0,
+        |    floor(unnest(embedding)::DOUBLE * 1000000)::BIGINT AS qv
+        |  FROM embeddings),
+        |sub AS (
+        |  SELECT vec_id, idx0 // 16 AS m, idx0 % 16 AS pos, qv FROM f),
+        |cb AS (
+        |  SELECT vec_id AS c, m, pos, qv AS cv FROM sub WHERE vec_id < 16),
+        |dist AS (
+        |  SELECT s.vec_id, s.m, cb.c,
+        |    sum((s.qv - cb.cv) * (s.qv - cb.cv))::BIGINT AS d2
+        |  FROM sub s JOIN cb ON s.m = cb.m AND s.pos = cb.pos
+        |  GROUP BY 1, 2, 3),
+        |code AS (
+        |  SELECT vec_id, m, c AS code FROM (
+        |    SELECT vec_id, m, c,
+        |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
+        |    FROM dist) WHERE rn = 1),
+        |qdist AS (
+        |  SELECT vec_id AS qid, m, c, d2 FROM dist WHERE vec_id < 10),
+        |adc AS (
+        |  SELECT q.qid, co.vec_id AS nid, sum(q.d2)::BIGINT AS adc
+        |  FROM code co JOIN qdist q ON q.m = co.m AND q.c = co.code
+        |  WHERE co.vec_id <> q.qid
+        |  GROUP BY 1, 2)
+        |SELECT qid, nid, adc, rnk FROM (
+        |  SELECT qid, nid, adc,
+        |    row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS rnk
+        |  FROM adc) WHERE rnk <= 3""".stripMargin,
     "sim_recall" ->
       """WITH f AS (
         |  SELECT vec_id, label, generate_subscripts(embedding,1) AS idx,
