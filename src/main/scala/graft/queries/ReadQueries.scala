@@ -92,41 +92,7 @@ object ReadQueries extends QueryPack {
     // after encoding, which is PQ's entire point. All distances are
     // exact integer arithmetic on the 1e-6 quantization, so the
     // DuckDB oracle hash-matches bit for bit.
-    "sim_pq" -> ((s, d) => {
-      graft.functions.GraftFunctions.register(s)
-      val M = 4; val SUB = 16
-      val sub = AnalyticsQueries.quantEmb(s, d)
-        .select(col("vec_id"), posexplode(expr(
-          s"transform(sequence(0, ${M - 1}), m -> slice(q, m * $SUB + 1, $SUB))"))
-          .as(Seq("m", "sq")))
-      val cb = sub.filter(col("vec_id") < 16)
-        .select(col("vec_id").cast("int").as("c"), col("m").as("cm"),
-          col("sq").as("cv"))
-      val dist2 = expr(
-        "vector_dot_long(sq, sq) - 2 * vector_dot_long(sq, cv) + vector_dot_long(cv, cv)")
-      // encode: nearest centroid (ties to the smallest id) per (vec,
-      // subspace) — struct min gives lexicographic (d2, c) argmin with
-      // map-side partial aggregation, no window shuffle
-      val codes = sub.join(broadcast(cb), col("m") === col("cm"))
-        .select(col("vec_id"), col("m"), col("c"), dist2.as("d2"))
-        .groupBy(col("vec_id"), col("m"))
-        .agg(min(struct(col("d2"), col("c"))).as("best"))
-        .select(col("vec_id").as("nid"), col("m"), col("best.c").as("code"))
-      // the query side precomputes its distance to every centroid of
-      // every subspace: n_queries × M × 16 rows, broadcastable forever
-      val qdist = sub.filter(col("vec_id") < 10)
-        .join(broadcast(cb), col("m") === col("cm"))
-        .select(col("vec_id").as("qid"), col("m").as("qm"),
-          col("c").as("qc"), dist2.as("qd2"))
-      val adc = codes.join(broadcast(qdist),
-          col("m") === col("qm") && col("code") === col("qc"))
-        .filter(col("nid") =!= col("qid"))
-        .groupBy(col("qid"), col("nid"))
-        .agg(sum(col("qd2")).as("adc"))
-      val w = Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("nid").asc)
-      adc.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
-        .select(col("qid"), col("nid"), col("adc"), col("rnk"))
-    }),
+    "sim_pq" -> ((s, d) => pqTopK(s, d, maxQid = 10, k = 3)),
 
     // ANN recall audit: recall@3 of the two serving paths (LSH
     // bucket+rerank, IVF probe) against the brute-force exact top-3 —
@@ -141,19 +107,65 @@ object ReadQueries extends QueryPack {
         .select(lit("lsh").as("method"), col("qid"), col("nid"))
         .unionByName(ivfTopK(s, d, maxQid = 10, k = 3, nprobe = 2)
           .select(lit("ivf").as("method"), col("qid"), col("nid")))
+        .unionByName(pqTopK(s, d, maxQid = 10, k = 3)
+          .select(lit("pq").as("method"), col("qid"), col("nid")))
       val hits = ann.join(truth, Seq("qid", "nid"))
         .groupBy(col("method"), col("qid"))
         .agg(count(lit(1)).as("hits"))
       // every (method, probe) row survives even at 0 hits — a sparse
       // bucket must read as recall 0, not as a missing row
       val base = truth.select(col("qid")).distinct()
-        .crossJoin(Seq("lsh", "ivf").toDF("method"))
+        .crossJoin(Seq("lsh", "ivf", "pq").toDF("method"))
       base.join(hits, Seq("method", "qid"), "left")
         .select(col("method"), col("qid"),
           coalesce(col("hits"), lit(0L)).as("hits"))
         .withColumn("recall_bp", expr("hits * 10000 div 3"))
     })
   )
+
+  /** Product-quantization ANN top-k (see the `sim_pq` entry). M=4
+    * subvectors of 16 dims; 16-entry deterministic codebook per
+    * subspace (the subvectors of vec_id < 16); candidates ranked by
+    * exact-integer ADC. Codebook + query-distance tables broadcast;
+    * encoding is one broadcast join + a map-side struct-min partial
+    * agg; raw vectors never move after encode.
+    */
+  private[queries] def pqTopK(s: SparkSession, d: String,
+      maxQid: Int, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val M = 4; val SUB = 16
+    val sub = AnalyticsQueries.quantEmb(s, d)
+      .select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${M - 1}), m -> slice(q, m * $SUB + 1, $SUB))"))
+        .as(Seq("m", "sq")))
+    val cb = sub.filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("int").as("c"), col("m").as("cm"),
+        col("sq").as("cv"))
+    val dist2 = expr(
+      "vector_dot_long(sq, sq) - 2 * vector_dot_long(sq, cv) + vector_dot_long(cv, cv)")
+    // encode: nearest centroid (ties to the smallest id) per (vec,
+    // subspace) — struct min gives lexicographic (d2, c) argmin with
+    // map-side partial aggregation, no window shuffle
+    val codes = sub.join(broadcast(cb), col("m") === col("cm"))
+      .select(col("vec_id"), col("m"), col("c"), dist2.as("d2"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d2"), col("c"))).as("best"))
+      .select(col("vec_id").as("nid"), col("m"), col("best.c").as("code"))
+    // the query side precomputes its distance to every centroid of
+    // every subspace: n_queries × M × 16 rows, broadcastable forever
+    val qdist = sub.filter(col("vec_id") < maxQid)
+      .join(broadcast(cb), col("m") === col("cm"))
+      .select(col("vec_id").as("qid"), col("m").as("qm"),
+        col("c").as("qc"), dist2.as("qd2"))
+    val adc = codes.join(broadcast(qdist),
+        col("m") === col("qm") && col("code") === col("qc"))
+      .filter(col("nid") =!= col("qid"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(sum(col("qd2")).as("adc"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("nid").asc)
+    adc.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("qid"), col("nid"), col("adc"), col("rnk"))
+  }
 
   /** IVF-style ANN top-k: quantized per-label centroids (the "train"
     * step, shared with sim_centroid_outlier/dd_semantic_dedup via
@@ -376,16 +388,44 @@ object ReadQueries extends QueryPack {
         |      ORDER BY round(dot / (nq.norm * nn.norm), 4) DESC, nid ASC) AS rank
         |    FROM ivfdots JOIN norms nq ON nq.vec_id = qid
         |    JOIN norms nn ON nn.vec_id = nid) WHERE rank <= 3),
+        |psub AS (
+        |  SELECT vec_id, (idx - 1) // 16 AS m, (idx - 1) % 16 AS pos, qv
+        |  FROM f),
+        |pcb AS (
+        |  SELECT vec_id AS c, m, pos, qv AS cv FROM psub WHERE vec_id < 16),
+        |pdist AS (
+        |  SELECT s.vec_id, s.m, pcb.c,
+        |    sum((s.qv - pcb.cv) * (s.qv - pcb.cv))::BIGINT AS d2
+        |  FROM psub s JOIN pcb ON s.m = pcb.m AND s.pos = pcb.pos
+        |  GROUP BY 1, 2, 3),
+        |pcode AS (
+        |  SELECT vec_id, m, c AS code FROM (
+        |    SELECT vec_id, m, c,
+        |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
+        |    FROM pdist) WHERE rn = 1),
+        |pqd AS (SELECT vec_id AS qid, m, c, d2 FROM pdist WHERE vec_id < 10),
+        |padc AS (
+        |  SELECT q.qid, co.vec_id AS nid, sum(q.d2)::BIGINT AS adc
+        |  FROM pcode co JOIN pqd q ON q.m = co.m AND q.c = co.code
+        |  WHERE co.vec_id <> q.qid
+        |  GROUP BY 1, 2),
+        |pqtop AS (
+        |  SELECT qid, nid FROM (
+        |    SELECT qid, nid,
+        |      row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS rnk
+        |    FROM padc) WHERE rnk <= 3),
         |ann AS (
         |  SELECT 'lsh' AS method, qid, nid FROM lshtop
         |  UNION ALL
-        |  SELECT 'ivf' AS method, qid, nid FROM ivftop),
+        |  SELECT 'ivf' AS method, qid, nid FROM ivftop
+        |  UNION ALL
+        |  SELECT 'pq' AS method, qid, nid FROM pqtop),
         |hits AS (
         |  SELECT a.method, a.qid, count(*) AS hits
         |  FROM ann a JOIN truth t ON t.qid = a.qid AND t.nid = a.nid
         |  GROUP BY 1, 2),
         |base AS (SELECT DISTINCT qid FROM truth),
-        |methods AS (SELECT unnest(['lsh','ivf']) AS method)
+        |methods AS (SELECT unnest(['lsh','ivf','pq']) AS method)
         |SELECT m.method, b.qid, coalesce(h.hits, 0)::BIGINT AS hits,
         |  (coalesce(h.hits, 0) * 10000 // 3)::BIGINT AS recall_bp
         |FROM base b CROSS JOIN methods m
