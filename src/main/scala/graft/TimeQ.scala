@@ -1,0 +1,26 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object TimeQ {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val names = args(1).split(",")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    SparkEntry.queries.get("q6_filter_sum").foreach(fn => fn(spark, sfDir).count())
+    names.foreach { n =>
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"TIMEQ $n%s ${times.min}%.2f s (runs: ${times.map(t => f"$t%.2f").mkString(",")})")
+    }
+    spark.stop()
+  }
+}

@@ -1037,13 +1037,24 @@ object AnalyticsQueries extends QueryPack {
     // occurs more than once in the SAME document, in basis points.
     // Pure integer arithmetic; map-side explode + one (doc, hash)
     // partial agg — no join anywhere, so corpus size only scales the
-    // map work.
+    // map work. The window digest is variadic xxhash64 over the
+    // 10-token tuple (as dd_source_overlap): no window-string concat,
+    // no md5 hex detour — and since the digest is an internal group
+    // key that never reaches the output, the oracle keeps counting on
+    // raw-text windows; the only approximation is Spark-side 64-bit
+    // collisions (~n²/2⁶⁵, immaterial). Injective vs the joined
+    // string because split-on-space tokens can't contain the
+    // separator.
     "tx_dup_window_frac" -> ((s, d) => {
+      val digests = when(size(col("tk")) >= 10,
+        transform(sequence(lit(1), size(col("tk")) - 9),
+          i => xxhash64((0 until 10).map(j =>
+            element_at(col("tk"), (i + j).cast("int"))): _*)))
+        .otherwise(expr("cast(array() as array<bigint>)"))
       Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("tk"))
-        .select(col("doc_id"),
-          explode(Shingles.wordNgrams(col("tk"), 10)).as("w"))
-        .groupBy(col("doc_id"), md5(col("w")).as("h"))
+        .select(col("doc_id"), explode(digests).as("h"))
+        .groupBy(col("doc_id"), col("h"))
         .agg(count(lit(1)).as("c"))
         .groupBy(col("doc_id"))
         .agg(sum(col("c")).as("n_windows"),

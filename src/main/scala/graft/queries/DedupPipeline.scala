@@ -13,15 +13,49 @@ import org.apache.spark.sql.functions._
   */
 object DedupPipeline extends QueryPack {
 
-  /** (doc_id, lang, shingle-hash) distinct rows + per-doc set size. */
-  private def shingleHashes(s: SparkSession, d: String): DataFrame =
+  /** Partition count for the label-propagation rounds. The edge set a
+    * clusterer iterates over is LSH-verified near-dup pairs — a few
+    * thousand rows at sf0.1, and even at 100 TB orders of magnitude
+    * smaller than the corpus — so running each round's joins at the
+    * session's scan-sized shuffle parallelism (32 here, thousands on a
+    * real cluster) launches hundreds of near-empty tasks per round
+    * whose scheduling latency dominates under host contention. Each
+    * round is pinned to this partition count instead; on a cluster the
+    * same job would rely on AQE partition coalescing, but AQE cannot
+    * re-plan the localCheckpoint-truncated per-round lineage, so the
+    * pin is explicit.
+    */
+  private[graft] val roundPartitions = 8
+
+  /** (doc_id, lang, shingle-hash) distinct rows.
+    *
+    * The trigram hash is per-token md5 (56-bit prefix) combined with
+    * exact integer arithmetic — `3·h(t₁) + 5·h(t₂) + 7·h(t₃)` — so the
+    * shingle string is never materialized and md5 runs over single
+    * tokens (⅓ the hashed bytes of md5-of-joined-trigram, no per-
+    * shingle concat allocation on the map path). A variadic `xxhash64`
+    * would be cheaper still, but this hash is SEMANTIC, not cosmetic:
+    * it defines the minhash → band → candidate set, so the DuckDB
+    * oracle must compute the identical 64-bit value, and DuckDB has no
+    * xxhash64 — per-token md5 + BIGINT arithmetic is exactly
+    * replicable in both engines. Bounds: h(t) < 2^56, so the combined
+    * value is < 15·2^56 < 2^60 — no 64-bit overflow on either side,
+    * and the subsequent xor-with-seed minhash stays in range.
+    */
+  private def shingleHashes(s: SparkSession, d: String): DataFrame = {
+    val ht = transform(split(col("text"), " "),
+      t => conv(substring(md5(t), 1, 14), 16, 10).cast("long"))
+    val trigram = when(size(col("ht")) >= 3,
+      transform(sequence(lit(1), size(col("ht")) - 2),
+        i => element_at(col("ht"), i.cast("int")) * 3L +
+             element_at(col("ht"), (i + 1).cast("int")) * 5L +
+             element_at(col("ht"), (i + 2).cast("int")) * 7L))
+      .otherwise(expr("cast(array() as array<bigint>)"))
     Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tk"))
-      .select(col("doc_id"), col("lang"),
-        explode(Shingles.wordNgrams(col("tk"), 3)).as("shingle"))
-      .select(col("doc_id"), col("lang"),
-        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("h"))
+      .select(col("doc_id"), col("lang"), ht.as("ht"))
+      .select(col("doc_id"), col("lang"), explode(trigram).as("h"))
       .distinct()
+  }
 
   /** LSH candidates → exact-Jaccard-verified near-dup pairs (the
     * stage-1/2 lineage shared by `dd_cluster` and `dd_cc_converged`).
@@ -68,21 +102,44 @@ object DedupPipeline extends QueryPack {
     (verified, sh, bands)
   }
 
-  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dd_cluster" -> ((s, d) => {
-      val (verified, sh, bands) = verifiedPairs(s, d)
+  /** Materialize the symmetric edge set at `roundPartitions` and run
+    * the stage-1/2 LSH lineage at the session's full parallelism (the
+    * count() below executes it BEFORE the caller drops
+    * `spark.sql.shuffle.partitions` for the rounds). Caller must
+    * unpersist.
+    */
+  private def materializedEdges(verified: DataFrame): DataFrame = {
+    val edges = verified
+      .union(verified.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .repartition(roundPartitions, col("doc_a"))
+      .cache()
+    edges.count()
+    edges
+  }
 
-      // stage 3: 3 rounds of min-label propagation over the verified
-      // edges (fixed iteration count — identical in the oracle).
-      // Edges and each round's labels are cached: without it every
-      // iteration re-derives the whole LSH lineage from the scan.
-      val edges = verified
-        .union(verified.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        .cache()
+  /** Run `body` with `spark.sql.shuffle.partitions` pinned to
+    * `roundPartitions`, restoring the caller's setting after. Only the
+    * propagation rounds run inside; every round materializes via
+    * localCheckpoint/count within the pinned scope, so nothing of the
+    * small-cardinality iteration escapes to session parallelism except
+    * the caller's final orderBy.
+    */
+  private def withRoundParallelism[A](s: SparkSession)(body: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", roundPartitions.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  /** Fixed-round min-label propagation (dd_cluster's stage 3). Exposed
+    * for the PlanSpec partition pin. Returns the materialized final
+    * round; intermediate rounds' checkpoint blocks are released.
+    */
+  private[graft] def propagateFixed(s: SparkSession, edges: DataFrame, n: Int): DataFrame =
+    withRoundParallelism(s) {
       var labels = edges.select(col("doc_a").as("doc_id")).distinct()
         .withColumn("cluster", col("doc_id"))
       val rounds = scala.collection.mutable.Buffer.empty[DataFrame]
-      for (_ <- 1 to 3) {
+      for (_ <- 1 to n) {
         val neighborMin = edges
           .join(labels.select(col("doc_id").as("doc_b"), col("cluster").as("nc")), Seq("doc_b"))
           .groupBy(col("doc_a")).agg(min(col("nc")).as("min_nc"))
@@ -97,41 +154,24 @@ object DedupPipeline extends QueryPack {
           .localCheckpoint(false)
         rounds += labels
       }
-      // materialize the final round, then release the working caches
-      // (localCheckpoint(false) is lazy; the final count forces it)
+      // materialize the final round inside the pinned scope
+      // (localCheckpoint(false) is lazy; the count forces it)
       labels.count()
-      sh.unpersist()
-      bands.unpersist()
-      edges.unpersist()
       // rounds 1..n-1's checkpoint blocks only feed the next round —
       // once the final round is materialized they'd pin executor
       // memory for the rest of the session; only the last round's
       // blocks back the returned DataFrame
-      rounds.dropRight(1).foreach { df =>
-        df.queryExecution.analyzed match {
-          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
-          case _ => ()
-        }
-      }
-      labels.orderBy(col("doc_id"))
-    }),
+      rounds.dropRight(1).foreach(releaseCheckpoint)
+      labels
+    }
 
-    // Convergence-checked connected components over the verified
-    // near-dup edges: min-label propagation PLUS pointer jumping
-    // (label := label-of-label) each round, looped until NO label
-    // changes. Unlike dd_cluster's fixed 3 rounds — whose output is
-    // defined by the algorithm — this fixpoint is the TRUE component
-    // min-id, independent of iteration count, so a 100 TB graph with
-    // a pathological chain still converges (jumping makes rounds
-    // O(log diameter)); the oracle is an exact recursive-CTE
-    // transitive closure. Per round: two keyed joins, a
-    // localCheckpoint to truncate lineage, one count for the
-    // convergence test.
-    "dd_cc_converged" -> ((s, d) => {
-      val (verified, sh, bands) = verifiedPairs(s, d)
-      val edges = verified
-        .union(verified.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        .cache()
+  /** Convergence-checked min-label propagation with pointer jumping
+    * (dd_cc_converged's stage 3). Loops until no label changes; the
+    * result is the true component min-id independent of iteration
+    * count. Exposed for the PlanSpec partition pin.
+    */
+  private[graft] def propagateConverged(s: SparkSession, edges: DataFrame): DataFrame =
+    withRoundParallelism(s) {
       var labels = edges.select(col("doc_a").as("doc_id")).distinct()
         .withColumn("cluster", col("doc_id"))
         .localCheckpoint()
@@ -176,17 +216,49 @@ object DedupPipeline extends QueryPack {
         labelsCk = next
         labels = next.select(col("doc_id"), col("cluster"))
       }
-      sh.unpersist()
-      bands.unpersist()
-      edges.unpersist()
       // release superseded rounds' checkpoint blocks; only the final
       // round's blocks back the returned DataFrame
-      spent.foreach { df =>
-        df.queryExecution.analyzed match {
-          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
-          case _ => ()
-        }
-      }
+      spent.foreach(releaseCheckpoint)
+      labels
+    }
+
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_cluster" -> ((s, d) => {
+      val (verified, sh, bands) = verifiedPairs(s, d)
+      // stage 3: 3 rounds of min-label propagation over the verified
+      // edges (fixed iteration count — identical in the oracle).
+      val edges = materializedEdges(verified)
+      sh.unpersist()
+      bands.unpersist()
+      val labels = propagateFixed(s, edges, 3)
+      edges.unpersist()
+      labels.orderBy(col("doc_id"))
+    }),
+
+    // Convergence-checked connected components over the verified
+    // near-dup edges: min-label propagation PLUS pointer jumping
+    // (label := label-of-label) each round, looped until NO label
+    // changes. Unlike dd_cluster's fixed 3 rounds — whose output is
+    // defined by the algorithm — this fixpoint is the TRUE component
+    // min-id, independent of iteration count, so a 100 TB graph with
+    // a pathological chain still converges (jumping makes rounds
+    // O(log diameter)); the oracle is an exact recursive-CTE
+    // transitive closure. Per round: two keyed joins, a
+    // localCheckpoint to truncate lineage, one count for the
+    // convergence test.
+    "dd_cc_converged" -> ((s, d) => {
+      val (verified, sh, bands) = verifiedPairs(s, d)
+      val edges = materializedEdges(verified)
+      sh.unpersist()
+      bands.unpersist()
+      val labels = propagateConverged(s, edges)
+      edges.unpersist()
       labels.orderBy(col("doc_id"))
     })
   )
@@ -197,12 +269,15 @@ object DedupPipeline extends QueryPack {
         |  SELECT doc_id, lang, unnest(string_split(text,' ')) AS tok,
         |         generate_subscripts(string_split(text,' '),1) AS pos
         |  FROM documents),
+        |th AS (
+        |  SELECT doc_id, lang, pos,
+        |    ('0x' || substr(md5(tok), 1, 14))::BIGINT AS ht
+        |  FROM toks),
         |sh AS (
         |  SELECT DISTINCT doc_id, lang,
-        |    ('0x' || substr(md5(tok || ' ' || lead(tok,1) OVER w
-        |       || ' ' || lead(tok,2) OVER w), 1, 15))::BIGINT AS h
-        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-        |  QUALIFY lead(tok,2) OVER w IS NOT NULL),
+        |    3 * ht + 5 * lead(ht,1) OVER w + 7 * lead(ht,2) OVER w AS h
+        |  FROM th WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY lead(ht,2) OVER w IS NOT NULL),
         |mh AS (
         |  SELECT doc_id, lang,
         |    min(xor(h, 935853755618645598)) AS mh0,
@@ -264,12 +339,15 @@ object DedupPipeline extends QueryPack {
         |  SELECT doc_id, lang, unnest(string_split(text,' ')) AS tok,
         |         generate_subscripts(string_split(text,' '),1) AS pos
         |  FROM documents),
+        |th AS (
+        |  SELECT doc_id, lang, pos,
+        |    ('0x' || substr(md5(tok), 1, 14))::BIGINT AS ht
+        |  FROM toks),
         |sh AS (
         |  SELECT DISTINCT doc_id, lang,
-        |    ('0x' || substr(md5(tok || ' ' || lead(tok,1) OVER w
-        |       || ' ' || lead(tok,2) OVER w), 1, 15))::BIGINT AS h
-        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-        |  QUALIFY lead(tok,2) OVER w IS NOT NULL),
+        |    3 * ht + 5 * lead(ht,1) OVER w + 7 * lead(ht,2) OVER w AS h
+        |  FROM th WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY lead(ht,2) OVER w IS NOT NULL),
         |mh AS (
         |  SELECT doc_id, lang,
         |    min(xor(h, 935853755618645598)) AS mh0,

@@ -280,6 +280,36 @@ class PlanSpec extends AnyFunSuite {
     assert(!rs.contains("user_id"))
   }
 
+  test("dedup propagation rounds run at the pinned small parallelism") {
+    // The clusterers' per-round joins operate on an LSH-verified edge
+    // set orders of magnitude smaller than the corpus; each round must
+    // execute at DedupPipeline.roundPartitions, NOT the session's
+    // scan-sized shuffle parallelism — tiny-task fanout per round is
+    // what made these two queries dominate the suite under host load.
+    import spark.implicits._
+    // two components, one a chain (exercises pointer jumping)
+    val verified = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val edges = verified.union(
+      verified.select(org.apache.spark.sql.functions.col("doc_b").as("doc_a"),
+        org.apache.spark.sql.functions.col("doc_a").as("doc_b")))
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L)
+
+    val fixed = DedupPipeline.propagateFixed(spark, edges, 3)
+    assert(fixed.rdd.getNumPartitions <= DedupPipeline.roundPartitions,
+      "fixed-round labels must materialize at the pinned round parallelism")
+    assert(fixed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == expect)
+
+    val conv = DedupPipeline.propagateConverged(spark, edges)
+    assert(conv.rdd.getNumPartitions <= DedupPipeline.roundPartitions,
+      "converged labels must materialize at the pinned round parallelism")
+    assert(conv.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == expect)
+
+    // the pin is scoped: session parallelism is restored afterwards
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == "4")
+  }
+
   test("object table reads typed leaf columns — no JSON re-parse in the plan") {
     val p = plan("w4_object_projection")
     // the storage layout is one typed parquet column per leaf: the
