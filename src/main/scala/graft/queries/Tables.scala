@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types._
 
 /** Shared text shingling: word n-grams of a token-array column, as an
   * array Column. Docs with fewer than n tokens yield an EMPTY array —
@@ -21,12 +21,33 @@ object Shingles {
 }
 
 /** Parquet table loader for the driver-provided TPC-H-ish testdata
-  * (see /root/repo/TESTDATA.md). Filters/projections written against
-  * these DataFrames push down to the parquet scan via Catalyst.
+  * (see /root/repo/TESTDATA.md), normalized to ONE canonical schema
+  * per table.
+  *
+  * Every accessor conforms the physical parquet to the declared
+  * contract below — names, order, and canonical types — so a testdata
+  * regeneration that drifts a physical encoding (the round-7 failure
+  * mode: `events.ts` flipped TIMESTAMP(NANOS) → timestamp[us] and 22
+  * queries broke at once) lands in exactly one normalization point and
+  * one contract spec, never in scattered query sites. The reference
+  * makes the same move at its single decode boundary
+  * (`payloads_decoder.ex:29-62`): every payload shape funnels through
+  * one normalizing entry before any consumer sees it.
+  *
+  * Absorbed drift classes (each cast is a no-op Project entry when the
+  * physical type already matches, so pushdown/pruning are unaffected):
+  *   - integral width (int ↔ bigint)
+  *   - float/decimal → double, and array element float ↔ double
+  *   - date / TIMESTAMP(LTZ) / TIMESTAMP_NTZ → canonical timestamp_ntz
+  *     (LTZ rebuilt from epoch micros — session-zone independent)
+  *   - `events.ts` → canonical epoch-NANOS long (see normalizeTs)
+  * Anything else — a missing column, a string column arriving numeric —
+  * throws IllegalStateException AT THE TABLE BOUNDARY naming the
+  * table.column, instead of erroring N queries downstream. Columns a
+  * regeneration ADDS are dropped by the projection: queries keep
+  * compiling against the contract they were written for.
   */
 object Tables {
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
 
   /** Canonical `events.ts` contract: epoch-NANOS long, whatever the
     * parquet physically stores. The reference normalizes its envelope
@@ -40,36 +61,128 @@ object Tables {
     *     epoch-micros directly, session-timezone independent);
     *   - TIMESTAMP_NTZ (what `timestamp[us]` parquet infers to) → the
     *     naive wall-clock is the epoch reading DuckDB's `epoch_us(ts)`
-    *     uses, so convert wall→instant without trusting the session
-    *     zone: `cast` interprets the wall time in the session zone,
-    *     `from_utc_timestamp(_, current_timezone())` shifts that back
-    *     out, leaving exactly the stored micros.
+    *     uses, so measure it with pure wall-clock FIELD arithmetic
+    *     (epoch days + hour/minute/second extractions — all
+    *     zone-blind on NTZ input). Every instant-mediated route is
+    *     session-zone dependent somewhere: cast-to-LTZ and
+    *     `to_utc_timestamp` interpret the wall clock in the session
+    *     zone, and even `timestampdiff` converts NTZ operands through
+    *     it — each off by the DST delta near the zone's transitions
+    *     (verified by the skipped-hour case in SchemaContractSpec).
     * Every downstream `ts` consumer (div 1000 → micros, div 1000000 →
     * millis, typed `getAs[Long]("ts")` lambdas) builds on this one
-    * contract, so the next testdata regeneration lands HERE, not in 25
-    * scattered query sites.
+    * contract.
     */
-  private def normalizeTs(df: DataFrame): Column = df.schema("ts").dataType match {
+  private def normalizeTs(have: DataType): Column = have match {
     case LongType          => col("ts")
     case TimestampType     => unix_micros(col("ts")) * lit(1000L)
     case TimestampNTZType  =>
-      unix_micros(from_utc_timestamp(col("ts").cast(TimestampType),
-        expr("current_timezone()"))) * lit(1000L)
+      expr("unix_date(cast(ts as date)) * 86400000000L" +
+        " + extract(HOUR from ts) * 3600000000L" +
+        " + extract(MINUTE from ts) * 60000000L" +
+        " + cast(extract(SECOND from ts) * 1000000 as bigint)") * lit(1000L)
     case other => throw new IllegalStateException(
-      s"events.ts has unsupported type $other — extend Tables.normalizeTs")
+      s"events.ts has unsupported type ${other.simpleString} — extend Tables.normalizeTs")
   }
 
-  def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
-  def customer(s: SparkSession, d: String): DataFrame  = apply(s, d, "customer")
-  def supplier(s: SparkSession, d: String): DataFrame  = apply(s, d, "supplier")
-  def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
-  def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")
-  def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame = {
-    val df = apply(s, d, "events")
-    df.withColumn("ts", normalizeTs(df))
+  /** The canonical column contract of every testdata table. */
+  private[graft] val contracts: Map[String, Seq[(String, DataType)]] = Map(
+    "region" -> Seq(
+      "r_regionkey" -> IntegerType, "r_name" -> StringType),
+    "nation" -> Seq(
+      "n_nationkey" -> IntegerType, "n_name" -> StringType,
+      "n_regionkey" -> IntegerType),
+    "customer" -> Seq(
+      "c_custkey" -> LongType, "c_name" -> StringType,
+      "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
+      "c_mktsegment" -> StringType),
+    "supplier" -> Seq(
+      "s_suppkey" -> LongType, "s_name" -> StringType,
+      "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType),
+    "part" -> Seq(
+      "p_partkey" -> LongType, "p_name" -> StringType,
+      "p_brand" -> StringType, "p_type" -> StringType,
+      "p_size" -> IntegerType, "p_retailprice" -> DoubleType),
+    "orders" -> Seq(
+      "o_orderkey" -> LongType, "o_custkey" -> LongType,
+      "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+      "o_orderdate" -> TimestampNTZType, "o_orderpriority" -> StringType),
+    "lineitem" -> Seq(
+      "l_orderkey" -> LongType, "l_partkey" -> LongType,
+      "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+      "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+      "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+      "l_returnflag" -> StringType, "l_linestatus" -> StringType,
+      "l_shipdate" -> TimestampNTZType),
+    "events" -> Seq(
+      "event_id" -> LongType, "ts" -> LongType, "user_id" -> LongType,
+      "event_type" -> StringType, "value" -> DoubleType,
+      "props" -> StringType),
+    "documents" -> Seq(
+      "doc_id" -> LongType, "text" -> StringType, "lang" -> StringType,
+      "source" -> StringType, "n_chars" -> LongType),
+    "embeddings" -> Seq(
+      "vec_id" -> LongType, "embedding" -> ArrayType(FloatType),
+      "label" -> IntegerType))
+
+  /** Coerce one physical column to its canonical type, or refuse
+    * loudly. Pass-through (no cast node at all) when the type already
+    * matches, so the common path stays a bare attribute reference the
+    * optimizer collapses into the scan.
+    */
+  private def normalizeCol(table: String, name: String,
+                           have: DataType, want: DataType): Column = {
+    val c = col(name)
+    val out =
+      if (table == "events" && name == "ts") normalizeTs(have)
+      // simpleString comparison = equality modulo nullability (which
+      // parquet inference varies freely and queries don't depend on)
+      else if (have.simpleString == want.simpleString) c
+      else (have, want) match {
+        case (ByteType | ShortType | IntegerType | LongType,
+              ByteType | ShortType | IntegerType | LongType) => c.cast(want)
+        case (FloatType | DoubleType | _: DecimalType, DoubleType) => c.cast(want)
+        case (DateType | TimestampNTZType, TimestampNTZType) => c.cast(want)
+        case (TimestampType, TimestampNTZType) =>
+          // session-zone independent LTZ → UTC-wall NTZ: rebuild from
+          // the internal epoch micros instead of a zone-aware cast
+          expr(s"timestampadd(MICROSECOND, unix_micros($name), " +
+            "TIMESTAMP_NTZ'1970-01-01 00:00:00')")
+        case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType, _)) =>
+          c.cast(want)
+        case _ => throw new IllegalStateException(
+          s"$table.$name has unsupported type ${have.simpleString} " +
+          s"(canonical: ${want.simpleString}) — testdata drift; " +
+          "extend Tables.normalizeCol")
+      }
+    out.as(name)
   }
-  def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
+
+  private def conform(df: DataFrame, table: String): DataFrame = {
+    val physical = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val cols = contracts(table).map { case (name, want) =>
+      physical.get(name) match {
+        case Some(have) => normalizeCol(table, name, have, want)
+        case None => throw new IllegalStateException(
+          s"$table.$name missing from parquet " +
+          s"(physical columns: ${df.schema.fieldNames.mkString(", ")}) — " +
+          "testdata drift; extend Tables.contracts")
+      }
+    }
+    df.select(cols: _*)
+  }
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    conform(spark.read.parquet(s"$dir/$name.parquet"), name)
+
+  def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame   = apply(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = apply(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
+  def events(s: SparkSession, d: String): DataFrame     = apply(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }
