@@ -500,6 +500,100 @@ final class AstarteStore(val root: String) {
   def datastreams(spark: SparkSession): DataFrame =
     spark.read.parquet(datastreamPath).dropDuplicates()
 
+  // --- bucketed serving layout (SURVEY §2.6 scale path) ------------------
+
+  /** Catalog names are derived from the store root so parallel stores
+    * (tests, multi-realm) never collide in the session catalog.
+    */
+  private def bucketedName(table: String): String =
+    f"graft_${math.abs(root.hashCode.toLong)}%x_$table"
+
+  def bucketedDatastreamsTable: String = bucketedName("datastreams")
+  def bucketedPropertiesTable: String = bucketedName("properties")
+
+  /** Materialize the hot tables into bucketed + sorted catalog tables
+    * on `(device_id, iface)` — the access key every hot store read
+    * shares (J3 prev-value, J5 prune anti-join, R2 path reads, R5
+    * typed projections). The key shuffle happens ONCE here, off the
+    * ingest path (run it with compaction cadence); every subsequent
+    * read that joins, aggregates, or window-folds on the device/iface
+    * key then plans with ZERO Exchange below the join, because both
+    * scans report a compatible HashPartitioning — proven on the TPC
+    * tables by BucketedJoinSpec and pinned for the store by
+    * BucketedStoreSpec. This is the Spark re-expression of the
+    * reference's Cassandra partition key: every store table keys on
+    * (device_id, interface_id), so all rows a device read touches
+    * live on one node (`database_test_helper.exs:210,239`).
+    *
+    * Like compaction, the result is a point-in-time snapshot: appends
+    * after a bucketize are visible to the log readers but not to the
+    * bucketed tables until the next run — callers choose log reads
+    * (fresh) or bucketed reads (co-located) accordingly.
+    */
+  def bucketedPathsTable: String = bucketedName("paths")
+
+  def bucketizeHotTables(spark: SparkSession, buckets: Int = 8): Unit = {
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite")
+        .bucketBy(buckets, "device_id", "iface")
+        .sortBy("device_id", "iface")
+        .saveAsTable(name)
+    write(datastreams(spark), bucketedDatastreamsTable)
+    if (properties.exists(spark))
+      write(properties.snapshot(spark), bucketedPropertiesTable)
+    if (pathIndex.exists(spark))
+      write(pathIndex.snapshot(spark), bucketedPathsTable)
+  }
+
+  private def bucketedTable(spark: SparkSession, name: String): DataFrame = {
+    require(spark.catalog.tableExists(name),
+      s"bucketed table $name not materialized — run bucketizeHotTables first")
+    spark.table(name)
+  }
+
+  def bucketedDatastreams(spark: SparkSession): DataFrame =
+    bucketedTable(spark, bucketedDatastreamsTable)
+  def bucketedProperties(spark: SparkSession): DataFrame =
+    bucketedTable(spark, bucketedPropertiesTable)
+  def bucketedPaths(spark: SparkSession): DataFrame =
+    bucketedTable(spark, bucketedPathsTable)
+
+  /** J3 over the bucketed layout: each datastream row with its
+    * previous value timestamp in the same (device, iface, path)
+    * series. The window's partition keys extend the bucket key, so
+    * the scan's HashPartitioning already satisfies the clustering and
+    * the executed plan contains NO Exchange at all — only the
+    * in-partition sort (BucketedStoreSpec pins this).
+    */
+  def streamPrevTimestamps(spark: SparkSession): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("device_id"), col("iface"), col("path"))
+      .orderBy(col("value_timestamp"), col("reception_timestamp"),
+        col("reception_timestamp_submillis"))
+    bucketedDatastreams(spark)
+      .select(col("device_id"), col("iface"), col("path"),
+        col("value_timestamp"),
+        lag(col("value_timestamp"), 1).over(w).as("prev_value_timestamp"))
+  }
+
+  /** J5 over the bucketed layout: stored paths with no surviving
+    * datastream rows (the prune set after a retention sweep). Both
+    * sides are bucketed on (device_id, iface) — a PREFIX of the
+    * anti-join keys — so with
+    * `spark.sql.requireAllClusterKeysForCoPartition=false` (the
+    * documented knob that allows co-partitioned joins on a subset of
+    * the join keys; safe here because device×iface already spreads
+    * uniformly) the SMJ plans with zero Exchange below it. The
+    * default-true setting exists to avoid skew when clustering on
+    * fewer keys — not a concern for a device-keyed store.
+    */
+  def prunableStreamPaths(spark: SparkSession): DataFrame =
+    bucketedPaths(spark)
+      .select(col("device_id"), col("iface"), col("path"))
+      .join(bucketedDatastreams(spark)
+          .select(col("device_id"), col("iface"), col("path")),
+        Seq("device_id", "iface", "path"), "left_anti")
+
   /** Ordered device-update patch log (connects, disconnects, flags,
     * stats merges) for downstream folding into the device dimension.
     */
