@@ -20,6 +20,44 @@ final class AmqpClient(host: String, port: Int) extends AutoCloseable {
   private val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
   private val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
   private var channelOpen = false
+  // last flow-control state the broker announced (connection.blocked /
+  // connection.unblocked on channel 0) — these arrive asynchronously
+  // between any request and its response, so every response read goes
+  // through [[readResponse]], which absorbs them here
+  @volatile private var blockedBy: Option[String] = None
+
+  /** The broker's current flow-control state as announced by
+    * connection.blocked: Some(reason) while blocked, None otherwise.
+    * Advisory — a publisher seeing Some should stop offering work.
+    */
+  def blockedReason: Option[String] = blockedBy
+
+  // broker-initiated basic.cancel (the nowait notification form) can
+  // likewise arrive between any request and response; recorded here
+  // and surfaced by [[readDelivery]] as [[ConsumerCancelledException]]
+  @volatile private var cancelledTag: Option[String] = None
+
+  /** Read the next frame that is NOT an async notification.
+    * connection.blocked/unblocked are recorded in [[blockedReason]];
+    * a broker-initiated basic.cancel is recorded in `cancelledTag`.
+    * Both are skipped, per the published capability contract (they
+    * may interleave with any expected response).
+    */
+  private def readResponse(): Frame = {
+    while (true) {
+      val f = readFrame(in)
+      if (f.frameType == FrameMethod) {
+        val r = new Reader(f.payload)
+        (r.u16(), r.u16()) match {
+          case ConnBlocked if f.channel == 0 => blockedBy = Some(r.shortstr())
+          case ConnUnblocked if f.channel == 0 => blockedBy = None
+          case BasicCancel => cancelledTag = Some(r.shortstr())
+          case _ => return f
+        }
+      } else return f
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   // --- connection negotiation (the real 0-9-1 handshake) ------------------
   out.write(ProtocolHeader); out.flush()
@@ -49,7 +87,7 @@ final class AmqpClient(host: String, port: Int) extends AutoCloseable {
   private def ensureChannel(): Unit = synchronized {
     if (!channelOpen) {
       sendMethod(1, ChannelOpen)(_.shortstr(""))
-      val ok = readFrame(in)
+      val ok = readResponse()
       val r = new Reader(ok.payload)
       require((r.u16(), r.u16()) == ChannelOpenOk, "expected channel.open-ok")
       channelOpen = true
@@ -85,7 +123,7 @@ final class AmqpClient(host: String, port: Int) extends AutoCloseable {
   def qos(prefetchCount: Int): Unit = synchronized {
     ensureChannel()
     sendMethod(1, BasicQos)(w => w.u32(0).u16(prefetchCount).u8(0))
-    val ok = readFrame(in)
+    val ok = readResponse()
     val r = new Reader(ok.payload)
     require((r.u16(), r.u16()) == BasicQosOk,
       "expected basic.qos-ok (a deliver here means the prefetch window leaked)")
@@ -101,6 +139,44 @@ final class AmqpClient(host: String, port: Int) extends AutoCloseable {
       sendMethod(1, BasicNack)(w => w.u64(deliveryTag)
         .u8((if (multiple) 1 else 0) | (if (requeue) 2 else 0)))
     }
+
+  /** basic.reject — the 0-9-1 core single-message negative ack
+    * (basic.nack is the cumulative extension): exactly the tagged
+    * delivery is requeued (flagged redelivered) or dropped below the
+    * unmoved floor.
+    */
+  def reject(deliveryTag: Long, requeue: Boolean): Unit = synchronized {
+    ensureChannel()
+    sendMethod(1, BasicReject)(w =>
+      w.u64(deliveryTag).u8(if (requeue) 1 else 0))
+  }
+
+  /** basic.cancel: unsubscribe the push consumer started by
+    * [[consumeStart]] and wait for cancel-ok. Deliveries already in
+    * flight when the cancel was sent arrive BEFORE the cancel-ok (the
+    * 0-9-1 ordering guarantee) and are drained and DISCARDED here —
+    * unacked, so they stay below the floor and redeliver (flagged) to
+    * the next consumer, the reference's resubscribe contract
+    * (`amqp_data_consumer.ex:127-141`).
+    */
+  def cancel(consumerTag: String): Unit = synchronized {
+    ensureChannel()
+    sendMethod(1, BasicCancel)(w => w.shortstr(consumerTag).u8(0))
+    var done = false
+    while (!done) {
+      val f = readResponse()
+      if (f.frameType == FrameMethod) {
+        val r = new Reader(f.payload)
+        (r.u16(), r.u16()) match {
+          case BasicCancelOk => done = true
+          case BasicDeliver => () // in-flight push; header/body follow
+          case other =>
+            throw new java.io.IOException(s"expected cancel-ok, got $other")
+        }
+      }
+      // header/body frames of in-flight deliveries fall through
+    }
+  }
 
   /** Poll up to `max` messages off a shard queue with basic.get —
     * the spec's synchronous pull (get-ok + content per message,
@@ -118,25 +194,25 @@ final class AmqpClient(host: String, port: Int) extends AutoCloseable {
     while (n < max && !drained) {
       sendMethod(1, BasicGet)(w =>
         w.u16(0).shortstr(shard.toString).u8(0))
-      val resp = readFrame(in)
+      val resp = readResponse()
       val r = new Reader(resp.payload)
       (r.u16(), r.u16()) match {
         case BasicGetEmpty =>
           drained = true
         case BasicGetOk =>
           val deliveryTag = r.u64()
-          r.u8() // redelivered
+          val redelivered = r.u8() != 0
           r.shortstr(); r.shortstr() // exchange, routing key
-          val header = readFrame(in)
+          val header = readResponse()
           require(header.frameType == FrameHeader, "expected content header")
           val (bodySize, headers) = parseContentHeader(header.payload)
           val body = new java.io.ByteArrayOutputStream()
           while (body.size() < bodySize) {
-            val bf = readFrame(in)
+            val bf = readResponse()
             require(bf.frameType == FrameBody, "expected content body")
             body.write(bf.payload)
           }
-          out0 += Delivery(deliveryTag, body.toByteArray, headers)
+          out0 += Delivery(deliveryTag, body.toByteArray, headers, redelivered)
           n += 1
         case other =>
           throw new java.io.IOException(s"expected get-ok/get-empty, got $other")
@@ -151,6 +227,12 @@ final class AmqpClient(host: String, port: Int) extends AutoCloseable {
     * backlog size — which is why production polling uses [[consume]];
     * this exists to keep the broker's spec-mandated push dialect
     * exercised (a foreign AMQP client will basic.consume, not get).
+    *
+    * Delivery is pull-on-frame (see the broker's pump note): records
+    * published by another connection AFTER the subscription went idle
+    * are pushed at this consumer's next outbound frame — send a
+    * [[heartbeat]] (or any method) to solicit them before
+    * [[readDelivery]], or the read blocks until traffic appears.
     */
   private[sources] def consumePush(shard: Int, expect: Int): Seq[Delivery] =
     synchronized {
@@ -164,27 +246,38 @@ final class AmqpClient(host: String, port: Int) extends AutoCloseable {
     */
   private[sources] def consumeStart(shard: Int): Unit = synchronized {
     ensureChannel()
+    cancelledTag = None // a fresh subscription supersedes old notices
     sendMethod(1, BasicConsume)(w =>
       w.u16(0).shortstr(shard.toString).shortstr(s"ctag-$shard").u8(0))
-    val ok = readFrame(in)
+    val ok = readResponse()
     val r = new Reader(ok.payload)
     require((r.u16(), r.u16()) == BasicConsumeOk, "expected basic.consume-ok")
   }
 
   /** Read one pushed deliver + header + body triplet. */
   private[sources] def readDelivery(): Delivery = synchronized {
-    val del = readFrame(in)
+    // a broker-initiated cancellation (absorbed by any earlier read,
+    // e.g. a heartbeat) means the subscription is gone: unacked
+    // deliveries will redeliver — flagged — to whoever subscribes
+    // next. Surfaced as a typed exception so the caller can
+    // resubscribe, the reference's reaction
+    // (`amqp_data_consumer.ex:127-141`).
+    cancelledTag.foreach { t =>
+      cancelledTag = None
+      throw new ConsumerCancelledException(t)
+    }
+    val del = readResponse()
     val dr = new Reader(del.payload)
     require((dr.u16(), dr.u16()) == BasicDeliver, "expected basic.deliver")
     dr.shortstr() // consumer tag
     val deliveryTag = dr.u64()
     val redelivered = dr.u8() != 0
-    val header = readFrame(in)
+    val header = readResponse()
     require(header.frameType == FrameHeader, "expected content header")
     val (bodySize, headers) = parseContentHeader(header.payload)
     val body = new java.io.ByteArrayOutputStream()
     while (body.size() < bodySize) {
-      val bf = readFrame(in)
+      val bf = readResponse()
       require(bf.frameType == FrameBody, "expected content body")
       body.write(bf.payload)
     }
@@ -204,7 +297,7 @@ final class AmqpClient(host: String, port: Int) extends AutoCloseable {
     */
   def heartbeat(): Unit = synchronized {
     writeFrame(out, Frame(FrameHeartbeat, 0, Array.emptyByteArray))
-    val f = readFrame(in)
+    val f = readResponse()
     require(f.frameType == FrameHeartbeat, "expected heartbeat echo")
   }
 
@@ -217,14 +310,36 @@ final class AmqpClient(host: String, port: Int) extends AutoCloseable {
   def closeGracefully(): Unit = synchronized {
     sendMethod(0, ConnClose)(w =>
       w.u16(200).shortstr("goodbye").u16(0).u16(0))
-    val ok = readFrame(in)
-    val r = new Reader(ok.payload)
-    require((r.u16(), r.u16()) == ConnCloseOk, "expected connection.close-ok")
+    // drain whatever was already in flight (pushed deliveries, their
+    // content frames, notifications) until close-ok — per the spec a
+    // peer must discard non-close frames once it sent close. Bounded:
+    // an unresponsive-but-open peer trips the socket read timeout set
+    // by [[close]] instead of hanging forever.
+    var done = false
+    var budget = 10000
+    while (!done && budget > 0) {
+      budget -= 1
+      val f = readResponse()
+      if (f.frameType == FrameMethod) {
+        val r = new Reader(f.payload)
+        if ((r.u16(), r.u16()) == ConnCloseOk) done = true
+      }
+    }
+    require(done, "no connection.close-ok within frame budget")
     sock.close()
   }
 
   override def close(): Unit =
-    if (!sock.isClosed)
+    if (!sock.isClosed) {
+      // a hung peer must not hang close(): bound the handshake reads
+      try sock.setSoTimeout(2000) catch { case _: Throwable => () }
       try closeGracefully()
-      catch { case _: Throwable => sock.close() } // peer already gone
+      catch { case _: Throwable => try sock.close() catch { case _: Throwable => () } }
+    }
 }
+
+/** The broker cancelled our push consumer (basic.cancel arrived where
+  * a deliver was expected); resubscribe or give up.
+  */
+final class ConsumerCancelledException(val consumerTag: String)
+  extends java.io.IOException(s"consumer '$consumerTag' cancelled by broker")

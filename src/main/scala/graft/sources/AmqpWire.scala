@@ -30,15 +30,27 @@ object AmqpWire {
   val ConnTune = (10, 30); val ConnTuneOk = (10, 31)
   val ConnOpen = (10, 40); val ConnOpenOk = (10, 41)
   val ConnClose = (10, 50); val ConnCloseOk = (10, 51)
+  // connection.blocked/unblocked: the flow-control notification a
+  // broker under resource pressure sends on channel 0 (RabbitMQ's
+  // published capability extension to 0-9-1); asynchronous, so
+  // clients must tolerate one arriving between any request and its
+  // expected response
+  val ConnBlocked = (10, 60); val ConnUnblocked = (10, 61)
   val ChannelOpen = (20, 10); val ChannelOpenOk = (20, 11)
   val ChannelClose = (20, 40); val ChannelCloseOk = (20, 41)
   val BasicQos = (60, 10); val BasicQosOk = (60, 11)
   val BasicConsume = (60, 20); val BasicConsumeOk = (60, 21)
+  // basic.cancel travels both ways: client→broker to stop a
+  // subscription (answered by cancel-ok), broker→client as the
+  // consumer-cancelled notification the reference's consumer handles
+  // by resubscribing (`amqp_data_consumer.ex:127-141`)
+  val BasicCancel = (60, 30); val BasicCancelOk = (60, 31)
   val BasicPublish = (60, 40)
   val BasicDeliver = (60, 60)
   val BasicGet = (60, 70); val BasicGetOk = (60, 71)
   val BasicGetEmpty = (60, 72)
   val BasicAck = (60, 80)
+  val BasicReject = (60, 90)
   val BasicNack = (60, 120)
 
   final case class Frame(frameType: Int, channel: Int, payload: Array[Byte])

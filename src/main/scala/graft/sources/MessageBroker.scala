@@ -54,11 +54,43 @@ final class MessageBroker(requestedPort: Int = 0) extends AutoCloseable {
   private final class Shard {
     val buf = scala.collection.mutable.ArrayBuffer.empty[BrokerRecord]
     var base: Long = 0L
+    /** High-water mark of delivery: offsets below this were handed to
+      * SOME consumer at least once, so handing them out again must set
+      * the 0-9-1 `redelivered` flag — regardless of which connection
+      * or channel saw them first (real brokers track this per-message;
+      * a monotone mark is equivalent under FIFO delivery).
+      */
+    var deliveredBelow: Long = 0L
     def end: Long = base + buf.length
   }
 
   private val shards = scala.collection.mutable.ArrayBuffer(new Shard)
   @volatile private var running = true
+  // connection.blocked flow control (the RabbitMQ capability
+  // extension): when set, every AMQP connection notifies its peer at
+  // the next write opportunity. Operational hook — a real broker
+  // raises this on memory/disk alarms.
+  @volatile private var blockedReason: Option[String] = None
+  // consumer-cancel epoch: bumping it makes every AMQP connection
+  // send basic.cancel to its push consumers (the broker-initiated
+  // cancellation the reference's consumer reacts to by resubscribing,
+  // `amqp_data_consumer.ex:127-141`)
+  @volatile private var cancelEpoch: Int = 0
+
+  /** Raise the connection.blocked notification on all AMQP
+    * connections (cleared with [[unblock]]). Publishes are still
+    * accepted — the notification is advisory back-pressure, exactly
+    * the published RabbitMQ semantics.
+    */
+  def block(reason: String): Unit = blockedReason = Some(reason)
+
+  def unblock(): Unit = blockedReason = None
+
+  /** Broker-initiated basic.cancel of every push consumer; their
+    * unacked backlog stays below the floor and redelivers (flagged)
+    * to the next consumer.
+    */
+  def cancelConsumers(): Unit = cancelEpoch += 1
 
   // --- queue operations (also the server-side API for tests) -------------
 
@@ -108,6 +140,16 @@ final class MessageBroker(requestedPort: Int = 0) extends AutoCloseable {
         q.buf.slice(lo, hi).toList
       }
     }
+  }
+
+  /** Record that `offset` is being delivered; returns true when this
+    * is a REdelivery (the offset was already handed out once).
+    */
+  private def markDelivered(shard: Int, offset: Long): Boolean = synchronized {
+    val q = shards(shard)
+    val re = offset < q.deliveredBelow
+    if (offset + 1 > q.deliveredBelow) q.deliveredBelow = offset + 1
+    re
   }
 
   // --- the socket server --------------------------------------------------
@@ -215,12 +257,13 @@ final class MessageBroker(requestedPort: Int = 0) extends AutoCloseable {
     // per-channel state: the shard a consumer subscribed on
     val consumerShard = scala.collection.mutable.Map.empty[Int, Int]
     // per-channel push-consumer state: the delivery cursor (next offset
-    // to push) and the redelivery watermark (offsets below it were
-    // pushed before — a nack-requeued record carries redelivered=1,
-    // per the 0-9-1 contract)
+    // to push) and the set of single-message requeues (basic.reject /
+    // basic.nack multiple=false) pending redelivery ahead of the
+    // cursor. The redelivered flag itself comes from the shard's
+    // deliveredBelow mark, so it survives cancel and reconnect.
     final class PushState(val tag: String, val queue: String, val shard: Int) {
       var cursor: Long = 0L
-      var redeliverBelow: Long = -1L
+      val requeued = scala.collection.mutable.TreeSet.empty[Long]
     }
     val pushState = scala.collection.mutable.Map.empty[Int, PushState]
     // per-channel negotiated basic.qos prefetch-count; 0/absent =
@@ -234,7 +277,36 @@ final class MessageBroker(requestedPort: Int = 0) extends AutoCloseable {
     // are offsets and acks truncate), so the window closes itself as
     // deliveries outpace acks and reopens on every ack — back-pressure
     // for a slow consumer, exactly what prefetch exists for.
+    //
+    // DELIVERY MODEL: pump runs when a frame arrives on the
+    // consumer's own connection (consume/ack/nack/qos/heartbeat…) —
+    // pull-on-frame, not the push-anytime of a threaded broker. A
+    // record published by ANOTHER connection while this consumer is
+    // idle waits until the consumer's next frame (a heartbeat
+    // suffices). This keeps one writer per connection with no timer
+    // thread; [[AmqpClient.consumePush]] documents the client-side
+    // consequence.
+    def deliverOne(channel: Int, st: PushState, rec: BrokerRecord): Unit = {
+      val redelivered = markDelivered(st.shard, rec.offset)
+      sendMethod(channel, BasicDeliver) { w =>
+        w.shortstr(st.tag).u64(rec.offset).u8(if (redelivered) 1 else 0)
+        w.shortstr("").shortstr(st.queue)
+      }
+      writeFrame(out, Frame(FrameHeader, channel,
+        contentHeader(rec.value.length.toLong, rec.headers)))
+      writeFrame(out, Frame(FrameBody, channel, rec.value))
+    }
     def pump(channel: Int): Unit = pushState.get(channel).foreach { st =>
+      // single-message requeues first: they sit below the cursor,
+      // inside the already-counted unacked window, so the prefetch
+      // check doesn't apply to them
+      while (st.requeued.nonEmpty) {
+        val off = st.requeued.head
+        st.requeued.remove(off)
+        val base = synchronized(shards(st.shard).base)
+        if (off >= base)
+          fetch(st.shard, off, 1).headOption.foreach(deliverOne(channel, st, _))
+      }
       val pf = prefetch.getOrElse(channel, 0)
       var go = true
       while (go) {
@@ -244,14 +316,7 @@ final class MessageBroker(requestedPort: Int = 0) extends AutoCloseable {
         else fetch(st.shard, st.cursor, 1).headOption match {
           case None => go = false
           case Some(rec) =>
-            sendMethod(channel, BasicDeliver) { w =>
-              w.shortstr(st.tag).u64(rec.offset)
-                .u8(if (rec.offset < st.redeliverBelow) 1 else 0)
-              w.shortstr("").shortstr(st.queue)
-            }
-            writeFrame(out, Frame(FrameHeader, channel,
-              contentHeader(rec.value.length.toLong, rec.headers)))
-            writeFrame(out, Frame(FrameBody, channel, rec.value))
+            deliverOne(channel, st, rec)
             st.cursor = rec.offset + 1
         }
       }
@@ -260,6 +325,49 @@ final class MessageBroker(requestedPort: Int = 0) extends AutoCloseable {
     // shard; a fresh connection restarts at the ack floor (unacked
     // messages redeliver, the AMQP contract)
     val getCursor = scala.collection.mutable.Map.empty[Int, Long]
+    // single-message requeues for pull consumers, per shard: served
+    // (redelivered-flagged) by the next basic.get before the cursor
+    val getRequeued = scala.collection.mutable.Map.empty[Int,
+      scala.collection.mutable.TreeSet[Long]]
+    // notification bookkeeping: what this connection last told its
+    // peer about flow-control state / which cancel epoch it honored
+    var sentBlocked: Option[String] = None
+    var seenCancelEpoch = cancelEpoch
+
+    // shared basic.nack / basic.reject semantics: the truncation floor
+    // NEVER advances; `multiple` requeues every unacked delivery up to
+    // and including the tag, the single form exactly the tagged one.
+    // Redeliveries carry redelivered=1 via the shard's deliveredBelow
+    // mark. A single-form tag outside the unacked window (never
+    // delivered, or already acked away) is a protocol error, not a
+    // silent no-op.
+    def requeue(channel: Int, deliveryTag: Long, multiple: Boolean,
+        doRequeue: Boolean): Unit = {
+      val shard = consumerShard.getOrElse(channel,
+        throw new java.io.IOException(
+          s"basic.nack/reject on channel $channel with no prior consume/get"))
+      if (doRequeue) {
+        val floor = synchronized(shards(shard).base)
+        def offsets(cursorExcl: Long): Seq[Long] =
+          if (multiple) floor to math.min(deliveryTag, cursorExcl - 1)
+          else if (deliveryTag >= floor && deliveryTag < cursorExcl) Seq(deliveryTag)
+          else throw new java.io.IOException(
+            s"basic.nack/reject of unknown delivery-tag $deliveryTag " +
+              s"(unacked window [$floor, $cursorExcl))")
+        pushState.get(channel) match {
+          case Some(st) => st.requeued ++= offsets(st.cursor)
+          case None =>
+            val cur = math.max(getCursor.getOrElse(shard, floor), floor)
+            getRequeued.getOrElseUpdate(shard,
+              scala.collection.mutable.TreeSet.empty[Long]) ++= offsets(cur)
+        }
+        pump(channel)
+      }
+      // doRequeue=false would dead-letter in a full broker; with no
+      // DLX the records simply stay below the unmoved floor for the
+      // next consumer — either way the floor never advances
+    }
+
     // queue names/routing keys are shard indices; anything else is a
     // protocol error, not a silent default to shard 0
     def shardOf(name: String, what: String): Int =
@@ -269,6 +377,30 @@ final class MessageBroker(requestedPort: Int = 0) extends AutoCloseable {
 
     while (running) {
       val frame = readFrame(in)
+      // surface async control-plane changes now that the frame-driven
+      // loop has a write opportunity: flow-control notifications on
+      // channel 0, broker-initiated consumer cancellation per channel.
+      // (Delivery itself is also frame-driven — see the pump() note —
+      // so piggybacking notifications on the same trigger keeps one
+      // writer per connection, no timer thread.)
+      val nowBlocked = blockedReason
+      if (nowBlocked != sentBlocked) {
+        nowBlocked match {
+          case Some(reason) => sendMethod(0, ConnBlocked)(_.shortstr(reason))
+          case None => sendMethod(0, ConnUnblocked)(_ => ())
+        }
+        sentBlocked = nowBlocked
+      }
+      val nowEpoch = cancelEpoch
+      if (nowEpoch != seenCancelEpoch) {
+        seenCancelEpoch = nowEpoch
+        pushState.toList.foreach { case (ch, st) =>
+          // nowait=1: the notification form — the client does not
+          // reply, it resubscribes (or gives up), like the reference
+          sendMethod(ch, BasicCancel)(w => w.shortstr(st.tag).u8(1))
+          pushState.remove(ch)
+        }
+      }
       if (frame.frameType == FrameMethod) {
         val r = new Reader(frame.payload)
         (r.u16(), r.u16()) match {
@@ -327,16 +459,27 @@ final class MessageBroker(requestedPort: Int = 0) extends AutoCloseable {
             val (lo, hi) = synchronized {
               val q = shards(shard); (q.base, q.end)
             }
-            val cursor = math.max(getCursor.getOrElse(shard, lo), lo)
-            val rec = fetch(shard, cursor, 1).headOption
+            // a single-message requeue (reject / nack multiple=false)
+            // outranks the cursor: serve the oldest one first, and
+            // don't advance the cursor for it — it sits below
+            val requeuedHit = getRequeued.get(shard)
+              .flatMap(_.rangeFrom(lo).headOption)
+            requeuedHit.foreach(off => getRequeued(shard).remove(off))
+            val rec = requeuedHit match {
+              case Some(off) => fetch(shard, off, 1).headOption
+              case None =>
+                val cursor = math.max(getCursor.getOrElse(shard, lo), lo)
+                fetch(shard, cursor, 1).headOption
+            }
             rec match {
               case None =>
                 sendMethod(frame.channel, BasicGetEmpty)(_.shortstr(""))
               case Some(record) =>
-                getCursor(shard) = record.offset + 1
+                if (requeuedHit.isEmpty) getCursor(shard) = record.offset + 1
                 consumerShard(frame.channel) = shard
+                val redelivered = markDelivered(shard, record.offset)
                 sendMethod(frame.channel, BasicGetOk) { w =>
-                  w.u64(record.offset).u8(0)
+                  w.u64(record.offset).u8(if (redelivered) 1 else 0)
                   w.shortstr("").shortstr(queue)
                   w.u32(math.max(hi - record.offset - 1, 0L).toInt)
                 }
@@ -362,25 +505,31 @@ final class MessageBroker(requestedPort: Int = 0) extends AutoCloseable {
             // the reference nack-requeues when a tracker crashes mid-
             // message (`message_tracker/server.ex:144-148`): the floor
             // does NOT advance and the backlog redelivers from it
-            r.u64() // delivery-tag (cumulative floor rewind either way)
+            val deliveryTag = r.u64()
             val bits = r.u8() // bit0 multiple, bit1 requeue
-            val shard = consumerShard.getOrElse(frame.channel,
-              throw new java.io.IOException(
-                s"basic.nack on channel ${frame.channel} with no prior consume/get"))
-            if ((bits & 2) != 0) {
-              // requeue: rewind this channel's cursors to the ack
-              // floor; already-pushed records go out again flagged
-              // redelivered=1
-              pushState.get(frame.channel).foreach { st =>
-                st.redeliverBelow = math.max(st.redeliverBelow, st.cursor)
-                st.cursor = synchronized(shards(st.shard).base)
-              }
-              getCursor.remove(shard)
-              pump(frame.channel)
-            }
-            // requeue=false would dead-letter in a full broker; with no
-            // DLX the records simply stay below the unmoved floor for
-            // the next consumer — either way the floor never advances
+            requeue(frame.channel, deliveryTag,
+              multiple = (bits & 1) != 0, doRequeue = (bits & 2) != 0)
+
+          case BasicReject =>
+            // the 0-9-1 core single-message form (basic.nack is the
+            // RabbitMQ multi extension): delivery-tag + requeue bit,
+            // never cumulative
+            val deliveryTag = r.u64()
+            val doRequeue = r.u8() != 0
+            requeue(frame.channel, deliveryTag,
+              multiple = false, doRequeue = doRequeue)
+
+          case BasicCancel =>
+            // client-initiated unsubscribe: drop the push consumer and
+            // confirm with cancel-ok (unless nowait); its unacked
+            // deliveries stay below the unmoved floor and redeliver —
+            // flagged — to the next consumer, matching the reference's
+            // resubscribe-after-cancel flow (`amqp_data_consumer.ex:
+            // 127-141`)
+            val tag = r.shortstr()
+            val nowait = r.u8() != 0
+            pushState.remove(frame.channel)
+            if (!nowait) sendMethod(frame.channel, BasicCancelOk)(_.shortstr(tag))
 
           case ChannelClose =>
             // drop the channel's consumer/prefetch state and confirm;
@@ -405,8 +554,13 @@ final class MessageBroker(requestedPort: Int = 0) extends AutoCloseable {
       } else if (frame.frameType == FrameHeartbeat) {
         // heartbeat echo: the spec's liveness signal — a peer sending
         // heartbeats on an idle connection gets proof the broker is
-        // still there without a timer thread on either side
+        // still there without a timer thread on either side. Echo
+        // first (the client reads it synchronously), then pump: a
+        // heartbeat is also how an idle push consumer solicits records
+        // published by other connections since its last frame (the
+        // pull-on-frame delivery model — see pump's note).
         writeFrame(out, Frame(FrameHeartbeat, 0, Array.emptyByteArray))
+        pushState.keys.toList.foreach(pump)
       }
       // other stray frames are ignored
     }

@@ -160,6 +160,137 @@ class AmqpSpec extends AnyFunSuite {
     } finally { amqp.close(); broker.close() }
   }
 
+  test("basic.reject and single-message nack requeue exactly the tagged delivery") {
+    val broker = new MessageBroker()
+    val amqp = new AmqpClient("127.0.0.1", broker.port)
+    try {
+      (1 to 5).foreach(i => amqp.publish(0, Array(i.toByte), Nil))
+      val pubDeadline = System.currentTimeMillis() + 5000
+      while (broker.endOffsets.head < 5L &&
+          System.currentTimeMillis() < pubDeadline) Thread.sleep(10)
+      val consumer = new AmqpClient("127.0.0.1", broker.port)
+      try {
+        consumer.consumeStart(0)
+        val first = (1 to 5).map(_ => consumer.readDelivery())
+        assert(first.map(_.offset) == (0L until 5L))
+        // basic.reject of tag 2: ONLY offset 2 comes back, flagged —
+        // not a cumulative rewind (the 0-9-1 single-message form)
+        consumer.reject(2L, requeue = true)
+        val re = consumer.readDelivery()
+        assert(re.offset == 2L && re.redelivered)
+        // basic.nack multiple=false honors the tag the same way
+        consumer.nack(4L, multiple = false, requeue = true)
+        val re2 = consumer.readDelivery()
+        assert(re2.offset == 4L && re2.redelivered)
+        // nothing else was requeued: the floor is unmoved and a
+        // heartbeat round-trip confirms no further deliveries pend
+        assert(broker.baseOffsets == Seq(0L))
+        consumer.heartbeat()
+        consumer.ack(4L)
+        val ackDeadline = System.currentTimeMillis() + 5000
+        while (broker.baseOffsets.head < 5L &&
+            System.currentTimeMillis() < ackDeadline) Thread.sleep(10)
+        assert(broker.baseOffsets == Seq(5L))
+      } finally consumer.close()
+    } finally { amqp.close(); broker.close() }
+  }
+
+  test("reject of a tag outside the unacked window is a protocol error") {
+    val broker = new MessageBroker()
+    val amqp = new AmqpClient("127.0.0.1", broker.port)
+    try {
+      amqp.publish(0, Array(1.toByte), Nil)
+      val pubDeadline = System.currentTimeMillis() + 5000
+      while (broker.endOffsets.head < 1L &&
+          System.currentTimeMillis() < pubDeadline) Thread.sleep(10)
+      val consumer = new AmqpClient("127.0.0.1", broker.port)
+      try {
+        consumer.consumeStart(0)
+        consumer.readDelivery()
+        intercept[Exception] {
+          consumer.reject(99L, requeue = true) // never delivered
+          consumer.heartbeat() // force a read to observe the close
+          consumer.readDelivery()
+        }
+      } finally consumer.close()
+    } finally { amqp.close(); broker.close() }
+  }
+
+  test("client basic.cancel stops the push; unacked records redeliver flagged") {
+    val broker = new MessageBroker()
+    val amqp = new AmqpClient("127.0.0.1", broker.port)
+    try {
+      (1 to 3).foreach(i => amqp.publish(0, Array(i.toByte), Nil))
+      val pubDeadline = System.currentTimeMillis() + 5000
+      while (broker.endOffsets.head < 3L &&
+          System.currentTimeMillis() < pubDeadline) Thread.sleep(10)
+      val consumer = new AmqpClient("127.0.0.1", broker.port)
+      try {
+        consumer.consumeStart(0)
+        assert((1 to 3).map(_ => consumer.readDelivery()).map(_.offset)
+          == (0L until 3L))
+        // unsubscribe without acking: cancel-ok confirms, and new
+        // publishes are NOT pushed to this channel anymore
+        consumer.cancel("ctag-0")
+        amqp.publish(0, Array(4.toByte), Nil)
+        val d2 = System.currentTimeMillis() + 5000
+        while (broker.endOffsets.head < 4L &&
+            System.currentTimeMillis() < d2) Thread.sleep(10)
+        consumer.heartbeat() // would solicit pushes if still subscribed
+        // the unacked+new backlog is all still there for a pull pass,
+        // the previously-delivered part flagged redelivered (the
+        // reference's resubscribe contract, amqp_data_consumer.ex:127)
+        val repoll = consumer.consume(0, 10)
+        assert(repoll.map(_.offset) == (0L until 4L))
+        assert(repoll.map(_.redelivered) == Seq(true, true, true, false))
+      } finally consumer.close()
+    } finally { amqp.close(); broker.close() }
+  }
+
+  test("broker-initiated cancel surfaces as ConsumerCancelledException; resubscribe recovers") {
+    val broker = new MessageBroker()
+    val amqp = new AmqpClient("127.0.0.1", broker.port)
+    try {
+      (1 to 3).foreach(i => amqp.publish(0, Array(i.toByte), Nil))
+      val pubDeadline = System.currentTimeMillis() + 5000
+      while (broker.endOffsets.head < 3L &&
+          System.currentTimeMillis() < pubDeadline) Thread.sleep(10)
+      val consumer = new AmqpClient("127.0.0.1", broker.port)
+      try {
+        consumer.consumeStart(0)
+        assert((1 to 3).map(_ => consumer.readDelivery()).map(_.offset)
+          == (0L until 3L))
+        broker.cancelConsumers()
+        consumer.heartbeat() // next frame carries the cancel notice
+        val ex = intercept[ConsumerCancelledException](consumer.readDelivery())
+        assert(ex.consumerTag == "ctag-0")
+        // the reference resubscribes on cancellation: the unacked
+        // backlog redelivers in order, flagged
+        consumer.consumeStart(0)
+        val again = (1 to 3).map(_ => consumer.readDelivery())
+        assert(again.map(_.offset) == (0L until 3L))
+        assert(again.forall(_.redelivered))
+      } finally consumer.close()
+    } finally { amqp.close(); broker.close() }
+  }
+
+  test("connection.blocked notification reaches the client between responses") {
+    val broker = new MessageBroker()
+    val amqp = new AmqpClient("127.0.0.1", broker.port)
+    try {
+      amqp.publish(0, Array(1.toByte), Nil)
+      assert(amqp.blockedReason.isEmpty)
+      broker.block("memory")
+      // the notification rides ahead of the next response the client
+      // reads (here a heartbeat echo) and must not desynchronize it
+      amqp.heartbeat()
+      assert(amqp.blockedReason.contains("memory"))
+      broker.unblock()
+      amqp.heartbeat()
+      assert(amqp.blockedReason.isEmpty)
+    } finally { amqp.close(); broker.close() }
+  }
+
   test("basic.ack with no prior consume/get is a protocol error, not shard 0") {
     val broker = new MessageBroker()
     val amqp = new AmqpClient("127.0.0.1", broker.port)
