@@ -49,22 +49,14 @@ final class AstarteStore(val root: String) {
     * W1/W3's layout.
     */
   private def typedColumns(bsonCol: String, codeCol: String): Seq[(String, org.apache.spark.sql.Column)] = {
-    import BsonValueUdfs._
-    Seq(
-      "double_value" -> when(col(codeCol) === 1, doubleUdf(col(bsonCol))),
-      "integer_value" -> when(col(codeCol) === 3, intUdf(col(bsonCol))),
-      "longinteger_value" -> when(col(codeCol) === 5, longUdf(col(bsonCol))),
-      "string_value" -> when(col(codeCol) === 7, stringUdf(col(bsonCol))),
-      "boolean_value" -> when(col(codeCol) === 9, boolUdf(col(bsonCol))),
-      "binaryblob_value" -> when(col(codeCol) === 11, binaryUdf(col(bsonCol))),
-      "datetime_value" -> when(col(codeCol) === 13, longUdf(col(bsonCol))),
-      "doublearray_value" -> when(col(codeCol) === 2, doubleArrUdf(col(bsonCol))),
-      "integerarray_value" -> when(col(codeCol) === 4, intArrUdf(col(bsonCol))),
-      "longintegerarray_value" -> when(col(codeCol) === 6, longArrUdf(col(bsonCol))),
-      "stringarray_value" -> when(col(codeCol) === 8, stringArrUdf(col(bsonCol))),
-      "booleanarray_value" -> when(col(codeCol) === 10, boolArrUdf(col(bsonCol))),
-      "binaryblobarray_value" -> when(col(codeCol) === 12, binaryArrUdf(col(bsonCol))),
-      "datetimearray_value" -> when(col(codeCol) === 14, longArrUdf(col(bsonCol))))
+    import org.apache.spark.sql.graft.ColumnBridge
+    import graft.functions.BsonDecodeTyped
+    val ordered = graft.core.AstarteValueType.all.filterNot(_.isArray) ++
+      graft.core.AstarteValueType.all.filter(_.isArray)
+    ordered.map { t =>
+      t.columnName -> when(col(codeCol) === t.code, ColumnBridge.column(
+        BsonDecodeTyped(ColumnBridge.expression(col(bsonCol)), t)))
+    }
   }
 
   private val typedColumnNames: Seq[String] = Seq(
@@ -184,9 +176,12 @@ final class AstarteStore(val root: String) {
               s"object append for '$name' v$rowMajor but the registry holds " +
                 s"no mappings for that major — refusing to guess leaf types")
           val leafCols = majorMappings.map { m =>
+            import org.apache.spark.sql.graft.ColumnBridge
             val leaf = AstarteStore.leafNameOf(m.endpoint)
-            BsonValueUdfs.objectLeafUdf(m.valueType)(
-              col("valueBson"), lit(leaf)).as(s"v_$leaf")
+            ColumnBridge.column(graft.functions.BsonDecodeLeaf(
+              ColumnBridge.expression(col("valueBson")),
+              ColumnBridge.expression(lit(leaf)),
+              m.valueType)).as(s"v_$leaf")
           }
           val rows = objects
             .filter(col("iface") === name && col("major") === rowMajor)
@@ -929,7 +924,8 @@ object DeviceRow {
 }
 
 /** Re-encode a sparse typed property row back into the BSON `{v: _}`
-  * session-state form — the inverse of [[BsonValueUdfs]], used by the
+  * session-state form — the inverse of
+  * [[graft.functions.BsonDecodeTyped]], used by the
   * ST8 bootstrap.
   */
 object PropertyReencode {
@@ -952,120 +948,3 @@ object PropertyReencode {
   }
 }
 
-/** BSON `{v: _}` extraction UDFs for the write path. Plain Scala UDFs
-  * are acceptable here: applyEffects is the sink stage, not inside a
-  * codegen'd scan pipeline.
-  */
-object BsonValueUdfs {
-  import org.apache.spark.sql.functions.udf
-
-  private def v(b: Array[Byte]): Option[Any] =
-    Option(b).flatMap(Bson.decode).flatMap(_.get("v"))
-
-  val doubleUdf = udf((b: Array[Byte]) => v(b).collect {
-    case d: Double => d
-    case i: Int => i.toDouble
-    case l: Long => l.toDouble
-  })
-  val intUdf = udf((b: Array[Byte]) => v(b).collect { case i: Int => i })
-  val longUdf = udf((b: Array[Byte]) => v(b).collect {
-    case l: Long => l
-    case i: Int => i.toLong
-    case t: java.time.Instant => t.toEpochMilli
-  })
-  val stringUdf = udf((b: Array[Byte]) => v(b).collect { case s: String => s })
-  val boolUdf = udf((b: Array[Byte]) => v(b).collect { case x: Boolean => x })
-  val binaryUdf = udf((b: Array[Byte]) => v(b).collect {
-    case BsonBinary(_, bytes) => bytes
-    case bytes: Array[Byte] => bytes
-  })
-
-  private def arr(b: Array[Byte]): Option[Seq[Any]] =
-    v(b).collect { case xs: Seq[_] => xs }
-
-  val doubleArrUdf = udf((b: Array[Byte]) => arr(b).map(_.collect {
-    case d: Double => d
-    case i: Int => i.toDouble
-    case l: Long => l.toDouble
-  }))
-  val intArrUdf = udf((b: Array[Byte]) => arr(b).map(_.collect { case i: Int => i }))
-  val longArrUdf = udf((b: Array[Byte]) => arr(b).map(_.collect {
-    case l: Long => l
-    case i: Int => i.toLong
-    case t: java.time.Instant => t.toEpochMilli
-  }))
-  val stringArrUdf = udf((b: Array[Byte]) => arr(b).map(_.collect { case s: String => s }))
-  val boolArrUdf = udf((b: Array[Byte]) => arr(b).map(_.collect { case x: Boolean => x }))
-  val binaryArrUdf = udf((b: Array[Byte]) => arr(b).map(_.collect {
-    case BsonBinary(_, bytes) => bytes
-    case bytes: Array[Byte] => bytes
-  }))
-
-  /** One leaf of an object payload: `{v: {leaf: value, ...}}`. */
-  private def leafV(b: Array[Byte], leaf: String): Option[Any] =
-    v(b).collect { case m: collection.Map[_, _] =>
-      m.collectFirst { case (k, value) if String.valueOf(k) == leaf => value }
-    }.flatten
-
-  private def leafArr(b: Array[Byte], leaf: String): Option[Seq[Any]] =
-    leafV(b, leaf).collect { case xs: Seq[_] => xs }
-
-  /** Typed extraction of one object-payload leaf, per declared mapping
-    * type — the write-side decode for the dynamic `<iface>_v<major>`
-    * object tables (one typed parquet column per leaf). Coercions
-    * mirror the scalar UDFs above; datetimes land as epoch millis.
-    */
-  def objectLeafUdf(t: AstarteValueType): org.apache.spark.sql.expressions.UserDefinedFunction = {
-    import AstarteValueType._
-    t match {
-      case ADouble => udf((b: Array[Byte], leaf: String) => leafV(b, leaf).collect {
-        case d: Double => d
-        case i: Int => i.toDouble
-        case l: Long => l.toDouble
-      })
-      case AInteger => udf((b: Array[Byte], leaf: String) =>
-        leafV(b, leaf).collect { case i: Int => i })
-      case ALongInteger => udf((b: Array[Byte], leaf: String) => leafV(b, leaf).collect {
-        case l: Long => l
-        case i: Int => i.toLong
-      })
-      case AString => udf((b: Array[Byte], leaf: String) =>
-        leafV(b, leaf).collect { case s: String => s })
-      case ABoolean => udf((b: Array[Byte], leaf: String) =>
-        leafV(b, leaf).collect { case x: Boolean => x })
-      case ABinaryBlob => udf((b: Array[Byte], leaf: String) => leafV(b, leaf).collect {
-        case BsonBinary(_, bytes) => bytes
-        case bytes: Array[Byte] => bytes
-      })
-      case ADateTime => udf((b: Array[Byte], leaf: String) => leafV(b, leaf).collect {
-        case inst: java.time.Instant => inst.toEpochMilli
-        case l: Long => l
-        case i: Int => i.toLong
-      })
-      case ADoubleArray => udf((b: Array[Byte], leaf: String) => leafArr(b, leaf).map(_.collect {
-        case d: Double => d
-        case i: Int => i.toDouble
-        case l: Long => l.toDouble
-      }))
-      case AIntegerArray => udf((b: Array[Byte], leaf: String) =>
-        leafArr(b, leaf).map(_.collect { case i: Int => i }))
-      case ALongIntegerArray => udf((b: Array[Byte], leaf: String) => leafArr(b, leaf).map(_.collect {
-        case l: Long => l
-        case i: Int => i.toLong
-      }))
-      case AStringArray => udf((b: Array[Byte], leaf: String) =>
-        leafArr(b, leaf).map(_.collect { case s: String => s }))
-      case ABooleanArray => udf((b: Array[Byte], leaf: String) =>
-        leafArr(b, leaf).map(_.collect { case x: Boolean => x }))
-      case ABinaryBlobArray => udf((b: Array[Byte], leaf: String) => leafArr(b, leaf).map(_.collect {
-        case BsonBinary(_, bytes) => bytes
-        case bytes: Array[Byte] => bytes
-      }))
-      case ADateTimeArray => udf((b: Array[Byte], leaf: String) => leafArr(b, leaf).map(_.collect {
-        case inst: java.time.Instant => inst.toEpochMilli
-        case l: Long => l
-        case i: Int => i.toLong
-      }))
-    }
-  }
-}
