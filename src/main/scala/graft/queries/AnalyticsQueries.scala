@@ -951,6 +951,46 @@ object AnalyticsQueries extends QueryPack {
         .agg(countDistinct(col("sh")).as("n_shared"))
     }),
 
+    // The same decontamination at the 100 TB shape: when the eval
+    // suite's exact shingle set is too big to broadcast-join against
+    // every corpus shingle, ship a BLOOM FILTER of it instead (~10
+    // bits/element, built by one tiny job with Spark's native
+    // bloom_filter_agg) and prefilter the corpus scan map-side with
+    // the codegen'd might_contain — only the ~FP-rate survivors reach
+    // the exact join, which then needs to move almost nothing. False
+    // positives are killed by that exact verify, so the result is
+    // bit-identical to tx_decontaminate (same oracle SQL).
+    "tx_decontaminate_bloom" -> ((s, d) => {
+      import org.apache.spark.sql.graft.ColumnBridge
+      import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      def shingles(df: DataFrame) = df
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), explode(Shingles.wordNgrams(col("tk"), 3)).as("sh"))
+      val docs = Tables.documents(s, d)
+      val bench = shingles(docs.filter(col("doc_id") < 5))
+        .select(col("sh")).distinct()
+      // phase 1 (control-plane sized): aggregate the bench shingles
+      // into one serialized bloom filter on the driver
+      val bloomBytes = bench.select(ColumnBridge.column(
+          new BloomFilterAggregate(
+            ColumnBridge.expression(xxhash64(col("sh"))))
+            .toAggregateExpression()).as("bf"))
+        .head().getAs[Array[Byte]](0)
+      // phase 2: one corpus pass; might_contain evaluates inside the
+      // scan's codegen span against the broadcast-as-literal filter
+      val survivors = shingles(docs)
+        .filter(col("doc_id") >= 5)
+        .filter(ColumnBridge.column(BloomFilterMightContain(
+          org.apache.spark.sql.catalyst.expressions.Literal
+            .create(bloomBytes, org.apache.spark.sql.types.BinaryType),
+          ColumnBridge.expression(xxhash64(col("sh"))))))
+      survivors
+        .join(bench, Seq("sh")) // exact verify: bloom FPs die here
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("sh")).as("n_shared"))
+    }),
+
     // Vocabulary head: top-10 tokens per language by frequency with a
     // deterministic tie-break — the corpus statistic a tokenizer
     // training run starts from. Partial agg map-side; rank<=10 pushes
@@ -1353,6 +1393,21 @@ object AnalyticsQueries extends QueryPack {
         |    AS n_digit_runs
         |FROM s""".stripMargin,
     "tx_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+        |         generate_subscripts(string_split(text,' '),1) AS pos
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w AS sh
+        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY lead(tok,2) OVER w IS NOT NULL),
+        |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 5)
+        |SELECT s.doc_id, count(DISTINCT s.sh) AS n_shared
+        |FROM sh s JOIN bench b ON b.sh = s.sh
+        |WHERE s.doc_id >= 5
+        |GROUP BY s.doc_id""".stripMargin,
+    "tx_decontaminate_bloom" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
         |         generate_subscripts(string_split(text,' '),1) AS pos

@@ -94,6 +94,13 @@ object ReadQueries extends QueryPack {
     // DuckDB oracle hash-matches bit for bit.
     "sim_pq" -> ((s, d) => pqTopK(s, d, maxQid = 10, k = 3)),
 
+    // IVFADC: coarse IVF probe routes each query to nprobe label
+    // partitions, then PQ asymmetric distance ranks candidates INSIDE
+    // the probed partitions only — the standard composition for
+    // billion-scale ANN (inverted lists + code bytes; raw vectors
+    // never touched at query time). See ivfAdcTopK.
+    "sim_ivfadc" -> ((s, d) => ivfAdcTopK(s, d, maxQid = 10, k = 3, nprobe = 2)),
+
     // ANN recall audit: recall@3 of the two serving paths (LSH
     // bucket+rerank, IVF probe) against the brute-force exact top-3 —
     // the query that makes `sim_topk_bf` load-bearing (it IS the
@@ -109,13 +116,15 @@ object ReadQueries extends QueryPack {
           .select(lit("ivf").as("method"), col("qid"), col("nid")))
         .unionByName(pqTopK(s, d, maxQid = 10, k = 3)
           .select(lit("pq").as("method"), col("qid"), col("nid")))
+        .unionByName(ivfAdcTopK(s, d, maxQid = 10, k = 3, nprobe = 2)
+          .select(lit("ivfadc").as("method"), col("qid"), col("nid")))
       val hits = ann.join(truth, Seq("qid", "nid"))
         .groupBy(col("method"), col("qid"))
         .agg(count(lit(1)).as("hits"))
       // every (method, probe) row survives even at 0 hits — a sparse
       // bucket must read as recall 0, not as a missing row
       val base = truth.select(col("qid")).distinct()
-        .crossJoin(Seq("lsh", "ivf", "pq").toDF("method"))
+        .crossJoin(Seq("lsh", "ivf", "pq", "ivfadc").toDF("method"))
       base.join(hits, Seq("method", "qid"), "left")
         .select(col("method"), col("qid"),
           coalesce(col("hits"), lit(0L)).as("hits"))
@@ -130,8 +139,14 @@ object ReadQueries extends QueryPack {
     * encoding is one broadcast join + a map-side struct-min partial
     * agg; raw vectors never move after encode.
     */
-  private[queries] def pqTopK(s: SparkSession, d: String,
-      maxQid: Int, k: Int): DataFrame = {
+  /** The shared PQ machinery: `codes` = every vector's M one-byte
+    * codes (nid, m, code); `qdist` = each query's precomputed distance
+    * to every centroid of every subspace (qid, qm, qc, qd2) —
+    * broadcastable forever. Encode is one broadcast join + a map-side
+    * struct-min partial agg; raw vectors never move after encode.
+    */
+  private def pqPieces(s: SparkSession, d: String,
+      maxQid: Int): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(s)
     val M = 4; val SUB = 16
     val sub = AnalyticsQueries.quantEmb(s, d)
@@ -157,7 +172,56 @@ object ReadQueries extends QueryPack {
       .join(broadcast(cb), col("m") === col("cm"))
       .select(col("vec_id").as("qid"), col("m").as("qm"),
         col("c").as("qc"), dist2.as("qd2"))
+    (codes, qdist)
+  }
+
+  private[queries] def pqTopK(s: SparkSession, d: String,
+      maxQid: Int, k: Int): DataFrame = {
+    val (codes, qdist) = pqPieces(s, d, maxQid)
     val adc = codes.join(broadcast(qdist),
+        col("m") === col("qm") && col("code") === col("qc"))
+      .filter(col("nid") =!= col("qid"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(sum(col("qd2")).as("adc"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("nid").asc)
+    adc.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("qid"), col("nid"), col("adc"), col("rnk"))
+  }
+
+  /** IVFADC — the composition serving billion-scale ANN in practice:
+    * IVF's coarse quantizer routes each query to `nprobe` label
+    * partitions, and WITHIN the probed partitions candidates are
+    * ranked by PQ asymmetric distance (codes × the query's broadcast
+    * distance table), never by raw vectors. Cost per query:
+    * n_centroids probe dots + (N/n_partitions)·nprobe·M table
+    * lookups — both independent of dimension after encode, and the
+    * scan side touches only code bytes. The probe set (maxQid ×
+    * nprobe rows) and the distance tables broadcast; the only
+    * shuffled state is the final per-query top-k.
+    */
+  private[queries] def ivfAdcTopK(s: SparkSession, d: String,
+      maxQid: Int, k: Int, nprobe: Int): DataFrame = {
+    val cent = AnalyticsQueries.labelCentroids(s, d)
+      .withColumnRenamed("clabel", "label")
+    val e = AnalyticsQueries.quantEmb(s, d)
+    val q = e.filter(col("vec_id") < maxQid)
+      .select(col("vec_id").as("qid"), col("q").as("qe"), col("qnorm"))
+    // coarse probe: same construction as ivfTopK (shared centroids)
+    val probe = q.crossJoin(broadcast(cent))
+      .withColumn("pcos",
+        round(expr("vector_dot_long(qe, carr)").cast("double") /
+          (col("qnorm") * col("cnorm")), 4))
+    val wp = Window.partitionBy(col("qid")).orderBy(col("pcos").desc, col("label").asc)
+    val probed = probe.withColumn("prank", row_number().over(wp))
+      .filter(col("prank") <= nprobe)
+      .select(col("qid").as("pqid"), col("label"))
+    // fine ranking: ADC restricted to vectors in probed partitions
+    val (codes, qdist) = pqPieces(s, d, maxQid)
+    val lab = e.select(col("vec_id").as("nid"), col("label").as("nlabel"))
+    val adc = codes
+      .join(lab, Seq("nid"))
+      .join(broadcast(probed), col("nlabel") === col("label"))
+      .join(broadcast(qdist), col("pqid") === col("qid") &&
         col("m") === col("qm") && col("code") === col("qc"))
       .filter(col("nid") =!= col("qid"))
       .groupBy(col("qid"), col("nid"))
@@ -308,6 +372,64 @@ object ReadQueries extends QueryPack {
         |  SELECT qid, nid, adc,
         |    row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS rnk
         |  FROM adc) WHERE rnk <= 3""".stripMargin,
+    "sim_ivfadc" ->
+      """WITH f AS (
+        |  SELECT vec_id, label, generate_subscripts(embedding,1) AS idx,
+        |    floor(unnest(embedding)::DOUBLE * 1000000)::BIGINT AS qv
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label, idx, sum(qv) AS sq, count(*) AS nq
+        |  FROM f GROUP BY 1, 2),
+        |centq AS (
+        |  SELECT label, idx, (sq - sq % nq) // nq AS cq FROM cent),
+        |cnorms AS (
+        |  SELECT label, sqrt(sum(cq*cq)::DOUBLE) AS cnorm
+        |  FROM centq GROUP BY 1),
+        |norms AS (
+        |  SELECT vec_id, sqrt(sum(qv*qv)::DOUBLE) AS norm FROM f GROUP BY 1),
+        |probe AS (
+        |  SELECT q.vec_id AS qid, c.label,
+        |    round(sum(q.qv * c.cq)::DOUBLE / (n.norm * cn.cnorm), 4) AS pcos
+        |  FROM f q JOIN centq c ON q.idx = c.idx
+        |  JOIN norms n ON n.vec_id = q.vec_id
+        |  JOIN cnorms cn ON cn.label = c.label
+        |  WHERE q.vec_id < 10
+        |  GROUP BY q.vec_id, c.label, n.norm, cn.cnorm),
+        |probed AS (
+        |  SELECT qid, label FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY qid ORDER BY pcos DESC, label ASC) AS prank
+        |    FROM probe) WHERE prank <= 2),
+        |sub AS (
+        |  SELECT vec_id, (idx - 1) // 16 AS m, (idx - 1) % 16 AS pos, qv
+        |  FROM f),
+        |cb AS (
+        |  SELECT vec_id AS c, m, pos, qv AS cv FROM sub WHERE vec_id < 16),
+        |dist AS (
+        |  SELECT s.vec_id, s.m, cb.c,
+        |    sum((s.qv - cb.cv) * (s.qv - cb.cv))::BIGINT AS d2
+        |  FROM sub s JOIN cb ON s.m = cb.m AND s.pos = cb.pos
+        |  GROUP BY 1, 2, 3),
+        |code AS (
+        |  SELECT vec_id, m, c AS code FROM (
+        |    SELECT vec_id, m, c,
+        |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
+        |    FROM dist) WHERE rn = 1),
+        |qdist AS (
+        |  SELECT vec_id AS qid, m, c, d2 FROM dist WHERE vec_id < 10),
+        |lab AS (SELECT DISTINCT vec_id, label FROM f),
+        |adc AS (
+        |  SELECT q.qid, co.vec_id AS nid, sum(q.d2)::BIGINT AS adc
+        |  FROM code co
+        |  JOIN lab n ON n.vec_id = co.vec_id
+        |  JOIN probed p ON p.label = n.label
+        |  JOIN qdist q ON q.qid = p.qid AND q.m = co.m AND q.c = co.code
+        |  WHERE co.vec_id <> q.qid
+        |  GROUP BY 1, 2)
+        |SELECT qid, nid, adc, rnk FROM (
+        |  SELECT qid, nid, adc,
+        |    row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS rnk
+        |  FROM adc) WHERE rnk <= 3""".stripMargin,
     "sim_recall" ->
       """WITH f AS (
         |  SELECT vec_id, label, generate_subscripts(embedding,1) AS idx,
@@ -414,18 +536,33 @@ object ReadQueries extends QueryPack {
         |    SELECT qid, nid,
         |      row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS rnk
         |    FROM padc) WHERE rnk <= 3),
+        |iadc AS (
+        |  SELECT q.qid, co.vec_id AS nid, sum(q.d2)::BIGINT AS adc
+        |  FROM pcode co
+        |  JOIN (SELECT DISTINCT vec_id, label FROM f) n ON n.vec_id = co.vec_id
+        |  JOIN probed p ON p.label = n.label
+        |  JOIN pqd q ON q.qid = p.qid AND q.m = co.m AND q.c = co.code
+        |  WHERE co.vec_id <> q.qid
+        |  GROUP BY 1, 2),
+        |iadctop AS (
+        |  SELECT qid, nid FROM (
+        |    SELECT qid, nid,
+        |      row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS rnk
+        |    FROM iadc) WHERE rnk <= 3),
         |ann AS (
         |  SELECT 'lsh' AS method, qid, nid FROM lshtop
         |  UNION ALL
         |  SELECT 'ivf' AS method, qid, nid FROM ivftop
         |  UNION ALL
-        |  SELECT 'pq' AS method, qid, nid FROM pqtop),
+        |  SELECT 'pq' AS method, qid, nid FROM pqtop
+        |  UNION ALL
+        |  SELECT 'ivfadc' AS method, qid, nid FROM iadctop),
         |hits AS (
         |  SELECT a.method, a.qid, count(*) AS hits
         |  FROM ann a JOIN truth t ON t.qid = a.qid AND t.nid = a.nid
         |  GROUP BY 1, 2),
         |base AS (SELECT DISTINCT qid FROM truth),
-        |methods AS (SELECT unnest(['lsh','ivf','pq']) AS method)
+        |methods AS (SELECT unnest(['lsh','ivf','pq','ivfadc']) AS method)
         |SELECT m.method, b.qid, coalesce(h.hits, 0)::BIGINT AS hits,
         |  (coalesce(h.hits, 0) * 10000 // 3)::BIGINT AS recall_bp
         |FROM base b CROSS JOIN methods m

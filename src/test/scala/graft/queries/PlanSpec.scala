@@ -141,6 +141,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("bloom decontamination prefilters the corpus scan with might_contain") {
+    // the 100 TB shape: the eval set ships as a serialized bloom
+    // filter LITERAL evaluated inside the corpus scan's codegen span;
+    // only ~FP-rate survivors reach the exact verify join. The plan
+    // must carry the might_contain predicate as a Filter over the
+    // corpus side — if it vanished, the query silently degraded to
+    // the full broadcast-join shape and the bloom bought nothing.
+    val p = plan("tx_decontaminate_bloom")
+    assert(p.contains("might_contain"), "bloom prefilter missing from plan")
+    assert(!p.contains("CartesianProduct"))
+    // identical output to the exact broadcast variant: bloom false
+    // positives must all die in the verify join
+    val exact = SparkEntry.queries("tx_decontaminate")(spark, dir)
+      .orderBy("doc_id").collect().toSeq
+    val bloom = SparkEntry.queries("tx_decontaminate_bloom")(spark, dir)
+      .orderBy("doc_id").collect().toSeq
+    assert(bloom == exact)
+  }
+
   test("simhash pairs join in signature space, never doc×doc within lang") {
     // the round-3 scale-killer: a join keyed on lang alone makes a
     // single-language corpus all-pairs. Every non-anti join in the
