@@ -12,12 +12,15 @@ import org.apache.spark.sql.functions._
   * mean-square energy), uncompressed 24-bit BMP ([[BmpCodec]]:
   * dimensions, average luma), PNG ([[PngCodec]]: full inflate +
   * unfilter + luma), ISO-BMFF/MP4 ([[Mp4Codec]]: true duration and
-  * track dimensions from the box tree) and baseline JPEG
-  * ([[JpegCodec]]: full entropy decode — Huffman, dequantize, IDCT —
-  * to dimensions and average luma) — dispatched by magic bytes in
-  * [[FormatAwareCodec]]. Only the steps that genuinely need codec
-  * libraries absent from this environment (progressive-JPEG and MP4
-  * frame decode) stay opaque; unrecognized formats fall back to
+  * track dimensions from the box tree) and JPEG ([[JpegCodec]]: full
+  * entropy decode — Huffman, dequantize, IDCT — to dimensions and
+  * average luma, for BOTH baseline SOF0 and progressive SOF2 with
+  * spectral selection + successive approximation) — dispatched by
+  * magic bytes in [[FormatAwareCodec]]. Only the step that genuinely
+  * needs a codec library absent from this environment (MP4 video
+  * frame decode — H.264 et al.) stays opaque; the keyframe BYTE
+  * ranges are still indexed for real via the sample tables.
+  * Unrecognized formats fall back to
   * [[DeterministicStubCodec]], which produces stable fake features
   * so the pipeline stays testable end-to-end. The
   * Spark-side plumbing is real throughout: schema, size-aware
@@ -479,9 +482,13 @@ object Multimodal {
     * padding excluded) ×1000 — in JFIF the Y component IS Rec.601
     * luma, so no color conversion is needed (chroma blocks are still
     * entropy-decoded to keep bitstream position, their IDCT is
-    * skipped). Progressive (SOF2) and the other non-baseline frames
-    * keep the dims-only behavior with luma -1; any malformed entropy
-    * stream degrades to dims-only rather than failing the row.
+    * skipped). Progressive (SOF2) is decoded IN FULL — every scan's
+    * spectral band and successive-approximation bits accumulate into
+    * a coefficient store, then one dequantize+IDCT pass (see
+    * decodeProgressive). Other non-baseline frames (lossless,
+    * arithmetic-coded) keep the dims-only behavior with luma -1; any
+    * malformed entropy stream degrades to dims-only rather than
+    * failing the row.
     */
   final class JpegCodec extends MediaCodec {
     import JpegCodec._
@@ -493,8 +500,10 @@ object Multimodal {
         walkMarkers(r.content, st)
         val luma =
           if (st.canDecode)
-            try decodeScan(r.content, st)
-            catch { case scala.util.control.NonFatal(_) => -1L }
+            try {
+              if (st.progressive) decodeProgressive(r.content, st)
+              else decodeScan(r.content, st)
+            } catch { case scala.util.control.NonFatal(_) => -1L }
           else -1L
         MediaFeatures(r.mediaId, r.mediaType, len, digest,
           width = st.width, height = st.height, durationMs = 0L,
@@ -509,9 +518,24 @@ object Multimodal {
       var inScan = false
     }
 
+    /** One progressive scan: the selected components with their
+      * per-scan table ids, the spectral band [ss, se], the successive
+      * approximation bits (ah = prior point-transform, al = this
+      * scan's), the entropy-data offset, and the Huffman tables AS OF
+      * this scan (T.81 allows DHT segments between scans to redefine
+      * ids, so the decode must use the snapshot, not the final state).
+      */
+    private final class ScanHeader(
+        val sel: Array[(Component, Int, Int)], // (comp, dcTbl, acTbl)
+        val ss: Int, val se: Int, val ah: Int, val al: Int,
+        val entropyStart: Int,
+        val dc: Array[Huff], val ac: Array[Huff],
+        val restartInterval: Int)
+
     private final class ParseState {
       var width = 0; var height = 0
       var baseline = false
+      var progressive = false
       var comps: Array[Component] = Array.empty
       val quant = new Array[Array[Int]](4) // zigzag order, per DQT id
       val huffDc = new Array[Huff](4)
@@ -519,15 +543,23 @@ object Multimodal {
       var restartInterval = 0
       var scanComps: Array[Component] = Array.empty
       var entropyStart = -1
+      val scans = scala.collection.mutable.ArrayBuffer.empty[ScanHeader]
+      def compsOk: Boolean = comps.nonEmpty && comps.forall { c =>
+        c.h >= 1 && c.h <= 4 && c.v >= 1 && c.v <= 4 && quant(c.tq) != null
+      }
       def canDecode: Boolean =
-        baseline && entropyStart > 0 && width > 0 && height > 0 &&
-          width.toLong * height <= 64L * 1024 * 1024 &&
-          scanComps.nonEmpty && scanComps.forall { c =>
-            c.h >= 1 && c.h <= 4 && c.v >= 1 && c.v <= 4 &&
-              c.dcTbl <= 3 && c.acTbl <= 3 && // SOS nibbles reach 15
-              quant(c.tq) != null && huffDc(c.dcTbl) != null &&
-              huffAc(c.acTbl) != null
-          }
+        if (progressive)
+          scans.nonEmpty && width > 0 && height > 0 &&
+            width.toLong * height <= 64L * 1024 * 1024 && compsOk
+        else
+          baseline && entropyStart > 0 && width > 0 && height > 0 &&
+            width.toLong * height <= 64L * 1024 * 1024 &&
+            scanComps.nonEmpty && scanComps.forall { c =>
+              c.h >= 1 && c.h <= 4 && c.v >= 1 && c.v <= 4 &&
+                c.dcTbl <= 3 && c.acTbl <= 3 && // SOS nibbles reach 15
+                quant(c.tq) != null && huffDc(c.dcTbl) != null &&
+                huffAc(c.acTbl) != null
+            }
     }
 
     /** Canonical Huffman decode tables (T.81 annex C / F.2.2.3). */
@@ -624,9 +656,11 @@ object Multimodal {
             if (segLen < 2 || off + 2 + segLen > b.length) done = true
             else {
               val data = off + 4; val end = off + 2 + segLen
+              var next = end // SOS may move it past the entropy data
               marker match {
                 case m if isSof(m) && segLen >= 7 =>
                   st.baseline = m == 0xc0
+                  st.progressive = m == 0xc2
                   st.height = ((b(off + 5) & 0xff) << 8) | (b(off + 6) & 0xff)
                   st.width = ((b(off + 7) & 0xff) << 8) | (b(off + 8) & 0xff)
                   val nc = if (segLen >= 8) b(off + 9) & 0xff else 0
@@ -682,18 +716,44 @@ object Multimodal {
                       val tb = b(data + 2 + i * 2) & 0xff
                       st.comps.find(_.id == cid).map { c =>
                         c.dcTbl = tb >> 4; c.acTbl = tb & 0x0f
-                        c.inScan = true; c
+                        c.inScan = true; (c, tb >> 4, tb & 0x0f)
                       }
                     }
                     if (sel.forall(_.isDefined)) {
-                      st.scanComps = sel.map(_.get)
+                      st.scanComps = sel.map(_.get._1)
                       st.entropyStart = end
+                      if (st.progressive) {
+                        val ss = b(data + 1 + ns * 2) & 0xff
+                        val se = b(data + 2 + ns * 2) & 0xff
+                        val ahal = b(data + 3 + ns * 2) & 0xff
+                        st.scans += new ScanHeader(sel.map(_.get),
+                          ss, se, ahal >> 4, ahal & 0x0f, end,
+                          st.huffDc.clone(), st.huffAc.clone(),
+                          st.restartInterval)
+                      }
                     }
                   }
-                  done = true // first scan only; trailing scans unsupported
+                  if (st.progressive) {
+                    // skip the entropy-coded data to the next true
+                    // marker (0xFF + non-zero, non-RST) and keep
+                    // walking: later scans refine this one
+                    var i = end
+                    var found = -1
+                    while (found < 0 && i + 1 < b.length) {
+                      if ((b(i) & 0xff) == 0xff) {
+                        val m2 = b(i + 1) & 0xff
+                        if (m2 == 0x00 || (m2 >= 0xd0 && m2 <= 0xd7)) i += 2
+                        else if (m2 == 0xff) i += 1 // fill byte
+                        else found = i
+                      } else i += 1
+                    }
+                    if (found < 0) done = true else next = found
+                  } else {
+                    done = true // baseline: first scan only
+                  }
                 case _ => ()
               }
-              off = end
+              off = next
             }
           }
         }
@@ -859,6 +919,249 @@ object Multimodal {
         }
         if (lumaC.inScan) lumaSum * 1000L / (lw.toLong * lh) else -1L
       }
+    }
+
+    /** Full progressive (SOF2) decode of the luma plane: every scan's
+      * entropy data is applied to a per-component DCT-coefficient
+      * store — DC first/refinement (T.81 G.1.2.1), AC spectral bands
+      * with EOB runs and AC successive-approximation refinement
+      * (G.1.2.2/G.1.2.3) — then one dequantize + IDCT pass over the
+      * finished coefficients, summing the visible luma exactly like
+      * the baseline path. Returns avg luma ×1000.
+      */
+    private def decodeProgressive(b: Array[Byte], st: ParseState): Long = {
+      val hMax = st.comps.map(_.h).max
+      val vMax = st.comps.map(_.v).max
+      val lumaC = st.comps(0)
+      val mcusX = ceilDiv(st.width, 8 * hMax)
+      val mcusY = ceilDiv(st.height, 8 * vMax)
+      // per-component coefficient store over the padded MCU block
+      // grid, each block 64 ints in ZIGZAG order (dequantize at the
+      // end — progressive scans accumulate raw coefficient bits)
+      val gridW = st.comps.map(c => mcusX * c.h)
+      val gridH = st.comps.map(c => mcusY * c.v)
+      val coefs = st.comps.indices.map(i =>
+        new Array[Int](gridW(i) * gridH(i) * 64)).toArray
+      val compIdx = st.comps.zipWithIndex.toMap
+
+      def compDims(c: Component): (Int, Int) =
+        (ceilDiv(st.width * c.h, hMax), ceilDiv(st.height * c.v, vMax))
+
+      for (sc <- st.scans) {
+        val br = new BitReader(b, sc.entropyStart)
+        var eobrun = 0
+        var mcuIdx = 0; var rstIdx = 0
+        val preds = new Array[Int](sc.sel.length)
+        def maybeRestart(): Unit =
+          if (sc.restartInterval > 0 && mcuIdx > 0 &&
+              mcuIdx % sc.restartInterval == 0) {
+            br.restart(rstIdx)
+            rstIdx = (rstIdx + 1) & 7
+            java.util.Arrays.fill(preds, 0)
+            eobrun = 0
+          }
+        if (sc.ss == 0) {
+          // DC scan (se must be 0): interleaved over the MCU grid
+          // when several components are selected, else raster over
+          // the single component's own block grid
+          if (sc.se != 0)
+            throw new IllegalArgumentException("DC scan with se != 0")
+          def dcUnit(ci: Int, base: Int, dcH: Huff): Unit =
+            if (sc.ah == 0) {
+              val s = dcH.decode(br)
+              if (s > 15) throw new IllegalArgumentException("bad DC category")
+              preds(ci) += extend(br.receive(s), s)
+              coefs(ci)(base) = preds(ci) << sc.al
+            } else {
+              if (br.bit() == 1) coefs(ci)(base + 0) += (1 << sc.al)
+            }
+          if (sc.sel.length == 1) {
+            val (c, dcT, _) = sc.sel(0)
+            val gi = compIdx(c)
+            val (cw, ch) = compDims(c)
+            val bxs = ceilDiv(cw, 8); val bys = ceilDiv(ch, 8)
+            val dcH = if (sc.ah == 0) needDc(sc, dcT) else null
+            var by = 0
+            while (by < bys) {
+              var bx = 0
+              while (bx < bxs) {
+                maybeRestart()
+                dcUnit(0, (by * gridW(gi) + bx) * 64, dcH)
+                mcuIdx += 1; bx += 1
+              }
+              by += 1
+            }
+          } else {
+            var my = 0
+            while (my < mcusY) {
+              var mx = 0
+              while (mx < mcusX) {
+                maybeRestart()
+                var ci = 0
+                while (ci < sc.sel.length) {
+                  val (c, dcT, _) = sc.sel(ci)
+                  val gi = compIdx(c)
+                  val dcH = if (sc.ah == 0) needDc(sc, dcT) else null
+                  var i = 0
+                  while (i < c.v) {
+                    var j = 0
+                    while (j < c.h) {
+                      val base =
+                        ((my * c.v + i) * gridW(gi) + (mx * c.h + j)) * 64
+                      dcUnit(ci, base, dcH)
+                      j += 1
+                    }
+                    i += 1
+                  }
+                  ci += 1
+                }
+                mcuIdx += 1; mx += 1
+              }
+              my += 1
+            }
+          }
+        } else {
+          // AC scan: T.81 mandates exactly one component,
+          // non-interleaved over the component's own block grid
+          if (sc.sel.length != 1)
+            throw new IllegalArgumentException("interleaved AC scan")
+          val (c, _, acT) = sc.sel(0)
+          val gi = compIdx(c)
+          val acH = needAc(sc, acT)
+          val (cw, ch) = compDims(c)
+          val bxs = ceilDiv(cw, 8); val bys = ceilDiv(ch, 8)
+          val coef = coefs(gi)
+          val p1 = 1 << sc.al
+          var by = 0
+          while (by < bys) {
+            var bx = 0
+            while (bx < bxs) {
+              maybeRestart()
+              val base = (by * gridW(gi) + bx) * 64
+              if (sc.ah == 0) {
+                // first AC scan of this band at this precision
+                if (eobrun > 0) eobrun -= 1
+                else {
+                  var k = sc.ss
+                  var stop = false
+                  while (!stop && k <= sc.se) {
+                    val rs = acH.decode(br)
+                    val r = rs >> 4; val s = rs & 0x0f
+                    if (s == 0) {
+                      if (r < 15) {
+                        eobrun = (1 << r) - 1
+                        if (r > 0) eobrun += br.receive(r)
+                        stop = true
+                      } else k += 16 // ZRL
+                    } else {
+                      k += r
+                      if (k > sc.se)
+                        throw new IllegalArgumentException("AC index overflow")
+                      coef(base + k) = extend(br.receive(s), s) << sc.al
+                      k += 1
+                    }
+                  }
+                }
+              } else {
+                // refinement (T.81 G.1.2.3): one correction bit per
+                // already-nonzero coefficient along the way; run
+                // codes position new ±p1 coefficients among the
+                // ZERO-HISTORY slots (decrement-then-test, so ZRL
+                // skips exactly 16 of them); an EOB code refines the
+                // rest of the band and starts an EOB run
+                def refineBit(idx: Int): Unit =
+                  if (br.bit() == 1 && (coef(idx) & p1) == 0)
+                    coef(idx) += (if (coef(idx) >= 0) p1 else -p1)
+                var k = sc.ss
+                if (eobrun == 0) {
+                  var atEob = false
+                  while (!atEob && k <= sc.se) {
+                    val rs = acH.decode(br)
+                    var r = rs >> 4; val s = rs & 0x0f
+                    var newval = 0
+                    if (s != 0) {
+                      if (s != 1)
+                        throw new IllegalArgumentException(
+                          "bad refinement magnitude")
+                      newval = if (br.bit() == 1) p1 else -p1
+                    } else if (r != 15) {
+                      eobrun = 1 << r
+                      if (r > 0) eobrun += br.receive(r)
+                      atEob = true // rest of band handled below
+                    }
+                    if (!atEob) {
+                      var hitRun = false
+                      while (!hitRun && k <= sc.se) {
+                        val idx = base + k
+                        if (coef(idx) != 0) refineBit(idx)
+                        else { r -= 1; if (r < 0) hitRun = true }
+                        if (!hitRun) k += 1
+                      }
+                      if (newval != 0) {
+                        if (k > sc.se)
+                          throw new IllegalArgumentException(
+                            "refinement run past band end")
+                        coef(base + k) = newval
+                      }
+                      k += 1
+                    }
+                  }
+                }
+                if (eobrun > 0) {
+                  while (k <= sc.se) {
+                    if (coef(base + k) != 0) refineBit(base + k)
+                    k += 1
+                  }
+                  eobrun -= 1
+                }
+              }
+              mcuIdx += 1; bx += 1
+            }
+            by += 1
+          }
+        }
+      }
+
+      // final pass: dequantize + IDCT the luma component's visible
+      // blocks (chroma coefficients were tracked only to keep each
+      // scan's bitstream position honest; no color conversion needed)
+      val gi = compIdx(lumaC)
+      val qt = st.quant(lumaC.tq)
+      val (lw, lh) = compDims(lumaC)
+      val bxs = ceilDiv(lw, 8); val bys = ceilDiv(lh, 8)
+      val natural = new Array[Int](64)
+      val coef = coefs(gi)
+      var lumaSum = 0L
+      var by = 0
+      while (by < bys) {
+        var bx = 0
+        while (bx < bxs) {
+          val base = (by * gridW(gi) + bx) * 64
+          var k = 0
+          while (k < 64) {
+            natural(JpegZigzag(k)) = coef(base + k) * qt(k)
+            k += 1
+          }
+          lumaSum += idctSumVisible(natural, bx, by, lw, lh)
+          bx += 1
+        }
+        by += 1
+      }
+      lumaSum * 1000L / (lw.toLong * lh)
+    }
+
+    private def needDc(sc: ScanHeader, t: Int): Huff = {
+      val h = if (t <= 3) sc.dc(t) else null
+      if (h == null)
+        throw new IllegalArgumentException(s"missing DC huffman table $t")
+      h
+    }
+
+    private def needAc(sc: ScanHeader, t: Int): Huff = {
+      val h = if (t <= 3) sc.ac(t) else null
+      if (h == null)
+        throw new IllegalArgumentException(s"missing AC huffman table $t")
+      h
     }
 
     private def ceilDiv(a: Int, d: Int): Int = (a + d - 1) / d
@@ -1123,6 +1426,149 @@ object Multimodal {
         restartInterval = 0)
     }
 
+    /** PROGRESSIVE (SOF2) grayscale encoder: one component, the scan
+      * script given as (ss, se, ah, al) tuples — spectral-selection
+      * bands and successive-approximation bits, exactly T.81 annex G.
+      * DC first scans send diffs of the POINT-TRANSFORMED value
+      * (arithmetic >> al), DC refinements one raw bit per block; AC
+      * first scans run-length code the toward-zero-shifted band with
+      * per-block EOB, AC refinements interleave correction bits with
+      * run codes the way G.1.2.3's decoder consumes them (buffered
+      * bits flush after the next symbol; ZRL drains at every reached
+      * nonzero, guarded by the last-newly-nonzero position so
+      * trailing zeros fold into the EOB). Exists so [[JpegCodec]]'s
+      * progressive path is testable against the baseline decode of
+      * the SAME coefficients — the two must agree bit-exactly.
+      */
+    def progressiveGrey(width: Int, height: Int, quant: Array[Int],
+        block: (Int, Int) => Array[Int],
+        script: Seq[(Int, Int, Int, Int)]): Array[Byte] = {
+      val bxs = (width + 7) / 8; val bys = (height + 7) / 8
+      // zigzag-order quantized coefficients per block, raster order
+      val zz = (for (by <- 0 until bys; bx <- 0 until bxs) yield {
+        val nat = block(bx, by)
+        Array.tabulate(64)(k => nat(JpegZigzag(k)))
+      }).toArray
+
+      // AC point transform: divide by 2^al toward zero (G.1.2.2);
+      // DC uses plain arithmetic shift (G.1.2.1)
+      def towardZero(v: Int, al: Int): Int =
+        if (v >= 0) v >> al else -((-v) >> al)
+
+      val out = new java.io.ByteArrayOutputStream()
+      def seg(marker: Int, payload: Array[Byte]): Unit = {
+        out.write(0xff); out.write(marker)
+        val l = payload.length + 2
+        out.write((l >> 8) & 0xff); out.write(l & 0xff)
+        out.write(payload, 0, payload.length)
+      }
+      out.write(0xff); out.write(0xd8) // SOI
+      seg(0xdb, Array(0.toByte) ++
+        Array.tabulate(64)(k => quant(JpegZigzag(k)).toByte))
+      seg(0xc2, Array[Byte](8,
+        ((height >> 8) & 0xff).toByte, (height & 0xff).toByte,
+        ((width >> 8) & 0xff).toByte, (width & 0xff).toByte,
+        1, 1, 0x11, 0))
+
+      for ((ss, se, ah, al) <- script) {
+        val isDc = ss == 0
+        // one walk over all blocks; pass 1 collects Huffman symbols,
+        // pass 2 writes bits — identical traversal both times
+        def walkScan(emitSym: (Int, Int, Int) => Unit,
+            emitBit: Int => Unit): Unit = {
+          var pred = 0
+          zz.foreach { blk =>
+            if (isDc) {
+              if (ah == 0) {
+                val v = blk(0) >> al
+                val diff = v - pred; pred = v
+                val s = category(diff)
+                emitSym(s, if (s == 0) 0 else extraBits(diff, s), s)
+              } else emitBit((blk(0) >> al) & 1)
+            } else if (ah == 0) {
+              var r = 0; var k = ss
+              while (k <= se) {
+                val v = towardZero(blk(k), al)
+                if (v == 0) r += 1
+                else {
+                  while (r > 15) { emitSym(0xf0, 0, 0); r -= 16 }
+                  val s = category(v)
+                  emitSym((r << 4) | s, extraBits(v, s), s)
+                  r = 0
+                }
+                k += 1
+              }
+              if (r > 0) emitSym(0x00, 0, 0) // per-block EOB
+            } else {
+              // refinement: t = |v| at this precision; t>1 = history
+              // coefficient (buffer its next bit), t==1 = newly
+              // nonzero (run code + sign), t==0 counts into the run
+              var eobPos = ss - 1
+              var k = ss
+              while (k <= se) {
+                if (math.abs(towardZero(blk(k), al)) == 1) eobPos = k
+                k += 1
+              }
+              var r = 0
+              val pending = scala.collection.mutable.ArrayBuffer.empty[Int]
+              def flush(): Unit = { pending.foreach(emitBit); pending.clear() }
+              k = ss
+              while (k <= se) {
+                val cur = towardZero(blk(k), al)
+                val t = math.abs(cur)
+                if (t == 0) r += 1
+                else {
+                  while (r > 15 && k <= eobPos) {
+                    emitSym(0xf0, 0, 0); r -= 16; flush()
+                  }
+                  if (t > 1) pending += (t & 1)
+                  else {
+                    emitSym((r << 4) | 1, 0, 0)
+                    emitBit(if (cur > 0) 1 else 0)
+                    flush()
+                    r = 0
+                  }
+                }
+                k += 1
+              }
+              if (r > 0 || pending.nonEmpty) { emitSym(0x00, 0, 0); flush() }
+            }
+          }
+        }
+
+        // pass 1: the scan's Huffman alphabet (DC refinements are
+        // raw bits only — no table, no DHT)
+        val syms = scala.collection.mutable.SortedSet.empty[Int]
+        walkScan((s, _, _) => syms += s, _ => ())
+        val needHuff = !(isDc && ah != 0)
+        val sorted = syms.toArray
+        val n = math.max(1, sorted.length)
+        val len = 32 - Integer.numberOfLeadingZeros(n)
+        val codes = sorted.zipWithIndex.map { case (s, i) => s -> (i, len) }.toMap
+        if (needHuff) {
+          val counts = new Array[Byte](16)
+          counts(len - 1) = sorted.length.toByte
+          seg(0xc4, Array((if (isDc) 0x00 else 0x10).toByte) ++
+            counts ++ sorted.map(_.toByte))
+        }
+        seg(0xda, Array[Byte](1, 1, 0x00,
+          ss.toByte, se.toByte, ((ah << 4) | al).toByte))
+
+        // pass 2: entropy-coded data
+        val bw = new BitWriter(out)
+        walkScan(
+          (sym, extra, ebits) => {
+            val (code, clen) = codes(sym)
+            bw.put(code, clen)
+            if (ebits > 0) bw.put(extra, ebits)
+          },
+          bit => bw.put(bit, 1))
+        bw.flushOnes()
+      }
+      out.write(0xff); out.write(0xd9) // EOI
+      out.toByteArray
+    }
+
     private final case class CompSpec(
         id: Int, h: Int, v: Int, tq: Int, tdc: Int, tac: Int)
 
@@ -1330,8 +1776,8 @@ object Multimodal {
   /** Magic-byte dispatch: RIFF/WAVE → real PCM decode, BM → real BMP
     * decode, PNG signature → real PNG decode, ISO-BMFF `ftyp` → real
     * MP4 box parse (true duration + dimensions, frames opaque), JPEG
-    * SOI → real marker parse + full baseline entropy decode (true
-    * dimensions and luma; progressive stays dims-only), anything
+    * SOI → real marker parse + full entropy decode to dimensions and
+    * luma (baseline single-scan or progressive multi-scan), anything
     * else → the deterministic stub.
     */
   final class FormatAwareCodec(

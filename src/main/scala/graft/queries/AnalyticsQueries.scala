@@ -1289,6 +1289,39 @@ object AnalyticsQueries extends QueryPack {
           col("avgLumaMilli").as("luma_milli"))
     }),
 
+    // Real PROGRESSIVE JPEG decode, ORACLE-CHECKED: per document a
+    // deterministic SOF2 stream whose scan script exercises DC
+    // successive approximation (top bits, then two refinement
+    // passes) and AC band scans — decoded through the full
+    // multi-scan coefficient accumulation + IDCT. DC-only blocks at
+    // quant step 8 make each block's luma exactly dc+128, so the
+    // oracle recomputes the visible-area average arithmetically; a
+    // hash match proves every approximation bit landed.
+    "mm_jpeg_progressive" -> ((s, d) => {
+      import s.implicits._
+      import graft.analytics.Multimodal
+      val media = Tables.documents(s, d)
+        .select(col("doc_id")).filter(col("doc_id") < 200)
+        .as[Long].map { id =>
+          val w = 9 + (id % 12).toInt
+          val h = 9 + (id % 7).toInt
+          def yb(bx: Int, by: Int): Array[Int] = {
+            val a = new Array[Int](64)
+            a(0) = ((id * 5 + bx * 11 + by * 23) % 48).toInt - 24
+            a
+          }
+          val bytes = Multimodal.JpegBuilder.progressiveGrey(w, h,
+            Array.fill(64)(8), yb,
+            Seq((0, 0, 0, 2), (1, 63, 0, 1),
+              (0, 0, 2, 1), (0, 0, 1, 0), (1, 63, 1, 0)))
+          Multimodal.MediaRow(id, "image", bytes)
+        }
+      Multimodal.extractFeatures(media, new Multimodal.FormatAwareCodec)
+        .toDF()
+        .select(col("mediaId").as("doc_id"), col("width"), col("height"),
+          col("avgLumaMilli").as("luma_milli"))
+    }),
+
     // Real MP4/JPEG container parse, ORACLE-CHECKED: per document
     // build a deterministic container — even ids an ISO-BMFF box tree
     // (v1 layout every third id), odd ids a JPEG marker stream — then
@@ -1986,6 +2019,23 @@ object AnalyticsQueries extends QueryPack {
         |    AND bys.by * 8 < (9 + d.doc_id % 7))
         |SELECT doc_id, w::INT AS width, h::INT AS height,
         |  (sum(((doc_id*7 + bx*13 + by*29) % 32 - 16 + 128)
+        |       * least(8, w - bx*8) * least(8, h - by*8))
+        |     * 1000 // (w * h))::BIGINT AS luma_milli
+        |FROM blk GROUP BY doc_id, w, h""".stripMargin,
+    // arithmetic twin of the progressive decode: DC-only blocks at
+    // quant 8 are solid dc+128, averaged over the visible crop
+    "mm_jpeg_progressive" ->
+      """WITH bxs AS (SELECT unnest(range(3)) AS bx),
+        |bys AS (SELECT unnest(range(2)) AS by),
+        |blk AS (
+        |  SELECT d.doc_id, (9 + d.doc_id % 12) AS w, (9 + d.doc_id % 7) AS h,
+        |         bxs.bx, bys.by
+        |  FROM documents d, bxs, bys
+        |  WHERE d.doc_id < 200
+        |    AND bxs.bx * 8 < (9 + d.doc_id % 12)
+        |    AND bys.by * 8 < (9 + d.doc_id % 7))
+        |SELECT doc_id, w::INT AS width, h::INT AS height,
+        |  (sum(((doc_id*5 + bx*11 + by*23) % 48 - 24 + 128)
         |       * least(8, w - bx*8) * least(8, h - by*8))
         |     * 1000 // (w * h))::BIGINT AS luma_milli
         |FROM blk GROUP BY doc_id, w, h""".stripMargin,

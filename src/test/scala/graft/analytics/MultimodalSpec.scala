@@ -501,6 +501,77 @@ class MultimodalSpec extends AnyFunSuite {
     assert(fx.avgLumaMilli == -1L)
   }
 
+  /** Deterministic sparse coefficient blocks: a mix of zero runs
+    * (exercising ZRL + EOB paths), negatives, and values spanning
+    * several magnitude bits (exercising successive approximation).
+    */
+  private def progBlock(bx: Int, by: Int): Array[Int] = {
+    val a = new Array[Int](64)
+    var seed = bx * 7919 + by * 104729 + 17
+    def next(): Int = { seed = seed * 1103515245 + 12345; (seed >>> 16) & 0x7fff }
+    a(0) = (next() % 64) - 32 // DC
+    var i = 0
+    while (i < 6) { // 6 sparse AC coefficients per block
+      val pos = 1 + next() % 63
+      val mag = 1 + next() % 23
+      a(pos) = if (next() % 2 == 0) mag else -mag
+      i += 1
+    }
+    a
+  }
+
+  test("real JPEG progressive decode: spectral selection matches baseline") {
+    val quant = Array.tabulate(64)(k => 4 + (k % 8))
+    // 20×18: 3×3 block grid with right/bottom edge crops
+    val baseline = JpegBuilder.baselineGrey(20, 18, quant, progBlock)
+    val expected = new JpegCodec()
+      .decodeBatch(Seq(MediaRow(1L, "image", baseline))).head
+    assert(expected.avgLumaMilli >= 0)
+    // DC scan, then the AC spectrum split across three bands — the
+    // classic spectral-selection-only script
+    val prog = JpegBuilder.progressiveGrey(20, 18, quant, progBlock,
+      Seq((0, 0, 0, 0), (1, 5, 0, 0), (6, 20, 0, 0), (21, 63, 0, 0)))
+    val fx = new JpegCodec().decodeBatch(Seq(MediaRow(2L, "image", prog))).head
+    assert(fx.width == 20 && fx.height == 18)
+    assert(fx.avgLumaMilli == expected.avgLumaMilli,
+      "progressive coefficients must reconstruct the baseline image exactly")
+  }
+
+  test("real JPEG progressive decode: successive approximation refines to exact") {
+    val quant = Array.fill(64)(5)
+    val baseline = JpegBuilder.baselineGrey(24, 16, quant, progBlock)
+    val expected = new JpegCodec()
+      .decodeBatch(Seq(MediaRow(1L, "image", baseline))).head
+    // the libjpeg-style script: coarse bits first (Al=2), then two
+    // one-bit refinement passes per band down to full precision —
+    // exercises DC refinement bits, AC first-at-Al, and the
+    // G.1.2.3 correction-bit interleave (history bits buffered
+    // through ZRL and EOB codes)
+    val prog = JpegBuilder.progressiveGrey(24, 16, quant, progBlock,
+      Seq(
+        (0, 0, 0, 2), // DC, top bits
+        (1, 10, 0, 2), (11, 63, 0, 2), // AC bands, coarse
+        (0, 0, 2, 1), (0, 0, 1, 0), // DC refinements to full precision
+        (1, 10, 2, 1), (11, 63, 2, 1), // AC refinement, bit 1
+        (1, 10, 1, 0), (11, 63, 1, 0))) // AC refinement, bit 0
+    val fx = new JpegCodec().decodeBatch(Seq(MediaRow(2L, "image", prog))).head
+    assert(fx.width == 24 && fx.height == 16)
+    assert(fx.avgLumaMilli == expected.avgLumaMilli,
+      "all approximation bits applied must reconstruct the exact image")
+  }
+
+  test("progressive decode stops cleanly on truncated refinement data") {
+    val quant = Array.fill(64)(6)
+    val good = JpegBuilder.progressiveGrey(16, 16, quant, progBlock,
+      Seq((0, 0, 0, 1), (1, 63, 0, 1), (0, 0, 1, 0), (1, 63, 1, 0)))
+    // chop inside the last scan's entropy data: dims must survive,
+    // luma must degrade to -1 rather than throwing out of the codec
+    val cut = good.take(good.length - 6)
+    val fx = new JpegCodec().decodeBatch(Seq(MediaRow(1L, "image", cut))).head
+    assert(fx.width == 16 && fx.height == 16)
+    assert(fx.avgLumaMilli == -1L)
+  }
+
   test("JPEG decoder survives fuzzed and bit-flipped streams") {
     val rnd = new scala.util.Random(0x1be60L) // deterministic
     val codec = new JpegCodec()
@@ -522,6 +593,17 @@ class MultimodalSpec extends AnyFunSuite {
     }, restartInterval = 2)
     (2 until good.length).foreach { pos =>
       val mut = good.clone()
+      mut(pos) = (mut(pos) ^ 0x55).toByte
+      codec.decodeBatch(Seq(MediaRow(pos.toLong, "image", mut)))
+    }
+    // the same single-byte sweep over a valid PROGRESSIVE stream:
+    // corrupt scan scripts, refinement runs past the band, invalid
+    // magnitudes — all must degrade per-row, never throw or hang
+    val goodProg = JpegBuilder.progressiveGrey(16, 16, quant, (bx, by) => {
+      val a = new Array[Int](64); a(0) = bx - by; a(3) = 5; a(17) = -9; a
+    }, Seq((0, 0, 0, 1), (1, 63, 0, 1), (0, 0, 1, 0), (1, 63, 1, 0)))
+    (2 until goodProg.length).foreach { pos =>
+      val mut = goodProg.clone()
       mut(pos) = (mut(pos) ^ 0x55).toByte
       codec.decodeBatch(Seq(MediaRow(pos.toLong, "image", mut)))
     }
