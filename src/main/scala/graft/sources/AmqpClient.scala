@@ -140,6 +140,21 @@ final class AmqpClient(host: String, port: Int) extends AutoCloseable {
         .u8((if (multiple) 1 else 0) | (if (requeue) 2 else 0)))
     }
 
+  /** channel.flow: pause (active=false) or resume (active=true) the
+    * broker's deliveries on this channel without cancelling the
+    * subscription — the 0-9-1 core per-channel gate. Synchronous
+    * (flow-ok echoes the state). On resume, records that queued while
+    * paused are pushed at the broker's next write opportunity.
+    */
+  def flow(active: Boolean): Unit = synchronized {
+    ensureChannel()
+    sendMethod(1, ChannelFlow)(w => w.u8(if (active) 1 else 0))
+    val ok = readResponse()
+    val r = new Reader(ok.payload)
+    require((r.u16(), r.u16()) == ChannelFlowOk, "expected channel.flow-ok")
+    require((r.u8() != 0) == active, "flow-ok state mismatch")
+  }
+
   /** basic.reject — the 0-9-1 core single-message negative ack
     * (basic.nack is the cumulative extension): exactly the tagged
     * delivery is requeued (flagged redelivered) or dropped below the

@@ -37,6 +37,12 @@ object AmqpWire {
   // expected response
   val ConnBlocked = (10, 60); val ConnUnblocked = (10, 61)
   val ChannelOpen = (20, 10); val ChannelOpenOk = (20, 11)
+  // channel.flow: the 0-9-1 core per-channel delivery gate (a peer
+  // asks the other to stop/resume sending content). Modern brokers
+  // prefer connection.blocked for broker→client back-pressure, but
+  // the client→broker direction remains the spec's way to pause a
+  // subscription without cancelling it.
+  val ChannelFlow = (20, 20); val ChannelFlowOk = (20, 21)
   val ChannelClose = (20, 40); val ChannelCloseOk = (20, 41)
   val BasicQos = (60, 10); val BasicQosOk = (60, 11)
   val BasicConsume = (60, 20); val BasicConsumeOk = (60, 21)

@@ -286,6 +286,10 @@ final class MessageBroker(requestedPort: Int = 0) extends AutoCloseable {
     // suffices). This keeps one writer per connection with no timer
     // thread; [[AmqpClient.consumePush]] documents the client-side
     // consequence.
+    // channels paused by channel.flow(active=false): deliveries gate
+    // until flow(active=true); acks/nacks still process (the spec
+    // stops CONTENT, not methods)
+    val flowPaused = scala.collection.mutable.Set.empty[Int]
     def deliverOne(channel: Int, st: PushState, rec: BrokerRecord): Unit = {
       val redelivered = markDelivered(st.shard, rec.offset)
       sendMethod(channel, BasicDeliver) { w =>
@@ -296,7 +300,8 @@ final class MessageBroker(requestedPort: Int = 0) extends AutoCloseable {
         contentHeader(rec.value.length.toLong, rec.headers)))
       writeFrame(out, Frame(FrameBody, channel, rec.value))
     }
-    def pump(channel: Int): Unit = pushState.get(channel).foreach { st =>
+    def pump(channel: Int): Unit = pushState.get(channel)
+        .filterNot(_ => flowPaused(channel)).foreach { st =>
       // single-message requeues first: they sit below the cursor,
       // inside the already-counted unacked window, so the prefetch
       // check doesn't apply to them
@@ -530,6 +535,16 @@ final class MessageBroker(requestedPort: Int = 0) extends AutoCloseable {
             val nowait = r.u8() != 0
             pushState.remove(frame.channel)
             if (!nowait) sendMethod(frame.channel, BasicCancelOk)(_.shortstr(tag))
+
+          case ChannelFlow =>
+            // per-channel delivery gate: flow-ok echoes the state; a
+            // reopened gate pumps whatever queued while paused
+            val active = r.u8() != 0
+            if (active) flowPaused.remove(frame.channel)
+            else flowPaused.add(frame.channel)
+            sendMethod(frame.channel, ChannelFlowOk)(
+              _.u8(if (active) 1 else 0))
+            if (active) pump(frame.channel)
 
           case ChannelClose =>
             // drop the channel's consumer/prefetch state and confirm;

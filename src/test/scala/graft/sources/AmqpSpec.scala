@@ -274,6 +274,37 @@ class AmqpSpec extends AnyFunSuite {
     } finally { amqp.close(); broker.close() }
   }
 
+  test("channel.flow pauses deliveries without cancelling; resume flushes") {
+    val broker = new MessageBroker()
+    val amqp = new AmqpClient("127.0.0.1", broker.port)
+    try {
+      (1 to 2).foreach(i => amqp.publish(0, Array(i.toByte), Nil))
+      val pubDeadline = System.currentTimeMillis() + 5000
+      while (broker.endOffsets.head < 2L &&
+          System.currentTimeMillis() < pubDeadline) Thread.sleep(10)
+      val consumer = new AmqpClient("127.0.0.1", broker.port)
+      try {
+        consumer.consumeStart(0)
+        assert((1 to 2).map(_ => consumer.readDelivery()).map(_.offset)
+          == (0L until 2L))
+        // gate the channel, publish more: the heartbeat that would
+        // normally solicit the push must NOT produce a delivery —
+        // the next frame after the echo is the flow-ok, not a deliver
+        consumer.flow(active = false)
+        amqp.publish(0, Array(3.toByte), Nil)
+        val d2 = System.currentTimeMillis() + 5000
+        while (broker.endOffsets.head < 3L &&
+            System.currentTimeMillis() < d2) Thread.sleep(10)
+        consumer.heartbeat()
+        consumer.flow(active = false) // pause probe: flow-ok, no deliver
+        // reopening the gate pushes the queued record
+        consumer.flow(active = true)
+        val d = consumer.readDelivery()
+        assert(d.offset == 2L && d.value.head == 3.toByte)
+      } finally consumer.close()
+    } finally { amqp.close(); broker.close() }
+  }
+
   test("connection.blocked notification reaches the client between responses") {
     val broker = new MessageBroker()
     val amqp = new AmqpClient("127.0.0.1", broker.port)
