@@ -72,6 +72,44 @@ object AnalyticsQueries extends QueryPack {
         sqrt(expr("vector_dot_long(q, q)").cast("double")))
   }
 
+  /** Per-doc packing spans (see `tx_pack`): the global token offset of
+    * every document under corpus-order concatenation, and the
+    * W=512-token context windows it lands in. The prefix sum is
+    * computed distributed: deterministic range buckets (doc_id against
+    * the broadcast max — no sampled RangePartitioner, so bucket ids
+    * are stable across engines and runs), per-bucket subtotals
+    * exclusive-prefixed over a P-row window (the ONLY unpartitioned
+    * window — trivially tiny), broadcast back, then a per-bucket
+    * running sum partitioned P ways. A bare `sum() OVER (ORDER BY
+    * doc_id)` would be a single-partition window over the whole
+    * corpus — the shape that dies at 100 TB.
+    */
+  private def packSpans(s: SparkSession, d: String): DataFrame = {
+    val W = 512L; val P = 8
+    val sized = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+    val mx = sized.agg(max(col("doc_id")).as("max_id"))
+    val bucketed = sized.crossJoin(broadcast(mx))
+      .withColumn("pid", expr(s"doc_id * $P div (max_id + 1)"))
+    val offW = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = bucketed.groupBy(col("pid"))
+      .agg(sum(col("n_toks")).as("psum"))
+      .withColumn("offset",
+        coalesce(sum(col("psum")).over(offW), lit(0L)))
+      .select(col("pid"), col("offset"))
+    val local = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+    bucketed
+      .withColumn("local_end", sum(col("n_toks")).over(local))
+      .join(broadcast(off), Seq("pid"))
+      .select(col("doc_id"), col("n_toks"),
+        (col("offset") + col("local_end") - col("n_toks")).as("start_tok"))
+      .withColumn("win_first", expr(s"start_tok div $W"))
+      .withColumn("win_last", expr(s"(start_tok + n_toks - 1) div $W"))
+      .withColumn("n_windows", col("win_last") - col("win_first") + lit(1L))
+  }
+
   /** Flattened (vec_id, label, idx, qv) view of the quantized
     * embeddings — the join-friendly layout for centroid sums.
     */
@@ -698,6 +736,45 @@ object AnalyticsQueries extends QueryPack {
         .withColumn("cum_tokens", sum(col("n_tokens")).over(cum))
         .select(col("lang"), col("rk"), col("source"), col("n_tokens"),
           expr("cum_tokens * 10000 div lang_total").as("cum_share_bp"))
+    }),
+
+    // Sequence packing — the "concatenate all documents in corpus
+    // order, split into fixed W-token context windows" step that turns
+    // a cleaned corpus into pretraining examples. Per doc: its global
+    // token offset and the window span it lands in. The global offset
+    // is a prefix sum, and a bare `sum() OVER (ORDER BY doc_id)` is a
+    // SINGLE-partition window — the one shape guaranteed to die at
+    // 100 TB — so this computes it distributed in two phases: (1)
+    // deterministic range buckets (doc_id against the broadcast max —
+    // no sampled RangePartitioner, so bucket ids are stable across
+    // engines and runs), per-bucket token subtotals (tiny: P rows),
+    // exclusive-prefix them (P-row window, trivially single-partition)
+    // and broadcast; (2) a per-bucket running sum, partitioned P ways.
+    // Every big-side operation is partitioned; only the P-row offset
+    // table is not.
+    "tx_pack" -> ((s, d) => packSpans(s, d)),
+
+    // The window-side view of the same packing: per context window,
+    // how many docs contribute, the token fill (= W except the tail
+    // window — the invariant that proves the split is airtight), and
+    // how many of its docs spill across a boundary (the
+    // attention-masking question: what fraction of windows need a
+    // document-boundary reset). Derived from tx_pack's per-doc spans
+    // by exploding each doc to the ≤(n_toks/W)+1 windows it overlaps —
+    // fan-out bounded by doc length, never data size — then one
+    // partial-agg groupBy on window id.
+    "tx_pack_windows" -> ((s, d) => {
+      val W = 512L
+      packSpans(s, d)
+        .withColumn("win",
+          explode(sequence(col("win_first"), col("win_last"))))
+        .groupBy(col("win"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(least(col("start_tok") + col("n_toks"), (col("win") + 1) * W) -
+              greatest(col("start_tok"), col("win") * W)).as("n_tokens"),
+          sum(when(col("win_first") < col("win") ||
+                   col("win_last") > col("win"), 1L).otherwise(0L))
+            .as("n_spanning"))
     }),
 
     // MinHash estimator quality: for every LSH candidate pair, the
@@ -1384,6 +1461,46 @@ object AnalyticsQueries extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+    "tx_pack" ->
+      """WITH s AS (
+        |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_toks,
+        |    (sum(n_toks) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |     - n_toks)::BIGINT AS start_tok
+        |  FROM s)
+        |SELECT doc_id, n_toks, start_tok,
+        |  start_tok // 512 AS win_first,
+        |  (start_tok + n_toks - 1) // 512 AS win_last,
+        |  (start_tok + n_toks - 1) // 512 - start_tok // 512 + 1
+        |    AS n_windows
+        |FROM c""".stripMargin,
+    "tx_pack_windows" ->
+      """WITH s AS (
+        |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_toks,
+        |    (sum(n_toks) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |     - n_toks)::BIGINT AS start_tok
+        |  FROM s),
+        |w AS (
+        |  SELECT doc_id, n_toks, start_tok,
+        |    start_tok // 512 AS win_first,
+        |    (start_tok + n_toks - 1) // 512 AS win_last
+        |  FROM c),
+        |x AS (
+        |  SELECT *, unnest(generate_series(win_first, win_last)) AS win
+        |  FROM w)
+        |SELECT win, count(*) AS n_docs,
+        |  sum(least(start_tok + n_toks, (win + 1) * 512)
+        |      - greatest(start_tok, win * 512))::BIGINT AS n_tokens,
+        |  sum(CASE WHEN win_first < win OR win_last > win
+        |           THEN 1 ELSE 0 END)::BIGINT AS n_spanning
+        |FROM x GROUP BY win""".stripMargin,
     "tx_vocab_topk" ->
       """WITH c AS (
         |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -101,6 +101,22 @@ object ReadQueries extends QueryPack {
     // never touched at query time). See ivfAdcTopK.
     "sim_ivfadc" -> ((s, d) => ivfAdcTopK(s, d, maxQid = 10, k = 3, nprobe = 2)),
 
+    // Lloyd's k-means over the embeddings — the unsupervised "train"
+    // step the IVF/PQ paths above take as given (their codebooks and
+    // coarse centroids come from per-label means; a real pipeline
+    // learns them with exactly this loop). k=4, 2 iterations, all
+    // deterministic: init = the first k vectors, assignment = exact
+    // integer L2 argmin (ties to the smallest cluster id), update =
+    // truncating integer-division mean per element (the same exact
+    // re-quantization labelCentroids uses). Per iteration: one
+    // broadcast of k centroids, one map-side struct-min partial agg
+    // (the n×k fan-out collapses before the shuffle), one (cid, idx)
+    // partial-agg groupBy — cost linear in N per round, no window
+    // over data-sized partitions, nothing driver-side. An empty
+    // cluster drops out identically on both engines (no guard
+    // needed — consistency, not liveness, is the contract here).
+    "sim_kmeans" -> ((s, d) => kmeansClusters(s, d, k = 4, iters = 2)),
+
     // ANN recall audit: recall@3 of the two serving paths (LSH
     // bucket+rerank, IVF probe) against the brute-force exact top-3 —
     // the query that makes `sim_topk_bf` load-bearing (it IS the
@@ -231,6 +247,50 @@ object ReadQueries extends QueryPack {
       .select(col("qid"), col("nid"), col("adc"), col("rnk"))
   }
 
+  /** Lloyd's k-means (see `sim_kmeans`): returns one row per
+    * surviving cluster — (cid, n_members, min_vec, cc) where cc is
+    * the exact integer self-dot of the final centroid (the
+    * engine-comparable fingerprint of its position).
+    */
+  private[queries] def kmeansClusters(s: SparkSession, d: String,
+      k: Int, iters: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = AnalyticsQueries.quantEmb(s, d).select(col("vec_id"), col("q"))
+    // assignment: exact integer L2 argmin over the broadcast
+    // centroids; qq is constant per vector so d2 ranks by
+    // -2·q·c + c·c alone — dropping qq keeps every term well inside
+    // long range and the argmin identical
+    def assign(cent: DataFrame): DataFrame =
+      e.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("q"), col("cid"),
+          expr("vector_dot_long(carr, carr) - 2 * vector_dot_long(q, carr)")
+            .as("d2"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("cid"))).as("best"),
+          first(col("q")).as("q"))
+        .select(col("vec_id"), col("q"), col("best.cid").as("cid"))
+    def update(assigned: DataFrame): DataFrame =
+      assigned
+        .select(col("cid"), posexplode(col("q")).as(Seq("idx", "qv")))
+        .groupBy(col("cid"), col("idx"))
+        .agg(sum(col("qv")).as("sq"), count(lit(1)).as("nq"))
+        .withColumn("cq", expr("cast(sq div nq as int)"))
+        .groupBy(col("cid"))
+        .agg(transform(sort_array(collect_list(struct(col("idx"), col("cq")))),
+          x => x.getField("cq")).as("carr"))
+    var cent = e.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cid"), col("q").as("carr"))
+    var assigned: DataFrame = null
+    for (_ <- 1 to iters) {
+      assigned = assign(cent)
+      cent = update(assigned)
+    }
+    assigned.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"), min(col("vec_id")).as("min_vec"))
+      .join(cent.select(col("cid"),
+        expr("vector_dot_long(carr, carr)").as("cc")), Seq("cid"))
+  }
+
   /** IVF-style ANN top-k: quantized per-label centroids (the "train"
     * step, shared with sim_centroid_outlier/dd_semantic_dedup via
     * AnalyticsQueries.labelCentroids), probe = top-`nprobe` centroids
@@ -265,6 +325,42 @@ object ReadQueries extends QueryPack {
   }
 
   override def oracle: Map[String, String] = Map(
+    "sim_kmeans" ->
+      """WITH f AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+        |    floor(unnest(embedding)::DOUBLE * 1000000)::BIGINT AS qv
+        |  FROM embeddings),
+        |c0 AS (
+        |  SELECT vec_id::INT AS cid, idx, qv AS cq FROM f WHERE vec_id < 4),
+        |a1 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT q.vec_id, c.cid,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY sum(c.cq * c.cq - 2 * q.qv * c.cq) ASC, c.cid ASC)
+        |        AS rn
+        |    FROM f q JOIN c0 c ON q.idx = c.idx
+        |    GROUP BY q.vec_id, c.cid) WHERE rn = 1),
+        |c1 AS (
+        |  SELECT cid, idx, (sq - sq % nq) // nq AS cq FROM (
+        |    SELECT a.cid, q.idx, sum(q.qv) AS sq, count(*) AS nq
+        |    FROM f q JOIN a1 a ON q.vec_id = a.vec_id GROUP BY 1, 2)),
+        |a2 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT q.vec_id, c.cid,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY sum(c.cq * c.cq - 2 * q.qv * c.cq) ASC, c.cid ASC)
+        |        AS rn
+        |    FROM f q JOIN c1 c ON q.idx = c.idx
+        |    GROUP BY q.vec_id, c.cid) WHERE rn = 1),
+        |c2 AS (
+        |  SELECT cid, idx, (sq - sq % nq) // nq AS cq FROM (
+        |    SELECT a.cid, q.idx, sum(q.qv) AS sq, count(*) AS nq
+        |    FROM f q JOIN a2 a ON q.vec_id = a.vec_id GROUP BY 1, 2))
+        |SELECT a.cid, count(*) AS n_members, min(a.vec_id) AS min_vec, c.cc
+        |FROM a2 a
+        |JOIN (SELECT cid, sum(cq * cq)::BIGINT AS cc FROM c2 GROUP BY 1) c
+        |  ON a.cid = c.cid
+        |GROUP BY a.cid, c.cc""".stripMargin,
     "r1_triggers_by_object" ->
       """WITH triggers(trigger_id, object_id, object_type, op, target) AS (VALUES
         |  ('t1','purchase','iface','GREATER_THAN','amqp://high-purchase'),

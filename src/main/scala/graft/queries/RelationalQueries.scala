@@ -317,6 +317,36 @@ object RelationalQueries extends QueryPack {
             .as("n_purchases"))
     }),
 
+    // Correlated scalar subquery, decorrelated (TPC-H Q17 shape):
+    // lineitems below 20% of their part's average quantity. The
+    // correlated form (SELECT avg(l_quantity) WHERE l_partkey =
+    // outer.l_partkey) re-scans the fact table per row — the ONLY
+    // scale-safe plan is decorrelation into one per-key aggregate +
+    // equi-join, which is what Catalyst's RewriteCorrelatedScalarQuery
+    // does and what this spells out explicitly. Threshold compare in
+    // exact integers: quantities are integral, so qty < 0.2·(sum/cnt)
+    // ⟺ qty·5·cnt < sum — no float boundary to disagree on. Revenue
+    // in exact cents (per-row round of the SAME double is
+    // IEEE-deterministic; the integer sum then has one value).
+    "q17_small_qty" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val stats = li.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+          count(lit(1)).as("cnt_qty"))
+      val pt = Tables.part(s, d)
+        .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+        .select(col("p_partkey"), col("p_brand"))
+      li.join(broadcast(pt), li("l_partkey") === pt("p_partkey"))
+        .join(stats, li("l_partkey") === col("pk"))
+        .filter(col("l_quantity").cast("long") * 5 * col("cnt_qty") <
+          col("sum_qty"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_small"),
+          sum(round(col("l_extendedprice") * 100).cast("long"))
+            .as("sum_cents"))
+        .withColumn("avg_yearly_cents", expr("sum_cents div 7"))
+    }),
+
     // W1 property upsert = last-writer-wins per key
     // (queries.ex:121-155): latest event value per (user_id,
     // event_type). One shuffle on the key, rank inside partition.
@@ -378,6 +408,21 @@ object RelationalQueries extends QueryPack {
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= TIMESTAMP '2001-01-01')""".stripMargin,
+    "q17_small_qty" ->
+      """WITH stats AS (
+        |  SELECT l_partkey AS pk, sum(l_quantity::BIGINT) AS sum_qty,
+        |         count(*) AS cnt_qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT p_brand, count(*) AS n_small,
+        |  sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS sum_cents,
+        |  sum(round(l_extendedprice * 100)::BIGINT)::BIGINT // 7
+        |    AS avg_yearly_cents
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN stats s ON l.l_partkey = s.pk
+        |WHERE p.p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+        |  AND l.l_quantity::BIGINT * 5 * s.cnt_qty < s.sum_qty
+        |GROUP BY 1""".stripMargin,
     "q_rollup" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |  coalesce(o_orderpriority, 'ALL') AS priority,

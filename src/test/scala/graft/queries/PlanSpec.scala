@@ -329,6 +329,35 @@ class PlanSpec extends AnyFunSuite {
     assert(spark.conf.get("spark.sql.shuffle.partitions") == "4")
   }
 
+  test("tx_pack: the corpus prefix sum never runs a data-sized global window") {
+    val p = plan("tx_pack")
+    // the big-side running sum must be partitioned (by the range
+    // bucket pid); the only permissible unpartitioned window is the
+    // P-row bucket-offset prefix. A `Window [...] ORDER BY doc_id`
+    // with an empty partition spec over the documents scan would be
+    // the single-task shape that dies at 100 TB.
+    val windows = p.linesIterator.filter(_.contains("Window ")).toList
+    assert(windows.exists(_.contains("partitionBy")) ||
+           windows.exists(_.contains("pid")),
+      s"expected the doc-side window partitioned by pid:\n${windows.mkString("\n")}")
+    // the bucket offsets join back as a broadcast, not a shuffle
+    assert(p.contains("BroadcastHashJoin"),
+      "bucket offsets must broadcast-join back to the docs")
+  }
+
+  test("sim_kmeans: per-round assignment broadcasts centroids, no window shuffle") {
+    val df = graft.queries.ReadQueries.kmeansClusters(spark, dir, k = 4, iters = 1)
+    val p = df.queryExecution.executedPlan.toString()
+    // centroids reach every vector via broadcast nested loop (k rows),
+    // and the argmin is a struct-min AGGREGATE — partial map-side
+    // combine — not a per-vector rank window
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "centroid fan-out must be a broadcast join")
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Window ") && l.contains("vec_id")),
+      "assignment must be a partial-agg struct-min, not a rank window")
+  }
+
   test("object table reads typed leaf columns — no JSON re-parse in the plan") {
     val p = plan("w4_object_projection")
     // the storage layout is one typed parquet column per leaf: the
