@@ -84,11 +84,17 @@ object AnalyticsQueries extends QueryPack {
     * doc_id)` would be a single-partition window over the whole
     * corpus — the shape that dies at 100 TB.
     */
-  private def packSpans(s: SparkSession, d: String): DataFrame = {
-    val W = 512L; val P = 8
-    val sized = Tables.documents(s, d)
+  private def packSpans(s: SparkSession, d: String): DataFrame =
+    packSpansOf(Tables.documents(s, d)
       .select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_toks"))
+        size(split(col("text"), " ")).cast("long").as("n_toks")))
+
+  /** The packing core over any (doc_id, n_toks) set — tx_pack feeds it
+    * the whole corpus, pipe_corpus_windows the gated/decontaminated
+    * survivor set.
+    */
+  private def packSpansOf(sized: DataFrame): DataFrame = {
+    val W = 512L; val P = 8
     val mx = sized.agg(max(col("doc_id")).as("max_id"))
     val bucketed = sized.crossJoin(broadcast(mx))
       .withColumn("pid", expr(s"doc_id * $P div (max_id + 1)"))
@@ -108,6 +114,41 @@ object AnalyticsQueries extends QueryPack {
       .withColumn("win_first", expr(s"start_tok div $W"))
       .withColumn("win_last", expr(s"(start_tok + n_toks - 1) div $W"))
       .withColumn("n_windows", col("win_last") - col("win_first") + lit(1L))
+  }
+
+  /** The corpus admission gate (see `tx_corpus_gate`): one verdict per
+    * document — too_short / repetitive / bag_dup / low_quality / pass —
+    * from the shared qualityScoreRaw score, the Gopher-style duplicate-
+    * bigram rule, and a token-bag duplicate keeper election. Shared by
+    * `tx_corpus_gate` (reports every verdict) and
+    * `pipe_corpus_windows` (keeps only 'pass'), so a threshold tune
+    * cannot make the standalone gate and the composed pipeline
+    * silently disagree.
+    */
+  private def gateVerdicts(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("tk"))
+      .withColumn("n_tokens", size(col("tk")))
+      .withColumn("bag_hash",
+        md5(concat_ws(" ", array_sort(array_distinct(col("tk"))))))
+      .withColumn("bigrams", Shingles.wordNgrams(col("tk"), 2))
+      .withColumn("n_bigrams", size(col("bigrams")))
+      .withColumn("n_dbg", size(array_distinct(col("bigrams"))))
+      .withColumn("n_stop",
+        size(filter(col("tk"), t => array_contains(stopwords, t))))
+      .withColumn("score_raw",
+        qualityScoreRaw(col("n_tokens"), col("n_stop"), col("n_chars")))
+      .withColumn("score_bp", floor(col("score_raw") * 10000).cast("long"))
+    base
+      .withColumn("bag_keeper",
+        min(col("doc_id")).over(Window.partitionBy(col("bag_hash"))))
+      .withColumn("verdict",
+        when(col("n_tokens") < 16, "too_short")
+          .when(col("n_dbg") * 2 < col("n_bigrams"), "repetitive")
+          .when(col("doc_id") =!= col("bag_keeper"), "bag_dup")
+          .when(col("score_bp") < 5000, "low_quality")
+          .otherwise("pass"))
+      .select(col("doc_id"), col("verdict"), col("score_bp"))
   }
 
   /** Flattened (vec_id, label, idx, qv) view of the quantized
@@ -777,6 +818,40 @@ object AnalyticsQueries extends QueryPack {
             .as("n_spanning"))
     }),
 
+    // The END-TO-END corpus-to-training-examples pipeline — the
+    // composition a real pretraining data build runs as ONE lineage:
+    // (1) admission gate (shared gateVerdicts: length / repetition /
+    // bag-dup / quality — keep only 'pass'); (2) decontamination
+    // (drop any doc sharing a 3-gram with the held-out eval set,
+    // doc_id < 5 — the same broadcast-semi-join shape as
+    // tx_decontaminate, plus the eval docs themselves); (3) sequence-
+    // pack the survivors into 512-token context windows (the
+    // distributed prefix sum of tx_pack, re-run over the FILTERED id
+    // space). Everything before the pack is map-side or
+    // broadcast-joined — the corpus is never shuffled until it is
+    // small enough to pack — and each stage reuses the standalone
+    // query's exact definition, so the composed output can't drift
+    // from the parts the gate/decon/pack oracles already pin.
+    "pipe_corpus_windows" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pass = gateVerdicts(s, d)
+        .filter(col("verdict") === "pass").select(col("doc_id"))
+      def shingles3(df: DataFrame) = df
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"),
+          explode(Shingles.wordNgrams(col("tk"), 3)).as("sh"))
+      val bench = shingles3(docs.filter(col("doc_id") < 5))
+        .select(col("sh")).distinct()
+      val contaminated = shingles3(docs.filter(col("doc_id") >= 5))
+        .join(broadcast(bench), Seq("sh"))
+        .select(col("doc_id")).distinct()
+      val kept = docs.filter(col("doc_id") >= 5)
+        .join(pass, Seq("doc_id"), "left_semi")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+      packSpansOf(kept.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks")))
+    }),
+
     // MinHash estimator quality: for every LSH candidate pair, the
     // signature-estimated Jaccard (matching minhashes / 8) against
     // the exact shingle-set Jaccard — the evaluation that tells you
@@ -898,31 +973,7 @@ object AnalyticsQueries extends QueryPack {
     // keeper is elected with a window over that hash — one shuffle,
     // everything else map-side. Thresholds compare integers or
     // identical doubles (floor-scaled), never rounded rationals.
-    "tx_corpus_gate" -> ((s, d) => {
-      val base = Tables.documents(s, d)
-        .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("tk"))
-        .withColumn("n_tokens", size(col("tk")))
-        .withColumn("bag_hash",
-          md5(concat_ws(" ", array_sort(array_distinct(col("tk"))))))
-        .withColumn("bigrams", Shingles.wordNgrams(col("tk"), 2))
-        .withColumn("n_bigrams", size(col("bigrams")))
-        .withColumn("n_dbg", size(array_distinct(col("bigrams"))))
-        .withColumn("n_stop",
-          size(filter(col("tk"), t => array_contains(stopwords, t))))
-        .withColumn("score_raw",
-          qualityScoreRaw(col("n_tokens"), col("n_stop"), col("n_chars")))
-        .withColumn("score_bp", floor(col("score_raw") * 10000).cast("long"))
-      base
-        .withColumn("bag_keeper",
-          min(col("doc_id")).over(Window.partitionBy(col("bag_hash"))))
-        .withColumn("verdict",
-          when(col("n_tokens") < 16, "too_short")
-            .when(col("n_dbg") * 2 < col("n_bigrams"), "repetitive")
-            .when(col("doc_id") =!= col("bag_keeper"), "bag_dup")
-            .when(col("score_bp") < 5000, "low_quality")
-            .otherwise("pass"))
-        .select(col("doc_id"), col("verdict"), col("score_bp"))
-    }),
+    "tx_corpus_gate" -> ((s, d) => gateVerdicts(s, d)),
 
     // BPE-style pre-tokenization (RE2-safe class regex — word / number
     // / punctuation runs), the unit-count a tokenizer-budget pipeline
@@ -1461,6 +1512,67 @@ object AnalyticsQueries extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+    "pipe_corpus_windows" ->
+      """WITH base AS (
+        |  SELECT doc_id, n_chars, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |feat AS (
+        |  SELECT doc_id, n_chars, len(tk) AS n_tokens,
+        |    md5(array_to_string(list_sort(list_distinct(tk)), ' ')) AS bag_hash,
+        |    CASE WHEN len(tk) >= 2
+        |      THEN list_transform(generate_series(1, len(tk) - 1),
+        |             i -> tk[i] || ' ' || tk[i + 1])
+        |      ELSE [] END AS bigrams,
+        |    len(list_filter(tk,
+        |      t -> list_contains(['the','a','of','and','to','in'], t))) AS n_stop
+        |  FROM base),
+        |scored AS (
+        |  SELECT doc_id, n_tokens, bag_hash,
+        |    len(bigrams) AS n_bigrams,
+        |    len(list_distinct(bigrams)) AS n_dbg,
+        |    floor((least(n_tokens / 100.0, 1.0) * 0.4 +
+        |           (1.0 - n_stop / n_tokens) * 0.3 +
+        |           least((n_chars - (n_tokens - 1)) / n_tokens / 8.0, 1.0) * 0.3)
+        |          * 10000)::BIGINT AS score_bp
+        |  FROM feat),
+        |keep AS (
+        |  SELECT *, min(doc_id) OVER (PARTITION BY bag_hash) AS bag_keeper
+        |  FROM scored),
+        |pass AS (
+        |  SELECT doc_id FROM keep
+        |  WHERE NOT (n_tokens < 16) AND NOT (n_dbg * 2 < n_bigrams)
+        |    AND doc_id = bag_keeper AND score_bp >= 5000),
+        |toks AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+        |         generate_subscripts(string_split(text,' '),1) AS pos
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w AS sh
+        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY lead(tok,2) OVER w IS NOT NULL),
+        |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 5),
+        |contaminated AS (
+        |  SELECT DISTINCT s.doc_id FROM sh s JOIN bench b ON b.sh = s.sh
+        |  WHERE s.doc_id >= 5),
+        |kept AS (
+        |  SELECT d.doc_id, len(string_split(d.text, ' '))::BIGINT AS n_toks
+        |  FROM documents d
+        |  JOIN pass p ON p.doc_id = d.doc_id
+        |  WHERE d.doc_id >= 5
+        |    AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        |c AS (
+        |  SELECT doc_id, n_toks,
+        |    (sum(n_toks) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |     - n_toks)::BIGINT AS start_tok
+        |  FROM kept)
+        |SELECT doc_id, n_toks, start_tok,
+        |  start_tok // 512 AS win_first,
+        |  (start_tok + n_toks - 1) // 512 AS win_last,
+        |  (start_tok + n_toks - 1) // 512 - start_tok // 512 + 1
+        |    AS n_windows
+        |FROM c""".stripMargin,
     "tx_pack" ->
       """WITH s AS (
         |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_toks
