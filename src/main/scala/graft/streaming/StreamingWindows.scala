@@ -18,7 +18,7 @@ object StreamingWindows {
     * watermark. One definition so a future change to the decimicros→µs
     * conversion applies to every windowed stream at once.
     */
-  private def withEventTime(envelopes: Dataset[Envelope], lateness: String): DataFrame =
+  private[streaming] def withEventTime(envelopes: Dataset[Envelope], lateness: String): DataFrame =
     envelopes.toDF()
       .withColumn("event_time",
         expr("timestamp_micros(receptionDecimicros div 10)"))
