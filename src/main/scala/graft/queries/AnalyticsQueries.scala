@@ -818,6 +818,48 @@ object AnalyticsQueries extends QueryPack {
             .as("n_spanning"))
     }),
 
+    // BM25 keyword retrieval (Robertson/Sparck Jones, k1=1.2 b=0.75) —
+    // the lexical-search twin of the embedding ANN paths: score every
+    // document holding any of a fixed query-term set. The classic
+    // inverted-index shape in DataFrame form: explode→filter keeps
+    // only query-term postings (the "inverted list"), tf/df are two
+    // partial-agg groupBys, and corpus stats + the 3-row df table
+    // broadcast. Determinism across engines: the ONLY float op is the
+    // idf ln, snapped to integer micro-units immediately (per-corpus
+    // it takes |terms| distinct values, never near a floor boundary);
+    // the k1/b arithmetic is then EXACT integer division — with
+    // k1=6/5, b=3/4: score = idf_u6·tf·(k1+1)/(tf + k1(1-b+b·dl/avgdl))
+    // = idf_u6·tf·22·S div (10·tf·S + 3·S + 9·dl·N) where S=Σdl,
+    // N=#docs — a last-ulp libm difference between engines can't
+    // reorder results the way a float pipeline can (the first cut of
+    // this query disagreed with DuckDB by ±1 micro-unit on 10% of
+    // docs). Bounds: idf_u6 < 2^24, tf·22 < 2^11, S < 2^24 at sf0.1 —
+    // product < 2^59; at larger corpora drop a common factor of S.
+    "tx_bm25" -> ((s, d) => {
+      val terms = Seq("spark", "table", "merge")
+      val tk = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      val dl = tk.select(col("doc_id"), size(col("tk")).cast("long").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      val tf = tk.select(col("doc_id"), explode(col("tk")).as("tok"))
+        .filter(col("tok").isin(terms: _*))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+        .join(dl, Seq("doc_id"))
+      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfreq), Seq("tok"))
+        .crossJoin(broadcast(stats))
+        .withColumn("idf_u6", expr(
+          "cast(floor(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)" +
+          " * 1000000.0) as bigint)"))
+        .withColumn("term_u6", expr(
+          "idf_u6 * tf * 22 * sum_dl div" +
+          " (10 * tf * sum_dl + 3 * sum_dl + 9 * dl * n_docs)"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("term_u6")).as("score_u6"),
+          count(lit(1)).as("n_terms"))
+    }),
+
     // The END-TO-END corpus-to-training-examples pipeline — the
     // composition a real pretraining data build runs as ONE lineage:
     // (1) admission gate (shared gateVerdicts: length / repetition /
@@ -1512,6 +1554,34 @@ object AnalyticsQueries extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+    "tx_bm25" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |dl AS (SELECT doc_id, len(tk)::BIGINT AS dl FROM tk),
+        |stats AS (
+        |  SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl
+        |  FROM dl),
+        |tf AS (
+        |  SELECT t.doc_id, t.tok, count(*)::BIGINT AS tf
+        |  FROM (SELECT doc_id, unnest(tk) AS tok FROM tk) t
+        |  WHERE t.tok IN ('spark', 'table', 'merge')
+        |  GROUP BY 1, 2),
+        |dfreq AS (
+        |  SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        |idf AS (
+        |  SELECT tok, floor(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        |    * 1000000.0)::BIGINT AS idf_u6
+        |  FROM dfreq CROSS JOIN stats)
+        |SELECT tf.doc_id,
+        |  sum((idf_u6 * tf * 22 * sum_dl)
+        |      // (10 * tf * sum_dl + 3 * sum_dl + 9 * dl * n_docs))::BIGINT
+        |    AS score_u6,
+        |  count(*) AS n_terms
+        |FROM tf
+        |JOIN dl ON dl.doc_id = tf.doc_id
+        |JOIN idf ON idf.tok = tf.tok
+        |CROSS JOIN stats
+        |GROUP BY 1""".stripMargin,
     "pipe_corpus_windows" ->
       """WITH base AS (
         |  SELECT doc_id, n_chars, string_split(text, ' ') AS tk
