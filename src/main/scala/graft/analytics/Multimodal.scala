@@ -235,6 +235,132 @@ object Multimodal {
     * past PLTE) bail to whatever was parsed — one bad record never
     * hangs or aborts.
     */
+  /** The ONE PNG per-row unfilter (spec §9 filter types None/Sub/Up/
+    * Average/Paeth), shared by [[PngCodec]] (full-image luma) and
+    * [[ImageHash]] (resize + average-hash) so the filter arithmetic —
+    * including the Paeth predictor's tie-break order — has a single
+    * definition. `raw(rowOff)` is the filter byte; decoded bytes land
+    * in `cur`, with `prev` the previous row's decoded bytes.
+    */
+  private[analytics] object PngFilters {
+    def unfilterRow(raw: Array[Byte], rowOff: Int, cur: Array[Byte],
+        prev: Array[Byte], bpp: Int, stride: Int): Unit = {
+      val filter = raw(rowOff) & 0xff
+      var x = 0
+      while (x < stride) {
+        val rawV = raw(rowOff + 1 + x) & 0xff
+        val a = if (x >= bpp) cur(x - bpp) & 0xff else 0
+        val up = prev(x) & 0xff
+        val c = if (x >= bpp) prev(x - bpp) & 0xff else 0
+        val v = filter match {
+          case 0 => rawV
+          case 1 => (rawV + a) & 0xff
+          case 2 => (rawV + up) & 0xff
+          case 3 => (rawV + (a + up) / 2) & 0xff
+          case 4 =>
+            val p = a + up - c
+            val pa = math.abs(p - a); val pb = math.abs(p - up)
+            val pc = math.abs(p - c)
+            val paeth = if (pa <= pb && pa <= pc) a
+                        else if (pb <= pc) up else c
+            (rawV + paeth) & 0xff
+          case _ => rawV
+        }
+        cur(x) = v.toByte
+        x += 1
+      }
+    }
+  }
+
+  /** Perceptual average-hash for images — the multimodal near-dup
+    * primitive (the image-side analogue of SimHash on text): decode
+    * the luma plane with the REAL PNG machinery (inflate + the shared
+    * [[PngFilters]] unfilter), nearest-neighbor resize to 8×8, then
+    * one bit per cell — is this cell at-or-above the 64-cell mean —
+    * packed as two 32-bit halves (a full 64-bit pack would overflow
+    * BIGINT arithmetic in the integer-only oracle). Everything after
+    * the decode is exact integer arithmetic: sample index =
+    * (y·h div 8)·w + (x·w div 8), threshold compare px·64 ≥ Σpx.
+    * Near-dup images then pair by hamming distance on 64 bits —
+    * banded like SimHash at scale, never all-pairs.
+    *
+    * Scope: non-interlaced 8-bit GREYSCALE PNG (what the pipeline's
+    * thumbnail normalization emits); anything else returns None
+    * rather than a wrong hash.
+    */
+  object ImageHash {
+    import BE.{read32i => be32}
+
+    /** (width, height, hash bits 32..63, hash bits 0..31). */
+    def ahashGrey8(b: Array[Byte]): Option[(Int, Int, Long, Long)] = {
+      if (b.length < 8) return None
+      var width = 0; var height = 0
+      var bitDepth = 0; var colorType = -1; var interlaced = true
+      val idat = new java.io.ByteArrayOutputStream()
+      var off = 8L
+      var malformed = false
+      while (!malformed && off + 8 <= b.length) {
+        val o = off.toInt
+        val size = be32(b, o)
+        val ctype = new String(b, o + 4, 4, "US-ASCII")
+        val data = o + 8
+        if (size < 0 || data.toLong + size + 4 > b.length) malformed = true
+        else {
+          ctype match {
+            case "IHDR" if size >= 13 =>
+              width = be32(b, data); height = be32(b, data + 4)
+              bitDepth = b(data + 8) & 0xff; colorType = b(data + 9) & 0xff
+              interlaced = b(data + 12) != 0
+            case "IDAT" => idat.write(b, data, size)
+            case _ => ()
+          }
+          off = data.toLong + size + 4
+        }
+      }
+      if (malformed || colorType != 0 || bitDepth != 8 || interlaced ||
+          width < 1 || height < 1 || width.toLong * height > 64L * 1024 * 1024)
+        return None
+      val stride = width
+      val rawCap = ((stride.toLong + 1) * height).toInt
+      graft.core.PayloadCodec.safeInflate(idat.toByteArray, rawCap).flatMap { raw =>
+        if (raw.length < (stride + 1) * height) None
+        else {
+          val pixels = new Array[Byte](width * height)
+          val prev = new Array[Byte](stride)
+          val cur = new Array[Byte](stride)
+          var y = 0
+          while (y < height) {
+            PngFilters.unfilterRow(raw, y * (stride + 1), cur, prev, 1, stride)
+            System.arraycopy(cur, 0, pixels, y * width, width)
+            System.arraycopy(cur, 0, prev, 0, stride)
+            y += 1
+          }
+          // nearest-neighbor 8×8 sample, integer mean, threshold bits
+          val sample = new Array[Int](64)
+          var sum = 0L
+          var j = 0
+          while (j < 64) {
+            val gy = j / 8; val gx = j % 8
+            val sy = gy * height / 8; val sx = gx * width / 8
+            val p = pixels(sy * width + sx) & 0xff
+            sample(j) = p
+            sum += p
+            j += 1
+          }
+          var hi = 0L; var lo = 0L
+          j = 0
+          while (j < 64) {
+            if (sample(j).toLong * 64 >= sum) {
+              if (j >= 32) hi |= 1L << (j - 32) else lo |= 1L << j
+            }
+            j += 1
+          }
+          Some((width, height, hi, lo))
+        }
+      }
+    }
+  }
+
   final class PngCodec extends MediaCodec {
     import BE.{read32i => be32}
 
@@ -296,31 +422,8 @@ object Multimodal {
               var badIndex = false
               var y = 0
               while (y < height) {
-                val rowOff = y * (stride + 1)
-                val filter = raw(rowOff) & 0xff
-                var x = 0
-                while (x < stride) {
-                  val rawV = raw(rowOff + 1 + x) & 0xff
-                  val a = if (x >= bpp) cur(x - bpp) & 0xff else 0
-                  val up = prev(x) & 0xff
-                  val c = if (x >= bpp) prev(x - bpp) & 0xff else 0
-                  val v = filter match {
-                    case 0 => rawV
-                    case 1 => (rawV + a) & 0xff
-                    case 2 => (rawV + up) & 0xff
-                    case 3 => (rawV + (a + up) / 2) & 0xff
-                    case 4 =>
-                      val p = a + up - c
-                      val pa = math.abs(p - a); val pb = math.abs(p - up)
-                      val pc = math.abs(p - c)
-                      val paeth = if (pa <= pb && pa <= pc) a
-                                  else if (pb <= pc) up else c
-                      (rawV + paeth) & 0xff
-                    case _ => rawV
-                  }
-                  cur(x) = v.toByte
-                  x += 1
-                }
+                PngFilters.unfilterRow(raw, y * (stride + 1), cur, prev,
+                  bpp, stride)
                 // Rec.601 luma ×1000 per pixel
                 var px = 0
                 while (px < width) {

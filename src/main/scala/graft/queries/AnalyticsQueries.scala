@@ -1406,6 +1406,34 @@ object AnalyticsQueries extends QueryPack {
           col("avgLumaMilli").as("luma_milli"))
     }),
 
+    // Perceptual average-hash through the REAL PNG decode path,
+    // ORACLE-CHECKED: per document build a deterministic greyscale
+    // PNG (pixel(i) = (doc_id·31 + i) % 256, row filters cycling all
+    // five types, dims ≥ 8 so the 8×8 resample is a true
+    // downsample), decode + nearest-neighbor-resize + threshold it
+    // with ImageHash, and have the oracle recompute the identical
+    // bits arithmetically from the pixel formula. A hash match
+    // proves the decode → resize → mean-threshold chain bit-exactly;
+    // the hash is the image near-dup primitive (hamming-banded at
+    // scale, like SimHash on text).
+    "mm_ahash" -> ((s, d) => {
+      import s.implicits._
+      import graft.analytics.Multimodal
+      Tables.documents(s, d)
+        .select(col("doc_id")).filter(col("doc_id") < 200)
+        .as[Long].map { id =>
+          val w = 8 + (id % 9).toInt
+          val h = 8 + (id % 7).toInt
+          val pixels = Array.tabulate(w * h)(i => ((id * 31 + i) % 256).toByte)
+          val png = Multimodal.PngBuilder.grey8(w, h, pixels,
+            y => ((id + y) % 5).toInt)
+          val (ww, hh, hi, lo) = Multimodal.ImageHash.ahashGrey8(png)
+            .getOrElse((-1, -1, -1L, -1L))
+          (id, ww, hh, hi, lo)
+        }
+        .toDF("doc_id", "width", "height", "ahash_hi", "ahash_lo")
+    }),
+
     // Real baseline JPEG decode, ORACLE-CHECKED: per document encode
     // a JPEG whose blocks hold one quantized DC each — dc(bx,by) =
     // (doc_id*7 + bx*13 + by*29) % 32 - 16, DC quant step 8 — so the
@@ -2295,6 +2323,27 @@ object AnalyticsQueries extends QueryPack {
         |FROM documents""".stripMargin,
     // arithmetic twin of the PNG round trip: same pixel formula,
     // no codec involved
+    "mm_ahash" ->
+      """WITH g AS (SELECT unnest(range(8)) AS v),
+        |cells AS (
+        |  SELECT d.doc_id, (8 + d.doc_id % 9) AS w, (8 + d.doc_id % 7) AS h,
+        |    gx.v AS x, gy.v AS y
+        |  FROM documents d, g gx, g gy WHERE d.doc_id < 200),
+        |px AS (
+        |  SELECT doc_id, w, h, x, y,
+        |    (doc_id * 31 + ((y * h) // 8) * w + ((x * w) // 8)) % 256 AS p
+        |  FROM cells),
+        |m AS (SELECT doc_id, sum(p) AS s FROM px GROUP BY 1),
+        |bits AS (
+        |  SELECT px.doc_id, px.w, px.h, y * 8 + x AS j,
+        |    CASE WHEN p * 64 >= s THEN 1 ELSE 0 END AS bit
+        |  FROM px JOIN m ON m.doc_id = px.doc_id)
+        |SELECT doc_id, w::INT AS width, h::INT AS height,
+        |  sum(CASE WHEN j >= 32 THEN bit * (1::BIGINT << (j - 32))
+        |           ELSE 0 END)::BIGINT AS ahash_hi,
+        |  sum(CASE WHEN j < 32 THEN bit * (1::BIGINT << j)
+        |           ELSE 0 END)::BIGINT AS ahash_lo
+        |FROM bits GROUP BY 1, 2, 3""".stripMargin,
     "mm_png_luma" ->
       """WITH s AS (SELECT unnest(range(48)) AS i),
         |px AS (

@@ -627,4 +627,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frameOffsets(100, 10, 3) == Seq(0L, 30L, 60L, 90L))
     assert(frameOffsets(5, 10, 2) == Seq(0L))
   }
+
+  test("average-hash: half-dark image yields the bright half's bits") {
+    // 16×8, left half 0, right half 255: mean = 127.5, so exactly the
+    // 4 right columns of every row pass the ≥-mean threshold
+    val w = 16; val h = 8
+    val px = Array.tabulate(w * h)(i => if (i % w < 8) 0.toByte else 255.toByte)
+    val png = Multimodal.PngBuilder.grey8(w, h, px, _ % 5)
+    val Some((ww, hh, hi, lo)) = Multimodal.ImageHash.ahashGrey8(png)
+    assert((ww, hh) == (16, 8))
+    // per 8-cell row: bits 4..7 set → 0xF0
+    assert(lo == 0xF0F0F0F0L && hi == 0xF0F0F0F0L)
+  }
+
+  test("average-hash survives resize: same content at 2× scale hashes equal") {
+    // nearest-neighbor sampling makes the hash scale-invariant for
+    // block-constant images — THE property that makes it a near-dup
+    // key across thumbnail sizes
+    def block(w: Int, h: Int) = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      (((x * 8 / w) * 7 + (y * 8 / h) * 31) % 256).toByte
+    }
+    val small = Multimodal.PngBuilder.grey8(16, 16, block(16, 16), _ % 5)
+    val big = Multimodal.PngBuilder.grey8(32, 32, block(32, 32), _ % 5)
+    val Some((_, _, hi1, lo1)) = Multimodal.ImageHash.ahashGrey8(small)
+    val Some((_, _, hi2, lo2)) = Multimodal.ImageHash.ahashGrey8(big)
+    assert((hi1, lo1) == (hi2, lo2))
+  }
+
+  test("average-hash refuses what it cannot decode honestly") {
+    // RGB (colorType 2) PNGs and garbage are None, never a wrong hash
+    assert(Multimodal.ImageHash.ahashGrey8(Array[Byte](1, 2, 3)).isEmpty)
+    val grey = Multimodal.PngBuilder.grey8(8, 8,
+      Array.tabulate(64)(_.toByte), _ => 0)
+    // flip the colorType byte inside IHDR (offset 8+8+9) to RGB
+    val rgbish = grey.clone(); rgbish(8 + 8 + 9) = 2
+    assert(Multimodal.ImageHash.ahashGrey8(rgbish).isEmpty)
+  }
 }
