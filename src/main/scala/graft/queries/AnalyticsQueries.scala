@@ -1434,6 +1434,63 @@ object AnalyticsQueries extends QueryPack {
         .toDF("doc_id", "width", "height", "ahash_hi", "ahash_lo")
     }),
 
+    // Image near-dup pairs over the perceptual hash, ORACLE-CHECKED —
+    // the full image-dedup composition: for each doc < 100 build a
+    // base PNG and a PERTURBED copy (media_id + 1000, one source
+    // pixel nudged by +8), hash both through the real
+    // decode→resize→threshold path, then find near-dup pairs the way
+    // 100 TB of images would: band the 64 hash bits into 4×16-bit
+    // keys, equi-join on (band, value) — never all-pairs — and
+    // verify candidates by exact hamming distance (bit_count of xor)
+    // ≤ 8. The planted copies guarantee the result is non-trivial;
+    // unrelated band collisions are filtered by the verify step. The
+    // oracle recomputes every bit arithmetically.
+    "mm_ahash_pairs" -> ((s, d) => {
+      import s.implicits._
+      import graft.analytics.Multimodal
+      val hashes = Tables.documents(s, d)
+        .select(col("doc_id")).filter(col("doc_id") < 100)
+        .as[Long].flatMap { id =>
+          val w = 8 + (id % 9).toInt
+          val h = 8 + (id % 7).toInt
+          // quadratic-residue term de-aliases the image family: a
+          // pure linear ramp mod 256 hashes identically across many
+          // (id, w, h) combinations, drowning the planted copies in
+          // accidental exact-hash pairs
+          def pix(perturb: Boolean) = Array.tabulate(w * h) { i =>
+            val base = ((id * 31 + i + (i * i % 257) * 5) % 256).toInt
+            val v = if (perturb && i == (id % (w * h)).toInt) (base + 8) % 256
+                    else base
+            v.toByte
+          }
+          Seq(false, true).map { p =>
+            val png = Multimodal.PngBuilder.grey8(w, h, pix(p),
+              y => ((id + y) % 5).toInt)
+            val (_, _, hi, lo) = Multimodal.ImageHash.ahashGrey8(png).get
+            (if (p) id + 1000 else id, hi, lo)
+          }
+        }
+        .toDF("media_id", "hi", "lo")
+      val bands = hashes.select(col("media_id"), col("hi"), col("lo"),
+        explode(expr(
+          "array(named_struct('b', 0, 'v', lo          % 65536)," +
+          "      named_struct('b', 1, 'v', (lo div 65536) % 65536)," +
+          "      named_struct('b', 2, 'v', hi          % 65536)," +
+          "      named_struct('b', 3, 'v', (hi div 65536) % 65536))"))
+          .as("band"))
+        .select(col("media_id"), col("hi"), col("lo"),
+          col("band.b").as("b"), col("band.v").as("v"))
+      bands.as("x").join(bands.as("y"),
+          col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
+          col("x.media_id") < col("y.media_id"))
+        .select(col("x.media_id").as("media_a"),
+          col("y.media_id").as("media_b"),
+          (expr("bit_count(x.hi ^ y.hi)") + expr("bit_count(x.lo ^ y.lo)"))
+            .cast("int").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 8)
+    }),
+
     // Real baseline JPEG decode, ORACLE-CHECKED: per document encode
     // a JPEG whose blocks hold one quantized DC each — dc(bx,by) =
     // (doc_id*7 + bx*13 + by*29) % 32 - 16, DC quant step 8 — so the
@@ -2344,6 +2401,48 @@ object AnalyticsQueries extends QueryPack {
         |  sum(CASE WHEN j < 32 THEN bit * (1::BIGINT << j)
         |           ELSE 0 END)::BIGINT AS ahash_lo
         |FROM bits GROUP BY 1, 2, 3""".stripMargin,
+    "mm_ahash_pairs" ->
+      """WITH g AS (SELECT unnest(range(8)) AS v),
+        |imgs AS (
+        |  SELECT d.doc_id AS id, d.doc_id + off AS media_id,
+        |    (8 + d.doc_id % 9) AS w, (8 + d.doc_id % 7) AS h, off
+        |  FROM documents d, (SELECT unnest([0, 1000]) AS off) ms
+        |  WHERE d.doc_id < 100),
+        |cells AS (
+        |  SELECT i.*, gx.v AS x, gy.v AS y,
+        |    ((gy.v * h) // 8) * w + ((gx.v * w) // 8) AS idx
+        |  FROM imgs i, g gx, g gy),
+        |px AS (
+        |  SELECT media_id, x, y,
+        |    CASE WHEN off = 1000 AND idx = id % (w * h)
+        |         THEN ((id * 31 + idx + (idx * idx % 257) * 5) % 256 + 8) % 256
+        |         ELSE (id * 31 + idx + (idx * idx % 257) * 5) % 256 END AS p
+        |  FROM cells),
+        |m AS (SELECT media_id, sum(p) AS s FROM px GROUP BY 1),
+        |bits AS (
+        |  SELECT px.media_id, y * 8 + x AS j,
+        |    CASE WHEN p * 64 >= s THEN 1 ELSE 0 END AS bit
+        |  FROM px JOIN m USING (media_id)),
+        |hl AS (
+        |  SELECT media_id,
+        |    sum(CASE WHEN j >= 32 THEN bit * (1::BIGINT << (j - 32))
+        |             ELSE 0 END)::BIGINT AS hi,
+        |    sum(CASE WHEN j < 32 THEN bit * (1::BIGINT << j)
+        |             ELSE 0 END)::BIGINT AS lo
+        |  FROM bits GROUP BY 1),
+        |bands AS (
+        |  SELECT media_id, hi, lo, b,
+        |    CASE b WHEN 0 THEN lo % 65536 WHEN 1 THEN (lo // 65536) % 65536
+        |           WHEN 2 THEN hi % 65536 ELSE (hi // 65536) % 65536
+        |    END AS val
+        |  FROM hl, (SELECT unnest(range(4)) AS b) bb)
+        |SELECT DISTINCT x.media_id AS media_a, y.media_id AS media_b,
+        |  (bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)))::INT
+        |    AS hamming
+        |FROM bands x JOIN bands y
+        |  ON x.b = y.b AND x.val = y.val AND x.media_id < y.media_id
+        |WHERE bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) <= 8
+        |""".stripMargin,
     "mm_png_luma" ->
       """WITH s AS (SELECT unnest(range(48)) AS i),
         |px AS (
