@@ -530,6 +530,36 @@ object AnalyticsQueries extends QueryPack {
     // SIGNATURE space (see simhashNearDupPairs) — never a doc×doc join.
     "dd_simhash_pairs" -> ((s, d) => simhashNearDupPairs(s, d)),
 
+    // Triangle census of the near-dup graph — the structural health
+    // check of a dedup pass: a high global clustering coefficient
+    // says near-dups arrive in dense clumps (one keeper drains many),
+    // a low one says they are scattered chains (keeper election
+    // removes little). Enumeration is the canonical-orientation
+    // wedge join: every edge is stored once as (a < b), a wedge is
+    // (a<b)⋈(b<c), and closing it against (a<c) counts every
+    // triangle EXACTLY once — no 6-fold overcount to divide away, no
+    // all-pairs anywhere (inputs are the already-bounded LSH-style
+    // near-dup pairs; at 100 TB you'd additionally orient by degree
+    // so hub vertices never anchor wedges). Wedge totals come from a
+    // degree aggregate, not a join.
+    "dd_triangles" -> ((s, d) => {
+      val e = simhashNearDupPairs(s, d).select(col("doc_a"), col("doc_b"))
+      val wedge = e.select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .join(e.select(col("doc_a").as("b"), col("doc_b").as("c")), Seq("b"))
+      val tri = wedge
+        .join(e.select(col("doc_a").as("a"), col("doc_b").as("c")),
+          Seq("a", "c"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val wedges = e.select(col("doc_a").as("v"))
+        .unionAll(e.select(col("doc_b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+        .agg(sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+      tri.crossJoin(wedges)
+        .withColumn("gcc_bp",
+          expr("CASE WHEN n_wedges > 0" +
+            " THEN n_triangles * 3 * 10000 div n_wedges ELSE 0 END"))
+    }),
+
     // Keeper election → the post-dedup corpus: any doc with a smaller
     // near-dup neighbor (simhash hamming <= 2 in its language block)
     // is dropped; survivors are the training corpus. One anti-join
@@ -1241,6 +1271,42 @@ object AnalyticsQueries extends QueryPack {
           expr("sum(tf * nll_e6) div sum(tf)").as("avg_nll_e6"))
     }),
 
+    // Interpolated bigram language-model NLL per document — the
+    // step up from tx_unigram_logprob's bag model: fluency-sensitive
+    // quality scoring (scrambled word salad keeps its unigram NLL but
+    // collapses under a bigram LM). P(w₂|w₁) = λ·c₁₂/c₁ + (1-λ)·c₂/N
+    // with λ = 4/5 and ALL counts derived from one bigram table
+    // (c₁ = bigram starts, c₂ = bigram ends, N = total bigrams), so
+    // the interpolation is the exact rational (4·c₁₂·N + c₁·c₂) /
+    // (5·c₁·N) and the per-bigram NLL is a difference of two ln's of
+    // exact integers, quantized to micro-nats before the per-doc
+    // sum — the same determinism contract as the unigram query.
+    // Shapes: two partial-agg groupBys + broadcast totals; the
+    // per-bigram model table joins back on the bigram key.
+    "tx_bigram_nll" -> ((s, d) => {
+      val docBg = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"),
+          explode(Shingles.wordNgrams(col("tk"), 2)).as("bg"))
+        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("tf"))
+      val c12 = docBg.groupBy(col("bg")).agg(sum(col("tf")).as("c12"))
+        .withColumn("w1", substring_index(col("bg"), " ", 1))
+        .withColumn("w2", substring_index(col("bg"), " ", -1))
+      val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+      val c2 = c12.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
+      val tot = c12.agg(sum(col("c12")).as("n"))
+      val model = c12.join(c1, Seq("w1")).join(c2, Seq("w2"))
+        .crossJoin(broadcast(tot))
+        .select(col("bg"),
+          floor((log(col("c1") * lit(5L) * col("n")) -
+                 log(col("c12") * lit(4L) * col("n") + col("c1") * col("c2")))
+            * 1000000).cast("long").as("nll_e6"))
+      docBg.join(model, Seq("bg"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("n_bigrams"),
+          expr("sum(tf * nll_e6) div sum(tf)").as("avg_nll_e6"))
+    }),
+
     // Intra-document repeated-window fraction (the within-doc half of
     // the Gopher duplicate-n-gram rules; the CROSS-doc half is
     // dd_span_dedup): share of 10-token windows whose exact text
@@ -1639,6 +1705,33 @@ object AnalyticsQueries extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+    "tx_bigram_nll" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |bg0 AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
+        |    THEN list_transform(generate_series(1, len(tk) - 1),
+        |           i -> tk[i] || ' ' || tk[i + 1])
+        |    ELSE [] END) AS bg
+        |  FROM tk),
+        |docbg AS (
+        |  SELECT doc_id, bg, count(*)::BIGINT AS tf FROM bg0 GROUP BY 1, 2),
+        |c12 AS (
+        |  SELECT bg, split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+        |    sum(tf)::BIGINT AS c12
+        |  FROM docbg GROUP BY 1, 2, 3),
+        |c1 AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM c12 GROUP BY 1),
+        |c2 AS (SELECT w2, sum(c12)::BIGINT AS c2 FROM c12 GROUP BY 1),
+        |tot AS (SELECT sum(c12)::BIGINT AS n FROM c12),
+        |model AS (
+        |  SELECT bg,
+        |    floor((ln(c1.c1 * 5 * n) - ln(c12.c12 * 4 * n + c1.c1 * c2.c2))
+        |          * 1000000)::BIGINT AS nll_e6
+        |  FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN tot)
+        |SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
+        |  sum(tf * nll_e6)::BIGINT // sum(tf)::BIGINT AS avg_nll_e6
+        |FROM docbg JOIN model USING (bg)
+        |GROUP BY 1""".stripMargin,
     "tx_bm25" ->
       """WITH tk AS (
         |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
@@ -2025,6 +2118,39 @@ object AnalyticsQueries extends QueryPack {
         |FROM sigs a JOIN sigs b
         |  ON a.lang = b.lang AND a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sig, b.sig)) <= 2""".stripMargin,
+    "dd_triangles" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5(unnest(string_split(text,' '))),1,4))::INT AS tok_hash
+        |  FROM documents),
+        |votes AS (
+        |  SELECT doc_id, lang, bit,
+        |    sum(CASE WHEN (tok_hash >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        |  FROM t, (SELECT unnest(generate_series(0,15)) AS bit)
+        |  GROUP BY doc_id, lang, bit),
+        |sigs AS (
+        |  SELECT doc_id, lang,
+        |    sum(CASE WHEN vote > 0 THEN 1 << bit ELSE 0 END) AS sig
+        |  FROM votes GROUP BY doc_id, lang),
+        |e AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sigs a JOIN sigs b
+        |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.sig, b.sig)) <= 2),
+        |tri AS (
+        |  SELECT count(*)::BIGINT AS n_triangles
+        |  FROM e ab
+        |  JOIN e bc ON bc.doc_a = ab.doc_b
+        |  JOIN e ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b),
+        |deg AS (
+        |  SELECT v, count(*)::BIGINT AS deg FROM (
+        |    SELECT doc_a AS v FROM e UNION ALL SELECT doc_b AS v FROM e)
+        |  GROUP BY v),
+        |w AS (SELECT sum(deg * (deg - 1) // 2)::BIGINT AS n_wedges FROM deg)
+        |SELECT n_triangles, n_wedges,
+        |  CASE WHEN n_wedges > 0 THEN n_triangles * 3 * 10000 // n_wedges
+        |       ELSE 0 END AS gcc_bp
+        |FROM tri CROSS JOIN w""".stripMargin,
     "dd_keeper_corpus" ->
       """WITH t AS (
         |  SELECT doc_id, lang,
