@@ -1271,6 +1271,42 @@ object AnalyticsQueries extends QueryPack {
           expr("sum(tf * nll_e6) div sum(tf)").as("avg_nll_e6"))
     }),
 
+    // Banded edit-distance join — the entity-resolution / fuzzy-match
+    // primitive (dedup by NEAR-IDENTICAL leading content, catching
+    // what exact hashing misses by one typo): pairs of documents
+    // whose 48-char prefixes are within Levenshtein distance 4.
+    // Candidate generation is position-fixed chunk banding (3×16-char
+    // chunks; pairs sharing any aligned chunk become candidates — the
+    // pigeonhole guarantee for substitution-only edits, an explicit
+    // recall approximation for shifts, identical in the oracle), then
+    // the exact DP distance verifies candidates only. The quadratic
+    // DP runs on bounded 48-char prefixes over the banded candidate
+    // set — never doc×doc, never full-text.
+    "tx_editdist_pairs" -> ((s, d) => {
+      val p = Tables.documents(s, d)
+        .select(col("doc_id"), substring(col("text"), 1, 48).as("pfx"))
+      val chunks = p.select(col("doc_id"),
+        explode(array(
+          struct(lit(1).as("pos"), substring(col("pfx"), 1, 16).as("c")),
+          struct(lit(2).as("pos"), substring(col("pfx"), 17, 16).as("c")),
+          struct(lit(3).as("pos"), substring(col("pfx"), 33, 16).as("c"))))
+          .as("ch"))
+        .select(col("doc_id"), col("ch.pos").as("pos"), col("ch.c").as("c"))
+      val cand = chunks.as("a").join(chunks.as("b"),
+          col("a.pos") === col("b.pos") && col("a.c") === col("b.c") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(p.select(col("doc_id").as("doc_a"), col("pfx").as("pfx_a")),
+          Seq("doc_a"))
+        .join(p.select(col("doc_id").as("doc_b"), col("pfx").as("pfx_b")),
+          Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("pfx_a"), col("pfx_b")).as("dist"))
+        .filter(col("dist") <= 4)
+    }),
+
     // Interpolated bigram language-model NLL per document — the
     // step up from tx_unigram_logprob's bag model: fluency-sensitive
     // quality scoring (scrambled word salad keeps its unigram NLL but
@@ -1705,6 +1741,23 @@ object AnalyticsQueries extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+    "tx_editdist_pairs" ->
+      """WITH p AS (
+        |  SELECT doc_id, substr(text, 1, 48) AS pfx FROM documents),
+        |ch AS (
+        |  SELECT doc_id, pos, CASE pos WHEN 1 THEN substr(pfx, 1, 16)
+        |    WHEN 2 THEN substr(pfx, 17, 16) ELSE substr(pfx, 33, 16)
+        |  END AS c
+        |  FROM p, (SELECT unnest([1, 2, 3]) AS pos)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM ch a JOIN ch b
+        |    ON a.pos = b.pos AND a.c = b.c AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, levenshtein(pa.pfx, pb.pfx)::INT AS dist
+        |FROM cand
+        |JOIN p pa ON pa.doc_id = cand.doc_a
+        |JOIN p pb ON pb.doc_id = cand.doc_b
+        |WHERE levenshtein(pa.pfx, pb.pfx) <= 4""".stripMargin,
     "tx_bigram_nll" ->
       """WITH tk AS (
         |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
