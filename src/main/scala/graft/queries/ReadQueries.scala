@@ -117,6 +117,43 @@ object ReadQueries extends QueryPack {
     // needed — consistency, not liveness, is the contract here).
     "sim_kmeans" -> ((s, d) => kmeansClusters(s, d, k = 4, iters = 2)),
 
+    // Distributed power iteration — the top principal direction of
+    // the embedding matrix (the heart of PCA / spectral methods) as
+    // two DataFrame aggregations per round: s = X·v (one groupBy per
+    // vector, v broadcast — 64 rows), u = Xᵀs (one groupBy per
+    // dimension), then an integer re-normalization to |v|∞ = 1e6.
+    // Fully deterministic: every step is exact integer arithmetic
+    // with explicit truncating rescales (div 2²⁰ after each matrix
+    // product keeps all partial sums ≤ 3·10¹⁷, well inside long; the
+    // DuckDB oracle reproduces the same truncation bit for bit), so
+    // convergence is byte-identical across engines and iteration
+    // counts are the only knob. At 100 TB each round is two
+    // partial-agg shuffles over (vec, dim) triples — no driver-side
+    // matrix, nothing quadratic in N or dims.
+    "sim_power_iter" -> ((s, d) => powerIteration(s, d, iters = 2)),
+
+    // The projection that makes the learned direction useful:
+    // score = x·v (div 2²⁰ rescale) per embedding — the 1-D PCA
+    // coordinate used for visualization binning, coarse sorting, or
+    // as a cheap split key. One broadcast of the 64-row direction +
+    // one partial-agg groupBy; emitted as a per-label histogram
+    // (label, sign, count, mean coordinate) so the output is compact
+    // at any corpus size.
+    "sim_pca_project" -> ((s, d) => {
+      val f = AnalyticsQueries.quantEmb(s, d)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("q")).as(Seq("idx", "qv")))
+      val v = powerIteration(s, d, iters = 2)
+      val proj = f.join(broadcast(v), Seq("idx"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(sum(col("qv") * col("vv")).as("praw"))
+        .withColumn("p", expr("praw div 1048576"))
+      proj.groupBy(col("label"),
+          when(col("p") >= 0, lit(1)).otherwise(lit(-1)).as("sign"))
+        .agg(count(lit(1)).as("n"),
+          expr("sum(p) div count(1)").as("mean_p"))
+    }),
+
     // ANN recall audit: recall@3 of the two serving paths (LSH
     // bucket+rerank, IVF probe) against the brute-force exact top-3 —
     // the query that makes `sim_topk_bf` load-bearing (it IS the
@@ -247,6 +284,30 @@ object ReadQueries extends QueryPack {
       .select(col("qid"), col("nid"), col("adc"), col("rnk"))
   }
 
+  /** Power iteration (see `sim_power_iter`): (idx, vv) rows of the
+    * final direction vector, |vv|∞ = 1e6. 0-based idx.
+    */
+  private[queries] def powerIteration(s: SparkSession, d: String,
+      iters: Int): DataFrame = {
+    val f = AnalyticsQueries.quantEmb(s, d)
+      .select(col("vec_id"), posexplode(col("q")).as(Seq("idx", "qv")))
+    var v = f.select(col("idx")).distinct().withColumn("vv", lit(1L))
+    for (_ <- 1 to iters) {
+      val sdot = f.join(broadcast(v), Seq("idx"))
+        .groupBy(col("vec_id"))
+        .agg(sum(col("qv") * col("vv")).as("sraw"))
+        .withColumn("s1", expr("sraw div 1048576"))
+      val u = f.join(sdot, Seq("vec_id"))
+        .groupBy(col("idx"))
+        .agg(sum(col("s1") * col("qv")).as("u"))
+        .withColumn("u2", expr("u div 1048576"))
+      val m = u.agg(max(abs(col("u2"))).as("m"))
+      v = u.crossJoin(broadcast(m))
+        .select(col("idx"), expr("u2 * 1000000 div m").as("vv"))
+    }
+    v
+  }
+
   /** Lloyd's k-means (see `sim_kmeans`): returns one row per
     * surviving cluster — (cid, n_members, min_vec, cc) where cc is
     * the exact integer self-dot of the final centroid (the
@@ -325,6 +386,78 @@ object ReadQueries extends QueryPack {
   }
 
   override def oracle: Map[String, String] = Map(
+    "sim_power_iter" ->
+      """WITH f AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+        |    floor(unnest(embedding)::DOUBLE * 1000000)::BIGINT AS qv
+        |  FROM embeddings),
+        |v0 AS (SELECT DISTINCT idx, 1::BIGINT AS vv FROM f),
+        |s1 AS (
+        |  SELECT vec_id, (sraw - sraw % 1048576) // 1048576 AS s1 FROM (
+        |    SELECT f.vec_id, sum(f.qv * v0.vv)::BIGINT AS sraw
+        |    FROM f JOIN v0 USING (idx) GROUP BY 1)),
+        |u1 AS (
+        |  SELECT idx, (u - u % 1048576) // 1048576 AS u2 FROM (
+        |    SELECT f.idx, sum(s1.s1 * f.qv)::BIGINT AS u
+        |    FROM f JOIN s1 USING (vec_id) GROUP BY 1)),
+        |m1 AS (SELECT max(abs(u2))::BIGINT AS m FROM u1),
+        |v1 AS (
+        |  SELECT idx,
+        |    (u2 * 1000000 - (u2 * 1000000) % m) // m AS vv
+        |  FROM u1, m1),
+        |s2 AS (
+        |  SELECT vec_id, (sraw - sraw % 1048576) // 1048576 AS s1 FROM (
+        |    SELECT f.vec_id, sum(f.qv * v1.vv)::BIGINT AS sraw
+        |    FROM f JOIN v1 USING (idx) GROUP BY 1)),
+        |u2t AS (
+        |  SELECT idx, (u - u % 1048576) // 1048576 AS u2 FROM (
+        |    SELECT f.idx, sum(s2.s1 * f.qv)::BIGINT AS u
+        |    FROM f JOIN s2 USING (vec_id) GROUP BY 1)),
+        |m2 AS (SELECT max(abs(u2))::BIGINT AS m FROM u2t)
+        |SELECT (idx - 1)::INT AS idx,
+        |  (u2 * 1000000 - (u2 * 1000000) % m) // m AS vv
+        |FROM u2t, m2""".stripMargin,
+    "sim_pca_project" ->
+      """WITH f AS (
+        |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS idx,
+        |    floor(unnest(embedding)::DOUBLE * 1000000)::BIGINT AS qv
+        |  FROM embeddings),
+        |v0 AS (SELECT DISTINCT idx, 1::BIGINT AS vv FROM f),
+        |s1 AS (
+        |  SELECT vec_id, (sraw - sraw % 1048576) // 1048576 AS s1 FROM (
+        |    SELECT f.vec_id, sum(f.qv * v0.vv)::BIGINT AS sraw
+        |    FROM f JOIN v0 USING (idx) GROUP BY 1)),
+        |u1 AS (
+        |  SELECT idx, (u - u % 1048576) // 1048576 AS u2 FROM (
+        |    SELECT f.idx, sum(s1.s1 * f.qv)::BIGINT AS u
+        |    FROM f JOIN s1 USING (vec_id) GROUP BY 1)),
+        |m1 AS (SELECT max(abs(u2))::BIGINT AS m FROM u1),
+        |v1 AS (
+        |  SELECT idx,
+        |    (u2 * 1000000 - (u2 * 1000000) % m) // m AS vv
+        |  FROM u1, m1),
+        |s2 AS (
+        |  SELECT vec_id, (sraw - sraw % 1048576) // 1048576 AS s1 FROM (
+        |    SELECT f.vec_id, sum(f.qv * v1.vv)::BIGINT AS sraw
+        |    FROM f JOIN v1 USING (idx) GROUP BY 1)),
+        |u2t AS (
+        |  SELECT idx, (u - u % 1048576) // 1048576 AS u2 FROM (
+        |    SELECT f.idx, sum(s2.s1 * f.qv)::BIGINT AS u
+        |    FROM f JOIN s2 USING (vec_id) GROUP BY 1)),
+        |m2 AS (SELECT max(abs(u2))::BIGINT AS m FROM u2t),
+        |v2 AS (
+        |  SELECT idx,
+        |    (u2 * 1000000 - (u2 * 1000000) % m) // m AS vv
+        |  FROM u2t, m2),
+        |proj AS (
+        |  SELECT vec_id, label, (praw - praw % 1048576) // 1048576 AS p
+        |  FROM (
+        |    SELECT f.vec_id, f.label, sum(f.qv * v2.vv)::BIGINT AS praw
+        |    FROM f JOIN v2 USING (idx) GROUP BY 1, 2))
+        |SELECT label, CASE WHEN p >= 0 THEN 1 ELSE -1 END AS sign,
+        |  count(*) AS n,
+        |  (sum(p)::BIGINT - sum(p)::BIGINT % count(*)) // count(*) AS mean_p
+        |FROM proj GROUP BY 1, 2""".stripMargin,
     "sim_kmeans" ->
       """WITH f AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
