@@ -227,6 +227,41 @@ object RelationalQueries extends QueryPack {
         .withColumn("cum_users", sum(col("new_users")).over(running))
     }),
 
+    // Robust outlier detection: median absolute deviation per event
+    // type — the robust alternative to z-scores (a handful of extreme
+    // values cannot drag the threshold the way they drag a mean/σ).
+    // Both medians are nearest-rank picks over exact integer cents
+    // (same determinism contract as q_percentiles), the outlier test
+    // |x − med| > 3·MAD is an exact integer compare, and the output is
+    // bounded by event-type cardinality. Two ranked window passes +
+    // one broadcast-back join.
+    "q_mad_outliers" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+      def medianOf(df: org.apache.spark.sql.DataFrame, valueCol: String) = {
+        val w = Window.partitionBy(col("event_type")).orderBy(col(valueCol))
+        val wAll = Window.partitionBy(col("event_type"))
+        df.withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(wAll))
+          .groupBy(col("event_type"))
+          .agg(max(when(col("rn") === ceil(col("n") * 0.5), col(valueCol)))
+            .as(s"med_$valueCol"))
+      }
+      val med = medianOf(ev, "cents")
+      val dev = ev.join(broadcast(med), Seq("event_type"))
+        .withColumn("dev", abs(col("cents") - col("med_cents")))
+      val mad = medianOf(dev.select(col("event_type"), col("dev")), "dev")
+      dev.join(broadcast(mad), Seq("event_type"))
+        .groupBy(col("event_type"), col("med_cents"))
+        .agg(max(col("med_dev")).as("mad_cents"),
+          count(lit(1)).as("n"),
+          sum(when(col("dev") > col("med_dev") * 3, 1L).otherwise(0L))
+            .as("n_outliers"))
+        .withColumn("outlier_bp", expr("n_outliers * 10000 div n"))
+    }),
+
     "q_percentiles" -> ((s, d) => {
       val w = Window.partitionBy(col("event_type")).orderBy(col("cents"))
       val wAll = Window.partitionBy(col("event_type"))
@@ -461,6 +496,41 @@ object RelationalQueries extends QueryPack {
         |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup,
         |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view
         |FROM events GROUP BY user_id""".stripMargin,
+    "q_mad_outliers" ->
+      """WITH ev AS (
+        |  SELECT event_type, round(value * 100)::BIGINT AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |med AS (
+        |  SELECT event_type,
+        |    max(CASE WHEN rn = ceil(n * 0.5) THEN cents END) AS med_cents
+        |  FROM (SELECT event_type, cents,
+        |          row_number() OVER (PARTITION BY event_type
+        |            ORDER BY cents) AS rn,
+        |          count(*) OVER (PARTITION BY event_type) AS n
+        |        FROM ev)
+        |  GROUP BY 1),
+        |dev AS (
+        |  SELECT ev.event_type, cents, med_cents,
+        |    abs(cents - med_cents) AS dev
+        |  FROM ev JOIN med USING (event_type)),
+        |mad AS (
+        |  SELECT event_type,
+        |    max(CASE WHEN rn = ceil(n * 0.5) THEN dev END) AS med_dev
+        |  FROM (SELECT event_type, dev,
+        |          row_number() OVER (PARTITION BY event_type
+        |            ORDER BY dev) AS rn,
+        |          count(*) OVER (PARTITION BY event_type) AS n
+        |        FROM dev)
+        |  GROUP BY 1)
+        |SELECT d.event_type, d.med_cents,
+        |  max(m.med_dev)::BIGINT AS mad_cents,
+        |  count(*) AS n,
+        |  sum(CASE WHEN d.dev > m.med_dev * 3 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_outliers,
+        |  (sum(CASE WHEN d.dev > m.med_dev * 3 THEN 1 ELSE 0 END)::BIGINT
+        |    * 10000) // count(*) AS outlier_bp
+        |FROM dev d JOIN mad m USING (event_type)
+        |GROUP BY 1, 2""".stripMargin,
     "q_percentiles" ->
       """WITH c AS (
         |  SELECT event_type, round(value * 100)::BIGINT AS cents
