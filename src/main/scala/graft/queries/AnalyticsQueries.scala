@@ -1508,6 +1508,97 @@ object AnalyticsQueries extends QueryPack {
           col("avgLumaMilli").as("luma_milli"))
     }),
 
+    // Real PCM WAV decode, ORACLE-CHECKED (the audio twin of
+    // mm_png_luma — until now the WAV codec was pinned by spec
+    // vectors only): per document synthesize a mono 16-bit WAV
+    // (sample(i) = (id·37 + i²) mod 65536 − 32768, per-doc length and
+    // rate), run it through the real RIFF-chunk walk + sign-extended
+    // sample scan, and have the oracle recompute sample count,
+    // duration and the mean-square energy from the formula with the
+    // SAME truncating division chain. A hash match proves header
+    // parse, chunk alignment, sign extension and the energy
+    // arithmetic byte-exactly.
+    "mm_wav_energy" -> ((s, d) => {
+      import s.implicits._
+      import graft.analytics.Multimodal
+      Tables.documents(s, d)
+        .select(col("doc_id")).filter(col("doc_id") < 200)
+        .as[Long].map { id =>
+          val n = 500 + (id % 1000).toInt
+          val rate = 8000 + (id % 4).toInt * 4000
+          val dataLen = n * 2
+          val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+          bb.put("WAVE".getBytes("US-ASCII"))
+          bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+          bb.putShort(1); bb.putShort(1) // PCM, mono
+          bb.putInt(rate); bb.putInt(rate * 2); bb.putShort(2); bb.putShort(16)
+          bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+          var i = 0L
+          while (i < n) {
+            bb.putShort((((id * 37 + i * i) % 65536) - 32768).toShort)
+            i += 1
+          }
+          Multimodal.MediaRow(id, "audio", bb.array())
+        }
+        .transform(m => Multimodal.extractFeatures(m,
+          new Multimodal.FormatAwareCodec))
+        .toDF()
+        .select(col("mediaId").as("doc_id"),
+          col("sampleRate").as("sample_rate"), col("channels"),
+          col("durationMs").as("duration_ms"),
+          col("energyMilli").as("energy_milli"))
+    }),
+
+    // Real 24-bit BMP decode, ORACLE-CHECKED (the last decoder to get
+    // an arithmetic oracle — WAV/PNG/JPEG/MP4 already have theirs):
+    // per document build an uncompressed bottom-up BMP with
+    // deterministic per-channel pixel formulas and 4-byte row
+    // padding, decode through the real header parse + padded-row
+    // walk, and have the oracle recompute the Rec.601 luma sum from
+    // the formulas. A hash match proves the data-offset handling, row
+    // stride, BGR channel order and luma arithmetic byte-exactly.
+    "mm_bmp_luma" -> ((s, d) => {
+      import s.implicits._
+      import graft.analytics.Multimodal
+      Tables.documents(s, d)
+        .select(col("doc_id")).filter(col("doc_id") < 200)
+        .as[Long].map { id =>
+          val w = 5 + (id % 6).toInt
+          val h = 4 + (id % 5).toInt
+          val rowBytes = ((w * 3 + 3) / 4) * 4
+          val dataLen = rowBytes * h
+          val bb = java.nio.ByteBuffer.allocate(54 + dataLen)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put('B'.toByte); bb.put('M'.toByte); bb.putInt(54 + dataLen)
+          bb.putShort(0); bb.putShort(0); bb.putInt(54)
+          bb.putInt(40); bb.putInt(w); bb.putInt(h)
+          bb.putShort(1); bb.putShort(24)
+          bb.putInt(0); bb.putInt(dataLen)
+          bb.putInt(2835); bb.putInt(2835); bb.putInt(0); bb.putInt(0)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              bb.put(((id + x * 3 + y * 7) % 256).toByte)        // B
+              bb.put(((id * 2 + x * 5 + y * 11) % 256).toByte)   // G
+              bb.put(((id * 3 + x * 7 + y * 13) % 256).toByte)   // R
+              x += 1
+            }
+            var pad = w * 3
+            while (pad < rowBytes) { bb.put(0.toByte); pad += 1 }
+            y += 1
+          }
+          Multimodal.MediaRow(id, "image", bb.array())
+        }
+        .transform(m => Multimodal.extractFeatures(m,
+          new Multimodal.FormatAwareCodec))
+        .toDF()
+        .select(col("mediaId").as("doc_id"), col("width"), col("height"),
+          col("avgLumaMilli").as("luma_milli"))
+    }),
+
     // Perceptual average-hash through the REAL PNG decode path,
     // ORACLE-CHECKED: per document build a deterministic greyscale
     // PNG (pixel(i) = (doc_id·31 + i) % 256, row filters cycling all
@@ -2559,6 +2650,40 @@ object AnalyticsQueries extends QueryPack {
         |FROM documents""".stripMargin,
     // arithmetic twin of the PNG round trip: same pixel formula,
     // no codec involved
+    "mm_bmp_luma" ->
+      """WITH d AS (
+        |  SELECT doc_id AS id, 5 + doc_id % 6 AS w, 4 + doc_id % 5 AS h
+        |  FROM documents WHERE doc_id < 200),
+        |xs AS (SELECT id, w, h, unnest(generate_series(0, w - 1)) AS x
+        |       FROM d),
+        |px AS (SELECT id, w, h, x, unnest(generate_series(0, h - 1)) AS y
+        |       FROM xs),
+        |l AS (
+        |  SELECT id, w, h,
+        |    sum(299 * ((id * 3 + x * 7 + y * 13) % 256)
+        |      + 587 * ((id * 2 + x * 5 + y * 11) % 256)
+        |      + 114 * ((id + x * 3 + y * 7) % 256))::BIGINT AS lsum
+        |  FROM px GROUP BY 1, 2, 3)
+        |SELECT id AS doc_id, w::INT AS width, h::INT AS height,
+        |  (lsum // (w * h))::BIGINT AS luma_milli
+        |FROM l""".stripMargin,
+    "mm_wav_energy" ->
+      """WITH d AS (
+        |  SELECT doc_id AS id, 500 + doc_id % 1000 AS n,
+        |    8000 + (doc_id % 4) * 4000 AS rate
+        |  FROM documents WHERE doc_id < 200),
+        |s AS (
+        |  SELECT id, n, rate, unnest(generate_series(0, n - 1)) AS i
+        |  FROM d),
+        |agg AS (
+        |  SELECT id, max(n) AS n, max(rate) AS rate,
+        |    sum(((id * 37 + i * i) % 65536 - 32768)
+        |        * ((id * 37 + i * i) % 65536 - 32768))::BIGINT AS ss
+        |  FROM s GROUP BY 1)
+        |SELECT id AS doc_id, rate::INT AS sample_rate, 1::INT AS channels,
+        |  ((n * 1000) // rate)::BIGINT AS duration_ms,
+        |  (((ss * 1000) // n) // 1073741824)::BIGINT AS energy_milli
+        |FROM agg""".stripMargin,
     "mm_ahash" ->
       """WITH g AS (SELECT unnest(range(8)) AS v),
         |cells AS (
