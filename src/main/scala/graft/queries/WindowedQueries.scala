@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Event-time windowed aggregation — the extension surface the
   * reference lacks (SURVEY §2.8 note: no windows on the ingest path;
@@ -62,6 +63,35 @@ object WindowedQueries extends QueryPack {
         .agg(count(lit(1)).as("n_users"))
     }),
 
+    // Cohort lifetime-value curve — w_retention's revenue twin: per
+    // signup cohort (a user's first-activity week), the purchase
+    // revenue its users generate at each week offset AND the running
+    // cumulative ("how much has the March cohort earned by week k") —
+    // the curve LTV projections read off. Two keyed partial-agg
+    // shuffles + one window cumsum partitioned BY COHORT (parallelism
+    // = number of cohorts, each partition a handful of offset rows —
+    // never a data-sized window). Exact integer cents.
+    "w_cohort_ltv" -> ((s, d) => {
+      val weekMs = 604800000L
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          expr(s"ts div 1000000 div $weekMs").as("wk"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(min(col("wk")).as("cohort_week"))
+      val perOffset = ev.filter(col("event_type") === "purchase")
+        .join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_week"),
+          (col("wk") - col("cohort_week")).as("week_offset"))
+        .agg(sum(col("cents")).as("revenue_cents"),
+          countDistinct(col("user_id")).as("n_buyers"))
+      val run = Window.partitionBy(col("cohort_week"))
+        .orderBy(col("week_offset"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perOffset.withColumn("cum_revenue_cents",
+        sum(col("revenue_cents")).over(run))
+    }),
+
     "w_session" -> ((s, d) => {
       Tables.events(s, d)
         .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
@@ -90,6 +120,27 @@ object WindowedQueries extends QueryPack {
         |         + k * 10800000 AS win_start_ms,
         |  count(*) AS n
         |FROM hops GROUP BY 1""".stripMargin,
+    "w_cohort_ltv" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |    epoch_ms(ts) // 604800000 AS wk,
+        |    round(value * 100)::BIGINT AS cents
+        |  FROM events),
+        |cohort AS (
+        |  SELECT user_id, min(wk) AS cohort_week FROM ev GROUP BY 1),
+        |per_offset AS (
+        |  SELECT cohort_week, wk - cohort_week AS week_offset,
+        |    sum(cents)::BIGINT AS revenue_cents,
+        |    count(DISTINCT e.user_id) AS n_buyers
+        |  FROM ev e JOIN cohort USING (user_id)
+        |  WHERE event_type = 'purchase'
+        |  GROUP BY 1, 2)
+        |SELECT cohort_week, week_offset, revenue_cents, n_buyers,
+        |  sum(revenue_cents) OVER (PARTITION BY cohort_week
+        |    ORDER BY week_offset
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |    AS cum_revenue_cents
+        |FROM per_offset""".stripMargin,
     "w_retention" ->
       """WITH wk AS (
         |  SELECT DISTINCT user_id,
