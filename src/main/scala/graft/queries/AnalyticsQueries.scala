@@ -543,7 +543,12 @@ object AnalyticsQueries extends QueryPack {
     // so hub vertices never anchor wedges). Wedge totals come from a
     // degree aggregate, not a join.
     "dd_triangles" -> ((s, d) => {
+      // the edge set feeds THREE joins (both wedge legs + the closing
+      // edge) and the degree aggregate — materialize it once, eagerly,
+      // or the whole signature pipeline re-executes per consumer. It
+      // is near-dup pairs: tiny at any corpus scale, safe to pin.
       val e = simhashNearDupPairs(s, d).select(col("doc_a"), col("doc_b"))
+        .localCheckpoint(true)
       val wedge = e.select(col("doc_a").as("a"), col("doc_b").as("b"))
         .join(e.select(col("doc_a").as("b"), col("doc_b").as("c")), Seq("b"))
       val tri = wedge

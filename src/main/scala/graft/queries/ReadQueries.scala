@@ -289,6 +289,10 @@ object ReadQueries extends QueryPack {
     */
   private[queries] def powerIteration(s: SparkSession, d: String,
       iters: Int): DataFrame = {
+    // the flattened (vec, dim, value) matrix is re-derived by each
+    // consumer (twice per iteration); measured, that re-scan of the
+    // small parquet is CHEAPER than eagerly materializing the 64×
+    // exploded rows — don't checkpoint here
     val f = AnalyticsQueries.quantEmb(s, d)
       .select(col("vec_id"), posexplode(col("q")).as(Seq("idx", "qv")))
     var v = f.select(col("idx")).distinct().withColumn("vv", lit(1L))
