@@ -227,6 +227,29 @@ object RelationalQueries extends QueryPack {
         .withColumn("cum_users", sum(col("new_users")).over(running))
     }),
 
+    // Relational DIVISION — "users who purchased in EVERY week the
+    // corpus covers" — the classic ∀-quantified join textbooks
+    // express as double NOT EXISTS, which planners turn into nested
+    // anti-join cascades. The scale-safe form is counting: distinct
+    // (user, week) purchase pairs, one partial-agg count per user,
+    // compare against the broadcast divisor cardinality. Two
+    // shuffles total, no correlated subquery.
+    "q_rel_division" -> ((s, d) => {
+      val weekMs = 604800000L
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          expr(s"ts div 1000000 div $weekMs").as("wk"))
+      val nWeeks = ev.select(col("wk")).distinct()
+        .agg(count(lit(1)).as("n_weeks"))
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("wk")).distinct()
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_user_weeks"))
+        .crossJoin(broadcast(nWeeks))
+        .filter(col("n_user_weeks") === col("n_weeks"))
+        .select(col("user_id"), col("n_user_weeks"))
+    }),
+
     // Robust outlier detection: median absolute deviation per event
     // type — the robust alternative to z-scores (a handful of extreme
     // values cannot drag the threshold the way they drag a mean/σ).
@@ -496,6 +519,16 @@ object RelationalQueries extends QueryPack {
         |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup,
         |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view
         |FROM events GROUP BY user_id""".stripMargin,
+    "q_rel_division" ->
+      """WITH n AS (
+        |  SELECT count(DISTINCT epoch_ms(ts) // 604800000) AS n_weeks
+        |  FROM events)
+        |SELECT user_id,
+        |  count(DISTINCT epoch_ms(ts) // 604800000) AS n_user_weeks
+        |FROM events CROSS JOIN n
+        |WHERE event_type = 'purchase'
+        |GROUP BY user_id, n.n_weeks
+        |HAVING count(DISTINCT epoch_ms(ts) // 604800000) = n_weeks""".stripMargin,
     "q_mad_outliers" ->
       """WITH ev AS (
         |  SELECT event_type, round(value * 100)::BIGINT AS cents
