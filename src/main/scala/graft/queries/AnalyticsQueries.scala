@@ -1276,6 +1276,40 @@ object AnalyticsQueries extends QueryPack {
           expr("sum(tf * nll_e6) div sum(tf)").as("avg_nll_e6"))
     }),
 
+    // Pointwise mutual information over doc-level co-occurrence — the
+    // collocation/statistical-NLP primitive ("which token pairs occur
+    // together far more than chance"). The naive all-token pair
+    // explosion is quadratic per document; the scale-safe form
+    // restricts pairs to a broadcast top-V vocabulary (V=50 by doc
+    // frequency, ties by token), so per-doc fan-out is bounded by V
+    // regardless of corpus or document size. PMI = ln(n_ab·D) −
+    // ln(n_a·n_b): two ln's of exact integers, micro-nat-quantized —
+    // the established cross-engine determinism contract. Support
+    // floor n_ab ≥ 5 keeps the output statistical, not anecdotal.
+    "tx_pmi_pairs" -> ((s, d) => {
+      val dtok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(toks)).as("tok"))
+      val dfreq = dtok.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      val vocab = dfreq.orderBy(col("n").desc, col("tok").asc).limit(50)
+      val ft = dtok.join(broadcast(vocab.select(col("tok"))), Seq("tok"))
+      val dTotal = Tables.documents(s, d).agg(count(lit(1)).as("d_total"))
+      val pairs = ft.as("a").join(ft.as("b"),
+          col("a.doc_id") === col("b.doc_id") && col("a.tok") < col("b.tok"))
+        .groupBy(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 5)
+      pairs
+        .join(broadcast(vocab.select(col("tok").as("tok_a"),
+          col("n").as("n_a"))), Seq("tok_a"))
+        .join(broadcast(vocab.select(col("tok").as("tok_b"),
+          col("n").as("n_b"))), Seq("tok_b"))
+        .crossJoin(broadcast(dTotal))
+        .select(col("tok_a"), col("tok_b"), col("n_ab"),
+          floor((log(col("n_ab") * col("d_total")) -
+                 log(col("n_a") * col("n_b"))) * 1000000)
+            .cast("long").as("pmi_u6"))
+    }),
+
     // Banded edit-distance join — the entity-resolution / fuzzy-match
     // primitive (dedup by NEAR-IDENTICAL leading content, catching
     // what exact hashing misses by one typo): pairs of documents
@@ -1837,6 +1871,27 @@ object AnalyticsQueries extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+    "tx_pmi_pairs" ->
+      """WITH dtok AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |dfreq AS (SELECT tok, count(*)::BIGINT AS n FROM dtok GROUP BY 1),
+        |vocab AS (
+        |  SELECT tok, n FROM dfreq ORDER BY n DESC, tok ASC LIMIT 50),
+        |ft AS (SELECT d.doc_id, d.tok FROM dtok d JOIN vocab USING (tok)),
+        |dt AS (SELECT count(*)::BIGINT AS d_total FROM documents),
+        |pairs AS (
+        |  SELECT a.tok AS tok_a, b.tok AS tok_b, count(*)::BIGINT AS n_ab
+        |  FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |  GROUP BY 1, 2
+        |  HAVING count(*) >= 5)
+        |SELECT tok_a, tok_b, n_ab,
+        |  floor((ln(n_ab * d_total) - ln(va.n * vb.n)) * 1000000)::BIGINT
+        |    AS pmi_u6
+        |FROM pairs
+        |JOIN vocab va ON va.tok = pairs.tok_a
+        |JOIN vocab vb ON vb.tok = pairs.tok_b
+        |CROSS JOIN dt""".stripMargin,
     "tx_editdist_pairs" ->
       """WITH p AS (
         |  SELECT doc_id, substr(text, 1, 48) AS pfx FROM documents),
