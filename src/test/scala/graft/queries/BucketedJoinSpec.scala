@@ -30,9 +30,32 @@ class BucketedJoinSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
+  /** Drop the table AND its physical location. When sbt test reuses a
+    * session another suite built, the temp-warehouse config above is
+    * ignored and tables land in the session's real warehouse dir — and
+    * a killed earlier run can leave the LOCATION behind with no
+    * catalog entry, which fails CTAS with LOCATION_ALREADY_EXISTS
+    * (overwrite only drops the table, not a stray directory).
+    */
+  private def dropCompletely(table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val dir = new java.io.File(loc, table)
+    if (dir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(dir)
+    }
+  }
+
   test("bucketed fact tables join with zero exchanges") {
     val o = Tables.orders(spark, sf)
     val l = Tables.lineitem(spark, sf)
+    dropCompletely("orders_bucketed")
+    dropCompletely("lineitem_bucketed")
     o.write.mode("overwrite")
       .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .saveAsTable("orders_bucketed")
