@@ -358,6 +358,37 @@ class PlanSpec extends AnyFunSuite {
       "assignment must be a partial-agg struct-min, not a rank window")
   }
 
+  test("tx_bm25: the df/stats model tables broadcast; postings aggregate map-side") {
+    val p = plan("tx_bm25")
+    // the 3-row document-frequency table and 1-row corpus stats must
+    // reach the postings via broadcast, never a shuffled join; the
+    // tf aggregation must partial-combine before its exchange
+    assert(p.contains("BroadcastHashJoin") ||
+           p.contains("BroadcastNestedLoopJoin"),
+      "model tables must broadcast")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      "tf must be a hash aggregate with partials")
+  }
+
+  test("tx_pmi_pairs: the vocabulary reaches the pair join as a broadcast") {
+    val p = plan("tx_pmi_pairs")
+    // the top-V vocabulary bounds the pair fan-out — it must fan out
+    // via broadcast; a shuffled vocab join would defeat the bound's
+    // purpose at scale
+    assert(p.contains("BroadcastHashJoin"), "vocab must broadcast")
+    // the top-V selection itself is a TakeOrdered, not a global sort
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-V vocabulary must use top-k selection, not a full sort")
+  }
+
+  test("q_rel_division: divisor cardinality broadcasts; no anti-join cascade") {
+    val p = plan("q_rel_division")
+    assert(!p.contains("SortMergeJoin"),
+      "division must not degenerate into shuffled joins")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the 1-row divisor count must broadcast")
+  }
+
   test("object table reads typed leaf columns — no JSON re-parse in the plan") {
     val p = plan("w4_object_projection")
     // the storage layout is one typed parquet column per leaf: the
