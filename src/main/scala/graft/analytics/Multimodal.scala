@@ -16,10 +16,12 @@ import org.apache.spark.sql.functions._
   * entropy decode — Huffman, dequantize, IDCT — to dimensions and
   * average luma, for BOTH baseline SOF0 and progressive SOF2 with
   * spectral selection + successive approximation) — dispatched by
-  * magic bytes in [[FormatAwareCodec]]. Only the step that genuinely
-  * needs a codec library absent from this environment (MP4 video
-  * frame decode — H.264 et al.) stays opaque; the keyframe BYTE
-  * ranges are still indexed for real via the sample tables.
+  * magic bytes in [[FormatAwareCodec]]. VIDEO FRAMES decode for real
+  * too when the samples are JPEGs ([[Mjpeg]]: sample-index walk →
+  * frame byte ranges → the in-house JPEG decoder). Only inter-coded
+  * codecs that genuinely need a library absent from this environment
+  * (H.264 et al.) stay opaque — their keyframe BYTE ranges are still
+  * indexed for real via the sample tables.
   * Unrecognized formats fall back to
   * [[DeterministicStubCodec]], which produces stable fake features
   * so the pipeline stays testable end-to-end. The
@@ -1924,6 +1926,62 @@ object Multimodal {
         f.copy(batchSize = batch.size)
       }
       out
+    }
+  }
+
+  /** Motion-JPEG in ISO-BMFF — the one interchange video format whose
+    * frames need NO codec library: every sample is a complete JPEG,
+    * so the container's sample index gives frame byte ranges and the
+    * in-house [[JpegCodec]] decodes ACTUAL video frames. This retires
+    * the "video frame decode needs external codecs" boundary for
+    * MJPEG; inter-coded codecs (H.264 …) remain the honest stub.
+    */
+  object Mjpeg {
+    import BE.{write32 => be32}
+
+    /** Assemble a playable-shape MJPEG container: the full sample
+      * index (all frames sync, one chunk) with the chunk offset
+      * pointing just past the header, then one `mdat` holding the
+      * concatenated JPEG frames. The header's length is independent
+      * of the offset VALUE (a fixed 4-byte field), so building once
+      * with a dummy offset measures the real one.
+      */
+    def container(width: Int, height: Int, timescale: Long,
+        durationTicks: Long, frames: Seq[Array[Byte]]): Array[Byte] = {
+      val sizes = frames.map(_.length.toLong)
+      def hdr(chunkOff: Long) = Mp4Builder.withSampleIndex(
+        timescale, durationTicks, width, height,
+        sampleCount = frames.length, uniformSize = 0L,
+        sampleSizes = sizes, samplesPerChunk = frames.length,
+        chunkOffsets = Seq(chunkOff),
+        syncSamples = (1 to frames.length).toList)
+      val dataOff = hdr(0L).length + 8L // past the mdat box header
+      val payload = frames.toArray.flatten
+      hdr(dataOff) ++ be32(payload.length + 8L) ++
+        "mdat".getBytes("US-ASCII") ++ payload
+    }
+
+    /** REAL frame decode: (frame number 1-based, decoded features)
+      * for every sync sample. Frame ranges come from the sample
+      * index; a frame's end is the next sample's offset (samples are
+      * contiguous in the mdat) or the container end for the last.
+      */
+    def frameFeatures(content: Array[Byte]): Seq[(Int, MediaFeatures)] = {
+      val offs = Mp4Index.syncSampleOffsets(content)
+      if (offs.isEmpty) return Nil
+      val codec = new JpegCodec
+      val sorted = offs.sortBy(_._2)
+      sorted.zipWithIndex.flatMap { case ((sampleNo, off), i) =>
+        val end = if (i + 1 < sorted.length) sorted(i + 1)._2
+                  else content.length.toLong
+        if (off < 0 || end <= off || end > content.length) None
+        else {
+          val slice = java.util.Arrays.copyOfRange(
+            content, off.toInt, end.toInt)
+          codec.decodeBatch(Seq(MediaRow(sampleNo.toLong, "image", slice)))
+            .headOption.map(f => (sampleNo, f))
+        }
+      }
     }
   }
 

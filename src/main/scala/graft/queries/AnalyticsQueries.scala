@@ -1723,6 +1723,41 @@ object AnalyticsQueries extends QueryPack {
         .filter(col("hamming") <= 8)
     }),
 
+    // REAL VIDEO FRAME DECODE, ORACLE-CHECKED — Motion-JPEG: per
+    // document build a 4-frame MJPEG ISO-BMFF container (each sample
+    // a complete baseline JPEG with engineered solid-DC blocks,
+    // dc(f,bx,by) = (id·7 + f·11 + bx·13 + by·29) % 32 − 16), then
+    // decode actual frames through the full chain — sample-index
+    // walk → frame byte ranges → in-house Huffman+IDCT JPEG decode —
+    // with the oracle recomputing every frame's visible-area-weighted
+    // luma arithmetically. This retires the video-frame stub for the
+    // one codec-free interchange format; inter-coded codecs stay the
+    // honest boundary.
+    "mm_mjpeg_frames" -> ((s, d) => {
+      import s.implicits._
+      import graft.analytics.Multimodal
+      Tables.documents(s, d)
+        .select(col("doc_id")).filter(col("doc_id") < 100)
+        .as[Long].flatMap { id =>
+          val w = 9 + (id % 12).toInt
+          val h = 9 + (id % 7).toInt
+          val quantY = Array.fill(64)(8)
+          def frame(f: Int): Array[Byte] =
+            Multimodal.JpegBuilder.baselineGrey(w, h, quantY, (bx, by) => {
+              val a = new Array[Int](64)
+              a(0) = ((id * 7 + f * 11 + bx * 13 + by * 29) % 32).toInt - 16
+              a
+            })
+          val mp4 = Multimodal.Mjpeg.container(w, h,
+            timescale = 1000L, durationTicks = 4000L,
+            frames = (0 until 4).map(frame))
+          Multimodal.Mjpeg.frameFeatures(mp4).map { case (sampleNo, feat) =>
+            (id, sampleNo - 1, feat.width, feat.height, feat.avgLumaMilli)
+          }
+        }
+        .toDF("doc_id", "frame_no", "width", "height", "luma_milli")
+    }),
+
     // Real baseline JPEG decode, ORACLE-CHECKED: per document encode
     // a JPEG whose blocks hold one quantized DC each — dc(bx,by) =
     // (doc_id*7 + bx*13 + by*29) % 32 - 16, DC quant step 8 — so the
@@ -2818,6 +2853,23 @@ object AnalyticsQueries extends QueryPack {
         |FROM px GROUP BY doc_id, w, h""".stripMargin,
     // arithmetic twin of the JPEG round trip: every visible block is
     // the solid value dc(bx,by)+128, weighted by its cropped area
+    "mm_mjpeg_frames" ->
+      """WITH fs AS (SELECT unnest(range(4)) AS f),
+        |bxs AS (SELECT unnest(range(3)) AS bx),
+        |bys AS (SELECT unnest(range(2)) AS by),
+        |blk AS (
+        |  SELECT d.doc_id, fs.f, (9 + d.doc_id % 12) AS w,
+        |         (9 + d.doc_id % 7) AS h, bxs.bx, bys.by
+        |  FROM documents d, fs, bxs, bys
+        |  WHERE d.doc_id < 100
+        |    AND bxs.bx * 8 < (9 + d.doc_id % 12)
+        |    AND bys.by * 8 < (9 + d.doc_id % 7))
+        |SELECT doc_id, f::INT AS frame_no, w::INT AS width,
+        |  h::INT AS height,
+        |  (sum(((doc_id*7 + f*11 + bx*13 + by*29) % 32 - 16 + 128)
+        |       * least(8, w - bx*8) * least(8, h - by*8))
+        |     * 1000 // (w * h))::BIGINT AS luma_milli
+        |FROM blk GROUP BY doc_id, f, w, h""".stripMargin,
     "mm_jpeg_luma" ->
       """WITH bxs AS (SELECT unnest(range(3)) AS bx),
         |bys AS (SELECT unnest(range(2)) AS by),

@@ -655,6 +655,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert((hi1, lo1) == (hi2, lo2))
   }
 
+  test("MJPEG: real frames decode through the sample index, per-frame content distinct") {
+    val w = 10; val h = 9
+    val quant = Array.fill(64)(8)
+    // frame f is a solid image of value 100 + f*10 (DC engineered so
+    // IDCT yields dc + 128 exactly, as the JPEG suite pins)
+    def frame(f: Int) = Multimodal.JpegBuilder.baselineGrey(w, h, quant,
+      (_, _) => { val a = new Array[Int](64); a(0) = (100 + f * 10) - 128; a })
+    val mp4 = Multimodal.Mjpeg.container(w, h, 1000L, 3000L,
+      (0 until 3).map(frame))
+    val frames = Multimodal.Mjpeg.frameFeatures(mp4)
+    assert(frames.map(_._1) == Seq(1, 2, 3))
+    frames.foreach { case (_, f) => assert((f.width, f.height) == (w, h)) }
+    assert(frames.map(_._2.avgLumaMilli) ==
+      Seq(100000L, 110000L, 120000L),
+      "each frame must decode its OWN content, not a shared slice")
+    // the container still reads as a normal MP4 (duration, dims)
+    val meta = new Multimodal.Mp4Codec()
+      .decodeBatch(Seq(Multimodal.MediaRow(1L, "video", mp4))).head
+    assert(meta.durationMs == 3000L && meta.width == w && meta.height == h)
+    // truncation degrades to fewer/no frames, never a crash
+    val cut = java.util.Arrays.copyOfRange(mp4, 0, mp4.length / 2)
+    assert(Multimodal.Mjpeg.frameFeatures(cut).length <= 3)
+  }
+
   test("average-hash refuses what it cannot decode honestly") {
     // RGB (colorType 2) PNGs and garbage are None, never a wrong hash
     assert(Multimodal.ImageHash.ahashGrey8(Array[Byte](1, 2, 3)).isEmpty)
