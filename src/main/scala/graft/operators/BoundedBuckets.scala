@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-bucket cardinality cap for LSH-style banded self-joins.
+  *
+  * Every near-dup candidate generator in this engine (MinHash bands,
+  * SimHash signature buckets, edit-distance chunk bands, perceptual-
+  * hash bands) bounds its pair fan-out by joining only within a
+  * bucket. That bound is real only while buckets stay small: on a
+  * web-scale corpus one viral boilerplate page with 10M near-copies
+  * puts 10M rows into a single band key, and the self-join on that one
+  * key alone emits ~5·10¹³ candidate pairs — the classic LSH-dedup
+  * production failure. The reference applies the same discipline to
+  * its decompression path (a hard 10 MiB inflate cap,
+  * `payloads_decoder.ex:22`): refuse pathological inputs explicitly
+  * instead of letting them take the job down.
+  *
+  * `cap` counts rows per bucket key, drops every bucket whose
+  * cardinality exceeds the cap, and logs the drop (no silent caps —
+  * a capped run must say so). Members of a dropped bucket can still
+  * pair through their OTHER bands (MinHash emits ≥2 bands per doc),
+  * and a bucket that hot is overwhelmingly exact/near-exact dupes of
+  * one document — the exact-hash dedup path already collapses those.
+  *
+  * Shape at scale: the hot-key set is tiny by construction (≤ total
+  * rows / cap keys, and real corpora are heavy-tailed — a handful),
+  * so it broadcasts and the drop is a map-side broadcast anti-join;
+  * no extra shuffle on the big side. When no bucket exceeds the cap
+  * (every test-scale dataset here) the input plan is returned
+  * untouched, so the capped and uncapped plans are byte-identical on
+  * healthy data and every PlanSpec pin still holds.
+  *
+  * The one eager pass (`hot.count()`) is the price of the guarantee —
+  * a single partial-agg scan over the (cached at every call site)
+  * band table, paid once at query build.
+  */
+object BoundedBuckets {
+
+  /** Default per-bucket row cap for banded self-joins. */
+  val DefaultCap = 1000
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Test hook: hot-bucket counts observed by the last `cap` call per
+    * tag, so specs can assert the cap actually bound (or didn't).
+    */
+  @volatile private[graft] var lastDropped: Map[String, Long] = Map.empty
+
+  /** Drop rows belonging to bucket keys with more than `cap` rows,
+    * logging when the cap binds. Returns the input unchanged (same
+    * plan object) when no bucket exceeds the cap.
+    */
+  def cap(df: DataFrame, keys: Seq[String], cap: Int = DefaultCap,
+          tag: String = "buckets"): DataFrame = {
+    val hot = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__bucket_n"))
+      .filter(col("__bucket_n") > cap)
+      .select(keys.map(col): _*)
+    val nHot = hot.count()
+    lastDropped = lastDropped.updated(tag, nHot)
+    if (nHot == 0) df
+    else {
+      log.warn(s"$tag: dropping $nHot bucket(s) over cap=$cap rows " +
+        "before the banded self-join (bounded candidate generation)")
+      df.join(broadcast(hot), keys, "left_anti")
+    }
+  }
+}

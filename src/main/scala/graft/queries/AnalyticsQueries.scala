@@ -196,8 +196,15 @@ object AnalyticsQueries extends QueryPack {
     * multilingual one.
     */
   private def simhashNearDupPairs(s: SparkSession, d: String): DataFrame = {
-    val sigs = simhashSigs(s, d)
+    val sigs0 = simhashSigs(s, d)
       .cache() // read 3× below (distinct sigs + both expansion sides)
+    // bounded pair generation: the doc-pair fan-out here is
+    // |bucket(sig_a)| × |bucket(sig_b)| per signature pair, so one
+    // signature shared by >cap documents (a boilerplate page at crawl
+    // scale) explodes quadratically. Drop-and-log such signature
+    // buckets; no-op on healthy data — see BoundedBuckets.
+    val sigs = graft.operators.BoundedBuckets.cap(
+      sigs0, Seq("lang", "sig"), tag = "dd_simhash_sig_buckets")
     val present = sigs.select(col("lang"), col("sig")).distinct()
     val ball = present.select(col("lang"), col("sig").as("sig_lo"),
         explode(expr(
@@ -515,8 +522,14 @@ object AnalyticsQueries extends QueryPack {
         // self-join read it — uncached, the dominant shingle+signature
         // lineage executes twice
         .cache()
-      val a = bands.select(col("doc_id").as("doc_a"), col("band_key"))
-      val b = bands.select(col("doc_id").as("doc_b"), col("band_key").as("band_key_b"))
+      // bounded candidate generation: drop (and log) band keys holding
+      // more than BoundedBuckets.DefaultCap docs before the self-join —
+      // no-op on healthy data, the 100 TB guard against one viral page
+      // with millions of near-copies landing in a single band.
+      val bounded = graft.operators.BoundedBuckets.cap(
+        bands, Seq("band_key"), tag = "dd_minhash_lsh_bands")
+      val a = bounded.select(col("doc_id").as("doc_a"), col("band_key"))
+      val b = bounded.select(col("doc_id").as("doc_b"), col("band_key").as("band_key_b"))
       a.join(b, col("band_key") === col("band_key_b") && col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b")).distinct()
     }),
@@ -960,7 +973,12 @@ object AnalyticsQueries extends QueryPack {
           md5(concat(col("lang"), lit("|"),
             concat_ws(",", col("mh4"), col("mh5"), col("mh6"), col("mh7")))).as("bk1"))
         .select(col("doc_id"), explode(array(col("bk0"), col("bk1"))).as("band_key"))
-      val cands = bands.as("a").join(bands.as("b"),
+      // bounded candidate generation (see BoundedBuckets): cheap here —
+      // bands project off the cached minhashes, so the hot-key count
+      // pass never re-runs the shingle aggregation.
+      val bBands = graft.operators.BoundedBuckets.cap(
+        bands, Seq("band_key"), tag = "dd_minhash_est_bands")
+      val cands = bBands.as("a").join(bBands.as("b"),
           col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -1331,7 +1349,23 @@ object AnalyticsQueries extends QueryPack {
           struct(lit(3).as("pos"), substring(col("pfx"), 33, 16).as("c"))))
           .as("ch"))
         .select(col("doc_id"), col("ch.pos").as("pos"), col("ch.c").as("c"))
-      val cand = chunks.as("a").join(chunks.as("b"),
+        // degenerate-chunk guard: a document shorter than 33 (or 17)
+        // chars leaves its pos-3 (pos-2) chunk EMPTY, and empty chunks
+        // all collide — every short doc would pair with every other
+        // short doc, an all-pairs explosion the banding exists to
+        // avoid. Drop empty chunks (mirrored in the oracle); a short
+        // doc can still pair through its non-empty aligned chunks.
+        .filter(col("c") =!= "")
+        // both the hot-bucket count and both self-join sides read the
+        // chunk table; cached so the documents scan runs once
+        .cache()
+      // bounded candidate generation (see BoundedBuckets): a (pos,
+      // chunk) bucket shared by >cap docs — identical leading 16 chars
+      // across millions of boilerplate pages — would explode the
+      // self-join quadratically.
+      val bChunks = graft.operators.BoundedBuckets.cap(
+        chunks, Seq("pos", "c"), tag = "tx_editdist_chunks")
+      val cand = bChunks.as("a").join(bChunks.as("b"),
           col("a.pos") === col("b.pos") && col("a.c") === col("b.c") &&
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -1712,7 +1746,15 @@ object AnalyticsQueries extends QueryPack {
           .as("band"))
         .select(col("media_id"), col("hi"), col("lo"),
           col("band.b").as("b"), col("band.v").as("v"))
-      bands.as("x").join(bands.as("y"),
+        // cached: the hot-bucket count pass and both self-join sides
+        // would otherwise each re-run the PNG encode+decode flatMap
+        .cache()
+      // bounded candidate generation (see BoundedBuckets): a 16-bit
+      // hash band shared by >cap images (solid-color thumbnails at
+      // crawl scale) would explode the self-join quadratically.
+      val bBands = graft.operators.BoundedBuckets.cap(
+        bands, Seq("b", "v"), tag = "mm_ahash_bands")
+      bBands.as("x").join(bBands.as("y"),
           col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
           col("x.media_id") < col("y.media_id"))
         .select(col("x.media_id").as("media_a"),
@@ -1934,7 +1976,8 @@ object AnalyticsQueries extends QueryPack {
         |  SELECT doc_id, pos, CASE pos WHEN 1 THEN substr(pfx, 1, 16)
         |    WHEN 2 THEN substr(pfx, 17, 16) ELSE substr(pfx, 33, 16)
         |  END AS c
-        |  FROM p, (SELECT unnest([1, 2, 3]) AS pos)),
+        |  FROM p, (SELECT unnest([1, 2, 3]) AS pos)
+        |  WHERE c <> ''),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM ch a JOIN ch b

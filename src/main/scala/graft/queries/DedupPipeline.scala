@@ -27,6 +27,19 @@ object DedupPipeline extends QueryPack {
     */
   private[graft] val roundPartitions = 8
 
+  /** Parallelism for the propagation rounds, derived from the
+    * materialized edge count: one partition per ~1M edges, floored at
+    * `roundPartitions` (tiny graphs — every test-scale run — keep the
+    * pinned 8 so scheduling latency never dominates) and capped at the
+    * session's parallelism. On a cluster where the LSH-verified edge
+    * set reaches 10⁹ rows this is what keeps the per-round joins from
+    * serializing through 8 partitions; the count it derives from is
+    * already paid by `materializedEdges`.
+    */
+  private[graft] def roundPartitionsFor(edgeCount: Long, maxPar: Int): Int =
+    math.max(roundPartitions,
+      math.min(maxPar.toLong, edgeCount / 1000000L).toInt)
+
   /** (doc_id, lang, shingle-hash) distinct rows.
     *
     * The trigram hash is per-token md5 (56-bit prefix) combined with
@@ -80,7 +93,14 @@ object DedupPipeline extends QueryPack {
       // uncached, the signature aggregation over the (cached) shingle
       // set runs twice
       .cache()
-    val cands = bands.as("a").join(bands.as("b"),
+    // bound the self-join fan-out: a band key holding >cap docs (one
+    // viral page with millions of near-copies) would alone emit
+    // ~cap²/2 candidate pairs; drop-and-log such buckets (members
+    // still pair via their other band, and that hot they're exact-dup
+    // territory anyway). No-op on healthy data — see BoundedBuckets.
+    val bounded = graft.operators.BoundedBuckets.cap(
+      bands, Seq("band_key"), tag = "dd_lsh_bands")
+    val cands = bounded.as("a").join(bounded.as("b"),
         col("a.band_key") === col("b.band_key") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -102,19 +122,24 @@ object DedupPipeline extends QueryPack {
     (verified, sh, bands)
   }
 
-  /** Materialize the symmetric edge set at `roundPartitions` and run
-    * the stage-1/2 LSH lineage at the session's full parallelism (the
-    * count() below executes it BEFORE the caller drops
-    * `spark.sql.shuffle.partitions` for the rounds). Caller must
-    * unpersist.
+  /** Materialize the symmetric edge set and derive the round
+    * parallelism from its count. The stage-1/2 LSH lineage runs at the
+    * session's full parallelism (the first count() below executes it
+    * BEFORE the caller drops `spark.sql.shuffle.partitions` for the
+    * rounds); the edges are then re-laid-out at the derived round
+    * parallelism — a repartition of the already-cached rows, not a
+    * lineage re-execution. Caller must unpersist the returned frame.
     */
-  private def materializedEdges(verified: DataFrame): DataFrame = {
-    val edges = verified
+  private def materializedEdges(s: SparkSession, verified: DataFrame): (DataFrame, Int) = {
+    val sym = verified
       .union(verified.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .repartition(roundPartitions, col("doc_a"))
       .cache()
+    val n = sym.count()
+    val rp = roundPartitionsFor(n, s.sparkContext.defaultParallelism)
+    val edges = sym.repartition(rp, col("doc_a")).cache()
     edges.count()
-    edges
+    sym.unpersist()
+    (edges, rp)
   }
 
   /** Run `body` with `spark.sql.shuffle.partitions` pinned to
@@ -124,9 +149,9 @@ object DedupPipeline extends QueryPack {
     * small-cardinality iteration escapes to session parallelism except
     * the caller's final orderBy.
     */
-  private def withRoundParallelism[A](s: SparkSession)(body: => A): A = {
+  private def withRoundParallelism[A](s: SparkSession, rp: Int)(body: => A): A = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", roundPartitions.toString)
+    s.conf.set("spark.sql.shuffle.partitions", rp.toString)
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
@@ -134,8 +159,9 @@ object DedupPipeline extends QueryPack {
     * for the PlanSpec partition pin. Returns the materialized final
     * round; intermediate rounds' checkpoint blocks are released.
     */
-  private[graft] def propagateFixed(s: SparkSession, edges: DataFrame, n: Int): DataFrame =
-    withRoundParallelism(s) {
+  private[graft] def propagateFixed(s: SparkSession, edges: DataFrame, n: Int,
+      rp: Int = roundPartitions): DataFrame =
+    withRoundParallelism(s, rp) {
       var labels = edges.select(col("doc_a").as("doc_id")).distinct()
         .withColumn("cluster", col("doc_id"))
       val rounds = scala.collection.mutable.Buffer.empty[DataFrame]
@@ -170,8 +196,9 @@ object DedupPipeline extends QueryPack {
     * result is the true component min-id independent of iteration
     * count. Exposed for the PlanSpec partition pin.
     */
-  private[graft] def propagateConverged(s: SparkSession, edges: DataFrame): DataFrame =
-    withRoundParallelism(s) {
+  private[graft] def propagateConverged(s: SparkSession, edges: DataFrame,
+      rp: Int = roundPartitions): DataFrame =
+    withRoundParallelism(s, rp) {
       var labels = edges.select(col("doc_a").as("doc_id")).distinct()
         .withColumn("cluster", col("doc_id"))
         .localCheckpoint()
@@ -233,10 +260,10 @@ object DedupPipeline extends QueryPack {
       val (verified, sh, bands) = verifiedPairs(s, d)
       // stage 3: 3 rounds of min-label propagation over the verified
       // edges (fixed iteration count — identical in the oracle).
-      val edges = materializedEdges(verified)
+      val (edges, rp) = materializedEdges(s, verified)
       sh.unpersist()
       bands.unpersist()
-      val labels = propagateFixed(s, edges, 3)
+      val labels = propagateFixed(s, edges, 3, rp)
       edges.unpersist()
       labels.orderBy(col("doc_id"))
     }),
@@ -254,10 +281,10 @@ object DedupPipeline extends QueryPack {
     // convergence test.
     "dd_cc_converged" -> ((s, d) => {
       val (verified, sh, bands) = verifiedPairs(s, d)
-      val edges = materializedEdges(verified)
+      val (edges, rp) = materializedEdges(s, verified)
       sh.unpersist()
       bands.unpersist()
-      val labels = propagateConverged(s, edges)
+      val labels = propagateConverged(s, edges, rp)
       edges.unpersist()
       labels.orderBy(col("doc_id"))
     })
