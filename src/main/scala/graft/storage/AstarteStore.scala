@@ -114,7 +114,7 @@ final class AstarteStore(val root: String) {
             when(col("kind") === "property_unset", LwwTable.OpDelete)
               .otherwise(LwwTable.OpUpsert).as(LwwTable.OpCol): _*)
         lockFor(properties.path).synchronized {
-          rows.write.mode("append").parquet(properties.path)
+          AstarteStore.appendAtomic(rows, properties.path)
         }
       }
 
@@ -139,8 +139,7 @@ final class AstarteStore(val root: String) {
             expr("valueTimestampMs div 86400000").as("day")) ++
             typedColumnNames.map(col): _*)
         lockFor(datastreamPath).synchronized {
-          streamRows.write.mode("append")
-            .partitionBy("iface", "day").parquet(datastreamPath)
+          AstarteStore.appendAtomic(streamRows, datastreamPath, Seq("iface", "day"))
         }
       }
 
@@ -194,7 +193,7 @@ final class AstarteStore(val root: String) {
               expr("valueTimestampMs div 86400000").as("day")) ++ leafCols: _*)
           val path = objectPath(desc.copy(major = rowMajor))
           lockFor(path).synchronized {
-            rows.write.mode("append").partitionBy("day").parquet(path)
+            AstarteStore.appendAtomic(rows, path, Seq("day"))
           }
         }
       }
@@ -206,7 +205,7 @@ final class AstarteStore(val root: String) {
             col("submillis").as("reception_timestamp_submillis"),
             col("detail").as("update_json"))
         lockFor(devicesLogPath).synchronized {
-          updateRows.write.mode("append").parquet(devicesLogPath)
+          AstarteStore.appendAtomic(updateRows, devicesLogPath)
         }
       }
 
@@ -219,7 +218,7 @@ final class AstarteStore(val root: String) {
               .as("expiry_ms"),
             lit(LwwTable.OpUpsert).as(LwwTable.OpCol))
         lockFor(pathIndex.path).synchronized {
-          pathRows.write.mode("append").parquet(pathIndex.path)
+          AstarteStore.appendAtomic(pathRows, pathIndex.path)
         }
       }
 
@@ -232,7 +231,7 @@ final class AstarteStore(val root: String) {
             when(regexp_extract(col("detail"), "^(register|unregister):", 1) === "unregister",
               LwwTable.OpDelete).otherwise(LwwTable.OpUpsert).as(LwwTable.OpCol))
         lockFor(kvStore.path).synchronized {
-          kvRows.write.mode("append").parquet(kvStore.path)
+          AstarteStore.appendAtomic(kvRows, kvStore.path)
         }
       }
     } finally df.unpersist()
@@ -289,7 +288,7 @@ final class AstarteStore(val root: String) {
       // two concurrent append jobs on ONE path share the committer's
       // `_temporary/0` tree — the lock keeps this tombstone append
       // from interleaving with applyEffects' path-index writes
-      expired.write.mode("append").parquet(pathIndex.path)
+      AstarteStore.appendAtomic(expired, pathIndex.path)
     }
 
   /** General retention sweep (W3+W5): drop expired path-index rows and
@@ -401,12 +400,16 @@ final class AstarteStore(val root: String) {
     import org.apache.hadoop.fs.{Path => HPath}
     val hpath = new HPath(path)
     val fs = hpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // cross-process exclusion: maintenance from a second driver
+    // process takes the on-disk lock file, not just this JVM monitor
+    ProcessLock.withLock(fs, AstarteStore.maintenanceLock(path)) {
     // adopt BOTH maintenance tmp roots before anything else — and
     // before the missing-table early return: a sweep that emptied the
     // table root while a compaction crash parked files under its tmp
     // root is exactly the state that must recover here
     adoptTmpLeaves(fs, hpath, new HPath(path + ".sweep.tmp"))
     adoptTmpLeaves(fs, hpath, new HPath(path + ".compact.tmp"))
+    AstarteStore.recoverAppendBatches(fs, hpath)
     if (!fs.exists(hpath)) return
     val df = spark.read.parquet(path)
     if (!df.columns.contains("expiry_ms")) return
@@ -430,6 +433,7 @@ final class AstarteStore(val root: String) {
     }
     fs.delete(tmpRoot, true)
     pruneEmptyDirs(fs, hpath)
+    }
   }
 
   /** Partition-pruned small-file compaction of an (iface, day)
@@ -447,9 +451,11 @@ final class AstarteStore(val root: String) {
     import org.apache.hadoop.fs.{Path => HPath}
     val hpath = new HPath(path)
     val fs = hpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ProcessLock.withLock(fs, AstarteStore.maintenanceLock(path)) {
     adoptTmpLeaves(fs, hpath, new HPath(path + ".sweep.tmp"))
     val tmpRoot = new HPath(path + ".compact.tmp")
     adoptTmpLeaves(fs, hpath, tmpRoot)
+    AstarteStore.recoverAppendBatches(fs, hpath)
     if (!fs.exists(hpath)) return
     // leaf dirs at any partition depth: a dir holding parquet files
     // directly (the root itself is never a leaf — these tables are
@@ -472,6 +478,7 @@ final class AstarteStore(val root: String) {
         rewriteLeaf(spark, fs, leaf, new HPath(s"$tmpRoot/$rel"), _.coalesce(1))
     }
     fs.delete(tmpRoot, true)
+    }
   }
 
   /** Datastream read as of `nowMs`: retention-expired rows are
@@ -727,6 +734,79 @@ object AstarteStore {
   private[storage] def lockFor(path: String): Object =
     tableLocks.computeIfAbsent(path, _ => new Object)
 
+  /** Hadoop hidden-path convention (static twin of the instance
+    * helper): `_temporary`, `_SUCCESS`, `.hidden` are committer
+    * internals, never table data.
+    */
+  private def isHiddenName(name: String): Boolean =
+    name.startsWith("_") || name.startsWith(".")
+
+  private[storage] def appendTmpRoot(path: String): String = path + ".append.tmp"
+
+  /** Lock file for cross-process maintenance exclusion on one table
+    * (see [[ProcessLock]]). A sibling FILE, not inside the table dir,
+    * so scans and partition discovery never see it.
+    */
+  private[storage] def maintenanceLock(path: String) =
+    new org.apache.hadoop.fs.Path(path + ".maintenance.lock")
+
+  /** Cross-process-safe append: write the batch to a UNIQUE tmp dir
+    * beside the table, then RENAME the committed part files into the
+    * table tree (atomic per file; Spark part-file names embed the
+    * writing job's UUID, so names never collide across writers). Two
+    * processes appending one table therefore never share a committer
+    * `_temporary/0` tree — each batch commits alone in its own
+    * directory, and only fully-committed files ever enter the table,
+    * which is what `mode("append")` on a shared path cannot promise.
+    * Crash before the renames leaves an orphan batch dir: the batch
+    * was never acked upstream, so the pipeline replays it
+    * (byte-identical rows, folded by every read); maintenance adopts
+    * or clears orphans ([[recoverAppendBatches]]). The reference
+    * leans on Cassandra's per-cell LWW for the same multi-writer
+    * guarantee (`queries.ex:87-155`).
+    */
+  private[graft] def appendAtomic(df: DataFrame, path: String,
+      partitionCols: Seq[String] = Nil): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val spark = df.sparkSession
+    val hpath = new HPath(path)
+    val fs = hpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batch = new HPath(appendTmpRoot(path),
+      java.util.UUID.randomUUID().toString)
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(batch.toString)
+    adoptTmpLeaves(fs, hpath, batch)
+    val root = new HPath(appendTmpRoot(path))
+    if (fs.exists(root) && fs.listStatus(root).isEmpty)
+      fs.delete(root, false)
+  }
+
+  /** Maintenance-side recovery of the append protocol: a batch dir
+    * WITHOUT `_temporary` is fully committed — crash happened between
+    * commit and rename — so adopting it is safe (at worst it re-lands
+    * rows the upstream replay also lands; byte-identical, folded by
+    * reads). A batch dir still holding `_temporary` is in flight or
+    * died mid-write; it is removed only once old enough that no live
+    * writer can own it, and left alone otherwise.
+    */
+  private[storage] def recoverAppendBatches(
+      fs: org.apache.hadoop.fs.FileSystem,
+      tableRoot: org.apache.hadoop.fs.Path,
+      staleMs: Long = 60 * 60 * 1000L): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val root = new HPath(appendTmpRoot(tableRoot.toString))
+    if (!fs.exists(root)) return
+    for (b <- fs.listStatus(root) if b.isDirectory) {
+      val inFlight = fs.exists(new HPath(b.getPath, "_temporary"))
+      if (!inFlight) adoptTmpLeaves(fs, tableRoot, b.getPath)
+      else if (System.currentTimeMillis() - b.getModificationTime > staleMs)
+        fs.delete(b.getPath, true)
+    }
+    if (fs.exists(root) && fs.listStatus(root).isEmpty)
+      fs.delete(root, false)
+  }
+
   /** Crash recovery for the leaf rewrites (sweep + compaction): a tmp
     * root only ever holds replacement files whose originals are still
     * in the leaf, so recovery ADOPTS every tmp file into its leaf
@@ -744,7 +824,10 @@ object AstarteStore {
     // mirror the tmp tree back under the table root at ANY partition
     // depth — (iface, day) for datastreams, (day) for object tables
     def walk(dir: HPath, rel: String): Unit =
-      for (e <- fs.listStatus(dir)) {
+      for (e <- fs.listStatus(dir) if !isHiddenName(e.getPath.getName)) {
+        // hidden dirs (`_temporary` from a crashed write) hold
+        // task-attempt files that were never committed — adopting
+        // those would inject partial data; they die with the tmp root
         val childRel =
           if (rel.isEmpty) e.getPath.getName else s"$rel/${e.getPath.getName}"
         if (e.isDirectory) walk(e.getPath, childRel)

@@ -29,8 +29,7 @@ final class LwwTable(
     */
   def append(df: DataFrame, op: String = OpUpsert): Unit =
     AstarteStore.lockFor(path).synchronized {
-      df.withColumn(OpCol, lit(op))
-        .write.mode("append").parquet(path)
+      AstarteStore.appendAtomic(df.withColumn(OpCol, lit(op)), path)
     }
 
   def exists(spark: SparkSession): Boolean =
@@ -77,17 +76,23 @@ final class LwwTable(
     AstarteStore.lockFor(path).synchronized {
       val hpath = new org.apache.hadoop.fs.Path(path)
       val fs = hpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val tmp = new org.apache.hadoop.fs.Path(path + ".compact.tmp")
-      AstarteStore.adoptTmpLeaves(fs, hpath, tmp)
-      if (!fs.exists(hpath)) return
-      AstarteStore.rewriteLeaf(spark, fs, hpath, tmp,
-        df => fold(df).withColumn(OpCol, lit(OpUpsert)).coalesce(1))
-      fs.delete(tmp, true)
-      // every key deleted → all files retired; drop the now-empty dir
-      // so it can't masquerade as a schema-less table
-      if (fs.exists(hpath) && !fs.listStatus(hpath).exists(f =>
-          f.isFile && f.getPath.getName.endsWith(".parquet")))
-        fs.delete(hpath, true)
+      // cross-process exclusion (a second driver's vacuum job): the
+      // on-disk lock file, not just this JVM's monitor
+      ProcessLock.withLock(fs, AstarteStore.maintenanceLock(path)) {
+        val tmp = new org.apache.hadoop.fs.Path(path + ".compact.tmp")
+        AstarteStore.adoptTmpLeaves(fs, hpath, tmp)
+        AstarteStore.recoverAppendBatches(fs, hpath)
+        if (fs.exists(hpath)) {
+          AstarteStore.rewriteLeaf(spark, fs, hpath, tmp,
+            df => fold(df).withColumn(OpCol, lit(OpUpsert)).coalesce(1))
+          fs.delete(tmp, true)
+          // every key deleted → all files retired; drop the now-empty
+          // dir so it can't masquerade as a schema-less table
+          if (fs.exists(hpath) && !fs.listStatus(hpath).exists(f =>
+              f.isFile && f.getPath.getName.endsWith(".parquet")))
+            fs.delete(hpath, true)
+        }
+      }
     }
 }
 

@@ -653,4 +653,71 @@ class AstarteStoreSpec extends AnyFunSuite {
       .select("integer_value").collect().map(_.getInt(0)).sorted.toSeq
     assert(vals == appended, s"rows lost or duplicated: $vals")
   }
+
+  test("two sessions appending concurrently lose no rows (cross-process protocol)") {
+    // Two SparkSessions in separate threads stand in for two DRIVER
+    // PROCESSES sharing a store path: appendAtomic is called directly,
+    // WITHOUT the JVM table lock, so the only thing keeping the
+    // writers safe is the on-disk protocol itself (unique tmp dir per
+    // batch + rename-in). Under plain mode("append") both writers
+    // would share the committer's `_temporary/0` tree and could
+    // corrupt each other's commit.
+    val root = Files.createTempDirectory("graft-store9").toString
+    val path = s"$root/individual_datastreams"
+    val sessions = Seq(spark.newSession(), spark.newSession())
+    def batch(s: SparkSession, base: Int) = {
+      import s.implicits._
+      (0 until 50).map(i => (s"dev$i", "com.test.If", base + i, (base + i) % 3L))
+        .toDF("device_id", "iface", "v", "day")
+    }
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val threads = sessions.zip(Seq(0, 1000)).map { case (sess, base) =>
+      new Thread(() => {
+        try (0 until 5).foreach { b =>
+          AstarteStore.appendAtomic(batch(sess, base + b * 100), path,
+            Seq("iface", "day"))
+        } catch { case t: Throwable => err.compareAndSet(null, t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(err.get() == null, s"concurrent appender failed: ${err.get()}")
+    val got = spark.read.parquet(path)
+      .select("v").collect().map(_.getInt(0)).sorted.toSeq
+    val want = (for (base <- Seq(0, 1000); b <- 0 until 5; i <- 0 until 50)
+      yield base + b * 100 + i).sorted
+    assert(got == want, s"rows lost or duplicated across sessions")
+    // no batch dirs left behind on the happy path
+    assert(!new java.io.File(AstarteStore.appendTmpRoot(path)).exists())
+  }
+
+  test("crashed append batches: committed orphans adopted, in-flight ones left alone") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-store10").toString
+    val lww = new LwwTable(s"$root/kv", Seq("k"), Seq("ts"))
+    lww.append(Seq(("a", 1L, "v1")).toDF("k", "ts", "v"))
+
+    // a batch that committed its files but crashed before the renames:
+    // a parquet dir WITHOUT `_temporary`, parked under the append tmp
+    // root with the table's schema (incl. the op column)
+    Seq(("b", 2L, "v2")).toDF("k", "ts", "v")
+      .withColumn(LwwTable.OpCol, org.apache.spark.sql.functions.lit(LwwTable.OpUpsert))
+      .write.parquet(s"${AstarteStore.appendTmpRoot(lww.path)}/orphan-committed")
+
+    // a batch still mid-write (fresh `_temporary` present): must NOT
+    // be adopted or deleted — a live writer may own it
+    val inFlight = new java.io.File(
+      s"${AstarteStore.appendTmpRoot(lww.path)}/orphan-inflight/_temporary")
+    assert(inFlight.mkdirs())
+
+    lww.compact(spark)
+
+    val snap = lww.snapshot(spark).select("k", "v").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(snap == Map("a" -> "v1", "b" -> "v2"),
+      s"committed orphan batch must be adopted into the snapshot: $snap")
+    assert(inFlight.exists(), "fresh in-flight batch must be left untouched")
+    // the maintenance lock is released after the run
+    assert(!new java.io.File(
+      AstarteStore.maintenanceLock(lww.path).toString).exists())
+  }
 }
