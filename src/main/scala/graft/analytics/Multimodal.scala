@@ -1878,12 +1878,416 @@ object Multimodal {
     }
   }
 
+  /** GIF-variant LZW (GIF89a appendix F): variable code width
+    * starting at `minCodeSize`+1, clear/end-of-information codes,
+    * dictionary capped at 4096 entries, codes packed LSB-first. The
+    * decoder follows the standard width rule — bump the read width
+    * when the NEXT table slot reaches 2^width (max 12) — and handles
+    * the KwKwK self-reference case; the encoder is real LZW whose
+    * width tracking SIMULATES the decoder's table growth (the
+    * decoder's adds lag the encoder's by one code, which is exactly
+    * the off-by-one that breaks naive encoders), so interop holds by
+    * construction and round-trips are byte-exact.
+    */
+  private[analytics] object GifLzw {
+
+    /** LSB-first bit packing: code bits fill bytes low bit first. */
+    private final class BitWriter {
+      private val out = new java.io.ByteArrayOutputStream()
+      private var acc = 0L
+      private var nAcc = 0
+      def put(code: Int, width: Int): Unit = {
+        acc |= (code.toLong & ((1L << width) - 1)) << nAcc
+        nAcc += width
+        while (nAcc >= 8) {
+          out.write((acc & 0xff).toInt); acc >>>= 8; nAcc -= 8
+        }
+      }
+      def result(): Array[Byte] = {
+        if (nAcc > 0) { out.write((acc & 0xff).toInt); acc = 0; nAcc = 0 }
+        out.toByteArray
+      }
+    }
+
+    private final class BitReader(b: Array[Byte]) {
+      private var pos = 0
+      private var acc = 0L
+      private var nAcc = 0
+      /** Next `width`-bit code, or -1 at end of data. */
+      def read(width: Int): Int = {
+        while (nAcc < width) {
+          if (pos >= b.length) return -1
+          acc |= (b(pos) & 0xffL) << nAcc
+          pos += 1; nAcc += 8
+        }
+        val v = (acc & ((1L << width) - 1)).toInt
+        acc >>>= width; nAcc -= width
+        v
+      }
+    }
+
+    /** Real LZW compression of `pixels` (palette indices). The width
+      * state is the DECODER's: `decNext` counts the entries the
+      * decoder will have added after reading each emitted code (one
+      * per data code except the first after a clear), and the width
+      * bumps when THAT counter fills the current width — not when the
+      * encoder's own (one-ahead) table does.
+      */
+    def encode(pixels: Array[Byte], minCodeSize: Int): Array[Byte] = {
+      val clear = 1 << minCodeSize
+      val eoi = clear + 1
+      val bw = new BitWriter
+      var width = minCodeSize + 1
+      var dict = scala.collection.mutable.HashMap.empty[(Int, Int), Int]
+      var encNext = eoi + 1
+      var decNext = eoi + 1
+      var firstSinceClear = true
+      def emitData(code: Int): Unit = {
+        bw.put(code, width)
+        if (firstSinceClear) firstSinceClear = false
+        else if (decNext < 4096) {
+          decNext += 1
+          if (decNext == (1 << width) && width < 12) width += 1
+        }
+      }
+      def reset(): Unit = {
+        bw.put(clear, width)
+        width = minCodeSize + 1
+        dict = scala.collection.mutable.HashMap.empty
+        encNext = eoi + 1; decNext = eoi + 1; firstSinceClear = true
+      }
+      reset()
+      if (pixels.isEmpty) { bw.put(eoi, width); return bw.result() }
+      var cur = pixels(0) & 0xff
+      var i = 1
+      while (i < pixels.length) {
+        val k = pixels(i) & 0xff
+        dict.get((cur, k)) match {
+          case Some(c) => cur = c
+          case None =>
+            emitData(cur)
+            dict((cur, k)) = encNext; encNext += 1
+            cur = k
+            if (encNext == 4096) reset()
+        }
+        i += 1
+      }
+      emitData(cur)
+      bw.put(eoi, width)
+      bw.result()
+    }
+
+    /** Decode at most `maxPixels` indices (the zip-bomb cap: a frame
+      * can never expand past its declared width×height, the same
+      * bounded-decompression discipline as the 10 MiB zlib cap).
+      * None on any malformed stream — out-of-range code, non-literal
+      * first code, or truncation before `maxPixels` indices arrived.
+      */
+    def decode(data: Array[Byte], minCodeSize: Int, maxPixels: Int): Option[Array[Byte]] = {
+      if (minCodeSize < 2 || minCodeSize > 8) return None
+      val clear = 1 << minCodeSize
+      val eoi = clear + 1
+      val br = new BitReader(data)
+      val out = new java.io.ByteArrayOutputStream(maxPixels)
+      var width = minCodeSize + 1
+      val prefix = new Array[Int](4096)
+      val suffix = new Array[Byte](4096)
+      var nextCode = eoi + 1
+      var prev = -1
+      val expandBuf = new Array[Byte](4096)
+      def firstByteOf(code: Int): Byte = {
+        var c = code
+        while (c >= clear) c = prefix(c)
+        c.toByte
+      }
+      /** Expand `code` into `expandBuf` back-to-front; returns start offset. */
+      def expand(code: Int): Int = {
+        var c = code; var at = expandBuf.length
+        while (c >= clear) { at -= 1; expandBuf(at) = suffix(c); c = prefix(c) }
+        at -= 1; expandBuf(at) = c.toByte
+        at
+      }
+      while (out.size < maxPixels) {
+        val code = br.read(width)
+        if (code < 0) return None // truncated before the pixel count arrived
+        if (code == clear) {
+          width = minCodeSize + 1; nextCode = eoi + 1; prev = -1
+        } else if (code == eoi) {
+          return if (out.size == maxPixels) Some(out.toByteArray) else None
+        } else if (prev < 0) {
+          if (code >= clear) return None // first code after clear must be a literal
+          out.write(code)
+          prev = code
+        } else {
+          val at =
+            if (code < nextCode) expand(code)
+            else if (code == nextCode && nextCode < 4096) {
+              // KwKwK: the code being defined right now — prev's
+              // expansion followed by prev's first byte
+              val a = expand(prev)
+              System.arraycopy(expandBuf, a, expandBuf, a - 1, expandBuf.length - a)
+              expandBuf(expandBuf.length - 1) = firstByteOf(prev)
+              a - 1
+            } else return None // code past the table: corrupt stream
+          out.write(expandBuf, at, math.min(expandBuf.length - at, maxPixels - out.size))
+          if (nextCode < 4096) {
+            prefix(nextCode) = prev; suffix(nextCode) = expandBuf(at)
+            nextCode += 1
+            if (nextCode == (1 << width) && width < 12) width += 1
+          }
+          prev = code
+        }
+      }
+      Some(out.toByteArray)
+    }
+  }
+
+  /** REAL GIF decode — header + logical screen descriptor, global and
+    * local color tables, graphic-control extensions (frame delays),
+    * full LZW decompression ([[GifLzw]]), 4-pass de-interlacing, and
+    * Rec.601 luma through the active palette. Animated GIFs yield one
+    * entry per frame; anything malformed — bad signature, palette
+    * index past the table, corrupt LZW, truncated sub-blocks —
+    * degrades to the frames parsed so far (and None/stub for frame
+    * zero), never a crash. This retires the last mainstream
+    * still-image format that is decodable lib-free.
+    */
+  object Gif {
+
+    /** One decoded frame: `pixels` are palette indices, row-major and
+      * already de-interlaced; `palette` is the table the frame
+      * resolves through (local if present, else global), 3 bytes per
+      * entry.
+      */
+    final case class Frame(left: Int, top: Int, width: Int, height: Int,
+        delayCs: Int, interlaced: Boolean,
+        pixels: Array[Byte], palette: Array[Byte])
+
+    def isGif(b: Array[Byte]): Boolean =
+      b.length >= 13 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a'
+
+    /** Logical screen (width, height) from the descriptor. */
+    def screenDims(b: Array[Byte]): Option[(Int, Int)] =
+      if (isGif(b)) Some((le16(b, 6), le16(b, 8))) else None
+
+    /** GIF interlace row order: passes at strides 8/8/4/2 starting at
+      * rows 0/4/2/1 — `order(k)` is the DISPLAY row of the k-th row
+      * in the stored stream.
+      */
+    private def interlaceOrder(h: Int): Array[Int] =
+      ((0 until h by 8) ++ (4 until h by 8) ++
+       (2 until h by 4) ++ (1 until h by 2)).toArray
+
+    private def deinterlace(px: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val out = new Array[Byte](px.length)
+      val order = interlaceOrder(h)
+      var k = 0
+      while (k < h) {
+        System.arraycopy(px, k * w, out, order(k) * w, w)
+        k += 1
+      }
+      out
+    }
+
+    /** All frames, in stream order, bailing at the first block it
+      * cannot decode honestly. `maxFrames` bounds a pathological
+      * stream of tiny frames the same way `maxPixels` bounds LZW.
+      */
+    def frames(b: Array[Byte], maxFrames: Int = 1024): Seq[Frame] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Frame]
+      if (!isGif(b)) return out.toSeq
+      var pos = 13
+      var gct: Array[Byte] = null
+      val packed = b(10) & 0xff
+      if ((packed & 0x80) != 0) {
+        val n = 2 << (packed & 7)
+        if (pos + n * 3 > b.length) return out.toSeq
+        gct = java.util.Arrays.copyOfRange(b, pos, pos + n * 3)
+        pos += n * 3
+      }
+      var pendingDelay = 0
+      while (pos < b.length && out.size < maxFrames) {
+        (b(pos) & 0xff) match {
+          case 0x3b => return out.toSeq // trailer
+          case 0x21 => // extension
+            if (pos + 2 >= b.length) return out.toSeq
+            val label = b(pos + 1) & 0xff
+            pos += 2
+            if (label == 0xf9 && pos + 4 < b.length && (b(pos) & 0xff) >= 4)
+              pendingDelay = le16(b, pos + 2)
+            pos = skipSubBlocks(b, pos)
+            if (pos < 0) return out.toSeq
+          case 0x2c => // image descriptor
+            if (pos + 10 > b.length) return out.toSeq
+            val left = le16(b, pos + 1); val top = le16(b, pos + 3)
+            val fw = le16(b, pos + 5); val fh = le16(b, pos + 7)
+            val ip = b(pos + 9) & 0xff
+            pos += 10
+            var pal = gct
+            if ((ip & 0x80) != 0) {
+              val n = 2 << (ip & 7)
+              if (pos + n * 3 > b.length) return out.toSeq
+              pal = java.util.Arrays.copyOfRange(b, pos, pos + n * 3)
+              pos += n * 3
+            }
+            if (pos >= b.length || pal == null || fw <= 0 || fh <= 0)
+              return out.toSeq
+            val mcs = b(pos) & 0xff; pos += 1
+            val (data, next) = collectSubBlocks(b, pos)
+            if (next < 0) return out.toSeq
+            pos = next
+            GifLzw.decode(data, mcs, fw * fh) match {
+              case Some(px) =>
+                val rows = if ((ip & 0x40) != 0) deinterlace(px, fw, fh) else px
+                out += Frame(left, top, fw, fh, pendingDelay,
+                  (ip & 0x40) != 0, rows, pal)
+                pendingDelay = 0
+              case None => return out.toSeq
+            }
+          case _ => return out.toSeq // unknown block type: bail
+        }
+      }
+      out.toSeq
+    }
+
+    /** Average Rec.601 luma ×1000 through the frame's palette; -1 on
+      * an index past the table (refuse rather than guess).
+      */
+    def lumaMilliOf(f: Frame): Long = {
+      val palN = f.palette.length / 3
+      var sum = 0L; var i = 0
+      while (i < f.pixels.length) {
+        val idx = f.pixels(i) & 0xff
+        if (idx >= palN) return -1L
+        val r = f.palette(idx * 3) & 0xff
+        val g = f.palette(idx * 3 + 1) & 0xff
+        val bl = f.palette(idx * 3 + 2) & 0xff
+        sum += 299L * r + 587L * g + 114L * bl
+        i += 1
+      }
+      if (f.pixels.isEmpty) -1L else sum / f.pixels.length
+    }
+
+    /** Skip sub-blocks (`pos` at the first size byte); returns the
+      * offset past the 0 terminator, or -1 on truncation.
+      */
+    private def skipSubBlocks(b: Array[Byte], pos0: Int): Int = {
+      var pos = pos0
+      while (pos < b.length) {
+        val n = b(pos) & 0xff
+        if (n == 0) return pos + 1
+        pos += 1 + n
+      }
+      -1
+    }
+
+    private def collectSubBlocks(b: Array[Byte], pos0: Int): (Array[Byte], Int) = {
+      val bos = new java.io.ByteArrayOutputStream()
+      var pos = pos0
+      while (pos < b.length) {
+        val n = b(pos) & 0xff
+        if (n == 0) return (bos.toByteArray, pos + 1)
+        if (pos + 1 + n > b.length) return (bos.toByteArray, -1)
+        bos.write(b, pos + 1, n)
+        pos += 1 + n
+      }
+      (bos.toByteArray, -1)
+    }
+  }
+
+  /** GIF features through the batch-codec interface: dimensions from
+    * the logical screen, luma from the FIRST frame, duration = sum of
+    * the frame delays (animated GIFs are videos with a palette).
+    */
+  final class GifCodec extends MediaCodec {
+    override def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeatures] =
+      batch.map { r =>
+        val (digest, len) = metaOf(r)
+        val dims = Gif.screenDims(r.content).getOrElse((0, 0))
+        val fs = Gif.frames(r.content)
+        MediaFeatures(r.mediaId, r.mediaType, len, digest,
+          width = dims._1, height = dims._2,
+          durationMs = fs.map(_.delayCs.toLong * 10).sum,
+          batchSize = batch.size,
+          avgLumaMilli = fs.headOption.map(Gif.lumaMilliOf).getOrElse(-1L))
+      }
+  }
+
+  /** Test-vector builder: real GIF89a files with a 256-entry
+    * greyscale global palette (index i → rgb(i,i,i), so Rec.601 luma
+    * of index v is exactly v) and REAL LZW-compressed frames —
+    * optionally interlaced, optionally animated with per-frame
+    * graphic-control delays.
+    */
+  object GifBuilder {
+
+    private def le16b(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+
+    /** Single frame, non-animated. */
+    def grey8(width: Int, height: Int, pixels: Array[Byte],
+        interlaced: Boolean = false): Array[Byte] =
+      animGrey8(width, height, Seq(pixels), Nil, interlaced)
+
+    /** Animated: one GCE (delay in centiseconds) per frame when
+      * `delaysCs` is non-empty; all frames full-screen.
+      */
+    def animGrey8(width: Int, height: Int, frames: Seq[Array[Byte]],
+        delaysCs: Seq[Int], interlaced: Boolean = false): Array[Byte] = {
+      require(frames.forall(_.length == width * height), "pixel count mismatch")
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write("GIF89a".getBytes("US-ASCII"))
+      bos.write(le16b(width)); bos.write(le16b(height))
+      bos.write(0xf7) // global table, 8 bits/channel, 256 entries
+      bos.write(0); bos.write(0) // background index, aspect
+      var i = 0
+      while (i < 256) { bos.write(i); bos.write(i); bos.write(i); i += 1 }
+      for ((px, fi) <- frames.zipWithIndex) {
+        delaysCs.lift(fi).foreach { d =>
+          bos.write(0x21); bos.write(0xf9); bos.write(4)
+          bos.write(0) // no disposal, no transparency
+          bos.write(le16b(d)); bos.write(0); bos.write(0)
+        }
+        bos.write(0x2c)
+        bos.write(le16b(0)); bos.write(le16b(0))
+        bos.write(le16b(width)); bos.write(le16b(height))
+        bos.write(if (interlaced) 0x40 else 0)
+        bos.write(8) // LZW min code size
+        val stream =
+          if (!interlaced) px
+          else { // stored row k = display row order(k)
+            val order = ((0 until height by 8) ++ (4 until height by 8) ++
+              (2 until height by 4) ++ (1 until height by 2)).toArray
+            val p = new Array[Byte](px.length)
+            var k = 0
+            while (k < height) {
+              System.arraycopy(px, order(k) * width, p, k * width, width)
+              k += 1
+            }
+            p
+          }
+        val lzw = GifLzw.encode(stream, 8)
+        var off = 0
+        while (off < lzw.length) {
+          val n = math.min(255, lzw.length - off)
+          bos.write(n); bos.write(lzw, off, n)
+          off += n
+        }
+        bos.write(0)
+      }
+      bos.write(0x3b)
+      bos.toByteArray
+    }
+  }
+
   /** Magic-byte dispatch: RIFF/WAVE → real PCM decode, BM → real BMP
     * decode, PNG signature → real PNG decode, ISO-BMFF `ftyp` → real
     * MP4 box parse (true duration + dimensions, frames opaque), JPEG
     * SOI → real marker parse + full entropy decode to dimensions and
-    * luma (baseline single-scan or progressive multi-scan), anything
-    * else → the deterministic stub.
+    * luma (baseline single-scan or progressive multi-scan), GIF
+    * signature → real LZW decode (first-frame luma, animation
+    * duration), anything else → the deterministic stub.
     */
   final class FormatAwareCodec(
       fallback: MediaCodec = new DeterministicStubCodec) extends MediaCodec {
@@ -1892,6 +2296,8 @@ object Multimodal {
     private val png = new PngCodec
     private val mp4 = new Mp4Codec
     private val jpeg = new JpegCodec
+    private val gif = new GifCodec
+    private def isGif(b: Array[Byte]): Boolean = Gif.isGif(b)
     private def isWav(b: Array[Byte]): Boolean =
       b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
         b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
@@ -1918,6 +2324,7 @@ object Multimodal {
           else if (isPng(r.content)) png.decodeBatch(Seq(r)).head
           else if (isMp4(r.content)) mp4.decodeBatch(Seq(r)).head
           else if (isJpeg(r.content)) jpeg.decodeBatch(Seq(r)).head
+          else if (isGif(r.content)) gif.decodeBatch(Seq(r)).head
           else fallback.decodeBatch(Seq(r)).head
         } catch {
           case scala.util.control.NonFatal(_) =>

@@ -1711,6 +1711,58 @@ object AnalyticsQueries extends QueryPack {
     // ≤ 8. The planted copies guarantee the result is non-trivial;
     // unrelated band collisions are filtered by the verify step. The
     // oracle recomputes every bit arithmetically.
+    // Real GIF decode, ORACLE-CHECKED: per document build a GIF89a
+    // (256-entry greyscale palette, REAL LZW compression — every
+    // third one interlaced) with pixel(i) = (id·53 + i·7) mod 256,
+    // then decode through the magic-byte dispatch: signature, screen
+    // descriptor, palette, LZW decompression, de-interlacing and the
+    // palette-resolved Rec.601 luma all sit on the hash-checked path.
+    // With the grey palette, luma(v) = v exactly, so the oracle is
+    // pure integer arithmetic over the pixel formula.
+    "mm_gif_luma" -> ((s, d) => {
+      import s.implicits._
+      import graft.analytics.Multimodal
+      val media = Tables.documents(s, d)
+        .select(col("doc_id")).filter(col("doc_id") < 200)
+        .as[Long].map { id =>
+          val w = 4 + (id % 5).toInt
+          val h = 3 + (id % 4).toInt
+          val px = Array.tabulate(w * h)(i => ((id * 53 + i * 7) % 256).toByte)
+          Multimodal.MediaRow(id, "image",
+            Multimodal.GifBuilder.grey8(w, h, px, interlaced = id % 3 == 0))
+        }
+      Multimodal.extractFeatures(media, new Multimodal.FormatAwareCodec)
+        .toDF()
+        .select(col("mediaId").as("doc_id"), col("width"), col("height"),
+          col("avgLumaMilli").as("luma_milli"))
+    }),
+
+    // Real ANIMATED-GIF frame decode, ORACLE-CHECKED (the palette
+    // twin of mm_mjpeg_frames): 3 full-screen frames per document,
+    // pixel(f, i) = (id·31 + f·17 + i·3) mod 256, per-frame
+    // graphic-control delays 4+f centiseconds. Every frame decodes
+    // through the real LZW chain; frame order, per-frame delay and
+    // per-frame exact luma are all hash-checked.
+    "mm_gif_frames" -> ((s, d) => {
+      import s.implicits._
+      import graft.analytics.Multimodal
+      Tables.documents(s, d)
+        .select(col("doc_id")).filter(col("doc_id") < 100)
+        .as[Long].flatMap { id =>
+          val w = 5 + (id % 6).toInt
+          val h = 4 + (id % 5).toInt
+          def frame(f: Int) = Array.tabulate(w * h)(i =>
+            ((id * 31 + f * 17 + i * 3) % 256).toByte)
+          val gif = Multimodal.GifBuilder.animGrey8(w, h,
+            (0 until 3).map(frame), delaysCs = Seq(4, 5, 6))
+          Multimodal.Gif.frames(gif).zipWithIndex.map { case (fr, i) =>
+            (id, i, fr.width, fr.height, fr.delayCs,
+              Multimodal.Gif.lumaMilliOf(fr))
+          }
+        }
+        .toDF("doc_id", "frame_no", "width", "height", "delay_cs", "luma_milli")
+    }),
+
     "mm_ahash_pairs" -> ((s, d) => {
       import s.implicits._
       import graft.analytics.Multimodal
@@ -2885,6 +2937,32 @@ object AnalyticsQueries extends QueryPack {
         |  ON x.b = y.b AND x.val = y.val AND x.media_id < y.media_id
         |WHERE bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) <= 8
         |""".stripMargin,
+    // same arithmetic shape as mm_png_luma: grey palette makes
+    // luma(v) = v, so the decode chain must reproduce the integer
+    // pixel mean exactly (delays fixed 4/5/6 cs in frame order)
+    "mm_gif_luma" ->
+      """WITH s AS (SELECT unnest(range(48)) AS i),
+        |px AS (
+        |  SELECT d.doc_id, (4 + d.doc_id % 5) AS w, (3 + d.doc_id % 4) AS h, s.i
+        |  FROM documents d, s
+        |  WHERE d.doc_id < 200 AND s.i < (4 + d.doc_id % 5) * (3 + d.doc_id % 4))
+        |SELECT doc_id, w::INT AS width, h::INT AS height,
+        |  (sum((doc_id*53 + i*7) % 256) * 1000 // (w * h))::BIGINT AS luma_milli
+        |FROM px GROUP BY doc_id, w, h""".stripMargin,
+    "mm_gif_frames" ->
+      """WITH fs AS (SELECT unnest(range(3)) AS f),
+        |s AS (SELECT unnest(range(80)) AS i),
+        |px AS (
+        |  SELECT d.doc_id, fs.f, (5 + d.doc_id % 6) AS w,
+        |         (4 + d.doc_id % 5) AS h, s.i
+        |  FROM documents d, fs, s
+        |  WHERE d.doc_id < 100
+        |    AND s.i < (5 + d.doc_id % 6) * (4 + d.doc_id % 5))
+        |SELECT doc_id, f::INT AS frame_no, w::INT AS width, h::INT AS height,
+        |  (4 + f)::INT AS delay_cs,
+        |  (sum((doc_id*31 + f*17 + i*3) % 256) * 1000 // (w * h))::BIGINT
+        |    AS luma_milli
+        |FROM px GROUP BY doc_id, f, w, h""".stripMargin,
     "mm_png_luma" ->
       """WITH s AS (SELECT unnest(range(48)) AS i),
         |px AS (

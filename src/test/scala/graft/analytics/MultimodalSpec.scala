@@ -688,4 +688,91 @@ class MultimodalSpec extends AnyFunSuite {
     val rgbish = grey.clone(); rgbish(8 + 8 + 9) = 2
     assert(Multimodal.ImageHash.ahashGrey8(rgbish).isEmpty)
   }
+
+  test("GIF LZW: byte-exact round-trip across width growth and a 4096 reset") {
+    // deterministic high-entropy stream long enough to force the code
+    // width through 9→12 bits AND a dictionary-full clear/reset (every
+    // mismatch adds an entry; ~6k mostly-unique pairs overflow 4096)
+    val n = 120 * 50
+    val px = Array.tabulate(n)(i => ((i * 7919 + (i * i % 65521)) % 256).toByte)
+    val enc = Multimodal.GifLzw.encode(px, 8)
+    val dec = Multimodal.GifLzw.decode(enc, 8, n)
+    assert(dec.isDefined && java.util.Arrays.equals(dec.get, px),
+      "LZW round-trip must be byte-exact through width bumps and resets")
+    // low-entropy twin: long runs exercise the KwKwK self-reference
+    val runs = Array.tabulate(4000)(i => ((i / 97) % 256).toByte)
+    val dec2 = Multimodal.GifLzw.decode(Multimodal.GifLzw.encode(runs, 8), 8, runs.length)
+    assert(dec2.isDefined && java.util.Arrays.equals(dec2.get, runs))
+    // and compression actually happened on the compressible input
+    assert(Multimodal.GifLzw.encode(runs, 8).length < runs.length / 2)
+  }
+
+  test("real GIF decode: single frame, exact palette luma") {
+    val w = 7; val h = 5
+    val px = Array.tabulate(w * h)(i => ((i * 31 + 3) % 256).toByte)
+    val gif = Multimodal.GifBuilder.grey8(w, h, px)
+    assert(Multimodal.Gif.isGif(gif))
+    val fs = Multimodal.Gif.frames(gif)
+    assert(fs.length == 1)
+    assert(fs.head.width == w && fs.head.height == h && !fs.head.interlaced)
+    assert(java.util.Arrays.equals(fs.head.pixels, px))
+    // grey palette: Rec.601 of (v,v,v) is exactly v, so luma_milli is
+    // the exact integer mean ×1000
+    val want = px.map(_ & 0xff).map(_.toLong).sum * 1000 / (w * h)
+    assert(Multimodal.Gif.lumaMilliOf(fs.head) == want)
+  }
+
+  test("GIF interlace: 4-pass row order decodes back to the original image") {
+    val w = 6; val h = 13 // odd height exercises all four passes unevenly
+    val px = Array.tabulate(w * h)(i => ((i * 11 + 5) % 256).toByte)
+    val gif = Multimodal.GifBuilder.grey8(w, h, px, interlaced = true)
+    val fs = Multimodal.Gif.frames(gif)
+    assert(fs.length == 1 && fs.head.interlaced)
+    assert(java.util.Arrays.equals(fs.head.pixels, px),
+      "de-interlaced pixels must match the source row order")
+  }
+
+  test("animated GIF: per-frame delays, duration, distinct frame content") {
+    val w = 4; val h = 3
+    def frame(f: Int) = Array.tabulate(w * h)(i => ((f * 40 + i) % 256).toByte)
+    val gif = Multimodal.GifBuilder.animGrey8(w, h,
+      (0 until 3).map(frame), delaysCs = Seq(4, 5, 6))
+    val fs = Multimodal.Gif.frames(gif)
+    assert(fs.map(_.delayCs) == Seq(4, 5, 6))
+    assert(fs.zipWithIndex.forall { case (fr, i) =>
+      java.util.Arrays.equals(fr.pixels, frame(i)) })
+    // and through the codec interface: duration = Σ delays ×10 ms,
+    // luma from the FIRST frame
+    val feats = new Multimodal.GifCodec()
+      .decodeBatch(Seq(Multimodal.MediaRow(1L, "image", gif)))
+    assert(feats.head.durationMs == 150L)
+    assert(feats.head.width == w && feats.head.height == h)
+    assert(feats.head.avgLumaMilli ==
+      frame(0).map(_ & 0xff).map(_.toLong).sum * 1000 / (w * h))
+  }
+
+  test("GIF decoder refuses what it cannot decode honestly") {
+    val w = 5; val h = 4
+    val px = Array.tabulate(w * h)(i => (i * 13 % 256).toByte)
+    val gif = Multimodal.GifBuilder.grey8(w, h, px)
+    // truncation inside the LZW data: no frame, not a wrong frame
+    assert(Multimodal.Gif.frames(gif.take(gif.length - 6)).isEmpty)
+    // bad signature
+    val bad = gif.clone(); bad(4) = 'x'
+    assert(Multimodal.Gif.frames(bad).isEmpty)
+    // bit-flips inside the compressed stream must never throw
+    val rnd = new scala.util.Random(42)
+    (0 until 200).foreach { _ =>
+      val mut = gif.clone()
+      mut(13 + 768 + rnd.nextInt(mut.length - 13 - 768 - 1)) =
+        (rnd.nextInt(256)).toByte
+      Multimodal.Gif.frames(mut) // any result is fine; throwing is not
+    }
+    // through FormatAwareCodec: GIF dispatches to the real decoder
+    val feats = new Multimodal.FormatAwareCodec()
+      .decodeBatch(Seq(Multimodal.MediaRow(7L, "image", gif)))
+    assert(feats.head.width == w && feats.head.height == h)
+    assert(feats.head.avgLumaMilli ==
+      px.map(_ & 0xff).map(_.toLong).sum * 1000 / (w * h))
+  }
 }
