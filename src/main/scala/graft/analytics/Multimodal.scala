@@ -295,7 +295,13 @@ object Multimodal {
 
     /** (width, height, hash bits 32..63, hash bits 0..31). */
     def ahashGrey8(b: Array[Byte]): Option[(Int, Int, Long, Long)] = {
-      if (b.length < 8) return None
+      // full 8-byte PNG signature up front: without it, a non-PNG
+      // payload whose bytes coincidentally parse as IHDR/IDAT chunks
+      // could return a hash instead of refusing — the same dispatch
+      // contract as FormatAwareCodec's isPng
+      if (b.length < 8 || (b(0) & 0xff) != 0x89 || b(1) != 'P' ||
+          b(2) != 'N' || b(3) != 'G' || b(4) != 0x0d || b(5) != 0x0a ||
+          b(6) != 0x1a || b(7) != 0x0a) return None
       var width = 0; var height = 0
       var bitDepth = 0; var colorType = -1; var interlaced = true
       val idat = new java.io.ByteArrayOutputStream()
@@ -1346,7 +1352,17 @@ object Multimodal {
     /** (sampleNumber, byteOffset) of every sync sample, in sample
       * order. Empty when the container carries no usable index.
       */
-    def syncSampleOffsets(b: Array[Byte]): Seq[(Int, Long)] = {
+    def syncSampleOffsets(b: Array[Byte]): Seq[(Int, Long)] =
+      syncSampleRanges(b).map { case (sample, off, _) => (sample, off) }
+
+    /** Sync samples with their EXACT byte ranges: (sample number,
+      * offset, size). The size comes straight from stsz — consumers
+      * slicing [off, off+size) stay correct even when trailing boxes
+      * (`free`, moov-after-mdat) follow the media data, where
+      * "end = next offset or container end" would append foreign
+      * bytes to the last sample.
+      */
+    def syncSampleRanges(b: Array[Byte]): Seq[(Int, Long, Long)] = {
       val t = new Tables
       try walk(b, t)
       catch { case scala.util.control.NonFatal(_) => return Nil }
@@ -1354,7 +1370,7 @@ object Multimodal {
         return Nil
       val syncSet: Int => Boolean =
         if (t.stss == null) _ => true else t.stss.toSet
-      val out = Seq.newBuilder[(Int, Long)]
+      val out = Seq.newBuilder[(Int, Long, Long)]
       var sample = 1
       var ci = 0
       while (ci < t.chunkOffsets.length && sample <= t.sampleCount) {
@@ -1369,8 +1385,9 @@ object Multimodal {
         var off = t.chunkOffsets(ci)
         var k = 0L
         while (k < spc && sample <= t.sampleCount) {
-          if (syncSet(sample)) out += ((sample, off))
-          off += (if (t.sizes != null) t.sizes(sample - 1) else t.uniformSize)
+          val size = if (t.sizes != null) t.sizes(sample - 1) else t.uniformSize
+          if (syncSet(sample)) out += ((sample, off, size))
+          off += size
           sample += 1; k += 1
         }
         ci += 1
@@ -2369,19 +2386,19 @@ object Multimodal {
     }
 
     /** REAL frame decode: (frame number 1-based, decoded features)
-      * for every sync sample. Frame ranges come from the sample
-      * index; a frame's end is the next sample's offset (samples are
-      * contiguous in the mdat) or the container end for the last.
+      * for every sync sample. Each frame is sliced [off, off + size)
+      * straight from the sample index's stsz sizes — exact even when
+      * trailing boxes (`free`, moov-after-mdat) follow the mdat,
+      * where inferring the end from the neighbor/container end would
+      * append foreign bytes to the last frame.
       */
     def frameFeatures(content: Array[Byte]): Seq[(Int, MediaFeatures)] = {
-      val offs = Mp4Index.syncSampleOffsets(content)
-      if (offs.isEmpty) return Nil
+      val ranges = Mp4Index.syncSampleRanges(content)
+      if (ranges.isEmpty) return Nil
       val codec = new JpegCodec
-      val sorted = offs.sortBy(_._2)
-      sorted.zipWithIndex.flatMap { case ((sampleNo, off), i) =>
-        val end = if (i + 1 < sorted.length) sorted(i + 1)._2
-                  else content.length.toLong
-        if (off < 0 || end <= off || end > content.length) None
+      ranges.flatMap { case (sampleNo, off, size) =>
+        val end = off + size
+        if (off < 0 || size <= 0 || end > content.length) None
         else {
           val slice = java.util.Arrays.copyOfRange(
             content, off.toInt, end.toInt)

@@ -92,6 +92,21 @@ object AnalyticsQueries extends QueryPack {
   /** The packing core over any (doc_id, n_toks) set — tx_pack feeds it
     * the whole corpus, pipe_corpus_windows the gated/decontaminated
     * survivor set.
+    *
+    * ASSUMES ROUGHLY DENSE doc_ids: buckets are VALUE ranges
+    * (`doc_id · P div (max+1)`), chosen over a sampled
+    * RangePartitioner/ntile because the bucket of a row must be a
+    * pure function of its values for the DuckDB oracle (and re-runs)
+    * to reproduce the identical prefix sum. The trade-off is skew
+    * under pathological id distributions: a survivor set whose ids
+    * cluster near max (say, a filter keeping only recent docs of an
+    * append-ordered corpus) lands mostly in one bucket, recreating
+    * the single-partition running sum this design exists to avoid.
+    * Both callers pass crawl-style dense ids where ranges ≈ equal
+    * counts; a caller with sparse/clustered ids should first
+    * re-derive dense ids (zipWithIndex-style) or derive the P−1
+    * boundaries from exact percentiles of its id set and bucket by
+    * those — still value-deterministic, one extra aggregation.
     */
   private def packSpansOf(sized: DataFrame): DataFrame = {
     val W = 512L; val P = 8

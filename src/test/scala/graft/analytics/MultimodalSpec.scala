@@ -677,6 +677,19 @@ class MultimodalSpec extends AnyFunSuite {
     // truncation degrades to fewer/no frames, never a crash
     val cut = java.util.Arrays.copyOfRange(mp4, 0, mp4.length / 2)
     assert(Multimodal.Mjpeg.frameFeatures(cut).length <= 3)
+
+    // trailing boxes after mdat (`free`, moov-after-mdat layouts):
+    // frame slices come from stsz sizes, so the LAST frame must not
+    // absorb the foreign bytes
+    val free = Multimodal.BE.write32(16L) ++ "free".getBytes("US-ASCII") ++
+      Array.fill[Byte](8)(0x5a)
+    val trailed = mp4 ++ free
+    assert(Multimodal.Mjpeg.frameFeatures(trailed).map(_._2.avgLumaMilli) ==
+      frames.map(_._2.avgLumaMilli),
+      "trailing box must not leak into the last frame's slice")
+    assert(Multimodal.Mp4Index.syncSampleRanges(trailed).map(_._3) ==
+      (0 until 3).map(f => frame(f).length.toLong),
+      "stsz sizes must round-trip through the range index")
   }
 
   test("average-hash refuses what it cannot decode honestly") {
