@@ -28,10 +28,15 @@ class RpcControlStreamSpec extends AnyFunSuite {
 
   private val individual = InterfaceDescriptor("com.test.SimpleStreamTest", 1, 0,
     InterfaceType.Datastream, Ownership.Device, Aggregation.Individual)
+  private val objectIface = InterfaceDescriptor("com.example.TestObject", 1, 5,
+    InterfaceType.Datastream, Ownership.Device, Aggregation.Object)
   private val registry = Registry(
-    Map(individual.name -> individual),
-    Map(individual.name -> Seq(
-      Mapping(individual.name, 1, "/%{itemIndex}/value", AInteger))),
+    Map(individual.name -> individual, objectIface.name -> objectIface),
+    Map(
+      individual.name -> Seq(
+        Mapping(individual.name, 1, "/%{itemIndex}/value", AInteger)),
+      objectIface.name -> Seq(
+        Mapping(objectIface.name, 1, "/string", AString))),
     Nil)
 
   private def dataTrigger(id: String, target: String) =
@@ -115,6 +120,32 @@ class RpcControlStreamSpec extends AnyFunSuite {
       ctrlQ.processAllAvailable()
       assert(replies.synchronized(replies.last) ==
         ("c4" -> Left("interface_not_found")))
+      data.addData(msg())
+      dataQ.processAllAvailable()
+      assert(firedTargets().last == Seq("target-b"))
+
+      // the other two reference install rejections
+      // (data_updater_test.exs:353-409) surface through the SAME
+      // control-stream wire as synchronous-style error replies:
+      // an unresolvable match path...
+      calls.addData(ControlCall("c5",
+        RpcWire.encodeInstall(realm, deviceId, "p",
+          dataTrigger("vt-d", "target-d").copy(pathPattern = Some("/3/nope"))), 5))
+      ctrlQ.processAllAvailable()
+      assert(replies.synchronized(replies.last) ==
+        ("c5" -> Left("invalid_match_path")))
+
+      // ...and a data trigger on an object-aggregated interface
+      calls.addData(ControlCall("c6",
+        RpcWire.encodeInstall(realm, deviceId, "p",
+          dataTrigger("vt-e", "target-e").copy(
+            scope = TriggerScope.OnInterface(objectIface.name, 1),
+            pathPattern = Some("/string"))), 6))
+      ctrlQ.processAllAvailable()
+      assert(replies.synchronized(replies.last) ==
+        ("c6" -> Left("unsupported_interface_aggregation")))
+
+      // neither rejected install leaks into the running stream
       data.addData(msg())
       dataQ.processAllAvailable()
       assert(firedTargets().last == Seq("target-b"))
