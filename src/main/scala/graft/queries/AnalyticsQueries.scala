@@ -646,33 +646,46 @@ object AnalyticsQueries extends QueryPack {
       val hashed = bigrams.select(col("doc_id"), col("lang"), col("bucket"),
         xxhash64(col("bigram")).as("bh"))
         .cache()
-      // per-block document frequency -> global order (df asc, bh asc);
-      // prefix length for t=0.5: sz - ceil(sz/2) + 1. Both df and the
-      // per-doc (rank, size) come from window functions — two shuffle
-      // exchanges total, no agg-then-join round trips.
-      val wFreq = Window.partitionBy(col("lang"), col("bucket"), col("bh"))
-      val wDocOrder = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("bh"))
-      val wDocAll = wDocOrder.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      val prefixes = hashed
-        .withColumn("df", count(lit(1)).over(wFreq))
-        .withColumn("rn", row_number().over(wDocOrder))
-        .withColumn("sz", count(lit(1)).over(wDocAll))
-        .filter(col("rn") <= col("sz") - expr("(sz + 1) div 2") + 1)
-        .select(col("doc_id"), col("lang"), col("bucket"), col("bh"))
-      val cand = prefixes.select(col("doc_id").as("doc_a"), col("lang"),
+      // Per-block document frequency → global order (df asc, bh asc);
+      // prefix length for t=0.5: sz − ceil(sz/2) + 1. The df comes
+      // from a partial-agg groupBy joined back on the bigram key (the
+      // join reuses the aggregation's hash partitioning); the per-doc
+      // ORDERING is then entirely MAP-SIDE — one collect_list of
+      // (df, bh) structs per doc, sorted and sliced in the projection.
+      // Compared to the window formulation this drops one full-data
+      // shuffle (the rank window by doc_id AND the verify-array
+      // groupBy collapse into the single per-doc aggregation) and
+      // both data-sized sorts; documents are bounded, so the per-doc
+      // array sort is O(doc len · log) in the map stage.
+      val dfreq = hashed.groupBy(col("lang"), col("bucket"), col("bh"))
+        .agg(count(lit(1)).as("df"))
+      val perDoc = hashed.join(dfreq, Seq("lang", "bucket", "bh"))
+        .groupBy(col("doc_id"), col("lang"), col("bucket"))
+        .agg(sort_array(collect_list(struct(col("df"), col("bh")))).as("pairs"))
+        .withColumn("sz", size(col("pairs")))
+        // rarest-first prefix (PPJoin): two docs at Jaccard ≥ 0.5 must
+        // share at least one prefix bigram — the pigeonhole bound
+        .withColumn("prefix",
+          expr("transform(slice(pairs, 1, sz - (sz + 1) div 2 + 1), p -> p.bh)"))
+        // verify array, bh-sorted for the codegen'd array_intersect
+        .withColumn("arr", array_sort(expr("transform(pairs, p -> p.bh)")))
+        .drop("pairs")
+        // read 4× below (both candidate sides + both verify sides)
+        .cache()
+      val pref = perDoc.select(col("doc_id"), col("lang"), col("bucket"),
+        explode(col("prefix")).as("bh"))
+      val cand = pref.select(col("doc_id").as("doc_a"), col("lang"),
           col("bucket"), col("bh"))
-        .join(prefixes.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+        .join(pref.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
             col("bucket").as("bucket_b"), col("bh").as("bh_b")),
           col("lang") === col("lang_b") && col("bucket") === col("bucket_b") &&
           col("bh") === col("bh_b") && col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b")).distinct()
       // exact verify per candidate: set intersection of the full
       // bigram arrays (bounded by doc length, no row explosion)
-      val arrs = hashed.groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(col("bh"))).as("arr"))
       cand
-        .join(arrs.select(col("doc_id").as("doc_a"), col("arr").as("arr_a")), "doc_a")
-        .join(arrs.select(col("doc_id").as("doc_b"), col("arr").as("arr_b")), "doc_b")
+        .join(perDoc.select(col("doc_id").as("doc_a"), col("arr").as("arr_a")), "doc_a")
+        .join(perDoc.select(col("doc_id").as("doc_b"), col("arr").as("arr_b")), "doc_b")
         .withColumn("n_inter", size(array_intersect(col("arr_a"), col("arr_b"))))
         .withColumn("jaccard", round(col("n_inter") /
           (size(col("arr_a")) + size(col("arr_b")) - col("n_inter")), 4))
