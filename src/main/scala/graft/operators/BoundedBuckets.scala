@@ -38,8 +38,13 @@ import org.apache.spark.sql.functions._
   */
 object BoundedBuckets {
 
-  /** Default per-bucket row cap for banded self-joins. */
-  val DefaultCap = 1000
+  /** Default per-bucket row cap for banded self-joins. Overridable
+    * via `-Dgraft.lsh.bucketCap=` for soak runs that measure the
+    * uncapped "before" behavior (DedupScaleCheck); production callers
+    * use the default.
+    */
+  def DefaultCap: Int =
+    sys.props.get("graft.lsh.bucketCap").map(_.toInt).getOrElse(1000)
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
