@@ -668,7 +668,7 @@ object AnalyticsQueries extends QueryPack {
         .withColumn("prefix",
           expr("transform(slice(pairs, 1, sz - (sz + 1) div 2 + 1), p -> p.bh)"))
         // verify array, bh-sorted for the codegen'd array_intersect
-        .withColumn("arr", array_sort(expr("transform(pairs, p -> p.bh)")))
+        .withColumn("arr", sort_array(expr("transform(pairs, p -> p.bh)")))
         .drop("pairs")
         // read 4× below (both candidate sides + both verify sides)
         .cache()

@@ -40,58 +40,47 @@ object DedupPipeline extends QueryPack {
     math.max(roundPartitions,
       math.min(maxPar.toLong, edgeCount / 1000000L).toInt)
 
-  /** (doc_id, lang, shingle-hash) distinct rows.
-    *
-    * The trigram hash is per-token md5 (56-bit prefix) combined with
-    * exact integer arithmetic — `3·h(t₁) + 5·h(t₂) + 7·h(t₃)` — so the
-    * shingle string is never materialized and md5 runs over single
-    * tokens (⅓ the hashed bytes of md5-of-joined-trigram, no per-
-    * shingle concat allocation on the map path). A variadic `xxhash64`
-    * would be cheaper still, but this hash is SEMANTIC, not cosmetic:
-    * it defines the minhash → band → candidate set, so the DuckDB
-    * oracle must compute the identical 64-bit value, and DuckDB has no
-    * xxhash64 — per-token md5 + BIGINT arithmetic is exactly
-    * replicable in both engines. Bounds: h(t) < 2^56, so the combined
-    * value is < 15·2^56 < 2^60 — no 64-bit overflow on either side,
-    * and the subsequent xor-with-seed minhash stays in range.
-    */
-  private def shingleHashes(s: SparkSession, d: String): DataFrame = {
-    val ht = transform(split(col("text"), " "),
-      t => conv(substring(md5(t), 1, 14), 16, 10).cast("long"))
-    val trigram = when(size(col("ht")) >= 3,
-      transform(sequence(lit(1), size(col("ht")) - 2),
-        i => element_at(col("ht"), i.cast("int")) * 3L +
-             element_at(col("ht"), (i + 1).cast("int")) * 5L +
-             element_at(col("ht"), (i + 2).cast("int")) * 7L))
-      .otherwise(expr("cast(array() as array<bigint>)"))
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), ht.as("ht"))
-      .select(col("doc_id"), col("lang"), explode(trigram).as("h"))
-      .distinct()
-  }
-
   /** LSH candidates → exact-Jaccard-verified near-dup pairs (the
     * stage-1/2 lineage shared by `dd_cluster` and `dd_cc_converged`).
-    * Caches the shingle set and the band table while building; caller
-    * must unpersist the returned (edges, shingles, bands) when done.
+    *
+    * Shape: entirely MAP-SIDE until the band self-join. Minhash is
+    * duplicate-insensitive (min over a multiset = min over its set),
+    * so the 8 signatures come from `array_min(transform(...))` over
+    * the per-doc distinct trigram array — no explode, no distinct
+    * shuffle, no signature aggregation. The exact-Jaccard verify is
+    * `array_intersect` on the per-doc sorted arrays joined to the
+    * candidate pairs (arrays bounded by doc length), replacing the
+    * explode-join-groupBy whose intermediate row count was
+    * candidates × shared shingles. Semantics and hashes identical to
+    * the exploded formulation the DuckDB oracle mirrors.
+    *
+    * Materializes the per-doc array table via localCheckpoint (the
+    * band and verify consumers all read it; the checkpoint also pins
+    * the row set so the shared lineage never recomputes) and caches
+    * the simple-typed band table; caller must releaseCheckpoint(arrs)
+    * and bands.unpersist() when done.
     */
-  private def verifiedPairs(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
-    // stage 1: LSH candidates (same construction as dd_minhash_lsh)
-    val sh = shingleHashes(s, d).cache()
+  private[graft] def verifiedPairs(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    // per-doc sorted distinct trigram-hash array (empty-trigram docs
+    // drop out, as they did under explode)
+    val arrs = shingleArrays(s, d)
+      .localCheckpoint(true)
+    // stage 1: LSH candidates (same construction as dd_minhash_lsh);
+    // signatures and band keys are pure projections — the only
+    // shuffle in candidate generation is the band self-join itself
     val mhCols = MinhashSeeds.keys.zipWithIndex.map { case (k, i) =>
-      min(expr(s"h ^ ${k}L")).as(s"mh$i")
+      array_min(transform(col("arr"), h => h.bitwiseXOR(lit(k)))).as(s"mh$i")
     }
-    val minhashes = sh.groupBy(col("doc_id"), col("lang"))
-      .agg(mhCols.head, mhCols.tail: _*)
+    val minhashes = arrs.select(col("doc_id") +: col("lang") +: mhCols: _*)
     val bands = minhashes.select(col("doc_id"),
         md5(concat(col("lang"), lit("|"),
           concat_ws(",", col("mh0"), col("mh1"), col("mh2"), col("mh3")))).as("bk0"),
         md5(concat(col("lang"), lit("|"),
           concat_ws(",", col("mh4"), col("mh5"), col("mh6"), col("mh7")))).as("bk1"))
       .select(col("doc_id"), explode(array(col("bk0"), col("bk1"))).as("band_key"))
-      // 2 rows per doc; both sides of the band self-join read it —
-      // uncached, the signature aggregation over the (cached) shingle
-      // set runs twice
+      // 2 rows per doc; the hot-bucket count and both sides of the
+      // band self-join read it — uncached, the tokenize+md5 map work
+      // would run three times
       .cache()
     // bound the self-join fan-out: a band key holding >cap docs (one
     // viral page with millions of near-copies) would alone emit
@@ -106,20 +95,58 @@ object DedupPipeline extends QueryPack {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
-    // stage 2: exact Jaccard on candidate pairs only
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = cands
-      .join(sh.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("h").as("hb")), Seq("doc_b"))
-      .filter(col("h") === col("hb"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    val verified = inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
-      .filter(col("n_inter") / (col("sz_a") + col("sz_b") - col("n_inter")) >= 0.2)
+    // stage 2: exact Jaccard on candidate pairs only — set
+    // intersection of the sorted arrays, no row explosion
+    val verified = cands
+      .join(arrs.select(col("doc_id").as("doc_a"), col("arr").as("arr_a")),
+        Seq("doc_a"))
+      .join(arrs.select(col("doc_id").as("doc_b"), col("arr").as("arr_b")),
+        Seq("doc_b"))
+      .withColumn("n_inter", size(array_intersect(col("arr_a"), col("arr_b"))))
+      .filter(col("n_inter") /
+        (size(col("arr_a")) + size(col("arr_b")) - col("n_inter")) >= 0.2)
       .select(col("doc_a"), col("doc_b"))
-    (verified, sh, bands)
+    (verified, arrs, bands)
+  }
+
+  /** Per-doc sorted distinct trigram-hash arrays.
+    *
+    * The trigram hash is per-token md5 (56-bit prefix) combined with
+    * exact integer arithmetic — `3·h(t₁) + 5·h(t₂) + 7·h(t₃)` — so the
+    * shingle string is never materialized and md5 runs over single
+    * tokens (⅓ the hashed bytes of md5-of-joined-trigram, no per-
+    * shingle concat allocation on the map path). A variadic `xxhash64`
+    * would be cheaper still, but this hash is SEMANTIC, not cosmetic:
+    * it defines the minhash → band → candidate set, so the DuckDB
+    * oracle must compute the identical 64-bit value, and DuckDB has no
+    * xxhash64 — per-token md5 + BIGINT arithmetic is exactly
+    * replicable in both engines. Bounds: h(t) < 2^56, so the combined
+    * value is < 15·2^56 < 2^60 — no 64-bit overflow on either side,
+    * and the subsequent xor-with-seed minhash stays in range.
+    */
+  private def shingleArrays(s: SparkSession, d: String): DataFrame = {
+    val ht = transform(split(col("text"), " "),
+      t => conv(substring(md5(t), 1, 14), 16, 10).cast("long"))
+    val trigram = when(size(col("ht")) >= 3,
+      transform(sequence(lit(1), size(col("ht")) - 2),
+        i => element_at(col("ht"), i.cast("int")) * 3L +
+             element_at(col("ht"), (i + 1).cast("int")) * 5L +
+             element_at(col("ht"), (i + 2).cast("int")) * 7L))
+      .otherwise(expr("cast(array() as array<bigint>)"))
+    Tables.documents(s, d)
+      // docs under 3 tokens have no trigrams — the exact row set
+      // explode() dropped. CRITICAL that this predicate is on the RAW
+      // tokens, not `size(arr) > 0` on the computed array: predicate
+      // pushdown substitutes a computed alias's WHOLE defining
+      // expression into the pushed filter (unlike CollapseProject it
+      // has no expensive-expression guard), so a filter on `arr`
+      // re-evaluates the md5 transform per element_at — O(tokens²)
+      // md5 per document, measured 40s vs 0.7s at sf0.1
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), col("lang"), ht.as("ht"))
+      .select(col("doc_id"), col("lang"), trigram.as("tg"))
+      .select(col("doc_id"), col("lang"),
+        sort_array(array_distinct(col("tg"))).as("arr"))
   }
 
   /** Materialize the symmetric edge set and derive the round
@@ -257,11 +284,11 @@ object DedupPipeline extends QueryPack {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_cluster" -> ((s, d) => {
-      val (verified, sh, bands) = verifiedPairs(s, d)
+      val (verified, arrs, bands) = verifiedPairs(s, d)
       // stage 3: 3 rounds of min-label propagation over the verified
       // edges (fixed iteration count — identical in the oracle).
       val (edges, rp) = materializedEdges(s, verified)
-      sh.unpersist()
+      releaseCheckpoint(arrs)
       bands.unpersist()
       val labels = propagateFixed(s, edges, 3, rp)
       edges.unpersist()
@@ -280,9 +307,9 @@ object DedupPipeline extends QueryPack {
     // localCheckpoint to truncate lineage, one count for the
     // convergence test.
     "dd_cc_converged" -> ((s, d) => {
-      val (verified, sh, bands) = verifiedPairs(s, d)
+      val (verified, arrs, bands) = verifiedPairs(s, d)
       val (edges, rp) = materializedEdges(s, verified)
-      sh.unpersist()
+      releaseCheckpoint(arrs)
       bands.unpersist()
       val labels = propagateConverged(s, edges, rp)
       edges.unpersist()

@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
 object DedupScaleCheck {
   def main(args: Array[String]): Unit = {
     val scale = args.headOption.map(_.toInt).getOrElse(10)
-    val hotCopies = args.drop(1).headOption.map(_.toInt).getOrElse(1500)
+    val hotCopies = args.drop(1).headOption.map(_.toInt).getOrElse(4000)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outDir = s"/tmp/graft_scale_docs/x$scale"
     val spark = SparkSession.builder()
@@ -74,6 +74,9 @@ object DedupScaleCheck {
       (wall, nDocs, dropped)
     }
 
+    // JIT/scan warm-up on the base corpus so the capped-vs-uncapped
+    // comparison measures the pipeline, not first-run compilation
+    SparkEntry.queries("dd_cluster")(spark, sfDir).count()
     val (wCap, _, dCap) = run("capped")
     assert(dCap >= 1, "the hot cluster must trip the band cap")
     sys.props("graft.lsh.bucketCap") = Int.MaxValue.toString
