@@ -1356,6 +1356,48 @@ object AnalyticsQueries extends QueryPack {
             .cast("long").as("pmi_u6"))
     }),
 
+    // Content-defined chunking (CDC) dedup — the rolling-hash chunk
+    // technique (Rabin/Gear-style, the rsync/LBFS/backup-dedup
+    // primitive): chunk boundaries fall where a w=8-char polynomial
+    // rolling hash H(i) = Σⱼ c(i−j)·31ʲ hits 0 mod 64, so boundaries
+    // are a function of CONTENT, not position — an insertion early in
+    // a document shifts every fixed-width chunk but leaves all CDC
+    // chunks after the edit point identical, which is exactly what
+    // fixed-position banding (tx_editdist_pairs) cannot give. Chunks
+    // are then deduped ACROSS documents by md5 and each document
+    // reports how much of it is boilerplate: chunk count, duplicated
+    // chars, and the dup fraction (permille, exact integer).
+    //
+    // Scale shape: chunking is the codegen'd [[graft.functions.
+    // CdcChunks]] expression — one O(n) rolling-hash pass per document
+    // inside whole-stage codegen (an equivalent transform/slice/
+    // zip_with formulation ran interpreted and 20x slower); cross-doc
+    // dedup is ONE partial-agg groupBy on the chunk hash plus a keyed
+    // join back — aggregation, not a self-join, so there is no
+    // quadratic pair risk to cap.
+    "dd_cdc_dupfrac" -> ((s, d) => {
+      import org.apache.spark.sql.graft.ColumnBridge
+      val chunkArr = ColumnBridge.column(graft.functions.CdcChunks(
+        ColumnBridge.expression(col("text"))))
+      val chunks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(chunkArr).as("chunk"))
+        .select(col("doc_id"), md5(col("chunk")).as("ch"),
+          length(col("chunk")).as("clen"))
+        // two consumers (the dup aggregation and the join back) —
+        // checkpointed so the chunking scan runs once
+        .localCheckpoint(true)
+      val dup = chunks.groupBy(col("ch"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      chunks.join(dup, Seq("ch"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("nd") >= 2, col("clen")).otherwise(0L)).as("dup_chars"),
+          sum(col("clen")).as("total_chars"))
+        .select(col("doc_id"), col("n_chunks"), col("dup_chars"),
+          col("total_chars"),
+          expr("dup_chars * 1000 div total_chars").as("dup_permille"))
+    }),
+
     // Banded edit-distance join — the entity-resolution / fuzzy-match
     // primitive (dedup by NEAR-IDENTICAL leading content, catching
     // what exact hashing misses by one typo): pairs of documents
@@ -2049,6 +2091,40 @@ object AnalyticsQueries extends QueryPack {
         |JOIN vocab va ON va.tok = pairs.tok_a
         |JOIN vocab vb ON vb.tok = pairs.tok_b
         |CROSS JOIN dt""".stripMargin,
+    "dd_cdc_dupfrac" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |cs AS (SELECT doc_id, text, n,
+        |  list_transform(range(1, n + 1),
+        |    i -> ascii(substr(text, i, 1))::BIGINT) AS c
+        |  FROM d),
+        |hs AS (SELECT doc_id, text, n,
+        |  CASE WHEN n >= 8 THEN list_transform(range(8, n + 1), i ->
+        |    c[i]*1 + c[i-1]*31 + c[i-2]*961 + c[i-3]*29791 +
+        |    c[i-4]*923521 + c[i-5]*28629151 + c[i-6]*887503681 +
+        |    c[i-7]*27512614111)
+        |  ELSE [] END AS h
+        |  FROM cs),
+        |bs AS (SELECT doc_id, text, n,
+        |  [0::BIGINT] || list_transform(
+        |    list_filter(list_transform(range(1, len(h) + 1),
+        |        k -> {'pos': k + 7, 'hv': h[k]}),
+        |      x -> x.hv % 64 = 0), x -> x.pos)
+        |    || [n::BIGINT] AS bounds
+        |  FROM hs),
+        |ck0 AS (SELECT doc_id, unnest(list_transform(range(1, len(bounds)),
+        |    k -> substr(text, (bounds[k] + 1)::INT,
+        |                (bounds[k+1] - bounds[k])::INT))) AS chunk
+        |  FROM bs),
+        |ck AS (SELECT doc_id, md5(chunk) AS ch, length(chunk) AS clen
+        |  FROM ck0 WHERE chunk <> ''),
+        |dup AS (SELECT ch, count(DISTINCT doc_id) AS nd FROM ck GROUP BY 1)
+        |SELECT doc_id, count(*)::BIGINT AS n_chunks,
+        |  sum(CASE WHEN nd >= 2 THEN clen ELSE 0 END)::BIGINT AS dup_chars,
+        |  sum(clen)::BIGINT AS total_chars,
+        |  (sum(CASE WHEN nd >= 2 THEN clen ELSE 0 END)::BIGINT * 1000
+        |     // sum(clen)::BIGINT) AS dup_permille
+        |FROM ck JOIN dup USING (ch)
+        |GROUP BY doc_id""".stripMargin,
     "tx_editdist_pairs" ->
       """WITH p AS (
         |  SELECT doc_id, substr(text, 1, 48) AS pfx FROM documents),
