@@ -1356,6 +1356,70 @@ object AnalyticsQueries extends QueryPack {
             .cast("long").as("pmi_u6"))
     }),
 
+    // Distributed BPE merge TRAINING (Sennrich-style byte-pair
+    // encoding — the tokenizer-learning step, not just
+    // pre-tokenization): start from characters, then per round count
+    // adjacent symbol pairs across the whole corpus (frequency-
+    // weighted), pick the most frequent pair (count desc, then
+    // lexicographic — deterministic in both engines, UTF-8 byte order
+    // == codepoint order), and merge it everywhere. Merge application
+    // is literal string replace on the space-delimited symbol
+    // sequence bounded by sentinel spaces — left-to-right
+    // non-overlapping replacement, which is exactly BPE's greedy
+    // application rule (' a a a ' merges to ' aa a ', never ' a aa ').
+    //
+    // Scale shape (the kmeans pattern): the corpus collapses to the
+    // bounded word-frequency table once (Heaps' law — vocabulary
+    // grows sublinearly, so this is the 100 TB reduction step); each
+    // round is one partial-agg pair count over that table, ONE
+    // driver-collected row (the argmax — control-plane sized), and a
+    // map-side replace, with localCheckpoint truncating the per-round
+    // lineage. Output: the learned merge table, top-5 pairs per round
+    // with exact counts. Oracle: the same four rounds unrolled as
+    // CTEs.
+    "tx_bpe_train" -> ((s, d) => {
+      import s.implicits._
+      val rounds = 4
+      val words = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        .withColumn("seq",
+          concat(lit(" "), array_join(split(col("word"), ""), " "), lit(" ")))
+        .select(col("freq"), col("seq"))
+      var seqs = words.localCheckpoint(true)
+      val learned =
+        scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String, String, Long)]
+      for (r <- 1 to rounds) {
+        val top = seqs
+          .select(col("freq"), split(trim(col("seq")), " ").as("syms"))
+          .select(col("freq"), explode(expr(
+            """CASE WHEN size(syms) >= 2 THEN
+                 transform(sequence(1, size(syms) - 1), i ->
+                   named_struct('l', element_at(syms, i),
+                                'r', element_at(syms, i + 1)))
+               ELSE cast(array() as array<struct<l:string,r:string>>) END"""))
+            .as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("l"), col("r"))
+          .limit(5)
+          .collect() // 5 rows: the argmax + audit ranks — control-plane sized
+        top.zipWithIndex.foreach { case (row, i) =>
+          learned += ((r, i + 1, row.getString(0), row.getString(1),
+            row.getLong(2)))
+        }
+        val (bl, br) = (top(0).getString(0), top(0).getString(1))
+        // literal (non-regex) replace; lit() so symbols can never
+        // inject into an expression string
+        seqs = seqs.withColumn("seq",
+            replace(col("seq"), lit(s" $bl $br "), lit(s" $bl$br ")))
+          .localCheckpoint(true)
+      }
+      learned.toSeq
+        .toDF("round", "rank", "left_sym", "right_sym", "pair_count")
+    }),
+
     // Content-defined chunking (CDC) dedup — the rolling-hash chunk
     // technique (Rabin/Gear-style, the rsync/LBFS/backup-dedup
     // primitive): chunk boundaries fall where a w=8-char polynomial
@@ -2091,6 +2155,69 @@ object AnalyticsQueries extends QueryPack {
         |JOIN vocab va ON va.tok = pairs.tok_a
         |JOIN vocab vb ON vb.tok = pairs.tok_b
         |CROSS JOIN dt""".stripMargin,
+    "tx_bpe_train" ->
+      """WITH w AS (
+        |  SELECT word, count(*)::BIGINT AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE word <> ''
+        |  GROUP BY word),
+        |s0 AS (SELECT freq,
+        |  ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS seq
+        |  FROM w),
+        |p1 AS (
+        |  SELECT p.l AS l, p.r AS r, sum(freq)::BIGINT AS cnt FROM (
+        |    SELECT freq, unnest(list_transform(range(1, len(syms)),
+        |      i -> {'l': syms[i], 'r': syms[i+1]})) AS p
+        |    FROM (SELECT freq, string_split(trim(seq), ' ') AS syms FROM s0))
+        |  GROUP BY 1, 2),
+        |t1 AS (SELECT 1 AS round,
+        |  row_number() OVER (ORDER BY cnt DESC, l, r) AS rnk, l, r, cnt
+        |  FROM p1 QUALIFY rnk <= 5),
+        |b1 AS (SELECT l, r FROM t1 WHERE rnk = 1),
+        |s1 AS (SELECT freq,
+        |  replace(seq, ' ' || b1.l || ' ' || b1.r || ' ',
+        |               ' ' || b1.l || b1.r || ' ') AS seq
+        |  FROM s0 CROSS JOIN b1),
+        |p2 AS (
+        |  SELECT p.l AS l, p.r AS r, sum(freq)::BIGINT AS cnt FROM (
+        |    SELECT freq, unnest(list_transform(range(1, len(syms)),
+        |      i -> {'l': syms[i], 'r': syms[i+1]})) AS p
+        |    FROM (SELECT freq, string_split(trim(seq), ' ') AS syms FROM s1))
+        |  GROUP BY 1, 2),
+        |t2 AS (SELECT 2 AS round,
+        |  row_number() OVER (ORDER BY cnt DESC, l, r) AS rnk, l, r, cnt
+        |  FROM p2 QUALIFY rnk <= 5),
+        |b2 AS (SELECT l, r FROM t2 WHERE rnk = 1),
+        |s2 AS (SELECT freq,
+        |  replace(seq, ' ' || b2.l || ' ' || b2.r || ' ',
+        |               ' ' || b2.l || b2.r || ' ') AS seq
+        |  FROM s1 CROSS JOIN b2),
+        |p3 AS (
+        |  SELECT p.l AS l, p.r AS r, sum(freq)::BIGINT AS cnt FROM (
+        |    SELECT freq, unnest(list_transform(range(1, len(syms)),
+        |      i -> {'l': syms[i], 'r': syms[i+1]})) AS p
+        |    FROM (SELECT freq, string_split(trim(seq), ' ') AS syms FROM s2))
+        |  GROUP BY 1, 2),
+        |t3 AS (SELECT 3 AS round,
+        |  row_number() OVER (ORDER BY cnt DESC, l, r) AS rnk, l, r, cnt
+        |  FROM p3 QUALIFY rnk <= 5),
+        |b3 AS (SELECT l, r FROM t3 WHERE rnk = 1),
+        |s3 AS (SELECT freq,
+        |  replace(seq, ' ' || b3.l || ' ' || b3.r || ' ',
+        |               ' ' || b3.l || b3.r || ' ') AS seq
+        |  FROM s2 CROSS JOIN b3),
+        |p4 AS (
+        |  SELECT p.l AS l, p.r AS r, sum(freq)::BIGINT AS cnt FROM (
+        |    SELECT freq, unnest(list_transform(range(1, len(syms)),
+        |      i -> {'l': syms[i], 'r': syms[i+1]})) AS p
+        |    FROM (SELECT freq, string_split(trim(seq), ' ') AS syms FROM s3))
+        |  GROUP BY 1, 2),
+        |t4 AS (SELECT 4 AS round,
+        |  row_number() OVER (ORDER BY cnt DESC, l, r) AS rnk, l, r, cnt
+        |  FROM p4 QUALIFY rnk <= 5)
+        |SELECT round::INT AS round, rnk::INT AS "rank", l AS left_sym,
+        |  r AS right_sym, cnt AS pair_count
+        |FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t2 UNION ALL SELECT * FROM t3 UNION ALL SELECT * FROM t4)""".stripMargin,
     "dd_cdc_dupfrac" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
         |cs AS (SELECT doc_id, text, n,
