@@ -89,6 +89,53 @@ object AnalyticsQueries extends QueryPack {
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_toks")))
 
+  /** Shared BPE trainer (see `tx_bpe_train` for the full design
+    * note): `rounds` iterations of pair-count → argmax → merge over
+    * the word-frequency table. Returns the learned merge table
+    * (round, rank, left, right, count — top 5 per round) and the
+    * final per-word symbol sequences for the encode side.
+    */
+  private def bpeTrain(s: SparkSession, d: String, rounds: Int)
+      : (Seq[(Int, Int, String, String, Long)], DataFrame) = {
+    val words = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .withColumn("seq",
+        concat(lit(" "), array_join(split(col("word"), ""), " "), lit(" ")))
+      .select(col("word"), col("freq"), col("seq"))
+    var seqs = words.localCheckpoint(true)
+    val learned =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val top = seqs
+        .select(col("freq"), split(trim(col("seq")), " ").as("syms"))
+        .select(col("freq"), explode(expr(
+          """CASE WHEN size(syms) >= 2 THEN
+               transform(sequence(1, size(syms) - 1), i ->
+                 named_struct('l', element_at(syms, i),
+                              'r', element_at(syms, i + 1)))
+             ELSE cast(array() as array<struct<l:string,r:string>>) END"""))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(5)
+        .collect() // 5 rows: the argmax + audit ranks — control-plane sized
+      top.zipWithIndex.foreach { case (row, i) =>
+        learned += ((r, i + 1, row.getString(0), row.getString(1),
+          row.getLong(2)))
+      }
+      val (bl, br) = (top(0).getString(0), top(0).getString(1))
+      // literal (non-regex) replace; lit() so symbols can never
+      // inject into an expression string
+      seqs = seqs.withColumn("seq",
+          replace(col("seq"), lit(s" $bl $br "), lit(s" $bl$br ")))
+        .localCheckpoint(true)
+    }
+    (learned.toSeq, seqs)
+  }
+
   /** The packing core over any (doc_id, n_toks) set — tx_pack feeds it
     * the whole corpus, pipe_corpus_windows the gated/decontaminated
     * survivor set.
@@ -1379,45 +1426,33 @@ object AnalyticsQueries extends QueryPack {
     // CTEs.
     "tx_bpe_train" -> ((s, d) => {
       import s.implicits._
-      val rounds = 4
-      val words = Tables.documents(s, d)
-        .select(explode(split(col("text"), " ")).as("word"))
+      val (learned, _) = bpeTrain(s, d, rounds = 4)
+      learned.toDF("round", "rank", "left_sym", "right_sym", "pair_count")
+    }),
+
+    // The inference side of the learned tokenizer: apply the four
+    // trained merges to the whole corpus and report each document's
+    // token economics — words, post-BPE tokens, and tokens per 1000
+    // word-chars (the compression a tokenizer buys, the number a
+    // training-cost estimate runs on). The per-word symbol table is
+    // vocabulary-bounded (Heaps' law), so the document join
+    // broadcasts it — per-doc work never touches the training corpus
+    // again.
+    "tx_bpe_encode" -> ((s, d) => {
+      val (_, seqs) = bpeTrain(s, d, rounds = 4)
+      val encoded = seqs.select(col("word"),
+        size(split(trim(col("seq")), " ")).as("n_tok"),
+        length(col("word")).as("wlen"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
         .filter(col("word") =!= "")
-        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-        .withColumn("seq",
-          concat(lit(" "), array_join(split(col("word"), ""), " "), lit(" ")))
-        .select(col("freq"), col("seq"))
-      var seqs = words.localCheckpoint(true)
-      val learned =
-        scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String, String, Long)]
-      for (r <- 1 to rounds) {
-        val top = seqs
-          .select(col("freq"), split(trim(col("seq")), " ").as("syms"))
-          .select(col("freq"), explode(expr(
-            """CASE WHEN size(syms) >= 2 THEN
-                 transform(sequence(1, size(syms) - 1), i ->
-                   named_struct('l', element_at(syms, i),
-                                'r', element_at(syms, i + 1)))
-               ELSE cast(array() as array<struct<l:string,r:string>>) END"""))
-            .as("p"))
-          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-          .agg(sum(col("freq")).as("cnt"))
-          .orderBy(col("cnt").desc, col("l"), col("r"))
-          .limit(5)
-          .collect() // 5 rows: the argmax + audit ranks — control-plane sized
-        top.zipWithIndex.foreach { case (row, i) =>
-          learned += ((r, i + 1, row.getString(0), row.getString(1),
-            row.getLong(2)))
-        }
-        val (bl, br) = (top(0).getString(0), top(0).getString(1))
-        // literal (non-regex) replace; lit() so symbols can never
-        // inject into an expression string
-        seqs = seqs.withColumn("seq",
-            replace(col("seq"), lit(s" $bl $br "), lit(s" $bl$br ")))
-          .localCheckpoint(true)
-      }
-      learned.toSeq
-        .toDF("round", "rank", "left_sym", "right_sym", "pair_count")
+        .join(broadcast(encoded), Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_tok")).as("n_tokens"),
+          sum(col("wlen")).as("n_word_chars"))
+        .select(col("doc_id"), col("n_words"), col("n_tokens"),
+          expr("n_tokens * 1000 div n_word_chars").as("tokens_permille"))
     }),
 
     // Content-defined chunking (CDC) dedup — the rolling-hash chunk
@@ -2155,6 +2190,74 @@ object AnalyticsQueries extends QueryPack {
         |JOIN vocab va ON va.tok = pairs.tok_a
         |JOIN vocab vb ON vb.tok = pairs.tok_b
         |CROSS JOIN dt""".stripMargin,
+    "tx_bpe_encode" ->
+      """WITH w AS (
+        |  SELECT word, count(*)::BIGINT AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE word <> ''
+        |  GROUP BY word),
+        |s0 AS (SELECT word, freq,
+        |  ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS seq
+        |  FROM w),
+        |p1 AS (
+        |  SELECT p.l AS l, p.r AS r, sum(freq)::BIGINT AS cnt FROM (
+        |    SELECT freq, unnest(list_transform(range(1, len(syms)),
+        |      i -> {'l': syms[i], 'r': syms[i+1]})) AS p
+        |    FROM (SELECT freq, string_split(trim(seq), ' ') AS syms FROM s0))
+        |  GROUP BY 1, 2),
+        |b1 AS (SELECT l, r FROM (SELECT l, r,
+        |  row_number() OVER (ORDER BY cnt DESC, l, r) AS rnk FROM p1) WHERE rnk = 1),
+        |s1 AS (SELECT word, freq,
+        |  replace(seq, ' ' || b1.l || ' ' || b1.r || ' ',
+        |               ' ' || b1.l || b1.r || ' ') AS seq
+        |  FROM s0 CROSS JOIN b1),
+        |p2 AS (
+        |  SELECT p.l AS l, p.r AS r, sum(freq)::BIGINT AS cnt FROM (
+        |    SELECT freq, unnest(list_transform(range(1, len(syms)),
+        |      i -> {'l': syms[i], 'r': syms[i+1]})) AS p
+        |    FROM (SELECT freq, string_split(trim(seq), ' ') AS syms FROM s1))
+        |  GROUP BY 1, 2),
+        |b2 AS (SELECT l, r FROM (SELECT l, r,
+        |  row_number() OVER (ORDER BY cnt DESC, l, r) AS rnk FROM p2) WHERE rnk = 1),
+        |s2 AS (SELECT word, freq,
+        |  replace(seq, ' ' || b2.l || ' ' || b2.r || ' ',
+        |               ' ' || b2.l || b2.r || ' ') AS seq
+        |  FROM s1 CROSS JOIN b2),
+        |p3 AS (
+        |  SELECT p.l AS l, p.r AS r, sum(freq)::BIGINT AS cnt FROM (
+        |    SELECT freq, unnest(list_transform(range(1, len(syms)),
+        |      i -> {'l': syms[i], 'r': syms[i+1]})) AS p
+        |    FROM (SELECT freq, string_split(trim(seq), ' ') AS syms FROM s2))
+        |  GROUP BY 1, 2),
+        |b3 AS (SELECT l, r FROM (SELECT l, r,
+        |  row_number() OVER (ORDER BY cnt DESC, l, r) AS rnk FROM p3) WHERE rnk = 1),
+        |s3 AS (SELECT word, freq,
+        |  replace(seq, ' ' || b3.l || ' ' || b3.r || ' ',
+        |               ' ' || b3.l || b3.r || ' ') AS seq
+        |  FROM s2 CROSS JOIN b3),
+        |p4 AS (
+        |  SELECT p.l AS l, p.r AS r, sum(freq)::BIGINT AS cnt FROM (
+        |    SELECT freq, unnest(list_transform(range(1, len(syms)),
+        |      i -> {'l': syms[i], 'r': syms[i+1]})) AS p
+        |    FROM (SELECT freq, string_split(trim(seq), ' ') AS syms FROM s3))
+        |  GROUP BY 1, 2),
+        |b4 AS (SELECT l, r FROM (SELECT l, r,
+        |  row_number() OVER (ORDER BY cnt DESC, l, r) AS rnk FROM p4) WHERE rnk = 1),
+        |s4 AS (SELECT word, freq,
+        |  replace(seq, ' ' || b4.l || ' ' || b4.r || ' ',
+        |               ' ' || b4.l || b4.r || ' ') AS seq
+        |  FROM s3 CROSS JOIN b4),
+        |enc AS (SELECT word,
+        |  len(string_split(trim(seq), ' '))::BIGINT AS n_tok,
+        |  length(word)::BIGINT AS wlen
+        |  FROM s4),
+        |dw AS (SELECT doc_id, word FROM (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE word <> '')
+        |SELECT doc_id, count(*)::BIGINT AS n_words, sum(n_tok)::BIGINT AS n_tokens,
+        |  (sum(n_tok)::BIGINT * 1000 // sum(wlen)::BIGINT) AS tokens_permille
+        |FROM dw JOIN enc USING (word)
+        |GROUP BY doc_id""".stripMargin,
     "tx_bpe_train" ->
       """WITH w AS (
         |  SELECT word, count(*)::BIGINT AS freq
