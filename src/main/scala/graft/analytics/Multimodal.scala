@@ -2247,6 +2247,41 @@ object Multimodal {
         interlaced: Boolean = false): Array[Byte] =
       animGrey8(width, height, Seq(pixels), Nil, interlaced)
 
+    /** Single frame carrying its OWN color table (no global table) —
+      * the local-palette path real GIFs use for per-frame palettes.
+      * `palette` is n×3 RGB bytes, n a power of two in [2, 256].
+      */
+    def localPalette(width: Int, height: Int, pixels: Array[Byte],
+        palette: Array[Byte]): Array[Byte] = {
+      require(pixels.length == width * height, "pixel count mismatch")
+      val n = palette.length / 3
+      require(n >= 2 && (n & (n - 1)) == 0 && palette.length % 3 == 0,
+        "palette must be a power-of-two entry count")
+      val sizeBits = 31 - Integer.numberOfLeadingZeros(n) - 1 // log2(n) - 1
+      val mcs = math.max(2, 31 - Integer.numberOfLeadingZeros(n))
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write("GIF89a".getBytes("US-ASCII"))
+      bos.write(le16b(width)); bos.write(le16b(height))
+      bos.write(0x70) // NO global table; 8 bits/channel resolution
+      bos.write(0); bos.write(0)
+      bos.write(0x2c)
+      bos.write(le16b(0)); bos.write(le16b(0))
+      bos.write(le16b(width)); bos.write(le16b(height))
+      bos.write(0x80 | sizeBits) // local color table flag + size
+      bos.write(palette, 0, palette.length)
+      bos.write(mcs)
+      val lzw = GifLzw.encode(pixels, mcs)
+      var off = 0
+      while (off < lzw.length) {
+        val k = math.min(255, lzw.length - off)
+        bos.write(k); bos.write(lzw, off, k)
+        off += k
+      }
+      bos.write(0)
+      bos.write(0x3b)
+      bos.toByteArray
+    }
+
     /** Animated: one GCE (delay in centiseconds) per frame when
       * `delaysCs` is non-empty; all frames full-screen.
       */

@@ -764,6 +764,27 @@ class MultimodalSpec extends AnyFunSuite {
       frame(0).map(_ & 0xff).map(_.toLong).sum * 1000 / (w * h))
   }
 
+  test("GIF local color table: frame resolves through its OWN palette") {
+    val w = 6; val h = 4
+    // 4-entry RGB palette (no global table at all): red, green, blue,
+    // white — Rec.601 lumas 76.245, 149.685, 29.07, 255 (x1000 exact)
+    val pal = Array[Byte](
+      255.toByte, 0, 0, 0, 255.toByte, 0, 0, 0, 255.toByte,
+      255.toByte, 255.toByte, 255.toByte)
+    val px = Array.tabulate(w * h)(i => (i % 4).toByte)
+    val gif = Multimodal.GifBuilder.localPalette(w, h, px, pal)
+    val fs = Multimodal.Gif.frames(gif)
+    assert(fs.length == 1 && fs.head.width == w && fs.head.height == h)
+    assert(java.util.Arrays.equals(fs.head.pixels, px))
+    // 6 of each index: mean = (76245+149685+29070+255000)*6 / 24
+    val want = (299L*255 + (587L*255) + (114L*255) +
+      (299L*255 + 587L*255 + 114L*255)) // silence: computed below
+    val lum = Seq(299L*255, 587L*255, 114L*255, 1000L*255)
+    val expect = lum.map(_ * 6).sum / (w * h)
+    assert(Multimodal.Gif.lumaMilliOf(fs.head) == expect,
+      s"local-palette luma ${Multimodal.Gif.lumaMilliOf(fs.head)} != $expect")
+  }
+
   test("GIF decoder refuses what it cannot decode honestly") {
     val w = 5; val h = 4
     val px = Array.tabulate(w * h)(i => (i * 13 % 256).toByte)

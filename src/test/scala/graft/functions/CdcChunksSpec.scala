@@ -57,6 +57,12 @@ class CdcChunksSpec extends AnyFunSuite {
     val zh = "中文内容去重分块中文内容去重分块与内容定义边界"
     assert(chunksOf(zh) == referenceChunks(zh, 8, 64L))
     assert(chunksOf(zh).mkString == zh)
+    // astral-plane codepoints (surrogate pairs in the JVM): chunk
+    // boundaries and reassembly must count CODEPOINTS, not UTF-16
+    // units — a charAt-based walk would split surrogate pairs
+    val emoji = "data 😀 with 🚀 astral 🍕 codepoints repeated " * 4
+    assert(chunksOf(emoji) == referenceChunks(emoji, 8, 64L))
+    assert(chunksOf(emoji).mkString == emoji)
   }
 
   test("an insertion only perturbs chunks overlapping the edit point") {

@@ -389,6 +389,29 @@ class PlanSpec extends AnyFunSuite {
       "the 1-row divisor count must broadcast")
   }
 
+  test("tx_bpe_encode: the vocabulary-bounded symbol table broadcasts") {
+    val p = plan("tx_bpe_encode")
+    // the per-word encode table is Heaps'-law bounded — the document
+    // join must broadcast it; a shuffled join would re-partition the
+    // whole corpus against a vocab-sized side
+    assert(p.contains("BroadcastHashJoin"), "encoded vocab must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-side shuffle join against the vocab table:\n$p")
+  }
+
+  test("dd_cdc_dupfrac: chunking is one codegen'd generate, dedup is aggregation") {
+    val p = plan("dd_cdc_dupfrac")
+    // the codegen'd cdc_chunks lineage is checkpointed at build time
+    // (CdcChunksSpec pins its codegen placement); the FINAL plan must
+    // read that one materialization — not recompute per consumer —
+    // and keep dedup aggregation-shaped: no pair-join of any kind
+    assert(p.contains("Scan ExistingRDD"),
+      "chunk rows must come from the single checkpointed materialization")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("SortMergeJoin"),
+      s"CDC dedup must stay aggregation-shaped:\n$p")
+  }
+
   test("object table reads typed leaf columns — no JSON re-parse in the plan") {
     val p = plan("w4_object_projection")
     // the storage layout is one typed parquet column per leaf: the
