@@ -918,6 +918,62 @@ object AnalyticsQueries extends QueryPack {
     // table is not.
     "tx_pack" -> ((s, d) => packSpans(s, d)),
 
+    // Length-bucketed batching — the OTHER sequence-batching strategy
+    // next to tx_pack's concatenation: pad every document in a batch
+    // of B=32 to the batch max. Compares the padding bill of
+    // length-SORTED batching against hash-ordered (random) batching —
+    // the quantified reason trainers sort by length. Ranks are exact
+    // but NEVER a global single-partition window: the same two-phase
+    // trick as tx_pack — group counts per key value, an exclusive
+    // prefix over the (tiny, value-bounded) per-key count table,
+    // broadcast back, plus a per-key partitioned local rank. Output:
+    // per strategy, batches, token totals, padding permille.
+    "tx_pad_buckets" -> ((s, d) => {
+      val B = 32
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"))
+        .withColumn("hkey", md5(col("doc_id").cast("string")))
+        .localCheckpoint(true) // read by both strategies
+      def ranked(bucketOf: org.apache.spark.sql.Column,
+          orderCols: Seq[org.apache.spark.sql.Column]): DataFrame = {
+        val bucketed = docs.withColumn("bk", bucketOf)
+        val counts = bucketed.groupBy(col("bk")).agg(count(lit(1)).as("cnt"))
+        val offW = Window.orderBy(col("bk"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        // the ONLY unpartitioned window: one row per distinct bucket
+        // value (≤ distinct lengths / 16 hash prefixes) — trivially
+        // tiny at any corpus size
+        val offsets = counts
+          .withColumn("off", coalesce(sum(col("cnt")).over(offW), lit(0L)))
+          .select(col("bk"), col("off"))
+        val local = Window.partitionBy(col("bk")).orderBy(orderCols: _*)
+        bucketed
+          .withColumn("lr", row_number().over(local))
+          .join(broadcast(offsets), Seq("bk"))
+          .withColumn("rank", col("off") + col("lr"))
+      }
+      def padding(r: DataFrame, strategy: String): DataFrame = r
+        .withColumn("batch", expr(s"(rank - 1) div $B"))
+        .groupBy(col("batch"))
+        .agg(count(lit(1)).as("bsz"), max(col("n_toks")).as("bmax"),
+          sum(col("n_toks")).as("btoks"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("btoks")).as("total_tokens"),
+          sum(col("bsz") * col("bmax") - col("btoks")).as("total_padding"))
+        .select(lit(strategy).as("strategy"), col("n_batches"),
+          col("total_tokens"), col("total_padding"),
+          expr("total_padding * 1000 div (total_tokens + total_padding)")
+            .as("padding_permille"))
+      // sorted: batches group equal-ish lengths (bucket key = the
+      // length itself); hashed: arrival-order stand-in (bucket key =
+      // first hex nibble of the doc hash, rank by hash within)
+      padding(ranked(col("n_toks"), Seq(col("n_toks"), col("doc_id"))),
+          "sorted")
+        .unionAll(padding(ranked(substring(col("hkey"), 1, 1),
+          Seq(col("hkey"), col("doc_id"))), "hashed"))
+    }),
+
     // The window-side view of the same packing: per context window,
     // how many docs contribute, the token fill (= W except the tail
     // window — the invariant that proves the split is airtight), and
@@ -2190,6 +2246,34 @@ object AnalyticsQueries extends QueryPack {
         |JOIN vocab va ON va.tok = pairs.tok_a
         |JOIN vocab vb ON vb.tok = pairs.tok_b
         |CROSS JOIN dt""".stripMargin,
+    "tx_pad_buckets" ->
+      """WITH docs AS (
+        |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_toks,
+        |    md5(doc_id::VARCHAR) AS hkey
+        |  FROM documents),
+        |rs AS (SELECT doc_id, n_toks,
+        |  row_number() OVER (ORDER BY n_toks, doc_id) AS rnk FROM docs),
+        |rh AS (SELECT doc_id, n_toks,
+        |  row_number() OVER (ORDER BY hkey, doc_id) AS rnk FROM docs),
+        |ps AS (
+        |  SELECT count(*)::BIGINT AS n_batches,
+        |    sum(btoks)::BIGINT AS total_tokens,
+        |    sum(bsz * bmax - btoks)::BIGINT AS total_padding FROM (
+        |    SELECT (rnk - 1) // 32 AS batch, count(*) AS bsz,
+        |      max(n_toks) AS bmax, sum(n_toks) AS btoks FROM rs GROUP BY 1)),
+        |ph AS (
+        |  SELECT count(*)::BIGINT AS n_batches,
+        |    sum(btoks)::BIGINT AS total_tokens,
+        |    sum(bsz * bmax - btoks)::BIGINT AS total_padding FROM (
+        |    SELECT (rnk - 1) // 32 AS batch, count(*) AS bsz,
+        |      max(n_toks) AS bmax, sum(n_toks) AS btoks FROM rh GROUP BY 1))
+        |SELECT 'sorted' AS strategy, n_batches, total_tokens, total_padding,
+        |  (total_padding * 1000 // (total_tokens + total_padding))
+        |    AS padding_permille FROM ps
+        |UNION ALL
+        |SELECT 'hashed', n_batches, total_tokens, total_padding,
+        |  (total_padding * 1000 // (total_tokens + total_padding)) FROM ph"""
+        .stripMargin,
     "tx_bpe_encode" ->
       """WITH w AS (
         |  SELECT word, count(*)::BIGINT AS freq
