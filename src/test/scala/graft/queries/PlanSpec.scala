@@ -345,6 +345,20 @@ class PlanSpec extends AnyFunSuite {
       "bucket offsets must broadcast-join back to the docs")
   }
 
+  test("tx_pad_buckets: ranks come from partitioned windows + broadcast offsets") {
+    val p = plan("tx_pad_buckets")
+    // per-doc local ranks run PARTITIONED by the bucket key; the only
+    // unpartitioned window is the per-bucket-count offset prefix
+    // (rows = distinct lengths / 16 hash prefixes). A global
+    // `row_number() OVER (ORDER BY n_toks)` over the corpus would be
+    // the single-task sort that dies at 100 TB.
+    val windows = p.linesIterator.filter(_.contains("Window ")).toList
+    assert(windows.exists(w => w.contains("row_number") && w.contains("bk")),
+      s"local ranks must partition by the bucket key:\n${windows.mkString("\n")}")
+    assert(p.contains("BroadcastHashJoin"),
+      "bucket offsets must broadcast-join back to the docs")
+  }
+
   test("sim_kmeans: per-round assignment broadcasts centroids, no window shuffle") {
     val df = graft.queries.ReadQueries.kmeansClusters(spark, dir, k = 4, iters = 1)
     val p = df.queryExecution.executedPlan.toString()
