@@ -187,8 +187,16 @@ object AnalyticsQueries extends QueryPack {
     * cannot make the standalone gate and the composed pipeline
     * silently disagree.
     */
-  private def gateVerdicts(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.documents(s, d)
+  /** The gate's STATELESS columns (everything derivable from one
+    * document alone): token/bigram stats, the token-bag hash, the
+    * quality score. Shared verbatim by the batch gate (which adds the
+    * corpus-wide min-id keeper election as a window) and
+    * [[graft.streaming.StreamingGate]] (which replaces that window
+    * with keyed first-seen state) — one definition, so a threshold
+    * tune can never make batch and streaming verdicts drift.
+    */
+  private[graft] def gateStateless(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("tk"))
       .withColumn("n_tokens", size(col("tk")))
       .withColumn("bag_hash",
@@ -201,6 +209,9 @@ object AnalyticsQueries extends QueryPack {
       .withColumn("score_raw",
         qualityScoreRaw(col("n_tokens"), col("n_stop"), col("n_chars")))
       .withColumn("score_bp", floor(col("score_raw") * 10000).cast("long"))
+
+  private def gateVerdicts(s: SparkSession, d: String): DataFrame = {
+    val base = gateStateless(Tables.documents(s, d))
     base
       .withColumn("bag_keeper",
         min(col("doc_id")).over(Window.partitionBy(col("bag_hash"))))
