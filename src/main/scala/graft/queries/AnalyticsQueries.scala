@@ -1522,6 +1522,63 @@ object AnalyticsQueries extends QueryPack {
           expr("n_tokens * 1000 div n_word_chars").as("tokens_permille"))
     }),
 
+    // The curation FUNNEL flagship (the dedup-side sibling of
+    // pipe_corpus_windows): quality gate → content-defined-chunk
+    // cleanliness (drop documents over 50% duplicated boilerplate,
+    // dup detection run over the GATED survivors) → deterministic
+    // train/validation/test split, one lineage, with document and
+    // token counts reported at every stage — the funnel report a
+    // curation run publishes. Every stage reuses the production
+    // operator (gate verdicts, the codegen'd CdcChunks, the split
+    // hash), so this pins their COMPOSITION, not re-implementations.
+    "pipe_dedup_funnel" -> ((s, d) => {
+      import org.apache.spark.sql.graft.ColumnBridge
+      val docsAll = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"))
+        .localCheckpoint(true) // read by the raw count + the gate join
+      val gated = docsAll
+        .join(gateVerdicts(s, d).filter(col("verdict") === "pass")
+          .select(col("doc_id")), Seq("doc_id"))
+        .localCheckpoint(true) // read by its count + chunking + clean join
+      val chunks = gated
+        .select(col("doc_id"), explode(ColumnBridge.column(
+          graft.functions.CdcChunks(ColumnBridge.expression(col("text")))))
+          .as("chunk"))
+        .filter(col("chunk") =!= "")
+        .select(col("doc_id"), md5(col("chunk")).as("ch"),
+          length(col("chunk")).as("clen"))
+        .localCheckpoint(true) // dup aggregate + join back
+      val dup = chunks.groupBy(col("ch"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      val dfrac = chunks.join(dup, Seq("ch"))
+        .groupBy(col("doc_id"))
+        .agg(expr("sum(CASE WHEN nd >= 2 THEN clen ELSE 0 END) * 1000 div sum(clen)")
+          .as("dup_permille"))
+      val clean = gated
+        .join(dfrac, Seq("doc_id"), "left")
+        .filter(coalesce(col("dup_permille"), lit(0L)) <= 500)
+        .select(col("doc_id"), col("n_toks"))
+        .localCheckpoint(true) // its count + the split rows
+      def stage(df: DataFrame, name: String): DataFrame = df
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+        .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+      val splits = clean
+        .withColumn("b",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("long") % 10)
+        .withColumn("stage", concat(lit("4_"),
+          when(col("b") < 8, "train").when(col("b") === 8, "validation")
+            .otherwise("test")))
+        .groupBy(col("stage"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+        .select(col("stage"), col("n_docs"), col("n_tokens"))
+      stage(docsAll, "1_raw")
+        .unionAll(stage(gated, "2_gated"))
+        .unionAll(stage(clean, "3_cdc_clean"))
+        .unionAll(splits)
+    }),
+
     // Content-defined chunking (CDC) dedup — the rolling-hash chunk
     // technique (Rabin/Gear-style, the rsync/LBFS/backup-dedup
     // primitive): chunk boundaries fall where a w=8-char polynomial
@@ -2257,6 +2314,96 @@ object AnalyticsQueries extends QueryPack {
         |JOIN vocab va ON va.tok = pairs.tok_a
         |JOIN vocab vb ON vb.tok = pairs.tok_b
         |CROSS JOIN dt""".stripMargin,
+    "pipe_dedup_funnel" ->
+      """WITH base AS (
+        |  SELECT doc_id, n_chars, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |feat AS (
+        |  SELECT doc_id, n_chars, len(tk) AS n_tokens,
+        |    md5(array_to_string(list_sort(list_distinct(tk)), ' ')) AS bag_hash,
+        |    CASE WHEN len(tk) >= 2
+        |      THEN list_transform(generate_series(1, len(tk) - 1),
+        |             i -> tk[i] || ' ' || tk[i + 1])
+        |      ELSE [] END AS bigrams,
+        |    len(list_filter(tk,
+        |      t -> list_contains(['the','a','of','and','to','in'], t))) AS n_stop
+        |  FROM base),
+        |scored AS (
+        |  SELECT doc_id, n_tokens, bag_hash,
+        |    len(bigrams) AS n_bigrams,
+        |    len(list_distinct(bigrams)) AS n_dbg,
+        |    floor((least(n_tokens / 100.0, 1.0) * 0.4 +
+        |           (1.0 - n_stop / n_tokens) * 0.3 +
+        |           least((n_chars - (n_tokens - 1)) / n_tokens / 8.0, 1.0) * 0.3)
+        |          * 10000)::BIGINT AS score_bp
+        |  FROM feat),
+        |keep AS (
+        |  SELECT *, min(doc_id) OVER (PARTITION BY bag_hash) AS bag_keeper
+        |  FROM scored),
+        |verd AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n_tokens < 16 THEN 'too_short'
+        |         WHEN n_dbg * 2 < n_bigrams THEN 'repetitive'
+        |         WHEN doc_id != bag_keeper THEN 'bag_dup'
+        |         WHEN score_bp < 5000 THEN 'low_quality'
+        |         ELSE 'pass' END AS verdict
+        |  FROM keep),
+        |docs0 AS (
+        |  SELECT doc_id, text, len(string_split(text, ' '))::BIGINT AS n_toks
+        |  FROM documents),
+        |gated AS (
+        |  SELECT d.doc_id, d.text, d.n_toks FROM docs0 d
+        |  JOIN verd v USING (doc_id) WHERE v.verdict = 'pass'),
+        |cd AS (SELECT doc_id, text, length(text) AS n FROM gated),
+        |ccs AS (SELECT doc_id, text, n,
+        |  list_transform(range(1, n + 1),
+        |    i -> ascii(substr(text, i, 1))::BIGINT) AS c
+        |  FROM cd),
+        |chs AS (SELECT doc_id, text, n,
+        |  CASE WHEN n >= 8 THEN list_transform(range(8, n + 1), i ->
+        |    c[i]*1 + c[i-1]*31 + c[i-2]*961 + c[i-3]*29791 +
+        |    c[i-4]*923521 + c[i-5]*28629151 + c[i-6]*887503681 +
+        |    c[i-7]*27512614111)
+        |  ELSE [] END AS h
+        |  FROM ccs),
+        |cbs AS (SELECT doc_id, text, n,
+        |  [0::BIGINT] || list_transform(
+        |    list_filter(list_transform(range(1, len(h) + 1),
+        |        k -> {'pos': k + 7, 'hv': h[k]}),
+        |      x -> x.hv % 64 = 0), x -> x.pos)
+        |    || [n::BIGINT] AS bounds
+        |  FROM chs),
+        |ck0 AS (SELECT doc_id, unnest(list_transform(range(1, len(bounds)),
+        |    k -> substr(text, (bounds[k] + 1)::INT,
+        |                (bounds[k+1] - bounds[k])::INT))) AS chunk
+        |  FROM cbs),
+        |ck AS (SELECT doc_id, md5(chunk) AS ch, length(chunk) AS clen
+        |  FROM ck0 WHERE chunk <> ''),
+        |cdup AS (SELECT ch, count(DISTINCT doc_id) AS nd FROM ck GROUP BY 1),
+        |dfrac AS (
+        |  SELECT doc_id,
+        |    (sum(CASE WHEN nd >= 2 THEN clen ELSE 0 END)::BIGINT * 1000
+        |       // sum(clen)::BIGINT) AS dup_permille
+        |  FROM ck JOIN cdup USING (ch) GROUP BY doc_id),
+        |clean AS (
+        |  SELECT g.doc_id, g.n_toks FROM gated g
+        |  LEFT JOIN dfrac USING (doc_id)
+        |  WHERE coalesce(dup_permille, 0) <= 500),
+        |spl AS (
+        |  SELECT n_toks,
+        |    CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'validation'
+        |         ELSE 'test' END AS sp
+        |  FROM (SELECT n_toks,
+        |          ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 10 AS b
+        |        FROM clean))
+        |SELECT '1_raw' AS stage, count(*)::BIGINT AS n_docs,
+        |  sum(n_toks)::BIGINT AS n_tokens FROM docs0
+        |UNION ALL
+        |SELECT '2_gated', count(*)::BIGINT, sum(n_toks)::BIGINT FROM gated
+        |UNION ALL
+        |SELECT '3_cdc_clean', count(*)::BIGINT, sum(n_toks)::BIGINT FROM clean
+        |UNION ALL
+        |SELECT '4_' || sp, count(*)::BIGINT, sum(n_toks)::BIGINT FROM spl GROUP BY sp""".stripMargin,
     "tx_pad_buckets" ->
       """WITH docs AS (
         |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_toks,
