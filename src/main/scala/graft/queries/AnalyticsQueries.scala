@@ -1522,6 +1522,54 @@ object AnalyticsQueries extends QueryPack {
           expr("n_tokens * 1000 div n_word_chars").as("tokens_permille"))
     }),
 
+    // Deterministic importance RESAMPLING by quality weight — the
+    // mixture-shifting primitive (upweight high-quality documents in
+    // the training mix): systematic sampling with K=1000 draws at
+    // positions (2k+1)·W/2K along the cumulative-weight axis, so a
+    // document's sample multiplicity is proportional to its gate
+    // quality score with zero variance and zero randomness — the
+    // whole computation is exact integer arithmetic (the position
+    // count inside [cum_prev, cum) is a closed-form div), identical
+    // in both engines, and Σ multiplicities = K by construction.
+    // The cumulative weights come from the same two-phase prefix-sum
+    // shape as tx_pack (deterministic doc_id range buckets; the only
+    // unpartitioned window is the P-row bucket-offset prefix).
+    "dd_importance_resample" -> ((s, d) => {
+      val P = 8; val K = 1000L
+      val wts = Tables.documents(s, d).select(col("doc_id"), col("source"))
+        .join(gateVerdicts(s, d).select(col("doc_id"), col("score_bp")),
+          Seq("doc_id"))
+      val mx = wts.agg(max(col("doc_id")).as("mx"))
+      val b = wts.crossJoin(broadcast(mx))
+        .withColumn("pid", expr(s"doc_id * $P div (mx + 1)"))
+      val offW = Window.orderBy(col("pid"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val off = b.groupBy(col("pid")).agg(sum(col("score_bp")).as("ps"))
+        .withColumn("off", coalesce(sum(col("ps")).over(offW), lit(0L)))
+        .select(col("pid"), col("off"))
+      val local = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+      val tot = wts.agg(sum(col("score_bp")).as("tw"))
+      val cum = b
+        .withColumn("lc", sum(col("score_bp")).over(local))
+        .join(broadcast(off), Seq("pid"))
+        .withColumn("cum", col("off") + col("lc"))
+        .withColumn("cum_prev", col("cum") - col("score_bp"))
+        .crossJoin(broadcast(tot))
+        // f(x) = #draws strictly below x; guarded so the dividend is
+        // never negative (Spark div truncates, DuckDB // floors —
+        // they only agree on non-negative operands)
+        .withColumn("cnt",
+          expr(s"""CASE WHEN 2 * $K * cum > tw
+                   THEN (2 * $K * cum - 1 - tw) div (2 * tw) + 1 ELSE 0 END -
+                   CASE WHEN 2 * $K * cum_prev > tw
+                   THEN (2 * $K * cum_prev - 1 - tw) div (2 * tw) + 1 ELSE 0 END"""))
+      cum.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("score_bp")).as("total_weight"),
+          sum(col("cnt")).as("n_sampled"),
+          sum(when(col("cnt") > 0, 1L).otherwise(0L)).as("n_docs_sampled"))
+    }),
+
     // The curation FUNNEL flagship (the dedup-side sibling of
     // pipe_corpus_windows): quality gate → content-defined-chunk
     // cleanliness (drop documents over 50% duplicated boilerplate,
@@ -2314,6 +2362,48 @@ object AnalyticsQueries extends QueryPack {
         |JOIN vocab va ON va.tok = pairs.tok_a
         |JOIN vocab vb ON vb.tok = pairs.tok_b
         |CROSS JOIN dt""".stripMargin,
+    "dd_importance_resample" ->
+      """WITH base AS (
+        |  SELECT doc_id, n_chars, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |feat AS (
+        |  SELECT doc_id, n_chars, len(tk) AS n_tokens,
+        |    CASE WHEN len(tk) >= 2
+        |      THEN list_transform(generate_series(1, len(tk) - 1),
+        |             i -> tk[i] || ' ' || tk[i + 1])
+        |      ELSE [] END AS bigrams,
+        |    len(list_filter(tk,
+        |      t -> list_contains(['the','a','of','and','to','in'], t))) AS n_stop
+        |  FROM base),
+        |scored AS (
+        |  SELECT doc_id,
+        |    floor((least(n_tokens / 100.0, 1.0) * 0.4 +
+        |           (1.0 - n_stop / n_tokens) * 0.3 +
+        |           least((n_chars - (n_tokens - 1)) / n_tokens / 8.0, 1.0) * 0.3)
+        |          * 10000)::BIGINT AS score_bp
+        |  FROM feat),
+        |wts AS (
+        |  SELECT d.doc_id, d.source, s.score_bp
+        |  FROM documents d JOIN scored s USING (doc_id)),
+        |cums AS (
+        |  SELECT doc_id, source, score_bp,
+        |    sum(score_bp) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+        |  FROM wts),
+        |tot AS (SELECT sum(score_bp)::BIGINT AS tw FROM wts),
+        |cnts AS (
+        |  SELECT source, score_bp,
+        |    (CASE WHEN 2 * 1000 * cum > tw
+        |          THEN (2 * 1000 * cum - 1 - tw) // (2 * tw) + 1 ELSE 0 END -
+        |     CASE WHEN 2 * 1000 * (cum - score_bp) > tw
+        |          THEN (2 * 1000 * (cum - score_bp) - 1 - tw) // (2 * tw) + 1
+        |          ELSE 0 END) AS cnt
+        |  FROM cums CROSS JOIN tot)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(score_bp)::BIGINT AS total_weight,
+        |  sum(cnt)::BIGINT AS n_sampled,
+        |  sum(CASE WHEN cnt > 0 THEN 1 ELSE 0 END)::BIGINT AS n_docs_sampled
+        |FROM cnts GROUP BY source""".stripMargin,
     "pipe_dedup_funnel" ->
       """WITH base AS (
         |  SELECT doc_id, n_chars, string_split(text, ' ') AS tk
