@@ -129,12 +129,23 @@ object AnalyticsQueries extends QueryPack {
       val (bl, br) = (top(0).getString(0), top(0).getString(1))
       // literal (non-regex) replace; lit() so symbols can never
       // inject into an expression string
-      seqs = seqs.withColumn("seq",
+      val next = seqs.withColumn("seq",
           replace(col("seq"), lit(s" $bl $br "), lit(s" $bl$br ")))
         .localCheckpoint(true)
+      // the superseded round's checkpoint blocks only fed `next`,
+      // which is now eagerly materialized — release them instead of
+      // pinning executor memory for the rest of the session
+      releaseLocalCheckpoint(seqs)
+      seqs = next
     }
     (learned.toSeq, seqs)
   }
+
+  private def releaseLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
 
   /** The packing core over any (doc_id, n_toks) set — tx_pack feeds it
     * the whole corpus, pipe_corpus_windows the gated/decontaminated

@@ -359,6 +359,15 @@ class PlanSpec extends AnyFunSuite {
       "bucket offsets must broadcast-join back to the docs")
   }
 
+  test("dd_importance_resample: cumulative weights avoid a global window") {
+    val p = plan("dd_importance_resample")
+    val windows = p.linesIterator.filter(_.contains("Window ")).toList
+    // per-doc running weights are PARTITIONED by the range bucket;
+    // the only unpartitioned window is the P-row bucket-offset prefix
+    assert(windows.exists(w => w.contains("pid")),
+      s"cumulative weights must partition by the range bucket:\n${windows.mkString("\n")}")
+  }
+
   test("sim_kmeans: per-round assignment broadcasts centroids, no window shuffle") {
     val df = graft.queries.ReadQueries.kmeansClusters(spark, dir, k = 4, iters = 1)
     val p = df.queryExecution.executedPlan.toString()
