@@ -1550,6 +1550,9 @@ object AnalyticsQueries extends QueryPack {
       val wts = Tables.documents(s, d).select(col("doc_id"), col("source"))
         .join(gateVerdicts(s, d).select(col("doc_id"), col("score_bp")),
           Seq("doc_id"))
+        // three consumers (max-id, total weight, the bucketed prefix);
+        // checkpointed so the gate's scoring window runs once
+        .localCheckpoint(true)
       val mx = wts.agg(max(col("doc_id")).as("mx"))
       val b = wts.crossJoin(broadcast(mx))
         .withColumn("pid", expr(s"doc_id * $P div (mx + 1)"))
