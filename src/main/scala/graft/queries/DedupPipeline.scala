@@ -314,10 +314,122 @@ object DedupPipeline extends QueryPack {
       val labels = propagateConverged(s, edges, rp)
       edges.unpersist()
       labels.orderBy(col("doc_id"))
+    }),
+
+    // Integer-exact PageRank over the verified near-dup edges — the
+    // centrality view of the dedup graph (which document is the hub
+    // of a template family). Two unrolled iterations with damping
+    // 17/20 and scale 10⁶, every step exact integer arithmetic
+    // (per-edge `pr div deg` contributions, then (3S/20) + 17·inflow
+    // div 20), so both engines converge bit-for-bit. Each round is
+    // two keyed joins + one partial-agg groupBy at the derived round
+    // parallelism — the dd_cluster iteration shape, nothing
+    // data-sized in the driver.
+    "dd_pagerank" -> ((s, d) => {
+      val S = 1000000L
+      val (verified, arrs, bands) = verifiedPairs(s, d)
+      val (edges, rp) = materializedEdges(s, verified)
+      releaseCheckpoint(arrs)
+      bands.unpersist()
+      val result = withRoundParallelism(s, rp) {
+        val verts = edges.select(col("doc_a").as("doc_id")).distinct()
+        val deg = edges.groupBy(col("doc_a")).agg(count(lit(1)).as("deg"))
+        var pr = verts.withColumn("pr", lit(S)).localCheckpoint(false)
+        var prev = pr
+        for (_ <- 1 to 2) {
+          val inflow = edges
+            .join(pr.select(col("doc_id").as("doc_a"), col("pr")), Seq("doc_a"))
+            .join(deg.select(col("doc_a"), col("deg")), Seq("doc_a"))
+            .select(col("doc_b").as("doc_id"), expr("pr div deg").as("c"))
+            .groupBy(col("doc_id")).agg(sum(col("c")).as("inflow"))
+          pr = verts
+            .join(inflow, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              (lit(3L * S / 20) +
+                expr("17 * coalesce(inflow, 0L) div 20")).as("pr"))
+            .localCheckpoint(false)
+          releaseCheckpoint(prev)
+          prev = pr
+        }
+        pr.count() // materialize inside the pinned scope
+        pr
+      }
+      edges.unpersist()
+      result.orderBy(col("doc_id"))
     })
   )
 
   override def oracle: Map[String, String] = Map(
+    "dd_pagerank" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, unnest(string_split(text,' ')) AS tok,
+        |         generate_subscripts(string_split(text,' '),1) AS pos
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id, lang, pos,
+        |    ('0x' || substr(md5(tok), 1, 14))::BIGINT AS ht
+        |  FROM toks),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, lang,
+        |    3 * ht + 5 * lead(ht,1) OVER w + 7 * lead(ht,2) OVER w AS h
+        |  FROM th WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY lead(ht,2) OVER w IS NOT NULL),
+        |mh AS (
+        |  SELECT doc_id, lang,
+        |    min(xor(h, 935853755618645598)) AS mh0,
+        |    min(xor(h, 886263699231969848)) AS mh1,
+        |    min(xor(h, 901255563090117366)) AS mh2,
+        |    min(xor(h, 1066434503623691823)) AS mh3,
+        |    min(xor(h, 758855882668719729)) AS mh4,
+        |    min(xor(h, 1030659900335514164)) AS mh5,
+        |    min(xor(h, 101208472399937786)) AS mh6,
+        |    min(xor(h, 644382284193898855)) AS mh7
+        |  FROM sh GROUP BY doc_id, lang),
+        |bands AS (
+        |  SELECT doc_id, unnest([
+        |    md5(lang || '|' || mh0 || ',' || mh1 || ',' || mh2 || ',' || mh3),
+        |    md5(lang || '|' || mh4 || ',' || mh5 || ',' || mh6 || ',' || mh7)
+        |  ]) AS band_key FROM mh),
+        |cands AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+        |  FROM cands c
+        |  JOIN sh sa ON sa.doc_id = c.doc_a
+        |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
+        |  GROUP BY 1, 2),
+        |verified AS (
+        |  SELECT i.doc_a, i.doc_b FROM inter i
+        |  JOIN sizes za ON za.doc_id = i.doc_a
+        |  JOIN sizes zb ON zb.doc_id = i.doc_b
+        |  WHERE i.n_inter / (za.sz + zb.sz - i.n_inter) >= 0.2),
+        |edges AS (
+        |  SELECT doc_a, doc_b FROM verified
+        |  UNION ALL SELECT doc_b, doc_a FROM verified),
+        |verts AS (SELECT DISTINCT doc_a AS doc_id FROM edges),
+        |deg AS (SELECT doc_a AS doc_id, count(*)::BIGINT AS deg
+        |        FROM edges GROUP BY 1),
+        |pr0 AS (SELECT doc_id, 1000000::BIGINT AS pr FROM verts),
+        |in1 AS (SELECT e.doc_b AS doc_id, sum(p.pr // d.deg)::BIGINT AS inflow
+        |        FROM edges e
+        |        JOIN pr0 p ON p.doc_id = e.doc_a
+        |        JOIN deg d ON d.doc_id = e.doc_a
+        |        GROUP BY 1),
+        |pr1 AS (SELECT v.doc_id,
+        |          (150000 + 17 * coalesce(i.inflow, 0) // 20)::BIGINT AS pr
+        |        FROM verts v LEFT JOIN in1 i USING (doc_id)),
+        |in2 AS (SELECT e.doc_b AS doc_id, sum(p.pr // d.deg)::BIGINT AS inflow
+        |        FROM edges e
+        |        JOIN pr1 p ON p.doc_id = e.doc_a
+        |        JOIN deg d ON d.doc_id = e.doc_a
+        |        GROUP BY 1),
+        |pr2 AS (SELECT v.doc_id,
+        |          (150000 + 17 * coalesce(i.inflow, 0) // 20)::BIGINT AS pr
+        |        FROM verts v LEFT JOIN in2 i USING (doc_id))
+        |SELECT doc_id, pr FROM pr2 ORDER BY doc_id""".stripMargin,
     "dd_cluster" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, unnest(string_split(text,' ')) AS tok,
