@@ -2001,11 +2001,13 @@ object Multimodal {
       * first code, or truncation before `maxPixels` indices arrived.
       */
     def decode(data: Array[Byte], minCodeSize: Int, maxPixels: Int): Option[Array[Byte]] = {
-      if (minCodeSize < 2 || minCodeSize > 8) return None
+      if (minCodeSize < 2 || minCodeSize > 8 || maxPixels <= 0) return None
       val clear = 1 << minCodeSize
       val eoi = clear + 1
       val br = new BitReader(data)
-      val out = new java.io.ByteArrayOutputStream(maxPixels)
+      // initial capacity only — the stream grows on demand, so a
+      // large (attacker-declared) pixel count must not preallocate
+      val out = new java.io.ByteArrayOutputStream(math.min(maxPixels, 1 << 16))
       var width = minCodeSize + 1
       val prefix = new Array[Int](4096)
       val suffix = new Array[Byte](4096)
@@ -2150,11 +2152,18 @@ object Multimodal {
             }
             if (pos >= b.length || pal == null || fw <= 0 || fh <= 0)
               return out.toSeq
+            // pixel-count bound in LONG: 16-bit dims multiply to up to
+            // ~4.3e9, overflowing Int — and even a positive product
+            // that large is a declared decompression bomb, the same
+            // class the 10 MiB zlib cap refuses. 2^26 px ≈ 64 MB of
+            // indices, far past any sane GIF.
+            val nPix = fw.toLong * fh
+            if (nPix > (1L << 26)) return out.toSeq
             val mcs = b(pos) & 0xff; pos += 1
             val (data, next) = collectSubBlocks(b, pos)
             if (next < 0) return out.toSeq
             pos = next
-            GifLzw.decode(data, mcs, fw * fh) match {
+            GifLzw.decode(data, mcs, nPix.toInt) match {
               case Some(px) =>
                 val rows = if ((ip & 0x40) != 0) deinterlace(px, fw, fh) else px
                 out += Frame(left, top, fw, fh, pendingDelay,

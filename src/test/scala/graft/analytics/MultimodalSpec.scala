@@ -802,6 +802,18 @@ class MultimodalSpec extends AnyFunSuite {
         (rnd.nextInt(256)).toByte
       Multimodal.Gif.frames(mut) // any result is fine; throwing is not
     }
+    // declared-dimension bomb: 65535x65535 frame dims multiply past
+    // Int range (and would demand gigabytes) — must refuse, not
+    // crash or preallocate (found by GifFuzz, 20k-corruption soak)
+    val bomb = gif.clone()
+    // image descriptor starts after header(13) + global palette(768):
+    // width at +5, height at +7 (LE16 each)
+    val idesc = 13 + 768
+    bomb(idesc + 5) = 0xff.toByte; bomb(idesc + 6) = 0xff.toByte
+    bomb(idesc + 7) = 0xff.toByte; bomb(idesc + 8) = 0xff.toByte
+    assert(Multimodal.Gif.frames(bomb).isEmpty,
+      "oversized declared dims must be refused")
+
     // through FormatAwareCodec: GIF dispatches to the real decoder
     val feats = new Multimodal.FormatAwareCodec()
       .decodeBatch(Seq(Multimodal.MediaRow(7L, "image", gif)))
