@@ -55,7 +55,15 @@ object ProtoWire {
     var i = 0
     def varint(): Long = {
       var shift = 0; var v = 0L; var b = 0
-      do { b = bytes(i) & 0xff; i += 1; v |= (b & 0x7fL) << shift; shift += 7 } while ((b & 0x80) != 0)
+      do {
+        // bounds-checked: a truncated varint (or one stretched past
+        // 64 bits by a run of continuation bytes) is a protocol
+        // error, not an index crash
+        if (i >= bytes.length || shift > 63)
+          throw new IllegalArgumentException(
+            s"truncated or overlong varint at offset $i")
+        b = bytes(i) & 0xff; i += 1; v |= (b & 0x7fL) << shift; shift += 7
+      } while ((b & 0x80) != 0)
       v
     }
     val vs = scala.collection.mutable.Map.empty[Int, Vector[Long]]
@@ -75,8 +83,14 @@ object ProtoWire {
           bs(field) = bs.getOrElse(field, Vector.empty) :+
             java.util.Arrays.copyOfRange(bytes, i, i + len)
           i += len
-        case 1 => i += 8 // fixed64: skip (unused by this schema)
-        case 5 => i += 4 // fixed32: skip
+        case 1 => // fixed64: skip (unused by this schema)
+          if (i + 8 > bytes.length)
+            throw new IllegalArgumentException(s"truncated fixed64 at $i")
+          i += 8
+        case 5 => // fixed32: skip
+          if (i + 4 > bytes.length)
+            throw new IllegalArgumentException(s"truncated fixed32 at $i")
+          i += 4
         case wt => throw new IllegalArgumentException(s"unsupported wire type $wt")
       }
     }

@@ -219,13 +219,19 @@ object RpcWire {
       w.int64(3, 1L) // error = true
     }
 
-  /** Decoded reply: Right(()) on ok, Left(error_name) on error. */
-  def decodeReply(bytes: Array[Byte]): Either[String, Unit] = {
-    val f = ProtoWire.read(bytes)
-    if (f.blobs.contains(2)) Left(ProtoWire.read(f.blob(2)).str(1))
-    else if (f.blobs.contains(1)) Right(())
-    else Left("empty_reply")
-  }
+  /** Decoded reply: Right(()) on ok, Left(error_name) on error; bytes
+    * that do not parse as a reply at all — this is a WIRE surface —
+    * come back as Left("malformed_reply"), never an exception.
+    */
+  def decodeReply(bytes: Array[Byte]): Either[String, Unit] =
+    try {
+      val f = ProtoWire.read(bytes)
+      if (f.blobs.contains(2)) Left(ProtoWire.read(f.blob(2)).str(1))
+      else if (f.blobs.contains(1)) Right(())
+      else Left("empty_reply")
+    } catch {
+      case scala.util.control.NonFatal(_) => Left("malformed_reply")
+    }
 
   private def errorName(e: VolatileTriggers.InstallError): String = e match {
     case VolatileTriggers.InvalidMatchPath => "invalid_match_path"
