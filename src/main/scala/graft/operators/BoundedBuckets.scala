@@ -50,8 +50,14 @@ object BoundedBuckets {
 
   /** Test hook: hot-bucket counts observed by the last `cap` call per
     * tag, so specs can assert the cap actually bound (or didn't).
+    * Updated under a lock — queries can be built concurrently, and a
+    * read-modify-write on a plain var would drop entries.
     */
-  @volatile private[graft] var lastDropped: Map[String, Long] = Map.empty
+  private val dropped = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  private[graft] def lastDropped: Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    dropped.asScala.toMap
+  }
 
   /** Drop rows belonging to bucket keys with more than `cap` rows,
     * logging when the cap binds. Returns the input unchanged (same
@@ -64,7 +70,7 @@ object BoundedBuckets {
       .filter(col("__bucket_n") > cap)
       .select(keys.map(col): _*)
     val nHot = hot.count()
-    lastDropped = lastDropped.updated(tag, nHot)
+    dropped.put(tag, nHot)
     if (nHot == 0) df
     else {
       log.warn(s"$tag: dropping $nHot bucket(s) over cap=$cap rows " +

@@ -122,6 +122,13 @@ object AnalyticsQueries extends QueryPack {
         .orderBy(col("cnt").desc, col("l"), col("r"))
         .limit(5)
         .collect() // 5 rows: the argmax + audit ranks — control-plane sized
+      // a fully-merged vocabulary (every word one symbol) has no pairs
+      // left — stop learning instead of indexing an empty argmax. Real
+      // corpora never exhaust in 4 rounds; on a degenerate one the
+      // oracle's unrolled CTEs go empty from the exhausted round on,
+      // so the engines also structurally diverge there — acceptable
+      // for a crash guard on inputs outside the operator's domain.
+      if (top.isEmpty) return (learned.toSeq, seqs)
       top.zipWithIndex.foreach { case (row, i) =>
         learned += ((r, i + 1, row.getString(0), row.getString(1),
           row.getLong(2)))
@@ -135,17 +142,11 @@ object AnalyticsQueries extends QueryPack {
       // the superseded round's checkpoint blocks only fed `next`,
       // which is now eagerly materialized — release them instead of
       // pinning executor memory for the rest of the session
-      releaseLocalCheckpoint(seqs)
+      releaseCheckpoint(seqs)
       seqs = next
     }
     (learned.toSeq, seqs)
   }
-
-  private def releaseLocalCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
-      case _ => ()
-    }
 
   /** The packing core over any (doc_id, n_toks) set — tx_pack feeds it
     * the whole corpus, pipe_corpus_windows the gated/decontaminated
@@ -1490,8 +1491,15 @@ object AnalyticsQueries extends QueryPack {
     // == codepoint order), and merge it everywhere. Merge application
     // is literal string replace on the space-delimited symbol
     // sequence bounded by sentinel spaces — left-to-right
-    // non-overlapping replacement, which is exactly BPE's greedy
-    // application rule (' a a a ' merges to ' aa a ', never ' a aa ').
+    // non-overlapping replacement. For ISOLATED occurrences this is
+    // BPE's greedy rule exactly (' a a a ' → ' aa a ', never
+    // ' a aa '); for RUNS of the merged pair it under-merges within
+    // one pass (each replacement consumes the shared sentinel space,
+    // so 'aaaa' becomes [aa, a, a], not greedy BPE's [aa, aa]) — the
+    // classic fast-approximation trade-off, applied IDENTICALLY by
+    // the mirrored oracle, so the learned merge table is
+    // deterministic cross-engine even where it deviates from
+    // pairwise-scan BPE.
     //
     // Scale shape (the kmeans pattern): the corpus collapses to the
     // bounded word-frequency table once (Heaps' law — vocabulary

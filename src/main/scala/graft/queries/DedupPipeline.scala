@@ -276,12 +276,6 @@ object DedupPipeline extends QueryPack {
       labels
     }
 
-  private def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
-      case _ => ()
-    }
-
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_cluster" -> ((s, d) => {
       val (verified, arrs, bands) = verifiedPairs(s, d)

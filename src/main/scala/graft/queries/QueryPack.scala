@@ -13,4 +13,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 trait QueryPack {
   def queries: Map[String, (SparkSession, String) => DataFrame]
   def oracle: Map[String, String]
+
+  /** Release the storage blocks behind a localCheckpoint-backed frame
+    * (iterative queries checkpoint per round and must free superseded
+    * rounds instead of pinning executor memory for the session). One
+    * definition for every pack — block release matches on the
+    * LogicalRDD plan node, which a Spark upgrade could change.
+    */
+  protected def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
 }

@@ -777,35 +777,71 @@ object AstarteStore {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(batch.toString)
     adoptTmpLeaves(fs, hpath, batch)
-    val root = new HPath(appendTmpRoot(path))
-    if (fs.exists(root) && fs.listStatus(root).isEmpty)
-      fs.delete(root, false)
+    deleteRootIfEmpty(fs, new HPath(appendTmpRoot(path)))
   }
+
+  /** Best-effort cleanup of the shared append tmp root: between the
+    * emptiness check and the non-recursive delete a concurrent
+    * appender may create its batch dir — the delete then fails (or
+    * the listing vanishes under us) and that is FINE; the root is
+    * re-created by the next appendAtomic and cleaned by whoever sees
+    * it empty last. A successful append must never fail on cleanup.
+    */
+  private def deleteRootIfEmpty(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit =
+    try {
+      if (fs.exists(root) && fs.listStatus(root).isEmpty)
+        fs.delete(root, false)
+    } catch { case _: java.io.IOException => () }
 
   /** Maintenance-side recovery of the append protocol: a batch dir
     * WITHOUT `_temporary` is fully committed — crash happened between
     * commit and rename — so adopting it is safe (at worst it re-lands
     * rows the upstream replay also lands; byte-identical, folded by
-    * reads). A batch dir still holding `_temporary` is in flight or
-    * died mid-write; it is removed only once old enough that no live
-    * writer can own it, and left alone otherwise.
+    * reads). Adoption is GRACE-GATED: a live writer adopts its own
+    * batch within milliseconds of commit, so only a batch that has
+    * sat committed for `graceMs` can be a crash orphan — without the
+    * gate, maintenance could race the writer's own adoptTmpLeaves in
+    * the commit-to-rename window and each could fail the other's
+    * renames. A batch dir still holding `_temporary` is in flight or
+    * died mid-write; it is removed only once the NEWEST mtime
+    * anywhere in its tree (the batch dir's own mtime freezes at job
+    * start — all write activity happens deeper under `_temporary`)
+    * is older than `staleMs`, and left alone otherwise.
     */
   private[storage] def recoverAppendBatches(
       fs: org.apache.hadoop.fs.FileSystem,
       tableRoot: org.apache.hadoop.fs.Path,
-      staleMs: Long = 60 * 60 * 1000L): Unit = {
+      staleMs: Long = 60 * 60 * 1000L,
+      graceMs: Long = 10 * 60 * 1000L): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
     val root = new HPath(appendTmpRoot(tableRoot.toString))
     if (!fs.exists(root)) return
+    val now = System.currentTimeMillis()
     for (b <- fs.listStatus(root) if b.isDirectory) {
       val inFlight = fs.exists(new HPath(b.getPath, "_temporary"))
-      if (!inFlight) adoptTmpLeaves(fs, tableRoot, b.getPath)
-      else if (System.currentTimeMillis() - b.getModificationTime > staleMs)
+      if (!inFlight) {
+        if (now - newestMtime(fs, b.getPath) > graceMs)
+          adoptTmpLeaves(fs, tableRoot, b.getPath)
+      } else if (now - newestMtime(fs, b.getPath) > staleMs)
         fs.delete(b.getPath, true)
     }
-    if (fs.exists(root) && fs.listStatus(root).isEmpty)
-      fs.delete(root, false)
+    deleteRootIfEmpty(fs, root)
   }
+
+  /** Newest modification time anywhere under `p` (inclusive) — the
+    * liveness signal for a write whose activity happens in nested
+    * task directories, not the top-level dir.
+    */
+  private def newestMtime(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Long =
+    try {
+      val self = fs.getFileStatus(p)
+      val kids =
+        if (self.isDirectory) fs.listStatus(p).map(c => newestMtime(fs, c.getPath))
+        else Array.empty[Long]
+      (self.getModificationTime +: kids).max
+    } catch { case _: java.io.IOException => 0L }
 
   /** Crash recovery for the leaf rewrites (sweep + compaction): a tmp
     * root only ever holds replacement files whose originals are still

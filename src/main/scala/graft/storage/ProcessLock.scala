@@ -15,13 +15,22 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   * free from Cassandra's server-side per-cell LWW
   * (`queries.ex:87-155`).
   *
-  * Protocol: `create(overwrite = false)` — atomic on local FS and
-  * HDFS — wins the lock; the file body records owner + acquire time
-  * for diagnosis. A crashed owner's lock goes STALE and is broken
-  * after `staleMs` (maintenance is idempotent and crash-recoverable
-  * by design — adopt-and-retire converges on rerun — so breaking a
-  * stale lock is safe; the stale window only delays, never corrupts).
-  * On object stores without atomic create, swap this for the store's
+  * Protocol: an exclusive create wins the lock — `File.createNewFile`
+  * (atomic on POSIX) for `file:` paths, since Hadoop's
+  * RawLocalFileSystem implements `create(overwrite = false)` as a
+  * non-atomic exists-then-open; `fs.create(overwrite = false)` (atomic
+  * on HDFS) elsewhere. The file body records a unique OWNER TOKEN +
+  * acquire time; release deletes the lock only while it still carries
+  * our token, so an owner that overran the stale horizon can never
+  * delete the lock a successor legitimately re-acquired. A crashed
+  * owner's lock goes STALE and is broken after `staleMs` (maintenance
+  * is idempotent and crash-recoverable by design — adopt-and-retire
+  * converges on rerun — so breaking a stale lock is safe; the stale
+  * window only delays, never corrupts). `staleMs` must exceed the
+  * longest maintenance run; a narrow stat-to-delete race remains in
+  * stale breaking (two breakers can both proceed) — acceptable for
+  * idempotent maintenance, not for general mutual exclusion. On
+  * object stores without atomic create, swap this for the store's
   * conditional-put primitive.
   */
 object ProcessLock {
@@ -34,11 +43,14 @@ object ProcessLock {
     * caller's maintenance run is skipped loudly, not silently).
     */
   def withLock[A](fs: FileSystem, lockPath: HPath,
-      staleMs: Long = 10 * 60 * 1000L, waitMs: Long = 60 * 1000L)(body: => A): A = {
+      staleMs: Long = 60 * 60 * 1000L, waitMs: Long = 60 * 1000L)(body: => A): A = {
+    val token = s"pid=${ProcessHandle.current().pid()} " +
+      s"token=${java.util.UUID.randomUUID()} " +
+      s"acquired_ms=${System.currentTimeMillis()}\n"
     val deadline = System.currentTimeMillis() + waitMs
     var acquired = false
     while (!acquired) {
-      acquired = tryAcquire(fs, lockPath)
+      acquired = tryAcquire(fs, lockPath, token)
       if (!acquired) {
         breakIfStale(fs, lockPath, staleMs)
         if (System.currentTimeMillis() > deadline)
@@ -49,22 +61,47 @@ object ProcessLock {
       }
     }
     try body finally {
-      try fs.delete(lockPath, false)
-      catch { case e: java.io.IOException =>
+      // ownership-checked release: delete only OUR lock — if a
+      // successor broke this lock as stale and created its own,
+      // leaving it alone is the correct (non-cascading) behavior
+      try {
+        if (readBody(fs, lockPath) == token) fs.delete(lockPath, false)
+        else log.warn(s"lock $lockPath no longer ours at release " +
+          "(broken as stale by a successor) — leaving it in place")
+      } catch { case e: java.io.IOException =>
         log.warn(s"failed to release lock $lockPath: $e — it will go stale") }
     }
   }
 
-  private def tryAcquire(fs: FileSystem, lockPath: HPath): Boolean =
+  private def readBody(fs: FileSystem, lockPath: HPath): String =
+    try {
+      val in = fs.open(lockPath)
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+    } catch { case _: java.io.IOException => "" }
+
+  private def tryAcquire(fs: FileSystem, lockPath: HPath, token: String): Boolean =
     try {
       val parent = lockPath.getParent
       if (parent != null) fs.mkdirs(parent)
-      val out = fs.create(lockPath, /* overwrite = */ false)
-      try out.write(
-        s"pid=${ProcessHandle.current().pid()} acquired_ms=${System.currentTimeMillis()}\n"
-          .getBytes("UTF-8"))
-      finally out.close()
-      true
+      val isLocal = {
+        val u = fs.getUri
+        u.getScheme == null || u.getScheme == "file"
+      }
+      if (isLocal) {
+        // POSIX-atomic exclusive create: Hadoop's local FS implements
+        // create(overwrite=false) as exists-then-open, which two
+        // processes can interleave
+        val f = new java.io.File(lockPath.toUri.getPath)
+        if (!f.createNewFile()) return false
+        val w = new java.io.FileOutputStream(f)
+        try w.write(token.getBytes("UTF-8")) finally w.close()
+        true
+      } else {
+        val out = fs.create(lockPath, /* overwrite = */ false)
+        try out.write(token.getBytes("UTF-8")) finally out.close()
+        true
+      }
     } catch {
       case _: java.io.IOException => false // exists (held) or transient FS error
     }

@@ -698,10 +698,21 @@ class AstarteStoreSpec extends AnyFunSuite {
 
     // a batch that committed its files but crashed before the renames:
     // a parquet dir WITHOUT `_temporary`, parked under the append tmp
-    // root with the table's schema (incl. the op column)
+    // root with the table's schema (incl. the op column). Aged past
+    // the adoption grace period — a FRESH committed batch belongs to
+    // a live writer about to adopt it itself and must be left alone.
+    val orphan = s"${AstarteStore.appendTmpRoot(lww.path)}/orphan-committed"
     Seq(("b", 2L, "v2")).toDF("k", "ts", "v")
       .withColumn(LwwTable.OpCol, org.apache.spark.sql.functions.lit(LwwTable.OpUpsert))
-      .write.parquet(s"${AstarteStore.appendTmpRoot(lww.path)}/orphan-committed")
+      .write.parquet(orphan)
+    val hfs = new org.apache.hadoop.fs.Path(orphan)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def age(p: org.apache.hadoop.fs.Path): Unit = {
+      val st = hfs.getFileStatus(p)
+      if (st.isDirectory) hfs.listStatus(p).foreach(c => age(c.getPath))
+      hfs.setTimes(p, System.currentTimeMillis() - 30 * 60 * 1000L, -1)
+    }
+    age(new org.apache.hadoop.fs.Path(orphan))
 
     // a batch still mid-write (fresh `_temporary` present): must NOT
     // be adopted or deleted — a live writer may own it

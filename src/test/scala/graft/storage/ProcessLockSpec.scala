@@ -61,16 +61,28 @@ class ProcessLockSpec extends AnyFunSuite {
     val table = new HPath(s"$root/t")
     fs.mkdirs(table)
     val tmp = AstarteStore.appendTmpRoot(table.toString)
-    // stale in-flight batch: _temporary present, mtime an hour old
+    // stale in-flight batch: _temporary present, the WHOLE tree's
+    // mtimes an hour old (staleness is judged by the newest mtime
+    // anywhere in the batch — write activity happens in nested task
+    // dirs, so a single old top-dir mtime must not condemn a batch
+    // whose children are still being written)
     val stale = new HPath(s"$tmp/stale-batch/_temporary")
     fs.mkdirs(stale)
-    fs.setTimes(stale.getParent,
-      System.currentTimeMillis() - 2 * 60 * 60 * 1000L, -1)
+    val old = System.currentTimeMillis() - 2 * 60 * 60 * 1000L
+    fs.setTimes(stale, old, -1)
+    fs.setTimes(stale.getParent, old, -1)
     // fresh in-flight batch: _temporary present, current mtime
     val fresh = new HPath(s"$tmp/fresh-batch/_temporary")
     fs.mkdirs(fresh)
+    // old top dir but FRESH nested activity: must survive (the
+    // nested mtime is the liveness signal)
+    val busy = new HPath(s"$tmp/busy-batch/_temporary/task0")
+    fs.mkdirs(busy)
+    fs.setTimes(busy.getParent.getParent, old, -1)
     AstarteStore.recoverAppendBatches(fs, table, staleMs = 60 * 60 * 1000L)
     assert(!fs.exists(stale.getParent), "stale in-flight batch must be removed")
     assert(fs.exists(fresh.getParent), "fresh in-flight batch must survive")
+    assert(fs.exists(busy.getParent.getParent),
+      "old top dir with fresh nested writes must survive")
   }
 }
