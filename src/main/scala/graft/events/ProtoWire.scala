@@ -74,12 +74,16 @@ object ProtoWire {
       (key & 7L).toInt match {
         case 0 => vs(field) = vs.getOrElse(field, Vector.empty) :+ varint()
         case 2 =>
-          val len = varint().toInt
+          // validate the declared length as a LONG before narrowing:
+          // a hostile 2^32+5 would .toInt-wrap to 5 and silently
+          // re-frame the stream instead of being rejected
+          val len64 = varint()
+          if (len64 < 0L || len64 > (bytes.length - i).toLong)
+            throw new IllegalArgumentException(
+              s"length-delimited field $field overruns buffer ($len64 bytes at $i)")
+          val len = len64.toInt
           // copyOfRange would silently zero-pad past the end — a
           // truncated blob must fail, not decode to corrupt values
-          if (len < 0 || i + len > bytes.length)
-            throw new IllegalArgumentException(
-              s"length-delimited field $field overruns buffer ($len bytes at $i)")
           bs(field) = bs.getOrElse(field, Vector.empty) :+
             java.util.Arrays.copyOfRange(bytes, i, i + len)
           i += len

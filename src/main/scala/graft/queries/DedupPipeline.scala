@@ -329,7 +329,7 @@ object DedupPipeline extends QueryPack {
         val verts = edges.select(col("doc_a").as("doc_id")).distinct()
         val deg = edges.groupBy(col("doc_a")).agg(count(lit(1)).as("deg"))
         var pr = verts.withColumn("pr", lit(S)).localCheckpoint(false)
-        var prev = pr
+        val rounds = scala.collection.mutable.Buffer(pr)
         for (_ <- 1 to 2) {
           val inflow = edges
             .join(pr.select(col("doc_id").as("doc_a"), col("pr")), Seq("doc_a"))
@@ -342,10 +342,14 @@ object DedupPipeline extends QueryPack {
               (lit(3L * S / 20) +
                 expr("17 * coalesce(inflow, 0L) div 20")).as("pr"))
             .localCheckpoint(false)
-          releaseCheckpoint(prev)
-          prev = pr
+          rounds += pr
         }
-        pr.count() // materialize inside the pinned scope
+        // lazy checkpoints materialize only when computed through —
+        // releasing a round BEFORE the final count would make its
+        // checkpoint a no-op and re-derive its lineage; materialize
+        // the whole chain first, then free the superseded rounds
+        pr.count()
+        rounds.dropRight(1).foreach(releaseCheckpoint)
         pr
       }
       edges.unpersist()

@@ -26,12 +26,15 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   * owner's lock goes STALE and is broken after `staleMs` (maintenance
   * is idempotent and crash-recoverable by design — adopt-and-retire
   * converges on rerun — so breaking a stale lock is safe; the stale
-  * window only delays, never corrupts). `staleMs` must exceed the
-  * longest maintenance run; a narrow stat-to-delete race remains in
-  * stale breaking (two breakers can both proceed) — acceptable for
-  * idempotent maintenance, not for general mutual exclusion. On
-  * object stores without atomic create, swap this for the store's
-  * conditional-put primitive.
+  * window only delays, never corrupts). A LIVE owner heartbeats the
+  * lock's mtime every `staleMs / 4` from a daemon thread, so a run
+  * longer than `staleMs` keeps its lock and `staleMs` only needs to
+  * exceed the worst heartbeat gap (GC pause + FS hiccup), not the
+  * whole run. A narrow stat-to-delete race remains in stale breaking
+  * (two breakers can both proceed) — acceptable for idempotent
+  * maintenance, not for general mutual exclusion. On object stores
+  * without atomic create, swap this for the store's conditional-put
+  * primitive.
   */
 object ProcessLock {
 
@@ -60,25 +63,58 @@ object ProcessLock {
         Thread.sleep(200)
       }
     }
+    // heartbeat: refresh the lock's mtime so a legitimately long run
+    // never goes stale; touching a successor's lock (we overran AND
+    // it got broken — only possible if the heartbeat itself stalled
+    // past staleMs) merely keeps a live lock fresh, which is harmless
+    val hb = new Thread(() => {
+      val interval = math.max(1000L, staleMs / 4)
+      try {
+        while (!Thread.interrupted()) {
+          Thread.sleep(interval)
+          try fs.setTimes(lockPath, System.currentTimeMillis(), -1)
+          catch { case _: java.io.IOException => () }
+        }
+      } catch { case _: InterruptedException => () }
+    }, "graft-lock-heartbeat")
+    hb.setDaemon(true)
+    hb.start()
     try body finally {
+      hb.interrupt()
+      hb.join(2000)
       // ownership-checked release: delete only OUR lock — if a
       // successor broke this lock as stale and created its own,
-      // leaving it alone is the correct (non-cascading) behavior
+      // leaving it alone is the correct (non-cascading) behavior.
+      // A transient read failure must NOT be mistaken for "broken by
+      // a successor" (that would strand a valid lock for staleMs), so
+      // the body read retries once before giving up.
       try {
-        if (readBody(fs, lockPath) == token) fs.delete(lockPath, false)
-        else log.warn(s"lock $lockPath no longer ours at release " +
-          "(broken as stale by a successor) — leaving it in place")
+        readBody(fs, lockPath) match {
+          case Some(body) if body == token => fs.delete(lockPath, false)
+          case Some(_) => log.warn(s"lock $lockPath no longer ours at release " +
+            "(broken as stale by a successor) — leaving it in place")
+          case None => log.warn(
+            s"could not read lock $lockPath at release — it will go stale")
+        }
       } catch { case e: java.io.IOException =>
         log.warn(s"failed to release lock $lockPath: $e — it will go stale") }
     }
   }
 
-  private def readBody(fs: FileSystem, lockPath: HPath): String =
-    try {
-      val in = fs.open(lockPath)
-      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
-      finally in.close()
-    } catch { case _: java.io.IOException => "" }
+  /** Read the lock body, retrying once on a transient failure; None
+    * only after both attempts fail (release then leaves the lock to
+    * go stale rather than guessing at ownership).
+    */
+  private def readBody(fs: FileSystem, lockPath: HPath): Option[String] = {
+    def once(): Option[String] =
+      try {
+        val in = fs.open(lockPath)
+        try Some(new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8"))
+        finally in.close()
+      } catch { case _: java.io.IOException => None }
+    once().orElse { Thread.sleep(50); once() }
+  }
 
   private def tryAcquire(fs: FileSystem, lockPath: HPath, token: String): Boolean =
     try {

@@ -81,4 +81,21 @@ class ProtoWireSpec extends AnyFunSuite {
       back.long(1) == v && back.str(2) == s
     })
   }
+
+  test("a 64-bit length declaration that would Int-wrap is rejected, not re-framed") {
+    // field 1, wiretype 2, declared length 2^32 + 5: a naive .toInt
+    // narrows it to 5 and silently decodes the next 5 bytes as the
+    // blob — the reader must reject the declaration as an overrun
+    def varintBytes(v: Long): Array[Byte] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      var x = v
+      while ((x & ~0x7fL) != 0) { out += ((x & 0x7f) | 0x80).toByte; x >>>= 7 }
+      out += x.toByte
+      out.toArray
+    }
+    val hostile = Array[Byte](0x0a) ++ varintBytes((1L << 32) + 5) ++
+      Array[Byte](1, 2, 3, 4, 5)
+    val e = intercept[IllegalArgumentException] { ProtoWire.read(hostile) }
+    assert(e.getMessage.contains("overruns"))
+  }
 }

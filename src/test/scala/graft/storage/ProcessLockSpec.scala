@@ -56,6 +56,27 @@ class ProcessLockSpec extends AnyFunSuite {
     assert(!fs.exists(lock))
   }
 
+  test("a long-running owner heartbeats its lock past the stale horizon") {
+    val lock = new HPath(
+      Files.createTempDirectory("graft-lock3").toString, "t.lock")
+    // staleMs=4s → heartbeat every 1s: holding the lock for 2.5s must
+    // leave an mtime refreshed well after acquisition, and a
+    // competitor polling during that window must time out rather than
+    // break a live (heartbeating) lock
+    ProcessLock.withLock(fs, lock, staleMs = 4000L) {
+      val acquiredAt = System.currentTimeMillis()
+      Thread.sleep(2500)
+      val mtime = fs.getFileStatus(lock).getModificationTime
+      assert(mtime > acquiredAt + 500,
+        s"heartbeat did not refresh mtime (acquired ~$acquiredAt, mtime $mtime)")
+      val e = intercept[java.io.IOException] {
+        ProcessLock.withLock(fs, lock, staleMs = 4000L, waitMs = 600L) { fail() }
+      }
+      assert(e.getMessage.contains("could not acquire"))
+    }
+    assert(!fs.exists(lock), "lock must still release cleanly after heartbeats")
+  }
+
   test("append-batch recovery: stale in-flight debris cleared, fresh left alone") {
     val root = Files.createTempDirectory("graft-rec").toString
     val table = new HPath(s"$root/t")
