@@ -18,7 +18,8 @@ object SparkEntry {
     AnalyticsQueries,
     ReadQueries,
     WindowedQueries,
-    DedupPipeline
+    DedupPipeline,
+    IncrementalDedup
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

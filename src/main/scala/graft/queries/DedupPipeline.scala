@@ -67,21 +67,11 @@ object DedupPipeline extends QueryPack {
       .localCheckpoint(true)
     // stage 1: LSH candidates (same construction as dd_minhash_lsh);
     // signatures and band keys are pure projections — the only
-    // shuffle in candidate generation is the band self-join itself
-    val mhCols = MinhashSeeds.keys.zipWithIndex.map { case (k, i) =>
-      array_min(transform(col("arr"), h => h.bitwiseXOR(lit(k)))).as(s"mh$i")
-    }
-    val minhashes = arrs.select(col("doc_id") +: col("lang") +: mhCols: _*)
-    val bands = minhashes.select(col("doc_id"),
-        md5(concat(col("lang"), lit("|"),
-          concat_ws(",", col("mh0"), col("mh1"), col("mh2"), col("mh3")))).as("bk0"),
-        md5(concat(col("lang"), lit("|"),
-          concat_ws(",", col("mh4"), col("mh5"), col("mh6"), col("mh7")))).as("bk1"))
-      .select(col("doc_id"), explode(array(col("bk0"), col("bk1"))).as("band_key"))
-      // 2 rows per doc; the hot-bucket count and both sides of the
-      // band self-join read it — uncached, the tokenize+md5 map work
-      // would run three times
-      .cache()
+    // shuffle in candidate generation is the band self-join itself.
+    // 2 rows per doc; the hot-bucket count and both sides of the
+    // band self-join read it — uncached, the tokenize+md5 map work
+    // would run three times
+    val bands = bandsOf(arrs).cache()
     // bound the self-join fan-out: a band key holding >cap docs (one
     // viral page with millions of near-copies) would alone emit
     // ~cap²/2 candidate pairs; drop-and-log such buckets (members
@@ -124,7 +114,30 @@ object DedupPipeline extends QueryPack {
     * value is < 15·2^56 < 2^60 — no 64-bit overflow on either side,
     * and the subsequent xor-with-seed minhash stays in range.
     */
-  private def shingleArrays(s: SparkSession, d: String): DataFrame = {
+  private def shingleArrays(s: SparkSession, d: String): DataFrame =
+    shingleArraysOf(Tables.documents(s, d))
+
+  /** Banded LSH keys of a signature-array table: 8 minhashes (xor-seed
+    * + array_min, duplicate-insensitive) folded into 2 band keys of 4,
+    * exploded to (doc_id, band_key). Pure projections — shared by the
+    * from-scratch pipeline and the incremental path so the two are
+    * DEFINITIONALLY the same signature scheme, never two drifting
+    * copies.
+    */
+  private[queries] def bandsOf(arrs: DataFrame): DataFrame = {
+    val mhCols = MinhashSeeds.keys.zipWithIndex.map { case (k, i) =>
+      array_min(transform(col("arr"), h => h.bitwiseXOR(lit(k)))).as(s"mh$i")
+    }
+    arrs.select(col("doc_id") +: col("lang") +: mhCols: _*)
+      .select(col("doc_id"),
+        md5(concat(col("lang"), lit("|"),
+          concat_ws(",", col("mh0"), col("mh1"), col("mh2"), col("mh3")))).as("bk0"),
+        md5(concat(col("lang"), lit("|"),
+          concat_ws(",", col("mh4"), col("mh5"), col("mh6"), col("mh7")))).as("bk1"))
+      .select(col("doc_id"), explode(array(col("bk0"), col("bk1"))).as("band_key"))
+  }
+
+  private[queries] def shingleArraysOf(docs: DataFrame): DataFrame = {
     val ht = transform(split(col("text"), " "),
       t => conv(substring(md5(t), 1, 14), 16, 10).cast("long"))
     val trigram = when(size(col("ht")) >= 3,
@@ -133,7 +146,7 @@ object DedupPipeline extends QueryPack {
              element_at(col("ht"), (i + 1).cast("int")) * 5L +
              element_at(col("ht"), (i + 2).cast("int")) * 7L))
       .otherwise(expr("cast(array() as array<bigint>)"))
-    Tables.documents(s, d)
+    docs
       // docs under 3 tokens have no trigrams — the exact row set
       // explode() dropped. CRITICAL that this predicate is on the RAW
       // tokens, not `size(arr) > 0` on the computed array: predicate

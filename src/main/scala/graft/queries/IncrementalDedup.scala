@@ -1,0 +1,238 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-delta (incremental) near-dup dedup: judge a batch of NEW
+  * documents against an already-deduped corpus WITHOUT re-reading the
+  * old documents' text.
+  *
+  * Every production 100 TB pipeline works this way — each crawl
+  * increment is deduped against the existing corpus, not from
+  * scratch. The state that makes it possible is exactly what LSH
+  * already computes per doc: the sorted distinct shingle-hash array
+  * (for exact-Jaccard verification) and the banded minhash keys (for
+  * candidate generation). [[SignatureStore]] persists both as store
+  * tables via the crash-safe [[graft.storage.AstarteStore.appendAtomic]]
+  * append protocol (unique-tmp-then-rename; a new increment's
+  * signatures land the same way its verdicts are computed — against
+  * persisted state, the reference's last-value merge discipline,
+  * `queries.ex:121-155`).
+  *
+  * The increment path scans the increment's text ONCE (signature
+  * computation), then everything corpus-sided reads ONLY the persisted
+  * signature tables — IncrementalDedupSpec pins both properties on the
+  * physical plan. Verdict semantics, identical in the DuckDB oracle's
+  * from-scratch recomputation over the union:
+  *   - a new doc near-dup-verified (Jaccard ≥ 0.2) against ANY corpus
+  *     doc is a `dup` (the corpus member is the established keeper);
+  *   - within the increment, the smaller doc_id wins (first-come
+  *     keeper), so a doc also counts as `dup` if it verifies against a
+  *     SMALLER-id increment doc;
+  *   - otherwise `keeper`.
+  *
+  * Scale shape: candidate generation is the increment's band keys
+  * joined against the persisted band table — the corpus side is never
+  * self-joined, and both band tables are hot-bucket-capped
+  * ([[graft.operators.BoundedBuckets]], corpus side at WRITE time so
+  * a viral page can never poison every future increment). For a small
+  * increment AQE broadcasts the increment side (the corpus band table
+  * then streams map-side with no shuffle); a corpus-scale deployment
+  * would additionally persist the band table bucketed by `band_key`
+  * (the store's `bucketizeHotTables` pattern) so even billion-row
+  * increments join shuffle-free on the corpus side.
+  */
+object IncrementalDedup extends QueryPack {
+
+  /** Increment membership: the most recent ~20% of doc ids plays the
+    * "new crawl" role. Deterministic and oracle-expressible; both
+    * engines use non-negative ids so `%` agrees.
+    */
+  private val incPredicate = col("doc_id") % 10 >= 8
+
+  /** Per-sfDir persisted corpus signature state, built once per JVM:
+    * `signatures` = (doc_id, lang, arr) shingle-hash arrays,
+    * `bands` = (doc_id, band_key) hot-capped LSH band keys. Both
+    * written through the store's crash-safe append.
+    */
+  private[queries] object SignatureStore {
+    private val roots =
+      new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+    def rootFor(s: SparkSession, sfDir: String): String =
+      roots.computeIfAbsent(sfDir, _ => {
+        val root =
+          java.nio.file.Files.createTempDirectory("graft-dedupsig").toString
+        val corpus = Tables.documents(s, sfDir).filter(!incPredicate)
+        val arrs = DedupPipeline.shingleArraysOf(corpus).localCheckpoint(true)
+        graft.storage.AstarteStore.appendAtomic(arrs, signaturesPath(root))
+        // cap hot band buckets at WRITE time: a pathological band key
+        // is dropped once here instead of re-poisoning every future
+        // increment's candidate join (members still pair via their
+        // other band; no-op on healthy data)
+        val bands = graft.operators.BoundedBuckets.cap(
+          DedupPipeline.bandsOf(arrs), Seq("band_key"),
+          tag = "dd_incr_corpus_bands")
+        graft.storage.AstarteStore.appendAtomic(bands, bandsPath(root))
+        root
+      })
+
+    def signaturesPath(root: String): String = s"$root/dedup_signatures"
+    def bandsPath(root: String): String = s"$root/dedup_bands"
+
+    /** Fold a judged increment's signatures into the persisted state,
+      * completing the delta cycle: the next increment then judges
+      * against corpus + every absorbed increment without any prior
+      * text being re-read. Crash-safe via the store's append protocol
+      * (a torn absorb leaves an orphan batch dir that maintenance
+      * adopts or clears; the upstream retry re-lands identical rows).
+      * Appended bands are not re-capped here — a bucket that goes hot
+      * only CUMULATIVELY across increments is periodic compaction's
+      * job (`compactAppendTable` + a cap pass), not a per-absorb scan
+      * of the whole band table.
+      */
+    def absorb(root: String, incArrs: DataFrame): Unit = {
+      graft.storage.AstarteStore.appendAtomic(incArrs, signaturesPath(root))
+      graft.storage.AstarteStore.appendAtomic(
+        DedupPipeline.bandsOf(incArrs), bandsPath(root))
+    }
+  }
+
+  /** The increment's signature arrays — text is scanned exactly here
+    * and nowhere else. Exposed for the spec's plan pin: one documents
+    * scan, filtered to the increment.
+    */
+  private[graft] def incrementArrs(s: SparkSession, d: String): DataFrame =
+    DedupPipeline.shingleArraysOf(
+      Tables.documents(s, d).filter(incPredicate))
+
+  /** Verdicts for the increment given the corpus's PERSISTED signature
+    * state (no text column anywhere on the corpus side). Factored out
+    * so the spec can run the same logic against directly-computed
+    * corpus frames and pin store-roundtrip fidelity.
+    */
+  private[graft] def incrementalVerdicts(incArrs: DataFrame,
+      corpusBands: DataFrame, corpusArrs: DataFrame): DataFrame = {
+    val incBands = graft.operators.BoundedBuckets.cap(
+      DedupPipeline.bandsOf(incArrs), Seq("band_key"),
+      tag = "dd_incr_inc_bands")
+    // candidates: increment bands vs persisted corpus bands (never a
+    // corpus self-join), plus the increment's own banded self-join
+    // oriented larger-judged-against-smaller
+    val candCorpus = incBands
+      .join(corpusBands.select(col("doc_id").as("other_id"), col("band_key")),
+        Seq("band_key"))
+      .select(col("doc_id"), col("other_id"), lit(false).as("other_inc"))
+    val candInc = incBands.as("a")
+      .join(incBands.as("b"),
+        col("a.band_key") === col("b.band_key") &&
+        col("b.doc_id") < col("a.doc_id"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("other_id"),
+        lit(true).as("other_inc"))
+    // a pair can surface through both of its band keys — dedup before
+    // paying the array-intersect verification
+    val cands = candCorpus.unionByName(candInc).distinct()
+
+    val otherArrs = corpusArrs
+      .select(col("doc_id").as("other_id"), col("arr").as("arr_b"))
+      .unionByName(
+        incArrs.select(col("doc_id").as("other_id"), col("arr").as("arr_b")))
+    val verified = cands
+      .join(incArrs.select(col("doc_id"), col("arr").as("arr_a")), Seq("doc_id"))
+      .join(otherArrs, Seq("other_id"))
+      .withColumn("n_inter", size(array_intersect(col("arr_a"), col("arr_b"))))
+      .filter(col("n_inter") /
+        (size(col("arr_a")) + size(col("arr_b")) - col("n_inter")) >= 0.2)
+      .select(col("doc_id"), col("other_id"), col("other_inc"))
+
+    incArrs.select(col("doc_id"))
+      .join(verified, Seq("doc_id"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        coalesce(sum(when(!col("other_inc"), 1L)), lit(0L)).as("n_dup_corpus"),
+        coalesce(sum(when(col("other_inc"), 1L)), lit(0L)).as("n_dup_within"),
+        when(count(col("other_id")) > 0, lit("dup"))
+          .otherwise(lit("keeper")).as("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_incremental" -> ((s, d) => {
+      val root = SignatureStore.rootFor(s, d)
+      // the only text scan in the whole query — the increment's own
+      // docs; checkpointed because bands, both verify sides, and the
+      // verdict base all read it (cache() on ArrayType columns is the
+      // measured-slow path — see DedupPipeline)
+      val incArrs = incrementArrs(s, d).localCheckpoint(true)
+      incrementalVerdicts(incArrs,
+        s.read.parquet(SignatureStore.bandsPath(root)),
+        s.read.parquet(SignatureStore.signaturesPath(root)))
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    // from-scratch recomputation over the UNION: the oracle derives
+    // every signature from raw text and must reach the identical
+    // verdicts the persisted-state path emits
+    "dd_incremental" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, unnest(string_split(text,' ')) AS tok,
+        |         generate_subscripts(string_split(text,' '),1) AS pos
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id, lang, pos,
+        |    ('0x' || substr(md5(tok), 1, 14))::BIGINT AS ht
+        |  FROM toks),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, lang,
+        |    3 * ht + 5 * lead(ht,1) OVER w + 7 * lead(ht,2) OVER w AS h
+        |  FROM th WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY lead(ht,2) OVER w IS NOT NULL),
+        |mh AS (
+        |  SELECT doc_id, lang,
+        |    min(xor(h, 935853755618645598)) AS mh0,
+        |    min(xor(h, 886263699231969848)) AS mh1,
+        |    min(xor(h, 901255563090117366)) AS mh2,
+        |    min(xor(h, 1066434503623691823)) AS mh3,
+        |    min(xor(h, 758855882668719729)) AS mh4,
+        |    min(xor(h, 1030659900335514164)) AS mh5,
+        |    min(xor(h, 101208472399937786)) AS mh6,
+        |    min(xor(h, 644382284193898855)) AS mh7
+        |  FROM sh GROUP BY doc_id, lang),
+        |bands AS (
+        |  SELECT doc_id, unnest([
+        |    md5(lang || '|' || mh0 || ',' || mh1 || ',' || mh2 || ',' || mh3),
+        |    md5(lang || '|' || mh4 || ',' || mh5 || ',' || mh6 || ',' || mh7)
+        |  ]) AS band_key FROM mh),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS other_id,
+        |         (b.doc_id % 10 >= 8) AS other_inc
+        |  FROM bands a JOIN bands b ON a.band_key = b.band_key
+        |  WHERE a.doc_id % 10 >= 8
+        |    AND CASE WHEN b.doc_id % 10 >= 8
+        |             THEN b.doc_id < a.doc_id
+        |             ELSE TRUE END),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT c.doc_id, c.other_id, c.other_inc, count(*) AS n_inter
+        |  FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.doc_id
+        |  JOIN sh sb ON sb.doc_id = c.other_id AND sb.h = sa.h
+        |  GROUP BY 1, 2, 3),
+        |verified AS (
+        |  SELECT i.doc_id, i.other_id, i.other_inc FROM inter i
+        |  JOIN sizes za ON za.doc_id = i.doc_id
+        |  JOIN sizes zb ON zb.doc_id = i.other_id
+        |  WHERE i.n_inter / (za.sz + zb.sz - i.n_inter) >= 0.2),
+        |inc AS (SELECT DISTINCT doc_id FROM sh WHERE doc_id % 10 >= 8)
+        |SELECT d.doc_id,
+        |  coalesce(sum(CASE WHEN NOT v.other_inc THEN 1 END), 0)::BIGINT
+        |    AS n_dup_corpus,
+        |  coalesce(sum(CASE WHEN v.other_inc THEN 1 END), 0)::BIGINT
+        |    AS n_dup_within,
+        |  CASE WHEN count(v.other_id) > 0 THEN 'dup' ELSE 'keeper' END
+        |    AS verdict
+        |FROM inc d LEFT JOIN verified v ON v.doc_id = d.doc_id
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+  )
+}
