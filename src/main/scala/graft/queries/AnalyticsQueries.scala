@@ -209,7 +209,13 @@ object AnalyticsQueries extends QueryPack {
     */
   private[graft] def gateStateless(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("tk"))
+      // pass an event-time column through when the caller has one
+      // (the streaming gate's watermark TTL rides on it); the batch
+      // gate's inputs never carry it, so its plan is unchanged
+      .select(Seq(col("doc_id"), col("n_chars"),
+        split(col("text"), " ").as("tk")) ++
+        (if (docs.columns.contains("ingest_ts")) Seq(col("ingest_ts"))
+         else Nil): _*)
       .withColumn("n_tokens", size(col("tk")))
       .withColumn("bag_hash",
         md5(concat_ws(" ", array_sort(array_distinct(col("tk"))))))

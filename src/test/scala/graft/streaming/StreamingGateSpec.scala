@@ -1,6 +1,7 @@
 package graft.streaming
 
 import java.nio.file.Files
+import java.sql.Timestamp
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
@@ -10,10 +11,12 @@ import org.scalatest.funsuite.AnyFunSuite
   * (tx_corpus_gate) or on a stream (StreamingGate) — the property
   * that lets one pipeline backfill history in batch and gate live
   * arrivals streaming without the two halves disagreeing about what
-  * got in. The only semantic seam is the duplicate election
+  * got in. The only semantic seams are the duplicate election
   * (corpus-min vs first-seen), which coincides when a corpus replays
-  * in order — pinned here — and diverges only in the direction
-  * streaming must (a dup arriving AFTER its keeper is still a dup).
+  * in order — pinned here — and the election HORIZON: state is
+  * watermark-bounded, so a bag silent for longer than the TTL evicts
+  * and its next arrival is re-elected (also pinned, in event time, so
+  * the test is deterministic with no wall-clock sleeps).
   */
 class StreamingGateSpec extends AnyFunSuite {
 
@@ -42,6 +45,12 @@ class StreamingGateSpec extends AnyFunSuite {
       (7L, dupOf5, dupOf5.length.toLong))
   }
 
+  private val t0 = 1000000000L // base event time, ms
+
+  private def at(doc: (Long, String, Long), tsMs: Long)
+      : (Long, String, Long, Timestamp) =
+    (doc._1, doc._2, doc._3, new Timestamp(tsMs))
+
   test("single-batch replay: streaming verdicts == batch tx_corpus_gate") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -54,17 +63,17 @@ class StreamingGateSpec extends AnyFunSuite {
     val batch = graft.SparkEntry.queries("tx_corpus_gate")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
 
-    // streaming side: same rows, one micro-batch
-    val input = MemoryStream[(Long, String, Long)]
+    // streaming side: same rows, one micro-batch, one event time
+    val input = MemoryStream[(Long, String, Long, Timestamp)]
     val q = StreamingGate.verdicts(
-        input.toDF().toDF("doc_id", "text", "n_chars"))
+        input.toDF().toDF("doc_id", "text", "n_chars", "ingest_ts"))
       .writeStream.format("memory").queryName("gate_par")
       .outputMode("append")
       .option("checkpointLocation",
         Files.createTempDirectory("graft-gate-ck").toString)
       .start()
     try {
-      input.addData(docs: _*)
+      input.addData(docs.map(at(_, t0)): _*)
       q.processAllAvailable()
       val streaming = spark.sql("SELECT doc_id, verdict, score_bp FROM gate_par")
         .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
@@ -79,9 +88,9 @@ class StreamingGateSpec extends AnyFunSuite {
   test("cross-batch election: a dup arriving later is still a dup") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val input = MemoryStream[(Long, String, Long)]
+    val input = MemoryStream[(Long, String, Long, Timestamp)]
     val q = StreamingGate.verdicts(
-        input.toDF().toDF("doc_id", "text", "n_chars"))
+        input.toDF().toDF("doc_id", "text", "n_chars", "ingest_ts"))
       .writeStream.format("memory").queryName("gate_x")
       .outputMode("append")
       .option("checkpointLocation",
@@ -90,9 +99,9 @@ class StreamingGateSpec extends AnyFunSuite {
     try {
       val pass = mkDocs.find(_._1 == 5L).get
       val dup = mkDocs.find(_._1 == 6L).get
-      input.addData(pass)
+      input.addData(at(pass, t0))
       q.processAllAvailable()
-      input.addData(dup) // later micro-batch, same token bag
+      input.addData(at(dup, t0 + 1000)) // later micro-batch, same token bag
       q.processAllAvailable()
       val got = spark.sql("SELECT doc_id, verdict FROM gate_x").collect()
         .map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -100,6 +109,47 @@ class StreamingGateSpec extends AnyFunSuite {
       // keeps its non-dup verdict, the later same-bag arrival is a dup
       assert(got(5L) != "bag_dup" && got(6L) == "bag_dup",
         s"keyed election must persist across micro-batches: $got")
+    } finally q.stop()
+  }
+
+  test("election state evicts after the TTL horizon; within-horizon replays unchanged") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ttl = 60000L
+    val input = MemoryStream[(Long, String, Long, Timestamp)]
+    val q = StreamingGate.verdicts(
+        input.toDF().toDF("doc_id", "text", "n_chars", "ingest_ts"),
+        electionTtlMs = ttl)
+      .writeStream.format("memory").queryName("gate_ttl")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-gate-ck3").toString)
+      .start()
+    try {
+      val pass = mkDocs.find(_._1 == 5L).get
+      val dup = mkDocs.find(_._1 == 6L).get
+      val unrelated = mkDocs.find(_._1 == 1L).get
+      input.addData(at(pass, t0))
+      q.processAllAvailable()
+      // WITHIN the horizon a replay of the same bag is still a dup
+      // (this arrival also re-arms the bag's horizon from t0+1s)
+      input.addData(at(dup, t0 + 1000))
+      q.processAllAvailable()
+      // an unrelated doc far past the horizon advances the watermark
+      // beyond the bag's newest arrival → its state times out (the
+      // engine runs the timeout sweep once the watermark moves)
+      input.addData(at(unrelated, t0 + 1000 + ttl + 10000))
+      q.processAllAvailable()
+      // past the horizon: the bag's state is gone, so the same
+      // content re-arrives as a fresh keeper, not a dup
+      input.addData(at((9L, dup._2, dup._3), t0 + 1000 + ttl + 20000))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, verdict FROM gate_ttl").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got(6L) == "bag_dup",
+        s"within-horizon replay must still be a dup: $got")
+      assert(got(9L) != "bag_dup",
+        s"state must evict after the TTL horizon: $got")
     } finally q.stop()
   }
 }
