@@ -228,6 +228,63 @@ object AnalyticsQueries extends QueryPack {
         qualityScoreRaw(col("n_tokens"), col("n_stop"), col("n_chars")))
       .withColumn("score_bp", floor(col("score_raw") * 10000).cast("long"))
 
+  /** Degree-orientation of an undirected edge set stored once as
+    * (doc_a < doc_b): every edge re-points from its lower-(degree, id)
+    * endpoint to the higher, returned as (u, v, dv) with dv = v's
+    * degree (carried so wedge enumeration can re-use the same total
+    * order without another join). The point is 100 TB shape: under
+    * this orientation a vertex's OUT-degree is O(√m)-bounded
+    * (Schank–Wagner), so a hub with degree 10⁶ anchors ZERO wedges
+    * instead of ~10¹² — the skew that kills id-oriented wedge joins
+    * on dense template families. Triangle counts are invariant under
+    * any edge orientation, so results (and oracle hashes) don't move.
+    */
+  private[graft] def orientedEdges(e: DataFrame): DataFrame = {
+    val deg = e.select(col("doc_a").as("v"))
+      .unionAll(e.select(col("doc_b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val withDeg = e
+      .join(deg.select(col("v").as("doc_a"), col("deg").as("da")), Seq("doc_a"))
+      .join(deg.select(col("v").as("doc_b"), col("deg").as("db")), Seq("doc_b"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("doc_a") < col("doc_b"))
+    withDeg.select(
+      when(aFirst, col("doc_a")).otherwise(col("doc_b")).as("u"),
+      when(aFirst, col("doc_b")).otherwise(col("doc_a")).as("v"),
+      when(aFirst, col("db")).otherwise(col("da")).as("dv"))
+  }
+
+  /** Exactly-once triangle enumeration over (doc_a < doc_b) edges via
+    * the degree-oriented "forward" wedge join: a wedge is two
+    * out-edges of the same LOW vertex u — (u→v, u→w) with
+    * (deg v, v) < (deg w, w) — closed against the oriented edge v→w
+    * its order implies. Every triangle has exactly one minimum-
+    * (degree, id) vertex, so each is counted once; no 6-fold
+    * overcount, no all-pairs, and hubs never anchor wedges (see
+    * [[orientedEdges]]). Wedge totals come from a degree aggregate,
+    * not a join.
+    */
+  private[graft] def triangleCensus(e: DataFrame): DataFrame = {
+    // three wedge-join sides read the oriented set; the orientation's
+    // two degree joins must not re-run per consumer
+    val o = orientedEdges(e).localCheckpoint(true)
+    val wedge = o.select(col("u"), col("v"), col("dv"))
+      .join(o.select(col("u"), col("v").as("w"), col("dv").as("dw")), Seq("u"))
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+    val tri = wedge
+      .join(o.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val wedges = e.select(col("doc_a").as("v"))
+      .unionAll(e.select(col("doc_b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      .agg(sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+    tri.crossJoin(wedges)
+      .withColumn("gcc_bp",
+        expr("CASE WHEN n_wedges > 0" +
+          " THEN n_triangles * 3 * 10000 div n_wedges ELSE 0 END"))
+  }
+
   private def gateVerdicts(s: SparkSession, d: String): DataFrame = {
     val base = gateStateless(Tables.documents(s, d))
     base
@@ -638,35 +695,16 @@ object AnalyticsQueries extends QueryPack {
     // check of a dedup pass: a high global clustering coefficient
     // says near-dups arrive in dense clumps (one keeper drains many),
     // a low one says they are scattered chains (keeper election
-    // removes little). Enumeration is the canonical-orientation
-    // wedge join: every edge is stored once as (a < b), a wedge is
-    // (a<b)⋈(b<c), and closing it against (a<c) counts every
-    // triangle EXACTLY once — no 6-fold overcount to divide away, no
-    // all-pairs anywhere (inputs are the already-bounded LSH-style
-    // near-dup pairs; at 100 TB you'd additionally orient by degree
-    // so hub vertices never anchor wedges). Wedge totals come from a
-    // degree aggregate, not a join.
+    // removes little). See [[triangleCensus]] for the
+    // degree-oriented enumeration.
     "dd_triangles" -> ((s, d) => {
-      // the edge set feeds THREE joins (both wedge legs + the closing
-      // edge) and the degree aggregate — materialize it once, eagerly,
-      // or the whole signature pipeline re-executes per consumer. It
-      // is near-dup pairs: tiny at any corpus scale, safe to pin.
+      // the edge set feeds the orientation join and (oriented) three
+      // wedge-join sides — materialize it once, eagerly, or the whole
+      // signature pipeline re-executes per consumer. It is near-dup
+      // pairs: tiny at any corpus scale, safe to pin.
       val e = simhashNearDupPairs(s, d).select(col("doc_a"), col("doc_b"))
         .localCheckpoint(true)
-      val wedge = e.select(col("doc_a").as("a"), col("doc_b").as("b"))
-        .join(e.select(col("doc_a").as("b"), col("doc_b").as("c")), Seq("b"))
-      val tri = wedge
-        .join(e.select(col("doc_a").as("a"), col("doc_b").as("c")),
-          Seq("a", "c"))
-        .agg(count(lit(1)).as("n_triangles"))
-      val wedges = e.select(col("doc_a").as("v"))
-        .unionAll(e.select(col("doc_b").as("v")))
-        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-        .agg(sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
-      tri.crossJoin(wedges)
-        .withColumn("gcc_bp",
-          expr("CASE WHEN n_wedges > 0" +
-            " THEN n_triangles * 3 * 10000 div n_wedges ELSE 0 END"))
+      triangleCensus(e)
     }),
 
     // Keeper election → the post-dedup corpus: any doc with a smaller
