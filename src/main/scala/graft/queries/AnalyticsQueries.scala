@@ -148,30 +148,45 @@ object AnalyticsQueries extends QueryPack {
     (learned.toSeq, seqs)
   }
 
+  /** Balanced bucket ids for a distributed two-phase prefix sum:
+    * bucket boundaries are the P−1 percentiles of the OBSERVED id
+    * set, so a survivor set whose ids cluster (a filter keeping only
+    * recent docs of an append-ordered corpus) still spreads ≈ N/P
+    * rows per bucket — the value-range `id·P div (max+1)` scheme this
+    * replaces put such a set almost entirely into one bucket,
+    * recreating the single-partition running sum the decomposition
+    * exists to avoid.
+    *
+    * Correctness does NOT depend on where the boundaries fall: the
+    * two-phase sum (per-bucket totals + intra-bucket window) equals
+    * the global prefix sum for ANY bucketing monotone in the ordering
+    * key, which `size(filter(bounds, b <= id))` is by construction.
+    * That freedom is why `approx_percentile` is the right estimator
+    * here — Spark's EXACT percentile aggregates a per-value counts
+    * map (memory linear in distinct ids: an OOM at corpus scale),
+    * while the GK sketch is bounded-memory and any estimation error
+    * moves only task sizing, never a single output value (the spec
+    * pins both properties).
+    */
+  private[graft] def percentileBuckets(df: DataFrame, idCol: String,
+      p: Int): DataFrame = {
+    val pcts = (1 until p).map(_.toDouble / p).mkString(",")
+    val bounds = df.agg(
+      expr(s"approx_percentile($idCol, array($pcts), 10000)").as("__bounds"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("pid", expr(s"size(filter(__bounds, x -> x <= $idCol))"))
+      .drop("__bounds")
+  }
+
   /** The packing core over any (doc_id, n_toks) set — tx_pack feeds it
     * the whole corpus, pipe_corpus_windows the gated/decontaminated
-    * survivor set.
-    *
-    * ASSUMES ROUGHLY DENSE doc_ids: buckets are VALUE ranges
-    * (`doc_id · P div (max+1)`), chosen over a sampled
-    * RangePartitioner/ntile because the bucket of a row must be a
-    * pure function of its values for the DuckDB oracle (and re-runs)
-    * to reproduce the identical prefix sum. The trade-off is skew
-    * under pathological id distributions: a survivor set whose ids
-    * cluster near max (say, a filter keeping only recent docs of an
-    * append-ordered corpus) lands mostly in one bucket, recreating
-    * the single-partition running sum this design exists to avoid.
-    * Both callers pass crawl-style dense ids where ranges ≈ equal
-    * counts; a caller with sparse/clustered ids should first
-    * re-derive dense ids (zipWithIndex-style) or derive the P−1
-    * boundaries from exact percentiles of its id set and bucket by
-    * those — still value-deterministic, one extra aggregation.
+    * survivor set. Bucketing is percentile-balanced (see
+    * [[percentileBuckets]]), so clustered survivor ids cannot
+    * collapse the prefix sum into one partition.
     */
   private def packSpansOf(sized: DataFrame): DataFrame = {
     val W = 512L; val P = 8
-    val mx = sized.agg(max(col("doc_id")).as("max_id"))
-    val bucketed = sized.crossJoin(broadcast(mx))
-      .withColumn("pid", expr(s"doc_id * $P div (max_id + 1)"))
+    val bucketed = percentileBuckets(sized, "doc_id", P)
     val offW = Window.orderBy(col("pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val off = bucketed.groupBy(col("pid"))
@@ -1605,9 +1620,9 @@ object AnalyticsQueries extends QueryPack {
         // three consumers (max-id, total weight, the bucketed prefix);
         // checkpointed so the gate's scoring window runs once
         .localCheckpoint(true)
-      val mx = wts.agg(max(col("doc_id")).as("mx"))
-      val b = wts.crossJoin(broadcast(mx))
-        .withColumn("pid", expr(s"doc_id * $P div (mx + 1)"))
+      // percentile-balanced buckets: boundaries move only the
+      // partition layout, never a cum value (see percentileBuckets)
+      val b = percentileBuckets(wts, "doc_id", P)
       val offW = Window.orderBy(col("pid"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val off = b.groupBy(col("pid")).agg(sum(col("score_bp")).as("ps"))
