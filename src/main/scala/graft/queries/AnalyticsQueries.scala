@@ -95,6 +95,13 @@ object AnalyticsQueries extends QueryPack {
     * (round, rank, left, right, count — top 5 per round) and the
     * final per-word symbol sequences for the encode side.
     */
+  /** Replace passes per BPE merge round (see the run-collapsing note
+    * in [[bpeTrain]]): 5 passes collapse runs in words up to 64
+    * symbols; the corpus's longest word is 8 chars. Mirrored
+    * literally by the oracle's nested replace() calls.
+    */
+  private val bpeMergePasses = 5
+
   private def bpeTrain(s: SparkSession, d: String, rounds: Int)
       : (Seq[(Int, Int, String, String, Long)], DataFrame) = {
     val words = Tables.documents(s, d)
@@ -134,10 +141,20 @@ object AnalyticsQueries extends QueryPack {
           row.getLong(2)))
       }
       val (bl, br) = (top(0).getString(0), top(0).getString(1))
-      // literal (non-regex) replace; lit() so symbols can never
-      // inject into an expression string
+      // run-collapsing merge: one literal replace pass consumes the
+      // shared sentinel space between adjacent occurrences, so a run
+      // like ' a a a a ' under-merges to [aa, a, a] in a single pass;
+      // re-applying the SAME replace reaches the fixpoint ([aa, aa])
+      // because every pass at least halves a run's remaining adjacent
+      // matches. bpeMergePasses nested passes therefore fully
+      // collapse runs in words up to 2^(passes+1) symbols — far past
+      // any real tokenizer input — and passes beyond the fixpoint are
+      // exact no-ops, so both engines can nest the same fixed count
+      // (the oracle mirrors the nesting literally). lit() so symbols
+      // can never inject into an expression string.
       val next = seqs.withColumn("seq",
-          replace(col("seq"), lit(s" $bl $br "), lit(s" $bl$br ")))
+          (1 to bpeMergePasses).foldLeft(col("seq"))((c, _) =>
+            replace(c, lit(s" $bl $br "), lit(s" $bl$br "))))
         .localCheckpoint(true)
       // the superseded round's checkpoint blocks only fed `next`,
       // which is now eagerly materialized — release them instead of
@@ -1550,15 +1567,14 @@ object AnalyticsQueries extends QueryPack {
     // == codepoint order), and merge it everywhere. Merge application
     // is literal string replace on the space-delimited symbol
     // sequence bounded by sentinel spaces — left-to-right
-    // non-overlapping replacement. For ISOLATED occurrences this is
-    // BPE's greedy rule exactly (' a a a ' → ' aa a ', never
-    // ' a aa '); for RUNS of the merged pair it under-merges within
-    // one pass (each replacement consumes the shared sentinel space,
-    // so 'aaaa' becomes [aa, a, a], not greedy BPE's [aa, aa]) — the
-    // classic fast-approximation trade-off, applied IDENTICALLY by
-    // the mirrored oracle, so the learned merge table is
-    // deterministic cross-engine even where it deviates from
-    // pairwise-scan BPE.
+    // non-overlapping replacement, RE-APPLIED to a fixpoint
+    // (bpeMergePasses nested passes) so runs of the merged pair fully
+    // collapse: 'a a a a' → 'aa aa', matching greedy BPE's token
+    // count (a single pass would under-merge to [aa, a, a] because
+    // each replacement consumes the shared sentinel space). Odd runs
+    // settle as [aa, a, aa] where a strict pairwise scan gives
+    // [aa, aa, a] — same token count, deterministic, and applied
+    // IDENTICALLY by the mirrored oracle's nested replace() calls.
     //
     // Scale shape (the kmeans pattern): the corpus collapses to the
     // bounded word-frequency table once (Heaps' law — vocabulary
@@ -2621,8 +2637,12 @@ object AnalyticsQueries extends QueryPack {
         |b1 AS (SELECT l, r FROM (SELECT l, r,
         |  row_number() OVER (ORDER BY cnt DESC, l, r) AS rnk FROM p1) WHERE rnk = 1),
         |s1 AS (SELECT word, freq,
-        |  replace(seq, ' ' || b1.l || ' ' || b1.r || ' ',
-        |               ' ' || b1.l || b1.r || ' ') AS seq
+        |  replace(replace(replace(replace(replace(seq,
+        |    ' ' || b1.l || ' ' || b1.r || ' ', ' ' || b1.l || b1.r || ' '),
+        |    ' ' || b1.l || ' ' || b1.r || ' ', ' ' || b1.l || b1.r || ' '),
+        |    ' ' || b1.l || ' ' || b1.r || ' ', ' ' || b1.l || b1.r || ' '),
+        |    ' ' || b1.l || ' ' || b1.r || ' ', ' ' || b1.l || b1.r || ' '),
+        |    ' ' || b1.l || ' ' || b1.r || ' ', ' ' || b1.l || b1.r || ' ') AS seq
         |  FROM s0 CROSS JOIN b1),
         |p2 AS (
         |  SELECT p.l AS l, p.r AS r, sum(freq)::BIGINT AS cnt FROM (
@@ -2633,8 +2653,12 @@ object AnalyticsQueries extends QueryPack {
         |b2 AS (SELECT l, r FROM (SELECT l, r,
         |  row_number() OVER (ORDER BY cnt DESC, l, r) AS rnk FROM p2) WHERE rnk = 1),
         |s2 AS (SELECT word, freq,
-        |  replace(seq, ' ' || b2.l || ' ' || b2.r || ' ',
-        |               ' ' || b2.l || b2.r || ' ') AS seq
+        |  replace(replace(replace(replace(replace(seq,
+        |    ' ' || b2.l || ' ' || b2.r || ' ', ' ' || b2.l || b2.r || ' '),
+        |    ' ' || b2.l || ' ' || b2.r || ' ', ' ' || b2.l || b2.r || ' '),
+        |    ' ' || b2.l || ' ' || b2.r || ' ', ' ' || b2.l || b2.r || ' '),
+        |    ' ' || b2.l || ' ' || b2.r || ' ', ' ' || b2.l || b2.r || ' '),
+        |    ' ' || b2.l || ' ' || b2.r || ' ', ' ' || b2.l || b2.r || ' ') AS seq
         |  FROM s1 CROSS JOIN b2),
         |p3 AS (
         |  SELECT p.l AS l, p.r AS r, sum(freq)::BIGINT AS cnt FROM (
@@ -2645,8 +2669,12 @@ object AnalyticsQueries extends QueryPack {
         |b3 AS (SELECT l, r FROM (SELECT l, r,
         |  row_number() OVER (ORDER BY cnt DESC, l, r) AS rnk FROM p3) WHERE rnk = 1),
         |s3 AS (SELECT word, freq,
-        |  replace(seq, ' ' || b3.l || ' ' || b3.r || ' ',
-        |               ' ' || b3.l || b3.r || ' ') AS seq
+        |  replace(replace(replace(replace(replace(seq,
+        |    ' ' || b3.l || ' ' || b3.r || ' ', ' ' || b3.l || b3.r || ' '),
+        |    ' ' || b3.l || ' ' || b3.r || ' ', ' ' || b3.l || b3.r || ' '),
+        |    ' ' || b3.l || ' ' || b3.r || ' ', ' ' || b3.l || b3.r || ' '),
+        |    ' ' || b3.l || ' ' || b3.r || ' ', ' ' || b3.l || b3.r || ' '),
+        |    ' ' || b3.l || ' ' || b3.r || ' ', ' ' || b3.l || b3.r || ' ') AS seq
         |  FROM s2 CROSS JOIN b3),
         |p4 AS (
         |  SELECT p.l AS l, p.r AS r, sum(freq)::BIGINT AS cnt FROM (
@@ -2657,8 +2685,12 @@ object AnalyticsQueries extends QueryPack {
         |b4 AS (SELECT l, r FROM (SELECT l, r,
         |  row_number() OVER (ORDER BY cnt DESC, l, r) AS rnk FROM p4) WHERE rnk = 1),
         |s4 AS (SELECT word, freq,
-        |  replace(seq, ' ' || b4.l || ' ' || b4.r || ' ',
-        |               ' ' || b4.l || b4.r || ' ') AS seq
+        |  replace(replace(replace(replace(replace(seq,
+        |    ' ' || b4.l || ' ' || b4.r || ' ', ' ' || b4.l || b4.r || ' '),
+        |    ' ' || b4.l || ' ' || b4.r || ' ', ' ' || b4.l || b4.r || ' '),
+        |    ' ' || b4.l || ' ' || b4.r || ' ', ' ' || b4.l || b4.r || ' '),
+        |    ' ' || b4.l || ' ' || b4.r || ' ', ' ' || b4.l || b4.r || ' '),
+        |    ' ' || b4.l || ' ' || b4.r || ' ', ' ' || b4.l || b4.r || ' ') AS seq
         |  FROM s3 CROSS JOIN b4),
         |enc AS (SELECT word,
         |  len(string_split(trim(seq), ' '))::BIGINT AS n_tok,
@@ -2691,8 +2723,12 @@ object AnalyticsQueries extends QueryPack {
         |  FROM p1 QUALIFY rnk <= 5),
         |b1 AS (SELECT l, r FROM t1 WHERE rnk = 1),
         |s1 AS (SELECT freq,
-        |  replace(seq, ' ' || b1.l || ' ' || b1.r || ' ',
-        |               ' ' || b1.l || b1.r || ' ') AS seq
+        |  replace(replace(replace(replace(replace(seq,
+        |    ' ' || b1.l || ' ' || b1.r || ' ', ' ' || b1.l || b1.r || ' '),
+        |    ' ' || b1.l || ' ' || b1.r || ' ', ' ' || b1.l || b1.r || ' '),
+        |    ' ' || b1.l || ' ' || b1.r || ' ', ' ' || b1.l || b1.r || ' '),
+        |    ' ' || b1.l || ' ' || b1.r || ' ', ' ' || b1.l || b1.r || ' '),
+        |    ' ' || b1.l || ' ' || b1.r || ' ', ' ' || b1.l || b1.r || ' ') AS seq
         |  FROM s0 CROSS JOIN b1),
         |p2 AS (
         |  SELECT p.l AS l, p.r AS r, sum(freq)::BIGINT AS cnt FROM (
@@ -2705,8 +2741,12 @@ object AnalyticsQueries extends QueryPack {
         |  FROM p2 QUALIFY rnk <= 5),
         |b2 AS (SELECT l, r FROM t2 WHERE rnk = 1),
         |s2 AS (SELECT freq,
-        |  replace(seq, ' ' || b2.l || ' ' || b2.r || ' ',
-        |               ' ' || b2.l || b2.r || ' ') AS seq
+        |  replace(replace(replace(replace(replace(seq,
+        |    ' ' || b2.l || ' ' || b2.r || ' ', ' ' || b2.l || b2.r || ' '),
+        |    ' ' || b2.l || ' ' || b2.r || ' ', ' ' || b2.l || b2.r || ' '),
+        |    ' ' || b2.l || ' ' || b2.r || ' ', ' ' || b2.l || b2.r || ' '),
+        |    ' ' || b2.l || ' ' || b2.r || ' ', ' ' || b2.l || b2.r || ' '),
+        |    ' ' || b2.l || ' ' || b2.r || ' ', ' ' || b2.l || b2.r || ' ') AS seq
         |  FROM s1 CROSS JOIN b2),
         |p3 AS (
         |  SELECT p.l AS l, p.r AS r, sum(freq)::BIGINT AS cnt FROM (
@@ -2719,8 +2759,12 @@ object AnalyticsQueries extends QueryPack {
         |  FROM p3 QUALIFY rnk <= 5),
         |b3 AS (SELECT l, r FROM t3 WHERE rnk = 1),
         |s3 AS (SELECT freq,
-        |  replace(seq, ' ' || b3.l || ' ' || b3.r || ' ',
-        |               ' ' || b3.l || b3.r || ' ') AS seq
+        |  replace(replace(replace(replace(replace(seq,
+        |    ' ' || b3.l || ' ' || b3.r || ' ', ' ' || b3.l || b3.r || ' '),
+        |    ' ' || b3.l || ' ' || b3.r || ' ', ' ' || b3.l || b3.r || ' '),
+        |    ' ' || b3.l || ' ' || b3.r || ' ', ' ' || b3.l || b3.r || ' '),
+        |    ' ' || b3.l || ' ' || b3.r || ' ', ' ' || b3.l || b3.r || ' '),
+        |    ' ' || b3.l || ' ' || b3.r || ' ', ' ' || b3.l || b3.r || ' ') AS seq
         |  FROM s2 CROSS JOIN b3),
         |p4 AS (
         |  SELECT p.l AS l, p.r AS r, sum(freq)::BIGINT AS cnt FROM (

@@ -53,6 +53,26 @@ class BpeSpec extends AnyFunSuite {
     assert(enc(2L) == ((1L, 1L, 500L)), s"doc 2 encoded as ${enc(2L)}")
   }
 
+  test("a 4-run word fully collapses: runs of the merged pair merge to fixpoint") {
+    // 'zzzz' freq 4 → (z,z) = 12 wins round 1 and the run-collapsing
+    // merge must yield [zz, zz] (a single replace pass would leave
+    // [zz, z, z], making round 2's winner (zz,z) instead of (zz,zz))
+    val dir = corpusDir(Seq("zzzz zzzz ab wx", "zzzz ab wx", "zzzz"))
+    val learned = SparkEntry.queries("tx_bpe_train")(spark, dir)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getString(3), r.getLong(4)))
+    val winners = learned.filter(_._2 == 1).sortBy(_._1)
+    assert(winners.map(w => (w._3, w._4, w._5)).toSeq ==
+      Seq(("z", "z", 12L), ("zz", "zz", 4L), ("a", "b", 2L), ("w", "x", 2L)),
+      s"run must collapse to fixpoint: ${winners.mkString(", ")}")
+    // after round 2, 'zzzz' is ONE token: doc 2 = 1 word / 1 token /
+    // 4 chars → 250 tokens per 1000 word-chars
+    val enc = SparkEntry.queries("tx_bpe_encode")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(enc(2L) == ((1L, 1L, 250L)), s"doc 2 encoded as ${enc(2L)}")
+  }
+
   test("tie-break is lexicographic on (left, right) at equal counts") {
     // (b,c) and (a,d) both count 2; (a,d) < (b,c) lexicographically
     val dir = corpusDir(Seq("xbc ybc", "adq adr"))
