@@ -2358,6 +2358,7 @@ object Multimodal {
     private val mp4 = new Mp4Codec
     private val jpeg = new JpegCodec
     private val gif = new GifCodec
+    private val webp = new Webp.WebpCodec
     private def isGif(b: Array[Byte]): Boolean = Gif.isGif(b)
     private def isWav(b: Array[Byte]): Boolean =
       b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
@@ -2386,6 +2387,7 @@ object Multimodal {
           else if (isMp4(r.content)) mp4.decodeBatch(Seq(r)).head
           else if (isJpeg(r.content)) jpeg.decodeBatch(Seq(r)).head
           else if (isGif(r.content)) gif.decodeBatch(Seq(r)).head
+          else if (Webp.isWebp(r.content)) webp.decodeBatch(Seq(r)).head
           else fallback.decodeBatch(Seq(r)).head
         } catch {
           case scala.util.control.NonFatal(_) =>

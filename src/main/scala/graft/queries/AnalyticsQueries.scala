@@ -2201,6 +2201,34 @@ object AnalyticsQueries extends QueryPack {
         .toDF("doc_id", "frame_no", "width", "height", "delay_cs", "luma_milli")
     }),
 
+    // Real WebP-lossless (VP8L) decode, ORACLE-CHECKED: per document
+    // build a greyscale VP8L (subtract-green transform, normal
+    // code-length-coded literal tree; every SECOND one additionally
+    // LZ77-compressed — plateau pixels become real backward
+    // references) with pixel(i) = (id·29 + (i − i mod 5)·11) mod 256,
+    // then decode through the magic-byte dispatch: RIFF walk, prefix
+    // codes, the backref loop and the inverse transform all sit on
+    // the hash-checked path. Grey pixels make Rec.601 luma(v) = v
+    // exactly, so the oracle is pure integer arithmetic.
+    "mm_webp_luma" -> ((s, d) => {
+      import s.implicits._
+      import graft.analytics.{Multimodal, Webp}
+      val media = Tables.documents(s, d)
+        .select(col("doc_id")).filter(col("doc_id") < 200)
+        .as[Long].map { id =>
+          val w = 5 + (id % 6).toInt
+          val h = 4 + (id % 5).toInt
+          val px = Array.tabulate(w * h)(i =>
+            ((id * 29 + (i - i % 5) * 11) % 256).toByte)
+          Multimodal.MediaRow(id, "image",
+            Webp.Builder.grey8(w, h, px, withRuns = id % 2 == 0))
+        }
+      Multimodal.extractFeatures(media, new Multimodal.FormatAwareCodec)
+        .toDF()
+        .select(col("mediaId").as("doc_id"), col("width"), col("height"),
+          col("avgLumaMilli").as("luma_milli"))
+    }),
+
     "mm_ahash_pairs" -> ((s, d) => {
       import s.implicits._
       import graft.analytics.Multimodal
@@ -3782,6 +3810,21 @@ object AnalyticsQueries extends QueryPack {
         |       * least(8, w - bx*8) * least(8, h - by*8))
         |     * 1000 // (w * h))::BIGINT AS luma_milli
         |FROM blk GROUP BY doc_id, f, w, h""".stripMargin,
+    // arithmetic twin of the VP8L decode: grey palette-free pixels,
+    // luma(v) = v, plateau formula mirrored exactly
+    "mm_webp_luma" ->
+      """WITH dims AS (
+        |  SELECT doc_id, (5 + doc_id % 6) AS w, (4 + doc_id % 5) AS h
+        |  FROM documents WHERE doc_id < 200),
+        |px AS (
+        |  SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM dims),
+        |v AS (
+        |  SELECT doc_id, w, h,
+        |    (doc_id * 29 + (i - i % 5) * 11) % 256 AS val
+        |  FROM px)
+        |SELECT doc_id, w::INT AS width, h::INT AS height,
+        |  (sum(1000 * val) // (w * h))::BIGINT AS luma_milli
+        |FROM v GROUP BY doc_id, w, h""".stripMargin,
     "mm_jpeg_luma" ->
       """WITH bxs AS (SELECT unnest(range(3)) AS bx),
         |bys AS (SELECT unnest(range(2)) AS by),

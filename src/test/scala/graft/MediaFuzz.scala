@@ -48,7 +48,13 @@ object MediaFuzz {
       ("ahash", pngSeed, b => ImageHash.ahashGrey8(b)),
       ("mp4", mp4Seed, b => new Mp4Codec().decodeBatch(Seq(MediaRow(1, "video", b)))),
       ("mjpeg", mp4Seed, b => Mjpeg.frameFeatures(b)),
-      ("jpeg", jpgSeed, b => new JpegCodec().decodeBatch(Seq(MediaRow(1, "image", b)))))
+      ("jpeg", jpgSeed, b => new JpegCodec().decodeBatch(Seq(MediaRow(1, "image", b)))),
+      // strict entry: IllegalArgumentException IS the rejection
+      // contract; anything else escaping is a finding
+      ("webp", graft.analytics.Webp.Builder.grey8(8, 6,
+          Array.tabulate(48)(i => (i * 7).toByte), withRuns = true),
+        b => try graft.analytics.Webp.decodeStrict(b)
+          catch { case _: IllegalArgumentException => () }))
     var n = 0
     while (n < iters) {
       val (tag, seed, run) = seeds(rnd.nextInt(seeds.length))
