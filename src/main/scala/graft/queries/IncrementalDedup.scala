@@ -80,6 +80,28 @@ object IncrementalDedup extends QueryPack {
     def signaturesPath(root: String): String = s"$root/dedup_signatures"
     def bandsPath(root: String): String = s"$root/dedup_bands"
 
+    /** Compaction-cadence serving layout for the band table: a
+      * bucketed + sorted catalog table on `band_key` (the store's
+      * `bucketizeHotTables` pattern). At corpus scale the candidate
+      * join is increment-bands ⋈ corpus-bands on band_key; against
+      * the plain parquet log BOTH sides shuffle, and the corpus side
+      * is the one derived from 100 TB. Against this layout the
+      * corpus scan reports a compatible HashPartitioning, so the
+      * join plans with NO Exchange below the corpus side — only the
+      * small increment shuffles (IncrementalDedupSpec pins the plan).
+      * Like compaction, it is a point-in-time snapshot: bands
+      * absorbed after a bucketize run are visible to the log reader,
+      * not to this table until the next run.
+      */
+    def bucketizeBands(s: SparkSession, root: String,
+        buckets: Int = 8): String = {
+      val name = f"graft_dedup_bands_${math.abs(root.hashCode.toLong)}%x"
+      s.read.parquet(bandsPath(root)).write.mode("overwrite")
+        .bucketBy(buckets, "band_key").sortBy("band_key")
+        .saveAsTable(name)
+      name
+    }
+
     /** Fold a judged increment's signatures into the persisted state,
       * completing the delta cycle: the next increment then judges
       * against corpus + every absorbed increment without any prior

@@ -64,6 +64,34 @@ class IncrementalDedupSpec extends AnyFunSuite {
       "expected at least one dup verdict in the sf0.001 increment")
   }
 
+  test("bucketized band table: the corpus side of the candidate join plans shuffle-free") {
+    val root = IncrementalDedup.SignatureStore.rootFor(spark, dir)
+    val table = IncrementalDedup.SignatureStore.bucketizeBands(spark, root)
+    val incBands = DedupPipeline.bandsOf(
+      IncrementalDedup.incrementArrs(spark, dir).localCheckpoint(true))
+    // at TEST scale the corpus table is tiny, so the planner rightly
+    // broadcasts it and skips the bucketed scan; the layout exists
+    // for the corpus-scale regime where broadcast is impossible —
+    // pin THAT shape by disabling broadcast, as a 100 TB table does
+    // by its size
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // shuffle the SMALL increment side into the bucket
+      // partitioning; the corpus band scan joins with no Exchange
+      val cand = incBands
+        .repartition(8, col("band_key"))
+        .join(spark.table(table).select(col("doc_id").as("other_id"),
+          col("band_key")), Seq("band_key"))
+      val p = cand.queryExecution.executedPlan.toString()
+      assert(p.contains("Bucketed: true"),
+        s"corpus bands must come from the bucketed layout:\n$p")
+      val exchanges = "Exchange".r.findAllIn(p).size
+      assert(exchanges == 1,
+        s"only the increment side may shuffle (found $exchanges):\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("absorb completes the delta cycle: increment N becomes state for increment N+1") {
     // fresh store seeded with the corpus, then two successive
     // increments: absorb the first, judge the second against
