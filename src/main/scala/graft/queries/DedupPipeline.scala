@@ -124,20 +124,28 @@ object DedupPipeline extends QueryPack {
     * DEFINITIONALLY the same signature scheme, never two drifting
     * copies.
     */
-  private[queries] def bandsOf(arrs: DataFrame): DataFrame = {
-    val mhCols = MinhashSeeds.keys.zipWithIndex.map { case (k, i) =>
-      array_min(transform(col("arr"), h => h.bitwiseXOR(lit(k)))).as(s"mh$i")
-    }
-    arrs.select(col("doc_id") +: col("lang") +: mhCols: _*)
-      .select(col("doc_id"),
-        md5(concat(col("lang"), lit("|"),
-          concat_ws(",", col("mh0"), col("mh1"), col("mh2"), col("mh3")))).as("bk0"),
-        md5(concat(col("lang"), lit("|"),
-          concat_ws(",", col("mh4"), col("mh5"), col("mh6"), col("mh7")))).as("bk1"))
-      .select(col("doc_id"), explode(array(col("bk0"), col("bk1"))).as("band_key"))
+  private[graft] def bandsOf(arrs: DataFrame): DataFrame =
+    arrs.select(col("doc_id"), explode(bandKeyArray).as("band_key"))
+
+  /** The two band keys as ONE array Column over (lang, arr) — the
+    * expression form [[bandsOf]] explodes, exposed so callers that
+    * must carry extra columns through the explode (the streaming
+    * incremental path carries arr + event time) use the identical
+    * key construction. Each minhash sub-expression is consumed by
+    * exactly one md5, so inlining costs what the aliased form did.
+    */
+  private[graft] def bandKeyArray: org.apache.spark.sql.Column = {
+    def mh(k: Long) =
+      array_min(transform(col("arr"), h => h.bitwiseXOR(lit(k))))
+    val ks = MinhashSeeds.keys
+    array(
+      md5(concat(col("lang"), lit("|"),
+        concat_ws(",", mh(ks(0)), mh(ks(1)), mh(ks(2)), mh(ks(3))))),
+      md5(concat(col("lang"), lit("|"),
+        concat_ws(",", mh(ks(4)), mh(ks(5)), mh(ks(6)), mh(ks(7))))))
   }
 
-  private[queries] def shingleArraysOf(docs: DataFrame): DataFrame = {
+  private[graft] def shingleArraysOf(docs: DataFrame): DataFrame = {
     val ht = transform(split(col("text"), " "),
       t => conv(substring(md5(t), 1, 14), 16, 10).cast("long"))
     val trigram = when(size(col("ht")) >= 3,
@@ -156,11 +164,17 @@ object DedupPipeline extends QueryPack {
       // re-evaluates the md5 transform per element_at — O(tokens²)
       // md5 per document, measured 40s vs 0.7s at sf0.1
       .filter(size(split(col("text"), " ")) >= 3)
-      .select(col("doc_id"), col("lang"), ht.as("ht"))
-      .select(col("doc_id"), col("lang"), trigram.as("tg"))
-      .select(col("doc_id"), col("lang"),
-        sort_array(array_distinct(col("tg"))).as("arr"))
+      // pass an event-time column through when the caller has one
+      // (the streaming incremental path's watermark rides on it);
+      // batch callers never carry it, so their plans are unchanged
+      .select(Seq(col("doc_id"), col("lang"), ht.as("ht")) ++ tsCol(docs): _*)
+      .select(Seq(col("doc_id"), col("lang"), trigram.as("tg")) ++ tsCol(docs): _*)
+      .select(Seq(col("doc_id"), col("lang"),
+        sort_array(array_distinct(col("tg"))).as("arr")) ++ tsCol(docs): _*)
   }
+
+  private def tsCol(docs: DataFrame): Seq[org.apache.spark.sql.Column] =
+    if (docs.columns.contains("ingest_ts")) Seq(col("ingest_ts")) else Nil
 
   /** Materialize the symmetric edge set and derive the round
     * parallelism from its count. The stage-1/2 LSH lineage runs at the
