@@ -271,10 +271,16 @@ object AnalyticsQueries extends QueryPack {
     * on dense template families. Triangle counts are invariant under
     * any edge orientation, so results (and oracle hashes) don't move.
     */
-  private[graft] def orientedEdges(e: DataFrame): DataFrame = {
-    val deg = e.select(col("doc_a").as("v"))
+  private[graft] def orientedEdges(e: DataFrame): DataFrame =
+    orientedEdges(e, degreesOf(e))
+
+  /** Per-vertex degree of a (doc_a < doc_b) edge set. */
+  private def degreesOf(e: DataFrame): DataFrame =
+    e.select(col("doc_a").as("v"))
       .unionAll(e.select(col("doc_b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+
+  private def orientedEdges(e: DataFrame, deg: DataFrame): DataFrame = {
     val withDeg = e
       .join(deg.select(col("v").as("doc_a"), col("deg").as("da")), Seq("doc_a"))
       .join(deg.select(col("v").as("doc_b"), col("deg").as("db")), Seq("doc_b"))
@@ -297,9 +303,11 @@ object AnalyticsQueries extends QueryPack {
     * not a join.
     */
   private[graft] def triangleCensus(e: DataFrame): DataFrame = {
-    // three wedge-join sides read the oriented set; the orientation's
-    // two degree joins must not re-run per consumer
-    val o = orientedEdges(e).localCheckpoint(true)
+    // the degree table feeds both orientation joins AND the wedge
+    // total — computed once; the oriented set feeds three wedge-join
+    // sides — materialized once
+    val deg = degreesOf(e).localCheckpoint(true)
+    val o = orientedEdges(e, deg).localCheckpoint(true)
     val wedge = o.select(col("u"), col("v"), col("dv"))
       .join(o.select(col("u"), col("v").as("w"), col("dv").as("dw")), Seq("u"))
       .filter(col("dv") < col("dw") ||
@@ -307,9 +315,7 @@ object AnalyticsQueries extends QueryPack {
     val tri = wedge
       .join(o.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
       .agg(count(lit(1)).as("n_triangles"))
-    val wedges = e.select(col("doc_a").as("v"))
-      .unionAll(e.select(col("doc_b").as("v")))
-      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val wedges = deg
       .agg(sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
     tri.crossJoin(wedges)
       .withColumn("gcc_bp",
