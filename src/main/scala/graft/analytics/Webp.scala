@@ -241,17 +241,18 @@ object Webp {
   /** The 120 closest backward-reference neighbors, ordered by squared
     * distance, then larger dy first, then positive dx before
     * negative: (0,1),(1,0),(1,1),(-1,1),(0,2),(2,0),… — the spec's
-    * neighborhood map (dy 0..7; dx −8..7, strictly positive when
-    * dy = 0).
+    * neighborhood map (dy 0..7; dx −7..8, strictly positive when
+    * dy = 0 — exactly 120 candidates, so the sort is a total order
+    * over the whole set, not a truncation).
     */
   private[analytics] val DistanceMap: Array[(Int, Int)] = {
     val cands = (for {
       dy <- 0 to 7
-      dx <- -8 to 8
+      dx <- -7 to 8
       if dy > 0 || dx > 0
     } yield (dx, dy)).toArray
     val m = cands
-      .sortBy { case (dx, dy) => (dx * dx + dy * dy, -dy, -dx) }.take(120)
+      .sortBy { case (dx, dy) => (dx * dx + dy * dy, -dy, -dx) }
     assert(m.length == 120, s"distance map ${m.length}")
     m
   }
@@ -510,7 +511,8 @@ object Webp {
         pl += math.abs(pred - ch(l, s)); pt += math.abs(pred - ch(t, s))
         s += 8
       }
-      if (pl <= pt) l else t
+      // the spec's rule is `if (pL < pT) L else T` — TOP wins ties
+      if (pl < pt) l else t
     }
     def inverse(img: Array[Int], w: Int, h: Int): Array[Int] = {
       var y = 0
@@ -525,7 +527,11 @@ object Webp {
             else {
               val l = img(i - 1); val t = img(i - w)
               val tl = img(i - w - 1)
-              val tr = if (x == w - 1) img(i - w) else img(i - w + 1)
+              // at the rightmost column the spec's top-right wraps to
+              // the CURRENT row's leftmost pixel — which in this
+              // contiguous buffer is literally img(i - w + 1), so no
+              // special case (matching libwebp's top[1] read)
+              val tr = img(i - w + 1)
               ((modes((y >> bits) * blockW + (x >> bits)) >> 8) & 0xff) match {
                 case 0 => 0xff000000
                 case 1 => l

@@ -102,6 +102,20 @@ object AnalyticsQueries extends QueryPack {
     */
   private val bpeMergePasses = 5
 
+  /** The oracle-side mirror of the run-collapsing merge: the same
+    * `bpeMergePasses`-deep nested replace the Spark side folds,
+    * generated from the ONE constant so a pass-count tune can never
+    * silently desynchronize the seven SQL sites from the engine.
+    */
+  private def bpeMergeSql(n: Int): String = {
+    val arg =
+      s"' ' || b$n.l || ' ' || b$n.r || ' ', ' ' || b$n.l || b$n.r || ' '"
+    ("replace(" * bpeMergePasses) + "seq,\n" +
+      (1 to bpeMergePasses).map { i =>
+        s"        |    $arg)" + (if (i < bpeMergePasses) "," else " AS seq")
+      }.mkString("\n")
+  }
+
   private def bpeTrain(s: SparkSession, d: String, rounds: Int)
       : (Seq[(Int, Int, String, String, Long)], DataFrame) = {
     val words = Tables.documents(s, d)
@@ -2654,7 +2668,7 @@ object AnalyticsQueries extends QueryPack {
         |  (total_padding * 1000 // (total_tokens + total_padding)) FROM ph"""
         .stripMargin,
     "tx_bpe_encode" ->
-      """WITH w AS (
+      s"""WITH w AS (
         |  SELECT word, count(*)::BIGINT AS freq
         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |  WHERE word <> ''
@@ -2671,12 +2685,7 @@ object AnalyticsQueries extends QueryPack {
         |b1 AS (SELECT l, r FROM (SELECT l, r,
         |  row_number() OVER (ORDER BY cnt DESC, l, r) AS rnk FROM p1) WHERE rnk = 1),
         |s1 AS (SELECT word, freq,
-        |  replace(replace(replace(replace(replace(seq,
-        |    ' ' || b1.l || ' ' || b1.r || ' ', ' ' || b1.l || b1.r || ' '),
-        |    ' ' || b1.l || ' ' || b1.r || ' ', ' ' || b1.l || b1.r || ' '),
-        |    ' ' || b1.l || ' ' || b1.r || ' ', ' ' || b1.l || b1.r || ' '),
-        |    ' ' || b1.l || ' ' || b1.r || ' ', ' ' || b1.l || b1.r || ' '),
-        |    ' ' || b1.l || ' ' || b1.r || ' ', ' ' || b1.l || b1.r || ' ') AS seq
+        |  ${bpeMergeSql(1)}
         |  FROM s0 CROSS JOIN b1),
         |p2 AS (
         |  SELECT p.l AS l, p.r AS r, sum(freq)::BIGINT AS cnt FROM (
@@ -2687,12 +2696,7 @@ object AnalyticsQueries extends QueryPack {
         |b2 AS (SELECT l, r FROM (SELECT l, r,
         |  row_number() OVER (ORDER BY cnt DESC, l, r) AS rnk FROM p2) WHERE rnk = 1),
         |s2 AS (SELECT word, freq,
-        |  replace(replace(replace(replace(replace(seq,
-        |    ' ' || b2.l || ' ' || b2.r || ' ', ' ' || b2.l || b2.r || ' '),
-        |    ' ' || b2.l || ' ' || b2.r || ' ', ' ' || b2.l || b2.r || ' '),
-        |    ' ' || b2.l || ' ' || b2.r || ' ', ' ' || b2.l || b2.r || ' '),
-        |    ' ' || b2.l || ' ' || b2.r || ' ', ' ' || b2.l || b2.r || ' '),
-        |    ' ' || b2.l || ' ' || b2.r || ' ', ' ' || b2.l || b2.r || ' ') AS seq
+        |  ${bpeMergeSql(2)}
         |  FROM s1 CROSS JOIN b2),
         |p3 AS (
         |  SELECT p.l AS l, p.r AS r, sum(freq)::BIGINT AS cnt FROM (
@@ -2703,12 +2707,7 @@ object AnalyticsQueries extends QueryPack {
         |b3 AS (SELECT l, r FROM (SELECT l, r,
         |  row_number() OVER (ORDER BY cnt DESC, l, r) AS rnk FROM p3) WHERE rnk = 1),
         |s3 AS (SELECT word, freq,
-        |  replace(replace(replace(replace(replace(seq,
-        |    ' ' || b3.l || ' ' || b3.r || ' ', ' ' || b3.l || b3.r || ' '),
-        |    ' ' || b3.l || ' ' || b3.r || ' ', ' ' || b3.l || b3.r || ' '),
-        |    ' ' || b3.l || ' ' || b3.r || ' ', ' ' || b3.l || b3.r || ' '),
-        |    ' ' || b3.l || ' ' || b3.r || ' ', ' ' || b3.l || b3.r || ' '),
-        |    ' ' || b3.l || ' ' || b3.r || ' ', ' ' || b3.l || b3.r || ' ') AS seq
+        |  ${bpeMergeSql(3)}
         |  FROM s2 CROSS JOIN b3),
         |p4 AS (
         |  SELECT p.l AS l, p.r AS r, sum(freq)::BIGINT AS cnt FROM (
@@ -2719,12 +2718,7 @@ object AnalyticsQueries extends QueryPack {
         |b4 AS (SELECT l, r FROM (SELECT l, r,
         |  row_number() OVER (ORDER BY cnt DESC, l, r) AS rnk FROM p4) WHERE rnk = 1),
         |s4 AS (SELECT word, freq,
-        |  replace(replace(replace(replace(replace(seq,
-        |    ' ' || b4.l || ' ' || b4.r || ' ', ' ' || b4.l || b4.r || ' '),
-        |    ' ' || b4.l || ' ' || b4.r || ' ', ' ' || b4.l || b4.r || ' '),
-        |    ' ' || b4.l || ' ' || b4.r || ' ', ' ' || b4.l || b4.r || ' '),
-        |    ' ' || b4.l || ' ' || b4.r || ' ', ' ' || b4.l || b4.r || ' '),
-        |    ' ' || b4.l || ' ' || b4.r || ' ', ' ' || b4.l || b4.r || ' ') AS seq
+        |  ${bpeMergeSql(4)}
         |  FROM s3 CROSS JOIN b4),
         |enc AS (SELECT word,
         |  len(string_split(trim(seq), ' '))::BIGINT AS n_tok,
@@ -2738,7 +2732,7 @@ object AnalyticsQueries extends QueryPack {
         |FROM dw JOIN enc USING (word)
         |GROUP BY doc_id""".stripMargin,
     "tx_bpe_train" ->
-      """WITH w AS (
+      s"""WITH w AS (
         |  SELECT word, count(*)::BIGINT AS freq
         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |  WHERE word <> ''
@@ -2757,12 +2751,7 @@ object AnalyticsQueries extends QueryPack {
         |  FROM p1 QUALIFY rnk <= 5),
         |b1 AS (SELECT l, r FROM t1 WHERE rnk = 1),
         |s1 AS (SELECT freq,
-        |  replace(replace(replace(replace(replace(seq,
-        |    ' ' || b1.l || ' ' || b1.r || ' ', ' ' || b1.l || b1.r || ' '),
-        |    ' ' || b1.l || ' ' || b1.r || ' ', ' ' || b1.l || b1.r || ' '),
-        |    ' ' || b1.l || ' ' || b1.r || ' ', ' ' || b1.l || b1.r || ' '),
-        |    ' ' || b1.l || ' ' || b1.r || ' ', ' ' || b1.l || b1.r || ' '),
-        |    ' ' || b1.l || ' ' || b1.r || ' ', ' ' || b1.l || b1.r || ' ') AS seq
+        |  ${bpeMergeSql(1)}
         |  FROM s0 CROSS JOIN b1),
         |p2 AS (
         |  SELECT p.l AS l, p.r AS r, sum(freq)::BIGINT AS cnt FROM (
@@ -2775,12 +2764,7 @@ object AnalyticsQueries extends QueryPack {
         |  FROM p2 QUALIFY rnk <= 5),
         |b2 AS (SELECT l, r FROM t2 WHERE rnk = 1),
         |s2 AS (SELECT freq,
-        |  replace(replace(replace(replace(replace(seq,
-        |    ' ' || b2.l || ' ' || b2.r || ' ', ' ' || b2.l || b2.r || ' '),
-        |    ' ' || b2.l || ' ' || b2.r || ' ', ' ' || b2.l || b2.r || ' '),
-        |    ' ' || b2.l || ' ' || b2.r || ' ', ' ' || b2.l || b2.r || ' '),
-        |    ' ' || b2.l || ' ' || b2.r || ' ', ' ' || b2.l || b2.r || ' '),
-        |    ' ' || b2.l || ' ' || b2.r || ' ', ' ' || b2.l || b2.r || ' ') AS seq
+        |  ${bpeMergeSql(2)}
         |  FROM s1 CROSS JOIN b2),
         |p3 AS (
         |  SELECT p.l AS l, p.r AS r, sum(freq)::BIGINT AS cnt FROM (
@@ -2793,12 +2777,7 @@ object AnalyticsQueries extends QueryPack {
         |  FROM p3 QUALIFY rnk <= 5),
         |b3 AS (SELECT l, r FROM t3 WHERE rnk = 1),
         |s3 AS (SELECT freq,
-        |  replace(replace(replace(replace(replace(seq,
-        |    ' ' || b3.l || ' ' || b3.r || ' ', ' ' || b3.l || b3.r || ' '),
-        |    ' ' || b3.l || ' ' || b3.r || ' ', ' ' || b3.l || b3.r || ' '),
-        |    ' ' || b3.l || ' ' || b3.r || ' ', ' ' || b3.l || b3.r || ' '),
-        |    ' ' || b3.l || ' ' || b3.r || ' ', ' ' || b3.l || b3.r || ' '),
-        |    ' ' || b3.l || ' ' || b3.r || ' ', ' ' || b3.l || b3.r || ' ') AS seq
+        |  ${bpeMergeSql(3)}
         |  FROM s2 CROSS JOIN b3),
         |p4 AS (
         |  SELECT p.l AS l, p.r AS r, sum(freq)::BIGINT AS cnt FROM (

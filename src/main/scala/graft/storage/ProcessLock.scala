@@ -73,7 +73,16 @@ object ProcessLock {
         while (!Thread.interrupted()) {
           Thread.sleep(interval)
           try fs.setTimes(lockPath, System.currentTimeMillis(), -1)
-          catch { case _: java.io.IOException => () }
+          catch {
+            // an interrupt landing INSIDE the FS call surfaces as
+            // InterruptedIOException (an IOException) with the
+            // interrupt flag consumed — swallowing it with the
+            // transient-error case would leak a heartbeat that
+            // refreshes this path forever; exit instead
+            case _: java.io.InterruptedIOException =>
+              throw new InterruptedException
+            case _: java.io.IOException => ()
+          }
         }
       } catch { case _: InterruptedException => () }
     }, "graft-lock-heartbeat")

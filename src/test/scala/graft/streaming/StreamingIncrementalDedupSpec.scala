@@ -50,12 +50,19 @@ class StreamingIncrementalDedupSpec extends AnyFunSuite {
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2),
         new Timestamp(t0)))
-      .toSeq
+      .toSeq ++
+      // a sub-3-token doc: no shingles, so it can never be a
+      // near-dup — the gate must still emit its (keeper) verdict
+      Seq((888888L, "hi there", "en", new Timestamp(t0)))
+    val expectedAll = expected + (888888L -> "keeper")
 
     val input = MemoryStream[(Long, String, String, Timestamp)]
+    // the static side is built ONCE and pinned — the stream-static
+    // join replays the static plan per micro-batch
+    val state = StreamingIncrementalDedup.corpusState(corpBands, corpArrs)
+      .localCheckpoint(true)
     val q = StreamingIncrementalDedup.verdicts(
-        input.toDF().toDF("doc_id", "text", "lang", "ingest_ts"),
-        corpBands, corpArrs)
+        input.toDF().toDF("doc_id", "text", "lang", "ingest_ts"), state)
       .writeStream.format("memory").queryName("inc_dedup")
       .outputMode("append")
       .option("checkpointLocation",
@@ -71,8 +78,8 @@ class StreamingIncrementalDedupSpec extends AnyFunSuite {
       q.processAllAvailable()
       val got = spark.sql("SELECT doc_id, verdict FROM inc_dedup")
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-      assert(got == expected,
-        s"stream/batch divergence:\nstream=$got\nbatch =$expected")
+      assert(got == expectedAll,
+        s"stream/batch divergence:\nstream=$got\nbatch =$expectedAll")
       assert(expected.valuesIterator.contains("dup"),
         "corpus must make the parity non-trivial (at least one dup)")
     } finally q.stop()
