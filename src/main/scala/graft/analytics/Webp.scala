@@ -480,29 +480,35 @@ object Webp {
     }
   }
 
-  private final case class PredictorT(bits: Int, blockW: Int,
-      modes: Array[Int]) extends Transform {
-    private def avg2(a: Int, b: Int): Int = {
+  /** Per-pixel prediction over an ARGB buffer — SHARED by the
+    * inverse transform and the builder's forward residual pass (the
+    * Prefix.canonicalCodes discipline: one definition, the two sides
+    * cannot drift). `img` must hold reconstructed pixels for every
+    * position before (y*w + x).
+    */
+  private[analytics] def predictAt(img: Array[Int], w: Int,
+      x: Int, y: Int, mode: Int): Int = {
+    def avg2(a: Int, b: Int): Int = {
       val al = (((a >>> 24) + (b >>> 24)) / 2) << 24
       val r = ((((a >> 16) & 0xff) + ((b >> 16) & 0xff)) / 2) << 16
       val g = ((((a >> 8) & 0xff) + ((b >> 8) & 0xff)) / 2) << 8
       val bl = (((a & 0xff) + (b & 0xff)) / 2)
       al | r | g | bl
     }
-    private def clamp(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
-    private def casFull(a: Int, b: Int, c: Int): Int = {
+    def clamp(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+    def casFull(a: Int, b: Int, c: Int): Int = {
       def ch(s: Int): Int =
         clamp(((a >> s) & 0xff) + ((b >> s) & 0xff) - ((c >> s) & 0xff))
       (ch(24) << 24) | (ch(16) << 16) | (ch(8) << 8) | ch(0)
     }
-    private def casHalf(ave: Int, c: Int): Int = {
+    def casHalf(ave: Int, c: Int): Int = {
       def ch(s: Int): Int = {
         val a = (ave >> s) & 0xff
         clamp(a + (a - ((c >> s) & 0xff)) / 2)
       }
       (ch(24) << 24) | (ch(16) << 16) | (ch(8) << 8) | ch(0)
     }
-    private def select(l: Int, t: Int, tl: Int): Int = {
+    def select(l: Int, t: Int, tl: Int): Int = {
       def ch(p: Int, s: Int): Int = (p >> s) & 0xff
       var pl = 0; var pt = 0
       var s = 0
@@ -514,44 +520,48 @@ object Webp {
       // the spec's rule is `if (pL < pT) L else T` — TOP wins ties
       if (pl < pt) l else t
     }
+    val i = y * w + x
+    if (x == 0 && y == 0) 0xff000000
+    else if (y == 0) img(i - 1)
+    else if (x == 0) img(i - w)
+    else {
+      val l = img(i - 1); val t = img(i - w)
+      val tl = img(i - w - 1)
+      // at the rightmost column the spec's top-right wraps to the
+      // CURRENT row's leftmost pixel — which in this contiguous
+      // buffer is literally img(i - w + 1), so no special case
+      // (matching libwebp's top[1] read)
+      val tr = img(i - w + 1)
+      mode match {
+        case 0 => 0xff000000
+        case 1 => l
+        case 2 => t
+        case 3 => tr
+        case 4 => tl
+        case 5 => avg2(avg2(l, tr), t)
+        case 6 => avg2(l, tl)
+        case 7 => avg2(l, t)
+        case 8 => avg2(tl, t)
+        case 9 => avg2(t, tr)
+        case 10 => avg2(avg2(l, tl), avg2(t, tr))
+        case 11 => select(l, t, tl)
+        case 12 => casFull(l, t, tl)
+        case 13 => casHalf(avg2(l, t), tl)
+        case m => throw new IllegalArgumentException(s"predictor mode $m")
+      }
+    }
+  }
+
+  private final case class PredictorT(bits: Int, blockW: Int,
+      modes: Array[Int]) extends Transform {
     def inverse(img: Array[Int], w: Int, h: Int): Array[Int] = {
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w) {
           val i = y * w + x
-          val pred =
-            if (x == 0 && y == 0) 0xff000000
-            else if (y == 0) img(i - 1)
-            else if (x == 0) img(i - w)
-            else {
-              val l = img(i - 1); val t = img(i - w)
-              val tl = img(i - w - 1)
-              // at the rightmost column the spec's top-right wraps to
-              // the CURRENT row's leftmost pixel — which in this
-              // contiguous buffer is literally img(i - w + 1), so no
-              // special case (matching libwebp's top[1] read)
-              val tr = img(i - w + 1)
-              ((modes((y >> bits) * blockW + (x >> bits)) >> 8) & 0xff) match {
-                case 0 => 0xff000000
-                case 1 => l
-                case 2 => t
-                case 3 => tr
-                case 4 => tl
-                case 5 => avg2(avg2(l, tr), t)
-                case 6 => avg2(l, tl)
-                case 7 => avg2(l, t)
-                case 8 => avg2(tl, t)
-                case 9 => avg2(t, tr)
-                case 10 => avg2(avg2(l, tl), avg2(t, tr))
-                case 11 => select(l, t, tl)
-                case 12 => casFull(l, t, tl)
-                case 13 => casHalf(avg2(l, t), tl)
-                case m =>
-                  throw new IllegalArgumentException(s"predictor mode $m")
-              }
-            }
-          img(i) = addPixels(pred, img(i))
+          val mode = (modes((y >> bits) * blockW + (x >> bits)) >> 8) & 0xff
+          img(i) = addPixels(predictAt(img, w, x, y, mode), img(i))
           x += 1
         }
         y += 1
@@ -733,6 +743,202 @@ object Webp {
 
       val payload = Array[Byte](0x2f) ++ bw.result()
       riff(payload)
+    }
+
+    /** Fixed 8-bit code over symbols 0..255 of an alphabet ≥ 256:
+      * only CL symbol 8 is used (a zero-bit CL code), the 256 lengths
+      * cost no bits, and the decoder's Kraft-space counter stops the
+      * length stream at symbol 256 exactly. Canonical codes are then
+      * code(v) = v in 8 bits.
+      */
+    private def fixed8Tree(bw: BitWriter): Unit = {
+      bw.writeBits(0, 1) // normal code
+      bw.writeBits(7, 4) // 11 code-length lengths (symbol 8 at idx 10)
+      for (i <- 0 until 11)
+        bw.writeBits(if (ClOrder(i) == 8) 1 else 0, 3)
+      bw.writeBits(0, 1) // no max-symbol bound; 256 zero-bit entries
+    }
+
+    /** Simple code over exactly two symbols (first → code 0). */
+    private def simple2(bw: BitWriter, first: Int, second: Int): Unit = {
+      bw.writeBits(1, 1) // simple
+      bw.writeBits(1, 1) // two symbols
+      bw.writeBits(1, 1) // first symbol in 8 bits
+      bw.writeBits(first, 8)
+      bw.writeBits(second, 8)
+    }
+
+    /** Greyscale VP8L whose whole image is coded through ONE
+      * predictor-transform block of the given mode (any of the 14),
+      * composed with subtract-green: residuals are computed with the
+      * decoder's own [[predictAt]], so the stream exercises the full
+      * predictor inverse over real bits. Dims ≤ 512 (one block).
+      */
+    def grey8Predicted(width: Int, height: Int, pixels: Array[Byte],
+        mode: Int): Array[Byte] = {
+      require(width >= 1 && width <= 512 && height >= 1 && height <= 512,
+        "one-block mode needs dims <= 512")
+      require(mode >= 0 && mode <= 13, s"predictor mode $mode")
+      require(pixels.length == width * height, "pixel count")
+      // forward pass: residual(i) = pixel(i) - predict(reconstructed)
+      // per channel mod 256; the reconstructed prefix IS the original
+      val img = pixels.map(p => 0xff000000 | ((p & 0xff) * 0x010101))
+      val residual = new Array[Int](img.length)
+      for (y <- 0 until height; x <- 0 until width) {
+        val i = y * width + x
+        val pr = predictAt(img, width, x, y, mode)
+        def ch(s: Int) = (((img(i) >> s) & 0xff) - ((pr >> s) & 0xff)) & 0xff
+        residual(i) = (ch(24) << 24) | (ch(16) << 16) | (ch(8) << 8) | ch(0)
+      }
+      val bw = new BitWriter
+      bw.writeBits(width - 1, 14)
+      bw.writeBits(height - 1, 14)
+      bw.writeBits(0, 1); bw.writeBits(0, 3)
+      // transforms, read order PREDICTOR then SUBTRACT_GREEN → the
+      // decoder inverts subtract-green first, predictor second, so
+      // the encoder applies predictor first, subtract-green second
+      bw.writeBits(1, 1); bw.writeBits(0, 2) // PREDICTOR
+      val sizeBits = (2 to 9).find(b => (1 << b) >= math.max(width, height)).get
+      bw.writeBits(sizeBits - 2, 3)
+      // 1×1 mode sub-image: no cache, all five trees single-symbol →
+      // the one pixel costs zero bits
+      bw.writeBits(0, 1) // no color cache
+      simpleTree(bw, mode) // green = predictor mode
+      simpleTree(bw, 0); simpleTree(bw, 0)
+      simpleTree(bw, 255); simpleTree(bw, 0)
+      bw.writeBits(1, 1); bw.writeBits(2, 2) // SUBTRACT_GREEN
+      bw.writeBits(0, 1) // end of transforms
+      bw.writeBits(0, 1) // no color cache
+      bw.writeBits(0, 1) // no meta prefix groups
+      // after subtract-green on the (equal-channel) residuals: green
+      // carries the residual byte, red/blue collapse to 0; the alpha
+      // residual is 0 everywhere (every alpha prediction is 255)
+      fixed8Tree(bw)
+      simpleTree(bw, 0); simpleTree(bw, 0)
+      simpleTree(bw, 0); simpleTree(bw, 0)
+      for (i <- residual.indices) bw.writeCode((residual(i) >> 8) & 0xff, 8)
+      riff(Array[Byte](0x2f) ++ bw.result())
+    }
+
+    /** Greyscale VP8L using a real COLOR CACHE (2^cacheBits entries):
+      * repeats of recently-seen pixels are emitted as cache-hit
+      * symbols, exercising the decoder's cache indexing and the
+      * literal/cache split of the green alphabet. Kraft: 256 literals
+      * at 9 bits + 2^k cache symbols at (k+1) bits sum to exactly 1.
+      */
+    def grey8Cached(width: Int, height: Int, pixels: Array[Byte],
+        cacheBits: Int = 4): Array[Byte] = {
+      // cacheBits = 8 would give cache symbols the literals' length 9,
+      // collapsing the two CL classes this layout keeps distinct
+      require(cacheBits >= 1 && cacheBits <= 10 && cacheBits != 8,
+        s"cache bits $cacheBits")
+      require(pixels.length == width * height, "pixel count")
+      val cacheSize = 1 << cacheBits
+      val bw = new BitWriter
+      bw.writeBits(width - 1, 14)
+      bw.writeBits(height - 1, 14)
+      bw.writeBits(0, 1); bw.writeBits(0, 3)
+      bw.writeBits(1, 1); bw.writeBits(2, 2) // SUBTRACT_GREEN
+      bw.writeBits(0, 1) // end of transforms
+      bw.writeBits(1, 1); bw.writeBits(cacheBits, 4) // color cache ON
+      bw.writeBits(0, 1) // no meta prefix groups
+      // green tree: literals 0..255 at 9 bits, cache symbols at
+      // cacheBits+1; CL code: 9 → 1 bit, (k+1) → 2, 0 → 2
+      val cacheLen = cacheBits + 1
+      val greenLengths = new Array[Int](256 + 24 + cacheSize)
+      java.util.Arrays.fill(greenLengths, 0, 256, 9)
+      for (i <- 0 until cacheSize) greenLengths(280 + i) = cacheLen
+      bw.writeBits(0, 1) // normal code
+      val cl = new Array[Int](19)
+      cl(9) = 1; cl(cacheLen) = 2; cl(0) = 2
+      val numCl = ClOrder.lastIndexWhere(s => cl(s) > 0) + 1
+      bw.writeBits(numCl - 4, 4)
+      for (i <- 0 until numCl) bw.writeBits(cl(ClOrder(i)), 3)
+      bw.writeBits(0, 1) // no max-symbol bound
+      val clCodes = Prefix.canonicalCodes(cl)
+        .map { case (s, c, l) => s -> ((c, l)) }.toMap
+      def clSym(s: Int): Unit = {
+        val (c, l) = clCodes(s); bw.writeCode(c, l)
+      }
+      for (_ <- 0 until 256) clSym(9)
+      for (_ <- 0 until 24) clSym(0)
+      for (_ <- 0 until cacheSize) clSym(cacheLen)
+      val greenCodes = Prefix.canonicalCodes(greenLengths)
+        .map { case (s, c, l) => s -> ((c, l)) }.toMap
+      simpleTree(bw, 0); simpleTree(bw, 0)
+      simpleTree(bw, 255); simpleTree(bw, 0)
+      // the cache tracks IN-STREAM pixels (pre-inverse-transform):
+      // after subtract-green a grey v is (a=255, r=0, g=v, b=0)
+      val cache = new Array[Int](cacheSize)
+      for (p <- pixels) {
+        val px = 0xff000000 | ((p & 0xff) << 8)
+        val idx = cacheIndex(px, cacheBits) // the decoder's own hash
+        if (cache(idx) == px) {
+          val (c, l) = greenCodes(280 + idx); bw.writeCode(c, l)
+        } else {
+          val (c, l) = greenCodes(p & 0xff); bw.writeCode(c, l)
+          cache(idx) = px
+        }
+      }
+      riff(Array[Byte](0x2f) ++ bw.result())
+    }
+
+    /** COLOR-INDEXED VP8L: pixels are indices into a ≤256-entry grey
+      * palette; with ≤16 colors the indices are PIXEL-BUNDLED (2, 4
+      * or 8 per green byte), exercising the decoder's palette
+      * delta-decode and unbundling inverse.
+      */
+    def grey8Indexed(width: Int, height: Int, indices: Array[Byte],
+        palette: Array[Int]): Array[Byte] = {
+      val n = palette.length
+      require(n >= 1 && n <= 256, s"palette size $n")
+      require(indices.length == width * height, "index count")
+      require(indices.forall(i => (i & 0xff) < n), "index out of palette")
+      val bw = new BitWriter
+      bw.writeBits(width - 1, 14)
+      bw.writeBits(height - 1, 14)
+      bw.writeBits(0, 1); bw.writeBits(0, 3)
+      bw.writeBits(1, 1); bw.writeBits(3, 2) // COLOR_INDEXING
+      bw.writeBits(n - 1, 8)
+      // palette stream (n×1): entries are DELTA-coded per channel;
+      // grey palette → r=g=b=delta, alpha delta 255 then 0
+      bw.writeBits(0, 1) // no color cache (palette stream)
+      fixed8Tree(bw) // green deltas
+      fixed8Tree(bw) // red deltas
+      fixed8Tree(bw) // blue deltas
+      if (n == 1) simpleTree(bw, 255) else simple2(bw, 255, 0)
+      simpleTree(bw, 0) // distance
+      var prev = 0
+      for (i <- 0 until n) {
+        val dv = (palette(i) - prev) & 0xff
+        bw.writeCode(dv, 8) // green
+        bw.writeCode(dv, 8) // red
+        bw.writeCode(dv, 8) // blue
+        if (n > 1) bw.writeCode(if (i == 0) 0 else 1, 1) // alpha 255/0
+        prev = palette(i)
+      }
+      bw.writeBits(0, 1) // end of transforms
+      bw.writeBits(0, 1) // no color cache (spatial stream)
+      bw.writeBits(0, 1) // no meta prefix groups
+      // spatial stream: bundled indices in the green channel
+      val widthBits =
+        if (n <= 2) 3 else if (n <= 4) 2 else if (n <= 16) 1 else 0
+      val bpp = 8 >> widthBits
+      val perPacked = 1 << widthBits
+      val pw = (width + perPacked - 1) >> widthBits
+      fixed8Tree(bw) // green = packed index byte
+      simpleTree(bw, 0); simpleTree(bw, 0)
+      simpleTree(bw, 255); simpleTree(bw, 0)
+      for (y <- 0 until height; px <- 0 until pw) {
+        var packed = 0
+        for (k <- 0 until perPacked) {
+          val x = (px << widthBits) + k
+          if (x < width)
+            packed |= (indices(y * width + x) & 0xff) << (k * bpp)
+        }
+        bw.writeCode(packed, 8)
+      }
+      riff(Array[Byte](0x2f) ++ bw.result())
     }
 
     private def riff(vp8l: Array[Byte]): Array[Byte] = {

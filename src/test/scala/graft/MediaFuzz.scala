@@ -50,9 +50,25 @@ object MediaFuzz {
       ("mjpeg", mp4Seed, b => Mjpeg.frameFeatures(b)),
       ("jpeg", jpgSeed, b => new JpegCodec().decodeBatch(Seq(MediaRow(1, "image", b)))),
       // strict entry: IllegalArgumentException IS the rejection
-      // contract; anything else escaping is a finding
+      // contract; anything else escaping is a finding. Four seeds so
+      // corruption reaches every stream shape: LZ77 runs, the
+      // predictor transform chain, the color cache, and bundled
+      // color-indexing
       ("webp", graft.analytics.Webp.Builder.grey8(8, 6,
           Array.tabulate(48)(i => (i * 7).toByte), withRuns = true),
+        b => try graft.analytics.Webp.decodeStrict(b)
+          catch { case _: IllegalArgumentException => () }),
+      ("webp-pred", graft.analytics.Webp.Builder.grey8Predicted(7, 5,
+          Array.tabulate(35)(i => (i * 11).toByte), mode = 12),
+        b => try graft.analytics.Webp.decodeStrict(b)
+          catch { case _: IllegalArgumentException => () }),
+      ("webp-cache", graft.analytics.Webp.Builder.grey8Cached(8, 8,
+          Array.tabulate(64)(i => ((i % 5) * 40).toByte)),
+        b => try graft.analytics.Webp.decodeStrict(b)
+          catch { case _: IllegalArgumentException => () }),
+      ("webp-idx", graft.analytics.Webp.Builder.grey8Indexed(9, 6,
+          Array.tabulate(54)(i => (i % 4).toByte),
+          Array(10, 80, 150, 220)),
         b => try graft.analytics.Webp.decodeStrict(b)
           catch { case _: IllegalArgumentException => () }))
     var n = 0

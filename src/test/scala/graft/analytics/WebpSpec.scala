@@ -57,6 +57,83 @@ class WebpSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: all 14 predictor modes round-trip through real transform streams") {
+    val gen = for {
+      w <- Gen.choose(1, 20)
+      h <- Gen.choose(1, 20)
+      mode <- Gen.choose(0, 13)
+      px <- Gen.listOfN(w * h, Gen.choose(0, 255))
+    } yield (w, h, mode, px.map(_.toByte).toArray)
+    val prop = Prop.forAll(gen) { case (w, h, mode, px) =>
+      val d = Webp.decode(Webp.Builder.grey8Predicted(w, h, px, mode))
+      d.exists(dd => greys(dd).toSeq == px.map(_ & 0xff).toSeq)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("predictor semantics pinned at the spec's two sharp edges") {
+    // top-right at the rightmost column wraps to the CURRENT row's
+    // leftmost pixel (mode 3 = TR): img laid out 2×2, predicting
+    // (1,1) must read img(1*2+0), not the top pixel
+    val img = Array(0xff000000 | 0x010101, 0xff000000 | 0x050505,
+      0xff000000 | 0x090909, 0)
+    assert(Webp.predictAt(img, 2, 1, 1, 3) == img(2),
+      "TR at the right edge must wrap to the row's leftmost pixel")
+    // Select tie (pL == pT) goes to TOP per the spec's strict <
+    val l = 0xff000000 | (10 << 8)
+    val t = 0xff000000 | (20 << 8)
+    val tl = 0xff000000 | (15 << 8) // equidistant: |pred-L| == |pred-T|
+    val img2 = Array(tl, t, l, 0)
+    assert(Webp.predictAt(img2, 2, 1, 1, 11) == t,
+      "Select must return TOP on a Manhattan-distance tie")
+  }
+
+  test("property: the color cache round-trips and actually compresses repeats") {
+    val gen = for {
+      w <- Gen.choose(2, 24)
+      h <- Gen.choose(2, 24)
+      bits <- Gen.oneOf(1, 2, 4, 6)
+      // few distinct values → dense cache hits
+      px <- Gen.listOfN(w * h, Gen.choose(0, 7).map(v => (v * 31).toByte))
+    } yield (w, h, bits, px.toArray)
+    val prop = Prop.forAll(gen) { case (w, h, bits, px) =>
+      val d = Webp.decode(Webp.Builder.grey8Cached(w, h, px, bits))
+      d.exists(dd => greys(dd).toSeq == px.map(_ & 0xff).toSeq)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+    // on a highly repetitive image the cache-hit symbols must beat
+    // the 8-bit literal stream despite the bigger tree header
+    val w = 32; val h = 32
+    val rep = Array.tabulate(w * h)(i => ((i % 4) * 50).toByte)
+    assert(Webp.Builder.grey8Cached(w, h, rep, 4).length <
+      Webp.Builder.grey8(w, h, rep).length,
+      "cache hits must be real bit savings, not just accepted syntax")
+  }
+
+  test("property: color-indexed images round-trip through every bundling width") {
+    val gen = for {
+      nCol <- Gen.oneOf(1, 2, 3, 4, 9, 16, 20) // widthBits 3,3,2,2,1,1,0
+      w <- Gen.choose(1, 21)
+      h <- Gen.choose(1, 12)
+      pal <- Gen.listOfN(nCol, Gen.choose(0, 255))
+      idx <- Gen.listOfN(w * h, Gen.choose(0, nCol - 1))
+    } yield (w, h, pal.toArray, idx.map(_.toByte).toArray)
+    val prop = Prop.forAll(gen) { case (w, h, pal, idx) =>
+      val d = Webp.decode(Webp.Builder.grey8Indexed(w, h, idx, pal))
+      d.exists { dd =>
+        dd.width == w && dd.height == h &&
+          greys(dd).toSeq == idx.map(i => pal(i & 0xff) & 0xff).toSeq
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("malformed input is refused, never mis-decoded") {
     val good = Webp.Builder.grey8(4, 4, Array.fill(16)(7.toByte))
     // truncations at every byte boundary must return None, not throw
