@@ -19,7 +19,8 @@ object SparkEntry {
     ReadQueries,
     WindowedQueries,
     DedupPipeline,
-    IncrementalDedup
+    IncrementalDedup,
+    IncrementalAnn
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,291 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Incremental ANN index maintenance — the embeddings twin of
+  * [[IncrementalDedup]]: route and search a batch of NEW vectors
+  * against an already-trained, PERSISTED IVF index without
+  * re-clustering and without re-reading the corpus's raw vectors.
+  *
+  * A production 100 TB pipeline never re-trains its ANN index per
+  * crawl increment: the coarse quantizer (k-means centroids) is
+  * trained once on the corpus, and every increment is (1) assigned to
+  * existing centroids and appended to the inverted lists, (2) searched
+  * against the persisted lists. Both steps cost O(increment), not
+  * O(corpus). The persisted state here is exactly what FAISS-style
+  * IVF keeps: `centroids` (k rows, the codebook) and `postings`
+  * (cid → member vectors with their norms, the inverted lists), both
+  * written through the store's crash-safe
+  * [[graft.storage.AstarteStore.appendAtomic]] append protocol.
+  *
+  * Scale shape: the centroid table is k rows and ALWAYS broadcasts
+  * (routing is a broadcast nested-loop over k, linear in the
+  * increment); the search joins the increment's probed cluster ids
+  * against the postings table on `cid` — the corpus side is never
+  * self-joined and its raw source table is never scanned
+  * (IncrementalAnnSpec pins both on the physical plan). At corpus
+  * scale the postings table would additionally be bucketed by `cid`
+  * (the [[IncrementalDedup.SignatureStore.bucketizeBands]] serving
+  * layout), making the probe join shuffle-free on the corpus side.
+  *
+  * Reference analogue: state persisted once, increments merged
+  * against it rather than recomputed — the property table's
+  * last-value merge discipline (`queries.ex:121-155`).
+  */
+object IncrementalAnn extends QueryPack {
+
+  /** Increment membership: the most recent ~20% of vec ids plays the
+    * "new batch" role (non-negative ids, so `%` agrees across
+    * engines). */
+  private val incPredicate = col("vec_id") % 10 >= 8
+
+  private val K = 4 // coarse clusters
+  private val Iters = 2 // Lloyd rounds (unrolled identically in SQL)
+  private val NProbe = 2
+  private val TopK = 3
+  /** Query subset for the search head (the routing census covers the
+    * full increment): increment vecs below this id. */
+  private val QBound = 100
+
+  /** Exact integer L2 assignment to the broadcast centroids — same
+    * argmin as [[ReadQueries.kmeansClusters]]: d2 ranks by
+    * c·c − 2·q·c (q·q constant per vector), ties to the smallest cid.
+    * `e` must carry (vec_id, q, qnorm). */
+  private def assign(e: DataFrame, cent: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cent.select(col("cid"), col("carr"))))
+      .select(col("vec_id"), col("q"), col("qnorm"), col("cid"),
+        expr("vector_dot_long(carr, carr) - 2 * vector_dot_long(q, carr)")
+          .as("d2"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cid"))).as("best"),
+        first(col("q")).as("q"), first(col("qnorm")).as("qnorm"))
+      .select(col("vec_id"), col("q"), col("qnorm"),
+        col("best.cid").as("cid"))
+
+  /** Lloyd's k-means over the CORPUS vectors only (the increment must
+    * not influence the codebook — that is the whole point), returning
+    * the final centroid arrays with their norms. Same deterministic
+    * recipe as `sim_kmeans`: init = first K vecs, exact integer
+    * argmin, truncating integer-division mean. */
+  private[graft] def corpusCentroids(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = AnalyticsQueries.quantEmb(s, d).filter(!incPredicate)
+      .select(col("vec_id"), col("q"), col("qnorm"))
+    def update(assigned: DataFrame): DataFrame =
+      assigned
+        .select(col("cid"), posexplode(col("q")).as(Seq("idx", "qv")))
+        .groupBy(col("cid"), col("idx"))
+        .agg(sum(col("qv")).as("sq"), count(lit(1)).as("nq"))
+        .withColumn("cq", expr("cast(sq div nq as int)"))
+        .groupBy(col("cid"))
+        .agg(transform(sort_array(collect_list(struct(col("idx"), col("cq")))),
+          x => x.getField("cq")).as("carr"))
+    var cent = e.filter(col("vec_id") < K)
+      .select(col("vec_id").cast("int").as("cid"), col("q").as("carr"))
+    for (_ <- 1 to Iters) cent = update(assign(e, cent))
+    cent.withColumn("cnorm",
+      sqrt(expr("vector_dot_long(carr, carr)").cast("double")))
+  }
+
+  /** Per-sfDir persisted index, built once per JVM: `centroids` =
+    * (cid, carr, cnorm) codebook, `postings` = (cid, nid, ne, nnorm)
+    * inverted lists over the corpus vectors. */
+  private[graft] object AnnStore {
+    private val roots =
+      new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+    def rootFor(s: SparkSession, sfDir: String): String =
+      roots.computeIfAbsent(sfDir, _ => buildRoot(s, sfDir))
+
+    /** Uncached build of a fresh index root (the spec uses this for a
+      * mutation-isolated root its absorb test can append to without
+      * polluting the per-sfDir shared one). */
+    private[graft] def buildRoot(s: SparkSession, sfDir: String): String = {
+      val root =
+        java.nio.file.Files.createTempDirectory("graft-annidx").toString
+      val cent = corpusCentroids(s, sfDir).localCheckpoint(true)
+      graft.storage.AstarteStore.appendAtomic(cent, centroidsPath(root))
+      val e = AnalyticsQueries.quantEmb(s, sfDir).filter(!incPredicate)
+        .select(col("vec_id"), col("q"), col("qnorm"))
+      graft.storage.AstarteStore.appendAtomic(
+        postingsOf(assign(e, cent)), postingsPath(root))
+      root
+    }
+
+    def centroidsPath(root: String): String = s"$root/ann_centroids"
+    def postingsPath(root: String): String = s"$root/ann_postings"
+
+    /** Inverted-list layout of an assigned frame. */
+    def postingsOf(assigned: DataFrame): DataFrame =
+      assigned.select(col("cid"), col("vec_id").as("nid"),
+        col("q").as("ne"), col("qnorm").as("nnorm"))
+
+    /** Fold a routed increment into the inverted lists — the next
+      * batch then searches corpus + every absorbed increment, still
+      * without any retraining. Crash-safe via the store protocol. */
+    def absorb(root: String, assignedInc: DataFrame): Unit =
+      graft.storage.AstarteStore.appendAtomic(
+        postingsOf(assignedInc), postingsPath(root))
+  }
+
+  /** The increment's quantized vectors — the ONLY embeddings scan in
+    * either query (spec-pinned). */
+  private[graft] def incrementVecs(s: SparkSession, d: String): DataFrame =
+    AnalyticsQueries.quantEmb(s, d).filter(incPredicate)
+      .select(col("vec_id"), col("q"), col("qnorm"))
+
+  /** Route an increment to the given codebook, keeping per-vector
+    * assignments — the frame [[AnnStore.absorb]] folds into the
+    * inverted lists. */
+  private[graft] def assignIncrement(inc: DataFrame,
+      cent: DataFrame): DataFrame = assign(inc, cent)
+
+  /** Routing census over the FULL increment given the persisted
+    * codebook: one row per cluster that received vectors. Factored
+    * out so the spec can pin store-roundtrip fidelity. */
+  private[graft] def routeIncrement(inc: DataFrame,
+      cent: DataFrame): DataFrame =
+    assign(inc, cent)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_assigned"), min(col("vec_id")).as("min_vec"),
+        max(col("vec_id")).as("max_vec"))
+      .orderBy(col("cid"))
+
+  /** IVF search of the increment's query head against the persisted
+    * index: probe = top-NProbe centroids by rounded cosine, exact
+    * integer-dot ranking inside the probed lists only. */
+  private[graft] def searchIncrement(inc: DataFrame, cent: DataFrame,
+      postings: DataFrame): DataFrame = {
+    val q = inc.filter(col("vec_id") < QBound)
+      .select(col("vec_id").as("qid"), col("q").as("qe"), col("qnorm"))
+    val probe = q.crossJoin(broadcast(cent))
+      .withColumn("pcos",
+        round(expr("vector_dot_long(qe, carr)").cast("double") /
+          (col("qnorm") * col("cnorm")), 4))
+    val wp = Window.partitionBy(col("qid"))
+      .orderBy(col("pcos").desc, col("cid").asc)
+    val probed = probe.withColumn("prank", row_number().over(wp))
+      .filter(col("prank") <= NProbe)
+      .select(col("qid"), col("qe"), col("qnorm"), col("cid"))
+    AnalyticsQueries.rankTopK(probed.join(postings, Seq("cid")), TopK)
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Route the full increment to the persisted codebook — the
+    // O(increment) append path of index maintenance.
+    "sim_incr_assign" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val root = AnnStore.rootFor(s, d)
+      routeIncrement(incrementVecs(s, d),
+        s.read.parquet(AnnStore.centroidsPath(root)))
+    }),
+    // Search the increment's query head against the persisted
+    // inverted lists — corpus vectors come from the index, never from
+    // the embeddings table.
+    "sim_incremental" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val root = AnnStore.rootFor(s, d)
+      searchIncrement(incrementVecs(s, d),
+        s.read.parquet(AnnStore.centroidsPath(root)),
+        s.read.parquet(AnnStore.postingsPath(root)))
+    })
+  )
+
+  /** Unrolled corpus-side k-means prefix shared by both oracles —
+    * generated from the SAME constants the Spark side uses, so the
+    * two cannot drift. Ends with `c2` = final centroids (cid, idx,
+    * cq), `cn` = centroid norms, `qn` = all-vector norms, `f` = all
+    * quantized vectors (vec_id, idx, qv). */
+  private def kmeansCorpusSql: String = {
+    def assignSql(cent: String): String =
+      s"""SELECT vec_id, cid FROM (
+         |    SELECT q.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY sum(c.cq * c.cq - 2 * q.qv * c.cq) ASC, c.cid ASC)
+         |        AS rn
+         |    FROM corp q JOIN $cent c ON q.idx = c.idx
+         |    GROUP BY q.vec_id, c.cid) WHERE rn = 1""".stripMargin
+    def updateSql(a: String): String =
+      s"""SELECT cid, idx, (sq - sq % nq) // nq AS cq FROM (
+         |    SELECT a.cid, q.idx, sum(q.qv) AS sq, count(*) AS nq
+         |    FROM corp q JOIN $a a ON q.vec_id = a.vec_id GROUP BY 1, 2)""".stripMargin
+    s"""WITH f AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+       |    floor(unnest(embedding)::DOUBLE * 1000000)::BIGINT AS qv
+       |  FROM embeddings),
+       |corp AS (SELECT * FROM f WHERE vec_id % 10 < 8),
+       |c0 AS (
+       |  SELECT vec_id::INT AS cid, idx, qv AS cq FROM corp WHERE vec_id < $K),
+       |a1 AS (
+       |  ${assignSql("c0")}),
+       |c1 AS (
+       |  ${updateSql("a1")}),
+       |a2 AS (
+       |  ${assignSql("c1")}),
+       |c2 AS (
+       |  ${updateSql("a2")}),
+       |cn AS (
+       |  SELECT cid, sqrt(sum(cq * cq)::DOUBLE) AS cnorm FROM c2 GROUP BY 1),
+       |qn AS (
+       |  SELECT vec_id, sqrt(sum(qv * qv)::DOUBLE) AS qnorm FROM f GROUP BY 1)""".stripMargin
+  }
+
+  override def oracle: Map[String, String] = Map(
+    // from-scratch recomputation: train on the corpus subset, assign
+    // the increment — must reach the identical routing the
+    // persisted-codebook path emits
+    "sim_incr_assign" ->
+      s"""$kmeansCorpusSql,
+         |inc AS (SELECT * FROM f WHERE vec_id % 10 >= 8),
+         |ai AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT q.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY sum(c.cq * c.cq - 2 * q.qv * c.cq) ASC, c.cid ASC)
+         |        AS rn
+         |    FROM inc q JOIN c2 c ON q.idx = c.idx
+         |    GROUP BY q.vec_id, c.cid) WHERE rn = 1)
+         |SELECT cid, count(*) AS n_assigned, min(vec_id) AS min_vec,
+         |  max(vec_id) AS max_vec
+         |FROM ai GROUP BY cid ORDER BY cid""".stripMargin,
+    "sim_incremental" ->
+      s"""$kmeansCorpusSql,
+         |a3 AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT q.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY sum(c.cq * c.cq - 2 * q.qv * c.cq) ASC, c.cid ASC)
+         |        AS rn
+         |    FROM corp q JOIN c2 c ON q.idx = c.idx
+         |    GROUP BY q.vec_id, c.cid) WHERE rn = 1),
+         |probe AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT q.vec_id AS qid, c.cid,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        round(sum(q.qv * c.cq)::DOUBLE / (qn.qnorm * cn.cnorm), 4)
+         |          DESC, c.cid ASC) AS prank
+         |    FROM f q JOIN c2 c ON q.idx = c.idx
+         |    JOIN qn ON qn.vec_id = q.vec_id
+         |    JOIN cn ON cn.cid = c.cid
+         |    WHERE q.vec_id % 10 >= 8 AND q.vec_id < $QBound
+         |    GROUP BY q.vec_id, c.cid, qn.qnorm, cn.cnorm)
+         |  WHERE prank <= $NProbe),
+         |scored AS (
+         |  SELECT p.qid, a.vec_id AS nid,
+         |    round(sum(q.qv * n.qv)::DOUBLE / (nq.qnorm * nn.qnorm), 4)
+         |      AS cosine
+         |  FROM probe p
+         |  JOIN a3 a ON a.cid = p.cid
+         |  JOIN f n ON n.vec_id = a.vec_id
+         |  JOIN f q ON q.vec_id = p.qid AND q.idx = n.idx
+         |  JOIN qn nq ON nq.vec_id = p.qid
+         |  JOIN qn nn ON nn.vec_id = a.vec_id
+         |  GROUP BY 1, 2, nq.qnorm, nn.qnorm)
+         |SELECT qid, nid, cosine, rank FROM (
+         |  SELECT qid, nid, cosine, row_number() OVER (
+         |    PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
+         |  FROM scored) WHERE rank <= $TopK""".stripMargin
+  )
+}
