@@ -20,7 +20,8 @@ object SparkEntry {
     WindowedQueries,
     DedupPipeline,
     IncrementalDedup,
-    IncrementalAnn
+    IncrementalAnn,
+    QualityClassifier
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
