@@ -21,7 +21,8 @@ object SparkEntry {
     DedupPipeline,
     IncrementalDedup,
     IncrementalAnn,
-    QualityClassifier
+    QualityClassifier,
+    GraphQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

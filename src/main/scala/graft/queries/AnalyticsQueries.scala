@@ -395,7 +395,7 @@ object AnalyticsQueries extends QueryPack {
     * A single-language 100 TB corpus costs the same enumeration as a
     * multilingual one.
     */
-  private def simhashNearDupPairs(s: SparkSession, d: String): DataFrame = {
+  private[queries] def simhashNearDupPairs(s: SparkSession, d: String): DataFrame = {
     val sigs0 = simhashSigs(s, d)
       .cache() // read 3× below (distinct sigs + both expansion sides)
     // bounded pair generation: the doc-pair fan-out here is

@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph decompositions over the near-dup graph beyond the census
+  * ([[AnalyticsQueries.triangleCensus]]) and component queries
+  * ([[DedupPipeline]]): k-core peeling — the standard detector for
+  * template farms and mirror rings, whose members keep ≥ k near-dup
+  * neighbors even after the scattered chains peel away.
+  */
+object GraphQueries extends QueryPack {
+
+  private val CoreK = 2
+  private val PeelRounds = 3
+
+  /** One peel pass: drop vertices whose current induced degree is
+    * below k, with the edge set restricted to survivors. Linear
+    * shapes only — a degree partial-agg and two semi-joins. */
+  private def peelOnce(e: DataFrame, k: Int): DataFrame = {
+    val keep = e.select(col("doc_a").as("v"))
+      .unionAll(e.select(col("doc_b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= k)
+      .select(col("v"))
+    e.join(keep.withColumnRenamed("v", "doc_a"), Seq("doc_a"), "left_semi")
+      .join(keep.withColumnRenamed("v", "doc_b"), Seq("doc_b"), "left_semi")
+  }
+
+  /** `rounds` fixed peel passes toward the k-core (fixed, not
+    * until-converged, so the unrolled DuckDB oracle replays the exact
+    * same computation — the near-dup graph's chains are short enough
+    * that 3 rounds converge at every test SF; KCoreSpec pins that the
+    * result IS the fixpoint there). Returns the surviving vertices
+    * with their induced degree. At corpus scale the same loop runs
+    * until an empty peel round; each round costs one partial-agg
+    * degree count plus two hash semi-joins — linear in surviving
+    * edges, nothing driver-side, hot keys impossible because the
+    * input is the bucket-capped near-dup pair set.
+    */
+  private[graft] def kcoreSurvivors(edges: DataFrame, k: Int,
+      rounds: Int): DataFrame = {
+    var e = edges
+    var owned = false // never release the CALLER's frame — a freed
+    // local checkpoint cannot recompute (lineage truncated)
+    for (_ <- 1 to rounds) {
+      // eager per-round checkpoint: truncates the growing semi-join
+      // lineage AND materializes before the next round's three reads
+      // (a lazy checkpoint here is a no-op — the dd_pagerank lesson)
+      val next = peelOnce(e, k).localCheckpoint(true)
+      if (owned) releaseCheckpoint(e)
+      e = next
+      owned = true
+    }
+    e.select(col("doc_a").as("doc_id"))
+      .unionAll(e.select(col("doc_b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("deg"))
+      .orderBy(col("doc_id"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // 2-core of the simhash near-dup graph after 3 peel rounds: the
+    // documents embedded in dense duplication structure (template
+    // families), as opposed to isolated pair/chain near-dups that a
+    // keeper election already handles
+    "dd_kcore" -> ((s, d) => {
+      val e = AnalyticsQueries.simhashNearDupPairs(s, d)
+        .select(col("doc_a"), col("doc_b"))
+        .localCheckpoint(true)
+      kcoreSurvivors(e, CoreK, PeelRounds)
+    })
+  )
+
+  /** Unrolled peel SQL generated from the SAME constants as the Spark
+    * side. The edge CTE is the pack-standard simhash near-dup pair
+    * derivation (as in the dd_simhash_pairs / dd_triangles oracles).
+    */
+  override def oracle: Map[String, String] = {
+    val rounds = (1 to PeelRounds).map { r =>
+      s"""k$r AS (
+         |  SELECT v FROM (
+         |    SELECT v, count(*) AS deg FROM (
+         |      SELECT doc_a AS v FROM e${r - 1}
+         |      UNION ALL SELECT doc_b AS v FROM e${r - 1})
+         |    GROUP BY v) WHERE deg >= $CoreK),
+         |e$r AS (
+         |  SELECT doc_a, doc_b FROM e${r - 1}
+         |  WHERE doc_a IN (SELECT v FROM k$r)
+         |    AND doc_b IN (SELECT v FROM k$r))""".stripMargin
+    }.mkString(",\n")
+    Map("dd_kcore" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    ('0x' || substr(md5(unnest(string_split(text,' '))),1,4))::INT AS tok_hash
+         |  FROM documents),
+         |votes AS (
+         |  SELECT doc_id, lang, bit,
+         |    sum(CASE WHEN (tok_hash >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+         |  FROM t, (SELECT unnest(generate_series(0,15)) AS bit)
+         |  GROUP BY doc_id, lang, bit),
+         |sigs AS (
+         |  SELECT doc_id, lang,
+         |    sum(CASE WHEN vote > 0 THEN 1 << bit ELSE 0 END) AS sig
+         |  FROM votes GROUP BY doc_id, lang),
+         |e0 AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sigs a JOIN sigs b
+         |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sig, b.sig)) <= 2),
+         |$rounds
+         |SELECT doc_id, count(*) AS deg FROM (
+         |  SELECT doc_a AS doc_id FROM e$PeelRounds
+         |  UNION ALL SELECT doc_b AS doc_id FROM e$PeelRounds)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  }
+}
