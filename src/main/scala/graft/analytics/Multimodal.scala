@@ -2359,6 +2359,7 @@ object Multimodal {
     private val jpeg = new JpegCodec
     private val gif = new GifCodec
     private val webp = new Webp.WebpCodec
+    private val qoi = new Qoi.QoiCodec
     private def isGif(b: Array[Byte]): Boolean = Gif.isGif(b)
     private def isWav(b: Array[Byte]): Boolean =
       b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
@@ -2388,6 +2389,7 @@ object Multimodal {
           else if (isJpeg(r.content)) jpeg.decodeBatch(Seq(r)).head
           else if (isGif(r.content)) gif.decodeBatch(Seq(r)).head
           else if (Webp.isWebp(r.content)) webp.decodeBatch(Seq(r)).head
+          else if (Qoi.isQoi(r.content)) qoi.decodeBatch(Seq(r)).head
           else fallback.decodeBatch(Seq(r)).head
         } catch {
           case scala.util.control.NonFatal(_) =>

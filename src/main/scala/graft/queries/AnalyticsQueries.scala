@@ -2221,6 +2221,34 @@ object AnalyticsQueries extends QueryPack {
         .toDF("doc_id", "frame_no", "width", "height", "delay_cs", "luma_milli")
     }),
 
+    // Real QOI decode, ORACLE-CHECKED: per document run the real
+    // greedy QOI encoder (run/index/diff/luma/rgb op selection) over
+    // a pixel pattern designed to hit RUN, LUMA, RGB and INDEX ops —
+    // plateaus of 2, a +100 jump mid-group, a fall back to the
+    // already-indexed base, +29 between groups — then decode through
+    // the magic-byte dispatch: header, the 64-entry index, wrapped
+    // deltas and the end-marker check all sit on the hash-checked
+    // path (QoiSpec pins the op coverage and the fuzz contract).
+    "mm_qoi_luma" -> ((s, d) => {
+      import s.implicits._
+      import graft.analytics.{Multimodal, Qoi}
+      val media = Tables.documents(s, d)
+        .select(col("doc_id")).filter(col("doc_id") < 200)
+        .as[Long].map { id =>
+          val w = 4 + (id % 5).toInt
+          val h = 3 + (id % 4).toInt
+          val px = Array.tabulate(w * h) { i =>
+            ((id * 37 + (i / 5) * 29 +
+              (if (i % 5 == 2 || i % 5 == 3) 100 else 0)) % 256).toByte
+          }
+          Multimodal.MediaRow(id, "image", Qoi.Builder.grey8(w, h, px))
+        }
+      Multimodal.extractFeatures(media, new Multimodal.FormatAwareCodec)
+        .toDF()
+        .select(col("mediaId").as("doc_id"), col("width"), col("height"),
+          col("avgLumaMilli").as("luma_milli"))
+    }),
+
     // Real WebP-lossless (VP8L) decode, ORACLE-CHECKED: per document
     // build a greyscale VP8L (subtract-green transform, normal
     // code-length-coded literal tree; every SECOND one additionally
@@ -3767,6 +3795,17 @@ object AnalyticsQueries extends QueryPack {
         |  (sum((doc_id*31 + f*17 + i*3) % 256) * 1000 // (w * h))::BIGINT
         |    AS luma_milli
         |FROM px GROUP BY doc_id, f, w, h""".stripMargin,
+    "mm_qoi_luma" ->
+      """WITH s AS (SELECT unnest(range(48)) AS i),
+        |px AS (
+        |  SELECT d.doc_id, (4 + d.doc_id % 5) AS w, (3 + d.doc_id % 4) AS h, s.i
+        |  FROM documents d, s
+        |  WHERE d.doc_id < 200 AND s.i < (4 + d.doc_id % 5) * (3 + d.doc_id % 4))
+        |SELECT doc_id, w::INT AS width, h::INT AS height,
+        |  (sum((doc_id*37 + (i//5)*29 +
+        |        CASE WHEN i%5 IN (2,3) THEN 100 ELSE 0 END) % 256)
+        |     * 1000 // (w * h))::BIGINT AS luma_milli
+        |FROM px GROUP BY doc_id, w, h""".stripMargin,
     "mm_png_luma" ->
       """WITH s AS (SELECT unnest(range(48)) AS i),
         |px AS (
