@@ -178,6 +178,77 @@ object Multimodal {
       }
   }
 
+  /** Sample-level PCM WAV access for the audio-feature path — the
+    * same RIFF walk as [[PcmWavCodec]] but returning the decoded
+    * samples instead of folding them into one energy scalar, so
+    * downstream features (zero-crossing rate, peak, square-wave
+    * correlation) compute from real decoded audio. Returns None
+    * unless a valid 16-bit PCM fmt chunk AND a data chunk are both
+    * present ([[PcmWavCodec]] keeps its partial-parse leniency for
+    * the metadata path; features need the full contract).
+    */
+  object Wav {
+    final case class Pcm(rate: Int, channels: Int, samples: Array[Short])
+
+    def decode(b: Array[Byte]): Option[Pcm] = {
+      if (b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
+        b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' ||
+        b(11) != 'E') return None
+      var channels = 0; var rate = 0; var bits = 0
+      var samples: Array[Short] = null
+      var off = 12L
+      var ok = true
+      while (ok && off + 8 <= b.length) {
+        val o = off.toInt
+        val id = new String(b, o, 4, "US-ASCII")
+        val size = le32(b, o + 4)
+        val data = o + 8
+        if (size < 0) ok = false
+        else {
+          if (id == "fmt " && data + 16 <= b.length) {
+            channels = le16(b, data + 2)
+            rate = le32(b, data + 4)
+            bits = le16(b, data + 14)
+          } else if (id == "data" && channels > 0 && bits == 16 &&
+              samples == null) {
+            val end = math.min(b.length.toLong, data.toLong + size).toInt
+            val n = ((end - data) / 2).max(0)
+            val out = new Array[Short](n)
+            var i = 0
+            while (i < n) {
+              out(i) = ((le16(b, data + i * 2) << 16) >> 16).toShort
+              i += 1
+            }
+            samples = out
+          }
+          val next = data.toLong + size + (size & 1)
+          if (next <= off) ok = false else off = next
+        }
+      }
+      if (samples != null && rate > 0) Some(Pcm(rate, channels, samples))
+      else None
+    }
+
+    /** Deterministic integer audio features over decoded samples:
+      * (n_samples, zero crossings with sign = v ≥ 0, peak |v|, and
+      * the correlation against a ±1 square wave of period 16 — the
+      * integer-exact spectral proxy a pitch/tone gate uses). */
+    def features(p: Pcm): (Long, Long, Long, Long) = {
+      val s = p.samples
+      var zc = 0L; var peak = 0L; var corr = 0L
+      var i = 0
+      while (i < s.length) {
+        val v = s(i).toInt
+        if (i > 0 && ((v >= 0) != (s(i - 1) >= 0))) zc += 1
+        val a = math.abs(v.toLong)
+        if (a > peak) peak = a
+        corr += (if (((i >> 3) & 1) == 0) v.toLong else -v.toLong)
+        i += 1
+      }
+      (s.length.toLong, zc, peak, corr)
+    }
+  }
+
   /** REAL image decode for uncompressed 24-bit BMP — header parse +
     * per-pixel integer luma, no codec library involved. Emits true
     * dimensions and the average Rec.601 luma ×1000 (the

@@ -359,6 +359,31 @@ object AnalyticsQueries extends QueryPack {
       .select(col("vec_id"), col("label"),
         posexplode(col("q")).as(Seq("idx", "qv")))
 
+  /** The mm_wav_* synthesized mono 16-bit PCM WAV: sample(i) =
+    * (id·37 + i²) mod 65536 − 32768, per-doc length 500 + id%1000 and
+    * rate 8000 + (id%4)·4000 — one builder for the energy and the
+    * sample-feature queries so their streams cannot drift apart.
+    */
+  private def wavBytesOf(id: Long): Array[Byte] = {
+    val n = 500 + (id % 1000).toInt
+    val rate = 8000 + (id % 4).toInt * 4000
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1) // PCM, mono
+    bb.putInt(rate); bb.putInt(rate * 2); bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+    var i = 0L
+    while (i < n) {
+      bb.putShort((((id * 37 + i * i) % 65536) - 32768).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
   /** SimHash signatures per document: 16-bit signature from per-token
     * md5 bits, majority-voted per bit. Map-side explode + two partial
     * aggregations — the single shared lineage behind `dd_simhash`,
@@ -2054,25 +2079,7 @@ object AnalyticsQueries extends QueryPack {
       import graft.analytics.Multimodal
       Tables.documents(s, d)
         .select(col("doc_id")).filter(col("doc_id") < 200)
-        .as[Long].map { id =>
-          val n = 500 + (id % 1000).toInt
-          val rate = 8000 + (id % 4).toInt * 4000
-          val dataLen = n * 2
-          val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
-            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
-          bb.put("WAVE".getBytes("US-ASCII"))
-          bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
-          bb.putShort(1); bb.putShort(1) // PCM, mono
-          bb.putInt(rate); bb.putInt(rate * 2); bb.putShort(2); bb.putShort(16)
-          bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
-          var i = 0L
-          while (i < n) {
-            bb.putShort((((id * 37 + i * i) % 65536) - 32768).toShort)
-            i += 1
-          }
-          Multimodal.MediaRow(id, "audio", bb.array())
-        }
+        .as[Long].map(id => Multimodal.MediaRow(id, "audio", wavBytesOf(id)))
         .transform(m => Multimodal.extractFeatures(m,
           new Multimodal.FormatAwareCodec))
         .toDF()
@@ -2080,6 +2087,29 @@ object AnalyticsQueries extends QueryPack {
           col("sampleRate").as("sample_rate"), col("channels"),
           col("durationMs").as("duration_ms"),
           col("energyMilli").as("energy_milli"))
+    }),
+
+    // Real sample-level audio features, ORACLE-CHECKED (the feature
+    // tier above mm_wav_energy's one scalar): the same synthesized
+    // WAVs decode through the RIFF walk into actual sample arrays
+    // (Multimodal.Wav), from which integer-exact features compute —
+    // zero-crossing count (sign = v ≥ 0), peak |v|, and the
+    // correlation against a ±1 square wave of period 16 (the
+    // deterministic spectral proxy a tone/silence gate uses). The
+    // oracle recomputes all three from the sample formula with a
+    // per-doc lag window.
+    "mm_wav_features" -> ((s, d) => {
+      import s.implicits._
+      import graft.analytics.Multimodal
+      Tables.documents(s, d)
+        .select(col("doc_id")).filter(col("doc_id") < 200)
+        .as[Long].map { id =>
+          val (n, zc, peak, corr) = Multimodal.Wav.decode(wavBytesOf(id))
+            .map(Multimodal.Wav.features)
+            .getOrElse((-1L, -1L, -1L, 0L))
+          (id, n, zc, peak, corr)
+        }
+        .toDF("doc_id", "n_samples", "zero_cross", "peak_abs", "sq_corr")
     }),
 
     // Real 24-bit BMP decode, ORACLE-CHECKED (the last decoder to get
@@ -3706,6 +3736,26 @@ object AnalyticsQueries extends QueryPack {
         |  ((n * 1000) // rate)::BIGINT AS duration_ms,
         |  (((ss * 1000) // n) // 1073741824)::BIGINT AS energy_milli
         |FROM agg""".stripMargin,
+    "mm_wav_features" ->
+      """WITH d AS (
+        |  SELECT doc_id AS id, 500 + doc_id % 1000 AS n
+        |  FROM documents WHERE doc_id < 200),
+        |s AS (
+        |  SELECT id, unnest(generate_series(0, n - 1)) AS i FROM d),
+        |v AS (
+        |  SELECT id, i, (id * 37 + i * i) % 65536 - 32768 AS v FROM s),
+        |zc AS (
+        |  SELECT id, i, v,
+        |    CASE WHEN lag(v) OVER w IS NOT NULL
+        |          AND (v >= 0) != (lag(v) OVER w >= 0)
+        |         THEN 1 ELSE 0 END AS z
+        |  FROM v WINDOW w AS (PARTITION BY id ORDER BY i))
+        |SELECT id AS doc_id, count(*)::BIGINT AS n_samples,
+        |  sum(z)::BIGINT AS zero_cross,
+        |  max(abs(v))::BIGINT AS peak_abs,
+        |  sum(CASE WHEN (i // 8) % 2 = 0 THEN v ELSE -v END)::BIGINT
+        |    AS sq_corr
+        |FROM zc GROUP BY id""".stripMargin,
     "mm_ahash" ->
       """WITH g AS (SELECT unnest(range(8)) AS v),
         |cells AS (
