@@ -22,6 +22,7 @@ object SparkEntry {
     IncrementalDedup,
     IncrementalAnn,
     QualityClassifier,
+    HybridRetrieval,
     GraphQueries
   )
 

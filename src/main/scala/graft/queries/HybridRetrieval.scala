@@ -1,0 +1,250 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hybrid lexical+vector retrieval fused by reciprocal-rank fusion —
+  * the retrieval stack a production corpus pipeline runs for eval-set
+  * mining, targeted decontamination, and RAG-style nearest-document
+  * audits: a BM25 leg over an inverted index and an ANN leg over the
+  * embedding table, combined with RRF (Cormack et al.), the standard
+  * score-free fusion that needs no cross-leg calibration.
+  *
+  * Scale shape (each leg bounds its own fan-out BEFORE anything
+  * query×corpus can form):
+  *   - The lexical leg prunes each query to its [[QTerms]] RAREST
+  *     terms (classic idf-ordered query pruning) and prunes each
+  *     term's posting list to its [[Champions]] highest-tf postings
+  *     (champion lists / impact ordering). The champion cut is an
+  *     exact distributed top-K per term: rank within 32 doc-id shards
+  *     first, then rank the ≤32·C shard survivors — no window ever
+  *     sees a corpus-sized partition, yet the result equals the
+  *     single-window top-K (any global top-C row is top-C in its
+  *     shard). Candidates per query are then ≤ QTerms·Champions
+  *     regardless of corpus size.
+  *   - The vector leg is the LSH-bucketed two-stage top-k
+  *     ([[AnalyticsQueries.lshTopK]]) — candidate generation keyed on
+  *     the bucket, exact rerank of candidates only.
+  *   - Fusion joins two ≤(|Q|·k)-row leg outputs — control-plane
+  *     sized however big the corpus is.
+  *
+  * Determinism across engines: BM25 uses [[AnalyticsQueries]]'
+  * integer micro-unit formulation (idf snapped to u6 immediately; the
+  * k1=1.2/b=0.75 arithmetic exact integer division), ranks break ties
+  * by id, and RRF contributions are floor(10⁶/(60+rank)) — integer
+  * division on both engines, so a last-ulp libm difference can never
+  * reorder a fused list.
+  */
+object HybridRetrieval extends QueryPack {
+
+  private val MaxQid = 20
+  private val QTerms = 8
+  private val Champions = 100
+  private val LegK = 10
+  private val FuseK = 5
+  private val RrfK = 60
+
+  /** Champion lists: exact two-phase top-`c` per term by
+    * (tf desc, doc_id asc) — shard-local rank first, then rank the
+    * ≤32·c shard survivors, so no window ever sees a corpus-sized
+    * partition. Equals the single-window top-`c` exactly: any row in
+    * the global top-c has at most c−1 rows ahead of it globally, so
+    * at most c−1 in its own shard. */
+  private[queries] def championsOf(postings: DataFrame, c: Int): DataFrame = {
+    val ord = Seq(col("tf").desc, col("doc_id").asc)
+    val w1 = Window.partitionBy(col("tok"), col("shard")).orderBy(ord: _*)
+    val w2 = Window.partitionBy(col("tok")).orderBy(ord: _*)
+    postings.withColumn("shard", pmod(col("doc_id"), lit(32)))
+      .withColumn("r1", row_number().over(w1)).filter(col("r1") <= c)
+      .withColumn("r2", row_number().over(w2)).filter(col("r2") <= c)
+      .drop("shard", "r1", "r2")
+  }
+
+  /** Per-query BM25 top-[[LegK]] over champion lists: (qid, nid,
+    * score_u6, lrank). */
+  private[queries] def lexTopK(s: SparkSession, d: String): DataFrame = {
+    val tk = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val dl = tk.select(col("doc_id"), size(col("tk")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val postings = tk.select(col("doc_id"), explode(col("tk")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .join(dl, Seq("doc_id"))
+    val dfreq = postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+
+    // idf-ordered query pruning: the QTerms rarest terms per query.
+    // The query-side posting slice is |Q|-sized — IT broadcasts; dfreq
+    // is vocabulary-sized and never does.
+    val qw = Window.partitionBy(col("qid"))
+      .orderBy(col("df").asc, col("tok").asc)
+    val qterms = dfreq
+      .join(broadcast(postings.filter(col("doc_id") < MaxQid)
+        .select(col("doc_id").as("qid"), col("tok"))), Seq("tok"))
+      .withColumn("qr", row_number().over(qw))
+      .filter(col("qr") <= QTerms)
+      .select(col("qid"), col("tok"), col("df"))
+
+    val champ = championsOf(postings, Champions)
+
+    // integer BM25 (k1=6/5, b=3/4), same bounds analysis as tx_bm25
+    val lw = Window.partitionBy(col("qid"))
+      .orderBy(col("score_u6").desc, col("nid").asc)
+    champ.join(broadcast(qterms), Seq("tok"))
+      .filter(col("doc_id") =!= col("qid"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_u6", expr(
+        "cast(floor(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)" +
+        " * 1000000.0) as bigint)"))
+      .withColumn("term_u6", expr(
+        "idf_u6 * tf * 22 * sum_dl div" +
+        " (10 * tf * sum_dl + 3 * sum_dl + 9 * dl * n_docs)"))
+      .groupBy(col("qid"), col("doc_id").as("nid"))
+      .agg(sum(col("term_u6")).as("score_u6"))
+      .withColumn("lrank", row_number().over(lw))
+      .filter(col("lrank") <= LegK)
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the lexical leg on its own — per-query BM25 over champion
+    // lists, the inverted-index serving path
+    "sim_lex_topk" -> ((s, d) =>
+      lexTopK(s, d).select(col("qid"), col("nid"),
+        col("score_u6"), col("lrank"))),
+    // the fused ranking — RRF of the lexical and LSH-vector legs
+    "sim_hybrid_rrf" -> ((s, d) => {
+      val vleg = AnalyticsQueries.lshTopK(s, d, MaxQid, LegK)
+        .select(col("qid"), col("nid"), col("rank").as("vrank"))
+      val lleg = lexTopK(s, d).select(col("qid"), col("nid"), col("lrank"))
+      val fw = Window.partitionBy(col("qid"))
+        .orderBy(col("rrf_u6").desc, col("nid").asc)
+      vleg.join(lleg, Seq("qid", "nid"), "full_outer")
+        .withColumn("rrf_u6",
+          when(col("vrank").isNotNull,
+            expr(s"cast(1000000 as bigint) div cast($RrfK + vrank as bigint)"))
+            .otherwise(lit(0L)) +
+          when(col("lrank").isNotNull,
+            expr(s"cast(1000000 as bigint) div cast($RrfK + lrank as bigint)"))
+            .otherwise(lit(0L)))
+        .withColumn("rank", row_number().over(fw))
+        .filter(col("rank") <= FuseK)
+        .select(col("qid"), col("nid"),
+          coalesce(col("vrank"), lit(0)).as("vrank"),
+          coalesce(col("lrank"), lit(0)).as("lrank"),
+          col("rrf_u6"), col("rank"))
+    })
+  )
+
+  /** The lexical-leg SQL shared by both oracles (everything up to the
+    * ranked BM25 lists). The champion cut is the single-window top-K
+    * the two-phase Spark plan provably equals. */
+  private def lexSql: String =
+    s"""tk AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |dl AS (SELECT doc_id, len(tk)::BIGINT AS dl FROM tk),
+       |stats AS (
+       |  SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl
+       |  FROM dl),
+       |postings AS (
+       |  SELECT t.doc_id, t.tok, count(*)::BIGINT AS tf
+       |  FROM (SELECT doc_id, unnest(tk) AS tok FROM tk) t
+       |  GROUP BY 1, 2),
+       |dfreq AS (SELECT tok, count(*)::BIGINT AS df FROM postings GROUP BY 1),
+       |qterms AS (
+       |  SELECT qid, tok, df FROM (
+       |    SELECT p.doc_id AS qid, p.tok, f.df, row_number() OVER (
+       |      PARTITION BY p.doc_id ORDER BY f.df ASC, p.tok ASC) AS qr
+       |    FROM postings p JOIN dfreq f USING (tok)
+       |    WHERE p.doc_id < $MaxQid)
+       |  WHERE qr <= $QTerms),
+       |champ AS (
+       |  SELECT doc_id, tok, tf FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY tok ORDER BY tf DESC, doc_id ASC) AS cr
+       |    FROM postings)
+       |  WHERE cr <= $Champions),
+       |lcand AS (
+       |  SELECT q.qid, c.doc_id AS nid,
+       |    sum((floor(ln((n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0)
+       |           * 1000000.0)::BIGINT * c.tf * 22 * sum_dl)
+       |        // (10 * c.tf * sum_dl + 3 * sum_dl + 9 * dl.dl * n_docs)
+       |       )::BIGINT AS score_u6
+       |  FROM champ c JOIN qterms q USING (tok)
+       |  JOIN dl ON dl.doc_id = c.doc_id
+       |  CROSS JOIN stats
+       |  WHERE c.doc_id <> q.qid
+       |  GROUP BY 1, 2),
+       |lleg AS (
+       |  SELECT qid, nid, score_u6, lrank FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY qid ORDER BY score_u6 DESC, nid ASC) AS lrank
+       |    FROM lcand)
+       |  WHERE lrank <= $LegK)""".stripMargin
+
+  /** The LSH-vector-leg SQL — mirrors [[AnalyticsQueries.lshTopK]]
+    * exactly (same planes, quantization, cosine rounding, tie-break)
+    * at k = [[LegK]]. */
+  private def vecSql: String =
+    s"""planes AS (
+       |  SELECT p.plane, d.dim,
+       |    ('0x' || substr(md5(p.plane || ',' || d.dim),1,4))::INT % 16 - 8 AS w
+       |  FROM (SELECT unnest(generate_series(0,7)) AS plane) p,
+       |       (SELECT unnest(generate_series(0,63)) AS dim) d),
+       |f AS (
+       |  SELECT vec_id, generate_subscripts(embedding,1) - 1 AS idx,
+       |    floor(unnest(embedding)::DOUBLE * 1000000)::BIGINT AS qv
+       |  FROM embeddings),
+       |pdots AS (
+       |  SELECT vec_id, plane, sum(qv * w) AS dot
+       |  FROM f JOIN planes ON idx = dim
+       |  GROUP BY 1, 2),
+       |buckets AS (
+       |  SELECT vec_id,
+       |    sum(CASE WHEN dot > 0 THEN 1 << plane::INT ELSE 0 END)::BIGINT AS bucket
+       |  FROM pdots GROUP BY vec_id),
+       |norms AS (
+       |  SELECT vec_id, sqrt(sum(qv * qv)::DOUBLE) AS norm FROM f GROUP BY 1),
+       |vcand AS (
+       |  SELECT q.vec_id AS qid, n.vec_id AS nid,
+       |    sum(q.qv * n.qv)::DOUBLE AS dot
+       |  FROM f q JOIN f n ON q.idx = n.idx AND q.vec_id <> n.vec_id
+       |  JOIN buckets bq ON bq.vec_id = q.vec_id
+       |  JOIN buckets bn ON bn.vec_id = n.vec_id AND bq.bucket = bn.bucket
+       |  WHERE q.vec_id < $MaxQid
+       |  GROUP BY 1, 2),
+       |vscored AS (
+       |  SELECT qid, nid, round(dot / (nq.norm * nn.norm), 4) AS cosine
+       |  FROM vcand JOIN norms nq ON nq.vec_id = qid
+       |  JOIN norms nn ON nn.vec_id = nid),
+       |vleg AS (
+       |  SELECT qid, nid, vrank FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS vrank
+       |    FROM vscored)
+       |  WHERE vrank <= $LegK)""".stripMargin
+
+  override def oracle: Map[String, String] = Map(
+    "sim_lex_topk" ->
+      s"""WITH $lexSql
+         |SELECT qid, nid, score_u6, lrank FROM lleg""".stripMargin,
+    "sim_hybrid_rrf" ->
+      s"""WITH $lexSql,
+         |$vecSql,
+         |fused AS (
+         |  SELECT coalesce(v.qid, l.qid) AS qid,
+         |    coalesce(v.nid, l.nid) AS nid,
+         |    coalesce(v.vrank, 0) AS vrank,
+         |    coalesce(l.lrank, 0) AS lrank,
+         |    (CASE WHEN v.vrank IS NOT NULL
+         |       THEN 1000000 // ($RrfK + v.vrank) ELSE 0 END +
+         |     CASE WHEN l.lrank IS NOT NULL
+         |       THEN 1000000 // ($RrfK + l.lrank) ELSE 0 END)::BIGINT AS rrf_u6
+         |  FROM vleg v FULL OUTER JOIN lleg l
+         |    ON v.qid = l.qid AND v.nid = l.nid)
+         |SELECT qid, nid, vrank, lrank, rrf_u6, rank FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY qid ORDER BY rrf_u6 DESC, nid ASC) AS rank
+         |  FROM fused)
+         |WHERE rank <= $FuseK""".stripMargin
+  )
+}
