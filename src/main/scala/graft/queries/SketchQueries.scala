@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** HyperLogLog built from first principles as a relational
+  * aggregation — the sketch that replaces exact COUNT(DISTINCT) at
+  * 100 TB: registers are a groupBy(bucket).max(rho), so the corpus is
+  * one partial-agg shuffle of ≤ m rows per group, the register table
+  * is the persistable/mergeable artifact (merge = max per bucket —
+  * demonstrated literally by the `_all` row), and the estimate reads
+  * m rows. Flajolet et al. 2007; m = 64 registers (p = 6).
+  *
+  * Cross-engine determinism, layer by layer:
+  *   - hash = first 15 hex chars of md5 (60 bits, always positive in
+  *     a signed 64) — the pack-wide md5-prefix convention;
+  *     bucket = h mod 64, suffix = h div 64 (54 bits; mod/div on
+  *     non-negative values agree across engines);
+  *   - rho = leading zeros of the suffix + 1 = 55 − length(bin(s))
+  *     (both engines' `bin` renders without leading zeros; s = 0 is
+  *     the 55 case) — integer-exact, no float log;
+  *   - Σ 2^−rho sums powers of two with exponent spread ≤ 55, so the
+  *     double sum is EXACTLY representable whatever the summation
+  *     order — deterministic across engines;
+  *   - the only libm calls are the final estimate's constants and
+  *     ln(64/V) in the linear-counting branch, snapped by round(…,4)
+  *     on identical inputs (the tx_bm25 idf precedent). The raw-
+  *     estimate constant α·m² is the literal 2904.064 on BOTH sides
+  *     so neither engine re-derives it with its own decimal rules.
+  *
+  * The small-range correction is the standard one: when the raw
+  * estimate ≤ 2.5·m and empty registers exist, fall back to linear
+  * counting m·ln(m/V). At sf0.01 (150 users) the linear branch is
+  * live; at sf0.1 (1500) the raw branch is — both regimes are
+  * oracle-checked.
+  */
+object SketchQueries extends QueryPack {
+
+  private val M = 64
+  private val W = 54 // suffix bits: 60-bit hash minus 6 bucket bits
+
+  /** (group, bucket, rho) sparse registers for distinct user_id,
+    * grouped by `groupCol`. */
+  private[queries] def registersOf(src: DataFrame, groupCol: String): DataFrame =
+    src.filter(col("user_id").isNotNull)
+      .withColumn("h", expr(
+        "cast(conv(substring(md5(cast(user_id as string)),1,15),16,10)" +
+        " as bigint)"))
+      .withColumn("bucket", pmod(col("h"), lit(M)).cast("int"))
+      .withColumn("sfx", expr(s"h div $M"))
+      .withColumn("rho", when(col("sfx") === 0, lit(W + 1))
+        .otherwise(lit(W + 1) - length(bin(col("sfx")))))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(max(col("rho")).as("rho"))
+
+  /** Dense registers (absent → 0) and the estimate per group. */
+  private def estimateOf(reg: DataFrame, groupCol: String): DataFrame = {
+    val dense = reg.select(col(groupCol)).distinct()
+      .select(col(groupCol), explode(sequence(lit(0), lit(M - 1))).as("bucket"))
+      .join(reg, Seq(groupCol, "bucket"), "left")
+      .select(col(groupCol), col("bucket"),
+        coalesce(col("rho"), lit(0)).as("rho"))
+    dense.groupBy(col(groupCol))
+      .agg(expr("sum(pow(cast(2.0 as double), -rho))").as("z"),
+        sum(when(col("rho") === 0, 1).otherwise(0)).as("v"))
+      .withColumn("est_hll", expr(
+        "round(CASE WHEN cast(2904.064 as double) / z <= 160 AND v > 0" +
+        " THEN 64 * ln(cast(64.0 as double) / v)" +
+        " ELSE cast(2904.064 as double) / z END, 4)"))
+      .select(col(groupCol), col("est_hll"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the shippable artifact: the global dense register table — 64
+    // integer rows that summarize every user_id in the corpus
+    "q_hll_registers" -> ((s, d) => {
+      val reg = registersOf(
+        Tables.events(s, d).select(lit("g").as("g"), col("user_id")), "g")
+      reg.sparkSession.range(M).select(col("id").cast("int").as("bucket"))
+        .join(reg.drop("g"), Seq("bucket"), "left")
+        .select(col("bucket"), coalesce(col("rho"), lit(0)).as("rho"))
+    }),
+    // per-event_type distinct-user estimates plus the merged `_all`
+    // row (register max-merge — the HLL mergeability property,
+    // exercised literally), each against the exact count
+    "q_hll_users" -> ((s, d) => {
+      val src = Tables.events(s, d).select(col("event_type"), col("user_id"))
+      val perType = registersOf(src, "event_type")
+      val merged = perType.groupBy(col("bucket"))
+        .agg(max(col("rho")).as("rho"))
+        .select(lit("_all").as("event_type"), col("bucket"), col("rho"))
+      val est = estimateOf(perType.unionByName(merged), "event_type")
+      val exact = src.filter(col("user_id").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+        .unionByName(src.filter(col("user_id").isNotNull)
+          .agg(countDistinct(col("user_id")).as("n_exact"))
+          .select(lit("_all").as("event_type"), col("n_exact")))
+      est.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("n_exact"), col("est_hll"))
+    })
+  )
+
+  /** Shared register-building SQL (sparse, per event_type + `_all`). */
+  private def regSql: String =
+    s"""src AS (
+       |  SELECT event_type, user_id FROM events WHERE user_id IS NOT NULL),
+       |h AS (
+       |  SELECT event_type,
+       |    ('0x' || substr(md5(user_id::VARCHAR),1,15))::BIGINT AS h
+       |  FROM src),
+       |rr AS (
+       |  SELECT event_type, (h % $M)::INT AS bucket,
+       |    max(CASE WHEN h // $M = 0 THEN ${W + 1}
+       |             ELSE ${W + 1} - length(bin(h // $M)) END)::INT AS rho
+       |  FROM h GROUP BY 1, 2),
+       |allreg AS (
+       |  SELECT * FROM rr
+       |  UNION ALL
+       |  SELECT '_all' AS event_type, bucket, max(rho) AS rho
+       |  FROM rr GROUP BY 2)""".stripMargin
+
+  override def oracle: Map[String, String] = Map(
+    "q_hll_registers" ->
+      s"""WITH $regSql
+         |SELECT b.bucket, coalesce(r.rho, 0)::INT AS rho
+         |FROM (SELECT unnest(generate_series(0, ${M - 1}))::INT AS bucket) b
+         |LEFT JOIN (SELECT bucket, rho FROM allreg
+         |           WHERE event_type = '_all') r USING (bucket)""".stripMargin,
+    "q_hll_users" ->
+      s"""WITH $regSql,
+         |dense AS (
+         |  SELECT g.event_type, b.bucket, coalesce(r.rho, 0) AS rho
+         |  FROM (SELECT DISTINCT event_type FROM allreg) g
+         |  CROSS JOIN (SELECT unnest(generate_series(0, ${M - 1})) AS bucket) b
+         |  LEFT JOIN allreg r
+         |    ON r.event_type = g.event_type AND r.bucket = b.bucket),
+         |est AS (
+         |  SELECT event_type, sum(pow(2.0::DOUBLE, -rho)) AS z,
+         |    sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS v
+         |  FROM dense GROUP BY 1),
+         |ex AS (
+         |  SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact
+         |  FROM src GROUP BY 1
+         |  UNION ALL
+         |  SELECT '_all', count(DISTINCT user_id)::BIGINT FROM src)
+         |SELECT e.event_type, x.n_exact,
+         |  round(CASE WHEN 2904.064::DOUBLE / z <= 160 AND v > 0
+         |    THEN 64 * ln(64.0::DOUBLE / v)
+         |    ELSE 2904.064::DOUBLE / z END, 4) AS est_hll
+         |FROM est e JOIN ex x USING (event_type)""".stripMargin
+  )
+}

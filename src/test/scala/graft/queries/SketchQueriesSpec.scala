@@ -1,0 +1,65 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** HLL contract pins beyond what cross-engine bit-parity can show:
+  * rho is really the leading-zero rank (hand-computed hashes), the
+  * merge property holds for an arbitrary split of the input, and the
+  * estimate actually tracks the exact count within the m=64 error
+  * envelope at both testdata regimes.
+  */
+class SketchQueriesSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .getOrCreate()
+
+  private def regMap(src: org.apache.spark.sql.DataFrame) =
+    SketchQueries.registersOf(src, "g").collect()
+      .map(r => r.getInt(1) -> r.getInt(2)).toMap
+
+  test("rho equals hand-computed leading-zero rank of the md5 suffix") {
+    import spark.implicits._
+    val ids = Seq(7L, 42L, 123456789L)
+    val got = SketchQueries.registersOf(
+      ids.map(i => ("g", i)).toDF("g", "user_id"), "g")
+      .collect().map(r => r.getInt(1) -> r.getInt(2)).toMap
+    val want = ids.map { i =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      val (bucket, sfx) = ((h % 64).toInt, h / 64)
+      bucket -> (if (sfx == 0) 55 else 55 - (64 - java.lang.Long.numberOfLeadingZeros(sfx)))
+    }.groupBy(_._1).map { case (b, vs) => b -> vs.map(_._2).max }
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("register merge (max per bucket) equals registers of the union") {
+    import spark.implicits._
+    val a = (0L until 300L).map(("g", _)).toDF("g", "user_id")
+    val b = (200L until 700L).map(("g", _)).toDF("g", "user_id")
+    val merged = (regMap(a).toSeq ++ regMap(b).toSeq)
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+    assert(merged == regMap(a.unionByName(b)),
+      "max-merge of part registers diverged from whole-input registers")
+  }
+
+  test("estimates track exact counts within the m=64 error envelope") {
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val rows = SketchQueries.queries("q_hll_users")(spark, d).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val (exact, est) = (r.getLong(1), r.getDouble(2))
+        // 1.04/sqrt(64) = 13% stderr; allow 4 sigma
+        assert(math.abs(est - exact) <= 0.52 * exact + 2,
+          s"$d ${r.getString(0)}: est $est vs exact $exact out of envelope")
+      }
+    }
+  }
+}
