@@ -1899,6 +1899,53 @@ object AnalyticsQueries extends QueryPack {
           expr("sum(tf * nll_e6) div sum(tf)").as("avg_nll_e6"))
     }),
 
+    // Kneser-Ney-smoothed bigram NLL (the LM-quality signal CCNet-
+    // style pipelines actually use, vs tx_bigram_nll's additive
+    // interpolation): P(w|v) = max(c(vw)-D,0)/c(v) +
+    // D*N1+(v.)/c(v) * N1+(.w)/N1+(..) with the textbook D=0.75.
+    // D=3/4 makes every probability RATIONAL, so the model is exact
+    // scaled-integer arithmetic: p_u9 = (4c12-3)^+ * 1e9 div (4*c1)
+    //   + 3*n1v*n1w*1e9 div (4*c1*n11)  — two floored divisions both
+    // engines compute identically (all terms non-negative). Scale
+    // 1e9 keeps the discounted term nonzero whenever c12 >= 1 and
+    // 4*c1 <= 1e9 (c1 < 2.5e8 occurrences of one left token; at
+    // larger corpora widen to 1e12 and drop the n11 factor first).
+    // Bounds at sf0.1: (4c12)*1e9 < 2e15, 3*n1v*n1w*1e9 < 3e12,
+    // 4*c1*n11 < 4e9 — all inside a long. The only float is the
+    // final per-bigram ln, snapped to micro-nats before the exact
+    // integer per-doc average (the tx_bigram_nll convention). Plan
+    // shape: three partial-agg groupBys over bigram types (vocab-
+    // sized, not corpus-sized) + one broadcast scalar; scoring is one
+    // join of doc bigrams against the model keyed on the bigram.
+    "tx_kn_bigram" -> ((s, d) => {
+      val docBg = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"),
+          explode(Shingles.wordNgrams(col("tk"), 2)).as("bg"))
+        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("tf"))
+      val c12 = docBg.groupBy(col("bg")).agg(sum(col("tf")).as("c12"))
+        .withColumn("w1", substring_index(col("bg"), " ", 1))
+        .withColumn("w2", substring_index(col("bg"), " ", -1))
+      val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"),
+        count(lit(1)).as("n1v"))
+      val n1w = c12.groupBy(col("w2")).agg(count(lit(1)).as("n1w"))
+      val n11 = c12.agg(count(lit(1)).as("n11"))
+      val model = c12.join(c1, Seq("w1")).join(n1w, Seq("w2"))
+        .crossJoin(broadcast(n11))
+        .select(col("bg"), (
+          expr("greatest(4 * c12 - 3, 0) * cast(1000000000 as bigint)" +
+            " div (4 * c1)") +
+          expr("3 * n1v * n1w * cast(1000000000 as bigint)" +
+            " div (4 * c1 * n11)")).as("p_u9"))
+        .select(col("bg"),
+          expr("cast(floor(ln(1000000000.0 / p_u9) * 1000000) as bigint)")
+            .as("nll_u6"))
+      docBg.join(model, Seq("bg"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("n_bigrams"),
+          expr("sum(tf * nll_u6) div sum(tf)").as("avg_nll_u6"))
+    }),
+
     // Intra-document repeated-window fraction (the within-doc half of
     // the Gopher duplicate-n-gram rules; the CROSS-doc half is
     // dd_span_dedup): share of 10-token windows whose exact text
@@ -2927,6 +2974,39 @@ object AnalyticsQueries extends QueryPack {
         |SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
         |  sum(tf * nll_e6)::BIGINT // sum(tf)::BIGINT AS avg_nll_e6
         |FROM docbg JOIN model USING (bg)
+        |GROUP BY 1""".stripMargin,
+    "tx_kn_bigram" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |bg0 AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
+        |    THEN list_transform(generate_series(1, len(tk) - 1),
+        |           i -> tk[i] || ' ' || tk[i + 1])
+        |    ELSE [] END) AS bg
+        |  FROM tk),
+        |docbg AS (
+        |  SELECT doc_id, bg, count(*)::BIGINT AS tf FROM bg0 GROUP BY 1, 2),
+        |c12 AS (
+        |  SELECT bg, split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+        |    sum(tf)::BIGINT AS c12
+        |  FROM docbg GROUP BY 1, 2, 3),
+        |c1 AS (
+        |  SELECT w1, sum(c12)::BIGINT AS c1, count(*)::BIGINT AS n1v
+        |  FROM c12 GROUP BY 1),
+        |n1w AS (SELECT w2, count(*)::BIGINT AS n1w FROM c12 GROUP BY 1),
+        |n11 AS (SELECT count(*)::BIGINT AS n11 FROM c12),
+        |model AS (
+        |  SELECT bg,
+        |    (greatest(4 * c12.c12 - 3, 0) * 1000000000) // (4 * c1.c1)
+        |      + (3 * c1.n1v * n1w.n1w * 1000000000)
+        |        // (4 * c1.c1 * n11.n11) AS p_u9
+        |  FROM c12 JOIN c1 USING (w1) JOIN n1w USING (w2) CROSS JOIN n11),
+        |scored AS (
+        |  SELECT bg, floor(ln(1000000000.0 / p_u9) * 1000000)::BIGINT AS nll_u6
+        |  FROM model)
+        |SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
+        |  sum(tf * nll_u6)::BIGINT // sum(tf)::BIGINT AS avg_nll_u6
+        |FROM docbg JOIN scored USING (bg)
         |GROUP BY 1""".stripMargin,
     "tx_bm25" ->
       """WITH tk AS (
