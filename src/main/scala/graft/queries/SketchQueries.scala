@@ -70,7 +70,66 @@ object SketchQueries extends QueryPack {
       .select(col(groupCol), col("est_hll"))
   }
 
+  // ── Count-Min sketch (Cormode & Muthukrishnan 2005) ──────────────
+  // d=4 rows × w=128 counters; h_r(u) = first 8 md5 hex chars of
+  // "r:u" mod 128. ENTIRELY integer — build, point query, and the
+  // inner-product join-cardinality estimate have zero float ops, so
+  // cross-engine parity is unconditional. Build is an explode(×4) of
+  // the key column only plus one ≤512-row partial-agg shuffle — the
+  // sketch replaces corpus-sized exact frequency tables at 100 TB,
+  // and two sketches estimate a join size without running the join.
+  private val CmsD = 4
+  private val CmsW = 128
+
+  /** (r, j, c): the d×w counter table over `src`'s user_id column. */
+  private[queries] def cmsOf(src: DataFrame): DataFrame =
+    src.filter(col("user_id").isNotNull)
+      .select(col("user_id"),
+        explode(sequence(lit(0), lit(CmsD - 1))).as("r"))
+      .withColumn("j", expr(
+        s"cast(conv(substring(md5(concat(cast(r as string), ':'," +
+        s" cast(user_id as string))),1,8),16,10) as bigint) % $CmsW"))
+      .groupBy(col("r"), col("j"))
+      .agg(count(lit(1)).as("c"))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // point-query audit: CMS estimates vs exact counts for the ten
+    // heaviest users (estimate >= exact always — pinned in the spec)
+    "q_cms_heavy" -> ((s, d) => {
+      val src = Tables.events(s, d).select(col("user_id"))
+      val cms = cmsOf(src)
+      val top = src.filter(col("user_id").isNotNull)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("user_id").asc).limit(10)
+      top.select(col("user_id"), col("n_exact"),
+          explode(sequence(lit(0), lit(CmsD - 1))).as("r"))
+        .withColumn("j", expr(
+          s"cast(conv(substring(md5(concat(cast(r as string), ':'," +
+          s" cast(user_id as string))),1,8),16,10) as bigint) % $CmsW"))
+        .join(cms, Seq("r", "j"))
+        .groupBy(col("user_id"))
+        .agg(first(col("n_exact")).as("n_exact"), min(col("c")).as("n_est"))
+    }),
+    // join-size estimation WITHOUT the join: |A ⋈_user B| =
+    // Σ_u c_A(u)·c_B(u), estimated by min_r Σ_j A_r[j]·B_r[j] —
+    // the CMS inner-product estimator, beside the exact cardinality
+    "q_cms_join_card" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val a = cmsOf(ev.filter(col("event_type") === "click")
+        .select(col("user_id")))
+      val b = cmsOf(ev.filter(col("event_type") === "purchase")
+        .select(col("user_id")))
+      val est = a.join(b.withColumnRenamed("c", "cb"), Seq("r", "j"))
+        .groupBy(col("r")).agg(sum(col("c") * col("cb")).as("ip"))
+        .agg(min(col("ip")).as("est_card"))
+      val exact = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("ca"))
+        .join(ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id")).agg(count(lit(1)).as("cb")),
+          Seq("user_id"))
+        .agg(sum(col("ca") * col("cb")).as("true_card"))
+      exact.crossJoin(est)
+    }),
     // the shippable artifact: the global dense register table — 64
     // integer rows that summarize every user_id in the corpus
     "q_hll_registers" -> ((s, d) => {
@@ -120,7 +179,53 @@ object SketchQueries extends QueryPack {
        |  SELECT '_all' AS event_type, bucket, max(rho) AS rho
        |  FROM rr GROUP BY 2)""".stripMargin
 
+  /** CMS counter-table SQL over a keyed subquery named `src0`. */
+  private def cmsSql(src0: String, alias: String): String =
+    s"""$alias AS (
+       |  SELECT r, ('0x' || substr(md5(r::VARCHAR || ':' ||
+       |      user_id::VARCHAR),1,8))::BIGINT % $CmsW AS j,
+       |    count(*)::BIGINT AS c
+       |  FROM ($src0) s
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${CmsD - 1})) AS r) rs
+       |  WHERE user_id IS NOT NULL
+       |  GROUP BY 1, 2)""".stripMargin
+
   override def oracle: Map[String, String] = Map(
+    "q_cms_heavy" ->
+      s"""WITH ${cmsSql("SELECT user_id FROM events", "cms")},
+         |top AS (
+         |  SELECT user_id, count(*)::BIGINT AS n_exact
+         |  FROM events WHERE user_id IS NOT NULL
+         |  GROUP BY 1 ORDER BY n_exact DESC, user_id ASC LIMIT 10),
+         |probes AS (
+         |  SELECT t.user_id, t.n_exact, rs.r,
+         |    ('0x' || substr(md5(rs.r::VARCHAR || ':' ||
+         |        t.user_id::VARCHAR),1,8))::BIGINT % $CmsW AS j
+         |  FROM top t
+         |  CROSS JOIN (SELECT unnest(generate_series(0, ${CmsD - 1})) AS r) rs)
+         |SELECT p.user_id, min(p.n_exact)::BIGINT AS n_exact,
+         |  min(c.c)::BIGINT AS n_est
+         |FROM probes p JOIN cms c ON c.r = p.r AND c.j = p.j
+         |GROUP BY 1""".stripMargin,
+    "q_cms_join_card" ->
+      s"""WITH ${cmsSql(
+             "SELECT user_id FROM events WHERE event_type = 'click'", "ca")},
+         |${cmsSql(
+             "SELECT user_id FROM events WHERE event_type = 'purchase'", "cb")},
+         |ip AS (
+         |  SELECT a.r, sum(a.c * b.c)::BIGINT AS ip
+         |  FROM ca a JOIN cb b ON a.r = b.r AND a.j = b.j
+         |  GROUP BY 1),
+         |est AS (SELECT min(ip)::BIGINT AS est_card FROM ip),
+         |ex AS (
+         |  SELECT sum(a.n * b.n)::BIGINT AS true_card FROM
+         |    (SELECT user_id, count(*)::BIGINT AS n FROM events
+         |     WHERE event_type = 'click' GROUP BY 1) a
+         |  JOIN
+         |    (SELECT user_id, count(*)::BIGINT AS n FROM events
+         |     WHERE event_type = 'purchase' GROUP BY 1) b
+         |  USING (user_id))
+         |SELECT ex.true_card, est.est_card FROM ex CROSS JOIN est""".stripMargin,
     "q_hll_registers" ->
       s"""WITH $regSql
          |SELECT b.bucket, coalesce(r.rho, 0)::INT AS rho

@@ -50,6 +50,32 @@ class SketchQueriesSpec extends AnyFunSuite {
       "max-merge of part registers diverged from whole-input registers")
   }
 
+  test("CMS point estimates dominate exact counts and are tight for heavy keys") {
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val rows = SketchQueries.queries("q_cms_heavy")(spark, d).collect()
+      assert(rows.length == 10, s"$d: expected 10 heavy hitters")
+      rows.foreach { r =>
+        val (exact, est) = (r.getLong(1), r.getLong(2))
+        // one-sided error: CMS never under-counts
+        assert(est >= exact, s"$d: CMS under-counted $r")
+        // ε = e/w ≈ 2.1% of stream length per the (ε,δ) guarantee;
+        // allow the full bound (n ≤ 10·events here, loose but honest)
+        val n = rows.map(_.getLong(1)).sum * 10
+        assert(est - exact <= math.max(4, n / 37),
+          s"$d: CMS error beyond the e/w envelope: $r")
+      }
+    }
+  }
+
+  test("CMS inner product dominates the true join cardinality") {
+    val r = SketchQueries.queries("q_cms_join_card")(
+      spark, "/root/testdata/sf0.01").collect().head
+    val (truth, est) = (r.getLong(0), r.getLong(1))
+    assert(truth > 0, "degenerate zero-cardinality join proves nothing")
+    assert(est >= truth, s"inner-product estimate $est under true $truth")
+    assert(est <= truth * 3, s"estimate $est implausibly loose vs $truth")
+  }
+
   test("estimates track exact counts within the m=64 error envelope") {
     for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       val rows = SketchQueries.queries("q_hll_users")(spark, d).collect()
