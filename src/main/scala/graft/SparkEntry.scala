@@ -24,6 +24,7 @@ object SparkEntry {
     QualityClassifier,
     HybridRetrieval,
     SketchQueries,
+    IncrementalSketch,
     GraphQueries
   )
 

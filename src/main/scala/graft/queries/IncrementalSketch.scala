@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental sketch maintenance — the monoid twin of
+  * [[IncrementalDedup]]/[[IncrementalAnn]]: the corpus's HLL
+  * registers and Count-Min counters are persisted ONCE through the
+  * store's crash-safe append protocol, and each new event increment
+  * merges into them without rescanning old events. This is how a
+  * production pipeline keeps all-time distinct counts and frequency
+  * tables over 100 TB: sketches are commutative monoids (HLL merge =
+  * max per register, CMS merge = counter sum), so the store can be an
+  * append-only log whose READ is the merge — no compare-and-swap, no
+  * read-modify-write, and absorbing an increment is one atomic append
+  * of ≤ sketch-size rows.
+  *
+  * Scale shape: the increment path scans ONLY the increment slice of
+  * events (spec-pinned on the physical plan — exactly one
+  * events.parquet scan); the corpus side is the ≤(groups·64)-row /
+  * ≤512-row persisted sketch. Merge and estimate are control-plane
+  * sized whatever the corpus was.
+  *
+  * Correctness anchor: because merge is associative and commutative,
+  * the increment path must equal the from-scratch sketch over the
+  * union — the DuckDB oracles recompute exactly that, so a
+  * hash-match IS the incremental-equals-batch proof.
+  *
+  * Reference analogue: counters folded into persisted state rather
+  * than recomputed — the exchanged bytes/messages counter columns'
+  * merge discipline (`queries.ex:121-155`, `data_updater/impl.ex`
+  * stats updates).
+  */
+object IncrementalSketch extends QueryPack {
+
+  /** Increment membership: the most recent ~20% of events play the
+    * "new batch" role (non-negative ids, `%` agrees across engines). */
+  private val incPredicate = col("event_id") % 10 >= 8
+
+  private[graft] object SketchStore {
+    private val roots =
+      new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+    def rootFor(s: SparkSession, sfDir: String): String =
+      roots.computeIfAbsent(sfDir, _ => buildRoot(s, sfDir))
+
+    /** Uncached build of a fresh store root over the CORPUS slice
+      * only (the spec uses this for mutation-isolated absorb tests). */
+    private[graft] def buildRoot(s: SparkSession, sfDir: String): String = {
+      val root =
+        java.nio.file.Files.createTempDirectory("graft-sketch").toString
+      val corpus = Tables.events(s, sfDir).filter(!incPredicate)
+      graft.storage.AstarteStore.appendAtomic(
+        SketchQueries.registersOf(
+          corpus.select(col("event_type"), col("user_id")), "event_type"),
+        hllPath(root))
+      graft.storage.AstarteStore.appendAtomic(
+        SketchQueries.cmsOf(corpus.select(col("user_id"))), cmsPath(root))
+      root
+    }
+
+    def hllPath(root: String): String = s"$root/sketch_hll"
+    def cmsPath(root: String): String = s"$root/sketch_cms"
+
+    /** The merge-on-read views: the log may hold any number of
+      * absorbed generations; reading IS the monoid fold. */
+    def hllRegisters(s: SparkSession, root: String): DataFrame =
+      s.read.parquet(hllPath(root))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(max(col("rho")).as("rho"))
+    def cmsCounters(s: SparkSession, root: String): DataFrame =
+      s.read.parquet(cmsPath(root))
+        .groupBy(col("r"), col("j"))
+        .agg(sum(col("c")).as("c"))
+
+    /** Fold an increment's sketches into the log — one atomic append
+      * each, ≤ sketch-size rows, exactly-once by the store protocol
+      * (HLL absorb is idempotent under max; CMS absorb is NOT — the
+      * counter sum double-counts a replayed append, which is why the
+      * append, not the increment job, must be the exactly-once unit). */
+    def absorb(s: SparkSession, root: String, increment: DataFrame): Unit = {
+      graft.storage.AstarteStore.appendAtomic(
+        SketchQueries.registersOf(
+          increment.select(col("event_type"), col("user_id")), "event_type"),
+        hllPath(root))
+      graft.storage.AstarteStore.appendAtomic(
+        SketchQueries.cmsOf(increment.select(col("user_id"))), cmsPath(root))
+    }
+  }
+
+  /** The increment slice — the ONLY events scan in either query. */
+  private[graft] def incrementEvents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).filter(incPredicate)
+
+  /** Merged per-type + `_all` estimates from persisted corpus
+    * registers ⊕ increment registers. */
+  private[graft] def hllMerged(s: SparkSession, d: String,
+      root: String): DataFrame = {
+    val incReg = SketchQueries.registersOf(
+      incrementEvents(s, d).select(col("event_type"), col("user_id")),
+      "event_type")
+    // ≤ groups·64 rows; the estimate tail fans this frame out four
+    // ways (distinct groups, two dense joins, the `_all` merge) — the
+    // eager checkpoint materializes the increment scan ONCE instead
+    // of once per consumer
+    val perType = SketchStore.hllRegisters(s, root).unionByName(incReg)
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("rho")).as("rho"))
+      .localCheckpoint(true)
+    val merged = perType.groupBy(col("bucket"))
+      .agg(max(col("rho")).as("rho"))
+      .select(lit("_all").as("event_type"), col("bucket"), col("rho"))
+    SketchQueries.estimateOf(perType.unionByName(merged), "event_type")
+  }
+
+  /** Merged counter table from persisted corpus counters ⊕ increment
+    * counters. */
+  private[graft] def cmsMerged(s: SparkSession, d: String,
+      root: String): DataFrame =
+    SketchStore.cmsCounters(s, root)
+      .unionByName(SketchQueries.cmsOf(
+        incrementEvents(s, d).select(col("user_id"))))
+      .groupBy(col("r"), col("j"))
+      .agg(sum(col("c")).as("c"))
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // all-time distinct-user estimates maintained incrementally: the
+    // oracle recomputes from scratch over ALL events — a hash match
+    // proves merge(persisted, increment) == batch
+    "q_hll_incremental" -> ((s, d) =>
+      hllMerged(s, d, SketchStore.rootFor(s, d))),
+    // the all-time frequency sketch maintained incrementally — same
+    // contract, fully integer
+    "q_cms_incremental" -> ((s, d) =>
+      cmsMerged(s, d, SketchStore.rootFor(s, d)))
+  )
+
+  override def oracle: Map[String, String] = Map(
+    // from-scratch over the union — the incremental-equals-batch gate
+    "q_hll_incremental" ->
+      s"""WITH ${SketchQueries.regSql},
+         |dense AS (
+         |  SELECT g.event_type, b.bucket, coalesce(r.rho, 0) AS rho
+         |  FROM (SELECT DISTINCT event_type FROM allreg) g
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bucket) b
+         |  LEFT JOIN allreg r
+         |    ON r.event_type = g.event_type AND r.bucket = b.bucket)
+         |SELECT event_type,
+         |  round(CASE WHEN 2904.064::DOUBLE / z <= 160 AND v > 0
+         |    THEN 64 * ln(64.0::DOUBLE / v)
+         |    ELSE 2904.064::DOUBLE / z END, 4) AS est_hll
+         |FROM (
+         |  SELECT event_type, sum(pow(2.0::DOUBLE, -rho)) AS z,
+         |    sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS v
+         |  FROM dense GROUP BY 1)""".stripMargin,
+    "q_cms_incremental" ->
+      s"""WITH ${SketchQueries.cmsSql("SELECT user_id FROM events", "cms")}
+         |SELECT r, j, c FROM cms""".stripMargin
+  )
+}

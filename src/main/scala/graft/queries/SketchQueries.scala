@@ -54,7 +54,7 @@ object SketchQueries extends QueryPack {
       .agg(max(col("rho")).as("rho"))
 
   /** Dense registers (absent → 0) and the estimate per group. */
-  private def estimateOf(reg: DataFrame, groupCol: String): DataFrame = {
+  private[queries] def estimateOf(reg: DataFrame, groupCol: String): DataFrame = {
     val dense = reg.select(col(groupCol)).distinct()
       .select(col(groupCol), explode(sequence(lit(0), lit(M - 1))).as("bucket"))
       .join(reg, Seq(groupCol, "bucket"), "left")
@@ -161,7 +161,7 @@ object SketchQueries extends QueryPack {
   )
 
   /** Shared register-building SQL (sparse, per event_type + `_all`). */
-  private def regSql: String =
+  private[queries] def regSql: String =
     s"""src AS (
        |  SELECT event_type, user_id FROM events WHERE user_id IS NOT NULL),
        |h AS (
@@ -180,7 +180,7 @@ object SketchQueries extends QueryPack {
        |  FROM rr GROUP BY 2)""".stripMargin
 
   /** CMS counter-table SQL over a keyed subquery named `src0`. */
-  private def cmsSql(src0: String, alias: String): String =
+  private[queries] def cmsSql(src0: String, alias: String): String =
     s"""$alias AS (
        |  SELECT r, ('0x' || substr(md5(r::VARCHAR || ':' ||
        |      user_id::VARCHAR),1,8))::BIGINT % $CmsW AS j,
