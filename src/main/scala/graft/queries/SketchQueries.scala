@@ -41,7 +41,7 @@ object SketchQueries extends QueryPack {
 
   /** (group, bucket, rho) sparse registers for distinct user_id,
     * grouped by `groupCol`. */
-  private[queries] def registersOf(src: DataFrame, groupCol: String): DataFrame =
+  private[graft] def registersOf(src: DataFrame, groupCol: String): DataFrame =
     src.filter(col("user_id").isNotNull)
       .withColumn("h", expr(
         "cast(conv(substring(md5(cast(user_id as string)),1,15),16,10)" +

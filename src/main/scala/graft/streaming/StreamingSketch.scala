@@ -1,0 +1,36 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming HyperLogLog — all-time distinct counting over an
+  * unbounded stream with STATE BOUNDED BY CONSTRUCTION.
+  *
+  * This is the third state-bounding strategy in the engine's
+  * streaming family, and the only one that never discards
+  * information:
+  *   - [[StreamingDedup]] bounds state by watermark EVICTION (old
+  *     keys forgotten — correct only within the horizon);
+  *   - [[StreamingGate]] bounds election state by TTL;
+  *   - a sketch bounds state SUBLINEARLY BY DESIGN: the aggregation
+  *     state is ≤ m register rows however many events ever arrive,
+  *     so all-time semantics need no horizon at all.
+  *
+  * The register builder is literally
+  * [[graft.queries.SketchQueries.registersOf]] — the batch query's
+  * own code running under the streaming planner (groupBy + max is an
+  * incremental-friendly aggregation), so stream/batch parity holds by
+  * construction and is pinned by StreamingSketchSpec, which also
+  * asserts the ≤ m state bound from the engine's own state-operator
+  * metrics.
+  */
+object StreamingSketch {
+
+  /** All-time distinct-user_id HLL registers of a streaming frame
+    * carrying a `user_id` column. Run in update/complete output mode;
+    * the sink sees ≤ m rows. */
+  def hllRegisters(events: DataFrame): DataFrame =
+    graft.queries.SketchQueries.registersOf(
+      events.select(lit("g").as("g"), col("user_id")), "g")
+      .select(col("bucket"), col("rho"))
+}

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming HLL: the register state equals the batch registers over
+  * everything ever streamed (parity by literal code reuse), and the
+  * engine's own state metrics prove the ≤ m bound — all-time distinct
+  * counting with no watermark and no growth.
+  */
+class StreamingSketchSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("stream registers equal batch registers; state stays within m rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Long]
+    val regs = StreamingSketch.hllRegisters(input.toDS().toDF("user_id"))
+    val q = regs.writeStream
+      .format("memory").queryName("shll").outputMode("complete")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-shll").toString)
+      .start()
+    try {
+      val batch1 = (0L until 400L)
+      val batch2 = (300L until 900L) // overlaps batch1 — dups must not matter
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+
+      val got = spark.table("shll").collect()
+        .map(r => r.getInt(0) -> r.getInt(1)).toMap
+      val want = graft.queries.SketchQueries.registersOf(
+          (batch1 ++ batch2).toDF("user_id")
+            .select(lit("g").as("g"), col("user_id")), "g")
+        .collect().map(r => r.getInt(1) -> r.getInt(2)).toMap
+      assert(got == want, "streaming registers diverged from batch")
+
+      // the engine's own metrics: aggregation state ≤ m = 64 rows
+      // after 900 distinct keys
+      val stateRows = q.lastProgress.stateOperators.asScala
+        .map(_.numRowsTotal).sum
+      assert(stateRows <= 64,
+        s"sketch state should be bounded by m=64 registers, got $stateRows")
+      assert(stateRows > 0, "no state rows reported — metric read is wrong")
+    } finally q.stop()
+  }
+
+  private implicit class ArrOps[T](a: Array[T]) {
+    def asScala: Seq[T] = a.toSeq
+  }
+}
