@@ -448,4 +448,39 @@ class PlanSpec extends AnyFunSuite {
     assert(rs.contains("v_s:string") && rs.contains("v_d:double"))
     assert(!rs.contains("v_json"))
   }
+
+  test("sim_lex_topk: query terms broadcast into the champion join; no cartesian") {
+    val p = plan("sim_lex_topk")
+    // the |Q|-sized pruned query-term table is the broadcast side of
+    // the posting join — the corpus-sized champion table never
+    // broadcasts and never cartesians (the only nested-loop join is
+    // the 1-row stats scalar)
+    assert(p.contains("BroadcastHashJoin"),
+      s"query terms should broadcast-join the champions:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"), "unexpected cartesian")
+    // two-phase champion cut: two Window operators (shard-local rank,
+    // then the bounded global rank) — the shape that keeps corpus-
+    // sized partitions out of any single window
+    assert("Window".r.findAllIn(p).size >= 3, // qterms + 2 champion phases
+      "two-phase champion windows collapsed — corpus-sized window risk")
+  }
+
+  test("q_hll_users / q_cms_heavy: sketch builds aggregate map-side") {
+    for (q <- Seq("q_hll_users", "q_cms_heavy")) {
+      val p = plan(q)
+      assert(p.contains("partial_max") || p.contains("partial_count") ||
+        p.contains("partial_min"),
+        s"$q: sketch build lost its map-side combine:\n${p.take(2000)}")
+      assert(!p.contains("CartesianProduct"), s"$q: unexpected cartesian")
+    }
+  }
+
+  test("tx_kn_bigram: model tables join on the bigram; the type census broadcasts") {
+    val p = plan("tx_kn_bigram")
+    // n11 (1 row) must broadcast; doc-bigram scoring joins on bg
+    assert(p.contains("BroadcastExchange"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "bigram-type aggregations lost map-side combine")
+  }
 }
