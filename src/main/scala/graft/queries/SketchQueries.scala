@@ -92,7 +92,56 @@ object SketchQueries extends QueryPack {
       .groupBy(col("r"), col("j"))
       .agg(count(lit(1)).as("c"))
 
+  // ── KMV (k-minimum-values / bottom-k) sketch ─────────────────────
+  // The set-operation sketch HLL cannot be: intersections. Keep the
+  // k=32 smallest 60-bit hashes per set; |S| ≈ (k−1)·2⁶⁰/h_(k), and
+  // |A∩B| ≈ (matches within the union's bottom-k)/k · |A∪B|-estimate
+  // (Bar-Yossef et al. / theta-sketch style). Fully deterministic:
+  // bottom-k selection is exact (TakeOrderedAndProject — a
+  // distributed top-k, never a global sort), and the one division is
+  // IEEE-exact on identical inputs (2⁶⁰ and 31·2⁶⁰ are exact doubles).
+  private val KmvK = 32
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // "how many high-quality English documents?" answered from
+    // sketches: A = quality gate (n_chars ≥ 400), B = lang = 'en';
+    // exact counts ride along as the audit columns. ONE corpus scan:
+    // rows are tagged with set membership and checkpointed, every
+    // sketch and exact count derives from the tagged frame.
+    "q_kmv_intersect" -> ((s, d) => {
+      val tagged = Tables.documents(s, d)
+        .select(expr("cast(conv(substring(md5(cast(doc_id as string))" +
+            ",1,15),16,10) as bigint)").as("h"),
+          when(col("n_chars") >= 400, 1).otherwise(0).as("in_a"),
+          when(col("lang") === "en", 1).otherwise(0).as("in_b"))
+        .groupBy(col("h"))
+        .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+        .localCheckpoint(true) // 4 consumers below; scan the corpus once
+      def sk(pred: org.apache.spark.sql.Column) = tagged.filter(pred)
+        .orderBy(col("h")).limit(KmvK)
+      def estOf(sketch: DataFrame, name: String) = sketch
+        .agg(count(lit(1)).as("cnt"), max(col("h")).as("mx"))
+        .select(expr(
+          s"CASE WHEN cnt < $KmvK THEN cast(cnt as double)" +
+          " ELSE round(cast(31 as double) *" +
+          " cast(1152921504606846976 as double) / mx, 4) END").as(name),
+          col("cnt").as(s"${name}_cnt"))
+      val exacts = tagged.agg(
+        sum(col("in_a")).as("n_a"), sum(col("in_b")).as("n_b"),
+        sum(col("in_a") * col("in_b")).as("n_inter"))
+      val estA = estOf(sk(col("in_a") === 1), "est_a").select("est_a")
+      val estB = estOf(sk(col("in_b") === 1), "est_b").select("est_b")
+      val ku = sk(col("in_a") === 1 || col("in_b") === 1)
+      val estU = ku
+        .agg(count(lit(1)).as("cnt"), max(col("h")).as("mx"),
+          sum(col("in_a") * col("in_b")).as("both"))
+        .select(expr(
+          s"CASE WHEN cnt < $KmvK THEN cast(both as double)" +
+          " ELSE round(cast(both as double) *" +
+          " (cast(31 as double) * cast(1152921504606846976 as double)" +
+          s" / mx) / $KmvK, 4) END").as("est_inter"))
+      exacts.crossJoin(estA).crossJoin(estB).crossJoin(estU)
+    }),
     // point-query audit: CMS estimates vs exact counts for the ten
     // heaviest users (estimate >= exact always — pinned in the spec)
     "q_cms_heavy" -> ((s, d) => {
@@ -191,6 +240,38 @@ object SketchQueries extends QueryPack {
        |  GROUP BY 1, 2)""".stripMargin
 
   override def oracle: Map[String, String] = Map(
+    "q_kmv_intersect" ->
+      s"""WITH tagged AS (
+         |  SELECT ('0x' || substr(md5(doc_id::VARCHAR),1,15))::BIGINT AS h,
+         |    max(CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END) AS in_a,
+         |    max(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS in_b
+         |  FROM documents GROUP BY 1),
+         |sa AS (
+         |  SELECT count(*)::BIGINT AS cnt, max(h) AS mx FROM (
+         |    SELECT h FROM tagged WHERE in_a = 1 ORDER BY h LIMIT $KmvK)),
+         |sb AS (
+         |  SELECT count(*)::BIGINT AS cnt, max(h) AS mx FROM (
+         |    SELECT h FROM tagged WHERE in_b = 1 ORDER BY h LIMIT $KmvK)),
+         |su AS (
+         |  SELECT count(*)::BIGINT AS cnt, max(h) AS mx,
+         |    sum(in_a * in_b)::BIGINT AS both FROM (
+         |    SELECT h, in_a, in_b FROM tagged
+         |    WHERE in_a = 1 OR in_b = 1 ORDER BY h LIMIT $KmvK)),
+         |ex AS (
+         |  SELECT sum(in_a)::BIGINT AS n_a, sum(in_b)::BIGINT AS n_b,
+         |    sum(in_a * in_b)::BIGINT AS n_inter FROM tagged)
+         |SELECT ex.n_a, ex.n_b, ex.n_inter,
+         |  CASE WHEN sa.cnt < $KmvK THEN sa.cnt::DOUBLE
+         |    ELSE round(31::DOUBLE * 1152921504606846976::DOUBLE / sa.mx, 4)
+         |    END AS est_a,
+         |  CASE WHEN sb.cnt < $KmvK THEN sb.cnt::DOUBLE
+         |    ELSE round(31::DOUBLE * 1152921504606846976::DOUBLE / sb.mx, 4)
+         |    END AS est_b,
+         |  CASE WHEN su.cnt < $KmvK THEN su.both::DOUBLE
+         |    ELSE round(su.both::DOUBLE *
+         |      (31::DOUBLE * 1152921504606846976::DOUBLE / su.mx)
+         |      / $KmvK, 4) END AS est_inter
+         |FROM ex, sa, sb, su""".stripMargin,
     "q_cms_heavy" ->
       s"""WITH ${cmsSql("SELECT user_id FROM events", "cms")},
          |top AS (

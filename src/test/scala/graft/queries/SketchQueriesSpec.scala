@@ -67,6 +67,36 @@ class SketchQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("KMV: below-k sets are exact; above-k estimates stay in the k=32 envelope") {
+    // a hand-built corpus with both sets smaller than k — the sketch
+    // IS the set, the guard branch must return the exact counts
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("kmv").toString
+    (0L until 20L).map(i => (i,
+        "t", if (i % 2 == 0) "en" else "de", "s",
+        if (i < 8) 500L else 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val small = SketchQueries.queries("q_kmv_intersect")(spark, dir)
+      .collect().head
+    assert(small.getLong(0) == 8 && small.getLong(1) == 10 &&
+           small.getLong(2) == 4, s"hand corpus misread: $small")
+    assert(small.getDouble(3) == 8.0 && small.getDouble(4) == 10.0 &&
+           small.getDouble(5) == 4.0, s"below-k branch not exact: $small")
+    // sf0.01: all three sets exceed k — estimates, not copies, and
+    // within a generous 1/sqrt(k-1) * 4 envelope
+    val big = SketchQueries.queries("q_kmv_intersect")(
+      spark, "/root/testdata/sf0.01").collect().head
+    for ((e, x) <- Seq(big.getDouble(3) -> big.getLong(0),
+                       big.getDouble(4) -> big.getLong(1),
+                       big.getDouble(5) -> big.getLong(2))) {
+      assert(math.abs(e - x) <= 0.75 * x + 2,
+        s"KMV estimate $e vs exact $x out of envelope: $big")
+    }
+    assert(big.getDouble(3) != big.getLong(0).toDouble,
+      "above-k path suspiciously returned the exact count")
+  }
+
   test("CMS inner product dominates the true join cardinality") {
     val r = SketchQueries.queries("q_cms_join_card")(
       spark, "/root/testdata/sf0.01").collect().head
