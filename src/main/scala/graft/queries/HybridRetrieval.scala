@@ -44,6 +44,17 @@ object HybridRetrieval extends QueryPack {
   private val LegK = 10
   private val FuseK = 5
   private val RrfK = 60
+  /** Truth depth for the evaluation query (graded relevance
+    * rel = TruthK+1 − brute-force rank). */
+  private val TruthK = 10
+  /** Per-position DCG micro-weights floor(10⁶/log₂(i+1)), i=1..FuseK —
+    * the ONE place logs are taken; both engines consume the literals. */
+  private val DcgW: Seq[Long] = (1 to FuseK).map(i =>
+    math.floor(1000000.0 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+  /** Ideal DCG in micro-units: the best top-FuseK places relevances
+    * TruthK..TruthK−FuseK+1 in order. */
+  private val IdcgM: Long = (1 to FuseK).map(i =>
+    (TruthK + 1 - i) * DcgW(i - 1)).sum
 
   /** Champion lists: exact two-phase top-`c` per term by
     * (tf desc, doc_id asc) — shard-local rank first, then rank the
@@ -112,28 +123,52 @@ object HybridRetrieval extends QueryPack {
       lexTopK(s, d).select(col("qid"), col("nid"),
         col("score_u6"), col("lrank"))),
     // the fused ranking — RRF of the lexical and LSH-vector legs
-    "sim_hybrid_rrf" -> ((s, d) => {
-      val vleg = AnalyticsQueries.lshTopK(s, d, MaxQid, LegK)
-        .select(col("qid"), col("nid"), col("rank").as("vrank"))
-      val lleg = lexTopK(s, d).select(col("qid"), col("nid"), col("lrank"))
-      val fw = Window.partitionBy(col("qid"))
-        .orderBy(col("rrf_u6").desc, col("nid").asc)
-      vleg.join(lleg, Seq("qid", "nid"), "full_outer")
-        .withColumn("rrf_u6",
-          when(col("vrank").isNotNull,
-            expr(s"cast(1000000 as bigint) div cast($RrfK + vrank as bigint)"))
-            .otherwise(lit(0L)) +
-          when(col("lrank").isNotNull,
-            expr(s"cast(1000000 as bigint) div cast($RrfK + lrank as bigint)"))
-            .otherwise(lit(0L)))
-        .withColumn("rank", row_number().over(fw))
-        .filter(col("rank") <= FuseK)
-        .select(col("qid"), col("nid"),
-          coalesce(col("vrank"), lit(0)).as("vrank"),
-          coalesce(col("lrank"), lit(0)).as("lrank"),
-          col("rrf_u6"), col("rank"))
+    "sim_hybrid_rrf" -> ((s, d) => fusedTopK(s, d)),
+    // retrieval-quality audit of the fused ranking against the
+    // brute-force cosine truth: per query, hits@5-of-top-10 and nDCG
+    // with graded relevance rel = 11 − truth rank. The per-position
+    // DCG weights floor(10⁶/log₂(i+1)) are computed ONCE in Scala and
+    // embedded as the same literals in the Spark plan and the oracle
+    // SQL (the bpeMergeSql discipline), so the evaluation is pure
+    // integer in BOTH engines — no in-engine log at all.
+    "sim_hybrid_eval" -> ((s, d) => {
+      val truth = AnalyticsQueries.bfTopK(s, d, MaxQid, TruthK)
+        .select(col("qid"), col("nid"), col("rank").as("trank"))
+      fusedTopK(s, d)
+        .join(truth, Seq("qid", "nid"), "left")
+        .withColumn("rel",
+          coalesce(lit(TruthK + 1) - col("trank"), lit(0)))
+        .withColumn("w_u6",
+          element_at(array(DcgW.map(lit): _*), col("rank")))
+        .groupBy(col("qid"))
+        .agg(sum(when(col("rel") > 0, 1L).otherwise(0L)).as("hits"),
+          expr(s"sum(rel * w_u6) * 10000 div $IdcgM").as("ndcg_bp"))
     })
   )
+
+  /** The RRF-fused top-[[FuseK]]: (qid, nid, vrank, lrank, rrf_u6,
+    * rank). */
+  private[queries] def fusedTopK(s: SparkSession, d: String): DataFrame = {
+    val vleg = AnalyticsQueries.lshTopK(s, d, MaxQid, LegK)
+      .select(col("qid"), col("nid"), col("rank").as("vrank"))
+    val lleg = lexTopK(s, d).select(col("qid"), col("nid"), col("lrank"))
+    val fw = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf_u6").desc, col("nid").asc)
+    vleg.join(lleg, Seq("qid", "nid"), "full_outer")
+      .withColumn("rrf_u6",
+        when(col("vrank").isNotNull,
+          expr(s"cast(1000000 as bigint) div cast($RrfK + vrank as bigint)"))
+          .otherwise(lit(0L)) +
+        when(col("lrank").isNotNull,
+          expr(s"cast(1000000 as bigint) div cast($RrfK + lrank as bigint)"))
+          .otherwise(lit(0L)))
+      .withColumn("rank", row_number().over(fw))
+      .filter(col("rank") <= FuseK)
+      .select(col("qid"), col("nid"),
+        coalesce(col("vrank"), lit(0)).as("vrank"),
+        coalesce(col("lrank"), lit(0)).as("lrank"),
+        col("rrf_u6"), col("rank"))
+  }
 
   /** The lexical-leg SQL shared by both oracles (everything up to the
     * ranked BM25 lists). The champion cut is the single-window top-K
@@ -223,6 +258,28 @@ object HybridRetrieval extends QueryPack {
        |    FROM vscored)
        |  WHERE vrank <= $LegK)""".stripMargin
 
+  /** The fused-ranking CTE chain (needs [[lexSql]] and [[vecSql]]
+    * before it): ends in `ftop` = (qid, nid, vrank, lrank, rrf_u6,
+    * rank ≤ FuseK). */
+  private def fusedSql: String =
+    s"""fused AS (
+       |  SELECT coalesce(v.qid, l.qid) AS qid,
+       |    coalesce(v.nid, l.nid) AS nid,
+       |    coalesce(v.vrank, 0) AS vrank,
+       |    coalesce(l.lrank, 0) AS lrank,
+       |    (CASE WHEN v.vrank IS NOT NULL
+       |       THEN 1000000 // ($RrfK + v.vrank) ELSE 0 END +
+       |     CASE WHEN l.lrank IS NOT NULL
+       |       THEN 1000000 // ($RrfK + l.lrank) ELSE 0 END)::BIGINT AS rrf_u6
+       |  FROM vleg v FULL OUTER JOIN lleg l
+       |    ON v.qid = l.qid AND v.nid = l.nid),
+       |ftop AS (
+       |  SELECT qid, nid, vrank, lrank, rrf_u6, rank FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY qid ORDER BY rrf_u6 DESC, nid ASC) AS rank
+       |    FROM fused)
+       |  WHERE rank <= $FuseK)""".stripMargin
+
   override def oracle: Map[String, String] = Map(
     "sim_lex_topk" ->
       s"""WITH $lexSql
@@ -230,21 +287,37 @@ object HybridRetrieval extends QueryPack {
     "sim_hybrid_rrf" ->
       s"""WITH $lexSql,
          |$vecSql,
-         |fused AS (
-         |  SELECT coalesce(v.qid, l.qid) AS qid,
-         |    coalesce(v.nid, l.nid) AS nid,
-         |    coalesce(v.vrank, 0) AS vrank,
-         |    coalesce(l.lrank, 0) AS lrank,
-         |    (CASE WHEN v.vrank IS NOT NULL
-         |       THEN 1000000 // ($RrfK + v.vrank) ELSE 0 END +
-         |     CASE WHEN l.lrank IS NOT NULL
-         |       THEN 1000000 // ($RrfK + l.lrank) ELSE 0 END)::BIGINT AS rrf_u6
-         |  FROM vleg v FULL OUTER JOIN lleg l
-         |    ON v.qid = l.qid AND v.nid = l.nid)
-         |SELECT qid, nid, vrank, lrank, rrf_u6, rank FROM (
-         |  SELECT *, row_number() OVER (
-         |    PARTITION BY qid ORDER BY rrf_u6 DESC, nid ASC) AS rank
-         |  FROM fused)
-         |WHERE rank <= $FuseK""".stripMargin
+         |$fusedSql
+         |SELECT * FROM ftop""".stripMargin,
+    "sim_hybrid_eval" ->
+      s"""WITH $lexSql,
+         |$vecSql,
+         |$fusedSql,
+         |tdots AS (
+         |  SELECT q.vec_id AS qid, n.vec_id AS nid,
+         |    sum(q.qv * n.qv)::DOUBLE AS dot
+         |  FROM f q JOIN f n ON q.idx = n.idx AND q.vec_id <> n.vec_id
+         |  WHERE q.vec_id < $MaxQid
+         |  GROUP BY 1, 2),
+         |tscored AS (
+         |  SELECT qid, nid, round(dot / (nq.norm * nn.norm), 4) AS cosine
+         |  FROM tdots JOIN norms nq ON nq.vec_id = qid
+         |  JOIN norms nn ON nn.vec_id = nid),
+         |truth AS (
+         |  SELECT qid, nid, trank FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS trank
+         |    FROM tscored)
+         |  WHERE trank <= $TruthK)
+         |SELECT ft.qid,
+         |  sum(CASE WHEN t.trank IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         |    AS hits,
+         |  (sum(coalesce(${TruthK + 1} - t.trank, 0) *
+         |     CASE ft.rank ${(1 to FuseK).map(i =>
+               s"WHEN $i THEN ${DcgW(i - 1)}").mkString(" ")} END)
+         |   * 10000 // $IdcgM)::BIGINT AS ndcg_bp
+         |FROM ftop ft LEFT JOIN truth t
+         |  ON t.qid = ft.qid AND t.nid = ft.nid
+         |GROUP BY 1""".stripMargin
   )
 }

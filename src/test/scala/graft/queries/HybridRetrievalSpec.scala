@@ -59,6 +59,31 @@ class HybridRetrievalSpec extends AnyFunSuite {
     assert(out.map(_.getInt(5)).max <= 5)
   }
 
+  test("sim_hybrid_eval recomputes from the fused and truth rankings") {
+    val w = (1 to 5).map(i =>
+      math.floor(1000000.0 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+    assert(w == Seq(1000000L, 630929L, 500000L, 430676L, 386852L),
+      s"DCG weight constants drifted: $w")
+    val idcg = (1 to 5).map(i => (11 - i) * w(i - 1)).sum
+    val truth = AnalyticsQueries.bfTopK(spark, dir, maxQid = 20, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(3)).toMap
+    val fused = HybridRetrieval.queries("sim_hybrid_rrf")(spark, dir)
+      .collect().groupBy(_.getLong(0))
+    val eval = HybridRetrieval.queries("sim_hybrid_eval")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(eval.keySet == fused.keySet)
+    for ((qid, rows) <- fused) {
+      val rels = rows.map(r =>
+        r.getInt(5) -> truth.get(qid -> r.getLong(1)).map(11 - _).getOrElse(0))
+      val wantHits = rels.count(_._2 > 0).toLong
+      val wantNdcg = rels.map { case (rank, rel) => rel * w(rank - 1) }.sum *
+        10000 / idcg
+      assert(eval(qid) == (wantHits, wantNdcg),
+        s"qid $qid: got ${eval(qid)}, recomputed ($wantHits, $wantNdcg)")
+    }
+    assert(eval.values.forall(_._2 <= 10000), "nDCG above the ideal")
+  }
+
   test("fusion genuinely mixes legs on the testdata (not one leg renamed)") {
     val out = HybridRetrieval.queries("sim_hybrid_rrf")(spark, dir).collect()
     assert(out.exists(_.getInt(2) > 0), "no vector-leg contribution")
