@@ -106,8 +106,13 @@ object QualityClassifier extends QueryPack {
     val n = docs.count() // one control-plane scalar: the damping term
     // the feature table feeds every round twice — checkpoint once
     // (cache() is the measured-slow path for wide shuffles; see
-    // DedupPipeline)
-    val feats = centeredFeaturesOf(docs, n).localCheckpoint(true)
+    // DedupPipeline). Partition by doc_id BEFORE the checkpoint: the
+    // LogicalRDD keeps that partitioning, so each round's
+    // groupBy(doc_id) margins pass and the misclassified-docs join
+    // plan WITHOUT re-exchanging the 33·N-row feature table — only
+    // the per-doc margin frame (N rows) ever shuffles per round.
+    val feats = centeredFeaturesOf(docs, n)
+      .repartition(col("doc_id")).localCheckpoint(true)
     var w = feats.select(col("idx")).distinct()
       .select(col("idx"), lit(0L).as("w"))
     var evals = Vector.empty[DataFrame]
