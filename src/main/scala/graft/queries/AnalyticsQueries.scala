@@ -619,6 +619,40 @@ object AnalyticsQueries extends QueryPack {
       .select(col("doc_id"), col("m_lang").as("predicted_lang"), col("hits"))
   }
 
+  /** Scene-cut threshold in milli-luma units (`mm_scene_cuts`): the
+    * synthetic videos' per-frame DC steps produce deltas well both
+    * sides of it, so both classes are exercised at every SF. */
+  private val SceneCutMilli = 5000L
+
+  /** Per-frame decoded lumas of the synthetic MJPEG videos — the REAL
+    * decode path (container build → box walk → in-house JPEG decode),
+    * shared by `mm_mjpeg_frames` and `mm_scene_cuts`. */
+  private[queries] def mjpegFrameLumas(s: SparkSession, d: String)
+      : DataFrame = {
+    import s.implicits._
+    import graft.analytics.Multimodal
+    Tables.documents(s, d)
+      .select(col("doc_id")).filter(col("doc_id") < 100)
+      .as[Long].flatMap { id =>
+        val w = 9 + (id % 12).toInt
+        val h = 9 + (id % 7).toInt
+        val quantY = Array.fill(64)(8)
+        def frame(f: Int): Array[Byte] =
+          Multimodal.JpegBuilder.baselineGrey(w, h, quantY, (bx, by) => {
+            val a = new Array[Int](64)
+            a(0) = ((id * 7 + f * 11 + bx * 13 + by * 29) % 32).toInt - 16
+            a
+          })
+        val mp4 = Multimodal.Mjpeg.container(w, h,
+          timescale = 1000L, durationTicks = 4000L,
+          frames = (0 until 4).map(frame))
+        Multimodal.Mjpeg.frameFeatures(mp4).map { case (sampleNo, feat) =>
+          (id, sampleNo - 1, feat.width, feat.height, feat.avgLumaMilli)
+        }
+      }
+      .toDF("doc_id", "frame_no", "width", "height", "luma_milli")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup: hash-groupBy; keeper = min doc_id per content hash.
@@ -2418,29 +2452,22 @@ object AnalyticsQueries extends QueryPack {
     // luma arithmetically. This retires the video-frame stub for the
     // one codec-free interchange format; inter-coded codecs stay the
     // honest boundary.
-    "mm_mjpeg_frames" -> ((s, d) => {
-      import s.implicits._
-      import graft.analytics.Multimodal
-      Tables.documents(s, d)
-        .select(col("doc_id")).filter(col("doc_id") < 100)
-        .as[Long].flatMap { id =>
-          val w = 9 + (id % 12).toInt
-          val h = 9 + (id % 7).toInt
-          val quantY = Array.fill(64)(8)
-          def frame(f: Int): Array[Byte] =
-            Multimodal.JpegBuilder.baselineGrey(w, h, quantY, (bx, by) => {
-              val a = new Array[Int](64)
-              a(0) = ((id * 7 + f * 11 + bx * 13 + by * 29) % 32).toInt - 16
-              a
-            })
-          val mp4 = Multimodal.Mjpeg.container(w, h,
-            timescale = 1000L, durationTicks = 4000L,
-            frames = (0 until 4).map(frame))
-          Multimodal.Mjpeg.frameFeatures(mp4).map { case (sampleNo, feat) =>
-            (id, sampleNo - 1, feat.width, feat.height, feat.avgLumaMilli)
-          }
-        }
-        .toDF("doc_id", "frame_no", "width", "height", "luma_milli")
+    "mm_mjpeg_frames" -> ((s, d) => mjpegFrameLumas(s, d)),
+
+    // Scene-cut detection over the REAL MJPEG frame decode — the
+    // video-curation primitive behind keyframe sampling budgets:
+    // consecutive-frame luma delta per video, flagged against a fixed
+    // threshold. The window partitions by video with ≤ frame-count
+    // rows per partition, so the shape holds at any corpus size.
+    "mm_scene_cuts" -> ((s, d) => {
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_no"))
+      mjpegFrameLumas(s, d)
+        .withColumn("delta_milli",
+          abs(col("luma_milli") - lag(col("luma_milli"), 1).over(w)))
+        .filter(col("delta_milli").isNotNull)
+        .select(col("doc_id"), col("frame_no"), col("delta_milli"),
+          when(col("delta_milli") >= SceneCutMilli, 1).otherwise(0)
+            .as("is_cut"))
     }),
 
     // Real baseline JPEG decode, ORACLE-CHECKED: per document encode
@@ -3964,6 +3991,33 @@ object AnalyticsQueries extends QueryPack {
         |       * least(8, w - bx*8) * least(8, h - by*8))
         |     * 1000 // (w * h))::BIGINT AS luma_milli
         |FROM blk GROUP BY doc_id, f, w, h""".stripMargin,
+    // the same arithmetic frame-luma twin, then a per-video lag —
+    // threshold mirrored from SceneCutMilli
+    "mm_scene_cuts" ->
+      """WITH fs AS (SELECT unnest(range(4)) AS f),
+        |bxs AS (SELECT unnest(range(3)) AS bx),
+        |bys AS (SELECT unnest(range(2)) AS by),
+        |blk AS (
+        |  SELECT d.doc_id, fs.f, (9 + d.doc_id % 12) AS w,
+        |         (9 + d.doc_id % 7) AS h, bxs.bx, bys.by
+        |  FROM documents d, fs, bxs, bys
+        |  WHERE d.doc_id < 100
+        |    AND bxs.bx * 8 < (9 + d.doc_id % 12)
+        |    AND bys.by * 8 < (9 + d.doc_id % 7)),
+        |fl AS (
+        |  SELECT doc_id, f::INT AS frame_no,
+        |    (sum(((doc_id*7 + f*11 + bx*13 + by*29) % 32 - 16 + 128)
+        |         * least(8, w - bx*8) * least(8, h - by*8))
+        |       * 1000 // (w * h))::BIGINT AS luma_milli
+        |  FROM blk GROUP BY doc_id, f, w, h),
+        |dl AS (
+        |  SELECT doc_id, frame_no,
+        |    abs(luma_milli - lag(luma_milli) OVER (
+        |      PARTITION BY doc_id ORDER BY frame_no)) AS delta_milli
+        |  FROM fl)
+        |SELECT doc_id, frame_no, delta_milli::BIGINT AS delta_milli,
+        |  CASE WHEN delta_milli >= 5000 THEN 1 ELSE 0 END AS is_cut
+        |FROM dl WHERE delta_milli IS NOT NULL""".stripMargin,
     // arithmetic twin of the VP8L decode: grey palette-free pixels,
     // luma(v) = v, plateau formula mirrored exactly
     "mm_webp_luma" ->
