@@ -82,7 +82,7 @@ object SketchQueries extends QueryPack {
   private val CmsW = 128
 
   /** (r, j, c): the d×w counter table over `src`'s user_id column. */
-  private[queries] def cmsOf(src: DataFrame): DataFrame =
+  private[graft] def cmsOf(src: DataFrame): DataFrame =
     src.filter(col("user_id").isNotNull)
       .select(col("user_id"),
         explode(sequence(lit(0), lit(CmsD - 1))).as("r"))

@@ -33,4 +33,10 @@ object StreamingSketch {
     graft.queries.SketchQueries.registersOf(
       events.select(lit("g").as("g"), col("user_id")), "g")
       .select(col("bucket"), col("rho"))
+
+  /** All-time Count-Min counters of the same stream — the frequency
+    * twin: state is ≤ d·w counter rows by construction (sum is as
+    * incremental-friendly as max). */
+  def cmsCounters(events: DataFrame): DataFrame =
+    graft.queries.SketchQueries.cmsOf(events.select(col("user_id")))
 }

@@ -55,6 +55,34 @@ class StreamingSketchSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream CMS counters equal batch counters across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Long]
+    val cms = StreamingSketch.cmsCounters(input.toDS().toDF("user_id"))
+    val q = cms.writeStream
+      .format("memory").queryName("scms").outputMode("complete")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-scms").toString)
+      .start()
+    try {
+      val b1 = (0L until 200L) ++ (0L until 50L) // repeats count, unlike HLL
+      val b2 = (100L until 300L)
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val got = spark.table("scms").collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val want = graft.queries.SketchQueries.cmsOf(
+          (b1 ++ b2).toDF("user_id")).collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == want, "streaming counters diverged from batch")
+      val stateRows = q.lastProgress.stateOperators.asScala
+        .map(_.numRowsTotal).sum
+      assert(stateRows <= 512 && stateRows > 0,
+        s"CMS state should be bounded by d*w=512 counters, got $stateRows")
+    } finally q.stop()
+  }
+
   private implicit class ArrOps[T](a: Array[T]) {
     def asScala: Seq[T] = a.toSeq
   }
