@@ -20,5 +20,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vector_dot_long"),
       new ExpressionInfo(classOf[VectorDotLong].getName, "vector_dot_long"),
       GraftFunctions.vectorDotLongBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("hll_registers"),
+      new ExpressionInfo(classOf[HllRegistersAgg].getName, "hll_registers"),
+      GraftFunctions.hllRegistersBuilder))
   }
 }

@@ -179,10 +179,18 @@ object GraftFunctions {
       s"vector_dot_long requires exactly 2 arguments, got ${exprs.size}")
   }
 
+  val hllRegistersBuilder: Seq[Expression] => Expression = {
+    case Seq(h) => HllRegistersAgg(h)
+    case exprs => throw new IllegalArgumentException(
+      s"hll_registers requires exactly 1 argument, got ${exprs.size}")
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vector_dot", vectorDotBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vector_dot_long", vectorDotLongBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hll_registers", hllRegistersBuilder, "built-in")
   }
 }

@@ -179,6 +179,31 @@ object SketchQueries extends QueryPack {
         .agg(sum(col("ca") * col("cb")).as("true_card"))
       exact.crossJoin(est)
     }),
+    // the CUSTOM-AGGREGATE form of the HLL build: one
+    // TypedImperativeAggregate pass whose 64-byte buffer IS the
+    // sketch — per group ONE buffer flows through partial/final
+    // aggregation instead of 64 rows through a shuffle. Hash stays in
+    // codegen'd SQL; only the register fold is imperative. Same
+    // estimates as q_hll_users' relational path (cross-path agreement
+    // pinned in HllAggSpec; the oracle recomputes relationally).
+    "q_hll_agg" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.events(s, d)
+        .filter(col("user_id").isNotNull)
+        .withColumn("h", expr(
+          "cast(conv(substring(md5(cast(user_id as string)),1,15),16,10)" +
+          " as bigint)"))
+        .groupBy(col("event_type"))
+        .agg(expr("hll_registers(h)").as("regs"))
+        .withColumn("z", expr("aggregate(regs, cast(0.0 as double)," +
+          " (acc, r) -> acc + pow(cast(2.0 as double), -r))"))
+        .withColumn("v", expr("size(filter(regs, r -> r = 0))"))
+        .withColumn("est_hll", expr(
+          "round(CASE WHEN cast(2904.064 as double) / z <= 160 AND v > 0" +
+          " THEN 64 * ln(cast(64.0 as double) / v)" +
+          " ELSE cast(2904.064 as double) / z END, 4)"))
+        .select(col("event_type"), col("est_hll"))
+    }),
     // the shippable artifact: the global dense register table — 64
     // integer rows that summarize every user_id in the corpus
     "q_hll_registers" -> ((s, d) => {
@@ -240,6 +265,23 @@ object SketchQueries extends QueryPack {
        |  GROUP BY 1, 2)""".stripMargin
 
   override def oracle: Map[String, String] = Map(
+    // relational recomputation of the custom-aggregate path
+    "q_hll_agg" ->
+      s"""WITH $regSql,
+         |dense AS (
+         |  SELECT g.event_type, b.bucket, coalesce(r.rho, 0) AS rho
+         |  FROM (SELECT DISTINCT event_type FROM rr) g
+         |  CROSS JOIN (SELECT unnest(generate_series(0, ${M - 1})) AS bucket) b
+         |  LEFT JOIN rr r
+         |    ON r.event_type = g.event_type AND r.bucket = b.bucket)
+         |SELECT event_type,
+         |  round(CASE WHEN 2904.064::DOUBLE / z <= 160 AND v > 0
+         |    THEN 64 * ln(64.0::DOUBLE / v)
+         |    ELSE 2904.064::DOUBLE / z END, 4) AS est_hll
+         |FROM (
+         |  SELECT event_type, sum(pow(2.0::DOUBLE, -rho)) AS z,
+         |    sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS v
+         |  FROM dense GROUP BY 1)""".stripMargin,
     "q_kmv_intersect" ->
       s"""WITH tagged AS (
          |  SELECT ('0x' || substr(md5(doc_id::VARCHAR),1,15))::BIGINT AS h,
