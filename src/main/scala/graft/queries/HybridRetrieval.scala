@@ -146,9 +146,20 @@ object HybridRetrieval extends QueryPack {
     })
   )
 
+  /** Fused-ranking cache: the ranking is an artifact consumed by both
+    * the serving query and its evaluation — build it once per
+    * (session, dir), checkpointed control-plane sized (≤ |Q|·FuseK
+    * rows). */
+  private val fusedCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  private[queries] def fusedTopK(s: SparkSession, d: String): DataFrame =
+    fusedCache.computeIfAbsent((s, d),
+      { case (s, d) => buildFusedTopK(s, d).localCheckpoint(true) })
+
   /** The RRF-fused top-[[FuseK]]: (qid, nid, vrank, lrank, rrf_u6,
     * rank). */
-  private[queries] def fusedTopK(s: SparkSession, d: String): DataFrame = {
+  private def buildFusedTopK(s: SparkSession, d: String): DataFrame = {
     val vleg = AnalyticsQueries.lshTopK(s, d, MaxQid, LegK)
       .select(col("qid"), col("nid"), col("rank").as("vrank"))
     val lleg = lexTopK(s, d).select(col("qid"), col("nid"), col("lrank"))
