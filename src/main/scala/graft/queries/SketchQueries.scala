@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** HyperLogLog built from first principles as a relational
@@ -102,7 +103,85 @@ object SketchQueries extends QueryPack {
   // IEEE-exact on identical inputs (2⁶⁰ and 31·2⁶⁰ are exact doubles).
   private val KmvK = 32
 
+  /** Bottom-k size for the per-source shingle sketches
+    * (`dd_source_kmv`). */
+  private val SrcK = 64
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Sketch-accelerated cross-source contamination: per-source
+    // bottom-64 KMV sketches over 5-gram shingle hashes estimate the
+    // pairwise Jaccard matrix — the 100 TB form of dd_source_overlap,
+    // where exact pairwise shingle intersection is a corpus-sized
+    // join but sketches are 64 rows per source, built in one
+    // partial-agg pass and compared entirely in the control plane.
+    // Bottom-k per source is the exact two-phase distributed top-K
+    // (shard rank, then rank the ≤32·k survivors). Exact Jaccard
+    // rides along as the audit columns; everything is integer
+    // (jaccard in basis points via integer division), so cross-engine
+    // parity is unconditional.
+    "dd_source_kmv" -> ((s, d) => {
+      val sh = Tables.documents(s, d)
+        .select(col("source"), split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= 5)
+        .select(col("source"), explode(expr(
+          "transform(sequence(1, size(tk) - 4)," +
+          " i -> concat_ws(' ', slice(tk, i, 5)))")).as("g"))
+        .select(col("source"), expr(
+          "cast(conv(substring(md5(g),1,15),16,10) as bigint)").as("h"))
+        .distinct()
+        .localCheckpoint(true) // feeds sketches AND the exact audit
+      // exact two-phase bottom-SrcK per source
+      val w1 = Window.partitionBy(col("source"), col("shard"))
+        .orderBy(col("h").asc)
+      val w2 = Window.partitionBy(col("source")).orderBy(col("h").asc)
+      val sk = sh.withColumn("shard", pmod(col("h"), lit(32)))
+        .withColumn("r1", row_number().over(w1)).filter(col("r1") <= SrcK)
+        .withColumn("r2", row_number().over(w2)).filter(col("r2") <= SrcK)
+        .select(col("source"), col("h"))
+        .localCheckpoint(true) // ≤ sources·SrcK rows; joined three ways
+      val pairs = sk.select(col("source").as("source_a")).distinct()
+        .crossJoin(sk.select(col("source").as("source_b")).distinct())
+        .filter(col("source_a") < col("source_b"))
+      // pooled per-pair hashes with side membership, then the pair's
+      // bottom-SrcK union sketch and the in-both census
+      val wp = Window.partitionBy(col("source_a"), col("source_b"))
+        .orderBy(col("h").asc)
+      val est = pairs
+        .join(sk, col("source") === col("source_a") ||
+          col("source") === col("source_b"))
+        .groupBy(col("source_a"), col("source_b"), col("h"))
+        .agg(countDistinct(col("source")).as("sides"))
+        .withColumn("ur", row_number().over(wp))
+        .filter(col("ur") <= SrcK)
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("ucnt"),
+          sum(when(col("sides") === 2, 1L).otherwise(0L)).as("both"))
+        .select(col("source_a"), col("source_b"),
+          expr("both * 10000 div ucnt").as("est_jacc_bp"))
+      // exact audit: per-pair intersection via digest membership sets,
+      // sizes per source — one partial-agg pass each
+      val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+      val inter = sh.groupBy(col("h"))
+        .agg(array_sort(collect_set(col("source"))).as("ss"))
+        .select(explode(flatten(transform(col("ss"), (a, i) =>
+          transform(slice(col("ss"), i + lit(2), size(col("ss"))),
+            b => struct(a.as("source_a"), b.as("source_b")))))).as("p"))
+        .groupBy(col("p.source_a").as("source_a"),
+          col("p.source_b").as("source_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      val exact = inter
+        .join(sizes.select(col("source").as("source_a"), col("sz").as("sza")),
+          Seq("source_a"))
+        .join(sizes.select(col("source").as("source_b"), col("sz").as("szb")),
+          Seq("source_b"))
+        .select(col("source_a"), col("source_b"),
+          expr("n_inter * 10000 div (sza + szb - n_inter)")
+            .as("exact_jacc_bp"))
+      est.join(exact, Seq("source_a", "source_b"), "left")
+        .select(col("source_a"), col("source_b"),
+          coalesce(col("exact_jacc_bp"), lit(0L)).as("exact_jacc_bp"),
+          col("est_jacc_bp"))
+    }),
     // "how many high-quality English documents?" answered from
     // sketches: A = quality gate (n_chars ≥ 400), B = lang = 'en';
     // exact counts ride along as the audit columns. ONE corpus scan:
@@ -265,6 +344,64 @@ object SketchQueries extends QueryPack {
        |  GROUP BY 1, 2)""".stripMargin
 
   override def oracle: Map[String, String] = Map(
+    // the oracle's bottom-k per source is a single window — exactly
+    // what the two-phase Spark cut provably equals
+    "dd_source_kmv" ->
+      s"""WITH tk AS (
+         |  SELECT source, string_split(text, ' ') AS tk FROM documents),
+         |g AS (
+         |  SELECT DISTINCT source,
+         |    ('0x' || substr(md5(g),1,15))::BIGINT AS h
+         |  FROM (
+         |    SELECT source, unnest(list_transform(
+         |      generate_series(1, len(tk) - 4),
+         |      i -> array_to_string(tk[i:i+4], ' '))) AS g
+         |    FROM tk WHERE len(tk) >= 5)),
+         |sk AS (
+         |  SELECT source, h FROM (
+         |    SELECT source, h, row_number() OVER (
+         |      PARTITION BY source ORDER BY h ASC) AS r FROM g)
+         |  WHERE r <= $SrcK),
+         |pr AS (
+         |  SELECT a.source AS source_a, b.source AS source_b
+         |  FROM (SELECT DISTINCT source FROM sk) a,
+         |       (SELECT DISTINCT source FROM sk) b
+         |  WHERE a.source < b.source),
+         |pooled AS (
+         |  SELECT p.source_a, p.source_b, s.h,
+         |    count(DISTINCT s.source) AS sides
+         |  FROM pr p JOIN sk s
+         |    ON s.source = p.source_a OR s.source = p.source_b
+         |  GROUP BY 1, 2, 3),
+         |uk AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY source_a, source_b ORDER BY h ASC) AS ur
+         |    FROM pooled)
+         |  WHERE ur <= $SrcK),
+         |est AS (
+         |  SELECT source_a, source_b,
+         |    (sum(CASE WHEN sides = 2 THEN 1 ELSE 0 END) * 10000
+         |     // count(*))::BIGINT AS est_jacc_bp
+         |  FROM uk GROUP BY 1, 2),
+         |sizes AS (SELECT source, count(*)::BIGINT AS sz FROM g GROUP BY 1),
+         |inter AS (
+         |  SELECT a.source AS source_a, b.source AS source_b,
+         |    count(*)::BIGINT AS n_inter
+         |  FROM g a JOIN g b ON a.h = b.h AND a.source < b.source
+         |  GROUP BY 1, 2),
+         |exact AS (
+         |  SELECT i.source_a, i.source_b,
+         |    (n_inter * 10000 // (sa.sz + sb.sz - n_inter))::BIGINT
+         |      AS exact_jacc_bp
+         |  FROM inter i
+         |  JOIN sizes sa ON sa.source = i.source_a
+         |  JOIN sizes sb ON sb.source = i.source_b)
+         |SELECT e.source_a, e.source_b,
+         |  coalesce(x.exact_jacc_bp, 0)::BIGINT AS exact_jacc_bp,
+         |  e.est_jacc_bp
+         |FROM est e LEFT JOIN exact x
+         |  ON x.source_a = e.source_a AND x.source_b = e.source_b""".stripMargin,
     // relational recomputation of the custom-aggregate path
     "q_hll_agg" ->
       s"""WITH $regSql,

@@ -97,6 +97,24 @@ class SketchQueriesSpec extends AnyFunSuite {
       "above-k path suspiciously returned the exact count")
   }
 
+  test("source-KMV matrix: disjoint pairs are provably 0; overlaps stay in envelope") {
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val rows = SketchQueries.queries("dd_source_kmv")(spark, d).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val (exact, est) = (r.getLong(2), r.getLong(3))
+        // soundness: sources sharing NO shingle have both=0 in every
+        // union sketch — a zero exact Jaccard can never be estimated
+        // nonzero (the property that makes the sketch safe as a
+        // contamination pre-filter)
+        if (exact == 0) assert(est == 0, s"$d: phantom overlap $r")
+        // k=64 noise envelope, ~4 sigma absolute
+        assert(math.abs(est - exact) <= 650, s"$d: out of envelope $r")
+      }
+      assert(rows.exists(_.getLong(3) > 0), s"$d: all-zero matrix pins nothing")
+    }
+  }
+
   test("CMS inner product dominates the true join cardinality") {
     val r = SketchQueries.queries("q_cms_join_card")(
       spark, "/root/testdata/sf0.01").collect().head
