@@ -283,6 +283,22 @@ object SketchQueries extends QueryPack {
           " ELSE cast(2904.064 as double) / z END, 4)"))
         .select(col("event_type"), col("est_hll"))
     }),
+    // distinct users PER DAY from daily register tables — the
+    // windowed sketch a dashboard reads: 64 rows per day however many
+    // events the day held, integer day buckets from the canonical
+    // epoch-nanos ts (floor-div, mirroring date_trunc for positive
+    // epochs). Exact counts ride along as the audit columns.
+    "w_hll_daily" -> ((s, d) => {
+      val src = Tables.events(s, d)
+        .select(expr("((ts div 1000000) div 86400000) * 86400000")
+          .as("day_start_ms"), col("user_id"))
+      val est = estimateOf(registersOf(src, "day_start_ms"), "day_start_ms")
+      val exact = src.filter(col("user_id").isNotNull)
+        .groupBy(col("day_start_ms"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      est.join(exact, Seq("day_start_ms"))
+        .select(col("day_start_ms"), col("n_exact"), col("est_hll"))
+    }),
     // the shippable artifact: the global dense register table — 64
     // integer rows that summarize every user_id in the corpus
     "q_hll_registers" -> ((s, d) => {
@@ -402,6 +418,39 @@ object SketchQueries extends QueryPack {
          |  e.est_jacc_bp
          |FROM est e LEFT JOIN exact x
          |  ON x.source_a = e.source_a AND x.source_b = e.source_b""".stripMargin,
+    "w_hll_daily" ->
+      s"""WITH src AS (
+         |  SELECT (epoch_ms(ts) // 86400000) * 86400000 AS day_start_ms,
+         |    user_id
+         |  FROM events WHERE user_id IS NOT NULL),
+         |rr AS (
+         |  SELECT day_start_ms,
+         |    ((('0x' || substr(md5(user_id::VARCHAR),1,15))::BIGINT % $M))::INT
+         |      AS bucket,
+         |    max(CASE WHEN ('0x' || substr(md5(user_id::VARCHAR),1,15))::BIGINT
+         |               // $M = 0 THEN ${W + 1}
+         |             ELSE ${W + 1} - length(bin(
+         |               ('0x' || substr(md5(user_id::VARCHAR),1,15))::BIGINT
+         |               // $M)) END)::INT AS rho
+         |  FROM src GROUP BY 1, 2),
+         |dense AS (
+         |  SELECT g.day_start_ms, b.bucket, coalesce(r.rho, 0) AS rho
+         |  FROM (SELECT DISTINCT day_start_ms FROM rr) g
+         |  CROSS JOIN (SELECT unnest(generate_series(0, ${M - 1})) AS bucket) b
+         |  LEFT JOIN rr r
+         |    ON r.day_start_ms = g.day_start_ms AND r.bucket = b.bucket),
+         |est AS (
+         |  SELECT day_start_ms, sum(pow(2.0::DOUBLE, -rho)) AS z,
+         |    sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS v
+         |  FROM dense GROUP BY 1),
+         |ex AS (
+         |  SELECT day_start_ms, count(DISTINCT user_id)::BIGINT AS n_exact
+         |  FROM src GROUP BY 1)
+         |SELECT e.day_start_ms, x.n_exact,
+         |  round(CASE WHEN 2904.064::DOUBLE / z <= 160 AND v > 0
+         |    THEN 64 * ln(64.0::DOUBLE / v)
+         |    ELSE 2904.064::DOUBLE / z END, 4) AS est_hll
+         |FROM est e JOIN ex x USING (day_start_ms)""".stripMargin,
     // relational recomputation of the custom-aggregate path
     "q_hll_agg" ->
       s"""WITH $regSql,

@@ -39,4 +39,18 @@ object StreamingSketch {
     * incremental-friendly as max). */
   def cmsCounters(events: DataFrame): DataFrame =
     graft.queries.SketchQueries.cmsOf(events.select(col("user_id")))
+
+  /** Daily distinct-user registers on a stream — the windowed twin of
+    * the batch `w_hll_daily`: per event-time day one 64-register
+    * sketch, watermark-bounded state (open windows × 64 rows — the
+    * sketch bounds the per-window state, the watermark bounds the
+    * window count). Append mode emits each day's registers once the
+    * watermark closes it. */
+  def dailyHllRegisters(events: DataFrame,
+      delay: String = "1 hour"): DataFrame =
+    graft.queries.SketchQueries.registersOf(
+      events.withWatermark("event_time", delay)
+        .select(window(col("event_time"), "1 day").as("g"), col("user_id")),
+      "g")
+      .select(col("g.start").as("day"), col("bucket"), col("rho"))
 }

@@ -83,6 +83,40 @@ class StreamingSketchSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("daily registers emit per closed window and match the batch build") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val regs = StreamingSketch.dailyHllRegisters(
+      input.toDS().toDF("event_time", "user_id"), delay = "1 hour")
+    val q = regs.writeStream
+      .format("memory").queryName("sdhll").outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sdhll").toString)
+      .start()
+    try {
+      val day1 = 1700006400000L // some UTC midnight + offset inside day 1
+      def ts(ms: Long) = new java.sql.Timestamp(ms)
+      val d1Users = (0L until 300L)
+      input.addData(d1Users.map(u => (ts(day1 + u), u)): _*)
+      q.processAllAvailable()
+      assert(spark.table("sdhll").count() == 0,
+        "open window must not emit in append mode")
+      // day-2 data two days later pushes the watermark past day-1
+      input.addData((ts(day1 + 2L * 86400000L), 1L))
+      q.processAllAvailable()
+      val emitted = spark.table("sdhll").collect()
+      assert(emitted.nonEmpty, "day-1 window never closed")
+      assert(emitted.map(_.getTimestamp(0)).distinct.length == 1,
+        "only the closed day should have emitted")
+      val got = emitted.map(r => r.getInt(1) -> r.getInt(2)).toMap
+      val want = graft.queries.SketchQueries.registersOf(
+          d1Users.toDF("user_id").select(lit("g").as("g"), col("user_id")),
+          "g").collect().map(r => r.getInt(1) -> r.getInt(2)).toMap
+      assert(got == want, "closed-day registers diverged from batch")
+    } finally q.stop()
+  }
+
   private implicit class ArrOps[T](a: Array[T]) {
     def asScala: Seq[T] = a.toSeq
   }
