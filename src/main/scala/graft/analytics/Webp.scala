@@ -60,7 +60,10 @@ object Webp {
     while (off + 8 <= bytes.length) {
       val tag = new String(bytes, off, 4, "ISO-8859-1")
       val size = le32(bytes, off + 4)
-      if (size < 0 || off + 8 + size > bytes.length) return None
+      // bounds math in Long: a declared size near 2^31 would wrap
+      // `off + 8 + size` negative in Int and bypass this check (the
+      // Wav decoder's discipline)
+      if (size < 0 || off + 8L + size > bytes.length) return None
       if (tag == "VP8L")
         return decodeVp8l(java.util.Arrays.copyOfRange(
           bytes, off + 8, off + 8 + size))

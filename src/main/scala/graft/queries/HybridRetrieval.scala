@@ -58,15 +58,21 @@ object HybridRetrieval extends QueryPack {
 
   /** Champion lists: exact two-phase top-`c` per term by
     * (tf desc, doc_id asc) — shard-local rank first, then rank the
-    * ≤32·c shard survivors, so no window ever sees a corpus-sized
+    * ≤shards·c shard survivors, so no window ever sees a corpus-sized
     * partition. Equals the single-window top-`c` exactly: any row in
     * the global top-c has at most c−1 rows ahead of it globally, so
-    * at most c−1 in its own shard. */
+    * at most c−1 in its own shard — for ANY shard count, which is why
+    * the count can scale with session parallelism
+    * ([[graft.operators.TwoPhaseTopK]]) without touching the result:
+    * a stop-word term's billion-row posting list then phase-one sorts
+    * in N/shards-row partitions instead of N/constant. */
   private[queries] def championsOf(postings: DataFrame, c: Int): DataFrame = {
     val ord = Seq(col("tf").desc, col("doc_id").asc)
+    val nShards = graft.operators.TwoPhaseTopK.shards(postings)
     val w1 = Window.partitionBy(col("tok"), col("shard")).orderBy(ord: _*)
     val w2 = Window.partitionBy(col("tok")).orderBy(ord: _*)
-    postings.withColumn("shard", pmod(col("doc_id"), lit(32)))
+    postings.withColumn("shard",
+        graft.operators.TwoPhaseTopK.shardCol(col("doc_id"), nShards))
       .withColumn("r1", row_number().over(w1)).filter(col("r1") <= c)
       .withColumn("r2", row_number().over(w2)).filter(col("r2") <= c)
       .drop("shard", "r1", "r2")
@@ -149,13 +155,13 @@ object HybridRetrieval extends QueryPack {
   /** Fused-ranking cache: the ranking is an artifact consumed by both
     * the serving query and its evaluation — build it once per
     * (session, dir), checkpointed control-plane sized (≤ |Q|·FuseK
-    * rows). */
-  private val fusedCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
+    * rows). Bounded + stopped-session-evicting so dead sessions are
+    * not retained for the JVM lifetime. */
+  private val fusedCache = new BoundedSessionCache[DataFrame]()
 
   private[queries] def fusedTopK(s: SparkSession, d: String): DataFrame =
-    fusedCache.computeIfAbsent((s, d),
-      { case (s, d) => buildFusedTopK(s, d).localCheckpoint(true) })
+    fusedCache.getOrBuild(s, d)(
+      (s, d) => buildFusedTopK(s, d).localCheckpoint(true))
 
   /** The RRF-fused top-[[FuseK]]: (qid, nid, vrank, lrank, rrf_u6,
     * rank). */

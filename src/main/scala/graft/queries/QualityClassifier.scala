@@ -90,13 +90,14 @@ object QualityClassifier extends QueryPack {
     * once and reusing it across the three queries (weights, curve,
     * confusion) is exactly what a pipeline does with a model it ships.
     * Keyed on the session too because the checkpointed frames die with
-    * their session. */
-  private val trained = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (DataFrame, DataFrame, DataFrame)]()
+    * their session; bounded + stopped-session-evicting so dead
+    * sessions are not retained for the JVM lifetime. */
+  private val trained =
+    new BoundedSessionCache[(DataFrame, DataFrame, DataFrame)]()
 
   private def trainFull(s: SparkSession, d: String):
       (DataFrame, DataFrame, DataFrame) =
-    trained.computeIfAbsent((s, d), { case (s, d) => trainOnce(s, d) })
+    trained.getOrBuild(s, d)((s, d) => trainOnce(s, d))
 
   /** The training loop plus the labeled feature table it ran on (the
     * scoring query reuses the latter for its final margin pass). */

@@ -26,3 +26,25 @@ trait QueryPack {
       case _ => ()
     }
 }
+
+/** Tiny bounded cache for per-(session, dir) derived artifacts
+  * (trained models, fused rankings). Entries strongly retain their
+  * SparkSession, so an unbounded map would keep dead sessions — and
+  * their checkpointed frames' metadata — alive for the JVM lifetime in
+  * a long-lived multi-session driver. Two defenses: entries whose
+  * SparkContext has stopped are dropped on every access (their
+  * checkpointed frames are unusable anyway), and crossing the size
+  * bound clears the map outright (artifacts are rebuildable; a cache
+  * miss costs one recompute, a leak costs the driver heap).
+  */
+private[graft] final class BoundedSessionCache[V](bound: Int = 8) {
+  private val m = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), V]()
+
+  def getOrBuild(s: SparkSession, d: String)(build: (SparkSession, String) => V): V = {
+    val it = m.keySet.iterator
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+    if (m.size >= bound) m.clear()
+    m.computeIfAbsent((s, d), { case (ss, dd) => build(ss, dd) })
+  }
+}

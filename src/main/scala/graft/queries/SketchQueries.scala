@@ -130,11 +130,15 @@ object SketchQueries extends QueryPack {
           "cast(conv(substring(md5(g),1,15),16,10) as bigint)").as("h"))
         .distinct()
         .localCheckpoint(true) // feeds sketches AND the exact audit
-      // exact two-phase bottom-SrcK per source
+      // exact two-phase bottom-SrcK per source — shard count scales
+      // with session parallelism (TwoPhaseTopK) so one giant source's
+      // shingle set never concentrates in a fixed number of phase-one
+      // partitions; the bottom-k identity is shard-count-invariant
       val w1 = Window.partitionBy(col("source"), col("shard"))
         .orderBy(col("h").asc)
       val w2 = Window.partitionBy(col("source")).orderBy(col("h").asc)
-      val sk = sh.withColumn("shard", pmod(col("h"), lit(32)))
+      val sk = sh.withColumn("shard", pmod(col("h"),
+          lit(graft.operators.TwoPhaseTopK.shards(sh))))
         .withColumn("r1", row_number().over(w1)).filter(col("r1") <= SrcK)
         .withColumn("r2", row_number().over(w2)).filter(col("r2") <= SrcK)
         .select(col("source"), col("h"))

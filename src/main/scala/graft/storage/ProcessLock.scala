@@ -82,6 +82,16 @@ object ProcessLock {
             case _: java.io.InterruptedIOException =>
               throw new InterruptedException
             case _: java.io.IOException => ()
+            // a non-IO failure (e.g. an object-store FileSystem whose
+            // setTimes throws UnsupportedOperationException) is not
+            // transient — log ONCE that the heartbeat is degrading to
+            // a no-op (staleness protection then relies on staleMs
+            // exceeding the run) instead of dying silently
+            case scala.util.control.NonFatal(e) =>
+              log.warn(s"lock heartbeat for $lockPath degraded to a " +
+                s"no-op ($e) — staleness protection now relies on " +
+                "staleMs exceeding the run")
+              throw new InterruptedException
           }
         }
       } catch { case _: InterruptedException => () }
