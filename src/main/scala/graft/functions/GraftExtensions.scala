@@ -24,5 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("hll_registers"),
       new ExpressionInfo(classOf[HllRegistersAgg].getName, "hll_registers"),
       GraftFunctions.hllRegistersBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("cms_counters"),
+      new ExpressionInfo(classOf[CmsCountersAgg].getName, "cms_counters"),
+      GraftFunctions.cmsCountersBuilder))
   }
 }

@@ -185,6 +185,12 @@ object GraftFunctions {
       s"hll_registers requires exactly 1 argument, got ${exprs.size}")
   }
 
+  val cmsCountersBuilder: Seq[Expression] => Expression = {
+    case Seq(js) => CmsCountersAgg(js)
+    case exprs => throw new IllegalArgumentException(
+      s"cms_counters requires exactly 1 argument, got ${exprs.size}")
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vector_dot", vectorDotBuilder, "built-in")
@@ -192,5 +198,7 @@ object GraftFunctions {
       "vector_dot_long", vectorDotLongBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hll_registers", hllRegistersBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cms_counters", cmsCountersBuilder, "built-in")
   }
 }

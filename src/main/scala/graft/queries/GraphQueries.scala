@@ -12,7 +12,13 @@ import org.apache.spark.sql.functions._
 object GraphQueries extends QueryPack {
 
   private val CoreK = 2
-  private val PeelRounds = 3
+
+  /** Rounds the DuckDB oracle unrolls. Peel rounds past the fixpoint
+    * are no-ops (nothing falls below k once nothing is removed), so
+    * the unroll only needs to be ≥ the testdata's convergence depth —
+    * KCoreSpec pins that depth at 3 on the test SFs; 5 leaves margin
+    * for a testdata regeneration with slightly longer chains. */
+  private val OracleUnroll = 5
 
   /** One peel pass: drop vertices whose current induced degree is
     * below k, with the edge set restricted to survivors. Linear
@@ -27,56 +33,80 @@ object GraphQueries extends QueryPack {
       .join(keep.withColumnRenamed("v", "doc_b"), Seq("doc_b"), "left_semi")
   }
 
-  /** `rounds` fixed peel passes toward the k-core (fixed, not
-    * until-converged, so the unrolled DuckDB oracle replays the exact
-    * same computation — the near-dup graph's chains are short enough
-    * that 3 rounds converge at every test SF; KCoreSpec pins that the
-    * result IS the fixpoint there). Returns the surviving vertices
-    * with their induced degree. At corpus scale the same loop runs
-    * until an empty peel round; each round costs one partial-agg
-    * degree count plus two hash semi-joins — linear in surviving
-    * edges, nothing driver-side, hot keys impossible because the
-    * input is the bucket-capped near-dup pair set.
-    */
-  private[graft] def kcoreSurvivors(edges: DataFrame, k: Int,
+  /** Peel UNTIL CONVERGENCE — the loop stops on the first round that
+    * removes no edge (surviving edge count unchanged ⇒ degrees
+    * unchanged ⇒ fixpoint), the same driver-looped convergence
+    * discipline as `dd_cc_converged`'s pointer jumping. Each round
+    * costs one partial-agg degree count plus two hash semi-joins —
+    * linear in surviving edges, nothing data-sized on the driver (the
+    * round count IS the only driver-side signal, one scalar per
+    * round); hot keys impossible because the input is the
+    * bucket-capped near-dup pair set. The count() per round is a read
+    * of the round's eager checkpoint, not a recompute. Returns the
+    * surviving vertices with their induced degree. */
+  private[graft] def kcoreSurvivors(edges: DataFrame, k: Int): DataFrame = {
+    var e = edges.localCheckpoint(true)
+    var owned = true
+    var n = e.count()
+    var converged = false
+    while (!converged && n > 0) {
+      // eager per-round checkpoint: truncates the growing semi-join
+      // lineage AND materializes before the next round's three reads
+      // (a lazy checkpoint here is a no-op — the dd_pagerank lesson)
+      val next = peelOnce(e, k).localCheckpoint(true)
+      val m = next.count()
+      if (owned) releaseCheckpoint(e)
+      e = next
+      owned = true
+      converged = m == n
+      n = m
+    }
+    survivorDegrees(e)
+  }
+
+  /** Fixed-round unroll — what the DuckDB oracle replays and what the
+    * spec compares against the converged loop (equal exactly when
+    * `rounds` ≥ the graph's convergence depth). */
+  private[graft] def kcoreSurvivorsFixed(edges: DataFrame, k: Int,
       rounds: Int): DataFrame = {
     var e = edges
     var owned = false // never release the CALLER's frame — a freed
     // local checkpoint cannot recompute (lineage truncated)
     for (_ <- 1 to rounds) {
-      // eager per-round checkpoint: truncates the growing semi-join
-      // lineage AND materializes before the next round's three reads
-      // (a lazy checkpoint here is a no-op — the dd_pagerank lesson)
       val next = peelOnce(e, k).localCheckpoint(true)
       if (owned) releaseCheckpoint(e)
       e = next
       owned = true
     }
+    survivorDegrees(e)
+  }
+
+  private def survivorDegrees(e: DataFrame): DataFrame =
     e.select(col("doc_a").as("doc_id"))
       .unionAll(e.select(col("doc_b").as("doc_id")))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("deg"))
       .orderBy(col("doc_id"))
-  }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // 2-core of the simhash near-dup graph after 3 peel rounds: the
-    // documents embedded in dense duplication structure (template
+    // 2-core of the simhash near-dup graph, peeled until convergence:
+    // the documents embedded in dense duplication structure (template
     // families), as opposed to isolated pair/chain near-dups that a
     // keeper election already handles
     "dd_kcore" -> ((s, d) => {
       val e = AnalyticsQueries.simhashNearDupPairs(s, d)
         .select(col("doc_a"), col("doc_b"))
-        .localCheckpoint(true)
-      kcoreSurvivors(e, CoreK, PeelRounds)
+      kcoreSurvivors(e, CoreK)
     })
   )
 
   /** Unrolled peel SQL generated from the SAME constants as the Spark
-    * side. The edge CTE is the pack-standard simhash near-dup pair
-    * derivation (as in the dd_simhash_pairs / dd_triangles oracles).
+    * side ([[OracleUnroll]] rounds — a superset of the convergence
+    * depth, and no-op rounds past it leave the result unchanged). The
+    * edge CTE is the pack-standard simhash near-dup pair derivation
+    * (as in the dd_simhash_pairs / dd_triangles oracles).
     */
   override def oracle: Map[String, String] = {
-    val rounds = (1 to PeelRounds).map { r =>
+    val rounds = (1 to OracleUnroll).map { r =>
       s"""k$r AS (
          |  SELECT v FROM (
          |    SELECT v, count(*) AS deg FROM (
@@ -109,8 +139,8 @@ object GraphQueries extends QueryPack {
          |  WHERE bit_count(xor(a.sig, b.sig)) <= 2),
          |$rounds
          |SELECT doc_id, count(*) AS deg FROM (
-         |  SELECT doc_a AS doc_id FROM e$PeelRounds
-         |  UNION ALL SELECT doc_b AS doc_id FROM e$PeelRounds)
+         |  SELECT doc_a AS doc_id FROM e$OracleUnroll
+         |  UNION ALL SELECT doc_b AS doc_id FROM e$OracleUnroll)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   }
 }

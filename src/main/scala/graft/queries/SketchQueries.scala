@@ -262,6 +262,33 @@ object SketchQueries extends QueryPack {
         .agg(sum(col("ca") * col("cb")).as("true_card"))
       exact.crossJoin(est)
     }),
+    // the CUSTOM-AGGREGATE form of the CMS build: one
+    // TypedImperativeAggregate pass whose 4 KiB buffer IS the d×w
+    // counter table — per group ONE buffer flows through
+    // partial/final aggregation instead of ≤512 (r, j, c) rows
+    // through a shuffle. The d column indices stay in codegen'd SQL
+    // (same md5 arithmetic as cmsOf); only the counter fold is
+    // imperative. The oracle recomputes relationally, so a hash match
+    // IS the imperative-equals-relational gate (also pinned per
+    // counter in CmsAggSpec).
+    "q_cms_agg" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.events(s, d)
+        .filter(col("user_id").isNotNull)
+        .withColumn("js", expr(
+          s"transform(sequence(0, ${CmsD - 1}), r ->" +
+          " cast(conv(substring(md5(concat(cast(r as string), ':'," +
+          s" cast(user_id as string))),1,8),16,10) as bigint) % $CmsW)"))
+        .groupBy(col("event_type"))
+        .agg(expr("cms_counters(js)").as("cnts"))
+        .select(col("event_type"),
+          posexplode(col("cnts")).as(Seq("pos", "c")))
+        .filter(col("c") > 0) // sparse, like the relational groupBy
+        .select(col("event_type"),
+          expr(s"pos div $CmsW").cast("int").as("r"),
+          expr(s"pos % $CmsW").cast("long").as("j"),
+          col("c"))
+    }),
     // the CUSTOM-AGGREGATE form of the HLL build: one
     // TypedImperativeAggregate pass whose 64-byte buffer IS the
     // sketch — per group ONE buffer flows through partial/final
@@ -364,6 +391,17 @@ object SketchQueries extends QueryPack {
        |  GROUP BY 1, 2)""".stripMargin
 
   override def oracle: Map[String, String] = Map(
+    // relational recomputation of the imperative counter table,
+    // grouped by event_type
+    "q_cms_agg" ->
+      s"""SELECT event_type, r::INT AS r,
+         |  ('0x' || substr(md5(r::VARCHAR || ':' ||
+         |      user_id::VARCHAR),1,8))::BIGINT % $CmsW AS j,
+         |  count(*)::BIGINT AS c
+         |FROM events
+         |CROSS JOIN (SELECT unnest(generate_series(0, ${CmsD - 1})) AS r) rs
+         |WHERE user_id IS NOT NULL
+         |GROUP BY 1, 2, 3""".stripMargin,
     // the oracle's bottom-k per source is a single window — exactly
     // what the two-phase Spark cut provably equals
     "dd_source_kmv" ->
