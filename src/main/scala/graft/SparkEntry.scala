@@ -25,6 +25,7 @@ object SparkEntry {
     HybridRetrieval,
     SketchQueries,
     IncrementalSketch,
+    QuantileSketch,
     GraphQueries
   )
 

@@ -52,10 +52,13 @@ object IncrementalSketch extends QueryPack {
       val corpus = Tables.events(s, sfDir).filter(!incPredicate)
       graft.storage.AstarteStore.appendAtomic(
         SketchQueries.registersOf(
-          corpus.select(col("event_type"), col("user_id")), "event_type"),
+          corpus.select(col("event_type"), col("user_id")), "event_type")
+          .withColumn("inc_id", lit("corpus")),
         hllPath(root))
       graft.storage.AstarteStore.appendAtomic(
-        SketchQueries.cmsOf(corpus.select(col("user_id"))), cmsPath(root))
+        SketchQueries.cmsOf(corpus.select(col("user_id")))
+          .withColumn("inc_id", lit("corpus")),
+        cmsPath(root))
       root
     }
 
@@ -63,28 +66,55 @@ object IncrementalSketch extends QueryPack {
     def cmsPath(root: String): String = s"$root/sketch_cms"
 
     /** The merge-on-read views: the log may hold any number of
-      * absorbed generations; reading IS the monoid fold. */
+      * absorbed generations; reading IS the monoid fold. For CMS the
+      * fold deduplicates by increment id FIRST — a replayed absorb
+      * lands rows identical to the original's under the same `inc_id`
+      * (the builder is deterministic), so max-per-(inc_id, r, j)
+      * collapses replays before the cross-increment sum. HLL needs no
+      * ledger: max is idempotent outright. */
     def hllRegisters(s: SparkSession, root: String): DataFrame =
       s.read.parquet(hllPath(root))
         .groupBy(col("event_type"), col("bucket"))
         .agg(max(col("rho")).as("rho"))
     def cmsCounters(s: SparkSession, root: String): DataFrame =
       s.read.parquet(cmsPath(root))
+        .groupBy(col("inc_id"), col("r"), col("j"))
+        .agg(max(col("c")).as("c"))
         .groupBy(col("r"), col("j"))
         .agg(sum(col("c")).as("c"))
 
+    /** Increment ids already in the log — the replay ledger. The log
+      * is sketch-sized (≤ generations · sketch rows), so this is a
+      * control-plane read however big the corpus was. */
+    def absorbedIds(s: SparkSession, root: String): Set[String] =
+      s.read.parquet(cmsPath(root)).select(col("inc_id")).distinct()
+        .collect().map(_.getString(0)).toSet
+
     /** Fold an increment's sketches into the log — one atomic append
-      * each, ≤ sketch-size rows, exactly-once by the store protocol
-      * (HLL absorb is idempotent under max; CMS absorb is NOT — the
-      * counter sum double-counts a replayed append, which is why the
-      * append, not the increment job, must be the exactly-once unit). */
-    def absorb(s: SparkSession, root: String, increment: DataFrame): Unit = {
+      * each, ≤ sketch-size rows, REPLAY-IDEMPOTENT end to end:
+      *   - `incId` names the increment (a crawl/batch id — the same
+      *     retried job must present the same id);
+      *   - the ledger check skips an id the log already holds, so a
+      *     retried absorb is a no-op (returns false);
+      *   - the crash window (first append landed, retry raced the
+      *     ledger read) is closed by the READ side: cmsCounters folds
+      *     max-per-(inc_id, r, j) before summing, so even a double
+      *     append of the same id counts once. HLL was always
+      *     idempotent under max.
+      * Returns true when the increment was newly absorbed. */
+    def absorb(s: SparkSession, root: String, increment: DataFrame,
+        incId: String): Boolean = {
+      if (absorbedIds(s, root).contains(incId)) return false
       graft.storage.AstarteStore.appendAtomic(
         SketchQueries.registersOf(
-          increment.select(col("event_type"), col("user_id")), "event_type"),
+          increment.select(col("event_type"), col("user_id")), "event_type")
+          .withColumn("inc_id", lit(incId)),
         hllPath(root))
       graft.storage.AstarteStore.appendAtomic(
-        SketchQueries.cmsOf(increment.select(col("user_id"))), cmsPath(root))
+        SketchQueries.cmsOf(increment.select(col("user_id")))
+          .withColumn("inc_id", lit(incId)),
+        cmsPath(root))
+      true
     }
   }
 

@@ -7,8 +7,10 @@ import org.scalatest.funsuite.AnyFunSuite
 /** What the oracle hash-match cannot see: the increment path must
   * never rescan old events (physical-plan pin), and absorbing an
   * increment into the store log must make the store alone equal the
-  * from-scratch sketch (the monoid-log contract), with HLL absorption
-  * idempotent under replay while CMS is deliberately not.
+  * from-scratch sketch (the monoid-log contract), with absorption
+  * replay-idempotent for BOTH sketches — HLL by max, CMS by the
+  * increment-id ledger (skip on replay) plus the read-side
+  * max-per-(inc_id, r, j) fold that closes the ledger's crash window.
   */
 class IncrementalSketchSpec extends AnyFunSuite {
 
@@ -41,11 +43,12 @@ class IncrementalSketchSpec extends AnyFunSuite {
       spark, dir)) == 1, "cms plan should hold exactly the increment scan")
   }
 
-  test("absorbed store alone equals the from-scratch sketch; HLL replay is idempotent") {
+  test("absorbed store alone equals the from-scratch sketch; replay leaves both sketches unchanged") {
     val root = IncrementalSketch.SketchStore.buildRoot(spark, dir)
     val inc = IncrementalSketch.incrementEvents(spark, dir)
       .localCheckpoint(true)
-    IncrementalSketch.SketchStore.absorb(spark, root, inc)
+    assert(IncrementalSketch.SketchStore.absorb(spark, root, inc, "inc-1"),
+      "first absorb of a new id should land")
 
     def regSet(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
@@ -64,14 +67,31 @@ class IncrementalSketchSpec extends AnyFunSuite {
     assert(storeCms == cmsMap(fullCms),
       "store-alone counters != from-scratch counters")
 
-    // replay the SAME increment: HLL unchanged (max), CMS double-counts
-    // the increment's contribution — the documented non-idempotence
-    IncrementalSketch.SketchStore.absorb(spark, root, inc)
+    // replay the SAME absorb (same inc_id): the ledger skips it and
+    // both sketches read back bit-identical
+    assert(!IncrementalSketch.SketchStore.absorb(spark, root, inc, "inc-1"),
+      "replayed absorb should be a ledger no-op")
     assert(regSet(IncrementalSketch.SketchStore.hllRegisters(spark, root))
-      == regSet(full), "HLL register log not idempotent under replay")
-    val replayed =
+      == regSet(full), "HLL register log changed under replay")
+    assert(cmsMap(IncrementalSketch.SketchStore.cmsCounters(spark, root))
+      == storeCms, "CMS counters changed under replay")
+
+    // crash-window twin: the retry that raced the ledger read and
+    // DOUBLE-appended the same inc_id — the read-side fold still
+    // counts it once
+    graft.storage.AstarteStore.appendAtomic(
+      SketchQueries.cmsOf(inc.select(col("user_id")))
+        .withColumn("inc_id", lit("inc-1")),
+      IncrementalSketch.SketchStore.cmsPath(root))
+    assert(cmsMap(IncrementalSketch.SketchStore.cmsCounters(spark, root))
+      == storeCms, "double-appended inc_id double-counted on read")
+
+    // a genuinely NEW increment id with the same rows is new data and
+    // must count again — idempotence is per id, not per content
+    assert(IncrementalSketch.SketchStore.absorb(spark, root, inc, "inc-2"))
+    val twoIncs =
       cmsMap(IncrementalSketch.SketchStore.cmsCounters(spark, root))
-    assert(replayed != storeCms && replayed.values.sum > storeCms.values.sum,
-      "CMS replay should have double-counted (exactly-once is the append)")
+    assert(twoIncs.values.sum > storeCms.values.sum,
+      "a distinct increment id should add mass")
   }
 }
