@@ -59,11 +59,16 @@ object IncrementalSketch extends QueryPack {
         SketchQueries.cmsOf(corpus.select(col("user_id")))
           .withColumn("inc_id", lit("corpus")),
         cmsPath(root))
+      graft.storage.AstarteStore.appendAtomic(
+        QuantileSketch.sketchOf(kllBaseOf(corpus))
+          .withColumn("inc_id", lit("corpus")),
+        kllPath(root))
       root
     }
 
     def hllPath(root: String): String = s"$root/sketch_hll"
     def cmsPath(root: String): String = s"$root/sketch_cms"
+    def kllPath(root: String): String = s"$root/sketch_kll"
 
     /** The merge-on-read views: the log may hold any number of
       * absorbed generations; reading IS the monoid fold. For CMS the
@@ -82,6 +87,16 @@ object IncrementalSketch extends QueryPack {
         .agg(max(col("c")).as("c"))
         .groupBy(col("r"), col("j"))
         .agg(sum(col("c")).as("c"))
+    /** Quantile-sketch items: merge is union (weights are absolute
+      * counts), so the fold is just the read — with the same replay
+      * defense as CMS: a replayed append lands rows identical to the
+      * original's (the builder is deterministic and each uid survives
+      * in at most one item), so a whole-row distinct per inc_id
+      * collapses them before the union counts weight twice. */
+    def kllItems(s: SparkSession, root: String): DataFrame =
+      s.read.parquet(kllPath(root))
+        .dropDuplicates("inc_id", "g", "uid", "v", "lvl")
+        .select(col("g"), col("v"), col("uid"), col("lvl"))
 
     /** Increment ids already in the log — the replay ledger. The log
       * is sketch-sized (≤ generations · sketch rows), so this is a
@@ -114,9 +129,21 @@ object IncrementalSketch extends QueryPack {
         SketchQueries.cmsOf(increment.select(col("user_id")))
           .withColumn("inc_id", lit(incId)),
         cmsPath(root))
+      graft.storage.AstarteStore.appendAtomic(
+        QuantileSketch.sketchOf(kllBaseOf(increment))
+          .withColumn("inc_id", lit(incId)),
+        kllPath(root))
       true
     }
   }
+
+  /** The quantile sketch's (g, v, uid) base over an events slice —
+    * the q_kll_percentiles value convention. */
+  private[graft] def kllBaseOf(events: DataFrame): DataFrame =
+    events.filter(col("value").isNotNull)
+      .select(col("event_type").as("g"),
+        round(col("value") * 100).cast("long").as("v"),
+        col("event_id").as("uid"))
 
   /** The increment slice — the ONLY events scan in either query. */
   private[graft] def incrementEvents(s: SparkSession, d: String): DataFrame =
@@ -162,7 +189,25 @@ object IncrementalSketch extends QueryPack {
     // the all-time frequency sketch maintained incrementally — same
     // contract, fully integer
     "q_cms_incremental" -> ((s, d) =>
-      cmsMerged(s, d, SketchStore.rootFor(s, d)))
+      cmsMerged(s, d, SketchStore.rootFor(s, d))),
+    // all-time value percentiles maintained incrementally: the
+    // increment is sketched on its own (the only events scan), the
+    // persisted corpus summary merges by plain union (weights are
+    // absolute), and the oracle replays sketch(corpus) ∪
+    // sketch(increment) from scratch — a hash match proves the
+    // persisted artifact plus an O(increment) pass equals the batch
+    // merge. No exact audit columns here BY DESIGN: they would need
+    // the full-corpus scan the incremental path exists to avoid (the
+    // accuracy envelope lives in ApproxSketchSpec instead).
+    "q_kll_incremental" -> ((s, d) => {
+      val root = SketchStore.rootFor(s, d)
+      val incItems = QuantileSketch.sketchOf(
+        kllBaseOf(incrementEvents(s, d)))
+      val merged = SketchStore.kllItems(s, root).unionByName(incItems)
+      QuantileSketch.quantilesOf(QuantileSketch.withAllRow(merged))
+        .select(col("g").as("event_type"), col("sk_items"), col("w_tot"),
+          col("p50_est"), col("p90_est"), col("p99_est"))
+    })
   )
 
   override def oracle: Map[String, String] = Map(
@@ -185,6 +230,34 @@ object IncrementalSketch extends QueryPack {
          |  FROM dense GROUP BY 1)""".stripMargin,
     "q_cms_incremental" ->
       s"""WITH ${SketchQueries.cmsSql("SELECT user_id FROM events", "cms")}
-         |SELECT r, j, c FROM cms""".stripMargin
+         |SELECT r, j, c FROM cms""".stripMargin,
+    // sketch(corpus) ∪ sketch(increment), both replayed from scratch —
+    // union IS the quantile sketch's merge, so this is the
+    // incremental-equals-batch gate for the fourth sketch family
+    "q_kll_incremental" ->
+      s"""WITH csrc AS (
+         |  SELECT event_type AS g, round(value * 100)::BIGINT AS v,
+         |    event_id AS uid
+         |  FROM events WHERE value IS NOT NULL AND event_id % 10 < 8),
+         |isrc AS (
+         |  SELECT event_type AS g, round(value * 100)::BIGINT AS v,
+         |    event_id AS uid
+         |  FROM events WHERE value IS NOT NULL AND event_id % 10 >= 8),
+         |${QuantileSketch.baseSql("c", "csrc")},
+         |${QuantileSketch.roundsSql("c")},
+         |${QuantileSketch.baseSql("i", "isrc")},
+         |${QuantileSketch.roundsSql("i")},
+         |merged AS (
+         |  SELECT g, v, uid, lvl FROM c${QuantileSketch.Rounds}
+         |  UNION ALL
+         |  SELECT g, v, uid, lvl FROM i${QuantileSketch.Rounds}),
+         |items AS (
+         |  SELECT * FROM merged
+         |  UNION ALL
+         |  SELECT '_all' AS g, v, uid, lvl FROM merged),
+         |${QuantileSketch.extractSql("items")}
+         |SELECT g AS event_type, sk_items, w_tot,
+         |  p50_est, p90_est, p99_est
+         |FROM est""".stripMargin
   )
 }

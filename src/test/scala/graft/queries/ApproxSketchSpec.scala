@@ -70,4 +70,31 @@ class ApproxSketchSpec extends AnyFunSuite {
     assert(clickRow == anyType,
       "group-by sketch must equal the standalone sketch on the same slice")
   }
+
+  test("the engine's own quantile sketch stays inside a 2.5% rank envelope") {
+    import spark.implicits._
+    // synthetic data large enough that the merge tree genuinely
+    // compacts (n >> K ⇒ B ≈ 40 buffers, ~6 live rounds) — on the
+    // testdata SFs the oracle already pins exactness; THIS pins the
+    // accuracy contract that makes the sketch a valid substitute for
+    // the exact q_percentiles path at 100 TB
+    val n = 10000L
+    val base = spark.range(n).select(
+      lit("g").as("g"),
+      (col("id") * 2654435761L % 100000L).as("v"),
+      col("id").as("uid"))
+    val est = QuantileSketch.quantilesOf(QuantileSketch.sketchOf(base))
+      .collect().head
+    val wTot = est.getAs[Long]("w_tot")
+    assert(math.abs(wTot - n) <= n / 100, s"weight drifted: $wTot vs $n")
+    assert(est.getAs[Long]("sk_items") <= 3L * QuantileSketch.K,
+      "summary should be ~K items")
+    val sorted = (0L until n).map(i => i * 2654435761L % 100000L).sorted
+    for (p <- Seq(50, 90, 99)) {
+      val v = est.getAs[Long](s"p${p}_est")
+      val rank = sorted.count(_ <= v).toDouble / n * 100
+      assert(math.abs(rank - p) <= 2.5,
+        s"p$p estimate $v has true rank $rank%")
+    }
+  }
 }

@@ -41,6 +41,37 @@ class IncrementalSketchSpec extends AnyFunSuite {
     // the CMS path is a single-consumer lineage — one scan, inline
     assert(eventScans(IncrementalSketch.queries("q_cms_incremental")(
       spark, dir)) == 1, "cms plan should hold exactly the increment scan")
+    // the quantile path checkpoints its merge rounds, so the served
+    // plan must hold NO events scan — the single scan lives in the
+    // increment's round-1 checkpoint
+    assert(eventScans(IncrementalSketch.queries("q_kll_incremental")(
+      spark, dir)) == 0, "kll serving plan rescans events")
+    val incKllBase = IncrementalSketch.kllBaseOf(
+      IncrementalSketch.incrementEvents(spark, dir))
+    assert(eventScans(incKllBase) == 1,
+      "kll increment base should scan events exactly once")
+  }
+
+  test("the persisted quantile summary plus an increment pass equals the batch union") {
+    val root = IncrementalSketch.SketchStore.buildRoot(spark, dir)
+    // merged store + increment-only sketch
+    val incItems = QuantileSketch.sketchOf(IncrementalSketch.kllBaseOf(
+      IncrementalSketch.incrementEvents(spark, dir)))
+    val served = QuantileSketch.quantilesOf(
+      IncrementalSketch.SketchStore.kllItems(spark, root)
+        .unionByName(incItems)).collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // batch twin: sketch both slices from scratch, union
+    val cItems = QuantileSketch.sketchOf(IncrementalSketch.kllBaseOf(
+      Tables.events(spark, dir).filter(col("event_id") % 10 < 8)))
+    val batch = QuantileSketch.quantilesOf(cItems.unionByName(incItems))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(served == batch,
+      "store round-trip changed the merged quantile estimates")
+    assert(served.nonEmpty)
   }
 
   test("absorbed store alone equals the from-scratch sketch; replay leaves both sketches unchanged") {
