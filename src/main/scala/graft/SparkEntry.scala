@@ -23,6 +23,7 @@ object SparkEntry {
     IncrementalAnn,
     QualityClassifier,
     HybridRetrieval,
+    IncrementalRetrieval,
     SketchQueries,
     IncrementalSketch,
     QuantileSketch,

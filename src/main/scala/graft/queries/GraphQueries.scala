@@ -15,10 +15,11 @@ object GraphQueries extends QueryPack {
 
   /** Rounds the DuckDB oracle unrolls. Peel rounds past the fixpoint
     * are no-ops (nothing falls below k once nothing is removed), so
-    * the unroll only needs to be ≥ the testdata's convergence depth —
-    * KCoreSpec pins that depth at 3 on the test SFs; 5 leaves margin
-    * for a testdata regeneration with slightly longer chains. */
-  private val OracleUnroll = 5
+    * the unroll only needs to be ≥ the testdata's convergence depth
+    * (4 at sf0.01 — the old fixed-3 unroll was NOT the fixpoint
+    * there, which is why this is convergence-looped now); rounds are
+    * MATERIALIZED and shrink, so the 8-round margin is ~free. */
+  private[graft] val OracleUnroll = 8
 
   /** One peel pass: drop vertices whose current induced degree is
     * below k, with the edge set restricted to survivors. Linear
@@ -106,14 +107,20 @@ object GraphQueries extends QueryPack {
     * (as in the dd_simhash_pairs / dd_triangles oracles).
     */
   override def oracle: Map[String, String] = {
+    // MATERIALIZED is load-bearing: each round references its
+    // predecessor three times, and DuckDB inlines single-definition
+    // CTEs — an unfenced 5-round unroll re-derives the e0 self-join
+    // exponentially (measured: minutes → an hour). Materializing each
+    // round makes the replay linear, exactly like the Spark side's
+    // per-round checkpoint.
     val rounds = (1 to OracleUnroll).map { r =>
-      s"""k$r AS (
+      s"""k$r AS MATERIALIZED (
          |  SELECT v FROM (
          |    SELECT v, count(*) AS deg FROM (
          |      SELECT doc_a AS v FROM e${r - 1}
          |      UNION ALL SELECT doc_b AS v FROM e${r - 1})
          |    GROUP BY v) WHERE deg >= $CoreK),
-         |e$r AS (
+         |e$r AS MATERIALIZED (
          |  SELECT doc_a, doc_b FROM e${r - 1}
          |  WHERE doc_a IN (SELECT v FROM k$r)
          |    AND doc_b IN (SELECT v FROM k$r))""".stripMargin
@@ -132,7 +139,7 @@ object GraphQueries extends QueryPack {
          |  SELECT doc_id, lang,
          |    sum(CASE WHEN vote > 0 THEN 1 << bit ELSE 0 END) AS sig
          |  FROM votes GROUP BY doc_id, lang),
-         |e0 AS (
+         |e0 AS MATERIALIZED (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM sigs a JOIN sigs b
          |    ON a.lang = b.lang AND a.doc_id < b.doc_id

@@ -38,10 +38,10 @@ import org.apache.spark.sql.functions._
   */
 object HybridRetrieval extends QueryPack {
 
-  private val MaxQid = 20
-  private val QTerms = 8
-  private val Champions = 100
-  private val LegK = 10
+  private[queries] val MaxQid = 20
+  private[queries] val QTerms = 8
+  private[queries] val Champions = 100
+  private[queries] val LegK = 10
   private val FuseK = 5
   private val RrfK = 60
   /** Truth depth for the evaluation query (graded relevance
@@ -78,33 +78,39 @@ object HybridRetrieval extends QueryPack {
       .drop("shard", "r1", "r2")
   }
 
-  /** Per-query BM25 top-[[LegK]] over champion lists: (qid, nid,
-    * score_u6, lrank). */
-  private[queries] def lexTopK(s: SparkSession, d: String): DataFrame = {
-    val tk = Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
-    val dl = tk.select(col("doc_id"), size(col("tk")).cast("long").as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-    val postings = tk.select(col("doc_id"), explode(col("tk")).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      .join(dl, Seq("doc_id"))
-    val dfreq = postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+  /** The inverted index's base table over a documents slice:
+    * (doc_id, tok, tf, dl) — also the unit [[IncrementalRetrieval]]
+    * computes per increment and appends to its persisted index. */
+  private[queries] def postingsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+        explode(col("tk")).as("tok"))
+      // dl is constant per doc — grouping by it keeps the build a
+      // SINGLE scan (no doc-length self-join back onto the text)
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), col("tok"), col("tf"), col("dl"))
 
-    // idf-ordered query pruning: the QTerms rarest terms per query.
-    // The query-side posting slice is |Q|-sized — IT broadcasts; dfreq
-    // is vocabulary-sized and never does.
+  /** idf-ordered query pruning: the [[QTerms]] rarest terms per query
+    * from a query-side posting slice (|Q|-sized — IT broadcasts;
+    * dfreq is vocabulary-sized and never does). */
+  private[queries] def qtermsOf(queryPostings: DataFrame,
+      dfreq: DataFrame): DataFrame = {
     val qw = Window.partitionBy(col("qid"))
       .orderBy(col("df").asc, col("tok").asc)
-    val qterms = dfreq
-      .join(broadcast(postings.filter(col("doc_id") < MaxQid)
+    dfreq
+      .join(broadcast(queryPostings
         .select(col("doc_id").as("qid"), col("tok"))), Seq("tok"))
       .withColumn("qr", row_number().over(qw))
       .filter(col("qr") <= QTerms)
       .select(col("qid"), col("tok"), col("df"))
+  }
 
-    val champ = championsOf(postings, Champions)
-
-    // integer BM25 (k1=6/5, b=3/4), same bounds analysis as tx_bm25
+  /** The BM25 serving tail: champion lists × pruned query terms ×
+    * corpus stats → per-query top-[[LegK]]. Integer BM25 (k1=6/5,
+    * b=3/4), same bounds analysis as tx_bm25. */
+  private[queries] def bm25Serve(champ: DataFrame, qterms: DataFrame,
+      stats: DataFrame): DataFrame = {
     val lw = Window.partitionBy(col("qid"))
       .orderBy(col("score_u6").desc, col("nid").asc)
     champ.join(broadcast(qterms), Seq("tok"))
@@ -120,6 +126,18 @@ object HybridRetrieval extends QueryPack {
       .agg(sum(col("term_u6")).as("score_u6"))
       .withColumn("lrank", row_number().over(lw))
       .filter(col("lrank") <= LegK)
+  }
+
+  /** Per-query BM25 top-[[LegK]] over champion lists: (qid, nid,
+    * score_u6, lrank). */
+  private[queries] def lexTopK(s: SparkSession, d: String): DataFrame = {
+    val postings = postingsOf(Tables.documents(s, d))
+    val stats = postings.select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val dfreq = postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val qterms = qtermsOf(postings.filter(col("doc_id") < MaxQid), dfreq)
+    val champ = championsOf(postings, Champions)
+    bm25Serve(champ, qterms, stats)
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1,0 +1,187 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental BM25/champion-list index maintenance — the retrieval
+  * twin of [[IncrementalDedup]]/[[IncrementalAnn]]/[[IncrementalSketch]]:
+  * the corpus's inverted-index artifacts (postings, document
+  * frequencies, champion lists, corpus stats) persist ONCE through
+  * the store's crash-safe append protocol, and each crawl increment
+  * is folded in WITHOUT rescanning old documents' text. A production
+  * pipeline appends increments to persisted postings; rebuilding the
+  * index from the corpus every run — what `sim_lex_topk` legitimately
+  * does as the from-scratch path — is exactly what this replaces at
+  * 100 TB.
+  *
+  * Why each artifact merges exactly:
+  *   - postings: disjoint doc_ids → merge is union;
+  *   - dfreq: df is additive across disjoint doc sets → sum-on-read
+  *     (a monoid, like CMS counters);
+  *   - stats (n_docs, sum_dl): additive → sum-on-read;
+  *   - champion lists: top-C per term is IDEMPOTENT over re-cutting —
+  *     top-C(corpus ∪ inc) = top-C(top-C(corpus) ∪ inc), since any
+  *     row of the union's top-C from the corpus side is in the
+  *     corpus's top-C. So serving re-cuts (persisted champions ∪
+  *     increment postings) — an index-sized window pass
+  *     (≤ |vocab|·C + |increment| rows, two-phase sharded), never a
+  *     corpus-sized one.
+  *
+  * Replay idempotence follows the [[IncrementalSketch]] ledger
+  * discipline: appends are inc_id-tagged, absorb skips ids the log
+  * already holds, and every read folds per-inc_id duplicates away
+  * first (rows of a replayed append are bit-identical), so the
+  * ledger's crash window cannot double-count a df or push a champion
+  * out with its own duplicate.
+  *
+  * The increment path scans the increment's text ONCE (posting
+  * computation — plan-pinned in IncrementalRetrievalSpec); everything
+  * corpus-sided reads only the persisted index. The DuckDB oracle for
+  * `sim_lex_incremental` recomputes the whole index from the union —
+  * it is `sim_lex_topk`'s oracle verbatim, so a hash match proves
+  * incremental-equals-batch. At corpus scale the postings/champion
+  * tables would additionally persist bucketed by `tok` (the
+  * SignatureStore.bucketizeBands pattern) so the serving joins plan
+  * with no corpus-side Exchange.
+  *
+  * Reference analogue: the merge-into-persisted-state discipline of
+  * the exchanged-counters columns (`queries.ex:478-510`).
+  */
+object IncrementalRetrieval extends QueryPack {
+
+  /** Increment membership: the most recent ~20% of doc ids plays the
+    * "new crawl" role (same convention as [[IncrementalDedup]]). Note
+    * some query docs (doc_id < MaxQid) land in the increment — the
+    * query-side posting slice is a merged read too, deliberately. */
+  private val incPredicate = col("doc_id") % 10 >= 8
+
+  private[graft] object LexIndexStore {
+    private val roots =
+      new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+    def rootFor(s: SparkSession, sfDir: String): String =
+      roots.computeIfAbsent(sfDir, _ => buildRoot(s, sfDir))
+
+    /** Uncached build over the CORPUS slice only (the spec uses this
+      * for mutation-isolated absorb tests). */
+    private[graft] def buildRoot(s: SparkSession, sfDir: String): String = {
+      val root =
+        java.nio.file.Files.createTempDirectory("graft-lexidx").toString
+      val corpus = Tables.documents(s, sfDir).filter(!incPredicate)
+      appendIndex(root, HybridRetrieval.postingsOf(corpus)
+        .localCheckpoint(true), "corpus")
+      root
+    }
+
+    def postingsPath(root: String): String = s"$root/lex_postings"
+    def dfreqPath(root: String): String = s"$root/lex_dfreq"
+    def championsPath(root: String): String = s"$root/lex_champions"
+    def statsPath(root: String): String = s"$root/lex_stats"
+
+    /** Derive and append one doc slice's index artifacts, tagged with
+      * its increment id. The slice's postings frame is the ONLY input
+      * — text was scanned upstream, once. */
+    private def appendIndex(root: String, postings: DataFrame,
+        incId: String): Unit = {
+      def tag(df: DataFrame) = df.withColumn("inc_id", lit(incId))
+      graft.storage.AstarteStore.appendAtomic(
+        tag(postings), postingsPath(root))
+      graft.storage.AstarteStore.appendAtomic(
+        tag(postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))),
+        dfreqPath(root))
+      graft.storage.AstarteStore.appendAtomic(
+        tag(HybridRetrieval.championsOf(postings,
+          HybridRetrieval.Champions)), championsPath(root))
+      graft.storage.AstarteStore.appendAtomic(
+        tag(postings.select(col("doc_id"), col("dl")).distinct()
+          .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))),
+        statsPath(root))
+    }
+
+    /** Increment ids already in the log — the replay ledger
+      * (stats is one row per generation: the cheapest read). */
+    def absorbedIds(s: SparkSession, root: String): Set[String] =
+      s.read.parquet(statsPath(root)).select(col("inc_id")).distinct()
+        .collect().map(_.getString(0)).toSet
+
+    /** Fold a judged increment's postings into the persisted index —
+      * replay-idempotent via the ledger + per-inc_id read dedup.
+      * Returns true when newly absorbed. */
+    def absorb(s: SparkSession, root: String, incPostings: DataFrame,
+        incId: String): Boolean = {
+      if (absorbedIds(s, root).contains(incId)) return false
+      appendIndex(root, incPostings, incId)
+      true
+    }
+
+    /** Merge-on-read views (each folds replayed duplicates per inc_id
+      * before merging across generations). */
+    def postings(s: SparkSession, root: String): DataFrame =
+      s.read.parquet(postingsPath(root))
+        .dropDuplicates("inc_id", "doc_id", "tok")
+        .select(col("doc_id"), col("tok"), col("tf"), col("dl"))
+    def dfreq(s: SparkSession, root: String): DataFrame =
+      s.read.parquet(dfreqPath(root))
+        .groupBy(col("inc_id"), col("tok")).agg(max(col("df")).as("df"))
+        .groupBy(col("tok")).agg(sum(col("df")).as("df"))
+    def champions(s: SparkSession, root: String): DataFrame =
+      s.read.parquet(championsPath(root))
+        .dropDuplicates("inc_id", "doc_id", "tok")
+        .select(col("doc_id"), col("tok"), col("tf"), col("dl"))
+    def stats(s: SparkSession, root: String): DataFrame =
+      s.read.parquet(statsPath(root))
+        .groupBy(col("inc_id"))
+        .agg(max(col("n_docs")).as("n_docs"), max(col("sum_dl")).as("sum_dl"))
+        .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+  }
+
+  /** The increment's postings — text is scanned exactly here and
+    * nowhere else (the spec's plan pin). */
+  private[graft] def incrementPostings(s: SparkSession, d: String): DataFrame =
+    HybridRetrieval.postingsOf(Tables.documents(s, d).filter(incPredicate))
+
+  /** sim_lex_topk served from the persisted index + one increment
+    * pass. Factored so the spec can drive it with directly-computed
+    * frames. */
+  private[graft] def serveIncremental(s: SparkSession, root: String,
+      incP: DataFrame): DataFrame = {
+    val dfreq = LexIndexStore.dfreq(s, root)
+      .unionByName(incP.groupBy(col("tok")).agg(count(lit(1)).as("df")))
+      .groupBy(col("tok")).agg(sum(col("df")).as("df"))
+    val stats = LexIndexStore.stats(s, root)
+      .unionByName(incP.select(col("doc_id"), col("dl")).distinct()
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+    // top-C(top-C(corpus) ∪ inc) = top-C(corpus ∪ inc): an index-sized
+    // re-cut, the corpus postings themselves never rejoin the serve
+    val champ = HybridRetrieval.championsOf(
+      LexIndexStore.champions(s, root).unionByName(
+        incP.select(col("doc_id"), col("tok"), col("tf"), col("dl"))),
+      HybridRetrieval.Champions)
+    val qpost = LexIndexStore.postings(s, root)
+      .filter(col("doc_id") < HybridRetrieval.MaxQid)
+      .unionByName(incP.filter(col("doc_id") < HybridRetrieval.MaxQid)
+        .select(col("doc_id"), col("tok"), col("tf"), col("dl")))
+    val qterms = HybridRetrieval.qtermsOf(qpost, dfreq)
+    HybridRetrieval.bm25Serve(champ, qterms, stats)
+      .select(col("qid"), col("nid"), col("score_u6"), col("lrank"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_lex_incremental" -> ((s, d) => {
+      val root = LexIndexStore.rootFor(s, d)
+      // the only text scan in the whole query — the increment's docs;
+      // checkpointed because dfreq, stats, champions and the query
+      // slice all read it
+      val incP = incrementPostings(s, d).localCheckpoint(true)
+      serveIncremental(s, root, incP)
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    // from-scratch over the union = sim_lex_topk's own oracle: a hash
+    // match proves the persisted index + increment pass equals the
+    // full rebuild
+    "sim_lex_incremental" -> HybridRetrieval.oracle("sim_lex_topk")
+  )
+}

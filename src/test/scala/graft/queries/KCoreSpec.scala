@@ -67,15 +67,15 @@ class KCoreSpec extends AnyFunSuite {
     assert(converged == fixed9)
   }
 
-  test("oracle's 5-round unroll covers the testdata's convergence depth") {
+  test("oracle's unroll depth covers the testdata's convergence depth") {
     val e = AnalyticsQueries.simhashNearDupPairs(spark, dir)
       .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
-    val unrolled = GraphQueries.kcoreSurvivorsFixed(e, k = 2, rounds = 5)
-      .collect().toSeq
+    val unrolled = GraphQueries.kcoreSurvivorsFixed(e, k = 2,
+      rounds = GraphQueries.OracleUnroll).collect().toSeq
     val converged = GraphQueries.kcoreSurvivors(e, k = 2)
       .collect().toSeq
-    assert(unrolled == converged, "5 unrolled rounds diverge from the " +
-      "converged loop on sf0.001 — raise OracleUnroll")
+    assert(unrolled == converged, s"${GraphQueries.OracleUnroll} unrolled " +
+      "rounds diverge from the converged loop on sf0.001 — raise OracleUnroll")
     assert(converged.nonEmpty, "empty 2-core would pin nothing")
   }
 }
