@@ -483,4 +483,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("partial_sum"),
       "bigram-type aggregations lost map-side combine")
   }
+
+  test("q_kll_percentiles: one corpus scan total, behind the shared checkpoint") {
+    // the (g, v, uid) base is checkpointed once and feeds BOTH the
+    // sketch's merge rounds (themselves per-round checkpoints) and the
+    // exact audit — the served plan must therefore contain NO events
+    // scan at all; the single scan lives in the checkpoint builder
+    val p = plan("q_kll_percentiles")
+    assert(!p.contains("events.parquet"),
+      "q_kll_percentiles re-scans events — the shared checkpoint leaked")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
