@@ -62,7 +62,21 @@ object QuantileSketch extends QueryPack {
   /** Weighted sketch items (g, v, uid, lvl) of a frame with columns
     * (g, v, uid); weight of an item is 2^lvl. */
   private[graft] def sketchOf(src: DataFrame, checkpoint: Boolean = true): DataFrame = {
-    val counts = src.groupBy(col("g")).agg(count(lit(1)).as("n_g"))
+    // groups-sized; checkpointed so the B_max probe below and the
+    // broadcast join read it instead of re-scanning src
+    val counts0 = src.groupBy(col("g")).agg(count(lit(1)).as("n_g"))
+    val counts = if (checkpoint) counts0.localCheckpoint(true) else counts0
+    // rounds r with 2^(r-1) ≥ B_max are provably pass-through for
+    // every group (each merge group holds a single child), so the
+    // driver skips them — the result is bit-identical to the fixed
+    // [[Rounds]]-deep unroll the oracle replays, minus the no-op jobs
+    // (half the rounds at test SFs; at 100 TB the live depth grows as
+    // log2 of the biggest group). One control-plane scalar.
+    val bMax = counts.agg(max(expr(s"(n_g + ${K - 1}) div $K")))
+      .head().getLong(0)
+    val liveRounds = math.min(Rounds,
+      math.max(0, 64 - java.lang.Long.numberOfLeadingZeros(
+        math.max(1L, bMax - 1))))
     var cur = src.join(broadcast(counts), Seq("g"))
       .withColumn("b0", expr(
         "cast(conv(substring(md5(cast(uid as string)),1,15),16,10)" +
@@ -70,7 +84,7 @@ object QuantileSketch extends QueryPack {
       .select(col("g"), col("v"), col("uid"), col("b0"),
         lit(0).as("lvl"))
     var owned = false
-    for (r <- 1 to Rounds) {
+    for (r <- 1 to liveRounds) {
       val full = 1L << r
       val half = 1L << (r - 1)
       val wg = Window.partitionBy(col("g"), col("grp"))
