@@ -16,19 +16,24 @@ import org.apache.spark.sql.functions._
   * moment data outgrows it — N = billions over 32 shards is still a
   * single-task sort.
   *
-  * Policy: scale with the session's parallelism (the same signal AQE
-  * sizes its targets from), floored at 32 so small local runs keep the
-  * partition count the plans were tuned at. On a 1000-executor cluster
+  * Policy: the session's parallelism (the same signal AQE sizes its
+  * targets from), floored at 32 so small local runs keep the partition
+  * count the plans were tuned at. On a 1000-executor cluster
   * `defaultParallelism` is the core count, so the hottest group's
-  * phase-one partitions shrink linearly as executors are added, while
-  * phase two stays a single ≤ shards·K-row partition per group —
-  * control-plane sized for any K this engine uses.
+  * phase-one partitions shrink linearly as executors are added. The
+  * countervailing cost is phase TWO: its single per-group partition
+  * holds ≤ shards·K survivor rows, so the shard count must not grow
+  * faster than the worker pool — shards = cores keeps phase one
+  * fully parallel while phase two stays ≤ cores·K rows per group
+  * (K ≤ 100 here: a few MB per group even at 8k cores). A workload
+  * with both billion-row hot groups and a need for larger K would
+  * interpose a third phase; nothing in this engine is near that.
   */
 object TwoPhaseTopK {
 
   /** Shard count derived from the session that owns `df`. */
   def shards(df: DataFrame): Int =
-    math.max(32, df.sparkSession.sparkContext.defaultParallelism * 4)
+    math.max(32, df.sparkSession.sparkContext.defaultParallelism)
 
   /** The phase-one shard column for an integral or hashable key.
     * Hash-based, so clustered key patterns (all-even ids, sequential

@@ -24,7 +24,7 @@ class TwoPhaseTopKSpec extends AnyFunSuite {
     val df = Seq((1L, "a")).toDF("doc_id", "tok")
     val s = TwoPhaseTopK.shards(df)
     val p = spark.sparkContext.defaultParallelism
-    assert(s == math.max(32, p * 4), s"shards=$s parallelism=$p")
+    assert(s == math.max(32, p), s"shards=$s parallelism=$p")
     assert(s >= 32)
   }
 
