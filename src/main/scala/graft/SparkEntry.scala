@@ -27,6 +27,7 @@ object SparkEntry {
     SketchQueries,
     IncrementalSketch,
     QuantileSketch,
+    ScanPruning,
     GraphQueries
   )
 

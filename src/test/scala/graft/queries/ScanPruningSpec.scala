@@ -1,0 +1,170 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** What the oracle hash-match cannot see about the file-skipping
+  * index: pruning must be conservative for ARBITRARY boxes (not just
+  * the demo constants), it must actually skip files, the bloom layer
+  * must reject a point probe the zone ranges cannot, absorbing an
+  * increment must be replay-idempotent and must never touch corpus
+  * data files, and the pruned read must physically scan fewer files
+  * than the full set.
+  */
+class ScanPruningSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def isolatedRoot(): String = {
+    val root = ScanPruning.FileIndexStore.buildRoot(spark, dir)
+    ScanPruning.FileIndexStore.absorb(spark, root,
+      ScanPruning.incrementEvents(spark, dir), "inc-1")
+    root
+  }
+
+  private def readBuckets(root: String, survivors: DataFrame): DataFrame = {
+    val paths = survivors.select(col("inc_id"), col("zbucket")).collect()
+      .map(r =>
+        ScanPruning.FileIndexStore.bucketDir(root, r.getString(0), r.getInt(1)))
+    spark.read.parquet(paths.toIndexedSeq: _*)
+  }
+
+  test("zone pruning is conservative for arbitrary boxes") {
+    val root = isolatedRoot()
+    val zone = ScanPruning.FileIndexStore.zone(spark, root)
+    val l = ScanPruning.FileIndexStore.layoutOf(spark, root)
+    val all = Tables.events(spark, dir).withColumn("tsu", expr("ts div 1000"))
+    // boxes as (ulo8, uhi8, tlo8, thi8) eighths of each range — edge
+    // boxes, full-range boxes, and empty-intersection boxes included
+    for ((ul, uh, tl, th) <- Seq((0, 8, 0, 8), (0, 1, 7, 8), (3, 3, 2, 6),
+        (7, 8, 0, 1), (2, 5, 3, 4))) {
+      val (uStep, tStep) = ((l.umax - l.umin) / 8, (l.tmax - l.tmin) / 8)
+      val (bul, buh) = (l.umin + ul * uStep, l.umin + uh * uStep)
+      val (btl, bth) = (l.tmin + tl * tStep, l.tmin + th * tStep)
+      val survivors = zone.filter(!(col("u_hi") < bul || col("u_lo") > buh ||
+        col("t_hi") < btl || col("t_lo") > bth))
+      val expected = all.filter(col("user_id").between(bul, buh) &&
+        col("tsu").between(btl, bth))
+      val expectedN = expected.count()
+      val prunedN =
+        if (survivors.isEmpty) 0L
+        else readBuckets(root, survivors)
+          .withColumn("tsu", expr("ts div 1000"))
+          .filter(col("user_id").between(bul, buh) &&
+            col("tsu").between(btl, bth))
+          .count()
+      assert(prunedN == expectedN,
+        s"box ($ul,$uh,$tl,$th): pruned read lost rows " +
+          s"($prunedN vs $expectedN)")
+    }
+  }
+
+  test("the demo box actually skips files, and the physical read set shrinks") {
+    val root = isolatedRoot()
+    val zone = ScanPruning.FileIndexStore.zone(spark, root)
+    val l = ScanPruning.FileIndexStore.layoutOf(spark, root)
+    val total = zone.count()
+    val kept = ScanPruning.boxSurvivors(zone, l).count()
+    assert(kept < total, s"box pruning kept all $total logical files")
+    assert(kept > 0, "box pruning eliminated everything — box misplaced")
+    // physical pin via the public query: the pruned plan's data-file
+    // set must be smaller than the audit query's (which reads every
+    // generation file by design)
+    val dataFiles = (name: String) =>
+      graft.SparkEntry.queries(name)(spark, dir)
+        .inputFiles.count(_.contains("/data_"))
+    assert(dataFiles("fx_pruned_box") < dataFiles("fx_prune_audit"),
+      "pruned box read did not shrink the physical file set")
+  }
+
+  test("bloom rejects an in-range but absent probe; zone alone cannot") {
+    import spark.implicits._
+    // users 0..9 and 20..29 — 15 sits inside every covering file's
+    // [u_lo, u_hi] yet no row carries it
+    val synth = (0L until 200L).map { i =>
+      val u = if (i % 20 < 10) i % 20 else i % 20 + 10
+      (i, i * 1000000000L, u, "view", 1.5, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val root = ScanPruning.FileIndexStore.buildRootFrom(spark, synth)
+    val zone = ScanPruning.FileIndexStore.zone(spark, root)
+    val zoneKept = zone.filter(col("u_lo") <= 15 && col("u_hi") >= 15).count()
+    assert(zoneKept > 0, "no file's zone range covers 15 — bad synth layout")
+    assert(ScanPruning.pointSurvivors(spark, root, 15L).isEmpty,
+      "bloom failed to reject the absent user 15")
+    // a PRESENT user survives both layers and reads back its rows
+    val hits = readBuckets(root, ScanPruning.pointSurvivors(spark, root, 7L))
+      .filter(col("user_id") === 7L).count()
+    assert(hits == synth.filter(col("user_id") === 7L).count())
+  }
+
+  test("out-of-layout increment values clamp to edge files and stay readable") {
+    import spark.implicits._
+    val synth = (0L until 100L)
+      .map(i => (i, i * 1000000000L, i % 10, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val root = ScanPruning.FileIndexStore.buildRootFrom(spark, synth)
+    // user 1000 is far outside the layout's creation-time [0, 9]
+    val late = Seq((1000L, 5000000000L, 1000L, "click", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    assert(ScanPruning.FileIndexStore.absorb(spark, root, late, "late-1"))
+    val found = readBuckets(root,
+      ScanPruning.pointSurvivors(spark, root, 1000L))
+      .filter(col("user_id") === 1000L).count()
+    assert(found == 1L, "clamped out-of-range row not found via the index")
+  }
+
+  test("absorb is ledger-guarded, replay-idempotent, and corpus-blind") {
+    val root = ScanPruning.FileIndexStore.buildRoot(spark, dir)
+    val inc = ScanPruning.incrementEvents(spark, dir).localCheckpoint(true)
+
+    // corpus-blind: absorbing must succeed with the corpus DATA gone
+    // (it reads only the persisted bounds + ledger and the increment)
+    val corpusData = java.nio.file.Paths.get(root, "data_corpus")
+    val hidden = java.nio.file.Paths.get(root, "data_corpus_hidden")
+    java.nio.file.Files.move(corpusData, hidden)
+    try assert(ScanPruning.FileIndexStore.absorb(spark, root, inc, "inc-1"),
+      "first absorb should land")
+    finally java.nio.file.Files.move(hidden, corpusData)
+
+    def zoneMap(df: DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    def bloomSet(df: DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    val zone0 = zoneMap(ScanPruning.FileIndexStore.zone(spark, root))
+    val bloom0 = bloomSet(ScanPruning.FileIndexStore.bloom(spark, root))
+    assert(zone0.keys.exists(_._1 == "inc-1"))
+
+    // ledger: a replayed absorb is a no-op
+    assert(!ScanPruning.FileIndexStore.absorb(spark, root, inc, "inc-1"))
+    assert(zoneMap(ScanPruning.FileIndexStore.zone(spark, root)) == zone0)
+
+    // crash window: the retry that raced the ledger read and DOUBLE-
+    // appended the same inc_id's index rows — merge-on-read still
+    // yields the same index
+    val rawZone = spark.read.parquet(
+      ScanPruning.FileIndexStore.zonePath(root))
+      .filter(col("inc_id") === "inc-1")
+    graft.storage.AstarteStore.appendAtomic(rawZone,
+      ScanPruning.FileIndexStore.zonePath(root))
+    val rawBloom = spark.read.parquet(
+      ScanPruning.FileIndexStore.bloomPath(root))
+      .filter(col("inc_id") === "inc-1")
+    graft.storage.AstarteStore.appendAtomic(rawBloom,
+      ScanPruning.FileIndexStore.bloomPath(root))
+    assert(zoneMap(ScanPruning.FileIndexStore.zone(spark, root)) == zone0,
+      "double-appended zone rows changed the merged index")
+    assert(bloomSet(ScanPruning.FileIndexStore.bloom(spark, root)) == bloom0,
+      "double-appended bloom rows changed the merged bit set")
+  }
+}
