@@ -125,6 +125,7 @@ object ScanPruning extends QueryPack {
     def zonePath(root: String): String = s"$root/index_zone"
     def bloomPath(root: String): String = s"$root/index_bloom"
     def boundsPath(root: String): String = s"$root/index_bounds"
+    def manifestPath(root: String): String = s"$root/index_manifest"
     private def genPath(root: String, incId: String): String =
       s"$root/data_$incId"
 
@@ -161,8 +162,38 @@ object ScanPruning extends QueryPack {
           .toDF("umin", "umax", "tmin", "tmax", "inc_id"),
         boundsPath(root))
       writeAndIndex(s, root, corpus, "corpus", l)
+      appendManifest(s, root, Seq("corpus" -> "live"), 0L)
       root
     }
+
+    /** One atomic manifest append — the ONLY mutation that changes
+      * what readers see. Each row marks a generation live or dead at
+      * a sequence number; merge-on-read takes the latest status per
+      * generation, so a multi-row append (compaction's new-live +
+      * olds-dead) is an atomic swap. */
+    private def appendManifest(s: SparkSession, root: String,
+        entries: Seq[(String, String)], mseq: Long): Unit = {
+      import s.implicits._
+      graft.storage.AstarteStore.appendAtomic(
+        entries.map { case (g, st) => (g, st, mseq) }
+          .toDF("gen", "status", "mseq"),
+        manifestPath(root))
+    }
+
+    /** Latest status per generation. Control-plane sized: one row per
+      * generation ever absorbed or compacted. */
+    private def manifest(s: SparkSession, root: String): DataFrame = {
+      val m = s.read.parquet(manifestPath(root))
+      m.join(m.groupBy(col("gen")).agg(max(col("mseq")).as("mseq")),
+          Seq("gen", "mseq"))
+        .select(col("gen"), col("status"), col("mseq"))
+        .distinct()
+    }
+
+    /** Generations whose files readers may touch. */
+    def liveGens(s: SparkSession, root: String): Seq[String] =
+      manifest(s, root).filter(col("status") === "live")
+        .select(col("gen")).collect().map(_.getString(0)).toSeq.sorted
 
     /** The persisted layout constants — a 1-row control-plane read;
       * max-fold makes a replayed bounds append harmless (replays are
@@ -206,43 +237,87 @@ object ScanPruning extends QueryPack {
         bloomPath(root))
     }
 
-    /** Increment ids already indexed — the replay ledger (index-sized
-      * read, control plane however big the data is). */
+    /** Every generation the manifest has EVER named, live or dead —
+      * the replay ledger. Dead generations stay in the ledger: an
+      * increment whose rows now live inside a compacted generation
+      * must never be re-absorbed as new data. */
     def absorbedIds(s: SparkSession, root: String): Set[String] =
-      s.read.parquet(zonePath(root)).select(col("inc_id")).distinct()
-        .collect().map(_.getString(0)).toSet
+      manifest(s, root).select(col("gen")).collect()
+        .map(_.getString(0)).toSet
+
+    private def nextSeq(s: SparkSession, root: String): Long =
+      manifest(s, root).agg(max(col("mseq"))).head().getLong(0) + 1
 
     /** Cluster + index one increment under the persisted layout.
       * Replay-idempotent end to end: the ledger skips an already-
-      * absorbed id, and the crash window (files written, retry raced
-      * the ledger read) is closed by the READ side — zone stats fold
-      * per (inc_id, zbucket) before summing and bloom rows are
-      * distinct, so a double-appended id indexes once. Returns true
-      * when newly absorbed. */
+      * absorbed id; a crash AFTER the index appends but BEFORE the
+      * manifest row leaves the generation invisible to readers and
+      * absent from the ledger, so the retry re-runs writeAndIndex —
+      * its duplicate index rows collapse under the read-side fold and
+      * the manifest append then publishes the generation exactly
+      * once. Returns true when newly absorbed. */
     def absorb(s: SparkSession, root: String, increment: DataFrame,
         incId: String): Boolean = {
       if (absorbedIds(s, root).contains(incId)) return false
       writeAndIndex(s, root, increment, incId, layoutOf(s, root))
+      appendManifest(s, root, Seq(incId -> "live"), nextSeq(s, root))
       true
     }
 
-    /** Merge-on-read zone map: one row per (generation, logical
-      * file). The per-(inc_id, zbucket) fold collapses crash-window
-      * double appends — a replayed build's stats rows are
-      * bit-identical, so max/min are the identity on them. */
-    def zone(s: SparkSession, root: String): DataFrame =
+    /** Bin-packing maintenance (the OPTIMIZE of this store): rewrite
+      * ALL live generations as one fresh clustered generation, then
+      * swap the manifest atomically — new-live + olds-dead land in a
+      * single append, so readers see either the old file set or the
+      * new one, never a mix. Crash windows: the rewritten data and
+      * its index rows are invisible until the swap (no manifest row),
+      * and a retry regenerates the same deterministic name, so the
+      * orphans are overwritten, their duplicate index rows collapse
+      * on read, and the swap lands once. No-op (None) when fewer than
+      * two generations are live. Like the store's log compaction,
+      * callers serialize maintenance (ProcessLock) — concurrent
+      * ABSORBS are safe (a gen absorbed mid-compaction is not in the
+      * rewrite's live set and stays live after the swap), concurrent
+      * compactions are not. */
+    def compact(s: SparkSession, root: String): Option[String] = {
+      val live = liveGens(s, root)
+      if (live.size < 2) return None
+      val newGen = "compact-" +
+        absorbedIds(s, root).count(_.startsWith("compact-"))
+      val union = live.map(g => s.read.parquet(genPath(root, g)))
+        .reduce(_ unionByName _)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+      writeAndIndex(s, root, union, newGen, layoutOf(s, root))
+      appendManifest(s, root,
+        (newGen -> "live") +: live.map(_ -> "dead"), nextSeq(s, root))
+      Some(newGen)
+    }
+
+    /** Merge-on-read zone map: one row per (LIVE generation, logical
+      * file). The manifest filter hides dead (compacted-away) and
+      * half-absorbed generations; the per-(inc_id, zbucket) fold
+      * collapses crash-window double appends — a replayed build's
+      * stats rows are bit-identical, so max/min are the identity on
+      * them. */
+    def zone(s: SparkSession, root: String): DataFrame = {
+      val live = liveGens(s, root)
       s.read.parquet(zonePath(root))
+        .filter(col("inc_id").isin(live: _*))
         .groupBy(col("inc_id"), col("zbucket"))
         .agg(max(col("n")).as("n"),
           min(col("u_lo")).as("u_lo"), max(col("u_hi")).as("u_hi"),
           min(col("t_lo")).as("t_lo"), max(col("t_hi")).as("t_hi"))
+    }
 
-    /** Merge-on-read bloom bit table (distinct = the replay defense —
-      * bits are set-valued). */
-    def bloom(s: SparkSession, root: String): DataFrame =
+    /** Merge-on-read bloom bit table for live generations (distinct =
+      * the replay defense — bits are set-valued). */
+    def bloom(s: SparkSession, root: String): DataFrame = {
+      val live = liveGens(s, root)
       s.read.parquet(bloomPath(root))
+        .filter(col("inc_id").isin(live: _*))
         .select(col("inc_id"), col("zbucket"), col("r"), col("bit"))
         .distinct()
+    }
   }
 
   /** The increment slice — the only corpus-table scan absorb makes. */
@@ -255,6 +330,36 @@ object ScanPruning extends QueryPack {
     val root = FileIndexStore.rootFor(s, d)
     FileIndexStore.absorb(s, root, incrementEvents(s, d), "inc-1")
     root
+  }
+
+  private val compactedRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** A separate root taken through the FULL lifecycle — corpus build →
+    * increment absorb → compaction down to one live generation — so
+    * the compaction queries never change what the multi-generation
+    * queries above observe. */
+  private def compactedRoot(s: SparkSession, d: String): String =
+    compactedRoots.computeIfAbsent(d, _ => {
+      val root = FileIndexStore.buildRoot(s, d)
+      FileIndexStore.absorb(s, root, incrementEvents(s, d), "inc-1")
+      FileIndexStore.compact(s, root)
+      root
+    })
+
+  /** The demo box aggregate over a root's pruned read — shared by the
+    * multi-generation and post-compaction queries (same oracle SQL:
+    * compaction must be invisible to readers). */
+  private def boxAggOf(s: SparkSession, root: String): DataFrame = {
+    val l = FileIndexStore.layoutOf(s, root)
+    readFiles(s, root, boxSurvivors(FileIndexStore.zone(s, root), l))
+      .withColumn("tsu", expr("ts div 1000"))
+      .filter(col("user_id").between(l.ulo, l.uhi) &&
+        col("tsu").between(l.tlo, l.thi))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("cents"),
+        countDistinct(col("user_id")).as("users"))
   }
 
   /** Files whose zone ranges intersect the box — evaluated
@@ -350,17 +455,21 @@ object ScanPruning extends QueryPack {
     // persisted index, read ONLY surviving files, apply the residual
     // predicate — the oracle full-scans, so a hash match IS the
     // conservative-pruning proof
-    "fx_pruned_box" -> ((s, d) => {
-      val root = readyRoot(s, d)
-      val l = FileIndexStore.layoutOf(s, root)
-      readFiles(s, root, boxSurvivors(FileIndexStore.zone(s, root), l))
-        .withColumn("tsu", expr("ts div 1000"))
-        .filter(col("user_id").between(l.ulo, l.uhi) &&
-          col("tsu").between(l.tlo, l.thi))
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          sum(round(col("value") * 100).cast("long")).as("cents"),
-          countDistinct(col("user_id")).as("users"))
+    "fx_pruned_box" -> ((s, d) => boxAggOf(s, readyRoot(s, d))),
+    // the SAME box read served from a root compacted down to one live
+    // generation — identical oracle, so a hash match proves the
+    // atomic manifest swap is invisible to readers
+    "fx_compacted_box" -> ((s, d) => boxAggOf(s, compactedRoot(s, d))),
+    // post-compaction index census: exactly one live generation per
+    // bucket, and its persisted stats equal DuckDB's from-scratch
+    // replay over ALL events — the compaction-preserves-the-index gate
+    "fx_compact_census" -> ((s, d) => {
+      val root = compactedRoot(s, d)
+      FileIndexStore.zone(s, root)
+        .groupBy(col("zbucket"))
+        .agg(count(lit(1)).as("gens"), sum(col("n")).as("n"),
+          min(col("u_lo")).as("u_lo"), max(col("u_hi")).as("u_hi"),
+          min(col("t_lo")).as("t_lo"), max(col("t_hi")).as("t_hi"))
     }),
     // the per-file keep/skip DECISIONS, hash-checked: box
     // intersection, point zone test, point bloom test, and the exact
@@ -431,6 +540,23 @@ object ScanPruning extends QueryPack {
          |WHERE user_id BETWEEN ulo AND uhi
          |  AND epoch_us(ts) BETWEEN tlo AND thi
          |GROUP BY 1""".stripMargin,
+    // identical full-scan SQL — compaction must not change the answer
+    "fx_compacted_box" ->
+      s"""WITH $constsSql
+         |SELECT event_type, count(*) AS n,
+         |  sum(round(value * 100)::BIGINT)::BIGINT AS cents,
+         |  count(DISTINCT user_id) AS users
+         |FROM events CROSS JOIN consts
+         |WHERE user_id BETWEEN ulo AND uhi
+         |  AND epoch_us(ts) BETWEEN tlo AND thi
+         |GROUP BY 1""".stripMargin,
+    // one live generation per bucket; stats replayed from scratch
+    "fx_compact_census" ->
+      s"""WITH $slicesSql
+         |SELECT zbucket, 1::BIGINT AS gens, count(*) AS n,
+         |  min(user_id) AS u_lo, max(user_id) AS u_hi,
+         |  min(tsu) AS t_lo, max(tsu) AS t_hi
+         |FROM bucketed GROUP BY 1""".stripMargin,
     "fx_prune_audit" ->
       s"""WITH $slicesSql,
          |bloombits AS (

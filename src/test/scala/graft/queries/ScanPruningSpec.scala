@@ -121,6 +121,53 @@ class ScanPruningSpec extends AnyFunSuite {
     assert(found == 1L, "clamped out-of-range row not found via the index")
   }
 
+  test("compaction swaps atomically, preserves answers, and keeps the ledger") {
+    val root = isolatedRoot()
+    val zone = () => ScanPruning.FileIndexStore.zone(spark, root)
+    // pre-compaction census, merged across generations
+    def census(df: DataFrame) = df.groupBy(col("zbucket"))
+      .agg(sum(col("n")).as("n"), min(col("u_lo")).as("u_lo"),
+        max(col("u_hi")).as("u_hi"), min(col("t_lo")).as("t_lo"),
+        max(col("t_hi")).as("t_hi"))
+      .collect().map(_.toSeq).toSet
+    val before = census(zone())
+    assert(ScanPruning.FileIndexStore.liveGens(spark, root).size == 2)
+
+    // a half-published generation (index rows, no manifest row — the
+    // mid-absorb crash) must be invisible to readers
+    val orphan = spark.read.parquet(
+      ScanPruning.FileIndexStore.zonePath(root))
+      .filter(col("inc_id") === "corpus")
+      .withColumn("inc_id", lit("orphan-gen"))
+    graft.storage.AstarteStore.appendAtomic(orphan,
+      ScanPruning.FileIndexStore.zonePath(root))
+    assert(zone().filter(col("inc_id") === "orphan-gen").isEmpty,
+      "unpublished generation leaked into the zone map")
+
+    val swapped = ScanPruning.FileIndexStore.compact(spark, root)
+    assert(swapped.contains("compact-0"))
+    assert(ScanPruning.FileIndexStore.liveGens(spark, root)
+      == Seq("compact-0"), "old generations still live after the swap")
+    assert(census(zone()) == before,
+      "compaction changed the merged per-bucket statistics")
+
+    // dead generations stay in the ledger: re-absorbing an increment
+    // whose rows now live inside the compacted generation is a no-op
+    assert(!ScanPruning.FileIndexStore.absorb(spark, root,
+      ScanPruning.incrementEvents(spark, dir), "inc-1"),
+      "compacted-away increment was re-absorbed")
+    // a single live generation needs no compaction
+    assert(ScanPruning.FileIndexStore.compact(spark, root).isEmpty)
+
+    // and the pruned point read still answers from the compacted files
+    val l = ScanPruning.FileIndexStore.layoutOf(spark, root)
+    val got = readBuckets(root, ScanPruning.pointSurvivors(spark, root, l.probe))
+      .filter(col("user_id") === l.probe).count()
+    val want = Tables.events(spark, dir)
+      .filter(col("user_id") === l.probe).count()
+    assert(got == want, s"post-compaction point read lost rows ($got/$want)")
+  }
+
   test("absorb is ledger-guarded, replay-idempotent, and corpus-blind") {
     val root = ScanPruning.FileIndexStore.buildRoot(spark, dir)
     val inc = ScanPruning.incrementEvents(spark, dir).localCheckpoint(true)
