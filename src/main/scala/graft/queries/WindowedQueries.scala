@@ -92,6 +92,40 @@ object WindowedQueries extends QueryPack {
         sum(col("revenue_cents")).over(run))
     }),
 
+    // Calendar gap-fill / resample with LOCF — the operator
+    // time-series stores call time_bucket_gapfill: a sparse daily
+    // series (deliberately sparsified to ~1% so gaps exist at every
+    // SF) is resampled onto the full shared day grid; missing days
+    // are marked and carry the last observation forward. Scale
+    // shape: the only data-sized work is the first aggregate (one
+    // partial-agg shuffle); the grid is CALENDAR-sized (types × days,
+    // from a broadcast 1-row bounds frame), and the LOCF window
+    // partitions by type over ≤ days rows — bounded by the time
+    // range, never by the data.
+    "w_gapfill" -> ((s, d) => {
+      val src = Tables.events(s, d)
+        .filter(col("event_id") % 97 === 0)
+        .select(col("event_type"),
+          expr("ts div 1000000 div 86400000").as("day"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("cents")).as("cents"))
+      val bounds = src.agg(min(col("day")).as("dmin"),
+        max(col("day")).as("dmax"))
+      val grid = src.select(col("event_type")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          explode(sequence(col("dmin"), col("dmax"))).as("day"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(src, Seq("event_type", "day"), "left")
+        .withColumn("filled", when(col("cents").isNull, 1).otherwise(0))
+        .withColumn("cents_locf",
+          last(col("cents"), ignoreNulls = true).over(w))
+        .select(col("event_type"), col("day"), col("filled"),
+          col("cents_locf"))
+    }),
+
     "w_session" -> ((s, d) => {
       Tables.events(s, d)
         .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
@@ -152,6 +186,26 @@ object WindowedQueries extends QueryPack {
         |  count(*) AS n_users
         |FROM wk JOIN cohort USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+    "w_gapfill" ->
+      """WITH src AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |    sum(round(value * 100)::BIGINT)::BIGINT AS cents
+        |  FROM events WHERE event_id % 97 = 0 GROUP BY 1, 2),
+        |bounds AS (SELECT min(day) AS dmin, max(day) AS dmax FROM src),
+        |grid AS (
+        |  SELECT t.event_type, unnest(generate_series(dmin, dmax)) AS day
+        |  FROM (SELECT DISTINCT event_type FROM src) t CROSS JOIN bounds),
+        |j AS (
+        |  SELECT g.event_type, g.day, s.cents,
+        |    CASE WHEN s.cents IS NULL THEN 1 ELSE 0 END AS filled
+        |  FROM grid g LEFT JOIN src s
+        |    ON s.event_type = g.event_type AND s.day = g.day)
+        |SELECT event_type, day, filled,
+        |  last_value(cents IGNORE NULLS) OVER (
+        |    PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS cents_locf
+        |FROM j""".stripMargin,
     // gaps-and-islands replica of session_window: a NEW session starts
     // only when the gap since the previous event EXCEEDS the 6h window
     // (Spark merges touching gap windows, so an exactly-6h gap still
