@@ -2106,6 +2106,46 @@ object AnalyticsQueries extends QueryPack {
             .as("neg_slope_bp"))
     }),
 
+    // Per-source KL divergence from the corpus unigram mixture over
+    // the shared top-100 vocabulary — the data-mixture drift
+    // diagnostic: which source's token distribution departs from the
+    // blend it feeds (the counterpart of dd_mixture_weights' size
+    // rebalance). Global top-V via the rank<=k pushdown (map-side
+    // partial top-100 per partition, one ~100·P-row final — never a
+    // vocab-sized single partition), then a 100-row broadcast against
+    // the token stream. Per-term contribution is
+    // c_sw · (ln(c_sw·C_tot) − ln(C_w·S_tot)) with both lns taken on
+    // EXACT INTEGER products and micro-nat-quantized BEFORE the exact
+    // integer sum (the PMI/Kneser-Ney discipline) — cross-engine
+    // parity is unconditional. Absent terms contribute 0 (the
+    // 0·ln 0 = 0 convention), kept implicit by the inner join; KL is
+    // between the top-V-renormalized distributions, so it is ≥ 0 up
+    // to quantization.
+    "tx_source_kl" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("source"), explode(toks).as("tok"))
+      // 100 rows, fanned out twice (total + join) — materialize once
+      val vocab = tok.groupBy(col("tok")).agg(count(lit(1)).as("cw"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("cw").desc, col("tok").asc)))
+        .filter(col("rank") <= 100)
+        .select(col("tok"), col("cw"))
+        .localCheckpoint(true)
+      val vtot = vocab.agg(sum(col("cw")).as("c_tot"))
+      val src = tok.join(broadcast(vocab), Seq("tok"))
+        .groupBy(col("source"), col("tok"), col("cw"))
+        .agg(count(lit(1)).as("csw"))
+      val stot = src.groupBy(col("source")).agg(sum(col("csw")).as("s_tot"))
+      src.join(broadcast(stot), Seq("source"))
+        .crossJoin(broadcast(vtot))
+        .withColumn("term_mnat", col("csw") * expr(
+          "cast(floor((ln(cast(csw * c_tot as double))" +
+            " - ln(cast(cw * s_tot as double))) * 1000000) as bigint)"))
+        .groupBy(col("source"))
+        .agg(max(col("s_tot")).as("s_tot"),
+          sum(col("term_mnat")).as("kl_mnat"))
+    }),
+
     // Multimodal plumbing: opaque binary column + typed metadata.
     // The decode step is stubbed (no codec libs in this container);
     // the schema/bytes/digest path is real (see graft.analytics.Multimodal).
@@ -4110,6 +4150,29 @@ object AnalyticsQueries extends QueryPack {
         |  ((sx * sy - cnt * sxy) * 10000 // (cnt * sxx - sx * sx))::BIGINT
         |    AS neg_slope_bp
         |FROM a""".stripMargin,
+    "tx_source_kl" ->
+      """WITH tokf AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |v AS (SELECT tok, count(*) AS cw FROM tokf GROUP BY 1),
+        |vocab AS (
+        |  SELECT tok, cw FROM (
+        |    SELECT tok, cw,
+        |      row_number() OVER (ORDER BY cw DESC, tok ASC) AS r
+        |    FROM v) rv
+        |  WHERE r <= 100),
+        |vtot AS (SELECT sum(cw)::BIGINT AS c_tot FROM vocab),
+        |src AS (
+        |  SELECT t.source, t.tok, vocab.cw, count(*)::BIGINT AS csw
+        |  FROM tokf t JOIN vocab USING (tok) GROUP BY 1, 2, 3),
+        |stot AS (
+        |  SELECT source, sum(csw)::BIGINT AS s_tot FROM src GROUP BY 1)
+        |SELECT s.source, max(st.s_tot)::BIGINT AS s_tot,
+        |  sum(s.csw * floor((ln((s.csw * c_tot)::DOUBLE)
+        |      - ln((s.cw * st.s_tot)::DOUBLE)) * 1000000)::BIGINT)::BIGINT
+        |    AS kl_mnat
+        |FROM src s JOIN stot st USING (source) CROSS JOIN vtot
+        |GROUP BY 1""".stripMargin,
     "dd_split_leakage" ->
       """WITH s AS (
         |  SELECT doc_id,
