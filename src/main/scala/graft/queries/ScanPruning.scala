@@ -195,6 +195,43 @@ object ScanPruning extends QueryPack {
       manifest(s, root).filter(col("status") === "live")
         .select(col("gen")).collect().map(_.getString(0)).toSeq.sorted
 
+    /** The manifest's current version number — each absorb/compaction
+      * publishes one. */
+    def currentSeq(s: SparkSession, root: String): Long =
+      s.read.parquet(manifestPath(root)).agg(max(col("mseq")))
+        .head().getLong(0)
+
+    /** TIME TRAVEL: the live set as of manifest version `seq` —
+      * versions are never rewritten (the manifest is an append-only
+      * status log), so any past file set stays addressable until
+      * [[vacuum]] reclaims its dead data. */
+    def liveGensAt(s: SparkSession, root: String, seq: Long): Seq[String] = {
+      val m = s.read.parquet(manifestPath(root))
+        .filter(col("mseq") <= seq)
+      m.join(m.groupBy(col("gen")).agg(max(col("mseq")).as("mseq")),
+          Seq("gen", "mseq"))
+        .filter(col("status") === "live")
+        .select(col("gen")).distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+    }
+
+    /** Reclaim the data of generations dead at the CURRENT version
+      * (retention horizon zero — a production deployment would keep
+      * gens dead less than the time-travel horizon). Index and
+      * manifest rows stay: history remains auditable, but snapshots
+      * older than the vacuum are no longer readable. Returns the
+      * reclaimed generation names. */
+    def vacuum(s: SparkSession, root: String): Seq[String] = {
+      val dead = manifest(s, root).filter(col("status") === "dead")
+        .select(col("gen")).collect().map(_.getString(0)).toSeq.sorted
+      val conf = s.sparkContext.hadoopConfiguration
+      dead.foreach { g =>
+        val p = new org.apache.hadoop.fs.Path(genPath(root, g))
+        p.getFileSystem(conf).delete(p, true)
+      }
+      dead
+    }
+
     /** The persisted layout constants — a 1-row control-plane read;
       * max-fold makes a replayed bounds append harmless (replays are
       * bit-identical). */
@@ -299,15 +336,22 @@ object ScanPruning extends QueryPack {
       * collapses crash-window double appends — a replayed build's
       * stats rows are bit-identical, so max/min are the identity on
       * them. */
-    def zone(s: SparkSession, root: String): DataFrame = {
-      val live = liveGens(s, root)
+    def zone(s: SparkSession, root: String): DataFrame =
+      zoneOf(s, root, liveGens(s, root))
+
+    /** The zone map of a PAST version — time-travel reads prune
+      * against exactly the files that were live then. */
+    def zoneAt(s: SparkSession, root: String, seq: Long): DataFrame =
+      zoneOf(s, root, liveGensAt(s, root, seq))
+
+    private def zoneOf(s: SparkSession, root: String,
+        live: Seq[String]): DataFrame =
       s.read.parquet(zonePath(root))
         .filter(col("inc_id").isin(live: _*))
         .groupBy(col("inc_id"), col("zbucket"))
         .agg(max(col("n")).as("n"),
           min(col("u_lo")).as("u_lo"), max(col("u_hi")).as("u_hi"),
           min(col("t_lo")).as("t_lo"), max(col("t_hi")).as("t_hi"))
-    }
 
     /** Merge-on-read bloom bit table for live generations (distinct =
       * the replay defense — bits are set-valued). */
@@ -348,11 +392,16 @@ object ScanPruning extends QueryPack {
     })
 
   /** The demo box aggregate over a root's pruned read — shared by the
-    * multi-generation and post-compaction queries (same oracle SQL:
-    * compaction must be invisible to readers). */
-  private def boxAggOf(s: SparkSession, root: String): DataFrame = {
+    * multi-generation, post-compaction, and time-travel queries (same
+    * oracle SQL: neither compaction nor the version read may change
+    * the answer). */
+  private def boxAggOf(s: SparkSession, root: String): DataFrame =
+    boxAggOf(s, root, FileIndexStore.zone(s, root))
+
+  private def boxAggOf(s: SparkSession, root: String,
+      zone: DataFrame): DataFrame = {
     val l = FileIndexStore.layoutOf(s, root)
-    readFiles(s, root, boxSurvivors(FileIndexStore.zone(s, root), l))
+    readFiles(s, root, boxSurvivors(zone, l))
       .withColumn("tsu", expr("ts div 1000"))
       .filter(col("user_id").between(l.ulo, l.uhi) &&
         col("tsu").between(l.tlo, l.thi))
@@ -460,6 +509,14 @@ object ScanPruning extends QueryPack {
     // generation — identical oracle, so a hash match proves the
     // atomic manifest swap is invisible to readers
     "fx_compacted_box" -> ((s, d) => boxAggOf(s, compactedRoot(s, d))),
+    // TIME TRAVEL: the same box read as of the manifest version just
+    // BEFORE the compaction swap — served from the now-dead
+    // pre-compaction generations, still hash-equal to the full scan
+    "fx_timetravel_box" -> ((s, d) => {
+      val root = compactedRoot(s, d)
+      val asOf = FileIndexStore.currentSeq(s, root) - 1
+      boxAggOf(s, root, FileIndexStore.zoneAt(s, root, asOf))
+    }),
     // post-compaction index census: exactly one live generation per
     // bucket, and its persisted stats equal DuckDB's from-scratch
     // replay over ALL events — the compaction-preserves-the-index gate
@@ -542,6 +599,16 @@ object ScanPruning extends QueryPack {
          |GROUP BY 1""".stripMargin,
     // identical full-scan SQL — compaction must not change the answer
     "fx_compacted_box" ->
+      s"""WITH $constsSql
+         |SELECT event_type, count(*) AS n,
+         |  sum(round(value * 100)::BIGINT)::BIGINT AS cents,
+         |  count(DISTINCT user_id) AS users
+         |FROM events CROSS JOIN consts
+         |WHERE user_id BETWEEN ulo AND uhi
+         |  AND epoch_us(ts) BETWEEN tlo AND thi
+         |GROUP BY 1""".stripMargin,
+    // identical full-scan SQL — the version read must not change it
+    "fx_timetravel_box" ->
       s"""WITH $constsSql
          |SELECT event_type, count(*) AS n,
          |  sum(round(value * 100)::BIGINT)::BIGINT AS cents,

@@ -168,6 +168,39 @@ class ScanPruningSpec extends AnyFunSuite {
     assert(got == want, s"post-compaction point read lost rows ($got/$want)")
   }
 
+  test("time travel reads past versions; vacuum reclaims only dead data") {
+    val root = isolatedRoot()
+    val seqBefore = ScanPruning.FileIndexStore.currentSeq(spark, root)
+    assert(ScanPruning.FileIndexStore.compact(spark, root).isDefined)
+
+    // the as-of live set is the pre-compaction one; its (dead) files
+    // still answer point reads identically to the head
+    assert(ScanPruning.FileIndexStore.liveGensAt(spark, root, seqBefore)
+      == Seq("corpus", "inc-1"))
+    val l = ScanPruning.FileIndexStore.layoutOf(spark, root)
+    def probeCount(zone: DataFrame) = {
+      val survivors = zone.filter(
+        col("u_lo") <= l.probe && col("u_hi") >= l.probe)
+      readBuckets(root, survivors).filter(col("user_id") === l.probe).count()
+    }
+    val past = probeCount(
+      ScanPruning.FileIndexStore.zoneAt(spark, root, seqBefore))
+    val head = probeCount(ScanPruning.FileIndexStore.zone(spark, root))
+    assert(past == head && head > 0,
+      s"time-travel read diverged from head ($past vs $head)")
+
+    // vacuum deletes exactly the dead generations' data; head reads
+    // are untouched, the old snapshot's files are gone
+    val reclaimed = ScanPruning.FileIndexStore.vacuum(spark, root)
+    assert(reclaimed == Seq("corpus", "inc-1"))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "data_corpus")))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "data_compact-0")))
+    assert(probeCount(ScanPruning.FileIndexStore.zone(spark, root)) == head,
+      "vacuum broke the head read")
+  }
+
   test("absorb is ledger-guarded, replay-idempotent, and corpus-blind") {
     val root = ScanPruning.FileIndexStore.buildRoot(spark, dir)
     val inc = ScanPruning.incrementEvents(spark, dir).localCheckpoint(true)
