@@ -343,6 +343,48 @@ object RelationalQueries extends QueryPack {
             .as("n_full_funnel"))
     }),
 
+    // Multi-touch attribution: every purchase's revenue is credited
+    // equally (integer basis points, remainder to the EARLIEST touch)
+    // across the user's clicks in the 24h before it — the marketing
+    // attribution read every event pipeline ships. The lookback join
+    // uses the bucketed-range-join discipline (purchase explodes to
+    // the exactly-2 daily buckets its window overlaps, clicks probe
+    // equi-join on (user, bucket), exact time predicate after the
+    // hash join — never a nested loop); the credit-split window
+    // partitions per purchase over its ≤ lookback-rate rows. All
+    // integer: bp split via div/mod, attributed cents via
+    // cents·bp div 10000.
+    "q_attribution" -> ((s, d) => {
+      val dayUs = 86400000000L
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("ts div 1000").as("tus"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"),
+          col("tus").as("t_p"), col("cents"))
+        .withColumn("bucket", explode(array(
+          expr(s"t_p div $dayUs - 1"), expr(s"t_p div $dayUs"))))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("cid"), col("user_id"),
+          col("tus").as("t_c"), expr(s"tus div $dayUs").as("bucket"))
+      val pairs = purchases.join(clicks, Seq("user_id", "bucket"))
+        .filter(col("t_c") < col("t_p") &&
+          col("t_c") >= col("t_p") - dayUs)
+      val wk = Window.partitionBy(col("pid"))
+      val wr = Window.partitionBy(col("pid"))
+        .orderBy(col("t_c").asc, col("cid").asc)
+      pairs
+        .withColumn("k", count(lit(1)).over(wk))
+        .withColumn("rn", row_number().over(wr))
+        .withColumn("credit_bp", expr("10000 div k") +
+          when(col("rn") === 1, expr("10000 % k")).otherwise(lit(0L)))
+        .groupBy(expr("(t_c div 3600000000) % 24").as("click_hour"))
+        .agg(count(lit(1)).as("n_credits"),
+          sum(col("credit_bp")).as("credit_bp_sum"),
+          sum(expr("cents * credit_bp div 10000")).as("attr_cents"))
+    }),
+
     // Bucketed range join (the scale-safe interval join): count the
     // follow-on activity inside the 2h window after every error event.
     // A naive t BETWEEN start AND end join has no equi-key and planners
@@ -644,6 +686,37 @@ object RelationalQueries extends QueryPack {
         |  count(CASE WHEN t_s < t_c AND t_c < t_p THEN 1 END)
         |    AS n_full_funnel
         |FROM m""".stripMargin,
+    // plain user join — the oracle needn't be scale-shaped, only equal
+    "q_attribution" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tus,
+        |    round(value * 100)::BIGINT AS cents
+        |  FROM events),
+        |p AS (SELECT event_id AS pid, user_id, tus AS t_p, cents
+        |      FROM ev WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS cid, user_id, tus AS t_c
+        |      FROM ev WHERE event_type = 'click'),
+        |pairs AS (
+        |  SELECT p.pid, p.cents, c.cid, c.t_c
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |    AND c.t_c < p.t_p AND c.t_c >= p.t_p - 86400000000),
+        |w AS (
+        |  SELECT pid, cents, t_c, cid,
+        |    count(*) OVER (PARTITION BY pid) AS k,
+        |    row_number() OVER (PARTITION BY pid
+        |      ORDER BY t_c ASC, cid ASC) AS rn
+        |  FROM pairs),
+        |cr AS (
+        |  SELECT t_c, cents,
+        |    (10000 // k
+        |      + CASE WHEN rn = 1 THEN 10000 % k ELSE 0 END)::BIGINT
+        |      AS credit_bp
+        |  FROM w)
+        |SELECT (t_c // 3600000000) % 24 AS click_hour,
+        |  count(*) AS n_credits,
+        |  sum(credit_bp)::BIGINT AS credit_bp_sum,
+        |  sum(cents * credit_bp // 10000)::BIGINT AS attr_cents
+        |FROM cr GROUP BY 1""".stripMargin,
     "w1_upsert_lastvalue" ->
       """SELECT user_id, event_type, round(value, 4) AS last_value,
         |  event_id AS last_event_id
