@@ -115,6 +115,24 @@ class PlanSpec extends AnyFunSuite {
       s"embcos pair join not block-keyed:\n${pairJoin.mkString("\n")}")
   }
 
+  test("pruned file-index reads are a bare scan with residual pushdown") {
+    // the index work happens BEFORE plan construction (control-plane
+    // file-list pruning), so the served plan must be just the pruned
+    // parquet scan with the residual predicates pushed into it —
+    // no joins, no extra exchanges beyond the aggregate's
+    val p = plan("fx_pruned_box")
+    assert(p.contains("PushedFilters:") &&
+      p.contains("GreaterThanOrEqual(user_id") &&
+      p.contains("LessThanOrEqual(user_id"),
+      s"residual box predicate not pushed into the pruned scan:\n${p.take(1500)}")
+    assert(!p.contains("Join"), "pruned box read should not join at serve time")
+    val pl = plan("fx_point_lookup")
+    assert(pl.contains("EqualTo(user_id"),
+      "point predicate not pushed into the pruned scan")
+    assert(!pl.contains("Exchange"),
+      "point lookup should be a shuffle-free scan")
+  }
+
   test("span dedup joins hit positions on the window hash, never doc×doc") {
     // substring dedup scales because duplicated windows are found by
     // hash aggregation: the only join marks hit positions by window
