@@ -28,5 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cms_counters"),
       new ExpressionInfo(classOf[CmsCountersAgg].getName, "cms_counters"),
       GraftFunctions.cmsCountersBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("kmv_bottomk"),
+      new ExpressionInfo(classOf[KmvBottomKAgg].getName, "kmv_bottomk"),
+      GraftFunctions.kmvBottomKBuilder))
   }
 }

@@ -191,6 +191,12 @@ object GraftFunctions {
       s"cms_counters requires exactly 1 argument, got ${exprs.size}")
   }
 
+  val kmvBottomKBuilder: Seq[Expression] => Expression = {
+    case Seq(h) => KmvBottomKAgg(h)
+    case exprs => throw new IllegalArgumentException(
+      s"kmv_bottomk requires exactly 1 argument, got ${exprs.size}")
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vector_dot", vectorDotBuilder, "built-in")
@@ -200,5 +206,7 @@ object GraftFunctions {
       "hll_registers", hllRegistersBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cms_counters", cmsCountersBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kmv_bottomk", kmvBottomKBuilder, "built-in")
   }
 }

@@ -296,6 +296,30 @@ object SketchQueries extends QueryPack {
     // codegen'd SQL; only the register fold is imperative. Same
     // estimates as q_hll_users' relational path (cross-path agreement
     // pinned in HllAggSpec; the oracle recomputes relationally).
+    // imperative-equals-relational gate for the bottom-k sketch: the
+    // TreeSet-buffered kmv_bottomk aggregate (≤ 8k-byte buffer per
+    // group through partial/final agg, not k rows through a
+    // TakeOrdered) must produce exactly the distinct bottom-32 the
+    // relational path computes — compared through the count /
+    // k-th-minimum / estimate triple a KMV read serves. Below-k
+    // groups hit the exact branch; at-k groups the estimator branch.
+    "q_kmv_agg" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.events(s, d)
+        .filter(col("user_id").isNotNull)
+        .withColumn("h", expr(
+          "cast(conv(substring(md5(cast(user_id as string)),1,15),16,10)" +
+          " as bigint)"))
+        .groupBy(col("event_type"))
+        .agg(expr("kmv_bottomk(h)").as("kmv"))
+        .select(col("event_type"),
+          size(col("kmv")).cast("long").as("kmv_cnt"),
+          expr("element_at(kmv, -1)").as("kmv_max"),
+          expr("CASE WHEN size(kmv) < 32 THEN cast(size(kmv) as double)" +
+            " ELSE round(cast(31 as double) *" +
+            " cast(1152921504606846976 as double)" +
+            " / element_at(kmv, -1), 4) END").as("est_kmv"))
+    }),
     "q_hll_agg" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       Tables.events(s, d)
@@ -494,6 +518,24 @@ object SketchQueries extends QueryPack {
          |    ELSE 2904.064::DOUBLE / z END, 4) AS est_hll
          |FROM est e JOIN ex x USING (day_start_ms)""".stripMargin,
     // relational recomputation of the custom-aggregate path
+    "q_kmv_agg" ->
+      s"""WITH h AS (
+         |  SELECT DISTINCT event_type,
+         |    ('0x' || substr(md5(user_id::VARCHAR),1,15))::BIGINT AS h
+         |  FROM events WHERE user_id IS NOT NULL),
+         |r AS (
+         |  SELECT event_type, h,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h ASC)
+         |      AS rn
+         |  FROM h),
+         |k AS (
+         |  SELECT event_type, count(*) AS kmv_cnt, max(h) AS kmv_max
+         |  FROM r WHERE rn <= $KmvK GROUP BY 1)
+         |SELECT event_type, kmv_cnt, kmv_max,
+         |  CASE WHEN kmv_cnt < $KmvK THEN kmv_cnt::DOUBLE
+         |       ELSE round(31::DOUBLE * 1152921504606846976::DOUBLE
+         |         / kmv_max, 4) END AS est_kmv
+         |FROM k""".stripMargin,
     "q_hll_agg" ->
       s"""WITH $regSql,
          |dense AS (
