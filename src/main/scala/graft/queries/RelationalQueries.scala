@@ -343,6 +343,52 @@ object RelationalQueries extends QueryPack {
             .as("n_full_funnel"))
     }),
 
+    // Data-quality constraint report (the Deequ/dbt-test audit every
+    // pipeline runs before training): six declarative checks —
+    // referential integrity (orphan lineitems, LEFT ANTI join), key
+    // uniqueness, null rate, accepted-values domain, value range, and
+    // a cross-table ordering invariant — each one aggregate row of
+    // (check, n_violations, n_checked). Every check is a scan +
+    // partial agg (the anti join broadcasts the key-pruned orders
+    // side is NOT small — it shuffles on the join key, which is the
+    // right shape); zero rows never "pass silently" because the
+    // report always emits all six rows with their checked counts.
+    "q_dq_report" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      val lineitem = Tables.lineitem(s, d)
+      val events = Tables.events(s, d)
+      def row(name: String, violations: org.apache.spark.sql.Column,
+          checked: org.apache.spark.sql.Column, df: DataFrame) =
+        df.agg(violations.cast("long").as("n_violations"),
+          checked.cast("long").as("n_checked"))
+          .select(lit(name).as("check_name"), col("n_violations"),
+            col("n_checked"))
+      val orphans = row("lineitem_orphan_orderkey",
+        count(lit(1)), count(lit(1)),
+        lineitem.select(col("l_orderkey"))
+          .join(orders.select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left_anti"))
+      val dupKeys = row("orders_dup_orderkey",
+        count(lit(1)) - countDistinct(col("o_orderkey")), count(lit(1)),
+        orders)
+      val nullValue = row("events_null_value",
+        count(when(col("value").isNull, 1)), count(lit(1)), events)
+      val domain = row("events_type_domain",
+        count(when(!col("event_type").isin(
+          "signup", "click", "view", "purchase", "error"), 1)),
+        count(lit(1)), events)
+      val range = row("orders_nonpositive_total",
+        count(when(col("o_totalprice") <= 0, 1)), count(lit(1)), orders)
+      val ordering = row("lineitem_ship_before_order",
+        count(when(col("l_shipdate") < col("o_orderdate"), 1)),
+        count(lit(1)),
+        lineitem.select(col("l_orderkey"), col("l_shipdate"))
+          .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey")))
+      orphans.unionByName(dupKeys).unionByName(nullValue)
+        .unionByName(domain).unionByName(range).unionByName(ordering)
+    }),
+
     // Multi-touch attribution: every purchase's revenue is credited
     // equally (integer basis points, remainder to the EARLIEST touch)
     // across the user's clicks in the 24h before it — the marketing
@@ -686,6 +732,38 @@ object RelationalQueries extends QueryPack {
         |  count(CASE WHEN t_s < t_c AND t_c < t_p THEN 1 END)
         |    AS n_full_funnel
         |FROM m""".stripMargin,
+    "q_dq_report" ->
+      """SELECT 'lineitem_orphan_orderkey' AS check_name,
+        |  count(*)::BIGINT AS n_violations, count(*)::BIGINT AS n_checked
+        |FROM (SELECT l_orderkey FROM lineitem
+        |      WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) t
+        |UNION ALL
+        |SELECT 'orders_dup_orderkey',
+        |  (count(*) - count(DISTINCT o_orderkey))::BIGINT,
+        |  count(*)::BIGINT
+        |FROM orders
+        |UNION ALL
+        |SELECT 'events_null_value',
+        |  count(CASE WHEN value IS NULL THEN 1 END)::BIGINT,
+        |  count(*)::BIGINT
+        |FROM events
+        |UNION ALL
+        |SELECT 'events_type_domain',
+        |  count(CASE WHEN event_type NOT IN
+        |    ('signup', 'click', 'view', 'purchase', 'error') THEN 1
+        |    END)::BIGINT,
+        |  count(*)::BIGINT
+        |FROM events
+        |UNION ALL
+        |SELECT 'orders_nonpositive_total',
+        |  count(CASE WHEN o_totalprice <= 0 THEN 1 END)::BIGINT,
+        |  count(*)::BIGINT
+        |FROM orders
+        |UNION ALL
+        |SELECT 'lineitem_ship_before_order',
+        |  count(CASE WHEN l_shipdate < o_orderdate THEN 1 END)::BIGINT,
+        |  count(*)::BIGINT
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
     // plain user join — the oracle needn't be scale-shaped, only equal
     "q_attribution" ->
       """WITH ev AS (
