@@ -117,6 +117,19 @@ object ScanPruning extends QueryPack {
     "cast(conv(substring(md5(concat(cast(r as string), ':'," +
       s" cast(user_id as string))),1,8),16,10) as bigint) % $BloomM"
 
+  /** The same bit positions computed driver-side for a probe constant
+    * (bit-identical to [[bloomBitExpr]] — pinned by the spec's pruned
+    * reads agreeing with the stored bits), so the point-lookup prune
+    * becomes a LITERAL filter that pushes into the bloom log's
+    * parquet scan instead of a join below a log-wide distinct. */
+  private[graft] def bloomBitsOf(key: Long): Seq[(Int, Long)] =
+    (0 until BloomK).map { r =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$r:$key".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 8)
+      r -> java.lang.Long.parseLong(hex, 16) % BloomM
+    }
+
   // ───────────────────────────── the persisted layout + index store
   private[graft] object FileIndexStore {
     private val roots =
@@ -355,10 +368,19 @@ object ScanPruning extends QueryPack {
 
     /** Merge-on-read bloom bit table for live generations (distinct =
       * the replay defense — bits are set-valued). */
-    def bloom(s: SparkSession, root: String): DataFrame = {
+    def bloom(s: SparkSession, root: String): DataFrame =
+      bloomMatching(s, root, lit(true))
+
+    /** Bloom rows matching a probe predicate. The filter sits BELOW
+      * the replay-dedup distinct (bits are set-valued, so filtering
+      * first is equivalent) and pushes into the parquet scan — a
+      * point probe reads only its own bits from the log, never the
+      * full files × m bit table. */
+    def bloomMatching(s: SparkSession, root: String,
+        pred: org.apache.spark.sql.Column): DataFrame = {
       val live = liveGens(s, root)
       s.read.parquet(bloomPath(root))
-        .filter(col("inc_id").isin(live: _*))
+        .filter(col("inc_id").isin(live: _*) && pred)
         .select(col("inc_id"), col("zbucket"), col("r"), col("bit"))
         .distinct()
     }
@@ -418,17 +440,19 @@ object ScanPruning extends QueryPack {
       col("t_hi") < l.tlo || col("t_lo") > l.thi))
 
   /** Files that may contain the probe user: zone range test AND both
-    * bloom bits present. */
+    * bloom bits present. The probe's bits are LITERALS (computed
+    * control-plane-side), so the bloom-log scan reads only matching
+    * rows via pushdown — the whole-log distinct the read-side replay
+    * defense needs then runs over probe-matching rows only, never the
+    * full bit table. */
   private[graft] def pointSurvivors(s: SparkSession, root: String,
       probe: Long): DataFrame = {
     val zoneKept = FileIndexStore.zone(s, root)
       .filter(col("u_lo") <= probe && col("u_hi") >= probe)
-    val probeBits = s.range(BloomK).select(col("id").cast("int").as("r"))
-      .withColumn("user_id", lit(probe))
-      .withColumn("bit", expr(bloomBitExpr))
-      .select(col("r"), col("bit"))
-    val bloomKept = FileIndexStore.bloom(s, root)
-      .join(broadcast(probeBits), Seq("r", "bit"))
+    val bitPred = bloomBitsOf(probe)
+      .map { case (r, b) => col("r") === r && col("bit") === b }
+      .reduce(_ || _)
+    val bloomKept = FileIndexStore.bloomMatching(s, root, bitPred)
       .groupBy(col("inc_id"), col("zbucket"))
       .agg(countDistinct(col("r")).as("hits"))
       .filter(col("hits") === BloomK)
