@@ -174,39 +174,54 @@ object ScanPruning extends QueryPack {
         Seq((l.umin, l.umax, l.tmin, l.tmax, "layout"))
           .toDF("umin", "umax", "tmin", "tmax", "inc_id"),
         boundsPath(root))
-      writeAndIndex(s, root, corpus, "corpus", l)
-      appendManifest(s, root, Seq("corpus" -> "live"), 0L)
+      val buckets = writeAndIndex(s, root, corpus, "corpus", l)
+      publish(s, root, "corpus", buckets, Nil, 0L)
       root
     }
 
     /** One atomic manifest append — the ONLY mutation that changes
-      * what readers see. Each row marks a generation live or dead at
-      * a sequence number; merge-on-read takes the latest status per
-      * generation, so a multi-row append (compaction's new-live +
-      * olds-dead) is an atomic swap. */
-    private def appendManifest(s: SparkSession, root: String,
-        entries: Seq[(String, String)], mseq: Long): Unit = {
+      * what readers see. Granularity is the LOGICAL FILE: each row
+      * marks one (generation, bucket) live or dead at a sequence
+      * number, so a rewrite retires exactly the files it replaced
+      * (compaction retires everything; a copy-on-write erase retires
+      * only the touched files). Every publish also writes a
+      * bucket = −1 ledger marker, so an id that produced no live
+      * files (an all-rows-erased rewrite) still registers in the
+      * replay ledger. Merge-on-read takes the latest status per
+      * (gen, bucket); the multi-row append is the atomic swap. */
+    private[graft] def publish(s: SparkSession, root: String, gen: String,
+        liveBuckets: Seq[Int], deadPairs: Seq[(String, Int)],
+        mseq: Long): Unit = {
       import s.implicits._
+      val rows = ((gen, -1, "ledger") +:
+        liveBuckets.map(b => (gen, b, "live"))) ++
+        deadPairs.map { case (g, b) => (g, b, "dead") }
       graft.storage.AstarteStore.appendAtomic(
-        entries.map { case (g, st) => (g, st, mseq) }
-          .toDF("gen", "status", "mseq"),
+        rows.map { case (g, b, st) => (g, b, st, mseq) }
+          .toDF("gen", "zbucket", "status", "mseq"),
         manifestPath(root))
     }
 
-    /** Latest status per generation. Control-plane sized: one row per
-      * generation ever absorbed or compacted. */
+    /** Latest status per (generation, bucket). Control-plane sized:
+      * one row per logical file ever published. */
     private def manifest(s: SparkSession, root: String): DataFrame = {
       val m = s.read.parquet(manifestPath(root))
-      m.join(m.groupBy(col("gen")).agg(max(col("mseq")).as("mseq")),
-          Seq("gen", "mseq"))
-        .select(col("gen"), col("status"), col("mseq"))
+      m.join(m.groupBy(col("gen"), col("zbucket"))
+            .agg(max(col("mseq")).as("mseq")),
+          Seq("gen", "zbucket", "mseq"))
+        .select(col("gen"), col("zbucket"), col("status"), col("mseq"))
         .distinct()
     }
 
-    /** Generations whose files readers may touch. */
-    def liveGens(s: SparkSession, root: String): Seq[String] =
+    /** The live (generation, bucket) pairs — what readers may touch. */
+    def livePairs(s: SparkSession, root: String): Seq[(String, Int)] =
       manifest(s, root).filter(col("status") === "live")
-        .select(col("gen")).collect().map(_.getString(0)).toSeq.sorted
+        .select(col("gen"), col("zbucket")).collect()
+        .map(r => (r.getString(0), r.getInt(1))).toSeq.sorted
+
+    /** Generations with at least one live file. */
+    def liveGens(s: SparkSession, root: String): Seq[String] =
+      livePairs(s, root).map(_._1).distinct.sorted
 
     /** The manifest's current version number — each absorb/compaction
       * publishes one. */
@@ -214,32 +229,37 @@ object ScanPruning extends QueryPack {
       s.read.parquet(manifestPath(root)).agg(max(col("mseq")))
         .head().getLong(0)
 
-    /** TIME TRAVEL: the live set as of manifest version `seq` —
+    /** TIME TRAVEL: the live file set as of manifest version `seq` —
       * versions are never rewritten (the manifest is an append-only
       * status log), so any past file set stays addressable until
       * [[vacuum]] reclaims its dead data. */
-    def liveGensAt(s: SparkSession, root: String, seq: Long): Seq[String] = {
+    def livePairsAt(s: SparkSession, root: String,
+        seq: Long): Seq[(String, Int)] = {
       val m = s.read.parquet(manifestPath(root))
         .filter(col("mseq") <= seq)
-      m.join(m.groupBy(col("gen")).agg(max(col("mseq")).as("mseq")),
-          Seq("gen", "mseq"))
+      m.join(m.groupBy(col("gen"), col("zbucket"))
+            .agg(max(col("mseq")).as("mseq")),
+          Seq("gen", "zbucket", "mseq"))
         .filter(col("status") === "live")
-        .select(col("gen")).distinct()
-        .collect().map(_.getString(0)).toSeq.sorted
+        .select(col("gen"), col("zbucket")).distinct()
+        .collect().map(r => (r.getString(0), r.getInt(1))).toSeq.sorted
     }
 
-    /** Reclaim the data of generations dead at the CURRENT version
+    /** Reclaim the data of logical files dead at the CURRENT version
       * (retention horizon zero — a production deployment would keep
-      * gens dead less than the time-travel horizon). Index and
+      * files dead less than the time-travel horizon). This is the
+      * second half of a privacy erase: the copy-on-write rewrite
+      * unpublishes the bytes, vacuum DESTROYS them. Index and
       * manifest rows stay: history remains auditable, but snapshots
       * older than the vacuum are no longer readable. Returns the
-      * reclaimed generation names. */
-    def vacuum(s: SparkSession, root: String): Seq[String] = {
+      * reclaimed (gen, bucket) pairs. */
+    def vacuum(s: SparkSession, root: String): Seq[(String, Int)] = {
       val dead = manifest(s, root).filter(col("status") === "dead")
-        .select(col("gen")).collect().map(_.getString(0)).toSeq.sorted
+        .select(col("gen"), col("zbucket")).collect()
+        .map(r => (r.getString(0), r.getInt(1))).toSeq.sorted
       val conf = s.sparkContext.hadoopConfiguration
-      dead.foreach { g =>
-        val p = new org.apache.hadoop.fs.Path(genPath(root, g))
+      dead.foreach { case (g, b) =>
+        val p = new org.apache.hadoop.fs.Path(bucketDir(root, g, b))
         p.getFileSystem(conf).delete(p, true)
       }
       dead
@@ -256,11 +276,12 @@ object ScanPruning extends QueryPack {
       Layout(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     }
 
-    /** Cluster one generation's rows and append its index rows. The
-      * read-back of the freshly written generation is the ONLY data
-      * scan — O(generation), never the corpus. */
-    private def writeAndIndex(s: SparkSession, root: String,
-        events: DataFrame, incId: String, l: Layout): Unit = {
+    /** Cluster one generation's rows and append its index rows,
+      * returning the buckets it wrote (for the caller's manifest
+      * publish). The read-back of the freshly written generation is
+      * the ONLY data scan — O(generation), never the corpus. */
+    private[graft] def writeAndIndex(s: SparkSession, root: String,
+        events: DataFrame, incId: String, l: Layout): Seq[Int] = {
       val path = genPath(root, incId)
       codesOf(events, l)
         .repartition(col("zbucket"))
@@ -270,13 +291,14 @@ object ScanPruning extends QueryPack {
         .write.mode("overwrite").partitionBy("zbucket").parquet(path)
       val back = s.read.parquet(path)
         .withColumn("tsu", expr("ts div 1000"))
-      graft.storage.AstarteStore.appendAtomic(
+      val zoneRows =
         back.groupBy(col("zbucket").cast("int").as("zbucket"))
           .agg(count(lit(1)).as("n"),
             min(col("user_id")).as("u_lo"), max(col("user_id")).as("u_hi"),
             min(col("tsu")).as("t_lo"), max(col("tsu")).as("t_hi"))
-          .withColumn("inc_id", lit(incId)),
-        zonePath(root))
+          .withColumn("inc_id", lit(incId))
+          .localCheckpoint(true) // index-sized; scanned for append + buckets
+      graft.storage.AstarteStore.appendAtomic(zoneRows, zonePath(root))
       graft.storage.AstarteStore.appendAtomic(
         back.select(col("zbucket").cast("int").as("zbucket"), col("user_id"),
             explode(sequence(lit(0), lit(BloomK - 1))).as("r"))
@@ -285,6 +307,7 @@ object ScanPruning extends QueryPack {
             col("bit"))
           .distinct(),
         bloomPath(root))
+      zoneRows.select(col("zbucket")).collect().map(_.getInt(0)).toSeq.sorted
     }
 
     /** Every generation the manifest has EVER named, live or dead —
@@ -309,8 +332,8 @@ object ScanPruning extends QueryPack {
     def absorb(s: SparkSession, root: String, increment: DataFrame,
         incId: String): Boolean = {
       if (absorbedIds(s, root).contains(incId)) return false
-      writeAndIndex(s, root, increment, incId, layoutOf(s, root))
-      appendManifest(s, root, Seq(incId -> "live"), nextSeq(s, root))
+      val buckets = writeAndIndex(s, root, increment, incId, layoutOf(s, root))
+      publish(s, root, incId, buckets, Nil, nextSeq(s, root))
       true
     }
 
@@ -329,44 +352,83 @@ object ScanPruning extends QueryPack {
       * rewrite's live set and stays live after the swap), concurrent
       * compactions are not. */
     def compact(s: SparkSession, root: String): Option[String] = {
-      val live = liveGens(s, root)
-      if (live.size < 2) return None
+      val pairs = livePairs(s, root)
+      if (pairs.map(_._1).distinct.size < 2) return None
       val newGen = "compact-" +
         absorbedIds(s, root).count(_.startsWith("compact-"))
-      val union = live.map(g => s.read.parquet(genPath(root, g)))
-        .reduce(_ unionByName _)
+      val union = s.read.parquet(
+          pairs.map { case (g, b) => bucketDir(root, g, b) }: _*)
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"), col("props"))
-      writeAndIndex(s, root, union, newGen, layoutOf(s, root))
-      appendManifest(s, root,
-        (newGen -> "live") +: live.map(_ -> "dead"), nextSeq(s, root))
+      val buckets = writeAndIndex(s, root, union, newGen, layoutOf(s, root))
+      publish(s, root, newGen, buckets, pairs, nextSeq(s, root))
       Some(newGen)
     }
 
-    /** Merge-on-read zone map: one row per (LIVE generation, logical
-      * file). The manifest filter hides dead (compacted-away) and
-      * half-absorbed generations; the per-(inc_id, zbucket) fold
-      * collapses crash-window double appends — a replayed build's
-      * stats rows are bit-identical, so max/min are the identity on
-      * them. */
+    /** Copy-on-write privacy ERASE (the right-to-be-forgotten
+      * rewrite): delete every row of one user by rewriting ONLY the
+      * files that may hold the user — zone range AND bloom bits prune
+      * the rewrite set exactly like a point read, so the cost is
+      * O(files containing the key), never a table rewrite. The
+      * rewritten survivors publish as one generation and the touched
+      * files retire in the same atomic manifest append. The bytes
+      * still exist in the dead files (time travel can still see
+      * them — the documented privacy caveat) until [[vacuum]]
+      * destroys them; erase + vacuum is the complete deletion.
+      * Ledgered: a replayed erase id is a no-op. */
+    def erase(s: SparkSession, root: String, userId: Long,
+        eraseId: String): Boolean = {
+      if (absorbedIds(s, root).contains(eraseId)) return false
+      val touched = pointSurvivors(s, root, userId)
+        .select(col("inc_id"), col("zbucket")).collect()
+        .map(r => (r.getString(0), r.getInt(1))).toSeq.sorted
+      if (touched.isEmpty) { // nothing holds the user; just ledger it
+        publish(s, root, eraseId, Nil, Nil, nextSeq(s, root))
+        return true
+      }
+      val kept = s.read.parquet(
+          touched.map { case (g, b) => bucketDir(root, g, b) }: _*)
+        .filter(col("user_id") =!= userId)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+      val buckets = writeAndIndex(s, root, kept, eraseId, layoutOf(s, root))
+      publish(s, root, eraseId, buckets, touched, nextSeq(s, root))
+      true
+    }
+
+    /** The live (gen, bucket) pairs as a broadcastable frame — the
+      * join-side twin of [[livePairs]], kept distributed (never more
+      * than one row per logical file). */
+    private def livePairsDf(s: SparkSession, root: String): DataFrame =
+      manifest(s, root).filter(col("status") === "live")
+        .select(col("gen").as("inc_id"), col("zbucket"))
+
+    /** Merge-on-read zone map: one row per LIVE logical file. The
+      * manifest join hides dead (rewritten-away) and half-absorbed
+      * files; the per-(inc_id, zbucket) fold collapses crash-window
+      * double appends — a replayed build's stats rows are
+      * bit-identical, so max/min are the identity on them. */
     def zone(s: SparkSession, root: String): DataFrame =
-      zoneOf(s, root, liveGens(s, root))
+      zoneOf(s, root, livePairsDf(s, root))
 
     /** The zone map of a PAST version — time-travel reads prune
       * against exactly the files that were live then. */
-    def zoneAt(s: SparkSession, root: String, seq: Long): DataFrame =
-      zoneOf(s, root, liveGensAt(s, root, seq))
+    def zoneAt(s: SparkSession, root: String, seq: Long): DataFrame = {
+      import s.implicits._
+      zoneOf(s, root, livePairsAt(s, root, seq)
+        .toDF("inc_id", "zbucket"))
+    }
 
     private def zoneOf(s: SparkSession, root: String,
-        live: Seq[String]): DataFrame =
+        pairs: DataFrame): DataFrame =
       s.read.parquet(zonePath(root))
-        .filter(col("inc_id").isin(live: _*))
+        .join(broadcast(pairs), Seq("inc_id", "zbucket"))
         .groupBy(col("inc_id"), col("zbucket"))
         .agg(max(col("n")).as("n"),
           min(col("u_lo")).as("u_lo"), max(col("u_hi")).as("u_hi"),
           min(col("t_lo")).as("t_lo"), max(col("t_hi")).as("t_hi"))
 
-    /** Merge-on-read bloom bit table for live generations (distinct =
+    /** Merge-on-read bloom bit table for live files (distinct =
       * the replay defense — bits are set-valued). */
     def bloom(s: SparkSession, root: String): DataFrame =
       bloomMatching(s, root, lit(true))
@@ -377,13 +439,12 @@ object ScanPruning extends QueryPack {
       * point probe reads only its own bits from the log, never the
       * full files × m bit table. */
     def bloomMatching(s: SparkSession, root: String,
-        pred: org.apache.spark.sql.Column): DataFrame = {
-      val live = liveGens(s, root)
+        pred: org.apache.spark.sql.Column): DataFrame =
       s.read.parquet(bloomPath(root))
-        .filter(col("inc_id").isin(live: _*) && pred)
+        .filter(pred)
+        .join(broadcast(livePairsDf(s, root)), Seq("inc_id", "zbucket"))
         .select(col("inc_id"), col("zbucket"), col("r"), col("bit"))
         .distinct()
-    }
   }
 
   /** The increment slice — the only corpus-table scan absorb makes. */
@@ -400,6 +461,20 @@ object ScanPruning extends QueryPack {
 
   private val compactedRoots =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val erasedRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** A separate root where the demo probe user has been erased
+    * copy-on-write (corpus build → increment absorb → erase), so the
+    * erasure queries never change what the other roots observe. */
+  private def erasedRoot(s: SparkSession, d: String): String =
+    erasedRoots.computeIfAbsent(d, _ => {
+      val root = FileIndexStore.buildRoot(s, d)
+      FileIndexStore.absorb(s, root, incrementEvents(s, d), "inc-1")
+      FileIndexStore.erase(s, root,
+        FileIndexStore.layoutOf(s, root).probe, "erase-1")
+      root
+    })
 
   /** A separate root taken through the FULL lifecycle — corpus build →
     * increment absorb → compaction down to one live generation — so
@@ -591,6 +666,20 @@ object ScanPruning extends QueryPack {
           coalesce(col("bloom_kept"), lit(0)).as("bloom_kept"),
           coalesce(col("n_probe"), lit(0L)).as("n_probe"))
     }),
+    // full-table census AFTER the copy-on-write privacy erase of the
+    // probe user: only the files that may have held the user were
+    // rewritten, everything else serves from its original generation —
+    // the oracle full-scans WHERE user_id <> probe, so a hash match
+    // proves the erase removed exactly that user's rows and nothing
+    // else
+    "fx_erased_census" -> ((s, d) => {
+      val root = erasedRoot(s, d)
+      readFiles(s, root, FileIndexStore.zone(s, root))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents"),
+          countDistinct(col("user_id")).as("users"))
+    }),
     // bloom-refined point lookup: only files that pass BOTH the zone
     // range test and the bloom membership test are read — the oracle
     // full-scans on user_id = probe
@@ -687,6 +776,15 @@ object ScanPruning extends QueryPack {
          |SELECT event_id, epoch_us(ts) AS tsu, event_type,
          |  round(value * 100)::BIGINT AS cents
          |FROM events CROSS JOIN consts
-         |WHERE user_id = probe""".stripMargin
+         |WHERE user_id = probe""".stripMargin,
+    // everything except the erased user — the erase-exactness gate
+    "fx_erased_census" ->
+      s"""WITH $constsSql
+         |SELECT event_type, count(*) AS n,
+         |  sum(round(value * 100)::BIGINT)::BIGINT AS cents,
+         |  count(DISTINCT user_id) AS users
+         |FROM events CROSS JOIN consts
+         |WHERE user_id <> probe
+         |GROUP BY 1""".stripMargin
   )
 }

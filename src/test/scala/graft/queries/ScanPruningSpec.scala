@@ -175,8 +175,8 @@ class ScanPruningSpec extends AnyFunSuite {
 
     // the as-of live set is the pre-compaction one; its (dead) files
     // still answer point reads identically to the head
-    assert(ScanPruning.FileIndexStore.liveGensAt(spark, root, seqBefore)
-      == Seq("corpus", "inc-1"))
+    assert(ScanPruning.FileIndexStore.livePairsAt(spark, root, seqBefore)
+      .map(_._1).distinct.sorted == Seq("corpus", "inc-1"))
     val l = ScanPruning.FileIndexStore.layoutOf(spark, root)
     def probeCount(zone: DataFrame) = {
       val survivors = zone.filter(
@@ -189,16 +189,68 @@ class ScanPruningSpec extends AnyFunSuite {
     assert(past == head && head > 0,
       s"time-travel read diverged from head ($past vs $head)")
 
-    // vacuum deletes exactly the dead generations' data; head reads
-    // are untouched, the old snapshot's files are gone
+    // vacuum deletes exactly the dead files' data; head reads are
+    // untouched, the old snapshot's files are gone
     val reclaimed = ScanPruning.FileIndexStore.vacuum(spark, root)
-    assert(reclaimed == Seq("corpus", "inc-1"))
-    assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(root, "data_corpus")))
+    assert(reclaimed.nonEmpty &&
+      reclaimed.map(_._1).distinct.sorted == Seq("corpus", "inc-1"))
+    // per-file reclamation: every dead bucket dir is gone (the empty
+    // generation parent may remain), the live generation is intact
+    for ((g, b) <- reclaimed)
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+        ScanPruning.FileIndexStore.bucketDir(root, g, b))))
     assert(java.nio.file.Files.exists(
       java.nio.file.Paths.get(root, "data_compact-0")))
     assert(probeCount(ScanPruning.FileIndexStore.zone(spark, root)) == head,
       "vacuum broke the head read")
+  }
+
+  test("copy-on-write erase rewrites only touched files; vacuum destroys the bytes") {
+    val root = isolatedRoot()
+    val l = ScanPruning.FileIndexStore.layoutOf(spark, root)
+    val pairsBefore = ScanPruning.FileIndexStore.livePairs(spark, root).toSet
+    val touched = ScanPruning.pointSurvivors(spark, root, l.probe)
+      .select(col("inc_id"), col("zbucket")).collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(touched.nonEmpty && touched.size < pairsBefore.size,
+      "probe erase would rewrite everything — pruning is not selective")
+    val seqBefore = ScanPruning.FileIndexStore.currentSeq(spark, root)
+
+    assert(ScanPruning.FileIndexStore.erase(spark, root, l.probe, "erase-1"))
+    // ledger: replay is a no-op
+    assert(!ScanPruning.FileIndexStore.erase(spark, root, l.probe, "erase-1"))
+
+    // untouched files keep their original generation — only the
+    // touched pairs were retired
+    val pairsAfter = ScanPruning.FileIndexStore.livePairs(spark, root).toSet
+    assert((pairsBefore -- touched).subsetOf(pairsAfter),
+      "erase retired files it did not touch")
+    assert(pairsAfter.forall(p => p._1 == "erase-1" || !touched.contains(p)),
+      "a touched file is still live under its old generation")
+
+    // the user is gone from head reads; everyone else is intact
+    val head = readBuckets(root, ScanPruning.FileIndexStore.zone(spark, root))
+    assert(head.filter(col("user_id") === l.probe).count() == 0,
+      "erased user still readable at head")
+    val expectOthers = Tables.events(spark, dir)
+      .filter(col("user_id") =!= l.probe).count()
+    assert(head.count() == expectOthers, "erase lost other users' rows")
+
+    // privacy caveat: time travel BEFORE the erase still sees the
+    // user — until vacuum destroys the dead bytes
+    val past = readBuckets(root,
+      ScanPruning.FileIndexStore.zoneAt(spark, root, seqBefore))
+    assert(past.filter(col("user_id") === l.probe).count() > 0,
+      "pre-erase snapshot should still hold the user (before vacuum)")
+    val reclaimed = ScanPruning.FileIndexStore.vacuum(spark, root).toSet
+    assert(reclaimed == touched, "vacuum reclaimed a different file set")
+    for ((g, b) <- touched)
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+        ScanPruning.FileIndexStore.bucketDir(root, g, b))),
+        s"dead file ($g, $b) still on disk after vacuum")
+    // erase + vacuum = complete deletion; head reads still intact
+    assert(readBuckets(root, ScanPruning.FileIndexStore.zone(spark, root))
+      .count() == expectOthers, "vacuum broke the post-erase head read")
   }
 
   test("absorb is ledger-guarded, replay-idempotent, and corpus-blind") {
