@@ -365,6 +365,34 @@ object ScanPruning extends QueryPack {
       Some(newGen)
     }
 
+    /** Copy-on-write keyed UPDATE — the MERGE/upsert write path on
+      * the same mechanism as [[erase]]: zone+bloom prune the rewrite
+      * set to the files that may hold the key, survivors republish
+      * with the new value, touched files retire in the same atomic
+      * manifest append. Cost is O(files containing the key).
+      * Ledgered and replay-idempotent like every publish. */
+    def updateUser(s: SparkSession, root: String, userId: Long,
+        newValue: Double, updateId: String): Boolean = {
+      if (absorbedIds(s, root).contains(updateId)) return false
+      val touched = pointSurvivors(s, root, userId)
+        .select(col("inc_id"), col("zbucket")).collect()
+        .map(r => (r.getString(0), r.getInt(1))).toSeq.sorted
+      if (touched.isEmpty) {
+        publish(s, root, updateId, Nil, Nil, nextSeq(s, root))
+        return true
+      }
+      val updated = s.read.parquet(
+          touched.map { case (g, b) => bucketDir(root, g, b) }: _*)
+        .withColumn("value", when(col("user_id") === userId,
+          lit(newValue)).otherwise(col("value")))
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+      val buckets = writeAndIndex(s, root, updated, updateId,
+        layoutOf(s, root))
+      publish(s, root, updateId, buckets, touched, nextSeq(s, root))
+      true
+    }
+
     /** Copy-on-write privacy ERASE (the right-to-be-forgotten
       * rewrite): delete every row of one user by rewriting ONLY the
       * files that may hold the user — zone range AND bloom bits prune
@@ -463,6 +491,24 @@ object ScanPruning extends QueryPack {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val erasedRoots =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val updatedRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The update demo writes a CONSTANT new value: the oracle's CASE
+    * then compares literal-for-literal — a delta would hit double
+    * rounding boundaries differently per engine. */
+  private val UpdatedValue = 9.99
+
+  /** A separate root where the probe user's value has been rewritten
+    * copy-on-write (corpus build → increment absorb → keyed update). */
+  private def updatedRoot(s: SparkSession, d: String): String =
+    updatedRoots.computeIfAbsent(d, _ => {
+      val root = FileIndexStore.buildRoot(s, d)
+      FileIndexStore.absorb(s, root, incrementEvents(s, d), "inc-1")
+      FileIndexStore.updateUser(s, root,
+        FileIndexStore.layoutOf(s, root).probe, UpdatedValue, "upd-1")
+      root
+    })
 
   /** A separate root where the demo probe user has been erased
     * copy-on-write (corpus build → increment absorb → erase), so the
@@ -666,6 +712,19 @@ object ScanPruning extends QueryPack {
           coalesce(col("bloom_kept"), lit(0)).as("bloom_kept"),
           coalesce(col("n_probe"), lit(0L)).as("n_probe"))
     }),
+    // full-table census AFTER a copy-on-write keyed UPDATE (the MERGE
+    // write path): the probe user's value is rewritten to a constant
+    // in exactly the files that may hold them; the oracle full-scans
+    // with the same CASE, so a hash match proves the update touched
+    // exactly that user's rows and nothing else
+    "fx_updated_census" -> ((s, d) => {
+      val root = updatedRoot(s, d)
+      readFiles(s, root, FileIndexStore.zone(s, root))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents"),
+          countDistinct(col("user_id")).as("users"))
+    }),
     // full-table census AFTER the copy-on-write privacy erase of the
     // probe user: only the files that may have held the user were
     // rewritten, everything else serves from its original generation —
@@ -777,6 +836,16 @@ object ScanPruning extends QueryPack {
          |  round(value * 100)::BIGINT AS cents
          |FROM events CROSS JOIN consts
          |WHERE user_id = probe""".stripMargin,
+    // the same census with the probe user's value CASE'd to the
+    // update constant — the update-exactness gate
+    "fx_updated_census" ->
+      s"""WITH $constsSql
+         |SELECT event_type, count(*) AS n,
+         |  sum(CASE WHEN user_id = probe THEN 999
+         |           ELSE round(value * 100)::BIGINT END)::BIGINT AS cents,
+         |  count(DISTINCT user_id) AS users
+         |FROM events CROSS JOIN consts
+         |GROUP BY 1""".stripMargin,
     // everything except the erased user — the erase-exactness gate
     "fx_erased_census" ->
       s"""WITH $constsSql

@@ -253,6 +253,34 @@ class ScanPruningSpec extends AnyFunSuite {
       .count() == expectOthers, "vacuum broke the post-erase head read")
   }
 
+  test("copy-on-write update rewrites only touched files and only the key's rows") {
+    val root = isolatedRoot()
+    val l = ScanPruning.FileIndexStore.layoutOf(spark, root)
+    val pairsBefore = ScanPruning.FileIndexStore.livePairs(spark, root).toSet
+    val touched = ScanPruning.pointSurvivors(spark, root, l.probe)
+      .select(col("inc_id"), col("zbucket")).collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(ScanPruning.FileIndexStore.updateUser(
+      spark, root, l.probe, 9.99, "upd-1"))
+    assert(!ScanPruning.FileIndexStore.updateUser(
+      spark, root, l.probe, 1.23, "upd-1"), "replayed update id re-ran")
+
+    val pairsAfter = ScanPruning.FileIndexStore.livePairs(spark, root).toSet
+    assert((pairsBefore -- touched).subsetOf(pairsAfter),
+      "update retired files it did not touch")
+    val head = readBuckets(root, ScanPruning.FileIndexStore.zone(spark, root))
+    assert(head.filter(col("user_id") === l.probe &&
+      col("value") =!= 9.99).count() == 0, "a probe row kept its old value")
+    val othersTouched = head.filter(col("user_id") =!= l.probe &&
+      col("value") === 9.99).count()
+    val othersNative = Tables.events(spark, dir)
+      .filter(col("user_id") =!= l.probe && col("value") === 9.99).count()
+    assert(othersTouched == othersNative,
+      "update changed another user's value")
+    assert(head.count() == Tables.events(spark, dir).count(),
+      "update changed the row count")
+  }
+
   test("absorb is ledger-guarded, replay-idempotent, and corpus-blind") {
     val root = ScanPruning.FileIndexStore.buildRoot(spark, dir)
     val inc = ScanPruning.incrementEvents(spark, dir).localCheckpoint(true)
