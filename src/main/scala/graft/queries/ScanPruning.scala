@@ -30,7 +30,11 @@ import org.apache.spark.sql.functions._
   *     relational (file, r, bit) table — the same
   *     sketch-as-relational-rows move as the HLL register table.
   *     Zone maps prune RANGES; blooms prune POINT lookups that fall
-  *     inside a file's [min,max] but hit none of its rows.
+  *     inside a file's [min,max] but hit none of its rows. m is a
+  *     BUILD-TIME constant sized to the per-file distinct count
+  *     (~10 bits/key): a deployment with millions of keys per file
+  *     raises m accordingly — a saturated bloom is conservative
+  *     (keeps everything), never wrong, just useless.
   *   - **Incremental maintenance through the store log**: each new
   *     increment is written as NEW clustered files and its index rows
   *     are one atomic append ([[graft.storage.AstarteStore]]), with
@@ -283,8 +287,16 @@ object ScanPruning extends QueryPack {
     private[graft] def writeAndIndex(s: SparkSession, root: String,
         events: DataFrame, incId: String, l: Layout): Seq[Int] = {
       val path = genPath(root, incId)
+      // write parallelism must not cap at the bucket count: at 100 TB
+      // one bucket is 1/16 of the table, so a zbucket-only repartition
+      // would funnel it through one task. Fan each bucket out across
+      // parallelism/buckets writers (the TwoPhaseTopK session-derived
+      // shard discipline); the bucket DIRECTORY stays the logical
+      // file, so multi-part buckets change nothing downstream — the
+      // zone map aggregates per bucket and reads address directories.
+      val fanout = math.max(1, s.sparkContext.defaultParallelism / 16)
       codesOf(events, l)
-        .repartition(col("zbucket"))
+        .repartition(col("zbucket"), pmod(col("event_id"), lit(fanout)))
         .sortWithinPartitions(col("zkey"), col("event_id"))
         .select(col("zbucket"), col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"), col("props"))
