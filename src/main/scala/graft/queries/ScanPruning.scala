@@ -249,16 +249,25 @@ object ScanPruning extends QueryPack {
         .collect().map(r => (r.getString(0), r.getInt(1))).toSeq.sorted
     }
 
-    /** Reclaim the data of logical files dead at the CURRENT version
-      * (retention horizon zero — a production deployment would keep
-      * files dead less than the time-travel horizon). This is the
-      * second half of a privacy erase: the copy-on-write rewrite
-      * unpublishes the bytes, vacuum DESTROYS them. Index and
-      * manifest rows stay: history remains auditable, but snapshots
-      * older than the vacuum are no longer readable. Returns the
-      * reclaimed (gen, bucket) pairs. */
-    def vacuum(s: SparkSession, root: String): Seq[(String, Int)] = {
-      val dead = manifest(s, root).filter(col("status") === "dead")
+    /** Reclaim every file dead at the CURRENT version (retention
+      * horizon zero) — see [[vacuumBefore]]. This is the second half
+      * of a privacy erase: the copy-on-write rewrite unpublishes the
+      * bytes, vacuum DESTROYS them. */
+    def vacuum(s: SparkSession, root: String): Seq[(String, Int)] =
+      vacuumBefore(s, root, currentSeq(s, root))
+
+    /** Retention-horizon vacuum: reclaim only files whose DEATH
+      * landed at version ≤ `horizonSeq`, so time travel to any
+      * version ≥ horizonSeq keeps working — the production shape
+      * ("keep 7 days of snapshots"). A file dead since version d is
+      * needed by snapshots < d and by none ≥ d. Index and manifest
+      * rows stay: history remains auditable, but snapshots older than
+      * the horizon are no longer readable. Returns the reclaimed
+      * (gen, bucket) pairs. */
+    def vacuumBefore(s: SparkSession, root: String,
+        horizonSeq: Long): Seq[(String, Int)] = {
+      val dead = manifest(s, root)
+        .filter(col("status") === "dead" && col("mseq") <= horizonSeq)
         .select(col("gen"), col("zbucket")).collect()
         .map(r => (r.getString(0), r.getInt(1))).toSeq.sorted
       val conf = s.sparkContext.hadoopConfiguration

@@ -242,6 +242,15 @@ class ScanPruningSpec extends AnyFunSuite {
       ScanPruning.FileIndexStore.zoneAt(spark, root, seqBefore))
     assert(past.filter(col("user_id") === l.probe).count() > 0,
       "pre-erase snapshot should still hold the user (before vacuum)")
+    // retention horizon: a vacuum bounded BEFORE the erase's death
+    // version reclaims nothing — the pre-erase snapshot survives
+    assert(ScanPruning.FileIndexStore
+      .vacuumBefore(spark, root, seqBefore).isEmpty,
+      "horizon vacuum reclaimed files still needed by retained snapshots")
+    assert(readBuckets(root,
+      ScanPruning.FileIndexStore.zoneAt(spark, root, seqBefore))
+      .filter(col("user_id") === l.probe).count() > 0,
+      "horizon vacuum broke a retained snapshot")
     val reclaimed = ScanPruning.FileIndexStore.vacuum(spark, root).toSet
     assert(reclaimed == touched, "vacuum reclaimed a different file set")
     for ((g, b) <- touched)
