@@ -205,6 +205,18 @@ class ScanPruningSpec extends AnyFunSuite {
       "vacuum broke the head read")
   }
 
+  test("point-probe bloom bits reach the bloom-log scan as pushed literals") {
+    val root = isolatedRoot()
+    val l = ScanPruning.FileIndexStore.layoutOf(spark, root)
+    val pred = ScanPruning.bloomBitsOf(l.probe)
+      .map { case (r, b) => col("r") === r && col("bit") === b }
+      .reduce(_ || _)
+    val p = ScanPruning.FileIndexStore.bloomMatching(spark, root, pred)
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("PushedFilters:") && p.contains("EqualTo(bit,"),
+      s"probe bits not pushed into the bloom-log scan:\n${p.take(1200)}")
+  }
+
   test("copy-on-write erase rewrites only touched files; vacuum destroys the bytes") {
     val root = isolatedRoot()
     val l = ScanPruning.FileIndexStore.layoutOf(spark, root)
