@@ -319,6 +319,66 @@ object RelationalQueries extends QueryPack {
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
     }),
 
+    // Equi-depth histogram — the optimizer-statistics structure
+    // (q_histogram's fixed-width twin): 8 buckets of ~equal ROW
+    // count over the value distribution, each whole distinct value
+    // assigned to the bucket its first rank falls in. Scale shape:
+    // one data-sized partial agg to per-value counts, then every
+    // window runs over the DISTINCT-VALUE table (bounded by the value
+    // domain, ≤ ~9.1k cents here — never by row count), and the row
+    // total broadcasts from a one-row frame.
+    "q_histogram_eqdepth" -> ((s, d) => {
+      val perValue = Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .select(round(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("cents")).agg(count(lit(1)).as("nv"))
+      val cum = perValue
+        .withColumn("cum", sum(col("nv")).over(
+          Window.orderBy(col("cents"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val total = perValue.agg(sum(col("nv")).as("n_total"))
+      cum.crossJoin(broadcast(total))
+        .withColumn("bucket", expr("(cum - nv) * 8 div n_total"))
+        .groupBy(col("bucket"))
+        .agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"),
+          sum(col("nv")).as("n_rows"), count(lit(1)).as("n_values"))
+    }),
+
+    // Growth accounting (the MAU/WAU decomposition every product
+    // analytics stack ships): per week, how many active users are
+    // NEW (first ever week), RETAINED (also active the week before),
+    // RESURRECTED (returning after a gap), and CHURNED-FROM (active
+    // the prior week, absent this one). One (user, week) distinct,
+    // then windows over each user's ≤ calendar-weeks rows — never
+    // data-sized — and churn rows synthesize from lead() capped at
+    // the corpus's last week (broadcast one-row max). Activity is
+    // deliberately sparsified (~4% of events) so every status —
+    // including resurrected and churned — is live at every SF; the
+    // dense corpus would make everyone retained.
+    "q_growth_accounting" -> ((s, d) => {
+      val wk = Tables.events(s, d)
+        .filter(col("event_id") % 23 === 0)
+        .select(col("user_id"),
+          expr("ts div 1000000 div 604800000").as("wk"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("wk"))
+      val lagged = wk
+        .withColumn("prev", lag(col("wk"), 1).over(w))
+        .withColumn("nxt", lead(col("wk"), 1).over(w))
+      val active = lagged.select(col("wk"),
+        when(col("prev").isNull, lit("new"))
+          .when(col("prev") === col("wk") - 1, lit("retained"))
+          .otherwise(lit("resurrected")).as("status"))
+      val maxWk = wk.agg(max(col("wk")).as("max_wk"))
+      val churned = lagged.crossJoin(broadcast(maxWk))
+        .filter(col("wk") < col("max_wk") &&
+          (col("nxt").isNull || col("nxt") > col("wk") + 1))
+        .select((col("wk") + 1).as("wk"), lit("churned_from").as("status"))
+      active.unionByName(churned)
+        .groupBy(col("wk"), col("status"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // First-occurrence funnel signup → click → purchase: users whose
     // first click follows their first signup, and first purchase
     // follows that click. One groupBy(user) with conditional mins,
@@ -672,6 +732,42 @@ object RelationalQueries extends QueryPack {
         |  count(*) AS n,
         |  sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents
         |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
+    "q_histogram_eqdepth" ->
+      """WITH pv AS (
+        |  SELECT round(value * 100)::BIGINT AS cents, count(*) AS nv
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |c AS (
+        |  SELECT cents, nv,
+        |    sum(nv) OVER (ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM pv),
+        |t AS (SELECT sum(nv)::BIGINT AS n_total FROM pv)
+        |SELECT ((cum - nv) * 8 // n_total)::BIGINT AS bucket,
+        |  min(cents) AS lo, max(cents) AS hi,
+        |  sum(nv)::BIGINT AS n_rows, count(*) AS n_values
+        |FROM c CROSS JOIN t GROUP BY 1""".stripMargin,
+    "q_growth_accounting" ->
+      """WITH wk AS (
+        |  SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS wk
+        |  FROM events WHERE event_id % 23 = 0),
+        |l AS (
+        |  SELECT user_id, wk,
+        |    lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev,
+        |    lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS nxt
+        |  FROM wk),
+        |act AS (
+        |  SELECT wk, CASE WHEN prev IS NULL THEN 'new'
+        |                  WHEN prev = wk - 1 THEN 'retained'
+        |                  ELSE 'resurrected' END AS status
+        |  FROM l),
+        |m AS (SELECT max(wk) AS max_wk FROM wk),
+        |ch AS (
+        |  SELECT wk + 1 AS wk, 'churned_from' AS status
+        |  FROM l CROSS JOIN m
+        |  WHERE wk < max_wk AND (nxt IS NULL OR nxt > wk + 1))
+        |SELECT wk, status, count(*)::BIGINT AS n
+        |FROM (SELECT * FROM act UNION ALL SELECT * FROM ch) u
         |GROUP BY 1, 2""".stripMargin,
     "q_rolling_24h" ->
       """WITH e AS (
