@@ -344,6 +344,54 @@ object RelationalQueries extends QueryPack {
           sum(col("nv")).as("n_rows"), count(lit(1)).as("n_values"))
     }),
 
+    // Revenue concentration: exact-integer Gini coefficient and
+    // top-decile share over per-user purchase revenue — the
+    // whale-dependency read behind every monetization review. The
+    // rank window runs over the USER dimension (post-aggregation,
+    // ≤ distinct-user rows — never event-sized); all arithmetic is
+    // integer (gini in basis points via the rank-sum identity
+    // G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx), ties broken by user id).
+    "q_revenue_gini" -> ((s, d) => {
+      val rev = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      val totals = rev.agg(count(lit(1)).as("n_users"),
+        sum(col("cents")).as("total_cents"))
+      rev
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("cents").asc, col("user_id").asc)))
+        .crossJoin(broadcast(totals))
+        .agg(max(col("n_users")).as("n_users"),
+          max(col("total_cents")).as("total_cents"),
+          sum(col("rnk") * col("cents")).as("rc"),
+          sum(when(col("rnk") > col("n_users") -
+            expr("n_users div 10"), col("cents"))).as("top_cents"))
+        .select(col("n_users"), col("total_cents"),
+          expr("(2 * rc - (n_users + 1) * total_cents) * 10000" +
+            " div (n_users * total_cents)").as("gini_bp"),
+          expr("top_cents * 10000 div total_cents").as("top10_share_bp"))
+    }),
+
+    // Week-over-week growth per event type: the reporting delta every
+    // dashboard ships. Ratios are cents·10000 div prev (non-negative
+    // operands — integer division on a NEGATIVE delta truncates
+    // differently across engines, so the signed column is the plain
+    // difference); windows run over calendar-weeks rows per type.
+    "q_wow_growth" -> ((s, d) => {
+      val weekly = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("ts div 1000000 div 604800000").as("wk"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("wk"))
+      weekly
+        .withColumn("prev_cents", lag(col("cents"), 1).over(w))
+        .select(col("event_type"), col("wk"), col("n"), col("cents"),
+          (col("cents") - col("prev_cents")).as("delta_cents"),
+          expr("cents * 10000 div prev_cents").as("ratio_bp"))
+    }),
+
     // Growth accounting (the MAU/WAU decomposition every product
     // analytics stack ships): per week, how many active users are
     // NEW (first ever week), RETAINED (also active the week before),
@@ -747,6 +795,38 @@ object RelationalQueries extends QueryPack {
         |  min(cents) AS lo, max(cents) AS hi,
         |  sum(nv)::BIGINT AS n_rows, count(*) AS n_values
         |FROM c CROSS JOIN t GROUP BY 1""".stripMargin,
+    "q_revenue_gini" ->
+      """WITH rev AS (
+        |  SELECT user_id, sum(round(value * 100)::BIGINT)::BIGINT AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |t AS (SELECT count(*)::BIGINT AS n_users,
+        |        sum(cents)::BIGINT AS total_cents FROM rev),
+        |r AS (
+        |  SELECT cents,
+        |    row_number() OVER (ORDER BY cents ASC, user_id ASC) AS rnk
+        |  FROM rev)
+        |SELECT n_users, total_cents,
+        |  ((2 * sum(rnk * cents)::BIGINT - (n_users + 1) * total_cents)
+        |    * 10000 // (n_users * total_cents))::BIGINT AS gini_bp,
+        |  (sum(CASE WHEN rnk > n_users - n_users // 10
+        |    THEN cents END)::BIGINT * 10000 // total_cents)::BIGINT
+        |    AS top10_share_bp
+        |FROM r CROSS JOIN t
+        |GROUP BY n_users, total_cents""".stripMargin,
+    "q_wow_growth" ->
+      """WITH weekly AS (
+        |  SELECT event_type, epoch_ms(ts) // 604800000 AS wk,
+        |    count(*) AS n,
+        |    sum(round(value * 100)::BIGINT)::BIGINT AS cents
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT *, lag(cents) OVER (PARTITION BY event_type
+        |    ORDER BY wk) AS prev_cents
+        |  FROM weekly)
+        |SELECT event_type, wk, n, cents,
+        |  (cents - prev_cents)::BIGINT AS delta_cents,
+        |  (cents * 10000 // prev_cents)::BIGINT AS ratio_bp
+        |FROM l""".stripMargin,
     "q_growth_accounting" ->
       """WITH wk AS (
         |  SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS wk
