@@ -36,7 +36,7 @@ case class KmvBottomKAgg(
   extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
   with UnaryLike[Expression] {
 
-  private val K = 32
+  private def K = KmvBottomKAgg.K
 
   override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
     new java.util.TreeSet[java.lang.Long]()
@@ -98,4 +98,12 @@ case class KmvBottomKAgg(
   override protected def withNewChildInternal(c: Expression): KmvBottomKAgg =
     copy(child = c)
   override def prettyName: String = "kmv_bottomk"
+}
+
+object KmvBottomKAgg {
+  /** THE k — the single definition the imperative buffer, the
+    * relational twin, and the DuckDB oracle all derive from
+    * (SketchQueries.KmvK aliases it); three hardcoded copies would
+    * silently desync on the next tuning change. */
+  val K = 32
 }

@@ -295,6 +295,12 @@ object ScanPruning extends QueryPack {
       * the ONLY data scan — O(generation), never the corpus. */
     private[graft] def writeAndIndex(s: SparkSession, root: String,
         events: DataFrame, incId: String, l: Layout): Seq[Int] = {
+      // empty generations write nothing: a parquet dir holding only
+      // _SUCCESS fails schema inference on the read-back, so an erase
+      // whose touched files held only the erased user — or an empty
+      // streaming micro-batch — publishes with zero live buckets
+      // instead of crashing before the publish
+      if (events.isEmpty) return Seq.empty
       val path = genPath(root, incId)
       // write parallelism must not cap at the bucket count: at 100 TB
       // one bucket is 1/16 of the table, so a zbucket-only repartition
@@ -339,8 +345,25 @@ object ScanPruning extends QueryPack {
       manifest(s, root).select(col("gen")).collect()
         .map(_.getString(0)).toSet
 
-    private def nextSeq(s: SparkSession, root: String): Long =
-      manifest(s, root).agg(max(col("mseq"))).head().getLong(0) + 1
+    /** Version allocation is read-max-then-publish, which is only
+      * atomic when publishes are serialized: two racing writers could
+      * otherwise land distinct generations under one mseq — the live
+      * set still merges correctly, but time travel's version identity
+      * (livePairsAt / currentSeq − 1) gets an ambiguous boundary. So
+      * every publish goes through [[publishNext]], which serializes
+      * allocation per root within the JVM; ACROSS processes the
+      * single-writer contract is the store's existing maintenance
+      * discipline (ProcessLock), same as compaction. */
+    private val seqLocks =
+      new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+    private def publishNext(s: SparkSession, root: String, gen: String,
+        liveBuckets: Seq[Int], deadPairs: Seq[(String, Int)]): Unit =
+      seqLocks.computeIfAbsent(root, _ => new Object).synchronized {
+        val next =
+          manifest(s, root).agg(max(col("mseq"))).head().getLong(0) + 1
+        publish(s, root, gen, liveBuckets, deadPairs, next)
+      }
 
     /** Cluster + index one increment under the persisted layout.
       * Replay-idempotent end to end: the ledger skips an already-
@@ -354,7 +377,7 @@ object ScanPruning extends QueryPack {
         incId: String): Boolean = {
       if (absorbedIds(s, root).contains(incId)) return false
       val buckets = writeAndIndex(s, root, increment, incId, layoutOf(s, root))
-      publish(s, root, incId, buckets, Nil, nextSeq(s, root))
+      publishNext(s, root, incId, buckets, Nil)
       true
     }
 
@@ -382,7 +405,7 @@ object ScanPruning extends QueryPack {
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"), col("props"))
       val buckets = writeAndIndex(s, root, union, newGen, layoutOf(s, root))
-      publish(s, root, newGen, buckets, pairs, nextSeq(s, root))
+      publishNext(s, root, newGen, buckets, pairs)
       Some(newGen)
     }
 
@@ -399,18 +422,18 @@ object ScanPruning extends QueryPack {
         .select(col("inc_id"), col("zbucket")).collect()
         .map(r => (r.getString(0), r.getInt(1))).toSeq.sorted
       if (touched.isEmpty) {
-        publish(s, root, updateId, Nil, Nil, nextSeq(s, root))
+        publishNext(s, root, updateId, Nil, Nil)
         return true
       }
       val updated = s.read.parquet(
           touched.map { case (g, b) => bucketDir(root, g, b) }: _*)
-        .withColumn("value", when(col("user_id") === userId,
+        .withColumn("value", when(col("user_id") <=> userId,
           lit(newValue)).otherwise(col("value")))
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"), col("props"))
       val buckets = writeAndIndex(s, root, updated, updateId,
         layoutOf(s, root))
-      publish(s, root, updateId, buckets, touched, nextSeq(s, root))
+      publishNext(s, root, updateId, buckets, touched)
       true
     }
 
@@ -432,16 +455,20 @@ object ScanPruning extends QueryPack {
         .select(col("inc_id"), col("zbucket")).collect()
         .map(r => (r.getString(0), r.getInt(1))).toSeq.sorted
       if (touched.isEmpty) { // nothing holds the user; just ledger it
-        publish(s, root, eraseId, Nil, Nil, nextSeq(s, root))
+        publishNext(s, root, eraseId, Nil, Nil)
         return true
       }
+      // null-SAFE keep predicate: a bare =!= evaluates NULL for
+      // NULL user_id rows and would silently drop unrelated
+      // null-key rows from every touched file — latent data loss,
+      // not a smaller table
       val kept = s.read.parquet(
           touched.map { case (g, b) => bucketDir(root, g, b) }: _*)
-        .filter(col("user_id") =!= userId)
+        .filter(!(col("user_id") <=> userId))
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"), col("props"))
       val buckets = writeAndIndex(s, root, kept, eraseId, layoutOf(s, root))
-      publish(s, root, eraseId, buckets, touched, nextSeq(s, root))
+      publishNext(s, root, eraseId, buckets, touched)
       true
     }
 
