@@ -1113,24 +1113,13 @@ object AnalyticsQueries extends QueryPack {
           size(split(col("text"), " ")).cast("long").as("n_toks"))
         .withColumn("hkey", md5(col("doc_id").cast("string")))
         .localCheckpoint(true) // read by both strategies
+      // exact two-phase global rank (per-bucket local rank + tiny
+      // offset table) — the extracted operator; bucket values here are
+      // distinct lengths / 16 hash prefixes, trivially tiny
       def ranked(bucketOf: org.apache.spark.sql.Column,
-          orderCols: Seq[org.apache.spark.sql.Column]): DataFrame = {
-        val bucketed = docs.withColumn("bk", bucketOf)
-        val counts = bucketed.groupBy(col("bk")).agg(count(lit(1)).as("cnt"))
-        val offW = Window.orderBy(col("bk"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        // the ONLY unpartitioned window: one row per distinct bucket
-        // value (≤ distinct lengths / 16 hash prefixes) — trivially
-        // tiny at any corpus size
-        val offsets = counts
-          .withColumn("off", coalesce(sum(col("cnt")).over(offW), lit(0L)))
-          .select(col("bk"), col("off"))
-        val local = Window.partitionBy(col("bk")).orderBy(orderCols: _*)
-        bucketed
-          .withColumn("lr", row_number().over(local))
-          .join(broadcast(offsets), Seq("bk"))
-          .withColumn("rank", col("off") + col("lr"))
-      }
+          orderCols: Seq[org.apache.spark.sql.Column]): DataFrame =
+        graft.operators.BucketedRank.withRank(
+          docs.withColumn("bk", bucketOf), col("bk"), orderCols, "rank")
       def padding(r: DataFrame, strategy: String): DataFrame = r
         .withColumn("batch", expr(s"(rank - 1) div $B"))
         .groupBy(col("batch"))

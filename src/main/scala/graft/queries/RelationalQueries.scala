@@ -346,11 +346,17 @@ object RelationalQueries extends QueryPack {
 
     // Revenue concentration: exact-integer Gini coefficient and
     // top-decile share over per-user purchase revenue — the
-    // whale-dependency read behind every monetization review. The
-    // rank window runs over the USER dimension (post-aggregation,
-    // ≤ distinct-user rows — never event-sized); all arithmetic is
-    // integer (gini in basis points via the rank-sum identity
-    // G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx), ties broken by user id).
+    // whale-dependency read behind every monetization review. Ranks
+    // run over the USER dimension but NEVER as one global window
+    // partition (billions of users is still a single-task sort):
+    // BucketedRank range-buckets by cents and decomposes the exact
+    // rank into per-bucket local ranks + a tiny offset table — the
+    // rank-sum Σ rank·x decomposes exactly over buckets, so the
+    // answer is unchanged. The Gini identity
+    // G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx) runs in decimal(38,0)
+    // (Σ rank·x ≈ n·Σx overflows a signed long well before 100 TB;
+    // DuckDB's HUGEINT is the same 128-bit semantics), with only the
+    // ≤10000 quotients cast back to BIGINT.
     "q_revenue_gini" -> ((s, d) => {
       val rev = Tables.events(s, d)
         .filter(col("event_type") === "purchase")
@@ -358,18 +364,19 @@ object RelationalQueries extends QueryPack {
         .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
       val totals = rev.agg(count(lit(1)).as("n_users"),
         sum(col("cents")).as("total_cents"))
-      rev
-        .withColumn("rnk", row_number().over(
-          Window.orderBy(col("cents").asc, col("user_id").asc)))
+      graft.operators.BucketedRank
+        .byRange(rev, col("cents"), Seq(col("user_id")), "rnk")
         .crossJoin(broadcast(totals))
         .agg(max(col("n_users")).as("n_users"),
           max(col("total_cents")).as("total_cents"),
-          sum(col("rnk") * col("cents")).as("rc"),
+          sum(col("rnk").cast("decimal(38,0)") * col("cents")).as("rc"),
           sum(when(col("rnk") > col("n_users") -
             expr("n_users div 10"), col("cents"))).as("top_cents"))
         .select(col("n_users"), col("total_cents"),
-          expr("(2 * rc - (n_users + 1) * total_cents) * 10000" +
-            " div (n_users * total_cents)").as("gini_bp"),
+          expr("cast((2 * rc - (cast(n_users as decimal(38,0)) + 1)" +
+            " * total_cents) * 10000" +
+            " div (cast(n_users as decimal(38,0)) * total_cents)" +
+            " as bigint)").as("gini_bp"),
           expr("top_cents * 10000 div total_cents").as("top10_share_bp"))
     }),
 
@@ -806,8 +813,9 @@ object RelationalQueries extends QueryPack {
         |    row_number() OVER (ORDER BY cents ASC, user_id ASC) AS rnk
         |  FROM rev)
         |SELECT n_users, total_cents,
-        |  ((2 * sum(rnk * cents)::BIGINT - (n_users + 1) * total_cents)
-        |    * 10000 // (n_users * total_cents))::BIGINT AS gini_bp,
+        |  ((2 * sum(rnk * cents) - (n_users::HUGEINT + 1) * total_cents)
+        |    * 10000 // (n_users::HUGEINT * total_cents))::BIGINT
+        |    AS gini_bp,
         |  (sum(CASE WHEN rnk > n_users - n_users // 10
         |    THEN cents END)::BIGINT * 10000 // total_cents)::BIGINT
         |    AS top10_share_bp

@@ -502,6 +502,23 @@ class PlanSpec extends AnyFunSuite {
       "bigram-type aggregations lost map-side combine")
   }
 
+  test("q_revenue_gini: the user rank never runs a data-sized global window") {
+    val p = plan("q_revenue_gini")
+    // the per-user rank must run PARTITIONED by the range bucket; the
+    // only unpartitioned window is the bucket-offset prefix (one row
+    // per bucket). A global `row_number() OVER (ORDER BY cents)` over
+    // the user dimension is the single-task sort that dies at 100 TB.
+    val windows = p.linesIterator.filter(_.contains("Window ")).toList
+    assert(windows.exists(w => w.contains("row_number") &&
+        w.contains("__brk")),
+      s"user rank must partition by the range bucket:\n${windows.mkString("\n")}")
+    assert(!windows.exists(w => w.contains("row_number") &&
+        !w.contains("__brk")),
+      s"found an unbucketed global row_number:\n${windows.mkString("\n")}")
+    assert(p.contains("BroadcastHashJoin"),
+      "bucket offsets must broadcast-join back to the user rows")
+  }
+
   test("q_kll_percentiles: one corpus scan total, behind the shared checkpoint") {
     // the (g, v, uid) base is checkpointed once and feeds BOTH the
     // sketch's merge rounds (themselves per-round checkpoints) and the
