@@ -32,5 +32,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("kmv_bottomk"),
       new ExpressionInfo(classOf[KmvBottomKAgg].getName, "kmv_bottomk"),
       GraftFunctions.kmvBottomKBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("mg_summary"),
+      new ExpressionInfo(classOf[MgSummaryAgg].getName, "mg_summary"),
+      GraftFunctions.mgSummaryBuilder))
   }
 }

@@ -197,6 +197,12 @@ object GraftFunctions {
       s"kmv_bottomk requires exactly 1 argument, got ${exprs.size}")
   }
 
+  val mgSummaryBuilder: Seq[Expression] => Expression = {
+    case Seq(k) => MgSummaryAgg(k)
+    case exprs => throw new IllegalArgumentException(
+      s"mg_summary requires exactly 1 argument, got ${exprs.size}")
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vector_dot", vectorDotBuilder, "built-in")
@@ -208,5 +214,7 @@ object GraftFunctions {
       "cms_counters", cmsCountersBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "kmv_bottomk", kmvBottomKBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "mg_summary", mgSummaryBuilder, "built-in")
   }
 }

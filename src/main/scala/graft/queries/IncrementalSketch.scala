@@ -63,12 +63,16 @@ object IncrementalSketch extends QueryPack {
         QuantileSketch.sketchOf(kllBaseOf(corpus))
           .withColumn("inc_id", lit("corpus")),
         kllPath(root))
+      graft.storage.AstarteStore.appendAtomic(
+        mgSummaryOf(s, corpus).withColumn("inc_id", lit("corpus")),
+        mgPath(root))
       root
     }
 
     def hllPath(root: String): String = s"$root/sketch_hll"
     def cmsPath(root: String): String = s"$root/sketch_cms"
     def kllPath(root: String): String = s"$root/sketch_kll"
+    def mgPath(root: String): String = s"$root/sketch_mg"
 
     /** The merge-on-read views: the log may hold any number of
       * absorbed generations; reading IS the monoid fold. For CMS the
@@ -97,6 +101,19 @@ object IncrementalSketch extends QueryPack {
       s.read.parquet(kllPath(root))
         .dropDuplicates("inc_id", "g", "uid", "v", "lvl")
         .select(col("g"), col("v"), col("uid"), col("lvl"))
+
+    /** Heavy-hitter counters: same replay defense as CMS (the
+      * builder is deterministic, so a replayed append's rows are
+      * bit-identical and max-per-(inc_id, k) collapses them), then
+      * the Misra–Gries pointwise-sum merge across generations. The
+      * merged table is ≤ generations · Cap rows — control-plane
+      * sized; the one-shot heavy cut runs on top of it. */
+    def mgCounters(s: SparkSession, root: String): DataFrame =
+      s.read.parquet(mgPath(root))
+        .groupBy(col("inc_id"), col("k"))
+        .agg(max(col("c")).as("c"))
+        .groupBy(col("k"))
+        .agg(sum(col("c")).as("c"))
 
     /** Increment ids already in the log — the replay ledger. The log
       * is sketch-sized (≤ generations · sketch rows), so this is a
@@ -133,8 +150,23 @@ object IncrementalSketch extends QueryPack {
         QuantileSketch.sketchOf(kllBaseOf(increment))
           .withColumn("inc_id", lit(incId)),
         kllPath(root))
+      graft.storage.AstarteStore.appendAtomic(
+        mgSummaryOf(s, increment).withColumn("inc_id", lit(incId)),
+        mgPath(root))
       true
     }
+  }
+
+  /** One slice's Misra–Gries summary as (k, c) rows — the imperative
+    * aggregate IS the builder (one pass, ≤ Cap rows out); exact below
+    * capacity, which is what makes a replayed append bit-identical
+    * AND the incremental-equals-batch oracle a hash gate. */
+  private[graft] def mgSummaryOf(s: SparkSession,
+      events: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    events.filter(col("user_id").isNotNull)
+      .agg(expr("mg_summary(user_id)").as("mg"))
+      .select(expr("inline(mg)"))
   }
 
   /** The quantile sketch's (g, v, uid) base over an events slice —
@@ -199,6 +231,23 @@ object IncrementalSketch extends QueryPack {
     // merge. No exact audit columns here BY DESIGN: they would need
     // the full-corpus scan the incremental path exists to avoid (the
     // accuracy envelope lives in ApproxSketchSpec instead).
+    // all-time heavy hitters maintained incrementally: persisted
+    // corpus summary (pointwise-sum fold) ⊕ the increment's one-pass
+    // summary, then the one-shot heavy cut — in the exact regime this
+    // equals the from-scratch cut over ALL events, so the oracle is
+    // q_mg_heavy's recompute verbatim (n_est naming); at 100 TB the
+    // same merge carries the ε = 1/(Cap+1) Misra–Gries bound.
+    "q_mg_incremental" -> ((s, d) => {
+      val root = SketchStore.rootFor(s, d)
+      val merged = SketchStore.mgCounters(s, root)
+        .unionByName(mgSummaryOf(s, incrementEvents(s, d)))
+        .groupBy(col("k")).agg(sum(col("c")).as("c"))
+      merged.crossJoin(broadcast(SketchQueries.mgThreshold(
+          merged, col("k"), col("c"), graft.functions.MgSummary.K)))
+        .filter(col("c") > col("thresh"))
+        .select(col("k").as("user_id"), col("c").as("n_est"),
+          (col("c") - col("thresh")).as("mg_lb"), col("thresh"))
+    }),
     "q_kll_incremental" -> ((s, d) => {
       val root = SketchStore.rootFor(s, d)
       val incItems = QuantileSketch.sketchOf(
@@ -231,6 +280,19 @@ object IncrementalSketch extends QueryPack {
     "q_cms_incremental" ->
       s"""WITH ${SketchQueries.cmsSql("SELECT user_id FROM events", "cms")}
          |SELECT r, j, c FROM cms""".stripMargin,
+    // from-scratch one-shot cut over ALL events — the
+    // incremental-equals-batch gate for the heavy-hitter family
+    "q_mg_incremental" ->
+      s"""WITH c AS (
+         |  SELECT user_id, count(*) AS n_est FROM events
+         |  WHERE user_id IS NOT NULL GROUP BY 1),
+         |r AS (
+         |  SELECT *, row_number() OVER
+         |    (ORDER BY n_est DESC, user_id ASC) AS rn FROM c),
+         |t AS (SELECT coalesce(max(CASE WHEN rn = ${graft.functions.MgSummary.K + 1}
+         |  THEN n_est END), 0)::BIGINT AS thresh FROM r)
+         |SELECT user_id, n_est, n_est - thresh AS mg_lb, thresh
+         |FROM c CROSS JOIN t WHERE n_est > thresh""".stripMargin,
     // sketch(corpus) ∪ sketch(increment), both replayed from scratch —
     // union IS the quantile sketch's merge, so this is the
     // incremental-equals-batch gate for the fourth sketch family

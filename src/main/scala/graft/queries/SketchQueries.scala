@@ -101,11 +101,41 @@ object SketchQueries extends QueryPack {
   // bottom-k selection is exact (TakeOrderedAndProject — a
   // distributed top-k, never a global sort), and the one division is
   // IEEE-exact on identical inputs (2⁶⁰ and 31·2⁶⁰ are exact doubles).
-  private val KmvK = 32
+  private val KmvK = graft.functions.KmvBottomKAgg.K
 
   /** Bottom-k size for the per-source shingle sketches
     * (`dd_source_kmv`). */
   private val SrcK = 64
+
+  // ── Misra–Gries heavy hitters ────────────────────────────────────
+  // The sketch that answers "top-k keys with frequency bounds in one
+  // pass" directly — before this, the family needed the exact heavy
+  // list as INPUT (q_cms_heavy point-probes candidates). The
+  // deterministic formulation is the canonical ONE-SHOT reduction
+  // over exact per-key counts: threshold T = the (K+1)-st largest
+  // count under the canonical (count desc, key asc) order; survivors
+  // are keys STRICTLY above T — ≤ K of them by definition, no
+  // tie-break needed for the set — with guaranteed-lower-bound
+  // residuals c − T (Misra–Gries 1982; T ≤ N/(K+1)). Per-key counts
+  // are one partial-agg shuffle; the threshold is an exact two-phase
+  // top-(K+1) (TwoPhaseTopK shards), never a global sort.
+  private val MgK = graft.functions.MgSummary.K
+
+  /** 1-row frame holding the (k+1)-st largest count as `thresh`
+    * (0 when fewer than k+1 keys). */
+  private[graft] def mgThreshold(counts: DataFrame, key: org.apache.spark.sql.Column,
+      cnt: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    val n = graft.operators.TwoPhaseTopK.shards(counts)
+    val w1 = Window.partitionBy(col("__mg_shard")).orderBy(cnt.desc, key.asc)
+    val w2 = Window.orderBy(cnt.desc, key.asc) // ≤ shards·(k+1) rows
+    counts
+      .withColumn("__mg_shard", graft.operators.TwoPhaseTopK.shardCol(key, n))
+      .withColumn("__mg_r1", row_number().over(w1))
+      .filter(col("__mg_r1") <= k + 1)
+      .withColumn("__mg_r2", row_number().over(w2))
+      .agg(coalesce(max(when(col("__mg_r2") === k + 1, cnt)), lit(0L))
+        .as("thresh"))
+  }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Sketch-accelerated cross-source contamination: per-source
@@ -206,8 +236,8 @@ object SketchQueries extends QueryPack {
         .agg(count(lit(1)).as("cnt"), max(col("h")).as("mx"))
         .select(expr(
           s"CASE WHEN cnt < $KmvK THEN cast(cnt as double)" +
-          " ELSE round(cast(31 as double) *" +
-          " cast(1152921504606846976 as double) / mx, 4) END").as(name),
+          s" ELSE round(cast(${KmvK - 1} as double) *" +
+          s" cast(${1L << 60} as double) / mx, 4) END").as(name),
           col("cnt").as(s"${name}_cnt"))
       val exacts = tagged.agg(
         sum(col("in_a")).as("n_a"), sum(col("in_b")).as("n_b"),
@@ -221,7 +251,7 @@ object SketchQueries extends QueryPack {
         .select(expr(
           s"CASE WHEN cnt < $KmvK THEN cast(both as double)" +
           " ELSE round(cast(both as double) *" +
-          " (cast(31 as double) * cast(1152921504606846976 as double)" +
+          s" (cast(${KmvK - 1} as double) * cast(${1L << 60} as double)" +
           s" / mx) / $KmvK, 4) END").as("est_inter"))
       exacts.crossJoin(estA).crossJoin(estB).crossJoin(estU)
     }),
@@ -241,6 +271,70 @@ object SketchQueries extends QueryPack {
         .join(cms, Seq("r", "j"))
         .groupBy(col("user_id"))
         .agg(first(col("n_exact")).as("n_exact"), min(col("c")).as("n_est"))
+    }),
+    // one-pass heavy hitters: the canonical one-shot Misra–Gries cut
+    // over the global user dimension — exact counts ride along as the
+    // audit column; mg_lb is the guaranteed lower bound (= n_exact − T)
+    "q_mg_heavy" -> ((s, d) => {
+      val counts = Tables.events(s, d)
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+      counts.crossJoin(broadcast(
+          mgThreshold(counts, col("user_id"), col("n_exact"), MgK)))
+        .filter(col("n_exact") > col("thresh"))
+        .select(col("user_id"), col("n_exact"),
+          (col("n_exact") - col("thresh")).as("mg_lb"), col("thresh"))
+    }),
+    // the CUSTOM-AGGREGATE form: one TypedImperativeAggregate pass per
+    // event_type whose ≤ Cap-entry buffer IS the Misra–Gries summary
+    // (exact below capacity — the oracle regime; ε = 1/(Cap+1) above
+    // it — the 100 TB regime, bound pinned in MgAggSpec). The heavy
+    // cut then runs over the INLINED summaries: windows over ≤ Cap
+    // rows per group by construction, never event-sized.
+    "q_mg_agg" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val summaries = Tables.events(s, d)
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(expr("mg_summary(user_id)").as("mg"))
+        .select(col("event_type"), expr("inline(mg)"))
+      val g = Window.partitionBy(col("event_type"))
+      val w = g.orderBy(col("c").desc, col("k").asc)
+      summaries
+        .withColumn("rn", row_number().over(w))
+        .withColumn("thresh", coalesce(
+          max(when(col("rn") === MgK + 1, col("c"))).over(g), lit(0L)))
+        .filter(col("c") > col("thresh"))
+        .select(col("event_type"), col("k").as("user_id"),
+          col("c").as("n_est"),
+          (col("c") - col("thresh")).as("mg_lb"), col("thresh"))
+    }),
+    // the all-sketch composition the MG family unlocks: candidates
+    // come from the Misra–Gries cut (q_cms_heavy needs the exact
+    // heavy list as INPUT; this needs none) and their frequencies
+    // from CMS point probes — at 100 TB both inputs are sketch-sized.
+    // Exact counts ride along as the audit column, and the output
+    // carries the full sandwich every row must satisfy:
+    // mg_lb ≤ n_exact ≤ n_cms.
+    "q_mg_cms_probe" -> ((s, d) => {
+      val src = Tables.events(s, d).select(col("user_id"))
+      val cms = cmsOf(src)
+      val counts = src.filter(col("user_id").isNotNull)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+      val cand = counts.crossJoin(broadcast(
+          mgThreshold(counts, col("user_id"), col("n_exact"), MgK)))
+        .filter(col("n_exact") > col("thresh"))
+      cand
+        .select(col("user_id"), col("n_exact"),
+          (col("n_exact") - col("thresh")).as("mg_lb"),
+          explode(sequence(lit(0), lit(CmsD - 1))).as("r"))
+        .withColumn("j", expr(
+          s"cast(conv(substring(md5(concat(cast(r as string), ':'," +
+          s" cast(user_id as string))),1,8),16,10) as bigint) % $CmsW"))
+        .join(cms, Seq("r", "j"))
+        .groupBy(col("user_id"))
+        .agg(min(col("n_exact")).as("n_exact"), min(col("mg_lb")).as("mg_lb"),
+          min(col("c")).as("n_cms"))
     }),
     // join-size estimation WITHOUT the join: |A ⋈_user B| =
     // Σ_u c_A(u)·c_B(u), estimated by min_r Σ_j A_r[j]·B_r[j] —
@@ -315,9 +409,9 @@ object SketchQueries extends QueryPack {
         .select(col("event_type"),
           size(col("kmv")).cast("long").as("kmv_cnt"),
           expr("element_at(kmv, -1)").as("kmv_max"),
-          expr("CASE WHEN size(kmv) < 32 THEN cast(size(kmv) as double)" +
-            " ELSE round(cast(31 as double) *" +
-            " cast(1152921504606846976 as double)" +
+          expr(s"CASE WHEN size(kmv) < $KmvK THEN cast(size(kmv) as double)" +
+            s" ELSE round(cast(${KmvK - 1} as double) *" +
+            s" cast(${1L << 60} as double)" +
             " / element_at(kmv, -1), 4) END").as("est_kmv"))
     }),
     "q_hll_agg" -> ((s, d) => {
@@ -353,6 +447,38 @@ object SketchQueries extends QueryPack {
         .agg(countDistinct(col("user_id")).as("n_exact"))
       est.join(exact, Seq("day_start_ms"))
         .select(col("day_start_ms"), col("n_exact"), col("est_hll"))
+    }),
+    // daily heavy hitters — the windowed twin of q_mg_heavy next to
+    // w_hll_daily: per event-time day, the one-shot Misra–Gries cut
+    // over that day's user dimension. The per-day threshold is an
+    // exact two-phase top-(K+1) WITHIN each day (shard windows first,
+    // ≤ shards·(K+1) rows reach any single day partition), and the
+    // day-threshold table that joins back is calendar-sized.
+    "w_mg_daily" -> ((s, d) => {
+      val counts = Tables.events(s, d)
+        .filter(col("user_id").isNotNull)
+        .select(expr("((ts div 1000000) div 86400000) * 86400000")
+          .as("day_start_ms"), col("user_id"))
+        .groupBy(col("day_start_ms"), col("user_id"))
+        .agg(count(lit(1)).as("n_exact"))
+      val n = graft.operators.TwoPhaseTopK.shards(counts)
+      val ord = Seq(col("n_exact").desc, col("user_id").asc)
+      val w1 = Window.partitionBy(col("day_start_ms"), col("shard"))
+        .orderBy(ord: _*)
+      val w2 = Window.partitionBy(col("day_start_ms")).orderBy(ord: _*)
+      val thresh = counts
+        .withColumn("shard",
+          graft.operators.TwoPhaseTopK.shardCol(col("user_id"), n))
+        .withColumn("r1", row_number().over(w1))
+        .filter(col("r1") <= MgK + 1)
+        .withColumn("r2", row_number().over(w2))
+        .groupBy(col("day_start_ms"))
+        .agg(coalesce(max(when(col("r2") === MgK + 1, col("n_exact"))),
+          lit(0L)).as("thresh"))
+      counts.join(broadcast(thresh), Seq("day_start_ms"))
+        .filter(col("n_exact") > col("thresh"))
+        .select(col("day_start_ms"), col("user_id"), col("n_exact"),
+          (col("n_exact") - col("thresh")).as("mg_lb"), col("thresh"))
     }),
     // the shippable artifact: the global dense register table — 64
     // integer rows that summarize every user_id in the corpus
@@ -517,6 +643,71 @@ object SketchQueries extends QueryPack {
          |    THEN 64 * ln(64.0::DOUBLE / v)
          |    ELSE 2904.064::DOUBLE / z END, 4) AS est_hll
          |FROM est e JOIN ex x USING (day_start_ms)""".stripMargin,
+    // exact recompute of the one-shot Misra–Gries cut: threshold =
+    // (K+1)-st largest count, survivors strictly above it
+    "q_mg_heavy" ->
+      s"""WITH c AS (
+         |  SELECT user_id, count(*) AS n_exact FROM events
+         |  WHERE user_id IS NOT NULL GROUP BY 1),
+         |r AS (
+         |  SELECT *, row_number() OVER
+         |    (ORDER BY n_exact DESC, user_id ASC) AS rn FROM c),
+         |t AS (SELECT coalesce(max(CASE WHEN rn = ${MgK + 1}
+         |  THEN n_exact END), 0)::BIGINT AS thresh FROM r)
+         |SELECT user_id, n_exact, n_exact - thresh AS mg_lb, thresh
+         |FROM c CROSS JOIN t WHERE n_exact > thresh""".stripMargin,
+    // the same recompute per group — a hash match proves the
+    // imperative summary is EXACT below its capacity
+    "q_mg_agg" ->
+      s"""WITH c AS (
+         |  SELECT event_type, user_id, count(*) AS n_est FROM events
+         |  WHERE user_id IS NOT NULL GROUP BY 1, 2),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY event_type
+         |    ORDER BY n_est DESC, user_id ASC) AS rn FROM c),
+         |t AS (SELECT event_type, coalesce(max(CASE WHEN rn = ${MgK + 1}
+         |  THEN n_est END), 0)::BIGINT AS thresh FROM r GROUP BY 1)
+         |SELECT c.event_type, user_id, n_est, n_est - thresh AS mg_lb,
+         |  thresh
+         |FROM c JOIN t USING (event_type) WHERE n_est > thresh""".stripMargin,
+    // MG candidates + CMS probes, both recomputed from exact counts
+    "q_mg_cms_probe" ->
+      s"""WITH ${cmsSql("SELECT user_id FROM events", "cms")},
+         |c AS (
+         |  SELECT user_id, count(*) AS n_exact FROM events
+         |  WHERE user_id IS NOT NULL GROUP BY 1),
+         |rk AS (
+         |  SELECT *, row_number() OVER
+         |    (ORDER BY n_exact DESC, user_id ASC) AS rn FROM c),
+         |t AS (SELECT coalesce(max(CASE WHEN rn = ${MgK + 1}
+         |  THEN n_exact END), 0)::BIGINT AS thresh FROM rk),
+         |cand AS (
+         |  SELECT user_id, n_exact, n_exact - thresh AS mg_lb
+         |  FROM c CROSS JOIN t WHERE n_exact > thresh),
+         |probes AS (
+         |  SELECT cd.user_id, cd.n_exact, cd.mg_lb, rs.r,
+         |    ('0x' || substr(md5(rs.r::VARCHAR || ':' ||
+         |        cd.user_id::VARCHAR),1,8))::BIGINT % $CmsW AS j
+         |  FROM cand cd
+         |  CROSS JOIN (SELECT unnest(generate_series(0, ${CmsD - 1})) AS r) rs)
+         |SELECT p.user_id, min(p.n_exact)::BIGINT AS n_exact,
+         |  min(p.mg_lb)::BIGINT AS mg_lb, min(cm.c)::BIGINT AS n_cms
+         |FROM probes p JOIN cms cm ON cm.r = p.r AND cm.j = p.j
+         |GROUP BY 1""".stripMargin,
+    // per-day recompute of the one-shot cut
+    "w_mg_daily" ->
+      s"""WITH c AS (
+         |  SELECT (epoch_ms(ts) // 86400000) * 86400000 AS day_start_ms,
+         |    user_id, count(*) AS n_exact
+         |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY day_start_ms
+         |    ORDER BY n_exact DESC, user_id ASC) AS rn FROM c),
+         |t AS (SELECT day_start_ms, coalesce(max(CASE WHEN rn = ${MgK + 1}
+         |  THEN n_exact END), 0)::BIGINT AS thresh FROM r GROUP BY 1)
+         |SELECT c.day_start_ms, user_id, n_exact, n_exact - thresh AS mg_lb,
+         |  thresh
+         |FROM c JOIN t USING (day_start_ms) WHERE n_exact > thresh""".stripMargin,
     // relational recomputation of the custom-aggregate path
     "q_kmv_agg" ->
       s"""WITH h AS (
@@ -533,7 +724,7 @@ object SketchQueries extends QueryPack {
          |  FROM r WHERE rn <= $KmvK GROUP BY 1)
          |SELECT event_type, kmv_cnt, kmv_max,
          |  CASE WHEN kmv_cnt < $KmvK THEN kmv_cnt::DOUBLE
-         |       ELSE round(31::DOUBLE * 1152921504606846976::DOUBLE
+         |       ELSE round(${KmvK - 1}::DOUBLE * ${1L << 60}::DOUBLE
          |         / kmv_max, 4) END AS est_kmv
          |FROM k""".stripMargin,
     "q_hll_agg" ->
@@ -574,14 +765,14 @@ object SketchQueries extends QueryPack {
          |    sum(in_a * in_b)::BIGINT AS n_inter FROM tagged)
          |SELECT ex.n_a, ex.n_b, ex.n_inter,
          |  CASE WHEN sa.cnt < $KmvK THEN sa.cnt::DOUBLE
-         |    ELSE round(31::DOUBLE * 1152921504606846976::DOUBLE / sa.mx, 4)
+         |    ELSE round(${KmvK - 1}::DOUBLE * ${1L << 60}::DOUBLE / sa.mx, 4)
          |    END AS est_a,
          |  CASE WHEN sb.cnt < $KmvK THEN sb.cnt::DOUBLE
-         |    ELSE round(31::DOUBLE * 1152921504606846976::DOUBLE / sb.mx, 4)
+         |    ELSE round(${KmvK - 1}::DOUBLE * ${1L << 60}::DOUBLE / sb.mx, 4)
          |    END AS est_b,
          |  CASE WHEN su.cnt < $KmvK THEN su.both::DOUBLE
          |    ELSE round(su.both::DOUBLE *
-         |      (31::DOUBLE * 1152921504606846976::DOUBLE / su.mx)
+         |      (${KmvK - 1}::DOUBLE * ${1L << 60}::DOUBLE / su.mx)
          |      / $KmvK, 4) END AS est_inter
          |FROM ex, sa, sb, su""".stripMargin,
     "q_cms_heavy" ->
