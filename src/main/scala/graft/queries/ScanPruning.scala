@@ -66,6 +66,20 @@ object ScanPruning extends QueryPack {
     * ~20% of events play the "new crawl batch" role. */
   private[graft] val incPredicate = col("event_id") % 10 >= 8
 
+  /** Rows-per-logical-file target the bucket count derives from. At
+    * demo scale 4096 rows plays the role a ~1 GiB file does in
+    * production; the DERIVATION is the point — file granularity grows
+    * with data instead of capping prune selectivity at a fixed 1/16
+    * forever. Thresholds are pure integer compares, so the oracle
+    * replays the choice from its own corpus count. */
+  private val FileRows = 4096L
+
+  /** Morton-prefix depth (bits per dimension) for a corpus of `n`
+    * rows: smallest p in [2, 4] with 4^p logical files of ≤ FileRows
+    * rows — 16, 64, or 256 files per generation. */
+  private[graft] def pbitsOf(n: Long): Int =
+    if (n > 64 * FileRows) 4 else if (n > 16 * FileRows) 3 else 2
+
   /** Layout constants, fixed when the table is first clustered (a
     * production pipeline chooses them a priori; this demo derives
     * them from the corpus slice in one aggregate and PERSISTS them so
@@ -74,7 +88,10 @@ object ScanPruning extends QueryPack {
     * Spark — so the oracle replays them exactly.
     */
   private[graft] final case class Layout(
-      umin: Long, umax: Long, tmin: Long, tmax: Long) {
+      umin: Long, umax: Long, tmin: Long, tmax: Long, pbits: Int = 2) {
+    /** zbucket = zkey div zdiv — the top `2·pbits` Morton bits. */
+    val zdiv: Long = 1L << (16 - 2 * pbits)
+    val buckets: Int = 1 << (2 * pbits)
     val wu: Long = (umax - umin) / Codes + 1 // code widths
     val wt: Long = (tmax - tmin) / Codes + 1
     // the demo box predicate: one-eighth of the user range × one-
@@ -95,13 +112,13 @@ object ScanPruning extends QueryPack {
         s" + ((ct div ${1L << i}) % 2) * ${1L << (2 * i)}"
     }.mkString(" + ")
 
-  /** File assignment = top 2 bits of each code, interleaved — the
-    * 4-bit prefix of the Morton key, 16 logical files per generation. */
-  private val zbucketExpr =
-    "cast(((cu div 128) % 2) * 8 + ((ct div 128) % 2) * 4" +
-      " + ((cu div 64) % 2) * 2 + ((ct div 64) % 2) as int)"
+  /** File assignment = the layout's top 2·pbits Morton bits — a plain
+    * integral divide of the full key, so the bucket count scales with
+    * the persisted prefix depth. */
+  private def zbucketExprOf(l: Layout): String =
+    s"cast(zkey div ${l.zdiv}L as int)"
 
-  /** Canonical events columns + (cu, ct, zbucket, zkey) under a fixed
+  /** Canonical events columns + (cu, ct, zkey, zbucket) under a fixed
     * layout. Codes clamp to [0, 255]: values outside the layout's
     * creation-time bounds (late-arriving increments) land in edge
     * files rather than failing. */
@@ -112,8 +129,8 @@ object ScanPruning extends QueryPack {
         s"greatest(0L, least(255L, (user_id - ${l.umin}L) div ${l.wu}L))"))
       .withColumn("ct", expr(
         s"greatest(0L, least(255L, (tsu - ${l.tmin}L) div ${l.wt}L))"))
-      .withColumn("zbucket", expr(zbucketExpr))
       .withColumn("zkey", expr(zkeyExpr))
+      .withColumn("zbucket", expr(zbucketExprOf(l)))
 
   /** The k=2 bloom bit positions of a user id — the CMS hash
     * convention (md5 of "r:key", first 8 hex chars, mod m). */
@@ -164,19 +181,24 @@ object ScanPruning extends QueryPack {
       * specs use this for mutation-isolated and synthetic-data tests).
       * One corpus pass for the bounds, one for the clustered write,
       * one generation-only read-back for the index rows. */
-    private[graft] def buildRootFrom(s: SparkSession,
-        corpus: DataFrame): String = {
+    private[graft] def buildRootFrom(s: SparkSession, corpus: DataFrame,
+        forcedPbits: Option[Int] = None): String = {
       val root =
         java.nio.file.Files.createTempDirectory("graft-fileindex").toString
       val b = corpus
         .agg(min(col("user_id")), max(col("user_id")),
-          min(expr("ts div 1000")), max(expr("ts div 1000")))
+          min(expr("ts div 1000")), max(expr("ts div 1000")),
+          count(lit(1)))
         .head()
-      val l = Layout(b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      // prefix depth derives from the corpus size at build time and
+      // PERSISTS with the bounds, so increments cluster under the
+      // same granularity forever (forcedPbits is a spec hook)
+      val l = Layout(b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3),
+        forcedPbits.getOrElse(pbitsOf(b.getLong(4))))
       import s.implicits._
       graft.storage.AstarteStore.appendAtomic(
-        Seq((l.umin, l.umax, l.tmin, l.tmax, "layout"))
-          .toDF("umin", "umax", "tmin", "tmax", "inc_id"),
+        Seq((l.umin, l.umax, l.tmin, l.tmax, l.pbits, "layout"))
+          .toDF("umin", "umax", "tmin", "tmax", "pbits", "inc_id"),
         boundsPath(root))
       val buckets = writeAndIndex(s, root, corpus, "corpus", l)
       publish(s, root, "corpus", buckets, Nil, 0L)
@@ -284,9 +306,10 @@ object ScanPruning extends QueryPack {
     def layoutOf(s: SparkSession, root: String): Layout = {
       val r = s.read.parquet(boundsPath(root))
         .agg(max(col("umin")), max(col("umax")),
-          max(col("tmin")), max(col("tmax")))
+          max(col("tmin")), max(col("tmax")), max(col("pbits")))
         .head()
-      Layout(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      Layout(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4))
     }
 
     /** Cluster one generation's rows and append its index rows,
@@ -309,7 +332,7 @@ object ScanPruning extends QueryPack {
       // shard discipline); the bucket DIRECTORY stays the logical
       // file, so multi-part buckets change nothing downstream — the
       // zone map aggregates per bucket and reads address directories.
-      val fanout = math.max(1, s.sparkContext.defaultParallelism / 16)
+      val fanout = math.max(1, s.sparkContext.defaultParallelism / l.buckets)
       codesOf(events, l)
         .repartition(col("zbucket"), pmod(col("event_id"), lit(fanout)))
         .sortWithinPartitions(col("zkey"), col("event_id"))
@@ -395,9 +418,30 @@ object ScanPruning extends QueryPack {
       * ABSORBS are safe (a gen absorbed mid-compaction is not in the
       * rewrite's live set and stays live after the swap), concurrent
       * compactions are not. */
-    def compact(s: SparkSession, root: String): Option[String] = {
-      val pairs = livePairs(s, root)
-      if (pairs.map(_._1).distinct.size < 2) return None
+    def compact(s: SparkSession, root: String): Option[String] =
+      compactTier(s, root, Long.MaxValue)
+
+    /** SIZE-TIERED compaction — the steady-state maintenance shape:
+      * fold only generations whose total live row count is ≤
+      * `maxRows`, leaving big generations' files physically untouched
+      * (same paths, same bytes). Rewriting everything on every pass is
+      * O(table) maintenance; selecting the small tier makes
+      * steady-state write amplification logarithmic — each row is
+      * rewritten only when its generation graduates a tier (the
+      * LSM/size-tiered discipline, public knowledge). The per-
+      * generation sizes come from the zone map's `n` sums — an
+      * index-sized read, never a data scan. The freshly folded
+      * generation may itself sit under a larger tier's threshold and
+      * join ITS next fold — the cascade is the design. No-op (None)
+      * when fewer than two generations are under the threshold. */
+    def compactTier(s: SparkSession, root: String,
+        maxRows: Long): Option[String] = {
+      val sizes = zone(s, root).groupBy(col("inc_id"))
+        .agg(sum(col("n")).as("rows")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val small = sizes.filter(_._2 <= maxRows).keySet
+      if (small.size < 2) return None
+      val pairs = livePairs(s, root).filter(p => small.contains(p._1))
       val newGen = "compact-" +
         absorbedIds(s, root).count(_.startsWith("compact-"))
       val union = s.read.parquet(
@@ -645,12 +689,16 @@ object ScanPruning extends QueryPack {
   private def constsSql: String =
     s"""bounds AS (
        |  SELECT min(user_id) AS umin, max(user_id) AS umax,
-       |    min(epoch_us(ts)) AS tmin, max(epoch_us(ts)) AS tmax
+       |    min(epoch_us(ts)) AS tmin, max(epoch_us(ts)) AS tmax,
+       |    count(*) AS nc
        |  FROM events WHERE event_id % 10 < 8),
        |consts AS (
        |  SELECT umin, tmin,
        |    (umax - umin) // $Codes + 1 AS wu,
        |    (tmax - tmin) // $Codes + 1 AS wt,
+       |    CASE WHEN nc > ${64 * FileRows} THEN 256
+       |         WHEN nc > ${16 * FileRows} THEN 1024
+       |         ELSE 4096 END AS zdiv,
        |    umin + (umax - umin) // 8 AS ulo,
        |    umin + 2 * ((umax - umin) // 8) AS uhi,
        |    tmin + 5 * ((tmax - tmin) // 8) AS tlo,
@@ -658,18 +706,25 @@ object ScanPruning extends QueryPack {
        |    umin + (umax - umin) // 3 AS probe
        |  FROM bounds)""".stripMargin
 
+  /** The full 16-bit Morton key in DuckDB arithmetic — the replay of
+    * [[zkeyExpr]]; zbucket = zkey // zdiv (top 2·pbits bits). */
+  private def zkeySql: String =
+    (0 until 8).map { i =>
+      s"((cu // ${1L << i}) % 2) * ${1L << (2 * i + 1)}" +
+        s" + ((ct // ${1L << i}) % 2) * ${1L << (2 * i)}"
+    }.mkString(" + ")
+
   /** File assignment replay: every event coded, bucketed, and tagged
     * with the generation it was clustered into. */
   private def slicesSql: String =
     s"""$constsSql,
        |coded AS (
-       |  SELECT e.*, epoch_us(ts) AS tsu,
+       |  SELECT e.*, zdiv, epoch_us(ts) AS tsu,
        |    greatest(0, least(255, (user_id - umin) // wu)) AS cu,
        |    greatest(0, least(255, (epoch_us(ts) - tmin) // wt)) AS ct
        |  FROM events e CROSS JOIN consts),
        |bucketed AS (
-       |  SELECT *, (((cu // 128) % 2) * 8 + ((ct // 128) % 2) * 4
-       |    + ((cu // 64) % 2) * 2 + ((ct // 64) % 2))::INT AS zbucket
+       |  SELECT *, (($zkeySql) // zdiv)::INT AS zbucket
        |  FROM coded),
        |slices AS (
        |  SELECT 'corpus' AS inc_id, * FROM bucketed WHERE event_id % 10 < 8
@@ -743,7 +798,8 @@ object ScanPruning extends QueryPack {
           s"greatest(0L, least(255L, (user_id - ${l.umin}L) div ${l.wu}L))"))
         .withColumn("ct", expr(
           s"greatest(0L, least(255L, (tsu - ${l.tmin}L) div ${l.wt}L))"))
-        .withColumn("zbucket", expr(zbucketExpr))
+        .withColumn("zkey", expr(zkeyExpr))
+        .withColumn("zbucket", expr(zbucketExprOf(l)))
         .groupBy(col("inc_id"), col("zbucket"))
         .agg(count(lit(1)).as("n_probe"))
       zone

@@ -168,6 +168,84 @@ class ScanPruningSpec extends AnyFunSuite {
     assert(got == want, s"post-compaction point read lost rows ($got/$want)")
   }
 
+  test("a finer-grained build prunes >15/16 of files on the box read") {
+    import spark.implicits._
+    // a full 200×100 (user, time) grid so every Morton cell is
+    // populated; pbits = 4 → 256 logical files (the spec hook stands
+    // in for a corpus past the 64·FileRows tier)
+    val synth = (0L until 20000L).map(i =>
+      (i, (i / 200L) * 1000000000L, i % 200L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val root = ScanPruning.FileIndexStore.buildRootFrom(spark, synth,
+      forcedPbits = Some(4))
+    val l = ScanPruning.FileIndexStore.layoutOf(spark, root)
+    assert(l.pbits == 4 && l.buckets == 256, "forced prefix depth lost")
+    val zone = ScanPruning.FileIndexStore.zone(spark, root)
+    val total = zone.count()
+    assert(total > 64, s"fine-grained build produced only $total files")
+    val kept = ScanPruning.boxSurvivors(zone, l).count()
+    assert(kept.toDouble / total < 1.0 / 16,
+      s"finer granularity did not sharpen the prune: kept $kept/$total")
+    // and the pruned read still answers exactly
+    val pruned = readBuckets(root, ScanPruning.boxSurvivors(zone, l))
+      .withColumn("tsu", expr("ts div 1000"))
+      .filter(col("user_id").between(l.ulo, l.uhi) &&
+        col("tsu").between(l.tlo, l.thi)).count()
+    val full = synth.withColumn("tsu", expr("ts div 1000"))
+      .filter(col("user_id").between(l.ulo, l.uhi) &&
+        col("tsu").between(l.tlo, l.thi)).count()
+    assert(pruned == full && full > 0,
+      s"fine-grained pruned read lost rows ($pruned vs $full)")
+  }
+
+  test("size-tiered compaction folds small generations; big files stay untouched") {
+    import spark.implicits._
+    def synth(ids: Range): org.apache.spark.sql.DataFrame = ids
+      .map(i => (i.toLong, (i % 2000) * 1000000000L, (i % 50).toLong,
+        "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val root = ScanPruning.FileIndexStore.buildRootFrom(spark, synth(0 until 2000))
+    for (j <- 1 to 3)
+      assert(ScanPruning.FileIndexStore.absorb(spark, root,
+        synth(2000 + j * 10 until 2000 + j * 10 + 10), s"tiny-$j"))
+    def fileSet(gen: String): Set[(String, Long)] = {
+      val p = java.nio.file.Paths.get(root, s"data_$gen")
+      val out = scala.collection.mutable.Set.empty[(String, Long)]
+      java.nio.file.Files.walk(p).forEach { f =>
+        if (java.nio.file.Files.isRegularFile(f))
+          out += ((p.relativize(f).toString, java.nio.file.Files.size(f)))
+      }
+      out.toSet
+    }
+    val corpusBefore = fileSet("corpus")
+    val totalBefore = ScanPruning.FileIndexStore.zone(spark, root)
+      .agg(sum(col("n"))).head().getLong(0)
+
+    // threshold under the corpus size: folds exactly the three tiny
+    // generations, corpus files keep their paths AND bytes
+    val swapped = ScanPruning.FileIndexStore.compactTier(spark, root, 100L)
+    assert(swapped.contains("compact-0"))
+    assert(ScanPruning.FileIndexStore.liveGens(spark, root).toSet ==
+      Set("corpus", "compact-0"), "tiered fold touched the big generation")
+    assert(fileSet("corpus") == corpusBefore,
+      "size-tiered compaction rewrote the large generation's files")
+    assert(ScanPruning.FileIndexStore.zone(spark, root)
+      .agg(sum(col("n"))).head().getLong(0) == totalBefore,
+      "tiered fold changed the live row census")
+    // reads still correct across the folded + untouched generations
+    val hits = readBuckets(root,
+      ScanPruning.pointSurvivors(spark, root, 7L))
+      .filter(col("user_id") === 7L).count()
+    assert(hits == synth(0 until 2000).filter(col("user_id") === 7L).count() +
+      (1 to 3).map(j => synth(2000 + j * 10 until 2000 + j * 10 + 10)
+        .filter(col("user_id") === 7L).count()).sum)
+    // only one generation now sits under the threshold → no-op
+    assert(ScanPruning.FileIndexStore.compactTier(spark, root, 100L).isEmpty)
+    // the full OPTIMIZE still folds everything down to one generation
+    assert(ScanPruning.FileIndexStore.compact(spark, root).contains("compact-1"))
+    assert(ScanPruning.FileIndexStore.liveGens(spark, root) == Seq("compact-1"))
+  }
+
   test("time travel reads past versions; vacuum reclaims only dead data") {
     val root = isolatedRoot()
     val seqBefore = ScanPruning.FileIndexStore.currentSeq(spark, root)
