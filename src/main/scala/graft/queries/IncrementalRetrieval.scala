@@ -133,6 +133,27 @@ object IncrementalRetrieval extends QueryPack {
         .groupBy(col("inc_id"))
         .agg(max(col("n_docs")).as("n_docs"), max(col("sum_dl")).as("sum_dl"))
         .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+
+    /** Materialize the merged champion + dfreq views as TOK-BUCKETED
+      * tables (the `SignatureStore.bucketizeBands` pattern) — the
+      * serving layout that lets every corpus-side join/filter plan
+      * with NO Exchange: bucketed scans satisfy the join's
+      * distribution, broadcast hints carry the (tiny) increment and
+      * query frames to them. Point-in-time like band bucketization:
+      * generations absorbed afterwards are visible to the log views,
+      * not to these tables until the next run. Returns
+      * (championsTable, dfreqTable). */
+    def bucketizeIndex(s: SparkSession, root: String,
+        buckets: Int = 8): (String, String) = {
+      val tag = f"${math.abs(root.hashCode.toLong)}%x"
+      val champName = s"graft_lex_champ_$tag"
+      val dfreqName = s"graft_lex_dfreq_$tag"
+      champions(s, root).write.mode("overwrite")
+        .bucketBy(buckets, "tok").sortBy("tok").saveAsTable(champName)
+      dfreq(s, root).write.mode("overwrite")
+        .bucketBy(buckets, "tok").sortBy("tok").saveAsTable(dfreqName)
+      (champName, dfreqName)
+    }
   }
 
   /** The increment's postings — text is scanned exactly here and
@@ -167,14 +188,70 @@ object IncrementalRetrieval extends QueryPack {
       .select(col("qid"), col("nid"), col("score_u6"), col("lrank"))
   }
 
+  /** sim_lex_topk served from the BUCKETIZED corpus layout + one
+    * increment pass — the 100 TB serve shape, equal row for row to
+    * [[serveIncremental]] (and so to the from-scratch oracle):
+    *   - dfreq: only QUERY tokens ever need a merged df, so both
+    *     branches (bucketed corpus scan, increment counts) filter
+    *     through a broadcast of the query-token list BEFORE any
+    *     aggregation — the corpus dfreq table is scanned, never
+    *     shuffled;
+    *   - champions: top-C(corpus ∪ inc) = corpus top-C for every token
+    *     the increment does NOT touch (re-cutting ≤C rows is the
+    *     identity), so untouched champions stream straight off the
+    *     bucketed scan through a broadcast anti-join, and only the
+    *     touched slice (increment-vocabulary-sized) pays the re-cut
+    *     windows. Plan pinned in IncrementalRetrievalSpec.
+    */
+  private[graft] def serveBucketized(s: SparkSession, root: String,
+      incP: DataFrame, champTable: String, dfreqTable: String): DataFrame = {
+    val champT = s.table(champTable)
+      .select(col("doc_id"), col("tok"), col("tf"), col("dl"))
+    val dfreqT = s.table(dfreqTable).select(col("tok"), col("df"))
+    val incDf = incP.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val incToks = incDf.select(col("tok"))
+    val stats = LexIndexStore.stats(s, root)
+      .unionByName(incP.select(col("doc_id"), col("dl")).distinct()
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+    val qpost = LexIndexStore.postings(s, root)
+      .filter(col("doc_id") < HybridRetrieval.MaxQid)
+      .unionByName(incP.filter(col("doc_id") < HybridRetrieval.MaxQid)
+        .select(col("doc_id"), col("tok"), col("tf"), col("dl")))
+      .localCheckpoint(true) // |Q|-sized; read by qtoks and qterms
+    val qtoks = qpost.select(col("tok")).distinct()
+    // merged df restricted to query tokens BEFORE the fold: the
+    // groupBy shuffles query-sized rows, the corpus scan never does
+    val qtokDf = dfreqT.join(broadcast(qtoks), Seq("tok"))
+      .unionByName(incDf.join(broadcast(qtoks), Seq("tok")))
+      .groupBy(col("tok")).agg(sum(col("df")).as("df"))
+    val qterms = HybridRetrieval.qtermsOf(qpost, qtokDf)
+    val untouched = champT
+      .join(broadcast(incToks), Seq("tok"), "left_anti")
+      .select(col("doc_id"), col("tok"), col("tf"), col("dl"))
+    val recut = HybridRetrieval.championsOf(
+      champT.join(broadcast(incToks), Seq("tok"), "left_semi")
+        .unionByName(incP.select(col("doc_id"), col("tok"), col("tf"),
+          col("dl"))),
+      HybridRetrieval.Champions)
+      .select(col("doc_id"), col("tok"), col("tf"), col("dl"))
+    HybridRetrieval.bm25Serve(untouched.unionByName(recut), qterms, stats)
+      .select(col("qid"), col("nid"), col("score_u6"), col("lrank"))
+  }
+
+  private val bucketized =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_lex_incremental" -> ((s, d) => {
       val root = LexIndexStore.rootFor(s, d)
+      val (champT, dfreqT) = bucketized.computeIfAbsent(d,
+        _ => LexIndexStore.bucketizeIndex(s, root))
       // the only text scan in the whole query — the increment's docs;
       // checkpointed because dfreq, stats, champions and the query
       // slice all read it
       val incP = incrementPostings(s, d).localCheckpoint(true)
-      serveIncremental(s, root, incP)
+      serveBucketized(s, root, incP, champT, dfreqT)
     })
   )
 

@@ -92,6 +92,42 @@ class IncrementalRetrievalSpec extends AnyFunSuite {
       "replayed append changed the served ranking")
   }
 
+  test("bucketized serve equals the lazy-view serve; corpus side plans shuffle-free") {
+    val root = IncrementalRetrieval.LexIndexStore.buildRoot(spark, dir)
+    val (champT, dfreqT) =
+      IncrementalRetrieval.LexIndexStore.bucketizeIndex(spark, root)
+    val incP = IncrementalRetrieval.incrementPostings(spark, dir)
+      .localCheckpoint(true)
+    val bucketized = ranking(IncrementalRetrieval
+      .serveBucketized(spark, root, incP, champT, dfreqT))
+    val lazyView = ranking(
+      IncrementalRetrieval.serveIncremental(spark, root, incP))
+    assert(bucketized == lazyView && bucketized.nonEmpty,
+      "bucketized serve diverged from the lazy-view serve")
+
+    // plan pin, dd_incremental style: disable broadcasts entirely (the
+    // regime where the corpus table is too big to broadcast and a
+    // shuffle-requiring join runs on tok) — the corpus side must come
+    // off the bucketed scan with NO Exchange; only the increment side
+    // may shuffle into the bucket partitioning
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import org.apache.spark.sql.functions.col
+      val incToks = incP.select(col("tok"))
+      for (t <- Seq(champT, dfreqT)) {
+        val joined = incToks.repartition(8, col("tok"))
+          .join(spark.table(t), Seq("tok"))
+        val p = joined.queryExecution.executedPlan.toString()
+        assert(p.contains("Bucketed: true"),
+          s"$t: corpus side must come off the bucketed layout:\n$p")
+        val exchanges = "Exchange".r.findAllIn(p).size
+        assert(exchanges == 1,
+          s"$t: only the increment side may shuffle (found $exchanges):\n$p")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("the served incremental ranking equals the from-scratch ranking (pre-absorb)") {
     val root = IncrementalRetrieval.LexIndexStore.buildRoot(spark, dir)
     val incP = IncrementalRetrieval.incrementPostings(spark, dir)
