@@ -71,6 +71,32 @@ object RelationalQueries extends QueryPack {
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
     }),
 
+    // Runtime bloom-filtered join (sideways information passing): a
+    // selective predicate survives ~7% of orders, so the fact side is
+    // pre-filtered through a bloom of the surviving keys BEFORE its
+    // shuffle — at 100 TB the ~93% never-matching lineitem rows die
+    // in the scan's codegen pipeline instead of crossing the wire.
+    // The exact join still runs, so the result (and the oracle hash)
+    // is identical with or without the filter; false positives cost
+    // bytes, never rows. BloomJoinFilterSpec pins no-false-negatives,
+    // the FP envelope, and the filter-below-join plan shape.
+    "q_bloom_join" -> ((s, d) => {
+      val sel = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderstatus") === "F")
+        .select(col("o_orderkey"))
+      val bits = graft.operators.BloomJoinFilter.build(
+        sel, col("o_orderkey"), m = 65536, hashes = 2)
+      Tables.lineitem(s, d)
+        .filter(graft.operators.BloomJoinFilter.mightContain(
+          "l_orderkey", bits, 65536, 2))
+        .join(sel, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+            .as("revenue"))
+    }),
+
     // Pure scan+filter+scalar-agg (Q6 shape): the fully-pushed-down
     // path — predicate reaches the parquet reader, no shuffle at all
     // beyond the final single-partition reduce.
@@ -658,6 +684,13 @@ object RelationalQueries extends QueryPack {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate <  TIMESTAMP '1997-01-01'
         |GROUP BY n_name""".stripMargin,
+    // the plain join — the bloom prefilter must be invisible here
+    "q_bloom_join" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+        |GROUP BY 1""".stripMargin,
     "q6_filter_sum" ->
       """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
         |FROM lineitem
