@@ -101,29 +101,38 @@ object Bench {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    // median of 3 timed runs per query: the median (unlike min) is an
-    // unbiased steady-state estimate that still rejects one GC pause /
-    // scheduler hiccup per query — the regression detector the round
-    // gate actually needs. Per-query 1-min loadavg rides along so a
-    // loaded host is attributable per entry, not just per run.
+    // five timed runs per query: the MEDIAN (unlike min) is an
+    // unbiased steady-state estimate that rejects up to two GC pauses /
+    // scheduler hiccups per query — the regression detector the round
+    // gate actually needs; the MIN rides along as `queries_min` (the
+    // floor estimate, most stable run-to-run on a noisy host — compare
+    // with tools/bench_compare.py --key). Per-query 1-min loadavg is
+    // recorded so a loaded entry is attributable, not just a loaded
+    // run.
     val loadavgOf = () => readLoadavg().split(",").headOption.getOrElse("")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val load = loadavgOf()
-      val times = (1 to 3).map { _ =>
+      val times = (1 to 5).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 } // failures must be visible
       }
-      val t = if (times.contains(-1.0)) -1.0 else times.sorted.apply(1)
-      (name, t, load)
+      val (t, tMin) =
+        if (times.contains(-1.0)) (-1.0, -1.0)
+        else (times.sorted.apply(2), times.min)
+      (name, t, tMin, load)
     }
     // millisecond precision: sub-ms digits are noise and the shorter
     // line survives log-tail truncation in downstream artifact capture
-    val qs = results.map { case (k, v, _) =>
-      s"\"" + k + "\":" + (if (v < 0) v else math.round(v * 1000) / 1000.0)
-    }.mkString("{", ",", "}")
-    val qload = results.map { case (k, _, l) =>
-      s"\"" + k + "\":\"" + l + "\""
+    def fmt(sel: ((String, Double, Double, String)) => Double) =
+      results.map { t =>
+        val v = sel(t)
+        s"\"" + t._1 + "\":" + (if (v < 0) v else math.round(v * 1000) / 1000.0)
+      }.mkString("{", ",", "}")
+    val qs = fmt(_._2)
+    val qmin = fmt(_._3)
+    val qload = results.map { t =>
+      s"\"" + t._1 + "\":\"" + t._4 + "\""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val eps = try math.round(ingestEps(spark, sfDir)) catch { case _: Throwable => -1L }
@@ -132,7 +141,7 @@ object Bench {
     // from a code regression — record 1/5/15-min loadavg at both ends
     // (start = was the host idle; end = what the suite itself did)
     val loadavg = readLoadavg()
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ingest_events_per_sec":$eps,"wall_sec":$wall,"loadavg":"$loadavg","loadavg_start":"$loadavgStart","loadavg_per_query":$qload,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ingest_events_per_sec":$eps,"wall_sec":$wall,"loadavg":"$loadavg","loadavg_start":"$loadavgStart","queries_min":$qmin,"loadavg_per_query":$qload,"sf":"$sfDir"}"""
     println(json)
     // durable copy with every entry, immune to stdout-tail truncation.
     // Lands in the working directory (or SPARK_GRAFT_BENCH_OUT) so a

@@ -31,17 +31,26 @@ import org.apache.spark.sql.functions._
   */
 object BloomJoinFilter {
 
+  /** The r-th bit position: the r-th 8-hex-char slice of ONE md5 of
+    * the key — a single hash invocation serves all k probes (the fact
+    * side evaluates this per row per probe; md5 dominates, so one
+    * digest instead of k halves the scan-side cost at k = 2). Runtime-
+    * only bits — no oracle ever replays them, because the exact join
+    * after the filter makes them invisible to results. */
+  private def bitExpr(keySql: String, r: Int, m: Int): String =
+    s"cast(conv(substring(md5(cast($keySql as string))," +
+      s" ${1 + 8 * r}, 8),16,10) as bigint) % $m"
+
   /** The packed m-bit bloom of `key` over `dim`'s rows: distributed
     * bit computation, ≤ m distinct bits collected, driver packs. */
   def build(dim: DataFrame, key: Column, m: Int, hashes: Int): Array[Long] = {
     require(m % 64 == 0, "m must pack into longs")
+    require(hashes >= 1 && hashes <= 4, "an md5 yields four 8-hex slices")
     val bits = dim.select(key.as("__bjf_key"))
       .filter(col("__bjf_key").isNotNull)
-      .select(col("__bjf_key"),
-        explode(sequence(lit(0), lit(hashes - 1))).as("__bjf_r"))
-      .select(expr(
-        "cast(conv(substring(md5(concat(cast(__bjf_r as string), ':'," +
-        s" cast(__bjf_key as string))),1,8),16,10) as bigint) % $m")
+      .select((0 until hashes).map(r =>
+        expr(bitExpr("__bjf_key", r, m)).as(s"b$r")): _*)
+      .select(explode(array((0 until hashes).map(r => col(s"b$r")): _*))
         .as("bit"))
       .distinct().collect().map(_.getLong(0))
     val packed = new Array[Long](m / 64)
@@ -56,9 +65,7 @@ object BloomJoinFilter {
       hashes: Int): Column = {
     val bitsLit = lit(packed)
     (0 until hashes).map { r =>
-      val bit = expr(
-        s"cast(conv(substring(md5(concat('$r:'," +
-        s" cast($keyCol as string))),1,8),16,10) as bigint) % $m")
+      val bit = expr(bitExpr(keyCol, r, m))
       (element_at(bitsLit, (bit / 64).cast("int") + 1)
         .bitwiseAND(call_function("shiftleft", lit(1L),
           (bit % 64).cast("int"))) =!= 0)

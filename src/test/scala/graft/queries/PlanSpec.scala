@@ -502,6 +502,19 @@ class PlanSpec extends AnyFunSuite {
       "bigram-type aggregations lost map-side combine")
   }
 
+  test("imperative sketch aggregates keep map-side partial aggregation") {
+    // the custom TypedImperativeAggregates must flow through
+    // partial/final aggregation (one buffer per group per partition
+    // crosses the shuffle), never a whole-rows shuffle into a single
+    // aggregation
+    for (q <- Seq("q_mg_agg", "q_kmv_agg", "q_cms_agg", "q_hll_agg")) {
+      val p = plan(q)
+      assert(p.contains("partial_"),
+        s"$q: imperative aggregate lost its map-side partial:\n${p.take(2000)}")
+      assert(!p.contains("CartesianProduct"), s"$q: unexpected cartesian")
+    }
+  }
+
   test("q_revenue_gini: the user rank never runs a data-sized global window") {
     val p = plan("q_revenue_gini")
     // the per-user rank must run PARTITIONED by the range bucket; the

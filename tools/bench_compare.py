@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Compare two graft.Bench JSON artifacts query by query.
+
+Usage: tools/bench_compare.py A.json B.json [rel_tol_pct] [abs_tol_ms]
+
+Agreement rule (defaults 10% / 50ms): a query agrees when the relative
+delta is within rel_tol OR the absolute delta is within abs_tol —
+sub-0.3 s queries are fixed-overhead-dominated, where a 30 ms scheduler
+hiccup reads as 30% but means nothing.
+
+Prints the agreement rate, the systematic drift (median ratio — a
+loaded-vs-quiet pair shows up here as a uniform shift, NOT per-query
+noise), each run's loadavg_start, and the worst disagreements with
+their per-query loadavg snapshots so a loaded entry is attributable.
+"""
+import json
+import statistics
+import sys
+
+
+def main() -> int:
+    key = "queries"
+    argv = []
+    for x in sys.argv[1:]:
+        if x.startswith("--key="):
+            key = x.split("=", 1)[1]
+        else:
+            argv.append(x)
+    a = json.load(open(argv[0]))
+    b = json.load(open(argv[1]))
+    rel_tol = float(argv[2]) / 100 if len(argv) > 2 else 0.10
+    abs_tol = float(argv[3]) / 1000 if len(argv) > 3 else 0.050
+    qa, qb = a[key], b[key]
+    keys = sorted(set(qa) & set(qb))
+    print(f"A: total={a['value']:.1f}s ingest={a.get('ingest_events_per_sec')} "
+          f"loadavg_start={a.get('loadavg_start')}")
+    print(f"B: total={b['value']:.1f}s ingest={b.get('ingest_events_per_sec')} "
+          f"loadavg_start={b.get('loadavg_start')}")
+    only = set(qa) ^ set(qb)
+    if only:
+        print(f"non-shared queries ignored: {sorted(only)}")
+    agree, bad = 0, []
+    for k in keys:
+        x, y = qa[k], qb[k]
+        if x < 0 or y < 0:
+            bad.append((k, x, y, float("inf")))
+            continue
+        rel = abs(x - y) / max(x, y, 1e-9)
+        if rel <= rel_tol or abs(x - y) <= abs_tol:
+            agree += 1
+        else:
+            bad.append((k, x, y, rel))
+    n = len(keys)
+    ratios = [qb[k] / qa[k] for k in keys if qa[k] > 0 and qb[k] > 0]
+    drift = statistics.median(ratios) if ratios else float("nan")
+    print(f"agreement: {agree}/{n} = {agree / n * 100:.1f}% "
+          f"(within {rel_tol * 100:.0f}% rel or {abs_tol * 1000:.0f}ms abs)")
+    print(f"systematic drift (median B/A ratio): {drift:.3f} "
+          f"{'<- loaded-vs-quiet pair?' if abs(drift - 1) > 0.05 else ''}")
+    la, lb = a.get("loadavg_per_query", {}), b.get("loadavg_per_query", {})
+    for k, x, y, rel in sorted(bad, key=lambda t: -t[3])[:15]:
+        print(f"  {k}: {x:.3f}s vs {y:.3f}s ({rel * 100:.0f}%) "
+              f"load A={la.get(k, '?')} B={lb.get(k, '?')}")
+    return 0 if agree / max(n, 1) >= 0.95 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
