@@ -1539,6 +1539,41 @@ object AnalyticsQueries extends QueryPack {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // Weighted sample WITHOUT replacement, k distinct docs with
+    // probability proportional to length — the third sampling
+    // primitive next to stratified (uniform per stratum) and
+    // importance resampling (multiplicities): build the training-mix
+    // subset where long documents deserve proportionally more slots
+    // but each doc appears ONCE. Entirely integer and deterministic:
+    // the Efraimidis–Spirakis key u^(1/w) is equal in distribution to
+    // the MAX of w iid uniforms, so priority = max over the doc's w
+    // unit copies of the 60-bit copy hash — no pow/ln, bit-identical
+    // in both engines. Weights are token-count div 16 + 1 (bounded
+    // explode); the top-k cut is the exact two-phase rank.
+    "dd_weighted_sample" -> ((s, d) => {
+      val K = 32
+      val pri = Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("size(split(text, ' ')) div 16 + 1").cast("long").as("w"))
+        .select(col("doc_id"), col("w"),
+          explode(sequence(lit(0L), col("w") - 1)).as("i"))
+        .select(col("doc_id"), col("w"), expr(
+          "cast(conv(substring(md5(concat(cast(doc_id as string), ':'," +
+          " cast(i as string))),1,15),16,10) as bigint)").as("h"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("w")).as("w"), max(col("h")).as("priority"))
+      val n = graft.operators.TwoPhaseTopK.shards(pri)
+      val ord = Seq(col("priority").desc, col("doc_id").asc)
+      val w1 = Window.partitionBy(col("shard")).orderBy(ord: _*)
+      val w2 = Window.orderBy(ord: _*) // ≤ shards·K rows
+      pri.withColumn("shard",
+          graft.operators.TwoPhaseTopK.shardCol(col("doc_id"), n))
+        .withColumn("r1", row_number().over(w1)).filter(col("r1") <= K)
+        .withColumn("r2", row_number().over(w2)).filter(col("r2") <= K)
+        .select(col("doc_id"), col("w"), col("priority"),
+          col("r2").as("rank"))
+    }),
+
     // Train/val/test leakage audit: near-dup content (same sorted
     // DISTINCT token set — shuffled copies collapse to one bag hash,
     // the tx_corpus_gate dup key) that lands in more than one split of
@@ -3206,6 +3241,22 @@ object AnalyticsQueries extends QueryPack {
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substr(md5(lang || '|' || doc_id::VARCHAR), 1, 4))::BIGINT
         |  % 10 = 0""".stripMargin,
+    "dd_weighted_sample" ->
+      """WITH wd AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) // 16 + 1 AS w
+        |  FROM documents),
+        |pri AS (
+        |  SELECT doc_id, max(w)::BIGINT AS w,
+        |    max(('0x' || substr(md5(doc_id::VARCHAR || ':' || i::VARCHAR),
+        |      1, 15))::BIGINT) AS priority
+        |  FROM wd CROSS JOIN LATERAL unnest(generate_series(0, w - 1))
+        |    AS t(i)
+        |  GROUP BY doc_id),
+        |r AS (
+        |  SELECT *, row_number() OVER
+        |    (ORDER BY priority DESC, doc_id ASC) AS rank
+        |  FROM pri)
+        |SELECT doc_id, w, priority, rank FROM r WHERE rank <= 32""".stripMargin,
     "dd_train_split" ->
       """SELECT doc_id,
         |  CASE WHEN b < 8 THEN 'train'

@@ -63,7 +63,7 @@ class FileIndexSoakSpec extends AnyFunSuite {
     var opN = 0
     for (_ <- 1 to 25) {
       opN += 1
-      val op = rng.nextInt(6)
+      val op = rng.nextInt(7)
       op match {
         case 0 | 1 => // absorb a fresh slice
           val rows = slice(30 + rng.nextInt(40))
@@ -90,6 +90,10 @@ class FileIndexSoakSpec extends AnyFunSuite {
         case 5 => // vacuum dead files mid-lifecycle
           ScanPruning.FileIndexStore.vacuum(spark, root)
           check(s"vacuum at op $opN")
+        case 6 => // size-tiered fold of small generations (often no-op)
+          ScanPruning.FileIndexStore.compactTier(
+            spark, root, 40L + rng.nextInt(100))
+          check(s"compactTier at op $opN")
       }
       // replay an already-used publish id occasionally: must be a
       // ledger no-op whatever the original op was ("corpus" is always
