@@ -79,15 +79,23 @@ object DedupPipeline extends QueryPack {
     // territory anyway). No-op on healthy data — see BoundedBuckets.
     val bounded = graft.operators.BoundedBuckets.cap(
       bands, Seq("band_key"), tag = "dd_lsh_bands")
-    val cands = bounded.as("a").join(bounded.as("b"),
+    (verifiedPairsOf(arrs, bounded), arrs, bands)
+  }
+
+  /** Stages 1+2 over caller-supplied frames: banded self-join
+    * candidates (bands must arrive hot-capped) verified by exact
+    * Jaccard on the sorted arrays — factored out so the incremental
+    * store can build its corpus-only edge set from the SAME logic. */
+  private[graft] def verifiedPairsOf(arrs: DataFrame,
+      cappedBands: DataFrame): DataFrame = {
+    val cands = cappedBands.as("a").join(cappedBands.as("b"),
         col("a.band_key") === col("b.band_key") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-
     // stage 2: exact Jaccard on candidate pairs only — set
     // intersection of the sorted arrays, no row explosion
-    val verified = cands
+    cands
       .join(arrs.select(col("doc_id").as("doc_a"), col("arr").as("arr_a")),
         Seq("doc_a"))
       .join(arrs.select(col("doc_id").as("doc_b"), col("arr").as("arr_b")),
@@ -96,7 +104,6 @@ object DedupPipeline extends QueryPack {
       .filter(col("n_inter") /
         (size(col("arr_a")) + size(col("arr_b")) - col("n_inter")) >= 0.2)
       .select(col("doc_a"), col("doc_b"))
-    (verified, arrs, bands)
   }
 
   /** Per-doc sorted distinct trigram-hash arrays.

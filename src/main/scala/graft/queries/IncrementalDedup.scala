@@ -60,25 +60,57 @@ object IncrementalDedup extends QueryPack {
       new java.util.concurrent.ConcurrentHashMap[String, String]()
 
     def rootFor(s: SparkSession, sfDir: String): String =
-      roots.computeIfAbsent(sfDir, _ => {
-        val root =
-          java.nio.file.Files.createTempDirectory("graft-dedupsig").toString
-        val corpus = Tables.documents(s, sfDir).filter(!incPredicate)
-        val arrs = DedupPipeline.shingleArraysOf(corpus).localCheckpoint(true)
-        graft.storage.AstarteStore.appendAtomic(arrs, signaturesPath(root))
-        // cap hot band buckets at WRITE time: a pathological band key
-        // is dropped once here instead of re-poisoning every future
-        // increment's candidate join (members still pair via their
-        // other band; no-op on healthy data)
-        val bands = graft.operators.BoundedBuckets.cap(
-          DedupPipeline.bandsOf(arrs), Seq("band_key"),
-          tag = "dd_incr_corpus_bands")
-        graft.storage.AstarteStore.appendAtomic(bands, bandsPath(root))
-        root
-      })
+      roots.computeIfAbsent(sfDir, _ =>
+        buildRootFrom(s, Tables.documents(s, sfDir).filter(!incPredicate)))
+
+    /** Build a fresh store root from a corpus frame (exposed so specs
+      * can seed synthetic corpora — e.g. the transitive component
+      * merge case). */
+    private[graft] def buildRootFrom(s: SparkSession,
+        corpus: DataFrame): String = {
+      val root =
+        java.nio.file.Files.createTempDirectory("graft-dedupsig").toString
+      val arrs = DedupPipeline.shingleArraysOf(corpus).localCheckpoint(true)
+      graft.storage.AstarteStore.appendAtomic(arrs, signaturesPath(root))
+      // cap hot band buckets at WRITE time: a pathological band key
+      // is dropped once here instead of re-poisoning every future
+      // increment's candidate join (members still pair via their
+      // other band; no-op on healthy data)
+      val bands = graft.operators.BoundedBuckets.cap(
+        DedupPipeline.bandsOf(arrs), Seq("band_key"),
+        tag = "dd_incr_corpus_bands")
+      graft.storage.AstarteStore.appendAtomic(bands, bandsPath(root))
+      // the corpus's CONVERGED component labels (min-id per
+      // component) — the state dd_cc_incremental merges new edges
+      // into without ever re-propagating over corpus edges
+      val verified = DedupPipeline.verifiedPairsOf(arrs, bands)
+      val sym = verified.unionAll(verified
+        .select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      graft.storage.AstarteStore.appendAtomic(
+        DedupPipeline.propagateConverged(s, sym), ccPath(root))
+      root
+    }
 
     def signaturesPath(root: String): String = s"$root/dedup_signatures"
     def bandsPath(root: String): String = s"$root/dedup_bands"
+    def ccPath(root: String): String = s"$root/dedup_cc_labels"
+
+    /** Merge-on-read component labels. Labels are a MONOID UNDER MIN:
+      * a doc's component min-id can only DECREASE as edges arrive
+      * (components only ever merge), so the label log folds with
+      * min-per-doc — replay-idempotent for free (min is idempotent),
+      * the same read-is-the-merge discipline as the sketch store. */
+    def ccLabels(s: SparkSession, root: String): DataFrame =
+      s.read.parquet(ccPath(root))
+        .groupBy(col("doc_id")).agg(min(col("cluster")).as("cluster"))
+
+    /** The label half of the delta cycle: fold an increment's merged
+      * labels into the log so the NEXT increment contracts against
+      * corpus ∪ everything absorbed. Appending only the CHANGED rows
+      * would suffice (the min-fold absorbs redundancy); appending the
+      * full merged view is equally correct. */
+    def absorbCc(root: String, mergedLabels: DataFrame): Unit =
+      graft.storage.AstarteStore.appendAtomic(mergedLabels, ccPath(root))
 
     /** Compaction-cadence serving layout for the band table: a
       * bucketed + sorted catalog table on `band_key` (the store's
@@ -128,12 +160,13 @@ object IncrementalDedup extends QueryPack {
     DedupPipeline.shingleArraysOf(
       Tables.documents(s, d).filter(incPredicate))
 
-  /** Verdicts for the increment given the corpus's PERSISTED signature
-    * state (no text column anywhere on the corpus side). Factored out
-    * so the spec can run the same logic against directly-computed
-    * corpus frames and pin store-roundtrip fidelity.
-    */
-  private[graft] def incrementalVerdicts(incArrs: DataFrame,
+  /** The increment's VERIFIED near-dup pairs against the persisted
+    * corpus state: (doc_id ∈ increment, other_id, other_inc). The
+    * corpus side is never self-joined and never carries text —
+    * candidates come from the persisted capped band table, verify
+    * reads the persisted arrays. Shared by the verdict fold and the
+    * incremental component merge. */
+  private[graft] def incrementalPairs(incArrs: DataFrame,
       corpusBands: DataFrame, corpusArrs: DataFrame): DataFrame = {
     val incBands = graft.operators.BoundedBuckets.cap(
       DedupPipeline.bandsOf(incArrs), Seq("band_key"),
@@ -159,14 +192,23 @@ object IncrementalDedup extends QueryPack {
       .select(col("doc_id").as("other_id"), col("arr").as("arr_b"))
       .unionByName(
         incArrs.select(col("doc_id").as("other_id"), col("arr").as("arr_b")))
-    val verified = cands
+    cands
       .join(incArrs.select(col("doc_id"), col("arr").as("arr_a")), Seq("doc_id"))
       .join(otherArrs, Seq("other_id"))
       .withColumn("n_inter", size(array_intersect(col("arr_a"), col("arr_b"))))
       .filter(col("n_inter") /
         (size(col("arr_a")) + size(col("arr_b")) - col("n_inter")) >= 0.2)
       .select(col("doc_id"), col("other_id"), col("other_inc"))
+  }
 
+  /** Verdicts for the increment given the corpus's PERSISTED signature
+    * state (no text column anywhere on the corpus side). Factored out
+    * so the spec can run the same logic against directly-computed
+    * corpus frames and pin store-roundtrip fidelity.
+    */
+  private[graft] def incrementalVerdicts(incArrs: DataFrame,
+      corpusBands: DataFrame, corpusArrs: DataFrame): DataFrame = {
+    val verified = incrementalPairs(incArrs, corpusBands, corpusArrs)
     incArrs.select(col("doc_id"))
       .join(verified, Seq("doc_id"), "left")
       .groupBy(col("doc_id"))
@@ -178,7 +220,67 @@ object IncrementalDedup extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Connected components over corpus ∪ increment served from the
+    * persisted corpus LABELS — the graph twin of the sketch/index
+    * absorbs: corpus EDGES are never re-read and never re-propagated.
+    * New edges CONTRACT onto the persisted labels (each corpus
+    * endpoint becomes its component's min-id; a corpus doc with no
+    * corpus edges contracts to itself), the converged min-label
+    * propagation runs on that contracted graph — increment-sized, so
+    * a transitive merge of MANY existing components through a chain
+    * of new docs costs O(increment), not O(corpus) — and the only
+    * corpus-sized work is ONE broadcast-relabel pass over the
+    * persisted label table. Exact because min-labels compose:
+    * min over a merged group of component min-ids IS the union
+    * component's min-id.
+    */
+  private[graft] def incrementalComponents(s: SparkSession, labels: DataFrame,
+      pairs: DataFrame): DataFrame = {
+    val withLabel = pairs
+      .join(labels.select(col("doc_id").as("other_id"),
+        col("cluster").as("oc")), Seq("other_id"), "left")
+      .localCheckpoint(true) // contracted edges + fresh nodes read it
+    val contracted = withLabel.select(col("doc_id").as("doc_a"),
+      when(col("other_inc"), col("other_id"))
+        .otherwise(coalesce(col("oc"), col("other_id"))).as("doc_b"))
+    val sym = contracted.unionAll(
+      contracted.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val merged = DedupPipeline.propagateConverged(s, sym) // (doc_id, cluster)
+    val mergeMap = merged
+      .select(col("doc_id").as("cl0"), col("cluster").as("m"))
+    // the ONLY corpus-sized op in the serve: one broadcast-relabel
+    // map-side pass over the persisted label table
+    val corpusOut = labels.join(broadcast(mergeMap),
+        col("cluster") === col("cl0"), "left")
+      .select(col("doc_id"), coalesce(col("m"), col("cluster")).as("cluster"))
+    // increment endpoints (both orientations) + fresh corpus
+    // singletons: straight from the merged contraction — all
+    // increment-sized
+    val extraNodes = pairs.select(col("doc_id"))
+      .unionAll(pairs.filter(col("other_inc"))
+        .select(col("other_id").as("doc_id")))
+      .unionAll(withLabel
+        .filter(!col("other_inc") && col("oc").isNull)
+        .select(col("other_id").as("doc_id")))
+      .distinct()
+    corpusOut.unionByName(extraNodes.join(merged, Seq("doc_id")))
+      .orderBy(col("doc_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // components maintained incrementally: the oracle is
+    // dd_cc_converged's exact transitive closure over ALL docs
+    // verbatim, so a hash match proves merge-into-persisted-labels
+    // equals the from-scratch fixpoint
+    "dd_cc_incremental" -> ((s, d) => {
+      val root = SignatureStore.rootFor(s, d)
+      val incArrs = incrementArrs(s, d).localCheckpoint(true)
+      val pairs = incrementalPairs(incArrs,
+        s.read.parquet(SignatureStore.bandsPath(root)),
+        s.read.parquet(SignatureStore.signaturesPath(root)))
+        .localCheckpoint(true) // contraction + endpoint reads
+      incrementalComponents(s, SignatureStore.ccLabels(s, root), pairs)
+    }),
     "dd_incremental" -> ((s, d) => {
       val root = SignatureStore.rootFor(s, d)
       // the only text scan in the whole query — the increment's own
@@ -193,6 +295,9 @@ object IncrementalDedup extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+    // the batch query's exact recursive-CTE transitive closure,
+    // verbatim — incremental-equals-batch for the component labels
+    "dd_cc_incremental" -> DedupPipeline.oracle("dd_cc_converged"),
     // from-scratch recomputation over the UNION: the oracle derives
     // every signature from raw text and must reach the identical
     // verdicts the persisted-state path emits

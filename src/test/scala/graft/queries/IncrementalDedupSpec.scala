@@ -121,4 +121,64 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(viaStore == direct,
       s"absorbed state diverged from the union:\n$viaStore\nvs\n$direct")
   }
+
+  test("incrementalComponents: transitive merges, fresh singletons, untouched comps") {
+    import spark.implicits._
+    // persisted corpus labels: {1,2,3} -> 1, {10,11} -> 10, {20,21} -> 20
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L),
+      (20L, 20L), (21L, 20L)).toDF("doc_id", "cluster")
+    // increment edges: doc 105 bridges components 1 and 10 AND a
+    // corpus doc 55 that had no corpus edges (a fresh singleton);
+    // docs 106/107 pair only with each other
+    val pairs = Seq(
+      (105L, 2L, false), (105L, 11L, false), (105L, 55L, false),
+      (107L, 106L, true))
+      .toDF("doc_id", "other_id", "other_inc")
+    val got = IncrementalDedup.incrementalComponents(spark, labels, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 11L -> 1L, // merged via 105
+      55L -> 1L, 105L -> 1L, // bridge + fresh singleton join the merge
+      20L -> 20L, 21L -> 20L, // untouched component keeps its label
+      106L -> 106L, 107L -> 106L) // increment-only pair
+    assert(got == want, s"merged labels diverged:\n$got\nvs\n$want")
+  }
+
+  test("label delta cycle: absorbed labels make increment 2 match the batch fixpoint") {
+    val root = IncrementalDedup.SignatureStore.buildRootFrom(
+      spark, Tables.documents(spark, dir).filter(col("doc_id") % 10 < 8))
+    def pairsOf(inc: org.apache.spark.sql.DataFrame) =
+      IncrementalDedup.incrementalPairs(inc,
+        spark.read.parquet(IncrementalDedup.SignatureStore.bandsPath(root)),
+        spark.read.parquet(
+          IncrementalDedup.SignatureStore.signaturesPath(root)))
+        .localCheckpoint(true)
+    val inc1 = IncrementalDedup.incrementArrs(spark, dir)
+      .filter(col("doc_id") % 10 === 8).localCheckpoint(true)
+    val cc1 = IncrementalDedup.incrementalComponents(spark,
+      IncrementalDedup.SignatureStore.ccLabels(spark, root), pairsOf(inc1))
+    IncrementalDedup.SignatureStore.absorbCc(root, cc1)
+    IncrementalDedup.SignatureStore.absorb(root, inc1)
+
+    val inc2 = IncrementalDedup.incrementArrs(spark, dir)
+      .filter(col("doc_id") % 10 === 9).localCheckpoint(true)
+    val cc2 = IncrementalDedup.incrementalComponents(spark,
+      IncrementalDedup.SignatureStore.ccLabels(spark, root), pairsOf(inc2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the batch fixpoint over ALL docs — what two chained increments
+    // must reproduce exactly
+    val batch = SparkEntry.queries("dd_cc_converged")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc2 == batch,
+      s"chained incremental labels diverged from the batch fixpoint")
+    assert(cc2.nonEmpty)
+    // replayed label absorb: the min-fold makes it a no-op
+    val foldedBefore = IncrementalDedup.SignatureStore.ccLabels(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    IncrementalDedup.SignatureStore.absorbCc(root, cc1)
+    val foldedAfter = IncrementalDedup.SignatureStore.ccLabels(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(foldedAfter == foldedBefore,
+      "replayed label absorb changed the folded label table")
+  }
 }
