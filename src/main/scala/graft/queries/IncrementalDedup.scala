@@ -55,7 +55,7 @@ object IncrementalDedup extends QueryPack {
     * `bands` = (doc_id, band_key) hot-capped LSH band keys. Both
     * written through the store's crash-safe append.
     */
-  private[queries] object SignatureStore {
+  private[graft] object SignatureStore {
     private val roots =
       new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -150,6 +150,42 @@ object IncrementalDedup extends QueryPack {
       graft.storage.AstarteStore.appendAtomic(
         DedupPipeline.bandsOf(incArrs), bandsPath(root))
     }
+
+    def ledgerPath(root: String): String = s"$root/dedup_absorb_ledger"
+
+    /** Ids already absorbed through [[absorbLedgered]]. */
+    def absorbedIds(s: SparkSession, root: String): Set[String] =
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(ledgerPath(root)))) Set.empty
+      else s.read.parquet(ledgerPath(root)).select(col("inc_id"))
+        .collect().map(_.getString(0)).toSet
+
+    /** [[absorb]] with the engine's standard replay discipline for
+      * UNSUPERVISED callers (the streaming sink): the ledger row lands
+      * LAST, so a crash mid-absorb re-runs the appends — their
+      * duplicate rows are bit-identical and collapse under the
+      * read-side dedup the streaming path applies ([[dedupArrs]] /
+      * [[dedupBands]]); a completed id is skipped outright. The
+      * batch-built store stays duplicate-free by construction, so the
+      * batch serve paths keep their raw (dedup-free, shuffle-free)
+      * reads. Returns true when newly absorbed. */
+    def absorbLedgered(s: SparkSession, root: String, incArrs: DataFrame,
+        incId: String): Boolean = {
+      if (absorbedIds(s, root).contains(incId)) return false
+      absorb(root, incArrs)
+      import s.implicits._
+      graft.storage.AstarteStore.appendAtomic(
+        Seq(incId).toDF("inc_id"), ledgerPath(root))
+      true
+    }
+
+    /** Read-side replay defenses for state that may hold a crash
+      * window's double append (one row per doc / per (doc, band) —
+      * duplicates are bit-identical). */
+    def dedupArrs(s: SparkSession, root: String): DataFrame =
+      s.read.parquet(signaturesPath(root)).dropDuplicates("doc_id")
+    def dedupBands(s: SparkSession, root: String): DataFrame =
+      s.read.parquet(bandsPath(root)).distinct()
   }
 
   /** The increment's signature arrays — text is scanned exactly here
