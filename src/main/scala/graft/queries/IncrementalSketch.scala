@@ -66,6 +66,10 @@ object IncrementalSketch extends QueryPack {
       graft.storage.AstarteStore.appendAtomic(
         mgSummaryOf(s, corpus).withColumn("inc_id", lit("corpus")),
         mgPath(root))
+      graft.storage.AstarteStore.appendAtomic(
+        SketchQueries.amsOf(corpus.select(col("user_id")))
+          .withColumn("inc_id", lit("corpus")),
+        amsPath(root))
       root
     }
 
@@ -73,6 +77,7 @@ object IncrementalSketch extends QueryPack {
     def cmsPath(root: String): String = s"$root/sketch_cms"
     def kllPath(root: String): String = s"$root/sketch_kll"
     def mgPath(root: String): String = s"$root/sketch_mg"
+    def amsPath(root: String): String = s"$root/sketch_ams"
 
     /** The merge-on-read views: the log may hold any number of
       * absorbed generations; reading IS the monoid fold. For CMS the
@@ -115,6 +120,16 @@ object IncrementalSketch extends QueryPack {
         .groupBy(col("k"))
         .agg(sum(col("c")).as("c"))
 
+    /** AMS tug-of-war sums: Z is a monoid under ADDITION, so the
+      * fold is max-per-(inc_id, r) (the bit-identical-replay defense)
+      * then sum across generations — d rows total. */
+    def amsZ(s: SparkSession, root: String): DataFrame =
+      s.read.parquet(amsPath(root))
+        .groupBy(col("inc_id"), col("r"))
+        .agg(max(col("z")).as("z"))
+        .groupBy(col("r"))
+        .agg(sum(col("z")).as("z"))
+
     /** Increment ids already in the log — the replay ledger. The log
       * is sketch-sized (≤ generations · sketch rows), so this is a
       * control-plane read however big the corpus was. */
@@ -153,6 +168,10 @@ object IncrementalSketch extends QueryPack {
       graft.storage.AstarteStore.appendAtomic(
         mgSummaryOf(s, increment).withColumn("inc_id", lit(incId)),
         mgPath(root))
+      graft.storage.AstarteStore.appendAtomic(
+        SketchQueries.amsOf(increment.select(col("user_id")))
+          .withColumn("inc_id", lit(incId)),
+        amsPath(root))
       true
     }
   }
@@ -248,6 +267,21 @@ object IncrementalSketch extends QueryPack {
         .select(col("k").as("user_id"), col("c").as("n_est"),
           (col("c") - col("thresh")).as("mg_lb"), col("thresh"))
     }),
+    // the all-time self-join-size estimate maintained incrementally:
+    // Z sums add, so the merge is a d-row fold ∪ d-row increment —
+    // the cheapest absorb in the store; exact F2 recomputes as the
+    // audit (the oracle is q_ams_f2's from-scratch SQL shape)
+    "q_ams_incremental" -> ((s, d) => {
+      val root = SketchStore.rootFor(s, d)
+      val merged = SketchStore.amsZ(s, root)
+        .unionByName(SketchQueries.amsOf(
+          incrementEvents(s, d).select(col("user_id"))))
+        .groupBy(col("r")).agg(sum(col("z")).as("z"))
+      val exact = Tables.events(s, d).filter(col("user_id").isNotNull)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .agg(sum(col("n") * col("n")).as("f2_exact"))
+      SketchQueries.amsEstimate(merged, exact)
+    }),
     "q_kll_incremental" -> ((s, d) => {
       val root = SketchStore.rootFor(s, d)
       val incItems = QuantileSketch.sketchOf(
@@ -293,6 +327,15 @@ object IncrementalSketch extends QueryPack {
          |  THEN n_est END), 0)::BIGINT AS thresh FROM r)
          |SELECT user_id, n_est, n_est - thresh AS mg_lb, thresh
          |FROM c CROSS JOIN t WHERE n_est > thresh""".stripMargin,
+    // from-scratch tug-of-war over ALL events — Z-additivity is the
+    // incremental-equals-batch identity
+    "q_ams_incremental" ->
+      s"""WITH ${SketchQueries.amsSql("SELECT user_id FROM events", "ams")},
+         |ex AS (
+         |  SELECT sum(n * n)::BIGINT AS f2_exact FROM (
+         |    SELECT user_id, count(*) AS n FROM events
+         |    WHERE user_id IS NOT NULL GROUP BY 1))
+         |SELECT f2_exact, f2_est FROM ex CROSS JOIN ams""".stripMargin,
     // sketch(corpus) ∪ sketch(increment), both replayed from scratch —
     // union IS the quantile sketch's merge, so this is the
     // incremental-equals-batch gate for the fourth sketch family

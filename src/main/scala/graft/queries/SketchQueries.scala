@@ -107,6 +107,69 @@ object SketchQueries extends QueryPack {
     * (`dd_source_kmv`). */
   private val SrcK = 64
 
+  // ── AMS F₂ (tug-of-war, Alon–Matias–Szegedy 1996) ────────────────
+  // The moment sketch: F₂ = Σ_u c(u)² is the SELF-JOIN SIZE — the
+  // statistic a query optimizer wants before planning a key join, and
+  // the skew signal (uniform keys → F₂ ≈ N²/distinct; one hot key →
+  // F₂ ≈ N²). Each estimator keeps ONE integer Z_r = Σ_events s_r(u)
+  // with s_r(u) ∈ {±1} from the md5 convention; E[Z²] = F₂. The read
+  // is the CLASSIC median-of-means: Z² alone is χ²(1)-shaped (its
+  // median is 0.45·F₂ — a bare median-of-d systematically LOW), so
+  // the d estimators average within groups of 8 first and the median
+  // of the 3 group means is the estimate. ENTIRELY integer — build is
+  // d running sums (one partial-agg pass, d rows of state), the
+  // estimate folds d numbers — so cross-engine parity is
+  // unconditional. Z is a monoid under ADDITION, which is what makes
+  // the incremental and streaming twins one-liners. (Z² ≤ N²: past
+  // ~3·10⁹ rows per group the squares move to decimal — the same
+  // 128-bit escape as the Gini rank-sum.)
+  private val AmsD = 24
+  private val AmsGroup = 8 // 3 groups of 8
+
+  /** (r, z): the d tug-of-war sums over `src`'s user_id column. */
+  private[graft] def amsOf(src: DataFrame): DataFrame =
+    src.filter(col("user_id").isNotNull)
+      .select(col("user_id"),
+        explode(sequence(lit(0), lit(AmsD - 1))).as("r"))
+      .withColumn("s", expr(
+        "1 - 2 * (cast(conv(substring(md5(concat('s', cast(r as string)," +
+        " ':', cast(user_id as string))),1,8),16,10) as bigint) % 2)"))
+      .groupBy(col("r")).agg(sum(col("s")).as("z"))
+
+  /** Median-of-group-means estimate beside the exact F₂ audit — a
+    * d-row fold, never data-sized. Integer throughout (group mean =
+    * sum div group size). */
+  private[graft] def amsEstimate(z: DataFrame, exact: DataFrame): DataFrame = {
+    val gm = z.select(expr(s"r div $AmsGroup").as("grp"),
+        (col("z") * col("z")).as("zsq"))
+      .groupBy(col("grp"))
+      .agg(expr(s"cast(sum(zsq) div $AmsGroup as bigint)").as("gm"))
+    val est = gm
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("gm"), col("grp"))))
+      .filter(col("rn") === (AmsD / AmsGroup + 1) / 2)
+      .select(col("gm").as("f2_est"))
+    exact.crossJoin(broadcast(est))
+  }
+
+  /** The d-sign SQL replay (shared by the oracles). */
+  private[graft] def amsSql(srcSql: String, name: String): String =
+    s"""${name}_z AS (
+       |  SELECT r, sum(1 - 2 * (('0x' || substr(md5('s' || r::VARCHAR ||
+       |      ':' || user_id::VARCHAR), 1, 8))::BIGINT % 2))::BIGINT AS z
+       |  FROM ($srcSql) CROSS JOIN
+       |    (SELECT unnest(generate_series(0, ${AmsD - 1})) AS r) rr
+       |  WHERE user_id IS NOT NULL GROUP BY r),
+       |${name}_g AS (
+       |  SELECT r // $AmsGroup AS grp,
+       |    (sum(z * z) // $AmsGroup)::BIGINT AS gm
+       |  FROM ${name}_z GROUP BY 1),
+       |$name AS (
+       |  SELECT gm AS f2_est FROM (
+       |    SELECT gm, row_number() OVER (ORDER BY gm, grp) AS rn
+       |    FROM ${name}_g)
+       |  WHERE rn = ${(AmsD / AmsGroup + 1) / 2})""".stripMargin
+
   // ── Misra–Gries heavy hitters ────────────────────────────────────
   // The sketch that answers "top-k keys with frequency bounds in one
   // pass" directly — before this, the family needed the exact heavy
@@ -271,6 +334,16 @@ object SketchQueries extends QueryPack {
         .join(cms, Seq("r", "j"))
         .groupBy(col("user_id"))
         .agg(first(col("n_exact")).as("n_exact"), min(col("c")).as("n_est"))
+    }),
+    // self-join size in ONE pass and d integers of state: the AMS F₂
+    // estimate beside the exact Σ c(u)² audit (the audit is the exact
+    // twin the sketch replaces — at 100 TB only the d-row sketch runs)
+    "q_ams_f2" -> ((s, d) => {
+      val src = Tables.events(s, d).select(col("user_id"))
+      val exact = src.filter(col("user_id").isNotNull)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .agg(sum(col("n") * col("n")).as("f2_exact"))
+      amsEstimate(amsOf(src), exact)
     }),
     // one-pass heavy hitters: the canonical one-shot Misra–Gries cut
     // over the global user dimension — exact counts ride along as the
@@ -643,6 +716,14 @@ object SketchQueries extends QueryPack {
          |    THEN 64 * ln(64.0::DOUBLE / v)
          |    ELSE 2904.064::DOUBLE / z END, 4) AS est_hll
          |FROM est e JOIN ex x USING (day_start_ms)""".stripMargin,
+    // the d tug-of-war sums and the exact second moment, replayed
+    "q_ams_f2" ->
+      s"""WITH ${amsSql("SELECT user_id FROM events", "ams")},
+         |ex AS (
+         |  SELECT sum(n * n)::BIGINT AS f2_exact FROM (
+         |    SELECT user_id, count(*) AS n FROM events
+         |    WHERE user_id IS NOT NULL GROUP BY 1))
+         |SELECT f2_exact, f2_est FROM ex CROSS JOIN ams""".stripMargin,
     // exact recompute of the one-shot Misra–Gries cut: threshold =
     // (K+1)-st largest count, survivors strictly above it
     "q_mg_heavy" ->

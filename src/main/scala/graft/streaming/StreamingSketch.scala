@@ -40,6 +40,13 @@ object StreamingSketch {
   def cmsCounters(events: DataFrame): DataFrame =
     graft.queries.SketchQueries.cmsOf(events.select(col("user_id")))
 
+  /** All-time tug-of-war sums (AMS F₂ / self-join size) of the same
+    * stream — state is d integer rows BY CONSTRUCTION: the sketch IS
+    * a sum, the single most incremental-friendly aggregation there
+    * is. Run in update/complete mode; the sink sees ≤ d rows. */
+  def amsZ(events: DataFrame): DataFrame =
+    graft.queries.SketchQueries.amsOf(events.select(col("user_id")))
+
   /** Daily distinct-user registers on a stream — the windowed twin of
     * the batch `w_hll_daily`: per event-time day one 64-register
     * sketch, watermark-bounded state (open windows × 64 rows — the

@@ -71,6 +71,27 @@ class ApproxSketchSpec extends AnyFunSuite {
       "group-by sketch must equal the standalone sketch on the same slice")
   }
 
+  test("AMS tug-of-war F2 lands inside a loose factor of the exact moment") {
+    import spark.implicits._
+    // skewed keys: key j appears ~(60 - j) times — F2 dominated by the
+    // heavy head, the regime the estimator exists for
+    val rows = (0 until 60).flatMap(j => Seq.fill(60 - j)(j.toLong))
+    val src = rows.toDF("user_id")
+    val exact = rows.groupBy(identity).map { case (_, v) =>
+      v.size.toLong * v.size }.sum
+    val est = SketchQueries.amsEstimate(SketchQueries.amsOf(src),
+        src.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+          .agg(sum(col("n") * col("n")).as("f2_exact")))
+      .head()
+    assert(est.getLong(0) == exact, "exact audit column diverged")
+    val e = est.getLong(1).toDouble
+    // median-of-group-means tug-of-war: a wide but real envelope; the
+    // estimator is deterministic, so this pins THIS hash family on
+    // THIS distribution — a hash regression would walk out of it
+    assert(e > exact / 3.0 && e < exact * 3.0,
+      s"F2 estimate $e implausible vs exact $exact")
+  }
+
   test("the engine's own quantile sketch stays inside a 2.5% rank envelope") {
     import spark.implicits._
     // synthetic data large enough that the merge tree genuinely

@@ -83,6 +83,37 @@ class StreamingSketchSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream tug-of-war sums equal the batch build; state stays within d rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Long]
+    val z = StreamingSketch.amsZ(input.toDS().toDF("user_id"))
+    val q = z.writeStream
+      .format("memory").queryName("sams").outputMode("complete")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sams").toString)
+      .start()
+    try {
+      val batch1 = (0L until 300L).map(_ % 40) // repeated keys: F2 > N
+      val batch2 = (0L until 500L).map(i => (i * 7) % 60)
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      val got = spark.table("sams").collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val want = graft.queries.SketchQueries.amsOf(
+          (batch1 ++ batch2).toDF("user_id"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(got == want, "streaming tug-of-war sums diverged from batch")
+      assert(got.size == 24, s"expected d=24 sums, got ${got.size}")
+      val stateRows = q.lastProgress.stateOperators.asScala
+        .map(_.numRowsTotal).sum
+      assert(stateRows <= 24,
+        s"AMS state should be bounded by d=24 rows, got $stateRows")
+    } finally q.stop()
+  }
+
   test("daily registers emit per closed window and match the batch build") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
