@@ -345,6 +345,34 @@ object SketchQueries extends QueryPack {
         .agg(sum(col("n") * col("n")).as("f2_exact"))
       amsEstimate(amsOf(src), exact)
     }),
+    // join-size estimation from two INDEPENDENT d-integer sketches —
+    // the AMS twin of q_cms_join_card: E[Z_A·Z_B] = Σ_u c_A(u)·c_B(u)
+    // (the join size), read by the same median-of-group-means; exact
+    // cardinality rides along as the audit
+    "q_ams_join_card" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val za = amsOf(ev.filter(col("event_type") === "click")
+        .select(col("user_id")))
+      val zb = amsOf(ev.filter(col("event_type") === "purchase")
+        .select(col("user_id")))
+      val prod = za.join(zb.withColumnRenamed("z", "zb"), Seq("r"))
+        .select(expr(s"r div $AmsGroup").as("grp"),
+          (col("z") * col("zb")).as("p"))
+        .groupBy(col("grp"))
+        .agg(expr(s"cast(sum(p) div $AmsGroup as bigint)").as("gm"))
+      val est = prod
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("gm"), col("grp"))))
+        .filter(col("rn") === (AmsD / AmsGroup + 1) / 2)
+        .select(col("gm").as("est_card"))
+      val exact = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("ca"))
+        .join(ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id")).agg(count(lit(1)).as("cb")),
+          Seq("user_id"))
+        .agg(sum(col("ca") * col("cb")).as("true_card"))
+      exact.crossJoin(broadcast(est))
+    }),
     // one-pass heavy hitters: the canonical one-shot Misra–Gries cut
     // over the global user dimension — exact counts ride along as the
     // audit column; mg_lb is the guaranteed lower bound (= n_exact − T)
@@ -716,6 +744,31 @@ object SketchQueries extends QueryPack {
          |    THEN 64 * ln(64.0::DOUBLE / v)
          |    ELSE 2904.064::DOUBLE / z END, 4) AS est_hll
          |FROM est e JOIN ex x USING (day_start_ms)""".stripMargin,
+    // two independent sign-sum sketches and the exact join size
+    "q_ams_join_card" ->
+      s"""WITH ${amsSql(
+             "SELECT user_id FROM events WHERE event_type = 'click'", "za")},
+         |${amsSql(
+             "SELECT user_id FROM events WHERE event_type = 'purchase'",
+             "zb")},
+         |prod AS (
+         |  SELECT r // $AmsGroup AS grp,
+         |    (sum(a.z * b.z) // $AmsGroup)::BIGINT AS gm
+         |  FROM za_z a JOIN zb_z b USING (r) GROUP BY 1),
+         |est AS (
+         |  SELECT gm AS est_card FROM (
+         |    SELECT gm, row_number() OVER (ORDER BY gm, grp) AS rn
+         |    FROM prod)
+         |  WHERE rn = ${(AmsD / AmsGroup + 1) / 2}),
+         |ex AS (
+         |  SELECT sum(a.n * b.n)::BIGINT AS true_card FROM
+         |    (SELECT user_id, count(*) AS n FROM events
+         |     WHERE event_type = 'click' GROUP BY 1) a
+         |  JOIN
+         |    (SELECT user_id, count(*) AS n FROM events
+         |     WHERE event_type = 'purchase' GROUP BY 1) b
+         |  USING (user_id))
+         |SELECT true_card, est_card FROM ex CROSS JOIN est""".stripMargin,
     // the d tug-of-war sums and the exact second moment, replayed
     "q_ams_f2" ->
       s"""WITH ${amsSql("SELECT user_id FROM events", "ams")},
