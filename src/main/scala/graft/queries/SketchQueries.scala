@@ -126,14 +126,16 @@ object SketchQueries extends QueryPack {
   private val AmsD = 24
   private val AmsGroup = 8 // 3 groups of 8
 
-  /** (r, z): the d tug-of-war sums over `src`'s user_id column. */
+  /** (r, z): the d tug-of-war sums over `src`'s user_id column. ONE
+    * md5 per row serves all d signs — sign_r is the parity of the
+    * digest's r-th hex digit (md5 bits are independent), so the hash
+    * hoists above the ×d explode instead of running d times. */
   private[graft] def amsOf(src: DataFrame): DataFrame =
     src.filter(col("user_id").isNotNull)
-      .select(col("user_id"),
+      .select(expr("md5(concat('s:', cast(user_id as string)))").as("h"),
         explode(sequence(lit(0), lit(AmsD - 1))).as("r"))
       .withColumn("s", expr(
-        "1 - 2 * (cast(conv(substring(md5(concat('s', cast(r as string)," +
-        " ':', cast(user_id as string))),1,8),16,10) as bigint) % 2)"))
+        "1 - 2 * (cast(conv(substring(h, r + 1, 1),16,10) as bigint) % 2)"))
       .groupBy(col("r")).agg(sum(col("s")).as("z"))
 
   /** Median-of-group-means estimate beside the exact F₂ audit — a
@@ -155,8 +157,8 @@ object SketchQueries extends QueryPack {
   /** The d-sign SQL replay (shared by the oracles). */
   private[graft] def amsSql(srcSql: String, name: String): String =
     s"""${name}_z AS (
-       |  SELECT r, sum(1 - 2 * (('0x' || substr(md5('s' || r::VARCHAR ||
-       |      ':' || user_id::VARCHAR), 1, 8))::BIGINT % 2))::BIGINT AS z
+       |  SELECT r, sum(1 - 2 * (('0x' || substr(md5('s:' ||
+       |      user_id::VARCHAR), r + 1, 1))::BIGINT % 2))::BIGINT AS z
        |  FROM ($srcSql) CROSS JOIN
        |    (SELECT unnest(generate_series(0, ${AmsD - 1})) AS r) rr
        |  WHERE user_id IS NOT NULL GROUP BY r),
