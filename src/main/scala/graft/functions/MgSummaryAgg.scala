@@ -70,10 +70,55 @@ object MgSummary {
   }
 
   /** The j-th largest count under (count desc, key asc); 0 when the
-    * map holds fewer than j entries. */
+    * map holds fewer than j entries. Ties in count make the key
+    * tie-break irrelevant for the RETURNED value, so this selects on
+    * the count multiset alone — never a full sort: the overflow hot
+    * path (size = cap+1 on every add past capacity) is a plain O(cap)
+    * min scan, and the merge path (size up to 2·cap) is an in-place
+    * quickselect — O(cap) expected vs the former O(cap log cap) sort
+    * per over-capacity add, a throughput cliff in exactly the 100 TB
+    * regime the sketch exists for. */
   def kthLargest(m: Summary, j: Int): Long =
     if (m.size < j) 0L
-    else m.toSeq.sortBy { case (k, c) => (-c, k) }.apply(j - 1)._2
+    else if (m.size == j) { // j-th largest of j values = the minimum
+      var mn = Long.MaxValue
+      m.foreach { case (_, c) => if (c < mn) mn = c }
+      mn
+    } else {
+      val a = new Array[Long](m.size)
+      var i = 0
+      m.foreach { case (_, c) => a(i) = c; i += 1 }
+      quickselectAsc(a, a.length - j) // j-th largest = (n−j)-th ascending
+    }
+
+  /** In-place deterministic quickselect: the value that would sit at
+    * ascending index `k` after a full sort. Median-of-three pivot;
+    * falls back to nothing fancier because counts are near-uniform
+    * after MG reductions. */
+  private def quickselectAsc(a: Array[Long], k: Int): Long = {
+    var lo = 0
+    var hi = a.length - 1
+    while (lo < hi) {
+      val mid = lo + (hi - lo) / 2
+      // median-of-three pivot, deterministic
+      val p = math.max(math.min(a(lo), a(mid)),
+        math.min(math.max(a(lo), a(mid)), a(hi)))
+      var i = lo
+      var j = hi
+      while (i <= j) {
+        while (a(i) < p) i += 1
+        while (a(j) > p) j -= 1
+        if (i <= j) {
+          val t = a(i); a(i) = a(j); a(j) = t
+          i += 1; j -= 1
+        }
+      }
+      if (k <= j) hi = j
+      else if (k >= i) lo = i
+      else return a(k)
+    }
+    a(k)
+  }
 
   /** Canonical render: (key, count) pairs sorted count desc, key asc. */
   def sorted(m: Summary): Seq[(Long, Long)] =

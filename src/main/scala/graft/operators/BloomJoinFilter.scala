@@ -60,15 +60,29 @@ object BloomJoinFilter {
 
   /** Membership test column: true iff ALL k bit positions of the
     * named key column are set in `packed`. NULL keys test false (they
-    * never equi-join anyway). Codegen'd builtins only. */
+    * never equi-join anyway).
+    *
+    * The md5 digest is bound ONCE per row via a single-element
+    * `transform` lambda (SQL has no scalar `let`; a lambda argument is
+    * the one place Catalyst guarantees a named subexpression is
+    * evaluated exactly once), then every probe slices that bound
+    * value — a plain per-probe `expr` would embed the digest twice per
+    * probe (element index and shift amount) and rely on codegen
+    * subexpression elimination to avoid up to 2k md5 evaluations per
+    * row. Higher-order functions sit outside whole-stage codegen, but
+    * md5 dominates the per-row cost by an order of magnitude, so one
+    * guaranteed digest beats k codegen'd ones. */
   def mightContain(keyCol: String, packed: Array[Long], m: Int,
       hashes: Int): Column = {
     val bitsLit = lit(packed)
-    (0 until hashes).map { r =>
-      val bit = expr(bitExpr(keyCol, r, m))
-      (element_at(bitsLit, (bit / 64).cast("int") + 1)
+    val probeBits = flatten(transform(
+      array(md5(col(keyCol).cast("string"))),
+      dg => transform(sequence(lit(0), lit(hashes - 1)), r =>
+        conv(dg.substr(lit(1) + r * 8, lit(8)), 16, 10)
+          .cast("long") % m)))
+    aggregate(probeBits, lit(true), (acc, bit) =>
+      acc && (element_at(bitsLit, floor(bit / 64).cast("int") + 1)
         .bitwiseAND(call_function("shiftleft", lit(1L),
-          (bit % 64).cast("int"))) =!= 0)
-    }.reduce(_ && _)
+          (bit % 64).cast("int"))) =!= 0))
   }
 }

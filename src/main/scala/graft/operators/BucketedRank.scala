@@ -72,10 +72,17 @@ object BucketedRank {
     val n = buckets(df)
     val bounds = df.agg(min(value).cast("long").as("__brk_mn"),
       max(value).cast("long").as("__brk_mx"))
+    // divide by the bucket WIDTH rather than multiplying by the
+    // bucket count first: (v − mn) · n overflows Long once the value
+    // range nears 2⁶³/n, silently breaking bucket monotonicity. The
+    // width form is overflow-free (both operands ≤ the range), still
+    // monotone, and keeps the ≤ n-buckets invariant:
+    // (mx − mn) div ((mx − mn) div n + 1) < n.
     df.withColumn("__brk_v", value.cast("long"))
       .crossJoin(broadcast(bounds))
       .withColumn("__brk_rbk",
-        expr(s"(__brk_v - __brk_mn) * $n div (__brk_mx - __brk_mn + 1)"))
+        expr(s"(__brk_v - __brk_mn) div" +
+          s" ((__brk_mx - __brk_mn) div $n + 1)"))
       .transform(d => withRank(d, col("__brk_rbk"),
         value.cast("long") +: tieBreak, rankName))
       .drop("__brk_v", "__brk_mn", "__brk_mx", "__brk_rbk")
