@@ -35,6 +35,10 @@ import org.apache.spark.sql.functions._
   *     (~10 bits/key): a deployment with millions of keys per file
   *     raises m accordingly — a saturated bloom is conservative
   *     (keeps everything), never wrong, just useless.
+  *   - **Per-file value-domain stats** over `event_type` — the
+  *     low-cardinality dictionary-stats move: a type-filtered read
+  *     opens only files whose domain list contains the type; zone
+  *     maps alone (clustered dims only) cannot skip for it.
   *   - **Incremental maintenance through the store log**: each new
   *     increment is written as NEW clustered files and its index rows
   *     are one atomic append ([[graft.storage.AstarteStore]]), with
@@ -42,6 +46,14 @@ import org.apache.spark.sql.functions._
   *     sketch log replay-idempotent ([[IncrementalSketch]]). Absorbing
   *     an increment scans ONLY the increment (spec-pinned); corpus
   *     files are never rewritten.
+  *   - **Optimistic multi-writer commits**: manifest versions are
+  *     claimed create-exclusively (numbered commit files), so
+  *     concurrent absorbs and even a racing compaction serialize
+  *     without any lock — collisions retry, stale retirements abort.
+  *   - **Merge-on-read deletion vectors**: an erase can publish
+  *     per-file deleted keys instead of rewriting files; reads
+  *     anti-join the vectors, compaction folds them into rewritten
+  *     files.
   *
   * Correctness anchor: pruning must be CONSERVATIVE — a pruned read
   * plus the residual predicate equals the full-scan answer. The
@@ -159,6 +171,8 @@ object ScanPruning extends QueryPack {
     def zonePath(root: String): String = s"$root/index_zone"
     def bloomPath(root: String): String = s"$root/index_bloom"
     def boundsPath(root: String): String = s"$root/index_bounds"
+    def typesPath(root: String): String = s"$root/index_types"
+    def dvPath(root: String): String = s"$root/index_dv"
     def manifestPath(root: String): String = s"$root/index_manifest"
     private def genPath(root: String, incId: String): String =
       s"$root/data_$incId"
@@ -201,75 +215,134 @@ object ScanPruning extends QueryPack {
           .toDF("umin", "umax", "tmin", "tmax", "pbits", "inc_id"),
         boundsPath(root))
       val buckets = writeAndIndex(s, root, corpus, "corpus", l)
-      publish(s, root, "corpus", buckets, Nil, 0L)
+      publish(root, "corpus", buckets, Nil, 0L)
       root
     }
 
-    /** One atomic manifest append — the ONLY mutation that changes
-      * what readers see. Granularity is the LOGICAL FILE: each row
-      * marks one (generation, bucket) live or dead at a sequence
-      * number, so a rewrite retires exactly the files it replaced
-      * (compaction retires everything; a copy-on-write erase retires
-      * only the touched files). Every publish also writes a
-      * bucket = −1 ledger marker, so an id that produced no live
-      * files (an all-rows-erased rewrite) still registers in the
-      * replay ledger. Merge-on-read takes the latest status per
-      * (gen, bucket); the multi-row append is the atomic swap. */
-    private[graft] def publish(s: SparkSession, root: String, gen: String,
-        liveBuckets: Seq[Int], deadPairs: Seq[(String, Int)],
-        mseq: Long): Unit = {
-      import s.implicits._
-      val rows = ((gen, -1, "ledger") +:
-        liveBuckets.map(b => (gen, b, "live"))) ++
-        deadPairs.map { case (g, b) => (g, b, "dead") }
-      graft.storage.AstarteStore.appendAtomic(
-        rows.map { case (g, b, st) => (g, b, st, mseq) }
-          .toDF("gen", "zbucket", "status", "mseq"),
-        manifestPath(root))
+    // ─────────────────────── the optimistic manifest commit log
+    // The manifest is a directory of numbered COMMIT FILES (v<seq>),
+    // claimed create-exclusively — the Delta/Iceberg optimistic-
+    // concurrency protocol on plain files (public knowledge). Each
+    // commit marks logical files (generation, bucket) live or dead;
+    // a rewrite retires exactly the files it replaced in the same
+    // commit that publishes their replacement, so readers see either
+    // file set, never a mix. Every commit also carries a bucket = −1
+    // ledger marker, so an id that produced no live files (an
+    // all-rows-erased rewrite) still registers in the replay ledger.
+    // Commits are control-plane sized (a few rows each) and parsed
+    // driver-side; merge-on-read takes the latest status per
+    // (gen, bucket).
+
+    /** One parsed manifest row: `status` of logical file
+      * (gen, zbucket) as of commit `mseq` (zbucket −1 = ledger). */
+    private[graft] final case class ManifestRow(
+        gen: String, zbucket: Int, status: String, mseq: Long)
+
+    /** Thrown when a commit's precondition fails: a file this write
+      * meant to retire was already retired by a racing writer —
+      * committing anyway would resurrect rewritten-away rows, so the
+      * caller must recompute from fresh state instead. */
+    private[graft] final class CommitConflict(msg: String)
+      extends RuntimeException(msg)
+
+    private val CommitName = """^v(\d{19})\.tsv$""".r
+
+    private def commitFile(root: String, seq: Long): java.nio.file.Path =
+      java.nio.file.Paths.get(manifestPath(root), f"v$seq%019d.tsv")
+
+    /** CREATE-EXCLUSIVE claim of manifest version `seq`: the content
+      * is fully written to a temp sibling, then hard-linked to the
+      * version name — link(2) fails EEXIST atomically, so exactly one
+      * writer in any PROCESS ever owns a version number, and readers
+      * never observe a partial commit. Returns false on collision
+      * (the caller re-reads and retries at the next number). An
+      * object-store deployment swaps this for the store's conditional
+      * put (If-None-Match) — same protocol, same caller code. */
+    private[graft] def tryCommit(root: String, seq: Long,
+        rows: Seq[(String, Int, String)]): Boolean = {
+      val dir = java.nio.file.Paths.get(manifestPath(root))
+      java.nio.file.Files.createDirectories(dir)
+      val tmp = java.nio.file.Files.createTempFile(dir, ".commit-", ".tmp")
+      try {
+        java.nio.file.Files.write(tmp,
+          rows.map { case (g, b, st) => s"$g\t$b\t$st" }
+            .mkString("", "\n", "\n").getBytes("UTF-8"))
+        try {
+          java.nio.file.Files.createLink(commitFile(root, seq), tmp)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } finally java.nio.file.Files.deleteIfExists(tmp)
     }
 
-    /** Latest status per (generation, bucket). Control-plane sized:
-      * one row per logical file ever published. */
-    private def manifest(s: SparkSession, root: String): DataFrame = {
-      val m = s.read.parquet(manifestPath(root))
-      m.join(m.groupBy(col("gen"), col("zbucket"))
-            .agg(max(col("mseq")).as("mseq")),
-          Seq("gen", "zbucket", "mseq"))
-        .select(col("gen"), col("zbucket"), col("status"), col("mseq"))
-        .distinct()
+    /** Every committed manifest row in version order — the read every
+      * optimistic writer validates against. Temp siblings and foreign
+      * names are skipped, so a half-prepared commit is invisible. */
+    private[graft] def readCommits(root: String): Seq[ManifestRow] = {
+      import scala.jdk.CollectionConverters._
+      val dir = java.nio.file.Paths.get(manifestPath(root))
+      if (!java.nio.file.Files.isDirectory(dir)) return Seq.empty
+      val stream = java.nio.file.Files.list(dir)
+      val files =
+        try stream.iterator().asScala.flatMap { p =>
+          p.getFileName.toString match {
+            case CommitName(d) => Some(d.toLong -> p)
+            case _ => None
+          }
+        }.toVector
+        finally stream.close()
+      files.sortBy(_._1).flatMap { case (seq, p) =>
+        java.nio.file.Files.readAllLines(p).asScala
+          .filter(_.nonEmpty).map { line =>
+            val f = line.split('\t')
+            ManifestRow(f(0), f(1).toInt, f(2), seq)
+          }
+      }
     }
+
+    /** Latest status per (gen, zbucket). */
+    private def latestOf(rows: Seq[ManifestRow]): Seq[ManifestRow] =
+      rows.groupBy(r => (r.gen, r.zbucket))
+        .map { case (_, g) => g.maxBy(_.mseq) }.toSeq
+
+    private def liveSetOf(rows: Seq[ManifestRow]): Set[(String, Int)] =
+      latestOf(rows).collect {
+        case ManifestRow(g, b, "live", _) => (g, b)
+      }.toSet
+
+    /** Publish at an EXPLICIT version — only the root build uses this
+      * (version 0 of a fresh root); everything else goes through
+      * [[commitNext]]. */
+    private[graft] def publish(root: String, gen: String,
+        liveBuckets: Seq[Int], deadPairs: Seq[(String, Int)],
+        mseq: Long): Unit =
+      require(tryCommit(root, mseq,
+        ((gen, -1, "ledger") +: liveBuckets.map(b => (gen, b, "live"))) ++
+          deadPairs.map { case (g, b) => (g, b, "dead") }),
+        s"manifest version $mseq already exists under $root")
 
     /** The live (generation, bucket) pairs — what readers may touch. */
     def livePairs(s: SparkSession, root: String): Seq[(String, Int)] =
-      manifest(s, root).filter(col("status") === "live")
-        .select(col("gen"), col("zbucket")).collect()
-        .map(r => (r.getString(0), r.getInt(1))).toSeq.sorted
+      liveSetOf(readCommits(root)).toSeq.sorted
 
     /** Generations with at least one live file. */
     def liveGens(s: SparkSession, root: String): Seq[String] =
       livePairs(s, root).map(_._1).distinct.sorted
 
-    /** The manifest's current version number — each absorb/compaction
-      * publishes one. */
+    /** The manifest's current version number — each commit claims
+      * exactly one, so the number is unambiguous even under racing
+      * multi-process writers. */
     def currentSeq(s: SparkSession, root: String): Long =
-      s.read.parquet(manifestPath(root)).agg(max(col("mseq")))
-        .head().getLong(0)
+      readCommits(root).iterator.map(_.mseq).max
 
     /** TIME TRAVEL: the live file set as of manifest version `seq` —
       * versions are never rewritten (the manifest is an append-only
-      * status log), so any past file set stays addressable until
+      * commit log), so any past file set stays addressable until
       * [[vacuum]] reclaims its dead data. */
     def livePairsAt(s: SparkSession, root: String,
-        seq: Long): Seq[(String, Int)] = {
-      val m = s.read.parquet(manifestPath(root))
-        .filter(col("mseq") <= seq)
-      m.join(m.groupBy(col("gen"), col("zbucket"))
-            .agg(max(col("mseq")).as("mseq")),
-          Seq("gen", "zbucket", "mseq"))
-        .filter(col("status") === "live")
-        .select(col("gen"), col("zbucket")).distinct()
-        .collect().map(r => (r.getString(0), r.getInt(1))).toSeq.sorted
-    }
+        seq: Long): Seq[(String, Int)] =
+      liveSetOf(readCommits(root).filter(_.mseq <= seq)).toSeq.sorted
 
     /** Reclaim every file dead at the CURRENT version (retention
       * horizon zero) — see [[vacuumBefore]]. This is the second half
@@ -288,10 +361,9 @@ object ScanPruning extends QueryPack {
       * (gen, bucket) pairs. */
     def vacuumBefore(s: SparkSession, root: String,
         horizonSeq: Long): Seq[(String, Int)] = {
-      val dead = manifest(s, root)
-        .filter(col("status") === "dead" && col("mseq") <= horizonSeq)
-        .select(col("gen"), col("zbucket")).collect()
-        .map(r => (r.getString(0), r.getInt(1))).toSeq.sorted
+      val dead = latestOf(readCommits(root)).collect {
+        case ManifestRow(g, b, "dead", mseq) if mseq <= horizonSeq => (g, b)
+      }.toSeq.sorted
       val conf = s.sparkContext.hadoopConfiguration
       dead.foreach { case (g, b) =>
         val p = new org.apache.hadoop.fs.Path(bucketDir(root, g, b))
@@ -357,6 +429,16 @@ object ScanPruning extends QueryPack {
             col("bit"))
           .distinct(),
         bloomPath(root))
+      // secondary-column VALUE-DOMAIN stats: the distinct event_types
+      // each file holds, as relational rows — zone maps prune on the
+      // two CLUSTERED dimensions only, so a type-filtered read would
+      // otherwise open every file; a low-cardinality domain list per
+      // file is the dictionary-stats move of production table formats
+      graft.storage.AstarteStore.appendAtomic(
+        back.select(lit(incId).as("inc_id"),
+            col("zbucket").cast("int").as("zbucket"), col("event_type"))
+          .distinct(),
+        typesPath(root))
       zoneRows.select(col("zbucket")).collect().map(_.getInt(0)).toSeq.sorted
     }
 
@@ -365,28 +447,36 @@ object ScanPruning extends QueryPack {
       * increment whose rows now live inside a compacted generation
       * must never be re-absorbed as new data. */
     def absorbedIds(s: SparkSession, root: String): Set[String] =
-      manifest(s, root).select(col("gen")).collect()
-        .map(_.getString(0)).toSet
+      readCommits(root).iterator.map(_.gen).toSet
 
-    /** Version allocation is read-max-then-publish, which is only
-      * atomic when publishes are serialized: two racing writers could
-      * otherwise land distinct generations under one mseq — the live
-      * set still merges correctly, but time travel's version identity
-      * (livePairsAt / currentSeq − 1) gets an ambiguous boundary. So
-      * every publish goes through [[publishNext]], which serializes
-      * allocation per root within the JVM; ACROSS processes the
-      * single-writer contract is the store's existing maintenance
-      * discipline (ProcessLock), same as compaction. */
-    private val seqLocks =
-      new java.util.concurrent.ConcurrentHashMap[String, Object]()
-
-    private def publishNext(s: SparkSession, root: String, gen: String,
-        liveBuckets: Seq[Int], deadPairs: Seq[(String, Int)]): Unit =
-      seqLocks.computeIfAbsent(root, _ => new Object).synchronized {
-        val next =
-          manifest(s, root).agg(max(col("mseq"))).head().getLong(0) + 1
-        publish(s, root, gen, liveBuckets, deadPairs, next)
-      }
+    /** OPTIMISTIC version allocation — read the commit log, validate
+      * the precondition (every file this commit retires is still
+      * live), claim version max+1 create-exclusively. A COLLISION
+      * means a racing writer in any process took the number: re-read
+      * and retry — the loop terminates because each collision implies
+      * someone else committed. A failed PRECONDITION throws
+      * [[CommitConflict]] instead: the writer's rewrite inputs were
+      * retired under it, and blindly recommitting would resurrect
+      * rewritten-away rows — the caller recomputes from fresh state.
+      * Returns false when `gen` is already in the ledger (a racing
+      * replay of the same id won the race — the no-op replay
+      * semantics, now atomic across processes, no ProcessLock). */
+    @annotation.tailrec
+    private[graft] def commitNext(root: String, gen: String,
+        liveBuckets: Seq[Int], deadPairs: Seq[(String, Int)]): Boolean = {
+      val rows = readCommits(root)
+      if (rows.exists(_.gen == gen)) return false
+      val liveNow = liveSetOf(rows)
+      val gone = deadPairs.filterNot(liveNow.contains)
+      if (gone.nonEmpty)
+        throw new CommitConflict(
+          s"files retired by a racing writer: ${gone.mkString(", ")}")
+      val next = rows.iterator.map(_.mseq).max + 1
+      if (tryCommit(root, next,
+          ((gen, -1, "ledger") +: liveBuckets.map(b => (gen, b, "live"))) ++
+            deadPairs.map { case (g, b) => (g, b, "dead") })) true
+      else commitNext(root, gen, liveBuckets, deadPairs)
+    }
 
     /** Cluster + index one increment under the persisted layout.
       * Replay-idempotent end to end: the ledger skips an already-
@@ -400,8 +490,7 @@ object ScanPruning extends QueryPack {
         incId: String): Boolean = {
       if (absorbedIds(s, root).contains(incId)) return false
       val buckets = writeAndIndex(s, root, increment, incId, layoutOf(s, root))
-      publishNext(s, root, incId, buckets, Nil)
-      true
+      commitNext(root, incId, buckets, Nil)
     }
 
     /** Bin-packing maintenance (the OPTIMIZE of this store): rewrite
@@ -413,11 +502,15 @@ object ScanPruning extends QueryPack {
       * and a retry regenerates the same deterministic name, so the
       * orphans are overwritten, their duplicate index rows collapse
       * on read, and the swap lands once. No-op (None) when fewer than
-      * two generations are live. Like the store's log compaction,
-      * callers serialize maintenance (ProcessLock) — concurrent
-      * ABSORBS are safe (a gen absorbed mid-compaction is not in the
-      * rewrite's live set and stays live after the swap), concurrent
-      * compactions are not. */
+      * two generations are live. Concurrency is OPTIMISTIC, no lock:
+      * concurrent ABSORBS are safe (a gen absorbed mid-compaction is
+      * not in the rewrite's live set and stays live after the swap —
+      * pinned by the lock-free TwoJvm soak), and a compaction whose
+      * inputs were retired under it aborts at commit time (None)
+      * instead of resurrecting them. Two SIMULTANEOUS compactions of
+      * an overlapping tier remain one-at-a-time work: the loser
+      * aborts, but both may write the same deterministic generation
+      * directory mid-flight, so schedule one compactor per root. */
     def compact(s: SparkSession, root: String): Option[String] =
       compactTier(s, root, Long.MaxValue)
 
@@ -444,13 +537,20 @@ object ScanPruning extends QueryPack {
       val pairs = livePairs(s, root).filter(p => small.contains(p._1))
       val newGen = "compact-" +
         absorbedIds(s, root).count(_.startsWith("compact-"))
-      val union = s.read.parquet(
-          pairs.map { case (g, b) => bucketDir(root, g, b) }: _*)
+      // the rewrite reads WITH deletion vectors applied — compaction
+      // is where merge-on-read erasures fold into physical files and
+      // the residual anti-join disappears for the rewritten range
+      val union = readPairs(s, root, pairs)
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"), col("props"))
       val buckets = writeAndIndex(s, root, union, newGen, layoutOf(s, root))
-      publishNext(s, root, newGen, buckets, pairs)
-      Some(newGen)
+      // optimistic abort: a racing writer retired one of the rewrite
+      // inputs (or claimed this fold's name) — the orphaned rewrite
+      // stays invisible (no manifest row) and the next maintenance
+      // pass recomputes from fresh state
+      try {
+        if (commitNext(root, newGen, buckets, pairs)) Some(newGen) else None
+      } catch { case _: CommitConflict => None }
     }
 
     /** Copy-on-write keyed UPDATE — the MERGE/upsert write path on
@@ -460,25 +560,45 @@ object ScanPruning extends QueryPack {
       * manifest append. Cost is O(files containing the key).
       * Ledgered and replay-idempotent like every publish. */
     def updateUser(s: SparkSession, root: String, userId: Long,
-        newValue: Double, updateId: String): Boolean = {
-      if (absorbedIds(s, root).contains(updateId)) return false
-      val touched = pointSurvivors(s, root, userId)
-        .select(col("inc_id"), col("zbucket")).collect()
-        .map(r => (r.getString(0), r.getInt(1))).toSeq.sorted
-      if (touched.isEmpty) {
-        publishNext(s, root, updateId, Nil, Nil)
-        return true
+        newValue: Double, updateId: String): Boolean =
+      optimistically(updateId) {
+        if (absorbedIds(s, root).contains(updateId)) false
+        else {
+          val touched = pointSurvivors(s, root, userId)
+            .select(col("inc_id"), col("zbucket")).collect()
+            .map(r => (r.getString(0), r.getInt(1))).toSeq.sorted
+          if (touched.isEmpty) commitNext(root, updateId, Nil, Nil)
+          else {
+            val updated = readPairs(s, root, touched)
+              .withColumn("value", when(col("user_id") <=> userId,
+                lit(newValue)).otherwise(col("value")))
+              .select(col("event_id"), col("ts"), col("user_id"),
+                col("event_type"), col("value"), col("props"))
+            val buckets = writeAndIndex(s, root, updated, updateId,
+              layoutOf(s, root))
+            commitNext(root, updateId, buckets, touched)
+          }
+        }
       }
-      val updated = s.read.parquet(
-          touched.map { case (g, b) => bucketDir(root, g, b) }: _*)
-        .withColumn("value", when(col("user_id") <=> userId,
-          lit(newValue)).otherwise(col("value")))
-        .select(col("event_id"), col("ts"), col("user_id"),
-          col("event_type"), col("value"), col("props"))
-      val buckets = writeAndIndex(s, root, updated, updateId,
-        layoutOf(s, root))
-      publishNext(s, root, updateId, buckets, touched)
-      true
+
+    /** The optimistic-writer retry loop shared by the keyed COW
+      * paths: on [[CommitConflict]] (a racing writer retired one of
+      * the rewrite inputs mid-flight) the whole read-rewrite-commit
+      * recomputes from fresh state — the aborted attempt's data and
+      * index rows stay invisible and get overwritten by the retry
+      * (same deterministic generation name). Bounded so a genuine
+      * livelock surfaces loudly instead of spinning. */
+    private def optimistically(id: String)(body: => Boolean): Boolean = {
+      var attempt = 0
+      while (true) {
+        try return body
+        catch {
+          case e: CommitConflict =>
+            attempt += 1
+            if (attempt >= 5) throw e
+        }
+      }
+      throw new IllegalStateException("unreachable")
     }
 
     /** Copy-on-write privacy ERASE (the right-to-be-forgotten
@@ -493,35 +613,38 @@ object ScanPruning extends QueryPack {
       * destroys them; erase + vacuum is the complete deletion.
       * Ledgered: a replayed erase id is a no-op. */
     def erase(s: SparkSession, root: String, userId: Long,
-        eraseId: String): Boolean = {
-      if (absorbedIds(s, root).contains(eraseId)) return false
-      val touched = pointSurvivors(s, root, userId)
-        .select(col("inc_id"), col("zbucket")).collect()
-        .map(r => (r.getString(0), r.getInt(1))).toSeq.sorted
-      if (touched.isEmpty) { // nothing holds the user; just ledger it
-        publishNext(s, root, eraseId, Nil, Nil)
-        return true
+        eraseId: String): Boolean =
+      optimistically(eraseId) {
+        if (absorbedIds(s, root).contains(eraseId)) false
+        else {
+          val touched = pointSurvivors(s, root, userId)
+            .select(col("inc_id"), col("zbucket")).collect()
+            .map(r => (r.getString(0), r.getInt(1))).toSeq.sorted
+          if (touched.isEmpty) // nothing holds the user; just ledger it
+            commitNext(root, eraseId, Nil, Nil)
+          else {
+            // null-SAFE keep predicate: a bare =!= evaluates NULL for
+            // NULL user_id rows and would silently drop unrelated
+            // null-key rows from every touched file — latent data
+            // loss, not a smaller table
+            val kept = readPairs(s, root, touched)
+              .filter(!(col("user_id") <=> userId))
+              .select(col("event_id"), col("ts"), col("user_id"),
+                col("event_type"), col("value"), col("props"))
+            val buckets = writeAndIndex(s, root, kept, eraseId,
+              layoutOf(s, root))
+            commitNext(root, eraseId, buckets, touched)
+          }
+        }
       }
-      // null-SAFE keep predicate: a bare =!= evaluates NULL for
-      // NULL user_id rows and would silently drop unrelated
-      // null-key rows from every touched file — latent data loss,
-      // not a smaller table
-      val kept = s.read.parquet(
-          touched.map { case (g, b) => bucketDir(root, g, b) }: _*)
-        .filter(!(col("user_id") <=> userId))
-        .select(col("event_id"), col("ts"), col("user_id"),
-          col("event_type"), col("value"), col("props"))
-      val buckets = writeAndIndex(s, root, kept, eraseId, layoutOf(s, root))
-      publishNext(s, root, eraseId, buckets, touched)
-      true
-    }
 
     /** The live (gen, bucket) pairs as a broadcastable frame — the
-      * join-side twin of [[livePairs]], kept distributed (never more
-      * than one row per logical file). */
-    private def livePairsDf(s: SparkSession, root: String): DataFrame =
-      manifest(s, root).filter(col("status") === "live")
-        .select(col("gen").as("inc_id"), col("zbucket"))
+      * join-side twin of [[livePairs]] (control-plane sized: one row
+      * per live logical file). */
+    private def livePairsDf(s: SparkSession, root: String): DataFrame = {
+      import s.implicits._
+      liveSetOf(readCommits(root)).toSeq.sorted.toDF("inc_id", "zbucket")
+    }
 
     /** Merge-on-read zone map: one row per LIVE logical file. The
       * manifest join hides dead (rewritten-away) and half-absorbed
@@ -565,6 +688,99 @@ object ScanPruning extends QueryPack {
         .join(broadcast(livePairsDf(s, root)), Seq("inc_id", "zbucket"))
         .select(col("inc_id"), col("zbucket"), col("r"), col("bit"))
         .distinct()
+
+    // ───────────────────── merge-on-read deletion vectors
+    private[graft] def hasDv(root: String): Boolean =
+      java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(dvPath(root)))
+
+    /** MERGE-ON-READ privacy erase — the deletion-vector twin of
+      * [[erase]] (the Delta/Iceberg MoR design, public knowledge):
+      * instead of rewriting every file that may hold the key, publish
+      * the key as deletion-vector rows against exactly those files
+      * and let reads anti-join them. An erase is O(index) — not one
+      * data byte moves (pinned in ScanPruningSpec by fingerprinting
+      * every live part-file) — at the price of a broadcast anti-join
+      * per read until the next compaction folds the vectors into
+      * rewritten files. Visibility is still commit-gated: DV rows
+      * carry their erase id and [[dv]] shows only ledgered ids, so a
+      * crash between the DV append and the manifest commit leaves the
+      * erase invisible and the retry's duplicate rows collapse under
+      * the read-side distinct. Privacy caveat, documented: the bytes
+      * remain in the live files (and zone `n` keeps counting them)
+      * until compaction rewrites them and [[vacuum]] destroys the
+      * retired copies — eraseDv + compact + vacuum is the complete
+      * deletion. */
+    def eraseDv(s: SparkSession, root: String, userId: Long,
+        eraseId: String): Boolean = {
+      if (absorbedIds(s, root).contains(eraseId)) return false
+      val touched = pointSurvivors(s, root, userId)
+        .select(col("inc_id"), col("zbucket")).collect()
+        .map(r => (r.getString(0), r.getInt(1))).toSeq.sorted
+      if (touched.nonEmpty) {
+        import s.implicits._
+        graft.storage.AstarteStore.appendAtomic(
+          touched.map { case (g, b) => (g, b, userId, eraseId) }
+            .toDF("inc_id", "zbucket", "user_id", "erase_id"),
+          dvPath(root))
+      }
+      // ledger-only commit — the touched files STAY live; their
+      // vectors ride along on every read
+      commitNext(root, eraseId, Nil, Nil)
+    }
+
+    /** The live deletion-vector rows: (file, deleted key), ledgered
+      * ids only, replay-deduped. Control-plane sized — erased keys ×
+      * files that held them — so reads broadcast it. */
+    def dv(s: SparkSession, root: String): DataFrame = {
+      import s.implicits._
+      if (!hasDv(root))
+        return Seq.empty[(String, Int, Long)]
+          .toDF("inc_id", "zbucket", "user_id")
+      val ledger = absorbedIds(s, root).toSeq.sorted.toDF("erase_id")
+      s.read.parquet(dvPath(root))
+        .join(broadcast(ledger), Seq("erase_id"))
+        .join(broadcast(livePairsDf(s, root)), Seq("inc_id", "zbucket"))
+        .select(col("inc_id"), col("zbucket"), col("user_id"))
+        .distinct()
+    }
+
+    /** Read a set of live logical files with their deletion vectors
+      * applied. The no-DV fast path is the plain multi-path parquet
+      * scan; with vectors present, per-generation reads keep the
+      * (inc_id, zbucket) file identity the PER-FILE anti-join needs
+      * (generation count is control-plane sized, so the union is a
+      * handful of scans), and the DV side broadcasts. */
+    private[graft] def readPairs(s: SparkSession, root: String,
+        pairs: Seq[(String, Int)]): DataFrame = {
+      if (!hasDv(root))
+        return s.read.parquet(
+          pairs.map { case (g, b) => bucketDir(root, g, b) }: _*)
+      pairs.groupBy(_._1).toSeq.sortBy(_._1).map { case (g, ps) =>
+        // basePath resurrects the zbucket partition column a direct
+        // leaf-dir read would drop — the anti-join needs the full
+        // (inc_id, zbucket) file identity
+        s.read.option("basePath", genPath(root, g)).parquet(
+            ps.map { case (_, b) => bucketDir(root, g, b) }: _*)
+          .withColumn("inc_id", lit(g))
+          .withColumn("zbucket", col("zbucket").cast("int"))
+      }.reduce(_ unionByName _)
+        .join(broadcast(dv(s, root)),
+          Seq("inc_id", "zbucket", "user_id"), "left_anti")
+    }
+
+    /** Live files that contain at least one row of `eventType` — the
+      * type-filtered read's survivor set. The equality filter sits
+      * below the replay-dedup distinct and pushes into the type-log
+      * parquet scan (a LITERAL predicate, like the point probe's
+      * bloom bits), so the scan reads only the probed type's rows. */
+    def typesMatching(s: SparkSession, root: String,
+        eventType: String): DataFrame =
+      s.read.parquet(typesPath(root))
+        .filter(col("event_type") === eventType)
+        .join(broadcast(livePairsDf(s, root)), Seq("inc_id", "zbucket"))
+        .select(col("inc_id"), col("zbucket"))
+        .distinct()
   }
 
   /** The increment slice — the only corpus-table scan absorb makes. */
@@ -584,6 +800,10 @@ object ScanPruning extends QueryPack {
   private val erasedRoots =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val updatedRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val dvRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val dvCompactedRoots =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** The update demo writes a CONSTANT new value: the oracle's CASE
@@ -611,6 +831,30 @@ object ScanPruning extends QueryPack {
       FileIndexStore.absorb(s, root, incrementEvents(s, d), "inc-1")
       FileIndexStore.erase(s, root,
         FileIndexStore.layoutOf(s, root).probe, "erase-1")
+      root
+    })
+
+  /** A separate root where the probe user is erased MERGE-ON-READ:
+    * deletion vectors only, every data file byte-identical to the
+    * pre-erase state. */
+  private def dvRoot(s: SparkSession, d: String): String =
+    dvRoots.computeIfAbsent(d, _ => {
+      val root = FileIndexStore.buildRoot(s, d)
+      FileIndexStore.absorb(s, root, incrementEvents(s, d), "inc-1")
+      FileIndexStore.eraseDv(s, root,
+        FileIndexStore.layoutOf(s, root).probe, "dve-1")
+      root
+    })
+
+  /** The MoR lifecycle completed: the same deletion-vector erase,
+    * then a compaction that folds the vectors into rewritten files. */
+  private def dvCompactedRoot(s: SparkSession, d: String): String =
+    dvCompactedRoots.computeIfAbsent(d, _ => {
+      val root = FileIndexStore.buildRoot(s, d)
+      FileIndexStore.absorb(s, root, incrementEvents(s, d), "inc-1")
+      FileIndexStore.eraseDv(s, root,
+        FileIndexStore.layoutOf(s, root).probe, "dve-1")
+      FileIndexStore.compact(s, root)
       root
     })
 
@@ -673,14 +917,15 @@ object ScanPruning extends QueryPack {
     zoneKept.join(bloomKept, Seq("inc_id", "zbucket"))
   }
 
-  /** Read exactly the surviving logical files. Only the survivor list
-    * crosses to the driver — (inc_id, zbucket) pairs, read-set-sized. */
+  /** Read exactly the surviving logical files, deletion vectors
+    * applied. Only the survivor list crosses to the driver —
+    * (inc_id, zbucket) pairs, read-set-sized. */
   private def readFiles(s: SparkSession, root: String,
       survivors: DataFrame): DataFrame = {
-    val paths = survivors.select(col("inc_id"), col("zbucket")).collect()
-      .map(r => FileIndexStore.bucketDir(root, r.getString(0), r.getInt(1)))
-    require(paths.nonEmpty, "pruned read eliminated every file")
-    s.read.parquet(paths.toIndexedSeq: _*)
+    val pairs = survivors.select(col("inc_id"), col("zbucket")).collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq.sorted
+    require(pairs.nonEmpty, "pruned read eliminated every file")
+    FileIndexStore.readPairs(s, root, pairs)
   }
 
   // ─────────────────────────────────────────── shared oracle SQL
@@ -843,6 +1088,50 @@ object ScanPruning extends QueryPack {
           sum(round(col("value") * 100).cast("long")).as("cents"),
           countDistinct(col("user_id")).as("users"))
     }),
+    // full-table census AFTER a MERGE-ON-READ (deletion-vector)
+    // erase: not one data byte moved (spec-fingerprinted) — the
+    // erased rows vanish purely through the read-side anti-join.
+    // Same oracle as the copy-on-write erase: the two erase
+    // mechanisms must be observationally identical
+    "fx_dv_census" -> ((s, d) => {
+      val root = dvRoot(s, d)
+      readFiles(s, root, FileIndexStore.zone(s, root))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents"),
+          countDistinct(col("user_id")).as("users"))
+    }),
+    // the same census after compaction FOLDED the vectors into
+    // rewritten files: the anti-join is gone from the read (no DV
+    // rows target live files), the answer is unchanged
+    "fx_dv_compact_census" -> ((s, d) => {
+      val root = dvCompactedRoot(s, d)
+      readFiles(s, root, FileIndexStore.zone(s, root))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents"),
+          countDistinct(col("user_id")).as("users"))
+    }),
+    // type-pruned read off the per-file value-domain stats: the
+    // rarest event_type (deterministic pick: count asc, name asc) is
+    // read through ONLY the files whose domain list contains it, plus
+    // the residual equality filter — the oracle full-scans, so a hash
+    // match is the conservative-pruning proof (on a corpus whose
+    // types localize, the survivor set shrinks — pinned in
+    // ScanPruningSpec with a synthetic localized type)
+    "fx_type_prune" -> ((s, d) => {
+      val root = readyRoot(s, d)
+      val t = Tables.events(s, d)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt"), col("event_type")).limit(1)
+        .head().getString(0)
+      readFiles(s, root, FileIndexStore.typesMatching(s, root, t))
+        .filter(col("event_type") === t)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents"),
+          countDistinct(col("user_id")).as("users"))
+    }),
     // bloom-refined point lookup: only files that pass BOTH the zone
     // range test and the bloom membership test are read — the oracle
     // full-scans on user_id = probe
@@ -934,6 +1223,17 @@ object ScanPruning extends QueryPack {
          |  ON bk.inc_id = z.inc_id AND bk.zbucket = z.zbucket
          |LEFT JOIN probecounts pc
          |  ON pc.inc_id = z.inc_id AND pc.zbucket = z.zbucket""".stripMargin,
+    // full scan of the deterministically-picked rarest type — a hash
+    // match proves the type-pruned read lost no rows
+    "fx_type_prune" ->
+      s"""WITH pick AS (
+         |  SELECT event_type FROM events GROUP BY 1
+         |  ORDER BY count(*), event_type LIMIT 1)
+         |SELECT e.event_type, count(*) AS n,
+         |  sum(round(value * 100)::BIGINT)::BIGINT AS cents,
+         |  count(DISTINCT user_id) AS users
+         |FROM events e JOIN pick p ON e.event_type = p.event_type
+         |GROUP BY 1""".stripMargin,
     "fx_point_lookup" ->
       s"""WITH $constsSql
          |SELECT event_id, epoch_us(ts) AS tsu, event_type,
@@ -952,6 +1252,25 @@ object ScanPruning extends QueryPack {
          |GROUP BY 1""".stripMargin,
     // everything except the erased user — the erase-exactness gate
     "fx_erased_census" ->
+      s"""WITH $constsSql
+         |SELECT event_type, count(*) AS n,
+         |  sum(round(value * 100)::BIGINT)::BIGINT AS cents,
+         |  count(DISTINCT user_id) AS users
+         |FROM events CROSS JOIN consts
+         |WHERE user_id <> probe
+         |GROUP BY 1""".stripMargin,
+    // IDENTICAL SQL to fx_erased_census: a merge-on-read erase must
+    // be observationally equal to the copy-on-write one
+    "fx_dv_census" ->
+      s"""WITH $constsSql
+         |SELECT event_type, count(*) AS n,
+         |  sum(round(value * 100)::BIGINT)::BIGINT AS cents,
+         |  count(DISTINCT user_id) AS users
+         |FROM events CROSS JOIN consts
+         |WHERE user_id <> probe
+         |GROUP BY 1""".stripMargin,
+    // and compaction folding the vectors must not change the answer
+    "fx_dv_compact_census" ->
       s"""WITH $constsSql
          |SELECT event_type, count(*) AS n,
          |  sum(round(value * 100)::BIGINT)::BIGINT AS cents,

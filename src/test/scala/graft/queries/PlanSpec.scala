@@ -133,6 +133,17 @@ class PlanSpec extends AnyFunSuite {
       "point lookup should be a shuffle-free scan")
   }
 
+  test("deletion-vector reads anti-join a BROADCAST vector, no shuffle join") {
+    // merge-on-read must stay a residual broadcast anti-join on the
+    // scan side: a shuffled anti-join would pay an exchange of the
+    // whole table per read — the opposite of the DV design point
+    val p = plan("fx_dv_census")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"DV read is not a broadcast anti-join:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin"),
+      "DV anti-join degraded to a shuffle join")
+  }
+
   test("span dedup joins hit positions on the window hash, never doc×doc") {
     // substring dedup scales because duplicated windows are found by
     // hash aggregation: the only join marks hit positions by window

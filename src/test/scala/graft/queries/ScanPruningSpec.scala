@@ -37,6 +37,141 @@ class ScanPruningSpec extends AnyFunSuite {
     spark.read.parquet(paths.toIndexedSeq: _*)
   }
 
+  test("optimistic commits: versions are exclusive; stale retirements abort") {
+    import spark.implicits._
+    val synth = (0 until 300).map { i =>
+      (i.toLong, (i % 500).toLong * 1000000000L, (i % 20).toLong,
+        "view", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val root = ScanPruning.FileIndexStore.buildRootFrom(spark, synth)
+
+    // create-exclusive version claim: the second writer at one number
+    // loses, whatever it carries
+    assert(ScanPruning.FileIndexStore.tryCommit(root, 7L,
+      Seq(("x", -1, "ledger"))))
+    assert(!ScanPruning.FileIndexStore.tryCommit(root, 7L,
+      Seq(("y", -1, "ledger"))), "version 7 was claimed twice")
+
+    // precondition: retiring a file a racing writer already retired
+    // throws CommitConflict instead of resurrecting the rewrite
+    val pair = ScanPruning.FileIndexStore.livePairs(spark, root).head
+    assert(ScanPruning.FileIndexStore.commitNext(root, "racer", Nil,
+      Seq(pair)), "first retirement should land")
+    intercept[ScanPruning.FileIndexStore.CommitConflict] {
+      ScanPruning.FileIndexStore.commitNext(root, "loser", Seq(3),
+        Seq(pair))
+    }
+    // the loser left no trace: not in the ledger, no version burned
+    assert(!ScanPruning.FileIndexStore.absorbedIds(spark, root)
+      .contains("loser"))
+
+    // same-gen race: the slower duplicate publish degrades to the
+    // replay no-op (false), atomically
+    assert(!ScanPruning.FileIndexStore.commitNext(root, "racer", Nil, Nil))
+  }
+
+  test("deletion-vector erase moves no data bytes; compaction folds it in") {
+    import spark.implicits._
+    val synth = (0 until 2000).map { i =>
+      val u = (i % 40).toLong
+      (i.toLong, i.toLong * 1000000000L, u, "view",
+        (i % 97 + 1) / 100.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val root = ScanPruning.FileIndexStore.buildRootFrom(spark, synth)
+    assert(ScanPruning.FileIndexStore.absorb(spark, root,
+      synth.withColumn("event_id", col("event_id") + 10000L), "inc-1"))
+
+    def fingerprints(): Map[String, String] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      ScanPruning.FileIndexStore.livePairs(spark, root).flatMap {
+        case (g, b) =>
+          val dir = java.nio.file.Paths.get(
+            ScanPruning.FileIndexStore.bucketDir(root, g, b))
+          val stream = java.nio.file.Files.list(dir)
+          try {
+            import scala.jdk.CollectionConverters._
+            stream.iterator().asScala.filter(p =>
+              p.getFileName.toString.endsWith(".parquet")).map { p =>
+              p.toString -> md.digest(java.nio.file.Files.readAllBytes(p))
+                .map(x => f"$x%02x").mkString
+            }.toVector
+          } finally stream.close()
+      }.toMap
+    }
+
+    val before = fingerprints()
+    val fullBefore = ScanPruning.FileIndexStore
+      .readPairs(spark, root, ScanPruning.FileIndexStore
+        .livePairs(spark, root))
+      .select(col("event_id")).collect().map(_.getLong(0)).toSet
+
+    assert(ScanPruning.FileIndexStore.eraseDv(spark, root, 7L, "dve-1"))
+    assert(!ScanPruning.FileIndexStore.eraseDv(spark, root, 7L, "dve-1"),
+      "replayed MoR erase was re-applied")
+
+    // THE deletion-vector property: every live data file is
+    // byte-identical after the erase — only index state changed
+    assert(fingerprints() == before,
+      "a merge-on-read erase rewrote data files")
+
+    // ...yet reads no longer see the user, and lose nothing else
+    val afterIds = ScanPruning.FileIndexStore
+      .readPairs(spark, root, ScanPruning.FileIndexStore
+        .livePairs(spark, root))
+      .select(col("event_id"), col("user_id")).collect()
+    assert(afterIds.forall(_.getLong(1) != 7L), "erased user still read")
+    val want = fullBefore -- synth.filter(col("user_id") === 7L)
+      .select(col("event_id")).collect().map(_.getLong(0))
+      .flatMap(id => Seq(id, id + 10000L)).toSet
+    assert(afterIds.map(_.getLong(0)).toSet == want,
+      "MoR erase changed unrelated rows")
+
+    // compaction folds the vectors into rewritten files: the new
+    // generation physically lacks the user, and no DV row targets a
+    // live file any more (the residual anti-join is gone)
+    assert(ScanPruning.FileIndexStore.compact(spark, root).isDefined)
+    val newPairs = ScanPruning.FileIndexStore.livePairs(spark, root)
+    val physical = spark.read.parquet(newPairs.map { case (g, b) =>
+        ScanPruning.FileIndexStore.bucketDir(root, g, b)
+      }: _*) // raw read, NO dv applied
+    assert(physical.filter(col("user_id") === 7L).count() == 0,
+      "compaction did not fold the deletion vector")
+    assert(ScanPruning.FileIndexStore.dv(spark, root).isEmpty,
+      "stale DV rows still target live files after the fold")
+    assert(physical.count().toInt == want.size)
+  }
+
+  test("per-file type stats skip >half the files on a localized type") {
+    import spark.implicits._
+    // 'rare' rows exist only for users [0, 64) of 1024 with matching
+    // timestamps, so z-clustering localizes them into the low Morton
+    // corner — most files never see the type
+    val synth = (0 until 8192).map { i =>
+      val u = (i % 1024).toLong
+      (i.toLong, u * 1000000000L, u,
+        if (u < 64) "rare" else "common", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val root = ScanPruning.FileIndexStore.buildRootFrom(spark, synth)
+
+    val liveN = ScanPruning.FileIndexStore.livePairs(spark, root).size
+    val kept = ScanPruning.FileIndexStore
+      .typesMatching(spark, root, "rare")
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(kept.length * 2 < liveN,
+      s"type prune kept ${kept.length}/$liveN files — no skipping")
+
+    // conservative: the pruned read + residual equals the full filter
+    val pruned = spark.read.parquet(kept.map { case (g, b) =>
+        ScanPruning.FileIndexStore.bucketDir(root, g, b)
+      }.toIndexedSeq: _*)
+      .filter(col("event_type") === "rare").count()
+    assert(pruned == 8192L / 16L, s"pruned read found $pruned rare rows")
+
+    // a type the corpus never held keeps zero files
+    assert(ScanPruning.FileIndexStore
+      .typesMatching(spark, root, "absent").isEmpty)
+  }
+
   test("zone pruning is conservative for arbitrary boxes") {
     val root = isolatedRoot()
     val zone = ScanPruning.FileIndexStore.zone(spark, root)

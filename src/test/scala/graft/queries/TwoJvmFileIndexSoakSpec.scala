@@ -7,15 +7,20 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** True cross-PROCESS file-index soak: two forked child JVMs
   * ([[FileIndexSoakChild]]) and this (parent) JVM absorb disjoint
-  * increments into ONE index root concurrently. The documented
-  * contract says concurrent ABSORBS are safe (only maintenance needs
-  * the ProcessLock): each absorb writes its own generation directory
-  * and appends to the shared zone/bloom/manifest logs through the
-  * store's unique-tmp-then-rename protocol, so writers never touch
-  * each other's files. Pass = every absorbed row readable through the
-  * index exactly once, every generation live, per-generation zone
-  * census exact. (Version-boundary ambiguity under racing publishes
-  * is the documented time-travel caveat — head reads must be exact.)
+  * increments into ONE index root concurrently — NO lock anywhere:
+  * each absorb writes its own generation directory, appends to the
+  * shared zone/bloom logs through the store's unique-tmp-then-rename
+  * protocol, and lands its manifest commit through the optimistic
+  * create-exclusive version claim, so racing writers collide on the
+  * version number and retry instead of corrupting each other. Pass =
+  * every absorbed row readable through the index exactly once, every
+  * generation live, per-generation zone census exact, and — new with
+  * the optimistic protocol — every manifest version owned by exactly
+  * one commit (the old read-max-then-publish boundary ambiguity is
+  * structurally gone). The second case runs a COMPACTION loop in the
+  * parent concurrently with the children's absorbs, still lock-free:
+  * a gen absorbed mid-rewrite stays live after the swap, and a fold
+  * whose inputs were retired under it aborts at commit time.
   */
 class TwoJvmFileIndexSoakSpec extends AnyFunSuite {
 
@@ -99,6 +104,15 @@ class TwoJvmFileIndexSoakSpec extends AnyFunSuite {
     assert(census("corpus") == 500L)
     for (g <- wantGens - "corpus") assert(census(g) == rowsPer.toLong, g)
 
+    // optimistic versioning: 1 + 9 racing publishes landed as a
+    // CONTIGUOUS run of create-exclusive commits, one gen per version
+    val commits = ScanPruning.FileIndexStore.readCommits(root)
+    val seqs = commits.map(_.mseq).distinct.sorted
+    assert(seqs == (0L to (3L * nAbs)).toVector,
+      s"version numbers not contiguous/unique: $seqs")
+    assert(commits.groupBy(_.mseq).forall(_._2.map(_.gen).distinct.size == 1),
+      "two generations landed under one manifest version")
+
     // and the pruned point path still answers exactly
     val hits = spark.read.parquet(
       ScanPruning.pointSurvivors(spark, root, 7L)
@@ -108,5 +122,62 @@ class TwoJvmFileIndexSoakSpec extends AnyFunSuite {
       .filter(col("user_id") === 7L).count()
     assert(hits == all.filter(col("user_id") === 7L).count(),
       "pruned point read diverged from the full head read")
+  }
+
+  test("LOCK-FREE compaction races child-JVM absorbs; nothing lost or doubled") {
+    import spark.implicits._
+    def synth(ids: Range) = ids.map { i =>
+      (i.toLong, (i % 2000).toLong * 1000000000L, (i % 50).toLong,
+        "view", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    val logDir = Files.createTempDirectory("graft-fx2jvmc").toString
+    val root = ScanPruning.FileIndexStore.buildRootFrom(
+      spark, synth(0 until 500))
+    val nAbs = 3; val rowsPer = 100
+
+    val c1 = launchChild(root, "w1", nAbs, rowsPer, 10000L, logDir)
+    val c2 = launchChild(root, "w2", nAbs, rowsPer, 20000L, logDir)
+    // parent compacts in a loop WHILE the children absorb — no
+    // ProcessLock: each fold reads the live set, rewrites it, and
+    // commits optimistically; absorbs landing mid-rewrite are not in
+    // the fold's input set and stay live after the swap
+    var folds = 0
+    while (c1.isAlive || c2.isAlive) {
+      if (ScanPruning.FileIndexStore.compact(spark, root).isDefined)
+        folds += 1
+      Thread.sleep(50)
+    }
+    assert(c1.waitFor() == 0, s"child w1 crashed — see $logDir/w1.out")
+    assert(c2.waitFor() == 0, s"child w2 crashed — see $logDir/w2.out")
+    // one terminal fold so the final state is itself post-compaction
+    ScanPruning.FileIndexStore.compact(spark, root)
+    assert(folds >= 1, "compaction never overlapped the absorbs — " +
+      "weak race coverage, raise nAbs")
+
+    // exactly-once: every id present once, none invented, none doubled
+    val pairs = ScanPruning.FileIndexStore.livePairs(spark, root)
+    val all = spark.read.parquet(pairs.map { case (g, b) =>
+      ScanPruning.FileIndexStore.bucketDir(root, g, b)
+    }: _*)
+    val wantIds = ((0 until 500).map(_.toLong) ++
+      (for (base <- Seq(10000, 20000); k <- 0 until nAbs * rowsPer)
+        yield (base + k).toLong)).toSet
+    val gotIds = all.select(col("event_id")).collect().map(_.getLong(0))
+    assert(gotIds.length == wantIds.size,
+      s"row count ${gotIds.length} != ${wantIds.size}")
+    assert(gotIds.toSet == wantIds, "id set diverged")
+    assert(gotIds.length == gotIds.distinct.length, "a row was doubled")
+
+    // every absorbed generation is in the ledger (live or folded away)
+    val ledger = ScanPruning.FileIndexStore.absorbedIds(spark, root)
+    for (w <- Seq("w1", "w2"); b <- 1 to nAbs)
+      assert(ledger.contains(s"$w-$b"), s"$w-$b missing from the ledger")
+
+    // zone census over live files equals the data — the index
+    // followed every fold
+    val total = ScanPruning.FileIndexStore.zone(spark, root)
+      .agg(sum(col("n"))).head().getLong(0)
+    assert(total == wantIds.size.toLong, s"zone census $total")
   }
 }
