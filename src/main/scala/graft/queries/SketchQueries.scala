@@ -320,6 +320,34 @@ object SketchQueries extends QueryPack {
           s" / mx) / $KmvK, 4) END").as("est_inter"))
       exacts.crossJoin(estA).crossJoin(estB).crossJoin(estU)
     }),
+    // the SET-DIFFERENCE read ("how many quality documents are NOT
+    // English" — the how-many-did-we-lose question): same bottom-k
+    // union sketch, estimated from its side-membership census —
+    // |A∖B| ≈ (union members with in_a ∧ ¬in_b)/k · Û. Exact when the
+    // union fits under k (the oracle regime at small corpora); the
+    // exact census rides along as the audit either way.
+    "q_kmv_diff" -> ((s, d) => {
+      val tagged = Tables.documents(s, d)
+        .select(expr("cast(conv(substring(md5(cast(doc_id as string))" +
+            ",1,15),16,10) as bigint)").as("h"),
+          when(col("n_chars") >= 400, 1).otherwise(0).as("in_a"),
+          when(col("lang") === "en", 1).otherwise(0).as("in_b"))
+        .groupBy(col("h"))
+        .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+        .localCheckpoint(true) // sketch + exact audit below
+      val est = tagged.filter(col("in_a") === 1 || col("in_b") === 1)
+        .orderBy(col("h")).limit(KmvK)
+        .agg(count(lit(1)).as("cnt"), max(col("h")).as("mx"),
+          sum(col("in_a") * (lit(1) - col("in_b"))).as("only_a"))
+        .select(expr(
+          s"CASE WHEN cnt < $KmvK THEN cast(only_a as double)" +
+          " ELSE round(cast(only_a as double) *" +
+          s" (cast(${KmvK - 1} as double) * cast(${1L << 60} as double)" +
+          s" / mx) / $KmvK, 4) END").as("est_diff"))
+      tagged.agg(sum(col("in_a")).as("n_a"),
+          sum(col("in_a") * (lit(1) - col("in_b"))).as("n_diff"))
+        .crossJoin(est)
+    }),
     // point-query audit: CMS estimates vs exact counts for the ten
     // heaviest users (estimate >= exact always — pinned in the spec)
     "q_cms_heavy" -> ((s, d) => {
@@ -357,11 +385,19 @@ object SketchQueries extends QueryPack {
         .select(col("user_id")))
       val zb = amsOf(ev.filter(col("event_type") === "purchase")
         .select(col("user_id")))
+      // sign products are SIGNED, so the group sum can go negative —
+      // Spark `div` truncates toward zero while DuckDB `//` floors, so
+      // the quotient must be floored explicitly (subtract the
+      // positive remainder first; the adjusted numerator is an exact
+      // multiple, where truncation and floor agree)
       val prod = za.join(zb.withColumnRenamed("z", "zb"), Seq("r"))
         .select(expr(s"r div $AmsGroup").as("grp"),
           (col("z") * col("zb")).as("p"))
         .groupBy(col("grp"))
-        .agg(expr(s"cast(sum(p) div $AmsGroup as bigint)").as("gm"))
+        .agg(sum(col("p")).as("ps"))
+        .select(col("grp"), expr(
+          s"cast((ps - (((ps % $AmsGroup) + $AmsGroup) % $AmsGroup))" +
+            s" div $AmsGroup as bigint)").as("gm"))
       val est = prod
         .withColumn("rn", row_number().over(
           Window.orderBy(col("gm"), col("grp"))))
@@ -911,6 +947,27 @@ object SketchQueries extends QueryPack {
          |      (${KmvK - 1}::DOUBLE * ${1L << 60}::DOUBLE / su.mx)
          |      / $KmvK, 4) END AS est_inter
          |FROM ex, sa, sb, su""".stripMargin,
+    // the union sketch's side-membership census, A-not-B cut
+    "q_kmv_diff" ->
+      s"""WITH tagged AS (
+         |  SELECT ('0x' || substr(md5(doc_id::VARCHAR),1,15))::BIGINT AS h,
+         |    max(CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END) AS in_a,
+         |    max(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS in_b
+         |  FROM documents GROUP BY 1),
+         |su AS (
+         |  SELECT count(*)::BIGINT AS cnt, max(h) AS mx,
+         |    sum(in_a * (1 - in_b))::BIGINT AS only_a FROM (
+         |    SELECT h, in_a, in_b FROM tagged
+         |    WHERE in_a = 1 OR in_b = 1 ORDER BY h LIMIT $KmvK)),
+         |ex AS (
+         |  SELECT sum(in_a)::BIGINT AS n_a,
+         |    sum(in_a * (1 - in_b))::BIGINT AS n_diff FROM tagged)
+         |SELECT ex.n_a, ex.n_diff,
+         |  CASE WHEN su.cnt < $KmvK THEN su.only_a::DOUBLE
+         |    ELSE round(su.only_a::DOUBLE *
+         |      (${KmvK - 1}::DOUBLE * ${1L << 60}::DOUBLE / su.mx)
+         |      / $KmvK, 4) END AS est_diff
+         |FROM ex, su""".stripMargin,
     "q_cms_heavy" ->
       s"""WITH ${cmsSql("SELECT user_id FROM events", "cms")},
          |top AS (
