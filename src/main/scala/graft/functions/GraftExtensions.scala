@@ -36,5 +36,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("mg_summary"),
       new ExpressionInfo(classOf[MgSummaryAgg].getName, "mg_summary"),
       GraftFunctions.mgSummaryBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("es_topk"),
+      new ExpressionInfo(classOf[EsTopKAgg].getName, "es_topk"),
+      GraftFunctions.esTopKBuilder))
   }
 }

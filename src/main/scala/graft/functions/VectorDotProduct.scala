@@ -203,6 +203,12 @@ object GraftFunctions {
       s"mg_summary requires exactly 1 argument, got ${exprs.size}")
   }
 
+  val esTopKBuilder: Seq[Expression] => Expression = {
+    case Seq(k, w) => EsTopKAgg(k, w)
+    case exprs => throw new IllegalArgumentException(
+      s"es_topk requires exactly 2 arguments, got ${exprs.size}")
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vector_dot", vectorDotBuilder, "built-in")
@@ -216,5 +222,7 @@ object GraftFunctions {
       "kmv_bottomk", kmvBottomKBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "mg_summary", mgSummaryBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "es_topk", esTopKBuilder, "built-in")
   }
 }

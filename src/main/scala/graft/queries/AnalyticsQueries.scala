@@ -1574,6 +1574,27 @@ object AnalyticsQueries extends QueryPack {
           col("r2").as("rank"))
     }),
 
+    // The IMPERATIVE form of the same weighted sample: one
+    // es_topk(doc_id, w) pass whose ≤ k-entry buffer computes the
+    // identical max-of-w-copy-hashes identity WITHOUT the O(Σw)
+    // explode — no unit-copy rows materialize, nothing wider than
+    // the k-entry partial buffers crosses an exchange. Same oracle
+    // SQL as dd_weighted_sample: a hash match proves the two forms
+    // element-equal (also pinned under forced partition orders in
+    // EsTopKAggSpec).
+    "dd_weighted_sample_agg" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("size(split(text, ' ')) div 16 + 1").cast("long").as("w"))
+        .agg(expr("es_topk(doc_id, w)").as("sk"))
+        .select(expr("inline(sk)"))
+        .withColumn("rank", row_number().over( // ≤ k rows by construction
+          Window.orderBy(col("priority").desc, col("k").asc)))
+        .select(col("k").as("doc_id"), col("w"), col("priority"),
+          col("rank"))
+    }),
+
     // Train/val/test leakage audit: near-dup content (same sorted
     // DISTINCT token set — shuffled copies collapse to one bag hash,
     // the tx_corpus_gate dup key) that lands in more than one split of
@@ -3242,6 +3263,24 @@ object AnalyticsQueries extends QueryPack {
         |WHERE ('0x' || substr(md5(lang || '|' || doc_id::VARCHAR), 1, 4))::BIGINT
         |  % 10 = 0""".stripMargin,
     "dd_weighted_sample" ->
+      """WITH wd AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) // 16 + 1 AS w
+        |  FROM documents),
+        |pri AS (
+        |  SELECT doc_id, max(w)::BIGINT AS w,
+        |    max(('0x' || substr(md5(doc_id::VARCHAR || ':' || i::VARCHAR),
+        |      1, 15))::BIGINT) AS priority
+        |  FROM wd CROSS JOIN LATERAL unnest(generate_series(0, w - 1))
+        |    AS t(i)
+        |  GROUP BY doc_id),
+        |r AS (
+        |  SELECT *, row_number() OVER
+        |    (ORDER BY priority DESC, doc_id ASC) AS rank
+        |  FROM pri)
+        |SELECT doc_id, w, priority, rank FROM r WHERE rank <= 32""".stripMargin,
+    // identical recompute — the imperative aggregate must be
+    // element-equal to the relational explode form
+    "dd_weighted_sample_agg" ->
       """WITH wd AS (
         |  SELECT doc_id, len(string_split(text, ' ')) // 16 + 1 AS w
         |  FROM documents),
