@@ -132,7 +132,16 @@ object DedupPipeline extends QueryPack {
     * copies.
     */
   private[graft] def bandsOf(arrs: DataFrame): DataFrame =
-    arrs.select(col("doc_id"), explode(bandKeyArray).as("band_key"))
+    bandsOf(arrs, 2, 4)
+
+  /** [[bandsOf]] at an explicit (bands, rowsPerBand) — the
+    * data-scaled signature store picks its banding from the corpus
+    * size and persists it ([[IncrementalDedup.bandingOf]]); the
+    * fixed-parameter demos stay on the (2, 4) default. */
+  private[graft] def bandsOf(arrs: DataFrame, bands: Int,
+      rows: Int): DataFrame =
+    arrs.select(col("doc_id"),
+      explode(bandKeyArrayOf(bands, rows)).as("band_key"))
 
   /** The two band keys as ONE array Column over (lang, arr) — the
     * expression form [[bandsOf]] explodes, exposed so callers that
@@ -141,15 +150,23 @@ object DedupPipeline extends QueryPack {
     * key construction. Each minhash sub-expression is consumed by
     * exactly one md5, so inlining costs what the aliased form did.
     */
-  private[graft] def bandKeyArray: org.apache.spark.sql.Column = {
+  private[graft] def bandKeyArray: org.apache.spark.sql.Column =
+    bandKeyArrayOf(2, 4)
+
+  /** Band keys for any (bands, rowsPerBand) over the shared seed
+    * table: band b hashes minhashes b·rows .. b·rows+rows−1, so the
+    * (2, 4) instance is bit-identical to the historical fixed keys. */
+  private[graft] def bandKeyArrayOf(bands: Int,
+      rows: Int): org.apache.spark.sql.Column = {
+    require(bands * rows <= MinhashSeeds.keys.size,
+      s"banding $bands×$rows exceeds the ${MinhashSeeds.keys.size}-seed table")
     def mh(k: Long) =
       array_min(transform(col("arr"), h => h.bitwiseXOR(lit(k))))
     val ks = MinhashSeeds.keys
-    array(
-      md5(concat(col("lang"), lit("|"),
-        concat_ws(",", mh(ks(0)), mh(ks(1)), mh(ks(2)), mh(ks(3))))),
-      md5(concat(col("lang"), lit("|"),
-        concat_ws(",", mh(ks(4)), mh(ks(5)), mh(ks(6)), mh(ks(7))))))
+    array((0 until bands).map { b =>
+      md5(concat(col("lang"), lit("|"), concat_ws(",",
+        (0 until rows).map(r => mh(ks(b * rows + r))): _*)))
+    }: _*)
   }
 
   private[graft] def shingleArraysOf(docs: DataFrame): DataFrame = {

@@ -50,6 +50,20 @@ object IncrementalDedup extends QueryPack {
     */
   private val incPredicate = col("doc_id") % 10 >= 8
 
+  /** DATA-SCALED LSH banding — the `ScanPruning.pbitsOf` discipline
+    * applied to the signature scheme: (bands, rowsPerBand) derive
+    * from the corpus size at store-build time and PERSIST with the
+    * signature store, so every future increment bands under the same
+    * scheme and the oracle replays the choice from its own count.
+    * Rationale (Leskovec–Rajaraman–Ullman ch. 3, public literature):
+    * the chance an unrelated pair shares a band key grows with the
+    * corpus, so bigger corpora want LONGER band keys (more rows) to
+    * hold the false-candidate rate, and MORE bands to keep recall at
+    * the ~0.2 verify threshold; a small corpus keeps the cheap
+    * (2, 4) scheme. Pure integer compares — `//`-free, replayable. */
+  private[graft] def bandingOf(n: Long): (Int, Int) =
+    if (n > 20000) (4, 6) else if (n > 2000) (3, 5) else (2, 4)
+
   /** Per-sfDir persisted corpus signature state, built once per JVM:
     * `signatures` = (doc_id, lang, arr) shingle-hash arrays,
     * `bands` = (doc_id, band_key) hot-capped LSH band keys. Both
@@ -70,6 +84,15 @@ object IncrementalDedup extends QueryPack {
         corpus: DataFrame): String = {
       val root =
         java.nio.file.Files.createTempDirectory("graft-dedupsig").toString
+      // choose the banding from the corpus size ONCE and persist it —
+      // increments band under the same scheme forever (the layout-
+      // bounds pattern); the count is of corpus DOCS, which the
+      // oracle replays with a plain count(*)
+      val (nb, nr) = bandingOf(corpus.count())
+      import s.implicits._
+      graft.storage.AstarteStore.appendAtomic(
+        Seq((nb, nr, "banding")).toDF("bands", "rows", "inc_id"),
+        bandingPath(root))
       val arrs = DedupPipeline.shingleArraysOf(corpus).localCheckpoint(true)
       graft.storage.AstarteStore.appendAtomic(arrs, signaturesPath(root))
       // cap hot band buckets at WRITE time: a pathological band key
@@ -77,7 +100,7 @@ object IncrementalDedup extends QueryPack {
       // increment's candidate join (members still pair via their
       // other band; no-op on healthy data)
       val bands = graft.operators.BoundedBuckets.cap(
-        DedupPipeline.bandsOf(arrs), Seq("band_key"),
+        DedupPipeline.bandsOf(arrs, nb, nr), Seq("band_key"),
         tag = "dd_incr_corpus_bands")
       graft.storage.AstarteStore.appendAtomic(bands, bandsPath(root))
       // the corpus's CONVERGED component labels (min-id per
@@ -94,6 +117,19 @@ object IncrementalDedup extends QueryPack {
     def signaturesPath(root: String): String = s"$root/dedup_signatures"
     def bandsPath(root: String): String = s"$root/dedup_bands"
     def ccPath(root: String): String = s"$root/dedup_cc_labels"
+    def bandingPath(root: String): String = s"$root/dedup_banding"
+
+    /** The persisted (bands, rowsPerBand) — a 1-row control-plane
+      * read; max-fold absorbs a replayed append. Roots predating the
+      * scaled scheme (specs that append signature/band frames
+      * directly) default to the historical (2, 4). */
+    def banding(s: SparkSession, root: String): (Int, Int) = {
+      if (!java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(bandingPath(root)))) return (2, 4)
+      val r = s.read.parquet(bandingPath(root))
+        .agg(max(col("bands")), max(col("rows"))).head()
+      (r.getInt(0), r.getInt(1))
+    }
 
     /** Merge-on-read component labels. Labels are a MONOID UNDER MIN:
       * a doc's component min-id can only DECREASE as edges arrive
@@ -146,9 +182,10 @@ object IncrementalDedup extends QueryPack {
       * of the whole band table.
       */
     def absorb(root: String, incArrs: DataFrame): Unit = {
+      val (nb, nr) = banding(incArrs.sparkSession, root)
       graft.storage.AstarteStore.appendAtomic(incArrs, signaturesPath(root))
       graft.storage.AstarteStore.appendAtomic(
-        DedupPipeline.bandsOf(incArrs), bandsPath(root))
+        DedupPipeline.bandsOf(incArrs, nb, nr), bandsPath(root))
     }
 
     def ledgerPath(root: String): String = s"$root/dedup_absorb_ledger"
@@ -203,10 +240,13 @@ object IncrementalDedup extends QueryPack {
     * reads the persisted arrays. Shared by the verdict fold and the
     * incremental component merge. */
   private[graft] def incrementalPairs(incArrs: DataFrame,
-      corpusBands: DataFrame, corpusArrs: DataFrame): DataFrame = {
+      corpusBands: DataFrame, corpusArrs: DataFrame,
+      banding: (Int, Int) = (2, 4)): DataFrame = {
+    // the increment MUST band under the corpus's persisted scheme —
+    // store-backed callers pass SignatureStore.banding(s, root)
     val incBands = graft.operators.BoundedBuckets.cap(
-      DedupPipeline.bandsOf(incArrs), Seq("band_key"),
-      tag = "dd_incr_inc_bands")
+      DedupPipeline.bandsOf(incArrs, banding._1, banding._2),
+      Seq("band_key"), tag = "dd_incr_inc_bands")
     // candidates: increment bands vs persisted corpus bands (never a
     // corpus self-join), plus the increment's own banded self-join
     // oriented larger-judged-against-smaller
@@ -243,8 +283,9 @@ object IncrementalDedup extends QueryPack {
     * corpus frames and pin store-roundtrip fidelity.
     */
   private[graft] def incrementalVerdicts(incArrs: DataFrame,
-      corpusBands: DataFrame, corpusArrs: DataFrame): DataFrame = {
-    val verified = incrementalPairs(incArrs, corpusBands, corpusArrs)
+      corpusBands: DataFrame, corpusArrs: DataFrame,
+      banding: (Int, Int) = (2, 4)): DataFrame = {
+    val verified = incrementalPairs(incArrs, corpusBands, corpusArrs, banding)
     incArrs.select(col("doc_id"))
       .join(verified, Seq("doc_id"), "left")
       .groupBy(col("doc_id"))
@@ -313,7 +354,8 @@ object IncrementalDedup extends QueryPack {
       val incArrs = incrementArrs(s, d).localCheckpoint(true)
       val pairs = incrementalPairs(incArrs,
         s.read.parquet(SignatureStore.bandsPath(root)),
-        s.read.parquet(SignatureStore.signaturesPath(root)))
+        s.read.parquet(SignatureStore.signaturesPath(root)),
+        SignatureStore.banding(s, root))
         .localCheckpoint(true) // contraction + endpoint reads
       incrementalComponents(s, SignatureStore.ccLabels(s, root), pairs)
     }),
@@ -326,47 +368,95 @@ object IncrementalDedup extends QueryPack {
       val incArrs = incrementArrs(s, d).localCheckpoint(true)
       incrementalVerdicts(incArrs,
         s.read.parquet(SignatureStore.bandsPath(root)),
-        s.read.parquet(SignatureStore.signaturesPath(root)))
+        s.read.parquet(SignatureStore.signaturesPath(root)),
+        SignatureStore.banding(s, root))
     })
   )
 
+  /** toks → trigram-hash CTEs shared by both replays (the
+    * DedupPipeline oracle prefix, verbatim). */
+  private def shinglePrefixSql: String =
+    """toks AS (
+      |  SELECT doc_id, lang, unnest(string_split(text,' ')) AS tok,
+      |         generate_subscripts(string_split(text,' '),1) AS pos
+      |  FROM documents),
+      |th AS (
+      |  SELECT doc_id, lang, pos,
+      |    ('0x' || substr(md5(tok), 1, 14))::BIGINT AS ht
+      |  FROM toks),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, lang,
+      |    3 * ht + 5 * lead(ht,1) OVER w + 7 * lead(ht,2) OVER w AS h
+      |  FROM th WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      |  QUALIFY lead(ht,2) OVER w IS NOT NULL)""".stripMargin
+
+  /** All 24 minhash mins plus the DATA-SCALED bands CTE: the band
+    * list branches on the corpus doc count with exactly
+    * [[bandingOf]]'s integer compares, so the oracle re-derives the
+    * persisted store parameters from its own count — the replay
+    * pinned relationally by a hash match at sf0.01 (2×4) AND sf0.1
+    * (3×5) with different parameters. */
+  private def scaledBandsSql: String = {
+    val mins = MinhashSeeds.keys.zipWithIndex.map { case (k, i) =>
+      s"    min(xor(h, $k)) AS mh$i"
+    }.mkString(",\n")
+    def keyList(b: Int, r: Int): String =
+      (0 until b).map { bi =>
+        "md5(lang || '|' || " +
+          (0 until r).map(ri => s"mh${bi * r + ri}")
+            .mkString(" || ',' || ") + ")"
+      }.mkString(",\n      ")
+    s"""mh AS (
+       |  SELECT doc_id, lang,
+       |$mins
+       |  FROM sh GROUP BY doc_id, lang),
+       |nc AS (SELECT count(*) AS n FROM documents WHERE doc_id % 10 < 8),
+       |bands AS (
+       |  SELECT doc_id, unnest(CASE
+       |    WHEN n > 20000 THEN [${keyList(4, 6)}]
+       |    WHEN n > 2000 THEN [${keyList(3, 5)}]
+       |    ELSE [${keyList(2, 4)}] END) AS band_key
+       |  FROM mh CROSS JOIN nc)""".stripMargin
+  }
+
   override def oracle: Map[String, String] = Map(
-    // the batch query's exact recursive-CTE transitive closure,
-    // verbatim — incremental-equals-batch for the component labels
-    "dd_cc_incremental" -> DedupPipeline.oracle("dd_cc_converged"),
+    // the batch closure's exact recursive-CTE shape over the
+    // DATA-SCALED band candidates — incremental-equals-batch for the
+    // component labels at whatever banding the store persisted
+    "dd_cc_incremental" ->
+      s"""WITH RECURSIVE $shinglePrefixSql,
+         |$scaledBandsSql,
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+         |  FROM cands c
+         |  JOIN sh sa ON sa.doc_id = c.doc_a
+         |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
+         |  GROUP BY 1, 2),
+         |verified AS (
+         |  SELECT i.doc_a, i.doc_b FROM inter i
+         |  JOIN sizes za ON za.doc_id = i.doc_a
+         |  JOIN sizes zb ON zb.doc_id = i.doc_b
+         |  WHERE i.n_inter / (za.sz + zb.sz - i.n_inter) >= 0.2),
+         |edges AS (
+         |  SELECT doc_a, doc_b FROM verified
+         |  UNION ALL SELECT doc_b, doc_a FROM verified),
+         |reach(src, dst) AS (
+         |  SELECT doc_a, doc_a FROM edges
+         |  UNION
+         |  SELECT r.src, e.doc_b FROM reach r JOIN edges e ON e.doc_a = r.dst)
+         |SELECT src AS doc_id, min(dst) AS cluster
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
     // from-scratch recomputation over the UNION: the oracle derives
     // every signature from raw text and must reach the identical
     // verdicts the persisted-state path emits
     "dd_incremental" ->
-      """WITH toks AS (
-        |  SELECT doc_id, lang, unnest(string_split(text,' ')) AS tok,
-        |         generate_subscripts(string_split(text,' '),1) AS pos
-        |  FROM documents),
-        |th AS (
-        |  SELECT doc_id, lang, pos,
-        |    ('0x' || substr(md5(tok), 1, 14))::BIGINT AS ht
-        |  FROM toks),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, lang,
-        |    3 * ht + 5 * lead(ht,1) OVER w + 7 * lead(ht,2) OVER w AS h
-        |  FROM th WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-        |  QUALIFY lead(ht,2) OVER w IS NOT NULL),
-        |mh AS (
-        |  SELECT doc_id, lang,
-        |    min(xor(h, 935853755618645598)) AS mh0,
-        |    min(xor(h, 886263699231969848)) AS mh1,
-        |    min(xor(h, 901255563090117366)) AS mh2,
-        |    min(xor(h, 1066434503623691823)) AS mh3,
-        |    min(xor(h, 758855882668719729)) AS mh4,
-        |    min(xor(h, 1030659900335514164)) AS mh5,
-        |    min(xor(h, 101208472399937786)) AS mh6,
-        |    min(xor(h, 644382284193898855)) AS mh7
-        |  FROM sh GROUP BY doc_id, lang),
-        |bands AS (
-        |  SELECT doc_id, unnest([
-        |    md5(lang || '|' || mh0 || ',' || mh1 || ',' || mh2 || ',' || mh3),
-        |    md5(lang || '|' || mh4 || ',' || mh5 || ',' || mh6 || ',' || mh7)
-        |  ]) AS band_key FROM mh),
+      s"""WITH $shinglePrefixSql,
+        |$scaledBandsSql,
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS other_id,
         |         (b.doc_id % 10 >= 8) AS other_inc

@@ -52,7 +52,8 @@ object StreamingComponents {
         // through the dedup views — the batch store contract is
         // duplicate-free, a torn streaming absorb is not)
         val pairs = IncrementalDedup.incrementalPairs(incArrs,
-          store.dedupBands(s, root), store.dedupArrs(s, root))
+          store.dedupBands(s, root), store.dedupArrs(s, root),
+          store.banding(s, root))
           .localCheckpoint(true)
         val merged = IncrementalDedup.incrementalComponents(s,
           store.ccLabels(s, root), pairs)

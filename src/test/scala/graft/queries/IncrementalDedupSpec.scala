@@ -26,6 +26,49 @@ class IncrementalDedupSpec extends AnyFunSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("banding scales with corpus size, persists, and increments replay it") {
+    import spark.implicits._
+    // the pure derivation — the thresholds the oracle SQL mirrors
+    assert(IncrementalDedup.bandingOf(400) == (2, 4))
+    assert(IncrementalDedup.bandingOf(2000) == (2, 4))
+    assert(IncrementalDedup.bandingOf(2001) == (3, 5))
+    assert(IncrementalDedup.bandingOf(20001) == (4, 6))
+
+    def docsOf(ids: Range) = ids.map { i =>
+      (i.toLong, s"alpha$i beta$i gamma$i delta$i", "en", "web", 40L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    // a 2500-doc corpus lands in the (3, 5) tier, PERSISTED at build
+    val big = IncrementalDedup.SignatureStore
+      .buildRootFrom(spark, docsOf(0 until 2500))
+    assert(IncrementalDedup.SignatureStore.banding(spark, big) == (3, 5))
+    val perDoc = spark.read.parquet(
+        IncrementalDedup.SignatureStore.bandsPath(big))
+      .groupBy(col("doc_id")).count()
+      .select(col("count")).distinct().collect().map(_.getLong(0)).toSet
+    assert(perDoc == Set(3L), s"corpus bands per doc: $perDoc")
+
+    // an absorbed increment bands under the PERSISTED scheme, not
+    // its own size's tier — the replay discipline
+    IncrementalDedup.SignatureStore.absorb(big,
+      DedupPipeline.shingleArraysOf(docsOf(10000 until 10020)))
+    val incPerDoc = spark.read.parquet(
+        IncrementalDedup.SignatureStore.bandsPath(big))
+      .filter(col("doc_id") >= 10000L)
+      .groupBy(col("doc_id")).count()
+      .select(col("count")).distinct().collect().map(_.getLong(0)).toSet
+    assert(incPerDoc == Set(3L), s"increment bands per doc: $incPerDoc")
+
+    // a small corpus keeps the historical (2, 4); a root with no
+    // banding file (pre-scaling layout) defaults to it too
+    val small = IncrementalDedup.SignatureStore
+      .buildRootFrom(spark, docsOf(0 until 100))
+    assert(IncrementalDedup.SignatureStore.banding(spark, small) == (2, 4))
+    val legacy =
+      java.nio.file.Files.createTempDirectory("graft-legacysig").toString
+    assert(IncrementalDedup.SignatureStore.banding(spark, legacy) == (2, 4))
+  }
+
   test("the increment's signature lineage scans documents once, filtered to the increment") {
     val p = IncrementalDedup.incrementArrs(spark, dir)
       .queryExecution.executedPlan.toString()
