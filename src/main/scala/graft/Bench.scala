@@ -101,26 +101,39 @@ object Bench {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    // five timed runs per query: the MEDIAN (unlike min) is an
-    // unbiased steady-state estimate that rejects up to two GC pauses /
-    // scheduler hiccups per query — the regression detector the round
-    // gate actually needs; the MIN rides along as `queries_min` (the
-    // floor estimate, most stable run-to-run on a noisy host — compare
-    // with tools/bench_compare.py --key). Per-query 1-min loadavg is
-    // recorded so a loaded entry is attributable, not just a loaded
-    // run.
+    // five timed runs per query, INTERLEAVED round-robin: pass p runs
+    // every query once before any query sees pass p+1. Back-to-back
+    // runs of one query share whatever GC/compilation/page-cache
+    // burst the host is in, so consecutive-run sampling correlates a
+    // query's five samples with one transient and the per-query min
+    // wobbled between quiet runs (24/196 outside tolerance, round
+    // 13); spreading a query's samples ~minutes apart decorrelates
+    // them, so median and min reject transients instead of averaging
+    // over one. The MEDIAN is the unbiased steady-state estimate
+    // (rejects up to two hiccups per query); the MIN rides along as
+    // `queries_min` (the floor estimate — compare with
+    // tools/bench_compare.py --key). Per-query 1-min loadavg is
+    // snapshotted on the first pass so a loaded entry is
+    // attributable, not just a loaded run.
     val loadavgOf = () => readLoadavg().split(",").headOption.getOrElse("")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val load = loadavgOf()
-      val times = (1 to 5).map { _ =>
-        val t0 = System.nanoTime()
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    val loads = new Array[String](named.size)
+    val samples = Array.fill(named.size)(
+      scala.collection.mutable.ArrayBuffer.empty[Double])
+    for (pass <- 1 to 5; ((name, fn), i) <- named.zipWithIndex) {
+      if (pass == 1) loads(i) = loadavgOf()
+      val t0 = System.nanoTime()
+      val t =
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 } // failures must be visible
-      }
+      samples(i) += t
+    }
+    val results = named.zipWithIndex.map { case ((name, _), i) =>
+      val times = samples(i).toSeq
       val (t, tMin) =
         if (times.contains(-1.0)) (-1.0, -1.0)
         else (times.sorted.apply(2), times.min)
-      (name, t, tMin, load)
+      (name, t, tMin, loads(i))
     }
     // millisecond precision: sub-ms digits are noise and the shorter
     // line survives log-tail truncation in downstream artifact capture
