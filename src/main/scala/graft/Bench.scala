@@ -101,39 +101,36 @@ object Bench {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    // five timed runs per query, INTERLEAVED round-robin: pass p runs
-    // every query once before any query sees pass p+1. Back-to-back
-    // runs of one query share whatever GC/compilation/page-cache
-    // burst the host is in, so consecutive-run sampling correlates a
-    // query's five samples with one transient and the per-query min
-    // wobbled between quiet runs (24/196 outside tolerance, round
-    // 13); spreading a query's samples ~minutes apart decorrelates
-    // them, so median and min reject transients instead of averaging
-    // over one. The MEDIAN is the unbiased steady-state estimate
-    // (rejects up to two hiccups per query); the MIN rides along as
-    // `queries_min` (the floor estimate — compare with
-    // tools/bench_compare.py --key). Per-query 1-min loadavg is
-    // snapshotted on the first pass so a loaded entry is
+    // CONSECUTIVE timed runs per query, first run discarded. Two
+    // sampling designs were A/B-measured on one idle host, same code:
+    // round-robin interleaving (each query's samples spread minutes
+    // apart, the obvious fix for correlated GC bursts) read 121/140 s
+    // totals with only 67% pair agreement on the min estimator,
+    // because revisiting a query after ~200 others evicts its working
+    // set — every sample pays cold-cache costs and those costs are
+    // the noise; consecutive sampling on the same host read 83 s with
+    // the historical agreement. Measured, then designed out:
+    // consecutive stays. The remaining tail (sub-second queries whose
+    // FIRST consecutive sample absorbs the PREVIOUS query's cache/GC
+    // wake) is cut by timing six runs and discarding the first, so
+    // the estimators see only samples taken inside the query's own
+    // steady state. MEDIAN of the kept five = the reported number
+    // (rejects up to two hiccups); MIN rides along as `queries_min`
+    // (the floor estimate — compare with tools/bench_compare.py
+    // --key). Per-query 1-min loadavg makes a loaded entry
     // attributable, not just a loaded run.
     val loadavgOf = () => readLoadavg().split(",").headOption.getOrElse("")
-    val named = SparkEntry.queries.toSeq.sortBy(_._1)
-    val loads = new Array[String](named.size)
-    val samples = Array.fill(named.size)(
-      scala.collection.mutable.ArrayBuffer.empty[Double])
-    for (pass <- 1 to 5; ((name, fn), i) <- named.zipWithIndex) {
-      if (pass == 1) loads(i) = loadavgOf()
-      val t0 = System.nanoTime()
-      val t =
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val load = loadavgOf()
+      val times = (1 to 6).map { _ =>
+        val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 } // failures must be visible
-      samples(i) += t
-    }
-    val results = named.zipWithIndex.map { case ((name, _), i) =>
-      val times = samples(i).toSeq
+      }.drop(1)
       val (t, tMin) =
         if (times.contains(-1.0)) (-1.0, -1.0)
         else (times.sorted.apply(2), times.min)
-      (name, t, tMin, loads(i))
+      (name, t, tMin, load)
     }
     // millisecond precision: sub-ms digits are noise and the shorter
     // line survives log-tail truncation in downstream artifact capture
