@@ -114,6 +114,9 @@ object ScanPruning extends QueryPack {
     val thi: Long = tmin + 6 * ((tmax - tmin) / 8)
     // the demo point probe
     val probe: Long = umin + (umax - umin) / 3
+    // a second probe (exists at every SF, distinct from `probe`) for
+    // reads that must compose with an erase OF `probe`
+    val probe2: Long = umin + 2 * ((umax - umin) / 3)
   }
 
   /** Full 16-bit Morton key (intra-file sort only — row groups inside
@@ -311,6 +314,99 @@ object ScanPruning extends QueryPack {
         case ManifestRow(g, b, "live", _) => (g, b)
       }.toSet
 
+    // ───────────── manifest checkpoints (head-read acceleration)
+    // Without them every head read parses every commit ever written —
+    // O(commits) per read, unbounded over a table's lifetime. Every
+    // CkptEvery-th committer folds the full history into a checkpoint
+    // file (latest row per logical file, original mseq kept), also
+    // claimed create-exclusively; head reads then parse newest
+    // checkpoint + the commit suffix — O(CkptEvery + files), however
+    // old the table. Commit files are NEVER deleted (time travel
+    // reads raw history); the checkpoint is pure acceleration, and a
+    // missing/raced one degrades to the full parse. The
+    // Delta-checkpoint design, public knowledge.
+    private val CkptEvery = 8L
+    private val CkptName = """^ckpt-(\d{19})\.tsv$""".r
+
+    private def ckptFile(root: String, seq: Long): java.nio.file.Path =
+      java.nio.file.Paths.get(manifestPath(root), f"ckpt-$seq%019d.tsv")
+
+    /** Newest checkpoint: (base seq, folded rows), if any. */
+    private def newestCkpt(root: String): Option[(Long, Seq[ManifestRow])] = {
+      import scala.jdk.CollectionConverters._
+      val dir = java.nio.file.Paths.get(manifestPath(root))
+      if (!java.nio.file.Files.isDirectory(dir)) return None
+      val stream = java.nio.file.Files.list(dir)
+      val newest =
+        try stream.iterator().asScala.flatMap { p =>
+          p.getFileName.toString match {
+            case CkptName(d) => Some(d.toLong -> p)
+            case _ => None
+          }
+        }.maxByOption(_._1)
+        finally stream.close()
+      newest.map { case (seq, p) =>
+        seq -> java.nio.file.Files.readAllLines(p).asScala.toSeq
+          .filter(_.nonEmpty).map { line =>
+            val f = line.split('\t')
+            ManifestRow(f(0), f(1).toInt, f(2), f(3).toLong)
+          }
+      }
+    }
+
+    /** Fold-and-claim a checkpoint at `seq`. The content is a pure
+      * deterministic fold of history ≤ seq, so a collision (a racing
+      * committer already wrote it) is identical content — ignored. */
+    private def writeCkpt(root: String, seq: Long): Unit = {
+      val rows = latestOf(readCommits(root).filter(_.mseq <= seq))
+        .sortBy(r => (r.gen, r.zbucket))
+      val dir = java.nio.file.Paths.get(manifestPath(root))
+      val tmp = java.nio.file.Files.createTempFile(dir, ".ckpt-", ".tmp")
+      try {
+        java.nio.file.Files.write(tmp,
+          rows.map(r => s"${r.gen}\t${r.zbucket}\t${r.status}\t${r.mseq}")
+            .mkString("", "\n", "\n").getBytes("UTF-8"))
+        try java.nio.file.Files.createLink(ckptFile(root, seq), tmp)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      } finally java.nio.file.Files.deleteIfExists(tmp)
+    }
+
+    /** The HEAD state (latest row per logical file): newest checkpoint
+      * + the commit suffix past it. Equivalent to folding the full
+      * history — pinned in the spec by answering correctly with every
+      * pre-checkpoint commit file moved away. */
+    private[graft] def headState(root: String): Seq[ManifestRow] =
+      newestCkpt(root) match {
+        case Some((base, ck)) =>
+          latestOf(ck ++ readCommitsAfter(root, base))
+        case None => latestOf(readCommits(root))
+      }
+
+    /** Commit rows with mseq > `after` only — the suffix read that
+      * keeps head reads O(CkptEvery) whatever the table's age. */
+    private def readCommitsAfter(root: String,
+        after: Long): Seq[ManifestRow] = {
+      import scala.jdk.CollectionConverters._
+      val dir = java.nio.file.Paths.get(manifestPath(root))
+      if (!java.nio.file.Files.isDirectory(dir)) return Seq.empty
+      val stream = java.nio.file.Files.list(dir)
+      val files =
+        try stream.iterator().asScala.flatMap { p =>
+          p.getFileName.toString match {
+            case CommitName(d) if d.toLong > after => Some(d.toLong -> p)
+            case _ => None
+          }
+        }.toVector
+        finally stream.close()
+      files.sortBy(_._1).flatMap { case (seq, p) =>
+        java.nio.file.Files.readAllLines(p).asScala
+          .filter(_.nonEmpty).map { line =>
+            val f = line.split('\t')
+            ManifestRow(f(0), f(1).toInt, f(2), seq)
+          }
+      }
+    }
+
     /** Publish at an EXPLICIT version — only the root build uses this
       * (version 0 of a fresh root); everything else goes through
       * [[commitNext]]. */
@@ -324,7 +420,7 @@ object ScanPruning extends QueryPack {
 
     /** The live (generation, bucket) pairs — what readers may touch. */
     def livePairs(s: SparkSession, root: String): Seq[(String, Int)] =
-      liveSetOf(readCommits(root)).toSeq.sorted
+      liveSetOf(headState(root)).toSeq.sorted
 
     /** Generations with at least one live file. */
     def liveGens(s: SparkSession, root: String): Seq[String] =
@@ -332,9 +428,23 @@ object ScanPruning extends QueryPack {
 
     /** The manifest's current version number — each commit claims
       * exactly one, so the number is unambiguous even under racing
-      * multi-process writers. */
+      * multi-process writers. A filename max: no commit is parsed. */
     def currentSeq(s: SparkSession, root: String): Long =
-      readCommits(root).iterator.map(_.mseq).max
+      maxCommitSeq(root)
+
+    private def maxCommitSeq(root: String): Long = {
+      import scala.jdk.CollectionConverters._
+      val dir = java.nio.file.Paths.get(manifestPath(root))
+      if (!java.nio.file.Files.isDirectory(dir)) return -1L
+      val stream = java.nio.file.Files.list(dir)
+      try stream.iterator().asScala.flatMap { p =>
+        p.getFileName.toString match {
+          case CommitName(d) => Some(d.toLong)
+          case _ => None
+        }
+      }.maxOption.getOrElse(-1L)
+      finally stream.close()
+    }
 
     /** TIME TRAVEL: the live file set as of manifest version `seq` —
       * versions are never rewritten (the manifest is an append-only
@@ -361,7 +471,7 @@ object ScanPruning extends QueryPack {
       * (gen, bucket) pairs. */
     def vacuumBefore(s: SparkSession, root: String,
         horizonSeq: Long): Seq[(String, Int)] = {
-      val dead = latestOf(readCommits(root)).collect {
+      val dead = headState(root).collect {
         case ManifestRow(g, b, "dead", mseq) if mseq <= horizonSeq => (g, b)
       }.toSeq.sorted
       val conf = s.sparkContext.hadoopConfiguration
@@ -447,7 +557,7 @@ object ScanPruning extends QueryPack {
       * increment whose rows now live inside a compacted generation
       * must never be re-absorbed as new data. */
     def absorbedIds(s: SparkSession, root: String): Set[String] =
-      readCommits(root).iterator.map(_.gen).toSet
+      headState(root).iterator.map(_.gen).toSet
 
     /** OPTIMISTIC version allocation — read the commit log, validate
       * the precondition (every file this commit retires is still
@@ -464,18 +574,27 @@ object ScanPruning extends QueryPack {
     @annotation.tailrec
     private[graft] def commitNext(root: String, gen: String,
         liveBuckets: Seq[Int], deadPairs: Seq[(String, Int)]): Boolean = {
-      val rows = readCommits(root)
-      if (rows.exists(_.gen == gen)) return false
-      val liveNow = liveSetOf(rows)
+      val head = headState(root) // ledger + live set, checkpoint-fast
+      if (head.exists(_.gen == gen)) return false
+      val liveNow = liveSetOf(head)
       val gone = deadPairs.filterNot(liveNow.contains)
       if (gone.nonEmpty)
         throw new CommitConflict(
           s"files retired by a racing writer: ${gone.mkString(", ")}")
-      val next = rows.iterator.map(_.mseq).max + 1
+      // next derives from the SAME snapshot as the validation (the
+      // newest commit's ledger row carries the max mseq): a commit
+      // racing in after our read makes our claim COLLIDE, forcing the
+      // retry to re-validate against the racer's changes — reading a
+      // fresher number here would let a stale precondition commit
+      val next = head.iterator.map(_.mseq).max + 1
       if (tryCommit(root, next,
           ((gen, -1, "ledger") +: liveBuckets.map(b => (gen, b, "live"))) ++
-            deadPairs.map { case (g, b) => (g, b, "dead") })) true
-      else commitNext(root, gen, liveBuckets, deadPairs)
+            deadPairs.map { case (g, b) => (g, b, "dead") })) {
+        // every CkptEvery-th committer folds history into a
+        // checkpoint so head reads stay O(CkptEvery) forever
+        if (next % CkptEvery == 0) writeCkpt(root, next)
+        true
+      } else commitNext(root, gen, liveBuckets, deadPairs)
     }
 
     /** Cluster + index one increment under the persisted layout.
@@ -948,7 +1067,8 @@ object ScanPruning extends QueryPack {
        |    umin + 2 * ((umax - umin) // 8) AS uhi,
        |    tmin + 5 * ((tmax - tmin) // 8) AS tlo,
        |    tmin + 6 * ((tmax - tmin) // 8) AS thi,
-       |    umin + (umax - umin) // 3 AS probe
+       |    umin + (umax - umin) // 3 AS probe,
+       |    umin + 2 * ((umax - umin) // 3) AS probe2
        |  FROM bounds)""".stripMargin
 
   /** The full 16-bit Morton key in DuckDB arithmetic — the replay of
@@ -1112,6 +1232,20 @@ object ScanPruning extends QueryPack {
           sum(round(col("value") * 100).cast("long")).as("cents"),
           countDistinct(col("user_id")).as("users"))
     }),
+    // the pruned POINT path composed with merge-on-read state: a
+    // zone+bloom point lookup of a DIFFERENT (non-erased) user served
+    // from the deletion-vector root — the anti-join must remove
+    // exactly the erased key's rows from the touched files and
+    // nothing of the probed user's
+    "fx_dv_point" -> ((s, d) => {
+      val root = dvRoot(s, d)
+      val l = FileIndexStore.layoutOf(s, root)
+      readFiles(s, root, pointSurvivors(s, root, l.probe2))
+        .filter(col("user_id") === l.probe2)
+        .select(col("event_id"), expr("ts div 1000").as("tsu"),
+          col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+    }),
     // type-pruned read off the per-file value-domain stats: the
     // rarest event_type (deterministic pick: count asc, name asc) is
     // read through ONLY the files whose domain list contains it, plus
@@ -1259,6 +1393,15 @@ object ScanPruning extends QueryPack {
          |FROM events CROSS JOIN consts
          |WHERE user_id <> probe
          |GROUP BY 1""".stripMargin,
+    // the probed user is untouched by the erase, so the full scan on
+    // user_id = probe2 is the exact answer the DV-composed point
+    // read must reproduce
+    "fx_dv_point" ->
+      s"""WITH $constsSql
+         |SELECT event_id, epoch_us(ts) AS tsu, event_type,
+         |  round(value * 100)::BIGINT AS cents
+         |FROM events CROSS JOIN consts
+         |WHERE user_id = probe2""".stripMargin,
     // IDENTICAL SQL to fx_erased_census: a merge-on-read erase must
     // be observationally equal to the copy-on-write one
     "fx_dv_census" ->

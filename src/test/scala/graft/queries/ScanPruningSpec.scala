@@ -70,6 +70,53 @@ class ScanPruningSpec extends AnyFunSuite {
     assert(!ScanPruning.FileIndexStore.commitNext(root, "racer", Nil, Nil))
   }
 
+  test("manifest checkpoints serve head reads without the commit prefix") {
+    import spark.implicits._
+    def synth(ids: Range) = ids.map { i =>
+      (i.toLong, i.toLong * 1000000000L, (i % 20).toLong, "view", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val root = ScanPruning.FileIndexStore.buildRootFrom(spark, synth(0 until 300))
+    for (b <- 1 to 9) // commits 1..9; the 8th folds a checkpoint
+      assert(ScanPruning.FileIndexStore.absorb(spark, root,
+        synth(1000 * b until 1000 * b + 50), s"inc-$b"))
+
+    val mdir = java.nio.file.Paths.get(
+      ScanPruning.FileIndexStore.manifestPath(root))
+    import scala.jdk.CollectionConverters._
+    def names() = {
+      val st = java.nio.file.Files.list(mdir)
+      try st.iterator().asScala.map(_.getFileName.toString).toVector
+      finally st.close()
+    }
+    assert(names().exists(_.startsWith("ckpt-")), "no checkpoint written")
+
+    val pairsBefore = ScanPruning.FileIndexStore.livePairs(spark, root)
+    val ledgerBefore = ScanPruning.FileIndexStore.absorbedIds(spark, root)
+
+    // move every PRE-checkpoint commit file away: head reads must
+    // still answer identically from checkpoint + suffix — the proof
+    // they never reparse the prefix
+    val backup = java.nio.file.Files.createTempDirectory("graft-ckpt-bk")
+    val moved = names().filter(n =>
+      n.startsWith("v") && n.stripPrefix("v").stripSuffix(".tsv").toLong <= 8)
+    try {
+      moved.foreach(n => java.nio.file.Files.move(
+        mdir.resolve(n), backup.resolve(n)))
+      assert(ScanPruning.FileIndexStore.livePairs(spark, root)
+        == pairsBefore, "head live set needed the pre-checkpoint commits")
+      assert(ScanPruning.FileIndexStore.absorbedIds(spark, root)
+        == ledgerBefore, "ledger needed the pre-checkpoint commits")
+      // replays still no-op off the checkpointed ledger
+      assert(!ScanPruning.FileIndexStore.absorb(spark, root,
+        synth(0 until 1), "inc-3"))
+    } finally moved.foreach(n => java.nio.file.Files.move(
+      backup.resolve(n), mdir.resolve(n)))
+
+    // with history restored, time travel through the prefix works
+    assert(ScanPruning.FileIndexStore
+      .livePairsAt(spark, root, 0L).forall(_._1 == "corpus"))
+  }
+
   test("deletion-vector erase moves no data bytes; compaction folds it in") {
     import spark.implicits._
     val synth = (0 until 2000).map { i =>
