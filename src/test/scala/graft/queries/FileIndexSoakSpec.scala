@@ -44,13 +44,12 @@ class FileIndexSoakSpec extends AnyFunSuite {
     val root = ScanPruning.FileIndexStore.buildRootFrom(spark, df(slice(120)))
 
     def check(tag: String): Unit = {
-      val zone = ScanPruning.FileIndexStore.zone(spark, root)
-      val pairs = zone.select(col("inc_id"), col("zbucket")).collect()
-        .map(r => ScanPruning.FileIndexStore
-          .bucketDir(root, r.getString(0), r.getInt(1)))
+      // the DV-aware read path — merge-on-read erasures must be
+      // invisible to every later lifecycle op's observable table
+      val pairs = ScanPruning.FileIndexStore.livePairs(spark, root)
       val got =
         if (pairs.isEmpty) Map.empty[Long, (Long, Long)]
-        else spark.read.parquet(pairs.toIndexedSeq: _*)
+        else ScanPruning.FileIndexStore.readPairs(spark, root, pairs)
           .select(col("event_id"), col("user_id"),
             round(col("value") * 100).cast("long").as("cents"))
           .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
@@ -63,7 +62,7 @@ class FileIndexSoakSpec extends AnyFunSuite {
     var opN = 0
     for (_ <- 1 to 25) {
       opN += 1
-      val op = rng.nextInt(7)
+      val op = rng.nextInt(8)
       op match {
         case 0 | 1 => // absorb a fresh slice
           val rows = slice(30 + rng.nextInt(40))
@@ -94,6 +93,12 @@ class FileIndexSoakSpec extends AnyFunSuite {
           ScanPruning.FileIndexStore.compactTier(
             spark, root, 40L + rng.nextInt(100))
           check(s"compactTier at op $opN")
+        case 7 => // merge-on-read erase: deletion vectors, no rewrite
+          val u = rng.nextInt(Users.toInt).toLong
+          assert(ScanPruning.FileIndexStore.eraseDv(
+            spark, root, u, s"dve-$opN"))
+          model = model.filter { case (_, (mu, _)) => mu != u }
+          check(s"eraseDv u=$u dve-$opN")
       }
       // replay an already-used publish id occasionally: must be a
       // ledger no-op whatever the original op was ("corpus" is always
