@@ -777,22 +777,17 @@ object AstarteStore {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(batch.toString)
     adoptTmpLeaves(fs, hpath, batch)
-    deleteRootIfEmpty(fs, new HPath(appendTmpRoot(path)))
+    // The shared append tmp root is NEVER deleted, deliberately: it is
+    // a sibling of the table dir (readers never list it), so removing
+    // it when empty is pure cosmetics — and that delete RACES a
+    // concurrent appender fatally. Hadoop's local write path is
+    // mkdirs-then-chmod, not atomic: a cleanup that catches the root
+    // in the instant between a racing writer re-creating it and
+    // populating it makes the writer's chmod throw
+    // "No such file or directory" (observed in the two-JVM store
+    // soak). One empty directory per table is the entire cost of
+    // never losing that race.
   }
-
-  /** Best-effort cleanup of the shared append tmp root: between the
-    * emptiness check and the non-recursive delete a concurrent
-    * appender may create its batch dir — the delete then fails (or
-    * the listing vanishes under us) and that is FINE; the root is
-    * re-created by the next appendAtomic and cleaned by whoever sees
-    * it empty last. A successful append must never fail on cleanup.
-    */
-  private def deleteRootIfEmpty(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path): Unit =
-    try {
-      if (fs.exists(root) && fs.listStatus(root).isEmpty)
-        fs.delete(root, false)
-    } catch { case _: java.io.IOException => () }
 
   /** Maintenance-side recovery of the append protocol: a batch dir
     * WITHOUT `_temporary` is fully committed — crash happened between
@@ -826,7 +821,8 @@ object AstarteStore {
       } else if (now - newestMtime(fs, b.getPath) > staleMs)
         fs.delete(b.getPath, true)
     }
-    deleteRootIfEmpty(fs, root)
+    // the root itself stays (see appendAtomic — deleting it races
+    // concurrent appenders' mkdirs-then-chmod fatally)
   }
 
   /** Newest modification time anywhere under `p` (inclusive) — the

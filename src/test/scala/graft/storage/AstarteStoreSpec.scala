@@ -686,8 +686,13 @@ class AstarteStoreSpec extends AnyFunSuite {
     val want = (for (base <- Seq(0, 1000); b <- 0 until 5; i <- 0 until 50)
       yield base + b * 100 + i).sorted
     assert(got == want, s"rows lost or duplicated across sessions")
-    // no batch dirs left behind on the happy path
-    assert(!new java.io.File(AstarteStore.appendTmpRoot(path)).exists())
+    // no batch dirs left behind on the happy path — the tmp ROOT
+    // itself deliberately persists (deleting it races a concurrent
+    // appender's mkdirs-then-chmod fatally; see appendAtomic), but it
+    // must be EMPTY: every batch was adopted
+    val tmpRoot = new java.io.File(AstarteStore.appendTmpRoot(path))
+    assert(!tmpRoot.exists() || tmpRoot.listFiles().isEmpty,
+      "orphan batch dirs left in the append tmp root")
   }
 
   test("crashed append batches: committed orphans adopted, in-flight ones left alone") {
