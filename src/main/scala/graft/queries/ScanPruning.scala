@@ -1232,6 +1232,32 @@ object ScanPruning extends QueryPack {
           sum(round(col("value") * 100).cast("long")).as("cents"),
           countDistinct(col("user_id")).as("users"))
     }),
+    // CDC BETWEEN VERSIONS, file-pruned: the rows version N removed
+    // relative to N−1 are computable from ONLY the files that changed
+    // hands (retired set minus newly published set) — never a
+    // table-diff. Across the copy-on-write erase, that file-level
+    // exceptAll is exactly the erased user's rows, which the oracle
+    // recomputes as a plain full scan. At 100 TB an erase touches a
+    // handful of files, so the diff reads a handful of files.
+    "fx_version_diff" -> ((s, d) => {
+      val root = erasedRoot(s, d)
+      val head = FileIndexStore.currentSeq(s, root)
+      val before = FileIndexStore.livePairsAt(s, root, head - 1).toSet
+      val after = FileIndexStore.livePairs(s, root).toSet
+      def proj(pairs: Set[(String, Int)]): DataFrame = {
+        val sorted = pairs.toSeq.sorted
+        if (sorted.isEmpty)
+          Tables.events(s, d).limit(0)
+            .select(col("event_id"), expr("ts div 1000").as("tsu"),
+              col("event_type"),
+              round(col("value") * 100).cast("long").as("cents"))
+        else FileIndexStore.readPairs(s, root, sorted)
+          .select(col("event_id"), expr("ts div 1000").as("tsu"),
+            col("event_type"),
+            round(col("value") * 100).cast("long").as("cents"))
+      }
+      proj(before -- after).exceptAll(proj(after -- before))
+    }),
     // the pruned POINT path composed with merge-on-read state: a
     // zone+bloom point lookup of a DIFFERENT (non-erased) user served
     // from the deletion-vector root — the anti-join must remove
@@ -1393,6 +1419,14 @@ object ScanPruning extends QueryPack {
          |FROM events CROSS JOIN consts
          |WHERE user_id <> probe
          |GROUP BY 1""".stripMargin,
+    // the rows the erase version removed = exactly the erased user's
+    // rows — recomputed as a plain full scan
+    "fx_version_diff" ->
+      s"""WITH $constsSql
+         |SELECT event_id, epoch_us(ts) AS tsu, event_type,
+         |  round(value * 100)::BIGINT AS cents
+         |FROM events CROSS JOIN consts
+         |WHERE user_id = probe""".stripMargin,
     // the probed user is untouched by the erase, so the full scan on
     // user_id = probe2 is the exact answer the DV-composed point
     // read must reproduce
