@@ -40,5 +40,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("es_topk"),
       new ExpressionInfo(classOf[EsTopKAgg].getName, "es_topk"),
       GraftFunctions.esTopKBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("hilbert_key"),
+      new ExpressionInfo(classOf[HilbertKey].getName, "hilbert_key"),
+      GraftFunctions.hilbertKeyBuilder))
   }
 }

@@ -209,6 +209,12 @@ object GraftFunctions {
       s"es_topk requires exactly 2 arguments, got ${exprs.size}")
   }
 
+  val hilbertKeyBuilder: Seq[Expression] => Expression = {
+    case Seq(x, y) => HilbertKey(x, y)
+    case exprs => throw new IllegalArgumentException(
+      s"hilbert_key requires exactly 2 arguments, got ${exprs.size}")
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vector_dot", vectorDotBuilder, "built-in")
@@ -224,5 +230,7 @@ object GraftFunctions {
       "mg_summary", mgSummaryBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "es_topk", esTopKBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hilbert_key", hilbertKeyBuilder, "built-in")
   }
 }

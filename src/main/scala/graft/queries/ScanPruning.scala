@@ -100,10 +100,17 @@ object ScanPruning extends QueryPack {
     * Spark — so the oracle replays them exactly.
     */
   private[graft] final case class Layout(
-      umin: Long, umax: Long, tmin: Long, tmax: Long, pbits: Int = 2) {
+      umin: Long, umax: Long, tmin: Long, tmax: Long, pbits: Int = 2,
+      curve: String = "z", splits: Seq[Long] = Nil) {
     /** zbucket = zkey div zdiv — the top `2·pbits` Morton bits. */
     val zdiv: Long = 1L << (16 - 2 * pbits)
-    val buckets: Int = 1 << (2 * pbits)
+    /** RANGE bucketing (`splits` non-empty) assigns files by curve-
+      * position split points instead of aligned key prefixes: equal-
+      * COUNT curve segments, so files stay size-balanced however
+      * skewed the key distribution — and the segments of a HILBERT
+      * curve are connected regions, so their zone boxes shrink. */
+    def buckets: Int =
+      if (splits.nonEmpty) splits.size + 1 else 1 << (2 * pbits)
     val wu: Long = (umax - umin) / Codes + 1 // code widths
     val wt: Long = (tmax - tmin) / Codes + 1
     // the demo box predicate: one-eighth of the user range × one-
@@ -127,25 +134,37 @@ object ScanPruning extends QueryPack {
         s" + ((ct div ${1L << i}) % 2) * ${1L << (2 * i)}"
     }.mkString(" + ")
 
-  /** File assignment = the layout's top 2·pbits Morton bits — a plain
-    * integral divide of the full key, so the bucket count scales with
-    * the persisted prefix depth. */
+  /** File assignment: under prefix bucketing the layout's top
+    * 2·pbits key bits (a plain integral divide); under range
+    * bucketing the searchsorted position among the persisted split
+    * points — a short chain of literal comparisons, fully codegen'd,
+    * replayed identically by every writer from the layout state. */
   private def zbucketExprOf(l: Layout): String =
-    s"cast(zkey div ${l.zdiv}L as int)"
+    if (l.splits.isEmpty) s"cast(zkey div ${l.zdiv}L as int)"
+    else "cast(" + l.splits.map(sp =>
+      s"(CASE WHEN zkey >= ${sp}L THEN 1 ELSE 0 END)").mkString(" + ") +
+      " as int)"
 
   /** Canonical events columns + (cu, ct, zkey, zbucket) under a fixed
     * layout. Codes clamp to [0, 255]: values outside the layout's
     * creation-time bounds (late-arriving increments) land in edge
-    * files rather than failing. */
-  private def codesOf(events: DataFrame, l: Layout): DataFrame =
+    * files rather than failing. `zkey` is whichever space-filling
+    * curve the layout persisted — Morton by default, Hilbert when the
+    * table was built with it (the codegen'd `hilbert_key` walker);
+    * either way the top 2·pbits key bits are the file assignment. */
+  private def codesOf(events: DataFrame, l: Layout): DataFrame = {
+    if (l.curve == "hilbert")
+      graft.functions.GraftFunctions.register(events.sparkSession)
+    val keyExpr = if (l.curve == "hilbert") "hilbert_key(cu, ct)" else zkeyExpr
     events
       .withColumn("tsu", expr("ts div 1000"))
       .withColumn("cu", expr(
         s"greatest(0L, least(255L, (user_id - ${l.umin}L) div ${l.wu}L))"))
       .withColumn("ct", expr(
         s"greatest(0L, least(255L, (tsu - ${l.tmin}L) div ${l.wt}L))"))
-      .withColumn("zkey", expr(zkeyExpr))
+      .withColumn("zkey", expr(keyExpr))
       .withColumn("zbucket", expr(zbucketExprOf(l)))
+  }
 
   /** The k=2 bloom bit positions of a user id — the CMS hash
     * convention (md5 of "r:key", first 8 hex chars, mod m). */
@@ -171,7 +190,25 @@ object ScanPruning extends QueryPack {
     private val roots =
       new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+    /** The canonical data columns every generation carries. Evolved
+      * columns (anything else a frame brings along) append after
+      * these in name order. */
+    private val DataCols = Seq("event_id", "ts", "user_id",
+      "event_type", "value", "props")
+
+    /** A read frame's data columns in canonical order — the
+      * rewrite-path projection: canonical first, evolved extras after,
+      * index internals (file identity) dropped. A rewrite that
+      * projected a FIXED list would silently amputate an evolved
+      * column at the first compaction. */
+    private def dataColsOf(df: DataFrame): Seq[String] = {
+      val extras = df.columns
+        .filterNot(DataCols.toSet ++ Set("inc_id", "zbucket", "tsu")).sorted
+      DataCols ++ extras
+    }
+
     def zonePath(root: String): String = s"$root/index_zone"
+    def splitsPath(root: String): String = s"$root/index_splits"
     def bloomPath(root: String): String = s"$root/index_bloom"
     def boundsPath(root: String): String = s"$root/index_bounds"
     def typesPath(root: String): String = s"$root/index_types"
@@ -199,7 +236,8 @@ object ScanPruning extends QueryPack {
       * One corpus pass for the bounds, one for the clustered write,
       * one generation-only read-back for the index rows. */
     private[graft] def buildRootFrom(s: SparkSession, corpus: DataFrame,
-        forcedPbits: Option[Int] = None): String = {
+        forcedPbits: Option[Int] = None, curve: String = "z",
+        rangeBucketed: Boolean = false): String = {
       val root =
         java.nio.file.Files.createTempDirectory("graft-fileindex").toString
       val b = corpus
@@ -207,15 +245,37 @@ object ScanPruning extends QueryPack {
           min(expr("ts div 1000")), max(expr("ts div 1000")),
           count(lit(1)))
         .head()
-      // prefix depth derives from the corpus size at build time and
-      // PERSISTS with the bounds, so increments cluster under the
-      // same granularity forever (forcedPbits is a spec hook)
-      val l = Layout(b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3),
-        forcedPbits.getOrElse(pbitsOf(b.getLong(4))))
+      // prefix depth, curve, and (under range bucketing) the curve-
+      // position split points all derive at build time and PERSIST,
+      // so increments cluster under the same granularity, curve, and
+      // file assignment forever (forcedPbits is a spec hook)
+      val pb = forcedPbits.getOrElse(pbitsOf(b.getLong(4)))
+      val l0 = Layout(b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3),
+        pb, curve)
       import s.implicits._
+      val l =
+        if (!rangeBucketed) l0
+        else {
+          // equal-count curve segments: one distributed quantile pass
+          // over the corpus keys (approx is fine — split points are
+          // persisted state, never replayed by the oracle), deduped in
+          // case skew collapses neighbors
+          val nb = l0.buckets
+          val probes = (1 until nb).map(_.toDouble / nb).toArray
+          val sp = codesOf(corpus, l0).stat
+            .approxQuantile("zkey", probes, 0.001)
+            .map(_.toLong).distinct.sorted.toSeq
+          l0.copy(splits = sp)
+        }
+      if (l.splits.nonEmpty)
+        graft.storage.AstarteStore.appendAtomic(
+          l.splits.zipWithIndex
+            .map { case (sp, i) => (i, sp, "layout") }
+            .toDF("pos", "split", "inc_id"),
+          splitsPath(root))
       graft.storage.AstarteStore.appendAtomic(
-        Seq((l.umin, l.umax, l.tmin, l.tmax, l.pbits, "layout"))
-          .toDF("umin", "umax", "tmin", "tmax", "pbits", "inc_id"),
+        Seq((l.umin, l.umax, l.tmin, l.tmax, l.pbits, l.curve, "layout"))
+          .toDF("umin", "umax", "tmin", "tmax", "pbits", "curve", "inc_id"),
         boundsPath(root))
       val buckets = writeAndIndex(s, root, corpus, "corpus", l)
       publish(root, "corpus", buckets, Nil, 0L)
@@ -488,10 +548,18 @@ object ScanPruning extends QueryPack {
     def layoutOf(s: SparkSession, root: String): Layout = {
       val r = s.read.parquet(boundsPath(root))
         .agg(max(col("umin")), max(col("umax")),
-          max(col("tmin")), max(col("tmax")), max(col("pbits")))
+          max(col("tmin")), max(col("tmax")), max(col("pbits")),
+          max(col("curve")))
         .head()
+      val splits =
+        if (!java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get(splitsPath(root)))) Nil
+        else s.read.parquet(splitsPath(root))
+          .groupBy(col("pos")).agg(max(col("split")).as("split"))
+          .orderBy(col("pos"))
+          .collect().map(_.getLong(1)).toSeq
       Layout(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getInt(4))
+        r.getInt(4), r.getString(5), splits)
     }
 
     /** Cluster one generation's rows and append its index rows,
@@ -506,6 +574,13 @@ object ScanPruning extends QueryPack {
       // streaming micro-batch — publishes with zero live buckets
       // instead of crashing before the publish
       if (events.isEmpty) return Seq.empty
+      // SCHEMA EVOLUTION: the canonical columns come first; any extra
+      // columns the increment carries (a new feature landing mid-
+      // table) ride along in name order — older generations simply
+      // lack them and reads null-fill via schema merge
+      val extras = events.columns
+        .filterNot(DataCols.toSet ++ Set("tsu", "cu", "ct", "zkey", "zbucket"))
+        .sorted
       val path = genPath(root, incId)
       // write parallelism must not cap at the bucket count: at 100 TB
       // one bucket is 1/16 of the table, so a zbucket-only repartition
@@ -518,8 +593,7 @@ object ScanPruning extends QueryPack {
       codesOf(events, l)
         .repartition(col("zbucket"), pmod(col("event_id"), lit(fanout)))
         .sortWithinPartitions(col("zkey"), col("event_id"))
-        .select(col("zbucket"), col("event_id"), col("ts"), col("user_id"),
-          col("event_type"), col("value"), col("props"))
+        .select((Seq("zbucket") ++ DataCols ++ extras).map(col): _*)
         .write.mode("overwrite").partitionBy("zbucket").parquet(path)
       val back = s.read.parquet(path)
         .withColumn("tsu", expr("ts div 1000"))
@@ -660,9 +734,9 @@ object ScanPruning extends QueryPack {
       // is where merge-on-read erasures fold into physical files and
       // the residual anti-join disappears for the rewritten range
       val union = readPairs(s, root, pairs)
-        .select(col("event_id"), col("ts"), col("user_id"),
-          col("event_type"), col("value"), col("props"))
-      val buckets = writeAndIndex(s, root, union, newGen, layoutOf(s, root))
+      val buckets = writeAndIndex(s, root,
+        union.select(dataColsOf(union).map(col): _*), newGen,
+        layoutOf(s, root))
       // optimistic abort: a racing writer retired one of the rewrite
       // inputs (or claimed this fold's name) — the orphaned rewrite
       // stays invisible (no manifest row) and the next maintenance
@@ -691,9 +765,8 @@ object ScanPruning extends QueryPack {
             val updated = readPairs(s, root, touched)
               .withColumn("value", when(col("user_id") <=> userId,
                 lit(newValue)).otherwise(col("value")))
-              .select(col("event_id"), col("ts"), col("user_id"),
-                col("event_type"), col("value"), col("props"))
-            val buckets = writeAndIndex(s, root, updated, updateId,
+            val buckets = writeAndIndex(s, root,
+              updated.select(dataColsOf(updated).map(col): _*), updateId,
               layoutOf(s, root))
             commitNext(root, updateId, buckets, touched)
           }
@@ -748,9 +821,8 @@ object ScanPruning extends QueryPack {
             // loss, not a smaller table
             val kept = readPairs(s, root, touched)
               .filter(!(col("user_id") <=> userId))
-              .select(col("event_id"), col("ts"), col("user_id"),
-                col("event_type"), col("value"), col("props"))
-            val buckets = writeAndIndex(s, root, kept, eraseId,
+            val buckets = writeAndIndex(s, root,
+              kept.select(dataColsOf(kept).map(col): _*), eraseId,
               layoutOf(s, root))
             commitNext(root, eraseId, buckets, touched)
           }
@@ -872,8 +944,13 @@ object ScanPruning extends QueryPack {
       * handful of scans), and the DV side broadcasts. */
     private[graft] def readPairs(s: SparkSession, root: String,
         pairs: Seq[(String, Int)]): DataFrame = {
+      // mergeSchema unifies evolved generations (older files null-
+      // fill the columns they predate). At this store's scale the
+      // footer-merge cost is a handful of files; a production table
+      // would persist the merged schema in the manifest instead of
+      // re-deriving it per read — the same information, amortized.
       if (!hasDv(root))
-        return s.read.parquet(
+        return s.read.option("mergeSchema", "true").parquet(
           pairs.map { case (g, b) => bucketDir(root, g, b) }: _*)
       pairs.groupBy(_._1).toSeq.sortBy(_._1).map { case (g, ps) =>
         // basePath resurrects the zbucket partition column a direct
@@ -883,7 +960,7 @@ object ScanPruning extends QueryPack {
             ps.map { case (_, b) => bucketDir(root, g, b) }: _*)
           .withColumn("inc_id", lit(g))
           .withColumn("zbucket", col("zbucket").cast("int"))
-      }.reduce(_ unionByName _)
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
         .join(broadcast(dv(s, root)),
           Seq("inc_id", "zbucket", "user_id"), "left_anti")
     }
@@ -900,6 +977,133 @@ object ScanPruning extends QueryPack {
         .join(broadcast(livePairsDf(s, root)), Seq("inc_id", "zbucket"))
         .select(col("inc_id"), col("zbucket"))
         .distinct()
+
+    // ───────────────────── metadata-only table stats
+    /** Table stats (row count + clustered-dimension min/max) served
+      * from METADATA — the metadata-only-query move of modern table
+      * formats: count/min/max fold over the live zone rows, zero data
+      * files opened (pinned in ScanPruningSpec via `inputFiles`). At
+      * 100 TB this answers "how big is the table, what range does it
+      * span" in O(index) instead of a full scan.
+      *
+      * Deletion vectors make raw zone stats STALE — zone `n` still
+      * counts merge-on-read-erased rows, and an erased key may have
+      * held the min or max — so the fold splits: files no vector
+      * targets stay metadata-served; the DV-TOUCHED files (a
+      * control-plane-sized set, exactly the files an erase pruned to)
+      * are re-read with vectors applied and folded exactly. count,
+      * min, and max all decompose over the file partition, so the
+      * combined answer is exact. Cost O(touched files) — never a
+      * table scan, and exactly zero data bytes on a vector-free
+      * table. */
+    def metaStats(s: SparkSession, root: String): DataFrame = {
+      val touched = dv(s, root).select(col("inc_id"), col("zbucket"))
+        .distinct().collect()
+        .map(r => (r.getString(0), r.getInt(1))).toSeq.sorted
+      val touchedKeys = touched.map { case (g, b) => s"$g#$b" }
+      val metaPart = zone(s, root)
+        .filter(if (touchedKeys.isEmpty) lit(true)
+          else !concat_ws("#", col("inc_id"), col("zbucket"))
+            .isin(touchedKeys: _*))
+        .agg(sum(col("n")).as("n"),
+          min(col("u_lo")).as("u_lo"), max(col("u_hi")).as("u_hi"),
+          min(col("t_lo")).as("t_lo"), max(col("t_hi")).as("t_hi"))
+      val parts =
+        if (touched.isEmpty) metaPart
+        else metaPart.unionByName(
+          readPairs(s, root, touched)
+            .withColumn("tsu", expr("ts div 1000"))
+            .agg(count(lit(1)).as("n"),
+              min(col("user_id")).as("u_lo"),
+              max(col("user_id")).as("u_hi"),
+              min(col("tsu")).as("t_lo"), max(col("tsu")).as("t_hi")))
+      // the final fold ignores an all-touched/all-untouched null leg
+      parts.agg(sum(col("n")).as("n"),
+        min(col("u_lo")).as("u_lo"), max(col("u_hi")).as("u_hi"),
+        min(col("t_lo")).as("t_lo"), max(col("t_hi")).as("t_hi"))
+    }
+
+    // ───────────────────── the append change feed
+    /** Commits after `fromSeq` that appended data without retiring
+      * any file — the DATA-CHANGE appends of the change feed (the
+      * corpus build and every absorb). Rewrite commits (compaction,
+      * copy-on-write erase/update) retire their inputs in the same
+      * atomic append and are maintenance: the rows they publish were
+      * already emitted by the append that first carried them — a
+      * feed that re-emitted them would double-count every compaction
+      * (the `dataChange=false` discipline of public table formats,
+      * derived here from the commit's own shape instead of a flag).
+      * Ledger-only commits (MoR erases, no-op replays) carry no live
+      * files and emit nothing. Returns (commit seq, generation,
+      * buckets) in commit order, plus the snapshot's head seq — the
+      * caller's next cursor, taken from the SAME directory listing so
+      * a commit landing mid-read is never skipped. */
+    private[graft] def appendsSince(root: String,
+        fromSeq: Long): (Long, Seq[(Long, String, Seq[Int])]) = {
+      val commits = readCommits(root)
+      val head = commits.iterator.map(_.mseq).maxOption.getOrElse(fromSeq)
+      val apps = commits.groupBy(_.mseq).toSeq.sortBy(_._1)
+        .collect { case (seq, rows) if seq > fromSeq &&
+            !rows.exists(_.status == "dead") &&
+            rows.exists(_.status == "live") =>
+          (seq, rows.head.gen,
+            rows.collect { case ManifestRow(_, b, "live", _) => b }.sorted)
+        }
+      (head, apps)
+    }
+
+    /** The change-feed read: every row APPENDED by commits in
+      * (fromSeq, head] — reads only those generations' files, so
+      * tailing a 100 TB table costs O(new data) per poll, never a
+      * scan. Rows are emitted AS APPENDED (deletion vectors are
+      * read-time state; deletions surface through the version diff
+      * instead). History stays addressable because the manifest is
+      * append-only and dead generations' bytes survive until
+      * [[vacuum]] — the retention horizon bounds how far back a new
+      * consumer may start, exactly the log-retention contract of
+      * public table formats. */
+    def changeFeed(s: SparkSession, root: String,
+        fromSeq: Long): DataFrame =
+      changeFeedState(s, root, fromSeq)._2
+
+    /** One feed poll as an atomic pair: (next cursor, appended rows).
+      * Both come from a SINGLE manifest snapshot — a consumer that
+      * read the rows and then re-listed for its cursor would skip any
+      * commit that landed between the two listings. */
+    def changeFeedState(s: SparkSession, root: String,
+        fromSeq: Long): (Long, DataFrame) = {
+      val (head, apps) = appendsSince(root, fromSeq)
+      (head, feedFrameOf(s, root, apps))
+    }
+
+    /** The rows appended by commits in (fromSeq, toSeq] — the REPLAY
+      * read of a pinned micro-batch range: a restarted consumer
+      * re-reading a recorded range gets byte-identical rows however
+      * many commits landed since. */
+    def changeFeedRange(s: SparkSession, root: String,
+        fromSeq: Long, toSeq: Long): DataFrame = {
+      val (_, apps) = appendsSince(root, fromSeq)
+      feedFrameOf(s, root, apps.filter(_._1 <= toSeq))
+    }
+
+    private def feedFrameOf(s: SparkSession, root: String,
+        apps: Seq[(Long, String, Seq[Int])]): DataFrame = {
+      val cols = Seq("event_id", "ts", "user_id", "event_type",
+        "value", "props")
+      val dirs = apps.flatMap { case (_, g, bs) =>
+        bs.map(b => bucketDir(root, g, b))
+      }
+      if (dirs.isEmpty) {
+        import org.apache.spark.sql.types._
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(
+            StructField("event_id", LongType), StructField("ts", LongType),
+            StructField("user_id", LongType),
+            StructField("event_type", StringType),
+            StructField("value", DoubleType),
+            StructField("props", StringType))))
+      } else s.read.parquet(dirs: _*).select(cols.map(col): _*)
+    }
   }
 
   /** The increment slice — the only corpus-table scan absorb makes. */
@@ -973,6 +1177,43 @@ object ScanPruning extends QueryPack {
       FileIndexStore.absorb(s, root, incrementEvents(s, d), "inc-1")
       FileIndexStore.eraseDv(s, root,
         FileIndexStore.layoutOf(s, root).probe, "dve-1")
+      FileIndexStore.compact(s, root)
+      root
+    })
+
+  private val hilbertRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** A root clustered along the HILBERT curve with RANGE (equal-
+    * count curve segment) file assignment — the Delta-OPTIMIZE-style
+    * layout: size-balanced files under any key skew, connected curve
+    * segments so zone boxes stay compact. Same bounds, same index
+    * machinery; the absorb replays curve + split points from the
+    * persisted layout. */
+  private def hilbertRoot(s: SparkSession, d: String): String =
+    hilbertRoots.computeIfAbsent(d, _ => {
+      val root = FileIndexStore.buildRootFrom(s,
+        Tables.events(s, d).filter(!incPredicate), curve = "hilbert",
+        rangeBucketed = true)
+      FileIndexStore.absorb(s, root, incrementEvents(s, d), "inc-1")
+      root
+    })
+
+  private val evolvedRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** A root whose increment EVOLVED the schema: the corpus predates
+    * the `score` column, the increment carries it, and a compaction
+    * folds the mixed-schema generations into one. Time travel to the
+    * pre-compaction version exercises the schema-merged multi-
+    * generation read; the head exercises the evolved rewrite. */
+  private def evolvedRoot(s: SparkSession, d: String): String =
+    evolvedRoots.computeIfAbsent(d, _ => {
+      val root = FileIndexStore.buildRoot(s, d)
+      FileIndexStore.absorb(s, root,
+        incrementEvents(s, d)
+          .withColumn("score", pmod(col("event_id"), lit(7L))),
+        "inc-1")
       FileIndexStore.compact(s, root)
       root
     })
@@ -1292,6 +1533,79 @@ object ScanPruning extends QueryPack {
           sum(round(col("value") * 100).cast("long")).as("cents"),
           countDistinct(col("user_id")).as("users"))
     }),
+    // the demo box read served from a HILBERT-clustered root: the
+    // zone-map prune and residual filter are curve-agnostic, so the
+    // full-scan oracle matching proves the alternative layout loses
+    // no rows; the locality A/B (Hilbert prunes ≤ Morton on a box
+    // workload) is pinned in HilbertKeySpec, where it can be measured
+    "fx_hilbert_box" -> ((s, d) => boxAggOf(s, hilbertRoot(s, d))),
+    // SCHEMA EVOLUTION, pre-compaction: the increment carries a
+    // `score` column the corpus predates — the multi-generation read
+    // schema-merges, null-filling the old files, and the census
+    // aggregates across both schemas; the oracle recomputes score
+    // from scratch with the corpus slice CASE'd to NULL
+    "fx_evolved_census" -> ((s, d) => {
+      val root = evolvedRoot(s, d)
+      val asOf = FileIndexStore.currentSeq(s, root) - 1
+      FileIndexStore.readPairs(s, root,
+          FileIndexStore.livePairsAt(s, root, asOf))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("score")).as("score_sum"),
+          countDistinct(col("user_id")).as("users"))
+    }),
+    // the same census at HEAD, after compaction folded the mixed-
+    // schema generations into one rewritten generation — identical
+    // oracle, so a hash match proves the rewrite carried the evolved
+    // column (and its nulls) instead of amputating it
+    "fx_evolved_compact" -> ((s, d) => {
+      val root = evolvedRoot(s, d)
+      FileIndexStore.readPairs(s, root, FileIndexStore.livePairs(s, root))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("score")).as("score_sum"),
+          countDistinct(col("user_id")).as("users"))
+    }),
+    // METADATA-ONLY table stats: row count + clustered-dimension
+    // min/max folded from the live zone rows — zero data files opened
+    // (pinned in ScanPruningSpec via inputFiles); the oracle
+    // full-scans, so a hash match proves the persisted per-file stats
+    // reconstruct the exact table-level answer across generations
+    "fx_meta_stats" -> ((s, d) =>
+      FileIndexStore.metaStats(s, readyRoot(s, d))),
+    // the same stats on the MERGE-ON-READ erased root: zone rows
+    // still count the erased user's rows (not one data byte moved),
+    // so the metadata fold must re-read exactly the DV-touched files
+    // — the oracle full-scans WHERE user_id <> probe, so a hash match
+    // proves the split fold is exact, including a min/max the erased
+    // key may have held
+    "fx_dv_meta_stats" -> ((s, d) =>
+      FileIndexStore.metaStats(s, dvRoot(s, d))),
+    // the APPEND CHANGE FEED replayed from the beginning of a root
+    // that has been compacted: data-change appends (corpus + the
+    // increment) emit once; the compaction rewrite — which re-
+    // publishes every row — emits NOTHING, so the census equals the
+    // plain full scan instead of doubling
+    "fx_append_feed" -> ((s, d) => {
+      val root = compactedRoot(s, d)
+      // cursor −1 = before the corpus commit (which claims seq 0)
+      FileIndexStore.changeFeed(s, root, -1L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents"),
+          countDistinct(col("user_id")).as("users"))
+    }),
+    // the feed from a MID-TABLE cursor (just after the corpus
+    // commit): exactly the increment's rows, read from only the
+    // increment's files — tailing the table costs O(new data), and
+    // the oracle recomputes the increment slice from scratch
+    "fx_feed_incremental" -> ((s, d) => {
+      val root = compactedRoot(s, d)
+      val (_, apps) = FileIndexStore.appendsSince(root, -1L)
+      FileIndexStore.changeFeed(s, root, apps.head._1)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents"),
+          countDistinct(col("user_id")).as("users"))
+    }),
     // bloom-refined point lookup: only files that pass BOTH the zone
     // range test and the bloom membership test are read — the oracle
     // full-scans on user_id = probe
@@ -1400,6 +1714,61 @@ object ScanPruning extends QueryPack {
          |  round(value * 100)::BIGINT AS cents
          |FROM events CROSS JOIN consts
          |WHERE user_id = probe""".stripMargin,
+    // identical full-scan SQL — the clustering curve must not change
+    // the answer
+    "fx_hilbert_box" ->
+      s"""WITH $constsSql
+         |SELECT event_type, count(*) AS n,
+         |  sum(round(value * 100)::BIGINT)::BIGINT AS cents,
+         |  count(DISTINCT user_id) AS users
+         |FROM events CROSS JOIN consts
+         |WHERE user_id BETWEEN ulo AND uhi
+         |  AND epoch_us(ts) BETWEEN tlo AND thi
+         |GROUP BY 1""".stripMargin,
+    // score recomputed from scratch: the increment slice carries
+    // event_id % 7, the corpus slice is NULL (it predates the column)
+    "fx_evolved_census" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(CASE WHEN event_id % 10 >= 8 THEN event_id % 7 END)::BIGINT
+        |    AS score_sum,
+        |  count(DISTINCT user_id) AS users
+        |FROM events GROUP BY 1""".stripMargin,
+    // identical SQL — compaction must not change the evolved answer
+    "fx_evolved_compact" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(CASE WHEN event_id % 10 >= 8 THEN event_id % 7 END)::BIGINT
+        |    AS score_sum,
+        |  count(DISTINCT user_id) AS users
+        |FROM events GROUP BY 1""".stripMargin,
+    // the full scan the metadata fold must reconstruct exactly
+    "fx_meta_stats" ->
+      """SELECT count(*) AS n,
+        |  min(user_id) AS u_lo, max(user_id) AS u_hi,
+        |  min(epoch_us(ts)) AS t_lo, max(epoch_us(ts)) AS t_hi
+        |FROM events""".stripMargin,
+    // the same stats without the MoR-erased user — the split
+    // metadata/exact fold must land here, min/max included
+    "fx_dv_meta_stats" ->
+      s"""WITH $constsSql
+         |SELECT count(*) AS n,
+         |  min(user_id) AS u_lo, max(user_id) AS u_hi,
+         |  min(epoch_us(ts)) AS t_lo, max(epoch_us(ts)) AS t_hi
+         |FROM events CROSS JOIN consts
+         |WHERE user_id <> probe""".stripMargin,
+    // full census: the feed replay must emit every appended row once
+    // and the compaction rewrite zero times
+    "fx_append_feed" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(round(value * 100)::BIGINT)::BIGINT AS cents,
+        |  count(DISTINCT user_id) AS users
+        |FROM events GROUP BY 1""".stripMargin,
+    // the increment slice recomputed from scratch — the mid-cursor
+    // feed must read exactly these rows
+    "fx_feed_incremental" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(round(value * 100)::BIGINT)::BIGINT AS cents,
+        |  count(DISTINCT user_id) AS users
+        |FROM events WHERE event_id % 10 >= 8 GROUP BY 1""".stripMargin,
     // the same census with the probe user's value CASE'd to the
     // update constant — the update-exactness gate
     "fx_updated_census" ->

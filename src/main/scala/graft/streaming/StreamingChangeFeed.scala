@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import graft.queries.ScanPruning.FileIndexStore
+
+/** Structured-Streaming TAIL of the file index's append change feed —
+  * the source twin of [[StreamingFileMaintenance]]: a `foreachBatch`
+  * glue that turns any trigger stream into exactly-once delivery of
+  * the table's newly appended rows.
+  *
+  * Exactly-once BY A RANGE LEDGER (the Kafka-source offset contract,
+  * re-derived on the manifest): each micro-batch CLAIMS the commit
+  * range (cursor, head] by create-exclusively writing
+  * `b<batchId>.tsv` into its own state dir before emitting; a
+  * replayed batchId — a crash between emit and the checkpoint
+  * commit — finds its claim and re-reads exactly the recorded range,
+  * byte-identical however many commits landed since
+  * ([[FileIndexStore.changeFeedRange]]). The cursor is the max `to`
+  * over all claims, so ranges tile the manifest with no gap and no
+  * overlap. Rewrite commits (compaction, copy-on-write erase/update)
+  * never emit — the append-commit shape test in
+  * [[FileIndexStore.appendsSince]].
+  *
+  * Scale shape: each poll reads ONLY the newly appended generations'
+  * files — tailing a 100 TB table costs O(new data) per batch; the
+  * ledger is one tiny file per micro-batch, prunable below the
+  * checkpoint's committed batch like any source metadata log.
+  *
+  * One state dir per consumer (it IS the consumer's cursor); pair it
+  * with the query's checkpoint — restarting with a fresh checkpoint
+  * but an old state dir would replay claims for restarted batch ids,
+  * which is exactly what the checkpoint contract forbids.
+  */
+object StreamingChangeFeed {
+
+  /** The foreachBatch glue. `emit` receives (appended rows, batchId)
+    * and must be idempotent per batchId — the rows it sees for one id
+    * are identical across replays, so any transactional or
+    * id-deduplicating sink lands each appended row exactly once.
+    * Usage: `ticks.writeStream.foreachBatch(tail(root, stateDir)(emit))
+    * .start()` — the tick stream is only a scheduler. */
+  def tail(root: String, stateDir: String)(
+      emit: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
+    (tick, batchId) => {
+      val s = tick.sparkSession
+      val dir = java.nio.file.Paths.get(stateDir)
+      java.nio.file.Files.createDirectories(dir)
+      val claim = dir.resolve(f"b$batchId%019d.tsv")
+      val (from, to) =
+        if (java.nio.file.Files.exists(claim)) {
+          // replayed batch: re-read the recorded range verbatim
+          val f = new String(
+            java.nio.file.Files.readAllBytes(claim), "UTF-8")
+            .trim.split('\t')
+          (f(0).toLong, f(1).toLong)
+        } else {
+          val cursor = maxClaimedTo(dir)
+          val (head, _) = FileIndexStore.appendsSince(root, cursor)
+          // claim before emit: a crash after the claim replays this
+          // exact range; a crash before it re-claims fresh — either
+          // way the ranges tile with no gap and no overlap
+          val tmp = java.nio.file.Files.createTempFile(dir, ".b", ".tmp")
+          try {
+            java.nio.file.Files.write(tmp,
+              s"$cursor\t$head\n".getBytes("UTF-8"))
+            try java.nio.file.Files.createLink(claim, tmp)
+            catch { case _: java.nio.file.FileAlreadyExistsException => () }
+          } finally java.nio.file.Files.deleteIfExists(tmp)
+          // a racing claim (same batchId from a zombie executor) wrote
+          // the same cursor math or lost — read back the winner
+          val f = new String(
+            java.nio.file.Files.readAllBytes(claim), "UTF-8")
+            .trim.split('\t')
+          (f(0).toLong, f(1).toLong)
+        }
+      emit(FileIndexStore.changeFeedRange(s, root, from, to), batchId)
+    }
+
+  private val ClaimName = """^b(\d{19})\.tsv$""".r
+
+  /** The consumer's cursor: the max `to` across every claim. */
+  private def maxClaimedTo(dir: java.nio.file.Path): Long = {
+    import scala.jdk.CollectionConverters._
+    val stream = java.nio.file.Files.list(dir)
+    val claims =
+      try stream.iterator().asScala.filter(p =>
+        ClaimName.findFirstIn(p.getFileName.toString).isDefined).toVector
+      finally stream.close()
+    if (claims.isEmpty) -1L
+    else claims.map { p =>
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        .trim.split('\t')(1).toLong
+    }.max
+  }
+}

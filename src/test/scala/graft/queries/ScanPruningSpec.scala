@@ -608,4 +608,130 @@ class ScanPruningSpec extends AnyFunSuite {
     assert(bloomSet(ScanPruning.FileIndexStore.bloom(spark, root)) == bloom0,
       "double-appended bloom rows changed the merged bit set")
   }
+
+  test("metadata stats open no data files; DV-touched files re-read exactly") {
+    import spark.implicits._
+    val synth = (0 until 2000).map { i =>
+      val u = (i % 40).toLong
+      (i.toLong, (i.toLong + 5) * 1000000000L, u, "view",
+        (i % 97 + 1) / 100.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val root = ScanPruning.FileIndexStore.buildRootFrom(spark, synth)
+    assert(ScanPruning.FileIndexStore.absorb(spark, root,
+      synth.withColumn("event_id", col("event_id") + 10000L), "inc-1"))
+
+    def statsOf(): (Long, Long, Long, Long, Long) = {
+      val r = ScanPruning.FileIndexStore.metaStats(spark, root).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    }
+
+    // vector-free: the stats frame scans ONLY index state — the
+    // metadata-only-query property, pinned on the physical read set
+    val clean = ScanPruning.FileIndexStore.metaStats(spark, root)
+    assert(clean.inputFiles.nonEmpty &&
+      clean.inputFiles.forall(!_.contains("/data_")),
+      "a metadata-only read opened a data file")
+    assert(statsOf() == (4000L, 0L, 39L, 5000000L, 2004000000L))
+
+    // merge-on-read erase of the MIN user: the zone stats are now
+    // stale on both count and u_lo — the split fold must re-read the
+    // touched files (and only those) and still be exact
+    assert(ScanPruning.FileIndexStore.eraseDv(spark, root, 0L, "dve-1"))
+    val touchedDirs = ScanPruning.FileIndexStore.dv(spark, root)
+      .select(col("inc_id"), col("zbucket")).distinct().collect()
+      .map(r => ScanPruning.FileIndexStore.bucketDir(root,
+        r.getString(0), r.getInt(1)))
+    val after = ScanPruning.FileIndexStore.metaStats(spark, root)
+    // inputFiles are file: URIs; bucketDir is a bare path
+    val dataRead = after.inputFiles.filter(_.contains("/data_"))
+      .map(_.replaceFirst("^file:/+", "/"))
+    assert(dataRead.nonEmpty, "the DV-aware fold must re-read touched files")
+    assert(dataRead.forall(f => touchedDirs.exists(f.startsWith)),
+      "the DV-aware fold read beyond the touched files")
+    // exact vs recompute: user 0 gone, so u_lo moves to 1 and the
+    // min ts moves past user 0's first rows
+    val want = synth.unionByName(
+        synth.withColumn("event_id", col("event_id") + 10000L))
+      .filter(col("user_id") =!= 0L)
+      .agg(count(lit(1)), min(col("user_id")), max(col("user_id")),
+        min(expr("ts div 1000")), max(expr("ts div 1000"))).head()
+    assert(statsOf() == (want.getLong(0), want.getLong(1), want.getLong(2),
+      want.getLong(3), want.getLong(4)),
+      "DV-aware metadata stats disagree with the exact recompute")
+  }
+
+  test("append change feed: exactly-once across restarts; rewrites never re-emit") {
+    import spark.implicits._
+    def mk(base: Long, n: Int) = (0 until n).map { i =>
+      val u = (i % 40).toLong
+      (base + i, (base + i) * 1000000000L, u, "view",
+        (i % 97 + 1) / 100.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    val corpus = mk(0L, 1500)
+    val root = ScanPruning.FileIndexStore.buildRootFrom(spark, corpus)
+    val cursorFile = java.nio.file.Paths.get(root, "feed_cursor")
+    def loadCursor(): Long =
+      if (java.nio.file.Files.exists(cursorFile))
+        new String(java.nio.file.Files.readAllBytes(cursorFile), "UTF-8").toLong
+      else -1L
+    def poll(): Set[Long] = {
+      // rows + next cursor come from ONE manifest snapshot, so a
+      // commit racing in mid-poll lands in the next poll, never lost
+      val (head, rows) =
+        ScanPruning.FileIndexStore.changeFeedState(spark, root, loadCursor())
+      val ids = rows.select(col("event_id")).collect()
+        .map(_.getLong(0)).toSet
+      java.nio.file.Files.write(cursorFile, head.toString.getBytes("UTF-8"))
+      ids
+    }
+
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val first = poll()
+    assert(first == (0L until 1500L).toSet, "feed missed corpus rows")
+    seen ++= first
+
+    assert(ScanPruning.FileIndexStore.absorb(spark, root, mk(10000L, 700),
+      "inc-a"))
+    val second = poll()
+    assert(second == (10000L until 10700L).toSet)
+    seen ++= second
+
+    // maintenance between polls: an absorb then a COW erase — the
+    // erase REWRITES every file that may hold the user (here: all of
+    // them, every synthetic file holds every user), the most
+    // aggressive rewrite commit there is. Only the absorb's rows may
+    // emit — and they emit from the absorb's own (now-dead, not yet
+    // vacuumed) generation, as appended
+    assert(ScanPruning.FileIndexStore.absorb(spark, root, mk(20000L, 700),
+      "inc-b"))
+    assert(ScanPruning.FileIndexStore.erase(spark, root, 7L, "erase-1"))
+    val third = poll()
+    assert(third == (20000L until 20700L).toSet,
+      "a rewrite commit leaked rows into the append feed")
+    seen ++= third
+
+    // restart: the cursor reloads from disk (poll() already re-reads
+    // it each time — this poll IS the restarted consumer), a replayed
+    // absorb is ledger-blocked, and an empty poll emits nothing
+    assert(!ScanPruning.FileIndexStore.absorb(spark, root, mk(20000L, 700),
+      "inc-b"), "replayed absorb landed twice")
+    assert(poll().isEmpty, "an empty poll emitted rows")
+    // an absorb and a compaction land in the same window: the
+    // compaction re-publishes EVERYTHING (erase survivors + inc-c),
+    // yet only inc-c's rows emit
+    assert(ScanPruning.FileIndexStore.absorb(spark, root, mk(30000L, 300),
+      "inc-c"))
+    assert(ScanPruning.FileIndexStore.compact(spark, root).isDefined)
+    val fourth = poll()
+    assert(fourth == (30000L until 30300L).toSet,
+      "the compaction rewrite leaked rows into the append feed")
+    seen ++= fourth
+
+    assert(seen.size == seen.toSet.size, "a row was emitted twice")
+    assert(seen.toSet ==
+      (0L until 1500L).toSet ++ (10000L until 10700L) ++
+        (20000L until 20700L) ++ (30000L until 30300L),
+      "the feed union is not exactly the appended rows")
+  }
 }
