@@ -614,14 +614,19 @@ object ScanPruning extends QueryPack {
           .distinct(),
         bloomPath(root))
       // secondary-column VALUE-DOMAIN stats: the distinct event_types
-      // each file holds, as relational rows — zone maps prune on the
-      // two CLUSTERED dimensions only, so a type-filtered read would
-      // otherwise open every file; a low-cardinality domain list per
-      // file is the dictionary-stats move of production table formats
+      // each file holds, WITH per-type row counts — zone maps prune on
+      // the two CLUSTERED dimensions only, so a type-filtered read
+      // would otherwise open every file; the domain list is the
+      // dictionary-stats move of production table formats, and the
+      // counts riding along make a GROUP BY event_type census a
+      // metadata-only read. Crash-window double appends are
+      // bit-identical rows; reads fold with max per key.
       graft.storage.AstarteStore.appendAtomic(
-        back.select(lit(incId).as("inc_id"),
-            col("zbucket").cast("int").as("zbucket"), col("event_type"))
-          .distinct(),
+        back.groupBy(col("zbucket").cast("int").as("zbucket"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(lit(incId).as("inc_id"), col("zbucket"),
+            col("event_type"), col("n")),
         typesPath(root))
       zoneRows.select(col("zbucket")).collect().map(_.getInt(0)).toSeq.sorted
     }
@@ -1021,6 +1026,57 @@ object ScanPruning extends QueryPack {
       parts.agg(sum(col("n")).as("n"),
         min(col("u_lo")).as("u_lo"), max(col("u_hi")).as("u_hi"),
         min(col("t_lo")).as("t_lo"), max(col("t_hi")).as("t_hi"))
+    }
+
+    /** GROUP BY event_type census served from METADATA: the per-file
+      * type counts folded over live files (max per key collapses
+      * crash-window replays), zero data files opened on a vector-free
+      * table — the group-by twin of [[metaStats]]. Deletion vectors
+      * make the logged counts stale, so the fold splits exactly like
+      * metaStats: untouched files stay metadata-served, DV-touched
+      * files re-read with vectors applied. */
+    def metaTypeCensus(s: SparkSession, root: String): DataFrame = {
+      val touched = dv(s, root).select(col("inc_id"), col("zbucket"))
+        .distinct().collect()
+        .map(r => (r.getString(0), r.getInt(1))).toSeq.sorted
+      val touchedKeys = touched.map { case (g, b) => s"$g#$b" }
+      val metaPart = s.read.parquet(typesPath(root))
+        .join(broadcast(livePairsDf(s, root)), Seq("inc_id", "zbucket"))
+        .groupBy(col("inc_id"), col("zbucket"), col("event_type"))
+        .agg(max(col("n")).as("n"))
+        .filter(if (touchedKeys.isEmpty) lit(true)
+          else !concat_ws("#", col("inc_id"), col("zbucket"))
+            .isin(touchedKeys: _*))
+        .select(col("event_type"), col("n"))
+      val parts =
+        if (touched.isEmpty) metaPart
+        else metaPart.unionByName(
+          readPairs(s, root, touched)
+            .groupBy(col("event_type")).agg(count(lit(1)).as("n")))
+      parts.groupBy(col("event_type")).agg(sum(col("n")).as("n"))
+    }
+
+    /** The commit history as relational rows — DESCRIBE HISTORY for
+      * this table format: one row per manifest version with the
+      * generation it published, its KIND derived from the commit's
+      * own shape (append = live files and nothing retired; rewrite =
+      * retired inputs in the same atomic swap; ledger = bookkeeping
+      * only, e.g. a merge-on-read erase or a no-op replay), and the
+      * file add/remove counts. Control-plane sized: the manifest is
+      * a few rows per commit however big the table. */
+    def history(s: SparkSession, root: String): DataFrame = {
+      import s.implicits._
+      readCommits(root).groupBy(_.mseq).toSeq.sortBy(_._1)
+        .map { case (seq, rows) =>
+          val added = rows.count(_.status == "live")
+          val removed = rows.count(_.status == "dead")
+          val kind =
+            if (removed > 0) "rewrite"
+            else if (added > 0) "append"
+            else "ledger"
+          (seq, rows.head.gen, kind, added.toLong, removed.toLong)
+        }
+        .toDF("mseq", "gen", "kind", "files_added", "files_removed")
     }
 
     // ───────────────────── the append change feed
@@ -1579,6 +1635,62 @@ object ScanPruning extends QueryPack {
     // key may have held
     "fx_dv_meta_stats" -> ((s, d) =>
       FileIndexStore.metaStats(s, dvRoot(s, d))),
+    // GROUP BY event_type census served from METADATA only (the
+    // per-file type counts folded over live files) — the oracle
+    // full-scans, so a hash match proves the logged counts
+    // reconstruct the exact group-by across generations
+    "fx_meta_type_census" -> ((s, d) =>
+      FileIndexStore.metaTypeCensus(s, readyRoot(s, d))),
+    // the same census on the MERGE-ON-READ erased root: logged type
+    // counts still include the erased user's rows, so the fold must
+    // re-read exactly the DV-touched files — oracle full-scans
+    // WHERE user_id <> probe
+    "fx_dv_meta_type_census" -> ((s, d) =>
+      FileIndexStore.metaTypeCensus(s, dvRoot(s, d))),
+    // METADATA-ASSISTED time-range count: files whose time span lies
+    // fully INSIDE the window contribute their zone row count without
+    // being opened; only BOUNDARY files (span straddles a window
+    // edge) are read and residual-filtered. At 100 TB a time-range
+    // count reads the two boundary shells, not the interior — the
+    // oracle recomputes the count by full scan and replays the
+    // containment classification from its own zone stats. The window
+    // is WIDE (5/8 of the time range) so interior files exist at
+    // every SF; user_id stays unconstrained because the demo corpus
+    // has too few distinct users at small SF for u-containment to be
+    // non-degenerate
+    "fx_box_count_meta" -> ((s, d) => {
+      val root = readyRoot(s, d)
+      val l = FileIndexStore.layoutOf(s, root)
+      val (tlo, thi) = (l.tmin + (l.tmax - l.tmin) / 8,
+        l.tmin + 6 * ((l.tmax - l.tmin) / 8))
+      val zone = FileIndexStore.zone(s, root)
+        .select(col("inc_id"), col("zbucket"), col("n"),
+          col("t_lo"), col("t_hi")).collect()
+      def contained(r: org.apache.spark.sql.Row) =
+        r.getLong(3) >= tlo && r.getLong(4) <= thi
+      def intersects(r: org.apache.spark.sql.Row) =
+        !(r.getLong(4) < tlo || r.getLong(3) > thi)
+      val metaN = zone.filter(contained).map(_.getLong(2)).sum
+      val metaFiles = zone.count(contained)
+      val boundary = zone.filter(r => intersects(r) && !contained(r))
+        .map(r => (r.getString(0), r.getInt(1))).toSeq.sorted
+      val boundaryN =
+        if (boundary.isEmpty) 0L
+        else FileIndexStore.readPairs(s, root, boundary)
+          .withColumn("tsu", expr("ts div 1000"))
+          .filter(col("tsu").between(tlo, thi))
+          .count()
+      import s.implicits._
+      Seq((metaN + boundaryN, metaFiles.toLong, boundary.size.toLong))
+        .toDF("n", "meta_files", "boundary_files")
+    }),
+    // DESCRIBE HISTORY of the compacted lifecycle: two appends
+    // (corpus, increment) then one rewrite folding both — the oracle
+    // replays every commit's file add/remove counts from its own
+    // clustering replay, so a hash match proves the manifest recorded
+    // exactly the file movements the layout function dictates
+    "fx_history" -> ((s, d) =>
+      FileIndexStore.history(s, compactedRoot(s, d))),
     // the APPEND CHANGE FEED replayed from the beginning of a root
     // that has been compacted: data-change appends (corpus + the
     // increment) emit once; the compaction rewrite — which re-
@@ -1755,6 +1867,59 @@ object ScanPruning extends QueryPack {
          |  min(epoch_us(ts)) AS t_lo, max(epoch_us(ts)) AS t_hi
          |FROM events CROSS JOIN consts
          |WHERE user_id <> probe""".stripMargin,
+    // every commit's file movements replayed from the clustering:
+    // appends add their slice's distinct buckets; the compaction adds
+    // the union's buckets and retires both inputs' file sets
+    "fx_history" ->
+      s"""WITH $slicesSql,
+         |per AS (
+         |  SELECT inc_id, count(DISTINCT zbucket) AS nb
+         |  FROM slices GROUP BY 1),
+         |allb AS (SELECT count(DISTINCT zbucket) AS nb FROM bucketed)
+         |SELECT 0::BIGINT AS mseq, 'corpus' AS gen, 'append' AS kind,
+         |  (SELECT nb FROM per WHERE inc_id = 'corpus')::BIGINT
+         |    AS files_added,
+         |  0::BIGINT AS files_removed
+         |UNION ALL
+         |SELECT 1::BIGINT, 'inc-1', 'append',
+         |  (SELECT nb FROM per WHERE inc_id = 'inc-1')::BIGINT, 0::BIGINT
+         |UNION ALL
+         |SELECT 2::BIGINT, 'compact-0', 'rewrite',
+         |  (SELECT nb FROM allb)::BIGINT,
+         |  (SELECT sum(nb) FROM per)::BIGINT""".stripMargin,
+    // the full-scan group-by the metadata type counts must reconstruct
+    "fx_meta_type_census" ->
+      """SELECT event_type, count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+    // the same group-by without the MoR-erased user
+    "fx_dv_meta_type_census" ->
+      s"""WITH $constsSql
+         |SELECT event_type, count(*) AS n
+         |FROM events CROSS JOIN consts
+         |WHERE user_id <> probe
+         |GROUP BY 1""".stripMargin,
+    // count by full scan; containment classification replayed from
+    // the oracle's own zone stats — meta_files > 0 is implicitly
+    // pinned by the hash (the wide box always contains interior
+    // files at the demo SFs)
+    "fx_box_count_meta" ->
+      s"""WITH $slicesSql,
+         |wbox AS (
+         |  SELECT tmin + (tmax - tmin) // 8 AS wtlo,
+         |    tmin + 6 * ((tmax - tmin) // 8) AS wthi
+         |  FROM bounds),
+         |cls AS (
+         |  SELECT z.*, CASE
+         |    WHEN z.t_lo >= w.wtlo AND z.t_hi <= w.wthi THEN 'meta'
+         |    WHEN z.t_hi < w.wtlo OR z.t_lo > w.wthi THEN 'skip'
+         |    ELSE 'boundary' END AS c
+         |  FROM zstats z CROSS JOIN wbox w)
+         |SELECT
+         |  (SELECT count(*) FROM events CROSS JOIN wbox w
+         |    WHERE epoch_us(ts) BETWEEN w.wtlo AND w.wthi) AS n,
+         |  (SELECT count(*) FROM cls WHERE c = 'meta') AS meta_files,
+         |  (SELECT count(*) FROM cls WHERE c = 'boundary')
+         |    AS boundary_files""".stripMargin,
     // full census: the feed replay must emit every appended row once
     // and the compaction rewrite zero times
     "fx_append_feed" ->

@@ -41,7 +41,49 @@ class FileIndexSoakSpec extends AnyFunSuite {
     def df(rows: Seq[(Long, Long, Long, String, Double, String)]) =
       rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
 
-    val root = ScanPruning.FileIndexStore.buildRootFrom(spark, df(slice(120)))
+    val firstSlice = slice(120)
+    val root = ScanPruning.FileIndexStore.buildRootFrom(spark, df(firstSlice))
+
+    // the append change feed tails the same lifecycle: every absorbed
+    // row must arrive exactly once however the maintenance interleaves
+    var appended = firstSlice.map(_._1).toSet
+    var feedCursor = -1L
+    val feedSeen = scala.collection.mutable.Set.empty[Long]
+    def pollFeed(tag: String): Unit = {
+      val (head, rows) = ScanPruning.FileIndexStore
+        .changeFeedState(spark, root, feedCursor)
+      val ids = rows.select(col("event_id")).collect().map(_.getLong(0))
+      assert(ids.length == ids.distinct.length,
+        s"feed emitted a duplicate within one poll after $tag")
+      ids.foreach { id =>
+        assert(!feedSeen.contains(id),
+          s"feed re-emitted row $id after $tag")
+        feedSeen += id
+      }
+      feedCursor = head
+    }
+
+    def checkMeta(tag: String): Unit = {
+      // metadata-only stats must track the model through every op mix
+      // (DV erases leave stale zone counts; the split fold hides that)
+      val r = ScanPruning.FileIndexStore.metaStats(spark, root).head()
+      assert(r.getLong(0) == model.size.toLong,
+        s"metaStats row count diverged after $tag")
+      if (model.nonEmpty) {
+        assert(r.getLong(1) == model.values.map(_._1).min &&
+          r.getLong(2) == model.values.map(_._1).max,
+          s"metaStats user bounds diverged after $tag")
+        assert(r.getLong(3) == model.keys.min * 1000000L &&
+          r.getLong(4) == model.keys.max * 1000000L,
+          s"metaStats time bounds diverged after $tag")
+      }
+      val census = ScanPruning.FileIndexStore.metaTypeCensus(spark, root)
+        .collect().map(r2 => r2.getString(0) -> r2.getLong(1)).toMap
+      val want =
+        if (model.isEmpty) Map.empty[String, Long]
+        else Map("view" -> model.size.toLong)
+      assert(census == want, s"metaTypeCensus diverged after $tag")
+    }
 
     def check(tag: String): Unit = {
       // the DV-aware read path — merge-on-read erasures must be
@@ -68,6 +110,7 @@ class FileIndexSoakSpec extends AnyFunSuite {
           val rows = slice(30 + rng.nextInt(40))
           assert(ScanPruning.FileIndexStore.absorb(
             spark, root, df(rows), s"inc-$opN"))
+          appended ++= rows.map(_._1)
           check(s"absorb inc-$opN")
         case 2 => // keyed update to a fresh constant
           val u = rng.nextInt(Users.toInt).toLong
@@ -100,6 +143,9 @@ class FileIndexSoakSpec extends AnyFunSuite {
           model = model.filter { case (_, (mu, _)) => mu != u }
           check(s"eraseDv u=$u dve-$opN")
       }
+      // the feed tails every op; metadata stats re-check every third
+      pollFeed(s"op $opN")
+      if (opN % 3 == 0) checkMeta(s"op $opN")
       // replay an already-used publish id occasionally: must be a
       // ledger no-op whatever the original op was ("corpus" is always
       // in the ledger from the initial build)
@@ -111,5 +157,11 @@ class FileIndexSoakSpec extends AnyFunSuite {
       }
     }
     assert(model.nonEmpty, "soak erased everything — weak coverage")
+    pollFeed("final")
+    assert(feedSeen.toSet == appended,
+      s"the feed union is not exactly the appended rows " +
+        s"(missing ${(appended -- feedSeen).size}, " +
+        s"extra ${(feedSeen.toSet -- appended).size})")
+    checkMeta("final")
   }
 }
