@@ -180,4 +180,59 @@ class TwoJvmFileIndexSoakSpec extends AnyFunSuite {
       .agg(sum(col("n"))).head().getLong(0)
     assert(total == wantIds.size.toLong, s"zone census $total")
   }
+
+  test("the append feed tails cross-process absorbs exactly once; vacuum trails the cursor") {
+    import spark.implicits._
+    def synth(ids: Range) = ids.map { i =>
+      (i.toLong, (i % 2000).toLong * 1000000000L, (i % 50).toLong,
+        "view", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    val logDir = Files.createTempDirectory("graft-fx2jvmf").toString
+    val root = ScanPruning.FileIndexStore.buildRootFrom(
+      spark, synth(0 until 500))
+    val nAbs = 3; val rowsPer = 100
+
+    // the parent TAILS the feed while two child JVMs absorb — the
+    // cross-process visibility claims: a half-published generation
+    // (data written, manifest commit pending) never leaks into a
+    // poll, and the single-snapshot cursor never skips a commit that
+    // landed mid-poll
+    val c1 = launchChild(root, "w1", nAbs, rowsPer, 10000L, logDir)
+    val c2 = launchChild(root, "w2", nAbs, rowsPer, 20000L, logDir)
+    var cursor = -1L
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def poll(): Unit = {
+      val (head, rows) =
+        ScanPruning.FileIndexStore.changeFeedState(spark, root, cursor)
+      seen ++= rows.select(col("event_id")).collect().map(_.getLong(0))
+      cursor = head
+    }
+    while (c1.isAlive || c2.isAlive) { poll(); Thread.sleep(50) }
+    assert(c1.waitFor() == 0, s"child w1 crashed — see $logDir/w1.out")
+    assert(c2.waitFor() == 0, s"child w2 crashed — see $logDir/w2.out")
+    poll() // drain the tail
+
+    val wantIds = ((0 until 500).map(_.toLong) ++
+      (for (base <- Seq(10000, 20000); k <- 0 until nAbs * rowsPer)
+        yield (base + k).toLong)).toSet
+    assert(seen.size == seen.toSet.size,
+      "the cross-process feed emitted a row twice")
+    assert(seen.toSet == wantIds,
+      s"feed union diverged (missing ${(wantIds -- seen).size}, " +
+        s"extra ${(seen.toSet -- wantIds).size})")
+
+    // a compaction AFTER the drain re-publishes everything — the
+    // feed must emit nothing for it...
+    assert(ScanPruning.FileIndexStore.compact(spark, root).isDefined)
+    poll()
+    assert(seen.size == wantIds.size,
+      "the compaction rewrite leaked rows into the feed")
+    // ...and once the cursor is past the appends, vacuum may destroy
+    // the retired generations without breaking the consumer — the
+    // retention contract: vacuum must trail the slowest cursor
+    ScanPruning.FileIndexStore.vacuum(spark, root)
+    poll()
+    assert(seen.size == wantIds.size, "post-vacuum poll emitted rows")
+  }
 }
