@@ -1096,10 +1096,15 @@ object ScanPruning extends QueryPack {
       * a commit landing mid-read is never skipped. */
     private[graft] def appendsSince(root: String,
         fromSeq: Long): (Long, Seq[(Long, String, Seq[Int])]) = {
-      val commits = readCommits(root)
+      // suffix read only: a poll parses the commits PAST the cursor,
+      // never the table's whole history — tailing stays O(new
+      // commits) however old the table (the checkpoint discipline's
+      // feed-side twin; commit kind needs no folded state, it derives
+      // from each commit's own rows)
+      val commits = readCommitsAfter(root, fromSeq)
       val head = commits.iterator.map(_.mseq).maxOption.getOrElse(fromSeq)
       val apps = commits.groupBy(_.mseq).toSeq.sortBy(_._1)
-        .collect { case (seq, rows) if seq > fromSeq &&
+        .collect { case (seq, rows) if
             !rows.exists(_.status == "dead") &&
             rows.exists(_.status == "live") =>
           (seq, rows.head.gen,
