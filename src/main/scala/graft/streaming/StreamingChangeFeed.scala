@@ -78,18 +78,24 @@ object StreamingChangeFeed {
 
   private val ClaimName = """^b(\d{19})\.tsv$""".r
 
-  /** The consumer's cursor: the max `to` across every claim. */
+  /** The consumer's cursor. Ranges tile monotonically (each claim's
+    * `from` is the previous claim's `to`, and batches are claimed in
+    * order by one streaming query), so the NEWEST claim alone carries
+    * the cursor — one file read per batch, not O(batches); the
+    * listing itself is the only per-batch directory cost, and claims
+    * below the checkpoint's committed batch are prunable like any
+    * source metadata log. */
   private def maxClaimedTo(dir: java.nio.file.Path): Long = {
     import scala.jdk.CollectionConverters._
     val stream = java.nio.file.Files.list(dir)
-    val claims =
+    val newest =
       try stream.iterator().asScala.filter(p =>
-        ClaimName.findFirstIn(p.getFileName.toString).isDefined).toVector
+        ClaimName.findFirstIn(p.getFileName.toString).isDefined)
+        .maxByOption(_.getFileName.toString)
       finally stream.close()
-    if (claims.isEmpty) -1L
-    else claims.map { p =>
+    newest.fold(-1L) { p =>
       new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
         .trim.split('\t')(1).toLong
-    }.max
+    }
   }
 }
