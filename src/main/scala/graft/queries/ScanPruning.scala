@@ -137,8 +137,10 @@ object ScanPruning extends QueryPack {
   /** File assignment: under prefix bucketing the layout's top
     * 2·pbits key bits (a plain integral divide); under range
     * bucketing the searchsorted position among the persisted split
-    * points — a short chain of literal comparisons, fully codegen'd,
-    * replayed identically by every writer from the layout state. */
+    * points — a linear chain of literal comparisons (≤ 255 at the
+    * deepest prefix), fully codegen'd and branch-predictable on the
+    * WRITE path only, replayed identically by every writer from the
+    * layout state. */
   private def zbucketExprOf(l: Layout): String =
     if (l.splits.isEmpty) s"cast(zkey div ${l.zdiv}L as int)"
     else "cast(" + l.splits.map(sp =>
