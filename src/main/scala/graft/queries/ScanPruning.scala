@@ -254,34 +254,46 @@ object ScanPruning extends QueryPack {
       val pb = forcedPbits.getOrElse(pbitsOf(b.getLong(4)))
       val l0 = Layout(b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3),
         pb, curve)
-      import s.implicits._
-      val l =
-        if (!rangeBucketed) l0
-        else {
-          // equal-count curve segments: one distributed quantile pass
-          // over the corpus keys (approx is fine — split points are
-          // persisted state, never replayed by the oracle), deduped in
-          // case skew collapses neighbors
-          val nb = l0.buckets
-          val probes = (1 until nb).map(_.toDouble / nb).toArray
-          val sp = codesOf(corpus, l0).stat
-            .approxQuantile("zkey", probes, 0.001)
-            .map(_.toLong).distinct.sorted.toSeq
-          l0.copy(splits = sp)
-        }
-      if (l.splits.nonEmpty)
-        graft.storage.AstarteStore.appendAtomic(
-          l.splits.zipWithIndex
-            .map { case (sp, i) => (i, sp, "layout") }
-            .toDF("pos", "split", "inc_id"),
-          splitsPath(root))
-      graft.storage.AstarteStore.appendAtomic(
-        Seq((l.umin, l.umax, l.tmin, l.tmax, l.pbits, l.curve, "layout"))
-          .toDF("umin", "umax", "tmin", "tmax", "pbits", "curve", "inc_id"),
-        boundsPath(root))
+      val l = if (!rangeBucketed) l0
+        else l0.copy(splits = deriveSplits(corpus, l0))
+      persistLayout(s, root, l, 0L)
       val buckets = writeAndIndex(s, root, corpus, "corpus", l)
       publish(root, "corpus", buckets, Nil, 0L)
       root
+    }
+
+    /** Equal-count curve segments: one distributed quantile pass over
+      * the frame's keys (approx is fine — split points are persisted
+      * state, never replayed by the oracle), deduped in case skew
+      * collapses neighbors. */
+    private def deriveSplits(data: DataFrame, l: Layout): Seq[Long] = {
+      val nb = l.buckets
+      val probes = (1 until nb).map(_.toDouble / nb).toArray
+      codesOf(data, l).stat
+        .approxQuantile("zkey", probes, 0.001)
+        .map(_.toLong).distinct.sorted.toSeq
+    }
+
+    /** Persist one layout VERSION (bounds row + its split points,
+      * both stamped `v`). The layout store is append-only like
+      * everything else: readers take the newest version, and a
+      * replayed append is bit-identical content under a possibly
+      * different stamp — latest-wins folds make that harmless. */
+    private def persistLayout(s: SparkSession, root: String, l: Layout,
+        v: Long): Unit = {
+      import s.implicits._
+      if (l.splits.nonEmpty)
+        graft.storage.AstarteStore.appendAtomic(
+          l.splits.zipWithIndex
+            .map { case (sp, i) => (i, sp, v, "layout") }
+            .toDF("pos", "split", "v", "inc_id"),
+          splitsPath(root))
+      graft.storage.AstarteStore.appendAtomic(
+        Seq((l.umin, l.umax, l.tmin, l.tmax, l.pbits, l.curve,
+            l.splits.size, v, "layout"))
+          .toDF("umin", "umax", "tmin", "tmax", "pbits", "curve",
+            "nsplits", "v", "inc_id"),
+        boundsPath(root))
     }
 
     // ─────────────────────── the optimistic manifest commit log
@@ -547,16 +559,19 @@ object ScanPruning extends QueryPack {
     /** The persisted layout constants — a 1-row control-plane read;
       * max-fold makes a replayed bounds append harmless (replays are
       * bit-identical). */
+    /** The persisted layout — the NEWEST version (a migration appends
+      * a fresh bounds row; the original build is version 0). Both
+      * reads are 1-row/control-plane sized; the per-pos max fold on
+      * the splits collapses replayed bit-identical appends. */
     def layoutOf(s: SparkSession, root: String): Layout = {
       val r = s.read.parquet(boundsPath(root))
-        .agg(max(col("umin")), max(col("umax")),
-          max(col("tmin")), max(col("tmax")), max(col("pbits")),
-          max(col("curve")))
-        .head()
+        .orderBy(col("v").desc).limit(1).head()
+      val nsplits = r.getInt(6)
+      val v = r.getLong(7)
       val splits =
-        if (!java.nio.file.Files.isDirectory(
-            java.nio.file.Paths.get(splitsPath(root)))) Nil
+        if (nsplits == 0) Nil
         else s.read.parquet(splitsPath(root))
+          .filter(col("v") === v)
           .groupBy(col("pos")).agg(max(col("split")).as("split"))
           .orderBy(col("pos"))
           .collect().map(_.getLong(1)).toSeq
@@ -752,6 +767,42 @@ object ScanPruning extends QueryPack {
         if (commitNext(root, newGen, buckets, pairs)) Some(newGen) else None
       } catch { case _: CommitConflict => None }
     }
+
+    /** LAYOUT MIGRATION — re-OPTIMIZE the table onto a different
+      * space-filling curve and/or bucketing (the "change the Z-order
+      * columns" maintenance move of production table formats): every
+      * live generation rewrites re-clustered under the NEW layout
+      * (deletion vectors fold in like compaction), the swap lands in
+      * one atomic manifest commit, and the new layout version
+      * persists append-only (latest-wins) so every later absorb
+      * clusters under it. The layout is ADVISORY for writes only —
+      * readers address files through the manifest and prune through
+      * each file's own zone rows — so every crash window is benign:
+      * layout persisted but rewrite unpublished (absorbs cluster new
+      * data under the new curve, old generations stay as they were,
+      * reads correct throughout) or rewrite orphaned (invisible, the
+      * retry overwrites it). Ledgered and conflict-aborting like
+      * compaction; schedule one migrator per root. Range split points
+      * re-derive from the CURRENT data, not the original corpus. */
+    def migrate(s: SparkSession, root: String, toCurve: String,
+        rangeBucketed: Boolean, migrateId: String): Boolean =
+      optimistically(migrateId) {
+        if (absorbedIds(s, root).contains(migrateId)) false
+        else {
+          val old = layoutOf(s, root)
+          val pairs = livePairs(s, root)
+          val union = readPairs(s, root, pairs)
+          // two passes over the live set (quantiles, then the
+          // clustered write) — re-scanning is the right cost at scale;
+          // materializing the whole table to save one scan is not
+          val data = union.select(dataColsOf(union).map(col): _*)
+          var l = old.copy(curve = toCurve, splits = Nil)
+          if (rangeBucketed) l = l.copy(splits = deriveSplits(data, l))
+          persistLayout(s, root, l, currentSeq(s, root) + 1)
+          val buckets = writeAndIndex(s, root, data, migrateId, l)
+          commitNext(root, migrateId, buckets, pairs)
+        }
+      }
 
     /** Copy-on-write keyed UPDATE — the MERGE/upsert write path on
       * the same mechanism as [[erase]]: zone+bloom prune the rewrite
@@ -1262,6 +1313,26 @@ object ScanPruning extends QueryPack {
       root
     })
 
+  private val migratedRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** A root that LIVED on Morton-prefix clustering, migrated to
+    * Hilbert + range mid-life, then absorbed another increment under
+    * the new layout — the full re-OPTIMIZE lifecycle. The two
+    * increments are the halves of the standard increment slice. */
+  private def migratedRoot(s: SparkSession, d: String): String =
+    migratedRoots.computeIfAbsent(d, _ => {
+      val root = FileIndexStore.buildRoot(s, d)
+      val inc = incrementEvents(s, d)
+      FileIndexStore.absorb(s, root,
+        inc.filter(col("event_id") % 10 === 8), "inc-8")
+      FileIndexStore.migrate(s, root, "hilbert", rangeBucketed = true,
+        "migrate-1")
+      FileIndexStore.absorb(s, root,
+        inc.filter(col("event_id") % 10 === 9), "inc-9")
+      root
+    })
+
   private val evolvedRoots =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -1596,6 +1667,12 @@ object ScanPruning extends QueryPack {
           sum(round(col("value") * 100).cast("long")).as("cents"),
           countDistinct(col("user_id")).as("users"))
     }),
+    // the demo box read after a LAYOUT MIGRATION mid-life: built on
+    // Morton prefixes, re-OPTIMIZEd onto Hilbert + range bucketing,
+    // then grown by a post-migration absorb that clusters under the
+    // new layout — the full-scan oracle matching proves the migration
+    // swap and the mixed-layout lifecycle lose no rows
+    "fx_migrated_box" -> ((s, d) => boxAggOf(s, migratedRoot(s, d))),
     // the demo box read served from a HILBERT-clustered root: the
     // zone-map prune and residual filter are curve-agnostic, so the
     // full-scan oracle matching proves the alternative layout loses
@@ -1833,6 +1910,17 @@ object ScanPruning extends QueryPack {
          |  round(value * 100)::BIGINT AS cents
          |FROM events CROSS JOIN consts
          |WHERE user_id = probe""".stripMargin,
+    // identical full-scan SQL — a mid-life layout migration must not
+    // change the answer
+    "fx_migrated_box" ->
+      s"""WITH $constsSql
+         |SELECT event_type, count(*) AS n,
+         |  sum(round(value * 100)::BIGINT)::BIGINT AS cents,
+         |  count(DISTINCT user_id) AS users
+         |FROM events CROSS JOIN consts
+         |WHERE user_id BETWEEN ulo AND uhi
+         |  AND epoch_us(ts) BETWEEN tlo AND thi
+         |GROUP BY 1""".stripMargin,
     // identical full-scan SQL — the clustering curve must not change
     // the answer
     "fx_hilbert_box" ->

@@ -609,6 +609,56 @@ class ScanPruningSpec extends AnyFunSuite {
       "double-appended bloom rows changed the merged bit set")
   }
 
+  test("layout migration re-clusters atomically; later absorbs follow the new layout") {
+    import spark.implicits._
+    // skewed users so the range re-bucketing has something to balance
+    val synth = (0 until 8192).map { i =>
+      val r = ((i * 2654435761L >>> 8) % 1000000L).toDouble / 1000000.0
+      val u = (r * r * r * 1024).toLong
+      (i.toLong, (i.toLong % 3000) * 1000000000L, u, "view",
+        (i % 97 + 1) / 100.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val root = ScanPruning.FileIndexStore.buildRootFrom(spark, synth,
+      forcedPbits = Some(3))
+    assert(ScanPruning.FileIndexStore.absorb(spark, root,
+      synth.withColumn("event_id", col("event_id") + 10000L), "inc-1"))
+    assert(ScanPruning.FileIndexStore.layoutOf(spark, root).curve == "z")
+
+    def allIds(): Set[Long] = ScanPruning.FileIndexStore
+      .readPairs(spark, root, ScanPruning.FileIndexStore
+        .livePairs(spark, root))
+      .select(col("event_id")).collect().map(_.getLong(0)).toSet
+    val before = allIds()
+
+    assert(ScanPruning.FileIndexStore.migrate(spark, root, "hilbert",
+      rangeBucketed = true, "migrate-1"))
+    assert(!ScanPruning.FileIndexStore.migrate(spark, root, "hilbert",
+      rangeBucketed = true, "migrate-1"), "replayed migration re-ran")
+
+    // the new layout is active and persisted; the old generations are
+    // gone from the live set; not a row moved logically
+    val l = ScanPruning.FileIndexStore.layoutOf(spark, root)
+    assert(l.curve == "hilbert" && l.splits.nonEmpty)
+    val liveGens = ScanPruning.FileIndexStore
+      .livePairs(spark, root).map(_._1).distinct
+    assert(liveGens == Seq("migrate-1"),
+      s"migration left old generations live: $liveGens")
+    assert(allIds() == before, "migration changed the logical table")
+
+    // range bucketing balanced the skew the prefix layout could not
+    val rows = ScanPruning.FileIndexStore.zone(spark, root)
+      .select(col("n")).collect().map(_.getLong(0))
+    assert(rows.max <= 2L * (16384L / rows.length),
+      s"migrated buckets unbalanced: ${rows.sorted.reverse.take(4).toSeq}")
+
+    // a post-migration absorb clusters under the NEW layout (its keys
+    // route through the persisted split points) and reads compose
+    assert(ScanPruning.FileIndexStore.absorb(spark, root,
+      synth.withColumn("event_id", col("event_id") + 20000L), "inc-2"))
+    assert(allIds() == before ++ (0L until 8192L).map(_ + 20000L),
+      "post-migration absorb diverged")
+  }
+
   test("metadata stats open no data files; DV-touched files re-read exactly") {
     import spark.implicits._
     val synth = (0 until 2000).map { i =>
