@@ -98,7 +98,15 @@ object Bench {
     // 20%+ between rounds. The warm-up also pays codegen compilation
     // and parquet footer first-touch, so the timed region measures
     // steady-state latency only.
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+    // Optional comma-separated name-prefix filter for micro-bench
+    // iteration (e.g. SPARK_GRAFT_BENCH_PREFIXES=dd_incremental,fx_).
+    // Unset (the driver's case) = the full suite, unchanged.
+    val prefixes = sys.env.get("SPARK_GRAFT_BENCH_PREFIXES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      prefixes.forall(_.exists(n.startsWith))
+    }
+    selected.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     // CONSECUTIVE timed runs per query, first run discarded. Two
@@ -120,7 +128,7 @@ object Bench {
     // --key). Per-query 1-min loadavg makes a loaded entry
     // attributable, not just a loaded run.
     val loadavgOf = () => readLoadavg().split(",").headOption.getOrElse("")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val load = loadavgOf()
       val times = (1 to 6).map { _ =>
         val t0 = System.nanoTime()
@@ -145,7 +153,9 @@ object Bench {
       s"\"" + t._1 + "\":\"" + t._4 + "\""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val eps = try math.round(ingestEps(spark, sfDir)) catch { case _: Throwable => -1L }
+    val eps =
+      if (prefixes.isDefined) -1L // filtered micro-bench: skip ingest
+      else try math.round(ingestEps(spark, sfDir)) catch { case _: Throwable => -1L }
     val wall = (System.nanoTime() - wallT0) / 1e9
     // host-load snapshots: wall_sec alone can't tell a loaded box
     // from a code regression — record 1/5/15-min loadavg at both ends

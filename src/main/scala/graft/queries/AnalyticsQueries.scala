@@ -756,7 +756,11 @@ object AnalyticsQueries extends QueryPack {
     // per-seed row explosion, one md5 per shingle. 2 bands of 4 →
     // bucket join within (lang, band): O(n²) only inside buckets.
     "dd_minhash_lsh" -> ((s, d) => {
-      val seedKeys = MinhashSeeds.keys
+      // fixed (2, 4) banding needs exactly the first 8 seeds — the
+      // shared table carries 24 for the largest data-scaled tier, and
+      // aggregating the unused 16 would double this query's signature
+      // cost for nothing
+      val seedKeys = MinhashSeeds.keys.take(8)
       val docs = Tables.documents(s, d)
       val shingled = docs
         .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tk"))
@@ -1255,7 +1259,11 @@ object AnalyticsQueries extends QueryPack {
           conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("h"))
         .distinct()
         .cache()
-      val mhCols = MinhashSeeds.keys.zipWithIndex.map { case (k, i) =>
+      // first 8 seeds only: this estimator is DEFINED over the fixed
+      // (2, 4) scheme's 8 permutations, and `minhashes` is cached —
+      // aggregating the 16 unused seeds would materialize 24 columns
+      // in the cache for an 8-column consumer
+      val mhCols = MinhashSeeds.keys.take(8).zipWithIndex.map { case (k, i) =>
         min(expr(s"h ^ ${k}L")).as(s"mh$i")
       }
       // one row per doc (8 longs): cached because THREE consumers read

@@ -122,14 +122,23 @@ object IncrementalDedup extends QueryPack {
     /** The persisted (bands, rowsPerBand) — a 1-row control-plane
       * read; max-fold absorbs a replayed append. Roots predating the
       * scaled scheme (specs that append signature/band frames
-      * directly) default to the historical (2, 4). */
-    def banding(s: SparkSession, root: String): (Int, Int) = {
-      if (!java.nio.file.Files.isDirectory(
-          java.nio.file.Paths.get(bandingPath(root)))) return (2, 4)
-      val r = s.read.parquet(bandingPath(root))
-        .agg(max(col("bands")), max(col("rows"))).head()
-      (r.getInt(0), r.getInt(1))
-    }
+      * directly) default to the historical (2, 4). The scheme is
+      * immutable once written (the whole point of persisting it), so
+      * the read is memoized per root — a serve query pays zero
+      * banding-lookup jobs after the first touch. */
+    private val bandings =
+      new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
+
+    def banding(s: SparkSession, root: String): (Int, Int) =
+      bandings.computeIfAbsent(root, _ => {
+        if (!java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get(bandingPath(root)))) (2, 4)
+        else {
+          val r = s.read.parquet(bandingPath(root))
+            .agg(max(col("bands")), max(col("rows"))).head()
+          (r.getInt(0), r.getInt(1))
+        }
+      })
 
     /** Merge-on-read component labels. Labels are a MONOID UNDER MIN:
       * a doc's component min-id can only DECREASE as edges arrive
@@ -243,18 +252,36 @@ object IncrementalDedup extends QueryPack {
       corpusBands: DataFrame, corpusArrs: DataFrame,
       banding: (Int, Int) = (2, 4)): DataFrame = {
     // the increment MUST band under the corpus's persisted scheme —
-    // store-backed callers pass SignatureStore.banding(s, root)
+    // store-backed callers pass SignatureStore.banding(s, root).
+    // Materialized eagerly: the cap's hot-key count plus BOTH
+    // candidate legs (the corpus probe and each side of the
+    // within-increment self-join) consume this frame, and uncached
+    // each consumer would recompute the bands×rows minhash transform
+    // over the increment's shingle arrays — the whole signature cost
+    // ×4 per serve (measured as the dd_incremental regression when
+    // the sf0.1 scheme grew from 8 to 15 seeds). Increment-sized, so
+    // the checkpoint is a few rows per doc.
     val incBands = graft.operators.BoundedBuckets.cap(
-      DedupPipeline.bandsOf(incArrs, banding._1, banding._2),
+      DedupPipeline.bandsOf(incArrs, banding._1, banding._2)
+        .localCheckpoint(true),
       Seq("band_key"), tag = "dd_incr_inc_bands")
     // candidates: increment bands vs persisted corpus bands (never a
     // corpus self-join), plus the increment's own banded self-join
-    // oriented larger-judged-against-smaller
-    val candCorpus = incBands
+    // oriented larger-judged-against-smaller. The increment is
+    // usually the small side (a crawl batch vs the whole corpus);
+    // when a count over the already-checkpointed band frame confirms
+    // it, the increment broadcasts EXPLICITLY — the corpus band scan
+    // stays map-side with no Exchange below it and planning skips
+    // the per-join AQE size-discovery round. A genuinely large
+    // increment keeps the plain join and lets AQE pick the strategy.
+    val incIsSmall = incBands.count() <= 1000000L
+    def small(df: DataFrame): DataFrame =
+      if (incIsSmall) broadcast(df) else df
+    val candCorpus = small(incBands)
       .join(corpusBands.select(col("doc_id").as("other_id"), col("band_key")),
         Seq("band_key"))
       .select(col("doc_id"), col("other_id"), lit(false).as("other_inc"))
-    val candInc = incBands.as("a")
+    val candInc = small(incBands.as("a"))
       .join(incBands.as("b"),
         col("a.band_key") === col("b.band_key") &&
         col("b.doc_id") < col("a.doc_id"))
