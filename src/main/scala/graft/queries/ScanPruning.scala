@@ -210,6 +210,7 @@ object ScanPruning extends QueryPack {
     }
 
     def zonePath(root: String): String = s"$root/index_zone"
+    def schemaPath(root: String): String = s"$root/index_schema"
     def splitsPath(root: String): String = s"$root/index_splits"
     def bloomPath(root: String): String = s"$root/index_bloom"
     def boundsPath(root: String): String = s"$root/index_bounds"
@@ -614,11 +615,20 @@ object ScanPruning extends QueryPack {
         .write.mode("overwrite").partitionBy("zbucket").parquet(path)
       val back = s.read.parquet(path)
         .withColumn("tsu", expr("ts div 1000"))
+      // per-file min/max for the numeric `value` column ride along in
+      // the same read-back aggregation: zone maps prune on the two
+      // CLUSTERED dimensions, but `value` is a hot filter column and
+      // a range predicate on it would otherwise open every file —
+      // the plain column-statistics move of production table formats.
+      // The bound is conservative by construction (a file is skipped
+      // only when its whole [v_lo, v_hi] misses the predicate), so
+      // deletion vectors can only make it LOOSER, never wrong.
       val zoneRows =
         back.groupBy(col("zbucket").cast("int").as("zbucket"))
           .agg(count(lit(1)).as("n"),
             min(col("user_id")).as("u_lo"), max(col("user_id")).as("u_hi"),
-            min(col("tsu")).as("t_lo"), max(col("tsu")).as("t_hi"))
+            min(col("tsu")).as("t_lo"), max(col("tsu")).as("t_hi"),
+            min(col("value")).as("v_lo"), max(col("value")).as("v_hi"))
           .withColumn("inc_id", lit(incId))
           .localCheckpoint(true) // index-sized; scanned for append + buckets
       graft.storage.AstarteStore.appendAtomic(zoneRows, zonePath(root))
@@ -645,7 +655,54 @@ object ScanPruning extends QueryPack {
           .select(lit(incId).as("inc_id"), col("zbucket"),
             col("event_type"), col("n")),
         typesPath(root))
+      // PERSISTED DATA SCHEMA: one row per generation with the
+      // written frame's data schema as json. Evolved multi-generation
+      // reads project from the UNION of the live generations' logged
+      // schemas instead of parquet `mergeSchema` — the same
+      // information without the O(files) footer reads at plan time
+      // (the merged-schema-in-the-manifest move of production table
+      // formats). Crash-window double appends are bit-identical rows;
+      // reads fold with max per generation.
+      locally {
+        import s.implicits._
+        val dataSchema = org.apache.spark.sql.types.StructType(
+          back.schema.fields
+            .filterNot(f => f.name == "zbucket" || f.name == "tsu")
+            .map(_.copy(nullable = true)))
+        graft.storage.AstarteStore.appendAtomic(
+          Seq((incId, dataSchema.json)).toDF("inc_id", "schema_json"),
+          schemaPath(root))
+      }
       zoneRows.select(col("zbucket")).collect().map(_.getInt(0)).toSeq.sorted
+    }
+
+    /** The union DATA schema of a set of generations, served from the
+      * per-generation schema log: canonical columns first, evolved
+      * extras after in name order (the [[dataColsOf]] discipline),
+      * every field nullable (a generation predating a column
+      * null-fills it, exactly like a footer merge). None when some
+      * generation has no logged schema (a root populated outside
+      * [[writeAndIndex]]) — callers fall back to `mergeSchema`. */
+    private[graft] def mergedSchemaFor(s: SparkSession, root: String,
+        gens: Seq[String]): Option[org.apache.spark.sql.types.StructType] = {
+      import org.apache.spark.sql.types.{DataType, StructType, StructField}
+      if (!java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(schemaPath(root)))) return None
+      val want = gens.distinct
+      val rows = s.read.parquet(schemaPath(root))
+        .filter(col("inc_id").isin(want: _*))
+        .groupBy(col("inc_id")).agg(max(col("schema_json")).as("j"))
+        .collect()
+      if (rows.length < want.size) return None
+      val byName = scala.collection.mutable.LinkedHashMap[String, StructField]()
+      rows.foreach { r =>
+        DataType.fromJson(r.getString(1)).asInstanceOf[StructType]
+          .fields.foreach(f =>
+            if (!byName.contains(f.name)) byName(f.name) = f)
+      }
+      val extras = byName.keys.filterNot(DataCols.toSet).toSeq.sorted
+      Some(StructType(
+        (DataCols.filter(byName.contains) ++ extras).map(byName(_))))
     }
 
     /** Every generation the manifest has EVER named, live or dead —
@@ -787,22 +844,84 @@ object ScanPruning extends QueryPack {
     def migrate(s: SparkSession, root: String, toCurve: String,
         rangeBucketed: Boolean, migrateId: String): Boolean =
       optimistically(migrateId) {
-        if (absorbedIds(s, root).contains(migrateId)) false
-        else {
+        val prior = headState(root)
+          .find(r => r.gen == migrateId && r.zbucket == -1).map(_.mseq)
+        if (prior.isDefined) {
+          // replayed id: the rewrite committed. Repair the one crash
+          // window left by persist-after-commit — commit landed, JVM
+          // died before the layout row — unless a later layout
+          // version already superseded this migration.
+          ensureLayoutAt(s, root, prior.get, toCurve, rangeBucketed)
+          false
+        } else {
           val old = layoutOf(s, root)
           val pairs = livePairs(s, root)
-          val union = readPairs(s, root, pairs)
-          // two passes over the live set (quantiles, then the
-          // clustered write) — re-scanning is the right cost at scale;
-          // materializing the whole table to save one scan is not
-          val data = union.select(dataColsOf(union).map(col): _*)
-          var l = old.copy(curve = toCurve, splits = Nil)
-          if (rangeBucketed) l = l.copy(splits = deriveSplits(data, l))
-          persistLayout(s, root, l, currentSeq(s, root) + 1)
-          val buckets = writeAndIndex(s, root, data, migrateId, l)
-          commitNext(root, migrateId, buckets, pairs)
+          if (pairs.isEmpty) {
+            // nothing live to rewrite (fresh or fully-erased table):
+            // a zero-path parquet read would crash, and there is no
+            // data to derive range splits from — publish the new
+            // curve for future absorbs and ledger the id
+            val ok = commitNext(root, migrateId, Nil, Nil)
+            if (ok) persistLayout(s, root,
+              old.copy(curve = toCurve, splits = Nil),
+              mseqOfLedger(root, migrateId))
+            ok
+          } else {
+            val union = readPairs(s, root, pairs)
+            // two passes over the live set (quantiles, then the
+            // clustered write) — re-scanning is the right cost at
+            // scale; materializing the whole table to save one scan
+            // is not
+            val data = union.select(dataColsOf(union).map(col): _*)
+            var l = old.copy(curve = toCurve, splits = Nil)
+            if (rangeBucketed) l = l.copy(splits = deriveSplits(data, l))
+            val buckets = writeAndIndex(s, root, data, migrateId, l)
+            val ok = commitNext(root, migrateId, buckets, pairs)
+            // layout persists AFTER (and stamped with) the commit
+            // that published the rewrite: an aborted or crashed
+            // rewrite then leaves NO layout row behind, so later
+            // absorbs never bucket by split points of a layout that
+            // never materialized. The reverse window (commit landed,
+            // persist lost) is repaired on replay above.
+            if (ok) persistLayout(s, root, l, mseqOfLedger(root, migrateId))
+            ok
+          }
         }
       }
+
+    /** The manifest version that ledgered `gen` — defined only after
+      * its commit landed. */
+    private def mseqOfLedger(root: String, gen: String): Long =
+      headState(root)
+        .find(r => r.gen == gen && r.zbucket == -1).map(_.mseq)
+        .getOrElse(throw new IllegalStateException(
+          s"$gen has no ledger row under $root"))
+
+    /** Crash repair for [[migrate]]'s persist-after-commit ordering:
+      * if no layout version ≥ the migration's commit seq exists, the
+      * JVM died between the commit and the layout persist — re-derive
+      * the layout from the CURRENT live data (advisory state, so
+      * deriving from newer data than the rewrite saw is fine) and
+      * persist it at the migration's seq. A layout row at a seq ≥ the
+      * migration's means this migration's persist landed or a later
+      * migration superseded it — either way nothing to repair. */
+    private def ensureLayoutAt(s: SparkSession, root: String, mseq: Long,
+        toCurve: String, rangeBucketed: Boolean): Unit = {
+      val newestV = s.read.parquet(boundsPath(root))
+        .agg(max(col("v"))).head().getLong(0)
+      if (newestV >= mseq) return
+      val old = layoutOf(s, root)
+      var l = old.copy(curve = toCurve, splits = Nil)
+      if (rangeBucketed) {
+        val pairs = livePairs(s, root)
+        if (pairs.nonEmpty) {
+          val union = readPairs(s, root, pairs)
+          l = l.copy(splits =
+            deriveSplits(union.select(dataColsOf(union).map(col): _*), l))
+        }
+      }
+      persistLayout(s, root, l, mseq)
+    }
 
     /** Copy-on-write keyed UPDATE — the MERGE/upsert write path on
       * the same mechanism as [[erase]]: zone+bloom prune the rewrite
@@ -918,7 +1037,8 @@ object ScanPruning extends QueryPack {
         .groupBy(col("inc_id"), col("zbucket"))
         .agg(max(col("n")).as("n"),
           min(col("u_lo")).as("u_lo"), max(col("u_hi")).as("u_hi"),
-          min(col("t_lo")).as("t_lo"), max(col("t_hi")).as("t_hi"))
+          min(col("t_lo")).as("t_lo"), max(col("t_hi")).as("t_hi"),
+          min(col("v_lo")).as("v_lo"), max(col("v_hi")).as("v_hi"))
 
     /** Merge-on-read bloom bit table for live files (distinct =
       * the replay defense — bits are set-valued). */
@@ -1002,14 +1122,32 @@ object ScanPruning extends QueryPack {
       * handful of scans), and the DV side broadcasts. */
     private[graft] def readPairs(s: SparkSession, root: String,
         pairs: Seq[(String, Int)]): DataFrame = {
-      // mergeSchema unifies evolved generations (older files null-
-      // fill the columns they predate). At this store's scale the
-      // footer-merge cost is a handful of files; a production table
-      // would persist the merged schema in the manifest instead of
-      // re-deriving it per read — the same information, amortized.
-      if (!hasDv(root))
-        return s.read.option("mergeSchema", "true").parquet(
-          pairs.map { case (g, b) => bucketDir(root, g, b) }: _*)
+      // Evolved generations unify under the PERSISTED union schema
+      // (older files null-fill the columns they predate): plan-time
+      // schema comes from the control-plane schema log, so the read
+      // opens zero parquet footers beyond the pruned data files —
+      // `mergeSchema` (O(files) footer reads at plan time) remains
+      // only as the fallback for roots populated outside the store's
+      // own write path.
+      if (!hasDv(root)) {
+        val dirs = pairs.map { case (g, b) => bucketDir(root, g, b) }
+        return mergedSchemaFor(s, root, pairs.map(_._1)) match {
+          case Some(sch) => s.read.schema(sch).parquet(dirs: _*)
+          case None => s.read.option("mergeSchema", "true").parquet(dirs: _*)
+        }
+      }
+      readPairsTagged(s, root, pairs)
+        .join(broadcast(dv(s, root)),
+          Seq("inc_id", "zbucket", "user_id"), "left_anti")
+    }
+
+    /** The raw multi-generation read KEEPING the (inc_id, zbucket)
+      * file identity and applying NO deletion vectors — the shared
+      * base of the vector-applying read and the change-data-feed's
+      * version-pinned legs (which must apply vectors AS OF a given
+      * version, not the current ones). */
+    private def readPairsTagged(s: SparkSession, root: String,
+        pairs: Seq[(String, Int)]): DataFrame =
       pairs.groupBy(_._1).toSeq.sortBy(_._1).map { case (g, ps) =>
         // basePath resurrects the zbucket partition column a direct
         // leaf-dir read would drop — the anti-join needs the full
@@ -1019,9 +1157,6 @@ object ScanPruning extends QueryPack {
           .withColumn("inc_id", lit(g))
           .withColumn("zbucket", col("zbucket").cast("int"))
       }.reduce(_.unionByName(_, allowMissingColumns = true))
-        .join(broadcast(dv(s, root)),
-          Seq("inc_id", "zbucket", "user_id"), "left_anti")
-    }
 
     /** Live files that contain at least one row of `eventType` — the
       * type-filtered read's survivor set. The equality filter sits
@@ -1075,8 +1210,10 @@ object ScanPruning extends QueryPack {
               min(col("user_id")).as("u_lo"),
               max(col("user_id")).as("u_hi"),
               min(col("tsu")).as("t_lo"), max(col("tsu")).as("t_hi")))
-      // the final fold ignores an all-touched/all-untouched null leg
-      parts.agg(sum(col("n")).as("n"),
+      // the final fold ignores an all-touched/all-untouched null leg;
+      // the count coalesces so an EMPTY (or fully-erased) table
+      // answers n=0 instead of null — callers read it with getLong
+      parts.agg(coalesce(sum(col("n")), lit(0L)).as("n"),
         min(col("u_lo")).as("u_lo"), max(col("u_hi")).as("u_hi"),
         min(col("t_lo")).as("t_lo"), max(col("t_hi")).as("t_hi"))
     }
@@ -1200,23 +1337,147 @@ object ScanPruning extends QueryPack {
       feedFrameOf(s, root, apps.filter(_._1 <= toSeq))
     }
 
+    /** Deletion-vector rows AS OF manifest version `seq` — vectors of
+      * erase ids ledgered at or below it, unfiltered by the CURRENT
+      * live set (the change-data feed reads files that have since
+      * been retired). Control-plane sized like [[dv]]. */
+    private def dvRowsAt(s: SparkSession, root: String,
+        seq: Long): DataFrame = {
+      import s.implicits._
+      val empty = Seq.empty[(String, Int, Long)]
+        .toDF("inc_id", "zbucket", "user_id")
+      if (!hasDv(root)) return empty
+      val ids = headState(root).iterator
+        .filter(r => r.zbucket == -1 && r.mseq <= seq).map(_.gen)
+        .toSeq.sorted
+      if (ids.isEmpty) return empty
+      s.read.parquet(dvPath(root))
+        .filter(col("erase_id").isin(ids: _*))
+        .select(col("inc_id"), col("zbucket"), col("user_id"))
+        .distinct()
+    }
+
+    /** The CDC read: every row-level change in versions
+      * (fromSeq, toSeq], tagged `_change_type` (insert | delete) and
+      * `_commit_version` — the change-data-feed contract of public
+      * table formats, composing the append feed (inserts) with the
+      * deletion surfaces so one API maintains a downstream mirror.
+      * Per commit kind:
+      *   - append → its published rows, as inserts (O(new data));
+      *   - rewrite → the logical delta between retired and published
+      *     file sets, deletion vectors applied AS OF each side's
+      *     version (a pure compaction — including one folding
+      *     vectors in — diffs to NOTHING; a copy-on-write erase
+      *     diffs to its deletes, an update to delete+insert). Cost
+      *     O(files that changed hands), bounded by the rewrite
+      *     itself, never a table diff;
+      *   - ledger-only → a merge-on-read erase deletes exactly its
+      *     vector's rows from the files it targeted, as they stood
+      *     before this version (earlier vectors applied); other
+      *     ledger commits emit nothing.
+      * History stays addressable until [[vacuum]] destroys retired
+      * bytes — the same retention horizon as the append feed. */
+    def changeDataFeed(s: SparkSession, root: String,
+        fromSeq: Long, toSeq: Long): DataFrame = {
+      val bySeq = readCommits(root)
+        .filter(r => r.mseq > fromSeq && r.mseq <= toSeq)
+        .groupBy(_.mseq).toSeq.sortBy(_._1)
+      def untag(df: DataFrame): DataFrame = df.drop("inc_id", "zbucket")
+      def tag(df: DataFrame, ct: String, seq: Long): DataFrame =
+        df.withColumn("_change_type", lit(ct))
+          .withColumn("_commit_version", lit(seq))
+      val legs = bySeq.flatMap { case (seq, rows) =>
+        val live = rows.collect {
+          case ManifestRow(g, b, "live", _) if b >= 0 => (g, b) }
+        val dead = rows.collect {
+          case ManifestRow(g, b, "dead", _) => (g, b) }
+        if (dead.isEmpty && live.nonEmpty)
+          Seq(tag(untag(readPairsTagged(s, root, live)), "insert", seq))
+        else if (dead.nonEmpty) {
+          val before0 = untag(readPairsTagged(s, root, dead)
+            .join(broadcast(dvRowsAt(s, root, seq - 1)),
+              Seq("inc_id", "zbucket", "user_id"), "left_anti"))
+          val after0 =
+            if (live.isEmpty) before0.limit(0)
+            else untag(readPairsTagged(s, root, live)
+              .join(broadcast(dvRowsAt(s, root, seq)),
+                Seq("inc_id", "zbucket", "user_id"), "left_anti"))
+          // a rewrite across a schema evolution can retire and
+          // publish file sets with different columns; exceptAll is
+          // positional, so both legs align to the union (null-filled)
+          val (before, after) = aligned(before0, after0)
+          Seq(tag(before.exceptAll(after), "delete", seq),
+            tag(after.exceptAll(before), "insert", seq))
+        } else if (!hasDv(root)) Nil
+        else {
+          val gen = rows.head.gen
+          val mine = s.read.parquet(dvPath(root))
+            .filter(col("erase_id") === gen)
+            .select(col("inc_id"), col("zbucket"), col("user_id"))
+            .distinct()
+          val touched = mine.select(col("inc_id"), col("zbucket"))
+            .distinct().collect()
+            .map(r => (r.getString(0), r.getInt(1))).toSeq.sorted
+          if (touched.isEmpty) Nil
+          else Seq(tag(untag(readPairsTagged(s, root, touched)
+            .join(broadcast(dvRowsAt(s, root, seq - 1)),
+              Seq("inc_id", "zbucket", "user_id"), "left_anti")
+            .join(broadcast(mine),
+              Seq("inc_id", "zbucket", "user_id"), "left_semi")),
+            "delete", seq))
+        }
+      }
+      if (legs.isEmpty)
+        tag(feedFrameOf(s, root, Nil), "none", -1L).limit(0)
+      else legs.reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+
+    /** Project both frames onto the union of their columns (missing
+      * ones null-filled with the other side's type) so positional set
+      * operations are well-defined across a schema evolution. */
+    private def aligned(a: DataFrame, b: DataFrame): (DataFrame, DataFrame) = {
+      val types = (a.schema.fields ++ b.schema.fields)
+        .groupBy(_.name).map { case (n, fs) => n -> fs.head.dataType }
+      val names = (a.columns ++ b.columns).distinct.toSeq
+      def sel(df: DataFrame) = df.select(names.map(n =>
+        if (df.columns.contains(n)) col(n)
+        else lit(null).cast(types(n)).as(n)): _*)
+      (sel(a), sel(b))
+    }
+
     private def feedFrameOf(s: SparkSession, root: String,
         apps: Seq[(Long, String, Seq[Int])]): DataFrame = {
-      val cols = Seq("event_id", "ts", "user_id", "event_type",
-        "value", "props")
       val dirs = apps.flatMap { case (_, g, bs) =>
         bs.map(b => bucketDir(root, g, b))
       }
       if (dirs.isEmpty) {
+        // the canonical empty frame: with no appended generations in
+        // range there is no evolved column to know about, so the
+        // schema is exactly the canonical six — derived through the
+        // same name list the projection below uses
         import org.apache.spark.sql.types._
+        val types = Map[String, DataType](
+          "event_id" -> LongType, "ts" -> LongType, "user_id" -> LongType,
+          "event_type" -> StringType, "value" -> DoubleType,
+          "props" -> StringType)
         s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          StructType(Seq(
-            StructField("event_id", LongType), StructField("ts", LongType),
-            StructField("user_id", LongType),
-            StructField("event_type", StringType),
-            StructField("value", DoubleType),
-            StructField("props", StringType))))
-      } else s.read.parquet(dirs: _*).select(cols.map(col): _*)
+          StructType(DataCols.map(c => StructField(c, types(c)))))
+      } else {
+        // schema-merged like every other multi-generation read: a
+        // fixed canonical projection would silently DROP an evolved
+        // column from the feed — a CDC consumer of an evolved table
+        // would lose the new column's data with no error. Canonical
+        // columns first, evolved extras after in name order (the
+        // dataColsOf discipline); generations predating a column
+        // null-fill it. The union schema comes from the persisted
+        // schema log (zero plan-time footer reads), mergeSchema only
+        // as the outside-writer fallback.
+        val df = mergedSchemaFor(s, root, apps.map(_._2)) match {
+          case Some(sch) => s.read.schema(sch).parquet(dirs: _*)
+          case None => s.read.option("mergeSchema", "true").parquet(dirs: _*)
+        }
+        df.select(dataColsOf(df).map(col): _*)
+      }
     }
   }
 
@@ -1287,6 +1548,23 @@ object ScanPruning extends QueryPack {
     * then a compaction that folds the vectors into rewritten files. */
   private def dvCompactedRoot(s: SparkSession, d: String): String =
     dvCompactedRoots.computeIfAbsent(d, _ => {
+      val root = FileIndexStore.buildRoot(s, d)
+      FileIndexStore.absorb(s, root, incrementEvents(s, d), "inc-1")
+      FileIndexStore.eraseDv(s, root,
+        FileIndexStore.layoutOf(s, root).probe, "dve-1")
+      FileIndexStore.compact(s, root)
+      root
+    })
+
+  private val cdfRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The change-data-feed demo lifecycle: corpus → append → MoR erase
+    * → compaction that folds the vector in. The CDF over the whole
+    * range must emit the append as inserts, the erase as deletes, and
+    * NOTHING for the compaction. */
+  private def cdfRoot(s: SparkSession, d: String): String =
+    cdfRoots.computeIfAbsent(d, _ => {
       val root = FileIndexStore.buildRoot(s, d)
       FileIndexStore.absorb(s, root, incrementEvents(s, d), "inc-1")
       FileIndexStore.eraseDv(s, root,
@@ -1607,6 +1885,20 @@ object ScanPruning extends QueryPack {
           sum(round(col("value") * 100).cast("long")).as("cents"),
           countDistinct(col("user_id")).as("users"))
     }),
+    // the composed CHANGE-DATA-FEED over a range spanning an append,
+    // a merge-on-read erase, and a compaction: inserts = the appended
+    // rows, deletes = the erased user's rows (from BOTH generations),
+    // and the compaction — which folded the vectors into rewritten
+    // files — emits nothing. One API for a downstream mirror; the
+    // oracle replays both legs from the raw table.
+    "fx_cdf_range" -> ((s, d) => {
+      val root = cdfRoot(s, d)
+      FileIndexStore.changeDataFeed(s, root, 0L,
+          FileIndexStore.currentSeq(s, root))
+        .select(col("_change_type").as("change_type"), col("event_id"),
+          expr("ts div 1000").as("tsu"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+    }),
     // CDC BETWEEN VERSIONS, file-pruned: the rows version N removed
     // relative to N−1 are computable from ONLY the files that changed
     // hands (retired set minus newly published set) — never a
@@ -1662,6 +1954,27 @@ object ScanPruning extends QueryPack {
         .head().getString(0)
       readFiles(s, root, FileIndexStore.typesMatching(s, root, t))
         .filter(col("event_type") === t)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents"),
+          countDistinct(col("user_id")).as("users"))
+    }),
+    // top-decile VALUE range served through the per-file value
+    // min/max stats: only files whose [v_lo, v_hi] intersects the
+    // range are opened, plus the residual filter — the oracle
+    // full-scans, so a hash match is the conservative-pruning proof
+    // (the bound binds when values localize by file — pinned in
+    // ScanPruningSpec with a synthetic value-clustered corpus, and
+    // stays exact under deletion vectors because pruning is
+    // monotone under row removal)
+    "fx_value_prune" -> ((s, d) => {
+      val root = readyRoot(s, d)
+      val b = Tables.events(s, d)
+        .agg(min(col("value")), max(col("value"))).head()
+      val thr = b.getDouble(0) + 9 * (b.getDouble(1) - b.getDouble(0)) / 10
+      readFiles(s, root,
+          FileIndexStore.zone(s, root).filter(col("v_hi") > thr))
+        .filter(col("value") > thr)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(round(col("value") * 100).cast("long")).as("cents"),
@@ -1910,6 +2223,18 @@ object ScanPruning extends QueryPack {
          |  round(value * 100)::BIGINT AS cents
          |FROM events CROSS JOIN consts
          |WHERE user_id = probe""".stripMargin,
+    // full scan of the same top-decile value range (identical double
+    // arithmetic for the threshold on both sides) — a hash match
+    // proves the value-stat-pruned read lost no rows
+    "fx_value_prune" ->
+      """WITH b AS (SELECT min(value) AS vmin, max(value) AS vmax
+        |           FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  sum(round(value * 100)::BIGINT)::BIGINT AS cents,
+        |  count(DISTINCT user_id) AS users
+        |FROM events CROSS JOIN b
+        |WHERE value > vmin + 9 * (vmax - vmin) / 10
+        |GROUP BY 1""".stripMargin,
     // identical full-scan SQL — a mid-life layout migration must not
     // change the answer
     "fx_migrated_box" ->
@@ -2048,6 +2373,20 @@ object ScanPruning extends QueryPack {
          |FROM events CROSS JOIN consts
          |WHERE user_id <> probe
          |GROUP BY 1""".stripMargin,
+    // the CDF replay: inserts = the appended increment verbatim,
+    // deletes = every row of the erased probe user; the compaction
+    // contributes no rows to either leg
+    "fx_cdf_range" ->
+      s"""WITH $constsSql
+         |SELECT 'insert' AS change_type, event_id, epoch_us(ts) AS tsu,
+         |  event_type, round(value * 100)::BIGINT AS cents
+         |FROM events CROSS JOIN consts
+         |WHERE event_id % 10 >= 8
+         |UNION ALL
+         |SELECT 'delete' AS change_type, event_id, epoch_us(ts) AS tsu,
+         |  event_type, round(value * 100)::BIGINT AS cents
+         |FROM events CROSS JOIN consts
+         |WHERE user_id = probe""".stripMargin,
     // the rows the erase version removed = exactly the erased user's
     // rows — recomputed as a plain full scan
     "fx_version_diff" ->

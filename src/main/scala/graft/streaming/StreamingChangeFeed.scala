@@ -74,7 +74,39 @@ object StreamingChangeFeed {
           (f(0).toLong, f(1).toLong)
         }
       emit(FileIndexStore.changeFeedRange(s, root, from, to), batchId)
+      pruneClaims(dir, batchId)
     }
+
+  /** How many claims below the current batch survive a prune. One
+    * would do — foreachBatch runs batches sequentially, so by the
+    * time batch N executes every batch < N is checkpoint-committed
+    * and only claim N itself can ever be replayed — but a small tail
+    * is kept as insurance against an operator hand-rolling state-dir
+    * surgery; the bound is what matters, not the constant. */
+  private val KeepClaims = 2L
+
+  /** Claim-ledger GC — the prune the cursor contract allows: batches
+    * are claimed in order by one streaming query, so once batch
+    * `batchId` RAN (emit returned), claims below `batchId - KeepClaims`
+    * can never be read again — the cursor lives in the newest claim
+    * and a replay only ever re-reads the LAST uncommitted batch's
+    * claim. Without this the state dir grows one file per micro-batch
+    * forever and the per-batch listing cost is O(total batches); with
+    * it both are O(1). A zombie driver that lost the checkpoint race
+    * may re-claim a pruned id and emit a non-identical (empty) frame
+    * for it, but the sink's idempotent-per-batchId contract already
+    * discards any emit for a committed id, so exactly-once holds. */
+  private def pruneClaims(dir: java.nio.file.Path, batchId: Long): Unit = {
+    import scala.jdk.CollectionConverters._
+    val stream = java.nio.file.Files.list(dir)
+    val old =
+      try stream.iterator().asScala.filter { p =>
+        ClaimName.findFirstMatchIn(p.getFileName.toString)
+          .exists(_.group(1).toLong < batchId - KeepClaims)
+      }.toList
+      finally stream.close()
+    old.foreach(p => java.nio.file.Files.deleteIfExists(p))
+  }
 
   private val ClaimName = """^b(\d{19})\.tsv$""".r
 

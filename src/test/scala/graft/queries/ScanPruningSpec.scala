@@ -784,4 +784,182 @@ class ScanPruningSpec extends AnyFunSuite {
         (20000L until 20700L) ++ (30000L until 30300L),
       "the feed union is not exactly the appended rows")
   }
+
+  test("per-file value stats skip >half the files on value-clustered data; exact under DVs") {
+    import spark.implicits._
+    // value rides the clustered user dimension, so z-clustering
+    // localizes value ranges per file — the regime where the column
+    // stats bind (on uncorrelated data they prune nothing and the
+    // conservative read degrades to a scan, never to a wrong answer)
+    val synth = (0 until 8192).map { i =>
+      val u = (i % 1024).toLong
+      (i.toLong, u * 1000000000L, u, "view", u / 10.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val root = ScanPruning.FileIndexStore.buildRootFrom(spark, synth)
+
+    val liveN = ScanPruning.FileIndexStore.livePairs(spark, root).size
+    val thr = 90.0 // only users ≥ 901 qualify — the top Morton corner
+    val kept = ScanPruning.FileIndexStore.zone(spark, root)
+      .filter(col("v_hi") > thr)
+    assert(kept.count() * 2 < liveN,
+      s"value prune kept ${kept.count()}/$liveN files — no skipping")
+
+    // conservative: pruned read + residual ≡ the full filter
+    val pruned = readBuckets(root, kept)
+      .filter(col("value") > thr).count()
+    assert(pruned == synth.filter(col("value") > thr).count())
+
+    // exact under deletion vectors: a MoR-erased user's rows vanish
+    // from the value-pruned read without any stat rewrite (pruning
+    // is monotone under row removal, so the stale v_hi only keeps a
+    // file it could have skipped, never skips one it must read)
+    assert(ScanPruning.FileIndexStore.eraseDv(spark, root, 1000L, "dve-v"))
+    val keptPairs = ScanPruning.FileIndexStore.zone(spark, root)
+      .filter(col("v_hi") > thr)
+      .select(col("inc_id"), col("zbucket")).collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq.sorted
+    val prunedDv = ScanPruning.FileIndexStore.readPairs(spark, root, keptPairs)
+      .filter(col("value") > thr).count()
+    assert(prunedDv == synth.filter(col("value") > thr &&
+      col("user_id") =!= 1000L).count(),
+      "value-pruned read under deletion vectors diverged")
+  }
+
+  test("evolved reads use the persisted merged schema; the feed carries evolved columns") {
+    import spark.implicits._
+    def mk(base: Long, n: Int) = (0 until n).map { i =>
+      ((base + i).toLong, (base + i) * 1000000000L, (i % 40).toLong,
+        "view", (i % 97 + 1) / 100.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val root = ScanPruning.FileIndexStore.buildRootFrom(spark, mk(0L, 800))
+    assert(ScanPruning.FileIndexStore.absorb(spark, root,
+      mk(10000L, 400).withColumn("score", pmod(col("event_id"), lit(7L))),
+      "inc-ev"))
+
+    // the persisted union schema serves the multi-generation read:
+    // canonical columns first, the evolved extra after, all nullable —
+    // and the read plans from it (schema equality), so no footer merge
+    val pairs = ScanPruning.FileIndexStore.livePairs(spark, root)
+    val merged = ScanPruning.FileIndexStore
+      .mergedSchemaFor(spark, root, pairs.map(_._1))
+    assert(merged.isDefined, "generations missing from the schema log")
+    assert(merged.get.fieldNames.toSeq == Seq("event_id", "ts", "user_id",
+      "event_type", "value", "props", "score"))
+    assert(merged.get.fields.forall(_.nullable))
+    val read = ScanPruning.FileIndexStore.readPairs(spark, root, pairs)
+    assert(read.schema == merged.get,
+      "the evolved read did not plan from the persisted schema")
+    // old generation null-fills, new one carries values
+    assert(read.filter(col("score").isNull).count() == 800L)
+    assert(read.filter(col("score").isNotNull).count() == 400L)
+
+    // the change feed must carry the evolved column too (a CDC
+    // consumer would otherwise silently lose it)
+    val feed = ScanPruning.FileIndexStore.changeFeed(spark, root, 0L)
+    assert(feed.columns.contains("score"),
+      "the change feed dropped an evolved column")
+    assert(feed.count() == 400L &&
+      feed.filter(col("score") === pmod(col("event_id"), lit(7L)))
+        .count() == 400L)
+  }
+
+  test("metadata stats answer n=0 on a fully-erased table; empty-table migrate is safe") {
+    import spark.implicits._
+    val synth = (0 until 200).map { i =>
+      (i.toLong, i.toLong * 1000000000L, 5L, "view", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val root = ScanPruning.FileIndexStore.buildRootFrom(spark, synth)
+    // one user everywhere: the COW erase rewrites everything away
+    assert(ScanPruning.FileIndexStore.erase(spark, root, 5L, "erase-all"))
+    assert(ScanPruning.FileIndexStore.livePairs(spark, root).isEmpty)
+    val st = ScanPruning.FileIndexStore.metaStats(spark, root).head()
+    assert(st.getLong(0) == 0L, "empty-table count was not 0")
+    assert(st.isNullAt(1) && st.isNullAt(3), "empty-table bounds not null")
+
+    // migrating the empty table neither crashes nor invents files; it
+    // publishes the new curve for future absorbs
+    assert(ScanPruning.FileIndexStore.migrate(spark, root, "hilbert",
+      rangeBucketed = true, "mig-empty"))
+    assert(ScanPruning.FileIndexStore.livePairs(spark, root).isEmpty)
+    assert(ScanPruning.FileIndexStore.layoutOf(spark, root).curve
+      == "hilbert")
+    assert(ScanPruning.FileIndexStore.absorb(spark, root, synth, "inc-back"))
+    assert(ScanPruning.FileIndexStore
+      .metaStats(spark, root).head().getLong(0) == 200L)
+  }
+
+  test("head reads stay O(checkpoint window) as the commit log grows") {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val synth = (0 until 100).map { i =>
+      (i.toLong, i.toLong * 1000000000L, (i % 7).toLong, "view", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val root = ScanPruning.FileIndexStore.buildRootFrom(spark, synth)
+    def headReadSet(): Int = {
+      // the files a head read parses: the newest checkpoint plus the
+      // commit suffix past it — computed from the manifest listing,
+      // the same inputs headState uses
+      val dir = java.nio.file.Paths.get(root, "index_manifest")
+      val stream = java.nio.file.Files.list(dir)
+      val names =
+        try stream.iterator().asScala.map(_.getFileName.toString).toVector
+        finally stream.close()
+      val ckpt = names.filter(_.startsWith("ckpt-"))
+        .map(_.stripPrefix("ckpt-").stripSuffix(".tsv").toLong)
+        .maxOption
+      ckpt.fold(names.count(_.startsWith("v"))) { c =>
+        1 + names.filter(_.startsWith("v"))
+          .count(_.stripPrefix("v").stripSuffix(".tsv").toLong > c)
+      }
+    }
+    (1 to 8).foreach(i =>
+      assert(ScanPruning.FileIndexStore.commitNext(root, s"n-$i", Nil, Nil)))
+    val at8 = headReadSet()
+    (9 to 100).foreach(i =>
+      assert(ScanPruning.FileIndexStore.commitNext(root, s"n-$i", Nil, Nil)))
+    val at100 = headReadSet()
+    // the count cycles with the checkpoint phase (1..CkptEvery+1) but
+    // NEVER grows with the log's length — the O(CkptEvery) bound
+    assert(at8 <= 9 && at100 <= 9,
+      s"head-read file count grew with the log: $at8 -> $at100")
+    // and the head state is still correct after 100 commits
+    assert(ScanPruning.FileIndexStore.livePairs(spark, root).nonEmpty)
+    assert(ScanPruning.FileIndexStore
+      .absorbedIds(spark, root).count(_.startsWith("n-")) == 100)
+  }
+
+  test("change-data feed: an update emits delete+insert; erase deletes; compaction nothing") {
+    import spark.implicits._
+    // users are CONTIGUOUS runs so the keyed update rewrites only the
+    // files that hold user 3 — the other generations stay live and
+    // the subsequent compaction has ≥2 generations to fold
+    val synth = (0 until 400).map { i =>
+      (i.toLong, i.toLong * 1000000000L, (i / 50).toLong, "view",
+        (i % 97 + 1) / 100.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val root = ScanPruning.FileIndexStore.buildRootFrom(spark, synth)
+    assert(ScanPruning.FileIndexStore.absorb(spark, root,
+      synth.withColumn("event_id", col("event_id") + 1000L), "inc-1"))
+    val v1 = ScanPruning.FileIndexStore.currentSeq(spark, root)
+    assert(ScanPruning.FileIndexStore.updateUser(spark, root, 3L, 9.99,
+      "upd-1"))
+    val v2 = ScanPruning.FileIndexStore.currentSeq(spark, root)
+    assert(ScanPruning.FileIndexStore.compact(spark, root).isDefined)
+    val v3 = ScanPruning.FileIndexStore.currentSeq(spark, root)
+
+    def cdf(from: Long, to: Long) = ScanPruning.FileIndexStore
+      .changeDataFeed(spark, root, from, to)
+      .groupBy(col("_change_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the update version: every row of user 3 deleted at its old
+    // value and re-inserted at the new one
+    val n3 = 400L / 8L * 2L
+    assert(cdf(v1, v2) == Map("delete" -> n3, "insert" -> n3))
+    // the compaction version emits nothing
+    assert(cdf(v2, v3).isEmpty)
+    // and the update's inserts really carry the new value
+    val upd = ScanPruning.FileIndexStore.changeDataFeed(spark, root, v1, v2)
+    assert(upd.filter(col("_change_type") === "insert" &&
+      col("value") =!= 9.99).count() == 0L)
+  }
 }

@@ -76,15 +76,19 @@ class StreamingChangeFeedSpec extends AnyFunSuite {
     assert(emitted.getOrElse(3L, Set.empty).isEmpty ||
       emitted(3L) == (20000L until 20500L).toSet)
 
-    // crash window: re-invoke an already-claimed batch id directly
-    // (what a foreachBatch replay does) — the recorded range re-reads
-    // byte-identically even though MORE commits landed since
+    // crash window: re-invoke already-claimed batch ids directly
+    // (what a foreachBatch replay does) — the recorded ranges re-read
+    // byte-identically even though MORE commits landed since. Only
+    // ids inside the claim-GC keep window are replayable: the
+    // streaming contract replays at most the LAST uncommitted batch,
+    // so claims older than that are pruned (bounded-state-dir test
+    // below) and ids 1..3 are the replayable tail after batch 3.
     assert(ScanPruning.FileIndexStore.absorb(spark, root, mk(30000L, 300),
       "inc-c"))
     val before = emitted.toMap
     val tick = spark.range(1).toDF()
-    (0L to 3L).foreach { id => sink(tick, id) }
-    (0L to 3L).foreach { id =>
+    (1L to 3L).foreach { id => sink(tick, id) }
+    (1L to 3L).foreach { id =>
       assert(emitted(id) == before.getOrElse(id, Set.empty),
         s"replayed batch $id emitted different rows")
     }
@@ -92,5 +96,62 @@ class StreamingChangeFeedSpec extends AnyFunSuite {
     sink(tick, 99L)
     assert(emitted(99L) == (30000L until 30300L).toSet,
       "the post-replay fresh batch missed the new append")
+  }
+
+  test("claim ledger stays bounded over 1000 batches; replay across the prune boundary is byte-identical") {
+    import scala.jdk.CollectionConverters._
+    val root = ScanPruning.FileIndexStore.buildRootFrom(spark, mk(0L, 400))
+    val stateDir = Files.createTempDirectory("graft-scf-gc")
+    val collected =
+      scala.collection.mutable.Map.empty[Long, Set[Long]]
+    // collect only on the batches that can carry data — the soak's
+    // other 990 ticks exercise the claim/prune path, not Spark
+    var collectNext = false
+    val sink = StreamingChangeFeed.tail(root, stateDir.toString) {
+      (rows, id) =>
+        if (collectNext) collected(id) =
+          rows.select(col("event_id")).collect().map(_.getLong(0)).toSet
+    }
+    val tick = spark.range(1).toDF()
+    def claims() = {
+      val stream = Files.list(stateDir)
+      try stream.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".tsv")).toVector.sorted
+      finally stream.close()
+    }
+    (0L until 1000L).foreach { id =>
+      if (id % 250 == 0) {
+        assert(ScanPruning.FileIndexStore.absorb(spark, root,
+          mk(100000L + id * 10, 50), s"inc-$id"))
+        collectNext = true
+      }
+      sink(tick, id)
+      if (collectNext) collectNext = false
+      assert(claims().size <= 4,
+        s"claim ledger grew unbounded at batch $id: ${claims().size} files")
+    }
+    // exactly the appended rows (batch 0's range starts at the
+    // beginning, so it carries the corpus too), each exactly once
+    val all = collected.values.flatten.toSeq
+    assert(all.size == all.toSet.size)
+    assert(all.toSet == (0L until 400L).toSet ++
+      Seq(0L, 250L, 500L, 750L).flatMap(id =>
+        (100000L + id * 10) until (100000L + id * 10 + 50)))
+    // claims far below the head are pruned...
+    assert(claims().forall(_.stripPrefix("b").stripSuffix(".tsv")
+      .toLong >= 997L), s"stale claims survived: ${claims()}")
+    // ...and the replay contract still holds ACROSS the prune
+    // boundary: a new append lands, the LAST batch is re-invoked
+    // (the foreachBatch crash window), and it re-reads its recorded
+    // range — not the new commit
+    assert(ScanPruning.FileIndexStore.absorb(spark, root,
+      mk(900000L, 30), "inc-late"))
+    collectNext = true
+    sink(tick, 999L) // replayed id: claim exists, range is recorded
+    assert(collected(999L).isEmpty,
+      "a replayed batch read past its recorded range after pruning")
+    collectNext = true
+    sink(tick, 1000L) // fresh id: picks up exactly the new append
+    assert(collected(1000L) == (900000L until 900030L).toSet)
   }
 }
