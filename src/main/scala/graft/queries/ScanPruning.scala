@@ -685,24 +685,42 @@ object ScanPruning extends QueryPack {
       * [[writeAndIndex]]) — callers fall back to `mergeSchema`. */
     private[graft] def mergedSchemaFor(s: SparkSession, root: String,
         gens: Seq[String]): Option[org.apache.spark.sql.types.StructType] = {
-      import org.apache.spark.sql.types.{DataType, StructType, StructField}
-      if (!java.nio.file.Files.isDirectory(
-          java.nio.file.Paths.get(schemaPath(root)))) return None
+      import org.apache.spark.sql.types.{StructType, StructField}
       val want = gens.distinct
-      val rows = s.read.parquet(schemaPath(root))
-        .filter(col("inc_id").isin(want: _*))
-        .groupBy(col("inc_id")).agg(max(col("schema_json")).as("j"))
-        .collect()
-      if (rows.length < want.size) return None
+      val known = genSchemas(s, root, want).getOrElse(return None)
       val byName = scala.collection.mutable.LinkedHashMap[String, StructField]()
-      rows.foreach { r =>
-        DataType.fromJson(r.getString(1)).asInstanceOf[StructType]
-          .fields.foreach(f =>
-            if (!byName.contains(f.name)) byName(f.name) = f)
-      }
+      want.foreach(g => known(g).fields.foreach(f =>
+        if (!byName.contains(f.name)) byName(f.name) = f))
       val extras = byName.keys.filterNot(DataCols.toSet).toSeq.sorted
       Some(StructType(
         (DataCols.filter(byName.contains) ++ extras).map(byName(_))))
+    }
+
+    /** Per-root cache of the schema log. A generation's schema is
+      * IMMUTABLE once written (the log is append-only and a replayed
+      * append is bit-identical), so caching is safe across processes:
+      * a generation another writer absorbed is simply a cache miss
+      * that triggers one refresh read. Without this every pruned read
+      * would pay a (tiny but real) schema-log job. */
+    private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+      String, Map[String, org.apache.spark.sql.types.StructType]]()
+
+    private def genSchemas(s: SparkSession, root: String,
+        want: Seq[String])
+        : Option[Map[String, org.apache.spark.sql.types.StructType]] = {
+      import org.apache.spark.sql.types.{DataType, StructType}
+      val cached = schemaCache.getOrDefault(root, Map.empty)
+      if (want.forall(cached.contains)) return Some(cached)
+      if (!java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(schemaPath(root)))) return None
+      val fresh = s.read.parquet(schemaPath(root))
+        .groupBy(col("inc_id")).agg(max(col("schema_json")).as("j"))
+        .collect()
+        .map(r => r.getString(0) ->
+          DataType.fromJson(r.getString(1)).asInstanceOf[StructType])
+        .toMap
+      schemaCache.put(root, fresh)
+      if (want.forall(fresh.contains)) Some(fresh) else None
     }
 
     /** Every generation the manifest has EVER named, live or dead —
@@ -724,9 +742,18 @@ object ScanPruning extends QueryPack {
       * Returns false when `gen` is already in the ledger (a racing
       * replay of the same id won the race — the no-op replay
       * semantics, now atomic across processes, no ProcessLock). */
+    /** `ledgerKind` is the commit's data-change declaration: "ledger"
+      * (default — the commit may change the table's logical rows) or
+      * "maint" for rewrites that provably PRESERVE them (compaction,
+      * layout migration — the dataChange=false flag of public table
+      * formats, recorded at commit time so a CDC reader can skip the
+      * rewrite without opening a single file). Every existing reader
+      * keys on "live"/"dead" or on the -1 bucket alone, so the marker
+      * is invisible to them. */
     @annotation.tailrec
     private[graft] def commitNext(root: String, gen: String,
-        liveBuckets: Seq[Int], deadPairs: Seq[(String, Int)]): Boolean = {
+        liveBuckets: Seq[Int], deadPairs: Seq[(String, Int)],
+        ledgerKind: String = "ledger"): Boolean = {
       val head = headState(root) // ledger + live set, checkpoint-fast
       if (head.exists(_.gen == gen)) return false
       val liveNow = liveSetOf(head)
@@ -741,13 +768,13 @@ object ScanPruning extends QueryPack {
       // fresher number here would let a stale precondition commit
       val next = head.iterator.map(_.mseq).max + 1
       if (tryCommit(root, next,
-          ((gen, -1, "ledger") +: liveBuckets.map(b => (gen, b, "live"))) ++
+          ((gen, -1, ledgerKind) +: liveBuckets.map(b => (gen, b, "live"))) ++
             deadPairs.map { case (g, b) => (g, b, "dead") })) {
         // every CkptEvery-th committer folds history into a
         // checkpoint so head reads stay O(CkptEvery) forever
         if (next % CkptEvery == 0) writeCkpt(root, next)
         true
-      } else commitNext(root, gen, liveBuckets, deadPairs)
+      } else commitNext(root, gen, liveBuckets, deadPairs, ledgerKind)
     }
 
     /** Cluster + index one increment under the persisted layout.
@@ -821,7 +848,11 @@ object ScanPruning extends QueryPack {
       // stays invisible (no manifest row) and the next maintenance
       // pass recomputes from fresh state
       try {
-        if (commitNext(root, newGen, buckets, pairs)) Some(newGen) else None
+        // row-preserving by construction (vectors it folds were
+        // already deleted logically by their own erase commit) —
+        // declared so the change-data feed skips it unread
+        if (commitNext(root, newGen, buckets, pairs, "maint")) Some(newGen)
+        else None
       } catch { case _: CommitConflict => None }
     }
 
@@ -861,7 +892,7 @@ object ScanPruning extends QueryPack {
             // a zero-path parquet read would crash, and there is no
             // data to derive range splits from — publish the new
             // curve for future absorbs and ledger the id
-            val ok = commitNext(root, migrateId, Nil, Nil)
+            val ok = commitNext(root, migrateId, Nil, Nil, "maint")
             if (ok) persistLayout(s, root,
               old.copy(curve = toCurve, splits = Nil),
               mseqOfLedger(root, migrateId))
@@ -876,7 +907,8 @@ object ScanPruning extends QueryPack {
             var l = old.copy(curve = toCurve, splits = Nil)
             if (rangeBucketed) l = l.copy(splits = deriveSplits(data, l))
             val buckets = writeAndIndex(s, root, data, migrateId, l)
-            val ok = commitNext(root, migrateId, buckets, pairs)
+            // row-preserving re-clustering — maint, like compaction
+            val ok = commitNext(root, migrateId, buckets, pairs, "maint")
             // layout persists AFTER (and stamped with) the commit
             // that published the rewrite: an aborted or crashed
             // rewrite then leaves NO layout row behind, so later
@@ -1364,13 +1396,15 @@ object ScanPruning extends QueryPack {
       * deletion surfaces so one API maintains a downstream mirror.
       * Per commit kind:
       *   - append → its published rows, as inserts (O(new data));
-      *   - rewrite → the logical delta between retired and published
-      *     file sets, deletion vectors applied AS OF each side's
-      *     version (a pure compaction — including one folding
-      *     vectors in — diffs to NOTHING; a copy-on-write erase
-      *     diffs to its deletes, an update to delete+insert). Cost
-      *     O(files that changed hands), bounded by the rewrite
-      *     itself, never a table diff;
+      *   - rewrite DECLARED row-preserving at commit time (the
+      *     "maint" ledger marker: compaction, layout migration) →
+      *     nothing, with zero files read;
+      *   - any other rewrite → the logical delta between retired and
+      *     published file sets, deletion vectors applied AS OF each
+      *     side's version (a copy-on-write erase diffs to its
+      *     deletes, an update to delete+insert). Cost O(files that
+      *     changed hands), bounded by the rewrite itself, never a
+      *     table diff;
       *   - ledger-only → a merge-on-read erase deletes exactly its
       *     vector's rows from the files it targeted, as they stood
       *     before this version (earlier vectors applied); other
@@ -1391,8 +1425,16 @@ object ScanPruning extends QueryPack {
           case ManifestRow(g, b, "live", _) if b >= 0 => (g, b) }
         val dead = rows.collect {
           case ManifestRow(g, b, "dead", _) => (g, b) }
+        val isMaint = rows.exists(r =>
+          r.zbucket == -1 && r.status == "maint")
         if (dead.isEmpty && live.nonEmpty)
           Seq(tag(untag(readPairsTagged(s, root, live)), "insert", seq))
+        else if (isMaint)
+          // the committer DECLARED the rewrite row-preserving
+          // (compaction, layout migration): nothing to emit and — the
+          // point of the marker — nothing to read; an undeclared
+          // rewrite still gets the honest file-pruned diff below
+          Nil
         else if (dead.nonEmpty) {
           val before0 = untag(readPairsTagged(s, root, dead)
             .join(broadcast(dvRowsAt(s, root, seq - 1)),
