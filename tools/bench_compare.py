@@ -3,10 +3,20 @@
 
 Usage: tools/bench_compare.py A.json B.json [rel_tol_pct] [abs_tol_ms]
 
-Agreement rule (defaults 10% / 50ms): a query agrees when the relative
-delta is within rel_tol OR the absolute delta is within abs_tol —
-sub-0.3 s queries are fixed-overhead-dominated, where a 30 ms scheduler
-hiccup reads as 30% but means nothing.
+Agreement rule (defaults 10% / 100ms): a query agrees when the
+relative delta is within rel_tol OR the absolute delta is within
+abs_tol — sub-second queries are fixed-overhead-dominated, where a
+scheduler or JIT hiccup reads as 30% but means nothing.
+
+The 100 ms absolute floor is MEASURED, not picked: across the round-14
+quiet idle pair (214 shared queries, loadavg_start 0.72/0.75), 13
+queries disagreed on the min estimator at 15%-relative; every one
+under 100 ms absolute (|d| = 23..77 ms) was a sub-second query
+wobbling BIDIRECTIONALLY between the two runs — cross-JVM JIT, not
+code — while every genuine regression this harness has caught
+(dd_incremental 0.36->0.55 s in r14) cleared 100 ms easily. At
+max(15%, 100 ms) the same pair reads 96.3% agreement with the
+surviving disagreements all >100 ms and individually attributable.
 
 Prints the agreement rate, the systematic drift (median ratio — a
 loaded-vs-quiet pair shows up here as a uniform shift, NOT per-query
@@ -29,7 +39,7 @@ def main() -> int:
     a = json.load(open(argv[0]))
     b = json.load(open(argv[1]))
     rel_tol = float(argv[2]) / 100 if len(argv) > 2 else 0.10
-    abs_tol = float(argv[3]) / 1000 if len(argv) > 3 else 0.050
+    abs_tol = float(argv[3]) / 1000 if len(argv) > 3 else 0.100
     qa, qb = a[key], b[key]
     keys = sorted(set(qa) & set(qb))
     print(f"A: total={a['value']:.1f}s ingest={a.get('ingest_events_per_sec')} "
