@@ -23,8 +23,9 @@ import graft.queries.ScanPruning.FileIndexStore
   *
   * Scale shape: each poll reads ONLY the newly appended generations'
   * files — tailing a 100 TB table costs O(new data) per batch; the
-  * ledger is one tiny file per micro-batch, prunable below the
-  * checkpoint's committed batch like any source metadata log.
+  * ledger is PRUNED each batch to the replayable tail
+  * ([[pruneClaims]]), so the state dir and its per-batch listing stay
+  * O(1) over a consumer's whole life.
   *
   * One state dir per consumer (it IS the consumer's cursor); pair it
   * with the query's checkpoint — restarting with a fresh checkpoint
@@ -114,9 +115,8 @@ object StreamingChangeFeed {
     * `from` is the previous claim's `to`, and batches are claimed in
     * order by one streaming query), so the NEWEST claim alone carries
     * the cursor — one file read per batch, not O(batches); the
-    * listing itself is the only per-batch directory cost, and claims
-    * below the checkpoint's committed batch are prunable like any
-    * source metadata log. */
+    * listing itself is the only per-batch directory cost, and stays
+    * O(1) because [[pruneClaims]] keeps only the replayable tail. */
   private def maxClaimedTo(dir: java.nio.file.Path): Long = {
     import scala.jdk.CollectionConverters._
     val stream = java.nio.file.Files.list(dir)
