@@ -1232,7 +1232,8 @@ object ScanPruning extends QueryPack {
             .isin(touchedKeys: _*))
         .agg(sum(col("n")).as("n"),
           min(col("u_lo")).as("u_lo"), max(col("u_hi")).as("u_hi"),
-          min(col("t_lo")).as("t_lo"), max(col("t_hi")).as("t_hi"))
+          min(col("t_lo")).as("t_lo"), max(col("t_hi")).as("t_hi"),
+          min(col("v_lo")).as("v_lo"), max(col("v_hi")).as("v_hi"))
       val parts =
         if (touched.isEmpty) metaPart
         else metaPart.unionByName(
@@ -1241,13 +1242,15 @@ object ScanPruning extends QueryPack {
             .agg(count(lit(1)).as("n"),
               min(col("user_id")).as("u_lo"),
               max(col("user_id")).as("u_hi"),
-              min(col("tsu")).as("t_lo"), max(col("tsu")).as("t_hi")))
+              min(col("tsu")).as("t_lo"), max(col("tsu")).as("t_hi"),
+              min(col("value")).as("v_lo"), max(col("value")).as("v_hi")))
       // the final fold ignores an all-touched/all-untouched null leg;
       // the count coalesces so an EMPTY (or fully-erased) table
       // answers n=0 instead of null — callers read it with getLong
       parts.agg(coalesce(sum(col("n")), lit(0L)).as("n"),
         min(col("u_lo")).as("u_lo"), max(col("u_hi")).as("u_hi"),
-        min(col("t_lo")).as("t_lo"), max(col("t_hi")).as("t_hi"))
+        min(col("t_lo")).as("t_lo"), max(col("t_hi")).as("t_hi"),
+        min(col("v_lo")).as("v_lo"), max(col("v_hi")).as("v_hi"))
     }
 
     /** GROUP BY event_type census served from METADATA: the per-file
@@ -1413,8 +1416,10 @@ object ScanPruning extends QueryPack {
       * bytes — the same retention horizon as the append feed. */
     def changeDataFeed(s: SparkSession, root: String,
         fromSeq: Long, toSeq: Long): DataFrame = {
-      val bySeq = readCommits(root)
-        .filter(r => r.mseq > fromSeq && r.mseq <= toSeq)
+      // suffix read only — a CDC tail polling this per micro-batch
+      // parses the commits past its cursor, never the whole history
+      val bySeq = readCommitsAfter(root, fromSeq)
+        .filter(_.mseq <= toSeq)
         .groupBy(_.mseq).toSeq.sortBy(_._1)
       def untag(df: DataFrame): DataFrame = df.drop("inc_id", "zbucket")
       def tag(df: DataFrame, ct: String, seq: Long): DataFrame =
@@ -2318,7 +2323,8 @@ object ScanPruning extends QueryPack {
     "fx_meta_stats" ->
       """SELECT count(*) AS n,
         |  min(user_id) AS u_lo, max(user_id) AS u_hi,
-        |  min(epoch_us(ts)) AS t_lo, max(epoch_us(ts)) AS t_hi
+        |  min(epoch_us(ts)) AS t_lo, max(epoch_us(ts)) AS t_hi,
+        |  min(value) AS v_lo, max(value) AS v_hi
         |FROM events""".stripMargin,
     // the same stats without the MoR-erased user — the split
     // metadata/exact fold must land here, min/max included
@@ -2326,7 +2332,8 @@ object ScanPruning extends QueryPack {
       s"""WITH $constsSql
          |SELECT count(*) AS n,
          |  min(user_id) AS u_lo, max(user_id) AS u_hi,
-         |  min(epoch_us(ts)) AS t_lo, max(epoch_us(ts)) AS t_hi
+         |  min(epoch_us(ts)) AS t_lo, max(epoch_us(ts)) AS t_hi,
+         |  min(value) AS v_lo, max(value) AS v_hi
          |FROM events CROSS JOIN consts
          |WHERE user_id <> probe""".stripMargin,
     // every commit's file movements replayed from the clustering:

@@ -42,6 +42,25 @@ object StreamingChangeFeed {
     * .start()` — the tick stream is only a scheduler. */
   def tail(root: String, stateDir: String)(
       emit: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
+    tailWith(root, stateDir,
+      (s, from, to) => FileIndexStore.changeFeedRange(s, root, from, to))(emit)
+
+  /** The CDC twin of [[tail]]: exactly-once delivery of ROW-LEVEL
+    * CHANGES (`_change_type` insert/delete, `_commit_version`) via
+    * [[FileIndexStore.changeDataFeed]] — same claim ledger, same
+    * replay contract (the manifest is append-only, so a pinned
+    * version range re-reads byte-identically), so a downstream
+    * mirror can be maintained by one idempotent-per-batchId sink.
+    * Maintenance rewrites declared row-preserving at commit time
+    * emit nothing and cost nothing to skip. */
+  def tailCdc(root: String, stateDir: String)(
+      emit: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
+    tailWith(root, stateDir,
+      (s, from, to) => FileIndexStore.changeDataFeed(s, root, from, to))(emit)
+
+  private def tailWith(root: String, stateDir: String,
+      read: (org.apache.spark.sql.SparkSession, Long, Long) => DataFrame)(
+      emit: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
     (tick, batchId) => {
       val s = tick.sparkSession
       val dir = java.nio.file.Paths.get(stateDir)
@@ -74,7 +93,7 @@ object StreamingChangeFeed {
             .trim.split('\t')
           (f(0).toLong, f(1).toLong)
         }
-      emit(FileIndexStore.changeFeedRange(s, root, from, to), batchId)
+      emit(read(s, from, to), batchId)
       pruneClaims(dir, batchId)
     }
 

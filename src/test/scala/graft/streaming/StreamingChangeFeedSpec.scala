@@ -98,6 +98,57 @@ class StreamingChangeFeedSpec extends AnyFunSuite {
       "the post-replay fresh batch missed the new append")
   }
 
+  test("CDC tail delivers row-level changes exactly once; maintenance emits nothing") {
+    import scala.jdk.CollectionConverters._
+    val root = ScanPruning.FileIndexStore.buildRootFrom(spark, mk(0L, 800))
+    val stateDir = Files.createTempDirectory("graft-scf-cdc").toString
+    // (batchId -> (inserts, deletes)) by event_id
+    val emitted = scala.collection.mutable.Map
+      .empty[Long, (Set[Long], Set[Long])]
+    val sink = StreamingChangeFeed.tailCdc(root, stateDir) { (rows, id) =>
+      val got = rows.select(col("_change_type"), col("event_id"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      emitted(id) = (got.collect { case ("insert", e) => e }.toSet,
+        got.collect { case ("delete", e) => e }.toSet)
+    }
+    val tick = spark.range(1).toDF()
+    sink(tick, 0L) // corpus publish
+    assert(emitted(0L) == ((0L until 800L).toSet, Set.empty[Long]))
+
+    // an absorb + a COW erase of user 7 land between polls: the CDC
+    // batch carries the increment as inserts AND the erased user's
+    // rows (from BOTH generations) as deletes
+    assert(ScanPruning.FileIndexStore.absorb(spark, root, mk(10000L, 400),
+      "inc-a"))
+    assert(ScanPruning.FileIndexStore.erase(spark, root, 7L, "erase-1"))
+    sink(tick, 1L)
+    val wantDel = ((0L until 800L) ++ (10000L until 10400L))
+      .filter(e => e % 40 == 7).toSet
+    assert(emitted(1L) == ((10000L until 10400L).toSet, wantDel))
+
+    // an absorb AND a compaction in the same window (the erase left
+    // one generation, the absorb makes two): the CDC batch carries
+    // exactly the absorb's inserts — the compaction, declared
+    // row-preserving, contributes nothing
+    assert(ScanPruning.FileIndexStore.absorb(spark, root, mk(30000L, 120),
+      "inc-mid"))
+    val compacted = ScanPruning.FileIndexStore.compact(spark, root)
+    assert(compacted.isDefined)
+    sink(tick, 2L)
+    assert(emitted(2L) == ((30000L until 30120L).toSet, Set.empty[Long]),
+      "a maintenance rewrite leaked into the CDC tail")
+
+    // crash replay: re-invoking the LAST batch id after a new absorb
+    // re-reads its recorded range byte-identically, not the new commit
+    assert(ScanPruning.FileIndexStore.absorb(spark, root, mk(20000L, 100),
+      "inc-b"))
+    sink(tick, 2L)
+    assert(emitted(2L) == ((30000L until 30120L).toSet, Set.empty[Long]),
+      "a replayed CDC batch read past its recorded range")
+    sink(tick, 3L)
+    assert(emitted(3L) == ((20000L until 20100L).toSet, Set.empty[Long]))
+  }
+
   test("claim ledger stays bounded over 1000 batches; replay across the prune boundary is byte-identical") {
     import scala.jdk.CollectionConverters._
     val root = ScanPruning.FileIndexStore.buildRootFrom(spark, mk(0L, 400))
