@@ -64,18 +64,31 @@ object BoundedBuckets {
     * plan object) when no bucket exceeds the cap.
     */
   def cap(df: DataFrame, keys: Seq[String], cap: Int = DefaultCap,
-          tag: String = "buckets"): DataFrame = {
-    val hot = df.groupBy(keys.map(col): _*)
+          tag: String = "buckets"): DataFrame =
+    capWithRows(df, keys, cap, tag)._1
+
+  /** [[cap]] plus the input's TOTAL row count, read from the same
+    * per-bucket aggregation — callers that also need the cardinality
+    * (e.g. to decide a broadcast) get it without a second pass over
+    * the frame. The common no-hot-bucket path costs exactly one job
+    * either way. */
+  def capWithRows(df: DataFrame, keys: Seq[String], cap: Int = DefaultCap,
+          tag: String = "buckets"): (DataFrame, Long) = {
+    val kc = df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__bucket_n"))
-      .filter(col("__bucket_n") > cap)
-      .select(keys.map(col): _*)
-    val nHot = hot.count()
+    val t = kc.agg(
+        coalesce(sum(col("__bucket_n")), lit(0L)),
+        coalesce(sum(when(col("__bucket_n") > cap, 1L)), lit(0L)))
+      .head()
+    val (total, nHot) = (t.getLong(0), t.getLong(1))
     dropped.put(tag, nHot)
-    if (nHot == 0) df
+    if (nHot == 0) (df, total)
     else {
       log.warn(s"$tag: dropping $nHot bucket(s) over cap=$cap rows " +
         "before the banded self-join (bounded candidate generation)")
-      df.join(broadcast(hot), keys, "left_anti")
+      val hot = kc.filter(col("__bucket_n") > cap)
+        .select(keys.map(col): _*)
+      (df.join(broadcast(hot), keys, "left_anti"), total)
     }
   }
 }

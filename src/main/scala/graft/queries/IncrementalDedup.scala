@@ -261,7 +261,7 @@ object IncrementalDedup extends QueryPack {
     // ×4 per serve (measured as the dd_incremental regression when
     // the sf0.1 scheme grew from 8 to 15 seeds). Increment-sized, so
     // the checkpoint is a few rows per doc.
-    val incBands = graft.operators.BoundedBuckets.cap(
+    val (incBands, incRows) = graft.operators.BoundedBuckets.capWithRows(
       DedupPipeline.bandsOf(incArrs, banding._1, banding._2)
         .localCheckpoint(true),
       Seq("band_key"), tag = "dd_incr_inc_bands")
@@ -274,7 +274,9 @@ object IncrementalDedup extends QueryPack {
     // stays map-side with no Exchange below it and planning skips
     // the per-join AQE size-discovery round. A genuinely large
     // increment keeps the plain join and lets AQE pick the strategy.
-    val incIsSmall = incBands.count() <= 1000000L
+    // cardinality rides out of the cap's own aggregation — no
+    // second pass over the frame
+    val incIsSmall = incRows <= 1000000L
     def small(df: DataFrame): DataFrame =
       if (incIsSmall) broadcast(df) else df
     val candCorpus = small(incBands)
