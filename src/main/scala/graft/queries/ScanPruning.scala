@@ -1146,6 +1146,30 @@ object ScanPruning extends QueryPack {
         .distinct()
     }
 
+    /** [[dv]] collected, memoized per MANIFEST VERSION: the live
+      * vector set only changes when a commit lands (an erase adds
+      * rows, a rewrite retires the files they target), so one
+      * control-plane collect per version serves every read at that
+      * version. The payoff is the fast path it unlocks — once a
+      * compaction folds the vectors in, this is EMPTY and reads drop
+      * the per-generation anti-join entirely, instead of paying it
+      * forever because a dv directory exists on disk. */
+    private val dvLiveCache = new java.util.concurrent.ConcurrentHashMap[
+      String, (Long, Seq[(String, Int, Long)])]()
+
+    private[graft] def dvLiveRows(s: SparkSession,
+        root: String): Seq[(String, Int, Long)] = {
+      if (!hasDv(root)) return Nil
+      val seq = maxCommitSeq(root)
+      val c = dvLiveCache.get(root)
+      if (c != null && c._1 == seq) return c._2
+      val rows = dv(s, root).collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+        .toSeq.sorted
+      dvLiveCache.put(root, (seq, rows))
+      rows
+    }
+
     /** Read a set of live logical files with their deletion vectors
       * applied. The no-DV fast path is the plain multi-path parquet
       * scan; with vectors present, per-generation reads keep the
@@ -1161,15 +1185,21 @@ object ScanPruning extends QueryPack {
       // `mergeSchema` (O(files) footer reads at plan time) remains
       // only as the fallback for roots populated outside the store's
       // own write path.
-      if (!hasDv(root)) {
+      // gate on the LIVE vector set at the current version, not on a
+      // dv directory existing: once compaction folds every vector
+      // into rewritten files, reads recover the plain multi-path scan
+      // instead of paying the per-generation anti-join forever
+      val dvRows = dvLiveRows(s, root)
+      if (dvRows.isEmpty) {
         val dirs = pairs.map { case (g, b) => bucketDir(root, g, b) }
         return mergedSchemaFor(s, root, pairs.map(_._1)) match {
           case Some(sch) => s.read.schema(sch).parquet(dirs: _*)
           case None => s.read.option("mergeSchema", "true").parquet(dirs: _*)
         }
       }
+      import s.implicits._
       readPairsTagged(s, root, pairs)
-        .join(broadcast(dv(s, root)),
+        .join(broadcast(dvRows.toDF("inc_id", "zbucket", "user_id")),
           Seq("inc_id", "zbucket", "user_id"), "left_anti")
     }
 
@@ -1222,9 +1252,8 @@ object ScanPruning extends QueryPack {
       * table scan, and exactly zero data bytes on a vector-free
       * table. */
     def metaStats(s: SparkSession, root: String): DataFrame = {
-      val touched = dv(s, root).select(col("inc_id"), col("zbucket"))
-        .distinct().collect()
-        .map(r => (r.getString(0), r.getInt(1))).toSeq.sorted
+      val touched = dvLiveRows(s, root)
+        .map { case (g, b, _) => (g, b) }.distinct.sorted
       val touchedKeys = touched.map { case (g, b) => s"$g#$b" }
       val metaPart = zone(s, root)
         .filter(if (touchedKeys.isEmpty) lit(true)
@@ -1261,9 +1290,8 @@ object ScanPruning extends QueryPack {
       * metaStats: untouched files stay metadata-served, DV-touched
       * files re-read with vectors applied. */
     def metaTypeCensus(s: SparkSession, root: String): DataFrame = {
-      val touched = dv(s, root).select(col("inc_id"), col("zbucket"))
-        .distinct().collect()
-        .map(r => (r.getString(0), r.getInt(1))).toSeq.sorted
+      val touched = dvLiveRows(s, root)
+        .map { case (g, b, _) => (g, b) }.distinct.sorted
       val touchedKeys = touched.map { case (g, b) => s"$g#$b" }
       val metaPart = s.read.parquet(typesPath(root))
         .join(broadcast(livePairsDf(s, root)), Seq("inc_id", "zbucket"))
