@@ -67,6 +67,25 @@ def main() -> int:
           f"(within {rel_tol * 100:.0f}% rel or {abs_tol * 1000:.0f}ms abs)")
     print(f"systematic drift (median B/A ratio): {drift:.3f} "
           f"{'<- loaded-vs-quiet pair?' if abs(drift - 1) > 0.05 else ''}")
+    # CROSS-ROUND GUARD (measured round 16): this host's per-query
+    # totals inflate MULTIPLICATIVELY across days even at matching
+    # ingest canaries — the round-14 tag re-run on round-16's host
+    # read a 1.26x median drift on byte-identical code (75.6s -> 100.2s
+    # quiet, canary 1.13M vs 1.20M ev/s). The canary measures bulk
+    # throughput (min-of-3 of one big job) and is blind to the
+    # per-JOB driver/scheduler latency that dominates a 217-query
+    # suite of sub-second queries. So: NEVER attribute a cross-day
+    # total movement to code. A uniform drift with matching canaries
+    # is the host; to attribute for real, re-run the prior round's
+    # tag from a separate checkout on TODAY's host and compare
+    # same-day (tools/drift_attrib.sh automates exactly that).
+    ia, ib = a.get("ingest_events_per_sec"), b.get("ingest_events_per_sec")
+    if ia and ib and ia > 0 and ib > 0 and abs(drift - 1) > 0.10 \
+            and abs(ib / ia - 1) < 0.10:
+        print("cross-round guard: uniform drift at a MATCHING ingest "
+              "canary — this is host per-job latency, not code; "
+              "re-run the prior tag same-day (tools/drift_attrib.sh) "
+              "before attributing")
     la, lb = a.get("loadavg_per_query", {}), b.get("loadavg_per_query", {})
     for k, x, y, rel in sorted(bad, key=lambda t: -t[3])[:15]:
         print(f"  {k}: {x:.3f}s vs {y:.3f}s ({rel * 100:.0f}%) "
