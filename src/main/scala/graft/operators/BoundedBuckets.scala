@@ -67,6 +67,29 @@ object BoundedBuckets {
           tag: String = "buckets"): DataFrame =
     capWithRows(df, keys, cap, tag)._1
 
+  /** Driver-side twin of [[cap]] for a band table ALREADY COLLECTED
+    * (an increment small enough to broadcast anyway): identical
+    * semantics — count per key, drop every bucket over the cap, log
+    * and record the drop — with zero Spark jobs. Callers that serve
+    * the capped rows as a local relation fold the census, the
+    * broadcast build, and the checkpoint into the one collect that
+    * fetched the rows. */
+  def capRowsLocal(rows: Seq[org.apache.spark.sql.Row],
+      keys: Seq[String], cap: Int = DefaultCap,
+      tag: String = "buckets"): Seq[org.apache.spark.sql.Row] = {
+    def keyOf(r: org.apache.spark.sql.Row) = keys.map(k => r.getAs[Any](k))
+    val hot = rows.groupBy(keyOf).collect {
+      case (k, g) if g.size > cap => k
+    }.toSet
+    dropped.put(tag, hot.size.toLong)
+    if (hot.isEmpty) rows
+    else {
+      log.warn(s"$tag: dropping ${hot.size} bucket(s) over cap=$cap rows " +
+        "before the banded self-join (bounded candidate generation)")
+      rows.filterNot(r => hot(keyOf(r)))
+    }
+  }
+
   /** [[cap]] plus the input's TOTAL row count, read from the same
     * per-bucket aggregation — callers that also need the cardinality
     * (e.g. to decide a broadcast) get it without a second pass over

@@ -127,18 +127,26 @@ object IncrementalDedup extends QueryPack {
       * the read is memoized per root — a serve query pays zero
       * banding-lookup jobs after the first touch. */
     private val bandings =
-      new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
+      new graft.core.BoundedMemo[String, (Int, Int)](64)
 
     def banding(s: SparkSession, root: String): (Int, Int) =
-      bandings.computeIfAbsent(root, _ => {
+      bandings.get(root).getOrElse {
         if (!java.nio.file.Files.isDirectory(
-            java.nio.file.Paths.get(bandingPath(root)))) (2, 4)
+            java.nio.file.Paths.get(bandingPath(root))))
+          // the historical default for roots predating the scaled
+          // scheme — returned UNCACHED: a caller racing the builder
+          // (bandingPath lands before any serve, but nothing stops a
+          // probe on a half-built root) must not pin the wrong scheme
+          // for the JVM's lifetime
+          (2, 4)
         else {
           val r = s.read.parquet(bandingPath(root))
             .agg(max(col("bands")), max(col("rows"))).head()
-          (r.getInt(0), r.getInt(1))
+          val v = (r.getInt(0), r.getInt(1))
+          bandings.put(root, v)
+          v
         }
-      })
+      }
 
     /** Merge-on-read component labels. Labels are a MONOID UNDER MIN:
       * a doc's component min-id can only DECREASE as edges arrive
@@ -253,30 +261,42 @@ object IncrementalDedup extends QueryPack {
       banding: (Int, Int) = (2, 4)): DataFrame = {
     // the increment MUST band under the corpus's persisted scheme —
     // store-backed callers pass SignatureStore.banding(s, root).
-    // Materialized eagerly: the cap's hot-key count plus BOTH
-    // candidate legs (the corpus probe and each side of the
-    // within-increment self-join) consume this frame, and uncached
-    // each consumer would recompute the bands×rows minhash transform
-    // over the increment's shingle arrays — the whole signature cost
-    // ×4 per serve (measured as the dd_incremental regression when
-    // the sf0.1 scheme grew from 8 to 15 seeds). Increment-sized, so
-    // the checkpoint is a few rows per doc.
-    val (incBands, incRows) = graft.operators.BoundedBuckets.capWithRows(
-      DedupPipeline.bandsOf(incArrs, banding._1, banding._2)
-        .localCheckpoint(true),
-      Seq("band_key"), tag = "dd_incr_inc_bands")
-    // candidates: increment bands vs persisted corpus bands (never a
-    // corpus self-join), plus the increment's own banded self-join
-    // oriented larger-judged-against-smaller. The increment is
-    // usually the small side (a crawl batch vs the whole corpus);
-    // when a count over the already-checkpointed band frame confirms
-    // it, the increment broadcasts EXPLICITLY — the corpus band scan
-    // stays map-side with no Exchange below it and planning skips
-    // the per-join AQE size-discovery round. A genuinely large
-    // increment keeps the plain join and lets AQE pick the strategy.
-    // cardinality rides out of the cap's own aggregation — no
-    // second pass over the frame
-    val incIsSmall = incRows <= 1000000L
+    // The increment is usually the small side (a crawl batch vs the
+    // whole corpus); smallness gates in estimated BYTES against the
+    // session's own broadcast threshold (forcing tens of MB past
+    // autoBroadcastJoinThreshold onto the driver is exactly what the
+    // threshold exists to prevent), probed with ONE early-stopping
+    // collect over the band transform. A small increment's bands
+    // then live in a LOCAL RELATION: the hot-bucket cap runs driver-
+    // side with identical semantics, both candidate legs broadcast
+    // for free (no broadcast-build job, no checkpoint job, no census
+    // job — the serve path's driver-job latency was its measured
+    // residual), and the corpus band scan stays map-side with no
+    // Exchange below it. A genuinely large increment keeps the
+    // distributed shape: eager checkpoint (the cap census plus both
+    // candidate legs would otherwise recompute the bands×rows
+    // minhash transform — the whole signature cost ×4 per serve),
+    // fused cap-and-count, plain joins with AQE picking the strategy.
+    val s = incArrs.sparkSession
+    val bands0 = DedupPipeline.bandsOf(incArrs, banding._1, banding._2)
+    val bandRowBytes = 72L // doc_id (8) + 32-hex band key + row overhead
+    val bcThreshold = s.sessionState.conf.autoBroadcastJoinThreshold
+    val driverRowCap =
+      if (bcThreshold > 0) (bcThreshold / bandRowBytes).toInt else 0
+    val head =
+      if (driverRowCap > 0) bands0.limit(driverRowCap + 1).collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    val incIsSmall = driverRowCap > 0 && head.length <= driverRowCap
+    val incBands =
+      if (incIsSmall)
+        s.createDataFrame(
+          java.util.Arrays.asList(graft.operators.BoundedBuckets
+            .capRowsLocal(head.toIndexedSeq, Seq("band_key"),
+              tag = "dd_incr_inc_bands"): _*),
+          bands0.schema)
+      else graft.operators.BoundedBuckets.cap(
+        bands0.localCheckpoint(true), Seq("band_key"),
+        tag = "dd_incr_inc_bands")
     def small(df: DataFrame): DataFrame =
       if (incIsSmall) broadcast(df) else df
     val candCorpus = small(incBands)

@@ -542,8 +542,15 @@ object ScanPruning extends QueryPack {
       * ("keep 7 days of snapshots"). A file dead since version d is
       * needed by snapshots < d and by none ≥ d. Index and manifest
       * rows stay: history remains auditable, but snapshots older than
-      * the horizon are no longer readable. Returns the reclaimed
-      * (gen, bucket) pairs. */
+      * the horizon are no longer readable. When bytes were actually
+      * destroyed the horizon PERSISTS (monotonic max), so feed/CDC
+      * cursors that predate it fail with an explicit
+      * [[OutOfRetentionException]] instead of a missing-file crash
+      * mid-diff, and the deletion-vector log FOLDS: vectors targeting
+      * destroyed files can never be legally read again (any version
+      * that needed them is below the horizon), so they are dropped —
+      * without this the dv parquet is O(all vectors ever written).
+      * Returns the reclaimed (gen, bucket) pairs. */
     def vacuumBefore(s: SparkSession, root: String,
         horizonSeq: Long): Seq[(String, Int)] = {
       val dead = headState(root).collect {
@@ -554,7 +561,60 @@ object ScanPruning extends QueryPack {
         val p = new org.apache.hadoop.fs.Path(bucketDir(root, g, b))
         p.getFileSystem(conf).delete(p, true)
       }
+      if (dead.nonEmpty) {
+        persistHorizon(root, horizonSeq)
+        foldDvLog(s, root, dead.toSet)
+      }
       dead
+    }
+
+    // ───────────────────── retention horizon
+    /** A feed cursor below the persisted horizon would replay commits
+      * whose files vacuum physically destroyed — the explicit
+      * out-of-retention contract of every production feed (Kafka's
+      * OffsetOutOfRange, Delta's missing-CDF-file error), raised at
+      * poll time instead of a raw FileNotFoundException mid-diff. */
+    final class OutOfRetentionException(
+        val fromSeq: Long, val horizonSeq: Long)
+      extends RuntimeException(
+        s"feed cursor $fromSeq predates the retention horizon " +
+        s"$horizonSeq — files appended at or below the horizon were " +
+        "reclaimed by vacuum. Re-bootstrap this consumer: snapshot-" +
+        "read the table at the current version, then tail from a " +
+        "fresh cursor at currentSeq.")
+
+    private def horizonFile(root: String): java.nio.file.Path =
+      java.nio.file.Paths.get(root, "retention-horizon.tsv")
+
+    /** The newest vacuum's declared horizon, -1 when no destroying
+      * vacuum ever ran. One tiny file read per poll. */
+    def retentionHorizon(root: String): Long = {
+      val f = horizonFile(root)
+      if (!java.nio.file.Files.exists(f)) -1L
+      else new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+        .trim.toLong
+    }
+
+    /** Monotonic-max persist via write-tmp-then-atomic-rename — a
+      * crashed write never leaves a torn horizon, and a replayed
+      * vacuum's equal value is a no-op. Vacuums are "schedule one per
+      * root" maintenance (like compaction), so the read-max-write is
+      * not racing itself. */
+    private def persistHorizon(root: String, horizonSeq: Long): Unit = {
+      val cur = retentionHorizon(root)
+      if (horizonSeq <= cur) return
+      val f = horizonFile(root)
+      val tmp = java.nio.file.Files.createTempFile(
+        f.getParent, ".horizon", ".tmp")
+      java.nio.file.Files.write(tmp, s"$horizonSeq\n".getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, f,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+
+    private def assertInRetention(root: String, fromSeq: Long): Unit = {
+      val h = retentionHorizon(root)
+      if (fromSeq < h) throw new OutOfRetentionException(fromSeq, h)
     }
 
     /** The persisted layout constants — a 1-row control-plane read;
@@ -689,8 +749,19 @@ object ScanPruning extends QueryPack {
       val want = gens.distinct
       val known = genSchemas(s, root, want).getOrElse(return None)
       val byName = scala.collection.mutable.LinkedHashMap[String, StructField]()
-      want.foreach(g => known(g).fields.foreach(f =>
-        if (!byName.contains(f.name)) byName(f.name) = f))
+      // a column whose TYPE differs across generations (a widening
+      // evolution, e.g. int→long) cannot be served by picking one
+      // generation's field — an explicit-schema read would mis-read
+      // the other generations' files. Fall back to parquet
+      // mergeSchema, which owns the widening rules.
+      var conflict = false
+      want.foreach(g => known(g).fields.foreach { f =>
+        byName.get(f.name) match {
+          case None => byName(f.name) = f
+          case Some(prev) => if (prev.dataType != f.dataType) conflict = true
+        }
+      })
+      if (conflict) return None
       val extras = byName.keys.filterNot(DataCols.toSet).toSeq.sorted
       Some(StructType(
         (DataCols.filter(byName.contains) ++ extras).map(byName(_))))
@@ -702,14 +773,14 @@ object ScanPruning extends QueryPack {
       * a generation another writer absorbed is simply a cache miss
       * that triggers one refresh read. Without this every pruned read
       * would pay a (tiny but real) schema-log job. */
-    private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
-      String, Map[String, org.apache.spark.sql.types.StructType]]()
+    private val schemaCache = new graft.core.BoundedMemo[
+      String, Map[String, org.apache.spark.sql.types.StructType]](64)
 
     private def genSchemas(s: SparkSession, root: String,
         want: Seq[String])
         : Option[Map[String, org.apache.spark.sql.types.StructType]] = {
       import org.apache.spark.sql.types.{DataType, StructType}
-      val cached = schemaCache.getOrDefault(root, Map.empty)
+      val cached = schemaCache.get(root).getOrElse(Map.empty)
       if (want.forall(cached.contains)) return Some(cached)
       if (!java.nio.file.Files.isDirectory(
           java.nio.file.Paths.get(schemaPath(root)))) return None
@@ -1091,9 +1162,79 @@ object ScanPruning extends QueryPack {
         .distinct()
 
     // ───────────────────── merge-on-read deletion vectors
-    private[graft] def hasDv(root: String): Boolean =
+    private[graft] def hasDv(root: String): Boolean = {
+      repairDvSwap(root)
       java.nio.file.Files.isDirectory(
         java.nio.file.Paths.get(dvPath(root)))
+    }
+
+    private def dvFoldPath(root: String): java.nio.file.Path =
+      java.nio.file.Paths.get(dvPath(root) + ".fold")
+    private def dvTrashPath(root: String): java.nio.file.Path =
+      java.nio.file.Paths.get(dvPath(root) + ".trash")
+
+    /** Crash repair for [[foldDvLog]]'s one exposed window: the old
+      * dv dir was renamed away but the folded replacement not yet
+      * renamed in. Losing dv rows would RESURRECT erased rows, so the
+      * swap is rename-only (atomic on one filesystem) and this repair
+      * completes it from the _SUCCESS-complete fold dir. Two
+      * Files.exists probes on the common path — called from [[hasDv]]
+      * so every reader self-heals. */
+    private def repairDvSwap(root: String): Unit = {
+      val dv = java.nio.file.Paths.get(dvPath(root))
+      val fold = dvFoldPath(root)
+      if (!java.nio.file.Files.exists(dv) &&
+          java.nio.file.Files.exists(fold.resolve("_SUCCESS")))
+        java.nio.file.Files.move(fold, dv,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+
+    /** Vacuum-time fold of the deletion-vector log: drop vectors
+      * whose target file this vacuum DESTROYED — every version that
+      * could read them is now below the retention horizon, so they
+      * are dead weight that would otherwise accumulate forever (the
+      * dv scan is O(rows in the log)). Vectors targeting surviving
+      * dead files stay: the CDC diff of versions above the horizon
+      * still applies them ([[dvRowsAt]]). Crash-safe in rename steps:
+      * write fold dir → rename dv away → rename fold in → delete
+      * trash; the only exposed window is healed by [[repairDvSwap]].
+      * Like vacuum itself, schedule one per root — a reader planning
+      * a scan of the dv dir mid-swap can fail and retry, exactly as
+      * with vacuum's data-file deletes. */
+    private def foldDvLog(s: SparkSession, root: String,
+        destroyed: Set[(String, Int)]): Unit = {
+      if (!hasDv(root)) return
+      import s.implicits._
+      val dvDir = java.nio.file.Paths.get(dvPath(root))
+      val all = s.read.parquet(dvPath(root))
+      val kept = all.join(
+        broadcast(destroyed.toSeq.sorted.toDF("inc_id", "zbucket")),
+        Seq("inc_id", "zbucket"), "left_anti")
+      val keptN = kept.count()
+      if (keptN == all.count()) return // no vector targeted a destroyed file
+      val fold = dvFoldPath(root)
+      val trash = dvTrashPath(root)
+      // leftovers from an interrupted earlier fold (fold dir already
+      // consumed or abandoned, trash never deleted) clear first
+      deleteRecursively(fold)
+      deleteRecursively(trash)
+      if (keptN > 0) kept.write.mode("overwrite").parquet(fold.toString)
+      java.nio.file.Files.move(dvDir, trash,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      if (keptN > 0)
+        java.nio.file.Files.move(fold, dvDir,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      deleteRecursively(trash)
+    }
+
+    private def deleteRecursively(p: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        val stream = java.nio.file.Files.walk(p)
+        try stream.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        finally stream.close()
+      }
 
     /** MERGE-ON-READ privacy erase — the deletion-vector twin of
       * [[erase]] (the Delta/Iceberg MoR design, public knowledge):
@@ -1146,6 +1287,14 @@ object ScanPruning extends QueryPack {
         .distinct()
     }
 
+    /** Driver-materialization cap for the live vector set: above this
+      * many (file, key) rows the memoized collect-and-broadcast is
+      * skipped and reads keep the distributed anti-join — a tenant
+      * bulk-erasing 10⁶ users before any compaction must not put
+      * every vector row on the driver. Overridable for soak runs. */
+    private def DvCollectCap: Int =
+      sys.props.get("graft.dv.collectCap").map(_.toInt).getOrElse(100000)
+
     /** [[dv]] collected, memoized per MANIFEST VERSION: the live
       * vector set only changes when a commit lands (an erase adds
       * rows, a rewrite retires the files they target), so one
@@ -1153,22 +1302,61 @@ object ScanPruning extends QueryPack {
       * version. The payoff is the fast path it unlocks — once a
       * compaction folds the vectors in, this is EMPTY and reads drop
       * the per-generation anti-join entirely, instead of paying it
-      * forever because a dv directory exists on disk. */
-    private val dvLiveCache = new java.util.concurrent.ConcurrentHashMap[
-      String, (Long, Seq[(String, Int, Long)])]()
+      * forever because a dv directory exists on disk. Memo value:
+      * (version, per-key rows or None above [[DvCollectCap]], the
+      * DV-TOUCHED file pairs — always control-plane sized, erased
+      * keys never bound the pair count). LRU-bounded so retired
+      * roots age out instead of pinning driver memory forever. */
+    private val dvLiveCache = new graft.core.BoundedMemo[
+      String, (Long, Option[Seq[(String, Int, Long)]], Seq[(String, Int)])](64)
 
-    private[graft] def dvLiveRows(s: SparkSession,
-        root: String): Seq[(String, Int, Long)] = {
-      if (!hasDv(root)) return Nil
+    private def dvLiveState(s: SparkSession, root: String)
+        : (Option[Seq[(String, Int, Long)]], Seq[(String, Int)]) = {
+      if (!hasDv(root)) return (Some(Nil), Nil)
       val seq = maxCommitSeq(root)
-      val c = dvLiveCache.get(root)
-      if (c != null && c._1 == seq) return c._2
-      val rows = dv(s, root).collect()
-        .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
-        .toSeq.sorted
-      dvLiveCache.put(root, (seq, rows))
-      rows
+      dvLiveCache.get(root) match {
+        case Some((v, rowsOpt, touched)) if v == seq => (rowsOpt, touched)
+        case _ =>
+          val df = dv(s, root)
+          val cap = DvCollectCap
+          // one early-stopping job decides collect-vs-distributed
+          val head = df.limit(cap + 1).collect()
+          val (rowsOpt, touched) =
+            if (head.length <= cap) {
+              val rows = head
+                .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+                .toSeq.sorted
+              (Some(rows), rows.map { case (g, b, _) => (g, b) }.distinct)
+            } else {
+              // over-cap: only the touched PAIRS come to the driver
+              // (files an erase pruned to — control-plane sized)
+              (None, df.select(col("inc_id"), col("zbucket")).distinct()
+                .collect().map(r => (r.getString(0), r.getInt(1)))
+                .toSeq.sorted)
+            }
+          dvLiveCache.put(root, (seq, rowsOpt, touched))
+          (rowsOpt, touched)
+      }
     }
+
+    /** Entry counts of the per-root control-plane memos — exposed so
+      * soaks can pin that cycling many roots never grows the driver
+      * footprint past the LRU bound. */
+    private[graft] def memoSizes: Map[String, Int] =
+      Map("schema" -> schemaCache.size, "dvLive" -> dvLiveCache.size)
+
+    /** The live vector rows when small enough to broadcast from the
+      * driver; None above [[DvCollectCap]] — callers then anti-join
+      * the distributed [[dv]] frame instead. */
+    private[graft] def dvLiveRows(s: SparkSession,
+        root: String): Option[Seq[(String, Int, Long)]] =
+      dvLiveState(s, root)._1
+
+    /** The live files any vector targets — always driver-safe (the
+      * metadata-stats split needs the FILE set, never the keys). */
+    private[graft] def dvTouchedPairs(s: SparkSession,
+        root: String): Seq[(String, Int)] =
+      dvLiveState(s, root)._2
 
     /** Read a set of live logical files with their deletion vectors
       * applied. The no-DV fast path is the plain multi-path parquet
@@ -1189,18 +1377,26 @@ object ScanPruning extends QueryPack {
       // dv directory existing: once compaction folds every vector
       // into rewritten files, reads recover the plain multi-path scan
       // instead of paying the per-generation anti-join forever
-      val dvRows = dvLiveRows(s, root)
-      if (dvRows.isEmpty) {
-        val dirs = pairs.map { case (g, b) => bucketDir(root, g, b) }
-        return mergedSchemaFor(s, root, pairs.map(_._1)) match {
-          case Some(sch) => s.read.schema(sch).parquet(dirs: _*)
-          case None => s.read.option("mergeSchema", "true").parquet(dirs: _*)
-        }
-      }
       import s.implicits._
-      readPairsTagged(s, root, pairs)
-        .join(broadcast(dvRows.toDF("inc_id", "zbucket", "user_id")),
-          Seq("inc_id", "zbucket", "user_id"), "left_anti")
+      dvLiveRows(s, root) match {
+        case Some(rows) if rows.isEmpty =>
+          val dirs = pairs.map { case (g, b) => bucketDir(root, g, b) }
+          mergedSchemaFor(s, root, pairs.map(_._1)) match {
+            case Some(sch) => s.read.schema(sch).parquet(dirs: _*)
+            case None => s.read.option("mergeSchema", "true").parquet(dirs: _*)
+          }
+        case Some(rows) =>
+          readPairsTagged(s, root, pairs)
+            .join(broadcast(rows.toDF("inc_id", "zbucket", "user_id")),
+              Seq("inc_id", "zbucket", "user_id"), "left_anti")
+        case None =>
+          // over-[[DvCollectCap]] erase backlog: the vector set stays
+          // distributed and AQE picks the join strategy — correct at
+          // any vector count, never unbounded driver memory
+          readPairsTagged(s, root, pairs)
+            .join(dv(s, root), Seq("inc_id", "zbucket", "user_id"),
+              "left_anti")
+      }
     }
 
     /** The raw multi-generation read KEEPING the (inc_id, zbucket)
@@ -1252,8 +1448,7 @@ object ScanPruning extends QueryPack {
       * table scan, and exactly zero data bytes on a vector-free
       * table. */
     def metaStats(s: SparkSession, root: String): DataFrame = {
-      val touched = dvLiveRows(s, root)
-        .map { case (g, b, _) => (g, b) }.distinct.sorted
+      val touched = dvTouchedPairs(s, root)
       val touchedKeys = touched.map { case (g, b) => s"$g#$b" }
       val metaPart = zone(s, root)
         .filter(if (touchedKeys.isEmpty) lit(true)
@@ -1290,8 +1485,7 @@ object ScanPruning extends QueryPack {
       * metaStats: untouched files stay metadata-served, DV-touched
       * files re-read with vectors applied. */
     def metaTypeCensus(s: SparkSession, root: String): DataFrame = {
-      val touched = dvLiveRows(s, root)
-        .map { case (g, b, _) => (g, b) }.distinct.sorted
+      val touched = dvTouchedPairs(s, root)
       val touchedKeys = touched.map { case (g, b) => s"$g#$b" }
       val metaPart = s.read.parquet(typesPath(root))
         .join(broadcast(livePairsDf(s, root)), Seq("inc_id", "zbucket"))
@@ -1330,6 +1524,62 @@ object ScanPruning extends QueryPack {
           (seq, rows.head.gen, kind, added.toLong, removed.toLong)
         }
         .toDF("mseq", "gen", "kind", "files_added", "files_removed")
+    }
+
+    /** AUDIT of the "maint" (row-preserving) declarations — the
+      * honesty check for the trust [[changeDataFeed]] places in the
+      * committer: CDC skips maint commits UNREAD, so a buggy or
+      * malicious rewrite declared maint would silently vanish from
+      * the feed. This recomputes the row-preservation claim from the
+      * zone map's LOGGED per-file counts (index rows survive death
+      * and vacuum) — zero data reads. Per maint commit, published
+      * rows (zone n over its live files) vs retired rows (over its
+      * dead files): a row-preserving rewrite that folds no deletion
+      * vectors must publish exactly what it retired; one that folds
+      * vectors publishes FEWER (the per-file erased-row count is not
+      * logged, so the audit bounds rather than equates). Flagged
+      * (`ok = false`) when published > retired, or published ≠
+      * retired with no vector (as of the commit) targeting the
+      * retired files. Commits at or below the retention horizon are
+      * SKIPPED — vacuum folded their dv evidence, so audit before
+      * vacuuming past a commit. Returns (version, gen, published,
+      * retired, ok) per audited maint commit. */
+    def auditMaint(s: SparkSession, root: String)
+        : Seq[(Long, String, Long, Long, Boolean)] = {
+      import s.implicits._
+      // commits at or below the retention horizon are unauditable by
+      // design: vacuum folded the dv log, so an honest DV-folding
+      // compaction down there is indistinguishable from a lie — audit
+      // maintenance BEFORE vacuuming past it
+      val horizon = retentionHorizon(root)
+      val maints = readCommits(root).groupBy(_.mseq).toSeq.sortBy(_._1)
+        .filter { case (seq, rows) => seq > horizon &&
+          rows.exists(r => r.zbucket == -1 && r.status == "maint") }
+      if (maints.isEmpty) return Nil
+      val allPairs = maints.flatMap(_._2).collect {
+        case ManifestRow(g, b, _, _) if b >= 0 => (g, b)
+      }.distinct
+      val n: Map[(String, Int), Long] =
+        if (allPairs.isEmpty) Map.empty
+        else zoneOf(s, root, allPairs.toDF("inc_id", "zbucket"))
+          .select(col("inc_id"), col("zbucket"), col("n")).collect()
+          .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+      maints.map { case (seq, rows) =>
+        val gen = rows.find(_.zbucket == -1).map(_.gen)
+          .getOrElse(rows.head.gen)
+        val pub = rows.collect {
+          case ManifestRow(g, b, "live", _) if b >= 0 =>
+            n.getOrElse((g, b), 0L) }.sum
+        val retired = rows.collect {
+          case ManifestRow(g, b, "dead", _) => (g, b) }.toSet
+        val ret = retired.iterator.map(p => n.getOrElse(p, 0L)).sum
+        val dvTouchesRetired = retired.nonEmpty && hasDv(root) &&
+          dvRowsAt(s, root, seq - 1)
+            .select(col("inc_id"), col("zbucket")).distinct().collect()
+            .exists(r => retired.contains((r.getString(0), r.getInt(1))))
+        val ok = pub == ret || (pub < ret && dvTouchesRetired)
+        (seq, gen, pub, ret, ok)
+      }
     }
 
     // ───────────────────── the append change feed
@@ -1386,6 +1636,7 @@ object ScanPruning extends QueryPack {
       * commit that landed between the two listings. */
     def changeFeedState(s: SparkSession, root: String,
         fromSeq: Long): (Long, DataFrame) = {
+      assertInRetention(root, fromSeq)
       val (head, apps) = appendsSince(root, fromSeq)
       (head, feedFrameOf(s, root, apps))
     }
@@ -1396,6 +1647,7 @@ object ScanPruning extends QueryPack {
       * many commits landed since. */
     def changeFeedRange(s: SparkSession, root: String,
         fromSeq: Long, toSeq: Long): DataFrame = {
+      assertInRetention(root, fromSeq)
       val (_, apps) = appendsSince(root, fromSeq)
       feedFrameOf(s, root, apps.filter(_._1 <= toSeq))
     }
@@ -1444,6 +1696,7 @@ object ScanPruning extends QueryPack {
       * bytes — the same retention horizon as the append feed. */
     def changeDataFeed(s: SparkSession, root: String,
         fromSeq: Long, toSeq: Long): DataFrame = {
+      assertInRetention(root, fromSeq)
       // suffix read only — a CDC tail polling this per micro-batch
       // parses the commits past its cursor, never the whole history
       val bySeq = readCommitsAfter(root, fromSeq)
@@ -1460,14 +1713,17 @@ object ScanPruning extends QueryPack {
           case ManifestRow(g, b, "dead", _) => (g, b) }
         val isMaint = rows.exists(r =>
           r.zbucket == -1 && r.status == "maint")
-        if (dead.isEmpty && live.nonEmpty)
-          Seq(tag(untag(readPairsTagged(s, root, live)), "insert", seq))
-        else if (isMaint)
-          // the committer DECLARED the rewrite row-preserving
+        if (isMaint)
+          // the committer DECLARED the commit row-preserving
           // (compaction, layout migration): nothing to emit and — the
           // point of the marker — nothing to read; an undeclared
-          // rewrite still gets the honest file-pruned diff below
+          // rewrite still gets the honest file-pruned diff below.
+          // Checked FIRST so the declaration always wins: a maint
+          // commit that only ADDS files (no dead pairs) must not be
+          // emitted as inserts despite its append-like shape.
           Nil
+        else if (dead.isEmpty && live.nonEmpty)
+          Seq(tag(untag(readPairsTagged(s, root, live)), "insert", seq))
         else if (dead.nonEmpty) {
           val before0 = untag(readPairsTagged(s, root, dead)
             .join(broadcast(dvRowsAt(s, root, seq - 1)),

@@ -113,9 +113,13 @@ object StreamingChangeFeed {
     * claim. Without this the state dir grows one file per micro-batch
     * forever and the per-batch listing cost is O(total batches); with
     * it both are O(1). A zombie driver that lost the checkpoint race
-    * may re-claim a pruned id and emit a non-identical (empty) frame
-    * for it, but the sink's idempotent-per-batchId contract already
-    * discards any emit for a committed id, so exactly-once holds. */
+    * may re-claim a pruned id: it writes a FRESH claim
+    * (from = maxClaimedTo, to = currentSeq) and emits the current
+    * unclaimed range's real rows under the stale batch id — but the
+    * sink's idempotent-per-batchId contract discards any emit for a
+    * committed id, and the cursor math ignores the lower id, so
+    * exactly-once holds (the discarded range is re-claimed by the
+    * live query's next batch). */
   private def pruneClaims(dir: java.nio.file.Path, batchId: Long): Unit = {
     import scala.jdk.CollectionConverters._
     val stream = java.nio.file.Files.list(dir)

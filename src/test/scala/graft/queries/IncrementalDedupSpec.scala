@@ -90,6 +90,26 @@ class IncrementalDedupSpec extends AnyFunSuite {
       "persisted signature table not in plan")
   }
 
+  test("a small increment's bands serve from a local relation") {
+    // the serve path's measured residual was driver-job latency, so a
+    // broadcast-sized increment folds checkpoint + cap census +
+    // broadcast build into the ONE collect that fetched its bands —
+    // both candidate legs then read a LocalTableScan (free to
+    // broadcast, no job per exchange). The gate reads the session's
+    // autoBroadcastJoinThreshold (it IS the declared driver budget;
+    // -1 = operator forbade broadcasts and the distributed shape
+    // stays), so pin the default here — the shared test session may
+    // arrive with broadcasts disabled by an earlier suite
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10485760L)
+    try {
+      val df = SparkEntry.queries("dd_incremental")(spark, dir)
+      val p = df.queryExecution.executedPlan.toString()
+      assert(p.contains("LocalTableScan"),
+        s"small increment bands should plan as a local relation:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("store-backed verdicts match directly-computed corpus frames") {
     val inc = IncrementalDedup.incrementArrs(spark, dir).localCheckpoint(true)
     val corpus = Tables.documents(spark, dir).filter(col("doc_id") % 10 < 8)

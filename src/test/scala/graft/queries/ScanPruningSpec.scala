@@ -962,4 +962,113 @@ class ScanPruningSpec extends AnyFunSuite {
     assert(upd.filter(col("_change_type") === "insert" &&
       col("value") =!= 9.99).count() == 0L)
   }
+
+  test("vacuum folds the deletion-vector log; over-cap erases stay distributed") {
+    import spark.implicits._
+    val synth = (0 until 2000).map { i =>
+      (i.toLong, i.toLong * 1000000000L, (i % 40).toLong, "view",
+        (i % 97 + 1) / 100.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val root = ScanPruning.FileIndexStore.buildRootFrom(spark, synth)
+    assert(ScanPruning.FileIndexStore.absorb(spark, root,
+      synth.withColumn("event_id", col("event_id") + 10000L), "inc-1"))
+    def dvRaw() = spark.read.parquet(
+      ScanPruning.FileIndexStore.dvPath(root))
+    def liveIds() = ScanPruning.FileIndexStore
+      .readPairs(spark, root, ScanPruning.FileIndexStore
+        .livePairs(spark, root))
+      .select(col("event_id"), col("user_id")).collect()
+
+    // dve-1 targets the original files; compaction folds it (the
+    // vectors then point at DEAD files); dve-2 then targets the
+    // freshly compacted LIVE files
+    assert(ScanPruning.FileIndexStore.eraseDv(spark, root, 7L, "dve-1"))
+    assert(ScanPruning.FileIndexStore.compact(spark, root).isDefined)
+    assert(dvRaw().filter(col("erase_id") === "dve-1").count() > 0,
+      "pre-vacuum dv log should still hold the folded vectors")
+    assert(ScanPruning.FileIndexStore.eraseDv(spark, root, 11L, "dve-2"))
+
+    // the honest DV-folding compaction passes the maint audit while
+    // its evidence is still in the dv log (pub < ret, explained by
+    // the vectors that targeted its inputs); after the vacuum below
+    // the commit falls under the horizon and is skipped by design
+    val audit = ScanPruning.FileIndexStore.auditMaint(spark, root)
+    assert(audit.nonEmpty && audit.forall(_._5),
+      s"honest maintenance flagged: $audit")
+
+    // vacuum destroys the retired files AND folds the dv log: dve-1's
+    // vectors (targets destroyed, unreadable below the horizon) drop;
+    // dve-2's (targets live) survive
+    assert(ScanPruning.FileIndexStore.vacuum(spark, root).nonEmpty)
+    val left = dvRaw().select(col("erase_id")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(left == Set("dve-2"),
+      s"dv log should fold to live vectors only, held $left")
+    val ids = liveIds()
+    assert(ids.forall(r => r.getLong(1) != 7L && r.getLong(1) != 11L),
+      "an erased user resurfaced after the dv fold")
+    assert(ids.length == 2 * synth.filter(
+      col("user_id") =!= 7L && col("user_id") =!= 11L).count().toInt)
+    assert(ScanPruning.FileIndexStore.auditMaint(spark, root).isEmpty,
+      "pre-horizon maint commits should be skipped, not misjudged")
+
+    // a forced over-threshold erase keeps the DISTRIBUTED anti-join
+    // and still answers exactly (never unbounded driver memory)
+    System.setProperty("graft.dv.collectCap", "1")
+    try {
+      val root2 = ScanPruning.FileIndexStore.buildRootFrom(spark, synth)
+      assert(ScanPruning.FileIndexStore.eraseDv(spark, root2, 3L, "dve-a"))
+      assert(ScanPruning.FileIndexStore.eraseDv(spark, root2, 5L, "dve-b"))
+      val got = ScanPruning.FileIndexStore
+        .readPairs(spark, root2, ScanPruning.FileIndexStore
+          .livePairs(spark, root2))
+        .select(col("event_id"), col("user_id")).collect()
+      assert(got.forall(r => r.getLong(1) != 3L && r.getLong(1) != 5L))
+      assert(got.length == synth.filter(
+        col("user_id") =!= 3L && col("user_id") =!= 5L).count().toInt)
+      val n = ScanPruning.FileIndexStore.metaStats(spark, root2)
+        .head().getLong(0)
+      assert(n == got.length.toLong,
+        "metadata stats diverged on the over-cap dv path")
+    } finally System.clearProperty("graft.dv.collectCap")
+
+    // the per-root memos stay LRU-bounded however many roots a
+    // process cycles (BoundedMemoSpec pins the eviction itself)
+    assert(ScanPruning.FileIndexStore.memoSizes.values.forall(_ <= 64))
+  }
+
+  test("the maint audit flags a lying row-preserving declaration") {
+    import spark.implicits._
+    val synth = (0 until 800).map { i =>
+      (i.toLong, i.toLong * 1000000000L, (i % 40).toLong, "view",
+        (i % 97 + 1) / 100.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val root = ScanPruning.FileIndexStore.buildRootFrom(spark, synth)
+    assert(ScanPruning.FileIndexStore.absorb(spark, root,
+      synth.withColumn("event_id", col("event_id") + 10000L), "inc-1"))
+    // an honest row-preserving rewrite audits clean
+    assert(ScanPruning.FileIndexStore.compact(spark, root).isDefined)
+    assert(ScanPruning.FileIndexStore.auditMaint(spark, root).forall(_._5))
+
+    // the lie: a rewrite that DROPS user 3's rows but declares itself
+    // row-preserving — CDC would skip it unread, silently losing the
+    // deletes; the audit recomputes the claim from logged counts only
+    val pairs = ScanPruning.FileIndexStore.livePairs(spark, root)
+    val sneaky = ScanPruning.FileIndexStore
+      .readPairs(spark, root, pairs)
+      .filter(col("user_id") =!= 3L)
+      .select(Seq("event_id", "ts", "user_id", "event_type", "value",
+        "props").map(col): _*)
+    val buckets = ScanPruning.FileIndexStore.writeAndIndex(
+      spark, root, sneaky, "lie-1",
+      ScanPruning.FileIndexStore.layoutOf(spark, root))
+    assert(ScanPruning.FileIndexStore.commitNext(
+      root, "lie-1", buckets, pairs, "maint"))
+    val audit = ScanPruning.FileIndexStore.auditMaint(spark, root)
+    val lie = audit.find(_._2 == "lie-1")
+    assert(lie.exists(!_._5),
+      s"the lying maint commit went undetected: $audit")
+    assert(audit.filter(_._2 != "lie-1").forall(_._5),
+      "the audit flagged an honest commit")
+  }
 }

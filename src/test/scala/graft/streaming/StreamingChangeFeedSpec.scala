@@ -205,4 +205,59 @@ class StreamingChangeFeedSpec extends AnyFunSuite {
     sink(tick, 1000L) // fresh id: picks up exactly the new append
     assert(collected(1000L) == (900000L until 900030L).toSet)
   }
+
+  test("a cursor below the vacuum horizon raises the out-of-retention contract") {
+    val fis = ScanPruning.FileIndexStore
+    val root = fis.buildRootFrom(spark, mk(0L, 400)) // seq 0
+    assert(fis.absorb(spark, root, mk(10000L, 200), "inc-a")) // seq 1
+    // the CoW erase retires every file holding user 7 (user = i % 40
+    // puts it in all of them) and republishes the survivors — seq 2
+    assert(fis.erase(spark, root, 7L, "erase-1"))
+    assert(fis.absorb(spark, root, mk(20000L, 200), "inc-b")) // seq 3
+    // destroy the files the erase retired; the horizon persists at 2
+    assert(fis.vacuumBefore(spark, root, 2L).nonEmpty)
+
+    // a stale cursor gets the TYPED contract error naming the horizon
+    // and the re-bootstrap path — never a missing-file crash mid-diff
+    val e = intercept[fis.OutOfRetentionException] {
+      fis.changeFeedState(spark, root, 1L)
+    }
+    assert(e.fromSeq == 1L && e.horizonSeq == 2L)
+    assert(e.getMessage.contains("horizon 2") &&
+      e.getMessage.toLowerCase.contains("re-bootstrap"))
+    intercept[fis.OutOfRetentionException] {
+      fis.changeDataFeed(spark, root, 1L, 3L)
+    }
+    intercept[fis.OutOfRetentionException] {
+      fis.changeFeedRange(spark, root, 0L, 3L)
+    }
+
+    // the streaming tails surface the same error: a long-stopped
+    // consumer whose newest claim ends below the horizon (each tail
+    // gets its own state dir — the first poll's fresh claim would
+    // otherwise advance the second tail's cursor past the horizon)
+    def staleDir(): String = {
+      val d = java.nio.file.Files.createTempDirectory("graft-scf-ret")
+      java.nio.file.Files.write(d.resolve(f"b${0L}%019d.tsv"),
+        "-1\t1\n".getBytes("UTF-8"))
+      d.toString
+    }
+    val sink = StreamingChangeFeed.tail(root, staleDir())((_, _) => ())
+    intercept[fis.OutOfRetentionException] {
+      sink(spark.range(1).toDF(), 1L)
+    }
+    val cdcSink = StreamingChangeFeed.tailCdc(root, staleDir())((_, _) => ())
+    intercept[fis.OutOfRetentionException] {
+      cdcSink(spark.range(1).toDF(), 1L)
+    }
+
+    // from the horizon on, both feeds answer unchanged
+    val (head, rows) = fis.changeFeedState(spark, root, 2L)
+    assert(head == 3L)
+    assert(rows.select(col("event_id")).collect().map(_.getLong(0)).toSet
+      == (20000L until 20200L).toSet)
+    val cdc = fis.changeDataFeed(spark, root, 2L, 3L)
+    assert(cdc.filter(col("_change_type") === "insert").count() == 200L
+      && cdc.filter(col("_change_type") =!= "insert").count() == 0L)
+  }
 }
