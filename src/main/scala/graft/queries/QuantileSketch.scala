@@ -61,15 +61,6 @@ object QuantileSketch extends QueryPack {
 
   /** Weighted sketch items (g, v, uid, lvl) of a frame with columns
     * (g, v, uid); weight of an item is 2^lvl. */
-  /** Frames at or above this estimated row count checkpoint every
-    * round (data-sized lineage must truncate eagerly — the
-    * dd_pagerank lesson); smaller frames checkpoint every SECOND
-    * round, halving the per-round driver-job latency that dominated
-    * the sketch at test scale (each eager localCheckpoint is a full
-    * job; the skipped round's lineage is ≤ 6 window ops over a
-    * sub-floor frame — execution cost noise). */
-  private val CkptRowFloor = 100000L
-
   private[graft] def sketchOf(src: DataFrame, checkpoint: Boolean = true): DataFrame = {
     // groups-sized, so ONE collect serves everything the old plan
     // paid three jobs for (checkpoint materialize + B_max probe +
@@ -79,7 +70,6 @@ object QuantileSketch extends QueryPack {
     val countRows = counts0.collect()
     val counts = src.sparkSession.createDataFrame(
       java.util.Arrays.asList(countRows: _*), counts0.schema)
-    val totalN = countRows.iterator.map(_.getLong(1)).sum
     // rounds r with 2^(r-1) ≥ B_max are provably pass-through for
     // every group (each merge group holds a single child), so the
     // driver skips them — the result is bit-identical to the fixed
@@ -97,10 +87,7 @@ object QuantileSketch extends QueryPack {
         s" as bigint) % ((n_g + ${K - 1}) div $K)"))
       .select(col("g"), col("v"), col("uid"), col("b0"),
         lit(0).as("lvl"))
-    // anchor = the newest EAGER checkpoint; skipped rounds' frames
-    // keep lineage back to it, so it must stay materialized until a
-    // later round checkpoints past it
-    var anchor: Option[DataFrame] = None
+    var owned = false
     for (r <- 1 to liveRounds) {
       val full = 1L << r
       val half = 1L << (r - 1)
@@ -118,19 +105,19 @@ object QuantileSketch extends QueryPack {
         .withColumn("lvl", when(col("two") && col("cnt") >= 2,
           col("lvl") + 1).otherwise(col("lvl")))
         .select(col("g"), col("v"), col("uid"), col("b0"), col("lvl"))
-      // eager checkpoint cadence: round 1 ALWAYS (it is the only
-      // data-sized pass, and its checkpoint decouples the sketch from
-      // the source scan — the serving-plan pin), then every round
-      // while the (shrinking) frame stays data-sized, every second
-      // round below [[CkptRowFloor]] — items roughly halve per round,
-      // so totalN >> r upper-bounds the frame after round r
-      val big = (totalN >> r) >= CkptRowFloor
-      if (checkpoint && (r == 1 || big || r % 2 == 0)) {
-        val next = next0.localCheckpoint(true)
-        anchor.foreach(releaseCheckpoint)
-        anchor = Some(next)
-        cur = next
-      } else cur = next0
+      // eager per-round checkpoint: truncates the 3-window-per-round
+      // lineage and materializes the shrinking frame once (the
+      // dd_pagerank lesson); round 1 is the only data-sized pass.
+      // An every-SECOND-round cadence below a row floor was
+      // A/B-measured in round 16 (3 quiet-gated paired windows,
+      // skip-vs-every) and REJECTED: despite 4 fewer driver jobs the
+      // skipped variant read 0.3-0.6 s slower on q_kll_percentiles —
+      // the fused two-round stages lose more to un-coalesced
+      // exchanges than the saved job launches buy back.
+      val next = if (checkpoint) next0.localCheckpoint(true) else next0
+      if (owned) releaseCheckpoint(cur)
+      cur = next
+      owned = checkpoint
     }
     cur.select(col("g"), col("v"), col("uid"), col("lvl"))
   }
