@@ -282,16 +282,20 @@ object IncrementalDedup extends QueryPack {
     val bandRowBytes = 72L // doc_id (8) + 32-hex band key + row overhead
     val bcThreshold = s.sessionState.conf.autoBroadcastJoinThreshold
     val driverRowCap =
-      if (bcThreshold > 0) (bcThreshold / bandRowBytes).toInt else 0
-    val head =
-      if (driverRowCap > 0) bands0.limit(driverRowCap + 1).collect()
-      else Array.empty[org.apache.spark.sql.Row]
-    val incIsSmall = driverRowCap > 0 && head.length <= driverRowCap
+      if (bcThreshold > 0) (bcThreshold / bandRowBytes) else 0L
+    // exact band cardinality WITHOUT touching the band transform:
+    // bandsOf emits exactly `bands` keys per doc, and the caller's
+    // arrs frame is already checkpointed, so the doc count is a
+    // near-free job — cheaper and deterministic where a
+    // limit(cap+1).collect probe pays CollectLimit's incremental
+    // scale-up rounds when the limit is not met
+    val incIsSmall =
+      driverRowCap > 0 && incArrs.count() * banding._1 <= driverRowCap
     val incBands =
       if (incIsSmall)
         s.createDataFrame(
           java.util.Arrays.asList(graft.operators.BoundedBuckets
-            .capRowsLocal(head.toIndexedSeq, Seq("band_key"),
+            .capRowsLocal(bands0.collect().toIndexedSeq, Seq("band_key"),
               tag = "dd_incr_inc_bands"): _*),
           bands0.schema)
       else graft.operators.BoundedBuckets.cap(
