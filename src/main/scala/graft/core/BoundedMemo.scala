@@ -14,7 +14,9 @@ package graft.core
   * is benign: every cached value here is an idempotent control-plane
   * read.
   */
-final class BoundedMemo[K, V](max: Int) {
+final class BoundedMemo[K, V](max: Int, name: String = "") {
+  if (name.nonEmpty) BoundedMemo.register(name, this)
+
   private val m = new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
     override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
       this.size() > max
@@ -30,4 +32,23 @@ final class BoundedMemo[K, V](max: Int) {
   /** Current entry count — bounded by `max`; exposed so soaks can pin
     * the no-growth property. */
   def size: Int = m.synchronized(m.size())
+}
+
+/** Registry of every NAMED memo in the process, so one soak can pin
+  * that no per-root cache anywhere in main grows past its bound —
+  * a new memo added with a name is covered automatically instead of
+  * silently reopening the unbounded-growth hole. */
+object BoundedMemo {
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, BoundedMemo[_, _]]()
+
+  private def register(name: String, memo: BoundedMemo[_, _]): Unit =
+    registry.put(name, memo)
+
+  /** Entry counts of every named memo that has been touched by this
+    * process (registration happens at owning-object init). */
+  def sizes: Map[String, Int] = {
+    import scala.jdk.CollectionConverters._
+    registry.asScala.map { case (n, m) => n -> m.size }.toMap
+  }
 }

@@ -21,11 +21,14 @@ import org.apache.spark.sql.expressions.Window
   * re-ingesting it.
   */
 private[queries] object StoreFixtures {
-  private val stores =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), graft.storage.AstarteStore]()
+  // LRU-bounded like every per-root control-plane memo: a process
+  // cycling many fixture dirs (soaks, spec runs) must not pin one
+  // store handle per dir forever; an evicted fixture rebuilds
+  private val stores = new graft.core.BoundedMemo[
+    (String, String), graft.storage.AstarteStore](64, "ops.fixtures")
   def cached(fixture: String, sfDir: String)(
       build: String => graft.storage.AstarteStore): graft.storage.AstarteStore =
-    stores.computeIfAbsent((fixture, sfDir), _ =>
+    stores.getOrElseUpdate((fixture, sfDir))(
       build(java.nio.file.Files.createTempDirectory(s"graft-$fixture").toString))
 }
 

@@ -93,11 +93,13 @@ object IncrementalAnn extends QueryPack {
     * (cid, carr, cnorm) codebook, `postings` = (cid, nid, ne, nnorm)
     * inverted lists over the corpus vectors. */
   private[graft] object AnnStore {
+    // LRU-bounded like every per-root control-plane memo (an evicted
+    // sfDir simply rebuilds its root on the next touch)
     private val roots =
-      new java.util.concurrent.ConcurrentHashMap[String, String]()
+      new graft.core.BoundedMemo[String, String](64, "ann.roots")
 
     def rootFor(s: SparkSession, sfDir: String): String =
-      roots.computeIfAbsent(sfDir, _ => buildRoot(s, sfDir))
+      roots.getOrElseUpdate(sfDir)(buildRoot(s, sfDir))
 
     /** Uncached build of a fresh index root (the spec uses this for a
       * mutation-isolated root its absorb test can append to without

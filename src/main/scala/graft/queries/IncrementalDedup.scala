@@ -70,11 +70,13 @@ object IncrementalDedup extends QueryPack {
     * written through the store's crash-safe append.
     */
   private[graft] object SignatureStore {
+    // LRU-bounded like every per-root control-plane memo (an evicted
+    // sfDir simply rebuilds its root on the next touch)
     private val roots =
-      new java.util.concurrent.ConcurrentHashMap[String, String]()
+      new graft.core.BoundedMemo[String, String](64, "dedup.sigRoots")
 
     def rootFor(s: SparkSession, sfDir: String): String =
-      roots.computeIfAbsent(sfDir, _ =>
+      roots.getOrElseUpdate(sfDir)(
         buildRootFrom(s, Tables.documents(s, sfDir).filter(!incPredicate)))
 
     /** Build a fresh store root from a corpus frame (exposed so specs
@@ -127,7 +129,7 @@ object IncrementalDedup extends QueryPack {
       * the read is memoized per root — a serve query pays zero
       * banding-lookup jobs after the first touch. */
     private val bandings =
-      new graft.core.BoundedMemo[String, (Int, Int)](64)
+      new graft.core.BoundedMemo[String, (Int, Int)](64, "dedup.bandings")
 
     def banding(s: SparkSession, root: String): (Int, Int) =
       bandings.get(root).getOrElse {

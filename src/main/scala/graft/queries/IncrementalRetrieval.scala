@@ -56,11 +56,13 @@ object IncrementalRetrieval extends QueryPack {
   private val incPredicate = col("doc_id") % 10 >= 8
 
   private[graft] object LexIndexStore {
+    // LRU-bounded like every per-root control-plane memo (an evicted
+    // sfDir simply rebuilds its root on the next touch)
     private val roots =
-      new java.util.concurrent.ConcurrentHashMap[String, String]()
+      new graft.core.BoundedMemo[String, String](64, "retrieval.lexRoots")
 
     def rootFor(s: SparkSession, sfDir: String): String =
-      roots.computeIfAbsent(sfDir, _ => buildRoot(s, sfDir))
+      roots.getOrElseUpdate(sfDir)(buildRoot(s, sfDir))
 
     /** Uncached build over the CORPUS slice only (the spec uses this
       * for mutation-isolated absorb tests). */
@@ -239,14 +241,14 @@ object IncrementalRetrieval extends QueryPack {
       .select(col("qid"), col("nid"), col("score_u6"), col("lrank"))
   }
 
-  private val bucketized =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private val bucketized = new graft.core.BoundedMemo[
+    String, (String, String)](64, "retrieval.bucketized")
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_lex_incremental" -> ((s, d) => {
       val root = LexIndexStore.rootFor(s, d)
-      val (champT, dfreqT) = bucketized.computeIfAbsent(d,
-        _ => LexIndexStore.bucketizeIndex(s, root))
+      val (champT, dfreqT) = bucketized.getOrElseUpdate(d)(
+        LexIndexStore.bucketizeIndex(s, root))
       // the only text scan in the whole query — the increment's docs;
       // checkpointed because dfreq, stats, champions and the query
       // slice all read it

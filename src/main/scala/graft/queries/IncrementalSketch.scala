@@ -38,11 +38,13 @@ object IncrementalSketch extends QueryPack {
   private val incPredicate = col("event_id") % 10 >= 8
 
   private[graft] object SketchStore {
+    // LRU-bounded like every per-root control-plane memo (an evicted
+    // sfDir simply rebuilds its root on the next touch)
     private val roots =
-      new java.util.concurrent.ConcurrentHashMap[String, String]()
+      new graft.core.BoundedMemo[String, String](64, "sketch.roots")
 
     def rootFor(s: SparkSession, sfDir: String): String =
-      roots.computeIfAbsent(sfDir, _ => buildRoot(s, sfDir))
+      roots.getOrElseUpdate(sfDir)(buildRoot(s, sfDir))
 
     /** Uncached build of a fresh store root over the CORPUS slice
       * only (the spec uses this for mutation-isolated absorb tests). */

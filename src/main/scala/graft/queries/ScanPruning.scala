@@ -189,8 +189,10 @@ object ScanPruning extends QueryPack {
 
   // ───────────────────────────── the persisted layout + index store
   private[graft] object FileIndexStore {
+    // LRU-bounded like every per-root control-plane memo (an evicted
+    // sfDir simply rebuilds its root on the next touch)
     private val roots =
-      new java.util.concurrent.ConcurrentHashMap[String, String]()
+      new graft.core.BoundedMemo[String, String](64, "fx.roots")
 
     /** The canonical data columns every generation carries. Evolved
       * columns (anything else a frame brings along) append after
@@ -229,7 +231,7 @@ object ScanPruning extends QueryPack {
       s"${genPath(root, incId)}/zbucket=$zbucket"
 
     def rootFor(s: SparkSession, sfDir: String): String =
-      roots.computeIfAbsent(sfDir, _ => buildRoot(s, sfDir))
+      roots.getOrElseUpdate(sfDir)(buildRoot(s, sfDir))
 
     private[graft] def buildRoot(s: SparkSession, sfDir: String): String =
       buildRootFrom(s, Tables.events(s, sfDir).filter(!incPredicate))
@@ -524,10 +526,16 @@ object ScanPruning extends QueryPack {
     /** TIME TRAVEL: the live file set as of manifest version `seq` —
       * versions are never rewritten (the manifest is an append-only
       * commit log), so any past file set stays addressable until
-      * [[vacuum]] reclaims its dead data. */
+      * [[vacuum]] reclaims its dead data. A snapshot BELOW the
+      * persisted vacuum horizon may reference destroyed files, so it
+      * raises the same typed [[OutOfRetentionException]] the feeds
+      * do (Delta's `versionAsOf`-below-retention contract) instead
+      * of a raw missing-file crash mid-scan. */
     def livePairsAt(s: SparkSession, root: String,
-        seq: Long): Seq[(String, Int)] =
+        seq: Long): Seq[(String, Int)] = {
+      assertInRetention(root, seq)
       liveSetOf(readCommits(root).filter(_.mseq <= seq)).toSeq.sorted
+    }
 
     /** Reclaim every file dead at the CURRENT version (retention
       * horizon zero) — see [[vacuumBefore]]. This is the second half
@@ -569,19 +577,20 @@ object ScanPruning extends QueryPack {
     }
 
     // ───────────────────── retention horizon
-    /** A feed cursor below the persisted horizon would replay commits
-      * whose files vacuum physically destroyed — the explicit
-      * out-of-retention contract of every production feed (Kafka's
-      * OffsetOutOfRange, Delta's missing-CDF-file error), raised at
-      * poll time instead of a raw FileNotFoundException mid-diff. */
+    /** A feed cursor or snapshot version below the persisted horizon
+      * would read commits whose files vacuum physically destroyed —
+      * the explicit out-of-retention contract of every production
+      * feed and table format (Kafka's OffsetOutOfRange, Delta's
+      * `versionAsOf`-below-retention error), raised at poll/plan time
+      * instead of a raw FileNotFoundException mid-scan. */
     final class OutOfRetentionException(
         val fromSeq: Long, val horizonSeq: Long)
       extends RuntimeException(
-        s"feed cursor $fromSeq predates the retention horizon " +
-        s"$horizonSeq — files appended at or below the horizon were " +
+        s"version $fromSeq predates the retention horizon " +
+        s"$horizonSeq — files dead at or below the horizon were " +
         "reclaimed by vacuum. Re-bootstrap this consumer: snapshot-" +
-        "read the table at the current version, then tail from a " +
-        "fresh cursor at currentSeq.")
+        "read the table at a version at or above the horizon, then " +
+        "tail from a fresh cursor at currentSeq.")
 
     private def horizonFile(root: String): java.nio.file.Path =
       java.nio.file.Paths.get(root, "retention-horizon.tsv")
@@ -616,6 +625,53 @@ object ScanPruning extends QueryPack {
       val h = retentionHorizon(root)
       if (fromSeq < h) throw new OutOfRetentionException(fromSeq, h)
     }
+
+    /** The (gen, bucket) pairs vacuum has physically destroyed: dead
+      * at or below the persisted horizon. Control-plane sized and
+      * checkpoint-fast; empty when no destroying vacuum ever ran.
+      * Exact because a file's death seq always exceeds its append seq
+      * and vacuums run at horizons at or below the then-current head,
+      * so every pair dead ≤ horizon was reclaimed by some vacuum. */
+    private def destroyedPairs(root: String, h: Long): Set[(String, Int)] =
+      if (h < 0) Set.empty
+      else headState(root).collect {
+        case ManifestRow(g, b, "dead", m) if b >= 0 && m <= h => (g, b)
+      }.toSet
+
+    /** The APPEND feed's exact retention gate — error only when a
+      * pending append in (fromSeq, min(toSeq, head)] references a
+      * destroyed file, not merely because the cursor predates the
+      * horizon (the Kafka analogue: an old offset whose bytes all
+      * survive is served, one whose bytes were reclaimed errors).
+      * Cursors at or above the horizon skip even the head read: an
+      * append at seq > horizon cannot have files destroyed (death
+      * seq > append seq > horizon). */
+    private def assertAppsReadable(root: String, fromSeq: Long,
+        apps: Seq[(Long, String, Seq[Int])]): Unit = {
+      val h = retentionHorizon(root)
+      if (fromSeq >= h) return
+      val destroyed = destroyedPairs(root, h)
+      if (apps.exists { case (_, g, bs) =>
+          bs.exists(b => destroyed((g, b))) })
+        throw new OutOfRetentionException(fromSeq, h)
+    }
+
+    /** Claim-time validation for a streaming tail of the append feed:
+      * raises the typed out-of-retention error BEFORE the consumer
+      * persists a claim for a range it can never emit. */
+    private[graft] def assertFeedReadable(root: String, fromSeq: Long,
+        toSeq: Long): Unit = {
+      if (fromSeq >= retentionHorizon(root)) return
+      val (_, apps) = appendsSince(root, fromSeq)
+      assertAppsReadable(root, fromSeq, apps.filter(_._1 <= toSeq))
+    }
+
+    /** Claim-time validation for a streaming CDC tail — the
+      * deliberately COARSE per-root gate [[changeDataFeed]] itself
+      * applies (see the note there). */
+    private[graft] def assertCdcReadable(root: String,
+        fromSeq: Long): Unit =
+      assertInRetention(root, fromSeq)
 
     /** The persisted layout constants — a 1-row control-plane read;
       * max-fold makes a replayed bounds append harmless (replays are
@@ -736,6 +792,20 @@ object ScanPruning extends QueryPack {
       zoneRows.select(col("zbucket")).collect().map(_.getInt(0)).toSeq.sorted
     }
 
+    /** A column's type differs across the generations a read spans —
+      * the typed cross-generation evolution error (parquet's own
+      * merge would throw an opaque "Failed to merge fields" mid-plan;
+      * picking either generation's type would silently mis-read the
+      * other's files). */
+    final class SchemaEvolutionConflict(
+        val column: String, val typeA: String, val typeB: String)
+      extends RuntimeException(
+        s"column `$column` has conflicting types across the " +
+        s"generations of this read ($typeA vs $typeB) — cross-" +
+        "generation type evolution is not servable by a merged " +
+        "read. Rewrite the table to one schema first (compact or " +
+        "migrate folds every live generation), then re-read.")
+
     /** The union DATA schema of a set of generations, served from the
       * per-generation schema log: canonical columns first, evolved
       * extras after in name order (the [[dataColsOf]] discipline),
@@ -749,19 +819,25 @@ object ScanPruning extends QueryPack {
       val want = gens.distinct
       val known = genSchemas(s, root, want).getOrElse(return None)
       val byName = scala.collection.mutable.LinkedHashMap[String, StructField]()
-      // a column whose TYPE differs across generations (a widening
-      // evolution, e.g. int→long) cannot be served by picking one
-      // generation's field — an explicit-schema read would mis-read
-      // the other generations' files. Fall back to parquet
-      // mergeSchema, which owns the widening rules.
-      var conflict = false
+      // a column whose TYPE differs across the generations OF THIS
+      // READ (a widening evolution, e.g. int→long) cannot be served
+      // by picking one generation's field — an explicit-schema read
+      // would mis-read the other generations' files — and Spark's
+      // parquet mergeSchema does NOT widen either (StructType.merge
+      // throws an opaque "Failed to merge fields" at scan time). So
+      // the conflict fails FAST and TYPED, naming the column and both
+      // types; the fix is a rewriting migration (compact/migrate
+      // folds every generation to one schema), not a read option.
       want.foreach(g => known(g).fields.foreach { f =>
         byName.get(f.name) match {
           case None => byName(f.name) = f
-          case Some(prev) => if (prev.dataType != f.dataType) conflict = true
+          case Some(prev) =>
+            if (prev.dataType != f.dataType)
+              throw new SchemaEvolutionConflict(
+                f.name, prev.dataType.simpleString,
+                f.dataType.simpleString)
         }
       })
-      if (conflict) return None
       val extras = byName.keys.filterNot(DataCols.toSet).toSeq.sorted
       Some(StructType(
         (DataCols.filter(byName.contains) ++ extras).map(byName(_))))
@@ -774,7 +850,8 @@ object ScanPruning extends QueryPack {
       * that triggers one refresh read. Without this every pruned read
       * would pay a (tiny but real) schema-log job. */
     private val schemaCache = new graft.core.BoundedMemo[
-      String, Map[String, org.apache.spark.sql.types.StructType]](64)
+      String, Map[String, org.apache.spark.sql.types.StructType]](
+      64, "fx.schema")
 
     private def genSchemas(s: SparkSession, root: String,
         want: Seq[String])
@@ -820,11 +897,22 @@ object ScanPruning extends QueryPack {
       * formats, recorded at commit time so a CDC reader can skip the
       * rewrite without opening a single file). Every existing reader
       * keys on "live"/"dead" or on the -1 bucket alone, so the marker
-      * is invisible to them. */
+      * is invisible to them.
+      *
+      * `foldedRows` (≥ 0, maint commits only) declares how many
+      * logical rows the rewrite FOLDED AWAY by applying deletion
+      * vectors — rows already deleted logically by their own erase
+      * commits, so the rewrite is still row-preserving. Logged as a
+      * (gen, -2, "folded:n") row in the SAME atomic commit, it turns
+      * [[auditMaint]]'s one-sided bound (`pub < ret` passes whenever
+      * ANY vector targeted the inputs) into the exact equation
+      * `pub == ret − folded`. Invisible to every other reader (they
+      * key on "live"/"dead" status or the -1 bucket). −1 = unlogged
+      * (pre-existing commits; the audit falls back to the bound). */
     @annotation.tailrec
     private[graft] def commitNext(root: String, gen: String,
         liveBuckets: Seq[Int], deadPairs: Seq[(String, Int)],
-        ledgerKind: String = "ledger"): Boolean = {
+        ledgerKind: String = "ledger", foldedRows: Long = -1L): Boolean = {
       val head = headState(root) // ledger + live set, checkpoint-fast
       if (head.exists(_.gen == gen)) return false
       val liveNow = liveSetOf(head)
@@ -838,14 +926,19 @@ object ScanPruning extends QueryPack {
       // retry to re-validate against the racer's changes — reading a
       // fresher number here would let a stale precondition commit
       val next = head.iterator.map(_.mseq).max + 1
+      val declRows =
+        if (foldedRows >= 0) Seq((gen, -2, s"folded:$foldedRows"))
+        else Nil
       if (tryCommit(root, next,
-          ((gen, -1, ledgerKind) +: liveBuckets.map(b => (gen, b, "live"))) ++
+          ((gen, -1, ledgerKind) +: declRows ++:
+            liveBuckets.map(b => (gen, b, "live"))) ++
             deadPairs.map { case (g, b) => (g, b, "dead") })) {
         // every CkptEvery-th committer folds history into a
         // checkpoint so head reads stay O(CkptEvery) forever
         if (next % CkptEvery == 0) writeCkpt(root, next)
         true
-      } else commitNext(root, gen, liveBuckets, deadPairs, ledgerKind)
+      } else commitNext(root, gen, liveBuckets, deadPairs, ledgerKind,
+        foldedRows)
     }
 
     /** Cluster + index one increment under the persisted layout.
@@ -914,6 +1007,7 @@ object ScanPruning extends QueryPack {
       val buckets = writeAndIndex(s, root,
         union.select(dataColsOf(union).map(col): _*), newGen,
         layoutOf(s, root))
+      val folded = countFoldedRows(s, root, pairs)
       // optimistic abort: a racing writer retired one of the rewrite
       // inputs (or claimed this fold's name) — the orphaned rewrite
       // stays invisible (no manifest row) and the next maintenance
@@ -921,10 +1015,40 @@ object ScanPruning extends QueryPack {
       try {
         // row-preserving by construction (vectors it folds were
         // already deleted logically by their own erase commit) —
-        // declared so the change-data feed skips it unread
-        if (commitNext(root, newGen, buckets, pairs, "maint")) Some(newGen)
+        // declared so the change-data feed skips it unread, with the
+        // folded-row count logged so the audit can EQUATE instead of
+        // bound (the count is an independent measurement: a semi-join
+        // census of the dv-matched input rows, not ret − pub)
+        if (commitNext(root, newGen, buckets, pairs, "maint", folded))
+          Some(newGen)
         else None
       } catch { case _: CommitConflict => None }
+    }
+
+    /** The independent folded-row census a maint commit logs: how
+      * many rows of `pairs` the CURRENT live deletion vectors delete.
+      * Deliberately NOT derived as retired − published (that would
+      * make [[auditMaint]]'s equation a tautology): it is its own
+      * semi-join count over the dv-touched subset of the inputs, so a
+      * rewrite that drops rows by BUG shows up as
+      * `pub ≠ ret − folded`. Cost: zero when no vector targets the
+      * inputs; otherwise one job over the touched files' key column
+      * (column-pruned — never the full rows). */
+    private def countFoldedRows(s: SparkSession, root: String,
+        pairs: Seq[(String, Int)]): Long = {
+      import s.implicits._
+      val inputs = pairs.toSet
+      val touched = dvTouchedPairs(s, root).filter(inputs).sorted
+      if (touched.isEmpty) return 0L
+      val dvSide = dvLiveRows(s, root) match {
+        case Some(rows) => broadcast(rows
+          .filter { case (g, b, _) => inputs((g, b)) }
+          .toDF("inc_id", "zbucket", "user_id"))
+        case None => dv(s, root) // over-cap backlog: stays distributed
+      }
+      readPairsTagged(s, root, touched)
+        .join(dvSide, Seq("inc_id", "zbucket", "user_id"), "left_semi")
+        .count()
     }
 
     /** LAYOUT MIGRATION — re-OPTIMIZE the table onto a different
@@ -963,7 +1087,7 @@ object ScanPruning extends QueryPack {
             // a zero-path parquet read would crash, and there is no
             // data to derive range splits from — publish the new
             // curve for future absorbs and ledger the id
-            val ok = commitNext(root, migrateId, Nil, Nil, "maint")
+            val ok = commitNext(root, migrateId, Nil, Nil, "maint", 0L)
             if (ok) persistLayout(s, root,
               old.copy(curve = toCurve, splits = Nil),
               mseqOfLedger(root, migrateId))
@@ -978,8 +1102,11 @@ object ScanPruning extends QueryPack {
             var l = old.copy(curve = toCurve, splits = Nil)
             if (rangeBucketed) l = l.copy(splits = deriveSplits(data, l))
             val buckets = writeAndIndex(s, root, data, migrateId, l)
-            // row-preserving re-clustering — maint, like compaction
-            val ok = commitNext(root, migrateId, buckets, pairs, "maint")
+            // row-preserving re-clustering — maint, like compaction,
+            // with the same independent folded-row census logged
+            val folded = countFoldedRows(s, root, pairs)
+            val ok = commitNext(root, migrateId, buckets, pairs, "maint",
+              folded)
             // layout persists AFTER (and stamped with) the commit
             // that published the rewrite: an aborted or crashed
             // rewrite then leaves NO layout row behind, so later
@@ -1179,14 +1306,39 @@ object ScanPruning extends QueryPack {
       * swap is rename-only (atomic on one filesystem) and this repair
       * completes it from the _SUCCESS-complete fold dir. Two
       * Files.exists probes on the common path — called from [[hasDv]]
-      * so every reader self-heals. */
+      * so every reader self-heals. Concurrent healers race benignly:
+      * the loser's move fails with source-gone / destination-exists,
+      * which MEANS another reader completed the heal — swallowed, the
+      * read proceeds against the healed dir. Leftover crash debris is
+      * also cleared here (not only at the next destroying vacuum,
+      * which may never come): a `.trash` from the fold-to-empty
+      * window (dv renamed away, nothing to rename in, crash before
+      * the trash delete — [[foldDvLog]] early-returns on the missing
+      * dv dir forever) and a `.trash` surviving a completed swap. A
+      * _SUCCESS-less `.fold` NEXT TO a live dv dir is deliberately
+      * NOT touched: it is indistinguishable from a fold write in
+      * flight, and the next [[foldDvLog]] clears it safely. */
     private def repairDvSwap(root: String): Unit = {
       val dv = java.nio.file.Paths.get(dvPath(root))
       val fold = dvFoldPath(root)
-      if (!java.nio.file.Files.exists(dv) &&
-          java.nio.file.Files.exists(fold.resolve("_SUCCESS")))
-        java.nio.file.Files.move(fold, dv,
+      val trash = dvTrashPath(root)
+      val foldComplete =
+        java.nio.file.Files.exists(fold.resolve("_SUCCESS"))
+      if (!java.nio.file.Files.exists(dv) && foldComplete)
+        try java.nio.file.Files.move(fold, dv,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.NoSuchFileException => ()
+          case _: java.nio.file.FileAlreadyExistsException => ()
+          case _: java.nio.file.DirectoryNotEmptyException => ()
+        }
+      // trash is dead bytes the moment it exists (the old dv dir was
+      // renamed away only after its replacement was durably written,
+      // or the fold was to-empty); deleting it races only other
+      // deleters, which deleteRecursively tolerates
+      if (java.nio.file.Files.exists(trash) &&
+          !(java.nio.file.Files.exists(fold) && !foldComplete))
+        deleteRecursively(trash)
     }
 
     /** Vacuum-time fold of the deletion-vector log: drop vectors
@@ -1204,14 +1356,20 @@ object ScanPruning extends QueryPack {
     private def foldDvLog(s: SparkSession, root: String,
         destroyed: Set[(String, Int)]): Unit = {
       if (!hasDv(root)) return
-      import s.implicits._
       val dvDir = java.nio.file.Paths.get(dvPath(root))
       val all = s.read.parquet(dvPath(root))
-      val kept = all.join(
-        broadcast(destroyed.toSeq.sorted.toDF("inc_id", "zbucket")),
-        Seq("inc_id", "zbucket"), "left_anti")
-      val keptN = kept.count()
-      if (keptN == all.count()) return // no vector targeted a destroyed file
+      // the destroyed set is driver-side and vacuum-sized, so the
+      // keep/drop test is a plain codegen'd predicate — no join — and
+      // ONE aggregation pass censuses both counts (total and dropped)
+      val isDestroyed = concat_ws("#", col("inc_id"), col("zbucket"))
+        .isin(destroyed.toSeq.sorted
+          .map { case (g, b) => s"$g#$b" }: _*)
+      val kept = all.filter(!isDestroyed)
+      val census = all.agg(count(lit(1)).as("total"),
+        sum(when(isDestroyed, 1L).otherwise(0L)).as("dropped")).head()
+      val dropped = if (census.isNullAt(1)) 0L else census.getLong(1)
+      if (dropped == 0L) return // no vector targeted a destroyed file
+      val keptN = census.getLong(0) - dropped
       val fold = dvFoldPath(root)
       val trash = dvTrashPath(root)
       // leftovers from an interrupted earlier fold (fold dir already
@@ -1230,10 +1388,23 @@ object ScanPruning extends QueryPack {
     private def deleteRecursively(p: java.nio.file.Path): Unit =
       if (java.nio.file.Files.exists(p)) {
         import scala.jdk.CollectionConverters._
-        val stream = java.nio.file.Files.walk(p)
-        try stream.sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-        finally stream.close()
+        // tolerates a concurrent deleter (reader-side trash cleanup
+        // racing the folder's own): a walk over a tree being deleted
+        // under us throws mid-iteration — the other deleter finishes
+        // the job, so the race is swallowed, not surfaced
+        try {
+          val stream = java.nio.file.Files.walk(p)
+          try stream.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+          finally stream.close()
+        } catch {
+          case _: java.nio.file.NoSuchFileException => ()
+          case e: java.io.UncheckedIOException
+            if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException]
+            => ()
+          case _: java.nio.file.DirectoryNotEmptyException => ()
+        }
       }
 
     /** MERGE-ON-READ privacy erase — the deletion-vector twin of
@@ -1308,7 +1479,8 @@ object ScanPruning extends QueryPack {
       * keys never bound the pair count). LRU-bounded so retired
       * roots age out instead of pinning driver memory forever. */
     private val dvLiveCache = new graft.core.BoundedMemo[
-      String, (Long, Option[Seq[(String, Int, Long)]], Seq[(String, Int)])](64)
+      String, (Long, Option[Seq[(String, Int, Long)]], Seq[(String, Int)])](
+      64, "fx.dvLive")
 
     private def dvLiveState(s: SparkSession, root: String)
         : (Option[Seq[(String, Int, Long)]], Seq[(String, Int)]) = {
@@ -1339,11 +1511,13 @@ object ScanPruning extends QueryPack {
       }
     }
 
-    /** Entry counts of the per-root control-plane memos — exposed so
+    /** Entry counts of EVERY named per-root control-plane memo in the
+      * process (the store's own plus every query pack's root caches,
+      * via the [[graft.core.BoundedMemo]] registry) — exposed so
       * soaks can pin that cycling many roots never grows the driver
-      * footprint past the LRU bound. */
+      * footprint past the LRU bounds. */
     private[graft] def memoSizes: Map[String, Int] =
-      Map("schema" -> schemaCache.size, "dvLive" -> dvLiveCache.size)
+      graft.core.BoundedMemo.sizes
 
     /** The live vector rows when small enough to broadcast from the
       * driver; None above [[DvCollectCap]] — callers then anti-join
@@ -1534,18 +1708,23 @@ object ScanPruning extends QueryPack {
       * zone map's LOGGED per-file counts (index rows survive death
       * and vacuum) — zero data reads. Per maint commit, published
       * rows (zone n over its live files) vs retired rows (over its
-      * dead files): a row-preserving rewrite that folds no deletion
-      * vectors must publish exactly what it retired; one that folds
-      * vectors publishes FEWER (the per-file erased-row count is not
-      * logged, so the audit bounds rather than equates). Flagged
-      * (`ok = false`) when published > retired, or published ≠
-      * retired with no vector (as of the commit) targeting the
-      * retired files. Commits at or below the retention horizon are
-      * SKIPPED — vacuum folded their dv evidence, so audit before
-      * vacuuming past a commit. Returns (version, gen, published,
-      * retired, ok) per audited maint commit. */
+      * dead files): a row-preserving rewrite must publish exactly
+      * what it retired MINUS the rows it declared folded away by
+      * deletion vectors — the commit logs that count as its own
+      * independent measurement (a semi-join census of the dv-matched
+      * input rows, [[countFoldedRows]]), so the audit EQUATES:
+      * `pub == ret − folded`. A rewrite that folds vectors AND drops
+      * one extra row is flagged — the two sides of the equation come
+      * from different jobs. Commits without a logged count (pre-
+      * existing history) fall back to the one-sided bound: flagged
+      * when published > retired, or published ≠ retired with no
+      * vector (as of the commit) targeting the retired files.
+      * Commits at or below the retention horizon are SKIPPED —
+      * vacuum folded their dv evidence, so audit before vacuuming
+      * past a commit. Returns (version, gen, published, retired,
+      * folded [−1 = unlogged], ok) per audited maint commit. */
     def auditMaint(s: SparkSession, root: String)
-        : Seq[(Long, String, Long, Long, Boolean)] = {
+        : Seq[(Long, String, Long, Long, Long, Boolean)] = {
       import s.implicits._
       // commits at or below the retention horizon are unauditable by
       // design: vacuum folded the dv log, so an honest DV-folding
@@ -1573,12 +1752,20 @@ object ScanPruning extends QueryPack {
         val retired = rows.collect {
           case ManifestRow(g, b, "dead", _) => (g, b) }.toSet
         val ret = retired.iterator.map(p => n.getOrElse(p, 0L)).sum
-        val dvTouchesRetired = retired.nonEmpty && hasDv(root) &&
-          dvRowsAt(s, root, seq - 1)
-            .select(col("inc_id"), col("zbucket")).distinct().collect()
-            .exists(r => retired.contains((r.getString(0), r.getInt(1))))
-        val ok = pub == ret || (pub < ret && dvTouchesRetired)
-        (seq, gen, pub, ret, ok)
+        val folded = rows.collectFirst {
+          case ManifestRow(_, -2, st, _) if st.startsWith("folded:") =>
+            st.stripPrefix("folded:").toLong
+        }.getOrElse(-1L)
+        val ok =
+          if (folded >= 0) pub == ret - folded
+          else {
+            val dvTouchesRetired = retired.nonEmpty && hasDv(root) &&
+              dvRowsAt(s, root, seq - 1)
+                .select(col("inc_id"), col("zbucket")).distinct().collect()
+                .exists(r => retired.contains((r.getString(0), r.getInt(1))))
+            pub == ret || (pub < ret && dvTouchesRetired)
+          }
+        (seq, gen, pub, ret, folded, ok)
       }
     }
 
@@ -1636,8 +1823,8 @@ object ScanPruning extends QueryPack {
       * commit that landed between the two listings. */
     def changeFeedState(s: SparkSession, root: String,
         fromSeq: Long): (Long, DataFrame) = {
-      assertInRetention(root, fromSeq)
       val (head, apps) = appendsSince(root, fromSeq)
+      assertAppsReadable(root, fromSeq, apps)
       (head, feedFrameOf(s, root, apps))
     }
 
@@ -1647,9 +1834,10 @@ object ScanPruning extends QueryPack {
       * many commits landed since. */
     def changeFeedRange(s: SparkSession, root: String,
         fromSeq: Long, toSeq: Long): DataFrame = {
-      assertInRetention(root, fromSeq)
       val (_, apps) = appendsSince(root, fromSeq)
-      feedFrameOf(s, root, apps.filter(_._1 <= toSeq))
+      val inRange = apps.filter(_._1 <= toSeq)
+      assertAppsReadable(root, fromSeq, inRange)
+      feedFrameOf(s, root, inRange)
     }
 
     /** Deletion-vector rows AS OF manifest version `seq` — vectors of
@@ -1696,6 +1884,13 @@ object ScanPruning extends QueryPack {
       * bytes — the same retention horizon as the append feed. */
     def changeDataFeed(s: SparkSession, root: String,
         fromSeq: Long, toSeq: Long): DataFrame = {
+      // DELIBERATELY COARSE gate (unlike the append feed's exact
+      // per-file check): CDC legs read files on BOTH sides of
+      // rewrites and files MoR erases targeted as of earlier
+      // versions, so "which files does this range need" is itself a
+      // dv-log read per ledger commit — the cursor-vs-horizon test is
+      // the honest cheap bound, and it is exactly where vacuum's
+      // destruction is concentrated (files dead ≤ horizon)
       assertInRetention(root, fromSeq)
       // suffix read only — a CDC tail polling this per micro-batch
       // parses the commits past its cursor, never the whole history
@@ -1824,16 +2019,18 @@ object ScanPruning extends QueryPack {
     root
   }
 
+  // the demo-lifecycle fixture roots, LRU-bounded like every other
+  // per-root memo (an evicted sfDir rebuilds its lifecycle)
   private val compactedRoots =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new graft.core.BoundedMemo[String, String](64, "fx.compactedRoots")
   private val erasedRoots =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new graft.core.BoundedMemo[String, String](64, "fx.erasedRoots")
   private val updatedRoots =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new graft.core.BoundedMemo[String, String](64, "fx.updatedRoots")
   private val dvRoots =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new graft.core.BoundedMemo[String, String](64, "fx.dvRoots")
   private val dvCompactedRoots =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new graft.core.BoundedMemo[String, String](64, "fx.dvCompactedRoots")
 
   /** The update demo writes a CONSTANT new value: the oracle's CASE
     * then compares literal-for-literal — a delta would hit double
@@ -1843,7 +2040,7 @@ object ScanPruning extends QueryPack {
   /** A separate root where the probe user's value has been rewritten
     * copy-on-write (corpus build → increment absorb → keyed update). */
   private def updatedRoot(s: SparkSession, d: String): String =
-    updatedRoots.computeIfAbsent(d, _ => {
+    updatedRoots.getOrElseUpdate(d)( {
       val root = FileIndexStore.buildRoot(s, d)
       FileIndexStore.absorb(s, root, incrementEvents(s, d), "inc-1")
       FileIndexStore.updateUser(s, root,
@@ -1855,7 +2052,7 @@ object ScanPruning extends QueryPack {
     * copy-on-write (corpus build → increment absorb → erase), so the
     * erasure queries never change what the other roots observe. */
   private def erasedRoot(s: SparkSession, d: String): String =
-    erasedRoots.computeIfAbsent(d, _ => {
+    erasedRoots.getOrElseUpdate(d)( {
       val root = FileIndexStore.buildRoot(s, d)
       FileIndexStore.absorb(s, root, incrementEvents(s, d), "inc-1")
       FileIndexStore.erase(s, root,
@@ -1867,7 +2064,7 @@ object ScanPruning extends QueryPack {
     * deletion vectors only, every data file byte-identical to the
     * pre-erase state. */
   private def dvRoot(s: SparkSession, d: String): String =
-    dvRoots.computeIfAbsent(d, _ => {
+    dvRoots.getOrElseUpdate(d)( {
       val root = FileIndexStore.buildRoot(s, d)
       FileIndexStore.absorb(s, root, incrementEvents(s, d), "inc-1")
       FileIndexStore.eraseDv(s, root,
@@ -1878,7 +2075,7 @@ object ScanPruning extends QueryPack {
   /** The MoR lifecycle completed: the same deletion-vector erase,
     * then a compaction that folds the vectors into rewritten files. */
   private def dvCompactedRoot(s: SparkSession, d: String): String =
-    dvCompactedRoots.computeIfAbsent(d, _ => {
+    dvCompactedRoots.getOrElseUpdate(d)( {
       val root = FileIndexStore.buildRoot(s, d)
       FileIndexStore.absorb(s, root, incrementEvents(s, d), "inc-1")
       FileIndexStore.eraseDv(s, root,
@@ -1888,14 +2085,14 @@ object ScanPruning extends QueryPack {
     })
 
   private val cdfRoots =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new graft.core.BoundedMemo[String, String](64, "fx.cdfRoots")
 
   /** The change-data-feed demo lifecycle: corpus → append → MoR erase
     * → compaction that folds the vector in. The CDF over the whole
     * range must emit the append as inserts, the erase as deletes, and
     * NOTHING for the compaction. */
   private def cdfRoot(s: SparkSession, d: String): String =
-    cdfRoots.computeIfAbsent(d, _ => {
+    cdfRoots.getOrElseUpdate(d)( {
       val root = FileIndexStore.buildRoot(s, d)
       FileIndexStore.absorb(s, root, incrementEvents(s, d), "inc-1")
       FileIndexStore.eraseDv(s, root,
@@ -1905,7 +2102,7 @@ object ScanPruning extends QueryPack {
     })
 
   private val hilbertRoots =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new graft.core.BoundedMemo[String, String](64, "fx.hilbertRoots")
 
   /** A root clustered along the HILBERT curve with RANGE (equal-
     * count curve segment) file assignment — the Delta-OPTIMIZE-style
@@ -1914,7 +2111,7 @@ object ScanPruning extends QueryPack {
     * machinery; the absorb replays curve + split points from the
     * persisted layout. */
   private def hilbertRoot(s: SparkSession, d: String): String =
-    hilbertRoots.computeIfAbsent(d, _ => {
+    hilbertRoots.getOrElseUpdate(d)( {
       val root = FileIndexStore.buildRootFrom(s,
         Tables.events(s, d).filter(!incPredicate), curve = "hilbert",
         rangeBucketed = true)
@@ -1923,14 +2120,14 @@ object ScanPruning extends QueryPack {
     })
 
   private val migratedRoots =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new graft.core.BoundedMemo[String, String](64, "fx.migratedRoots")
 
   /** A root that LIVED on Morton-prefix clustering, migrated to
     * Hilbert + range mid-life, then absorbed another increment under
     * the new layout — the full re-OPTIMIZE lifecycle. The two
     * increments are the halves of the standard increment slice. */
   private def migratedRoot(s: SparkSession, d: String): String =
-    migratedRoots.computeIfAbsent(d, _ => {
+    migratedRoots.getOrElseUpdate(d)( {
       val root = FileIndexStore.buildRoot(s, d)
       val inc = incrementEvents(s, d)
       FileIndexStore.absorb(s, root,
@@ -1943,7 +2140,7 @@ object ScanPruning extends QueryPack {
     })
 
   private val evolvedRoots =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new graft.core.BoundedMemo[String, String](64, "fx.evolvedRoots")
 
   /** A root whose increment EVOLVED the schema: the corpus predates
     * the `score` column, the increment carries it, and a compaction
@@ -1951,7 +2148,7 @@ object ScanPruning extends QueryPack {
     * pre-compaction version exercises the schema-merged multi-
     * generation read; the head exercises the evolved rewrite. */
   private def evolvedRoot(s: SparkSession, d: String): String =
-    evolvedRoots.computeIfAbsent(d, _ => {
+    evolvedRoots.getOrElseUpdate(d)( {
       val root = FileIndexStore.buildRoot(s, d)
       FileIndexStore.absorb(s, root,
         incrementEvents(s, d)
@@ -1966,7 +2163,7 @@ object ScanPruning extends QueryPack {
     * the compaction queries never change what the multi-generation
     * queries above observe. */
   private def compactedRoot(s: SparkSession, d: String): String =
-    compactedRoots.computeIfAbsent(d, _ => {
+    compactedRoots.getOrElseUpdate(d)( {
       val root = FileIndexStore.buildRoot(s, d)
       FileIndexStore.absorb(s, root, incrementEvents(s, d), "inc-1")
       FileIndexStore.compact(s, root)
@@ -2419,6 +2616,25 @@ object ScanPruning extends QueryPack {
     // exactly the file movements the layout function dictates
     "fx_history" -> ((s, d) =>
       FileIndexStore.history(s, compactedRoot(s, d))),
+    // the MAINT HONESTY AUDIT as a driver-gated relational row: for
+    // the clean compaction pub == ret (folded 0); for the DV-folding
+    // one pub == ret − folded, where each leg of the equation is an
+    // independently logged count (zone census vs the commit-time
+    // semi-join fold census) — the oracle replays all three numbers
+    // from the raw table, so a hash match proves the audit equates
+    // rather than bounds
+    "fx_maint_audit" -> ((s, d) => {
+      import s.implicits._
+      def rowsOf(tag: String, root: String) =
+        FileIndexStore.auditMaint(s, root).map {
+          case (seq, gen, pub, ret, folded, ok) =>
+            (tag, seq, gen, pub, ret, folded, if (ok) 1L else 0L)
+        }
+      (rowsOf("clean", compactedRoot(s, d)) ++
+        rowsOf("dvfold", dvCompactedRoot(s, d)))
+        .toDF("lifecycle", "mseq", "gen", "published", "retired",
+          "folded", "ok")
+    }),
     // the APPEND CHANGE FEED replayed from the beginning of a root
     // that has been compacted: data-change appends (corpus + the
     // increment) emit once; the compaction rewrite — which re-
@@ -2640,6 +2856,23 @@ object ScanPruning extends QueryPack {
          |SELECT 2::BIGINT, 'compact-0', 'rewrite',
          |  (SELECT nb FROM allb)::BIGINT,
          |  (SELECT sum(nb) FROM per)::BIGINT""".stripMargin,
+    // the audit replayed from the raw table: published/retired from
+    // full-scan counts, folded = the MoR-erased probe user's rows
+    "fx_maint_audit" ->
+      s"""WITH $constsSql
+         |SELECT 'clean' AS lifecycle, 2::BIGINT AS mseq,
+         |  'compact-0' AS gen,
+         |  (SELECT count(*) FROM events)::BIGINT AS published,
+         |  (SELECT count(*) FROM events)::BIGINT AS retired,
+         |  0::BIGINT AS folded, 1::BIGINT AS ok
+         |UNION ALL
+         |SELECT 'dvfold', 3::BIGINT, 'compact-0',
+         |  (SELECT count(*) FROM events CROSS JOIN consts
+         |    WHERE user_id <> probe)::BIGINT,
+         |  (SELECT count(*) FROM events)::BIGINT,
+         |  (SELECT count(*) FROM events CROSS JOIN consts
+         |    WHERE user_id = probe)::BIGINT,
+         |  1::BIGINT""".stripMargin,
     // the full-scan group-by the metadata type counts must reconstruct
     "fx_meta_type_census" ->
       """SELECT event_type, count(*) AS n

@@ -43,7 +43,8 @@ object StreamingChangeFeed {
   def tail(root: String, stateDir: String)(
       emit: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
     tailWith(root, stateDir,
-      (s, from, to) => FileIndexStore.changeFeedRange(s, root, from, to))(emit)
+      (s, from, to) => FileIndexStore.changeFeedRange(s, root, from, to),
+      (from, to) => FileIndexStore.assertFeedReadable(root, from, to))(emit)
 
   /** The CDC twin of [[tail]]: exactly-once delivery of ROW-LEVEL
     * CHANGES (`_change_type` insert/delete, `_commit_version`) via
@@ -56,10 +57,19 @@ object StreamingChangeFeed {
   def tailCdc(root: String, stateDir: String)(
       emit: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
     tailWith(root, stateDir,
-      (s, from, to) => FileIndexStore.changeDataFeed(s, root, from, to))(emit)
+      (s, from, to) => FileIndexStore.changeDataFeed(s, root, from, to),
+      (from, _) => FileIndexStore.assertCdcReadable(root, from))(emit)
 
+  /** `validate(from, to)` runs BEFORE a fresh claim is persisted: a
+    * stale cursor must throw the typed out-of-retention error WITHOUT
+    * recording a claim — a claim written first would raise
+    * maxClaimedTo, and any recovery that keeps the state dir would
+    * then silently skip the never-delivered range. Replays validate
+    * through the read itself (same typed error, claim already
+    * recorded by definition). */
   private def tailWith(root: String, stateDir: String,
-      read: (org.apache.spark.sql.SparkSession, Long, Long) => DataFrame)(
+      read: (org.apache.spark.sql.SparkSession, Long, Long) => DataFrame,
+      validate: (Long, Long) => Unit)(
       emit: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
     (tick, batchId) => {
       val s = tick.sparkSession
@@ -76,6 +86,9 @@ object StreamingChangeFeed {
         } else {
           val cursor = maxClaimedTo(dir)
           val (head, _) = FileIndexStore.appendsSince(root, cursor)
+          // validate BEFORE claiming: an out-of-retention cursor must
+          // never record a claim for a range that will never emit
+          validate(cursor, head)
           // claim before emit: a crash after the claim replays this
           // exact range; a crash before it re-claims fresh — either
           // way the ranges tile with no gap and no overlap

@@ -993,7 +993,7 @@ class ScanPruningSpec extends AnyFunSuite {
     // the vectors that targeted its inputs); after the vacuum below
     // the commit falls under the horizon and is skipped by design
     val audit = ScanPruning.FileIndexStore.auditMaint(spark, root)
-    assert(audit.nonEmpty && audit.forall(_._5),
+    assert(audit.nonEmpty && audit.forall(_._6),
       s"honest maintenance flagged: $audit")
 
     // vacuum destroys the retired files AND folds the dv log: dve-1's
@@ -1048,7 +1048,7 @@ class ScanPruningSpec extends AnyFunSuite {
       synth.withColumn("event_id", col("event_id") + 10000L), "inc-1"))
     // an honest row-preserving rewrite audits clean
     assert(ScanPruning.FileIndexStore.compact(spark, root).isDefined)
-    assert(ScanPruning.FileIndexStore.auditMaint(spark, root).forall(_._5))
+    assert(ScanPruning.FileIndexStore.auditMaint(spark, root).forall(_._6))
 
     // the lie: a rewrite that DROPS user 3's rows but declares itself
     // row-preserving — CDC would skip it unread, silently losing the
@@ -1066,9 +1066,180 @@ class ScanPruningSpec extends AnyFunSuite {
       root, "lie-1", buckets, pairs, "maint"))
     val audit = ScanPruning.FileIndexStore.auditMaint(spark, root)
     val lie = audit.find(_._2 == "lie-1")
-    assert(lie.exists(!_._5),
+    assert(lie.exists(!_._6),
       s"the lying maint commit went undetected: $audit")
-    assert(audit.filter(_._2 != "lie-1").forall(_._5),
+    assert(audit.filter(_._2 != "lie-1").forall(_._6),
       "the audit flagged an honest commit")
+  }
+
+  test("the maint audit equates under DV folds: an extra dropped row is flagged") {
+    import spark.implicits._
+    val fis = ScanPruning.FileIndexStore
+    val synth = (0 until 800).map { i =>
+      (i.toLong, i.toLong * 1000000000L, (i % 40).toLong, "view",
+        (i % 97 + 1) / 100.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    // the HONEST DV-folding compaction: its commit logs the folded-
+    // row census and the audit EQUATES pub == ret − folded
+    val root = fis.buildRootFrom(spark, synth)
+    assert(fis.absorb(spark, root,
+      synth.withColumn("event_id", col("event_id") + 10000L), "inc-1"))
+    assert(fis.eraseDv(spark, root, 7L, "dve-1"))
+    assert(fis.compact(spark, root).isDefined)
+    val honest = fis.auditMaint(spark, root)
+    val u7 = 2 * synth.filter(col("user_id") === 7L).count()
+    assert(honest.exists(a => a._5 == u7 && a._6),
+      s"honest DV-folding compaction misjudged (expected folded=$u7): $honest")
+
+    // the LIE the old one-sided bound could never catch: a rewrite
+    // that folds the vectors AND drops one extra user, declaring its
+    // honest fold count — pub < ret held before, so it passed; now
+    // pub ≠ ret − folded flags it
+    val root2 = fis.buildRootFrom(spark, synth)
+    assert(fis.eraseDv(spark, root2, 7L, "dve-1"))
+    val pairs2 = fis.livePairs(spark, root2)
+    val folded = synth.filter(col("user_id") === 7L).count()
+    val sneaky = fis.readPairs(spark, root2, pairs2) // drops user 7 (dv)
+      .filter(col("user_id") =!= 3L)                 // ...and sneaks out 3
+      .select(Seq("event_id", "ts", "user_id", "event_type", "value",
+        "props").map(col): _*)
+    val buckets = fis.writeAndIndex(spark, root2, sneaky, "lie-dv",
+      fis.layoutOf(spark, root2))
+    assert(fis.commitNext(root2, "lie-dv", buckets, pairs2, "maint", folded))
+    val audit2 = fis.auditMaint(spark, root2)
+    assert(audit2.find(_._2 == "lie-dv").exists(!_._6),
+      s"a DV-folding rewrite that dropped extra rows went undetected: $audit2")
+  }
+
+  test("time travel below the vacuum horizon raises the typed retention error") {
+    import spark.implicits._
+    val fis = ScanPruning.FileIndexStore
+    val synth = (0 until 600).map { i =>
+      (i.toLong, i.toLong * 1000000000L, (i % 40).toLong, "view",
+        (i % 97 + 1) / 100.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val root = fis.buildRootFrom(spark, synth) // seq 0
+    assert(fis.absorb(spark, root,
+      synth.withColumn("event_id", col("event_id") + 10000L), "inc-a")) // 1
+    // the CoW erase retires every original file (user 7 is in all of
+    // them) — seq 2; later growth — seq 3
+    assert(fis.erase(spark, root, 7L, "erase-1"))
+    assert(fis.absorb(spark, root,
+      synth.withColumn("event_id", col("event_id") + 20000L), "inc-b")) // 3
+
+    // snapshots at and above the soon-to-be horizon, captured BEFORE
+    // the vacuum — they must stay byte-identical after it
+    val at2 = fis.livePairsAt(spark, root, 2L)
+    val ids2 = fis.readPairs(spark, root, at2)
+      .select(col("event_id")).collect().map(_.getLong(0)).toSet
+
+    assert(fis.vacuumBefore(spark, root, 2L).nonEmpty)
+
+    // a pre-horizon snapshot read gets the TYPED contract error
+    // naming the horizon — never a missing-file crash mid-scan
+    val e = intercept[fis.OutOfRetentionException] {
+      fis.livePairsAt(spark, root, 1L)
+    }
+    assert(e.fromSeq == 1L && e.horizonSeq == 2L)
+    assert(e.getMessage.contains("horizon 2"))
+    intercept[fis.OutOfRetentionException] {
+      fis.zoneAt(spark, root, 0L)
+    }
+
+    // reads AT and ABOVE the horizon still answer, byte-identical
+    assert(fis.livePairsAt(spark, root, 2L) == at2)
+    assert(fis.readPairs(spark, root, fis.livePairsAt(spark, root, 2L))
+      .select(col("event_id")).collect().map(_.getLong(0)).toSet == ids2)
+    assert(fis.zoneAt(spark, root, 3L).count() > 0)
+  }
+
+  test("cross-generation type evolution fails fast with the typed conflict error") {
+    import spark.implicits._
+    val fis = ScanPruning.FileIndexStore
+    def mk(base: Long, n: Int) = (0 until n).map { i =>
+      ((base + i).toLong, (base + i) * 1000000000L, (i % 40).toLong,
+        "view", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val root = fis.buildRootFrom(spark, mk(0L, 200))
+    assert(fis.absorb(spark, root,
+      mk(10000L, 100).withColumn("score", lit(1).cast("int")), "inc-int"))
+    assert(fis.absorb(spark, root,
+      mk(20000L, 100).withColumn("score", lit(2L)), "inc-long"))
+    val e = intercept[fis.SchemaEvolutionConflict] {
+      fis.readPairs(spark, root, fis.livePairs(spark, root))
+    }
+    assert(e.column == "score" &&
+      Set(e.typeA, e.typeB) == Set("int", "bigint"),
+      s"conflict misreported: ${e.getMessage}")
+    // a read spanning only type-consistent generations still plans
+    val onlyLong = fis.livePairs(spark, root)
+      .filter(p => p._1 != "inc-int")
+    assert(fis.readPairs(spark, root, onlyLong)
+      .filter(col("score").isNotNull).count() == 100L)
+  }
+
+  test("every per-root memo in main is LRU-registered and bounded") {
+    // referencing the owning objects forces their memos to register
+    // (object init); the registry then proves no per-root cache
+    // anywhere in main can grow driver memory one entry per root
+    // forever — a newly added NAMED memo joins the pin automatically
+    ScanPruning.FileIndexStore.retentionHorizon("/nonexistent")
+    assert(Seq(ScanPruning, IncrementalDedup, IncrementalRetrieval,
+      IncrementalAnn, IncrementalSketch, AstarteOpsQueries)
+      .forall(_.oracle != null))
+    locally {
+      val _ = (IncrementalDedup.SignatureStore,
+        IncrementalRetrieval.LexIndexStore, IncrementalAnn.AnnStore,
+        IncrementalSketch.SketchStore, StoreFixtures)
+    }
+    val sizes = graft.core.BoundedMemo.sizes
+    val expected = Set(
+      "fx.schema", "fx.dvLive", "fx.roots", "fx.compactedRoots",
+      "fx.erasedRoots", "fx.updatedRoots", "fx.dvRoots",
+      "fx.dvCompactedRoots", "fx.cdfRoots", "fx.hilbertRoots",
+      "fx.migratedRoots", "fx.evolvedRoots", "dedup.bandings",
+      "dedup.sigRoots", "retrieval.lexRoots", "retrieval.bucketized",
+      "ann.roots", "sketch.roots", "ops.fixtures")
+    assert(expected.subsetOf(sizes.keySet),
+      s"unregistered per-root memos: ${expected -- sizes.keySet}")
+    assert(sizes.values.forall(_ <= 64), s"a memo exceeded its bound: $sizes")
+  }
+
+  test("dv crash debris heals from the read path, not only the next vacuum") {
+    import spark.implicits._
+    val fis = ScanPruning.FileIndexStore
+    val synth = (0 until 400).map { i =>
+      (i.toLong, i.toLong * 1000000000L, (i % 40).toLong, "view",
+        (i % 97 + 1) / 100.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val root = fis.buildRootFrom(spark, synth)
+    assert(fis.eraseDv(spark, root, 7L, "dve-1"))
+    val dv = java.nio.file.Paths.get(fis.dvPath(root))
+    val trash = java.nio.file.Paths.get(fis.dvPath(root) + ".trash")
+
+    // the fold-to-empty crash window: dv renamed away, nothing to
+    // rename in, crash before the trash delete — the next foldDvLog
+    // early-returns on the missing dv dir, so without read-path
+    // healing this .trash leaks forever
+    java.nio.file.Files.move(dv, trash,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    assert(!fis.hasDv(root))
+    assert(!java.nio.file.Files.exists(trash),
+      "the fold-to-empty crash window leaked .trash")
+
+    // the completed-swap window: dv healthy, stale trash beside it —
+    // also cleared on the next read
+    assert(fis.eraseDv(spark, root, 9L, "dve-2"))
+    java.nio.file.Files.createDirectories(trash)
+    java.nio.file.Files.write(trash.resolve("stale.bin"),
+      Array[Byte](1, 2, 3))
+    assert(fis.hasDv(root))
+    assert(!java.nio.file.Files.exists(trash),
+      "a completed swap's leftover .trash survived the read")
+    // and the fresh vectors still apply (dve-1's rows went with the
+    // simulated crash's dv dir — this spec destroyed them by hand)
+    assert(fis.readPairs(spark, root, fis.livePairs(spark, root))
+      .filter(col("user_id") === 9L).count() == 0L)
   }
 }

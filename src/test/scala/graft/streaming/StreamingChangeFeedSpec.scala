@@ -217,39 +217,72 @@ class StreamingChangeFeedSpec extends AnyFunSuite {
     // destroy the files the erase retired; the horizon persists at 2
     assert(fis.vacuumBefore(spark, root, 2L).nonEmpty)
 
-    // a stale cursor gets the TYPED contract error naming the horizon
-    // and the re-bootstrap path — never a missing-file crash mid-diff
+    // a cursor whose PENDING appends were destroyed gets the TYPED
+    // contract error naming the horizon and the re-bootstrap path —
+    // never a missing-file crash mid-diff
     val e = intercept[fis.OutOfRetentionException] {
-      fis.changeFeedState(spark, root, 1L)
+      fis.changeFeedState(spark, root, 0L)
     }
-    assert(e.fromSeq == 1L && e.horizonSeq == 2L)
+    assert(e.fromSeq == 0L && e.horizonSeq == 2L)
     assert(e.getMessage.contains("horizon 2") &&
       e.getMessage.toLowerCase.contains("re-bootstrap"))
     intercept[fis.OutOfRetentionException] {
-      fis.changeDataFeed(spark, root, 1L, 3L)
-    }
-    intercept[fis.OutOfRetentionException] {
       fis.changeFeedRange(spark, root, 0L, 3L)
+    }
+    // ...but the gate is EXACT, not cursor-vs-horizon coarse: a
+    // cursor below the horizon whose pending appends all SURVIVE is
+    // served (the Kafka analogue — error only when needed bytes are
+    // actually gone). Cursor 1's pending append is only inc-b.
+    val (servedHead, servedRows) = fis.changeFeedState(spark, root, 1L)
+    assert(servedHead == 3L)
+    assert(servedRows.select(col("event_id")).collect()
+      .map(_.getLong(0)).toSet == (20000L until 20200L).toSet,
+      "a below-horizon cursor with surviving appends was not served")
+    // the CDC feed keeps the documented COARSE per-root gate (its
+    // legs read both sides of rewrites, so cursor-vs-horizon is the
+    // honest cheap bound)
+    intercept[fis.OutOfRetentionException] {
+      fis.changeDataFeed(spark, root, 1L, 3L)
     }
 
     // the streaming tails surface the same error: a long-stopped
     // consumer whose newest claim ends below the horizon (each tail
     // gets its own state dir — the first poll's fresh claim would
     // otherwise advance the second tail's cursor past the horizon)
-    def staleDir(): String = {
+    def staleDir(to: Long): java.nio.file.Path = {
       val d = java.nio.file.Files.createTempDirectory("graft-scf-ret")
       java.nio.file.Files.write(d.resolve(f"b${0L}%019d.tsv"),
-        "-1\t1\n".getBytes("UTF-8"))
-      d.toString
+        s"-1\t$to\n".getBytes("UTF-8"))
+      d
     }
-    val sink = StreamingChangeFeed.tail(root, staleDir())((_, _) => ())
+    // a REPLAYED claim spanning destroyed appends throws through the
+    // recorded-range read itself
+    val sink = StreamingChangeFeed.tail(root, staleDir(1L).toString)(
+      (_, _) => ())
     intercept[fis.OutOfRetentionException] {
-      sink(spark.range(1).toDF(), 1L)
+      sink(spark.range(1).toDF(), 0L)
     }
-    val cdcSink = StreamingChangeFeed.tailCdc(root, staleDir())((_, _) => ())
+    // a FRESH claim is validated BEFORE it is persisted: the stale
+    // cursor throws and no claim file lands — a recovery that keeps
+    // the state dir must not find a claim for a never-emitted range
+    val tailDir = staleDir(0L)
+    val freshSink = StreamingChangeFeed.tail(root, tailDir.toString)(
+      (_, _) => ())
+    intercept[fis.OutOfRetentionException] {
+      freshSink(spark.range(1).toDF(), 1L)
+    }
+    assert(!java.nio.file.Files.exists(
+      tailDir.resolve(f"b${1L}%019d.tsv")),
+      "an out-of-retention cursor persisted a poisoned claim")
+    val cdcDir = staleDir(1L)
+    val cdcSink = StreamingChangeFeed.tailCdc(root, cdcDir.toString)(
+      (_, _) => ())
     intercept[fis.OutOfRetentionException] {
       cdcSink(spark.range(1).toDF(), 1L)
     }
+    assert(!java.nio.file.Files.exists(
+      cdcDir.resolve(f"b${1L}%019d.tsv")),
+      "a CDC tail persisted a poisoned claim")
 
     // from the horizon on, both feeds answer unchanged
     val (head, rows) = fis.changeFeedState(spark, root, 2L)
