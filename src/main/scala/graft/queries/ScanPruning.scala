@@ -908,11 +908,28 @@ object ScanPruning extends QueryPack {
       * ANY vector targeted the inputs) into the exact equation
       * `pub == ret − folded`. Invisible to every other reader (they
       * key on "live"/"dead" status or the -1 bucket). −1 = unlogged
-      * (pre-existing commits; the audit falls back to the bound). */
+      * (pre-existing commits; the audit falls back to the bound).
+      *
+      * Two OPTIONAL preconditions close the merge-on-read erase ↔
+      * rewrite races (both directions would silently LOSE an erasure,
+      * because [[dv]] serves vectors only against live files):
+      * `requireLive` — files this commit's vectors target must still
+      * be live (no retirement): an eraseDv whose touched files a
+      * racing compaction retired must conflict and replan, or its
+      * vectors would be born dead. `guardLedgerSince` — no
+      * ledger-only commit (the MoR-erase shape) may have landed after
+      * the rewrite's planning snapshot: a compaction that read its
+      * inputs BEFORE an erase's vectors existed would retire the
+      * files those vectors target without folding them. Both checks
+      * validate against the SAME head snapshot that claims the next
+      * version, so the optimistic collision-retry loop makes them
+      * atomic — exactly like the deadPairs precondition. */
     @annotation.tailrec
     private[graft] def commitNext(root: String, gen: String,
         liveBuckets: Seq[Int], deadPairs: Seq[(String, Int)],
-        ledgerKind: String = "ledger", foldedRows: Long = -1L): Boolean = {
+        ledgerKind: String = "ledger", foldedRows: Long = -1L,
+        requireLive: Seq[(String, Int)] = Nil,
+        guardLedgerSince: Long = -1L): Boolean = {
       val head = headState(root) // ledger + live set, checkpoint-fast
       if (head.exists(_.gen == gen)) return false
       val liveNow = liveSetOf(head)
@@ -920,6 +937,27 @@ object ScanPruning extends QueryPack {
       if (gone.nonEmpty)
         throw new CommitConflict(
           s"files retired by a racing writer: ${gone.mkString(", ")}")
+      val staleLive = requireLive.filterNot(liveNow.contains)
+      if (staleLive.nonEmpty)
+        throw new CommitConflict(
+          "files this commit's vectors target were retired by a " +
+          s"racing writer: ${staleLive.mkString(", ")}")
+      if (guardLedgerSince >= 0) {
+        // conservative: any ledger-only gen committed after the
+        // planning snapshot conflicts (MoR erases are the hazard;
+        // no-op replays and empty absorbs are rare collateral — the
+        // aborted rewrite simply replans)
+        val racing = head.groupBy(_.gen).collect {
+          case (g, rows)
+            if rows.exists(r => r.zbucket == -1 &&
+              r.mseq > guardLedgerSince) &&
+              !rows.exists(_.zbucket >= 0) => g
+        }
+        if (racing.nonEmpty)
+          throw new CommitConflict(
+            "ledger-only commits landed after this rewrite's " +
+            s"planning snapshot: ${racing.toSeq.sorted.mkString(", ")}")
+      }
       // next derives from the SAME snapshot as the validation (the
       // newest commit's ledger row carries the max mseq): a commit
       // racing in after our read makes our claim COLLIDE, forcing the
@@ -938,7 +976,7 @@ object ScanPruning extends QueryPack {
         if (next % CkptEvery == 0) writeCkpt(root, next)
         true
       } else commitNext(root, gen, liveBuckets, deadPairs, ledgerKind,
-        foldedRows)
+        foldedRows, requireLive, guardLedgerSince)
     }
 
     /** Cluster + index one increment under the persisted layout.
@@ -992,14 +1030,30 @@ object ScanPruning extends QueryPack {
       * when fewer than two generations are under the threshold. */
     def compactTier(s: SparkSession, root: String,
         maxRows: Long): Option[String] = {
+      // planning snapshot for the ledger guard: an eraseDv landing
+      // after this seq publishes vectors this rewrite's reads never
+      // saw — retiring their target files would silently lose the
+      // erasure, so the commit conflicts and the next pass replans
+      val planningSeq = currentSeq(s, root)
       val sizes = zone(s, root).groupBy(col("inc_id"))
         .agg(sum(col("n")).as("rows")).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       val small = sizes.filter(_._2 <= maxRows).keySet
       if (small.size < 2) return None
       val pairs = livePairs(s, root).filter(p => small.contains(p._1))
-      val newGen = "compact-" +
-        absorbedIds(s, root).count(_.startsWith("compact-"))
+      // ATTEMPT-SCOPED name — keyed by the planning snapshot, not a
+      // running counter. A crash replay re-plans against the same
+      // state (nothing committed), regenerates the SAME name, and
+      // overwrites the orphan with bit-identical data and index rows
+      // (the replay contract). A conflict-ABORTED attempt replans
+      // against CHANGED state (e.g. new deletion vectors): its retry
+      // takes a NEW name, so the aborted attempt's stale index rows
+      // can never max-fold into the committed generation's — reusing
+      // the name there inflated zone `n` by the fold delta (caught by
+      // MorRaceSoakSpec: audit read pub=2580 where 2340 rows were
+      // written). Orphan rows reference a never-ledgered name and are
+      // invisible to every read (the manifest join).
+      val newGen = s"compact-$planningSeq"
       // the rewrite reads WITH deletion vectors applied — compaction
       // is where merge-on-read erasures fold into physical files and
       // the residual anti-join disappears for the rewritten range
@@ -1019,7 +1073,8 @@ object ScanPruning extends QueryPack {
         // folded-row count logged so the audit can EQUATE instead of
         // bound (the count is an independent measurement: a semi-join
         // census of the dv-matched input rows, not ret − pub)
-        if (commitNext(root, newGen, buckets, pairs, "maint", folded))
+        if (commitNext(root, newGen, buckets, pairs, "maint", folded,
+            guardLedgerSince = planningSeq))
           Some(newGen)
         else None
       } catch { case _: CommitConflict => None }
@@ -1070,8 +1125,7 @@ object ScanPruning extends QueryPack {
     def migrate(s: SparkSession, root: String, toCurve: String,
         rangeBucketed: Boolean, migrateId: String): Boolean =
       optimistically(migrateId) {
-        val prior = headState(root)
-          .find(r => r.gen == migrateId && r.zbucket == -1).map(_.mseq)
+        val prior = ledgerRowOf(root, migrateId).map(_.mseq)
         if (prior.isDefined) {
           // replayed id: the rewrite committed. Repair the one crash
           // window left by persist-after-commit — commit landed, JVM
@@ -1093,6 +1147,12 @@ object ScanPruning extends QueryPack {
               mseqOfLedger(root, migrateId))
             ok
           } else {
+            // same ledger guard as compaction: a racing MoR erase's
+            // vectors must not be retired unfolded; the attempt-
+            // scoped name keeps a conflict-retry's index rows from
+            // folding with this attempt's
+            val planningSeq = currentSeq(s, root)
+            val gen = attemptName(migrateId, planningSeq)
             val union = readPairs(s, root, pairs)
             // two passes over the live set (quantiles, then the
             // clustered write) — re-scanning is the right cost at
@@ -1101,19 +1161,19 @@ object ScanPruning extends QueryPack {
             val data = union.select(dataColsOf(union).map(col): _*)
             var l = old.copy(curve = toCurve, splits = Nil)
             if (rangeBucketed) l = l.copy(splits = deriveSplits(data, l))
-            val buckets = writeAndIndex(s, root, data, migrateId, l)
+            val buckets = writeAndIndex(s, root, data, gen, l)
             // row-preserving re-clustering — maint, like compaction,
             // with the same independent folded-row census logged
             val folded = countFoldedRows(s, root, pairs)
-            val ok = commitNext(root, migrateId, buckets, pairs, "maint",
-              folded)
+            val ok = commitNext(root, gen, buckets, pairs, "maint",
+              folded, guardLedgerSince = planningSeq)
             // layout persists AFTER (and stamped with) the commit
             // that published the rewrite: an aborted or crashed
             // rewrite then leaves NO layout row behind, so later
             // absorbs never bucket by split points of a layout that
             // never materialized. The reverse window (commit landed,
             // persist lost) is repaired on replay above.
-            if (ok) persistLayout(s, root, l, mseqOfLedger(root, migrateId))
+            if (ok) persistLayout(s, root, l, mseqOfLedger(root, gen))
             ok
           }
         }
@@ -1126,6 +1186,24 @@ object ScanPruning extends QueryPack {
         .find(r => r.gen == gen && r.zbucket == -1).map(_.mseq)
         .getOrElse(throw new IllegalStateException(
           s"$gen has no ledger row under $root"))
+
+    /** Attempt-scoped physical generation name for a ledgered rewrite
+      * id (erase/update/migrate): the planning snapshot in the name
+      * gives a conflict-aborted RETRY — whose content may differ (new
+      * deletion vectors, a changed touched set) — a fresh name, so
+      * the aborted attempt's stale index rows never fold into the
+      * committed generation's (the compactTier name note; caught by
+      * MorRaceSoakSpec). A CRASH replay re-plans against unchanged
+      * state, regenerates the same name, and overwrites the orphan
+      * bit-identically. Caller ids never contain '@'. */
+    private def attemptName(id: String, planningSeq: Long): String =
+      s"$id@p$planningSeq"
+
+    /** The ledger row of `id` — committed under its plain name (a
+      * ledger-only commit) or under any attempt suffix (a rewrite). */
+    private def ledgerRowOf(root: String, id: String): Option[ManifestRow] =
+      headState(root).find(r => r.zbucket == -1 &&
+        (r.gen == id || r.gen.startsWith(id + "@")))
 
     /** Crash repair for [[migrate]]'s persist-after-commit ordering:
       * if no layout version ≥ the migration's commit seq exists, the
@@ -1162,20 +1240,24 @@ object ScanPruning extends QueryPack {
     def updateUser(s: SparkSession, root: String, userId: Long,
         newValue: Double, updateId: String): Boolean =
       optimistically(updateId) {
-        if (absorbedIds(s, root).contains(updateId)) false
+        if (ledgerRowOf(root, updateId).isDefined) false
         else {
           val touched = pointSurvivors(s, root, userId)
             .select(col("inc_id"), col("zbucket")).collect()
             .map(r => (r.getString(0), r.getInt(1))).toSeq.sorted
           if (touched.isEmpty) commitNext(root, updateId, Nil, Nil)
           else {
+            // attempt-scoped: a conflict-retry's touched set (and so
+            // its rewritten content) may differ — fresh name, no
+            // stale-index fold
+            val gen = attemptName(updateId, currentSeq(s, root))
             val updated = readPairs(s, root, touched)
               .withColumn("value", when(col("user_id") <=> userId,
                 lit(newValue)).otherwise(col("value")))
             val buckets = writeAndIndex(s, root,
-              updated.select(dataColsOf(updated).map(col): _*), updateId,
+              updated.select(dataColsOf(updated).map(col): _*), gen,
               layoutOf(s, root))
-            commitNext(root, updateId, buckets, touched)
+            commitNext(root, gen, buckets, touched)
           }
         }
       }
@@ -1184,9 +1266,10 @@ object ScanPruning extends QueryPack {
       * paths: on [[CommitConflict]] (a racing writer retired one of
       * the rewrite inputs mid-flight) the whole read-rewrite-commit
       * recomputes from fresh state — the aborted attempt's data and
-      * index rows stay invisible and get overwritten by the retry
-      * (same deterministic generation name). Bounded so a genuine
-      * livelock surfaces loudly instead of spinning. */
+      * index rows stay invisible (never-ledgered [[attemptName]]s;
+      * the retry takes a FRESH name so its index rows can never fold
+      * with the aborted attempt's). Bounded so a genuine livelock
+      * surfaces loudly instead of spinning. */
     private def optimistically(id: String)(body: => Boolean): Boolean = {
       var attempt = 0
       while (true) {
@@ -1214,7 +1297,7 @@ object ScanPruning extends QueryPack {
     def erase(s: SparkSession, root: String, userId: Long,
         eraseId: String): Boolean =
       optimistically(eraseId) {
-        if (absorbedIds(s, root).contains(eraseId)) false
+        if (ledgerRowOf(root, eraseId).isDefined) false
         else {
           val touched = pointSurvivors(s, root, userId)
             .select(col("inc_id"), col("zbucket")).collect()
@@ -1222,6 +1305,9 @@ object ScanPruning extends QueryPack {
           if (touched.isEmpty) // nothing holds the user; just ledger it
             commitNext(root, eraseId, Nil, Nil)
           else {
+            // attempt-scoped name: a conflict-retry rewrites a
+            // different touched set — fresh name, no stale-index fold
+            val gen = attemptName(eraseId, currentSeq(s, root))
             // null-SAFE keep predicate: a bare =!= evaluates NULL for
             // NULL user_id rows and would silently drop unrelated
             // null-key rows from every touched file — latent data
@@ -1229,9 +1315,9 @@ object ScanPruning extends QueryPack {
             val kept = readPairs(s, root, touched)
               .filter(!(col("user_id") <=> userId))
             val buckets = writeAndIndex(s, root,
-              kept.select(dataColsOf(kept).map(col): _*), eraseId,
+              kept.select(dataColsOf(kept).map(col): _*), gen,
               layoutOf(s, root))
-            commitNext(root, eraseId, buckets, touched)
+            commitNext(root, gen, buckets, touched)
           }
         }
       }
@@ -1425,22 +1511,32 @@ object ScanPruning extends QueryPack {
       * retired copies — eraseDv + compact + vacuum is the complete
       * deletion. */
     def eraseDv(s: SparkSession, root: String, userId: Long,
-        eraseId: String): Boolean = {
-      if (absorbedIds(s, root).contains(eraseId)) return false
-      val touched = pointSurvivors(s, root, userId)
-        .select(col("inc_id"), col("zbucket")).collect()
-        .map(r => (r.getString(0), r.getInt(1))).toSeq.sorted
-      if (touched.nonEmpty) {
-        import s.implicits._
-        graft.storage.AstarteStore.appendAtomic(
-          touched.map { case (g, b) => (g, b, userId, eraseId) }
-            .toDF("inc_id", "zbucket", "user_id", "erase_id"),
-          dvPath(root))
+        eraseId: String): Boolean =
+      optimistically(eraseId) {
+        if (absorbedIds(s, root).contains(eraseId)) false
+        else {
+          val touched = pointSurvivors(s, root, userId)
+            .select(col("inc_id"), col("zbucket")).collect()
+            .map(r => (r.getString(0), r.getInt(1))).toSeq.sorted
+          if (touched.nonEmpty) {
+            import s.implicits._
+            graft.storage.AstarteStore.appendAtomic(
+              touched.map { case (g, b) => (g, b, userId, eraseId) }
+                .toDF("inc_id", "zbucket", "user_id", "erase_id"),
+              dvPath(root))
+          }
+          // ledger-only commit — the touched files STAY live; their
+          // vectors ride along on every read. requireLive closes the
+          // race against a rewrite retiring the touched files between
+          // the plan above and this commit: vectors born against dead
+          // files would be invisible to [[dv]] (silently losing the
+          // erasure), so the commit conflicts and the retry replans
+          // against the fresh live set — its superseded dv rows
+          // target dead files and fall out of every read (and the
+          // next vacuum's fold)
+          commitNext(root, eraseId, Nil, Nil, requireLive = touched)
+        }
       }
-      // ledger-only commit — the touched files STAY live; their
-      // vectors ride along on every read
-      commitNext(root, eraseId, Nil, Nil)
-    }
 
     /** The live deletion-vector rows: (file, deleted key), ledgered
       * ids only, replay-deduped. Control-plane sized — erased keys ×
@@ -2853,7 +2949,7 @@ object ScanPruning extends QueryPack {
          |SELECT 1::BIGINT, 'inc-1', 'append',
          |  (SELECT nb FROM per WHERE inc_id = 'inc-1')::BIGINT, 0::BIGINT
          |UNION ALL
-         |SELECT 2::BIGINT, 'compact-0', 'rewrite',
+         |SELECT 2::BIGINT, 'compact-1', 'rewrite',
          |  (SELECT nb FROM allb)::BIGINT,
          |  (SELECT sum(nb) FROM per)::BIGINT""".stripMargin,
     // the audit replayed from the raw table: published/retired from
@@ -2861,12 +2957,12 @@ object ScanPruning extends QueryPack {
     "fx_maint_audit" ->
       s"""WITH $constsSql
          |SELECT 'clean' AS lifecycle, 2::BIGINT AS mseq,
-         |  'compact-0' AS gen,
+         |  'compact-1' AS gen,
          |  (SELECT count(*) FROM events)::BIGINT AS published,
          |  (SELECT count(*) FROM events)::BIGINT AS retired,
          |  0::BIGINT AS folded, 1::BIGINT AS ok
          |UNION ALL
-         |SELECT 'dvfold', 3::BIGINT, 'compact-0',
+         |SELECT 'dvfold', 3::BIGINT, 'compact-2',
          |  (SELECT count(*) FROM events CROSS JOIN consts
          |    WHERE user_id <> probe)::BIGINT,
          |  (SELECT count(*) FROM events)::BIGINT,

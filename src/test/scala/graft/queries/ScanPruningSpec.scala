@@ -327,9 +327,9 @@ class ScanPruningSpec extends AnyFunSuite {
       "unpublished generation leaked into the zone map")
 
     val swapped = ScanPruning.FileIndexStore.compact(spark, root)
-    assert(swapped.contains("compact-0"))
+    assert(swapped.exists(_.startsWith("compact-")))
     assert(ScanPruning.FileIndexStore.liveGens(spark, root)
-      == Seq("compact-0"), "old generations still live after the swap")
+      == Seq(swapped.get), "old generations still live after the swap")
     assert(census(zone()) == before,
       "compaction changed the merged per-bucket statistics")
 
@@ -406,9 +406,9 @@ class ScanPruningSpec extends AnyFunSuite {
     // threshold under the corpus size: folds exactly the three tiny
     // generations, corpus files keep their paths AND bytes
     val swapped = ScanPruning.FileIndexStore.compactTier(spark, root, 100L)
-    assert(swapped.contains("compact-0"))
+    assert(swapped.exists(_.startsWith("compact-")))
     assert(ScanPruning.FileIndexStore.liveGens(spark, root).toSet ==
-      Set("corpus", "compact-0"), "tiered fold touched the big generation")
+      Set("corpus", swapped.get), "tiered fold touched the big generation")
     assert(fileSet("corpus") == corpusBefore,
       "size-tiered compaction rewrote the large generation's files")
     assert(ScanPruning.FileIndexStore.zone(spark, root)
@@ -424,8 +424,9 @@ class ScanPruningSpec extends AnyFunSuite {
     // only one generation now sits under the threshold → no-op
     assert(ScanPruning.FileIndexStore.compactTier(spark, root, 100L).isEmpty)
     // the full OPTIMIZE still folds everything down to one generation
-    assert(ScanPruning.FileIndexStore.compact(spark, root).contains("compact-1"))
-    assert(ScanPruning.FileIndexStore.liveGens(spark, root) == Seq("compact-1"))
+    val full = ScanPruning.FileIndexStore.compact(spark, root)
+    assert(full.exists(_.startsWith("compact-")) && full != swapped)
+    assert(ScanPruning.FileIndexStore.liveGens(spark, root) == Seq(full.get))
   }
 
   test("time travel reads past versions; vacuum reclaims only dead data") {
@@ -459,8 +460,9 @@ class ScanPruningSpec extends AnyFunSuite {
     for ((g, b) <- reclaimed)
       assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
         ScanPruning.FileIndexStore.bucketDir(root, g, b))))
-    assert(java.nio.file.Files.exists(
-      java.nio.file.Paths.get(root, "data_compact-0")))
+    val liveGen = ScanPruning.FileIndexStore.liveGens(spark, root).head
+    assert(liveGen.startsWith("compact-") && java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, s"data_$liveGen")))
     assert(probeCount(ScanPruning.FileIndexStore.zone(spark, root)) == head,
       "vacuum broke the head read")
   }
@@ -497,7 +499,8 @@ class ScanPruningSpec extends AnyFunSuite {
     val pairsAfter = ScanPruning.FileIndexStore.livePairs(spark, root).toSet
     assert((pairsBefore -- touched).subsetOf(pairsAfter),
       "erase retired files it did not touch")
-    assert(pairsAfter.forall(p => p._1 == "erase-1" || !touched.contains(p)),
+    assert(pairsAfter.forall(p =>
+      p._1.startsWith("erase-1@") || !touched.contains(p)),
       "a touched file is still live under its old generation")
 
     // the user is gone from head reads; everyone else is intact
@@ -641,7 +644,8 @@ class ScanPruningSpec extends AnyFunSuite {
     assert(l.curve == "hilbert" && l.splits.nonEmpty)
     val liveGens = ScanPruning.FileIndexStore
       .livePairs(spark, root).map(_._1).distinct
-    assert(liveGens == Seq("migrate-1"),
+    assert(liveGens.forall(_.startsWith("migrate-1@")) &&
+      liveGens.size == 1,
       s"migration left old generations live: $liveGens")
     assert(allIds() == before, "migration changed the logical table")
 
@@ -1177,6 +1181,57 @@ class ScanPruningSpec extends AnyFunSuite {
       .filter(p => p._1 != "inc-int")
     assert(fis.readPairs(spark, root, onlyLong)
       .filter(col("score").isNotNull).count() == 100L)
+  }
+
+  test("a merge-on-read erase and a rewrite cannot race each other's files away") {
+    import spark.implicits._
+    val fis = ScanPruning.FileIndexStore
+    def mkSynth() = (0 until 600).map { i =>
+      (i.toLong, i.toLong * 1000000000L, (i % 40).toLong, "view",
+        (i % 97 + 1) / 100.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    // direction 1: a compaction planned BEFORE an eraseDv lands must
+    // not retire the files the new vectors target (dv() serves
+    // vectors only against live files — committing would silently
+    // resurrect the user). The ledger guard conflicts the commit.
+    val root = fis.buildRootFrom(spark, mkSynth())
+    assert(fis.absorb(spark, root,
+      mkSynth().withColumn("event_id", col("event_id") + 10000L), "inc-1"))
+    val planning = fis.currentSeq(spark, root)
+    val pairs = fis.livePairs(spark, root)
+    val union = fis.readPairs(spark, root, pairs)
+      .select(Seq("event_id", "ts", "user_id", "event_type", "value",
+        "props").map(col): _*)
+    val buckets = fis.writeAndIndex(spark, root, union, "compact-race",
+      fis.layoutOf(spark, root))
+    assert(fis.eraseDv(spark, root, 7L, "dve-race")) // lands mid-rewrite
+    intercept[fis.CommitConflict] {
+      fis.commitNext(root, "compact-race", buckets, pairs, "maint", 0L,
+        guardLedgerSince = planning)
+    }
+    // the next maintenance pass replans, folds the vector, commits
+    assert(fis.compact(spark, root).isDefined)
+    assert(fis.readPairs(spark, root, fis.livePairs(spark, root))
+      .filter(col("user_id") === 7L).count() == 0L,
+      "the erase was lost across the raced compaction")
+
+    // direction 2: an eraseDv planned against files a compaction then
+    // retires must conflict at commit (requireLive) instead of
+    // publishing vectors born against dead files
+    val root2 = fis.buildRootFrom(spark, mkSynth())
+    assert(fis.absorb(spark, root2,
+      mkSynth().withColumn("event_id", col("event_id") + 10000L), "inc-1"))
+    val touched0 = fis.livePairs(spark, root2) // the erase's plan set
+    assert(fis.compact(spark, root2).isDefined) // retires all of them
+    intercept[fis.CommitConflict] {
+      fis.commitNext(root2, "dve-stale", Nil, Nil,
+        requireLive = touched0)
+    }
+    // the PUBLIC eraseDv retries internally and lands on fresh files
+    assert(fis.eraseDv(spark, root2, 11L, "dve-fresh"))
+    assert(fis.readPairs(spark, root2, fis.livePairs(spark, root2))
+      .filter(col("user_id") === 11L).count() == 0L)
   }
 
   test("every per-root memo in main is LRU-registered and bounded") {
