@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Data layout + file-skipping index — the scan side of the 100 TB
@@ -1325,6 +1325,258 @@ object ScanPruning extends QueryPack {
     /** The live (gen, bucket) pairs as a broadcastable frame — the
       * join-side twin of [[livePairs]] (control-plane sized: one row
       * per live logical file). */
+    // ─────────────────────────── predicate DML (data-skipping DELETE/UPDATE)
+
+    /** Translate a ROW predicate into a ZONE-ROW survival predicate —
+      * the data-skipping move of production table formats (Delta's
+      * DataSkippingReader, public design): a comparison on a stat'd
+      * column becomes a bound check on that column's per-file
+      * [lo, hi], And/Or distribute, and any leaf the stats cannot
+      * decide collapses to `true` (CONSERVATIVE — skip a file only
+      * when provably no row in it can satisfy the predicate; null
+      * rows satisfy no comparison, so bound checks never over-skip).
+      * `ts` literals are nanos (the stored column) while the zone's
+      * t_lo/t_hi are micros; the translation compares in micro space
+      * with one unit of slack on the floor division. */
+    /** Column-API predicates arrive as UNRESOLVED function nodes
+      * (`'and`, `'>='` — Spark 4's converter resolves names only at
+      * analysis); rewrite the closed boolean/comparison vocabulary
+      * into its Catalyst forms so one pattern set serves both
+      * unresolved and analyzer-resolved trees. Unknown functions stay
+      * as-is and fall to the conservative `true` leaf. */
+    private def normalizePred(
+        e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : org.apache.spark.sql.catalyst.expressions.Expression = {
+      import org.apache.spark.sql.catalyst.{expressions => ce}
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+      e match {
+        case f: UnresolvedFunction =>
+          val kids = f.arguments.map(normalizePred)
+          (f.nameParts.last.toLowerCase, kids) match {
+            case ("and", Seq(a, b)) => ce.And(a, b)
+            case ("or", Seq(a, b)) => ce.Or(a, b)
+            case ("not" | "!", Seq(a)) => ce.Not(a)
+            case (">", Seq(a, b)) => ce.GreaterThan(a, b)
+            case (">=", Seq(a, b)) => ce.GreaterThanOrEqual(a, b)
+            case ("<", Seq(a, b)) => ce.LessThan(a, b)
+            case ("<=", Seq(a, b)) => ce.LessThanOrEqual(a, b)
+            case ("=" | "==" | "equalto", Seq(a, b)) => ce.EqualTo(a, b)
+            case _ => f.copy(arguments = kids)
+          }
+        case _ => e.withNewChildren(e.children.map(normalizePred))
+      }
+    }
+
+    private[graft] def skippingFilter(
+        pred0: org.apache.spark.sql.catalyst.expressions.Expression): Column = {
+      val pred = normalizePred(pred0)
+      import org.apache.spark.sql.catalyst.{expressions => ce}
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+      def nameOf(e: ce.Expression): Option[String] = e match {
+        case a: ce.Attribute => Some(a.name)
+        case u: UnresolvedAttribute => Some(u.name)
+        case ce.Cast(c, _, _, _) => nameOf(c)
+        case _ => None
+      }
+      // (lo stat, hi stat, literal → stat-space bounds [vLo, vHi]):
+      // a literal maps to the RANGE of stat values any row equal to it
+      // could produce — exact for user_id/value, ±1 micro for ts
+      def statsOf(n: String): Option[(Column, Column, Any => (Column, Column))] =
+        n match {
+          case "user_id" =>
+            Some((col("u_lo"), col("u_hi"), v => (lit(v), lit(v))))
+          case "value" =>
+            Some((col("v_lo"), col("v_hi"), v => (lit(v), lit(v))))
+          case "ts" => Some((col("t_lo"), col("t_hi"), { v =>
+            val micros = java.lang.Math.floorDiv(
+              v.asInstanceOf[Number].longValue(), 1000L)
+            (lit(micros - 1L), lit(micros + 1L))
+          }))
+          case _ => None
+        }
+      // survive(cmp): some row in the file COULD satisfy attr OP lit
+      def cmp(attr: ce.Expression, litE: ce.Expression,
+          op: String): Option[Column] =
+        for {
+          n <- nameOf(attr)
+          (lo, hi, toStat) <- statsOf(n)
+          l <- litE match {
+            case ce.Literal(v, _) if v != null => Some(v)
+            case _ => None
+          }
+        } yield {
+          val (vLo, vHi) = toStat(l)
+          op match {
+            case ">"  => hi > vLo
+            case ">=" => hi >= vLo
+            case "<"  => lo < vHi
+            case "<=" => lo <= vHi
+            case "="  => lo <= vHi && hi >= vLo
+            // complement forms (from a pushed-down Not): some row
+            // could FAIL the comparison
+            case "!>"  => lo <= vHi // exists a row with attr <= lit
+            case "!>=" => lo < vHi
+            case "!<"  => hi >= vLo
+            case "!<=" => hi > vLo
+            case "!="  => !(lo === vLo && hi === vHi && lo === hi)
+          }
+        }
+      def walk(e: ce.Expression, neg: Boolean): Column = e match {
+        case ce.And(a, b) =>
+          if (neg) walk(a, neg) || walk(b, neg) // De Morgan
+          else walk(a, neg) && walk(b, neg)
+        case ce.Or(a, b) =>
+          if (neg) walk(a, neg) && walk(b, neg)
+          else walk(a, neg) || walk(b, neg)
+        case ce.Not(a) => walk(a, !neg)
+        case ce.GreaterThan(a, l) =>
+          cmp(a, l, if (neg) "!>" else ">")
+            .orElse(cmp(l, a, if (neg) "!<" else "<"))
+            .getOrElse(lit(true))
+        case ce.GreaterThanOrEqual(a, l) =>
+          cmp(a, l, if (neg) "!>=" else ">=")
+            .orElse(cmp(l, a, if (neg) "!<=" else "<="))
+            .getOrElse(lit(true))
+        case ce.LessThan(a, l) =>
+          cmp(a, l, if (neg) "!<" else "<")
+            .orElse(cmp(l, a, if (neg) "!>" else ">"))
+            .getOrElse(lit(true))
+        case ce.LessThanOrEqual(a, l) =>
+          cmp(a, l, if (neg) "!<=" else "<=")
+            .orElse(cmp(l, a, if (neg) "!>=" else ">="))
+            .getOrElse(lit(true))
+        case ce.EqualTo(a, l) =>
+          cmp(a, l, if (neg) "!=" else "=")
+            .orElse(cmp(l, a, if (neg) "!=" else "="))
+            .getOrElse(lit(true))
+        case _ => lit(true) // undecidable leaf — never skip on it
+      }
+      walk(pred, neg = false)
+    }
+
+    /** The candidate live files for a row predicate: zone-stat
+      * pruning via [[skippingFilter]], narrowed further by the
+      * event_type domain log when a top-level conjunct pins the type
+      * (the dictionary-stats prune). Driver-side result — read-set
+      * sized, like every survivor list. */
+    private[graft] def skipCandidates(s: SparkSession, root: String,
+        pred: Column): Seq[(String, Int)] = {
+      import org.apache.spark.sql.catalyst.{expressions => ce}
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+      val predE = normalizePred(
+        org.apache.spark.sql.graftshim.ColumnExpr.exprOf(s, pred))
+      var z = zone(s, root).filter(skippingFilter(predE))
+      def conjuncts(e: ce.Expression): Seq[ce.Expression] = e match {
+        case ce.And(a, b) => conjuncts(a) ++ conjuncts(b)
+        case other => Seq(other)
+      }
+      def typeName(e: ce.Expression): Option[String] = e match {
+        case a: ce.Attribute if a.name == "event_type" => Some(a.name)
+        case u: UnresolvedAttribute if u.name == "event_type" => Some(u.name)
+        case _ => None
+      }
+      conjuncts(predE).foreach {
+        case ce.EqualTo(a, ce.Literal(v, _)) if typeName(a).isDefined &&
+            v != null =>
+          z = z.join(typesMatching(s, root, v.toString),
+            Seq("inc_id", "zbucket"), "left_semi")
+        case ce.EqualTo(ce.Literal(v, _), a) if typeName(a).isDefined &&
+            v != null =>
+          z = z.join(typesMatching(s, root, v.toString),
+            Seq("inc_id", "zbucket"), "left_semi")
+        case _ => ()
+      }
+      z.select(col("inc_id"), col("zbucket")).collect()
+        .map(r => (r.getString(0), r.getInt(1))).toSeq.sorted
+    }
+
+    /** Predicate DELETE (`DELETE FROM t WHERE p`), copy-on-write —
+      * the general-predicate sibling of the keyed [[erase]]: zone +
+      * type-domain stats prune to candidate files, ONE pruned probe
+      * scan narrows to the files actually holding a matching row, and
+      * only those rewrite (survivors republish, touched files retire
+      * in the same atomic commit). SQL semantics: rows where `p` is
+      * TRUE are deleted; FALSE and NULL rows survive. Cost is
+      * O(files the predicate can touch), never a table rewrite — at
+      * 100 TB a selective predicate rewrites a handful of files.
+      * Ledgered, replay-idempotent, conflict-retrying, and
+      * ledger-guarded like every rewrite (a racing merge-on-read
+      * erase's vectors must not be retired unfolded). */
+    def deleteWhere(s: SparkSession, root: String, pred: Column,
+        deleteId: String): Boolean =
+      optimistically(deleteId) {
+        if (ledgerRowOf(root, deleteId).isDefined) false
+        else {
+          val planningSeq = currentSeq(s, root)
+          val cand = skipCandidates(s, root, pred)
+          // probe scan: which candidates actually hold a TRUE row —
+          // rewriting a candidate with zero matches would churn bytes
+          // for nothing (write amplification is the scarce budget at
+          // scale). Vectors deliberately NOT applied here: a file
+          // whose only matches are already dv-erased still rewrites,
+          // which folds its vectors — harmless and strictly tidier.
+          val touched =
+            if (cand.isEmpty) Nil
+            else readPairsTagged(s, root, cand).filter(pred)
+              .select(col("inc_id"), col("zbucket")).distinct().collect()
+              .map(r => (r.getString(0), r.getInt(1))).toSeq.sorted
+          if (touched.isEmpty) commitNext(root, deleteId, Nil, Nil)
+          else {
+            val gen = attemptName(deleteId, planningSeq)
+            val kept = readPairs(s, root, touched)
+              .filter(!coalesce(pred, lit(false)))
+            val buckets = writeAndIndex(s, root,
+              kept.select(dataColsOf(kept).map(col): _*), gen,
+              layoutOf(s, root))
+            commitNext(root, gen, buckets, touched,
+              guardLedgerSince = planningSeq)
+          }
+        }
+      }
+
+    /** Predicate UPDATE (`UPDATE t SET c = e WHERE p`), copy-on-write
+      * on the same prune-probe-rewrite mechanism as [[deleteWhere]]:
+      * only files holding a TRUE row rewrite, matching rows map
+      * through the assignments, every other row republishes verbatim.
+      * Assignment expressions may reference the row's own columns
+      * (`value -> col("value") * 2`). Commits as a plain rewrite (NOT
+      * `maint`): an update changes the logical table, so the change
+      * feed must emit it as delete+insert like any rewrite. */
+    def updateWhere(s: SparkSession, root: String, pred: Column,
+        assignments: Map[String, Column], updateId: String): Boolean =
+      optimistically(updateId) {
+        if (ledgerRowOf(root, updateId).isDefined) false
+        else {
+          val planningSeq = currentSeq(s, root)
+          val cand = skipCandidates(s, root, pred)
+          val touched =
+            if (cand.isEmpty) Nil
+            else readPairsTagged(s, root, cand).filter(pred)
+              .select(col("inc_id"), col("zbucket")).distinct().collect()
+              .map(r => (r.getString(0), r.getInt(1))).toSeq.sorted
+          if (touched.isEmpty) commitNext(root, updateId, Nil, Nil)
+          else {
+            val gen = attemptName(updateId, planningSeq)
+            val hit = coalesce(pred, lit(false))
+            // ONE projection so every assignment expression sees the
+            // ORIGINAL row (SQL UPDATE semantics) — a column-by-column
+            // fold would feed later assignments the earlier ones'
+            // results
+            val base = readPairs(s, root, touched)
+            val updated = base.select(dataColsOf(base).map { c =>
+              assignments.get(c) match {
+                case Some(e) => when(hit, e).otherwise(col(c)).as(c)
+                case None => col(c)
+              }
+            }: _*)
+            val buckets = writeAndIndex(s, root, updated, gen,
+              layoutOf(s, root))
+            commitNext(root, gen, buckets, touched,
+              guardLedgerSince = planningSeq)
+          }
+        }
+      }
+
     private def livePairsDf(s: SparkSession, root: String): DataFrame = {
       import s.implicits._
       liveSetOf(readCommits(root)).toSeq.sorted.toDF("inc_id", "zbucket")
@@ -2144,6 +2396,42 @@ object ScanPruning extends QueryPack {
       root
     })
 
+  private val deletedWhereRoots =
+    new graft.core.BoundedMemo[String, String](64, "fx.deletedWhereRoots")
+  private val updatedWhereRoots =
+    new graft.core.BoundedMemo[String, String](64, "fx.updatedWhereRoots")
+
+  /** A root after a PREDICATE DELETE: every row inside the demo TIME
+    * box with value > 0.5 deleted copy-on-write, files pruned to the
+    * predicate's zone/value-stat candidates (ts is stored in nanos;
+    * the layout bounds are micros). */
+  private def deletedWhereRoot(s: SparkSession, d: String): String =
+    deletedWhereRoots.getOrElseUpdate(d)( {
+      val root = FileIndexStore.buildRoot(s, d)
+      FileIndexStore.absorb(s, root, incrementEvents(s, d), "inc-1")
+      val l = FileIndexStore.layoutOf(s, root)
+      FileIndexStore.deleteWhere(s, root,
+        col("ts").between(l.tlo * 1000L, l.thi * 1000L + 999L) &&
+          col("value") > 0.5,
+        "delw-1")
+      root
+    })
+
+  /** A root after a PREDICATE UPDATE: every `click` row inside the
+    * demo user box gets the constant updated value; the event_type
+    * conjunct exercises the type-domain prune. */
+  private def updatedWhereRoot(s: SparkSession, d: String): String =
+    updatedWhereRoots.getOrElseUpdate(d)( {
+      val root = FileIndexStore.buildRoot(s, d)
+      FileIndexStore.absorb(s, root, incrementEvents(s, d), "inc-1")
+      val l = FileIndexStore.layoutOf(s, root)
+      FileIndexStore.updateWhere(s, root,
+        col("user_id").between(l.ulo, l.uhi) &&
+          col("event_type") === "click",
+        Map("value" -> lit(UpdatedValue)), "updw-1")
+      root
+    })
+
   /** A separate root where the demo probe user has been erased
     * copy-on-write (corpus build → increment absorb → erase), so the
     * erasure queries never change what the other roots observe. */
@@ -2479,6 +2767,32 @@ object ScanPruning extends QueryPack {
     // else
     "fx_erased_census" -> ((s, d) => {
       val root = erasedRoot(s, d)
+      readFiles(s, root, FileIndexStore.zone(s, root))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents"),
+          countDistinct(col("user_id")).as("users"))
+    }),
+    // full-table census after a PREDICATE DELETE (`DELETE FROM t
+    // WHERE ts in the demo time box AND value > 0.5`): zone + value
+    // stats prune the rewrite to candidate files, a probe scan
+    // narrows to files actually holding a match, only those rewrote.
+    // The oracle replays the delete as a complementary full-scan
+    // filter.
+    "fx_delete_where" -> ((s, d) => {
+      val root = deletedWhereRoot(s, d)
+      readFiles(s, root, FileIndexStore.zone(s, root))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents"),
+          countDistinct(col("user_id")).as("users"))
+    }),
+    // full-table census after a PREDICATE UPDATE (`UPDATE t SET
+    // value = 9.99 WHERE user_id in the demo box AND event_type =
+    // 'click'`): same prune-probe-rewrite path; the oracle replays
+    // the update as a CASE projection over the raw table.
+    "fx_update_where" -> ((s, d) => {
+      val root = updatedWhereRoot(s, d)
       readFiles(s, root, FileIndexStore.zone(s, root))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -3034,6 +3348,26 @@ object ScanPruning extends QueryPack {
          |  count(DISTINCT user_id) AS users
          |FROM events CROSS JOIN consts
          |WHERE user_id <> probe
+         |GROUP BY 1""".stripMargin,
+    // the predicate delete replayed as its complement: survivors are
+    // the rows where the predicate is NOT TRUE
+    "fx_delete_where" ->
+      s"""WITH $constsSql
+         |SELECT event_type, count(*) AS n,
+         |  sum(round(value * 100)::BIGINT)::BIGINT AS cents,
+         |  count(DISTINCT user_id) AS users
+         |FROM events CROSS JOIN consts
+         |WHERE NOT (epoch_us(ts) BETWEEN tlo AND thi AND value > 0.5)
+         |GROUP BY 1""".stripMargin,
+    // the predicate update replayed as a CASE projection
+    "fx_update_where" ->
+      s"""WITH $constsSql
+         |SELECT event_type, count(*) AS n,
+         |  sum(round((CASE WHEN user_id BETWEEN ulo AND uhi
+         |    AND event_type = 'click' THEN 9.99 ELSE value END)
+         |    * 100)::BIGINT)::BIGINT AS cents,
+         |  count(DISTINCT user_id) AS users
+         |FROM events CROSS JOIN consts
          |GROUP BY 1""".stripMargin,
     // the CDF replay: inserts = the appended increment verbatim,
     // deletes = every row of the erased probe user; the compaction

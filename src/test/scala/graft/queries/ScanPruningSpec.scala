@@ -565,6 +565,73 @@ class ScanPruningSpec extends AnyFunSuite {
       "update changed the row count")
   }
 
+  test("predicate delete/update rewrite only stat-candidate files") {
+    val fis = ScanPruning.FileIndexStore
+    val root = isolatedRoot()
+    val l = fis.layoutOf(spark, root)
+    // the demo TIME box (ts stored in nanos; layout bounds in micros)
+    // — at this SF every file spans most of the user range, so time
+    // is the clustered dimension that actually prunes
+    val boxPred = col("ts").between(l.tlo * 1000L, l.thi * 1000L + 999L)
+    val pred = boxPred && col("value") > 0.5
+
+    // the skipping translation prunes (the time box covers ~1/8 of
+    // the range) and handles a pushed-down Not via De Morgan:
+    // !(value <= 0.5) must produce the same candidate set as > 0.5
+    val pairsBefore = fis.livePairs(spark, root).toSet
+    val cand = fis.skipCandidates(spark, root, pred).toSet
+    assert(cand.nonEmpty && cand.size < pairsBefore.size,
+      s"value+time skipping not selective: ${cand.size}/${pairsBefore.size}")
+    assert(fis.skipCandidates(spark, root,
+      !(col("value") <= 0.5) && boxPred).toSet == cand,
+      "De Morgan'd Not translated differently from its direct form")
+    // a type conjunct narrows through the type-domain log, never widens
+    assert(fis.skipCandidates(spark, root,
+      pred && col("event_type") === "click").toSet.subsetOf(cand))
+
+    // DELETE WHERE: only candidate files may rewrite; the surviving
+    // rows are exactly the predicate's complement (conservativeness
+    // anchor — a skipped file holding a match would leave deleted
+    // rows alive and fail the count)
+    assert(fis.deleteWhere(spark, root, pred, "delw-1"))
+    assert(!fis.deleteWhere(spark, root, pred, "delw-1"),
+      "replayed delete id re-ran")
+    val pairsAfter = fis.livePairs(spark, root).toSet
+    assert((pairsBefore -- cand).subsetOf(pairsAfter),
+      "delete rewrote a file outside the skipping candidates")
+    val ev = Tables.events(spark, dir)
+    val head = readBuckets(root, fis.zone(spark, root))
+    assert(head.count() == ev.filter(!(boxPred && col("value") > 0.5)).count(),
+      "predicate delete kept/killed the wrong rows")
+    assert(head.filter(boxPred && col("value") > 0.5).count() == 0)
+
+    // a predicate no row satisfies: ledger-only commit, zero churn
+    val quiet = fis.livePairs(spark, root).toSet
+    assert(fis.deleteWhere(spark, root, col("value") > 1e9, "delw-none"))
+    assert(fis.livePairs(spark, root).toSet == quiet,
+      "no-match delete still rewrote files")
+
+    // UPDATE WHERE on a fresh root: matching rows map through the
+    // assignment, everything else republishes verbatim, counts hold
+    val root2 = isolatedRoot()
+    val upred = col("user_id").between(l.ulo, l.uhi) &&
+      col("event_type") === "click"
+    assert(fis.updateWhere(spark, root2, upred,
+      Map("value" -> lit(9.99)), "updw-1"))
+    assert(!fis.updateWhere(spark, root2, upred,
+      Map("value" -> lit(1.23)), "updw-1"), "replayed update id re-ran")
+    val head2 = readBuckets(root2, fis.zone(spark, root2))
+    assert(head2.count() == ev.count(), "predicate update changed row count")
+    assert(head2.filter(upred && col("value") =!= 9.99).count() == 0,
+      "a matching row kept its old value")
+    val expectCents = ev
+      .withColumn("v2", when(upred, lit(9.99)).otherwise(col("value")))
+      .agg(sum(round(col("v2") * 100).cast("long"))).head().getLong(0)
+    assert(head2.agg(sum(round(col("value") * 100).cast("long")))
+      .head().getLong(0) == expectCents,
+      "non-matching rows did not republish verbatim")
+  }
+
   test("absorb is ledger-guarded, replay-idempotent, and corpus-blind") {
     val root = ScanPruning.FileIndexStore.buildRoot(spark, dir)
     val inc = ScanPruning.incrementEvents(spark, dir).localCheckpoint(true)
