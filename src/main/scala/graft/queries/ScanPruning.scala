@@ -218,6 +218,7 @@ object ScanPruning extends QueryPack {
     def boundsPath(root: String): String = s"$root/index_bounds"
     def typesPath(root: String): String = s"$root/index_types"
     def dvPath(root: String): String = s"$root/index_dv"
+    def dvPosPath(root: String): String = s"$root/index_dvpos"
     def manifestPath(root: String): String = s"$root/index_manifest"
     private def genPath(root: String, incId: String): String =
       s"$root/data_$incId"
@@ -571,7 +572,8 @@ object ScanPruning extends QueryPack {
       }
       if (dead.nonEmpty) {
         persistHorizon(root, horizonSeq)
-        foldDvLog(s, root, dead.toSet)
+        foldLog(s, dvPath(root), dead.toSet)
+        foldLog(s, dvPosPath(root), dead.toSet)
       }
       dead
     }
@@ -1093,16 +1095,39 @@ object ScanPruning extends QueryPack {
         pairs: Seq[(String, Int)]): Long = {
       import s.implicits._
       val inputs = pairs.toSet
-      val touched = dvTouchedPairs(s, root).filter(inputs).sorted
+      val kTouched = dvLiveState(s, root)._2.filter(inputs)
+      val pTouched = posDvLiveState(s, root)._2.filter(inputs)
+      val touched = (kTouched ++ pTouched).distinct.sorted
       if (touched.isEmpty) return 0L
-      val dvSide = dvLiveRows(s, root) match {
-        case Some(rows) => broadcast(rows
-          .filter { case (g, b, _) => inputs((g, b)) }
-          .toDF("inc_id", "zbucket", "user_id"))
-        case None => dv(s, root) // over-cap backlog: stays distributed
-      }
-      readPairsTagged(s, root, touched)
-        .join(dvSide, Seq("inc_id", "zbucket", "user_id"), "left_semi")
+      // a row folds when a KEYED vector or a POSITIONAL vector (or
+      // both) targets it — marker left-joins count the union in one
+      // job without double-counting a doubly-targeted row
+      var marked =
+        if (pTouched.isEmpty) readPairsTagged(s, root, touched)
+        else readPairsTaggedPos(s, root, touched)
+      if (kTouched.nonEmpty) {
+        val kSide = (dvLiveRows(s, root) match {
+          case Some(rows) => broadcast(rows
+            .filter { case (g, b, _) => inputs((g, b)) }
+            .toDF("inc_id", "zbucket", "user_id"))
+          case None => dv(s, root) // over-cap backlog: distributed
+        }).withColumn("__km", lit(1))
+        marked = marked.join(kSide,
+          Seq("inc_id", "zbucket", "user_id"), "left")
+      } else marked = marked.withColumn("__km", lit(null).cast("int"))
+      if (pTouched.nonEmpty) {
+        val pSide = (posDvLiveState(s, root)._1 match {
+          case Some(rows) => broadcast(rows
+            .filter { case (g, b, _, _) => inputs((g, b)) }
+            .toDF("inc_id", "zbucket", "__fname", "__ridx"))
+          case None => dvPos(s, root)
+            .withColumnRenamed("fname", "__fname")
+            .withColumnRenamed("row_idx", "__ridx")
+        }).withColumn("__pm", lit(1))
+        marked = marked.join(pSide,
+          Seq("inc_id", "zbucket", "__fname", "__ridx"), "left")
+      } else marked = marked.withColumn("__pm", lit(null).cast("int"))
+      marked.filter(col("__km").isNotNull || col("__pm").isNotNull)
         .count()
     }
 
@@ -1627,18 +1652,27 @@ object ScanPruning extends QueryPack {
         .distinct()
 
     // ───────────────────── merge-on-read deletion vectors
-    private[graft] def hasDv(root: String): Boolean = {
-      repairDvSwap(root)
-      java.nio.file.Files.isDirectory(
-        java.nio.file.Paths.get(dvPath(root)))
+    // Two logs share one lifecycle (append → live-gate by ledger →
+    // fold at vacuum, swap-repair from the read path): the KEYED log
+    // (`index_dv`: file, erased user_id — an erase prunes to the
+    // files holding the key) and the POSITIONAL log (`index_dvpos`:
+    // file, part-file name, row index — a predicate delete marks
+    // exact row positions, the Delta/Iceberg positional-delete shape).
+    private[graft] def hasDv(root: String): Boolean =
+      hasLog(dvPath(root))
+    private[graft] def hasDvPos(root: String): Boolean =
+      hasLog(dvPosPath(root))
+    private def hasLog(dir: String): Boolean = {
+      repairLogSwap(dir)
+      java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir))
     }
 
-    private def dvFoldPath(root: String): java.nio.file.Path =
-      java.nio.file.Paths.get(dvPath(root) + ".fold")
-    private def dvTrashPath(root: String): java.nio.file.Path =
-      java.nio.file.Paths.get(dvPath(root) + ".trash")
+    private def logFoldPath(dir: String): java.nio.file.Path =
+      java.nio.file.Paths.get(dir + ".fold")
+    private def logTrashPath(dir: String): java.nio.file.Path =
+      java.nio.file.Paths.get(dir + ".trash")
 
-    /** Crash repair for [[foldDvLog]]'s one exposed window: the old
+    /** Crash repair for [[foldLog]]'s one exposed window: the old
       * dv dir was renamed away but the folded replacement not yet
       * renamed in. Losing dv rows would RESURRECT erased rows, so the
       * swap is rename-only (atomic on one filesystem) and this repair
@@ -1651,15 +1685,15 @@ object ScanPruning extends QueryPack {
       * also cleared here (not only at the next destroying vacuum,
       * which may never come): a `.trash` from the fold-to-empty
       * window (dv renamed away, nothing to rename in, crash before
-      * the trash delete — [[foldDvLog]] early-returns on the missing
+      * the trash delete — [[foldLog]] early-returns on the missing
       * dv dir forever) and a `.trash` surviving a completed swap. A
       * _SUCCESS-less `.fold` NEXT TO a live dv dir is deliberately
       * NOT touched: it is indistinguishable from a fold write in
-      * flight, and the next [[foldDvLog]] clears it safely. */
-    private def repairDvSwap(root: String): Unit = {
-      val dv = java.nio.file.Paths.get(dvPath(root))
-      val fold = dvFoldPath(root)
-      val trash = dvTrashPath(root)
+      * flight, and the next [[foldLog]] clears it safely. */
+    private def repairLogSwap(dir: String): Unit = {
+      val dv = java.nio.file.Paths.get(dir)
+      val fold = logFoldPath(dir)
+      val trash = logTrashPath(dir)
       val foldComplete =
         java.nio.file.Files.exists(fold.resolve("_SUCCESS"))
       if (!java.nio.file.Files.exists(dv) && foldComplete)
@@ -1687,15 +1721,15 @@ object ScanPruning extends QueryPack {
       * dead files stay: the CDC diff of versions above the horizon
       * still applies them ([[dvRowsAt]]). Crash-safe in rename steps:
       * write fold dir → rename dv away → rename fold in → delete
-      * trash; the only exposed window is healed by [[repairDvSwap]].
+      * trash; the only exposed window is healed by [[repairLogSwap]].
       * Like vacuum itself, schedule one per root — a reader planning
       * a scan of the dv dir mid-swap can fail and retry, exactly as
       * with vacuum's data-file deletes. */
-    private def foldDvLog(s: SparkSession, root: String,
+    private def foldLog(s: SparkSession, dir: String,
         destroyed: Set[(String, Int)]): Unit = {
-      if (!hasDv(root)) return
-      val dvDir = java.nio.file.Paths.get(dvPath(root))
-      val all = s.read.parquet(dvPath(root))
+      if (!hasLog(dir)) return
+      val dvDir = java.nio.file.Paths.get(dir)
+      val all = s.read.parquet(dir)
       // the destroyed set is driver-side and vacuum-sized, so the
       // keep/drop test is a plain codegen'd predicate — no join — and
       // ONE aggregation pass censuses both counts (total and dropped)
@@ -1708,8 +1742,8 @@ object ScanPruning extends QueryPack {
       val dropped = if (census.isNullAt(1)) 0L else census.getLong(1)
       if (dropped == 0L) return // no vector targeted a destroyed file
       val keptN = census.getLong(0) - dropped
-      val fold = dvFoldPath(root)
-      val trash = dvTrashPath(root)
+      val fold = logFoldPath(dir)
+      val trash = logTrashPath(dir)
       // leftovers from an interrupted earlier fold (fold dir already
       // consumed or abandoned, trash never deleted) clear first
       deleteRecursively(fold)
@@ -1787,6 +1821,48 @@ object ScanPruning extends QueryPack {
           // target dead files and fall out of every read (and the
           // next vacuum's fold)
           commitNext(root, eraseId, Nil, Nil, requireLive = touched)
+        }
+      }
+
+    /** MERGE-ON-READ predicate DELETE — the positional-vector twin of
+      * [[deleteWhere]] (the Delta/Iceberg positional-delete design,
+      * public knowledge): instead of rewriting the files holding a
+      * match, mark the matching ROW POSITIONS (part-file name + row
+      * index) in the positional log and let reads anti-join them.
+      * Not one data byte moves; zone + type stats prune the marking
+      * scan exactly like the copy-on-write path; compaction later
+      * folds the positions into rewritten files and [[vacuum]] folds
+      * the log. Same race guard as [[eraseDv]]: requireLive conflicts
+      * the commit when a racing rewrite retired a marked file, so a
+      * confirmed delete is never silently lost. Crash contract:
+      * vectors are invisible until the manifest commit lands (ids
+      * gate through the ledger), and a retry's duplicate log rows
+      * collapse under the read-side distinct. */
+    def deleteWhereDv(s: SparkSession, root: String, pred: Column,
+        deleteId: String): Boolean =
+      optimistically(deleteId) {
+        if (ledgerRowOf(root, deleteId).isDefined) false
+        else {
+          val cand = skipCandidates(s, root, pred)
+          if (cand.isEmpty) commitNext(root, deleteId, Nil, Nil)
+          else {
+            // the one data-sized artifact is the log write itself and
+            // it stays distributed end to end
+            val matched = readPairsTaggedPos(s, root, cand)
+              .filter(pred)
+              .select(col("inc_id"), col("zbucket"),
+                col("__fname").as("fname"), col("__ridx").as("row_idx"))
+              .withColumn("delete_id", lit(deleteId))
+            graft.storage.AstarteStore.appendAtomic(
+              matched, dvPosPath(root))
+            // touched pairs from the just-written log slice — an
+            // index read, never a second data scan
+            val touched = s.read.parquet(dvPosPath(root))
+              .filter(col("delete_id") === deleteId)
+              .select(col("inc_id"), col("zbucket")).distinct().collect()
+              .map(r => (r.getString(0), r.getInt(1))).toSeq.sorted
+            commitNext(root, deleteId, Nil, Nil, requireLive = touched)
+          }
         }
       }
 
@@ -1874,11 +1950,67 @@ object ScanPruning extends QueryPack {
         root: String): Option[Seq[(String, Int, Long)]] =
       dvLiveState(s, root)._1
 
-    /** The live files any vector targets — always driver-safe (the
-      * metadata-stats split needs the FILE set, never the keys). */
+    /** The live files any vector targets — keyed OR positional —
+      * always driver-safe (the metadata-stats split needs the FILE
+      * set, never the keys/positions). */
     private[graft] def dvTouchedPairs(s: SparkSession,
         root: String): Seq[(String, Int)] =
-      dvLiveState(s, root)._2
+      (dvLiveState(s, root)._2 ++ posDvLiveState(s, root)._2)
+        .distinct.sorted
+
+    /** The live POSITIONAL deletion-vector rows: (file, part-file
+      * name, row index), ledgered ids only, replay-deduped — the
+      * positional-delete twin of [[dv]]. Data-sized in the worst case
+      * (a predicate can mark many rows), so reads broadcast it only
+      * under [[DvCollectCap]] and fall back to a distributed
+      * anti-join above it. */
+    def dvPos(s: SparkSession, root: String): DataFrame = {
+      import s.implicits._
+      if (!hasDvPos(root))
+        return Seq.empty[(String, Int, String, Long)]
+          .toDF("inc_id", "zbucket", "fname", "row_idx")
+      val ledger = absorbedIds(s, root).toSeq.sorted.toDF("delete_id")
+      s.read.parquet(dvPosPath(root))
+        .join(broadcast(ledger), Seq("delete_id"))
+        .join(broadcast(livePairsDf(s, root)), Seq("inc_id", "zbucket"))
+        .select(col("inc_id"), col("zbucket"), col("fname"),
+          col("row_idx"))
+        .distinct()
+    }
+
+    /** [[dvPos]] collected and memoized per manifest version —
+      * structure and contract identical to [[dvLiveState]]: value is
+      * (version, per-position rows or None above [[DvCollectCap]],
+      * the touched file pairs, always control-plane sized). */
+    private val posDvLiveCache = new graft.core.BoundedMemo[
+      String, (Long, Option[Seq[(String, Int, String, Long)]],
+        Seq[(String, Int)])](64, "fx.dvPosLive")
+
+    private def posDvLiveState(s: SparkSession, root: String)
+        : (Option[Seq[(String, Int, String, Long)]], Seq[(String, Int)]) = {
+      if (!hasDvPos(root)) return (Some(Nil), Nil)
+      val seq = maxCommitSeq(root)
+      posDvLiveCache.get(root) match {
+        case Some((v, rowsOpt, touched)) if v == seq => (rowsOpt, touched)
+        case _ =>
+          val df = dvPos(s, root)
+          val cap = DvCollectCap
+          val head = df.limit(cap + 1).collect()
+          val (rowsOpt, touched) =
+            if (head.length <= cap) {
+              val rows = head.map(r => (r.getString(0), r.getInt(1),
+                r.getString(2), r.getLong(3))).toSeq.sorted
+              (Some(rows),
+                rows.map { case (g, b, _, _) => (g, b) }.distinct)
+            } else {
+              (None, df.select(col("inc_id"), col("zbucket")).distinct()
+                .collect().map(r => (r.getString(0), r.getInt(1)))
+                .toSeq.sorted)
+            }
+          posDvLiveCache.put(root, (seq, rowsOpt, touched))
+          (rowsOpt, touched)
+      }
+    }
 
     /** Read a set of live logical files with their deletion vectors
       * applied. The no-DV fast path is the plain multi-path parquet
@@ -1900,24 +2032,47 @@ object ScanPruning extends QueryPack {
       // into rewritten files, reads recover the plain multi-path scan
       // instead of paying the per-generation anti-join forever
       import s.implicits._
-      dvLiveRows(s, root) match {
-        case Some(rows) if rows.isEmpty =>
-          val dirs = pairs.map { case (g, b) => bucketDir(root, g, b) }
-          mergedSchemaFor(s, root, pairs.map(_._1)) match {
-            case Some(sch) => s.read.schema(sch).parquet(dirs: _*)
-            case None => s.read.option("mergeSchema", "true").parquet(dirs: _*)
-          }
-        case Some(rows) =>
-          readPairsTagged(s, root, pairs)
-            .join(broadcast(rows.toDF("inc_id", "zbucket", "user_id")),
+      val keyOpt = dvLiveRows(s, root)
+      val posOpt = posDvLiveState(s, root)._1
+      val keyEmpty = keyOpt.exists(_.isEmpty)
+      val posEmpty = posOpt.exists(_.isEmpty)
+      if (keyEmpty && posEmpty) {
+        val dirs = pairs.map { case (g, b) => bucketDir(root, g, b) }
+        mergedSchemaFor(s, root, pairs.map(_._1)) match {
+          case Some(sch) => s.read.schema(sch).parquet(dirs: _*)
+          case None => s.read.option("mergeSchema", "true").parquet(dirs: _*)
+        }
+      } else {
+        // positional vectors need the (part-file, row-index) identity
+        // from the scan's metadata struct — only paid when they live
+        var df =
+          if (posEmpty) readPairsTagged(s, root, pairs)
+          else readPairsTaggedPos(s, root, pairs)
+        posOpt match {
+          case Some(rows) if rows.isEmpty => ()
+          case Some(rows) =>
+            df = df.join(broadcast(
+                rows.toDF("inc_id", "zbucket", "__fname", "__ridx")),
+              Seq("inc_id", "zbucket", "__fname", "__ridx"), "left_anti")
+          case None =>
+            df = df.join(dvPos(s, root)
+                .withColumnRenamed("fname", "__fname")
+                .withColumnRenamed("row_idx", "__ridx"),
+              Seq("inc_id", "zbucket", "__fname", "__ridx"), "left_anti")
+        }
+        if (!posEmpty) df = df.drop("__fname", "__ridx")
+        keyOpt match {
+          case Some(rows) if rows.isEmpty => df
+          case Some(rows) =>
+            df.join(broadcast(rows.toDF("inc_id", "zbucket", "user_id")),
               Seq("inc_id", "zbucket", "user_id"), "left_anti")
-        case None =>
-          // over-[[DvCollectCap]] erase backlog: the vector set stays
-          // distributed and AQE picks the join strategy — correct at
-          // any vector count, never unbounded driver memory
-          readPairsTagged(s, root, pairs)
-            .join(dv(s, root), Seq("inc_id", "zbucket", "user_id"),
+          case None =>
+            // over-[[DvCollectCap]] backlog: the vector set stays
+            // distributed and AQE picks the join strategy — correct at
+            // any vector count, never unbounded driver memory
+            df.join(dv(s, root), Seq("inc_id", "zbucket", "user_id"),
               "left_anti")
+        }
       }
     }
 
@@ -1934,6 +2089,25 @@ object ScanPruning extends QueryPack {
         // (inc_id, zbucket) file identity
         s.read.option("basePath", genPath(root, g)).parquet(
             ps.map { case (_, b) => bucketDir(root, g, b) }: _*)
+          .withColumn("inc_id", lit(g))
+          .withColumn("zbucket", col("zbucket").cast("int"))
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
+
+    /** [[readPairsTagged]] plus the POSITIONAL file identity: the
+      * part-file name and row index from the parquet scan's metadata
+      * struct (`_metadata.file_path` / `row_index` — resolvable only
+      * on the scan itself, so both derive per-generation BEFORE the
+      * union). Part-file names are write-job-unique, so
+      * (inc_id, zbucket, __fname, __ridx) addresses one physical row
+      * whatever the bucket's part-file fan-out. */
+    private def readPairsTaggedPos(s: SparkSession, root: String,
+        pairs: Seq[(String, Int)]): DataFrame =
+      pairs.groupBy(_._1).toSeq.sortBy(_._1).map { case (g, ps) =>
+        s.read.option("basePath", genPath(root, g)).parquet(
+            ps.map { case (_, b) => bucketDir(root, g, b) }: _*)
+          .withColumn("__fname",
+            element_at(split(col("_metadata.file_path"), "/"), -1))
+          .withColumn("__ridx", col("_metadata.row_index"))
           .withColumn("inc_id", lit(g))
           .withColumn("zbucket", col("zbucket").cast("int"))
       }.reduce(_.unionByName(_, allowMissingColumns = true))
@@ -2208,6 +2382,26 @@ object ScanPruning extends QueryPack {
         .distinct()
     }
 
+    /** Positional-vector rows AS OF manifest version `seq` — the
+      * [[dvRowsAt]] twin over the positional log, columns pre-aliased
+      * to the tagged read's helper names. */
+    private def dvPosRowsAt(s: SparkSession, root: String,
+        seq: Long): DataFrame = {
+      import s.implicits._
+      val empty = Seq.empty[(String, Int, String, Long)]
+        .toDF("inc_id", "zbucket", "__fname", "__ridx")
+      if (!hasDvPos(root)) return empty
+      val ids = headState(root).iterator
+        .filter(r => r.zbucket == -1 && r.mseq <= seq).map(_.gen)
+        .toSeq.sorted
+      if (ids.isEmpty) return empty
+      s.read.parquet(dvPosPath(root))
+        .filter(col("delete_id").isin(ids: _*))
+        .select(col("inc_id"), col("zbucket"),
+          col("fname").as("__fname"), col("row_idx").as("__ridx"))
+        .distinct()
+    }
+
     /** The CDC read: every row-level change in versions
       * (fromSeq, toSeq], tagged `_change_type` (insert | delete) and
       * `_commit_version` — the change-data-feed contract of public
@@ -2245,10 +2439,23 @@ object ScanPruning extends QueryPack {
       val bySeq = readCommitsAfter(root, fromSeq)
         .filter(_.mseq <= toSeq)
         .groupBy(_.mseq).toSeq.sortBy(_._1)
-      def untag(df: DataFrame): DataFrame = df.drop("inc_id", "zbucket")
+      def untag(df: DataFrame): DataFrame =
+        df.drop("inc_id", "zbucket", "__fname", "__ridx")
       def tag(df: DataFrame, ct: String, seq: Long): DataFrame =
         df.withColumn("_change_type", lit(ct))
           .withColumn("_commit_version", lit(seq))
+      // the file state AS OF version `seq`: both vector kinds of ids
+      // ledgered at or below it applied (positional joins only exist
+      // when that log does, so key-only roots pay nothing new)
+      def stateAt(pairs: Seq[(String, Int)], seq: Long): DataFrame = {
+        val df =
+          if (!hasDvPos(root)) readPairsTagged(s, root, pairs)
+          else readPairsTaggedPos(s, root, pairs)
+            .join(broadcast(dvPosRowsAt(s, root, seq)),
+              Seq("inc_id", "zbucket", "__fname", "__ridx"), "left_anti")
+        df.join(broadcast(dvRowsAt(s, root, seq)),
+          Seq("inc_id", "zbucket", "user_id"), "left_anti")
+      }
       val legs = bySeq.flatMap { case (seq, rows) =>
         val live = rows.collect {
           case ManifestRow(g, b, "live", _) if b >= 0 => (g, b) }
@@ -2268,37 +2475,64 @@ object ScanPruning extends QueryPack {
         else if (dead.isEmpty && live.nonEmpty)
           Seq(tag(untag(readPairsTagged(s, root, live)), "insert", seq))
         else if (dead.nonEmpty) {
-          val before0 = untag(readPairsTagged(s, root, dead)
-            .join(broadcast(dvRowsAt(s, root, seq - 1)),
-              Seq("inc_id", "zbucket", "user_id"), "left_anti"))
+          val before0 = untag(stateAt(dead, seq - 1))
           val after0 =
             if (live.isEmpty) before0.limit(0)
-            else untag(readPairsTagged(s, root, live)
-              .join(broadcast(dvRowsAt(s, root, seq)),
-                Seq("inc_id", "zbucket", "user_id"), "left_anti"))
+            else untag(stateAt(live, seq))
           // a rewrite across a schema evolution can retire and
           // publish file sets with different columns; exceptAll is
           // positional, so both legs align to the union (null-filled)
           val (before, after) = aligned(before0, after0)
           Seq(tag(before.exceptAll(after), "delete", seq),
             tag(after.exceptAll(before), "insert", seq))
-        } else if (!hasDv(root)) Nil
-        else {
+        } else {
+          // ledger-only commit: a keyed MoR erase and/or a positional
+          // MoR delete — each deletes exactly its own vectors' rows
+          // from the files as they stood BEFORE this version (earlier
+          // vectors of both kinds applied); other ledger commits
+          // (retention markers, no-op deletes) emit nothing
           val gen = rows.head.gen
-          val mine = s.read.parquet(dvPath(root))
-            .filter(col("erase_id") === gen)
-            .select(col("inc_id"), col("zbucket"), col("user_id"))
-            .distinct()
-          val touched = mine.select(col("inc_id"), col("zbucket"))
-            .distinct().collect()
-            .map(r => (r.getString(0), r.getInt(1))).toSeq.sorted
-          if (touched.isEmpty) Nil
-          else Seq(tag(untag(readPairsTagged(s, root, touched)
-            .join(broadcast(dvRowsAt(s, root, seq - 1)),
-              Seq("inc_id", "zbucket", "user_id"), "left_anti")
-            .join(broadcast(mine),
-              Seq("inc_id", "zbucket", "user_id"), "left_semi")),
-            "delete", seq))
+          val keyLeg =
+            if (!hasDv(root)) Nil
+            else {
+              val mine = s.read.parquet(dvPath(root))
+                .filter(col("erase_id") === gen)
+                .select(col("inc_id"), col("zbucket"), col("user_id"))
+                .distinct()
+              val touched = mine.select(col("inc_id"), col("zbucket"))
+                .distinct().collect()
+                .map(r => (r.getString(0), r.getInt(1))).toSeq.sorted
+              if (touched.isEmpty) Nil
+              else Seq(tag(untag(stateAt(touched, seq - 1)
+                .join(broadcast(mine),
+                  Seq("inc_id", "zbucket", "user_id"), "left_semi")),
+                "delete", seq))
+            }
+          val posLeg =
+            if (!hasDvPos(root)) Nil
+            else {
+              val mine = s.read.parquet(dvPosPath(root))
+                .filter(col("delete_id") === gen)
+                .select(col("inc_id"), col("zbucket"),
+                  col("fname").as("__fname"),
+                  col("row_idx").as("__ridx"))
+                .distinct()
+              val touched = mine.select(col("inc_id"), col("zbucket"))
+                .distinct().collect()
+                .map(r => (r.getString(0), r.getInt(1))).toSeq.sorted
+              if (touched.isEmpty) Nil
+              else Seq(tag(untag(readPairsTaggedPos(s, root, touched)
+                .join(broadcast(dvPosRowsAt(s, root, seq - 1)),
+                  Seq("inc_id", "zbucket", "__fname", "__ridx"),
+                  "left_anti")
+                .join(broadcast(dvRowsAt(s, root, seq - 1)),
+                  Seq("inc_id", "zbucket", "user_id"), "left_anti")
+                .join(broadcast(mine),
+                  Seq("inc_id", "zbucket", "__fname", "__ridx"),
+                  "left_semi")),
+                "delete", seq))
+            }
+          keyLeg ++ posLeg
         }
       }
       if (legs.isEmpty)
@@ -2414,6 +2648,41 @@ object ScanPruning extends QueryPack {
         col("ts").between(l.tlo * 1000L, l.thi * 1000L + 999L) &&
           col("value") > 0.5,
         "delw-1")
+      root
+    })
+
+  private val dvDeletedWhereRoots =
+    new graft.core.BoundedMemo[String, String](64, "fx.dvDeletedWhereRoots")
+  private val dvDeletedCompactRoots =
+    new graft.core.BoundedMemo[String, String](64, "fx.dvDeletedCompactRoots")
+
+  /** The same predicate delete MERGE-ON-READ: positional vectors
+    * only, every data file byte-identical to the pre-delete state. */
+  private def dvDeletedWhereRoot(s: SparkSession, d: String): String =
+    dvDeletedWhereRoots.getOrElseUpdate(d)( {
+      val root = FileIndexStore.buildRoot(s, d)
+      FileIndexStore.absorb(s, root, incrementEvents(s, d), "inc-1")
+      val l = FileIndexStore.layoutOf(s, root)
+      FileIndexStore.deleteWhereDv(s, root,
+        col("ts").between(l.tlo * 1000L, l.thi * 1000L + 999L) &&
+          col("value") > 0.5,
+        "dvdelw-1")
+      root
+    })
+
+  /** The positional-delete lifecycle completed: the same merge-on-
+    * read predicate delete, then a compaction that folds the marked
+    * positions into rewritten files. */
+  private def dvDeletedCompactRoot(s: SparkSession, d: String): String =
+    dvDeletedCompactRoots.getOrElseUpdate(d)( {
+      val root = FileIndexStore.buildRoot(s, d)
+      FileIndexStore.absorb(s, root, incrementEvents(s, d), "inc-1")
+      val l = FileIndexStore.layoutOf(s, root)
+      FileIndexStore.deleteWhereDv(s, root,
+        col("ts").between(l.tlo * 1000L, l.thi * 1000L + 999L) &&
+          col("value") > 0.5,
+        "dvdelw-1")
+      FileIndexStore.compact(s, root)
       root
     })
 
@@ -2781,6 +3050,28 @@ object ScanPruning extends QueryPack {
     // filter.
     "fx_delete_where" -> ((s, d) => {
       val root = deletedWhereRoot(s, d)
+      readFiles(s, root, FileIndexStore.zone(s, root))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents"),
+          countDistinct(col("user_id")).as("users"))
+    }),
+    // the SAME predicate delete MERGE-ON-READ: positional deletion
+    // vectors (part-file, row-index) only — not one data byte moves —
+    // and the census must be observationally identical to the
+    // copy-on-write fx_delete_where (same oracle SQL)
+    "fx_dv_delete_where" -> ((s, d) => {
+      val root = dvDeletedWhereRoot(s, d)
+      readFiles(s, root, FileIndexStore.zone(s, root))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents"),
+          countDistinct(col("user_id")).as("users"))
+    }),
+    // and after compaction FOLDS the marked positions into rewritten
+    // files the anti-join is gone and the answer is unchanged
+    "fx_dv_delete_compact" -> ((s, d) => {
+      val root = dvDeletedCompactRoot(s, d)
       readFiles(s, root, FileIndexStore.zone(s, root))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -3352,6 +3643,25 @@ object ScanPruning extends QueryPack {
     // the predicate delete replayed as its complement: survivors are
     // the rows where the predicate is NOT TRUE
     "fx_delete_where" ->
+      s"""WITH $constsSql
+         |SELECT event_type, count(*) AS n,
+         |  sum(round(value * 100)::BIGINT)::BIGINT AS cents,
+         |  count(DISTINCT user_id) AS users
+         |FROM events CROSS JOIN consts
+         |WHERE NOT (epoch_us(ts) BETWEEN tlo AND thi AND value > 0.5)
+         |GROUP BY 1""".stripMargin,
+    // IDENTICAL SQL to fx_delete_where: the merge-on-read positional
+    // delete must be observationally equal to the copy-on-write one
+    "fx_dv_delete_where" ->
+      s"""WITH $constsSql
+         |SELECT event_type, count(*) AS n,
+         |  sum(round(value * 100)::BIGINT)::BIGINT AS cents,
+         |  count(DISTINCT user_id) AS users
+         |FROM events CROSS JOIN consts
+         |WHERE NOT (epoch_us(ts) BETWEEN tlo AND thi AND value > 0.5)
+         |GROUP BY 1""".stripMargin,
+    // and compaction folding the positions must not change the answer
+    "fx_dv_delete_compact" ->
       s"""WITH $constsSql
          |SELECT event_type, count(*) AS n,
          |  sum(round(value * 100)::BIGINT)::BIGINT AS cents,

@@ -632,6 +632,69 @@ class ScanPruningSpec extends AnyFunSuite {
       "non-matching rows did not republish verbatim")
   }
 
+  test("positional predicate delete moves no bytes; compaction folds it") {
+    val fis = ScanPruning.FileIndexStore
+    val root = isolatedRoot()
+    val l = fis.layoutOf(spark, root)
+    val pred = col("ts").between(l.tlo * 1000L, l.thi * 1000L + 999L) &&
+      col("value") > 0.5
+    val ev = Tables.events(spark, dir)
+    val keep = ev.filter(!(col("ts").between(l.tlo * 1000L,
+      l.thi * 1000L + 999L) && col("value") > 0.5)).count()
+    val kill = ev.count() - keep
+
+    def dataFiles(): Set[(String, Long)] = {
+      import scala.jdk.CollectionConverters._
+      val out = scala.collection.mutable.Set.empty[(String, Long)]
+      val rootP = java.nio.file.Paths.get(root)
+      val stream = java.nio.file.Files.walk(rootP)
+      try stream.iterator().asScala.foreach { f =>
+        val rel = rootP.relativize(f).toString
+        if (rel.startsWith("data_") && rel.endsWith(".parquet"))
+          out += ((rel, java.nio.file.Files.size(f)))
+      } finally stream.close()
+      out.toSet
+    }
+    val bytesBefore = dataFiles()
+    val seqBefore = fis.currentSeq(spark, root)
+
+    assert(fis.deleteWhereDv(spark, root, pred, "dvdel-1"))
+    assert(!fis.deleteWhereDv(spark, root, pred, "dvdel-1"),
+      "replayed positional delete re-ran")
+    assert(dataFiles() == bytesBefore,
+      "a merge-on-read positional delete moved data bytes")
+    // head read: exactly the complement survives
+    val head = readBuckets(root, fis.zone(spark, root))
+    assert(head.count() == ev.count(), "raw buckets changed") // raw read
+    val applied = fis.readPairs(spark, root, fis.livePairs(spark, root))
+    assert(applied.count() == keep,
+      "positional anti-join kept/killed the wrong rows")
+    assert(applied.filter(pred).count() == 0)
+    // metadata stats split the DV-touched files and stay exact
+    assert(fis.metaStats(spark, root).head().getLong(0) == keep,
+      "metaStats stale under positional vectors")
+    // CDC emits exactly the deleted rows as deletes
+    val cdc = fis.changeDataFeed(spark, root, seqBefore,
+      fis.currentSeq(spark, root))
+    assert(cdc.filter(col("_change_type") === "delete").count() == kill,
+      "positional delete CDC leg wrong")
+    assert(cdc.filter(col("_change_type") =!= "delete").count() == 0)
+
+    // compaction folds the positions; answer unchanged, audit exact
+    assert(fis.compact(spark, root).isDefined)
+    assert(fis.dvPos(spark, root).count() == 0,
+      "live positional vectors survive the fold")
+    assert(fis.readPairs(spark, root, fis.livePairs(spark, root))
+      .count() == keep, "compaction changed the logical table")
+    val audit = fis.auditMaint(spark, root)
+    assert(audit.nonEmpty && audit.forall(_._6),
+      s"a position-folding compaction audits dirty: $audit")
+    // vacuum destroys the retired copies and folds the pos log
+    fis.vacuum(spark, root)
+    assert(fis.readPairs(spark, root, fis.livePairs(spark, root))
+      .count() == keep, "vacuum broke the folded table")
+  }
+
   test("absorb is ledger-guarded, replay-idempotent, and corpus-blind") {
     val root = ScanPruning.FileIndexStore.buildRoot(spark, dir)
     val inc = ScanPruning.incrementEvents(spark, dir).localCheckpoint(true)
