@@ -76,9 +76,31 @@ object Bench {
     val loadavgStart = readLoadavg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Per-file open cost for scan-split packing (guide §6). The 4 MB
+    // default models remote-FS open/seek latency and collapses
+    // Spark's split formula to one-task-per-file whenever
+    // totalBytes/cores < 4 MB — on the store's many-small-file roots
+    // that is ~200 ×60 KB single-file tasks per census scan, pure
+    // scheduling overhead. Local page-cache opens cost ~none, so the
+    // local default packs small files (64 KB ≈ honest open cost);
+    // on a cluster against object storage export
+    // SPARK_GRAFT_OPEN_COST_BYTES=4194304 to restore the remote-FS
+    // model. Scan parallelism for real tables is untouched (split
+    // size still follows bytes/cores).
+    val openCost = sys.env.getOrElse("SPARK_GRAFT_OPEN_COST_BYTES", "65536")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.files.openCostInBytes", openCost)
+      // Distributed partition-discovery kicks in above 32 root paths
+      // (a pruned store read passes one path per live file),
+      // launching a one-task-per-directory listing JOB before every
+      // such scan — pure scheduling overhead against a local FS where
+      // the driver lists thousands of dirs in microseconds. Against
+      // slow object storage at 100 TB export a lower threshold (the
+      // Spark default 32) so listing parallelizes.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        sys.env.getOrElse("SPARK_GRAFT_PAR_DISCOVERY_THRESHOLD", "4096"))
       .config("spark.sql.adaptive.enabled", "true")
       // let AQE re-coalesce CACHED plan output: the dedup pipeline
       // caches its 260k-row shingle/band tables, and without this the

@@ -19,6 +19,10 @@ object JobProfile {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST_BYTES", "65536"))
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        sys.env.getOrElse("SPARK_GRAFT_PAR_DISCOVERY_THRESHOLD", "4096"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
@@ -26,6 +30,38 @@ object JobProfile {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (sfDir == "--probe") {
+      val dir = args(1)
+      println("openCostInBytes=" +
+        spark.conf.get("spark.sql.files.openCostInBytes"))
+      val df = spark.read.parquet(dir)
+      println("one-root partitions=" + df.rdd.getNumPartitions)
+      val leaves = new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("zbucket="))
+        .map(_.toString).sorted
+      println("leaf dirs=" + leaves.length)
+      val multi = spark.read.parquet(leaves: _*)
+      println("multi-root partitions=" + multi.rdd.getNumPartitions)
+      val multiSchema = spark.read.schema(df.schema).parquet(leaves: _*)
+      println("multi-root+schema partitions=" + multiSchema.rdd.getNumPartitions)
+      spark.stop(); return
+    }
+    if (sfDir == "--scan") {
+      val name = args(1)
+      val d = args.lift(2).getOrElse("/root/testdata/sf0.1")
+      val fn = SparkEntry.queries(name)
+      fn(spark, d).count() // warm-up builds store roots
+      val df = fn(spark, d)
+      df.queryExecution.sparkPlan.foreach {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+          println(s"SCAN files=${sc.relation.location.inputFiles.length} " +
+            s"partitions=${sc.execute().getNumPartitions} " +
+            s"root=${sc.relation.location.rootPaths.headOption}")
+        case _ => ()
+      }
+      spark.stop(); return
+    }
+    val verbose = sys.env.get("SPARK_GRAFT_PROF_STAGES").contains("1")
     val jobs = new AtomicInteger(0)
     val stages = new AtomicInteger(0)
     val tasks = new AtomicInteger(0)
@@ -36,6 +72,9 @@ object JobProfile {
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
         tasks.addAndGet(s.stageInfo.numTasks)
+        if (verbose)
+          println(f"STAGE ${s.stageInfo.stageId}%4d tasks=${s.stageInfo.numTasks}%4d " +
+            s.stageInfo.name.takeWhile(_ != '\n').take(120))
       }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
         if (t.taskInfo != null) taskTimeMs.addAndGet(t.taskInfo.duration)

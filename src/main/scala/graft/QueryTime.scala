@@ -14,6 +14,10 @@ object QueryTime {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST_BYTES", "65536"))
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        sys.env.getOrElse("SPARK_GRAFT_PAR_DISCOVERY_THRESHOLD", "4096"))
       .config("spark.sql.adaptive.enabled", "true")
       // let AQE re-coalesce CACHED plan output: the dedup pipeline
       // caches its 260k-row shingle/band tables, and without this the

@@ -6,6 +6,10 @@ object TimeQ {
     val names = args(1).split(",")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST_BYTES", "65536"))
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        sys.env.getOrElse("SPARK_GRAFT_PAR_DISCOVERY_THRESHOLD", "4096"))
       .config("spark.sql.adaptive.enabled", "true")
       // let AQE re-coalesce CACHED plan output: the dedup pipeline
       // caches its 260k-row shingle/band tables, and without this the

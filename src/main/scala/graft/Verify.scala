@@ -16,6 +16,10 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST_BYTES", "65536"))
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        sys.env.getOrElse("SPARK_GRAFT_PAR_DISCOVERY_THRESHOLD", "4096"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")

@@ -389,21 +389,31 @@ object AnalyticsQueries extends QueryPack {
     * aggregations — the single shared lineage behind `dd_simhash`,
     * `dd_simhash_pairs` and `dd_keeper_corpus`.
     */
-  private def simhashSigs(s: SparkSession, d: String): DataFrame =
+  /** 16-bit simhash per (doc, lang) in ONE keyed aggregation (r17 opt
+    * round, guide §2.3/§2.4): the old shape exploded every token ×16
+    * bits and paid TWO shuffles (votes per (doc, bit), then the sig
+    * fold per doc); here the 16 bit-votes are 16 codegen'd SUM buffers
+    * over the un-exploded token rows — vote_b = Σ(±1 on bit b of the
+    * token hash) exactly as before — and the signature folds from the
+    * vote columns map-side after the single (doc, lang) shuffle.
+    * Bit-identical to the exploded form (same votes, same majority,
+    * same Σ 2^b), which the DuckDB oracle replays unchanged. */
+  private def simhashSigs(s: SparkSession, d: String): DataFrame = {
+    val votes = (0 until 16).map { b =>
+      sum(when(expr(s"shiftright(tok_hash, $b) % 2") === 1, 1)
+        .otherwise(-1)).as(s"v$b")
+    }
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), explode(toks).as("tok"))
       .withColumn("tok_hash",
         conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("int"))
-      .select(col("doc_id"), col("lang"), col("tok_hash"),
-        explode(expr("sequence(0, 15)")).as("bit"))
-      .withColumn("contrib",
-        when(expr("shiftright(tok_hash, bit) % 2") === 1, 1).otherwise(-1))
-      .groupBy(col("doc_id"), col("lang"), col("bit"))
-      .agg(sum(col("contrib")).as("vote"))
-      .withColumn("bit_val",
-        when(col("vote") > 0, expr("shiftleft(1, bit)")).otherwise(0))
       .groupBy(col("doc_id"), col("lang"))
-      .agg(sum(col("bit_val")).as("sig"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), col("lang"),
+        (0 until 16).map(b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sig"))
+  }
 
   /** Near-dup pairs (hamming <= 2) via SIGNATURE-space enumeration —
     * never doc×doc. The signature space is 2^16, so the distinct
@@ -817,8 +827,11 @@ object AnalyticsQueries extends QueryPack {
       // wedge-join sides — materialize it once, eagerly, or the whole
       // signature pipeline re-executes per consumer. It is near-dup
       // pairs: tiny at any corpus scale, safe to pin.
+      // lazy: the census action computes through it once and persists
+      // the blocks for the wedge-join re-reads — the eager variant
+      // paid a separate materialization job first (r17)
       val e = simhashNearDupPairs(s, d).select(col("doc_a"), col("doc_b"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       triangleCensus(e)
     }),
 

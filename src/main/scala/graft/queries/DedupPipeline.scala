@@ -208,12 +208,28 @@ object DedupPipeline extends QueryPack {
     * parallelism — a repartition of the already-cached rows, not a
     * lineage re-execution. Caller must unpersist the returned frame.
     */
-  private def materializedEdges(s: SparkSession, verified: DataFrame): (DataFrame, Int) = {
+  private def materializedEdges(s: SparkSession,
+      verified: DataFrame): (DataFrame, Int) =
+    materializedEdges(s, verified, layoutByDocA = false)
+
+  /** `layoutByDocA = true` additionally re-lays the cached edges out
+    * hash-partitioned by doc_a — worth a second materialization ONLY
+    * for consumers whose per-round joins key on doc_a (dd_pagerank:
+    * edges⋈pr and edges⋈deg both on doc_a, so the pre-shuffle is
+    * reused every round). The label-propagation rounds join edges on
+    * doc_b and then aggregate by doc_a, so for them the doc_a layout
+    * bought nothing — they skip the extra repartition+cache+count
+    * (guide §2.4: a shuffle whose layout no consumer uses is a
+    * removed shuffle; measured r17, one fewer job + one fewer cached
+    * copy per clusterer run, byte-identical labels). */
+  private def materializedEdges(s: SparkSession, verified: DataFrame,
+      layoutByDocA: Boolean): (DataFrame, Int) = {
     val sym = verified
       .union(verified.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .cache()
     val n = sym.count()
     val rp = roundPartitionsFor(n, s.sparkContext.defaultParallelism)
+    if (!layoutByDocA) return (sym, rp)
     val edges = sym.repartition(rp, col("doc_a")).cache()
     edges.count()
     sym.unpersist()
@@ -277,9 +293,11 @@ object DedupPipeline extends QueryPack {
   private[graft] def propagateConverged(s: SparkSession, edges: DataFrame,
       rp: Int = roundPartitions): DataFrame =
     withRoundParallelism(s, rp) {
+      // lazy: round 1's count() materializes it together with the
+      // round's own checkpoints — one fewer eager job per query (r17)
       var labels = edges.select(col("doc_a").as("doc_id")).distinct()
         .withColumn("cluster", col("doc_id"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       // the checkpointed frame backing `labels` — tracked separately
       // because `labels` becomes a projection over it after round 1,
       // and block release matches on the LogicalRDD itself
@@ -373,7 +391,7 @@ object DedupPipeline extends QueryPack {
     "dd_pagerank" -> ((s, d) => {
       val S = 1000000L
       val (verified, arrs, bands) = verifiedPairs(s, d)
-      val (edges, rp) = materializedEdges(s, verified)
+      val (edges, rp) = materializedEdges(s, verified, layoutByDocA = true)
       releaseCheckpoint(arrs)
       bands.unpersist()
       val result = withRoundParallelism(s, rp) {

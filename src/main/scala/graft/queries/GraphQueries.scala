@@ -46,15 +46,19 @@ object GraphQueries extends QueryPack {
     * of the round's eager checkpoint, not a recompute. Returns the
     * surviving vertices with their induced degree. */
   private[graft] def kcoreSurvivors(edges: DataFrame, k: Int): DataFrame = {
-    var e = edges.localCheckpoint(true)
+    // LAZY checkpoints throughout (r17 opt round): the per-round
+    // count() both materializes the round's checkpoint blocks and
+    // answers the fixpoint test in ONE job — the propagateConverged
+    // pattern. (The old eager checkpoint + count paid two jobs per
+    // round; "lazy is a no-op" only holds when nothing computes
+    // through it, and the count always does.) Lineage truncation is
+    // identical: after count() the frame is served from its blocks.
+    var e = edges.localCheckpoint(false)
     var owned = true
     var n = e.count()
     var converged = false
     while (!converged && n > 0) {
-      // eager per-round checkpoint: truncates the growing semi-join
-      // lineage AND materializes before the next round's three reads
-      // (a lazy checkpoint here is a no-op — the dd_pagerank lesson)
-      val next = peelOnce(e, k).localCheckpoint(true)
+      val next = peelOnce(e, k).localCheckpoint(false)
       val m = next.count()
       if (owned) releaseCheckpoint(e)
       e = next

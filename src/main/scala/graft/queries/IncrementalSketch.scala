@@ -69,7 +69,7 @@ object IncrementalSketch extends QueryPack {
         mgSummaryOf(s, corpus).withColumn("inc_id", lit("corpus")),
         mgPath(root))
       graft.storage.AstarteStore.appendAtomic(
-        SketchQueries.amsOf(corpus.select(col("user_id")))
+        SketchQueries.amsOfBatch(corpus.select(col("user_id")))
           .withColumn("inc_id", lit("corpus")),
         amsPath(root))
       root
@@ -171,7 +171,7 @@ object IncrementalSketch extends QueryPack {
         mgSummaryOf(s, increment).withColumn("inc_id", lit(incId)),
         mgPath(root))
       graft.storage.AstarteStore.appendAtomic(
-        SketchQueries.amsOf(increment.select(col("user_id")))
+        SketchQueries.amsOfBatch(increment.select(col("user_id")))
           .withColumn("inc_id", lit(incId)),
         amsPath(root))
       true
@@ -276,7 +276,7 @@ object IncrementalSketch extends QueryPack {
     "q_ams_incremental" -> ((s, d) => {
       val root = SketchStore.rootFor(s, d)
       val merged = SketchStore.amsZ(s, root)
-        .unionByName(SketchQueries.amsOf(
+        .unionByName(SketchQueries.amsOfBatch(
           incrementEvents(s, d).select(col("user_id"))))
         .groupBy(col("r")).agg(sum(col("z")).as("z"))
       val exact = Tables.events(s, d).filter(col("user_id").isNotNull)

@@ -129,7 +129,13 @@ object SketchQueries extends QueryPack {
   /** (r, z): the d tug-of-war sums over `src`'s user_id column. ONE
     * md5 per row serves all d signs — sign_r is the parity of the
     * digest's r-th hex digit (md5 bits are independent), so the hash
-    * hoists above the ×d explode instead of running d times. */
+    * hoists above the ×d explode instead of running d times.
+    *
+    * Kept in the explode/groupBy(r) shape because the STREAMING twin
+    * ([[graft.streaming.StreamingSketch.amsZ]]) needs a keyed
+    * streaming aggregation; batch consumers use [[amsOfBatch]], whose
+    * single multi-aggregate pass produces the identical (r, z) rows
+    * without materializing d rows per event. */
   private[graft] def amsOf(src: DataFrame): DataFrame =
     src.filter(col("user_id").isNotNull)
       .select(expr("md5(concat('s:', cast(user_id as string)))").as("h"),
@@ -137,6 +143,39 @@ object SketchQueries extends QueryPack {
       .withColumn("s", expr(
         "1 - 2 * (cast(conv(substring(h, r + 1, 1),16,10) as bigint) % 2)"))
       .groupBy(col("r")).agg(sum(col("s")).as("z"))
+
+  /** [[amsOf]] as ONE aggregate pass — the batch form (r17 opt round,
+    * guide §2.3 "aggregate before you shuffle" taken to its limit):
+    * instead of exploding every event into d=24 rows and hash-
+    * aggregating 24·N rows by r, the d sums are d codegen'd SUM
+    * buffers over the un-exploded scan (zero explode rows, one
+    * 24-column partial-agg per partition, a 1-row final merge),
+    * unpivoted to the same (r, z) rows with `stack`. Sign extraction
+    * replaces 24 substring+conv string ops per row with two convs
+    * (digits 1–15 → a 60-bit long, digits 16–24 → a 36-bit long) and
+    * 24 shift-and-mask ops: digit r+1's low bit is bit 4·(14−r) of
+    * m1 (r < 15) or bit 4·(23−r) of m2 (r ≥ 15) — the identical
+    * parity, so z_r is bit-for-bit the explode form's sum, which the
+    * oracle replays unchanged. The trailing isNotNull filter makes
+    * the empty-input edge exact too (agg-without-keys yields one
+    * null-sum row where groupBy yields none). */
+  private[graft] def amsOfBatch(src: DataFrame): DataFrame = {
+    val sums = (0 until AmsD).map { r =>
+      val bit =
+        if (r < 15) s"(shiftright(m1, ${4 * (14 - r)}) & 1)"
+        else s"(shiftright(m2, ${4 * (23 - r)}) & 1)"
+      sum(expr(s"1 - 2 * $bit")).as(s"z$r")
+    }
+    src.filter(col("user_id").isNotNull)
+      .select(expr("md5(concat('s:', cast(user_id as string)))").as("h"))
+      .select(
+        expr("cast(conv(substring(h, 1, 15), 16, 10) as bigint)").as("m1"),
+        expr("cast(conv(substring(h, 16, 9), 16, 10) as bigint)").as("m2"))
+      .agg(sums.head, sums.tail: _*)
+      .selectExpr(s"stack($AmsD, " +
+        (0 until AmsD).map(r => s"$r, z$r").mkString(", ") + ") as (r, z)")
+      .filter(col("z").isNotNull)
+  }
 
   /** Median-of-group-means estimate beside the exact F₂ audit — a
     * d-row fold, never data-sized. Integer throughout (group mean =
@@ -373,7 +412,7 @@ object SketchQueries extends QueryPack {
       val exact = src.filter(col("user_id").isNotNull)
         .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
         .agg(sum(col("n") * col("n")).as("f2_exact"))
-      amsEstimate(amsOf(src), exact)
+      amsEstimate(amsOfBatch(src), exact)
     }),
     // join-size estimation from two INDEPENDENT d-integer sketches —
     // the AMS twin of q_cms_join_card: E[Z_A·Z_B] = Σ_u c_A(u)·c_B(u)
@@ -381,9 +420,9 @@ object SketchQueries extends QueryPack {
     // cardinality rides along as the audit
     "q_ams_join_card" -> ((s, d) => {
       val ev = Tables.events(s, d)
-      val za = amsOf(ev.filter(col("event_type") === "click")
+      val za = amsOfBatch(ev.filter(col("event_type") === "click")
         .select(col("user_id")))
-      val zb = amsOf(ev.filter(col("event_type") === "purchase")
+      val zb = amsOfBatch(ev.filter(col("event_type") === "purchase")
         .select(col("user_id")))
       // sign products are SIGNED, so the group sum can go negative —
       // Spark `div` truncates toward zero while DuckDB `//` floors, so
