@@ -66,18 +66,28 @@ object JobProfile {
     val stages = new AtomicInteger(0)
     val tasks = new AtomicInteger(0)
     val taskTimeMs = new AtomicLong(0L)
+    val stageTimeMs =
+      new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         jobs.incrementAndGet()
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
         tasks.addAndGet(s.stageInfo.numTasks)
-        if (verbose)
+        if (verbose) {
+          val ms = Option(stageTimeMs.remove(s.stageInfo.stageId))
+            .map(_.longValue).getOrElse(0L)
           println(f"STAGE ${s.stageInfo.stageId}%4d tasks=${s.stageInfo.numTasks}%4d " +
-            s.stageInfo.name.takeWhile(_ != '\n').take(120))
+            f"time=${ms / 1000.0}%7.2fs " +
+            s.stageInfo.name.takeWhile(_ != '\n').take(110))
+        }
       }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
-        if (t.taskInfo != null) taskTimeMs.addAndGet(t.taskInfo.duration)
+        if (t.taskInfo != null) {
+          taskTimeMs.addAndGet(t.taskInfo.duration)
+          stageTimeMs.merge(t.stageId, t.taskInfo.duration,
+            (a, b) => a + b)
+        }
     })
     names.foreach { n =>
       val fn = SparkEntry.queries(n)

@@ -14,15 +14,26 @@ import org.apache.spark.sql.functions._
   * filter, which is what makes the optimization safely droppable.
   *
   * Mechanics kept deliberately engine-native:
-  *   - the bit positions are computed DISTRIBUTED with the pack-wide
-  *     md5 convention (same arithmetic as the CMS rows and the file
-  *     index's per-file blooms), and only the ≤ m distinct set bits
-  *     cross to the driver — a control-plane read;
+  *   - the bit positions are computed DISTRIBUTED, and only the ≤ m
+  *     distinct set bits cross to the driver — a control-plane read;
   *   - the membership test is a plain Column over a packed
-  *     array<long> LITERAL (element_at + shiftleft + bitwise-and),
-  *     so it stays inside whole-stage codegen on the fact scan's
-  *     pipeline — no UDF, no custom expression, no broadcast join
-  *     below the real join.
+  *     array<long> LITERAL (element_at + shift + bitwise-and) built
+  *     entirely from codegen-native expressions, so the probe runs
+  *     INSIDE the fact scan's whole-stage-codegen span — no UDF, no
+  *     custom expression, no broadcast join below the real join.
+  *
+  * The bit hash is seeded `xxhash64(key, r)` (r17 optimization
+  * round). These bits are runtime-only — no oracle ever replays them,
+  * because the exact join after the filter makes them invisible to
+  * results — so the hash needs no cross-engine convention, and
+  * xxhash64 evaluates on the key's NATIVE type with no string cast,
+  * no hex parse, and no per-row allocation. The previous md5-slice
+  * convention forced the probe through a higher-order-function
+  * binding (SQL has no scalar `let`), and higher-order functions sit
+  * OUTSIDE whole-stage codegen: the fact filter ran interpreted, at
+  * ~10 µs/row the dominant cost of the whole query (measured r17:
+  * the probe stage's task time dropped ~6× moving to codegen'd
+  * xxhash64 probes).
   *
   * Sizing: m bits serve ~m/10 keys at k=2 with a low false-positive
   * rate; a saturated bloom is conservative (keeps everything), never
@@ -31,25 +42,22 @@ import org.apache.spark.sql.functions._
   */
 object BloomJoinFilter {
 
-  /** The r-th bit position: the r-th 8-hex-char slice of ONE md5 of
-    * the key — a single hash invocation serves all k probes (the fact
-    * side evaluates this per row per probe; md5 dominates, so one
-    * digest instead of k halves the scan-side cost at k = 2). Runtime-
-    * only bits — no oracle ever replays them, because the exact join
-    * after the filter makes them invisible to results. */
-  private def bitExpr(keySql: String, r: Int, m: Int): String =
-    s"cast(conv(substring(md5(cast($keySql as string))," +
-      s" ${1 + 8 * r}, 8),16,10) as bigint) % $m"
+  /** The r-th bit position of one key column: pmod(xxhash64(key, r), m).
+    * Seeding by r makes the k probes independent; xxhash64 hashes the
+    * key's native representation (no string cast). Runtime-only bits —
+    * see the class doc. */
+  private def bitCol(key: Column, r: Int, m: Int): Column =
+    pmod(xxhash64(key, lit(r)), lit(m.toLong))
 
   /** The packed m-bit bloom of `key` over `dim`'s rows: distributed
     * bit computation, ≤ m distinct bits collected, driver packs. */
   def build(dim: DataFrame, key: Column, m: Int, hashes: Int): Array[Long] = {
     require(m % 64 == 0, "m must pack into longs")
-    require(hashes >= 1 && hashes <= 4, "an md5 yields four 8-hex slices")
+    require(hashes >= 1, "need at least one probe")
     val bits = dim.select(key.as("__bjf_key"))
       .filter(col("__bjf_key").isNotNull)
       .select((0 until hashes).map(r =>
-        expr(bitExpr("__bjf_key", r, m)).as(s"b$r")): _*)
+        bitCol(col("__bjf_key"), r, m).as(s"b$r")): _*)
       .select(explode(array((0 until hashes).map(r => col(s"b$r")): _*))
         .as("bit"))
       .distinct().collect().map(_.getLong(0))
@@ -59,30 +67,27 @@ object BloomJoinFilter {
   }
 
   /** Membership test column: true iff ALL k bit positions of the
-    * named key column are set in `packed`. NULL keys test false (they
-    * never equi-join anyway).
+    * named key column are set in `packed`. NULL keys test false
+    * explicitly (xxhash64, unlike md5-of-cast, maps NULL to the seed
+    * rather than NULL — and NULL keys never equi-join anyway).
     *
-    * The md5 digest is bound ONCE per row via a single-element
-    * `transform` lambda (SQL has no scalar `let`; a lambda argument is
-    * the one place Catalyst guarantees a named subexpression is
-    * evaluated exactly once), then every probe slices that bound
-    * value — a plain per-probe `expr` would embed the digest twice per
-    * probe (element index and shift amount) and rely on codegen
-    * subexpression elimination to avoid up to 2k md5 evaluations per
-    * row. Higher-order functions sit outside whole-stage codegen, but
-    * md5 dominates the per-row cost by an order of magnitude, so one
-    * guaranteed digest beats k codegen'd ones. */
+    * Every sub-expression here (xxhash64, pmod, shiftright,
+    * bitwise-and, element_at on an array literal) is whole-stage-
+    * codegen-friendly, so the probe fuses into the scan's generated
+    * loop. xxhash64 evaluates twice per probe (element index and
+    * shift amount) — at ~tens of ns per call that is far cheaper
+    * than the interpreted-mode evaluation a guaranteed-once binding
+    * (higher-order function) would force on the whole filter. */
   def mightContain(keyCol: String, packed: Array[Long], m: Int,
       hashes: Int): Column = {
     val bitsLit = lit(packed)
-    val probeBits = flatten(transform(
-      array(md5(col(keyCol).cast("string"))),
-      dg => transform(sequence(lit(0), lit(hashes - 1)), r =>
-        conv(dg.substr(lit(1) + r * 8, lit(8)), 16, 10)
-          .cast("long") % m)))
-    aggregate(probeBits, lit(true), (acc, bit) =>
-      acc && (element_at(bitsLit, floor(bit / 64).cast("int") + 1)
+    def probe(r: Int): Column = {
+      val b = bitCol(col(keyCol), r, m)
+      element_at(bitsLit, (shiftright(b, 6) + 1).cast("int"))
         .bitwiseAND(call_function("shiftleft", lit(1L),
-          (bit % 64).cast("int"))) =!= 0))
+          b.bitwiseAND(lit(63L)).cast("int"))) =!= lit(0L)
+    }
+    (0 until hashes).map(probe)
+      .foldLeft(col(keyCol).isNotNull)(_ && _)
   }
 }

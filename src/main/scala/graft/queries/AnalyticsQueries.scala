@@ -1976,6 +1976,12 @@ object AnalyticsQueries extends QueryPack {
     // Shapes: two partial-agg groupBys + broadcast totals; the
     // per-bigram model table joins back on the bigram key.
     "tx_bigram_nll" -> ((s, d) => {
+      // NOTE (r17 opt round, measured and REJECTED): materializing
+      // docBg/c12 with lazy localCheckpoints to stop the per-consumer
+      // re-aggregation read 1.26->2.29 s on tx_kn_bigram and
+      // 1.43->1.49 s here — the checkpoint serializes subtrees AQE
+      // otherwise runs in parallel, and the re-aggregations are cheap
+      // map-heavy stages. Left in the recompute shape deliberately.
       val docBg = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("tk"))
         .select(col("doc_id"),
@@ -2018,6 +2024,7 @@ object AnalyticsQueries extends QueryPack {
     // sized, not corpus-sized) + one broadcast scalar; scoring is one
     // join of doc bigrams against the model keyed on the bigram.
     "tx_kn_bigram" -> ((s, d) => {
+      // recompute shape kept deliberately — see tx_bigram_nll's note
       val docBg = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("tk"))
         .select(col("doc_id"),

@@ -243,10 +243,22 @@ object DedupPipeline extends QueryPack {
     * small-cardinality iteration escapes to session parallelism except
     * the caller's final orderBy.
     */
-  private def withRoundParallelism[A](s: SparkSession, rp: Int)(body: => A): A = {
+  private[queries] def withRoundParallelism[A](s: SparkSession, rp: Int)(body: => A): A = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
     s.conf.set("spark.sql.shuffle.partitions", rp.toString)
-    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    // AQE off INSIDE the rounds (r17 opt round): AQE's one value here —
+    // right-sizing post-shuffle partitions — is already done by hand
+    // (rp is derived from the materialized edge count), and its cost
+    // is real: every exchange of every round's convergence count
+    // becomes a separately scheduled query-stage JOB. The rounds are
+    // checkpoint-truncated two-join plans over known-tiny frames, so
+    // static planning at the derived rp is exactly right at any scale.
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try body finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
 
   /** Fixed-round min-label propagation (dd_cluster's stage 3). Exposed

@@ -53,6 +53,12 @@ object GraphQueries extends QueryPack {
     // round; "lazy is a no-op" only holds when nothing computes
     // through it, and the count always does.) Lineage truncation is
     // identical: after count() the frame is served from its blocks.
+    // NOTE (r17, measured and REJECTED): running the peel rounds
+    // under the DedupPipeline round scope (derived rp + AQE off) read
+    // 1.30 -> 2.24 s — each round's two semi-joins over the
+    // checkpointed (stats-less) edge frame lose their AQE runtime
+    // broadcast conversion and fall back to sort-merge, which costs
+    // more than the saved query-stage jobs. The peel keeps AQE.
     var e = edges.localCheckpoint(false)
     var owned = true
     var n = e.count()

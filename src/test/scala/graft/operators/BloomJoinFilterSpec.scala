@@ -66,11 +66,11 @@ class BloomJoinFilterSpec extends AnyFunSuite {
     assert(kept < lineitem.count() / 2,
       s"bloom prefilter kept $kept rows — not selective")
 
-    // plan shape: the md5 membership test runs in a Filter on the
-    // fact branch BELOW the join — never as a join or subquery
+    // plan shape: the xxhash64 membership test runs in a Filter on
+    // the fact branch BELOW the join — never as a join or subquery
     val p = q.queryExecution.executedPlan.toString()
     val joinIdx = p.indexOf("Join")
-    val filterIdx = p.indexOf("md5")
+    val filterIdx = p.indexOf("xxhash64")
     assert(joinIdx >= 0 && filterIdx > joinIdx,
       s"bloom test must be a filter below the join:\n${p.take(2000)}")
     assert(p.contains("element_at"),
