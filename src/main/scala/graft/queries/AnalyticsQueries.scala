@@ -1823,15 +1823,21 @@ object AnalyticsQueries extends QueryPack {
     // hash), so this pins their COMPOSITION, not re-implementations.
     "pipe_dedup_funnel" -> ((s, d) => {
       import org.apache.spark.sql.graft.ColumnBridge
-      val docsAll = Tables.documents(s, d)
-        .select(col("doc_id"), col("text"),
-          size(split(col("text"), " ")).cast("long").as("n_toks"))
-        .localCheckpoint(true) // read by the raw count + the gate join
-      val gated = docsAll
-        .join(gateVerdicts(s, d).filter(col("verdict") === "pass")
-          .select(col("doc_id")), Seq("doc_id"))
-        .localCheckpoint(true) // read by its count + chunking + clean join
-      val chunks = gated
+      // r17 opt round (guide §1.2, §5): the old shape checkpointed
+      // FOUR frames — two of them carrying full document text — and
+      // aggregated each funnel stage off its own lineage (21 jobs).
+      // The funnel is four aggregates over ONE per-doc flag frame:
+      // compute (gated, clean) per doc once, checkpoint only
+      // (doc_id, n_toks, flags) — text never enters a checkpoint —
+      // and fold every stage row off that. Same stage rows (oracle
+      // hash unchanged): dup detection still runs over the GATED
+      // survivors only, and 3_cdc_clean still means gated AND
+      // dup_permille ≤ 500 with missing dfrac reading as 0.
+      val gatedIds = gateVerdicts(s, d).filter(col("verdict") === "pass")
+        .select(col("doc_id"))
+        .localCheckpoint(true) // tiny; read by the chunker + flag frame
+      val chunks = Tables.documents(s, d)
+        .join(gatedIds, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), explode(ColumnBridge.column(
           graft.functions.CdcChunks(ColumnBridge.expression(col("text")))))
           .as("chunk"))
@@ -1845,15 +1851,20 @@ object AnalyticsQueries extends QueryPack {
         .groupBy(col("doc_id"))
         .agg(expr("sum(CASE WHEN nd >= 2 THEN clen ELSE 0 END) * 1000 div sum(clen)")
           .as("dup_permille"))
-      val clean = gated
+      val perDoc = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"))
+        .join(gatedIds.withColumn("gated", lit(true)), Seq("doc_id"), "left")
         .join(dfrac, Seq("doc_id"), "left")
-        .filter(coalesce(col("dup_permille"), lit(0L)) <= 500)
-        .select(col("doc_id"), col("n_toks"))
-        .localCheckpoint(true) // its count + the split rows
+        .select(col("doc_id"), col("n_toks"),
+          coalesce(col("gated"), lit(false)).as("gated"),
+          (coalesce(col("gated"), lit(false)) &&
+            coalesce(col("dup_permille"), lit(0L)) <= 500).as("clean"))
+        .localCheckpoint(true) // doc_id + three numbers/doc — no text
       def stage(df: DataFrame, name: String): DataFrame = df
         .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
         .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
-      val splits = clean
+      val splits = perDoc.filter(col("clean"))
         .withColumn("b",
           conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
             .cast("long") % 10)
@@ -1863,9 +1874,9 @@ object AnalyticsQueries extends QueryPack {
         .groupBy(col("stage"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
         .select(col("stage"), col("n_docs"), col("n_tokens"))
-      stage(docsAll, "1_raw")
-        .unionAll(stage(gated, "2_gated"))
-        .unionAll(stage(clean, "3_cdc_clean"))
+      stage(perDoc, "1_raw")
+        .unionAll(stage(perDoc.filter(col("gated")), "2_gated"))
+        .unionAll(stage(perDoc.filter(col("clean")), "3_cdc_clean"))
         .unionAll(splits)
     }),
 
@@ -2134,16 +2145,24 @@ object AnalyticsQueries extends QueryPack {
     "dd_semantic_dedup" -> ((s, d) => {
       val cent = labelCentroids(s, d)
       val e = quantEmb(s, d)
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("pcos").desc, col("clabel").asc)
+      // nearest-centroid assignment as a partial-aggregatable min_by
+      // over the ×k fan-out instead of a row_number window (r17 opt
+      // round, guide §2.3): the ordering struct (−pcos, clabel) is
+      // the window's (pcos desc, clabel asc) and is UNIQUE per
+      // (vec_id, centroid) — clabel breaks every cosine tie — so the
+      // argmin row is exactly the window's prank = 1 row, with the
+      // Exchange+Sort over the k·N exploded rows replaced by a
+      // map-side-collapsing hash aggregate (k·N rows never shuffle).
       val assigned = e.crossJoin(broadcast(cent))
         .withColumn("pcos",
           round(expr("vector_dot_long(q, carr)").cast("double") /
             (col("qnorm") * col("cnorm")), 4))
-        .withColumn("prank", row_number().over(wAssign))
-        .filter(col("prank") === 1)
-        .select(col("vec_id"), col("clabel").as("cluster"),
-          col("q"), col("qnorm"))
+        .groupBy(col("vec_id"))
+        .agg(min_by(
+          struct(col("clabel"), col("q"), col("qnorm")),
+          struct(negate(col("pcos")), col("clabel"))).as("best"))
+        .select(col("vec_id"), col("best.clabel").as("cluster"),
+          col("best.q").as("q"), col("best.qnorm").as("qnorm"))
       blockedCosinePairs(s, assigned, "cluster")
     }),
 

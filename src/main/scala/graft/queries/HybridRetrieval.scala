@@ -122,6 +122,13 @@ object HybridRetrieval extends QueryPack {
       .withColumn("term_u6", expr(
         "idf_u6 * tf * 22 * sum_dl div" +
         " (10 * tf * sum_dl + 3 * sum_dl + 9 * dl * n_docs)"))
+      // one exchange for aggregate AND window (r17 opt round, guide
+      // §2.4): hash-partitioning by qid alone satisfies BOTH the
+      // (qid, nid) aggregate's clustering and the qid window's, where
+      // the default plan paid Exchange(qid, nid) then Exchange(qid).
+      // Per-qid fan-in is ≤ QTerms·Champions rows by construction, so
+      // the coarser key cannot skew at any corpus size.
+      .repartition(col("qid"))
       .groupBy(col("qid"), col("doc_id").as("nid"))
       .agg(sum(col("term_u6")).as("score_u6"))
       .withColumn("lrank", row_number().over(lw))
@@ -136,7 +143,19 @@ object HybridRetrieval extends QueryPack {
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val dfreq = postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val qterms = qtermsOf(postings.filter(col("doc_id") < MaxQid), dfreq)
-    val champ = championsOf(postings, Champions)
+    // bm25Serve inner-joins champions on the query-term tokens, so
+    // only the ≤|Q|-vocabulary token slice of the champion lists can
+    // ever score (r17 opt round, guide §3.2 semi-join pre-filtering):
+    // restrict the two-phase top-C windows to postings of QUERY
+    // tokens before they run. championsOf is per-tok, so restriction
+    // commutes with the cut — identical surviving rows, but the
+    // vocabulary-sized window sorts collapse to the query slice. The
+    // query-token set is |Q|-bounded (the same bound qtermsOf's
+    // broadcast already assumes).
+    val qtoks = postings.filter(col("doc_id") < MaxQid)
+      .select(col("tok")).distinct()
+    val champ = championsOf(
+      postings.join(broadcast(qtoks), Seq("tok"), "left_semi"), Champions)
     bm25Serve(champ, qterms, stats)
   }
 

@@ -210,7 +210,13 @@ object IncrementalRetrieval extends QueryPack {
     val champT = s.table(champTable)
       .select(col("doc_id"), col("tok"), col("tf"), col("dl"))
     val dfreqT = s.table(dfreqTable).select(col("tok"), col("df"))
+    // increment-vocab-sized, read by THREE consumers (the qtokDf union
+    // branch and both champion-touch broadcasts) — without the
+    // checkpoint each consumer re-runs the groupBy over the increment
+    // postings as its own Exchange+HashAggregate subtree (r17 opt
+    // round: the serve plan carried the same aggregation three times)
     val incDf = incP.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .localCheckpoint(true)
     val incToks = incDf.select(col("tok"))
     val stats = LexIndexStore.stats(s, root)
       .unionByName(incP.select(col("doc_id"), col("dl")).distinct()
@@ -228,13 +234,25 @@ object IncrementalRetrieval extends QueryPack {
       .unionByName(incDf.join(broadcast(qtoks), Seq("tok")))
       .groupBy(col("tok")).agg(sum(col("df")).as("df"))
     val qterms = HybridRetrieval.qtermsOf(qpost, qtokDf)
+    // bm25Serve inner-joins on the query tokens, so both champion
+    // branches restrict to the broadcast qtoks slice BEFORE the
+    // anti/semi division and the re-cut windows (r17 opt round, guide
+    // §3.2): the untouched branch streams ≤|qtoks|·C rows instead of
+    // the whole champion table, and the re-cut top-C windows run over
+    // the (query ∩ touched) token slice only. championsOf is per-tok,
+    // so the restriction commutes with the cut — identical rows reach
+    // the join, pinned by the unchanged oracle hash and the
+    // bucketized-equals-lazy spec case.
     val untouched = champT
+      .join(broadcast(qtoks), Seq("tok"), "left_semi")
       .join(broadcast(incToks), Seq("tok"), "left_anti")
       .select(col("doc_id"), col("tok"), col("tf"), col("dl"))
     val recut = HybridRetrieval.championsOf(
-      champT.join(broadcast(incToks), Seq("tok"), "left_semi")
-        .unionByName(incP.select(col("doc_id"), col("tok"), col("tf"),
-          col("dl"))),
+      champT.join(broadcast(qtoks), Seq("tok"), "left_semi")
+        .join(broadcast(incToks), Seq("tok"), "left_semi")
+        .unionByName(incP
+          .join(broadcast(qtoks), Seq("tok"), "left_semi")
+          .select(col("doc_id"), col("tok"), col("tf"), col("dl"))),
       HybridRetrieval.Champions)
       .select(col("doc_id"), col("tok"), col("tf"), col("dl"))
     HybridRetrieval.bm25Serve(untouched.unionByName(recut), qterms, stats)

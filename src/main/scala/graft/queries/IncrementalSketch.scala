@@ -58,7 +58,7 @@ object IncrementalSketch extends QueryPack {
           .withColumn("inc_id", lit("corpus")),
         hllPath(root))
       graft.storage.AstarteStore.appendAtomic(
-        SketchQueries.cmsOf(corpus.select(col("user_id")))
+        SketchQueries.cmsOfBatch(corpus.select(col("user_id")))
           .withColumn("inc_id", lit("corpus")),
         cmsPath(root))
       graft.storage.AstarteStore.appendAtomic(
@@ -160,7 +160,7 @@ object IncrementalSketch extends QueryPack {
           .withColumn("inc_id", lit(incId)),
         hllPath(root))
       graft.storage.AstarteStore.appendAtomic(
-        SketchQueries.cmsOf(increment.select(col("user_id")))
+        SketchQueries.cmsOfBatch(increment.select(col("user_id")))
           .withColumn("inc_id", lit(incId)),
         cmsPath(root))
       graft.storage.AstarteStore.appendAtomic(
@@ -228,7 +228,7 @@ object IncrementalSketch extends QueryPack {
   private[graft] def cmsMerged(s: SparkSession, d: String,
       root: String): DataFrame =
     SketchStore.cmsCounters(s, root)
-      .unionByName(SketchQueries.cmsOf(
+      .unionByName(SketchQueries.cmsOfBatch(
         incrementEvents(s, d).select(col("user_id"))))
       .groupBy(col("r"), col("j"))
       .agg(sum(col("c")).as("c"))

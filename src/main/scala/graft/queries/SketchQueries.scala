@@ -93,6 +93,26 @@ object SketchQueries extends QueryPack {
       .groupBy(col("r"), col("j"))
       .agg(count(lit(1)).as("c"))
 
+  /** [[cmsOf]] with the key dimension pre-aggregated (r17 opt round,
+    * guide §2.3 "aggregate before you shuffle"): cell c(r,j) =
+    * Σ_{u : h_r(u)=j} n(u), so the ×d per-EVENT explode and its d·N
+    * md5 evaluations collapse to one partial-agg count per user
+    * followed by a d·U-row explode (U = distinct users « N events).
+    * Identical counts by associativity of +; the STREAMING twin keeps
+    * [[cmsOf]] (one keyed streaming aggregation — a stacked agg would
+    * not stream). Batch consumers (q_cms_heavy, q_cms_join_card,
+    * q_mg_cms_probe, the IncrementalSketch store) all use this form. */
+  private[graft] def cmsOfBatch(src: DataFrame): DataFrame =
+    src.filter(col("user_id").isNotNull)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("un"))
+      .select(col("user_id"), col("un"),
+        explode(sequence(lit(0), lit(CmsD - 1))).as("r"))
+      .withColumn("j", expr(
+        s"cast(conv(substring(md5(concat(cast(r as string), ':'," +
+        s" cast(user_id as string))),1,8),16,10) as bigint) % $CmsW"))
+      .groupBy(col("r"), col("j"))
+      .agg(sum(col("un")).as("c"))
+
   // ── KMV (k-minimum-values / bottom-k) sketch ─────────────────────
   // The set-operation sketch HLL cannot be: intersections. Keep the
   // k=32 smallest 60-bit hashes per set; |S| ≈ (k−1)·2⁶⁰/h_(k), and
@@ -391,7 +411,7 @@ object SketchQueries extends QueryPack {
     // heaviest users (estimate >= exact always — pinned in the spec)
     "q_cms_heavy" -> ((s, d) => {
       val src = Tables.events(s, d).select(col("user_id"))
-      val cms = cmsOf(src)
+      val cms = cmsOfBatch(src)
       val top = src.filter(col("user_id").isNotNull)
         .groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
         .orderBy(col("n_exact").desc, col("user_id").asc).limit(10)
@@ -496,7 +516,7 @@ object SketchQueries extends QueryPack {
     // mg_lb ≤ n_exact ≤ n_cms.
     "q_mg_cms_probe" -> ((s, d) => {
       val src = Tables.events(s, d).select(col("user_id"))
-      val cms = cmsOf(src)
+      val cms = cmsOfBatch(src)
       val counts = src.filter(col("user_id").isNotNull)
         .groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
       val cand = counts.crossJoin(broadcast(
@@ -519,9 +539,9 @@ object SketchQueries extends QueryPack {
     // the CMS inner-product estimator, beside the exact cardinality
     "q_cms_join_card" -> ((s, d) => {
       val ev = Tables.events(s, d)
-      val a = cmsOf(ev.filter(col("event_type") === "click")
+      val a = cmsOfBatch(ev.filter(col("event_type") === "click")
         .select(col("user_id")))
-      val b = cmsOf(ev.filter(col("event_type") === "purchase")
+      val b = cmsOfBatch(ev.filter(col("event_type") === "purchase")
         .select(col("user_id")))
       val est = a.join(b.withColumnRenamed("c", "cb"), Seq("r", "j"))
         .groupBy(col("r")).agg(sum(col("c") * col("cb")).as("ip"))
