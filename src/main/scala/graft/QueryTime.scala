@@ -19,6 +19,10 @@ object QueryTime {
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
         sys.env.getOrElse("SPARK_GRAFT_PAR_DISCOVERY_THRESHOLD", "4096"))
       .config("spark.sql.adaptive.enabled", "true")
+      // advisory-size AQE coalescing, not core-count pinning — see
+      // the Bench builder's note (SPARK_GRAFT_AQE_PARALLELISM_FIRST)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"))
       // let AQE re-coalesce CACHED plan output: the dedup pipeline
       // caches its 260k-row shingle/band tables, and without this the
       // cache pins scan-sized shuffle partitioning on every consumer

@@ -22,6 +22,10 @@ object Verify {
         sys.env.getOrElse("SPARK_GRAFT_PAR_DISCOVERY_THRESHOLD", "4096"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // advisory-size AQE coalescing, not core-count pinning — see
+      // the Bench builder's note (SPARK_GRAFT_AQE_PARALLELISM_FIRST)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"))
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       // Older testdata generations carried TIMESTAMP(NANOS), which

@@ -622,11 +622,16 @@ object AnalyticsQueries extends QueryPack {
       .join(broadcast(markers), col("tok") === col("marker"))
       .groupBy(col("doc_id"), col("m_lang"))
       .agg(count(lit(1)).as("hits"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("hits").desc, col("m_lang").asc)
-    votes.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("m_lang").as("predicted_lang"), col("hits"))
+    // argmax as a partial-aggregatable min_by instead of a rank-1
+    // window (r17 opt round, guide §2.3): ordering struct
+    // (−hits, m_lang) is the window's (hits desc, m_lang asc) and is
+    // unique per (doc, lang), so the picked row is identical — minus
+    // the Exchange+Sort over every vote row.
+    votes.groupBy(col("doc_id"))
+      .agg(min_by(struct(col("m_lang"), col("hits")),
+        struct(negate(col("hits")), col("m_lang"))).as("best"))
+      .select(col("doc_id"), col("best.m_lang").as("predicted_lang"),
+        col("best.hits").as("hits"))
   }
 
   /** Scene-cut threshold in milli-luma units (`mm_scene_cuts`): the
@@ -1993,24 +1998,29 @@ object AnalyticsQueries extends QueryPack {
       // 1.43->1.49 s here — the checkpoint serializes subtrees AQE
       // otherwise runs in parallel, and the re-aggregations are cheap
       // map-heavy stages. Left in the recompute shape deliberately.
+      // bigrams keyed on the (w1, w2) pair, not the joined string
+      // (r17 opt round, guide §2.3 "narrower types"/per-task work):
+      // no concat_ws per exploded occurrence, no substring_index pair
+      // per model row — bijective with the string key, so every count
+      // and the output are unchanged (oracle hash pins it)
       val docBg = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("tk"))
-        .select(col("doc_id"),
-          explode(Shingles.wordNgrams(col("tk"), 2)).as("bg"))
-        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("tf"))
-      val c12 = docBg.groupBy(col("bg")).agg(sum(col("tf")).as("c12"))
-        .withColumn("w1", substring_index(col("bg"), " ", 1))
-        .withColumn("w2", substring_index(col("bg"), " ", -1))
+        .select(col("doc_id"), explode(Shingles.wordPairs(col("tk"))).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .groupBy(col("doc_id"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("tf"))
+      val c12 = docBg.groupBy(col("w1"), col("w2"))
+        .agg(sum(col("tf")).as("c12"))
       val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
       val c2 = c12.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
       val tot = c12.agg(sum(col("c12")).as("n"))
       val model = c12.join(c1, Seq("w1")).join(c2, Seq("w2"))
         .crossJoin(broadcast(tot))
-        .select(col("bg"),
+        .select(col("w1"), col("w2"),
           floor((log(col("c1") * lit(5L) * col("n")) -
                  log(col("c12") * lit(4L) * col("n") + col("c1") * col("c2")))
             * 1000000).cast("long").as("nll_e6"))
-      docBg.join(model, Seq("bg"))
+      docBg.join(model, Seq("w1", "w2"))
         .groupBy(col("doc_id"))
         .agg(sum(col("tf")).as("n_bigrams"),
           expr("sum(tf * nll_e6) div sum(tf)").as("avg_nll_e6"))
@@ -2035,30 +2045,31 @@ object AnalyticsQueries extends QueryPack {
     // sized, not corpus-sized) + one broadcast scalar; scoring is one
     // join of doc bigrams against the model keyed on the bigram.
     "tx_kn_bigram" -> ((s, d) => {
-      // recompute shape kept deliberately — see tx_bigram_nll's note
+      // recompute shape kept deliberately — see tx_bigram_nll's note;
+      // (w1, w2) pair key instead of the joined string, same as there
       val docBg = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("tk"))
-        .select(col("doc_id"),
-          explode(Shingles.wordNgrams(col("tk"), 2)).as("bg"))
-        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("tf"))
-      val c12 = docBg.groupBy(col("bg")).agg(sum(col("tf")).as("c12"))
-        .withColumn("w1", substring_index(col("bg"), " ", 1))
-        .withColumn("w2", substring_index(col("bg"), " ", -1))
+        .select(col("doc_id"), explode(Shingles.wordPairs(col("tk"))).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .groupBy(col("doc_id"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("tf"))
+      val c12 = docBg.groupBy(col("w1"), col("w2"))
+        .agg(sum(col("tf")).as("c12"))
       val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"),
         count(lit(1)).as("n1v"))
       val n1w = c12.groupBy(col("w2")).agg(count(lit(1)).as("n1w"))
       val n11 = c12.agg(count(lit(1)).as("n11"))
       val model = c12.join(c1, Seq("w1")).join(n1w, Seq("w2"))
         .crossJoin(broadcast(n11))
-        .select(col("bg"), (
+        .select(col("w1"), col("w2"), (
           expr("greatest(4 * c12 - 3, 0) * cast(1000000000 as bigint)" +
             " div (4 * c1)") +
           expr("3 * n1v * n1w * cast(1000000000 as bigint)" +
             " div (4 * c1 * n11)")).as("p_u9"))
-        .select(col("bg"),
+        .select(col("w1"), col("w2"),
           expr("cast(floor(ln(1000000000.0 / p_u9) * 1000000) as bigint)")
             .as("nll_u6"))
-      docBg.join(model, Seq("bg"))
+      docBg.join(model, Seq("w1", "w2"))
         .groupBy(col("doc_id"))
         .agg(sum(col("tf")).as("n_bigrams"),
           expr("sum(tf * nll_u6) div sum(tf)").as("avg_nll_u6"))

@@ -56,12 +56,16 @@ object ReadQueries extends QueryPack {
     // R5: typed-column projection of current values (registry chooses
     // the column by value type; here the double column).
     "r5_typed_projection" -> ((s, d) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+      // latest-row pick as max_by over the unique (ts, event_id)
+      // order instead of a rank-1 window (r17 opt round, guide §2.3):
+      // identical row, no per-user sort, partial agg collapses
+      // map-side before the shuffle
       Tables.events(s, d)
         .filter(col("event_type") === "purchase")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("user_id"), round(col("value"), 4).as("double_value"))
+        .groupBy(col("user_id"))
+        .agg(max_by(col("value"), struct(col("ts"), col("event_id")))
+          .as("v"))
+        .select(col("user_id"), round(col("v"), 4).as("double_value"))
     }),
 
     // R8: endpoint attribute via LIMIT-1-per-group (the reference
@@ -301,10 +305,18 @@ object ReadQueries extends QueryPack {
         .groupBy(col("vec_id"))
         .agg(sum(col("qv") * col("vv")).as("sraw"))
         .withColumn("s1", expr("sraw div 1048576"))
+      // u is dims-sized (64 rows) but its subtree holds BOTH matrix
+      // products of the round; without the checkpoint the two readers
+      // below (m and v) re-run it, and because round r's v embeds
+      // round r−1's whole tree, the recompute count of the data-sized
+      // passes grows geometrically with the iteration count (r17 opt
+      // round, guide §1.2). One 64-row materialization per round caps
+      // each round at one pass over f.
       val u = f.join(sdot, Seq("vec_id"))
         .groupBy(col("idx"))
         .agg(sum(col("s1") * col("qv")).as("u"))
         .withColumn("u2", expr("u div 1048576"))
+        .localCheckpoint(true)
       val m = u.agg(max(abs(col("u2"))).as("m"))
       v = u.crossJoin(broadcast(m))
         .select(col("idx"), expr("u2 * 1000000 div m").as("vv"))

@@ -239,15 +239,18 @@ object RelationalQueries extends QueryPack {
     // running sum gives exact cumulative uniques. Two keyed shuffles,
     // no distinct-state explosion — works unchanged at any user count.
     "q_cumulative_users" -> ((s, d) => {
-      val firstSeen = Window.partitionBy(col("event_type"), col("user_id"))
-        .orderBy(col("ts_ms"), col("event_id"))
       val running = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      // first-seen pick as a plain min aggregate instead of a rank-1
+      // window (r17 opt round, guide §2.3): only the first row's
+      // ts_ms survives downstream, and min(ts_ms) IS that row's ts_ms
+      // under the (ts_ms, event_id) order — no per-(type, user) sort,
+      // map-side partials shuffle one row per key
       Tables.events(s, d)
-        .select(col("event_id"), col("event_type"), col("user_id"),
+        .select(col("event_type"), col("user_id"),
           expr("ts div 1000000").as("ts_ms"))
-        .withColumn("rn", row_number().over(firstSeen))
-        .filter(col("rn") === 1)
-        .withColumn("day", expr("ts_ms div 86400000"))
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(min(col("ts_ms")).as("fs_ms"))
+        .withColumn("day", expr("fs_ms div 86400000"))
         .groupBy(col("event_type"), col("day"))
         .agg(count(lit(1)).as("new_users"))
         .withColumn("cum_users", sum(col("new_users")).over(running))
@@ -638,14 +641,16 @@ object RelationalQueries extends QueryPack {
     // (queries.ex:121-155): latest event value per (user_id,
     // event_type). One shuffle on the key, rank inside partition.
     "w1_upsert_lastvalue" -> ((s, d) => {
-      val w = Window.partitionBy(col("user_id"), col("event_type"))
-        .orderBy(col("ts").desc, col("event_id").desc)
+      // last-writer pick as max_by over the unique (ts, event_id)
+      // order instead of a rank-1 window (r17 opt round, guide §2.3):
+      // identical winning row, no per-key sort, map-side partials
       Tables.events(s, d)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(max_by(struct(col("value"), col("event_id")),
+          struct(col("ts"), col("event_id"))).as("last"))
         .select(col("user_id"), col("event_type"),
-                round(col("value"), 4).as("last_value"),
-                col("event_id").as("last_event_id"))
+                round(col("last.value"), 4).as("last_value"),
+                col("last.event_id").as("last_event_id"))
     })
   )
 

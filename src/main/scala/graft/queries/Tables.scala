@@ -18,6 +18,19 @@ object Shingles {
         i => concat_ws(" ",
           (0 until n).map(j => element_at(tokens, (i + j).cast("int"))): _*)))
       .otherwise(expr("cast(array() as array<string>)"))
+
+  /** Adjacent token pairs as (w1, w2) structs — the bigram key
+    * WITHOUT the joined-string detour (r17 opt round): keying on the
+    * pair skips the per-occurrence concat_ws on the explode path and
+    * the two substring_index calls per distinct bigram on the model
+    * path. Bijective with `wordNgrams(tk, 2)`'s "w1 w2" string
+    * because split-on-space tokens cannot contain the separator. */
+  def wordPairs(tokens: Column): Column =
+    when(size(tokens) >= 2,
+      transform(sequence(lit(1), size(tokens) - 1),
+        i => struct(element_at(tokens, i.cast("int")).as("w1"),
+          element_at(tokens, (i + 1).cast("int")).as("w2"))))
+      .otherwise(expr("cast(array() as array<struct<w1:string,w2:string>>)"))
 }
 
 /** Parquet table loader for the driver-provided TPC-H-ish testdata
