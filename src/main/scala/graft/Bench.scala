@@ -75,56 +75,10 @@ object Bench {
     // host was idle when the run began
     val loadavgStart = readLoadavg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // Per-file open cost for scan-split packing (guide §6). The 4 MB
-    // default models remote-FS open/seek latency and collapses
-    // Spark's split formula to one-task-per-file whenever
-    // totalBytes/cores < 4 MB — on the store's many-small-file roots
-    // that is ~200 ×60 KB single-file tasks per census scan, pure
-    // scheduling overhead. Local page-cache opens cost ~none, so the
-    // local default packs small files (64 KB ≈ honest open cost);
-    // on a cluster against object storage export
-    // SPARK_GRAFT_OPEN_COST_BYTES=4194304 to restore the remote-FS
-    // model. Scan parallelism for real tables is untouched (split
-    // size still follows bytes/cores).
-    val openCost = sys.env.getOrElse("SPARK_GRAFT_OPEN_COST_BYTES", "65536")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.files.openCostInBytes", openCost)
-      // Distributed partition-discovery kicks in above 32 root paths
-      // (a pruned store read passes one path per live file),
-      // launching a one-task-per-directory listing JOB before every
-      // such scan — pure scheduling overhead against a local FS where
-      // the driver lists thousands of dirs in microseconds. Against
-      // slow object storage at 100 TB export a lower threshold (the
-      // Spark default 32) so listing parallelizes.
-      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
-        sys.env.getOrElse("SPARK_GRAFT_PAR_DISCOVERY_THRESHOLD", "4096"))
-      .config("spark.sql.adaptive.enabled", "true")
-      // Coalesce post-shuffle partitions to the ADVISORY SIZE instead
-      // of pinning to the session core count (r17 opt round, guide
-      // §2.2 "fewer, larger reduce partitions"): parallelismFirst=true
-      // (the default) special-cases the LOCAL parallelism — every tiny
-      // exchange stays at `cpus` partitions and pays `cpus` fixed task
-      // costs; false is the setting Spark's own tuning docs recommend
-      // once partitions are sized in bytes, and it is scale-adaptive
-      // by construction (64 MB advisory chunks at 100 TB, one task for
-      // a kB-sized exchange). Quiet A/B over a 58-query mixed subset:
-      // total min 14.34 -> 13.29 s, median per-query ratio 0.90, no
-      // reproducible regression (worst +0.07 s, load-level).
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-        sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"))
-      // let AQE re-coalesce CACHED plan output: the dedup pipeline
-      // caches its 260k-row shingle/band tables, and without this the
-      // cache pins scan-sized shuffle partitioning on every consumer
-      // (the clusterers' dominant overhead at sf0.1 — 2.1s -> 0.5s on
-      // the Jaccard-verify stage alone)
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    val cpus = GraftSession.cpus
+    // all session config lives in GraftSession so Verify/QueryTime/
+    // TimeQ/JobProfile measure the exact production plans
+    val spark = GraftSession.build()
     spark.sparkContext.setLogLevel("WARN")
     // UNTIMED warm-up pass over EVERY query — not just one: several
     // packs lazily build on-disk store roots (file index, sketch log,
@@ -187,7 +141,8 @@ object Bench {
     val qload = results.map { t =>
       s"\"" + t._1 + "\":\"" + t._4 + "\""
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total =
+      math.round(results.map(_._2).filter(_ >= 0).sum * 1000) / 1000.0
     val eps =
       if (prefixes.isDefined) -1L // filtered micro-bench: skip ingest
       else try math.round(ingestEps(spark, sfDir)) catch { case _: Throwable => -1L }
@@ -196,15 +151,26 @@ object Bench {
     // from a code regression — record 1/5/15-min loadavg at both ends
     // (start = was the host idle; end = what the suite itself did)
     val loadavg = readLoadavg()
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ingest_events_per_sec":$eps,"wall_sec":$wall,"loadavg":"$loadavg","loadavg_start":"$loadavgStart","queries_min":$qmin,"loadavg_per_query":$qload,"sf":"$sfDir"}"""
+    // TWO outputs, split by channel capacity (r18 fix — the driver
+    // keeps only a ~2 KB stdout tail, and the r17 line had grown to
+    // ~16 KB with diagnostics, so PERF_r17.per_query came out empty):
+    //  * stdout gets ONE COMPACT line — metric/value/unit/queries/sf
+    //    only, nothing after it — the contract fields and nothing else;
+    //  * the durable file gets the same fields PLUS every diagnostic
+    //    (min estimator, loadavg maps, ingest, wall, cpu count).
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val jsonFull = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ingest_events_per_sec":$eps,"wall_sec":$wall,"cpus":$cpus,"loadavg":"$loadavg","loadavg_start":"$loadavgStart","queries_min":$qmin,"loadavg_per_query":$qload,"sf":"$sfDir"}"""
     println(json)
     // durable copy with every entry, immune to stdout-tail truncation.
     // Lands in the working directory (or SPARK_GRAFT_BENCH_OUT) so a
     // checkout elsewhere never clobbers an unrelated absolute path;
-    // a failed write warns instead of vanishing.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LATEST.json")
+    // a failed write warns instead of vanishing. The default name
+    // carries the core count so the driver's low-core scaling rerun
+    // can never clobber the main run's numbers (r17 lost its 32-core
+    // per-query map exactly this way).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", s"BENCH_LATEST_c$cpus.json")
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(outPath).toAbsolutePath, json + "\n")
+      java.nio.file.Paths.get(outPath).toAbsolutePath, jsonFull + "\n")
     catch {
       case e: Throwable =>
         System.err.println(s"[bench] could not write $outPath: $e")

@@ -12,28 +12,9 @@ object Verify {
       if (args.length > 2) { val ps = args(2).split(",").toSeq
         name => ps.exists(name.startsWith) }
       else _ => true
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.files.openCostInBytes",
-        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST_BYTES", "65536"))
-      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
-        sys.env.getOrElse("SPARK_GRAFT_PAR_DISCOVERY_THRESHOLD", "4096"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      // advisory-size AQE coalescing, not core-count pinning — see
-      // the Bench builder's note (SPARK_GRAFT_AQE_PARALLELISM_FIRST)
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-        sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"))
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
-      .config("spark.ui.enabled", "false")
-      // Older testdata generations carried TIMESTAMP(NANOS), which
-      // Spark's vectorized reader rejects without this; current data is
-      // timestamp[us]. Either way Tables.events normalizes ts to the
-      // canonical epoch-nanos long.
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    // all session config lives in GraftSession so the correctness dump
+    // runs the exact plans the bench times
+    val spark = GraftSession.build()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => only(kv._1)).foreach { case (name, fn) =>
