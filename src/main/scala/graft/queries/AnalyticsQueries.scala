@@ -403,6 +403,13 @@ object AnalyticsQueries extends QueryPack {
       sum(when(expr(s"shiftright(tok_hash, $b) % 2") === 1, 1)
         .otherwise(-1)).as(s"v$b")
     }
+    // NOTE (r18, measured and REJECTED): the documentsParallel scan-
+    // parallelism floor read dd_simhash_pairs 0.55→1.22 s and
+    // dd_kcore 1.36→2.36 s quiet — the simhash map work is light
+    // (one 4-hex-digit md5 prefix per token) but the 32-partition
+    // layout propagates into the cached sigs and every downstream
+    // ball/expansion/peel stage pays 32-task scheduling across ~10
+    // stages. The serial scan is the cheaper end of this family.
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), explode(toks).as("tok"))
       .withColumn("tok_hash",
@@ -706,7 +713,7 @@ object AnalyticsQueries extends QueryPack {
           i => xxhash64((0 until 5).map(j =>
             element_at(col("tk"), (i + j).cast("int"))): _*)))
         .otherwise(expr("cast(array() as array<bigint>)"))
-      val sh = Tables.documents(s, d)
+      val sh = Tables.documentsParallel(s, d)
         .select(col("source"), split(col("text"), " ").as("tk"))
         .select(col("source"), explode(digests).as("dg"))
       val perDigest = sh.groupBy(col("dg"))
@@ -732,7 +739,7 @@ object AnalyticsQueries extends QueryPack {
     // hash shuffles — same asymptotics as exact doc dedup.
     "dd_span_dedup" -> ((s, d) => {
       val k = 10
-      val wins = Tables.documents(s, d)
+      val wins = Tables.documentsParallel(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("tk"))
         .select(col("doc_id"),
           posexplode(Shingles.wordNgrams(col("tk"), k)).as(Seq("p0", "w")))
@@ -2003,7 +2010,7 @@ object AnalyticsQueries extends QueryPack {
       // no concat_ws per exploded occurrence, no substring_index pair
       // per model row — bijective with the string key, so every count
       // and the output are unchanged (oracle hash pins it)
-      val docBg = Tables.documents(s, d)
+      val docBg = Tables.documentsParallel(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("tk"))
         .select(col("doc_id"), explode(Shingles.wordPairs(col("tk"))).as("p"))
         .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
@@ -2047,7 +2054,7 @@ object AnalyticsQueries extends QueryPack {
     "tx_kn_bigram" -> ((s, d) => {
       // recompute shape kept deliberately — see tx_bigram_nll's note;
       // (w1, w2) pair key instead of the joined string, same as there
-      val docBg = Tables.documents(s, d)
+      val docBg = Tables.documentsParallel(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("tk"))
         .select(col("doc_id"), explode(Shingles.wordPairs(col("tk"))).as("p"))
         .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
@@ -2095,7 +2102,7 @@ object AnalyticsQueries extends QueryPack {
           i => xxhash64((0 until 10).map(j =>
             element_at(col("tk"), (i + j).cast("int"))): _*)))
         .otherwise(expr("cast(array() as array<bigint>)"))
-      Tables.documents(s, d)
+      Tables.documentsParallel(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("tk"))
         .select(col("doc_id"), explode(digests).as("h"))
         .groupBy(col("doc_id"), col("h"))

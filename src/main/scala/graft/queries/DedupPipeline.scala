@@ -122,7 +122,7 @@ object DedupPipeline extends QueryPack {
     * and the subsequent xor-with-seed minhash stays in range.
     */
   private def shingleArrays(s: SparkSession, d: String): DataFrame =
-    shingleArraysOf(Tables.documents(s, d))
+    shingleArraysOf(Tables.documentsParallel(s, d))
 
   /** Banded LSH keys of a signature-array table: 8 minhashes (xor-seed
     * + array_min, duplicate-insensitive) folded into 2 band keys of 4,

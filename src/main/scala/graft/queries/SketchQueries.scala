@@ -274,7 +274,7 @@ object SketchQueries extends QueryPack {
     // (jaccard in basis points via integer division), so cross-engine
     // parity is unconditional.
     "dd_source_kmv" -> ((s, d) => {
-      val sh = Tables.documents(s, d)
+      val sh = Tables.documentsParallel(s, d)
         .select(col("source"), split(col("text"), " ").as("tk"))
         .filter(size(col("tk")) >= 5)
         .select(col("source"), explode(expr(

@@ -198,4 +198,55 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame     = apply(s, d, "events")
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** Absolute on-disk footprint below which [[parallelized]] inserts
+    * its narrow-row redistribution (env-overridable; default 256 MB —
+    * a shuffle that size costs seconds anywhere, and the map-work
+    * parallelism it buys dominates for the explode-heavy consumers
+    * that opt in). Production tables at 100 TB are far above it, so
+    * the repartition VANISHES at scale — the scan itself then yields
+    * ≥ cores splits. */
+  private val parallelizeBelowBytes: Long =
+    sys.env.getOrElse("SPARK_GRAFT_SMALL_SCAN_REPART_BYTES",
+      (256L * 1024 * 1024).toString).toLong
+
+  private def pathBytes(p: java.io.File): Long =
+    if (p.isDirectory) {
+      val fs = p.listFiles(); if (fs == null) 0L else fs.map(pathBytes).sum
+    } else p.length()
+
+  /** Scan-parallelism floor for HEAVY per-row map work (r18, guide
+    * §2.2 read in reverse — "fewer larger map tasks" assumes bytes
+    * track work): Spark sizes splits by BYTES, but the tokenize/
+    * explode derivations behind the dd_/tx_ families do ~100× the
+    * scan bytes in per-row work, and a small parquet (or one with a
+    * single row group, which caps effective split parallelism at one
+    * task no matter the split config) serializes the whole pipeline —
+    * profiled at sf0.1: every stage of dd_source_overlap/dd_span_dedup
+    * ran ONE task on a 32-core session. When the table's on-disk
+    * footprint says redistribution is ~free, hash-repartition the
+    * narrow PRE-EXPLODE rows (never exploded/derived bulk) to session
+    * parallelism on the given key; above the threshold this is the
+    * identity — no shuffle is ever inserted for data-sized inputs.
+    * The explicit partition count keeps AQE's advisory coalescing
+    * (which is bytes-blind to downstream work) from re-collapsing it.
+    * Partitioning never changes any query's RESULT: opt-in sites are
+    * integer-typed aggregations (no float sum-order sensitivity). */
+  private[graft] def parallelized(s: SparkSession, d: String, table: String,
+      df: DataFrame, key: Column): DataFrame = {
+    val bytes =
+      try pathBytes(new java.io.File(s"$d/$table.parquet"))
+      catch { case _: Throwable => Long.MaxValue }
+    if (bytes < parallelizeBelowBytes)
+      df.repartition(s.sparkContext.defaultParallelism, key)
+    else df
+  }
+
+  /** [[documents]] with the heavy-map-work parallelism floor. */
+  def documentsParallel(s: SparkSession, d: String): DataFrame =
+    parallelized(s, d, "documents", documents(s, d), col("doc_id"))
+
+  /** [[events]] with the heavy-map-work parallelism floor. */
+  def eventsParallel(s: SparkSession, d: String): DataFrame =
+    parallelized(s, d, "events", events(s, d), col("event_id"))
 }
