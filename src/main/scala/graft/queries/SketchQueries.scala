@@ -274,7 +274,15 @@ object SketchQueries extends QueryPack {
     // (jaccard in basis points via integer division), so cross-engine
     // parity is unconditional.
     "dd_source_kmv" -> ((s, d) => {
-      val sh = Tables.documentsParallel(s, d)
+      // ONE (h)-keyed shuffle replaces the old TWO data-sized
+      // exchanges (r18, guide §2.4): the old shape shuffled every
+      // shingle row for `.distinct()` on (source, h) and then AGAIN
+      // for the audit's groupBy(h) membership sets; grouping by h
+      // once with a map-side-partial collect_set gives the distinct
+      // (source, h) pairs (exploded back out) AND the per-hash source
+      // sets from the same exchange. Values are identical by
+      // construction — explode(collect_set) IS the distinct pair set.
+      val grouped = Tables.documentsParallel(s, d)
         .select(col("source"), split(col("text"), " ").as("tk"))
         .filter(size(col("tk")) >= 5)
         .select(col("source"), explode(expr(
@@ -282,8 +290,11 @@ object SketchQueries extends QueryPack {
           " i -> concat_ws(' ', slice(tk, i, 5)))")).as("g"))
         .select(col("source"), expr(
           "cast(conv(substring(md5(g),1,15),16,10) as bigint)").as("h"))
-        .distinct()
+        .groupBy(col("h"))
+        .agg(array_sort(collect_set(col("source"))).as("ss"))
         .localCheckpoint(true) // feeds sketches AND the exact audit
+      val sh = grouped
+        .select(explode(col("ss")).as("source"), col("h"))
       // exact two-phase bottom-SrcK per source — shard count scales
       // with session parallelism (TwoPhaseTopK) so one giant source's
       // shingle set never concentrates in a fixed number of phase-one
@@ -316,11 +327,12 @@ object SketchQueries extends QueryPack {
           sum(when(col("sides") === 2, 1L).otherwise(0L)).as("both"))
         .select(col("source_a"), col("source_b"),
           expr("both * 10000 div ucnt").as("est_jacc_bp"))
-      // exact audit: per-pair intersection via digest membership sets,
-      // sizes per source — one partial-agg pass each
+      // exact audit: per-pair intersection straight off the grouped
+      // membership sets (no re-shuffle — the old groupBy(h) here was
+      // the second data-sized exchange this rewrite removes); sizes
+      // per source is a partial-agg over the exploded pairs
       val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("sz"))
-      val inter = sh.groupBy(col("h"))
-        .agg(array_sort(collect_set(col("source"))).as("ss"))
+      val inter = grouped
         .select(explode(flatten(transform(col("ss"), (a, i) =>
           transform(slice(col("ss"), i + lit(2), size(col("ss"))),
             b => struct(a.as("source_a"), b.as("source_b")))))).as("p"))
