@@ -158,19 +158,34 @@ object QuantileSketch extends QueryPack {
           round(col("value") * 100).cast("long").as("cents").as("v"),
           col("event_id").as("uid"))
         .localCheckpoint(true) // sketch AND exact audit read it
-      val est = quantilesOf(withAllRow(sketchOf(base)))
-      val exAll = base.select(col("g"), col("v"))
+      // the merge rounds execute here (eager per-round checkpoints)
+      // — floor their window exchanges' coalescing so round sorts
+      // keep a few parallel tasks (scoped; see withCoalesceFloor)
+      val est = quantilesOf(withAllRow(withCoalesceFloor(s)(sketchOf(base))))
+      // exact audit on DISTINCT-VALUE cumulative counts (r18, guide
+      // §2.3 "shuffle fewer bytes"): the old row-level windows sorted
+      // every event row twice (the `_all` group alone put all N rows
+      // in one window partition); aggregating to (g, v, count) first
+      // shrinks the window input ~3× at sf0.1 (200k → 67k rows) and
+      // bounds it by distinct cents at ANY corpus size. Identical
+      // values: the nearest-rank pick `v at row_number ceil(n·p)
+      // ordered by v` equals `min v with cumulative count ≥
+      // ceil(n·p)` — cum(v) counts exactly the rows ordered at or
+      // before v's last occurrence, so the rank-r row's value is the
+      // smallest v whose cum reaches r (ties in v share one cum).
+      val exCnt = base.select(col("g"), col("v"))
         .unionByName(base.select(lit("_all").as("g"), col("v")))
+        .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
       val w = Window.partitionBy(col("g")).orderBy(col("v"))
       val wAll = Window.partitionBy(col("g"))
-      val exact = exAll
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(wAll))
+      val exact = exCnt
+        .withColumn("cum", sum(col("c")).over(w))
+        .withColumn("n", sum(col("c")).over(wAll))
         .groupBy(col("g"))
         .agg(max(col("n")).as("n"),
-          max(when(col("rn") === ceil(col("n") * 0.5), col("v"))).as("p50_cents"),
-          max(when(col("rn") === ceil(col("n") * 0.9), col("v"))).as("p90_cents"),
-          max(when(col("rn") === ceil(col("n") * 0.99), col("v"))).as("p99_cents"))
+          min(when(col("cum") >= ceil(col("n") * 0.5), col("v"))).as("p50_cents"),
+          min(when(col("cum") >= ceil(col("n") * 0.9), col("v"))).as("p90_cents"),
+          min(when(col("cum") >= ceil(col("n") * 0.99), col("v"))).as("p99_cents"))
       est.join(exact, Seq("g"))
         .select(col("g").as("event_type"), col("n"), col("sk_items"),
           col("w_tot"), col("p50_est"), col("p90_est"), col("p99_est"),

@@ -25,6 +25,36 @@ trait QueryPack {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
       case _ => ()
     }
+
+  /** Run `body` with AQE's post-shuffle coalescing floored at
+    * `cores/4` partitions, restoring the session's setting after.
+    *
+    * Pure advisory coalescing (the session default) sizes post-shuffle
+    * partitions by EXCHANGE BYTES and is blind to downstream per-row
+    * work: a 1–8 MB exchange whose reduce side does CPU-heavy window
+    * sorts or explodes collapses to one task. A GLOBAL floor was
+    * A/B-measured in r18 and rejected (geomean 1.085 — ~100 light-
+    * downstream queries pay pure task overhead); this helper scopes
+    * the floor to iterative builds whose rounds EXECUTE inside the
+    * query closure (eager per-round checkpoints), where the heavy-
+    * downstream shape is known by construction. At production scale
+    * the floor is a no-op — data-sized exchanges already exceed
+    * cores/4 advisory-sized partitions.
+    */
+  protected def withCoalesceFloor[A](s: SparkSession)(body: => A): A = {
+    val key = "spark.sql.adaptive.coalescePartitions.minPartitionNum"
+    val n = math.max(2, s.sparkContext.defaultParallelism / 4)
+    // getOption on an unset OPTIONAL conf can yield Some(null) —
+    // filter it so restore unsets instead of set(null) throwing
+    val prev =
+      try s.conf.getOption(key).filter(_ != null)
+      catch { case _: Throwable => None }
+    s.conf.set(key, n.toString)
+    try body finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
 }
 
 /** Tiny bounded cache for per-(session, dir) derived artifacts
