@@ -884,7 +884,7 @@ object AnalyticsQueries extends QueryPack {
     // candidate pair. Output identical to the naive blocked self-join;
     // the candidate join input is bounded by rare-key fan-out.
     "dd_ngram_jaccard" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = Tables.documentsParallel(s, d)
         .withColumn("bucket", expr("n_chars div 10"))
       val bigrams = docs
         .select(col("doc_id"), col("lang"), col("bucket"),
@@ -1212,7 +1212,7 @@ object AnalyticsQueries extends QueryPack {
     // product < 2^59; at larger corpora drop a common factor of S.
     "tx_bm25" -> ((s, d) => {
       val terms = Seq("spark", "table", "merge")
-      val tk = Tables.documents(s, d)
+      val tk = Tables.documentsParallel(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("tk"))
       val dl = tk.select(col("doc_id"), size(col("tk")).cast("long").as("dl"))
       val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
@@ -1259,7 +1259,8 @@ object AnalyticsQueries extends QueryPack {
           explode(Shingles.wordNgrams(col("tk"), 3)).as("sh"))
       val bench = shingles3(docs.filter(col("doc_id") < 5))
         .select(col("sh")).distinct()
-      val contaminated = shingles3(docs.filter(col("doc_id") >= 5))
+      val contaminated = shingles3(
+          Tables.documentsParallel(s, d).filter(col("doc_id") >= 5))
         .join(broadcast(bench), Seq("sh"))
         .select(col("doc_id")).distinct()
       val kept = docs.filter(col("doc_id") >= 5)
@@ -1276,6 +1277,10 @@ object AnalyticsQueries extends QueryPack {
     // at scale. Exact side touches only candidate pairs (the LSH
     // bound); both outputs are integer basis points.
     "dd_minhash_est" -> ((s, d) => {
+      // documentsParallel measured and REJECTED (r18 pair: 0.64→0.98
+      // s) — the simhashSigs lesson again: the 32-partition layout
+      // propagates through BOTH caches into ~8 downstream band/join
+      // stages whose per-stage data is tiny
       val sh = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tk"))
         .select(col("doc_id"), col("lang"),
@@ -1374,7 +1379,8 @@ object AnalyticsQueries extends QueryPack {
     // the product within 1 ulp of an integer boundary.
     "tx_tfidf" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val tf = docs.select(col("doc_id"), explode(toks).as("tok"))
+      val tf = Tables.documentsParallel(s, d)
+        .select(col("doc_id"), explode(toks).as("tok"))
         .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
@@ -1498,7 +1504,7 @@ object AnalyticsQueries extends QueryPack {
       val docs = Tables.documents(s, d)
       val bench = shingles(docs.filter(col("doc_id") < 5))
         .select(col("sh")).distinct()
-      shingles(docs)
+      shingles(Tables.documentsParallel(s, d))
         .join(broadcast(bench), Seq("sh"))
         .filter(col("doc_id") >= 5)
         .groupBy(col("doc_id"))
@@ -1533,7 +1539,7 @@ object AnalyticsQueries extends QueryPack {
         .head().getAs[Array[Byte]](0)
       // phase 2: one corpus pass; might_contain evaluates inside the
       // scan's codegen span against the broadcast-as-literal filter
-      val survivors = shingles(docs)
+      val survivors = shingles(Tables.documentsParallel(s, d))
         .filter(col("doc_id") >= 5)
         .filter(ColumnBridge.column(BloomFilterMightContain(
           org.apache.spark.sql.catalyst.expressions.Literal
@@ -1550,6 +1556,10 @@ object AnalyticsQueries extends QueryPack {
     // training run starts from. Partial agg map-side; rank<=10 pushes
     // down as a WindowGroupLimit before the exchange.
     "tx_vocab_topk" -> ((s, d) => {
+      // documentsParallel measured and REJECTED here (r18 pair:
+      // 0.23→0.38 s): plain split+explode+count is too light to repay
+      // the exchange — the floor only wins where the map side hashes
+      // or builds shingle strings (see tx_decontaminate/tx_tfidf)
       val counts = Tables.documents(s, d)
         .select(col("lang"), explode(toks).as("tok"))
         .groupBy(col("lang"), col("tok"))
@@ -1665,6 +1675,8 @@ object AnalyticsQueries extends QueryPack {
     // aggs (term counts, vocab counts) + a broadcast single-row
     // total; the doc side joins nothing bigger than the vocabulary.
     "tx_unigram_logprob" -> ((s, d) => {
+      // documentsParallel measured and REJECTED here (r18 pair:
+      // 0.40→0.43 s — light map work, multi-consumer tf)
       val tf = Tables.documents(s, d)
         .select(col("doc_id"), explode(toks).as("tok"))
         .groupBy(col("doc_id"), col("tok"))
@@ -1692,7 +1704,7 @@ object AnalyticsQueries extends QueryPack {
     // the established cross-engine determinism contract. Support
     // floor n_ab ≥ 5 keeps the output statistical, not anecdotal.
     "tx_pmi_pairs" -> ((s, d) => {
-      val dtok = Tables.documents(s, d)
+      val dtok = Tables.documentsParallel(s, d)
         .select(col("doc_id"), explode(array_distinct(toks)).as("tok"))
       val dfreq = dtok.groupBy(col("tok")).agg(count(lit(1)).as("n"))
       val vocab = dfreq.orderBy(col("n").desc, col("tok").asc).limit(50)
@@ -2232,6 +2244,9 @@ object AnalyticsQueries extends QueryPack {
     // between the top-V-renormalized distributions, so it is ≥ 0 up
     // to quantization.
     "tx_source_kl" -> ((s, d) => {
+      // documentsParallel measured and REJECTED (r18 pair: 0.43→0.60
+      // s): split+explode map work is too light, and the vocab
+      // checkpoint consumer multiplies the layout's stage tax
       val tok = Tables.documents(s, d)
         .select(col("source"), explode(toks).as("tok"))
       // 100 rows, fanned out twice (total + join) — materialize once
