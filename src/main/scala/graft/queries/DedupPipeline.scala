@@ -358,6 +358,11 @@ object DedupPipeline extends QueryPack {
     }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // (a scoped coalesce floor over the clusterer bodies was
+    // pair-measured in r18: dd_cluster 0.89, dd_cc_converged 0.99,
+    // dd_cc_incremental 1.11 — inside the ±11% noise band of the
+    // pair, so NOT kept; the measured-rejection note lives at
+    // dd_cc_incremental)
     "dd_cluster" -> ((s, d) => {
       val (verified, arrs, bands) = verifiedPairs(s, d)
       // stage 3: 3 rounds of min-label propagation over the verified

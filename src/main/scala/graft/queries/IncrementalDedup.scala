@@ -405,6 +405,12 @@ object IncrementalDedup extends QueryPack {
     // verbatim, so a hash match proves merge-into-persisted-labels
     // equals the from-scratch fixpoint
     "dd_cc_incremental" -> ((s, d) => {
+      // NOTE (r18, measured and REJECTED): a scoped coalesce floor
+      // (withCoalesceFloor) around this body read 1.48→1.64 s in an
+      // idle-gated pair with a clean control, despite the GLOBAL
+      // floor A/B having shown 0.67× earlier in the round — the
+      // global run predated the scan-parallelism work and its win
+      // here came from stages the scoped version doesn't reach.
       val root = SignatureStore.rootFor(s, d)
       val incArrs = incrementArrs(s, d).localCheckpoint(true)
       val pairs = incrementalPairs(incArrs,

@@ -165,6 +165,15 @@ object ReadQueries extends QueryPack {
     // changes. Integer hits and basis-point recall: no float compare.
     "sim_recall" -> ((s, d) => {
       import s.implicits._
+      // NOTE (r18, measured and REJECTED): materializing the five
+      // legs concurrently from driver threads (guide §2.6, each into
+      // a |Q|·k-row eager checkpoint) read 0.98→1.30 s in an
+      // idle-gated pair with clean controls. The single-action union
+      // is faster because ReuseExchange shares the legs' common
+      // subtrees (quantEmb scan, codebooks, centroid builds) — five
+      // independent actions recompute that shared work per leg, which
+      // costs more than the stage overlap saves. The composed form
+      // stays.
       val truth = AnalyticsQueries.bfTopK(s, d, maxQid = 10, k = 3)
         .select(col("qid"), col("nid"))
       val ann = AnalyticsQueries.lshTopK(s, d, maxQid = 10, k = 3)
