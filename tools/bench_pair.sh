@@ -22,10 +22,16 @@ SF=${2:-/root/testdata/sf0.1}
 QUIET_TIMEOUT_S=${QUIET_TIMEOUT_S:-1800}
 
 wait_quiet() {
+  # r18 lesson: the 1-min average recovers minutes before the host
+  # actually goes quiet — gate on the 5-min average too (an unchanged
+  # control query read 1.24x in a pair admitted by the 1-min gate
+  # alone). QUIET_L5 overridable for hosts with standing background
+  # load.
   local waited=0
   while :; do
-    l=$(cut -d' ' -f1 /proc/loadavg)
-    awk -v l="$l" 'BEGIN{exit !(l < 0.7)}' && return 0
+    read -r l l5 _ < /proc/loadavg
+    awk -v l="$l" -v l5="$l5" -v cap5="${QUIET_L5:-1.0}" \
+      'BEGIN{exit !(l < 0.7 && l5 < cap5)}' && return 0
     if [ "$waited" -ge "$QUIET_TIMEOUT_S" ]; then
       echo "[pair] host never idled in ${QUIET_TIMEOUT_S}s (loadavg $l) — proceeding, artifact records it"
       return 0
