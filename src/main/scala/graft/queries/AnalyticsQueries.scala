@@ -321,8 +321,30 @@ object AnalyticsQueries extends QueryPack {
     // total — computed once; the oriented set feeds three wedge-join
     // sides — materialized once
     val deg = degreesOf(e).localCheckpoint(true)
+    // The wedge join's WORK is its output rows (Σ deg·(deg−1)/2 — 22×
+    // its input rows at sf0.1: 139k edges → 3.1M wedges → 2.3M
+    // closures), but its input is a few MB, so AQE's bytes-blind
+    // coalescing ran the whole enumerate+filter+probe stage on the
+    // oriented set's ~4 checkpoint partitions (measured 1.6s serial
+    // tail). Size the oriented layout by the wedge total instead —
+    // one scalar over the already-checkpointed degree table, known
+    // driver-side before the join is planned (guide §2.5 input
+    // parallelism / §1.2 first-principles: parallelism must follow
+    // fan-OUT work, which exchange bytes cannot express). Partitioned
+    // by u, so the wedge self-join reuses the layout with no further
+    // exchange; per-u skew is bounded by the degree orientation
+    // (out-degree ≤ O(√m), Schank–Wagner).
+    val nWedges = Option(deg
+        .agg(sum(expr("deg * (deg - 1) div 2"))).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val maxPar = e.sparkSession.sparkContext.defaultParallelism
+    val wedgePar = math.max(1L,
+      math.min(maxPar.toLong, nWedges / 100000L)).toInt
     val o = orientedEdges(e, deg).localCheckpoint(true)
-    val wedge = o.select(col("u"), col("v"), col("dv"))
+    // explicit count so AQE cannot re-collapse it; the checkpoint
+    // cannot carry the layout itself (LogicalRDD forgets partitioning)
+    val oStream = o.repartition(wedgePar, col("u"))
+    val wedge = oStream.select(col("u"), col("v"), col("dv"))
       .join(o.select(col("u"), col("v").as("w"), col("dv").as("dw")), Seq("u"))
       .filter(col("dv") < col("dw") ||
         (col("dv") === col("dw") && col("v") < col("w")))

@@ -81,14 +81,48 @@ object QuantileSketch extends QueryPack {
     val liveRounds = math.min(Rounds,
       math.max(0, 64 - java.lang.Long.numberOfLeadingZeros(
         math.max(1L, bMax - 1))))
+    // the merge rounds run at STATICALLY derived PER-ROUND parallelism
+    // with AQE off (r18, the DedupPipeline round discipline): the
+    // per-group counts are already known driver-side and a merge round
+    // halves every still-compacting group, so the round-r row bound —
+    // Σ_g max(n_g >> (r-1), min(n_g, 2·K·Rounds)) — sizes each round's
+    // exchanges exactly. Under AQE each round paid a separately
+    // scheduled query-stage job per exchange (2 jobs/round, JobProfile)
+    // only to coalesce a known-size exchange; a fixed rp=8 was also
+    // measured (q_kll_incremental 1.18→1.37 micro-pair): 8 near-empty
+    // tasks per tiny round cost more than they parallelize. Safe where
+    // the kcore peel's AQE-off was NOT: the rounds are pure window
+    // passes — no join that could lose a runtime broadcast conversion.
+    // Scale-adaptive: one partition per ~1M bound rows keeps round 1
+    // (the only data-sized pass) at cluster parallelism at 100 TB
+    // while test SFs run each round as ONE single-task job.
+    val maxPar = src.sparkSession.sparkContext.defaultParallelism
+    def roundRp(r: Int): Int = {
+      val bound = countRows.iterator.map { row =>
+        val n = row.getLong(1)
+        math.max(n >> (r - 1), math.min(n, 2L * K * Rounds))
+      }.sum
+      math.max(1, math.min(maxPar.toLong, bound / 1000000L).toInt)
+    }
     var cur = src.join(broadcast(counts), Seq("g"))
       .withColumn("b0", expr(
         "cast(conv(substring(md5(cast(uid as string)),1,15),16,10)" +
         s" as bigint) % ((n_g + ${K - 1}) div $K)"))
       .select(col("g"), col("v"), col("uid"), col("b0"),
         lit(0).as("lvl"))
-    var owned = false
-    for (r <- 1 to liveRounds) {
+    // eager PER-ROUND checkpoints stay (re-measured in r18): fusing
+    // up to 4 single-partition rounds per checkpoint (one job, 12
+    // chained windows) read q_kll_percentiles 2.05→2.56 and
+    // q_kll_incremental 1.18→1.42 in an idle-gated micro pair with a
+    // clean control (0.97) — r16's every-2nd-round rejection
+    // reproduces even under the static-rp/AQE-off regime, so the
+    // chained-window stage itself (not exchange coalescing) is what
+    // loses; the per-round checkpoint's columnar write/read of the
+    // shrinking frame is cheaper than re-sorting through a fused
+    // window chain.
+    var lastCk: DataFrame = null
+    for (r <- 1 to liveRounds) DedupPipeline.withRoundParallelism(
+        src.sparkSession, roundRp(r)) {
       val full = 1L << r
       val half = 1L << (r - 1)
       val wg = Window.partitionBy(col("g"), col("grp"))
@@ -105,19 +139,15 @@ object QuantileSketch extends QueryPack {
         .withColumn("lvl", when(col("two") && col("cnt") >= 2,
           col("lvl") + 1).otherwise(col("lvl")))
         .select(col("g"), col("v"), col("uid"), col("b0"), col("lvl"))
-      // eager per-round checkpoint: truncates the 3-window-per-round
-      // lineage and materializes the shrinking frame once (the
-      // dd_pagerank lesson); round 1 is the only data-sized pass.
-      // An every-SECOND-round cadence below a row floor was
-      // A/B-measured in round 16 (3 quiet-gated paired windows,
-      // skip-vs-every) and REJECTED: despite 4 fewer driver jobs the
-      // skipped variant read 0.3-0.6 s slower on q_kll_percentiles —
-      // the fused two-round stages lose more to un-coalesced
-      // exchanges than the saved job launches buy back.
-      val next = if (checkpoint) next0.localCheckpoint(true) else next0
-      if (owned) releaseCheckpoint(cur)
-      cur = next
-      owned = checkpoint
+      if (checkpoint) {
+        // eager per-round checkpoint: truncates the 3-window round
+        // lineage and materializes the shrinking frame once (the
+        // dd_pagerank lesson); the superseded round's blocks release
+        // only AFTER the new checkpoint exists
+        cur = next0.localCheckpoint(true)
+        if (lastCk != null) releaseCheckpoint(lastCk)
+        lastCk = cur
+      } else cur = next0
     }
     cur.select(col("g"), col("v"), col("uid"), col("lvl"))
   }
@@ -159,9 +189,9 @@ object QuantileSketch extends QueryPack {
           col("event_id").as("uid"))
         .localCheckpoint(true) // sketch AND exact audit read it
       // the merge rounds execute here (eager per-round checkpoints)
-      // — floor their window exchanges' coalescing so round sorts
-      // keep a few parallel tasks (scoped; see withCoalesceFloor)
-      val est = quantilesOf(withAllRow(withCoalesceFloor(s)(sketchOf(base))))
+      // at statically derived round parallelism, AQE off — see
+      // sketchOf (supersedes the r18 scoped coalesce floor)
+      val est = quantilesOf(withAllRow(sketchOf(base)))
       // exact audit on DISTINCT-VALUE cumulative counts (r18, guide
       // §2.3 "shuffle fewer bytes"): the old row-level windows sorted
       // every event row twice (the `_all` group alone put all N rows
