@@ -47,8 +47,20 @@ run_bench() { # dir out log
 }
 
 echo "[pair] preparing prev worktree at $PREV_REF"
+# A .prevcheck that is NOT a linked worktree (no .git file — e.g. the
+# worktree was pruned but its target/ dir survived) is a trap: git
+# commands inside it resolve UPWARD to the main repo, so the checkout
+# below would detach the MAIN repo's HEAD at $PREV_REF and silently
+# bench prev-vs-prev (observed r18: main left detached at the prev
+# ref, bench dying on ClassNotFound in the empty dir). Require the
+# .git link; rebuild the worktree if it is missing.
+if [ -d "$REPO/.prevcheck" ] && [ ! -f "$REPO/.prevcheck/.git" ]; then
+  echo "[pair] .prevcheck is not a linked worktree — rebuilding it"
+  rm -rf "$REPO/.prevcheck"
+  git worktree prune
+fi
 if [ -d "$REPO/.prevcheck" ]; then
-  ( cd "$REPO/.prevcheck" && git checkout -q "$PREV_REF" )
+  ( cd "$REPO/.prevcheck" && git checkout -qf "$PREV_REF" )
 else
   git worktree add --detach "$REPO/.prevcheck" "$PREV_REF" || exit 1
 fi
