@@ -2033,12 +2033,6 @@ object AnalyticsQueries extends QueryPack {
     // Shapes: two partial-agg groupBys + broadcast totals; the
     // per-bigram model table joins back on the bigram key.
     "tx_bigram_nll" -> ((s, d) => {
-      // NOTE (r17 opt round, measured and REJECTED): materializing
-      // docBg/c12 with lazy localCheckpoints to stop the per-consumer
-      // re-aggregation read 1.26->2.29 s on tx_kn_bigram and
-      // 1.43->1.49 s here — the checkpoint serializes subtrees AQE
-      // otherwise runs in parallel, and the re-aggregations are cheap
-      // map-heavy stages. Left in the recompute shape deliberately.
       // bigrams keyed on the (w1, w2) pair, not the joined string
       // (r17 opt round, guide §2.3 "narrower types"/per-task work):
       // no concat_ws per exploded occurrence, no substring_index pair
@@ -2050,8 +2044,21 @@ object AnalyticsQueries extends QueryPack {
         .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
         .groupBy(col("doc_id"), col("w1"), col("w2"))
         .agg(count(lit(1)).as("tf"))
+      // c12 checkpointed ONCE (r18, guide §2.4): the r18 plan showed
+      // only the scan exchange reused — the tokenize+explode+two-level
+      // aggregation subtree executed FIVE times per action (docBg
+      // broadcast side + c12 + c1 + c2 + tot), 22.7 s of task time at
+      // sf0.1 for a 1.3 s query. The checkpoint is VOCAB-sized
+      // (distinct bigram types), so c1/c2/tot/model fold a tiny
+      // materialized frame and the tokenize runs twice (checkpoint
+      // job + the docBg probe side), not five times. This is NOT the
+      // r17-rejected variant, which checkpointed the CORPUS-sized
+      // docBg as well (1.26->2.29 s on tx_kn_bigram — serializing the
+      // doc-level rows cost more than the saved re-aggregation);
+      // docBg deliberately stays in recompute shape.
       val c12 = docBg.groupBy(col("w1"), col("w2"))
         .agg(sum(col("tf")).as("c12"))
+        .localCheckpoint(true)
       val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
       val c2 = c12.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
       val tot = c12.agg(sum(col("c12")).as("n"))
@@ -2086,8 +2093,9 @@ object AnalyticsQueries extends QueryPack {
     // sized, not corpus-sized) + one broadcast scalar; scoring is one
     // join of doc bigrams against the model keyed on the bigram.
     "tx_kn_bigram" -> ((s, d) => {
-      // recompute shape kept deliberately — see tx_bigram_nll's note;
-      // (w1, w2) pair key instead of the joined string, same as there
+      // (w1, w2) pair key instead of the joined string, and the
+      // vocab-sized c12 checkpointed once — see tx_bigram_nll's note
+      // (docBg stays recompute; only c12 materializes)
       val docBg = Tables.documentsParallel(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("tk"))
         .select(col("doc_id"), explode(Shingles.wordPairs(col("tk"))).as("p"))
@@ -2096,6 +2104,7 @@ object AnalyticsQueries extends QueryPack {
         .agg(count(lit(1)).as("tf"))
       val c12 = docBg.groupBy(col("w1"), col("w2"))
         .agg(sum(col("tf")).as("c12"))
+        .localCheckpoint(true)
       val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"),
         count(lit(1)).as("n1v"))
       val n1w = c12.groupBy(col("w2")).agg(count(lit(1)).as("n1w"))
