@@ -160,6 +160,15 @@ object DedupPipeline extends QueryPack {
       rows: Int): org.apache.spark.sql.Column = {
     require(bands * rows <= MinhashSeeds.keys.size,
       s"banding $bands×$rows exceeds the ${MinhashSeeds.keys.size}-seed table")
+    // NOTE (r18 opt round, measured and REJECTED): folding min∘xor
+    // with aggregate(arr, null, (acc,h) => least(acc, h^k)) to avoid
+    // the 8 per-doc |arr|-sized transform allocations read WORSE on a
+    // warm profile — dd_cc_converged taskTime 25.2→41.4 s, dd_cluster
+    // 18.9→19.9 s. ArrayAggregate evaluates its merge lambda (least +
+    // bind) per element through interpreted expression eval, while
+    // array_min scans the transformed primitive array with a
+    // specialized loop — the saved allocation does not pay for the
+    // per-element lambda. The transform form stays.
     def mh(k: Long) =
       array_min(transform(col("arr"), h => h.bitwiseXOR(lit(k))))
     val ks = MinhashSeeds.keys
