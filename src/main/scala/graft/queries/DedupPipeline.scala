@@ -137,7 +137,22 @@ object DedupPipeline extends QueryPack {
   /** [[bandsOf]] at an explicit (bands, rowsPerBand) — the
     * data-scaled signature store picks its banding from the corpus
     * size and persists it ([[IncrementalDedup.bandingOf]]); the
-    * fixed-parameter demos stay on the (2, 4) default. */
+    * fixed-parameter demos stay on the (2, 4) default.
+    *
+    * NOTE (r18 opt round, measured and REJECTED): recomputing the
+    * minhashes as explode + bands·rows codegen'd MIN buffers (the
+    * amsOfBatch pattern) to escape the interpreted HOF lambda read
+    * dd_cc_converged taskTime 25.2→21.1 s but dd_cluster 18.9→21.6 s
+    * and BOTH walls worse — the per-element hash-aggregate probe
+    * (65k (doc,lang) groups keyed per exploded shingle row) costs
+    * what the interpreted xor+min lambda did, the extra doc-keyed
+    * exchange adds a job to every consumer, and the second Exchange
+    * broke the bucketized candidate join's plan-pinned contract
+    * (IncrementalDedupSpec: the corpus side plans shuffle-free with
+    * exactly ONE increment-side shuffle). The per-row column form
+    * stays; IncrementalDedupSpec's equivalence test pins both forms
+    * so any future re-attempt cannot drift from the streaming path.
+    */
   private[graft] def bandsOf(arrs: DataFrame, bands: Int,
       rows: Int): DataFrame =
     arrs.select(col("doc_id"),

@@ -26,6 +26,32 @@ class IncrementalDedupSpec extends AnyFunSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("bandsOf (codegen min-aggregate form) equals the streaming column form") {
+    import spark.implicits._
+    // the batch path computes band keys via explode + min(h^k)
+    // aggregates; the streaming path keeps the per-row
+    // array_min(transform) column. The two must be row-identical or
+    // stream-vs-corpus candidate sets silently drift.
+    val docs = (0 until 200).map { i =>
+      (i.toLong, (0 to i % 7 + 3).map(j => s"tok${(i * 31 + j) % 97}")
+        .mkString(" "), if (i % 3 == 0) "en" else "de", "web", 40L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val arrs = DedupPipeline.shingleArraysOf(docs)
+    for ((nb, nr) <- Seq((2, 4), (3, 5))) {
+      val agg = DedupPipeline.bandsOf(arrs, nb, nr)
+        .groupBy(col("doc_id"), col("band_key")).count()
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSet
+      val column = arrs.select(col("doc_id"),
+          explode(DedupPipeline.bandKeyArrayOf(nb, nr)).as("band_key"))
+        .groupBy(col("doc_id"), col("band_key")).count()
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(agg == column, s"band keys drifted at banding ($nb, $nr)")
+      assert(agg.nonEmpty)
+    }
+  }
+
   test("banding scales with corpus size, persists, and increments replay it") {
     import spark.implicits._
     // the pure derivation — the thresholds the oracle SQL mirrors
